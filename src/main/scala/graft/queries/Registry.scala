@@ -1,0 +1,8 @@
+package graft.queries
+
+import graft.QuerySpec
+
+/** Single source of truth for the engine's declared query inventory. */
+object Registry {
+  def all: Seq[QuerySpec] = Parity.all
+}
