@@ -30,10 +30,12 @@ object Valuation {
   /** E1 — safe numeric cast: any → double, null on failure/NaN/±inf.
     * Reference: `_safe_float` (`transform_valuation.py:12-19`) plus the
     * `replace([inf,-inf], nan)` repair (`transform_valuation.py:140`).
-    * Uses non-ANSI cast semantics (null on malformed input).
+    * `try_cast`, not `cast`: Spark 4 runs ANSI mode by default, where a
+    * plain cast *throws* on malformed input — one bad row would kill a
+    * 100 TB job. try_cast yields null, matching pandas' NaN-on-failure.
     */
   def safeDouble(c: Column): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast(org.apache.spark.sql.types.DoubleType)
     when(isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity,
       lit(null).cast("double")).otherwise(d)
   }
@@ -141,9 +143,10 @@ object Valuation {
 
   /** E9 — percent difference (price − fair)/fair, unguarded like the
     * reference (`transform_valuation.py:307`); null fair → null (pandas
-    * NaN → our null).
+    * NaN → our null). try_divide: ANSI division by a literal 0 would
+    * throw; pandas yields ±inf which our convention normalizes to null.
     */
-  def pctDiff(price: Column, fair: Column): Column = (price - fair) / fair
+  def pctDiff(price: Column, fair: Column): Column = try_divide(price - fair, fair)
 
   /** E12 — downstream Looker calculated fields
     * (`/root/reference/README.md:255-285`): guarded price/fair ratios and
