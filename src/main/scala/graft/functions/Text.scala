@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the large-scale training-data
+  * pipeline extensions (BASELINE.json north star): tokenization, shingle
+  * generation, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd built-in functions (split,
+  * regexp_*, higher-order array functions, md5) — no UDFs — so the whole
+  * per-document feature extraction stays inside one WholeStageCodegen
+  * span and scales linearly with no shuffle.
+  *
+  * Cross-engine determinism: every hash is `md5` (identical in Spark and
+  * DuckDB) so the DuckDB oracle can recompute signatures exactly.
+  */
+object Text {
+
+  /** Whitespace tokens of trimmed text; empty/blank text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish sub-token pieces: letter runs, digit runs, single
+    * punctuation marks (the shape a byte-pair pre-tokenizer emits). */
+  def bpePieces(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeCount(c: Column): Column = size(bpePieces(c))
+
+  /** Contiguous word n-gram shingles over the token array (n ≥ 1).
+    * size < n → empty array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Stopword-marker token count for a language profile. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+
+  val enMarkers = Seq("the", "a", "of", "and", "is")
+  val deMarkers = Seq("der", "die", "das", "und", "ist")
+  val frMarkers = Seq("le", "la", "et", "est", "les")
+
+  /** Language-ID heuristic: CJK characters → zh; else argmax of
+    * stopword-marker counts with a fixed tie order (en > de > fr); no
+    * evidence → "und". A real system swaps in a fastText-style model;
+    * the *plumbing* (pure column expression, no shuffle) is the point.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val en = markerCount(toks, enMarkers)
+    val de = markerCount(toks, deMarkers)
+    val fr = markerCount(toks, frMarkers)
+    when(cjk > 0, lit("zh"))
+      .when(en >= de && en >= fr && en > 0, lit("en"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Punctuation-character count (explicit class, same regex both
+    * engines). */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.,;:!?'\"()\\-]"), lit(0)))
+
+  /** Document quality score in [0,1]: length saturation + low
+    * punctuation density + stopword evidence. Deterministic, mirrored in
+    * the DuckDB oracle; weights are illustrative.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val lenScore = least(lit(1.0), nChars / 400.0)
+    val punctRatio = when(nChars > 0, punctCount(text).cast("double") / nChars)
+      .otherwise(lit(0.0))
+    val stopRatio = when(nToks > 0,
+      markerCount(toks, enMarkers).cast("double") / nToks).otherwise(lit(0.0))
+    lit(0.4) * lenScore +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 10.0)) +
+      lit(0.3) * least(lit(1.0), stopRatio * 5.0)
+  }
+
+  /** Normalized text: lower-cased, whitespace collapsed to single
+    * spaces, trimmed — the canonical form for exact-dup hashing. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whole-document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Rolling-window document fingerprint: the lexicographic min of the
+    * md5 of each word `n`-shingle (a 1-permutation MinHash — robust to
+    * local edits, unlike [[fingerprint]]). Empty shingle set → null.
+    */
+  def minShingleFingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(tokens(normalizeText(c)), n), s => md5(s)))
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+import graft.operators.Dedup
+
+/** Deduplication query inventory over `documents`: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — every signature recomputed exactly by
+  * the DuckDB oracle via md5.
+  */
+object DedupQueries {
+
+  /** Shared oracle SQL fragment: normalized text + tokens + distinct
+    * 3-shingles per document (mirrors Dedup.shingleSet(_, 3)). */
+  private val sqlShingled = """
+  SELECT doc_id AS id, list_distinct(
+      [array_to_string(ntoks[i:i+2], ' ') FOR i IN range(1, len(ntoks) - 1)]
+    ) AS shingles
+  FROM (
+    SELECT doc_id,
+      CASE WHEN length(norm) = 0 THEN []
+           ELSE string_split_regex(norm, '\s+') END AS ntoks
+    FROM (SELECT doc_id,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents)
+  )"""
+
+  /** q30 — exact dedup by normalized-text hash. The input is the table
+    * unioned with a doc_id-shifted copy of itself, so every text has
+    * exactly two copies and the keep-min-id rule is actually exercised.
+    */
+  val q30 = QuerySpec("q30_exact_dedup",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exact(doubled, "doc_id", "text")
+        .select(col("fp"), col("keeper"), col("n_copies").cast("long").as("n_copies"))
+        .orderBy("fp")
+    },
+    Some("""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+  min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+FROM doubled
+GROUP BY 1 ORDER BY fp
+"""))
+
+  /** q31 — MinHash(k=16) + LSH(4 bands × r=4) near-duplicate pairs,
+    * verified with exact Jaccard ≥ 0.5 on distinct 3-shingle sets. */
+  val q31 = QuerySpec("q31_minhash_lsh_pairs",
+    (s, dir) => Dedup.minhashPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      .orderBy("a", "b"),
+    Some(raw"""
+WITH base AS ($sqlShingled
+), sigs AS (
+  SELECT id, shingles,
+    [list_min(list_transform(shingles,
+       s -> md5(CAST(seed AS VARCHAR) || '|' || s)))
+     FOR seed IN range(0, 16)] AS sig
+  FROM base
+), buckets AS (
+  SELECT id, unnest(
+    [md5(CAST(b AS VARCHAR) || '#' ||
+         array_to_string(sig[b*4+1 : b*4+4], ','))
+     FOR b IN range(0, 4)]) AS bucket
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.id < y.id
+), verified AS (
+  SELECT a, b,
+    CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+         THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         ELSE 0.0 END AS jaccard
+  FROM cand
+  JOIN base sa ON sa.id = cand.a
+  JOIN base sb ON sb.id = cand.b
+)
+SELECT a, b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.5 ORDER BY a, b
+"""))
+
+  // --- SimHash: 60-bit signature from the first 15 md5 hex chars of ---
+  // --- each token; bit j is the sign of the ±1 vote sum over tokens. ---
+
+  private val bits = 60
+  private def sqlBitSums: String =
+    (0 until bits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n    ")
+  private def sqlSimhashFromSums: String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+  private val sqlWords = """
+  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(CASE WHEN length(norm) = 0 THEN []
+        ELSE string_split_regex(norm, '\s+') END) AS w
+    FROM (SELECT doc_id,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents)
+  )"""
+
+  /** Spark side of the SimHash signature: explode tokens, one 60-column
+    * vote aggregation keyed by doc_id (single shuffle), then the sign
+    * recombination. Token hash = first 15 md5 hex chars (60 bits,
+    * sign-safe in a long). */
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(T.tokens(T.normalizeText(col("text")))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val voteCols = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+    val sums = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** q32 — SimHash signatures per document. */
+  val q32 = QuerySpec("q32_simhash",
+    (s, dir) => simhashDf(s, dir).orderBy("doc_id"),
+    Some(raw"""
+WITH words AS ($sqlWords
+), votes AS (
+  SELECT doc_id,
+    $sqlBitSums
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, $sqlSimhashFromSums AS simhash
+FROM votes ORDER BY doc_id
+"""))
+
+  /** q33 — SimHash near-duplicate pairs: 4×15-bit band blocking
+    * (pigeonhole-guarantees hamming ≤ 3 pairs collide; candidates are
+    * then kept at hamming ≤ 8). Join key is (band, 15-bit value) — the
+    * shuffle moves only (doc_id, long) pairs. */
+  val q33 = QuerySpec("q33_simhash_pairs",
+    (s, dir) => {
+      val sh = simhashDf(s, dir)
+      val banded = sh.select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        // band value = (simhash >> 15*band) & 0x7FFF; shiftright needs a
+        // literal Int, so build the 4 variants and pick by band.
+        .withColumn("bval",
+          when(col("band") === 0, col("simhash").bitwiseAND(lit(0x7FFFL)))
+            .when(col("band") === 1, shiftright(col("simhash"), 15).bitwiseAND(lit(0x7FFFL)))
+            .when(col("band") === 2, shiftright(col("simhash"), 30).bitwiseAND(lit(0x7FFFL)))
+            .otherwise(shiftright(col("simhash"), 45).bitwiseAND(lit(0x7FFFL))))
+        .select("doc_id", "simhash", "band", "bval")
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bval"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        .distinct()
+      cand.withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .where(col("hamming") <= 8)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH words AS ($sqlWords
+), votes AS (
+  SELECT doc_id,
+    $sqlBitSums
+  FROM words GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, $sqlSimhashFromSums AS simhash FROM votes
+), banded AS (
+  SELECT doc_id, simhash, b AS band,
+    (simhash >> (15 * b)) & 32767 AS bval
+  FROM sh, (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+    x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8 ORDER BY a, b
+"""))
+
+  /** q34 — n-gram Jaccard pairs with 3-token-prefix blocking. */
+  val q34 = QuerySpec("q34_ngram_jaccard_pairs",
+    (s, dir) => Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", shingleN = 3, prefixTokens = 3, threshold = 0.3)
+      .orderBy("a", "b"),
+    Some(raw"""
+WITH base AS ($sqlShingled
+), blocked AS (
+  SELECT b.id, b.shingles,
+    md5(array_to_string(t.ntoks[1:3], ' ')) AS block
+  FROM base b JOIN (
+    SELECT doc_id AS id,
+      CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+           THEN []
+           ELSE string_split_regex(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') END AS ntoks
+    FROM documents) t USING (id)
+), pairs AS (
+  SELECT x.id AS a, y.id AS b,
+    CASE WHEN len(list_distinct(list_concat(x.shingles, y.shingles))) > 0
+         THEN CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.shingles, y.shingles)))
+         ELSE 0.0 END AS jaccard
+  FROM blocked x JOIN blocked y ON x.block = y.block AND x.id < y.id
+)
+SELECT a, b, round(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= 0.3 ORDER BY a, b
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34)
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+
+/** Text-analysis query inventory over the `documents` table: token
+  * counting, language-ID, quality scoring, fingerprinting, token
+  * frequencies. All per-document features are narrow codegen'd
+  * projections — the only shuffle in the family is q21's token-count
+  * aggregation (map-side partial agg first).
+  */
+object TextQueries {
+
+  /** Shared DuckDB token expression, mirroring Text.tokens. */
+  private val sqlToks =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** q18 — per-document token/char/punct statistics (whitespace and
+    * BPE-ish tokenizations). */
+  val q18 = QuerySpec("q18_text_stats",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.bpeCount(col("text")).cast("long").as("n_bpe"),
+        T.punctCount(col("text")).cast("long").as("n_punct"))
+      .orderBy("doc_id"),
+    Some(raw"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS BIGINT) AS n_punct
+FROM documents ORDER BY doc_id
+"""))
+
+  /** q19 — language-ID heuristic per document plus its agreement with
+    * the generator's label. */
+  val q19 = QuerySpec("q19_lang_id",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        T.langId(col("text")).as("lang_pred"))
+      .withColumn("agree", (col("lang") === col("lang_pred")).cast("boolean"))
+      .orderBy("doc_id"),
+    Some("""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+    len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE string_split_regex(trim(lower(text)), '\s+') END,
+        t -> t IN ('the','a','of','and','is'))) AS en,
+    len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE string_split_regex(trim(lower(text)), '\s+') END,
+        t -> t IN ('der','die','das','und','ist'))) AS de,
+    len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+          ELSE string_split_regex(trim(lower(text)), '\s+') END,
+        t -> t IN ('le','la','et','est','les'))) AS fr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN cjk > 0 THEN 'zh'
+       WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+       WHEN de >= fr AND de > 0 THEN 'de'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  (lang = CASE WHEN cjk > 0 THEN 'zh'
+       WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+       WHEN de >= fr AND de > 0 THEN 'de'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'und' END) AS agree
+FROM scored ORDER BY doc_id
+"""))
+
+  /** q20 — quality score + whole-doc and min-shingle fingerprints. */
+  val q20 = QuerySpec("q20_quality_fingerprint",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        round(T.qualityScore(col("text")), 6).as("quality"),
+        T.fingerprint(col("text")).as("fp"),
+        T.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+      .orderBy("doc_id"),
+    Some("""
+WITH base AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, norm,
+    least(1.0, n_chars / 400.0) AS len_score,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks)
+      ELSE 0.0 END AS stop_ratio
+  FROM base
+), shingled AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS ntoks
+  FROM base
+)
+SELECT f.doc_id,
+  round(0.4 * len_score + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+      + 0.3 * least(1.0, stop_ratio * 5.0), 6) AS quality,
+  md5(b.norm) AS fp,
+  CASE WHEN len(s.ntoks) < 3 THEN NULL ELSE
+    list_min([md5(array_to_string(s.ntoks[i:i+2], ' '))
+              FOR i IN range(1, len(s.ntoks) - 1)])
+  END AS min_shingle_fp
+FROM feat f
+JOIN base b USING (doc_id)
+JOIN shingled s ON s.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""))
+
+  /** q21 — global token frequencies (explode + aggregate): top 20 by
+    * count. Map-side partial aggregation keeps the shuffle tiny: only
+    * (token, partial_count) pairs move. */
+  val q21 = QuerySpec("q21_token_freq",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(explode(T.tokens(lower(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(20),
+    Some("""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+  FROM documents
+)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup operator family: exact keep-min, MinHash-LSH recall on known
+  * near-dups, Jaccard arithmetic, blocking behavior.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog today"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy cat today"),    // near dup (1 word)
+    (4L, "completely different content about spark engines here now"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+    assert(got.count() == 4) // 1&2 merge
+    val merged = got.filter(col("n_copies") === 2).collect()
+    assert(merged.length == 1 && merged(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))        // identical after normalize → jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dups
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+  }
+
+  test("jaccard: intersection over union on distinct sets; empty → 0") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq.empty[String]))
+      .toDF("x", "y").select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(col1(df, "j") == Seq(0.5, 0.0))
+  }
+
+  test("ngram jaccard blocking only pairs docs sharing the 3-token prefix") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, prefixTokens = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1,2,3 share prefix "the quick brown"; 4 and 5 are singletons
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
