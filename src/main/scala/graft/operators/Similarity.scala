@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity operators: exact cosine, brute-force top-k ANN
+  * baseline, and a random-hyperplane LSH-bucketed variant.
+  *
+  * Scale design:
+  *  - Cosine is a codegen'd higher-order-function fold over
+  *    array<double> — no UDF, no shuffle. (A custom Catalyst Expression
+  *    with doGenCode is the next step if bench demands; SURVEY.md §4.3.)
+  *  - Brute force broadcasts the *query* set and streams the corpus:
+  *    the classic exact baseline — one linear corpus scan per batch,
+  *    embarrassingly parallel, no corpus shuffle. TakeOrdered per query
+  *    via window rank.
+  *  - LSH variant buckets both sides with deterministic hyperplanes
+  *    (md5-seeded integer coefficients, reproducible in DuckDB), so the
+  *    join touches only same-bucket candidates — the 1000× cheaper path
+  *    at 100 TB, traded against recall.
+  */
+object Similarity {
+
+  /** Element-wise cast to array<double> — all arithmetic in doubles so
+    * the fold order (left-to-right) is identical across engines. */
+  def toDoubles(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity; null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+  }
+
+  /** Deterministic LSH hyperplane coefficients: c(j,i) =
+    * (first-8-hex(md5("j_i")) % 1001) − 500 ∈ [−500, 500]. Computed
+    * driver-side once; the oracle recomputes the same md5 in SQL.
+    */
+  def hyperplane(j: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val hex = digest.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      ((java.lang.Long.parseLong(hex, 16) % 1001) - 500).toDouble
+    }
+  }
+
+  /** Sign-pattern bucket id over `nPlanes` hyperplanes (bit j = sign of
+    * the projection onto plane j). Pure projection, no shuffle. */
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { j =>
+      val coefs = typedlit(hyperplane(j, dim))
+      val proj = aggregate(zip_with(toDoubles(emb), coefs, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force exact top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast); the corpus is only
+    * scanned, never shuffled — the per-query rank runs on (qid, nid,
+    * cos) triples.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), toDoubles(col(embCol)).as("nemb"))
+    val q = queries.select(col(idCol).as("qid"), toDoubles(col(embCol)).as("qemb"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qemb"), col("nemb")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k: identical to [[bruteForceTopK]]
+    * but candidates are restricted to the query's hyperplane bucket.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nPlanes: Int = 8, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      toDoubles(col(embCol)).as("nemb"),
+      lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"),
+      toDoubles(col(embCol)).as("qemb"),
+      lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qemb"), col("nemb")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking key (e.g. a
+    * cluster/label or an LSH bucket): all-pairs inside each block only.
+    */
+  def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      toDoubles(col(embCol)).as("emb"))
+    base.as("x").join(base.as("y"), Seq("block"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(cosine(col("x.emb"), col("y.emb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

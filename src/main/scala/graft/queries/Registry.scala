@@ -4,5 +4,7 @@ import graft.QuerySpec
 
 /** Single source of truth for the engine's declared query inventory. */
 object Registry {
-  def all: Seq[QuerySpec] = Parity.all ++ TextQueries.all ++ DedupQueries.all
+  def all: Seq[QuerySpec] =
+    Parity.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search query inventory over `embeddings` (64-dim float
+  * vectors): near-dup pairs, brute-force exact top-k, LSH-bucketed
+  * approximate top-k. The DuckDB oracle recomputes cosine with the same
+  * left-to-right double fold and the same md5-seeded hyperplanes.
+  */
+object SimilarityQueries {
+
+  private val dim = 64
+
+  /** Ordered cosine between columns a and b of table aliases x, y. */
+  private def sqlCos(x: String, y: String): String =
+    raw"""list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})])
+      / (sqrt(list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($x.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})]))
+       * sqrt(list_sum([CAST($y.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})])))"""
+
+  /** q35 — embedding near-duplicate pairs, label-blocked, cos ≥ 0.35. */
+  val q35 = QuerySpec("q35_embedding_neardup",
+    (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"),
+        "label", threshold = 0.35)
+      .orderBy("a", "b"),
+    Some(raw"""
+SELECT x.vec_id AS a, y.vec_id AS b, round(${sqlCos("x", "y")}, 6) AS cos
+FROM embeddings x JOIN embeddings y
+  ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE round(${sqlCos("x", "y")}, 6) >= 0.35
+ORDER BY a, b
+"""))
+
+  /** q36 — brute-force exact top-5 cosine neighbors for query vectors
+    * vec_id < 8 (query side broadcast; corpus scanned once). */
+  val q36 = QuerySpec("q36_ann_bruteforce",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), k = 5)
+        .orderBy("qid", "rank")
+    },
+    Some(raw"""
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+    round(${sqlCos("q", "c")}, 6) AS cos,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY round(${sqlCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5 ORDER BY qid, rank
+"""))
+
+  /** q37 — LSH-bucketed approximate top-3: candidates restricted to
+    * the query's 8-hyperplane sign bucket. */
+  val q37 = QuerySpec("q37_ann_lsh",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 32), k = 3, dim = dim)
+        .orderBy("qid", "rank")
+    },
+    Some(raw"""
+WITH proj AS (
+  SELECT vec_id, embedding, j,
+    list_sum([CAST(embedding[i + 1] AS DOUBLE)
+      * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001 - 500)
+      FOR i IN range(0, $dim)]) AS d
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS j)
+), bucketed AS (
+  SELECT vec_id, embedding,
+    SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id, embedding
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+    round(${sqlCos("q", "c")}, 6) AS cos,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY round(${sqlCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 32
+) WHERE rank <= 3 ORDER BY qid, rank
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q35, q36, q37)
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the engine's event analytics: file
+  * source → watermarked tumbling-window aggregation → sink. The
+  * reference itself is batch-only (SURVEY.md §2.10 — its "stream" is a
+  * daily cron), so this is the engine extension that makes the same
+  * query incremental.
+  *
+  * Scale design: the file source scales to object-store listing; the
+  * aggregation state is bounded by the watermark (late events beyond
+  * 1 hour are dropped); Trigger.AvailableNow drains the backlog with
+  * the streaming engine's incremental state machine, then stops —
+  * identical semantics whether the job runs continuously or as a
+  * cron'd catch-up batch (the modern replacement for the reference's
+  * daily re-run).
+  */
+object StreamingOps {
+
+  /** The events schema as written by the driver (ts arrives as
+    * TIMESTAMP(NANOS); the streaming reader takes it as long via
+    * nanosAsLong, converted below — same trick as graft.Tables). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly per-type aggregation over the events table,
+    * drained to completion with AvailableNow and returned as a batch
+    * DataFrame (memory sink). Matches the batch q14 frame exactly.
+    */
+  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // brace-glob: the streaming file source requires a directory base
+    // path; the glob makes it treat `dir` as the base and match the
+    // single file (at scale this is a partitioned directory anyway)
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"), col("avg_value"))
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
