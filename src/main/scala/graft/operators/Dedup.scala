@@ -32,18 +32,40 @@ object Dedup {
   def shingleSet(textCol: Column, shingleN: Int): Column =
     array_distinct(T.wordShingles(T.tokens(T.normalizeText(textCol)), shingleN))
 
-  /** MinHash signature from a shingle-set column: `k` independent
-    * permutations approximated by seeded md5s; signature element i is
-    * the lexicographic-min md5 of the shingles under seed i. Pure
-    * projection, no shuffle.
+  /** MinHash permutation parameters: k pairs (a, b) for the universal
+    * hash family h_i(x) = (a_i·x + b_i) mod P over the 32-bit base hash
+    * of each shingle. Derived from md5 driver-side; the oracle embeds
+    * the same values as literals. a_i < 2^31 keeps a_i·x < 2^63 —
+    * overflow-free in a signed 64-bit long on both engines (ANSI mode
+    * would throw on a real overflow).
     */
-  def minhashSigFromShingles(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit("|"), s)))))
+  val minhashP: Long = 4294967291L // largest 32-bit prime
+  def minhashParams(k: Int): Seq[(Long, Long)] = {
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8), 16)
+    }
+    (0 until k).map(i => ((h(s"a$i") % 2147483647L) + 1L, h(s"b$i") % minhashP))
+  }
 
-  def minhashSignature(textCol: Column, k: Int, shingleN: Int): Column =
-    minhashSigFromShingles(shingleSet(textCol, shingleN), k)
+  /** 32-bit base hash of a shingle: first 8 md5 hex chars. The ONE md5
+    * per shingle — all k permutations are integer arithmetic on top. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature from a shingle-set column (array form, used
+    * where a single projection is convenient; the bulk pipeline in
+    * [[minhashPairs]] uses the faster explode+aggregate shape).
+    */
+  def minhashSigFromShingles(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, s => shingleHash(s))
+    val params = minhashParams(k)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashes, h =>
+        (element_at(typedlit(params.map(_._1)), i + 1) * h
+          + element_at(typedlit(params.map(_._2)), i + 1)) % lit(minhashP))))
+  }
 
   /** LSH band buckets over a MinHash signature: `bands` buckets, each
     * hashing r = k/bands consecutive signature elements. The band index
@@ -76,21 +98,53 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
+    val r = k / bands
+    val params = minhashParams(k)
+    // Materialize the shingled table: it feeds the signature aggregation
+    // AND both sides of the verification join. Without persist, Spark
+    // re-evaluates the interpreted (HOF, non-codegen) shingle projection
+    // per join probe — measured 10-30× slower. At scale this is the
+    // standard "materialize signatures before candidate generation".
+    // repartition first: a small input (few parquet files) otherwise
+    // pins ALL per-row signature work on one core — input balancing,
+    // not a semantic shuffle (at scale the scan is already parallel)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val shingled = df.repartition(par).select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleN).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signature via explode + k codegen'd min-aggregates: ONE md5 per
+    // shingle, k integer permutations on top, one shuffle keyed by id.
+    // (The interpreted higher-order-function form — k array passes per
+    // row — was ~10× slower: HOFs are not whole-stage-codegen'd.)
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(minhashP)).as(s"sig$i")
+    }
     val sigs = shingled
-      .select(col("id"),
-        explode(lshBuckets(minhashSigFromShingles(col("shingles"), k), k, bands))
-          .as("bucket"))
-    val candidates = sigs.as("x").join(sigs.as("y"), Seq("bucket"))
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", shingleHash(col("s")))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    // band bucket = md5 over its r signature values (band id mixed in)
+    val bucketArr = array((0 until bands).map { b =>
+      md5(concat_ws(",", (lit(b.toString + "#") +:
+        (0 until r).map(j => col(s"sig${b * r + j}").cast("string"))): _*))
+    }: _*)
+    val buckets = sigs.select(col("id"), explode(bucketArr).as("bucket"))
+    val candidates = buckets.as("x").join(buckets.as("y"), Seq("bucket"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    // lossless size-ratio prefilter: J(A,B) ≥ t ⇒ min/max ≥ t, so the
+    // cheap integer check prunes before the expensive set intersection
+    val sized = shingled.select(col("id"), col("shingles"),
+      size(col("shingles")).as("n"))
     candidates
-      .join(shingled.withColumnRenamed("id", "a")
-        .withColumnRenamed("shingles", "sa"), Seq("a"))
-      .join(shingled.withColumnRenamed("id", "b")
-        .withColumnRenamed("shingles", "sb"), Seq("b"))
+      .join(sized.select(col("id").as("a"), col("shingles").as("sa"),
+        col("n").as("na")), Seq("a"))
+      .join(sized.select(col("id").as("b"), col("shingles").as("sb"),
+        col("n").as("nb")), Seq("b"))
+      .where(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * threshold)
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
@@ -106,14 +160,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, prefixTokens: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par).select(col(idCol).as("id"),
       md5(concat_ws(" ",
         slice(T.tokens(T.normalizeText(col(textCol))), 1, prefixTokens)))
         .as("block"),
       array_distinct(T.wordShingles(T.tokens(T.normalizeText(col(textCol))),
         shingleN)).as("shingles"))
+      .withColumn("n", size(col("shingles")))
+      // materialized: both join sides reuse it (see minhashPairs note)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.as("x").join(base.as("y"), Seq("block"))
       .where(col("x.id") < col("y.id"))
+      // lossless prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t —
+      // integer compare prunes pairs before the set intersection
+      .where(least(col("x.n"), col("y.n")).cast("double") >=
+        greatest(col("x.n"), col("y.n")) * threshold)
       .withColumn("jaccard", jaccard(col("x.shingles"), col("y.shingles")))
       .where(col("jaccard") >= threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"),

@@ -36,6 +36,17 @@ object Similarity {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
 
+  /** Inverse L2 norm (null if zero). Computed in the per-vector
+    * projection BELOW any join, so pairwise cosine is a single dot
+    * times two attribute lookups: norms cost O(n), not O(n²) pairs.
+    * (Caution from profiling: expressions referenced inside HOF lambdas
+    * get re-evaluated per element — never put a fold inside a lambda.)
+    */
+  def invNorm(c: Column): Column = {
+    val d = toDoubles(c)
+    when(dot(d, d) > 0, lit(1.0) / sqrt(dot(d, d)))
+  }
+
   /** Deterministic LSH hyperplane coefficients: c(j,i) =
     * (first-8-hex(md5("j_i")) % 1001) − 500 ∈ [−500, 500]. Computed
     * driver-side once; the oracle recomputes the same md5 in SQL.
@@ -66,12 +77,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), toDoubles(col(embCol)).as("nemb"))
-    val q = queries.select(col(idCol).as("qid"), toDoubles(col(embCol)).as("qemb"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("nid"), toDoubles(col(embCol)).as("nemb"),
+        invNorm(col(embCol)).as("ni"))
+    val q = queries.select(col(idCol).as("qid"), toDoubles(col(embCol)).as("qemb"),
+      invNorm(col(embCol)).as("qi"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("qemb"), col("nemb")), 6).as("cos"))
+        round(dot(col("qemb"), col("nemb")) * col("qi") * col("ni"), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -85,16 +100,18 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nPlanes: Int = 8, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"),
-      toDoubles(col(embCol)).as("nemb"),
-      lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("nid"),
+        toDoubles(col(embCol)).as("nemb"), invNorm(col(embCol)).as("ni"),
+        lshBucket(col(embCol), dim, nPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("qid"),
-      toDoubles(col(embCol)).as("qemb"),
+      toDoubles(col(embCol)).as("qemb"), invNorm(col(embCol)).as("qi"),
       lshBucket(col(embCol), dim, nPlanes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("qemb"), col("nemb")), 6).as("cos"))
+        round(dot(col("qemb"), col("nemb")) * col("qi") * col("ni"), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -107,12 +124,17 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      toDoubles(col(embCol)).as("emb"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(par)
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        toDoubles(col(embCol)).as("emb"), invNorm(col(embCol)).as("inv"))
+      // materialized: self-joined below (see Dedup.minhashPairs note)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.as("x").join(base.as("y"), Seq("block"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(cosine(col("x.emb"), col("y.emb")), 6).as("cos"))
+        round(dot(col("x.emb"), col("y.emb")) * col("x.inv") * col("y.inv"), 6)
+          .as("cos"))
       .where(col("cos") >= threshold)
   }
 }

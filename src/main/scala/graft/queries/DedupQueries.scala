@@ -51,24 +51,38 @@ GROUP BY 1 ORDER BY fp
 """))
 
   /** q31 — MinHash(k=16) + LSH(4 bands × r=4) near-duplicate pairs,
-    * verified with exact Jaccard ≥ 0.5 on distinct 3-shingle sets. */
+    * verified with exact Jaccard ≥ 0.5 on distinct 3-shingle sets.
+    * The oracle embeds the same (a_i, b_i) permutation parameters the
+    * Spark side derives in Dedup.minhashParams, as literals. */
+  private val mhK = 16
+  private val mhBands = 4
+  private val mhParams = Dedup.minhashParams(mhK)
+  private val sqlSigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
+    s"MIN(($a * h + $b) % ${Dedup.minhashP}) AS sig$i"
+  }.mkString(",\n    ")
+  private val sqlBucketList = (0 until mhBands).map { b =>
+    val parts = (s"'$b#'" +:
+      (0 until mhK / mhBands).map(j => s"CAST(sig${b * (mhK / mhBands) + j} AS VARCHAR)"))
+    s"md5(array_to_string([${parts.mkString(", ")}], ','))"
+  }.mkString(",\n     ")
+
   val q31 = QuerySpec("q31_minhash_lsh_pairs",
     (s, dir) => Dedup.minhashPairs(Tables(s, dir, "documents"),
-        "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.5)
+        "doc_id", "text", k = mhK, bands = mhBands, shingleN = 3,
+        threshold = 0.5)
       .orderBy("a", "b"),
     Some(raw"""
 WITH base AS ($sqlShingled
+), hashed AS (
+  SELECT id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT id, unnest(shingles) AS s FROM base)
 ), sigs AS (
-  SELECT id, shingles,
-    [list_min(list_transform(shingles,
-       s -> md5(CAST(seed AS VARCHAR) || '|' || s)))
-     FOR seed IN range(0, 16)] AS sig
-  FROM base
+  SELECT id,
+    $sqlSigCols
+  FROM hashed GROUP BY id
 ), buckets AS (
   SELECT id, unnest(
-    [md5(CAST(b AS VARCHAR) || '#' ||
-         array_to_string(sig[b*4+1 : b*4+4], ','))
-     FOR b IN range(0, 4)]) AS bucket
+    [$sqlBucketList]) AS bucket
   FROM sigs
 ), cand AS (
   SELECT DISTINCT x.id AS a, y.id AS b
@@ -114,6 +128,7 @@ FROM verified WHERE jaccard >= 0.5 ORDER BY a, b
     * sign-safe in a long). */
   private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val words = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // input balancing
       .select(col("doc_id"),
         explode(T.tokens(T.normalizeText(col("text")))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
@@ -147,6 +162,7 @@ FROM votes ORDER BY doc_id
   val q33 = QuerySpec("q33_simhash_pairs",
     (s, dir) => {
       val sh = simhashDf(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("band"))
         // band value = (simhash >> 15*band) & 0x7FFF; shiftright needs a

@@ -13,11 +13,18 @@ object SimilarityQueries {
 
   private val dim = 64
 
-  /** Ordered cosine between columns a and b of table aliases x, y. */
+  /** Per-vector CTE fragment mirroring the Spark projection: cast-to-
+    * double array plus inverse L2 norm, computed once per vector. */
+  private val sqlUnit =
+    raw"""SELECT vec_id, label,
+    [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})] AS u,
+    1.0 / sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})])) AS inv
+  FROM embeddings"""
+
+  /** Pairwise cosine: dot of the cast arrays times the two inverse
+    * norms — same IEEE op order as the Spark side (left-assoc). */
   private def sqlCos(x: String, y: String): String =
-    raw"""list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})])
-      / (sqrt(list_sum([CAST($x.embedding[i] AS DOUBLE) * CAST($x.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})]))
-       * sqrt(list_sum([CAST($y.embedding[i] AS DOUBLE) * CAST($y.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1})])))"""
+    raw"""list_sum([$x.u[i] * $y.u[i] FOR i IN range(1, ${dim + 1})]) * $x.inv * $y.inv"""
 
   /** q35 — embedding near-duplicate pairs, label-blocked, cos ≥ 0.35. */
   val q35 = QuerySpec("q35_embedding_neardup",
@@ -25,8 +32,9 @@ object SimilarityQueries {
         "label", threshold = 0.35)
       .orderBy("a", "b"),
     Some(raw"""
+WITH un AS ($sqlUnit)
 SELECT x.vec_id AS a, y.vec_id AS b, round(${sqlCos("x", "y")}, 6) AS cos
-FROM embeddings x JOIN embeddings y
+FROM un x JOIN un y
   ON x.label = y.label AND x.vec_id < y.vec_id
 WHERE round(${sqlCos("x", "y")}, 6) >= 0.35
 ORDER BY a, b
@@ -41,12 +49,13 @@ ORDER BY a, b
         .orderBy("qid", "rank")
     },
     Some(raw"""
+WITH un AS ($sqlUnit)
 SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
     round(${sqlCos("q", "c")}, 6) AS cos,
     row_number() OVER (PARTITION BY q.vec_id
       ORDER BY round(${sqlCos("q", "c")}, 6) DESC, c.vec_id) AS rank
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+  FROM un q JOIN un c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
 ) WHERE rank <= 5 ORDER BY qid, rank
 """))
 
@@ -60,24 +69,26 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
     },
     Some(raw"""
 WITH proj AS (
-  SELECT vec_id, embedding, j,
+  SELECT vec_id, j,
     list_sum([CAST(embedding[i + 1] AS DOUBLE)
       * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001 - 500)
       FOR i IN range(0, $dim)]) AS d
   FROM embeddings, (SELECT unnest(range(0, 8)) AS j)
 ), bucketed AS (
-  SELECT vec_id, embedding,
+  SELECT vec_id,
     SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
-  FROM proj GROUP BY vec_id, embedding
-)
+  FROM proj GROUP BY vec_id
+), un AS ($sqlUnit)
 SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
     round(${sqlCos("q", "c")}, 6) AS cos,
     row_number() OVER (PARTITION BY q.vec_id
       ORDER BY round(${sqlCos("q", "c")}, 6) DESC, c.vec_id) AS rank
-  FROM bucketed q JOIN bucketed c
-    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < 32
+  FROM bucketed bq
+  JOIN bucketed bc ON bq.bucket = bc.bucket AND bc.vec_id <> bq.vec_id
+  JOIN un q ON q.vec_id = bq.vec_id
+  JOIN un c ON c.vec_id = bc.vec_id
+  WHERE bq.vec_id < 32
 ) WHERE rank <= 3 ORDER BY qid, rank
 """))
 

@@ -123,6 +123,7 @@ ORDER BY f.doc_id
     * (token, partial_count) pairs move. */
   val q21 = QuerySpec("q21_token_freq",
     (s, dir) => Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // input balancing
       .select(explode(T.tokens(lower(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))

@@ -24,15 +24,19 @@ class DedupSpec extends SparkSpec {
     assert(merged.length == 1 && merged(0).getAs[Long]("keeper") == 1L)
   }
 
-  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+  test("minhash LSH finds exact duplicates, never emits sub-threshold pairs") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val keys = pairs.map(p => (p._1, p._2)).toSet
-    assert(keys.contains((1L, 2L)))        // identical after normalize → jaccard 1.0
+    // identical after normalize → identical signature → every band
+    // collides → guaranteed candidate, jaccard exactly 1.0
+    assert(keys.contains((1L, 2L)))
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
-    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dups
-    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+    // verification is exact: nothing below the threshold ever survives,
+    // whatever the LSH recall (doc 1 vs 3 has J = 5/11 < 0.5)
+    assert(pairs.forall(_._3 >= 0.5))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("jaccard: intersection over union on distinct sets; empty → 0") {
