@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Engine-breadth inventory beyond the reference's own operator set
+  * (SURVEY.md §2 notes which families the reference lacks — set ops,
+  * rollup, pivot, semi joins, rich aggregates; a user migrating real
+  * workloads needs them, so they ship verified like everything else).
+  */
+object Parity2 {
+
+  /** q50 — set ops: union / intersect / except with tags (D2-adjacent;
+    * the reference has none, SURVEY.md §2.4). */
+  val q50 = QuerySpec("q50_set_ops",
+    (s, dir) => {
+      val p = Tables(s, dir, "part")
+      val big = p.where(col("p_size") > 25).select("p_brand").distinct()
+      val pricey = p.where(col("p_retailprice") > 1500).select("p_brand").distinct()
+      big.intersect(pricey).withColumn("tag", lit("both"))
+        .unionByName(big.except(pricey).withColumn("tag", lit("big_only")))
+        .unionByName(pricey.except(big).withColumn("tag", lit("pricey_only")))
+        .orderBy("tag", "p_brand")
+    },
+    Some("""
+WITH big AS (SELECT DISTINCT p_brand FROM part WHERE p_size > 25),
+pricey AS (SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 1500)
+SELECT p_brand, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM pricey)
+UNION ALL
+SELECT p_brand, 'big_only' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM pricey)
+UNION ALL
+SELECT p_brand, 'pricey_only' AS tag FROM (SELECT * FROM pricey EXCEPT SELECT * FROM big)
+ORDER BY tag, p_brand
+"""))
+
+  /** q51 — rollup with grouping flags (A-family extension). */
+  val q51 = QuerySpec("q51_rollup",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_regionkey").cast("long").as("regionkey"),
+          col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"),
+          grouping_id().cast("long").as("lvl"))
+        .orderBy(asc_nulls_first("regionkey"), asc_nulls_first("n_name"),
+          asc("lvl"))
+    },
+    Some("""
+SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name,
+  CAST(count(*) AS BIGINT) AS n_cust,
+  round(sum(c_acctbal), 2) AS total_bal,
+  CAST(grouping(n_regionkey) * 2 + grouping(n_name) AS BIGINT) AS lvl
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_regionkey, n_name)
+ORDER BY regionkey ASC NULLS FIRST, n_name ASC NULLS FIRST, lvl
+"""))
+
+  /** q52 — pivot: event counts per user bucket × event type (explicit
+    * pivot values keep the schema static, as a 100 TB plan must). */
+  val q52 = QuerySpec("q52_pivot",
+    (s, dir) => Tables(s, dir, "events")
+      .withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .groupBy("bucket")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("bucket"),
+    Some("""
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+FROM events GROUP BY 1 ORDER BY bucket
+"""))
+
+  /** q53 — left-semi join (J-family extension; complements q15's anti). */
+  val q53 = QuerySpec("q53_semi_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+ORDER BY c_custkey
+"""))
+
+  /** q54 — statistical aggregates: exact interpolating percentiles,
+    * sample stddev/variance, correlation (A-family extension). */
+  val q54 = QuerySpec("q54_stats_agg",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("q25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("q50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 6).as("q90"),
+        round(stddev(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag"),
+    Some("""
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+  round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+  round(var_samp(l_extendedprice), 2) AS var_price,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""))
+
+  /** q55 — array aggregation + functions: per-order sorted quantity
+    * list, slicing, containment (collect_list sorted for determinism). */
+  val q55 = QuerySpec("q55_array_funcs",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .where(col("l_orderkey") % 100 === 0)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      .select(col("l_orderkey"), col("qtys"),
+        size(col("qtys")).cast("long").as("n"),
+        slice(col("qtys"), 1, 2).as("first2"),
+        array_contains(col("qtys"), 1.0).as("has_one"),
+        round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 6).as("total"))
+      .orderBy("l_orderkey"),
+    Some("""
+SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys,
+  CAST(len(list_sort(list(l_quantity))) AS BIGINT) AS n,
+  list_sort(list(l_quantity))[1:2] AS first2,
+  list_contains(list(l_quantity), 1.0) AS has_one,
+  round(list_sum(list(l_quantity)), 6) AS total
+FROM lineitem WHERE l_orderkey % 100 = 0
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""))
+
+  /** q56 — string function battery over part names (E10-adjacent). */
+  val q56 = QuerySpec("q56_string_funcs",
+    (s, dir) => Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        locate("a", col("p_name")).cast("long").as("pos_a"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_type")).as("rev"),
+        length(col("p_name")).cast("long").as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy("p_partkey"),
+    Some("""
+SELECT p_partkey,
+  substr(p_name, 1, 5) AS sub,
+  CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+  lpad(p_brand, 12, '*') AS padded,
+  reverse(p_type) AS rev,
+  CAST(length(p_name) AS BIGINT) AS len,
+  concat_ws('|', p_brand, p_type) AS joined,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part ORDER BY p_partkey
+"""))
+
+  /** q57 — analytic windows: running revenue + moving average + share
+    * per customer over order dates (frame-specified windows). */
+  val q57 = QuerySpec("q57_running_window",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val last3 = byCust.rowsBetween(-2, 0)
+      Tables(s, dir, "orders")
+        .where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice"),
+          round(sum(col("o_totalprice")).over(
+            byCust.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running"),
+          round(avg(col("o_totalprice")).over(last3), 4).as("ma3"),
+          round(col("o_totalprice") /
+            sum(col("o_totalprice")).over(Window.partitionBy("o_custkey")), 6)
+            .as("share"))
+        .orderBy("o_custkey", "d", "o_orderkey")
+    },
+    Some("""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+  o_totalprice,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+  round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS share
+FROM orders WHERE o_custkey % 50 = 0
+ORDER BY o_custkey, d, o_orderkey
+"""))
+
+  /** q58 — conditional/null functions battery (P3/P4 extensions). */
+  val q58 = QuerySpec("q58_null_funcs",
+    (s, dir) => Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_or"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+        when(col("c_acctbal") < 0, lit("overdrawn"))
+          .when(col("c_acctbal") < 1000, lit("low"))
+          .otherwise(lit("high")).as("bal_class"))
+      .orderBy("c_custkey"),
+    Some("""
+SELECT c_custkey,
+  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+  COALESCE(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or,
+  greatest(c_acctbal, 0.0) AS bal_pos,
+  least(c_acctbal, 1000.0) AS bal_cap,
+  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+       WHEN c_acctbal < 1000 THEN 'low'
+       ELSE 'high' END AS bal_class
+FROM customer ORDER BY c_custkey
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
+}

@@ -5,6 +5,6 @@ import graft.QuerySpec
 /** Single source of truth for the engine's declared query inventory. */
 object Registry {
   def all: Seq[QuerySpec] =
-    Parity.all ++ TextQueries.all ++ DedupQueries.all ++
+    Parity.all ++ Parity2.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all
 }
