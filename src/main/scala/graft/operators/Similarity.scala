@@ -26,8 +26,11 @@ object Similarity {
     * the fold order (left-to-right) is identical across engines. */
   def toDoubles(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Dot product — the custom codegen'd Catalyst expression
+    * (graft.functions.DotProduct); bit-identical to the HOF fold
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftvec.VectorExpressions.dotProduct(a, b)
 
   /** Cosine similarity; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
