@@ -223,5 +223,54 @@ SELECT c_custkey,
 FROM customer ORDER BY c_custkey
 """))
 
-  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
+  /** q59 — gap-based sessionization (30-min inactivity gap): the
+    * canonical two-window pattern — new-session flag via lag, session
+    * id via running sum. One shuffle on user_id serves both windows
+    * (same partitioning), then the session aggregation reuses it.
+    */
+  val q59 = QuerySpec("q59_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("is_new",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800L * 1000000L, 1)
+            .when(lag("ts_us", 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("n_events"), col("start_us"), col("end_us"), col("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""
+WITH base AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE
+      WHEN ts_us - lag(ts_us) OVER w > 1800 * 1000000 THEN 1
+      WHEN lag(ts_us) OVER w IS NULL THEN 1
+      ELSE 0 END AS is_new
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(ts_us) AS start_us, max(ts_us) AS end_us,
+  round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

@@ -44,7 +44,7 @@ object StreamingOps {
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
