@@ -6,5 +6,6 @@ import graft.QuerySpec
 object Registry {
   def all: Seq[QuerySpec] =
     Parity.all ++ Parity2.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++
+      StreamingQueries.all ++ ScaleQueries.all
 }

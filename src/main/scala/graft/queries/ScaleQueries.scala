@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.operators.Skew
+
+/** Scale-pattern inventory: native session windows, salted skew
+  * aggregation, sketch aggregates.
+  */
+object ScaleQueries {
+
+  /** q60 — native session_window (batch form of the same operator the
+    * streaming engine uses for stateful sessions): 30-min gap sessions
+    * per user. Boundary note: session_window starts a NEW session when
+    * the gap is ≥ the window size (next ts outside [ts, ts+gap)),
+    * mirrored with >= in the oracle's lag formulation.
+    */
+  val q60 = QuerySpec("q60_session_window",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_us"),
+    Some("""
+WITH base AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE
+      WHEN ts_us - lag(ts_us) OVER w >= 1800 * 1000000 THEN 1
+      WHEN lag(ts_us) OVER w IS NULL THEN 1
+      ELSE 0 END AS is_new
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us) AS start_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""))
+
+  /** q61 — salted two-phase aggregation (skew pattern): identical
+    * result to the direct groupBy, which is exactly what the oracle
+    * computes. */
+  val q61 = QuerySpec("q61_salted_agg",
+    (s, dir) => Skew.saltedStats(Tables(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", buckets = 16)
+      .select(col("l_returnflag"), col("total"), col("n"),
+        col("min_val"), col("max_val"), round(col("avg_val"), 6).as("avg_val"))
+      .orderBy("l_returnflag"),
+    Some("""
+SELECT l_returnflag, sum(l_quantity) AS total,
+  CAST(count(l_quantity) AS BIGINT) AS n,
+  min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+  round(sum(l_quantity) / count(l_quantity), 6) AS avg_val
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""))
+
+  /** q62 — sketch aggregates (HLL++ distinct count, approximate
+    * percentiles): the 100 TB substitutes for exact distinct/median.
+    * No DuckDB oracle — sketch implementations differ across engines
+    * by design; the driver records the weaker rows-only check. The
+    * exact counterparts are verified in q08/q54.
+    */
+  val q62 = QuerySpec("q62_sketch_agg",
+    (s, dir) => Tables(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        count(lit(1)).as("n"))
+      .orderBy("year"),
+    None)
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.SessionizeStream
+import graft.streaming.SessionizeStream.{Event, Session}
+
+/** Stateful streaming: flatMapGroupsWithState sessionization fed a
+  * MemoryStream across multiple micro-batches must produce the same
+  * sessions as the batch gap-based definition (q59 semantics).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60L * 1000000L // one minute in µs
+  private val base = 1440L       // start a day past epoch 0: an event AT
+                                 // the initial watermark (ts = 0) is
+                                 // dropped as late by the stateful op
+  private def ev(u: Long, id: Long, minutes: Long, v: Double) =
+    Event(u, id, (base + minutes) * M, v)
+
+  test("stateful sessionization across micro-batches matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionizeStream.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: user 1 two events 10 min apart (one open session);
+    //          user 2 one event
+    input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 10, 2.0), ev(2, 10, 5, 5.0))
+    q.processAllAvailable()
+    // batch 2: user 1 event 100 min later → closes session 1;
+    //          user 2 event 10 min later → extends
+    input.addData(ev(1, 3, 110, 3.0), ev(2, 11, 15, 7.0))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past all gaps,
+    // timing out and emitting every remaining open session
+    input.addData(ev(3, 99, 10000, 0.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 100, 20000, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_test").as[Session].collect()
+      .map(s => (s.user_id, s.start_us / M - base, s.end_us / M - base,
+        s.n_events, s.total_value))
+      .toSet
+    // user 1: [0,10] n=2 total=3.0 closed by the 110-min event; [110,110] timed out
+    // user 2: [5,15] n=2 total=12.0 timed out
+    assert(got.contains((1L, 0L, 10L, 2L, 3.0)))
+    assert(got.contains((1L, 110L, 110L, 1L, 3.0)))
+    assert(got.contains((2L, 5L, 15L, 2L, 12.0)))
+  }
+}
