@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Valuation
+
+/** Engine sources mirroring the reference's extract stage
+  * (SURVEY.md §2.1):
+  *
+  *  - S1 HTML table scan (`extract_tickers.py:22-42`): pick the first
+  *    <table> whose header set contains a ticker-ish column, require a
+  *    minimum row count. The fetch is driver-side (like the reference's
+  *    requests call); parsing is a small regex-based HTML table reader
+  *    — no external libs in this container. Result enters the engine
+  *    via createDataFrame.
+  *  - S2 CSV scan (`extract_tickers.py:46-61`): header-aware Spark CSV
+  *    read; the ticker column resolved case-insensitively as `symbol`,
+  *    else the first column; empty file → empty result.
+  *  - Fallback composition (`extract_tickers.py:65-82`): S1 result if
+  *    it passes the guard, else S2; zero tickers raises.
+  */
+object Sources {
+
+  val tickerColumnNames: Set[String] = Set("ticker", "ticker symbol", "symbol")
+  val minRows = 80
+
+  /** Parse all <table> elements of an HTML document into (headers,
+    * rows). Tolerates attributes, whitespace, th/td mixes. Driver-side
+    * — the input is one fetched page, never big data. */
+  def parseHtmlTables(html: String): Seq[(Seq[String], Seq[Seq[String]])] = {
+    val tableRe = "(?is)<table\\b[^>]*>(.*?)</table>".r
+    val rowRe = "(?is)<tr\\b[^>]*>(.*?)</tr>".r
+    val cellRe = "(?is)<t[hd]\\b[^>]*>(.*?)</t[hd]>".r
+    val tagRe = "(?s)<[^>]+>".r
+    def cellText(c: String): String =
+      tagRe.replaceAllIn(c, "").replace("&amp;", "&").replace("&nbsp;", " ").trim
+    tableRe.findAllMatchIn(html).map { tm =>
+      val rows = rowRe.findAllMatchIn(tm.group(1)).map { rm =>
+        cellRe.findAllMatchIn(rm.group(1)).map(m => cellText(m.group(1))).toSeq
+      }.toSeq.filter(_.nonEmpty)
+      if (rows.isEmpty) (Seq.empty[String], Seq.empty[Seq[String]])
+      else (rows.head.map(_.toLowerCase.trim), rows.tail)
+    }.toSeq
+  }
+
+  /** S1 — tickers from an HTML constituents page: first table with a
+    * ticker-ish column and ≥ minRows rows. Returns None if no table
+    * qualifies (caller falls back to S2). */
+  def tickersFromHtml(spark: SparkSession, html: String): Option[DataFrame] = {
+    parseHtmlTables(html).flatMap { case (headers, rows) =>
+      headers.zipWithIndex
+        .find { case (h, _) => tickerColumnNames(h) }
+        .map { case (_, idx) =>
+          rows.flatMap(r => r.lift(idx)).filter(_.nonEmpty)
+        }
+    }.find(_.size >= minRows).map { tickers =>
+      import spark.implicits._
+      normalize(tickers.toDF("ticker"))
+    }
+  }
+
+  /** S2 — tickers from a CSV file: column named `symbol`
+    * (case-insensitive) else the first column. */
+  def tickersFromCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", true).csv(path)
+    if (raw.columns.isEmpty) return spark.emptyDataFrame.withColumn("ticker", lit(""))
+    val col0 = raw.columns
+      .find(_.equalsIgnoreCase("symbol")).getOrElse(raw.columns.head)
+    normalize(raw.select(col(col0).as("ticker")))
+  }
+
+  /** E10 + F1 + D2 + O1 over a 1-column ticker frame
+    * (`extract_tickers.py:39-41`). */
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(Valuation.normalizeTicker(col("ticker")).as("ticker"))
+      .filter(col("ticker").isNotNull && col("ticker") =!= "")
+      .distinct()
+      .orderBy("ticker")
+
+  /** The composed extract with fallback (`extract_tickers.py:65-82`):
+    * html result if present, else CSV; zero tickers → error, like the
+    * reference's raise. */
+  def loadTickers(spark: SparkSession, html: Option[String],
+      csvFallback: String): DataFrame = {
+    val df = html.flatMap(tickersFromHtml(spark, _))
+      .getOrElse(tickersFromCsv(spark, csvFallback))
+    if (df.isEmpty)
+      throw new IllegalStateException("no tickers resolved from any source")
+    df
+  }
+
+  /** S4 — ordered, headered, single-file CSV sink
+    * (`pipeline_job.py:130-142`): coalesce(1) + driver-side rename to
+    * the exact target path, plus an optional dated copy. Deliberately
+    * driver-side: single-file output is a collection endpoint, not a
+    * distributed write (SURVEY.md §7.3 risk 7).
+    */
+  def writeSingleCsv(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").option("header", true).csv(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
+    Files.move(Paths.get(part), Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp dir (part checksums etc.)
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+}
