@@ -38,6 +38,17 @@ object StreamingOps {
     */
   def hourlyEventStats(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // State-store partition tuning: each shuffle partition materializes
+    // a state store (files + maintenance). The aggregate has a few
+    // thousand (window, type) keys — 8 stores ample locally; a real
+    // cluster sizes this to executor count × cores.
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try hourlyEventStatsInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+  }
+
+  private def hourlyEventStatsInner(spark: SparkSession, dir: String): DataFrame = {
     // brace-glob: the streaming file source requires a directory base
     // path; the glob makes it treat `dir` as the base and match the
     // single file (at scale this is a partitioned directory anyway)
