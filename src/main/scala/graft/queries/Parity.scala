@@ -27,7 +27,33 @@ object Parity {
       QueryUtil.roundDoubles(out.select(Pipeline.orderedCols.map(col): _*))
         .orderBy("ticker")
     },
-    Some("""
+    Some(valuationCtes + """
+SELECT '2026-01-01' AS as_of_date, '2026-01-01T00:00:00Z' AS run_ts_utc,
+  ticker, company, sector,
+  round(price, 6) AS price,
+  round(peg_ratio, 6) AS peg_ratio, peg_ratio_source,
+  round(trailing_pe, 6) AS trailing_pe,
+  round(sector_median_pe, 6) AS sector_median_pe,
+  round(pe_median_used, 6) AS pe_median_used,
+  round(forward_pe, 6) AS forward_pe,
+  round(earnings_growth, 6) AS earnings_growth,
+  round(trailing_eps, 6) AS trailing_eps,
+  round(forward_eps, 6) AS forward_eps,
+  round(book_value_per_share, 6) AS book_value_per_share,
+  round(graham_value, 6) AS graham_value,
+  round(margin_of_safety, 6) AS margin_of_safety,
+  peg_pass, pe_vs_sector_pass, margin_of_safety_pass, valuation_hunter,
+  round(fair_value, 6) AS fair_value, fair_value_source, valuation,
+  round(pct_diff, 6) AS pct_diff, currency,
+  round(market_cap, 6) AS market_cap,
+  round(target_mean_price, 6) AS target_mean_price
+FROM labeled ORDER BY ticker
+"""))
+
+  /** Shared oracle CTE chain for the full valuation dataflow, ending in
+    * the `labeled` relation (used by q01 and the E12 derived-fields
+    * query in Parity2). */
+  lazy val valuationCtes: String = """
 WITH fundamentals AS (
   SELECT p_partkey,
     translate(p_name, ' ', '.') || '#' || CAST(p_partkey AS VARCHAR) AS ticker,
@@ -128,27 +154,7 @@ WITH fundamentals AS (
     (price - fair_value) / fair_value AS pct_diff
   FROM checks
 )
-SELECT '2026-01-01' AS as_of_date, '2026-01-01T00:00:00Z' AS run_ts_utc,
-  ticker, company, sector,
-  round(price, 6) AS price,
-  round(peg_ratio, 6) AS peg_ratio, peg_ratio_source,
-  round(trailing_pe, 6) AS trailing_pe,
-  round(sector_median_pe, 6) AS sector_median_pe,
-  round(pe_median_used, 6) AS pe_median_used,
-  round(forward_pe, 6) AS forward_pe,
-  round(earnings_growth, 6) AS earnings_growth,
-  round(trailing_eps, 6) AS trailing_eps,
-  round(forward_eps, 6) AS forward_eps,
-  round(book_value_per_share, 6) AS book_value_per_share,
-  round(graham_value, 6) AS graham_value,
-  round(margin_of_safety, 6) AS margin_of_safety,
-  peg_pass, pe_vs_sector_pass, margin_of_safety_pass, valuation_hunter,
-  round(fair_value, 6) AS fair_value, fair_value_source, valuation,
-  round(pct_diff, 6) AS pct_diff, currency,
-  round(market_cap, 6) AS market_cap,
-  round(target_mean_price, 6) AS target_mean_price
-FROM labeled ORDER BY ticker
-"""))
+"""
 
   /** q02 — A1 group-by exact median (`transform_valuation.py:216-219`). */
   val q02 = QuerySpec("q02_sector_median_agg",

@@ -271,6 +271,95 @@ FROM sessions GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """))
 
+  /** q63 — E12 downstream Looker calculated fields
+    * (`/root/reference/README.md:255-285`) over the pipeline output:
+    * guarded price/fair ratios, mos bucket, hunter flag. */
+  val q63 = QuerySpec("q63_looker_fields",
+    (s, dir) => {
+      import graft.functions.{Valuation => V}
+      val out = graft.Pipeline.run(
+        graft.Pipeline.syntheticFundamentals(s, dir), col("p_partkey"))
+      out.select(col("ticker"),
+          round(V.discountToFairPct(col("price"), col("fair_value")), 6)
+            .as("discount_to_fair_pct"),
+          round(V.premiumToFairPct(col("price"), col("fair_value")), 6)
+            .as("premium_to_fair_pct"),
+          round(V.priceToFair(col("price"), col("fair_value")), 6)
+            .as("price_to_fair"),
+          round(V.priceToGraham(col("price"), col("graham_value")), 6)
+            .as("price_to_graham"),
+          V.mosBucket(col("margin_of_safety")).as("mos_bucket"),
+          V.hunterFlag(col("valuation_hunter")).as("hunter_flag"))
+        .orderBy("ticker")
+    },
+    Some(Parity.valuationCtes + """
+SELECT ticker,
+  round(CASE WHEN fair_value > 0 THEN 100 * (fair_value - price) / fair_value END, 6) AS discount_to_fair_pct,
+  round(CASE WHEN fair_value > 0 THEN 100 * (price - fair_value) / fair_value END, 6) AS premium_to_fair_pct,
+  round(CASE WHEN fair_value > 0 THEN price / fair_value END, 6) AS price_to_fair,
+  round(CASE WHEN graham_value > 0 THEN price / graham_value END, 6) AS price_to_graham,
+  CASE WHEN margin_of_safety IS NULL THEN 'unknown'
+       WHEN margin_of_safety >= 0.25 THEN '>=25%'
+       WHEN margin_of_safety >= 0.10 THEN '10-25%'
+       WHEN margin_of_safety >= 0 THEN '0-10%'
+       ELSE '<0%' END AS mos_bucket,
+  CASE WHEN valuation_hunter = 'pass' THEN 'PASS'
+       WHEN valuation_hunter = 'fail' THEN 'FAIL'
+       ELSE 'UNKNOWN' END AS hunter_flag
+FROM labeled ORDER BY ticker
+"""))
+
+  /** q64 — backward as-of join (graft.operators.AsOf): each click
+    * matched to the user's most recent purchase at or before it.
+    * Verified against DuckDB's NATIVE ASOF JOIN — two independent
+    * implementations of the operator must agree row-for-row.
+    */
+  val q64 = QuerySpec("q64_asof_join",
+    (s, dir) => {
+      import graft.operators.AsOf
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      // dedup purchases to one per (user, ts): as-of is undefined on
+      // ties, so make the right side unique deterministically
+      val w = Window.partitionBy("user_id", "ts_us").orderBy(desc("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("ts_us").as("p_ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOf.joinBackward(clicks, purchases, key = "user_id",
+          leftTs = "ts_us", rightTs = "p_ts_us",
+          rightPayload = Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("__match.p_ts_us").as("p_ts_us"),
+          col("__match.p_event_id").as("p_event_id"),
+          round(col("__match.p_value"), 6).as("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+  FROM events
+), clicks AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts_us AS p_ts_us, event_id AS p_event_id, value AS p_value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+      ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+  p.p_ts_us, p.p_event_id, round(p.p_value, 6) AS p_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.p_ts_us <= c.ts_us
+ORDER BY c.event_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q63, q64)
 }

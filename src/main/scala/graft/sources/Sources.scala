@@ -89,6 +89,39 @@ object Sources {
     df
   }
 
+  /** One ticker's fundamentals snapshot (the reference's 14-field
+    * projection of the yfinance payload, `transform_valuation.py:56-87`;
+    * numerics nullable per the null convention). */
+  final case class Snapshot(ticker: String, company: String, sector: String,
+      price: Option[Double], market_cap: Option[Double], currency: String,
+      trailing_pe: Option[Double], forward_pe: Option[Double],
+      trailing_eps: Option[Double], forward_eps: Option[Double],
+      earnings_growth: Option[Double], peg_ratio: Option[Double],
+      book_value_per_share: Option[Double], target_mean_price: Option[Double])
+
+  /** S3 — remote API row source (`transform_valuation.py:42-96`): fetch
+    * one snapshot per ticker via `fetch`, parallelized per partition.
+    * The fetcher is pluggable (the real one would call a market-data
+    * HTTP API from each executor — N tickers / P partitions concurrent
+    * fetch instead of the reference's serial loop; failures degrade to
+    * an empty snapshot exactly like the reference's try/except).
+    */
+  def fetchSnapshots(tickers: DataFrame,
+      fetch: String => Snapshot): DataFrame = {
+    val spark = tickers.sparkSession
+    import spark.implicits._
+    tickers.select(col("ticker")).as[String].mapPartitions { it =>
+      // per-partition setup (HTTP client / session) would open here
+      it.map { t =>
+        try fetch(t)
+        catch {
+          case _: Exception => Snapshot(t, "", "", None, None, "", None,
+            None, None, None, None, None, None, None)
+        }
+      }
+    }.toDF()
+  }
+
   /** S4 — ordered, headered, single-file CSV sink
     * (`pipeline_job.py:130-142`): coalesce(1) + driver-side rename to
     * the exact target path, plus an optional dated copy. Deliberately

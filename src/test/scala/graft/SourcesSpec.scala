@@ -37,6 +37,24 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq("AAPL", "BRK-B"))
   }
 
+  test("S3: per-partition snapshot fetch, failures degrade to empty rows") {
+    val tickers = Seq("AAPL", "BOOM", "MSFT").toDF("ticker")
+    def fake(t: String): Sources.Snapshot = {
+      if (t == "BOOM") throw new RuntimeException("api down")
+      Sources.Snapshot(t, s"$t Inc", "Tech", Some(100.0), Some(1e9), "USD",
+        Some(20.0), None, Some(4.0), None, Some(0.1), None, Some(10.0), None)
+    }
+    val got = Sources.fetchSnapshots(tickers, fake).collect()
+      .map(r => r.getAs[String]("ticker") ->
+        Option(r.getAs[java.lang.Double]("price"))).toMap
+    assert(got == Map("AAPL" -> Some(100.0), "BOOM" -> None, "MSFT" -> Some(100.0)))
+    // the fetched frame feeds the cleanse stage directly
+    val cleansed = graft.operators.Cleanse(
+      Sources.fetchSnapshots(tickers, fake),
+      org.apache.spark.sql.functions.col("ticker"))
+    assert(cleansed.count() == 3)
+  }
+
   test("S4: single-file ordered CSV sink writes one exact file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_out").toString
     val df = Seq((2, "b"), (1, "a")).toDF("k", "v").orderBy("k")
