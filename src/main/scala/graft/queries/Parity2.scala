@@ -360,6 +360,62 @@ FROM clicks c ASOF LEFT JOIN purchases p
 ORDER BY c.event_id
 """))
 
+  /** q65 — the SQL entry path: temp views + spark.sql, with JSON
+    * struct parsing (from_json) and semi-structured aggregation. A
+    * user of the engine can run plain SQL, not just the DataFrame API.
+    */
+  val q65 = QuerySpec("q65_sql_api_json",
+    (s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT pmod(from_json(props, 'k INT').k, 5) AS k_mod,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events_v
+        WHERE from_json(props, 'k INT').k IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY k_mod, event_type
+      """)
+    },
+    Some("""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 2) AS total_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2 ORDER BY k_mod, event_type
+"""))
+
+  /** q66 — range (theta) join: orders banded into price tiers by a
+    * small broadcast ranges table. Non-equi joins plan as broadcast
+    * nested-loop — correct exactly when the inner side is tiny, which
+    * is the 100 TB shape for banding tables. */
+  val q66 = QuerySpec("q66_range_join",
+    (s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val tiers = Seq(
+        (0.0, 50000.0, "small"), (50000.0, 150000.0, "medium"),
+        (150000.0, 300000.0, "large"), (300000.0, 1e9, "jumbo")
+      ).toDF("lo", "hi", "tier")
+      Tables(s, dir, "orders")
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("tier")
+    },
+    Some("""
+WITH tiers(lo, hi, tier) AS (VALUES
+  (0.0, 50000.0, 'small'), (50000.0, 150000.0, 'medium'),
+  (150000.0, 300000.0, 'large'), (300000.0, 1000000000.0, 'jumbo'))
+SELECT tier, CAST(count(*) AS BIGINT) AS n,
+  round(avg(o_totalprice), 2) AS avg_price
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier ORDER BY tier
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q63, q64)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q63, q64, q65, q66)
 }

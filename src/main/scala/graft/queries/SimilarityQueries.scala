@@ -92,5 +92,38 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
 ) WHERE rank <= 3 ORDER BY qid, rank
 """))
 
-  val all: Seq[QuerySpec] = Seq(q35, q36, q37)
+  /** q67 — embedding-cosine near-dup with LSH-bucket blocking: unlike
+    * q35 (which blocks on the generator's label — unavailable in real
+    * data), candidate pairs here come from a 6-hyperplane sign bucket,
+    * the blocking a production dedup actually uses. */
+  val q67 = QuerySpec("q67_embedding_neardup_lsh",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), dim, 6))
+      Similarity.nearDupPairs(e, "bucket", threshold = 0.3)
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH proj AS (
+  SELECT vec_id, j,
+    list_sum([CAST(embedding[i + 1] AS DOUBLE)
+      * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001 - 500)
+      FOR i IN range(0, $dim)]) AS d
+  FROM embeddings, (SELECT unnest(range(0, 6)) AS j)
+), bucketed AS (
+  SELECT vec_id,
+    SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id
+), un AS ($sqlUnit)
+SELECT x.vec_id AS a, y.vec_id AS b, round(${sqlCos("x", "y")}, 6) AS cos
+FROM bucketed bx
+JOIN bucketed by_ ON bx.bucket = by_.bucket AND bx.vec_id < by_.vec_id
+JOIN un x ON x.vec_id = bx.vec_id
+JOIN un y ON y.vec_id = by_.vec_id
+WHERE round(${sqlCos("x", "y")}, 6) >= 0.3
+ORDER BY a, b
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q67)
 }
