@@ -79,5 +79,53 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
       .orderBy("year"),
     None)
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62)
+  /** q68 — cube: all grouping-set combinations of (returnflag,
+    * linestatus) with grouping flags. */
+  val q68 = QuerySpec("q68_cube",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"),
+        grouping_id().cast("long").as("lvl"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"), asc("lvl")),
+    Some("""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+  round(sum(l_extendedprice), 2) AS rev,
+  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, lvl
+"""))
+
+  /** q69 — skew-salted join: the fact side salts its key N ways, the
+    * dimension side replicates N ways, so one hot key spreads over N
+    * reducers. Result provably equals the plain join — the oracle.
+    * (AQE's skew-join handles sort-merge cases adaptively; explicit
+    * salting is the deterministic fallback and works for any join.)
+    */
+  val q69 = QuerySpec("q69_salted_join",
+    (s, dir) => {
+      val buckets = 8
+      val s2 = s
+      import s2.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")),
+          lit(buckets)))
+      val salts = (0 until buckets).toDF("salt")
+      val part = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .crossJoin(broadcast(salts))
+      li.join(part,
+          col("l_partkey") === col("p_partkey") && li("salt") === part("salt"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("p_brand")
+    },
+    Some("""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+  round(sum(l_extendedprice), 2) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q68, q69)
 }
