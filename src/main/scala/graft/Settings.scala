@@ -1,0 +1,60 @@
+package graft
+
+import java.time.{Clock, ZoneId, ZonedDateTime}
+import java.time.format.DateTimeFormatter
+import graft.functions.ValuationThresholds
+
+/** Typed run configuration, mirroring the reference's env-backed
+  * dataclass (`/root/reference/one_one_one_rule/settings.py:22-114`):
+  * string/bool/double fields with defaults, parsed from a key-value
+  * map (.env equivalent). Drive-upload settings are intentionally
+  * dropped (S5 is out of engine scope, SURVEY.md §2.1).
+  */
+final case class Settings(
+    timezone: String = "Asia/Bangkok",          // settings.py:56
+    outputDir: String = "data",                 // settings.py:57
+    latestName: String = "nasdaq100_valuations_latest.csv",
+    writeDatedCopy: Boolean = true,             // pipeline_job.py:130-142
+    thresholds: ValuationThresholds = ValuationThresholds())
+
+object Settings {
+
+  /** Parse from an env-style map; malformed numerics fall back to the
+    * default (the reference's lenient load, `settings.py:66-114`). */
+  def fromEnv(env: Map[String, String]): Settings = {
+    def d(key: String, default: Double): Double =
+      env.get(key).flatMap(_.toDoubleOption).getOrElse(default)
+    def b(key: String, default: Boolean): Boolean =
+      env.get(key).map(v => Set("1", "true", "yes").contains(v.toLowerCase))
+        .getOrElse(default)
+    Settings(
+      timezone = env.getOrElse("PIPELINE_TZ", "Asia/Bangkok"),
+      outputDir = env.getOrElse("OUTPUT_DIR", "data"),
+      latestName = env.getOrElse("LATEST_NAME", "nasdaq100_valuations_latest.csv"),
+      writeDatedCopy = b("WRITE_DATED_COPY", default = true),
+      thresholds = ValuationThresholds(
+        undervalued = d("UNDERVALUED_THRESHOLD", 0.90),
+        overvalued = d("OVERVALUED_THRESHOLD", 1.10),
+        pegMax = d("PEG_MAX", 1.0),
+        peSectorMaxMult = d("PE_SECTOR_MAX_MULT", 1.0),
+        marginOfSafetyMin = d("MARGIN_OF_SAFETY_MIN", 0.0)))
+  }
+
+  /** E11 — business date in the configured timezone
+    * (`pipeline_job.py:85-89`): the calendar date where the market
+    * pipeline runs, not UTC. Clock injected for determinism
+    * (SURVEY.md §7.3 risk 6 — never wall-clock in tested paths). */
+  def businessDate(s: Settings, clock: Clock): String =
+    ZonedDateTime.now(clock.withZone(ZoneId.of(s.timezone)))
+      .format(DateTimeFormatter.ISO_LOCAL_DATE)
+
+  /** E11 — run timestamp: UTC, second precision, `Z` suffix
+    * (`pipeline_job.py:90-95`). */
+  def runTsUtc(clock: Clock): String =
+    ZonedDateTime.now(clock.withZone(ZoneId.of("UTC")))
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** Dated copy filename (`pipeline_job.py:136-140`). */
+  def datedName(businessDate: String): String =
+    s"nasdaq100_valuations_$businessDate.csv"
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text => T}
+import graft.operators.Multimodal
+
+/** Text-analysis + multimodal operator unit tests (edge inputs the
+  * oracle-checked documents table doesn't contain). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: blank → empty; multi-space collapses; count matches") {
+    val df = Seq("", "   ", "a b", "  a   b  c ").toDF("t")
+      .select(T.tokenCount($"t").as("n"))
+    assert(col1(df, "n") == Seq(0, 0, 2, 3))
+  }
+
+  test("shingles: fewer tokens than n → empty; exact windows otherwise") {
+    val df = Seq("a b", "a b c", "a b c d").toDF("t")
+      .select(T.wordShingles(T.tokens($"t"), 3).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, List("a b c"), List("a b c", "b c d")))
+  }
+
+  test("langId: CJK wins; marker argmax with en-first ties; no evidence → und") {
+    val df = Seq(
+      "the cat is on the mat",   // en markers
+      "der hund und die katze",  // de markers
+      "le chat et la souris",    // fr markers
+      "中文 text here",  // CJK → zh
+      "xyzzy plugh"              // none → und
+    ).toDF("t").select(T.langId($"t").as("l"))
+    assert(col1(df, "l") == Seq("en", "de", "fr", "zh", "und"))
+  }
+
+  test("qualityScore stays in [0,1] incl. empty text") {
+    val df = Seq("", "short", "a" * 500,
+      "the " * 50, "!!!,,,;;;...???").toDF("t")
+      .select(T.qualityScore($"t").as("q"))
+    col1(df, "q").foreach { v =>
+      val d = v.asInstanceOf[Double]
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+
+  test("fingerprint is whitespace/case-insensitive; min-shingle needs ≥3 tokens") {
+    val df = Seq(("Hello  World FOO", "hello world foo"))
+      .toDF("a", "b")
+      .select((T.fingerprint($"a") === T.fingerprint($"b")).as("same"),
+        T.minShingleFingerprint($"a", 3).isNotNull.as("hasmsf"),
+        T.minShingleFingerprint(lit("just two"), 3).isNull.as("short_null"))
+    assert(rows(df).head.toSeq == Seq(true, true, true))
+  }
+
+  test("multimodal ingest → decode/frame stubs produce consistent shapes") {
+    val docs = Seq((0L, "x" * 250, "en", "s", 250L), (1L, "y" * 90, "en", "s", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.ingest(docs)
+    val feats = Multimodal.decodeStub(media).collect()
+    assert(feats.map(f => f.doc_id -> f.n_bytes).toMap == Map(0L -> 250L, 1L -> 90L))
+    assert(feats.forall(f => f.brightness >= 0 && f.brightness < 256))
+    // doc 0 is a "video" (doc_id % 3 == 0) with 250/100+1 = 3 frames
+    val frames = Multimodal.frameSampleStub(media).collect()
+    assert(frames.map(_.doc_id).distinct.toSeq == Seq(0L))
+    assert(frames.length == 3 && frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(frames.forall(f => f.frame_checksum == 'x'.toLong || f.frame_checksum == -1L))
+  }
+}
