@@ -125,5 +125,60 @@ WHERE round(${sqlCos("x", "y")}, 6) >= 0.3
 ORDER BY a, b
 """))
 
-  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q67)
+  /** q73 — IVF-style ANN: a coarse quantizer assigns each vector to an
+    * inverted-list cell; queries probe only their own cell. Here the
+    * quantizer is a deterministic grid over the first two dimensions
+    * (a trained k-means codebook in production — the *plumbing* is
+    * identical: cell assignment is a narrow projection, the probe is
+    * an equi-join on cell id, exactly like a real IVF index). Top-3
+    * per query within the probed cell.
+    */
+  val q73 = QuerySpec("q73_ann_ivf",
+    (s, dir) => {
+      import graft.operators.Similarity
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("cell",
+          concat_ws(":",
+            floor(element_at(col("embedding"), 1) * 4).cast("long"),
+            floor(element_at(col("embedding"), 2) * 4).cast("long")))
+      val base = e.select(col("vec_id"), col("cell"),
+        Similarity.toDoubles(col("embedding")).as("emb"),
+        Similarity.invNorm(col("embedding")).as("inv"))
+      val q = base.where(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("cell"),
+          col("emb").as("qemb"), col("inv").as("qi"))
+      val scored = base.join(broadcast(q), Seq("cell"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(Similarity.dot(col("qemb"), col("emb")) * col("qi") * col("inv"), 6)
+            .as("cos"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("nid"), col("cos"))
+        .orderBy("qid", "rank")
+    },
+    Some(raw"""
+WITH cells AS (
+  SELECT vec_id,
+    CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS BIGINT) || ':' ||
+    CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS BIGINT) AS cell
+  FROM embeddings
+), un AS ($sqlUnit)
+SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+    round(${sqlCos("uq", "uc")}, 6) AS cos,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY round(${sqlCos("uq", "uc")}, 6) DESC, c.vec_id) AS rank
+  FROM cells q
+  JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+  JOIN un uq ON uq.vec_id = q.vec_id
+  JOIN un uc ON uc.vec_id = c.vec_id
+  WHERE q.vec_id < 32
+) WHERE rank <= 3 ORDER BY qid, rank
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q67, q73)
 }
