@@ -50,7 +50,11 @@ object Pipeline {
       .withColumn("valuation",
         V.classifyValuation(col("price"), col("fair_value"), th))
       .withColumn("pct_diff", V.pctDiff(col("price"), col("fair_value")))
-      .drop("fpe_median_used")
+      // drop BOTH forward-PE intermediates: the reference's output has
+      // exactly the 29 ordered columns (`pipeline_job.py:22-61`) and
+      // never materializes forward-PE medians; keeping sector_median_fpe
+      // would leak a 30th column through buildOutput's passthrough tail
+      .drop("fpe_median_used", "sector_median_fpe")
   }
 
   /** Output builder (P1+P2, `pipeline_job.py:22-61`): run metadata first,

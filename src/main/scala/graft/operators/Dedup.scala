@@ -54,31 +54,6 @@ object Dedup {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature from a shingle-set column (array form, used
-    * where a single projection is convenient; the bulk pipeline in
-    * [[minhashPairs]] uses the faster explode+aggregate shape).
-    */
-  def minhashSigFromShingles(shingles: Column, k: Int): Column = {
-    val hashes = transform(shingles, s => shingleHash(s))
-    val params = minhashParams(k)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(hashes, h =>
-        (element_at(typedlit(params.map(_._1)), i + 1) * h
-          + element_at(typedlit(params.map(_._2)), i + 1)) % lit(minhashP))))
-  }
-
-  /** LSH band buckets over a MinHash signature: `bands` buckets, each
-    * hashing r = k/bands consecutive signature elements. The band index
-    * is mixed into the hash input, so bucket values are globally unique
-    * per band and candidate joins need only the single bucket column.
-    */
-  def lshBuckets(sig: Column, k: Int, bands: Int): Column = {
-    val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat(b.cast("string"), lit("#"),
-        concat_ws(",", slice(sig, b * r + lit(1), lit(r))))))
-  }
-
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -109,9 +84,11 @@ object Dedup {
     // pins ALL per-row signature work on one core — input balancing,
     // not a semantic shuffle (at scale the scan is already parallel)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val shingled = df.repartition(par).select(col(idCol).as("id"),
-      shingleSet(col(textCol), shingleN).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked persist: callers release via CacheRegistry.releaseAll()
+    // once the returned plan is materialized (session-leak hygiene)
+    val shingled = graft.CacheRegistry.persistTracked(
+      df.repartition(par).select(col(idCol).as("id"),
+        shingleSet(col(textCol), shingleN).as("shingles")))
     // Signature via explode + k codegen'd min-aggregates: ONE md5 per
     // shingle, k integer permutations on top, one shuffle keyed by id.
     // (The interpreted higher-order-function form — k array passes per
@@ -161,15 +138,16 @@ object Dedup {
       shingleN: Int = 3, prefixTokens: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.repartition(par).select(col(idCol).as("id"),
-      md5(concat_ws(" ",
-        slice(T.tokens(T.normalizeText(col(textCol))), 1, prefixTokens)))
-        .as("block"),
-      array_distinct(T.wordShingles(T.tokens(T.normalizeText(col(textCol))),
-        shingleN)).as("shingles"))
-      .withColumn("n", size(col("shingles")))
-      // materialized: both join sides reuse it (see minhashPairs note)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized: both join sides reuse it (see minhashPairs note);
+    // tracked so callers can release after materialization
+    val base = graft.CacheRegistry.persistTracked(
+      df.repartition(par).select(col(idCol).as("id"),
+        md5(concat_ws(" ",
+          slice(T.tokens(T.normalizeText(col(textCol))), 1, prefixTokens)))
+          .as("block"),
+        array_distinct(T.wordShingles(T.tokens(T.normalizeText(col(textCol))),
+          shingleN)).as("shingles"))
+        .withColumn("n", size(col("shingles"))))
     base.as("x").join(base.as("y"), Seq("block"))
       .where(col("x.id") < col("y.id"))
       // lossless prefilter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t —

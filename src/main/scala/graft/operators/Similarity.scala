@@ -128,11 +128,12 @@ object Similarity {
   def nearDupPairs(df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.repartition(par)
-      .select(col(blockCol).as("block"), col(idCol).as("id"),
-        toDoubles(col(embCol)).as("emb"), invNorm(col(embCol)).as("inv"))
-      // materialized: self-joined below (see Dedup.minhashPairs note)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized: self-joined below (see Dedup.minhashPairs note);
+    // tracked so callers can release after materialization
+    val base = graft.CacheRegistry.persistTracked(
+      df.repartition(par)
+        .select(col(blockCol).as("block"), col(idCol).as("id"),
+          toDoubles(col(embCol)).as("emb"), invNorm(col(embCol)).as("inv")))
     base.as("x").join(base.as("y"), Seq("block"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),

@@ -161,8 +161,7 @@ FROM votes ORDER BY doc_id
     * shuffle moves only (doc_id, long) pairs. */
   val q33 = QuerySpec("q33_simhash_pairs",
     (s, dir) => {
-      val sh = simhashDf(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = graft.CacheRegistry.persistTracked(simhashDf(s, dir))
       val banded = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("band"))
         // band value = (simhash >> 15*band) & 0x7FFF; shiftright needs a

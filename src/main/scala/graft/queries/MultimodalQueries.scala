@@ -32,7 +32,10 @@ FROM documents ORDER BY doc_id
 """))
 
   /** q39 — frame sampling: one row per sampled frame of each video
-    * payload, checksumming the real byte at each 64-byte stride. */
+    * payload, checksumming the real byte at each 64-byte stride. The
+    * oracle's frame generator is sized from the data itself
+    * (max nFrames over the table), not a hard cap, so longer documents
+    * can never silently fall outside the compared range. */
   val q39 = QuerySpec("q39_frame_sample",
     (s, dir) => Multimodal.frameSampleStub(
         Multimodal.ingest(Tables(s, dir, "documents")))
@@ -46,7 +49,7 @@ SELECT d.doc_id, f.i AS frame_idx, f.i * 64 AS frame_off,
        THEN CAST(ascii(d.text[CAST(f.i * 64 + 1 AS BIGINT)]) AS BIGINT)
        ELSE -1 END AS frame_checksum
 FROM documents d
-JOIN (SELECT unnest(range(0, 20)) AS i) f
+JOIN (SELECT unnest(range(0, (SELECT MAX(n_chars) // 100 + 1 FROM documents))) AS i) f
   ON f.i < d.n_chars // 100 + 1
 WHERE d.doc_id % 3 = 0
 ORDER BY doc_id, frame_idx

@@ -117,26 +117,39 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """))
 
   /** q55 — array aggregation + functions: per-order sorted quantity
-    * list, slicing, containment (collect_list sorted for determinism). */
+    * list, slicing, containment (collect_list sorted for determinism).
+    * Array-typed columns are serialized to canonical strings
+    * (`array_join` / DuckDB `array_to_string`) so the compared frame
+    * is scalar-only — the oracle harness hashes pandas cells and
+    * cannot hash numpy arrays. Quantities are whole-valued doubles in
+    * the testdata, so a fixed %.1f rendering is exact on both engines.
+    */
   val q55 = QuerySpec("q55_array_funcs",
     (s, dir) => Tables(s, dir, "lineitem")
       .where(col("l_orderkey") % 100 === 0)
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
-      .select(col("l_orderkey"), col("qtys"),
-        size(col("qtys")).cast("long").as("n"),
-        slice(col("qtys"), 1, 2).as("first2"),
-        array_contains(col("qtys"), 1.0).as("has_one"),
-        round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 6).as("total"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys_a"))
+      .select(col("l_orderkey"),
+        array_join(transform(col("qtys_a"), x => format_string("%.1f", x)), ",")
+          .as("qtys"),
+        size(col("qtys_a")).cast("long").as("n"),
+        array_join(transform(slice(col("qtys_a"), 1, 2),
+          x => format_string("%.1f", x)), ",").as("first2"),
+        array_contains(col("qtys_a"), 1.0).as("has_one"),
+        round(aggregate(col("qtys_a"), lit(0.0), (a, x) => a + x), 6).as("total"))
       .orderBy("l_orderkey"),
     Some("""
-SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys,
-  CAST(len(list_sort(list(l_quantity))) AS BIGINT) AS n,
-  list_sort(list(l_quantity))[1:2] AS first2,
-  list_contains(list(l_quantity), 1.0) AS has_one,
-  round(list_sum(list(l_quantity)), 6) AS total
-FROM lineitem WHERE l_orderkey % 100 = 0
-GROUP BY l_orderkey ORDER BY l_orderkey
+WITH agg AS (
+  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys_a
+  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+  array_to_string(list_transform(qtys_a, x -> format('{:.1f}', x)), ',') AS qtys,
+  CAST(len(qtys_a) AS BIGINT) AS n,
+  array_to_string(list_transform(qtys_a[1:2], x -> format('{:.1f}', x)), ',') AS first2,
+  list_contains(qtys_a, 1.0) AS has_one,
+  round(list_sum(qtys_a), 6) AS total
+FROM agg ORDER BY l_orderkey
 """))
 
   /** q56 — string function battery over part names (E10-adjacent). */
