@@ -31,6 +31,14 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n) }
+    // untimed generic warmup: session init, parquet reader + noop sink
+    // classloading, one tiny shuffle. Deliberately NOT query-specific
+    // (no valuation/dedup expressions) — per-query codegen still lands
+    // on each query's own clock; only shared JVM startup is amortized.
+    try {
+      Tables(spark, sfDir, "region").groupBy("r_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -31,12 +31,26 @@ object Text {
 
   def bpeCount(c: Column): Column = size(bpePieces(c))
 
+  /** Binds `expr` to a lambda variable so `f` can reference it many
+    * times at the cost of ONE evaluation per row. Higher-order array
+    * functions are interpreted (not codegen'd) and re-evaluate any
+    * non-lambda subexpression on every element — referencing a
+    * tokenization inside a per-shingle lambda costs O(elements) regex
+    * re-runs per row without this (measured 20×+ on q20).
+    */
+  def bound(expr: Column)(f: Column => Column): Column =
+    element_at(transform(array(expr), x => f(x)), 1)
+
   /** Contiguous word n-gram shingles over the token array (n ≥ 1).
-    * size < n → empty array. */
+    * size < n → empty array. The token array is bound once per row;
+    * the per-position slice references the bound value, not the
+    * expression tree. */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    bound(toks) { ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+    }
 
   /** Stopword-marker token count for a language profile. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
@@ -51,8 +65,7 @@ object Text {
     * evidence → "und". A real system swaps in a fastText-style model;
     * the *plumbing* (pure column expression, no shuffle) is the point.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column = bound(tokens(lower(text))) { toks =>
     val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
     val en = markerCount(toks, enMarkers)
     val de = markerCount(toks, deMarkers)
@@ -73,8 +86,7 @@ object Text {
     * punctuation density + stopword evidence. Deterministic, mirrored in
     * the DuckDB oracle; weights are illustrative.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = bound(tokens(text)) { toks =>
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
     val lenScore = least(lit(1.0), nChars / 400.0)
