@@ -15,6 +15,8 @@ final case class Settings(
     outputDir: String = "data",                 // settings.py:57
     latestName: String = "nasdaq100_valuations_latest.csv",
     writeDatedCopy: Boolean = true,             // pipeline_job.py:130-142
+    logDir: Option[String] = None,              // settings.py:49, pipeline_job.py:98
+    logFilePrefix: String = "pipeline",         // settings.py:50
     thresholds: ValuationThresholds = ValuationThresholds())
 
 object Settings {
@@ -24,14 +26,18 @@ object Settings {
   def fromEnv(env: Map[String, String]): Settings = {
     def d(key: String, default: Double): Double =
       env.get(key).flatMap(_.toDoubleOption).getOrElse(default)
+    // the reference's truthy set (`settings.py:14-19`)
     def b(key: String, default: Boolean): Boolean =
-      env.get(key).map(v => Set("1", "true", "yes").contains(v.toLowerCase))
+      env.get(key).map(v =>
+        Set("1", "true", "yes", "y", "on").contains(v.trim.toLowerCase))
         .getOrElse(default)
     Settings(
       timezone = env.getOrElse("PIPELINE_TZ", "Asia/Bangkok"),
       outputDir = env.getOrElse("OUTPUT_DIR", "data"),
       latestName = env.getOrElse("LATEST_NAME", "nasdaq100_valuations_latest.csv"),
       writeDatedCopy = b("WRITE_DATED_COPY", default = true),
+      logDir = env.get("LOG_DIR").filter(_.nonEmpty),
+      logFilePrefix = env.getOrElse("LOG_FILE_PREFIX", "pipeline"),
       thresholds = ValuationThresholds(
         undervalued = d("UNDERVALUED_THRESHOLD", 0.90),
         overvalued = d("OVERVALUED_THRESHOLD", 1.10),
@@ -57,4 +63,39 @@ object Settings {
   /** Dated copy filename (`pipeline_job.py:136-140`). */
   def datedName(businessDate: String): String =
     s"nasdaq100_valuations_$businessDate.csv"
+
+  /** .env file parser (the reference loads `config/.env` via
+    * python-dotenv with `override=False`, `settings.py:5-10`):
+    * KEY=VALUE lines; blank lines and `#` comments ignored; optional
+    * `export ` prefix; single/double quotes stripped; malformed lines
+    * skipped. Returns only the file's pairs — compose with the real
+    * environment via [[fromEnvFile]]. */
+  def parseDotEnv(content: String): Map[String, String] =
+    content.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map(_.stripPrefix("export ").trim)
+      .flatMap { l =>
+        val i = l.indexOf('=')
+        val k = l.take(i).trim
+        var v = l.drop(i + 1).trim
+        if (v.length >= 2 &&
+            ((v.head == '"' && v.last == '"') ||
+              (v.head == '\'' && v.last == '\'')))
+          v = v.substring(1, v.length - 1)
+        if (k.nonEmpty) Some(k -> v) else None
+      }.toMap
+
+  /** Load settings from a .env file, with `override=False` semantics:
+    * pairs already present in `env` (the process environment) win over
+    * the file's (`settings.py:10`). A missing file contributes
+    * nothing, like python-dotenv. */
+  def fromEnvFile(path: java.nio.file.Path,
+      env: Map[String, String] = sys.env): Settings = {
+    val fileVars =
+      if (java.nio.file.Files.exists(path))
+        parseDotEnv(java.nio.file.Files.readString(path))
+      else Map.empty[String, String]
+    fromEnv(fileVars ++ env)
+  }
 }

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** The reference's standalone ticker-refresh job
+  * (`/root/reference/scripts/update_nasdaq100_tickers.py:20-53`): pull
+  * the constituents table (HTML else CSV fallback), normalize (trim /
+  * upper / '.'→'-'), dedupe, sort, and write a one-column CSV headed
+  * exactly `Symbol` — the file the main pipeline later reads as its S2
+  * fallback. Reuses the S1/S2 scan + E10 normalization the engine
+  * already verifies; this job adds the writer and the row-count report.
+  */
+object TickerRefresh {
+
+  /** Refresh `outputPath` from the sources; returns the ticker count
+    * (the reference prints it, `update_nasdaq100_tickers.py:53`). */
+  def refresh(spark: SparkSession, html: Option[String],
+      csvFallback: String, outputPath: String): Long = {
+    // loadTickers already yields normalized, distinct, sorted tickers
+    val tickers: DataFrame = Sources.loadTickers(spark, html, csvFallback)
+    val out = tickers.select(col("ticker").as("Symbol"))
+    Sources.writeSingleCsv(out, outputPath)
+    val n = out.count()
+    println(s"Updated $outputPath with $n tickers")
+    n
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.sources.LocalDrive
+
+/** S5 upsert-by-name sink semantics (`load_drive.py:83-274` replicated
+  * hermetically): create, update-in-place, MIME-verify-else-recreate,
+  * the service-account folder guard, and folder find-or-create.
+  */
+class LocalDriveSpec extends SparkSpec {
+
+  private def tmpRoot: Path = Files.createTempDirectory("graft_drive")
+
+  private def csvFile(dir: Path, name: String, rows: Seq[String]): Path = {
+    val p = dir.resolve(name)
+    Files.writeString(p, ("a,b" +: rows).mkString("\n"))
+    p
+  }
+
+  test("create then update-in-place keeps the same file id") {
+    val root = tmpRoot
+    val src1 = csvFile(root, "src1.csv", Seq("1,x", "2,y"))
+    val id1 = LocalDrive.uploadCsv(spark, src1, root, "valuations.csv")
+    assert(id1 === "file_000001")
+    // converted payload exists and round-trips through the engine
+    val payload = LocalDrive.payloadPath(root, id1, LocalDrive.SheetMime)
+    assert(Files.exists(payload))
+    assert(spark.read.parquet(payload.toString).count() === 2)
+
+    // second upload with the same NAME finds and updates the same id
+    val src2 = csvFile(root, "src2.csv", Seq("3,z"))
+    val id2 = LocalDrive.uploadCsv(spark, src2, root, "valuations.csv")
+    assert(id2 === id1)
+    assert(spark.read.parquet(payload.toString).count() === 1)
+    assert(LocalDrive.listEntries(root).count(_.name == "valuations.csv") === 1)
+  }
+
+  test("MIME mismatch with conversion requested recreates under a new id") {
+    val root = tmpRoot
+    val src = csvFile(root, "src.csv", Seq("1,x"))
+    // first upload WITHOUT conversion: stored as plain text/csv
+    val rawId = LocalDrive.uploadCsv(spark, src, root, "report.csv",
+      convertToSheets = false)
+    assert(LocalDrive.mimeOf(root, rawId).contains(LocalDrive.CsvMime))
+
+    // conversion now requested: existing mime != sheet → NEW id; the
+    // old file is left behind (Drive's create never deletes)
+    val sheetId = LocalDrive.uploadCsv(spark, src, root, "report.csv")
+    assert(sheetId !== rawId)
+    assert(LocalDrive.mimeOf(root, sheetId).contains(LocalDrive.SheetMime))
+    assert(Files.exists(LocalDrive.payloadPath(root, rawId, LocalDrive.CsvMime)))
+
+    // a third converted upload converges on the sheet entry (update)
+    val again = LocalDrive.uploadCsv(spark, src, root, "report.csv")
+    assert(again === sheetId)
+  }
+
+  test("service-account mode requires a folder to create, not to update") {
+    val root = tmpRoot
+    val src = csvFile(root, "src.csv", Seq("1,x"))
+    intercept[IllegalArgumentException] {
+      LocalDrive.uploadCsv(spark, src, root, "new.csv",
+        serviceAccountMode = true)
+    }
+    // with a folder the create succeeds, scoped to that folder
+    val folder = LocalDrive.createFolder(root, "exports")
+    val id = LocalDrive.uploadCsv(spark, src, root, "new.csv",
+      folderId = Some(folder), serviceAccountMode = true)
+    assert(LocalDrive.findExistingFileId(root, "new.csv", Some(folder))
+      .contains(id))
+    // update path needs no folder even in service-account mode
+    val id2 = LocalDrive.uploadCsv(spark, src, root, "new.csv",
+      serviceAccountMode = true)
+    assert(id2 === id)
+  }
+
+  test("folder find-or-create and scoped name lookup") {
+    val root = tmpRoot
+    assert(LocalDrive.findFolderId(root, "reports").isEmpty)
+    val f1 = LocalDrive.createFolder(root, "reports")
+    assert(LocalDrive.findFolderId(root, "reports").contains(f1))
+    val sub = LocalDrive.createFolder(root, "daily", Some(f1))
+    assert(LocalDrive.findFolderId(root, "daily", Some(f1)).contains(sub))
+
+    // same name in two folders: scoped lookup disambiguates
+    val src = csvFile(root, "src.csv", Seq("1,x"))
+    val a = LocalDrive.uploadCsv(spark, src, root, "out.csv", Some(f1))
+    val b = LocalDrive.uploadCsv(spark, src, root, "out.csv", Some(sub))
+    assert(a !== b)
+    assert(LocalDrive.findExistingFileId(root, "out.csv", Some(f1)).contains(a))
+    assert(LocalDrive.findExistingFileId(root, "out.csv", Some(sub)).contains(b))
+  }
+}
