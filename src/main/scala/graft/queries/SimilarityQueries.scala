@@ -127,11 +127,13 @@ ORDER BY a, b
 
   /** q73 — IVF-style ANN: a coarse quantizer assigns each vector to an
     * inverted-list cell; queries probe only their own cell. Here the
-    * quantizer is a deterministic grid over the first two dimensions
-    * (a trained k-means codebook in production — the *plumbing* is
-    * identical: cell assignment is a narrow projection, the probe is
-    * an equi-join on cell id, exactly like a real IVF index). Top-3
-    * per query within the probed cell.
+    * quantizer is a deterministic grid over the first two dimensions so
+    * DuckDB can recompute every cell exactly; the TRAINED k-means
+    * quantizer (the production path, same plan shape) is
+    * `operators.IvfIndex` — deterministic Lloyd training with a
+    * recall-vs-exact acceptance spec (IvfIndexSpec), which iterative
+    * training can have where a SQL oracle can't follow. Top-3 per query
+    * within the probed cell.
     */
   val q73 = QuerySpec("q73_ann_ivf",
     (s, dir) => {
