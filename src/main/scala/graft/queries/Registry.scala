@@ -5,7 +5,7 @@ import graft.QuerySpec
 /** Single source of truth for the engine's declared query inventory. */
 object Registry {
   def all: Seq[QuerySpec] =
-    Parity.all ++ Parity2.all ++ Benchmarkish.all ++ TextQueries.all ++
+    Parity.all ++ Parity2.all ++ Parity3.all ++ Benchmarkish.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamingQueries.all ++ ScaleQueries.all
 }
