@@ -14,6 +14,25 @@ import graft.sources.Sources
   */
 object TickerRefresh {
 
+  /** Standalone entry: `sbt "runMain graft.TickerRefresh <fallbackCsv>
+    * <outputCsv> [htmlFile]"` — mirrors the reference script's CLI
+    * shape (fetch page else fallback file, write, report count). */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: TickerRefresh <fallbackCsv> <outputCsv> [htmlFile]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val html = args.lift(2).map(p =>
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      refresh(spark, html, csvFallback = args(0), outputPath = args(1))
+    } finally spark.stop()
+  }
+
   /** Refresh `outputPath` from the sources; returns the ticker count
     * (the reference prints it, `update_nasdaq100_tickers.py:53`). */
   def refresh(spark: SparkSession, html: Option[String],
