@@ -139,5 +139,74 @@ FROM (
 GROUP BY token ORDER BY n DESC, token LIMIT 20
 """))
 
-  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21)
+  /** q78 — the composed corpus-prep pipeline a training-data user runs
+    * end-to-end: language-ID filter (en) → quality floor → exact dedup
+    * (keep-min-id per normalized-content fingerprint). One declarative
+    * plan: two narrow codegen'd projections and a single fingerprint
+    * groupBy shuffle — the operators compose without materialization
+    * barriers, which is the whole point of building them as Column
+    * expressions rather than stages.
+    */
+  val q78 = QuerySpec("q78_corpus_prep",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      doubled
+        .withColumn("lang_pred", T.langId(col("text")))
+        .withColumn("quality", round(T.qualityScore(col("text")), 6))
+        .where(col("lang_pred") === "en" && col("quality") >= 0.4)
+        .groupBy(T.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"),
+          round(min(col("quality")), 6).as("quality"))
+        .select(col("fp"), col("keeper"),
+          col("n_copies").cast("long").as("n_copies"), col("quality"))
+        .orderBy("fp")
+    },
+    Some("""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+), toks AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS lt,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM doubled
+), scored AS (
+  SELECT doc_id, text,
+    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+         WHEN len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) >=
+              len(list_filter(lt, x -> x IN ('der','die','das','und','ist')))
+          AND len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) >=
+              len(list_filter(lt, x -> x IN ('le','la','et','est','les')))
+          AND len(list_filter(lt, x -> x IN ('the','a','of','and','is'))) > 0 THEN 'en'
+         WHEN len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) >=
+              len(list_filter(lt, x -> x IN ('le','la','et','est','les')))
+          AND len(list_filter(lt, x -> x IN ('der','die','das','und','ist'))) > 0 THEN 'de'
+         WHEN len(list_filter(lt, x -> x IN ('le','la','et','est','les'))) > 0 THEN 'fr'
+         ELSE 'und' END AS lang_pred,
+    round(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0)
+      + 0.3 * (1.0 - least(1.0,
+          CASE WHEN length(text) > 0
+               THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END * 10.0))
+      + 0.3 * least(1.0,
+          CASE WHEN len(t) > 0
+               THEN CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+                    / len(t) ELSE 0.0 END * 5.0), 6) AS quality
+  FROM toks
+)
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+  min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies,
+  round(min(quality), 6) AS quality
+FROM scored
+WHERE lang_pred = 'en' AND quality >= 0.4
+GROUP BY 1 ORDER BY fp
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78)
 }
