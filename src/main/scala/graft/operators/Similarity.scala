@@ -122,6 +122,59 @@ object Similarity {
         col("nid"), col("cos"))
   }
 
+  /** Multi-probe bucket list for a query vector: its own sign bucket
+    * first, then the buckets reached by flipping the `nProbe − 1`
+    * weakest-margin hyperplanes (smallest |projection| — the planes
+    * the vector most nearly straddles). Classic multi-probe LSH: recall
+    * approaches brute force while each extra probe costs one more
+    * bucket's candidates, not a corpus scan. Probes are distinct
+    * buckets, so candidate sets stay disjoint — no dedup join needed.
+    */
+  def lshProbes(emb: Column, dim: Int, nPlanes: Int = 8,
+      nProbe: Int = 3): Column = {
+    val planes = (0 until nPlanes).map { j =>
+      val coefs = typedlit(hyperplane(j, dim))
+      val proj = aggregate(zip_with(toDoubles(emb), coefs, (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      (proj, j)
+    }
+    val bucket = planes.map { case (p, j) =>
+      when(p > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // rank planes by margin; struct sorts by first field (|proj|)
+    val ranked = array_sort(array(planes.map { case (p, j) =>
+      struct(abs(p).as("m"), lit(1L << j).as("bit"))
+    }: _*))
+    concat(array(bucket),
+      transform(slice(ranked, 1, nProbe - 1),
+        e => bucket.bitwiseXOR(e.getField("bit"))))
+  }
+
+  /** Multi-probe variant of [[lshTopK]]: the corpus keeps one bucket
+    * per vector; each query explodes its probe list and equi-joins.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, nPlanes: Int = 8, nProbe: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("nid"),
+        toDoubles(col(embCol)).as("nemb"), invNorm(col(embCol)).as("ni"),
+        lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"),
+      toDoubles(col(embCol)).as("qemb"), invNorm(col(embCol)).as("qi"),
+      explode(lshProbes(col(embCol), dim, nPlanes, nProbe)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qemb"), col("nemb")) * col("qi") * col("ni"), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (e.g. a
     * cluster/label or an LSH bucket): all-pairs inside each block only.
     */
