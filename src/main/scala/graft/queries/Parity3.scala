@@ -118,5 +118,60 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey
 """))
 
-  val all: Seq[QuerySpec] = Seq(q74, q75, q76, q77)
+  /** q79 — full outer join with null-side handling: suppliers vs the
+    * distinct part-supplier pairs implied by lineitem, both sides
+    * restricted so each contributes unmatched rows. */
+  val q79 = QuerySpec("q79_full_outer",
+    (s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+        .where(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_suppkey") % 2 === 0)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("volume"))
+      sup.join(li, col("s_suppkey") === col("l_suppkey"), "full_outer")
+        .select(
+          coalesce(col("s_suppkey"), col("l_suppkey")).as("suppkey"),
+          coalesce(col("s_name"), lit("(no supplier row)")).as("name"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("volume"), lit(0.0)).as("volume"))
+        .orderBy("suppkey")
+    },
+    Some("""
+WITH sup AS (
+  SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 = 0
+), li AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+    round(sum(l_extendedprice), 2) AS volume
+  FROM lineitem WHERE l_suppkey % 2 = 0 GROUP BY l_suppkey
+)
+SELECT COALESCE(s_suppkey, l_suppkey) AS suppkey,
+  COALESCE(s_name, '(no supplier row)') AS name,
+  COALESCE(n_items, 0) AS n_items,
+  COALESCE(volume, 0.0) AS volume
+FROM sup FULL OUTER JOIN li ON s_suppkey = l_suppkey
+ORDER BY suppkey
+"""))
+
+  /** q80 — ordered string aggregation (listagg): brands per size,
+    * deterministically sorted inside the aggregate on both engines. */
+  val q80 = QuerySpec("q80_string_agg",
+    (s, dir) => Tables(s, dir, "part")
+      .where(col("p_size") <= 10)
+      .groupBy(col("p_size").cast("long").as("size"))
+      .agg(
+        array_join(array_sort(collect_set(col("p_brand"))), "|").as("brands"),
+        countDistinct(col("p_brand")).as("n_brands"))
+      .orderBy("size"),
+    Some("""
+SELECT CAST(p_size AS BIGINT) AS size,
+  array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands,
+  CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM part WHERE p_size <= 10
+GROUP BY p_size ORDER BY size
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q74, q75, q76, q77, q79, q80)
 }
