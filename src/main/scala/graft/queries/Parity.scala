@@ -403,20 +403,27 @@ FROM (
 
   /** q14 — tumbling-window aggregation over the events stream table
     * (batch form; the streaming form is in graft.streaming and produces
-    * the same frame via Trigger.AvailableNow). */
+    * the same frame via Trigger.AvailableNow). The value aggregates go
+    * through decimal(28,10): double summation order is engine-defined,
+    * and at sf0.1 one group's true average sat exactly on a 1e-6
+    * rounding boundary — decimal sums are exact and order-insensitive,
+    * so the frame is bit-stable at every scale factor. */
   val q14 = QuerySpec("q14_events_hourly",
     (s, dir) => t(s, dir, "events")
       .groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,10)")), 2)
+          .cast("double").as("total_value"),
+        round(sum(col("value").cast("decimal(28,10)")) / count(lit(1)), 6)
+          .cast("double").as("avg_value"))
       .orderBy("hour", "event_type"),
     Some("""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
   CAST(count(*) AS BIGINT) AS n,
-  round(sum(value), 2) AS total_value,
-  round(avg(value), 6) AS avg_value
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))) / count(*), 6) AS DOUBLE) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """))
 

@@ -18,8 +18,8 @@ object StreamingQueries {
     Some("""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
   CAST(count(*) AS BIGINT) AS n,
-  round(sum(value), 2) AS total_value,
-  round(avg(value), 6) AS avg_value
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))) / count(*), 6) AS DOUBLE) AS avg_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """))
 

@@ -59,8 +59,13 @@ object StreamingOps {
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+      // decimal aggregation: exact and summation-order-insensitive, so
+      // the streamed frame is bit-identical to batch q14 at any SF
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,10)")), 2)
+          .cast("double").as("total_value"),
+        round(sum(col("value").cast("decimal(28,10)")) / count(lit(1)), 6)
+          .cast("double").as("avg_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"), col("avg_value"))
     val name = s"stream_hourly_${System.nanoTime()}"
