@@ -257,7 +257,9 @@ FROM customer ORDER BY c_custkey
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min("ts_us").as("start_us"), max("ts_us").as("end_us"),
-          round(sum("value"), 2).as("total_value"))
+          // decimal sum: order-insensitive (see q14's scale-stability note)
+          round(sum(col("value").cast("decimal(28,10)")), 2)
+            .cast("double").as("total_value"))
         .select(col("user_id"), col("session_id").cast("long").as("session_id"),
           col("n_events"), col("start_us"), col("end_us"), col("total_value"))
         .orderBy("user_id", "session_id")
@@ -279,7 +281,7 @@ WITH base AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   CAST(count(*) AS BIGINT) AS n_events,
   min(ts_us) AS start_us, max(ts_us) AS end_us,
-  round(sum(value), 2) AS total_value
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value
 FROM sessions GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """))
@@ -384,7 +386,8 @@ ORDER BY c.event_id
         SELECT pmod(from_json(props, 'k INT').k, 5) AS k_mod,
                event_type,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+                 AS total_value
         FROM events_v
         WHERE from_json(props, 'k INT').k IS NOT NULL
         GROUP BY 1, 2
@@ -394,7 +397,7 @@ ORDER BY c.event_id
     Some("""
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
   event_type, CAST(count(*) AS BIGINT) AS n,
-  round(sum(value), 2) AS total_value
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY 1, 2 ORDER BY k_mod, event_type

@@ -19,7 +19,9 @@ object ScaleQueries {
     (s, dir) => Tables(s, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        // decimal sum: order-insensitive (see q14's scale-stability note)
+        round(sum(col("value").cast("decimal(28,10)")), 2)
+          .cast("double").as("total_value"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("total_value"))
@@ -40,7 +42,7 @@ WITH base AS (
 )
 SELECT user_id, min(ts_us) AS start_us,
   CAST(count(*) AS BIGINT) AS n_events,
-  round(sum(value), 2) AS total_value
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value
 FROM sessions GROUP BY user_id, sid
 ORDER BY user_id, start_us
 """))
