@@ -106,5 +106,64 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """))
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q72)
+  /** q81 — TPC-H Q10 shape: returned-item revenue per customer in a
+    * date window. Selective order-date + returnflag filters push to
+    * the scans; nation broadcasts; top-20 by lost revenue. */
+  val q81 = QuerySpec("q81_returned_items",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= "1996-10-01" &&
+          col("o_orderdate") < "1997-10-01")
+      val l = Tables(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val n = Tables(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+SELECT c_custkey, c_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""))
+
+  /** q82 — TPC-H Q14 shape: promo revenue share in a month. One
+    * conditional aggregate over the part join — the ratio of two sums
+    * in a single pass. */
+  val q82 = QuerySpec("q82_promo_share",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= "1996-09-01" &&
+          col("l_shipdate") < "1996-10-01")
+      val p = Tables(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+            sum(rev), 4).as("promo_pct"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q70, q71, q72, q81, q82)
 }
