@@ -21,7 +21,10 @@ object Tables {
     // vectorized parquet reader rejects. Read nanos as long and convert
     // to microsecond TimestampType (truncating, matching DuckDB's
     // ns→us cast) — still a pure columnar scan, prune/pushdown intact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set-if-changed: redundant conf writes churn SQLConf in packed
+    // multi-query sessions.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))

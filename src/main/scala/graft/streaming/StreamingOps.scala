@@ -37,7 +37,8 @@ object StreamingOps {
     * DataFrame (memory sink). Matches the batch q14 frame exactly.
     */
   def hourlyEventStats(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // State-store partition tuning: each shuffle partition materializes
     // a state store (files + maintenance). The aggregate has a few
     // thousand (window, type) keys — 8 stores ample locally; a real
@@ -68,14 +69,38 @@ object StreamingOps {
           .cast("double").as("avg_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"), col("avg_value"))
-    val name = s"stream_hourly_${System.nanoTime()}"
+    drainToBatch(spark, agg, "stream_hourly")
+  }
+
+  /** Run a streaming aggregate to completion (AvailableNow) and return
+    * its result DETACHED from the streaming machinery: the memory-sink
+    * temp view is dropped, the per-run checkpoint deleted, and the
+    * state-store maintenance thread stopped before returning — a long
+    * packed session (Bench) accumulates zero residue per streamed
+    * query. The copy-out is driver-side but so is the memory sink it
+    * reads: streaming aggregate RESULTS are small by construction
+    * (bounded by distinct group keys), only the input is big.
+    */
+  def drainToBatch(spark: SparkSession, agg: DataFrame,
+      tag: String): DataFrame = {
+    val name = s"${tag}_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    spark.table(name)
+    try {
+      q.awaitTermination()
+      val sunk = spark.table(name)
+      // LocalRelation copy: independent of the sink object's row buffer
+      spark.createDataFrame(sunk.collectAsList(), sunk.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      StreamingResidue.release(ckpt)
+    }
   }
 }
