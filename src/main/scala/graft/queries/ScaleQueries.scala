@@ -66,20 +66,52 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
   /** q62 — sketch aggregates (HLL++ distinct count, approximate
     * percentiles): the 100 TB substitutes for exact distinct/median.
-    * No DuckDB oracle — sketch implementations differ across engines
-    * by design; the driver records the weaker rows-only check. The
-    * exact counterparts are verified in q08/q54.
+    * Sketch VALUES differ across engines by design, so the projection
+    * carries their error CONTRACTS as booleans instead (TRUE literals
+    * in the oracle): HLL++ within 3·rsd of the exact distinct count,
+    * GK median inside the exact ±2/accuracy quantile envelope — the
+    * same bounds SketchAccuracySpec pins, here hash-compared per year.
+    * The exact counterparts are verified in q08/q54.
     */
   val q62 = QuerySpec("q62_sketch_agg",
-    (s, dir) => Tables(s, dir, "orders")
-      .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
-      .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"),
-        count(lit(1)).as("n"))
-      .orderBy("year"),
-    None)
+    (s, dir) => {
+      val rsd = 0.02
+      val acc = 1000
+      val eps = 2.0 / acc // documented n/acc rank error + tie slack
+      val base = Tables(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy").as("year"),
+        col("o_custkey"), col("o_totalprice"))
+      // Mixing countDistinct with other aggregates plants an Expand
+      // (row multiplication) and demotes the whole plan to a sort
+      // aggregate; the 100 TB shape is a separate two-level exact
+      // distinct joined back on the (tiny) year key.
+      val sketchy = base
+        .groupBy("year")
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd).as("approx_cd"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("amed"),
+          // one exact-percentile pass for both envelope bounds
+          percentile(col("o_totalprice"),
+            array(lit(0.5 - eps), lit(0.5 + eps))).as("env"),
+          count(lit(1)).as("n"))
+      val exact = base.select("year", "o_custkey").distinct()
+        .groupBy("year").agg(count(lit(1)).as("exact_customers"))
+      sketchy.join(exact, "year")
+        .select(col("year"), col("exact_customers"),
+          (abs(col("approx_cd") - col("exact_customers")) <=
+            lit(3 * rsd) * col("exact_customers")).as("cd_ok"),
+          col("amed").between(col("env").getItem(0), col("env").getItem(1))
+            .as("pct_ok"),
+          col("n"))
+        .orderBy("year")
+    },
+    Some("""
+SELECT strftime(o_orderdate, '%Y') AS year,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+  TRUE AS cd_ok, TRUE AS pct_ok,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY year
+"""))
 
   /** q68 — cube: all grouping-set combinations of (returnflag,
     * linestatus) with grouping flags. */

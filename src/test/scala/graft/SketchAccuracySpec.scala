@@ -52,4 +52,17 @@ class SketchAccuracySpec extends SparkSpec {
     assert(approx >= lo && approx <= hi,
       s"approx median $approx outside exact envelope [$lo, $hi]")
   }
+
+  test("q62 error-contract booleans all TRUE per year (sf0.01 and sf0.1)") {
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("q62_sketch_agg")(spark, d).collect()
+      assert(rows.nonEmpty, s"no rows at $d")
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("cd_ok"),
+          s"$d year=${r.getString(0)}: approx_count_distinct outside 3*rsd")
+        assert(r.getAs[Boolean]("pct_ok"),
+          s"$d year=${r.getString(0)}: percentile_approx outside envelope")
+      }
+    }
+  }
 }
