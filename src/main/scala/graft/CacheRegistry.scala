@@ -15,6 +15,15 @@ import org.apache.spark.storage.StorageLevel
   * here, and callers release them once the query's result is
   * materialized (`Bench`/`Verify` do this between queries; an
   * embedding application should do the same per unit of work).
+  *
+  * Scope contract: the registry is process-global, so `releaseAll()`
+  * drops EVERY tracked handle in the JVM — it assumes one unit of work
+  * in flight at a time (true of Bench/Verify/Job). Correctness is
+  * never at risk (persist is a hint; an unpersisted plan recomputes),
+  * but a host running queries concurrently would silently lose the
+  * self-join reuse the persists exist for — such a host should call
+  * releaseAll() only at quiescent points, or persist/unpersist its
+  * operators' inputs itself and skip the registry.
   */
 object CacheRegistry {
 

@@ -7,8 +7,11 @@ import graft.functions.ValuationThresholds
 /** Typed run configuration, mirroring the reference's env-backed
   * dataclass (`/root/reference/one_one_one_rule/settings.py:22-114`):
   * string/bool/double fields with defaults, parsed from a key-value
-  * map (.env equivalent). Drive-upload settings are intentionally
-  * dropped (S5 is out of engine scope, SURVEY.md §2.1).
+  * map (.env equivalent). Drive-upload keys (`DRIVE_FOLDER_ID`,
+  * `DRIVE_CONVERT_TO_SHEETS`) are consumed from the merged env by
+  * [[UploadCli]] against the S5 analog `sources.LocalDrive` ([[Job]]
+  * takes its drive root as a parameter); they are not part of this
+  * typed core.
   */
 final case class Settings(
     timezone: String = "Asia/Bangkok",          // settings.py:56
@@ -91,11 +94,18 @@ object Settings {
     * the file's (`settings.py:10`). A missing file contributes
     * nothing, like python-dotenv. */
   def fromEnvFile(path: java.nio.file.Path,
-      env: Map[String, String] = sys.env): Settings = {
+      env: Map[String, String] = sys.env): Settings =
+    fromEnv(envWithDotEnv(path, env))
+
+  /** The merged raw key-value view (.env pairs overlaid by the process
+    * environment, `override=False`) — for keys outside the typed core,
+    * e.g. `DRIVE_FOLDER_ID` in [[UploadCli]]. */
+  def envWithDotEnv(path: java.nio.file.Path,
+      env: Map[String, String] = sys.env): Map[String, String] = {
     val fileVars =
       if (java.nio.file.Files.exists(path))
         parseDotEnv(java.nio.file.Files.readString(path))
       else Map.empty[String, String]
-    fromEnv(fileVars ++ env)
+    fileVars ++ env
   }
 }

@@ -29,9 +29,13 @@ object UploadCli {
     }
     val fileName = args.lift(2).filter(_.nonEmpty)
       .getOrElse(file.getFileName.toString)
-    val convert = sys.env.get("DRIVE_CONVERT_TO_SHEETS")
+    // config/.env + process env, override=False — like the script's
+    // dotenv-backed settings load (`scripts/upload_drive.py:16-20`)
+    val env = Settings.envWithDotEnv(Paths.get(
+      sys.env.getOrElse("GRAFT_ENV_FILE", "config/.env")))
+    val convert = env.get("DRIVE_CONVERT_TO_SHEETS")
       .forall(v => Set("1", "true", "yes", "y", "on").contains(v.trim.toLowerCase))
-    val folderId = sys.env.get("DRIVE_FOLDER_ID").filter(_.nonEmpty)
+    val folderId = env.get("DRIVE_FOLDER_ID").filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", 4)

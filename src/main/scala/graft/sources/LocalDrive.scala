@@ -130,8 +130,18 @@ object LocalDrive {
     val targetMime = if (convertToSheets) SheetMime else mimeType
     id match {
       case Some(existing) => // UPDATE in place, same id, folder not needed
+        // Media update keeps the entry's stored MIME (Drive semantics:
+        // an update without metadata never re-types the file), so the
+        // payload path derives from the CATALOG mime — uploading with a
+        // different mimeType over an existing entry must not strand the
+        // new bytes at a path the catalog doesn't resolve. Conversion
+        // uploads can't diverge here: the MIME-verify above already
+        // discarded any non-sheet id. targetMime is only the fallback
+        // for an explicit fileId absent from the catalog.
+        val storedMime = mimeOf(root, existing).getOrElse(targetMime)
         writePayload(spark, sourcePath,
-          payloadPath(root, existing, targetMime), convertToSheets)
+          payloadPath(root, existing, storedMime),
+          convert = storedMime == SheetMime)
         existing
       case None => // CREATE under a fresh id
         if (serviceAccountMode && folderId.isEmpty)
@@ -158,12 +168,15 @@ object LocalDrive {
         .option("inferSchema", true).csv(source.toString)
       val tmp = target.toString + ".tmpdir"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator().asScala
-        .map(_.toString).find(_.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.iterator().asScala.map(_.toString).find(_.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      }
       Files.move(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.walk(Paths.get(tmp))) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
   }
 }

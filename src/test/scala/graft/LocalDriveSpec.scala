@@ -55,6 +55,27 @@ class LocalDriveSpec extends SparkSpec {
     assert(again === sheetId)
   }
 
+  test("update keeps the stored MIME: payload stays catalog-resolvable") {
+    val root = tmpRoot
+    val src1 = csvFile(root, "v1.csv", Seq("1,x", "2,y"))
+    val id = LocalDrive.uploadCsv(spark, src1, root, "data.csv",
+      convertToSheets = false)
+    assert(LocalDrive.mimeOf(root, id).contains(LocalDrive.CsvMime))
+
+    // update with the DEFAULT mime (octet-stream): Drive media updates
+    // never re-type the file, so the entry stays text/csv and the new
+    // bytes must land at the catalog-resolvable .csv payload path
+    val src2 = csvFile(root, "v2.csv", Seq("9,z"))
+    val id2 = LocalDrive.uploadFile(spark, src2, root, "data.csv")
+    assert(id2 === id)
+    assert(LocalDrive.mimeOf(root, id).contains(LocalDrive.CsvMime))
+    val payload = LocalDrive.payloadPath(root, id, LocalDrive.CsvMime)
+    assert(Files.readString(payload).contains("9,z"))
+    // nothing stranded at the octet-stream extension
+    assert(!Files.exists(LocalDrive.payloadPath(root, id,
+      "application/octet-stream")))
+  }
+
   test("service-account mode requires a folder to create, not to update") {
     val root = tmpRoot
     val src = csvFile(root, "src.csv", Seq("1,x"))
