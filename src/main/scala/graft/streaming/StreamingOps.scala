@@ -49,19 +49,42 @@ object StreamingOps {
     finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
   }
 
-  private def hourlyEventStatsInner(spark: SparkSession, dir: String): DataFrame = {
+  private def hourlyEventStatsInner(spark: SparkSession, dir: String): DataFrame =
     // brace-glob: the streaming file source requires a directory base
     // path; the glob makes it treat `dir` as the base and match the
-    // single file (at scale this is a partitioned directory anyway)
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(s"$dir/{events.parquet}")
+    // single file (real ingest points this at a partitioned directory —
+    // see eventsStream + MultiFileStreamSpec)
+    drainToBatch(spark,
+      hourlyAgg(eventsStream(spark, s"$dir/{events.parquet}")),
+      "stream_hourly")
+
+  /** Streaming reader over an events path (file or partitioned
+    * directory). `maxFilesPerTrigger` is the backlog-draining rate
+    * limit: a cron'd AvailableNow catch-up over a deep directory
+    * processes bounded micro-batches instead of one giant one — state
+    * checkpoints between batches, so a mid-drain failure resumes
+    * instead of restarting (the 100 TB ingest shape).
+    * `ts` arrives as raw INT64 nanos (driver files are
+    * TIMESTAMP(NANOS), read via nanosAsLong; plain-long fixtures hold
+    * the same values) and is converted to a µs timestamp here. */
+  def eventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
+  }
+
+  /** Watermarked hourly per-type aggregation frame (q40's core).
+    * Decimal aggregation: exact and summation-order-insensitive, so
+    * the streamed frame is bit-identical to batch q14 at any SF and
+    * any micro-batch split. */
+  def hourlyAgg(stream: DataFrame): DataFrame =
+    stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      // decimal aggregation: exact and summation-order-insensitive, so
-      // the streamed frame is bit-identical to batch q14 at any SF
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(28,10)")), 2)
           .cast("double").as("total_value"),
@@ -69,8 +92,6 @@ object StreamingOps {
           .cast("double").as("avg_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total_value"), col("avg_value"))
-    drainToBatch(spark, agg, "stream_hourly")
-  }
 
   /** Run a streaming aggregate to completion (AvailableNow) and return
     * its result DETACHED from the streaming machinery: the memory-sink
