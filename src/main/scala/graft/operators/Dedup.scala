@@ -73,8 +73,6 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val r = k / bands
-    val params = minhashParams(k)
     // Materialize the shingled table: it feeds the signature aggregation
     // AND both sides of the verification join. Without persist, Spark
     // re-evaluates the interpreted (HOF, non-codegen) shingle projection
@@ -89,24 +87,7 @@ object Dedup {
     val shingled = graft.CacheRegistry.persistTracked(
       df.repartition(par).select(col(idCol).as("id"),
         shingleSet(col(textCol), shingleN).as("shingles")))
-    // Signature via explode + k codegen'd min-aggregates: ONE md5 per
-    // shingle, k integer permutations on top, one shuffle keyed by id.
-    // (The interpreted higher-order-function form — k array passes per
-    // row — was ~10× slower: HOFs are not whole-stage-codegen'd.)
-    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(minhashP)).as(s"sig$i")
-    }
-    val sigs = shingled
-      .select(col("id"), explode(col("shingles")).as("s"))
-      .withColumn("h", shingleHash(col("s")))
-      .groupBy("id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    // band bucket = md5 over its r signature values (band id mixed in)
-    val bucketArr = array((0 until bands).map { b =>
-      md5(concat_ws(",", (lit(b.toString + "#") +:
-        (0 until r).map(j => col(s"sig${b * r + j}").cast("string"))): _*))
-    }: _*)
-    val buckets = sigs.select(col("id"), explode(bucketArr).as("bucket"))
+    val buckets = bandBucketsFromShingled(shingled, k, bands)
     val candidates = buckets.as("x").join(buckets.as("y"), Seq("bucket"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
@@ -125,6 +106,45 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** (id, bucket) MinHash band buckets — the LSH key space shared by
+    * the offline pair finder ([[minhashPairs]]) and the online
+    * streaming dedup (`streaming.NearDupStream`): same hash family,
+    * same banding, so online and offline decisions agree. */
+  def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    bandBucketsFromShingled(
+      df.select(col(idCol).as("id"),
+        shingleSet(col(textCol), shingleN).as("shingles")),
+      k, bands)
+
+  /** Band buckets from a prepared (id, shingles) frame. Documents with
+    * an EMPTY shingle set (shorter than the shingle width) produce no
+    * rows — they have no LSH identity; callers must treat them as
+    * unconditionally novel. */
+  private def bandBucketsFromShingled(shingled: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    val params = minhashParams(k)
+    // Signature via explode + k codegen'd min-aggregates: ONE md5 per
+    // shingle, k integer permutations on top, one shuffle keyed by id.
+    // (The interpreted higher-order-function form — k array passes per
+    // row — was ~10× slower: HOFs are not whole-stage-codegen'd.)
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(minhashP)).as(s"sig$i")
+    }
+    val sigs = shingled
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", shingleHash(col("s")))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    // band bucket = md5 over its r signature values (band id mixed in)
+    val bucketArr = array((0 until bands).map { b =>
+      md5(concat_ws(",", (lit(b.toString + "#") +:
+        (0 until r).map(j => col(s"sig${b * r + j}").cast("string"))): _*))
+    }: _*)
+    sigs.select(col("id"), explode(bucketArr).as("bucket"))
   }
 
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are

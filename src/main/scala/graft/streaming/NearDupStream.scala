@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Dedup
+
+/** Online NEAR-duplicate dedup — the approximate sibling of
+  * [[DedupStream]]: a document arriving in a later micro-batch that is
+  * merely SIMILAR to one already admitted (not byte-identical) is
+  * dropped. Uses the exact same MinHash band-bucket key space as the
+  * offline pair finder (`Dedup.bandBuckets` — same hash family, same
+  * banding), so online and offline decisions agree.
+  *
+  * Shape: `foreachBatch` + a persistent seen-bucket table, not a
+  * stateful operator. `dropDuplicatesWithinWatermark` can't express
+  * this — a doc owns SEVERAL band keys and the doc-level verdict
+  * ("any band seen before") needs a per-doc aggregate over per-band
+  * state, and in-batch ties between bands must resolve to ONE
+  * representative deterministically (engine-defined per-key winners
+  * can disagree across a doc's bands, dropping every copy). Per
+  * micro-batch:
+  *
+  *  1. band buckets of the batch's docs (narrow projection + one
+  *     shuffle keyed by doc id, same as offline);
+  *  2. drop docs sharing ANY bucket with the seen-bucket table
+  *     (equi-join on the bucket hash — broadcastable while the state
+  *     is small, shuffle-join at scale; never touches raw text);
+  *  3. in-batch resolution among survivors: a doc is kept iff it owns
+  *     the MIN id across all its buckets' members — one deterministic
+  *     representative per overlapping-bucket cluster;
+  *  4. ALL batch buckets (kept and dropped docs') are appended to the
+  *     state so future arrivals chain through intermediates — the
+  *     same transitive clustering the offline pair graph yields;
+  *  5. kept docs are appended to the output table.
+  *
+  * Docs too short to shingle have no LSH identity and pass through
+  * unconditionally (the exact [[DedupStream]] layer catches their
+  * literal copies).
+  *
+  * State growth: the bucket table grows with ADMITTED content (plus
+  * novel buckets of dropped docs), i.e. with unique data, not with
+  * ingest volume. Production retention = date-partition the state dir
+  * and drop partitions beyond the dedup horizon; the offline q31 pass
+  * over accumulated output remains the global backstop, exactly like
+  * the exact-dedup layering.
+  */
+object NearDupStream {
+
+  /** Drain `docs` (streaming frame of [[DedupStream.Doc]] rows) with
+    * AvailableNow, writing admitted docs to `outDir` and bucket state
+    * to `stateDir`. Returns after the backlog is fully processed. */
+  def drain(spark: SparkSession, docs: Dataset[DedupStream.Doc],
+      stateDir: Path, outDir: Path,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3): Unit = {
+    val ckpt = Files.createTempDirectory("graft_ckpt_neardup")
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[DedupStream.Doc], _: Long) =>
+        processBatch(batch.toDF(), stateDir, outDir, k, bands, shingleN)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      StreamingResidue.release(ckpt)
+    }
+  }
+
+  private def processBatch(batch: DataFrame, stateDir: Path, outDir: Path,
+      k: Int, bands: Int, shingleN: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val buckets = Dedup.bandBuckets(b, "doc_id", "text", k, bands, shingleN)
+        .persist()
+      val seen =
+        if (Files.exists(stateDir) && hasParquet(stateDir))
+          spark.read.parquet(stateDir.toString)
+        else spark.emptyDataFrame.select(lit("").as("bucket")).limit(0)
+      // 2. cross-batch: any bucket already seen → drop
+      val hits = buckets.join(seen, Seq("bucket"), "left_semi")
+        .select("id").distinct()
+      // 3. in-batch: keep iff the doc owns the min id over all of its
+      //    buckets' members (deterministic single representative)
+      val bucketMin = buckets.groupBy("bucket").agg(min("id").as("bmin"))
+      val inBatchDrop = buckets.join(bucketMin, "bucket")
+        .groupBy("id").agg(min("bmin").as("cmin"))
+        .where(col("cmin") < col("id")).select("id")
+      val dropped = hits.union(inBatchDrop).distinct()
+        .withColumnRenamed("id", "doc_id")
+      // 4. register every batch bucket (transitive chaining)
+      buckets.select("bucket").distinct()
+        .write.mode("append").parquet(stateDir.toString)
+      // 5. emit survivors (short un-shingleable docs pass through)
+      b.join(dropped, Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(outDir.toString)
+      buckets.unpersist(blocking = false)
+    } finally b.unpersist(blocking = false)
+  }
+
+  private def hasParquet(dir: Path): Boolean =
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    }
+}

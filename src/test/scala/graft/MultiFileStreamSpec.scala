@@ -1,9 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
-import java.nio.file.attribute.FileTime
-import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.streaming.{DedupStream, StreamingOps}
@@ -23,24 +20,6 @@ import graft.streaming.{DedupStream, StreamingOps}
   * to within the watermark delay.
   */
 class MultiFileStreamSpec extends SparkSpec {
-
-  /** Write `df` as ONE parquet file into `dir` with a deterministic
-    * ascending mod-time — the file source processes oldest-first. */
-  private def writeChunk(df: DataFrame, dir: Path, idx: Int): Unit = {
-    val tmp = Files.createTempDirectory("graft_chunk")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = scala.util.Using.resource(Files.list(tmp)) { s =>
-      s.iterator().asScala.find(_.toString.endsWith(".parquet"))
-        .getOrElse(fail(s"no part file under $tmp"))
-    }
-    val dest = dir.resolve(f"part-$idx%04d.parquet")
-    Files.move(part, dest)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000L + idx * 60000L))
-    scala.util.Using.resource(Files.walk(tmp)) { s =>
-      s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-  }
 
   test("hourly agg over a 4-file backlog, maxFilesPerTrigger=1 == batch") {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
