@@ -208,5 +208,40 @@ WHERE lang_pred = 'en' AND quality >= 0.4
 GROUP BY 1 ORDER BY fp
 """))
 
-  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78)
+  /** q83 — LEARNED-BPE encoding (trained merge table, broadcast-join
+    * application — `operators.Bpe`): trains on the corpus itself, then
+    * encodes every document. Piece SEQUENCES are a function of the
+    * trained merges (not reasonably re-derivable in the oracle), so —
+    * like q62 — the projection carries the encoder's CONTRACTS as
+    * booleans (TRUE literals in the oracle): pieces reassemble the
+    * normalized tokens exactly (losslessness), and the piece count
+    * lies in [token count, non-space char count] (BpeSpec pins the
+    * merge algebra itself).
+    */
+  val q83 = QuerySpec("q83_bpe_encode",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val trained = graft.operators.Bpe.train(docs, "text",
+        numMerges = 64, maxWords = 5000)
+      graft.operators.Bpe
+        .encode(docs, "doc_id", "text", graft.operators.Bpe.vocabDf(s, trained))
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (concat_ws("", col("bpe_pieces")) ===
+            concat_ws("", T.tokens(T.normalizeText(col("text")))))
+            .as("roundtrip_ok"),
+          size(col("bpe_pieces")).cast("long")
+            .between(T.tokenCount(col("text")),
+              length(regexp_replace(T.normalizeText(col("text")), " ", "")))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+  TRUE AS roundtrip_ok, TRUE AS bounds_ok
+FROM documents ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78, q83)
 }
