@@ -65,6 +65,58 @@ class MultiFileStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("restart from checkpoint: new files only, state recovered exactly") {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(StreamingOps.eventsSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val Array(lo, hi) = raw.agg(min("ts"), max("ts")).collect()
+      .map(r => Array(r.getLong(0), r.getLong(1))).head
+    val step = (hi - lo) / 4 + 1
+    def chunk(i: Int) = raw.filter(col("ts") >= lo + i * step &&
+      col("ts") < lo + (i + 1) * step)
+    val dir = Files.createTempDirectory("graft_events_restart")
+    val ckpt = Files.createTempDirectory("graft_ckpt_restart")
+
+    def drain(tag: String): (Long, Array[org.apache.spark.sql.Row]) = {
+      val q = StreamingOps.hourlyAgg(
+          StreamingOps.eventsStream(spark, dir.toString,
+            maxFilesPerTrigger = Some(1)))
+        .writeStream.format("memory").queryName(tag)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      val res = spark.table(tag).collect()
+      q.stop()
+      spark.catalog.dropTempView(tag)
+      (inputRows, res)
+    }
+
+    // phase 1: drain the first two files to completion
+    writeChunk(chunk(0), dir, 0)
+    writeChunk(chunk(1), dir, 1)
+    val (in1, _) = drain("restart_phase1")
+    assert(in1 == chunk(0).count() + chunk(1).count())
+
+    // phase 2: two MORE files arrive; a fresh query on the SAME
+    // checkpoint must read only them (offset log) yet emit the full
+    // aggregate (state store recovery) — exactly-once across restarts
+    writeChunk(chunk(2), dir, 2)
+    writeChunk(chunk(3), dir, 3)
+    val (in2, res2) = drain("restart_phase2")
+    assert(in2 == chunk(2).count() + chunk(3).count(),
+      s"restart must not reprocess committed files (read $in2 rows)")
+
+    val static = spark.read.schema(StreamingOps.eventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = StreamingOps.hourlyAgg(static).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(res2.map(_.toSeq).sortBy(_.mkString("|")).toSeq == expected)
+  }
+
   test("streaming dedup drops a duplicate arriving in a LATER file") {
     import spark.implicits._
     val M = 60L * 1000000L
