@@ -161,6 +161,340 @@ case class CentroidScores(child: Expression, codebook: CodebookRef)
     copy(child = newChild)
 }
 
+/** Executor-side handle to the m per-subspace PQ codebooks
+  * (m × ksub × dsub doubles, Torrent broadcast — same rationale as
+  * [[CodebookRef]]: values never enter the expression tree, plan is
+  * O(1) in m·ksub). Norms derived lazily per JVM. */
+final class PqRef(val bc: Broadcast[Array[Array[Array[Double]]]])
+    extends Serializable {
+  @transient private lazy val bks: Array[Array[Array[Double]]] = bc.value
+  @transient private lazy val nrm: Array[Array[Double]] = bks.map(_.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  })
+  def books: Array[Array[Array[Double]]] = bks
+  def norms: Array[Array[Double]] = nrm
+  override def toString: String =
+    s"pq[m=${bc.value.length},ksub=${bc.value.headOption.map(_.length).getOrElse(0)}]"
+}
+
+/** PQ encoding: out[j] = argmin_c ‖x_sub_j − cb[j][c]‖² as the m-byte
+  * (stored int) code word — the 100 TB vector layout: m small ints per
+  * vector instead of dim doubles. First minimum wins (deterministic).
+  * Subvector j covers x[j·dsub … (j+1)·dsub). */
+case class PqEncode(child: Expression, pq: PqRef)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val bks = pq.books
+    val nms = pq.norms
+    val out = new Array[Int](bks.length)
+    var off = 0
+    var j = 0
+    while (j < bks.length) {
+      val cands = bks(j)
+      var best = 0
+      var bestScore = Double.PositiveInfinity
+      var c = 0
+      while (c < cands.length) {
+        val cv = cands(c)
+        var acc = 0.0
+        var i = 0
+        val m = math.min(cv.length, x.numElements() - off)
+        while (i < m) { acc += x.getDouble(off + i) * cv(i); i += 1 }
+        val s = -2.0 * acc + nms(j)(c)
+        if (s < bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += cands.headOption.map(_.length).getOrElse(0)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pq", pq, classOf[PqRef].getName)
+    nullSafeCodeGen(ctx, ev, x => {
+      val bks = ctx.freshName("bks")
+      val nms = ctx.freshName("nms")
+      val out = ctx.freshName("out")
+      val off = ctx.freshName("off")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val cands = ctx.freshName("cands")
+      val cv = ctx.freshName("cv")
+      s"""
+        |double[][][] $bks = $ref.books();
+        |double[][] $nms = $ref.norms();
+        |int[] $out = new int[$bks.length];
+        |int $off = 0;
+        |for (int $j = 0; $j < $bks.length; $j++) {
+        |  double[][] $cands = $bks[$j];
+        |  int $best = 0;
+        |  double $bestScore = Double.POSITIVE_INFINITY;
+        |  for (int $c = 0; $c < $cands.length; $c++) {
+        |    double[] $cv = $cands[$c];
+        |    double $acc = 0.0;
+        |    int $m = java.lang.Math.min($cv.length, $x.numElements() - $off);
+        |    for (int $i = 0; $i < $m; $i++) { $acc += $x.getDouble($off + $i) * $cv[$i]; }
+        |    double $s = -2.0 * $acc + $nms[$j][$c];
+        |    if ($s < $bestScore) { $bestScore = $s; $best = $c; }
+        |  }
+        |  $out[$j] = $best;
+        |  $off += $cands.length == 0 ? 0 : $cands[0].length;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table over the PQ codebooks, flattened:
+  * lut[j·ksub + c] = x_sub_j · cb[j][c]. Computed ONCE per query row;
+  * scoring a corpus code word is then m array reads ([[PqAdc]]). */
+case class PqLut(child: Expression, pq: PqRef)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val bks = pq.books
+    val ksub = if (bks.isEmpty) 0 else bks(0).length
+    val out = new Array[Double](bks.length * ksub)
+    var off = 0
+    var j = 0
+    while (j < bks.length) {
+      val cands = bks(j)
+      var c = 0
+      while (c < cands.length) {
+        val cv = cands(c)
+        var acc = 0.0
+        var i = 0
+        val m = math.min(cv.length, x.numElements() - off)
+        while (i < m) { acc += x.getDouble(off + i) * cv(i); i += 1 }
+        out(j * ksub + c) = acc
+        c += 1
+      }
+      off += cands.headOption.map(_.length).getOrElse(0)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pq", pq, classOf[PqRef].getName)
+    nullSafeCodeGen(ctx, ev, x => {
+      val bks = ctx.freshName("bks")
+      val ksub = ctx.freshName("ksub")
+      val out = ctx.freshName("out")
+      val off = ctx.freshName("off")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val cands = ctx.freshName("cands")
+      val cv = ctx.freshName("cv")
+      s"""
+        |double[][][] $bks = $ref.books();
+        |int $ksub = $bks.length == 0 ? 0 : $bks[0].length;
+        |double[] $out = new double[$bks.length * $ksub];
+        |int $off = 0;
+        |for (int $j = 0; $j < $bks.length; $j++) {
+        |  double[][] $cands = $bks[$j];
+        |  for (int $c = 0; $c < $cands.length; $c++) {
+        |    double[] $cv = $cands[$c];
+        |    double $acc = 0.0;
+        |    int $m = java.lang.Math.min($cv.length, $x.numElements() - $off);
+        |    for (int $i = 0; $i < $m; $i++) { $acc += $x.getDouble($off + $i) * $cv[$i]; }
+        |    $out[$j * $ksub + $c] = $acc;
+        |  }
+        |  $off += $cands.length == 0 ? 0 : $cands[0].length;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: Σ_j lut[j·ksub + codes[j]] ≈ x · reconstruction(codes).
+  * The hot inner loop of the probe join — m array reads per scored
+  * pair, no dim-length work at all. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m == 0) 0.0
+    else {
+      val ksub = lut.numElements() / m
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub")
+      val acc = ctx.freshName("acc")
+      s"""
+        |int $m = $codes.numElements();
+        |double $acc = 0.0;
+        |if ($m > 0) {
+        |  int $ksub = $lut.numElements() / $m;
+        |  for (int $j = 0; $j < $m; $j++) {
+        |    $acc += $lut.getDouble($j * $ksub + $codes.getInt($j));
+        |  }
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Residual x − c_cell over the coarse codebook: what PQ encodes in
+  * classic IVF-PQ (residuals are smaller than raw vectors, so the same
+  * ksub spends its precision where it matters). */
+case class CentroidResidual(left: Expression, right: Expression,
+    codebook: CodebookRef)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_residual"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = codebook.centroids(b.asInstanceOf[Int])
+    val out = new Array[Double](x.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = x.getDouble(i) - (if (i < c.length) c(i) else 0.0)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, classOf[CodebookRef].getName)
+    nullSafeCodeGen(ctx, ev, (x, cell) => {
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+        |double[] $c = $ref.centroids()[$cell];
+        |double[] $out = new double[$x.numElements()];
+        |for (int $i = 0; $i < $out.length; $i++) {
+        |  $out[$i] = $x.getDouble($i) - ($i < $c.length ? $c[$i] : 0.0);
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-centroid inner products x · c_j (the exact coarse term of the
+  * residual ADC decomposition q·x ≈ q·c_cell + q·r̂). */
+case class CentroidDots(child: Expression, codebook: CodebookRef)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_dots"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val cbs = codebook.centroids
+    val out = new Array[Double](cbs.length)
+    var j = 0
+    while (j < cbs.length) {
+      val c = cbs(j)
+      val m = math.min(x.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += x.getDouble(i) * c(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook, classOf[CodebookRef].getName)
+    nullSafeCodeGen(ctx, ev, x => {
+      val cbs = ctx.freshName("cbs")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+        |double[][] $cbs = $ref.centroids();
+        |double[] $out = new double[$cbs.length];
+        |for (int $j = 0; $j < $cbs.length; $j++) {
+        |  double[] $c = $cbs[$j];
+        |  int $m = java.lang.Math.min($x.numElements(), $c.length);
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $m; $i++) { $acc += $x.getDouble($i) * $c[$i]; }
+        |  $out[$j] = $acc;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be array<double>. */
   def dotProduct(a: Column, b: Column): Column =
@@ -171,4 +505,27 @@ object VectorExpressions {
   def centroidScores(x: Column, codebook: CodebookRef): Column =
     ExpressionUtils.column(
       CentroidScores(ExpressionUtils.expression(x), codebook))
+
+  /** Column API for [[CentroidDots]]. Input must be array<double>. */
+  def centroidDots(x: Column, codebook: CodebookRef): Column =
+    ExpressionUtils.column(
+      CentroidDots(ExpressionUtils.expression(x), codebook))
+
+  /** Column API for [[CentroidResidual]]: x − centroid[cell]. */
+  def centroidResidual(x: Column, cell: Column, codebook: CodebookRef): Column =
+    ExpressionUtils.column(CentroidResidual(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(cell), codebook))
+
+  /** Column API for [[PqEncode]]. Input must be array<double>. */
+  def pqEncode(x: Column, pq: PqRef): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(x), pq))
+
+  /** Column API for [[PqLut]]. Input must be array<double>. */
+  def pqLut(x: Column, pq: PqRef): Column =
+    ExpressionUtils.column(PqLut(ExpressionUtils.expression(x), pq))
+
+  /** Column API for [[PqAdc]]: codes (array<int>) × lut (array<double>). */
+  def pqAdc(codes: Column, lut: Column): Column =
+    ExpressionUtils.column(
+      PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut)))
 }
