@@ -53,8 +53,9 @@ class SketchAccuracySpec extends SparkSpec {
       s"approx median $approx outside exact envelope [$lo, $hi]")
   }
 
-  test("q62 error-contract booleans all TRUE per year (sf0.01 and sf0.1)") {
-    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+  test("q62 error-contract booleans all TRUE per year (every SF)") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val rows = SparkEntry.queries("q62_sketch_agg")(spark, d).collect()
       assert(rows.nonEmpty, s"no rows at $d")
       rows.foreach { r =>
