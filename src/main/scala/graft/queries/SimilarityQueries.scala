@@ -201,7 +201,7 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
       val model = PqIndex.train(emb, kCoarse = 10, m = 16, ksub = 16,
         coarseIters = 3, pqIters = 2, sampleN = 500)
       val refined = PqIndex.topKRefined(PqIndex.encode(emb, model), emb,
-        queries, model, k = 10, nProbe = 4, shortlist = 50)
+        queries, model, k = 10, nProbe = 5, shortlist = 80)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
       val hits = refined.select(col("qid"), col("nid"))
         .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"),
@@ -210,11 +210,14 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
       exact.groupBy("qid").agg(count(lit(1)).as("n"))
         .join(hits, Seq("qid"), "left")
         .select(col("qid"), col("n"),
-          // observed deterministic per-query recall is ≥ 0.2 at every
-          // SF (values are multiples of 1/k); 0.15 floors collapse
-          // while sitting safely between representable values
+          // observed per-query recall is ≥ 0.4 at every SF and STABLE
+          // across partition counts (measured at cpus=7 and 32: float
+          // summation order shifts centroids by ulps, not ranks);
+          // values are multiples of 1/k, so the 0.25 floor sits 1.5
+          // quanta under the observed minimum and between representable
+          // values
           (coalesce(col("n_hits"), lit(0L)).cast("double") >=
-            lit(0.15) * col("n").cast("double")).as("recall_ok"))
+            lit(0.25) * col("n").cast("double")).as("recall_ok"))
         .orderBy("qid")
     },
     Some("""
