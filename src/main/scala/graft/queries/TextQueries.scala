@@ -139,6 +139,39 @@ FROM (
 GROUP BY token ORDER BY n DESC, token LIMIT 20
 """))
 
+  /** q85 — approximate heavy hitters: `freqItems` (the Karp/lossy-
+    * counting family — the 100 TB substitute for an exact global token
+    * sort when only the heavy tail matters). The sketch's CONTENT is
+    * partition-order-dependent, but its GUARANTEE is not: every item
+    * with relative frequency > support is always returned. The
+    * projection therefore checks containment of the exact top-10
+    * (each ~3.4% ≫ the 1% support here) — a deterministic boolean,
+    * TRUE in the oracle — alongside the exact counts, which DuckDB
+    * verifies outright. Exact counterpart: q21.
+    */
+  val q85 = QuerySpec("q85_freq_items",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(T.tokens(lower(col("text")))).as("token"))
+      val exactTop = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(10)
+      val sketch = toks.stat.freqItems(Array("token"), 0.01) // one row
+      exactTop.crossJoin(broadcast(sketch))
+        .select(col("token"), col("n"),
+          array_contains(col("token_freqItems"), col("token")).as("in_sketch"))
+        .orderBy(desc("n"), asc("token"))
+    },
+    Some("""
+SELECT token, CAST(count(*) AS BIGINT) AS n, TRUE AS in_sketch
+FROM (
+  SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN []
+    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+  FROM documents
+)
+GROUP BY token ORDER BY n DESC, token LIMIT 10
+"""))
+
   /** q78 — the composed corpus-prep pipeline a training-data user runs
     * end-to-end: language-ID filter (en) → quality floor → exact dedup
     * (keep-min-id per normalized-content fingerprint). One declarative
@@ -243,5 +276,5 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78, q83)
+  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78, q83, q85)
 }

@@ -46,6 +46,17 @@ import graft.operators.Dedup
   * and drop partitions beyond the dedup horizon; the offline q31 pass
   * over accumulated output remains the global backstop, exactly like
   * the exact-dedup layering.
+  *
+  * Delivery contract: `foreachBatch` is AT-LEAST-ONCE — a crash
+  * between the state/output appends and the checkpoint commit replays
+  * the batch. Replay is CONSERVATIVE here, never lossy: re-appended
+  * buckets are harmless (the state join is a semi-join, duplicates
+  * change nothing), and a replayed output append can only duplicate
+  * or, in the degenerate case of a batch beaten to the state table by
+  * its own replay, drop docs DOWNSTREAM of an admitted copy — both
+  * exactly what the offline exact-dedup backstop over the output
+  * removes. Exactly-once output requires an idempotent sink keyed by
+  * (batch id, doc id), the standard foreachBatch discipline.
   */
 object NearDupStream {
 
