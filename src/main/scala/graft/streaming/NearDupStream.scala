@@ -48,15 +48,14 @@ import graft.operators.Dedup
   * the exact-dedup layering.
   *
   * Delivery contract: `foreachBatch` is AT-LEAST-ONCE — a crash
-  * between the state/output appends and the checkpoint commit replays
-  * the batch. Replay is CONSERVATIVE here, never lossy: re-appended
-  * buckets are harmless (the state join is a semi-join, duplicates
-  * change nothing), and a replayed output append can only duplicate
-  * or, in the degenerate case of a batch beaten to the state table by
-  * its own replay, drop docs DOWNSTREAM of an admitted copy — both
-  * exactly what the offline exact-dedup backstop over the output
-  * removes. Exactly-once output requires an idempotent sink keyed by
-  * (batch id, doc id), the standard foreachBatch discipline.
+  * between the appends and the checkpoint commit replays the batch.
+  * Replay is CONSERVATIVE here, never lossy: the output append runs
+  * BEFORE the state append (order matters — see processBatch), so a
+  * replay can only duplicate output rows, exactly what the offline
+  * exact-dedup backstop removes; re-appended buckets are harmless
+  * (the state join is a semi-join). Exactly-once output requires an
+  * idempotent sink keyed by (batch id, doc id), the standard
+  * foreachBatch discipline.
   */
 object NearDupStream {
 
@@ -103,12 +102,17 @@ object NearDupStream {
         .where(col("cmin") < col("id")).select("id")
       val dropped = hits.union(inBatchDrop).distinct()
         .withColumnRenamed("id", "doc_id")
-      // 4. register every batch bucket (transitive chaining)
-      buckets.select("bucket").distinct()
-        .write.mode("append").parquet(stateDir.toString)
-      // 5. emit survivors (short un-shingleable docs pass through)
+      // 4. emit survivors (short un-shingleable docs pass through).
+      //    Output BEFORE state, deliberately: a crash between the two
+      //    appends then replays to a duplicate output (at-least-once,
+      //    offline backstop removes it). The reverse order is LOSSY —
+      //    the replayed batch would see its own buckets in state and
+      //    drop every doc with no admitted copy anywhere.
       b.join(dropped, Seq("doc_id"), "left_anti")
         .write.mode("append").parquet(outDir.toString)
+      // 5. register every batch bucket (transitive chaining)
+      buckets.select("bucket").distinct()
+        .write.mode("append").parquet(stateDir.toString)
       buckets.unpersist(blocking = false)
     } finally b.unpersist(blocking = false)
   }
