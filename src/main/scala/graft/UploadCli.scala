@@ -15,11 +15,26 @@ import graft.sources.LocalDrive
   * Usage: `sbt "runMain graft.UploadCli <driveRoot> <file> [fileName]"`
   * Env: `DRIVE_FOLDER_ID` (optional target folder id),
   *      `DRIVE_CONVERT_TO_SHEETS` (default true, reference
-  *      `settings.py:81`), plus the standard Settings keys.
+  *      `settings.py:81`), `GRAFT_ENV_FILE` (.env path, default
+  *      `config/.env`), plus the standard Settings keys.
   */
 object UploadCli {
 
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, args, sys.env))
+    finally spark.stop()
+  }
+
+  /** Effectful core, env injected for testability. Returns the line
+    * the script prints. */
+  def run(spark: SparkSession, args: Array[String],
+      procEnv: Map[String, String]): String = {
     require(args.length >= 2, "usage: UploadCli <driveRoot> <file> [fileName]")
     val root = Paths.get(args(0))
     val file = Paths.get(args(1))
@@ -32,20 +47,12 @@ object UploadCli {
     // config/.env + process env, override=False — like the script's
     // dotenv-backed settings load (`scripts/upload_drive.py:16-20`)
     val env = Settings.envWithDotEnv(Paths.get(
-      sys.env.getOrElse("GRAFT_ENV_FILE", "config/.env")))
+      procEnv.getOrElse("GRAFT_ENV_FILE", "config/.env")), procEnv)
     val convert = env.get("DRIVE_CONVERT_TO_SHEETS")
       .forall(v => Set("1", "true", "yes", "y", "on").contains(v.trim.toLowerCase))
     val folderId = env.get("DRIVE_FOLDER_ID").filter(_.nonEmpty)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
-      val id = LocalDrive.uploadCsv(spark, file, root, fileName,
-        folderId = folderId, convertToSheets = convert)
-      println(s"Uploaded $fileName (ID: $id)")
-    } finally spark.stop()
+    val id = LocalDrive.uploadCsv(spark, file, root, fileName,
+      folderId = folderId, convertToSheets = convert)
+    s"Uploaded $fileName (ID: $id)"
   }
 }
