@@ -61,11 +61,19 @@ object NearDupStream {
 
   /** Drain `docs` (streaming frame of [[DedupStream.Doc]] rows) with
     * AvailableNow, writing admitted docs to `outDir` and bucket state
-    * to `stateDir`. Returns after the backlog is fully processed. */
+    * to `stateDir`. Returns after the backlog is fully processed.
+    *
+    * Pass a persistent `checkpoint` to make repeated drains
+    * INCREMENTAL: the offset log skips committed files, so a cron'd
+    * re-run processes only new arrivals (without it, each drain
+    * re-reads everything — correct but wasteful: replayed docs just
+    * match their own buckets in state and drop). */
   def drain(spark: SparkSession, docs: Dataset[DedupStream.Doc],
       stateDir: Path, outDir: Path,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 3): Unit = {
-    val ckpt = Files.createTempDirectory("graft_ckpt_neardup")
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      checkpoint: Option[Path] = None): Unit = {
+    val ckpt = checkpoint.getOrElse(
+      Files.createTempDirectory("graft_ckpt_neardup"))
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[DedupStream.Doc], _: Long) =>
         processBatch(batch.toDF(), stateDir, outDir, k, bands, shingleN)
@@ -76,7 +84,8 @@ object NearDupStream {
     try q.awaitTermination()
     finally {
       q.stop()
-      StreamingResidue.release(ckpt)
+      if (checkpoint.isEmpty) StreamingResidue.release(ckpt)
+      else org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
   }
 

@@ -70,4 +70,35 @@ class NearDupStreamSpec extends SparkSpec {
     val fps = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
     assert(Dedup.exact(fps, "doc_id", "text").count() == 2)
   }
+
+  test("persistent checkpoint: re-drain processes only new files") {
+    val M = 60L * 1000000L
+    val dir = Files.createTempDirectory("graft_neardup_inc")
+    val stateDir = Files.createTempDirectory("graft_neardup_inc_state")
+    val outDir = Files.createTempDirectory("graft_neardup_inc_out")
+    val ckpt = Files.createTempDirectory("graft_neardup_inc_ckpt")
+    def docs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString).as[Doc]
+    def out() = spark.read.parquet(outDir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    writeChunk(Seq(Doc(1, 1000 * M, base),
+      Doc(2, 1001 * M, distinctDoc)).toDS().toDF(), dir, 0)
+    NearDupStream.drain(spark, docs, stateDir, outDir,
+      checkpoint = Some(ckpt))
+    assert(out() == Seq(1L, 2L))
+
+    // cron'd catch-up over the same directory with ONE new file: the
+    // committed file is skipped (offset log), so the output gains only
+    // the genuinely new admissions — zero duplicate rows
+    writeChunk(Seq(Doc(3, 1010 * M, nearDup), // near-dup of 1 → dropped
+      Doc(4, 1011 * M, "completely new words about tidal energy " +
+        "converters moored beyond the continental shelf break"))
+      .toDS().toDF(), dir, 1)
+    NearDupStream.drain(spark, docs, stateDir, outDir,
+      checkpoint = Some(ckpt))
+    assert(out() == Seq(1L, 2L, 4L), s"got ${out()}")
+  }
 }
