@@ -172,6 +172,35 @@ FROM (
 GROUP BY token ORDER BY n DESC, token LIMIT 10
 """))
 
+  /** q86 — deterministic stratified sampling (`operators.Sampling`):
+    * the data-mixing primitive. Inclusion is a pure function of
+    * md5(doc_id) — no RNG, no partition sensitivity — so the DuckDB
+    * oracle recomputes the EXACT member set and bucket values: the
+    * strongest possible check for a sampler (a seeded `df.sample`
+    * could only ever be rows-only). Mix: en 50%, de 25%, rest 10%.
+    */
+  val q86 = QuerySpec("q86_stratified_sample",
+    (s, dir) => {
+      import graft.operators.Sampling
+      Sampling.sampleStratified(Tables(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""
+SELECT doc_id, lang,
+  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    % 1000000 AS bucket
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    % 1000000
+  < CASE WHEN lang = 'en' THEN 500000
+         WHEN lang = 'de' THEN 250000 ELSE 100000 END
+ORDER BY doc_id
+"""))
+
   /** q78 — the composed corpus-prep pipeline a training-data user runs
     * end-to-end: language-ID filter (en) → quality floor → exact dedup
     * (keep-min-id per normalized-content fingerprint). One declarative
@@ -276,5 +305,5 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78, q83, q85)
+  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78, q83, q85, q86)
 }

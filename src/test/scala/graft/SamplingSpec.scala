@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic hash sampling: run-invariant membership, stratified
+  * fractions that land near target, disjoint/exhaustive splits, salt
+  * independence, and growth stability (a row's fate never changes when
+  * the corpus around it does).
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+
+  test("membership is a pure function of the key — identical re-runs") {
+    val a = Sampling.sampleByKey(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByKey(docs.repartition(13), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "partitioning must not affect membership")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.05, s"got ${a.size / n}")
+  }
+
+  test("stratified fractions land near target per stratum") {
+    val sampled = Sampling.sampleStratified(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+    val got = sampled.groupBy("lang").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("en").toDouble / tot("en") - 0.5) < 0.1)
+    assert(math.abs(got("de").toDouble / tot("de") - 0.25) < 0.1)
+  }
+
+  test("split is disjoint and exhaustive; salt gives independent draws") {
+    val (train, holdout) = Sampling.split(docs, col("doc_id"), 0.2)
+    val (tIds, hIds) = (
+      train.select("doc_id").collect().map(_.getLong(0)).toSet,
+      holdout.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(tIds.intersect(hIds).isEmpty)
+    assert(tIds.size + hIds.size == docs.count())
+
+    val s1 = Sampling.sampleByKey(docs, col("doc_id"), 0.3, salt = "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleByKey(docs, col("doc_id"), 0.3, salt = "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 != s2, "different salts must draw different samples")
+    // independent draws overlap at ~fraction² of the corpus, not ~fraction
+    val overlap = s1.intersect(s2).size / docs.count().toDouble
+    assert(overlap < 0.2, s"overlap $overlap suggests correlated draws")
+  }
+
+  test("growth stability: a row's fate is independent of the corpus") {
+    val small = docs.where(col("doc_id") < 200)
+    val fromSmall = Sampling.sampleByKey(small, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fromFull = Sampling.sampleByKey(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromSmall == fromFull.filter(_ < 200),
+      "growing the corpus must not flip earlier rows' membership")
+  }
+}
