@@ -201,6 +201,40 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 ORDER BY doc_id
 """))
 
+  /** q87 — sequence packing (`operators.Packing`): the corpus token
+    * stream chunked into 512-token training windows in doc_id order —
+    * every window exactly full except the last (zero padding waste).
+    * The running count is a two-phase distributed prefix sum (no
+    * single-partition window); all arithmetic is integer-exact, so
+    * the oracle recomputes the identical packing.
+    */
+  val q87 = QuerySpec("q87_sequence_pack",
+    (s, dir) => graft.operators.Packing.packSequences(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n")),
+      "doc_id", "n", capacity = 512,
+      partitions = s.sparkContext.defaultParallelism),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+    CAST(sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t WHERE n > 0
+), s AS (
+  SELECT doc_id, n, cum - n AS "start", cum,
+    unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS seq
+  FROM c
+)
+SELECT seq, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(LEAST(cum, (seq + 1) * 512) - GREATEST("start", seq * 512))
+    AS BIGINT) AS n_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY seq ORDER BY seq
+"""))
+
   /** q78 — the composed corpus-prep pipeline a training-data user runs
     * end-to-end: language-ID filter (en) → quality floor → exact dedup
     * (keep-min-id per normalized-content fingerprint). One declarative
@@ -305,5 +339,6 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q18, q19, q20, q21, q78, q83, q85, q86)
+  val all: Seq[QuerySpec] =
+    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Packing
+
+/** Sequence packing: hand-pinned window composition, the two-phase
+  * prefix sum against the single-window reference, and partition-count
+  * invariance (the distributed form must be EXACT, not approximate).
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand example: docs spanning boundaries land in both windows") {
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L)).toDF("doc_id", "n")
+    val packed = Packing.packSequences(docs, "doc_id", "n",
+      capacity = 4, partitions = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // stream: d1 [0,3) d2 [3,7) d3 [7,9); windows of 4 tokens:
+    //   seq0 = d1(3) + d2(1);  seq1 = d2(3) + d3(1);  seq2 = d3(1)
+    assert(packed.toSeq == Seq(
+      (0L, 2L, 4L, 1L, 2L),
+      (1L, 2L, 4L, 2L, 3L),
+      (2L, 1L, 1L, 3L, 3L)))
+  }
+
+  test("two-phase prefix sum == single-window reference; exact fill") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .where(col("n") > 0)
+    val twoPhase = Packing.withCumulativeSum(docs, "doc_id", "n", 8)
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val reference = docs.withColumn("cum",
+        sum("n").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(twoPhase == reference)
+
+    // partition-count invariance of the full pack
+    def pack(p: Int) = Packing.packSequences(docs, "doc_id", "n", 1024, p)
+      .collect().map(_.toSeq).toSeq
+    assert(pack(3) == pack(16))
+
+    // every window exactly full except the last; totals conserved
+    val rows = Packing.packSequences(docs, "doc_id", "n", 1024, 8)
+      .collect()
+    val fills = rows.map(r => r.getAs[Long]("n_tokens"))
+    assert(fills.dropRight(1).forall(_ == 1024L),
+      "only the final window may be partial")
+    assert(fills.sum == docs.agg(sum("n")).head().getLong(0))
+  }
+}
