@@ -235,6 +235,70 @@ SELECT seq, CAST(count(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY seq ORDER BY seq
 """))
 
+  /** q88 — repetition quality signals (the Gopher-rule family): per
+    * document, type-token ratio and the fraction of bigrams taken by
+    * the single most repeated bigram, plus the keep verdict at
+    * Gopher-ish thresholds. Repetitious machine-generated text scores
+    * high top-bigram mass and low TTR — the cheap filter that runs
+    * before any model-based scoring. One doc-keyed shuffle; verdicts
+    * computed from the ROUNDED projections in both engines so the
+    * boolean can't straddle a float boundary.
+    */
+  val q88 = QuerySpec("q88_repetition",
+    (s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(T.normalizeText(col("text"))).as("toks"))
+      val stats = base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val big = base
+        .select(col("doc_id"), explode(T.wordShingles(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_bg"))
+      stats.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") > 0,
+            round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+            .otherwise(lit(0.0)).as("ttr"),
+          coalesce(round(col("top_c").cast("double") / col("n_bg"), 6),
+            lit(0.0)).as("top_bigram_frac"))
+        .withColumn("keep",
+          col("ttr") >= 0.2 && col("top_bigram_frac") <= 0.18)
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+    CASE WHEN len(toks) < 2 THEN []
+         ELSE [array_to_string(toks[i:i+1], ' ')
+               FOR i IN range(1, len(toks))] END AS bgs
+  FROM t
+), b AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM s) GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg
+  FROM b GROUP BY 1
+), proj AS (
+  SELECT s.doc_id, n_tokens,
+    CASE WHEN n_tokens > 0 THEN round(n_distinct * 1.0 / n_tokens, 6)
+         ELSE 0.0 END AS ttr,
+    coalesce(round(top_c * 1.0 / n_bg, 6), 0.0) AS top_bigram_frac
+  FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+)
+SELECT doc_id, n_tokens, ttr, top_bigram_frac,
+  ttr >= 0.2 AND top_bigram_frac <= 0.18 AS keep
+FROM proj ORDER BY doc_id
+"""))
+
   /** q78 — the composed corpus-prep pipeline a training-data user runs
     * end-to-end: language-ID filter (en) → quality floor → exact dedup
     * (keep-min-id per normalized-content fingerprint). One declarative
@@ -340,5 +404,5 @@ FROM documents ORDER BY doc_id
 """))
 
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87)
+    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87, q88)
 }
