@@ -147,6 +147,52 @@ object Dedup {
     sigs.select(col("id"), explode(bucketArr).as("bucket"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns q31-style PAIRS into dedup CLUSTERS with one canonical
+    * representative each (near-duplication is transitive in intent:
+    * A~B and B~C means keep one of {A,B,C}).
+    *
+    * Algorithm: iterative min-label propagation. Each vertex starts as
+    * its own label; every round each vertex takes the minimum label in
+    * its neighborhood (including itself); stop when no label changes.
+    * Converges in O(graph diameter) rounds — near-dup clusters are
+    * shallow (diameter ≤ a handful), so 3–6 rounds in practice; each
+    * round is one join + one aggregation on (vertex, label) pairs
+    * only. This is the standard large-graph CC shape (label
+    * propagation / hash-min), not a driver-side union-find — nothing
+    * ever leaves the cluster except the per-round convergence COUNT.
+    *
+    * Returns (id, cluster) where cluster is the minimum vertex id in
+    * the component — deterministic for any edge order.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    val edges = graft.CacheRegistry.persistTracked(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each vertex adopts min(own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min("label").as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+      val cached = graft.CacheRegistry.persistTracked(next)
+      val changed = cached.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = cached
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are
     * blocked on the md5 of their first `prefixTokens` normalized tokens;
     * only within-block pairs are scored. Blocking bounds the candidate

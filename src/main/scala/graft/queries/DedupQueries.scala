@@ -66,13 +66,8 @@ GROUP BY 1 ORDER BY fp
     s"md5(array_to_string([${parts.mkString(", ")}], ','))"
   }.mkString(",\n     ")
 
-  val q31 = QuerySpec("q31_minhash_lsh_pairs",
-    (s, dir) => Dedup.minhashPairs(Tables(s, dir, "documents"),
-        "doc_id", "text", k = mhK, bands = mhBands, shingleN = 3,
-        threshold = 0.5)
-      .orderBy("a", "b"),
-    Some(raw"""
-WITH base AS ($sqlShingled
+  /** The q31 pair-finding CTE chain, shared with q89's clustering. */
+  private val sqlPairCtes = raw"""base AS ($sqlShingled
 ), hashed AS (
   SELECT id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
   FROM (SELECT id, unnest(shingles) AS s FROM base)
@@ -96,7 +91,15 @@ WITH base AS ($sqlShingled
   FROM cand
   JOIN base sa ON sa.id = cand.a
   JOIN base sb ON sb.id = cand.b
-)
+)"""
+
+  val q31 = QuerySpec("q31_minhash_lsh_pairs",
+    (s, dir) => Dedup.minhashPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", k = mhK, bands = mhBands, shingleN = 3,
+        threshold = 0.5)
+      .orderBy("a", "b"),
+    Some(raw"""
+WITH $sqlPairCtes
 SELECT a, b, round(jaccard, 6) AS jaccard
 FROM verified WHERE jaccard >= 0.5 ORDER BY a, b
 """))
@@ -234,5 +237,32 @@ SELECT a, b, round(jaccard, 6) AS jaccard
 FROM pairs WHERE jaccard >= 0.3 ORDER BY a, b
 """))
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34)
+  /** q89 — near-dup CLUSTERS from the q31 pair graph: iterative
+    * min-label propagation (`Dedup.connectedComponents`) turns pairs
+    * into one canonical representative per transitive component —
+    * what a dedup pass actually keeps. The oracle computes the same
+    * components via a recursive reachability CTE: labels are the
+    * component-minimum vertex, so both formulations agree exactly.
+    */
+  val q89 = QuerySpec("q89_dedup_clusters",
+    (s, dir) => Dedup.connectedComponents(
+        Dedup.minhashPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", k = mhK, bands = mhBands, shingleN = 3,
+          threshold = 0.5))
+      .orderBy("id"),
+    Some(raw"""
+WITH RECURSIVE $sqlPairCtes,
+pairs AS (
+  SELECT a, b FROM verified WHERE jaccard >= 0.5
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89)
 }

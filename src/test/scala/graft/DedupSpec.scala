@@ -53,4 +53,18 @@ class DedupSpec extends SparkSpec {
     // docs 1,2,3 share prefix "the quick brown"; 4 and 5 are singletons
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("connected components: transitive chains collapse to min-id label") {
+    // a 5-vertex path (diameter 4 → several propagation rounds), one
+    // disjoint pair, and a triangle reachable only through chaining
+    val pairs = Seq((2L, 3L), (3L, 4L), (4L, 5L), (1L, 2L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    try {
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    } finally CacheRegistry.releaseAll()
+  }
 }
