@@ -99,6 +99,37 @@ object Text {
       lit(0.3) * least(lit(1.0), stopRatio * 5.0)
   }
 
+  /** PII patterns — RE2-compatible (no lookaround), so the DuckDB
+    * oracle applies the literal same regexes. Deliberately
+    * conservative/recall-oriented, like production scrubbers: a few
+    * false positives beat leaked addresses in a training set. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe =
+    "(\\+[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 → `<IP>`, phone-shaped
+    * numbers → `<PHONE>`, applied in that order (emails first so
+    * digit runs inside addresses never half-match as phones). Pure
+    * codegen'd regexp_replace chain — the scrub runs inside the scan
+    * projection, no extra pass. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Redaction count, staged like [[redactPii]] (each pattern counts
+    * on the previous stage's output, so nothing double-counts). */
+  def piiCount(c: Column): Column = {
+    val e1 = regexp_replace(c, emailRe, "<EMAIL>")
+    val e2 = regexp_replace(e1, ipv4Re, "<IP>")
+    size(regexp_extract_all(c, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(e1, lit(ipv4Re), lit(0))) +
+      size(regexp_extract_all(e2, lit(phoneRe), lit(0)))
+  }
+
   /** Normalized text: lower-cased, whitespace collapsed to single
     * spaces, trimmed — the canonical form for exact-dup hashing. */
   def normalizeText(c: Column): Column =

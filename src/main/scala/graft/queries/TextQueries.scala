@@ -299,6 +299,40 @@ SELECT doc_id, n_tokens, ttr, top_bigram_frac,
 FROM proj ORDER BY doc_id
 """))
 
+  /** q90 — PII scrubbing (emails / IPv4 / phone shapes → typed
+    * placeholders): the compliance pass every served training set
+    * runs. RE2-compatible patterns so the oracle applies the LITERAL
+    * same regexes — redacted text and staged counts compare exactly
+    * (this corpus is synthetic word-soup, so counts are typically 0
+    * and the text round-trips; TextSpec drives the same expressions
+    * over crafted strings with real emails/IPs/phones). */
+  val q90 = QuerySpec("q90_pii_redact",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        T.redactPii(col("text")).as("clean_text"),
+        T.piiCount(col("text")).cast("long").as("n_pii"))
+      .orderBy("doc_id"),
+    Some(raw"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '(\+[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b',
+    '<PHONE>', 'g') AS clean_text,
+  CAST(
+    len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    + len(regexp_extract_all(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+    + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        '(\+[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+    AS BIGINT) AS n_pii
+FROM documents ORDER BY doc_id
+"""))
+
   /** q78 — the composed corpus-prep pipeline a training-data user runs
     * end-to-end: language-ID filter (en) → quality floor → exact dedup
     * (keep-min-id per normalized-content fingerprint). One declarative
@@ -404,5 +438,5 @@ FROM documents ORDER BY doc_id
 """))
 
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87, q88)
+    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87, q88, q90)
 }

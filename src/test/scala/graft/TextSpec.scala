@@ -65,4 +65,23 @@ class TextSpec extends SparkSpec {
     assert(frames.length == 3 && frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
     assert(frames.forall(f => f.frame_checksum == 'x'.toLong || f.frame_checksum == -1L))
   }
+
+  test("PII redaction: emails, IPv4, phone shapes → typed placeholders") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk or call 555-123-4567",
+      "server at 192.168.1.254 responded; also (555) 123-4567 works",
+      "intl +1 555 123 4567 and mail bob@corp.io",
+      "no pii here, just text with numbers 1234 and a dot 1.5",
+      "version 10.2.3.4 of the firmware" // conservative: IP-shaped → scrub
+    ).toDF("text")
+    val got = rows.select(T.redactPii(col("text")).as("t"),
+      T.piiCount(col("text")).cast("long").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got(0) == ("contact me at <EMAIL> or call <PHONE>", 2L))
+    assert(got(1) == ("server at <IP> responded; also <PHONE> works", 2L))
+    assert(got(2) == ("intl <PHONE> and mail <EMAIL>", 2L))
+    assert(got(3) == ("no pii here, just text with numbers 1234 and a dot 1.5", 0L))
+    assert(got(4) == ("version <IP> of the firmware", 1L))
+  }
 }
