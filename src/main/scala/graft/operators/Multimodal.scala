@@ -90,4 +90,33 @@ object Multimodal {
       }
     }
   }
+
+  final case class MediaHash(doc_id: Long, ahash: Long)
+
+  /** Byte-sample average hash: 60 evenly-strided payload bytes, bit i
+    * set iff sample i ≥ the sample mean (compared as `v·cnt ≥ sum` —
+    * integer-exact, no float mean). The byte-level stand-in for a
+    * perceptual pHash: a real decoder would produce the 8×8 DCT grid
+    * in this same mapPartitions and feed the SAME banding/hamming
+    * pipeline (q91) — the dedup side is modality-independent.
+    */
+  def byteHashStub(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val n = r.data.length
+        val stride = math.max(1, n / 60)
+        val samples = (0 until 60).flatMap { i =>
+          val p = i * stride
+          if (p < n) Some((i, (r.data(p) & 0xff).toLong)) else None
+        }
+        val cnt = samples.size
+        val sum = samples.map(_._2).sum
+        val hash = samples.foldLeft(0L) { case (acc, (i, v)) =>
+          if (v * cnt >= sum) acc | (1L << i) else acc
+        }
+        MediaHash(r.doc_id, hash)
+      }
+    }
+  }
 }

@@ -55,5 +55,70 @@ WHERE d.doc_id % 3 = 0
 ORDER BY doc_id, frame_idx
 """))
 
-  val all: Seq[QuerySpec] = Seq(q38, q39)
+  /** q91 — media near-duplicates: byte-sample average hash per payload
+    * (mapPartitions worker, `Multimodal.byteHashStub`) → the SAME
+    * banded-hamming candidate pipeline the text SimHash uses (q33) —
+    * dedup over media is modality-independent once a fingerprint
+    * exists. The hash is integer-exact (bit i: sample·cnt ≥ sum), so
+    * the oracle recomputes it from the same bytes.
+    */
+  val q91 = QuerySpec("q91_media_neardup",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val hashes = graft.CacheRegistry.persistTracked(
+        Multimodal.byteHashStub(
+          Multimodal.ingest(Tables(s, dir, "documents"))).toDF())
+      val banded = hashes.select(col("doc_id"), col("ahash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bval",
+          when(col("band") === 0, col("ahash").bitwiseAND(lit(0x7FFFL)))
+            .when(col("band") === 1,
+              shiftright(col("ahash"), 15).bitwiseAND(lit(0x7FFFL)))
+            .when(col("band") === 2,
+              shiftright(col("ahash"), 30).bitwiseAND(lit(0x7FFFL)))
+            .otherwise(shiftright(col("ahash"), 45).bitwiseAND(lit(0x7FFFL))))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bval"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+        .distinct()
+      cand.withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .where(col("hamming") <= 8)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+    greatest(1, length(text) // 60) AS stride
+  FROM documents
+), sampled AS (
+  SELECT doc_id, i, ascii(text[CAST(i * stride + 1 AS BIGINT)]) AS v
+  FROM (SELECT doc_id, text, n, stride, unnest(range(0, 60)) AS i FROM base)
+  WHERE i * stride + 1 <= n
+), stats AS (
+  SELECT doc_id, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS s
+  FROM sampled GROUP BY doc_id
+), sh AS (
+  SELECT sampled.doc_id,
+    CAST(sum(CASE WHEN v * cnt >= s THEN (1::BIGINT << CAST(i AS INT))
+             ELSE 0 END) AS BIGINT) AS ahash
+  FROM sampled JOIN stats ON sampled.doc_id = stats.doc_id
+  GROUP BY sampled.doc_id
+), banded AS (
+  SELECT doc_id, ahash, b AS band,
+    (ahash >> (15 * b)) & 32767 AS bval
+  FROM sh, (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+    x.ahash AS ha, y.ahash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 8 ORDER BY a, b
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q38, q39, q91)
 }
