@@ -193,6 +193,39 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Test-set decontamination: flag every corpus document sharing at
+    * least one word `shingleN`-gram with a benchmark/eval set — the
+    * overlap-removal pass (à la GPT-3 §C / Llama) every served
+    * training corpus runs before training.
+    *
+    * Scale shape: the benchmark side is SMALL and fixed (eval suites —
+    * MBs, not TBs), so its distinct shingle hashes ride a broadcast;
+    * the 100 TB corpus side is one narrow shingle projection + a
+    * broadcast semi-join — the corpus never shuffles for the match,
+    * and the only exchange is the per-doc hit count over the (rare)
+    * matching rows. Returns every corpus id with its distinct-overlap
+    * count and a keep flag.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 13): DataFrame = {
+    // shingleSet is array_distinct → post-explode rows are unique per
+    // (id, gram): a plain count is the distinct-overlap count, with no
+    // countDistinct (which would plant an Expand — see PLANS.md q62)
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol), shingleN)).as("g"))
+      .select(col("id"), md5(col("g")).as("h"))
+    val benchGrams = grams(benchmark).select("h").distinct()
+    val hits = grams(corpus)
+      .join(broadcast(benchGrams), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) === 0).as("keep"))
+  }
+
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are
     * blocked on the md5 of their first `prefixTokens` normalized tokens;
     * only within-block pairs are scored. Blocking bounds the candidate

@@ -264,5 +264,44 @@ pairs AS (
 SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89)
+  /** q92 — test-set decontamination (`Dedup.decontaminate`): flag
+    * corpus docs sharing any word n-gram with a benchmark set (here:
+    * `doc_id % 97 = 0` stands in for an eval suite). Real pipelines
+    * use 8–13-grams; this corpus's tiny synthetic vocabulary needs
+    * n=4 for a non-trivial hit rate — the plan is width-independent.
+    * Benchmark shingles broadcast; the corpus never shuffles for the
+    * match (the only exchange is the per-doc count of the rare hits).
+    */
+  val q92 = QuerySpec("q92_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", shingleN = 4)
+        .orderBy("id")
+    },
+    Some(raw"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM tok WHERE len(toks) >= 4)
+), bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM sh s JOIN bench USING (h) WHERE s.doc_id % 97 <> 0 GROUP BY 1
+)
+SELECT d.doc_id AS id, coalesce(h.n_hit, 0) AS n_hit,
+  coalesce(h.n_hit, 0) = 0 AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0 ORDER BY id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89, q92)
 }
