@@ -167,10 +167,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    // Symmetrized edges PLUS one self-loop per vertex: the self-loop
+    // carries each vertex's own label through the per-round
+    // aggregation, so a round is ONE join + ONE agg — min(neighborhood
+    // ∪ self) is the new label and the self-loop's label is the old
+    // one (for the convergence check). The previous formulation paid
+    // two extra id-keyed join shuffles per round for the same answer.
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
     val edges = graft.CacheRegistry.persistTracked(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-        .distinct())
+      sym.union(sym.select(col("u"), col("u").as("v"))).distinct())
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -180,13 +186,11 @@ object Dedup {
       val next = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
-        .agg(min("label").as("nbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .agg(min("label").as("label"),
+          min(when(col("u") === col("v"), col("label"))).as("old"))
       val cached = graft.CacheRegistry.persistTracked(next)
-      val changed = cached.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels = cached
+      val changed = cached.where(col("label") =!= col("old")).limit(1).count()
+      labels = cached.select("id", "label")
       converged = changed == 0
       i += 1
     }
