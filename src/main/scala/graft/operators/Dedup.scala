@@ -173,8 +173,13 @@ object Dedup {
     // ∪ self) is the new label and the self-loop's label is the old
     // one (for the convergence check). The previous formulation paid
     // two extra id-keyed join shuffles per round for the same answer.
-    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // materialize the input pair plan ONCE: it is referenced four
+    // times below (symmetrize + self-loops), and pair generation is
+    // typically an expensive candidate join — without this persist the
+    // whole upstream join would execute once per reference
+    val p0 = graft.CacheRegistry.persistTracked(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val sym = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
     val edges = graft.CacheRegistry.persistTracked(
       sym.union(sym.select(col("u"), col("u").as("v"))).distinct())
     var labels = edges.select(col("u").as("id")).distinct()
@@ -188,7 +193,14 @@ object Dedup {
         .groupBy(col("u").as("id"))
         .agg(min("label").as("label"),
           min(when(col("u") === col("v"), col("label"))).as("old"))
-      val cached = graft.CacheRegistry.persistTracked(next)
+      // localCheckpoint (NOT persist): truncates the logical plan to
+      // the materialized RDD. With persist, round i's plan nests round
+      // i−1's inside its InMemoryRelation and the driver's plan tree /
+      // explain string grow exponentially with rounds — measured as a
+      // driver OOM in generateTreeString. Standard iterative-algorithm
+      // hygiene (same reason ALS/GraphX checkpoint). Checkpoint blocks
+      // are freed by the ContextCleaner when the round frame is GC'd.
+      val cached = next.localCheckpoint(true)
       val changed = cached.where(col("label") =!= col("old")).limit(1).count()
       labels = cached.select("id", "label")
       converged = changed == 0

@@ -175,6 +175,46 @@ object Similarity {
         col("nid"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the embedding
+    * space with a k-cell coarse quantizer, score pairwise cosine ONLY
+    * within each cell, and collapse the resulting near-dup pair graph
+    * into keep-min-id clusters (via [[Dedup.connectedComponents]]).
+    * Returns one row per input vector: (id, cell, keeper, keep).
+    *
+    * Scale shape (the SemDeDup paper's layout): the codebook is a
+    * broadcast referenced by ONE expression node (plan is O(1) in k,
+    * per the IVF design), cells are the blocking unit — at 100 TB k
+    * grows into the thousands so each cell's candidate square stays
+    * bounded — and only (id, cell) pairs and the sparse pair graph
+    * ever shuffle. The codebook here is the deterministic hash-rank
+    * seed set (`trainCodebook`'s iters=0 state) so the oracle can
+    * replay it; production swaps in the Lloyd-trained book, same plan.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val seeds = emb.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).select(toDoubles(col(embCol)).as("emb"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    val ref = IvfIndex.broadcastCodebook(spark, seeds)
+    val base = graft.CacheRegistry.persistTracked(
+      emb.repartition(par).select(col(idCol).as("id"),
+        toDoubles(col(embCol)).as("u"), invNorm(col(embCol)).as("iv"),
+        IvfIndex.assignCell(col(embCol), ref).as("cell")))
+    val pairs = base.as("x").join(base.as("y"), Seq("cell"))
+      .where(col("x.id") < col("y.id"))
+      .where(round(dot(col("x.u"), col("y.u")) * col("x.iv") * col("y.iv"), 6)
+        >= tau)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    base.select("id", "cell")
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        coalesce(col("cluster"), col("id")).as("keeper"))
+      .withColumn("keep", col("id") === col("keeper"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (e.g. a
     * cluster/label or an LSH bucket): all-pairs inside each block only.
     */

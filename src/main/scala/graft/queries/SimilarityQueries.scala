@@ -225,5 +225,59 @@ SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 32 ORDER BY qid
 """))
 
-  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q67, q73, q84)
+  /** q93 — SemDeDup-style semantic dedup
+    * (`Similarity.semanticDedup`): k=16 coarse cells (broadcast
+    * codebook, O(1)-in-k plan) block the pairwise cosine pass; the
+    * ≥ 0.35 pair graph collapses to keep-min-id clusters via
+    * connected components. The oracle replays the hash-rank seed
+    * codebook, the −2x·c+‖c‖² argmin (same left-assoc fold), the
+    * within-cell pairs, and the components (recursive CTE).
+    */
+  val q93 = QuerySpec("q93_semantic_dedup",
+    (s, dir) => Similarity.semanticDedup(Tables(s, dir, "embeddings"),
+        k = 16, tau = 0.35)
+      .orderBy("id"),
+    Some(raw"""
+WITH RECURSIVE un AS ($sqlUnit
+), seeds AS (
+  SELECT rn - 1 AS j, u AS c,
+    list_sum([u[i]*u[i] FOR i IN range(1, ${dim + 1})]) AS c2
+  FROM (SELECT u, row_number() OVER
+          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM un)
+  WHERE rn <= 16
+), scored AS (
+  SELECT vec_id, j,
+    -2.0 * list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
+  FROM un, seeds
+), cells AS (
+  SELECT vec_id, j AS cell
+  FROM (SELECT vec_id, j, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM scored)
+  WHERE r = 1
+), blocked AS (
+  SELECT c.vec_id, c.cell, un.u, un.inv
+  FROM cells c JOIN un ON c.vec_id = un.vec_id
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM blocked x JOIN blocked y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(${sqlCos("x", "y")}, 6) >= 0.35
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+), cc AS (
+  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+)
+SELECT c.vec_id AS id, CAST(c.cell AS BIGINT) AS cell,
+  coalesce(cc.cluster, c.vec_id) AS keeper,
+  coalesce(cc.cluster, c.vec_id) = c.vec_id AS keep
+FROM cells c LEFT JOIN cc ON c.vec_id = cc.id
+ORDER BY id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q67, q73, q84, q93)
 }
