@@ -16,6 +16,18 @@ object TextQueries {
   private val sqlToks =
     "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
 
+  /** Shared DuckDB quality-score expression (unrounded), mirroring
+    * Text.qualityScore — same IEEE op order as the Spark column. */
+  private val sqlQuality = raw"""0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0)
+      + 0.3 * (1.0 - least(1.0,
+          CASE WHEN length(text) > 0
+               THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END * 10.0))
+      + 0.3 * least(1.0,
+          CASE WHEN len($sqlToks) > 0
+               THEN CAST(len(list_filter($sqlToks, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+                    / len($sqlToks) ELSE 0.0 END * 5.0)"""
+
   /** q18 — per-document token/char/punct statistics (whitespace and
     * BPE-ish tokenizations). */
   val q18 = QuerySpec("q18_text_stats",
@@ -437,6 +449,95 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q94 — per-source quality quota (data mixing): each source keeps
+    * its top ⌈20%⌉ documents by quality score (doc_id tie-break) — the
+    * quota-curation step that balances a mixture before training.
+    * One exchange keyed by source serves both windows (rank + size);
+    * the quota is integer arithmetic (⌈n/5⌉) so both engines agree
+    * exactly. At 100 TB source counts are modest and per-source
+    * partitions large — the same pass would run with
+    * WindowGroupLimit pruning when only kept rows are projected.
+    */
+  val q94 = QuerySpec("q94_source_quota",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy("source")
+      val w = bySrc.orderBy(desc("quality"), asc("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(T.qualityScore(col("text")), 6).as("quality"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+        .withColumn("keep", col("rk") <= expr("(n_src + 4) div 5"))
+        .select("doc_id", "source", "quality", "rk", "keep")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH q AS (
+  SELECT doc_id, source, round($sqlQuality, 6) AS quality
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS rk,
+    count(*) OVER (PARTITION BY source) AS n_src
+  FROM q
+)
+SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk,
+  rk <= (n_src + 4) // 5 AS keep
+FROM r ORDER BY doc_id
+"""))
+
+  /** q95 — weighted systematic sampling by token budget: each doc's
+    * mass = n_tokens × source weight; docs are laid out on a
+    * deterministically-shuffled line (md5(doc_id) order) and one pick
+    * lands at every S-token-mass boundary — length- and
+    * weight-proportional selection with an exact integer pick count
+    * (mass > S docs get multiple picks), the way an epoch mixture is
+    * drawn against a token budget. The cumulative mass reuses q87's
+    * two-phase prefix sum (local windows + driver-prefixed partition
+    * totals) — no single-partition global window at any scale.
+    */
+  val q95 = QuerySpec("q95_weighted_sample",
+    (s, dir) => {
+      val step = 2000
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("w",
+          expr("CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 3 + 1"))
+        .withColumn("mass", col("n_tokens") * col("w"))
+        .where(col("mass") > 0)
+        .withColumn("okey", md5(col("doc_id").cast("string")))
+      graft.operators.Packing.withCumulativeSum(docs, "okey", "mass", 32)
+        .withColumn("n_picks",
+          expr(s"cum div $step - (cum - mass) div $step"))
+        .select(col("doc_id"), col("source"), col("mass"), col("n_picks"),
+          (col("n_picks") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+    CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 3 + 1 AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, source, n_tokens * w AS mass,
+    md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM t WHERE n_tokens * w > 0
+), c AS (
+  SELECT doc_id, source, mass,
+    CAST(sum(mass) OVER (ORDER BY okey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM m
+)
+SELECT doc_id, source, mass,
+  cum // 2000 - (cum - mass) // 2000 AS n_picks,
+  (cum // 2000 - (cum - mass) // 2000) > 0 AS keep
+FROM c ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87, q88, q90)
+    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87, q88, q90, q94, q95)
 }
