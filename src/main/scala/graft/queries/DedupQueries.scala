@@ -303,5 +303,61 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 <> 0 ORDER BY id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89, q92)
+  /** q96 — duplicated-span fraction (the fine-grained signal behind
+    * substring-level dedup, à la "Deduplicating Training Data Makes
+    * LMs Better"): for every document, the fraction of its word
+    * 4-gram positions whose gram occurs more than once in the whole
+    * corpus. Plan shape: gram occurrences shuffle ONCE keyed by the
+    * gram md5; the global count aggregate reuses that partitioning
+    * for the join back, then one doc-keyed count — raw text never
+    * moves, only (doc_id, hash) pairs.
+    */
+  val q96 = QuerySpec("q96_dup_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val occ = graft.CacheRegistry.persistTracked(
+        docs.select(col("doc_id"),
+          explode(T.wordShingles(T.tokens(T.normalizeText(col("text"))), 4))
+            .as("g"))
+          .select(col("doc_id"), md5(col("g")).as("h")))
+      val counts = occ.groupBy("h").agg(count(lit(1)).as("c"))
+      val perDoc = occ.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)) /
+            greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''
+), occ AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM tok WHERE len(toks) >= 4)
+), counts AS (
+  SELECT h, count(*) AS c FROM occ GROUP BY h
+), per_doc AS (
+  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM occ JOIN counts USING (h) GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_spans, 0) AS n_spans,
+  coalesce(n_dup, 0) AS n_dup,
+  round(coalesce(n_dup, 0) / greatest(coalesce(n_spans, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89, q92, q96)
 }
