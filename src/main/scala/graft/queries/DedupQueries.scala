@@ -359,5 +359,44 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89, q92, q96)
+  /** q97 — train/holdout leakage audit: near-duplicate pairs (q31's
+    * verified MinHash pipeline) that STRADDLE the deterministic 10%
+    * hash split — the documents that leak a holdout example into the
+    * training set as a near-copy. Because split membership is a pure
+    * function of doc_id (`Sampling.hashBucket`), the audit is a
+    * narrow projection over the pair stream — no join against a
+    * membership table at any scale.
+    */
+  val q97 = QuerySpec("q97_split_leakage",
+    (s, dir) => {
+      import graft.operators.Sampling
+      val cut = 100000L
+      def holdout(c: org.apache.spark.sql.Column) =
+        Sampling.hashBucket(c, "split") < cut
+      Dedup.minhashPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", k = mhK, bands = mhBands, shingleN = 3,
+          threshold = 0.5)
+        .where(holdout(col("a")) =!= holdout(col("b")))
+        .select(
+          when(holdout(col("a")), col("b")).otherwise(col("a")).as("train_id"),
+          when(holdout(col("a")), col("a")).otherwise(col("b")).as("holdout_id"),
+          col("jaccard"))
+        .orderBy("train_id", "holdout_id")
+    },
+    Some(raw"""
+WITH $sqlPairCtes,
+leaks AS (
+  SELECT a, b, round(jaccard, 6) AS jaccard,
+    CAST(concat('0x', substr(md5(concat(CAST(a AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+      % 1000000 < 100000 AS ha,
+    CAST(concat('0x', substr(md5(concat(CAST(b AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+      % 1000000 < 100000 AS hb
+  FROM verified WHERE jaccard >= 0.5
+)
+SELECT CASE WHEN ha THEN b ELSE a END AS train_id,
+  CASE WHEN ha THEN a ELSE b END AS holdout_id, jaccard
+FROM leaks WHERE ha <> hb ORDER BY train_id, holdout_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89, q92, q96, q97)
 }
