@@ -171,5 +171,60 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
 """))
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q68, q69)
+  /** q98 — incremental snapshot merge (CDC keep-latest compaction):
+    * base corpus ∪ delta batch, one winner per doc_id by highest
+    * version, with the op classified from the merge itself (insert /
+    * update / keep). One exchange keyed by doc_id — the canonical
+    * compaction shape; with the base bucketed by doc_id
+    * (BucketingSpec) even that exchange disappears. Delta here:
+    * doc_id % 7 gets a v2 text, doc_id % 13 arrives as a new doc.
+    */
+  val q98 = QuerySpec("q98_snapshot_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val delta = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit(2L).as("version"))
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+            lit(2L).as("version")))
+      val byDoc = Window.partitionBy("doc_id")
+      base.unionByName(delta)
+        .withColumn("rk", row_number().over(byDoc.orderBy(desc("version"))))
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("version"),
+          when(col("version") === 2L && col("n") === 1L, lit("insert"))
+            .when(col("version") === 2L, lit("update"))
+            .otherwise(lit("keep")).as("op"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id, text, 1 AS version FROM documents
+), delta AS (
+  SELECT doc_id, text || ' v2' AS text, 2 AS version
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text, 2 AS version
+  FROM documents WHERE doc_id % 13 = 0
+), merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+), r AS (
+  SELECT doc_id, version, text,
+    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rk,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM merged
+)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+  CASE WHEN version = 2 AND n = 1 THEN 'insert'
+       WHEN version = 2 THEN 'update' ELSE 'keep' END AS op,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM r WHERE rk = 1 ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q68, q69, q98)
 }
