@@ -60,6 +60,24 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Size-targeted sorted write: one count pass sizes the partition
+    * fan-out so each output file carries ~`targetRows` rows, and
+    * `maxRecordsPerFile` caps stragglers when the range partitioning
+    * skews — the knob pair that keeps a 100 TB table's files inside
+    * the scanner's sweet spot (too-small files cost per-file overhead,
+    * too-large ones defeat parallelism and footer-stats pruning). At
+    * warehouse scale the count comes from table statistics; the write
+    * itself is the same single range shuffle either way. */
+  def writeSized(df: DataFrame, sortCol: String, path: String,
+      targetRows: Long): Unit = {
+    val n = df.count()
+    val numFiles = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.option("maxRecordsPerFile", targetRows)
+      .mode("overwrite").parquet(path)
+  }
+
   /** Baseline for comparison: range-sorted by a single column. */
   def writeLinear(df: DataFrame, colA: String, path: String,
       numFiles: Int): Unit =

@@ -93,4 +93,23 @@ class LayoutSpec extends SparkSpec {
     assert(boxRows(zDf) == boxRows(linDf))
     assert(boxRows(zDf).nonEmpty)
   }
+
+  test("writeSized targets rows-per-file: cap respected, fan-out from the count") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "n_chars")
+    val n = docs.count()
+    val target = 64L
+    val dir = Files.createTempDirectory("graft_sized").toString
+    Layout.writeSized(docs, "doc_id", dir, target)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).count().collect()
+    assert(perFile.map(_.getLong(1)).sum == n, "rows preserved")
+    assert(perFile.forall(_.getLong(1) <= target),
+      s"a file exceeds the $target-row cap")
+    val expected = (n + target - 1) / target
+    assert(perFile.length >= expected.toInt,
+      s"${perFile.length} files < minimum $expected")
+    assert(perFile.length <= 2 * expected.toInt,
+      s"${perFile.length} files — fan-out far above target (skew unhandled)")
+  }
 }
