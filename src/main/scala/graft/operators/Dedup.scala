@@ -187,12 +187,24 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each vertex adopts min(own label, neighbors' labels)
-      val next = edges
+      // each vertex adopts min(own label, neighbors' labels)…
+      val stepped = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min("label").as("label"),
           min(when(col("u") === col("v"), col("label"))).as("old"))
+      // …then pointer-jumps: label ← label's own current label (path
+      // compression — hash-min alone needs O(diameter) rounds, the
+      // jump makes long chains collapse in O(log diameter)). A label
+      // is always a vertex id, so the self-join always matches; the
+      // convergence check still compares against the PRE-cycle label,
+      // which is sound because a no-change cycle implies the
+      // neighbor-min step alone was already at its fixpoint.
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"),
+          col("old"))
       // localCheckpoint (NOT persist): truncates the logical plan to
       // the materialized RDD. With persist, round i's plan nests round
       // i−1's inside its InMemoryRelation and the driver's plan tree /
