@@ -33,7 +33,24 @@ object AsOf {
     */
   def joinBackward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String]): DataFrame =
+    joinDirected(left, right, key, leftTs, rightTs, rightPayload,
+      forward = false)
+
+  /** Forward variant: for each left row, the EARLIEST right row with
+    * rightTs ≥ leftTs within the key — same one-shuffle union+window
+    * shape, with the running state carried over descending time (at
+    * equal timestamps the right row still sorts first, so a right row
+    * AT the left timestamp matches — DuckDB `ON r.ts >= l.ts`). */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame =
+    joinDirected(left, right, key, leftTs, rightTs, rightPayload,
+      forward = true)
+
+  private def joinDirected(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      forward: Boolean): DataFrame = {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
@@ -45,7 +62,8 @@ object AsOf {
     val unioned = l.select((Seq(col(key), col("__ts"), col("__side"), col("__r")) ++
       lCols.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(key).orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

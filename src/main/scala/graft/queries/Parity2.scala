@@ -432,6 +432,59 @@ FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY tier ORDER BY tier
 """))
 
+  /** q99 — FORWARD as-of join (`AsOf.joinForward`): each click
+    * matched to the user's next purchase at or after it — the other
+    * half of the time-series join family (backward: q64), same
+    * one-shuffle union+window shape with the running state carried
+    * over descending time. Verified against DuckDB's native ASOF
+    * (`ON p_ts >= c_ts`) — two independent implementations agreeing
+    * row-for-row.
+    */
+  val q99 = QuerySpec("q99_asof_forward",
+    (s, dir) => {
+      import graft.operators.AsOf
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val w = Window.partitionBy("user_id", "ts_us").orderBy(desc("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("ts_us").as("p_ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOf.joinForward(clicks, purchases, key = "user_id",
+          leftTs = "ts_us", rightTs = "p_ts_us",
+          rightPayload = Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("__match.p_ts_us").as("p_ts_us"),
+          col("__match.p_event_id").as("p_event_id"),
+          round(col("__match.p_value"), 6).as("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+  FROM events
+), clicks AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts_us AS p_ts_us, event_id AS p_event_id, value AS p_value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+      ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+  p.p_ts_us, p.p_event_id, round(p.p_value, 6) AS p_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.p_ts_us >= c.ts_us
+ORDER BY c.event_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q63, q64, q65, q66)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q63, q64, q65,
+      q66, q99)
 }
