@@ -29,4 +29,29 @@ class HealthSpec extends SparkSpec {
       "fixture must exercise the null branch")
     assert(m("null_text") == direct.getLong(2))
   }
+
+  test("streaming: per-batch observed metrics ride each micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Option[Double])]
+    // streaming observe: named metric map lands in every batch's
+    // StreamingQueryProgress — monitoring rides the ingest job itself
+    val observed = input.toDF().toDF("id", "v")
+      .observe("health",
+        count(lit(1)).as("rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("null_v"))
+    val q = observed.writeStream.format("noop").start()
+    input.addData((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+    q.processAllAvailable()
+    input.addData((4L, None), (5L, None))
+    q.processAllAvailable()
+    val batches = q.recentProgress.toSeq
+      .filter(_.observedMetrics.containsKey("health"))
+      .map(_.observedMetrics.get("health"))
+      .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("null_v")))
+    q.stop()
+    assert(batches.contains((3L, 1L)), s"batch 1 metrics missing: $batches")
+    assert(batches.contains((2L, 2L)), s"batch 2 metrics missing: $batches")
+  }
 }
