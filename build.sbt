@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 82-query single-JVM bench sessions at sf0.1 show a mid-session
+  // GC-pressure band under 8g (BENCH_r03 q59-q65 inflated 3-8x vs
+  // isolated); the machine has 128 GiB, so default to a heap that
+  // keeps the packed bench GC-quiet.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -63,11 +63,17 @@ object Bench {
       spark.catalog.clearCache()
       (name, sec, err)
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    // 3-decimal (ms) precision: an 82-query line at full double
+    // precision is ~2.8 KB and overflows the driver's output-tail
+    // capture (BENCH_r03 lost q01-q20 and failed to parse); rounding
+    // keeps the one-line contract comfortably inside the window.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    val total = results.map(_._2).sum
+    val total = r3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

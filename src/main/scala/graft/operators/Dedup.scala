@@ -218,6 +218,19 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // The final labels frame is localCheckpointed (lineage truncated),
+    // so the input/edge caches are no longer referenced — release them
+    // now instead of waiting for the session-level releaseAll, which
+    // matters when CC runs once per micro-batch (NearDupStream).
+    p0.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    // Pointer jumping covers huge diameters in 20 rounds, so hitting
+    // maxIter unconverged means a pathological graph — fail loudly
+    // rather than let silently-wrong clusters flow downstream.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter or inspect the pair graph for pathology")
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -49,6 +49,13 @@ object Layout {
       path: String, numFiles: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // Empty input (or all-null cluster columns) has null min/max; there is
+    // nothing to cluster, so write the (empty) frame as-is instead of NPEing
+    // on getDouble.
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (aMn, aMx, bMn, bMx) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val z = zValue(gridCell(col(colA), aMn, aMx, bits),

@@ -103,7 +103,7 @@ object Multimodal {
   def byteHashStub(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
+      it.flatMap { r =>
         val n = r.data.length
         val stride = math.max(1, n / 60)
         val samples = (0 until 60).flatMap { i =>
@@ -111,11 +111,18 @@ object Multimodal {
           if (p < n) Some((i, (r.data(p) & 0xff).toLong)) else None
         }
         val cnt = samples.size
-        val sum = samples.map(_._2).sum
-        val hash = samples.foldLeft(0L) { case (acc, (i, v)) =>
-          if (v * cnt >= sum) acc | (1L << i) else acc
+        // A zero-length payload has no samples and therefore no
+        // meaningful hash; emitting ahash=0 would make every pair of
+        // empty payloads a spurious hamming-0 "near-duplicate", so
+        // such records are excluded from fingerprinting entirely.
+        if (cnt == 0) None
+        else {
+          val sum = samples.map(_._2).sum
+          val hash = samples.foldLeft(0L) { case (acc, (i, v)) =>
+            if (v * cnt >= sum) acc | (1L << i) else acc
+          }
+          Some(MediaHash(r.doc_id, hash))
         }
-        MediaHash(r.doc_id, hash)
       }
     }
   }

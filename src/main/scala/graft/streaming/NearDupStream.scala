@@ -28,9 +28,12 @@ import graft.operators.Dedup
   *  2. drop docs sharing ANY bucket with the seen-bucket table
   *     (equi-join on the bucket hash — broadcastable while the state
   *     is small, shuffle-join at scale; never touches raw text);
-  *  3. in-batch resolution among survivors: a doc is kept iff it owns
-  *     the MIN id across all its buckets' members — one deterministic
-  *     representative per overlapping-bucket cluster;
+  *  3. in-batch resolution among survivors: connected components over
+  *     the batch's bucket-co-membership graph (the same transitive
+  *     clustering the offline pair graph yields), keeping the MIN doc
+  *     id of each component — so chain-shaped in-batch clusters
+  *     (A~B~C with A≁C) resolve to ONE representative, identical to
+  *     `Dedup.connectedComponents` offline;
   *  4. ALL batch buckets (kept and dropped docs') are appended to the
   *     state so future arrivals chain through intermediates — the
   *     same transitive clustering the offline pair graph yields;
@@ -103,12 +106,18 @@ object NearDupStream {
       // 2. cross-batch: any bucket already seen → drop
       val hits = buckets.join(seen, Seq("bucket"), "left_semi")
         .select("id").distinct()
-      // 3. in-batch: keep iff the doc owns the min id over all of its
-      //    buckets' members (deterministic single representative)
+      // 3. in-batch: transitive resolution. Star edges (member, bucket
+      //    min) connect every bucket's members; chains that share docs
+      //    connect across buckets; connected components then labels
+      //    each doc with its component's min id — the same transitive
+      //    clustering as the offline pair graph (one-hop min alone
+      //    keeps two docs from a chain A~B~C where offline keeps one).
       val bucketMin = buckets.groupBy("bucket").agg(min("id").as("bmin"))
-      val inBatchDrop = buckets.join(bucketMin, "bucket")
-        .groupBy("id").agg(min("bmin").as("cmin"))
-        .where(col("cmin") < col("id")).select("id")
+      val pairs = buckets.join(bucketMin, "bucket")
+        .where(col("id") =!= col("bmin"))
+        .select(col("id").as("a"), col("bmin").as("b")).distinct()
+      val inBatchDrop = Dedup.connectedComponents(pairs)
+        .where(col("cluster") < col("id")).select("id")
       val dropped = hits.union(inBatchDrop).distinct()
         .withColumnRenamed("id", "doc_id")
       // 4. emit survivors (short un-shingleable docs pass through).

@@ -71,6 +71,67 @@ class NearDupStreamSpec extends SparkSpec {
     assert(Dedup.exact(fps, "doc_id", "text").count() == 2)
   }
 
+  test("chain-shaped in-batch cluster resolves to ONE representative") {
+    // Build a chain A~B, B~C with A≁C: A rewrites base's tail, C its
+    // head, so each still shares most shingles with B but A and C
+    // share only the middle. The split point is found by probing the
+    // (deterministic) hash family — same triple every run.
+    // A doc's band buckets depend only on its own text, so the whole
+    // probe grid is scored with ONE bandBuckets job: tail rewrites
+    // (A candidates, varying rewrite width ka and a suffix seed) and
+    // head rewrites (C candidates) are bucketed together with the
+    // chain middle B, then the driver picks any (A, C) pair where A∩B
+    // and C∩B collide but A∩C doesn't. The base is 60 synthetic words
+    // so a head/tail rewrite perturbs only a small fraction of the
+    // shingle set (the 26-word fixture `base` is too short: the fixed
+    // hash family happens to put a min-shingle of every band in its
+    // head region, so NO head rewrite of it ever preserves a band).
+    val words = (0 until 60).map(i =>
+      "w" + ('a' + i / 26).toChar + ('a' + i % 26).toChar).toArray
+    val chainB = words.mkString(" ")
+    def rewrite(idx: Range, seed: Int) = words.zipWithIndex.map {
+      case (w, i) => if (idx.contains(i)) w.reverse + ("x" * (seed + 1)) else w
+    }.mkString(" ")
+    val ks = 2 to 30
+    val seeds = 0 to 3
+    val grid = for { k <- ks; s <- seeds } yield (k, s)
+    def aId(k: Int, s: Int) = 10000L + s * 100L + k
+    def cId(k: Int, s: Int) = 20000L + s * 100L + k
+    val cands =
+      Seq((30L, chainB)) ++
+        grid.map { case (k, s) =>
+          (aId(k, s), rewrite(words.length - k until words.length, s)) } ++
+        grid.map { case (k, s) => (cId(k, s), rewrite(0 until k, s)) }
+    val candDf = cands.toDF("doc_id", "text")
+    val bk = Dedup.bandBuckets(candDf, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("bucket")))
+    def of(id: Long) = bk.filter(_._1 == id).map(_._2).toSet
+    val bBk = of(30L)
+    val triple = (for {
+      (ka, sa) <- grid.view if of(aId(ka, sa)).intersect(bBk).nonEmpty
+      (kc, sc) <- grid.view if of(cId(kc, sc)).intersect(bBk).nonEmpty
+      if of(aId(ka, sa)).intersect(of(cId(kc, sc))).isEmpty
+    } yield (cands.find(_._1 == aId(ka, sa)).get._2, chainB,
+        cands.find(_._1 == cId(kc, sc)).get._2)).headOption
+    assert(triple.nonEmpty, "no chain triple found in probe space")
+    val (a, b, c) = triple.get
+
+    val dir = Files.createTempDirectory("graft_neardup_chain_in")
+    val stateDir = Files.createTempDirectory("graft_neardup_chain_state")
+    val outDir = Files.createTempDirectory("graft_neardup_chain_out")
+    // one batch holding the whole chain; ids chosen so one-hop
+    // resolution would WRONGLY keep {10, 20} (A's buckets see only B)
+    writeChunk(Seq(Doc(20, 1000 * M, a), Doc(30, 1001 * M, b),
+      Doc(10, 1002 * M, c)).toDS().toDF(), dir, 0)
+    val docs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .parquet(dir.toString).as[Doc]
+    NearDupStream.drain(spark, docs, stateDir, outDir)
+    val kept = spark.read.parquet(outDir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"transitive in-batch resolution: got $kept")
+  }
+
   test("persistent checkpoint: re-drain processes only new files") {
     val M = 60L * 1000000L
     val dir = Files.createTempDirectory("graft_neardup_inc")
