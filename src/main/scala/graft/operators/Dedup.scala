@@ -188,23 +188,6 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       // each vertex adopts min(own label, neighbors' labels)…
-      val stepped = edges
-        .join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min("label").as("label"),
-          min(when(col("u") === col("v"), col("label"))).as("old"))
-      // …then pointer-jumps: label ← label's own current label (path
-      // compression — hash-min alone needs O(diameter) rounds, the
-      // jump makes long chains collapse in O(log diameter)). A label
-      // is always a vertex id, so the self-join always matches; the
-      // convergence check still compares against the PRE-cycle label,
-      // which is sound because a no-change cycle implies the
-      // neighbor-min step alone was already at its fixpoint.
-      val next = stepped
-        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"),
-          col("old"))
       // localCheckpoint (NOT persist): truncates the logical plan to
       // the materialized RDD. With persist, round i's plan nests round
       // i−1's inside its InMemoryRelation and the driver's plan tree /
@@ -212,10 +195,42 @@ object Dedup {
       // driver OOM in generateTreeString. Standard iterative-algorithm
       // hygiene (same reason ALS/GraphX checkpoint). Checkpoint blocks
       // are freed by the ContextCleaner when the round frame is GC'd.
-      val cached = next.localCheckpoint(true)
-      val changed = cached.where(col("label") =!= col("old")).limit(1).count()
-      labels = cached.select("id", "label")
+      // Eager-checkpointing `stepped` ALSO matters for cost: the
+      // pointer-jump below references it twice, and without
+      // materialization the join+agg would execute twice per round
+      // (measured ~40% of CC wall-clock on the q89 pair graph).
+      // convergence is observed DURING the checkpoint materialization
+      // (CollectMetricsExec accumulator) — no separate count job per
+      // round. This is the round's ONLY job.
+      val obs = new org.apache.spark.sql.Observation()
+      val stepped = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min("label").as("label"),
+          min(when(col("u") === col("v"), col("label"))).as("old"))
+        .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
+        .localCheckpoint(true)
+      val changed = obs.get.get("changed") match {
+        case Some(n: java.lang.Long) => n.longValue
+        case _ => 0L // empty frame: sum over zero rows is null
+      }
       converged = changed == 0
+      // …then pointer-jumps: label ← label's own current label (path
+      // compression — hash-min alone needs O(diameter) rounds, the
+      // jump makes long chains collapse in O(log diameter)). A label
+      // is always a vertex id, so the self-join always matches. The
+      // jump stays LAZY: it sits one plan level above the checkpointed
+      // `stepped` RDD (constant plan depth, no lineage nesting) and is
+      // evaluated inside the NEXT round's job — and skipped entirely
+      // on the converged round, where hash-min is at its fixpoint and
+      // the jump is the identity (every label is a component minimum
+      // that labels itself).
+      labels =
+        if (converged) stepped.select("id", "label")
+        else stepped
+          .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
       i += 1
     }
     // The final labels frame is localCheckpointed (lineage truncated),
