@@ -63,17 +63,34 @@ object Bench {
       spark.catalog.clearCache()
       (name, sec, err)
     }
-    // 3-decimal (ms) precision: an 82-query line at full double
-    // precision is ~2.8 KB and overflows the driver's output-tail
-    // capture (BENCH_r03 lost q01-q20 and failed to parse); rounding
-    // keeps the one-line contract comfortably inside the window.
+    // The driver captures only a ~2000-char stdout TAIL: an 82-query
+    // map under full names is ~2.8 KB, so ANY single line carrying it
+    // loses its head and fails to parse (BENCH_r03/r04 both did). The
+    // parse target must therefore be the LAST line and fit the window:
+    // the final line keys each query by its unique short prefix
+    // ("q31_minhash_lsh_pairs" → "q31", ~1.1 KB for 82 queries), and
+    // the full-name map goes to bench_full.json + its own earlier line
+    // for humans reading complete logs.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + r3(v) }
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val shortUnique =
+      results.map(r => shortKey(r._1)).distinct.size == results.size
+    def key(name: String): String =
+      if (shortUnique) shortKey(name) else name
+    val qsFull = results.map { case (k, v, _) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val qs = results.map { case (k, v, _) => jstr(key(k)) + ":" + r3(v) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(key(k)) + ":" + jstr(e) }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = r3(results.map(_._2).sum)
+    val fullLine =
+      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort artifact; stdout is the contract
+    println(fullLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

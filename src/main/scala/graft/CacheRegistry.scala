@@ -1,48 +1,78 @@
 package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
-/** Session-scoped tracking of DataFrames the operators persist
-  * internally (Dedup/Similarity materialize signature tables that feed
-  * both sides of a self-join — see Dedup.minhashPairs).
+/** Session-scoped tracking of the storage the operators materialize
+  * internally — both `persist`ed DataFrames (Dedup/Similarity
+  * signature tables that feed both sides of a self-join — see
+  * Dedup.minhashPairs) and `localCheckpoint`ed RDD blocks (the
+  * per-round label frames of Dedup.connectedComponents).
   *
-  * Persist is the right call per query; the leak is per *session*: a
-  * long-lived JVM running many queries accumulates MEMORY_AND_DISK
-  * blocks it can never release because the handles are buried inside
-  * returned lazy plans. Operators therefore register every handle
-  * here, and callers release them once the query's result is
-  * materialized (`Bench`/`Verify` do this between queries; an
-  * embedding application should do the same per unit of work).
+  * Persist/checkpoint is the right call per query; the leak is per
+  * *session*: a long-lived JVM running many queries accumulates
+  * MEMORY_AND_DISK blocks it can never release because the handles are
+  * buried inside returned lazy plans — checkpoint blocks in particular
+  * are freed only when the frame is GC'd AND the ContextCleaner runs,
+  * which in a packed multi-query session is far too late (measured as
+  * a multi-query interference band in the r4 bench). Operators
+  * therefore register a release thunk here for every block of storage
+  * they hand back inside a result plan, and callers release them once
+  * the query's result is materialized (`Bench`/`Verify` do this
+  * between queries; an embedding application should do the same per
+  * unit of work).
   *
   * Scope contract: the registry is process-global, so `releaseAll()`
   * drops EVERY tracked handle in the JVM — it assumes one unit of work
-  * in flight at a time (true of Bench/Verify/Job). Correctness is
-  * never at risk (persist is a hint; an unpersisted plan recomputes),
-  * but a host running queries concurrently would silently lose the
-  * self-join reuse the persists exist for — such a host should call
-  * releaseAll() only at quiescent points, or persist/unpersist its
-  * operators' inputs itself and skip the registry.
+  * in flight at a time (true of Bench/Verify/Job, and of a streaming
+  * micro-batch, which NearDupStream releases at batch end).
+  * Correctness is never at risk for persists (a hint; an unpersisted
+  * plan recomputes), and checkpoint thunks are only registered for
+  * frames whose callers are done iterating — but a host running
+  * queries concurrently would silently lose the self-join reuse the
+  * persists exist for. Such a host should call releaseAll() only at
+  * quiescent points, or persist/unpersist its operators' inputs itself
+  * and skip the registry.
   */
 object CacheRegistry {
 
-  private val handles = new ConcurrentLinkedQueue[Dataset[_]]()
+  private val handles = new ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist `ds` at MEMORY_AND_DISK and track the handle. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    handles.add(p)
+    handles.add(() => p.unpersist(blocking = false))
     p
   }
 
-  /** Unpersist every tracked handle (non-blocking: block eviction is
+  /** The materialized `localCheckpoint` RDDs referenced by `ds`'s
+    * plan (each `localCheckpoint(true)` leaves a LogicalRDD leaf over
+    * a MEMORY_AND_DISK-persisted RDD). */
+  def checkpointRdds(ds: Dataset[_]): Seq[RDD[_]] =
+    ds.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd: RDD[_]
+    }.distinct
+
+  /** Track the checkpoint blocks inside `ds`'s plan for release by
+    * [[releaseAll]]. Call on a frame a caller will materialize exactly
+    * once per unit of work (e.g. connectedComponents' final labels). */
+  def trackCheckpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val rdds = checkpointRdds(ds)
+    if (rdds.nonEmpty)
+      handles.add(() => rdds.foreach(_.unpersist(blocking = false)))
+    ds
+  }
+
+  /** Release every tracked handle (non-blocking: block eviction is
     * async, but each RDD leaves the persistence registry immediately).
     */
   def releaseAll(): Unit = {
     var h = handles.poll()
     while (h != null) {
-      h.unpersist(blocking = false)
+      h()
       h = handles.poll()
     }
   }

@@ -176,14 +176,25 @@ object Dedup {
     // materialize the input pair plan ONCE: it is referenced four
     // times below (symmetrize + self-loops), and pair generation is
     // typically an expensive candidate join — without this persist the
-    // whole upstream join would execute once per reference
-    val p0 = graft.CacheRegistry.persistTracked(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    // whole upstream join would execute once per reference. PLAIN
+    // persists (not persistTracked): CC consumes and releases its own
+    // intermediates before returning, so nothing stale ever sits in
+    // the process-global registry (NearDupStream runs CC once per
+    // micro-batch — a tracked handle per batch would accumulate).
+    val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
-    val edges = graft.CacheRegistry.persistTracked(
-      sym.union(sym.select(col("u"), col("u").as("v"))).distinct())
+    val edges = sym.union(sym.select(col("u"), col("u").as("v"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
+    // checkpoint blocks of the PREVIOUS round, freed explicitly once
+    // the next round materializes: without this each round leaks one
+    // MEMORY_AND_DISK block-set until GC + ContextCleaner get around
+    // to it — measured in r4 as a multi-query interference band in the
+    // packed bench (blocks from q89/q93's CC squeezing every query
+    // that ran after them).
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -210,6 +221,11 @@ object Dedup {
           min(when(col("u") === col("v"), col("label"))).as("old"))
         .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
         .localCheckpoint(true)
+      // this round's checkpoint now holds the whole label state (the
+      // lazy pointer-jump only references the CURRENT round), so the
+      // previous round's blocks are unreachable — free them now
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = graft.CacheRegistry.checkpointRdds(stepped)
       val changed = obs.get.get("changed") match {
         case Some(n: java.lang.Long) => n.longValue
         case _ => 0L // empty frame: sum over zero rows is null
@@ -242,11 +258,18 @@ object Dedup {
     // Pointer jumping covers huge diameters in 20 rounds, so hitting
     // maxIter unconverged means a pathological graph — fail loudly
     // rather than let silently-wrong clusters flow downstream.
-    if (!converged)
+    if (!converged) {
+      prevCkpt.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "raise maxIter or inspect the pair graph for pathology")
-    labels.withColumnRenamed("label", "cluster")
+    }
+    // The returned frame references the LAST round's checkpoint
+    // blocks — register them so the caller's end-of-work releaseAll
+    // (Bench/Verify between queries, NearDupStream per micro-batch)
+    // frees them instead of waiting for GC + ContextCleaner.
+    graft.CacheRegistry.trackCheckpoint(
+      labels.withColumnRenamed("label", "cluster"))
   }
 
   /** Test-set decontamination: flag every corpus document sharing at

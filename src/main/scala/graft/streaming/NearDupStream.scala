@@ -132,7 +132,15 @@ object NearDupStream {
       buckets.select("bucket").distinct()
         .write.mode("append").parquet(stateDir.toString)
       buckets.unpersist(blocking = false)
-    } finally b.unpersist(blocking = false)
+    } finally {
+      b.unpersist(blocking = false)
+      // a micro-batch is one unit of work: free the checkpoint blocks
+      // connectedComponents registered for this batch's in-batch CC
+      // (nothing else calls releaseAll on the streaming path, and a
+      // long-lived stream would otherwise accumulate one block-set +
+      // one registry thunk per batch)
+      graft.CacheRegistry.releaseAll()
+    }
   }
 
   private def hasParquet(dir: Path): Boolean =

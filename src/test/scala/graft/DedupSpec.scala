@@ -54,6 +54,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("connected components leaves ZERO persistent blocks after release") {
+    // the r4 packed-bench interference band: CC's per-round
+    // localCheckpoint blocks (MEMORY_AND_DISK) outlived the query and
+    // squeezed every query that ran after it. Contract now: rounds
+    // free their predecessor eagerly, intermediates are self-managed,
+    // and the final labels frame's blocks are registered for the
+    // caller's end-of-work releaseAll — so after materialize+release
+    // the JVM holds no persistent RDDs at all.
+    val pairs = Seq((2L, 3L), (3L, 4L), (4L, 5L), (1L, 2L), (10L, 11L))
+      .toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+    assert(labels.count() == 7) // materialize (5-chain + pair)
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("connected components: transitive chains collapse to min-id label") {
     // a 5-vertex path (diameter 4 → several propagation rounds), one
     // disjoint pair, and a triangle reachable only through chaining
