@@ -49,11 +49,13 @@ object Layout {
       path: String, numFiles: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    // Empty input (or all-null cluster columns) has null min/max; there is
-    // nothing to cluster, so write the (empty) frame as-is instead of NPEing
-    // on getDouble.
+    // Empty input (or an all-null cluster column) has null min/max;
+    // there is nothing to cluster, but the numFiles contract still
+    // holds: repartition instead of writing df's incidental partition
+    // count (no-op cost for the empty case; a rows-but-all-null frame
+    // would otherwise produce an arbitrary file count).
     if (r.isNullAt(0) || r.isNullAt(2)) {
-      df.write.mode("overwrite").parquet(path)
+      df.repartition(numFiles).write.mode("overwrite").parquet(path)
       return
     }
     val (aMn, aMx, bMn, bMx) =

@@ -59,8 +59,35 @@ import graft.operators.Dedup
   * (the state join is a semi-join). Exactly-once output requires an
   * idempotent sink keyed by (batch id, doc id), the standard
   * foreachBatch discipline.
+  *
+  * Poison-pill contract (CC non-convergence): in-batch resolution
+  * runs `Dedup.connectedComponents`, which FAILS LOUDLY if the
+  * batch's bucket graph does not converge in `ccMaxIter` rounds. An
+  * unhandled throw kills the stream, and because foreachBatch replays
+  * the uncommitted batch on restart, the SAME graph hits the SAME
+  * throw — a poison-pill loop. The operator playbook is explicit:
+  *  - `onNonConvergence = Fail` (default): the batch fails with an
+  *    exception naming the batch id and this knob. Restart after
+  *    raising `ccMaxIter` (pointer jumping covers huge diameters in
+  *    20 rounds, so needing more is already pathological), or rerun
+  *    with `Fallback` to get past the batch.
+  *  - `onNonConvergence = Fallback`: the batch logs the id to stderr
+  *    and degrades in-batch resolution to ONE-HOP bucket-min (each
+  *    doc drops iff some band bucket of its has a smaller member).
+  *    One-hop is CONSERVATIVE in the never-lossy direction: every
+  *    transitive cluster still admits at least one member, but a
+  *    chain A~B~C can admit two (the offline q31+CC backstop collapses
+  *    them later). Cross-batch dedup and state registration are
+  *    unaffected.
   */
 object NearDupStream {
+
+  /** What to do when a batch's in-batch CC does not converge. */
+  sealed trait NonConvergence
+  /** Fail the batch (and stream) with a documented exception. */
+  case object Fail extends NonConvergence
+  /** Degrade to one-hop bucket-min resolution, log, keep going. */
+  case object Fallback extends NonConvergence
 
   /** Drain `docs` (streaming frame of [[DedupStream.Doc]] rows) with
     * AvailableNow, writing admitted docs to `outDir` and bucket state
@@ -70,16 +97,34 @@ object NearDupStream {
     * INCREMENTAL: the offset log skips committed files, so a cron'd
     * re-run processes only new arrivals (without it, each drain
     * re-reads everything — correct but wasteful: replayed docs just
-    * match their own buckets in state and drop). */
+    * match their own buckets in state and drop).
+    *
+    * `compactEvery = n > 0` rewrites the bucket state to ONE distinct
+    * sorted file-set after every n-th batch: the state dir otherwise
+    * gains a small file-set per micro-batch and the per-batch state
+    * scan degrades into a small-files problem after thousands of
+    * batches. Compaction also distinct-merges re-appended buckets, so
+    * the state is bounded by UNIQUE content, not batch count. The
+    * swap is delete-then-move: a crash mid-swap can only LOSE bucket
+    * state (future dups get admitted and the offline backstop removes
+    * them — conservative direction), never drop a novel doc. At
+    * warehouse scale the same pass writes size-targeted sorted files
+    * (Layout.writeSized) under a date-partitioned retention horizon. */
   def drain(spark: SparkSession, docs: Dataset[DedupStream.Doc],
       stateDir: Path, outDir: Path,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      checkpoint: Option[Path] = None): Unit = {
+      checkpoint: Option[Path] = None,
+      ccMaxIter: Int = 20,
+      onNonConvergence: NonConvergence = Fail,
+      compactEvery: Int = 0): Unit = {
     val ckpt = checkpoint.getOrElse(
       Files.createTempDirectory("graft_ckpt_neardup"))
     val q = docs.writeStream
-      .foreachBatch { (batch: Dataset[DedupStream.Doc], _: Long) =>
-        processBatch(batch.toDF(), stateDir, outDir, k, bands, shingleN)
+      .foreachBatch { (batch: Dataset[DedupStream.Doc], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, stateDir, outDir, k, bands,
+          shingleN, ccMaxIter, onNonConvergence)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactState(spark, stateDir)
       }
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
@@ -92,8 +137,10 @@ object NearDupStream {
     }
   }
 
-  private def processBatch(batch: DataFrame, stateDir: Path, outDir: Path,
-      k: Int, bands: Int, shingleN: Int): Unit = {
+  private def processBatch(batch: DataFrame, batchId: Long,
+      stateDir: Path, outDir: Path,
+      k: Int, bands: Int, shingleN: Int,
+      ccMaxIter: Int, onNonConvergence: NonConvergence): Unit = {
     val spark = batch.sparkSession
     val b = batch.persist()
     try {
@@ -116,8 +163,30 @@ object NearDupStream {
       val pairs = buckets.join(bucketMin, "bucket")
         .where(col("id") =!= col("bmin"))
         .select(col("id").as("a"), col("bmin").as("b")).distinct()
-      val inBatchDrop = Dedup.connectedComponents(pairs)
-        .where(col("cluster") < col("id")).select("id")
+      val inBatchDrop =
+        try Dedup.connectedComponents(pairs, maxIter = ccMaxIter)
+          .where(col("cluster") < col("id")).select("id")
+        catch {
+          case e: IllegalStateException => onNonConvergence match {
+            case Fail =>
+              // poison pill: a restart replays this batch into the
+              // same graph — surface the playbook, don't loop silently
+              throw new IllegalStateException(
+                s"NearDupStream batch $batchId: in-batch connected " +
+                  s"components did not converge in $ccMaxIter rounds. " +
+                  "Restart with a higher ccMaxIter, or set " +
+                  "onNonConvergence=Fallback to degrade this batch to " +
+                  "one-hop resolution (conservative: may over-keep).", e)
+            case Fallback =>
+              System.err.println(
+                s"[neardup] batch $batchId: CC non-convergence " +
+                  s"(ccMaxIter=$ccMaxIter); falling back to one-hop " +
+                  "bucket-min resolution for this batch")
+              // one-hop: drop docs whose some bucket has a smaller
+              // member — `pairs`' left side is exactly that set
+              pairs.select(col("a").as("id")).distinct()
+          }
+        }
       val dropped = hits.union(inBatchDrop).distinct()
         .withColumnRenamed("id", "doc_id")
       // 4. emit survivors (short un-shingleable docs pass through).
@@ -141,6 +210,21 @@ object NearDupStream {
       // one registry thunk per batch)
       graft.CacheRegistry.releaseAll()
     }
+  }
+
+  /** Rewrite the bucket state to one distinct sorted file-set. Runs
+    * between micro-batches (foreachBatch is serial), so no reader
+    * races the swap; a crash mid-swap loses state in the conservative
+    * direction only (see drain scaladoc). */
+  private def compactState(spark: SparkSession, stateDir: Path): Unit = {
+    if (!Files.exists(stateDir) || !hasParquet(stateDir)) return
+    val tmp = stateDir.resolveSibling(stateDir.getFileName.toString + ".compact")
+    spark.read.parquet(stateDir.toString)
+      .distinct()
+      .repartition(1).sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(tmp.toString)
+    StreamingResidue.deleteRecursively(stateDir)
+    Files.move(tmp, stateDir)
   }
 
   private def hasParquet(dir: Path): Boolean =

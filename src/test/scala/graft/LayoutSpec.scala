@@ -29,6 +29,29 @@ class LayoutSpec extends SparkSpec {
     assert(cells == Seq(0L, 127L, 255L, 0L, 0L))
   }
 
+  test("degenerate inputs: empty and all-null frames keep the numFiles contract") {
+    // empty: no NPE, valid (empty) parquet table
+    val emptyDir = Files.createTempDirectory("graft_z_empty").toString
+    val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("a", "b")
+    Layout.writeZOrdered(empty, "a", "b", emptyDir, numFiles = 4)
+    assert(spark.read.parquet(emptyDir).count() == 0)
+    // all-null cluster column: nothing to cluster, but the file-count
+    // contract still holds — the fallback repartitions to numFiles
+    // instead of writing whatever partition count df happens to have
+    val nullDir = Files.createTempDirectory("graft_z_null").toString
+    val nulls = (1 to 100).map(i => (i.toLong, null: java.lang.Long))
+      .toDF("a", "b").repartition(13)
+    Layout.writeZOrdered(nulls, "a", "b", nullDir, numFiles = 4)
+    val got = spark.read.parquet(nullDir)
+    assert(got.count() == 100)
+    import scala.jdk.CollectionConverters._
+    val files = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(nullDir))) { s =>
+      s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(files == 4, s"fallback wrote $files files, contract is 4")
+  }
+
   test("z-order prunes on ANY dimension combination; sort only on its key") {
     val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")

@@ -132,6 +132,94 @@ class NearDupStreamSpec extends SparkSpec {
     assert(kept == Set(10L), s"transitive in-batch resolution: got $kept")
   }
 
+  test("poison-pill contract: CC non-convergence fails the batch with the playbook") {
+    // ccMaxIter = 0 forces non-convergence on ANY batch graph — the
+    // deterministic stand-in for a pathological graph. Default policy
+    // (Fail): the stream dies with an exception naming the batch and
+    // both recovery knobs, instead of silently looping on replay.
+    val dir = Files.createTempDirectory("graft_neardup_pp_in")
+    val stateDir = Files.createTempDirectory("graft_neardup_pp_state")
+    val outDir = Files.createTempDirectory("graft_neardup_pp_out")
+    writeChunk(Seq(Doc(5, 1000 * M, base),
+      Doc(9, 1001 * M, base + " extra")).toDS().toDF(), dir, 0)
+    val docs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .parquet(dir.toString).as[Doc]
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      NearDupStream.drain(spark, docs, stateDir, outDir, ccMaxIter = 0)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val all = messages(e).mkString(" | ")
+    assert(all.contains("ccMaxIter") && all.contains("Fallback"),
+      s"playbook not surfaced: $all")
+    // nothing was admitted: output stays absent/empty — the batch
+    // failed BEFORE its output append (no partial admissions)
+    assert(!Files.exists(outDir) || !Files.list(outDir).iterator().hasNext
+      || spark.read.parquet(outDir.toString).isEmpty)
+  }
+
+  test("poison-pill contract: Fallback degrades to one-hop and completes") {
+    // same forced non-convergence, policy Fallback: the stream logs
+    // and resolves in-batch dups with one-hop bucket-min — {5, 9}
+    // still collapses to 5 (one-hop and CC agree on star graphs; on
+    // chains one-hop may over-keep, which the offline backstop fixes)
+    val dir = Files.createTempDirectory("graft_neardup_fb_in")
+    val stateDir = Files.createTempDirectory("graft_neardup_fb_state")
+    val outDir = Files.createTempDirectory("graft_neardup_fb_out")
+    writeChunk(Seq(Doc(5, 1000 * M, base),
+      Doc(9, 1001 * M, base + " extra"),
+      Doc(6, 1002 * M, distinctDoc)).toDS().toDF(), dir, 0)
+    writeChunk(Seq(Doc(7, 1010 * M, nearDup)).toDS().toDF(), dir, 1)
+    val docs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString).as[Doc]
+    NearDupStream.drain(spark, docs, stateDir, outDir,
+      ccMaxIter = 0, onNonConvergence = NearDupStream.Fallback)
+    val kept = spark.read.parquet(outDir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 9 dropped in-batch (one-hop), 7 dropped cross-batch (state join
+    // is unaffected by the fallback), 5 and 6 admitted
+    assert(kept == Set(5L, 6L), s"got $kept")
+  }
+
+  test("compaction bounds the state dir to one file-set, decisions unchanged") {
+    val dir = Files.createTempDirectory("graft_neardup_cp_in")
+    val stateDir = Files.createTempDirectory("graft_neardup_cp_state")
+    val outDir = Files.createTempDirectory("graft_neardup_cp_out")
+    writeChunk(Seq(
+      Doc(5, 1000 * M, base),
+      Doc(9, 1001 * M, base + " extra"),
+      Doc(6, 1002 * M, distinctDoc)).toDS().toDF(), dir, 0)
+    writeChunk(Seq(
+      Doc(7, 1010 * M, nearDup),
+      Doc(8, 1011 * M, "hi"),
+      Doc(10, 1012 * M, "fresh report on volcanic seismic activity " +
+        "compiled weekly from island observatory stations")).toDS().toDF(), dir, 1)
+    writeChunk(Seq(
+      Doc(11, 1020 * M, nearDup), // bucket-matches state (7's buckets registered)
+      Doc(12, 1021 * M, "novel sentence describing glacier mass " +
+        "balance surveys flown each spring by polar aircraft")).toDS().toDF(), dir, 2)
+    val docs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString).as[Doc]
+    NearDupStream.drain(spark, docs, stateDir, outDir, compactEvery = 1)
+    val kept = spark.read.parquet(outDir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same decisions as an uncompacted run: 9 in-batch dup, 7 and 11
+    // cross-batch near-dups of 5; 8 un-shingleable passthrough
+    assert(kept == Set(5L, 6L, 8L, 10L, 12L), s"got $kept")
+    // 3 batches × compactEvery=1 → exactly ONE state data file, not
+    // one file-set per batch
+    import scala.jdk.CollectionConverters._
+    val stateFiles = scala.util.Using.resource(Files.list(stateDir)) { s =>
+      s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(stateFiles == 1, s"state holds $stateFiles data files")
+  }
+
   test("persistent checkpoint: re-drain processes only new files") {
     val M = 60L * 1000000L
     val dir = Files.createTempDirectory("graft_neardup_inc")
