@@ -53,4 +53,51 @@ object Sampling {
     val b = hashBucket(key, salt)
     (df.where(b >= cut), df.where(b < cut))
   }
+
+  /** Domain-mixture reweighting: down-sample each source so the KEPT
+    * corpus's mass (tokens) matches `targets`' shares — the mixing
+    * step (à la The Pile / DoReMi weights) that turns "we want 50%
+    * web, 30% books, 20% code" into per-source sampling rates given
+    * whatever mass each source actually has.
+    *
+    * The achievable total is T = min over targeted sources of
+    * m_s / share_s (the binding source is kept whole; every other
+    * source down-samples to share_s·T). Unlisted sources get share 0
+    * and drop entirely. Sampling is the same md5 hash membership as
+    * every split in this engine — deterministic, partition-stable,
+    * growth-stable.
+    *
+    * Plan shape: one tiny per-source aggregate (|sources| rows), a
+    * scalar min, and a broadcast join of the resulting fractions back
+    * onto the corpus — the 100 TB side is touched by exactly one
+    * narrow pass + one broadcast hash probe; nothing ever collects to
+    * the driver.
+    *
+    * Returns the input rows + (share, frac, keep); expected kept mass
+    * per source is share_s·T (hash sampling is exact in expectation —
+    * per-doc mass variance is what a production run reports via the
+    * observed-mass audit, one more tiny agg over this output).
+    */
+  def mixToTarget(df: DataFrame, keyCol: String, sourceCol: String,
+      massCol: String, targets: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    val share = targets.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (s, w)) => acc.when(col(sourceCol) === s, lit(w))
+      }.otherwise(lit(0.0))
+    val bySrc = df.groupBy(col(sourceCol))
+      .agg(sum(col(massCol)).cast("double").as("m"))
+      .withColumn("share", share)
+    val t = bySrc.where(col("share") > 0)
+      .agg(min(col("m") / col("share")).as("t"))
+    val fracs = bySrc.join(broadcast(t))
+      .withColumn("frac",
+        when(col("share") > 0,
+          least(lit(1.0), col("share") * col("t") / col("m")))
+          .otherwise(lit(0.0)))
+      .select(col(sourceCol), col("share"), col("frac"))
+    df.join(broadcast(fracs), Seq(sourceCol))
+      .withColumn("keep",
+        hashBucket(col(keyCol), salt) < floor(col("frac") * Buckets))
+  }
 }

@@ -538,6 +538,82 @@ SELECT doc_id, source, mass,
 FROM c ORDER BY doc_id
 """))
 
+  /** q41 — document chunking (`Chunking.chunk`): 32-token windows
+    * with 8-token overlap, stable (doc_id, chunk_idx) provenance, a
+    * trailing window contained in its predecessor dropped. The window
+    * split every training / RAG pipeline runs between cleaning and
+    * tokenization — pure narrow transform, zero shuffles.
+    */
+  val q41 = QuerySpec("q41_chunking",
+    (s, dir) => graft.operators.Chunking.chunk(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    unnest(range(0, len(toks), 24)) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+  CAST(start AS BIGINT) AS start,
+  CAST(LEAST(32, n - start) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+FROM s WHERE start = 0 OR n > start + 8
+ORDER BY doc_id, chunk_idx
+"""))
+
+  /** q42 — domain-mixture reweighting (`Sampling.mixToTarget`): keep
+    * a corpus whose token mass matches target shares 50/30/20 over
+    * three sources (the rest drop), the binding source kept whole.
+    * One tiny per-source agg + a broadcast of |sources| fractions
+    * back onto the corpus; membership is the engine-standard md5
+    * hash — the oracle recomputes the exact kept set.
+    */
+  val q42 = QuerySpec("q42_mix_to_target",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixToTarget(docs, "doc_id", "source", "n_tokens",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), salt = "mix")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("share"), round(col("frac"), 6).as("frac"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+  FROM documents
+), m AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS m,
+    CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                WHEN 'src2' THEN 0.2 ELSE 0.0 END AS share
+  FROM d GROUP BY source
+), tt AS (
+  SELECT min(m / share) AS t FROM m WHERE share > 0
+), f AS (
+  SELECT source, share,
+    CASE WHEN share > 0 THEN LEAST(1.0, share * tt.t / m)
+         ELSE 0.0 END AS frac
+  FROM m, tt
+)
+SELECT d.doc_id, d.source, d.n_tokens, f.share,
+  round(f.frac, 6) AS frac,
+  CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 'mix')), 1, 8))
+    AS BIGINT) % 1000000 < floor(f.frac * 1000000) AS keep
+FROM d JOIN f USING (source)
+ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q78, q83, q85, q86, q87, q88, q90, q94, q95)
+    Seq(q18, q19, q20, q21, q41, q42, q78, q83, q85, q86, q87, q88, q90,
+      q94, q95)
 }

@@ -60,4 +60,29 @@ class SamplingSpec extends SparkSpec {
     assert(fromSmall == fromFull.filter(_ < 200),
       "growing the corpus must not flip earlier rows' membership")
   }
+
+  test("mixToTarget: binding source kept whole, kept mass tracks target shares") {
+    import graft.functions.{Text => T}
+    val d = docs.select(col("doc_id"), col("source"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val mixed = Sampling.mixToTarget(d, "doc_id", "source", "n_tokens",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    val fr = mixed.groupBy("source").agg(first("frac").as("f")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // shares ≈ equal masses → src0 (largest demand/mass ratio) binds
+    assert(fr("src0") == 1.0, s"binding source must keep everything: $fr")
+    assert(fr("src1") < 1.0 && fr("src2") < fr("src1"), s"$fr")
+    // unlisted sources drop entirely
+    assert(fr("src3") == 0.0 && mixed.where(col("source") === "src3")
+      .where(col("keep")).count() == 0)
+    // achieved mass of kept rows approximates share_s·T (hash sampling
+    // is exact in expectation; tolerance covers per-doc mass variance
+    // on 25-doc strata)
+    val m = mixed.where(col("keep")).groupBy("source")
+      .agg(sum("n_tokens").as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = m.values.sum.toDouble
+    assert(math.abs(m("src0") / total - 0.5) < 0.12, s"$m")
+    assert(math.abs(m("src1") / total - 0.3) < 0.12, s"$m")
+  }
 }
