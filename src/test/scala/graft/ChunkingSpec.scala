@@ -43,6 +43,15 @@ class ChunkingSpec extends SparkSpec {
       got(0).getAs[String]("chunk_text") == "only three tokens")
   }
 
+  test("plan is narrow: chunking adds NO exchange over the scan") {
+    // the 100 TB claim: chunking pipelines into the surrounding scan/
+    // write with zero shuffles — assert no ShuffleExchange in the plan
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val plan = Chunking.chunk(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+  }
+
   test("provenance is per-document: corpus growth never changes a doc's chunks") {
     val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
     val one = Chunking.chunk(docs.where(col("doc_id") === 7), "doc_id", "text", 32, 8)
