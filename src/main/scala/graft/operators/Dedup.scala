@@ -305,6 +305,45 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Substring-level dedup TRANSFORM (à la "Deduplicating Training
+    * Data Makes Language Models Better"): excise every token window
+    * of width `n` that occurs more than once in the whole corpus,
+    * returning the rewritten text plus removal accounting. q96
+    * measures the dup-span fraction; this is the pass that actually
+    * removes the spans. Fixed-width gram marking is the standard
+    * scalable stand-in for the paper's suffix-array ≥50-token spans —
+    * the plan is identical for any window width.
+    *
+    * Scale shape: gram occurrences (id, pos, md5) shuffle ONCE keyed
+    * by the gram hash; the global count reuses that partitioning for
+    * the join back; then one doc-keyed aggregation collects each
+    * doc's (bounded-by-doc-length) duplicated positions; excision is
+    * a narrow per-row array rewrite. Raw text never shuffles.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.repartition(par).select(col(idCol).as("id"),
+      T.tokens(T.normalizeText(col(textCol))).as("toks"))
+    // tracked persist: feeds the count agg AND the position join-back
+    val grams = graft.CacheRegistry.persistTracked(
+      toks.select(col("id"),
+          posexplode(T.wordShingles(col("toks"), n)).as(Seq("pos", "g")))
+        .select(col("id"), col("pos"), md5(col("g")).as("h")))
+    val counts = grams.groupBy("h").agg(count(lit(1)).as("c"))
+    val dupPos = grams.join(counts, "h").where(col("c") > 1)
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    toks.join(dupPos, Seq("id"), "left")
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("ps"), array().cast("array<int>")),
+        p => sequence(p, p + n - 1)))))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !array_contains(col("covered"), i))).as("clean_text"))
+  }
+
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are
     * blocked on the md5 of their first `prefixTokens` normalized tokens;
     * only within-block pairs are scored. Blocking bounds the candidate

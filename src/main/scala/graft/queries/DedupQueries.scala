@@ -323,6 +323,48 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 <> 0 ORDER BY id
 """))
 
+  /** q43 — substring-level dedup transform (`Dedup.removeDupSpans`):
+    * excise every word 4-gram window occurring more than once in the
+    * corpus and return the rewritten text with removal accounting —
+    * the span-REMOVAL pass of "Deduplicating Training Data Makes LMs
+    * Better" (q96 is the measurement half). The oracle rebuilds every
+    * cleaned text with the same position arithmetic.
+    */
+  val q43 = QuerySpec("q43_remove_dup_spans",
+    (s, dir) => Dedup.removeDupSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 4)
+      .orderBy("id"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 4)
+), c AS (
+  SELECT h, count(*) AS c FROM g GROUP BY h
+), d AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps
+  FROM g JOIN c USING (h) WHERE c.c > 1 GROUP BY doc_id
+), k AS (
+  SELECT t.doc_id, toks,
+    list_distinct(flatten([range(p, p + 4) FOR p IN coalesce(ps, [])]))
+      AS covered
+  FROM t LEFT JOIN d USING (doc_id)
+)
+SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(covered) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(
+    [toks[i + 1] FOR i IN range(0, len(toks)) IF NOT list_contains(covered, i)],
+    ' '), '') AS clean_text
+FROM k ORDER BY id
+"""))
+
   /** q96 — duplicated-span fraction (the fine-grained signal behind
     * substring-level dedup, à la "Deduplicating Training Data Makes
     * LMs Better"): for every document, the fraction of its word
@@ -418,5 +460,5 @@ SELECT CASE WHEN ha THEN b ELSE a END AS train_id,
 FROM leaks WHERE ha <> hb ORDER BY train_id, holdout_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q89, q92, q96, q97)
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q43, q89, q92, q96, q97)
 }

@@ -54,6 +54,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("removeDupSpans excises exactly the corpus-duplicated windows") {
+    try {
+      // docs 1 and 2 share the 4-gram "x1 x2 x3 x4" (doc 1 pos 2,
+      // doc 2 pos 0); doc 3 repeats a gram WITHIN itself; doc 4 is
+      // clean; doc 5 is shorter than the window and passes whole
+      val d = Seq(
+        (1L, "a1 a2 x1 x2 x3 x4 a3"),
+        (2L, "x1 x2 x3 x4 b1 b2"),
+        (3L, "r1 r2 r3 r4 r1 r2 r3 r4"),
+        (4L, "c1 c2 c3 c4 c5"),
+        (5L, "d1 d2")).toDF("doc_id", "text")
+      val got = Dedup.removeDupSpans(d, "doc_id", "text", n = 4)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(got(1L) == ((7L, 4L, "a1 a2 a3")))
+      assert(got(2L) == ((6L, 4L, "b1 b2")))
+      // doc 3: gram "r1 r2 r3 r4" occurs at pos 0 and 4 → both
+      // windows excised; overlapping windows pos 1..3 are singletons
+      assert(got(3L) == ((8L, 8L, "")))
+      assert(got(4L) == ((5L, 0L, "c1 c2 c3 c4 c5")))
+      assert(got(5L) == ((2L, 0L, "d1 d2")))
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("connected components leaves ZERO persistent blocks after release") {
     // the r4 packed-bench interference band: CC's per-round
     // localCheckpoint blocks (MEMORY_AND_DISK) outlived the query and
