@@ -43,6 +43,29 @@ class ChunkingSpec extends SparkSpec {
       got(0).getAs[String]("chunk_text") == "only three tokens")
   }
 
+  test("coverage property: every token of every doc appears in ≥1 kept chunk") {
+    // the guarantee chunking exists to provide — no span lost at a
+    // window boundary, even with the contained-trailing-window drop.
+    // Checked over the real corpus for several (chunk, overlap) pairs.
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .limit(200)
+    for ((c, o) <- Seq((32, 8), (16, 4), (8, 7), (5, 0))) {
+      val uncovered = Chunking.chunk(docs, "doc_id", "text", c, o)
+        .groupBy("doc_id")
+        .agg(max(col("start") + col("n_chunk_tokens")).as("covered_to"),
+          min("start").as("first_start"))
+        .join(docs.select(col("doc_id"),
+          graft.functions.Text.tokenCount(
+            graft.functions.Text.normalizeText(col("text"))).cast("long").as("n")),
+          "doc_id")
+        .where(col("first_start") =!= 0 || col("covered_to") < col("n"))
+        .count()
+      // consecutive kept windows overlap by construction (step ≤ chunk),
+      // so first_start=0 + covered_to=n ⇒ full coverage
+      assert(uncovered == 0, s"chunk=$c overlap=$o left gaps")
+    }
+  }
+
   test("plan is narrow: chunking adds NO exchange over the scan") {
     // the 100 TB claim: chunking pipelines into the surrounding scan/
     // write with zero shuffles — assert no ShuffleExchange in the plan
