@@ -215,6 +215,49 @@ object Similarity {
       .withColumn("keep", col("id") === col("keeper"))
   }
 
+  /** Cluster-balanced diversity pruning (the D4 / SSL-prototypes
+    * curation move): cap every semantic cell at `quota` vectors,
+    * keeping the LEAST prototypical first — rows ranked by cosine to
+    * their own cell centroid ASCENDING, so the redundant near-centroid
+    * mass that over-represents dense regions is what gets cut.
+    * Complements [[semanticDedup]]: that removes near-DUPLICATES;
+    * this rebalances CONCENTRATION.
+    *
+    * Deterministic end to end: the same md5-hash-rank seed codebook
+    * as semanticDedup (so the oracle replays cell assignment exactly),
+    * centroid cosines rounded to 6 before ranking, ties broken by id.
+    *
+    * Scale shape: cell assignment is the O(1)-in-k broadcast-codebook
+    * expression; centroids join back as a broadcast of k rows; the
+    * only wide exchange is the per-cell rank window — keyed by cell,
+    * exactly the partitioning the quota needs. Returns one row per
+    * vector: (id, cell, cos_centroid, rk, keep).
+    */
+  def cellQuotaPrune(emb: DataFrame, k: Int, quota: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val seeds = emb.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).select(toDoubles(col(embCol)).as("emb"))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    val ref = IvfIndex.broadcastCodebook(spark, seeds)
+    import spark.implicits._
+    val cents = seeds.zipWithIndex.map { case (c, j) =>
+      (j, c.toSeq, 1.0 / math.sqrt(c.map(x => x * x).sum))
+    }.toDF("cell", "c", "cinv")
+    val base = emb.repartition(par).select(col(idCol).as("id"),
+      toDoubles(col(embCol)).as("u"), invNorm(col(embCol)).as("iv"),
+      IvfIndex.assignCell(col(embCol), ref).as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(asc("cos_centroid"), asc("id"))
+    base.join(broadcast(cents), Seq("cell"))
+      .withColumn("cos_centroid",
+        round(dot(col("u"), col("c")) * col("iv") * col("cinv"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        col("cos_centroid"), col("rk"), (col("rk") <= quota).as("keep"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking key (e.g. a
     * cluster/label or an LSH bucket): all-pairs inside each block only.
     */

@@ -279,5 +279,50 @@ FROM cells c LEFT JOIN cc ON c.vec_id = cc.id
 ORDER BY id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q67, q73, q84, q93)
+  /** q44 — cluster-balanced diversity pruning
+    * (`Similarity.cellQuotaPrune`): cap each of 16 semantic cells at
+    * 8 vectors, cutting the most prototypical (highest centroid
+    * cosine) first. Same replayable seed codebook as q93, so the
+    * oracle recomputes cells, centroid cosines, AND the exact ranks.
+    */
+  val q44 = QuerySpec("q44_cell_quota_prune",
+    (s, dir) => Similarity.cellQuotaPrune(Tables(s, dir, "embeddings"),
+        k = 16, quota = 8)
+      .orderBy("id"),
+    Some(raw"""
+WITH un AS ($sqlUnit
+), seeds AS (
+  SELECT rn - 1 AS j, u AS c,
+    list_sum([u[i]*u[i] FOR i IN range(1, ${dim + 1})]) AS c2
+  FROM (SELECT u, row_number() OVER
+          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM un)
+  WHERE rn <= 16
+), scored AS (
+  SELECT vec_id, j,
+    -2.0 * list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
+  FROM un, seeds
+), cells AS (
+  SELECT vec_id, j AS cell
+  FROM (SELECT vec_id, j, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM scored)
+  WHERE r = 1
+), withcos AS (
+  SELECT un.vec_id AS id, cells.cell,
+    round(list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})])
+      * un.inv * (1.0 / sqrt(seeds.c2)), 6) AS cos_centroid
+  FROM un JOIN cells ON un.vec_id = cells.vec_id
+  JOIN seeds ON seeds.j = cells.cell
+), ranked AS (
+  SELECT id, cell, cos_centroid,
+    row_number() OVER (PARTITION BY cell
+      ORDER BY cos_centroid ASC, id ASC) AS rk
+  FROM withcos
+)
+SELECT id, CAST(cell AS BIGINT) AS cell, cos_centroid,
+  CAST(rk AS BIGINT) AS rk, rk <= 8 AS keep
+FROM ranked ORDER BY id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q44, q67, q73, q84, q93)
 }

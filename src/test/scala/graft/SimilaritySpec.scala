@@ -48,4 +48,26 @@ class SimilaritySpec extends SparkSpec {
       assert(brute.contains(key) && brute(key) == r.getAs[Double]("cos"))
     }
   }
+
+  test("cellQuotaPrune: quota per cell, least-prototypical kept, total function") {
+    try {
+      val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      val got = Similarity.cellQuotaPrune(emb, k = 16, quota = 8)
+      // total: one verdict per input vector
+      assert(got.count() == emb.count())
+      val rows = got.collect()
+      // quota: at most 8 keepers per cell
+      val keptPerCell = rows.filter(_.getAs[Boolean]("keep"))
+        .groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
+      assert(keptPerCell.values.forall(_ <= 8), s"quota violated: $keptPerCell")
+      // diversity direction: within a cell, every kept cosine ≤ every
+      // cut cosine (the prototypical near-centroid mass is what's cut)
+      rows.groupBy(_.getAs[Long]("cell")).foreach { case (_, rs) =>
+        val (kept, cut) = rs.partition(_.getAs[Boolean]("keep"))
+        if (kept.nonEmpty && cut.nonEmpty)
+          assert(kept.map(_.getAs[Double]("cos_centroid")).max <=
+            cut.map(_.getAs[Double]("cos_centroid")).min)
+      }
+    } finally CacheRegistry.releaseAll()
+  }
 }
