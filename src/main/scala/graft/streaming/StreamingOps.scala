@@ -103,13 +103,13 @@ object StreamingOps {
     * (bounded by distinct group keys), only the input is big.
     */
   def drainToBatch(spark: SparkSession, agg: DataFrame,
-      tag: String): DataFrame = {
+      tag: String, outputMode: String = "complete"): DataFrame = {
     val name = s"${tag}_${System.nanoTime()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
