@@ -88,11 +88,15 @@ object Sampling {
     val bySrc = df.groupBy(col(sourceCol))
       .agg(sum(col(massCol)).cast("double").as("m"))
       .withColumn("share", share)
-    val t = bySrc.where(col("share") > 0)
+    // a targeted source with ZERO observed mass is excluded from the
+    // min — it can supply nothing, and letting it bind would collapse
+    // T (and every fraction) to 0; its own frac is 0 (nothing to keep)
+    // rather than the 0/0 NaN the raw formula would produce
+    val t = bySrc.where(col("share") > 0 && col("m") > 0)
       .agg(min(col("m") / col("share")).as("t"))
     val fracs = bySrc.join(broadcast(t))
       .withColumn("frac",
-        when(col("share") > 0,
+        when(col("share") > 0 && col("m") > 0,
           least(lit(1.0), col("share") * col("t") / col("m")))
           .otherwise(lit(0.0)))
       .select(col(sourceCol), col("share"), col("frac"))

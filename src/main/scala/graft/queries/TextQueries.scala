@@ -598,10 +598,10 @@ WITH d AS (
                 WHEN 'src2' THEN 0.2 ELSE 0.0 END AS share
   FROM d GROUP BY source
 ), tt AS (
-  SELECT min(m / share) AS t FROM m WHERE share > 0
+  SELECT min(m / share) AS t FROM m WHERE share > 0 AND m > 0
 ), f AS (
   SELECT source, share,
-    CASE WHEN share > 0 THEN LEAST(1.0, share * tt.t / m)
+    CASE WHEN share > 0 AND m > 0 THEN LEAST(1.0, share * tt.t / m)
          ELSE 0.0 END AS frac
   FROM m, tt
 )

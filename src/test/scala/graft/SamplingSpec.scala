@@ -85,4 +85,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(m("src0") / total - 0.5) < 0.12, s"$m")
     assert(math.abs(m("src1") / total - 0.3) < 0.12, s"$m")
   }
+
+  test("mixToTarget: a zero-mass targeted source neither binds nor NaNs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 100L), (2L, "a", 100L),
+      (3L, "b", 50L),
+      (4L, "z", 0L) // targeted but nothing to supply
+    ).toDF("doc_id", "source", "mass")
+    val got = Sampling.mixToTarget(d, "doc_id", "source", "mass",
+      Map("a" -> 0.5, "b" -> 0.3, "z" -> 0.2))
+    val fr = got.groupBy("source").agg(first("frac").as("f")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // z excluded from the min: T = min(200/0.5, 50/0.3) = 166.67 →
+    // a keeps 83.3/200, b binds at 1.0, z gets frac 0 (not NaN)
+    assert(fr("b") == 1.0, s"$fr")
+    assert(math.abs(fr("a") - (0.5 * (50.0 / 0.3) / 200.0)) < 1e-9, s"$fr")
+    assert(fr("z") == 0.0 && !fr.values.exists(_.isNaN), s"$fr")
+    // keep column stays a total boolean (no null poisoning)
+    assert(got.where(col("keep").isNull).count() == 0)
+  }
 }
