@@ -337,11 +337,21 @@ object Dedup {
       .withColumn("covered", array_distinct(flatten(transform(
         coalesce(col("ps"), array().cast("array<int>")),
         p => sequence(p, p + n - 1)))))
+      // kept indices via array_except (hash-based, preserves left
+      // order; left side has no dups so the its-distinct semantics are
+      // harmless): O(L + covered) per row, vs the O(L × covered) an
+      // array_contains-inside-filter scan would cost on long docs.
+      // Empty-doc guard: sequence(0, -1) would infer step −1 and emit
+      // [0, −1] — ANSI element_at would then throw.
+      .withColumn("all_idx", when(size(col("toks")) > 0,
+        sequence(lit(0), size(col("toks")) - 1))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("kept_idx", array_except(col("all_idx"), col("covered")))
       .select(col("id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("covered")).cast("long").as("n_removed"),
-        concat_ws(" ", filter(col("toks"),
-          (_, i) => !array_contains(col("covered"), i))).as("clean_text"))
+        concat_ws(" ", transform(col("kept_idx"),
+          i => element_at(col("toks"), i + 1))).as("clean_text"))
   }
 
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are

@@ -64,7 +64,8 @@ class DedupSpec extends SparkSpec {
         (2L, "x1 x2 x3 x4 b1 b2"),
         (3L, "r1 r2 r3 r4 r1 r2 r3 r4"),
         (4L, "c1 c2 c3 c4 c5"),
-        (5L, "d1 d2")).toDF("doc_id", "text")
+        (5L, "d1 d2"),
+        (6L, "  ")).toDF("doc_id", "text")
       val got = Dedup.removeDupSpans(d, "doc_id", "text", n = 4)
         .collect().map(r => r.getAs[Long]("id") ->
           ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
@@ -76,6 +77,7 @@ class DedupSpec extends SparkSpec {
       assert(got(3L) == ((8L, 8L, "")))
       assert(got(4L) == ((5L, 0L, "c1 c2 c3 c4 c5")))
       assert(got(5L) == ((2L, 0L, "d1 d2")))
+      assert(got(6L) == ((0L, 0L, ""))) // blank doc: ANSI-safe empty index path
     } finally CacheRegistry.releaseAll()
   }
 
