@@ -49,6 +49,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // session-hygiene evidence: after the whole registry ran with
+    // per-query releaseAll, nothing may remain pinned in the JVM —
+    // the r4 bench band came from exactly this kind of residue
+    println(s"[verify] residue: tracked=${CacheRegistry.trackedCount} " +
+      s"persistentRdds=${spark.sparkContext.getPersistentRDDs.size}")
     spark.stop()
   }
 }
