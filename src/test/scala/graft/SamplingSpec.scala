@@ -86,6 +86,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(m("src1") / total - 0.3) < 0.12, s"$m")
   }
 
+  test("mixToTarget plan: fractions broadcast onto the corpus, no corpus shuffle") {
+    import graft.functions.{Text => T}
+    val d = docs.select(col("doc_id"), col("source"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val plan = Sampling.mixToTarget(d, "doc_id", "source", "n_tokens",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .queryExecution.executedPlan.toString
+    // the 100 TB side takes exactly one scan + a broadcast hash probe;
+    // only the tiny per-source aggregate may exchange
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
+  }
+
   test("mixToTarget: a zero-mass targeted source neither binds nor NaNs") {
     import spark.implicits._
     val d = Seq(
