@@ -29,13 +29,20 @@ import org.apache.spark.storage.StorageLevel
   * drops EVERY tracked handle in the JVM — it assumes one unit of work
   * in flight at a time (true of Bench/Verify/Job, and of a streaming
   * micro-batch, which NearDupStream releases at batch end).
-  * Correctness is never at risk for persists (a hint; an unpersisted
-  * plan recomputes), and checkpoint thunks are only registered for
-  * frames whose callers are done iterating — but a host running
-  * queries concurrently would silently lose the self-join reuse the
-  * persists exist for. Such a host should call releaseAll() only at
-  * quiescent points, or persist/unpersist its operators' inputs itself
-  * and skip the registry.
+  * The two handle kinds FAIL DIFFERENTLY when released early:
+  * persists are hints (an unpersisted plan recomputes from lineage —
+  * a perf loss, never a wrong answer), but checkpoint thunks are
+  * DESTRUCTIVE — a `localCheckpoint` truncates lineage, so
+  * unpersisting its blocks destroys data that cannot be recomputed,
+  * and any later materialization of a plan referencing them fails
+  * hard with a "checkpoint block not found" error. A host must
+  * therefore call releaseAll() only at quiescent points (no returned
+  * frame will be materialized again), and must never re-materialize a
+  * connectedComponents result after releasing — re-run the operator
+  * instead. A host running queries concurrently would additionally
+  * lose the self-join reuse the persists exist for; such a host
+  * should persist/unpersist its operators' inputs itself and skip the
+  * registry.
   */
 object CacheRegistry {
 

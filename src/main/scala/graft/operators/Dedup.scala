@@ -197,69 +197,78 @@ object Dedup {
     var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      // each vertex adopts min(own label, neighbors' labels)…
-      // localCheckpoint (NOT persist): truncates the logical plan to
-      // the materialized RDD. With persist, round i's plan nests round
-      // i−1's inside its InMemoryRelation and the driver's plan tree /
-      // explain string grow exponentially with rounds — measured as a
-      // driver OOM in generateTreeString. Standard iterative-algorithm
-      // hygiene (same reason ALS/GraphX checkpoint). Checkpoint blocks
-      // are freed by the ContextCleaner when the round frame is GC'd.
-      // Eager-checkpointing `stepped` ALSO matters for cost: the
-      // pointer-jump below references it twice, and without
-      // materialization the join+agg would execute twice per round
-      // (measured ~40% of CC wall-clock on the q89 pair graph).
-      // convergence is observed DURING the checkpoint materialization
-      // (CollectMetricsExec accumulator) — no separate count job per
-      // round. This is the round's ONLY job.
-      val obs = new org.apache.spark.sql.Observation()
-      val stepped = edges
-        .join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min("label").as("label"),
-          min(when(col("u") === col("v"), col("label"))).as("old"))
-        .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
-        .localCheckpoint(true)
-      // this round's checkpoint now holds the whole label state (the
-      // lazy pointer-jump only references the CURRENT round), so the
-      // previous round's blocks are unreachable — free them now
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = graft.CacheRegistry.checkpointRdds(stepped)
-      val changed = obs.get.get("changed") match {
-        case Some(n: java.lang.Long) => n.longValue
-        case _ => 0L // empty frame: sum over zero rows is null
+    try {
+      while (!converged && i < maxIter) {
+        // each vertex adopts min(own label, neighbors' labels)…
+        // localCheckpoint (NOT persist): truncates the logical plan to
+        // the materialized RDD. With persist, round i's plan nests round
+        // i−1's inside its InMemoryRelation and the driver's plan tree /
+        // explain string grow exponentially with rounds — measured as a
+        // driver OOM in generateTreeString. Standard iterative-algorithm
+        // hygiene (same reason ALS/GraphX checkpoint). Checkpoint blocks
+        // are freed by the ContextCleaner when the round frame is GC'd.
+        // Eager-checkpointing `stepped` ALSO matters for cost: the
+        // pointer-jump below references it twice, and without
+        // materialization the join+agg would execute twice per round
+        // (measured ~40% of CC wall-clock on the q89 pair graph).
+        // convergence is observed DURING the checkpoint materialization
+        // (CollectMetricsExec accumulator) — no separate count job per
+        // round. This is the round's ONLY job.
+        val obs = new org.apache.spark.sql.Observation()
+        val stepped = edges
+          .join(labels.withColumnRenamed("id", "v"), "v")
+          .groupBy(col("u").as("id"))
+          .agg(min("label").as("label"),
+            min(when(col("u") === col("v"), col("label"))).as("old"))
+          .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
+          .localCheckpoint(true)
+        // this round's checkpoint now holds the whole label state (the
+        // lazy pointer-jump only references the CURRENT round), so the
+        // previous round's blocks are unreachable — free them now
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = graft.CacheRegistry.checkpointRdds(stepped)
+        val changed = obs.get.get("changed") match {
+          case Some(n: java.lang.Long) => n.longValue
+          case _ => 0L // empty frame: sum over zero rows is null
+        }
+        converged = changed == 0
+        // …then pointer-jumps: label ← label's own current label (path
+        // compression — hash-min alone needs O(diameter) rounds, the
+        // jump makes long chains collapse in O(log diameter)). A label
+        // is always a vertex id, so the self-join always matches. The
+        // jump stays LAZY: it sits one plan level above the checkpointed
+        // `stepped` RDD (constant plan depth, no lineage nesting) and is
+        // evaluated inside the NEXT round's job — and skipped entirely
+        // on the converged round, where hash-min is at its fixpoint and
+        // the jump is the identity (every label is a component minimum
+        // that labels itself).
+        labels =
+          if (converged) stepped.select("id", "label")
+          else stepped
+            .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+              Seq("label"), "left")
+            .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        i += 1
       }
-      converged = changed == 0
-      // …then pointer-jumps: label ← label's own current label (path
-      // compression — hash-min alone needs O(diameter) rounds, the
-      // jump makes long chains collapse in O(log diameter)). A label
-      // is always a vertex id, so the self-join always matches. The
-      // jump stays LAZY: it sits one plan level above the checkpointed
-      // `stepped` RDD (constant plan depth, no lineage nesting) and is
-      // evaluated inside the NEXT round's job — and skipped entirely
-      // on the converged round, where hash-min is at its fixpoint and
-      // the jump is the identity (every label is a component minimum
-      // that labels itself).
-      labels =
-        if (converged) stepped.select("id", "label")
-        else stepped
-          .join(stepped.select(col("id").as("label"), col("label").as("ll")),
-            Seq("label"), "left")
-          .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-      i += 1
+    } finally {
+      // ANY exit — normal, non-convergence, task failure, job
+      // cancellation — releases the input/edge caches here: the final
+      // labels frame is localCheckpointed (lineage truncated), so they
+      // are never referenced by the returned frame, and an exception
+      // escaping the loop must not leak plain-persisted blocks that no
+      // registry entry records (NearDupStream's foreachBatch retries
+      // would accumulate them). On an abnormal exit the last round's
+      // checkpoint blocks are orphaned too — free them; on the normal
+      // path they ARE the returned labels, so leave them for the
+      // caller's releaseAll (tracked below).
+      p0.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      if (!converged) prevCkpt.foreach(_.unpersist(blocking = false))
     }
-    // The final labels frame is localCheckpointed (lineage truncated),
-    // so the input/edge caches are no longer referenced — release them
-    // now instead of waiting for the session-level releaseAll, which
-    // matters when CC runs once per micro-batch (NearDupStream).
-    p0.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
     // Pointer jumping covers huge diameters in 20 rounds, so hitting
     // maxIter unconverged means a pathological graph — fail loudly
     // rather than let silently-wrong clusters flow downstream.
     if (!converged) {
-      prevCkpt.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "raise maxIter or inspect the pair graph for pathology")

@@ -99,6 +99,26 @@ class DedupSpec extends SparkSpec {
       s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("connected components leaks nothing when an exception escapes the loop") {
+    // Abnormal-exit hygiene: a task failure (here a raise_error firing
+    // inside the pair plan's first materialization) must not orphan
+    // the plain-persisted p0/edges blocks or the current round's
+    // checkpoint — the try/finally releases them with no registry
+    // record needed. Matters on the long-lived NearDupStream path
+    // where foreachBatch retries would otherwise accumulate blocks.
+    val poisoned = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+      .withColumn("a",
+        when(col("b") === 3L, raise_error(lit("boom")).cast("long"))
+          .otherwise(col("a")))
+    intercept[Exception] {
+      Dedup.connectedComponents(poisoned).count()
+    }
+    assert(CacheRegistry.trackedCount == 0,
+      "no registry record should exist after an abnormal CC exit")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("connected components: transitive chains collapse to min-id label") {
     // a 5-vertex path (diameter 4 → several propagation rounds), one
     // disjoint pair, and a triangle reachable only through chaining
