@@ -52,11 +52,22 @@ object ScaleGen {
     Files.createDirectories(Paths.get(dst))
 
     val docs = Tables(spark, src, "documents")
+    // The copy suffix separator must be a character that normalizeText
+    // preserves (non-whitespace, case-stable) and that CANNOT appear in
+    // a source token — a bare "c$c" suffix was only injective within a
+    // copy (an original token literally ending in "c1" equals copy 1's
+    // suffixed form of its prefix), letting cross-copy near-dup pairs
+    // leak into the scale measurements. '⋯' (U+22EF) satisfies both;
+    // the one-scan guard makes the assumption loud instead of silent.
+    val sep = "⋯"
+    require(docs.where(col("text").contains(sep)).isEmpty,
+      s"source corpus contains the copy separator '$sep'; " +
+        "pick a different separator for this corpus")
     (0 until copies).map { c =>
       if (c == 0) docs
       else docs.select(
         (col("doc_id") + lit(c * shift)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1" + s"c$c").as("text"),
+        regexp_replace(col("text"), "(\\S+)", "$1" + s"$sep$c").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -149,6 +149,14 @@ FROM verified WHERE jaccard >= 0.5 ORDER BY a, b
       .select(col("doc_id"),
         explode(T.tokens(T.normalizeText(col("text")))).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    simhashFromHashes(words)
+  }
+
+  /** Packed SimHash vote aggregation over a (doc_id, h) token-hash
+    * frame. Package-private so the overflow guard below is directly
+    * spec-testable without staging a 2M-token document as text. */
+  private[graft] def simhashFromHashes(
+      words: org.apache.spark.sql.DataFrame) = {
     val packedCols = (0 until 20).map { g =>
       sum((0 until 3).map { p =>
         shiftleft(shiftright(col("h"), g + 20 * p).bitwiseAND(lit(1L)), 21 * p)
@@ -156,12 +164,24 @@ FROM verified WHERE jaccard >= 0.5 ORDER BY a, b
     }
     val sums = words.groupBy("doc_id")
       .agg(count(lit(1)).as("n"), packedCols: _*)
+    // LOUD overflow guard: the three 21-bit fields in each packed long
+    // are carry-free only while every document stays under 2^21 tokens;
+    // a single outlier doc would silently corrupt all its counters and
+    // emit a wrong signature (and wrong dup pairs). One integer compare
+    // per doc turns the documented assumption into an error a caller
+    // can act on (split the doc, or switch to unpacked sums).
+    val nChecked = when(col("n") < lit(1L << 21), col("n"))
+      .otherwise(raise_error(format_string(
+        "SimHash packed vote overflow: doc_id=%s has %s tokens (>= 2^21);" +
+          " split the document or use unpacked vote sums",
+        col("doc_id"), col("n"))).cast("long"))
+    val guarded = sums.withColumn("n", nChecked)
     val simhash = (0 until bits).map { j =>
       val sj = shiftright(col(s"g${j % 20}"), 21 * (j / 20))
         .bitwiseAND(lit(0x1FFFFFL))
       when(sj * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    sums.select(col("doc_id"), simhash.as("simhash"))
+    guarded.select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** q32 — SimHash signatures per document. */

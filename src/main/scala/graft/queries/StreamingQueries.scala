@@ -41,14 +41,22 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
       import java.nio.file.Files
       import org.apache.spark.sql.expressions.Window
       import graft.streaming.DedupStream
-      val keepers = graft.Tables(s, dir, "documents")
+      val docsTable = graft.Tables(s, dir, "documents")
+      // Batch-2 ids shift strictly past the corpus id space — a fixed
+      // +1M shift collides with genuine doc_ids once the table's id
+      // space exceeds 1M (e.g. ScaleGen copies start at 10M), and a
+      // colliding (doc_id, fp) pair makes the ORDER BY doc_id row
+      // order nondeterministic vs the oracle. One-scalar aggregate,
+      // mirrored by the oracle's scalar subquery.
+      val shift = docsTable.agg(max("doc_id")).head.getLong(0) + 1L
+      val keepers = docsTable
         .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("fp").orderBy("doc_id")))
         .where(col("rn") === 1)
         .select(col("doc_id"), col("text"))
       val batch2 = keepers.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + shift).as("doc_id"),
         when(col("doc_id") % 2 === 1, concat(col("text"), lit(" novelmark")))
           .otherwise(col("text")).as("text"))
       val inDir = Files.createTempDirectory("graft_q45_in")
@@ -93,7 +101,7 @@ WITH k AS (
 )
 SELECT doc_id, fp FROM k
 UNION ALL
-SELECT doc_id + 1000000 AS doc_id,
+SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
   md5(trim(regexp_replace(lower(text || ' novelmark'), '\s+', ' ', 'g'))) AS fp
 FROM k WHERE doc_id % 2 = 1
 ORDER BY doc_id

@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
       s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("packed SimHash votes fail loudly at 2^21 tokens, not corrupt silently") {
+    // The 3×21-bit packed counters are carry-free only below 2^21
+    // tokens per document; the guard converts the documented assumption
+    // into an error instead of wrong signatures. Drive the helper with
+    // synthetic token hashes (2M rows) rather than a 2M-token text doc.
+    val ok = spark.range(100)
+      .select(lit(1L).as("doc_id"), col("id").as("h"))
+    assert(queries.DedupQueries.simhashFromHashes(ok).collect().length == 1)
+    val huge = spark.range(1L << 21)
+      .select(lit(7L).as("doc_id"), lit(1L).as("h"))
+    val e = intercept[Exception] {
+      // collect, not count: column pruning under count() would drop the
+      // signature projection (and with it the guard) from the plan
+      queries.DedupQueries.simhashFromHashes(huge).collect()
+    }
+    assert(e.toString.contains("overflow") ||
+      Option(e.getCause).exists(_.toString.contains("overflow")),
+      s"expected the overflow guard to fire, got: $e")
+  }
+
   test("connected components: transitive chains collapse to min-id label") {
     // a 5-vertex path (diameter 4 → several propagation rounds), one
     // disjoint pair, and a triangle reachable only through chaining
