@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   *    swallowed into a fake fast time.
   */
 object Bench {
+  /** 1-minute load average, for the calibration fields (Linux only;
+    * absent proc → -1, never a failure). */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -47,8 +54,9 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // stable name order: consistent warmup attribution across rounds
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val loadStart = loadAvg()
+    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
@@ -63,6 +71,18 @@ object Bench {
       spark.catalog.clearCache()
       (name, sec, err)
     }
+    // stable name order: consistent warmup attribution across rounds
+    val results = selected.toSeq.sortBy(_._1).map((timed _).tupled)
+    // Calibration canary: re-run cheap reference queries at session END.
+    // In a clean session the warm re-run is ≤ the cold first run; an
+    // end/start ratio well ABOVE 1 (or a high loadavg) marks the window
+    // as contended by outside CPU load — BENCH_r05 was inflated ~1.6×
+    // by exactly that and nothing in the artifact said so. The fields
+    // let a reader reject a contended run without re-running it.
+    val calibNames = Seq("q05_topk", "q58_null_funcs")
+      .filter(selected.contains)
+    val calib = calibNames.map { n => (n, timed(n, selected(n))._2) }
+    val loadEnd = loadAvg()
     // The driver captures only a ~2000-char stdout TAIL: an 82-query
     // map under full names is ~2.8 KB, so ANY single line carrying it
     // loses its head and fails to parse (BENCH_r03/r04 both did). The
@@ -84,14 +104,25 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(key(k)) + ":" + jstr(e) }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    // calib entries are [first-run sec, end-of-session re-run sec]; a
+    // warm re-run above the cold first run flags outside contention
+    val calibJson =
+      if (calib.isEmpty) ""
+      else {
+        val cq = calib.map { case (n, end) =>
+          val start = results.find(_._1 == n).map(_._2).getOrElse(-1.0)
+          jstr(key(n)) + ":[" + r3(start) + "," + r3(end) + "]"
+        }.mkString("{", ",", "}")
+        s""","calib":$cq,"loadavg":[${r3(loadStart)},${r3(loadEnd)}]"""
+      }
     val total = r3(results.map(_._2).sum)
     val fullLine =
-      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort artifact; stdout is the contract
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

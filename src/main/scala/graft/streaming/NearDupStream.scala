@@ -99,11 +99,14 @@ object NearDupStream {
     * re-reads everything — correct but wasteful: replayed docs just
     * match their own buckets in state and drop).
     *
-    * `compactEvery = n > 0` rewrites the bucket state to ONE distinct
-    * sorted file-set after every n-th batch: the state dir otherwise
-    * gains a small file-set per micro-batch and the per-batch state
-    * scan degrades into a small-files problem after thousands of
-    * batches. Compaction also distinct-merges re-appended buckets, so
+    * `compactEvery = n > 0` (DEFAULT 16; 0 opts out) rewrites the
+    * bucket state to ONE distinct sorted file-set after every n-th
+    * batch: the state dir otherwise gains a small file-set per
+    * micro-batch and the per-batch state scan degrades into a
+    * small-files problem after thousands of batches — on by default
+    * because the rewrite costs nothing at small state and the
+    * unbounded-file-count foot-gun is silent. Compaction also
+    * distinct-merges re-appended buckets, so
     * the state is bounded by UNIQUE content, not batch count. The
     * swap is delete-then-move: a crash mid-swap can only LOSE bucket
     * state (future dups get admitted and the offline backstop removes
@@ -116,7 +119,7 @@ object NearDupStream {
       checkpoint: Option[Path] = None,
       ccMaxIter: Int = 20,
       onNonConvergence: NonConvergence = Fail,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 16): Unit = {
     val ckpt = checkpoint.getOrElse(
       Files.createTempDirectory("graft_ckpt_neardup"))
     val q = docs.writeStream

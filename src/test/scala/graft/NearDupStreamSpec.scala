@@ -220,6 +220,40 @@ class NearDupStreamSpec extends SparkSpec {
     assert(stateFiles == 1, s"state holds $stateFiles data files")
   }
 
+  test("default compaction (compactEvery=16) bounds state files over 18 batches") {
+    // 18 single-doc micro-batches through drain's DEFAULTS: compaction
+    // must fire on its own at batch 16 ((15+1) % 16 == 0), so the state
+    // dir ends bounded — one compacted file-set plus the ≤2 post-
+    // compaction appends — instead of one file-set per batch. Doc 18 is
+    // a near-dup of doc 1, proving the compacted+appended state still
+    // carries every earlier bucket.
+    val dir = Files.createTempDirectory("graft_neardup_dc_in")
+    val stateDir = Files.createTempDirectory("graft_neardup_dc_state")
+    val outDir = Files.createTempDirectory("graft_neardup_dc_out")
+    def text(i: Int) =
+      if (i == 1) base
+      else if (i == 18) base + " omega" // near-dup of doc 1
+      else (0 until 12).map(j => s"topic$i word$j body$i").mkString(" ")
+    (1 to 18).foreach { i =>
+      writeChunk(Seq(Doc(i.toLong, (1000 + i) * M, text(i))).toDS().toDF(),
+        dir, i - 1)
+    }
+    val docs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString).as[Doc]
+    NearDupStream.drain(spark, docs, stateDir, outDir) // defaults!
+    val kept = spark.read.parquet(outDir.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1 to 17).map(_.toLong).toSet, s"got $kept")
+    import scala.jdk.CollectionConverters._
+    val stateFiles = scala.util.Using.resource(Files.list(stateDir)) { s =>
+      s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    // 1 compacted set + 2 per-batch appends of ≤4 non-empty partitions
+    assert(stateFiles <= 9, s"state holds $stateFiles data files (expected ≤9)")
+  }
+
   test("persistent checkpoint: re-drain processes only new files") {
     val M = 60L * 1000000L
     val dir = Files.createTempDirectory("graft_neardup_inc")
