@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+
+/** Raw-corpus ingestion queries: the formats an LLM-data pipeline
+  * starts from, before any parquet exists. q46 round-trips the
+  * documents table through a gzip'd JSONL staging fixture and runs the
+  * standard first pass (exact dedup) over what the SOURCE parsed — the
+  * oracle recomputes from the original table, so any parse, coercion,
+  * or corrupt-row-handling defect in the source breaks the compare.
+  */
+object IngestQueries {
+
+  /** q46 — JSONL(.gz) ingest + exact dedup. The staged fixture
+    * deliberately exercises the source's lenient path:
+    *  - every 5th document writes `n_chars` as a JSON STRING (the
+    *    coercing schema must land it as a long anyway);
+    *  - every 97th line is corrupted into invalid JSON (PERMISSIVE
+    *    must turn it into a flagged null-row, not a job failure).
+    * The output is the keep-min-id exact dedup of the good rows plus
+    * the corrupt-line count as an audit column; the oracle mirrors
+    * the construction directly on the documents table.
+    *
+    * The returned frame is localCheckpoint-materialized (registry-
+    * tracked, released by the caller's releaseAll) so the temp staging
+    * directory can be deleted before the query returns.
+    */
+  val q46 = QuerySpec("q46_jsonl_ingest",
+    (s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val plain = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      val quotedN = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("string").as("n_chars")))
+      val lines = docs.select(
+        when(col("doc_id") % 97 === 0, concat(lit("{corrupt "), plain))
+          .when(col("doc_id") % 5 === 0, quotedN)
+          .otherwise(plain).as("value"))
+      val tmp = Files.createTempDirectory("graft_q46_jsonl")
+      lines.write.mode("overwrite").option("compression", "gzip")
+        .text(tmp.toString)
+      // tracked persist: (a) both consumers below (dedup + corrupt
+      // audit) reuse one gunzip+parse pass; (b) Spark refuses a raw
+      // JSON query whose pruned columns are ONLY the internal corrupt
+      // record column (the nCorrupt agg) — materializing first is the
+      // documented treatment.
+      val parsed = graft.CacheRegistry.persistTracked(
+        graft.sources.Sources.documentsFromJsonl(s, tmp.toString))
+      val deduped = parsed.where(!col("is_corrupt"))
+        .withColumn("fp", T.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .where(col("rn") === 1)
+        .select("doc_id", "source", "n_chars", "fp")
+      val nCorrupt = parsed
+        .agg(sum(col("is_corrupt").cast("long")).as("n_corrupt"))
+      val out = deduped.crossJoin(broadcast(nCorrupt)).orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      result
+    },
+    Some(raw"""
+WITH good AS (
+  SELECT doc_id, source, n_chars, text FROM documents WHERE doc_id % 97 <> 0
+), d AS (
+  SELECT doc_id, source, n_chars,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+    row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM good
+)
+SELECT doc_id, source, n_chars, fp,
+  (SELECT count(*) FROM documents WHERE doc_id % 97 = 0) AS n_corrupt
+FROM d WHERE rn = 1 ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q46)
+}

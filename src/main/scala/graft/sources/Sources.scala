@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.functions.Valuation
 
 /** Engine sources mirroring the reference's extract stage
@@ -121,6 +122,57 @@ object Sources {
       }
     }.toDF()
   }
+
+  /** S7 — line-delimited JSON corpus source (JSONL / NDJSON, the
+    * format raw LLM corpora actually arrive in — Common Crawl
+    * extracts, Dolma, RedPajama shards), with the same lenient
+    * treatment the CSV path gets:
+    *
+    *  - **coercing schema**: every field is first read as a string
+    *    (JSON numbers, booleans, and nested values all tolerate a
+    *    string read), then `try_cast` to the target type — so
+    *    `"n_chars": 123` and `"n_chars": "123"` both land as LongType,
+    *    and an uncastable value degrades to NULL instead of failing
+    *    the job;
+    *  - **PERMISSIVE malformed-line handling**: a syntactically bad
+    *    line becomes one null-row flagged `is_corrupt = true` (the
+    *    raw line is preserved in `corrupt_record` for quarantine
+    *    sinks) — one broken record in a 100 TB crawl must never kill
+    *    the ingest;
+    *  - **compression is transparent** by file extension (`.gz`,
+    *    `.bz2`, …) exactly as with any Hadoop text input.
+    *
+    * Scale shape: gzip members are non-splittable, so parallelism is
+    * per FILE — real corpora ship as many ~100 MB–1 GB shards and the
+    * scan parallelizes across them; the parse itself is a narrow
+    * per-partition pass, no shuffle.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      target: StructType): DataFrame = {
+    val stringSchema = StructType(
+      target.fields.map(f => StructField(f.name, StringType, nullable = true))
+        :+ StructField("_corrupt_record", StringType, nullable = true))
+    val raw = spark.read
+      .schema(stringSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    val coerced = target.fields.toSeq.map { f =>
+      expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
+    }
+    raw.select(coerced :+ col("_corrupt_record").isNotNull.as("is_corrupt")
+      :+ col("_corrupt_record").as("corrupt_record"): _*)
+  }
+
+  /** The `documents` table's schema, for JSONL ingest. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** [[readJsonl]] pre-targeted at the documents corpus schema. */
+  def documentsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    readJsonl(spark, path, documentsSchema)
 
   /** S4 — ordered, headered, single-file CSV sink
     * (`pipeline_job.py:130-142`): coalesce(1) + driver-side rename to

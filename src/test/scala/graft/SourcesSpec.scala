@@ -55,6 +55,40 @@ class SourcesSpec extends SparkSpec {
     assert(cleansed.count() == 3)
   }
 
+  test("S7: JSONL source — gzip, coercing schema, PERMISSIVE corrupt rows") {
+    import java.nio.file.{Files, Paths}
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft_jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}""",
+      // quoted number → coercing schema must still land a long
+      """{"doc_id": "2", "text": "gamma", "lang": "en", "source": "web", "n_chars": "5"}""",
+      // uncastable numeric → try_cast degrades that FIELD to null
+      """{"doc_id": 3, "text": "delta", "lang": "en", "source": "web", "n_chars": "many"}""",
+      // invalid JSON → PERMISSIVE null-row, flagged, raw line kept
+      """{broken json line""",
+      // missing fields → present ones parse, absent ones null
+      """{"doc_id": 5, "text": "epsilon"}""")
+    val out = new GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("part-0000.jsonl.gz")))
+    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    val got = Sources.documentsFromJsonl(spark, dir.toString)
+      .orderBy(org.apache.spark.sql.functions.asc_nulls_last("doc_id"))
+      .collect()
+    assert(got.length == 5)
+    assert(got(0).getAs[Long]("doc_id") == 1L && got(0).getAs[Long]("n_chars") == 10L)
+    assert(got(1).getAs[Long]("doc_id") == 2L && got(1).getAs[Long]("n_chars") == 5L)
+    assert(got(2).getAs[Long]("doc_id") == 3L && got(2).isNullAt(got(2).fieldIndex("n_chars")))
+    assert(got(3).getAs[Long]("doc_id") == 5L && got(3).isNullAt(got(3).fieldIndex("source")))
+    val corrupt = got(4)
+    assert(corrupt.isNullAt(corrupt.fieldIndex("doc_id")))
+    assert(corrupt.getAs[Boolean]("is_corrupt"))
+    assert(corrupt.getAs[String]("corrupt_record").startsWith("{broken"))
+    assert(got.take(4).forall(!_.getAs[Boolean]("is_corrupt")))
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
   test("S4: single-file ordered CSV sink writes one exact file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_out").toString
     val df = Seq((2, "b"), (1, "a")).toDF("k", "v").orderBy("k")
