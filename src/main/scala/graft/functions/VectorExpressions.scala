@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd dot product over two array<double> columns.
   *
@@ -495,6 +495,66 @@ case class CentroidDots(child: Expression, codebook: CodebookRef)
     copy(child = newChild)
 }
 
+/** Executor-side handle to a broadcast linear-model weight vector (the
+  * fastText-style hashed bag-of-words classifier): the weights ride a
+  * Torrent broadcast, never the expression tree — the plan is O(1) in
+  * the vocabulary dimension (same rationale as [[CodebookRef]]). */
+final class WeightsRef(val bc: Broadcast[Array[Double]]) extends Serializable {
+  @transient private lazy val w: Array[Double] = bc.value
+  def weights: Array[Double] = w
+  override def toString: String = s"weights[dim=${bc.value.length}]"
+}
+
+/** Σ weights[buckets[i]] over an array<long> of hashed-token buckets —
+  * the dot product of a hashed bag-of-words with a broadcast weight
+  * vector (bucket multiplicity IS the term count). Left-to-right
+  * accumulation in array order, so the DuckDB oracle's ordered
+  * list_sum is bit-identical. Out-of-range buckets contribute 0
+  * (defensive — producers bucket mod dim). Null array → null. */
+case class WeightSum(child: Expression, weights: WeightsRef)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "weight_sum"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val w = weights.weights
+    var acc = 0.0
+    var i = 0
+    while (i < xs.numElements()) {
+      val b = xs.getLong(i)
+      if (b >= 0 && b < w.length) acc += w(b.toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, classOf[WeightsRef].getName)
+    nullSafeCodeGen(ctx, ev, xs => {
+      val w = ctx.freshName("w")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+        |double[] $w = $ref.weights();
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $xs.numElements(); $i++) {
+        |  long $b = $xs.getLong($i);
+        |  if ($b >= 0 && $b < $w.length) { $acc += $w[(int) $b]; }
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be array<double>. */
   def dotProduct(a: Column, b: Column): Column =
@@ -528,4 +588,9 @@ object VectorExpressions {
   def pqAdc(codes: Column, lut: Column): Column =
     ExpressionUtils.column(
       PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut)))
+
+  /** Column API for [[WeightSum]]: buckets (array<long>) × broadcast
+    * weight vector. */
+  def weightSum(buckets: Column, weights: WeightsRef): Column =
+    ExpressionUtils.column(WeightSum(ExpressionUtils.expression(buckets), weights))
 }

@@ -613,7 +613,42 @@ FROM d JOIN f USING (source)
 ORDER BY doc_id
 """))
 
+  /** q47 — model-based quality filtering: hashed bag-of-words linear
+    * classifier (fastText-style), weights on a broadcast, scorer a
+    * single narrow codegen'd projection. The oracle recomputes every
+    * bucket (same md5 fold) and every weight (same index formula) and
+    * sums in the same token order — bit-identical logits.
+    */
+  val q47 = QuerySpec("q47_quality_classifier",
+    (s, dir) => graft.operators.QualityClassifier.score(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        graft.operators.QualityClassifier.demoWeights(1024))
+      .orderBy("doc_id"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), sc AS (
+  SELECT doc_id, len(toks) AS n,
+    coalesce(list_sum([
+      ((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1024)
+        * 2654435761 % 2001 - 1000) / 1000.0
+      FOR tok IN toks]), 0.0) AS raw
+  FROM t
+), p AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+    round(1.0 / (1.0 + exp(-(raw / greatest(CAST(n AS DOUBLE), 1.0)))), 6)
+      AS prob
+  FROM sc
+)
+SELECT doc_id, n_tokens, prob, prob >= 0.5 AS keep FROM p ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q41, q42, q78, q83, q85, q86, q87, q88, q90,
-      q94, q95)
+    Seq(q18, q19, q20, q21, q41, q42, q47, q78, q83, q85, q86, q87, q88,
+      q90, q94, q95)
 }
