@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed by per-partition batch workers.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub (`decodeStub`) — but everything
-  * Spark-cares-about is real: the binary column representation, the
-  * typed metadata struct, the case-class Encoders, the mapPartitions
-  * batch shape (one worker per partition, streaming iterator, no
-  * per-row JVM↔lib churn), and the partitioning (narrow — media bytes
-  * never shuffle; only extracted features move downstream).
+  * Two tiers of "decode" live here. PIXEL-level decode needs codec
+  * libraries the container lacks, so those steps are clearly-marked
+  * deterministic stubs (`decodeStub`, `frameSampleStub`,
+  * `byteHashStub`). HEADER-level decode is fully real:
+  * `parseImageHeader` reads actual PNG IHDR chunks and JPEG SOF
+  * segments (public byte formats, no library needed) from real
+  * containers built by `encodeImageStub`. Everything Spark-cares-about
+  * is real in both tiers: the binary column representation, the typed
+  * metadata struct, the case-class Encoders, the mapPartitions batch
+  * shape (one worker per partition, streaming iterator, no per-row
+  * JVM↔lib churn), and the partitioning (narrow — media bytes never
+  * shuffle; only extracted features move downstream).
   *
   * At 100 TB: media bytes live in parquet binary columns (or object
   * storage with a path column); feature extraction is a narrow
@@ -87,6 +92,144 @@ object Multimodal {
         val checksum =
           if (off < r.data.length) (r.data(off.toInt) & 0xff).toLong else -1L
         Frame(r.doc_id, i, off, checksum)
+      }
+    }
+  }
+
+  // ---- Real image-container codec (public formats: PNG, ISO JPEG) ----
+  //
+  // The pixel-decode stubs above stand in for codec libraries the
+  // container lacks; DIMENSION decoding needs no library at all — the
+  // PNG IHDR chunk and the JPEG SOF segment are ~60 lines of public
+  // byte format. encodeImageStub wraps each payload in a REAL header
+  // (PNG with a real CRC-32; JPEG with an APP0/JFIF segment the parser
+  // must skip over), and parseImageHeader reads it back the way any
+  // production header sniffer does: signature check + chunk/marker
+  // scan. The mapPartitions batch shape is identical to decodeStub's.
+
+  final case class ImageInfo(doc_id: Long, format: String, width: Int,
+      height: Int, channels: Int, n_bytes: Long)
+
+  private def be2(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+  private def be4(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** PNG signature + IHDR chunk (real CRC-32 over type+data), 33 bytes.
+    * channels → color type: 1→grayscale(0), 2→gray+alpha(4), 3→RGB(2),
+    * 4→RGBA(6). */
+  def pngHeader(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6
+    }
+    val typ = "IHDR".getBytes("US-ASCII")
+    val data = be4(w) ++ be4(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ); crc.update(data)
+    sig ++ be4(13) ++ typ ++ data ++ be4(crc.getValue.toInt)
+  }
+
+  /** JPEG SOI + APP0/JFIF + SOF0 (baseline), 33 bytes for 1 component /
+    * 39 for 3 — the APP0 segment exists so the parser has to do a real
+    * marker scan, not a fixed-offset read. */
+  def jpegHeader(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val app0 = Array(0xFF.toByte, 0xE0.toByte) ++ be2(16) ++
+      "JFIF\u0000".getBytes("US-ASCII") ++ Array[Byte](1, 1, 0) ++
+      be2(1) ++ be2(1) ++ Array[Byte](0, 0)
+    val comps = (1 to channels)
+      .flatMap(c => Array(c.toByte, 0x11.toByte, 0.toByte)).toArray
+    val sof = Array(0xFF.toByte, 0xC0.toByte) ++ be2(8 + 3 * channels) ++
+      Array[Byte](8) ++ be2(h) ++ be2(w) ++ Array(channels.toByte) ++ comps
+    Array(0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof
+  }
+
+  /** Real image-header parse: (format, width, height, channels), or
+    * None for anything that isn't a well-formed PNG/JPEG head.
+    *
+    * PNG: 8-byte signature, then the mandatory first chunk must be a
+    * 13-byte IHDR; width/height big-endian, color type → channel count.
+    * JPEG: SOI, then a standard marker scan (fill bytes and standalone
+    * RST/TEM markers handled, variable-length segments skipped by their
+    * declared length) to the first SOF0–SOF15 frame header (excluding
+    * DHT/JPG/DAC which share the 0xC* range), whose payload carries
+    * precision, height, width, component count. */
+  def parseImageHeader(data: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def rd2(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def rd4(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (data.length >= 33 && (0 until 8).forall(i => u8(i) == pngSig(i))) {
+      if (rd4(8) != 13 ||
+          !data.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII"))) None
+      else {
+        val w = rd4(16); val h = rd4(20)
+        val ch = u8(25) match {
+          case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+        }
+        if (w > 0 && h > 0 && ch > 0) Some(("png", w, h, ch)) else None
+      }
+    } else if (data.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      def isSof(m: Int): Boolean =
+        m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+      var pos = 2
+      var res: Option[(String, Int, Int, Int)] = None
+      var done = false
+      while (!done && res.isEmpty && pos + 1 < data.length) {
+        if (u8(pos) != 0xFF) done = true
+        else {
+          val m = u8(pos + 1)
+          if (m == 0xFF) pos += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) pos += 2 // standalone
+          else if (pos + 3 >= data.length) done = true
+          else {
+            val segLen = rd2(pos + 2)
+            if (segLen < 2) done = true
+            else if (isSof(m)) {
+              if (segLen >= 8 && pos + 9 < data.length) {
+                val h = rd2(pos + 5); val w = rd2(pos + 7); val ch = u8(pos + 9)
+                if (w > 0 && h > 0 && ch > 0) res = Some(("jpeg", w, h, ch))
+              }
+              done = true
+            } else pos += 2 + segLen
+          }
+        }
+      }
+      res
+    } else None
+  }
+
+  /** Wrap each payload in a REAL image container: PNG for even doc_id,
+    * JPEG for odd; dimensions from the record's meta; grayscale when
+    * the width is even, RGB otherwise. The original payload follows the
+    * header as the entropy-coded body would. Narrow per-partition pass;
+    * the synthesized corpus is what [[decodeImage]]'s oracle-checked
+    * parse runs against. */
+  def encodeImageStub(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ch = if (r.meta.width % 2 == 0) 1 else 3
+        val png = r.doc_id % 2 == 0
+        val hdr = if (png) pngHeader(r.meta.width, r.meta.height, ch)
+          else jpegHeader(r.meta.width, r.meta.height, ch)
+        r.copy(media_type = "image", data = hdr ++ r.data,
+          meta = r.meta.copy(codec = if (png) "png" else "jpeg"))
+      }
+    }
+  }
+
+  /** REAL dimension decode: parse each payload's PNG/JPEG header.
+    * Unparseable payloads are dropped (a production pipeline would
+    * route them to a quarantine sink). One narrow mapPartitions —
+    * bytes never shuffle, only the tiny parsed features move on. */
+  def decodeImage(media: Dataset[MediaRecord]): Dataset[ImageInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parseImageHeader(r.data).map { case (fmt, w, h, ch) =>
+          ImageInfo(r.doc_id, fmt, w, h, ch, r.data.length.toLong)
+        }
       }
     }
   }

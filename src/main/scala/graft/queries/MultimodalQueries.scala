@@ -5,29 +5,43 @@ import graft.{QuerySpec, Tables}
 import graft.operators.Multimodal
 
 /** Multimodal query inventory: binary payload + typed metadata through
-  * the mapPartitions decode/frame-sample stubs. The documents' text is
-  * ASCII, so the oracle recomputes byte arithmetic with ascii()/length.
+  * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
+  * plus the frame-sample/byte-hash pixel-level stubs (q39, q91). The
+  * documents' text is ASCII, so the stub oracles recompute byte
+  * arithmetic with ascii()/length.
   */
 object MultimodalQueries {
 
-  /** q38 — decode features per media record (binary column →
-    * mapPartitions batch worker → per-doc features). */
+  /** q38 — REAL image-header decode per media record: each payload is
+    * wrapped in a genuine PNG (signature + IHDR, real CRC-32) or JPEG
+    * (SOI + APP0 + SOF0) container, and the decode side recovers
+    * (format, width, height, channels) by actually parsing those bytes
+    * — signature check, chunk read, marker scan — in the same
+    * mapPartitions batch shape as the pixel-level stubs. The oracle
+    * recomputes the expected values from the documents table via the
+    * same derivations the encoder used (dims from n_chars, format from
+    * doc_id parity, header size 33/39 bytes by format/channels), so a
+    * parse defect at any byte offset breaks the compare. */
   val q38 = QuerySpec("q38_media_features",
-    (s, dir) => Multimodal.decodeStub(
-        Multimodal.ingest(Tables(s, dir, "documents")))
+    (s, dir) => Multimodal.decodeImage(
+        Multimodal.encodeImageStub(
+          Multimodal.ingest(Tables(s, dir, "documents"))))
       .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("brightness"),
+      .select(col("doc_id"), col("format"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        col("n_frames").cast("long").as("n_frames"))
+        col("channels").cast("long").as("channels"),
+        col("n_bytes"))
       .orderBy("doc_id"),
     Some(raw"""
 SELECT doc_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(list_sum([ascii(text[i]) FOR i IN range(1, least(length(text), 16) + 1)]) % 256 AS BIGINT) AS brightness,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
   CAST(n_chars % 640 + 64 AS BIGINT) AS width,
   CAST(n_chars % 480 + 48 AS BIGINT) AS height,
-  CAST(n_chars // 100 + 1 AS BIGINT) AS n_frames
+  CAST(CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+  CAST(octet_length(encode(text)) +
+    CASE WHEN doc_id % 2 = 0 THEN 33
+         WHEN n_chars % 2 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes
 FROM documents ORDER BY doc_id
 """))
 

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Real PNG/JPEG header codec: byte-level round trips, marker-scan
+  * robustness, and rejection of malformed heads. */
+class ImageHeaderSpec extends SparkSpec {
+
+  test("PNG round trip: signature + IHDR + CRC parse back exactly") {
+    for ((w, h, ch) <- Seq((64, 48, 1), (703, 527, 3), (1, 1, 4), (640, 480, 2))) {
+      val hdr = Multimodal.pngHeader(w, h, ch)
+      assert(hdr.length == 33)
+      assert(Multimodal.parseImageHeader(hdr ++ Array.fill[Byte](10)(42))
+        .contains(("png", w, h, ch)))
+    }
+  }
+
+  test("JPEG round trip: SOI + APP0 + SOF0 parse back exactly") {
+    for ((w, h, ch) <- Seq((64, 48, 1), (703, 527, 3), (65535, 1, 3))) {
+      val hdr = Multimodal.jpegHeader(w, h, ch)
+      assert(hdr.length == (if (ch == 1) 33 else 39))
+      assert(Multimodal.parseImageHeader(hdr ++ Array.fill[Byte](10)(42))
+        .contains(("jpeg", w, h, ch)))
+    }
+  }
+
+  test("JPEG marker scan skips extra segments, fill bytes, RST markers") {
+    val base = Multimodal.jpegHeader(320, 240, 3)
+    val (soi, rest) = base.splitAt(2)
+    // splice a COM segment, a fill byte, and a standalone RST0 before APP0
+    val com = Array(0xFF.toByte, 0xFE.toByte, 0x00.toByte, 0x06.toByte) ++
+      "test".getBytes("US-ASCII")
+    val extra = soi ++ com ++ Array(0xFF.toByte) ++
+      Array(0xFF.toByte, 0xD0.toByte) ++ rest
+    assert(Multimodal.parseImageHeader(extra).contains(("jpeg", 320, 240, 3)))
+  }
+
+  test("malformed heads are rejected, not mis-parsed") {
+    // truncated PNG (signature only), wrong first chunk, bad JPEG scan
+    assert(Multimodal.parseImageHeader(
+      Multimodal.pngHeader(10, 10, 3).take(20)).isEmpty)
+    val notIhdr = Multimodal.pngHeader(10, 10, 3)
+    notIhdr(13) = 'X'.toByte
+    assert(Multimodal.parseImageHeader(notIhdr).isEmpty)
+    assert(Multimodal.parseImageHeader(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0x00, 0x01, 0x02)).isEmpty) // non-marker byte after SOI
+    assert(Multimodal.parseImageHeader("plain text".getBytes).isEmpty)
+    assert(Multimodal.parseImageHeader(Array.empty[Byte]).isEmpty)
+  }
+
+  test("dataset decode recovers encoder dimensions over real containers") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "even id png gray", "en", "web", 16L),
+      (1L, "odd id jpeg here!", "en", "web", 17L),
+      (2L, "png again even n", "en", "web", 16L),
+      (3L, "jpeg odd n chars", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.decodeImage(
+        Multimodal.encodeImageStub(Multimodal.ingest(docs)))
+      .collect().map(i => i.doc_id -> i).toMap
+    assert(got.size == 4)
+    for ((id, i) <- got) {
+      val n = docs.where($"doc_id" === id).head.getAs[Long]("n_chars")
+      assert(i.format == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(i.width == (n % 640 + 64) && i.height == (n % 480 + 48))
+      assert(i.channels == (if (n % 2 == 0) 1 else 3))
+    }
+  }
+}
