@@ -363,6 +363,57 @@ object Dedup {
           i => element_at(col("toks"), i + 1))).as("clean_text"))
   }
 
+  /** Variable-length duplicated spans: merge the fixed-width duplicated
+    * gram positions (the same corpus-wide count ≥ 2 marking
+    * [[removeDupSpans]] uses) into MAXIMAL spans — the step from
+    * fixed-width excision toward Lee et al.'s "substrings of ≥ 50
+    * tokens": a long verbatim duplication shows up here as ONE
+    * (start, len) span, not len−n+1 separate marks, and `minLen`
+    * applies the paper's span-length threshold. Returns one row per
+    * (id, span_start, span_len).
+    *
+    * Scale shape: identical to [[removeDupSpans]] up to the per-doc
+    * position set (one gram-keyed shuffle + partitioning-reusing count
+    * join + one doc-keyed aggregation); the merge itself is a NARROW
+    * per-row array pass — covered positions of ascending-start
+    * fixed-width ranges dedup to an ascending array, so span starts
+    * are the elements with no predecessor and span ends the elements
+    * with no successor, each found by one O(L) indexed filter (no
+    * second window shuffle, no O(L²) membership scans).
+    */
+  def dupSpanRanges(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minLen: Int = 1): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.repartition(par).select(col(idCol).as("id"),
+      T.tokens(T.normalizeText(col(textCol))).as("toks"))
+    val grams = graft.CacheRegistry.persistTracked(
+      toks.select(col("id"),
+          posexplode(T.wordShingles(col("toks"), n)).as(Seq("pos", "g")))
+        .select(col("id"), col("pos"), md5(col("g")).as("h")))
+    val counts = grams.groupBy("h").agg(count(lit(1)).as("c"))
+    val dupPos = grams.join(counts, "h").where(col("c") > 1)
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    // ascending starts of width-n ranges flatten+dedup to an ASCENDING
+    // covered array (each range only appends values above the running
+    // max), so boundary detection is pure index arithmetic. when()
+    // guards keep try_element_at's index strictly in [1, size].
+    val cov = dupPos.select(col("id"),
+      array_distinct(flatten(transform(col("ps"),
+        p => sequence(p, p + n - 1)))).as("cov"))
+    cov
+      .withColumn("starts", filter(col("cov"), (x, i) =>
+        when(i === 0, lit(true))
+          .otherwise(try_element_at(col("cov"), i) =!= x - 1)))
+      .withColumn("ends", filter(col("cov"), (x, i) =>
+        when(i === size(col("cov")) - 1, lit(true))
+          .otherwise(try_element_at(col("cov"), i + lit(2)) =!= x + 1)))
+      .select(col("id"),
+        explode(arrays_zip(col("starts"), col("ends"))).as("sp"))
+      .select(col("id"), col("sp.starts").cast("long").as("span_start"),
+        (col("sp.ends") - col("sp.starts") + 1).cast("long").as("span_len"))
+      .where(col("span_len") >= minLen)
+  }
+
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are
     * blocked on the md5 of their first `prefixTokens` normalized tokens;
     * only within-block pairs are scored. Blocking bounds the candidate

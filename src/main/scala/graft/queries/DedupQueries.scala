@@ -480,5 +480,72 @@ SELECT CASE WHEN ha THEN b ELSE a END AS train_id,
 FROM leaks WHERE ha <> hb ORDER BY train_id, holdout_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q43, q89, q92, q96, q97)
+  /** Shared oracle CTEs for the variable-length span queries (q48,
+    * q49): corpus-wide duplicated 4-gram positions widened to covered
+    * token positions, then merged into maximal spans by the classic
+    * gaps-and-islands grouping — the SQL mirror of the engine's
+    * narrow array-boundary pass (`Dedup.dupSpanRanges`). */
+  private val sqlSpanCtes = raw"""t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 4)
+), c AS (
+  SELECT h, count(*) AS c FROM g GROUP BY h
+), cov AS (
+  SELECT DISTINCT doc_id, pos + o.o AS p
+  FROM (SELECT doc_id, pos FROM g JOIN c USING (h) WHERE c.c > 1),
+       (SELECT unnest(range(0, 4)) AS o) o
+), isl AS (
+  SELECT doc_id, p,
+    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+), spans AS (
+  SELECT doc_id AS id, CAST(min(p) AS BIGINT) AS span_start,
+    CAST(max(p) - min(p) + 1 AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+  /** q48 — maximal duplicated spans per document: adjacent duplicated
+    * 4-gram positions merged into variable-length (start, len) spans
+    * (Lee et al.'s span view, vs q43's fixed-width excision and q96's
+    * scalar fraction). The oracle reconstructs identical spans via
+    * window-function gaps-and-islands; the engine does it with one
+    * narrow indexed array pass — same rows, two very different plans.
+    */
+  val q48 = QuerySpec("q48_dup_span_merge",
+    (s, dir) => Dedup.dupSpanRanges(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 4)
+      .orderBy("id", "span_start"),
+    Some(raw"""
+WITH $sqlSpanCtes
+SELECT id, span_start, span_len FROM spans ORDER BY id, span_start
+"""))
+
+  /** q49 — span-length histogram over q48's maximal spans: how much
+    * duplicated mass sits in long verbatim runs vs short incidental
+    * overlaps — the distribution that motivates a ≥ 50-token removal
+    * threshold. Tiny aggregate over the span stream. */
+  val q49 = QuerySpec("q49_span_histogram",
+    (s, dir) => Dedup.dupSpanRanges(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 4)
+      .groupBy("span_len")
+      .agg(count(lit(1)).as("n_spans"),
+        (count(lit(1)) * col("span_len")).as("tokens_covered"))
+      .orderBy("span_len"),
+    Some(raw"""
+WITH $sqlSpanCtes
+SELECT span_len, count(*) AS n_spans,
+  CAST(count(*) * span_len AS BIGINT) AS tokens_covered
+FROM spans GROUP BY span_len ORDER BY span_len
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96, q97)
 }

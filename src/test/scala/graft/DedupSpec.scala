@@ -81,6 +81,34 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("dupSpanRanges merges adjacent duplicated grams into maximal spans") {
+    try {
+      // docs 1/2 share one 4-gram → one width-4 span each; doc 3's
+      // whole text duplicates doc 4's → every gram dup'd, ONE maximal
+      // span covering the doc (not 5 width-4 marks); doc 5 has TWO
+      // disjoint duplicated regions → two spans with a gap between
+      val d = Seq(
+        (1L, "a1 a2 x1 x2 x3 x4 a3"),
+        (2L, "x1 x2 x3 x4 b1 b2"),
+        (3L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+        (4L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+        (5L, "x1 x2 x3 x4 q1 q2 q3 q4 q5 s1 s2 s3 s4 s5 s6 s7 s8"),
+        (6L, "clean doc nothing shared here")).toDF("doc_id", "text")
+      val got = Dedup.dupSpanRanges(d, "doc_id", "text", n = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_len"))).toSet
+      assert(got == Set(
+        (1L, 2L, 4L), (2L, 0L, 4L),
+        (3L, 0L, 8L), (4L, 0L, 8L),
+        (5L, 0L, 4L), (5L, 9L, 8L)))
+      // the paper's ≥-threshold view: only long spans survive minLen
+      val long = Dedup.dupSpanRanges(d, "doc_id", "text", n = 4, minLen = 5)
+        .collect().map(r => r.getAs[Long]("id")).toSet
+      assert(long == Set(3L, 4L, 5L))
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("connected components leaves ZERO persistent blocks after release") {
     // the r4 packed-bench interference band: CC's per-round
     // localCheckpoint blocks (MEMORY_AND_DISK) outlived the query and
