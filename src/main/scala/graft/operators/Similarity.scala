@@ -190,6 +190,17 @@ object Similarity {
     * seed set (`trainCodebook`'s iters=0 state) so the oracle can
     * replay it; production swaps in the Lloyd-trained book, same plan.
     */
+  /** The production cell count for [[semanticDedup]] / IVF blocking:
+    * k ∝ N so the average cell holds `targetCellSize` vectors and the
+    * within-cell candidate square stays CONSTANT as the corpus grows —
+    * with fixed k, cells grow linearly with N and the pairwise pass
+    * grows quadratically (measured: the r6 sf10 probe — fixed k=16 at
+    * 100× vectors ran 19× the 10× cost; k = n/125 restored linear,
+    * see PLANS.md). The registry query pins k=16 only so the DuckDB
+    * oracle's recursive CTE stays replayable at test scale. */
+  def cellsFor(n: Long, targetCellSize: Int = 128): Int =
+    math.max(1, (n / math.max(1, targetCellSize)).toInt)
+
   def semanticDedup(emb: DataFrame, k: Int, tau: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
