@@ -6,11 +6,12 @@ import graft.{QuerySpec, Tables}
 import graft.functions.{Text => T}
 
 /** Raw-corpus ingestion queries: the formats an LLM-data pipeline
-  * starts from, before any parquet exists. q46 round-trips the
-  * documents table through a gzip'd JSONL staging fixture and runs the
-  * standard first pass (exact dedup) over what the SOURCE parsed — the
-  * oracle recomputes from the original table, so any parse, coercion,
-  * or corrupt-row-handling defect in the source breaks the compare.
+  * starts from, before any parquet exists — WET/WARC shards (q22) and
+  * JSONL (q46). Each round-trips the documents table through a gzip'd
+  * staging fixture and runs a first pass over what the SOURCE parsed —
+  * the oracle recomputes from the original table, so any framing,
+  * parse, coercion, or corrupt-row-handling defect in the source
+  * breaks the compare.
   */
 object IngestQueries {
 
@@ -79,5 +80,70 @@ SELECT doc_id, source, n_chars, fp,
 FROM d WHERE rn = 1 ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q46)
+  /** q22 — WET (WARC) corpus ingest: the Common Crawl text-extract
+    * format. The staged shard exercises the parser's byte-level
+    * framing guarantees:
+    *  - a `warcinfo` file-header record precedes the documents (the
+    *    query must filter it by record type, as real WET consumers
+    *    do);
+    *  - every 7th document's payload contains BLANK LINES (framing is
+    *    Content-Length-driven — a content-scanning parser would split
+    *    the record there);
+    *  - every 11th document's payload ends with a multi-byte UTF-8
+    *    character (byte-accurate lengths — a char-counting parser
+    *    slices one short).
+    * Output is one row per conversion record with the doc id parsed
+    * back out of the target URI, the declared content length, and the
+    * payload md5; the oracle rebuilds payloads from the documents
+    * table and recomputes both.
+    */
+  val q22 = QuerySpec("q22_wet_ingest",
+    (s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val staged = docs
+        .withColumn("body", concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit("\nline2\n\nline4"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("⋯")).otherwise(lit(""))))
+        .select(col("doc_id").as("ord"), concat(
+          lit("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            "WARC-Target-URI: http://example.com/doc/"),
+          col("doc_id").cast("string"),
+          lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+          expr("octet_length(body)").cast("string"),
+          lit("\r\n\r\n"), col("body"), lit("\r\n")).as("value"))
+      val warcinfo = s.range(1).select(lit(-1L).as("ord"),
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 25\r\n" +
+          "\r\nsoftware: graft-wet-stage\r\n").as("value"))
+      val tmp = Files.createTempDirectory("graft_q22_wet")
+      warcinfo.unionByName(staged).orderBy("ord").select("value")
+        .coalesce(1).write.mode("overwrite").option("compression", "gzip")
+        .text(tmp.toString)
+      val parsed = graft.sources.Sources.readWet(s, tmp.toString)
+      val out = parsed.where(col("record_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content_length"),
+          md5(col("body")).as("fp"))
+        .orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      result
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(octet_length(encode(body)) AS BIGINT) AS content_length,
+  md5(body) AS fp
+FROM (SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'line2' || chr(10) || chr(10) || 'line4'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN '⋯' ELSE '' END AS body
+  FROM documents)
+ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q22, q46)
 }

@@ -174,6 +174,88 @@ object Sources {
   def documentsFromJsonl(spark: SparkSession, path: String): DataFrame =
     readJsonl(spark, path, documentsSchema)
 
+  /** One parsed WET record: the WARC header fields a curation pipeline
+    * keys on, plus the payload. */
+  final case class WetRecord(record_type: String, target_uri: String,
+      warc_date: String, content_length: Long, body: String)
+
+  /** Byte-level WET/WARC record parser (ISO 28500 framing, the format
+    * Common Crawl text extracts ship in): each record is a
+    * `WARC/x.y` version line, CRLF (or LF) header lines to a blank
+    * line, then EXACTLY `Content-Length` BYTES of payload. The parser
+    * is byte-accurate — multi-byte UTF-8 payloads and payloads
+    * containing blank lines slice correctly because framing is driven
+    * by the declared length, never by content scanning. Malformed
+    * framing degrades, never throws: leading garbage is skipped to
+    * the next `WARC/` line; a record with missing/invalid
+    * Content-Length or a truncated payload ends the file's parse with
+    * the records already recovered.
+    */
+  def parseWet(content: String): Seq[WetRecord] = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[WetRecord]
+    var pos = 0
+    // next LF-terminated line from `pos` (CR stripped): (text, nextPos)
+    def line(p: Int): (String, Int) = {
+      var e = p
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      val cut = if (e > p && bytes(e - 1) == '\r') e - 1 else e
+      (new String(bytes, p, cut - p,
+        java.nio.charset.StandardCharsets.UTF_8), math.min(e + 1, bytes.length))
+    }
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // seek the next version line, tolerating inter-record blank
+      // lines and any leading garbage
+      var (l, next) = line(pos)
+      while (!l.startsWith("WARC/") && next < bytes.length) {
+        val t = line(next); l = t._1; next = t._2
+      }
+      if (!l.startsWith("WARC/")) ok = false
+      else {
+        var headers = Map.empty[String, String]
+        var done = false
+        while (!done && next < bytes.length) {
+          val (h, n2) = line(next); next = n2
+          if (h.isEmpty) done = true
+          else h.indexOf(':') match {
+            case -1 => // tolerated: non-header line inside the block
+            case i => headers += (h.take(i).trim.toLowerCase -> h.drop(i + 1).trim)
+          }
+        }
+        val len = headers.get("content-length").flatMap(_.toLongOption)
+        len match {
+          case Some(n) if done && next + n <= bytes.length =>
+            out += WetRecord(
+              headers.getOrElse("warc-type", ""),
+              headers.getOrElse("warc-target-uri", ""),
+              headers.getOrElse("warc-date", ""),
+              n,
+              new String(bytes, next, n.toInt,
+                java.nio.charset.StandardCharsets.UTF_8))
+            pos = next + n.toInt
+          case _ => ok = false // unframed or truncated: stop this file
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** S8 — WET corpus source: WARC/WET shards → one row per record.
+    * Gzip is transparent by extension; each (typically ~150 MB) shard
+    * is read whole and parsed by one task — exactly the
+    * per-file parallelism real WET processing uses (shard counts are
+    * in the tens of thousands at crawl scale, so the cluster stays
+    * saturated; the parse itself is a narrow pass and raw payloads
+    * never shuffle). `warcinfo` file-header records are kept (callers
+    * filter on record_type = 'conversion' for documents).
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .as[String].flatMap(parseWet _).toDF()
+  }
+
   /** S4 — ordered, headered, single-file CSV sink
     * (`pipeline_job.py:130-142`): coalesce(1) + driver-side rename to
     * the exact target path, plus an optional dated copy. Deliberately

@@ -89,6 +89,31 @@ class SourcesSpec extends SparkSpec {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  test("S8: WET parser — byte framing, blank-line bodies, degradation") {
+    // two records with CRLF framing; first body CONTAINS a blank line
+    // and a 3-byte UTF-8 char (length-driven slicing must not care)
+    val b1 = "para one\n\npara two ⋯"
+    val n1 = b1.getBytes("UTF-8").length
+    val wet = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n" +
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/1\r\n" +
+      s"WARC-Date: d1\r\nContent-Length: $n1\r\n\r\n$b1\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/2\r\n" +
+      "Content-Length: 5\r\n\r\nhello\r\n"
+    val recs = Sources.parseWet(wet)
+    assert(recs.map(_.record_type) == Seq("warcinfo", "conversion", "conversion"))
+    assert(recs(1).body == b1 && recs(1).content_length == n1)
+    assert(recs(1).target_uri == "http://a/1" && recs(1).warc_date == "d1")
+    assert(recs(2).body == "hello")
+    // LF-only framing parses too (lenient, like real-world tooling)
+    assert(Sources.parseWet(
+      "WARC/1.0\nContent-Length: 2\n\nok\n").head.body == "ok")
+    // leading garbage is skipped to the first version line
+    assert(Sources.parseWet("junk\nmore junk\n" + wet).size == 3)
+    // truncated payload / missing length: keep what parsed, stop clean
+    assert(Sources.parseWet(wet + "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort").size == 3)
+    assert(Sources.parseWet("WARC/1.0\r\nWARC-Type: x\r\n\r\nbody").isEmpty)
+  }
+
   test("S4: single-file ordered CSV sink writes one exact file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_out").toString
     val df = Seq((2, "b"), (1, "a")).toDF("k", "v").orderBy("k")
