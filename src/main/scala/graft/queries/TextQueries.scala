@@ -648,7 +648,59 @@ WITH t AS (
 SELECT doc_id, n_tokens, prob, prob >= 0.5 AS keep FROM p ORDER BY doc_id
 """))
 
+  /** q23 — LM perplexity scoring (the CCNet fluency filter): bigram
+    * add-one LM trained on the deterministic reference subset
+    * (doc_id % 10 = 0), every document scored by mean bigram log-prob
+    * and ppl = exp(−mean). The per-doc sum folds (position, logp)
+    * pairs in position order on both engines, so the doubles agree
+    * bit-for-bit before rounding.
+    */
+  val q23 = QuerySpec("q23_lm_perplexity",
+    (s, dir) => graft.operators.LmScore.perplexity(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 10 === 0)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks,
+    doc_id % 10 = 0 AS is_ref
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM t WHERE is_ref) GROUP BY w1
+), v AS (SELECT count(*) AS v FROM uni),
+bi AS (
+  SELECT g, count(*) AS c2
+  FROM (SELECT toks[i] || ' ' || toks[i+1] AS g
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE is_ref))
+  GROUP BY g
+), s AS (
+  SELECT doc_id, i, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+), j AS (
+  SELECT s.doc_id, s.i,
+    ln(CAST(coalesce(bi.c2, 0) + 1 AS DOUBLE) / (coalesce(uni.c1, 0) + v.v))
+      AS lp
+  FROM s LEFT JOIN bi ON s.g = bi.g LEFT JOIN uni ON s.w1 = uni.w1, v
+), p AS (
+  SELECT doc_id, count(*) AS n, list_sum(list(lp ORDER BY i)) AS sm
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(p.n, 0) AS n_bigrams,
+  round(coalesce(p.sm / p.n, 0.0), 6) AS avg_logp,
+  round(exp(-coalesce(p.sm / p.n, 0.0)), 6) AS ppl
+FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q41, q42, q47, q78, q83, q85, q86, q87, q88,
-      q90, q94, q95)
+    Seq(q18, q19, q20, q21, q23, q41, q42, q47, q78, q83, q85, q86, q87,
+      q88, q90, q94, q95)
 }
