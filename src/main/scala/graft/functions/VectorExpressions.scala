@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Codegen'd dot product over two array<double> columns.
   *
@@ -555,6 +555,63 @@ case class WeightSum(child: Expression, weights: WeightsRef)
     copy(child = newChild)
 }
 
+/** Executor-side handle to a broadcast Bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter` — Spark's public sketch,
+  * Murmur3 with a fixed seed, so probes are deterministic across runs
+  * and partitionings). Same plan-size rationale as [[CodebookRef]]:
+  * the filter bits ride a Torrent broadcast, never the expression
+  * tree. */
+final class BloomRef(val bc: Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends Serializable {
+  @transient private lazy val b: org.apache.spark.util.sketch.BloomFilter = bc.value
+  def bloom: org.apache.spark.util.sketch.BloomFilter = b
+  override def toString: String = s"bloom[${bc.value.bitSize()} bits]"
+}
+
+/** Count of array<string> elements the broadcast Bloom filter MIGHT
+  * contain. The whole membership pass is one narrow codegen'd loop per
+  * row — no explode, no shuffle, no join — which is the point of the
+  * Bloom variant: probing is local even when the reference set itself
+  * is distributed. Null array → null. */
+case class BloomHitCount(child: Expression, bloom: BloomRef)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_hit_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val bf = bloom.bloom
+    var c = 0
+    var i = 0
+    while (i < xs.numElements()) {
+      if (bf.mightContainString(xs.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, classOf[BloomRef].getName)
+    nullSafeCodeGen(ctx, ev, xs => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+        |int $c = 0;
+        |for (int $i = 0; $i < $xs.numElements(); $i++) {
+        |  if ($ref.bloom().mightContainString($xs.getUTF8String($i).toString())) $c++;
+        |}
+        |${ev.value} = $c;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be array<double>. */
   def dotProduct(a: Column, b: Column): Column =
@@ -593,4 +650,9 @@ object VectorExpressions {
     * weight vector. */
   def weightSum(buckets: Column, weights: WeightsRef): Column =
     ExpressionUtils.column(WeightSum(ExpressionUtils.expression(buckets), weights))
+
+  /** Column API for [[BloomHitCount]]: array<string> × broadcast
+    * Bloom filter. */
+  def bloomHitCount(values: Column, bloom: BloomRef): Column =
+    ExpressionUtils.column(BloomHitCount(ExpressionUtils.expression(values), bloom))
 }

@@ -314,6 +314,42 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s scale variant
+    * for when the benchmark n-gram set is too big to broadcast as an
+    * exact set (a full eval-suite sweep at 13-grams runs to 10⁸+
+    * grams; an exact string set is GBs, the Bloom filter at fpp=1e-6
+    * is ~29 bits/item). The filter is built distributed
+    * (`stat.bloomFilter` — one aggregate over the benchmark side),
+    * ships once per executor via Torrent broadcast, and the corpus
+    * probe is a single NARROW codegen'd pass (`BloomHitCount` over
+    * each doc's distinct-gram array — no explode, no join, no
+    * shuffle at all on the corpus side, vs the broadcast-semi-join
+    * exchange the exact path pays).
+    *
+    * Contract (Bloom semantics, deterministic because Spark's sketch
+    * uses fixed-seed Murmur3): NO false negatives —
+    * `n_bloom_hits ≥` the exact overlap count always; false positives
+    * at ≈ fpp per clean gram. Returns
+    * (id, n_grams, n_bloom_hits, flagged). */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 13,
+      fpp: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.graftvec.{BloomRef, VectorExpressions}
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(shingleSet(col(textCol), shingleN)).as("g"))
+      .select(md5(col("g")).as("h")).distinct()
+    val bf = benchGrams.stat.bloomFilter("h",
+      math.max(1L, benchGrams.count()), fpp)
+    val ref = new BloomRef(spark.sparkContext.broadcast(bf))
+    corpus.select(col(idCol).as("id"),
+        transform(shingleSet(col(textCol), shingleN), g => md5(g)).as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("n_grams"),
+        VectorExpressions.bloomHitCount(col("hs"), ref).cast("long")
+          .as("n_bloom_hits"))
+      .withColumn("flagged", col("n_bloom_hits") > 0)
+  }
+
   /** Substring-level dedup TRANSFORM (à la "Deduplicating Training
     * Data Makes Language Models Better"): excise every token window
     * of width `n` that occurs more than once in the whole corpus,

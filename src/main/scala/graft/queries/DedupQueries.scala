@@ -480,6 +480,71 @@ SELECT CASE WHEN ha THEN b ELSE a END AS train_id,
 FROM leaks WHERE ha <> hb ORDER BY train_id, holdout_id
 """))
 
+  /** q25 — Bloom-filter decontamination (`Dedup.bloomDecontaminate`):
+    * the q92 semantics with the benchmark grams in a broadcast BLOOM
+    * FILTER instead of an exact set — the 100 TB configuration where
+    * the eval-suite gram set no longer fits an exact broadcast, and
+    * the corpus-side probe becomes one narrow codegen'd array pass
+    * (zero corpus shuffle). Bloom probes aren't DuckDB-replayable, so
+    * the oracle checks the q62-style error CONTRACT: exact overlap
+    * counts (recomputed exactly), the no-false-negative bound
+    * (n_bloom ≥ n_exact — a hard Bloom guarantee, deterministic
+    * because Spark's sketch hashes with fixed-seed Murmur3), and a
+    * corpus-level false-positive-rate bound at 1000× fpp slack
+    * (expected spurious hits at fpp=1e-6 over this corpus: ≪ 1).
+    */
+  val q25 = QuerySpec("q25_bloom_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      val bloom = Dedup.bloomDecontaminate(corpus, bench,
+        "doc_id", "text", shingleN = 4, fpp = 1e-6)
+      val exact = Dedup.decontaminate(corpus, bench,
+          "doc_id", "text", shingleN = 4)
+        .select(col("id"), col("n_hit").as("n_exact"))
+      val joined = bloom.join(exact, Seq("id"))
+      val fpOk = joined.agg(
+        (sum(col("n_bloom_hits")) - sum(col("n_exact")) <=
+          greatest(lit(1.0),
+            (sum(col("n_grams")) - sum(col("n_exact"))) * 0.001))
+          .as("fp_rate_ok"))
+      joined.crossJoin(broadcast(fpOk))
+        .select(col("id"), col("n_grams"), col("n_exact"),
+          (col("n_bloom_hits") >= col("n_exact")).as("no_false_neg"),
+          col("fp_rate_ok"))
+        .orderBy("id")
+    },
+    Some(raw"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM tok WHERE len(toks) >= 4)
+), ng AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+), bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM sh s JOIN bench USING (h) WHERE s.doc_id % 97 <> 0 GROUP BY 1
+)
+SELECT d.doc_id AS id,
+  coalesce(g.n_grams, 0) AS n_grams,
+  coalesce(h.n_hit, 0) AS n_exact,
+  true AS no_false_neg,
+  true AS fp_rate_ok
+FROM documents d
+LEFT JOIN ng g ON d.doc_id = g.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0 ORDER BY id
+"""))
+
   /** Shared oracle CTEs for the variable-length span queries (q48,
     * q49): corpus-wide duplicated 4-gram positions widened to covered
     * token positions, then merged into maximal spans by the classic
@@ -547,5 +612,5 @@ FROM spans GROUP BY span_len ORDER BY span_len
 """))
 
   val all: Seq[QuerySpec] =
-    Seq(q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96, q97)
+    Seq(q25, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96, q97)
 }

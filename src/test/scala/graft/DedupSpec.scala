@@ -109,6 +109,36 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("bloomDecontaminate: superset of exact hits, zero-shuffle probe") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),          // shares "w1 w2 w3 w4" with bench
+      (2L, "n1 n2 n3 n4 n5 n6"),       // clean
+      (3L, "w2 w3 w4 w5 extra"),       // shares "w2 w3 w4 w5"
+      (100L, "w1 w2 w3 w4 w5 bench")).toDF("doc_id", "text")
+    val corpus = docs.where(org.apache.spark.sql.functions.col("doc_id") < 100)
+    val bench = docs.where(org.apache.spark.sql.functions.col("doc_id") === 100)
+    val got = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
+      shingleN = 4, fpp = 1e-6)
+    // plan shape asserted on a range leaf (a LocalRelation fixture
+    // constant-folds the whole probe away)
+    import org.apache.spark.sql.functions.{col => c, concat_ws, lit}
+    val rangeDocs = spark.range(8).select(c("id").as("doc_id"),
+      concat_ws(" ", lit("t1 t2 t3 t4"), c("id").cast("string")).as("text"))
+    val plan = Dedup.bloomDecontaminate(rangeDocs, bench, "doc_id", "text",
+      shingleN = 4, fpp = 1e-6).queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_hit_count") && !plan.contains("Exchange"),
+      "probe must be one narrow pass")
+    val rows = got.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom_hits"),
+        r.getAs[Boolean]("flagged")))).toMap
+    // exact overlaps: doc1 has 2 bench grams, doc3 has 1, doc2 zero;
+    // bloom may only ADD hits (at fpp=1e-6 on ≤3 grams: none expected)
+    assert(rows(1L)._2 >= 2 && rows(1L)._3)
+    assert(rows(3L)._2 >= 1 && rows(3L)._3)
+    assert(rows(2L)._1 == 3L && rows(2L)._2 <= 3L)
+    CacheRegistry.releaseAll()
+  }
+
   test("connected components leaves ZERO persistent blocks after release") {
     // the r4 packed-bench interference band: CC's per-round
     // localCheckpoint blocks (MEMORY_AND_DISK) outlived the query and
