@@ -336,9 +336,11 @@ object Dedup {
       fpp: Double = 1e-6): DataFrame = {
     import org.apache.spark.sql.graftvec.{BloomRef, VectorExpressions}
     val spark = corpus.sparkSession
-    val benchGrams = benchmark
-      .select(explode(shingleSet(col(textCol), shingleN)).as("g"))
-      .select(md5(col("g")).as("h")).distinct()
+    // tracked persist: the sizing count and the filter-build aggregate
+    // both scan the exploded benchmark grams
+    val benchGrams = graft.CacheRegistry.persistTracked(
+      benchmark.select(explode(shingleSet(col(textCol), shingleN)).as("g"))
+        .select(md5(col("g")).as("h")).distinct())
     val bf = benchGrams.stat.bloomFilter("h",
       math.max(1L, benchGrams.count()), fpp)
     val ref = new BloomRef(spark.sparkContext.broadcast(bf))

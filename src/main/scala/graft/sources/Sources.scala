@@ -147,22 +147,42 @@ object Sources {
     * scan parallelizes across them; the parse itself is a narrow
     * per-partition pass, no shuffle.
     */
-  def readJsonl(spark: SparkSession, path: String,
-      target: StructType): DataFrame = {
-    val stringSchema = StructType(
+  private def jsonlStringSchema(target: StructType): StructType =
+    StructType(
       target.fields.map(f => StructField(f.name, StringType, nullable = true))
         :+ StructField("_corrupt_record", StringType, nullable = true))
-    val raw = spark.read
-      .schema(stringSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+
+  private def coerceJsonl(raw: DataFrame, target: StructType): DataFrame = {
     val coerced = target.fields.toSeq.map { f =>
       expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
     }
     raw.select(coerced :+ col("_corrupt_record").isNotNull.as("is_corrupt")
       :+ col("_corrupt_record").as("corrupt_record"): _*)
   }
+
+  def readJsonl(spark: SparkSession, path: String,
+      target: StructType): DataFrame =
+    coerceJsonl(spark.read
+      .schema(jsonlStringSchema(target))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path), target)
+
+  /** Streaming twin of [[readJsonl]] — tail a JSONL landing directory
+    * as a file-stream source with the SAME coercing-schema and
+    * corrupt-row contract: a malformed line in an arriving shard
+    * becomes one flagged null-row in that micro-batch (quarantine it
+    * from the stream; never a query failure). Feeds the streaming
+    * dedup/session operators directly. */
+  def streamJsonl(spark: SparkSession, path: String,
+      target: StructType = documentsSchema,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    coerceJsonl(spark.readStream
+      .schema(jsonlStringSchema(target))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path), target)
 
   /** The `documents` table's schema, for JSONL ingest. */
   val documentsSchema: StructType = StructType(Seq(
