@@ -117,8 +117,13 @@ FROM d WHERE rn = 1 ORDER BY doc_id
         lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 25\r\n" +
           "\r\nsoftware: graft-wet-stage\r\n").as("value"))
       val tmp = Files.createTempDirectory("graft_q22_wet")
-      warcinfo.unionByName(staged).orderBy("ord").select("value")
-        .coalesce(1).write.mode("overwrite").option("compression", "gzip")
+      // multi-shard staging: records are self-contained, so any
+      // row→file assignment yields valid shards — and the source's
+      // per-FILE parallelism (the real WET layout: thousands of
+      // ~150 MB shards) is actually exercised instead of one task
+      // parsing the whole corpus
+      warcinfo.unionByName(staged).repartition(8).select("value")
+        .write.mode("overwrite").option("compression", "gzip")
         .text(tmp.toString)
       val parsed = graft.sources.Sources.readWet(s, tmp.toString)
       val out = parsed.where(col("record_type") === "conversion")
