@@ -43,18 +43,28 @@ object QualityClassifier {
   def demoWeights(dim: Int): Array[Double] =
     Array.tabulate(dim)(b => ((b.toLong * 2654435761L) % 2001L - 1000L) / 1000.0)
 
+  /** The classifier probability as a plain COLUMN (rounded to 6), so
+    * composed pipelines can inline the scorer into their own narrow
+    * projection. Broadcasts `weights` on first use of the returned
+    * column's plan. */
+  def probCol(spark: org.apache.spark.sql.SparkSession, text: Column,
+      weights: Array[Double], bias: Double = 0.0): Column = {
+    val ref = new WeightsRef(spark.sparkContext.broadcast(weights))
+    val raw = VectorExpressions.weightSum(
+      tokenBuckets(text, weights.length), ref)
+    val nToks = size(T.tokens(T.normalizeText(text)))
+    val logit = lit(bias) + raw / greatest(nToks.cast("double"), lit(1.0))
+    round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+  }
+
   /** Score every document: (id, n_tokens, prob rounded to 6, keep).
     * `weights.length` is the hash dimension. */
   def score(df: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], bias: Double = 0.0,
       threshold: Double = 0.5): DataFrame = {
-    val ref = new WeightsRef(df.sparkSession.sparkContext.broadcast(weights))
-    val raw = VectorExpressions.weightSum(
-      tokenBuckets(col(textCol), weights.length), ref)
     val nToks = size(T.tokens(T.normalizeText(col(textCol))))
-    val logit = lit(bias) + raw / greatest(nToks.cast("double"), lit(1.0))
     df.select(col(idCol), nToks.cast("long").as("n_tokens"),
-        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("prob"))
+        probCol(df.sparkSession, col(textCol), weights, bias).as("prob"))
       .withColumn("keep", col("prob") >= threshold)
   }
 }

@@ -700,7 +700,114 @@ FROM t LEFT JOIN p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id
 """))
 
+  /** q26 — the composed modern-curation funnel as ONE lazy plan:
+    * language filter (q19's heuristic) → model-based quality floor
+    * (q47's broadcast-weights classifier, inlined as a column) →
+    * exact-dedup canonicalization AMONG survivors (min-candidate per
+    * fingerprint via one window — dedup semantics depend on the
+    * upstream filters, as in a real pipeline) → benchmark
+    * decontamination (q92's broadcast-gram overlap). Output keeps the
+    * whole per-document funnel (each stage's verdict), which is what
+    * a production curation run reports; `keep` is the conjunction.
+    * Catalyst fuses the three scoring stages into the scan projection
+    * — composability is the point: no materialization between stages.
+    */
+  val q26 = QuerySpec("q26_curation_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      val w = graft.operators.QualityClassifier.demoWeights(1024)
+      val staged = corpus.select(col("doc_id"),
+          T.langId(col("text")).as("lang_pred"),
+          graft.operators.QualityClassifier.probCol(s, col("text"), w)
+            .as("prob"),
+          T.fingerprint(col("text")).as("fp"))
+        .withColumn("pass_lang", col("lang_pred") === "en")
+        .withColumn("pass_quality", col("prob") >= 0.5)
+        .withColumn("cand", col("pass_lang") && col("pass_quality"))
+        .withColumn("min_cand", min(when(col("cand"), col("doc_id")))
+          .over(Window.partitionBy("fp")))
+        .withColumn("is_canonical",
+          col("cand") && col("doc_id") === col("min_cand"))
+      val hits = graft.operators.Dedup.decontaminate(corpus, bench,
+          "doc_id", "text", shingleN = 4)
+        .select(col("id").as("doc_id"), col("n_hit"))
+      staged.join(hits, Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("prob"),
+          col("pass_lang"), col("pass_quality"), col("is_canonical"),
+          col("n_hit"),
+          (col("is_canonical") && col("n_hit") === 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 97 <> 0
+), lang AS (
+  SELECT doc_id,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+         WHEN de >= fr AND de > 0 THEN 'de'
+         WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+  FROM (SELECT doc_id,
+      len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+      len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END,
+          t -> t IN ('the','a','of','and','is'))) AS en,
+      len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END,
+          t -> t IN ('der','die','das','und','ist'))) AS de,
+      len(list_filter(CASE WHEN length(trim(lower(text))) = 0 THEN []
+            ELSE string_split_regex(trim(lower(text)), '\s+') END,
+          t -> t IN ('le','la','et','est','les'))) AS fr
+    FROM base)
+), prob AS (
+  SELECT doc_id,
+    round(1.0 / (1.0 + exp(-(raw / greatest(CAST(n AS DOUBLE), 1.0)))), 6)
+      AS prob
+  FROM (SELECT doc_id, len(toks) AS n,
+      coalesce(list_sum([
+        ((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1024)
+          * 2654435761 % 2001 - 1000) / 1000.0
+        FOR tok IN toks]), 0.0) AS raw
+    FROM (SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+            ELSE string_split_regex(norm, '\s+') END AS toks FROM base))
+), st AS (
+  SELECT b.doc_id, l.lang_pred, p.prob, md5(b.norm) AS fp,
+    l.lang_pred = 'en' AS pass_lang, p.prob >= 0.5 AS pass_quality
+  FROM base b JOIN lang l USING (doc_id) JOIN prob p USING (doc_id)
+), canon AS (
+  SELECT *, min(CASE WHEN pass_lang AND pass_quality THEN doc_id END)
+      OVER (PARTITION BY fp) AS min_cand
+  FROM st
+), norm2 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, string_split(t, ' ') AS toks FROM norm2 WHERE t <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM tok2 WHERE len(toks) >= 4)
+), bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM sh s JOIN bench USING (h) WHERE s.doc_id % 97 <> 0 GROUP BY 1
+)
+SELECT c.doc_id, c.lang_pred, c.prob, c.pass_lang, c.pass_quality,
+  (c.pass_lang AND c.pass_quality AND c.doc_id = c.min_cand) AS is_canonical,
+  coalesce(h.n_hit, 0) AS n_hit,
+  (c.pass_lang AND c.pass_quality AND c.doc_id = c.min_cand
+    AND coalesce(h.n_hit, 0) = 0) AS keep
+FROM canon c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q23, q41, q42, q47, q78, q83, q85, q86, q87,
-      q88, q90, q94, q95)
+    Seq(q18, q19, q20, q21, q23, q26, q41, q42, q47, q78, q83, q85, q86,
+      q87, q88, q90, q94, q95)
 }
