@@ -234,6 +234,155 @@ object Multimodal {
     }
   }
 
+  // ---- Audio/video containers: RIFF/WAVE and ISO BMFF (MP4) ----
+  // Same two-tier honesty as images: codec payloads stay opaque, but
+  // the CONTAINER metadata decode is real — RIFF chunk traversal to
+  // `fmt `/`data` (little-endian fields, unknown chunks skipped by
+  // declared size) and MP4 box traversal into moov/mvhd (big-endian,
+  // version 0 and 1 layouts) — the fields an ingest pipeline filters
+  // on (sample rate, channels, duration) before any codec runs.
+
+  final case class AvInfo(doc_id: Long, format: String,
+      channels: Option[Int], sample_rate: Option[Int], duration_ms: Long,
+      n_bytes: Long)
+
+  private def le2(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+  private def le4(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** RIFF/WAVE container: header + a JUNK chunk (the parser must skip
+    * it by size, not assume fmt comes first) + 16-byte PCM `fmt ` +
+    * `data` wrapping the payload. 56 bytes of framing + payload. */
+  def wavBytes(channels: Int, sampleRate: Int, payload: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le4(16) ++ le2(1) ++
+      le2(channels) ++ le4(sampleRate) ++ le4(sampleRate * blockAlign) ++
+      le2(blockAlign) ++ le2(16)
+    val junk = "JUNK".getBytes("US-ASCII") ++ le4(4) ++ Array[Byte](0, 0, 0, 0)
+    val data = "data".getBytes("US-ASCII") ++ le4(payload.length) ++ payload
+    val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le4(body.length) ++ body
+  }
+
+  private def box(typ: String, content: Array[Byte]): Array[Byte] =
+    be4(content.length + 8) ++ typ.getBytes("US-ASCII") ++ content
+
+  /** Minimal ISO BMFF (MP4): ftyp + a free box (must be skipped) +
+    * moov/mvhd (full 100-byte version-0 body) + mdat wrapping the
+    * payload. 156 bytes of framing + payload. */
+  def mp4Bytes(timescale: Int, duration: Long, payload: Array[Byte]): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be4(0) ++ "isom".getBytes("US-ASCII"))
+    val free = box("free", Array[Byte](0, 0, 0, 0))
+    val mvhd = box("mvhd",
+      be4(0) ++ be4(0) ++ be4(0) ++ be4(timescale) ++ be4(duration.toInt) ++
+        be4(0x00010000) ++ le2(0) ++ Array.fill[Byte](10)(0) ++
+        Array.fill[Byte](36)(0) ++ Array.fill[Byte](24)(0) ++ be4(2))
+    ftyp ++ free ++ box("moov", mvhd) ++ box("mdat", payload)
+  }
+
+  /** Real RIFF/WAVE metadata parse: (channels, sample_rate,
+    * duration_ms) from chunk traversal; None for malformed input. */
+  def parseWav(data: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def rdLe2(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def rdLe4(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+    if (data.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, blockAlign
+    var dataLen = -1L
+    while (pos + 8 <= data.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = tag(pos)
+      val sz = rdLe4(pos + 4)
+      if (id == "fmt " && sz >= 16 && pos + 8 + 16 <= data.length)
+        fmt = Some((rdLe2(pos + 10), rdLe4(pos + 12).toInt, rdLe2(pos + 20)))
+      else if (id == "data") dataLen = math.min(sz, data.length - pos - 8L)
+      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+    }
+    fmt match {
+      case Some((ch, rate, ba)) if dataLen >= 0 && ch > 0 && rate > 0 && ba > 0 =>
+        Some((ch, rate, dataLen / ba * 1000L / rate))
+      case _ => None
+    }
+  }
+
+  /** Real MP4 metadata parse: duration_ms from a top-level box scan
+    * descending into moov → mvhd (version 0 and 1 bodies); None for
+    * malformed input. */
+  def parseMp4(data: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def rdBe4(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    def rdBe8(i: Int): Long = (rdBe4(i) << 32) | rdBe4(i + 4)
+    def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+    def scan(from: Int, to: Int, want: String): Option[Int] = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val sz = rdBe4(pos)
+        if (sz < 8 || pos + sz > to) return None // 64-bit/odd sizes: malformed here
+        if (tag(pos + 4) == want) return Some(pos)
+        pos += sz.toInt
+      }
+      None
+    }
+    for {
+      moov <- scan(0, data.length, "moov")
+      mvhd <- scan(moov + 8, moov + rdBe4(moov).toInt, "mvhd")
+      body = mvhd + 8
+      version = u8(body)
+      res <- version match {
+        case 0 if body + 20 <= data.length =>
+          val ts = rdBe4(body + 12); val dur = rdBe4(body + 16)
+          if (ts > 0) Some(dur * 1000L / ts) else None
+        case 1 if body + 32 <= data.length =>
+          val ts = rdBe4(body + 20); val dur = rdBe8(body + 24)
+          if (ts > 0) Some(dur * 1000L / ts) else None
+        case _ => None
+      }
+    } yield res
+  }
+
+  /** Wrap each payload in a real A/V container: WAV for even doc_id
+    * (channels/rate from n_chars-derived meta), MP4 for odd
+    * (timescale/duration likewise). Mirrors [[encodeImageStub]]. */
+  def encodeAvStub(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val n = r.data.length // == n_chars for the ASCII corpus
+        if (r.doc_id % 2 == 0) {
+          val ch = 1 + (r.meta.width % 2) // width parity == n_chars parity
+          val rate = 8000 * (1 + r.meta.height % 3)
+          r.copy(media_type = "audio", data = wavBytes(ch, rate, r.data),
+            meta = r.meta.copy(codec = "pcm_s16le"))
+        } else {
+          val ts = 600 + r.meta.width % 1000
+          r.copy(media_type = "video",
+            data = mp4Bytes(ts, n.toLong * 40, r.data),
+            meta = r.meta.copy(codec = "mp4"))
+        }
+      }
+    }
+  }
+
+  /** REAL A/V metadata decode over the containers: WAV → channels +
+    * sample rate + PCM duration; MP4 → mvhd duration. Unparseable
+    * rows drop (quarantine in production). Narrow mapPartitions. */
+  def decodeAv(media: Dataset[MediaRecord]): Dataset[AvInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parseWav(r.data).map { case (ch, rate, ms) =>
+          AvInfo(r.doc_id, "wav", Some(ch), Some(rate), ms, r.data.length.toLong)
+        }.orElse(parseMp4(r.data).map { ms =>
+          AvInfo(r.doc_id, "mp4", None, None, ms, r.data.length.toLong)
+        })
+      }
+    }
+  }
+
   final case class MediaHash(doc_id: Long, ahash: Long)
 
   /** Byte-sample average hash: 60 evenly-strided payload bytes, bit i

@@ -134,5 +134,37 @@ SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 8 ORDER BY a, b
 """))
 
-  val all: Seq[QuerySpec] = Seq(q38, q39, q91)
+  /** q27 — REAL audio/video container decode: WAV (RIFF chunk
+    * traversal to fmt/data, little-endian; a JUNK chunk must be
+    * skipped by size) and MP4 (box scan into moov → mvhd, big-endian;
+    * a free box must be skipped). The parsed channels / sample rate /
+    * duration are compared against the oracle's independent
+    * re-derivation, integer division mirrored exactly. */
+  val q27 = QuerySpec("q27_av_features",
+    (s, dir) => Multimodal.decodeAv(
+        Multimodal.encodeAvStub(
+          Multimodal.ingest(Tables(s, dir, "documents"))))
+      .toDF()
+      .select(col("doc_id"), col("format"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_ms"), col("n_bytes"))
+      .orderBy("doc_id"),
+    Some(raw"""
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 2 AS BIGINT) END AS channels,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (1 + n_chars % 3) AS BIGINT) END
+    AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 0
+       THEN octet_length(encode(text)) // ((1 + n_chars % 2) * 2) * 1000
+            // (8000 * (1 + n_chars % 3))
+       ELSE octet_length(encode(text)) * 40 * 1000
+            // (600 + (n_chars % 640 + 64)) END AS BIGINT) AS duration_ms,
+  CAST(octet_length(encode(text)) +
+    CASE WHEN doc_id % 2 = 0 THEN 56 ELSE 156 END AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91)
 }

@@ -48,6 +48,34 @@ class ImageHeaderSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("WAV round trip: chunk traversal past JUNK, PCM duration math") {
+    val payload = Array.fill[Byte](32000)(7) // 1s at 16kHz mono 16-bit
+    val wav = Multimodal.wavBytes(1, 16000, payload)
+    assert(wav.length == 56 + payload.length)
+    assert(Multimodal.parseWav(wav).contains((1, 16000, 1000L)))
+    // stereo halves the per-channel sample count
+    assert(Multimodal.parseWav(Multimodal.wavBytes(2, 16000, payload))
+      .contains((2, 16000, 500L)))
+    // malformed: not RIFF / truncated data chunk tolerated via clamp
+    assert(Multimodal.parseWav("nope".getBytes).isEmpty)
+    assert(Multimodal.parseWav(wav.take(40)).isEmpty)
+  }
+
+  test("MP4 round trip: box scan past free, mvhd v0 and v1") {
+    val mp4 = Multimodal.mp4Bytes(600, 1200L, Array.fill[Byte](10)(1))
+    assert(mp4.length == 156 + 10)
+    assert(Multimodal.parseMp4(mp4).contains(2000L)) // 1200/600 s
+    // hand-build a version-1 mvhd (64-bit times) inside moov
+    def be4(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be8(v: Long) = be4((v >>> 32).toInt) ++ be4(v.toInt)
+    val mvhdV1 = be4(1 << 24) ++ be8(0) ++ be8(0) ++ be4(1000) ++ be8(2500L)
+    val mvhdBox = be4(mvhdV1.length + 8) ++ "mvhd".getBytes ++ mvhdV1
+    val moov = be4(mvhdBox.length + 8) ++ "moov".getBytes ++ mvhdBox
+    assert(Multimodal.parseMp4(moov).contains(2500L))
+    assert(Multimodal.parseMp4("AAAA".getBytes).isEmpty)
+  }
+
   test("dataset decode recovers encoder dimensions over real containers") {
     import spark.implicits._
     val docs = Seq(
