@@ -147,6 +147,63 @@ object Dedup {
     sigs.select(col("id"), explode(bucketArr).as("bucket"))
   }
 
+  /** Incremental (delta) dedup: admit or drop a NEW batch against an
+    * already-curated historical corpus — the daily-crawl shape. The
+    * corpus side is orders of magnitude larger than the batch and is
+    * NEVER paired with itself (running [[minhashPairs]] over
+    * old ∪ new would redo the corpus×corpus candidate work on every
+    * increment; here the corpus contributes one signature pass and
+    * the bucket join only ever matches new×old).
+    *
+    * Layers, both decided with the engine's standard identities so
+    * offline (q30/q31), streaming (NearDupStream), and incremental
+    * decisions agree:
+    *  - exact: the batch's normalized-text fingerprints left-join the
+    *    corpus's distinct fingerprints;
+    *  - near: MinHash band buckets (same hash family/banding) built
+    *    for both sides, candidates restricted to new×old bucket
+    *    matches, verified by exact Jaccard ≥ threshold (with the
+    *    lossless size-ratio prefilter). In-batch (new×new) duplicates
+    *    are deliberately NOT decided here — that is the batch's own
+    *    dedup pass.
+    *
+    * Returns one row per new doc: (id, exact_dup, near_dup, keep).
+    */
+  def deltaDedup(newBatch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val par = newBatch.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame) = graft.CacheRegistry.persistTracked(
+      df.repartition(par).select(col(idCol).as("id"),
+        T.fingerprint(col(textCol)).as("fp"),
+        shingleSet(col(textCol), shingleN).as("shingles")))
+    val nw = prep(newBatch)
+    val old = prep(corpus)
+    val exact = nw.select("id", "fp")
+      .join(old.select("fp").distinct().withColumn("exact_dup", lit(true)),
+        Seq("fp"), "left")
+    val cand = bandBucketsFromShingled(nw.select("id", "shingles"), k, bands)
+      .withColumnRenamed("id", "nid")
+      .join(bandBucketsFromShingled(old.select("id", "shingles"), k, bands)
+        .withColumnRenamed("id", "oid"), Seq("bucket"))
+      .select("nid", "oid").distinct()
+    val near = cand
+      .join(nw.select(col("id").as("nid"), col("shingles").as("sn"),
+        size(col("shingles")).as("nn")), Seq("nid"))
+      .join(old.select(col("id").as("oid"), col("shingles").as("so"),
+        size(col("shingles")).as("no")), Seq("oid"))
+      .where(least(col("nn"), col("no")).cast("double") >=
+        greatest(col("nn"), col("no")) * threshold)
+      .where(jaccard(col("sn"), col("so")) >= threshold)
+      .select(col("nid").as("id")).distinct()
+      .withColumn("near_dup", lit(true))
+    exact.join(near, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the step
     * that turns q31-style PAIRS into dedup CLUSTERS with one canonical
     * representative each (near-duplication is transitive in intent:

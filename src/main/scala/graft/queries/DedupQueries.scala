@@ -545,6 +545,50 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 <> 0 ORDER BY id
 """))
 
+  /** q29 — incremental (delta) dedup (`Dedup.deltaDedup`): today's
+    * batch (doc_id % 5 = 0) admitted against the historical corpus
+    * (the rest) — exact fingerprints + new×old MinHash band
+    * candidates, corpus never self-paired. The oracle reuses the
+    * verified all-pairs CTE restricted to MIXED pairs (asymmetric
+    * banding finds exactly the mixed subset of the symmetric
+    * candidates) plus a fingerprint semi-join for the exact layer.
+    */
+  val q29 = QuerySpec("q29_delta_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.deltaDedup(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", k = mhK, bands = mhBands, shingleN = 3,
+          threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH $sqlPairCtes,
+fps AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), exact AS (
+  SELECT DISTINCT n.doc_id
+  FROM fps n JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 <> 0) o
+    USING (fp)
+  WHERE n.doc_id % 5 = 0
+), near AS (
+  SELECT DISTINCT CASE WHEN a % 5 = 0 THEN a ELSE b END AS doc_id
+  FROM verified
+  WHERE jaccard >= 0.5 AND ((a % 5 = 0) <> (b % 5 = 0))
+)
+SELECT n.doc_id,
+  e.doc_id IS NOT NULL AS exact_dup,
+  r.doc_id IS NOT NULL AS near_dup,
+  (e.doc_id IS NULL AND r.doc_id IS NULL) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+LEFT JOIN exact e ON n.doc_id = e.doc_id
+LEFT JOIN near r ON n.doc_id = r.doc_id
+ORDER BY n.doc_id
+"""))
+
   /** Shared oracle CTEs for the variable-length span queries (q48,
     * q49): corpus-wide duplicated 4-gram positions widened to covered
     * token positions, then merged into maximal spans by the classic
@@ -612,5 +656,6 @@ FROM spans GROUP BY span_len ORDER BY span_len
 """))
 
   val all: Seq[QuerySpec] =
-    Seq(q25, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96, q97)
+    Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
+      q97)
 }

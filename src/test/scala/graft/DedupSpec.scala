@@ -109,6 +109,30 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("deltaDedup: exact/near vs corpus only; in-batch dups untouched") {
+    try {
+      val corpus = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "completely different historical content here now")).toDF("doc_id", "text")
+      val batch = Seq(
+        (1L, "The  quick BROWN fox jumps over the lazy dog"), // exact (normalized)
+        (2L, "the quick brown fox jumps over the lazy cat"),  // near of 10
+        (3L, "entirely novel text with no overlap at all ok"),
+        (4L, "entirely novel text with no overlap at all ok")) // in-batch dup of 3
+        .toDF("doc_id", "text")
+      val got = Dedup.deltaDedup(batch, corpus, "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, threshold = 0.5)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+            r.getAs[Boolean]("keep")))).toMap
+      assert(got(1L)._1 && !got(1L)._3)            // exact drop
+      assert(!got(2L)._1 && got(2L)._2 && !got(2L)._3) // near drop
+      assert(got(3L) == ((false, false, true)))
+      // 4 duplicates 3 WITHIN the batch: delta pass must not decide it
+      assert(got(4L) == ((false, false, true)))
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("bloomDecontaminate: superset of exact hits, zero-shuffle probe") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5"),          // shares "w1 w2 w3 w4" with bench
