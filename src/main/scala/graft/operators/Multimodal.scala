@@ -293,13 +293,18 @@ object Multimodal {
     var pos = 12
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, blockAlign
     var dataLen = -1L
-    while (pos + 8 <= data.length && (fmt.isEmpty || dataLen < 0)) {
+    var halt = false
+    while (!halt && pos + 8 <= data.length && (fmt.isEmpty || dataLen < 0)) {
       val id = tag(pos)
       val sz = rdLe4(pos + 4)
       if (id == "fmt " && sz >= 16 && pos + 8 + 16 <= data.length)
         fmt = Some((rdLe2(pos + 10), rdLe4(pos + 12).toInt, rdLe2(pos + 20)))
       else if (id == "data") dataLen = math.min(sz, data.length - pos - 8L)
-      pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+      // advance in Long: a hostile 32-bit size must neither overflow
+      // (negative toInt → the cursor walks BACKWARD, an infinite
+      // loop on untrusted bytes) nor scan past the buffer
+      val next = pos + 8L + sz + (sz & 1L) // RIFF chunks pad to even
+      if (next <= pos || next > data.length) halt = true else pos = next.toInt
     }
     fmt match {
       case Some((ch, rate, ba)) if dataLen >= 0 && ch > 0 && rate > 0 && ba > 0 =>

@@ -59,6 +59,12 @@ class ImageHeaderSpec extends SparkSpec {
     // malformed: not RIFF / truncated data chunk tolerated via clamp
     assert(Multimodal.parseWav("nope".getBytes).isEmpty)
     assert(Multimodal.parseWav(wav.take(40)).isEmpty)
+    // hostile chunk size (0xFFFFFFFF) before fmt: must terminate
+    // (bounded-advance guard), not walk the cursor backward forever
+    val evil = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++
+      "WAVE".getBytes ++ "JUNK".getBytes ++
+      Array[Byte](-1, -1, -1, -1) ++ Array.fill[Byte](16)(0)
+    assert(Multimodal.parseWav(evil).isEmpty)
   }
 
   test("MP4 round trip: box scan past free, mvhd v0 and v1") {
