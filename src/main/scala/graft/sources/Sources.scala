@@ -168,6 +168,20 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path), target)
 
+  /** S9 — sharded JSONL(.gz) export sink: the write half of the JSONL
+    * round trip (curated training shards ship as line-JSON far more
+    * often than parquet). One JSON object per row via `to_json` over
+    * every column, `shards` output files (the unit of downstream read
+    * parallelism — size shards so a consumer saturates, ~100 MB–1 GB
+    * each at corpus scale), gzip per shard. Distributed write, no
+    * driver collection; [[readJsonl]] reads it back losslessly. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int,
+      compression: String = "gzip"): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .repartition(shards)
+      .write.mode("overwrite").option("compression", compression)
+      .text(path)
+
   /** Streaming twin of [[readJsonl]] — tail a JSONL landing directory
     * as a file-stream source with the SAME coercing-schema and
     * corrupt-row contract: a malformed line in an arriving shard

@@ -89,6 +89,30 @@ class SourcesSpec extends SparkSpec {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  test("S9: JSONL writer round-trips losslessly through the reader") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_out")
+    val docs = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "quotes \" and \\ backslash\nand a newline", "en", "web", 38L),
+      (3L, "unicode ⋯ tail", "de", "books", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sources.writeJsonl(docs, dir.toString, shards = 2)
+    val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".txt.gz"))
+    assert(files.length == 2, "sharded gzip output")
+    // cached: a corrupt-column-only query over a raw JSON scan is
+    // disallowed (Spark's documented restriction — materialize first)
+    val back = Sources.documentsFromJsonl(spark, dir.toString).cache()
+    assert(back.where(col("is_corrupt")).count() == 0)
+    val got = back.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    back.unpersist(blocking = false)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("S8: WET parser — byte framing, blank-line bodies, degradation") {
     // two records with CRLF framing; first body CONTAINS a blank line
     // and a 3-byte UTF-8 char (length-driven slicing must not care)
