@@ -612,6 +612,92 @@ case class BloomHitCount(child: Expression, bloom: BloomRef)
     copy(child = newChild)
 }
 
+/** Driver-built Aho–Corasick automaton over literal patterns: classic
+  * trie + BFS failure links with cumulative output counts, so ONE
+  * left-to-right pass over a document counts every occurrence of
+  * every pattern (including overlaps and patterns contained in other
+  * patterns) — O(len(text)) regardless of how many thousand terms the
+  * blocklist holds, vs O(len × terms) for per-term scanning. */
+final class AcAutomaton(val patterns: Seq[String]) extends Serializable {
+  private val children =
+    scala.collection.mutable.ArrayBuffer(scala.collection.mutable.Map.empty[Char, Int])
+  private val out = scala.collection.mutable.ArrayBuffer(0)
+  patterns.filter(_.nonEmpty).foreach { p =>
+    var node = 0
+    p.foreach { ch =>
+      node = children(node).getOrElseUpdate(ch, {
+        children += scala.collection.mutable.Map.empty[Char, Int]
+        out += 0
+        children.size - 1
+      })
+    }
+    out(node) += 1
+  }
+  private val fail = new Array[Int](children.size)
+  locally {
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    children(0).valuesIterator.foreach(queue.enqueue)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (ch, v) =>
+        queue.enqueue(v)
+        var f = fail(u)
+        while (f > 0 && !children(f).contains(ch)) f = fail(f)
+        val cand = children(f).getOrElse(ch, 0)
+        fail(v) = if (cand != v) cand else 0
+        out(v) += out(fail(v)) // dictionary-suffix matches count too
+      }
+    }
+  }
+
+  /** Total pattern occurrences in `s` (every pattern, every position). */
+  def countMatches(s: String): Int = {
+    var node = 0
+    var total = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      while (node > 0 && !children(node).contains(ch)) node = fail(node)
+      node = children(node).getOrElse(ch, 0)
+      total += out(node)
+      i += 1
+    }
+    total
+  }
+}
+
+/** Executor-side handle to a broadcast [[AcAutomaton]] — the
+  * blocklist rides the broadcast, never the plan (O(1) plan size in
+  * the term count, the [[CodebookRef]] rationale). */
+final class AcRef(val bc: Broadcast[AcAutomaton]) extends Serializable {
+  @transient private lazy val a: AcAutomaton = bc.value
+  def automaton: AcAutomaton = a
+  override def toString: String = s"ac[${bc.value.patterns.size} terms]"
+}
+
+/** Occurrence count of every blocklist pattern in a string column via
+  * one broadcast-automaton pass per row. Null string → null. */
+case class AcHitCount(child: Expression, ac: AcRef)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ac_hit_count"
+
+  override def nullSafeEval(input: Any): Any =
+    ac.automaton.countMatches(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ac", ac, classOf[AcRef].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = $ref.automaton().countMatches($x.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be array<double>. */
   def dotProduct(a: Column, b: Column): Column =
@@ -655,4 +741,9 @@ object VectorExpressions {
     * Bloom filter. */
   def bloomHitCount(values: Column, bloom: BloomRef): Column =
     ExpressionUtils.column(BloomHitCount(ExpressionUtils.expression(values), bloom))
+
+  /** Column API for [[AcHitCount]]: string × broadcast Aho–Corasick
+    * blocklist automaton. */
+  def acHitCount(text: Column, ac: AcRef): Column =
+    ExpressionUtils.column(AcHitCount(ExpressionUtils.expression(text), ac))
 }

@@ -700,6 +700,44 @@ FROM t LEFT JOIN p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id
 """))
 
+  /** q28 — blocklist phrase filtering (the CCNet/Gopher word-filter
+    * stage): every occurrence of every blocklist term counted in ONE
+    * broadcast Aho–Corasick pass per document — O(text) however many
+    * thousand terms the list holds, vs the O(text × terms) of
+    * per-term scanning. The oracle brute-forces each term's start
+    * positions (including overlaps — the same semantics the automaton
+    * reports), generated from the SAME Scala list so the two can
+    * never drift. */
+  private val blocklist =
+    Seq("slow scan", "big table", "fast merge", "spark", "customer query")
+
+  val q28 = QuerySpec("q28_blocklist_filter",
+    (s, dir) => {
+      import org.apache.spark.sql.graftvec.{AcAutomaton, AcRef, VectorExpressions}
+      val ref = new AcRef(s.sparkContext.broadcast(new AcAutomaton(blocklist)))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          VectorExpressions.acHitCount(T.normalizeText(col("text")), ref)
+            .cast("long").as("n_hits"))
+        .withColumn("flagged", col("n_hits") > 0)
+        .withColumn("keep", !col("flagged"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val terms = blocklist.map(p =>
+        s"len([i FOR i IN range(1, length(t) - ${p.length} + 2) " +
+          s"IF t[i:i+${p.length - 1}] = '$p'])").mkString(" + ")
+      raw"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, n_hits, n_hits > 0 AS flagged, n_hits = 0 AS keep
+FROM (SELECT doc_id, CAST($terms AS BIGINT) AS n_hits FROM n)
+ORDER BY doc_id
+"""
+    })
+
   /** q26 — the composed modern-curation funnel as ONE lazy plan:
     * language filter (q19's heuristic) → model-based quality floor
     * (q47's broadcast-weights classifier, inlined as a column) →
@@ -808,6 +846,6 @@ ORDER BY c.doc_id
 """))
 
   val all: Seq[QuerySpec] =
-    Seq(q18, q19, q20, q21, q23, q26, q41, q42, q47, q78, q83, q85, q86,
-      q87, q88, q90, q94, q95)
+    Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
+      q86, q87, q88, q90, q94, q95)
 }
