@@ -130,6 +130,31 @@ object Text {
       size(regexp_extract_all(e2, lit(phoneRe), lit(0)))
   }
 
+  // ---- URL functions (crawl metadata: the per-domain signals that
+  // domain blocklists, per-host quotas, and provenance audits key on).
+  // Same-regex-both-engines discipline as the PII patterns: plain
+  // RE2-compatible extracts, so the DuckDB oracle applies the literal
+  // same expressions — no parse_url engine-semantics drift. ----
+
+  /** Authority (host) of a URL; '' for non-URLs. */
+  def urlHost(c: Column): Column =
+    regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Last dotted label of the host ("com", "org"); '' if none. */
+  def urlTld(c: Column): Column =
+    regexp_extract(urlHost(c), "\\.([a-z0-9-]+)$", 1)
+
+  /** Path segment count: 0 for no/empty path, else segments between
+    * slashes ("/a/b" → 2). */
+  def urlPathDepth(c: Column): Column = {
+    val path = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    when(path === "" || path === "/", lit(0))
+      .otherwise(size(split(path, "/")) - 1)
+  }
+
+  /** Whether the URL carries a query string. */
+  def urlHasQuery(c: Column): Column = c.contains("?")
+
   /** Normalized text: lower-cased, whitespace collapsed to single
     * spaces, trimmed — the canonical form for exact-dup hashing. */
   def normalizeText(c: Column): Column =

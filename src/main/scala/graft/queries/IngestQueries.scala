@@ -150,5 +150,58 @@ FROM (SELECT doc_id,
 ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q22, q46)
+  /** q24 — URL/crawl-metadata statistics: deterministic per-doc URIs
+    * (host keyed by doc id and source, mixed TLDs, query strings on
+    * every 4th) pushed through the engine's URL extracts
+    * (`Text.urlHost/urlTld/urlPathDepth/urlHasQuery` — literal
+    * same-regex-both-engines, no parse_url semantics drift), then a
+    * per-host rollup — the shape a per-domain quota or domain
+    * blocklist pass starts from. */
+  val q24 = QuerySpec("q24_url_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val uri = concat(lit("https://web"), (col("doc_id") % 7).cast("string"),
+        lit(".example-"), col("source"), lit("."),
+        when(col("doc_id") % 3 === 0, lit("org")).otherwise(lit("com")),
+        lit("/"), col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?ref=rss")).otherwise(lit("")))
+      docs.select(
+          T.urlHost(uri).as("host"),
+          T.urlTld(uri).as("tld"),
+          T.urlPathDepth(uri).cast("long").as("depth"),
+          T.urlHasQuery(uri).as("has_query"))
+        .groupBy("host", "tld")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_query").cast("long")).as("n_query"),
+          max(col("depth")).as("max_depth"))
+        .orderBy("host", "tld")
+    },
+    Some(raw"""
+WITH u AS (
+  SELECT doc_id,
+    'https://web' || CAST(doc_id % 7 AS VARCHAR) || '.example-' || source
+      || '.' || CASE WHEN doc_id % 3 = 0 THEN 'org' ELSE 'com' END
+      || '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END AS uri
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    regexp_extract(uri, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_extract(
+      regexp_extract(uri, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+      '\.([a-z0-9-]+)$$', 1) AS tld,
+    CASE WHEN p = '' OR p = '/' THEN 0
+         ELSE len(string_split(p, '/')) - 1 END AS depth,
+    contains(uri, '?') AS has_query
+  FROM (SELECT doc_id, uri,
+      regexp_extract(uri, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS p
+    FROM u)
+)
+SELECT host, tld, count(*) AS n_docs,
+  CAST(sum(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
+  CAST(max(depth) AS BIGINT) AS max_depth
+FROM f GROUP BY host, tld ORDER BY host, tld
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q22, q24, q46)
 }

@@ -84,4 +84,25 @@ class TextSpec extends SparkSpec {
     assert(got(3) == ("no pii here, just text with numbers 1234 and a dot 1.5", 0L))
     assert(got(4) == ("version <IP> of the firmware", 1L))
   }
+
+  test("URL extracts: host, tld, path depth, query — and non-URL edges") {
+    import spark.implicits._
+    val rows = Seq(
+      "https://web3.example-src1.com/en/doc-5?ref=rss",
+      "http://host.org/",
+      "https://host.io",
+      "ftp://a.b.c/x/y/z",
+      "https://nodots/x",
+      "not a url at all").toDF("u")
+    val got = rows.select(T.urlHost(col("u")).as("h"), T.urlTld(col("u")).as("t"),
+        T.urlPathDepth(col("u")).as("d"), T.urlHasQuery(col("u")).as("q"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(got(0) == (("web3.example-src1.com", "com", 2, true)))
+    assert(got(1) == (("host.org", "org", 0, false))) // root path
+    assert(got(2) == (("host.io", "io", 0, false)))   // no path
+    assert(got(3) == (("a.b.c", "c", 3, false)))
+    assert(got(4) == (("nodots", "", 1, false)))      // tld absent
+    assert(got(5) == (("", "", 0, false)))            // non-URL
+  }
 }
