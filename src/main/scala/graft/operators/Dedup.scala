@@ -371,6 +371,41 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Edit-distance near-dup pairs — the string-metric third of the
+    * dedup similarity triad (set/Jaccard [[ngramJaccardPairs]],
+    * vector/cosine `Similarity`, character/Levenshtein here): the
+    * verification of choice for SHORT texts (titles, instructions,
+    * questions) where a handful of token edits swings Jaccard wildly
+    * but edit distance stays proportional. Same prefix blocking as
+    * the Jaccard path — at scale pairwise verification exists only
+    * inside blocks — plus a LOSSLESS length prefilter
+    * (lev ≥ |len_a − len_b|, so sim ≥ t ⇒ length gap ≤ (1−t)·max).
+    * sim = 1 − lev/max(len); both engines run the identical integer
+    * DP, so results match exactly. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      prefixTokens: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = graft.CacheRegistry.persistTracked(
+      df.repartition(par).select(col(idCol).as("id"),
+        T.normalizeText(col(textCol)).as("norm"),
+        md5(concat_ws(" ",
+          slice(T.tokens(T.normalizeText(col(textCol))), 1, prefixTokens)))
+          .as("block"))
+        .withColumn("len", length(col("norm"))))
+    val mx = greatest(col("x.len"), col("y.len"))
+    base.as("x").join(base.as("y"), Seq("block"))
+      .where(col("x.id") < col("y.id"))
+      .where(mx > 0)
+      .where(abs(col("x.len") - col("y.len")).cast("double") <=
+        lit(1.0 - threshold) * mx)
+      .withColumn("dist", levenshtein(col("x.norm"), col("y.norm")).cast("long"))
+      .withColumn("sim",
+        lit(1.0) - col("dist").cast("double") / mx.cast("double"))
+      .where(col("sim") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"), col("dist"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Bloom-filter decontamination — [[decontaminate]]'s scale variant
     * for when the benchmark n-gram set is too big to broadcast as an
     * exact set (a full eval-suite sweep at 13-grams runs to 10⁸+

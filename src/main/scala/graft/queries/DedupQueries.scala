@@ -277,6 +277,39 @@ SELECT a, b, round(jaccard, 6) AS jaccard
 FROM pairs WHERE jaccard >= 0.3 ORDER BY a, b
 """))
 
+  /** q100 — edit-distance near-dup pairs (`Dedup.editDistancePairs`):
+    * Levenshtein-verified candidates inside the q34 prefix blocks —
+    * the short-text dedup metric. Both engines run the same integer
+    * DP, so dist and sim match exactly. */
+  val q100 = QuerySpec("q100_edit_pairs",
+    (s, dir) => Dedup.editDistancePairs(Tables(s, dir, "documents"),
+        "doc_id", "text", prefixTokens = 3, threshold = 0.8)
+      .orderBy("a", "b"),
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id AS id, norm, length(norm) AS len,
+    md5(array_to_string(
+      (CASE WHEN length(norm) = 0 THEN []
+            ELSE string_split_regex(norm, '\s+') END)[1:3], ' ')) AS block
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), pairs AS (
+  SELECT x.id AS a, y.id AS b,
+    CAST(levenshtein(x.norm, y.norm) AS BIGINT) AS dist,
+    greatest(x.len, y.len) AS mx
+  FROM base x JOIN base y ON x.block = y.block AND x.id < y.id
+  WHERE greatest(x.len, y.len) > 0
+    AND CAST(abs(x.len - y.len) AS DOUBLE)
+        <= ${1.0 - 0.8} * greatest(x.len, y.len)
+)
+SELECT a, b, dist,
+  round(1.0 - CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS sim
+FROM pairs
+WHERE 1.0 - CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
+ORDER BY a, b
+"""))
+
   /** q89 — near-dup CLUSTERS from the q31 pair graph: iterative
     * min-label propagation (`Dedup.connectedComponents`) turns pairs
     * into one canonical representative per transitive component —
@@ -657,5 +690,5 @@ FROM spans GROUP BY span_len ORDER BY span_len
 
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97)
+      q97, q100)
 }

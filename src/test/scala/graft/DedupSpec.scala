@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("editDistancePairs: lev-verified pairs inside prefix blocks") {
+    try {
+      val d = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"), // 3 edits of 1
+        (3L, "the quick brown wolf sits under a palm tree entirely"), // same block, far
+        (4L, "unrelated block entirely different text here")).toDF("doc_id", "text")
+      val got = Dedup.editDistancePairs(d, "doc_id", "text",
+          prefixTokens = 3, threshold = 0.8)
+        .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("dist"))).toSet
+      assert(got == Set((1L, 2L, 3L))) // "dog"→"cat" = 3 substitutions
+      // doc 3 shares the block but fails the similarity floor; doc 4
+      // never pairs at all (different block — no verification cost)
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("deltaDedup: exact/near vs corpus only; in-batch dups untouched") {
     try {
       val corpus = Seq(
