@@ -122,7 +122,17 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort artifact; stdout is the contract
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$calibJson,"sf":"$sfDir"}""")
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$calibJson,"sf":"$sfDir"}"""
+    // Machine-readable artifact: when SPARK_GRAFT_BENCH_OUT names a
+    // file, write the short JSON line there too, so a driver can read
+    // the result directly instead of scraping a truncated stdout tail.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (shortLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+    println(shortLine)
     spark.stop()
   }
 }

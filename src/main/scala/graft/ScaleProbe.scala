@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val kArg = args.headOption.map(_.toInt).getOrElse(0)
+    val kArg = args.headOption.flatMap(_.toIntOption).getOrElse {
+      if (args.nonEmpty) System.err.println(
+        s"usage: ScaleProbe [k]  (non-numeric '${args.head}' ignored; using k ∝ N)")
+      0
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")

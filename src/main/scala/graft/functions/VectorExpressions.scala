@@ -525,8 +525,11 @@ case class WeightSum(child: Expression, weights: WeightsRef)
     var acc = 0.0
     var i = 0
     while (i < xs.numElements()) {
-      val b = xs.getLong(i)
-      if (b >= 0 && b < w.length) acc += w(b.toInt)
+      // Null elements contribute zero weight; getLong on a null slot is undefined.
+      if (!xs.isNullAt(i)) {
+        val b = xs.getLong(i)
+        if (b >= 0 && b < w.length) acc += w(b.toInt)
+      }
       i += 1
     }
     acc
@@ -543,8 +546,10 @@ case class WeightSum(child: Expression, weights: WeightsRef)
         |double[] $w = $ref.weights();
         |double $acc = 0.0;
         |for (int $i = 0; $i < $xs.numElements(); $i++) {
-        |  long $b = $xs.getLong($i);
-        |  if ($b >= 0 && $b < $w.length) { $acc += $w[(int) $b]; }
+        |  if (!$xs.isNullAt($i)) {
+        |    long $b = $xs.getLong($i);
+        |    if ($b >= 0 && $b < $w.length) { $acc += $w[(int) $b]; }
+        |  }
         |}
         |${ev.value} = $acc;
       """.stripMargin
@@ -587,7 +592,8 @@ case class BloomHitCount(child: Expression, bloom: BloomRef)
     var c = 0
     var i = 0
     while (i < xs.numElements()) {
-      if (bf.mightContainString(xs.getUTF8String(i).toString)) c += 1
+      // Null elements are never a hit; getUTF8String on a null slot NPEs.
+      if (!xs.isNullAt(i) && bf.mightContainString(xs.getUTF8String(i).toString)) c += 1
       i += 1
     }
     c
@@ -601,7 +607,8 @@ case class BloomHitCount(child: Expression, bloom: BloomRef)
       s"""
         |int $c = 0;
         |for (int $i = 0; $i < $xs.numElements(); $i++) {
-        |  if ($ref.bloom().mightContainString($xs.getUTF8String($i).toString())) $c++;
+        |  if (!$xs.isNullAt($i)
+        |      && $ref.bloom().mightContainString($xs.getUTF8String($i).toString())) $c++;
         |}
         |${ev.value} = $c;
       """.stripMargin

@@ -381,7 +381,16 @@ object Dedup {
     * inside blocks — plus a LOSSLESS length prefilter
     * (lev ≥ |len_a − len_b|, so sim ≥ t ⇒ length gap ≤ (1−t)·max).
     * sim = 1 − lev/max(len); both engines run the identical integer
-    * DP, so results match exactly. */
+    * DP, so results match exactly.
+    *
+    * Cross-engine caveat: the "identical DP" claim assumes the
+    * normalized text is effectively ASCII/BMP — engines disagree on
+    * the unit of edit for multi-byte text (Spark counts code points,
+    * some SQL engines count bytes or UTF-16 units), so bit-parity of
+    * `dist` against a non-Spark oracle is only guaranteed for ASCII
+    * blocks. `sim` thresholds are robust to the off-by-small
+    * difference, but treat cross-engine `dist` equality on CJK/emoji
+    * text as best-effort, not a contract. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       prefixTokens: Int = 3, threshold: Double = 0.8): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism

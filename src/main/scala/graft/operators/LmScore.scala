@@ -30,7 +30,14 @@ object LmScore {
 
   /** Score `df` against a bigram LM trained on the rows matching
     * `refFilter`. Returns (id, n_bigrams, avg_logp, ppl) per row;
-    * documents with < 2 tokens score avg_logp = 0, ppl = 1. */
+    * documents with < 2 tokens score avg_logp = 0, ppl = 1.
+    *
+    * Precondition: `refFilter` should match at least one row with ≥ 1
+    * token — an empty reference set has vocabulary V = 0 and nothing
+    * to smooth against. The denominator is floored at 1
+    * (`greatest(v, 1)`) so a degenerate reference degrades to finite
+    * (if meaningless) scores instead of silently propagating
+    * Infinity/NaN through avg_logp/ppl. */
   def perplexity(df: DataFrame, idCol: String, textCol: String,
       refFilter: Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -60,7 +67,7 @@ object LmScore {
       .crossJoin(broadcast(vocab))
       .select(col("id"), col("pos"),
         log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"))
+          (coalesce(col("c1"), lit(0L)) + greatest(col("v"), lit(1L)))).as("lp"))
     val perDoc = scored.groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         sort_array(collect_list(struct(col("pos"), col("lp")))).as("ps"))

@@ -203,5 +203,55 @@ SELECT host, tld, count(*) AS n_docs,
 FROM f GROUP BY host, tld ORDER BY host, tld
 """))
 
-  val all: Seq[QuerySpec] = Seq(q22, q24, q46)
+  /** q101 — JSONL ingest from `.jsonl.zst` shards (zstd-jni-backed
+    * Hadoop codec, [[graft.sources.ZstdHadoopCodec]]): the compression
+    * format modern public corpora (Dolma, RedPajama, FineWeb) actually
+    * ship in. Same lenient-path wrinkles as q46 on different residues
+    * (every 3rd doc's `n_chars` as a JSON string, every 89th line
+    * corrupted), staged as 4 zstd shards so per-file parallelism is
+    * exercised, then a per-source rollup of what the SOURCE parsed —
+    * any codec, framing, coercion, or corrupt-row defect shifts the
+    * counts and breaks the oracle compare (the oracle recomputes from
+    * the original parquet table; compression is invisible to it,
+    * which is the point: `.zst` in, identical rows out). */
+  val q101 = QuerySpec("q101_zstd_ingest",
+    (s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val plain = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      val quotedN = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("string").as("n_chars")))
+      val lines = docs.select(
+        when(col("doc_id") % 89 === 0, concat(lit("{corrupt "), plain))
+          .when(col("doc_id") % 3 === 0, quotedN)
+          .otherwise(plain).as("value"))
+      val tmp = Files.createTempDirectory("graft_q101_zst")
+      lines.repartition(4).write.mode("overwrite")
+        .option("compression", graft.sources.Zstd.codecName)
+        .text(tmp.toString)
+      val parsed = graft.CacheRegistry.persistTracked(
+        graft.sources.Sources.documentsFromJsonl(s, tmp.toString))
+      val perSource = parsed.where(!col("is_corrupt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+      val nCorrupt = parsed
+        .agg(sum(col("is_corrupt").cast("long")).as("n_corrupt"))
+      val out = perSource.crossJoin(broadcast(nCorrupt)).orderBy("source")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      result
+    },
+    Some(raw"""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+  min(doc_id) AS min_id, max(doc_id) AS max_id,
+  (SELECT count(*) FROM documents WHERE doc_id % 89 = 0) AS n_corrupt
+FROM documents WHERE doc_id % 89 <> 0
+GROUP BY source ORDER BY source
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101)
 }

@@ -20,10 +20,51 @@ import graft.functions.Valuation
   *  - Fallback composition (`extract_tickers.py:65-82`): S1 result if
   *    it passes the guard, else S2; zero tickers raises.
   */
-object Sources {
+object Sources extends org.apache.spark.internal.Logging {
 
   val tickerColumnNames: Set[String] = Set("ticker", "ticker symbol", "symbol")
   val minRows = 80
+
+  /** Extensions whose codecs cannot split a file across tasks:
+    * parallelism is strictly per FILE for these inputs. (bz2 splits;
+    * gzip and plain zstd streams do not.) */
+  private val nonSplittableExts = Seq(".gz", ".zst")
+
+  /** Guard against the single-fat-shard trap: a directory of
+    * non-splittable compressed shards parallelizes only across files,
+    * so 1 × 5 GB `.gz` shard = 1 task no matter how many cores the
+    * cluster has. Returns (and logs) a warning when such an input has
+    * fewer files than half the default parallelism; `None` when the
+    * layout is fine or the path isn't listable (never a failure —
+    * this is advice, not validation). */
+  private[graft] def underShardWarning(spark: SparkSession,
+      path: String): Option[String] =
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      val files = matched
+        .flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+          else Seq(st)
+        }
+        .filter { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      val packed =
+        files.filter(st => nonSplittableExts.exists(st.getPath.getName.endsWith))
+      val cores = spark.sparkContext.defaultParallelism
+      if (packed.nonEmpty && files.size < cores / 2) {
+        val msg = s"input $path has ${files.size} file(s) of which " +
+          s"${packed.size} non-splittable (${nonSplittableExts.mkString("/")}) " +
+          s"on $cores cores: parallelism is per-file for these codecs, so most " +
+          "of the cluster will idle — stage more shards (~100 MB-1 GB each)"
+        logWarning(msg)
+        Some(msg)
+      } else None
+    } catch { case _: Throwable => None }
 
   /** Parse all <table> elements of an HTML document into (headers,
     * rows). Tolerates attributes, whitespace, th/td mixes. Driver-side
@@ -140,7 +181,9 @@ object Sources {
     *    sinks) — one broken record in a 100 TB crawl must never kill
     *    the ingest;
     *  - **compression is transparent** by file extension (`.gz`,
-    *    `.bz2`, …) exactly as with any Hadoop text input.
+    *    `.bz2`, and — via the zstd-jni-backed [[ZstdHadoopCodec]]
+    *    registered on first use — `.zst`) exactly as with any Hadoop
+    *    text input.
     *
     * Scale shape: gzip members are non-splittable, so parallelism is
     * per FILE — real corpora ship as many ~100 MB–1 GB shards and the
@@ -161,12 +204,15 @@ object Sources {
   }
 
   def readJsonl(spark: SparkSession, path: String,
-      target: StructType): DataFrame =
+      target: StructType): DataFrame = {
+    Zstd.register(spark.sparkContext.hadoopConfiguration)
+    underShardWarning(spark, path)
     coerceJsonl(spark.read
       .schema(jsonlStringSchema(target))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path), target)
+  }
 
   /** S9 — sharded JSONL(.gz) export sink: the write half of the JSONL
     * round trip (curated training shards ship as line-JSON far more
@@ -176,11 +222,17 @@ object Sources {
     * each at corpus scale), gzip per shard. Distributed write, no
     * driver collection; [[readJsonl]] reads it back losslessly. */
   def writeJsonl(df: DataFrame, path: String, shards: Int,
-      compression: String = "gzip"): Unit =
+      compression: String = "gzip"): Unit = {
+    Zstd.register(df.sparkSession.sparkContext.hadoopConfiguration)
+    // "zstd" isn't one of Spark's short codec names for text sinks;
+    // route it to the zstd-jni-backed codec class registered above
+    val codec =
+      if (compression.equalsIgnoreCase("zstd")) Zstd.codecName else compression
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .repartition(shards)
-      .write.mode("overwrite").option("compression", compression)
+      .write.mode("overwrite").option("compression", codec)
       .text(path)
+  }
 
   /** Streaming twin of [[readJsonl]] — tail a JSONL landing directory
     * as a file-stream source with the SAME coercing-schema and
@@ -190,13 +242,15 @@ object Sources {
     * dedup/session operators directly. */
   def streamJsonl(spark: SparkSession, path: String,
       target: StructType = documentsSchema,
-      maxFilesPerTrigger: Int = 1): DataFrame =
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    Zstd.register(spark.sparkContext.hadoopConfiguration)
     coerceJsonl(spark.readStream
       .schema(jsonlStringSchema(target))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path), target)
+  }
 
   /** The `documents` table's schema, for JSONL ingest. */
   val documentsSchema: StructType = StructType(Seq(
@@ -286,6 +340,8 @@ object Sources {
     */
   def readWet(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    Zstd.register(spark.sparkContext.hadoopConfiguration)
+    underShardWarning(spark, path)
     spark.read.option("wholetext", "true").text(path)
       .as[String].flatMap(parseWet _).toDF()
   }

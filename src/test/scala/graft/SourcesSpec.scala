@@ -138,6 +138,56 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.parseWet("WARC/1.0\r\nWARC-Type: x\r\n\r\nbody").isEmpty)
   }
 
+  test("S9/zstd: .jsonl.zst shards round-trip losslessly through the reader") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_zst")
+    val docs = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "quotes \" and \\ backslash\nand a newline", "en", "web", 38L),
+      (3L, "unicode ⋯ tail", "de", "books", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sources.writeJsonl(docs, dir.toString, shards = 2, compression = "zstd")
+    val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".txt.zst"))
+    assert(files.length == 2, "sharded zstd output with .zst extension")
+    // the shard bytes really are zstandard (magic 0xFD2FB528 LE)
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.head)).take(4).map(_ & 0xff)
+    assert(head.sameElements(Array(0x28, 0xb5, 0x2f, 0xfd)), "zstd magic")
+    val back = Sources.documentsFromJsonl(spark, dir.toString).cache()
+    assert(back.where(col("is_corrupt")).count() == 0)
+    val got = back.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    back.unpersist(blocking = false)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("under-shard guard: warns on one fat compressed shard, quiet on many") {
+    import org.apache.spark.sql.functions.col
+    val one = java.nio.file.Files.createTempDirectory("graft_shard1")
+    val many = java.nio.file.Files.createTempDirectory("graft_shard8")
+    val docs = spark.range(64).select(col("id").as("doc_id"))
+    docs.coalesce(1).selectExpr("to_json(struct(doc_id)) AS value")
+      .write.mode("overwrite").option("compression", "gzip").text(one.toString)
+    docs.repartition(8).selectExpr("to_json(struct(doc_id)) AS value")
+      .write.mode("overwrite").option("compression", "gzip").text(many.toString)
+    // local[4] ⇒ threshold files < 2: a 1-shard gzip dir warns …
+    val warn = Sources.underShardWarning(spark, one.toString)
+    assert(warn.exists(m => m.contains("non-splittable") && m.contains("1 file")))
+    // … an 8-shard dir does not, nor does uncompressed parquet-ish text
+    assert(Sources.underShardWarning(spark, many.toString).isEmpty)
+    val plain = java.nio.file.Files.createTempDirectory("graft_shardp")
+    docs.coalesce(1).selectExpr("to_json(struct(doc_id)) AS value")
+      .write.mode("overwrite").text(plain.toString)
+    assert(Sources.underShardWarning(spark, plain.toString).isEmpty)
+    Seq(one, many, plain).foreach { d =>
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("S4: single-file ordered CSV sink writes one exact file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_out").toString
     val df = Seq((2, "b"), (1, "a")).toDF("k", "v").orderBy("k")
