@@ -59,19 +59,29 @@ object Multimodal {
     ).as[MediaRecord]
   }
 
-  /** STUB decode + feature extraction. A real implementation hands each
-    * partition's byte payloads to a codec library (e.g. libjpeg /
-    * ffmpeg bindings) inside this same mapPartitions; here the "decoded
-    * brightness" is a deterministic function of the real bytes (sum of
-    * the first 16) so correctness is still oracle-checkable.
+  /** Decode + feature extraction. For PNG payloads the brightness is
+    * now REAL — the mean over actually-decoded samples via
+    * [[pngDecodePixels]] (zlib inflate + per-row defilter, no external
+    * codec needed). For every other payload the codec libraries are
+    * absent in this container, so the deterministic byte-sum stand-in
+    * remains (sum of the first 16 bytes mod 256), clearly separable by
+    * whether the payload parses as PNG. Batch shape is the production
+    * one either way: per-partition worker, streaming iterator, bytes
+    * never shuffle.
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup would open the codec once here, not per row
+      // per-partition setup would open non-PNG codecs once here, not per row
       it.map { r =>
-        val head = r.data.take(16)
-        val brightness = head.foldLeft(0L)((acc, b) => acc + (b & 0xff)) % 256
+        val brightness = pngDecodePixels(r.data) match {
+          case Some((_, _, _, px)) =>
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            s / px.length
+          case None =>
+            r.data.take(16).foldLeft(0L)((acc, b) => acc + (b & 0xff)) % 256
+        }
         MediaFeatures(r.doc_id, r.data.length.toLong, brightness,
           r.meta.width, r.meta.height, r.meta.nFrames)
       }
@@ -229,6 +239,190 @@ object Multimodal {
       it.flatMap { r =>
         parseImageHeader(r.data).map { case (fmt, w, h, ch) =>
           ImageInfo(r.doc_id, fmt, w, h, ch, r.data.length.toLong)
+        }
+      }
+    }
+  }
+
+  // ---- Real PNG pixel codec (RFC 2083: zlib + per-row filters) ----
+  //
+  // The one image format whose PIXEL tier needs no external codec:
+  // PNG's compression is zlib (java.util.zip.{Deflater,Inflater}) and
+  // its per-scanline filters (none/sub/up/average/paeth) are ~40 lines
+  // of public spec. With these, `decodeStub`'s "brightness" becomes a
+  // REAL mean over decoded samples for PNG payloads — the media
+  // feature tier is fully real end to end for one format. Scope: bit
+  // depth 8, color types 0/2/4/6, no interlace (Adam7 is a scan-order
+  // permutation, not more decoding — rejected, not mis-parsed); CRCs
+  // are verified per chunk the way a production decoder must on
+  // crawl-origin bytes.
+
+  /** Paeth predictor (RFC 2083 §6.6): the neighbor closest to the
+    * linear estimate a + b − c, ties broken left, up, upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, content: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(content)
+    be4(content.length) ++ t ++ content ++ be4(crc.getValue.toInt)
+  }
+
+  /** Encode raw 8-bit samples (row-major, `w*h*channels` bytes) as a
+    * complete standards-conformant PNG. Each row is filtered with
+    * `rowIndex % 5` — cycling through ALL five filter types so a
+    * decoder's defilter path is genuinely exercised, not just
+    * filter-0 passthrough. (javax.imageio reads the output; the spec
+    * cross-checks exactly that.) */
+  def pngEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * channels,
+      s"pixels ${pixels.length} != $w*$h*$channels")
+    val rowBytes = w * channels
+    val bpp = channels
+    val raw = new Array[Byte](h * (rowBytes + 1))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      raw(r * (rowBytes + 1)) = ft.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = pixels(r * rowBytes + x) & 0xff
+        val a = if (x >= bpp) pixels(r * rowBytes + x - bpp) & 0xff else 0
+        val b = if (r > 0) pixels((r - 1) * rowBytes + x) & 0xff else 0
+        val c = if (r > 0 && x >= bpp) pixels((r - 1) * rowBytes + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(r * (rowBytes + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    pngHeader(w, h, channels) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG pixel decode: chunk walk (CRC-verified), concatenated
+    * IDAT inflate, per-row defilter. Returns (width, height, channels,
+    * samples) with samples row-major `w*h*channels` bytes, or None for
+    * anything that isn't a well-formed 8-bit non-interlaced PNG —
+    * truncated or corrupt crawl bytes degrade to None, never throw. */
+  def pngDecodePixels(data: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      def u8(i: Int): Int = data(i) & 0xff
+      def rd4(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (data.length < 8 || (0 until 8).exists(i => u8(i) != pngSig(i))) return None
+      var w = 0; var h = 0; var ch = -1
+      var pos = 8
+      var ended = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!ended && pos + 12 <= data.length) {
+        val len = rd4(pos)
+        if (len < 0 || pos + 12 + len > data.length) return None
+        val typ = new String(data, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(data, pos + 4, 4 + len)
+        if (crc.getValue.toInt != rd4(pos + 8 + len)) return None
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = rd4(pos + 8); h = rd4(pos + 12)
+            val depth = u8(pos + 16)
+            ch = u8(pos + 17) match {
+              case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+            }
+            // depth 8, compression 0, filter method 0, no interlace
+            if (w <= 0 || h <= 0 || ch < 0 || depth != 8 ||
+              u8(pos + 18) != 0 || u8(pos + 19) != 0 || u8(pos + 20) != 0) return None
+          case "IDAT" => idat.write(data, pos + 8, len)
+          case "IEND" => ended = true
+          case _ => () // ancillary chunks skipped by declared length
+        }
+        pos += 12 + len
+      }
+      if (ch < 0 || !ended) return None
+      val rowBytes = w * ch
+      // bound the decode buffer BEFORE inflating: a hostile IHDR must
+      // not make us allocate from attacker-declared dimensions unchecked
+      val expect = h.toLong * (rowBytes + 1)
+      if (expect > (1L << 30)) return None
+      val raw = new Array[Byte](expect.toInt)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) { inflater.end(); return None }
+        got += n
+      }
+      inflater.end()
+      if (got != raw.length) return None
+      val px = new Array[Byte](h * rowBytes)
+      val bpp = ch
+      var r = 0
+      while (r < h) {
+        val ft = raw(r * (rowBytes + 1)) & 0xff
+        if (ft > 4) return None
+        var x = 0
+        while (x < rowBytes) {
+          val f = raw(r * (rowBytes + 1) + 1 + x) & 0xff
+          val a = if (x >= bpp) px(r * rowBytes + x - bpp) & 0xff else 0
+          val b = if (r > 0) px((r - 1) * rowBytes + x) & 0xff else 0
+          val c = if (r > 0 && x >= bpp) px((r - 1) * rowBytes + x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          px(r * rowBytes + x) = ((f + pred) & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      Some((w, h, ch, px))
+    } catch { case _: Exception => None }
+
+  /** Per-image features over DECODED pixels. */
+  final case class PixelFeatures(doc_id: Long, width: Int, height: Int,
+      channels: Int, n_samples: Long, sum_v: Long, wsum: Long, mean_luma: Long)
+
+  /** Real pixel-tier feature extraction: decode each PNG payload and
+    * reduce its samples — count, exact sum, position-weighted sum
+    * Σ(i+1)·vᵢ (order-sensitive, so a defilter that permutes or
+    * off-by-ones any byte breaks it), and integer mean. Non-PNG /
+    * undecodable payloads are dropped (quarantine-sink semantics, as
+    * [[decodeImage]]). Narrow mapPartitions; bytes never shuffle. */
+  def decodePixelFeatures(media: Dataset[MediaRecord]): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        pngDecodePixels(rec.data).map { case (w, h, ch, px) =>
+          var sum = 0L; var ws = 0L; var i = 0
+          while (i < px.length) {
+            val v = px(i) & 0xff
+            sum += v; ws += (i + 1).toLong * v
+            i += 1
+          }
+          PixelFeatures(rec.doc_id, w, h, ch, px.length.toLong, sum, ws,
+            sum / px.length)
         }
       }
     }

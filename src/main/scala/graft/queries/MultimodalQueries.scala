@@ -166,5 +166,62 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91)
+  /** q102 — REAL PNG pixel decode: each document synthesizes a
+    * deterministic sample grid (vᵢ = (doc_id·31 + i·7) mod 256 over
+    * w·h·ch samples, dims keyed off doc_id, grayscale/RGB by parity),
+    * encodes it as a standards-conformant PNG whose scanlines cycle
+    * through ALL five filter types (none/sub/up/average/paeth), then
+    * decodes the pixels back via zlib inflate + per-row defilter and
+    * reduces them — count, exact sum, the position-weighted sum
+    * Σ(i+1)·vᵢ, and integer mean. The oracle regenerates the same
+    * samples arithmetically (compression and filtering are invisible
+    * to it), so ANY defect in deflate framing, chunk CRCs, inflate,
+    * or any of the five defilters shifts a byte and breaks the
+    * compare. Encode and decode both run inside one narrow
+    * mapPartitions — pixel bytes never shuffle. */
+  val q102 = QuerySpec("q102_png_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val dims = docs.select(col("doc_id"),
+          (col("doc_id") % 24 + 8).cast("int").as("w"),
+          (col("doc_id") % 16 + 6).cast("int").as("h"),
+          when(col("doc_id") % 2 === 0, 1).otherwise(3).cast("int").as("ch"))
+        .as[(Long, Int, Int, Int)]
+      val media = dims.mapPartitions { it =>
+        it.map { case (id, w, h, ch) =>
+          val px = Array.tabulate(w * h * ch)(i =>
+            ((id * 31 + i.toLong * 7) % 256).toByte)
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.pngEncode(w, h, ch, px),
+            Multimodal.MediaMeta(w, h, "png", 1))
+        }
+      }
+      Multimodal.decodePixelFeatures(media).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+WITH dims AS (
+  SELECT doc_id,
+    CAST(doc_id % 24 + 8 AS INT) AS width,
+    CAST(doc_id % 16 + 6 AS INT) AS height,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+  FROM documents
+), idx AS (
+  SELECT doc_id, width, height, channels,
+    unnest(range(0, CAST(width AS BIGINT) * height * channels)) AS i
+  FROM dims
+), px AS (
+  SELECT doc_id, width, height, channels, i,
+    (doc_id * 31 + i * 7) % 256 AS v
+  FROM idx
+)
+SELECT doc_id, width, height, channels,
+  count(*) AS n_samples,
+  CAST(sum(v) AS BIGINT) AS sum_v,
+  CAST(sum((i + 1) * v) AS BIGINT) AS wsum,
+  CAST(sum(v) // count(*) AS BIGINT) AS mean_luma
+FROM px GROUP BY doc_id, width, height, channels ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102)
 }

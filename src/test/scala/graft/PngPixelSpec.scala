@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real PNG pixel codec: zlib + per-row filters (RFC 2083). The
+  * cross-check against javax.imageio (the JDK's own independent PNG
+  * decoder) pins standards conformance — a matched encoder/decoder
+  * bug pair that round-trips internally would still fail ImageIO. */
+class PngPixelSpec extends AnyFunSuite {
+
+  private def samples(w: Int, h: Int, ch: Int)(f: Int => Int): Array[Byte] =
+    Array.tabulate(w * h * ch)(i => (f(i) % 256).toByte)
+
+  test("encode→decode round-trips exact pixels for gray/RGB/RGBA") {
+    for (ch <- Seq(1, 3, 4)) {
+      // h ≥ 6 so every filter type (row % 5) appears at least once
+      val (w, h) = (13, 7)
+      val px = samples(w, h, ch)(i => i * 31 + ch * 7)
+      val png = Multimodal.pngEncode(w, h, ch, px)
+      val got = Multimodal.pngDecodePixels(png)
+      assert(got.isDefined, s"ch=$ch decodes")
+      val (gw, gh, gch, gpx) = got.get
+      assert((gw, gh, gch) == (w, h, ch))
+      assert(gpx.sameElements(px), s"ch=$ch pixels exact")
+    }
+  }
+
+  test("javax.imageio reads our PNGs to the same pixels (conformance)") {
+    for (ch <- Seq(1, 3, 4)) {
+      val (w, h) = (11, 6)
+      val px = samples(w, h, ch)(i => i * 53 + 5)
+      val png = Multimodal.pngEncode(w, h, ch, px)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ch=$ch: ImageIO accepts the container")
+      val raster = img.getRaster
+      assert(raster.getNumBands == ch)
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until ch) {
+        val want = px((y * w + x) * ch + b) & 0xff
+        assert(raster.getSample(x, y, b) == want,
+          s"ch=$ch pixel ($x,$y) band $b")
+      }
+    }
+  }
+
+  test("hostile/unsupported inputs degrade to None, never throw") {
+    val (w, h, ch) = (9, 5, 3)
+    val px = samples(w, h, ch)(i => i)
+    val png = Multimodal.pngEncode(w, h, ch, px)
+    // corrupt one IDAT byte: chunk CRC must catch it
+    val bad = png.clone(); bad(40) = (bad(40) ^ 0x55).toByte
+    assert(Multimodal.pngDecodePixels(bad).isEmpty, "CRC rejects corruption")
+    // truncation mid-IDAT
+    assert(Multimodal.pngDecodePixels(png.take(png.length - 20)).isEmpty)
+    // interlace flag set (offset 28 in sig+IHDR layout) + fixed CRC is
+    // still rejected: Adam7 is out of scope, must not silently mis-parse
+    val inter = png.clone(); inter(28) = 1
+    val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 17)
+    val cv = crc.getValue.toInt
+    for (k <- 0 until 4) inter(29 + k) = (cv >>> (24 - 8 * k)).toByte
+    assert(Multimodal.pngDecodePixels(inter).isEmpty, "interlace rejected")
+    // not a PNG at all
+    assert(Multimodal.pngDecodePixels("hello".getBytes).isEmpty)
+    assert(Multimodal.pngDecodePixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeStub: real mean over decoded samples for PNG, byte-sum else") {
+    val (w, h, ch) = (8, 6, 1)
+    val px = samples(w, h, ch)(i => i * 5)
+    val png = Multimodal.pngEncode(w, h, ch, px)
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, Multimodal.MediaMeta(w, h, "png", 1)),
+      Multimodal.MediaRecord(2L, "image", "plain bytes".getBytes("UTF-8"),
+        Multimodal.MediaMeta(0, 0, "raw", 1))).toDS()
+    val got = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val wantMean = px.map(_ & 0xff).map(_.toLong).sum / px.length
+    assert(got(0).brightness == wantMean, "PNG path: mean of decoded pixels")
+    val headSum = "plain bytes".getBytes("UTF-8").take(16)
+      .foldLeft(0L)((a, b) => a + (b & 0xff)) % 256
+    assert(got(1).brightness == headSum, "non-PNG path: byte-sum stand-in")
+  }
+}
