@@ -553,6 +553,110 @@ object Dedup {
       .where(col("span_len") >= minLen)
   }
 
+  /** Token-level longest-common-prefix of two string arrays: index of
+    * the first mismatch (nulls from the longer side's padding count as
+    * mismatches), or the zipped length when one is a prefix of the
+    * other. Pure codegen-able array expression — no UDF. */
+  private def lcpTokens(a: Column, b: Column): Column = {
+    val z = zip_with(a, b, (x, y) => coalesce(x === y, lit(false)))
+    // array_position returns 0 for "not found" (all-equal ⇒ LCP = the
+    // zipped length) and null only for a null array (absent neighbor)
+    val pos = array_position(z, false)
+    when(pos === 0, size(z).cast("long")).otherwise(pos - 1)
+  }
+
+  /** EXACT variable-length span dedup — suffix-array-grade maximal
+    * repeated substrings, replacing [[dupSpanRanges]]'s fixed-gram
+    * approximation (Lee et al. 2022's "substrings of ≥ 50 tokens"
+    * criterion, computed exactly rather than as merged gram islands).
+    *
+    * For every token position `p` let d(p) = the length of the longest
+    * substring starting at `p` that occurs ≥ 2 times in the corpus
+    * (capped at `cap`). The classic single-machine tool is a suffix
+    * array with adjacent-rank LCPs; the distributed equivalent here
+    * exploits that d(p) ≥ minLen iff the width-`minLen` gram at `p` is
+    * duplicated corpus-wide, so:
+    *
+    *  1. each position ships ONE bounded sort key — the md5 of its
+    *     `minLen`-token gram plus up to `cap − minLen` extension
+    *     tokens (never the whole suffix: key size is O(cap), which is
+    *     what makes the shuffle finite at 100 TB);
+    *  2. only positions whose gram hash is duplicated survive (the
+    *     overwhelming majority of a real corpus drops out here);
+    *  3. within a gram group — exactly the set of suffixes whose LCP
+    *     can reach minLen — suffixes are sorted by their extension
+    *     (the per-partition sorted gram chain) and d(p) = minLen +
+    *     max(LCP with the two ADJACENT extensions): the suffix-array
+    *     property that the nearest neighbors in sorted order realize
+    *     the maximum LCP, applied per group;
+    *  4. a per-doc lag pass keeps only LEFT-MAXIMAL spans (a span
+    *     whose predecessor extends it by one, d(p−1) = d(p)+1, is the
+    *     same repeat shifted — suppressed), so one 60-token verbatim
+    *     duplication reports as ONE (start, 60) span, and a chimera of
+    *     two adjacent 30-token repeats from different sources reports
+    *     as TWO spans where the gram-island view merges them.
+    *
+    * Output: one row per (id, span_start, span_len) maximal repeated
+    * span with span_len ≥ minLen, every occurrence reported. A run
+    * longer than `cap` reports ONCE as a capped head span of length
+    * cap (its interior stays suppressed by the left-maximality rule)
+    * — pick cap ≥ the longest duplication you care to measure exactly.
+    *
+    * Scale shape: one shuffle keyed by gram hash (uniform by
+    * construction; a pathological million-fold boilerplate 50-gram
+    * makes one big group — the standard mitigation is dropping
+    * groups above a count ceiling, which are removal candidates
+    * outright, before the window), one doc-keyed window for
+    * left-maximality, all LCP work codegen'd array expressions. Raw
+    * text never shuffles — only (hash, bounded extension) keys.
+    * Cross-engine note: group-internal order compares extension
+    * STRINGS (space-joined tokens, space < every token char, so the
+    * order equals token-sequence order); bit-parity with a non-JVM
+    * oracle assumes effectively-ASCII tokens, as [[editDistancePairs]].
+    */
+  def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, cap: Int = 200): DataFrame = {
+    require(cap > minLen, s"cap $cap must exceed minLen $minLen")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.repartition(par).select(col(idCol).as("id"),
+      T.tokens(T.normalizeText(col(textCol))).as("toks"))
+    // one row per eligible position: gram hash + bounded extension
+    val suf = toks
+      .select(col("id"), col("toks"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .where(col("p") <= size(col("toks")) - minLen)
+      .select(col("id"), col("p"),
+        md5(concat_ws(" ", slice(col("toks"), col("p") + 1, lit(minLen)))).as("h"),
+        slice(col("toks"), col("p") + minLen + 1, lit(cap - minLen)).as("ext"))
+      .withColumn("ext_key", concat_ws(" ", col("ext")))
+    // gram-group sorted chain: adjacent extensions realize the max LCP.
+    // The duplicate test is a count-over-partition in the SAME h-keyed
+    // exchange the lag/lead chain needs — one suffix shuffle total, no
+    // separate aggregate+join and nothing to persist (a singleton
+    // group's lag/lead are null → harmless, and it drops at c > 1).
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("ext_key", "id", "p")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val d = suf
+      .withColumn("c", count(lit(1)).over(wAll))
+      .withColumn("lcp_prev",
+        coalesce(lcpTokens(col("ext"), lag(col("ext"), 1).over(wOrd)), lit(0L)))
+      .withColumn("lcp_next",
+        coalesce(lcpTokens(col("ext"), lead(col("ext"), 1).over(wOrd)), lit(0L)))
+      .where(col("c") > 1)
+      .select(col("id"), col("p"),
+        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).as("d"))
+    // left-maximality: suppress spans that are a predecessor's tail
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p")
+    d.withColumn("prev_p", lag(col("p"), 1).over(wd))
+      .withColumn("prev_d", lag(col("d"), 1).over(wd))
+      .where(col("prev_p").isNull || col("prev_p") =!= col("p") - 1 ||
+        (col("prev_d") - 1 < col("d") && col("prev_d") < cap))
+      .select(col("id"), col("p").cast("long").as("span_start"),
+        col("d").cast("long").as("span_len"))
+  }
+
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are
     * blocked on the md5 of their first `prefixTokens` normalized tokens;
     * only within-block pairs are scored. Blocking bounds the candidate

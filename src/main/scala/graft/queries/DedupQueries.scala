@@ -688,7 +688,75 @@ SELECT span_len, count(*) AS n_spans,
 FROM spans GROUP BY span_len ORDER BY span_len
 """))
 
+  /** q103 — EXACT maximal repeated substrings (suffix-array grade):
+    * for every position, d(p) = the true length of the longest
+    * substring starting there that occurs ≥ 2 times corpus-wide
+    * (capped at 32), via duplicated-8-gram groups + within-group
+    * sorted extension chains + adjacent-rank LCP, then left-maximality
+    * (`Dedup.exactDupSpans`). Unlike q48's gram islands this reports
+    * each maximal repeat with its exact length and SPLITS chimeras of
+    * adjacent unrelated repeats (pinned in ExactSpanSpec). The oracle
+    * rebuilds the identical construction in SQL: same gram hash, same
+    * extension sort, LCP via list_zip/list_transform/list_position
+    * (DuckDB and Spark both return 0 for "no mismatch found", so the
+    * CASE mirrors exactly), same left-maximality predicate — any
+    * boundary, ordering, or LCP defect shifts a span and breaks the
+    * hash compare. */
+  val q103 = QuerySpec("q103_exact_dup_spans",
+    (s, dir) => Dedup.exactDupSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", minLen = 8, cap = 32)
+      .orderBy("id", "span_start"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), suf AS (
+  SELECT doc_id, i - 1 AS p,
+    md5(array_to_string(toks[i:i+7], ' ')) AS h,
+    toks[i+8:i+31] AS ext,
+    array_to_string(toks[i+8:i+31], ' ') AS ext_key
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM t WHERE len(toks) >= 8)
+), dup AS (
+  SELECT s.doc_id, s.p, s.h, s.ext, s.ext_key
+  FROM suf s JOIN (SELECT h FROM suf GROUP BY h HAVING count(*) > 1) c
+    USING (h)
+), nb AS (
+  SELECT doc_id, p, ext,
+    lag(ext)  OVER w AS pext,
+    lead(ext) OVER w AS next_ext
+  FROM dup
+  WINDOW w AS (PARTITION BY h ORDER BY ext_key, doc_id, p)
+), zipped AS (
+  SELECT doc_id, p,
+    list_transform(list_zip(ext, pext),
+      x -> coalesce(struct_extract(x, 1) = struct_extract(x, 2), false)) AS pz,
+    list_transform(list_zip(ext, next_ext),
+      x -> coalesce(struct_extract(x, 1) = struct_extract(x, 2), false)) AS nz
+  FROM nb
+), dd AS (
+  SELECT doc_id, p, 8 + greatest(
+      coalesce(CASE WHEN list_position(pz, false) = 0 THEN len(pz)
+               ELSE list_position(pz, false) - 1 END, 0),
+      coalesce(CASE WHEN list_position(nz, false) = 0 THEN len(nz)
+               ELSE list_position(nz, false) - 1 END, 0)) AS d
+  FROM zipped
+), sp AS (
+  SELECT doc_id, p, d,
+    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p,
+    lag(d) OVER (PARTITION BY doc_id ORDER BY p) AS prev_d
+  FROM dd
+)
+SELECT doc_id AS id, CAST(p AS BIGINT) AS span_start, CAST(d AS BIGINT) AS span_len
+FROM sp
+WHERE prev_p IS NULL OR prev_p <> p - 1 OR (prev_d - 1 < d AND prev_d < 32)
+ORDER BY id, span_start
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100)
+      q97, q100, q103)
 }

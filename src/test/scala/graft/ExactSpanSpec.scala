@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
+
+/** Exact (suffix-array-grade) variable-length span dedup vs the
+  * fixed-gram island approximation: the three behaviors that make
+  * `exactDupSpans` "exact" — exact boundaries/lengths for long
+  * verbatim runs, chimera SPLITTING where gram islands over-merge,
+  * and capped-run suppression. */
+class ExactSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("a 60-token verbatim duplication reports as ONE exact span per occurrence") {
+    val S = toks("s", 60)
+    val a = (toks("a", 10) ++ S ++ toks("b", 10)).mkString(" ")
+    val b = (toks("c", 7) ++ S ++ toks("d", 5)).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 50, cap = 200)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one span per doc, starting exactly where S starts, exactly 60 long
+    assert(got.toSeq == Seq((1L, 10L, 60L), (2L, 7L, 60L)))
+  }
+
+  test("49-token duplication is below a minLen=50 threshold: no spans") {
+    val S = toks("s", 49)
+    val df = Seq(
+      (1L, (toks("a", 5) ++ S ++ toks("b", 5)).mkString(" ")),
+      (2L, (toks("c", 5) ++ S ++ toks("d", 5)).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.exactDupSpans(df, "doc_id", "text", minLen = 50, cap = 200)
+      .count() == 0)
+  }
+
+  test("chimera: exact reports TWO adjacent repeats where gram islands merge to one") {
+    // doc 1 carries S1 (6 toks, shared with doc 2) immediately followed
+    // by S2 (7 toks, shared with doc 3). No 13-token substring repeats.
+    val s1 = toks("s", 6); val s2 = toks("t", 7)
+    val df = Seq(
+      (1L, (toks("x", 2) ++ s1 ++ s2 ++ toks("y", 1)).mkString(" ")),
+      (2L, (toks("z", 1) ++ s1 ++ toks("q", 2)).mkString(" ")),
+      (3L, (toks("w", 1) ++ s2 ++ toks("v", 2)).mkString(" "))).toDF("doc_id", "text")
+    val exact = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 5, cap = 50)
+      .where(col("id") === 1).orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // two maximal repeats with their true lengths — NOT one 13-span
+    assert(exact.toSeq == Seq((2L, 6L), (8L, 7L)))
+    val gram = Dedup.dupSpanRanges(df, "doc_id", "text", n = 5)
+      .where(col("id") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // the island view welds the adjacent repeats into one 13-token span
+    assert(gram.toSeq == Seq((2L, 13L)),
+      "gram-island approximation over-merges the chimera")
+  }
+
+  test("within-document self-repeat reports both occurrences") {
+    val S = toks("s", 8)
+    val df = Seq(
+      (1L, (S ++ toks("f", 3) ++ S).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 6, cap = 50)
+      .orderBy("span_start").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 8L), (11L, 8L)))
+  }
+
+  test("plan: suffix rows shuffle once (h-keyed), no join, no self-pairing") {
+    // range leaf so nothing constant-folds away; count AQE's final plan
+    // exchanges: the dup test rides the same h-keyed window exchange as
+    // the LCP chain, then one doc-keyed window — 3 total with the
+    // initial repartition, and no Join node anywhere
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    val docs = spark.range(64).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("t1 t2 t3 t4 t5 t6"), col("id").cast("string")).as("text"))
+    val plan = Dedup.exactDupSpans(docs, "doc_id", "text", minLen = 5, cap = 10)
+      .queryExecution.executedPlan.toString
+    val body = plan.split("\\+\\- == Initial Plan ==")(0)
+    assert(!body.contains("Join"), "no join in the exact-span plan")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(body).size
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$body")
+  }
+
+  test("a run longer than cap reports once, saturated at cap") {
+    val S = toks("s", 30)
+    val df = Seq(
+      (1L, (toks("a", 3) ++ S ++ toks("b", 3)).mkString(" ")),
+      (2L, (toks("c", 3) ++ S ++ toks("d", 3)).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 5, cap = 12)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 12L), (2L, 3L, 12L)))
+  }
+}
