@@ -614,12 +614,20 @@ object Dedup {
     * order equals token-sequence order); bit-parity with a non-JVM
     * oracle assumes effectively-ASCII tokens, as [[editDistancePairs]].
     */
-  def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, cap: Int = 200): DataFrame = {
-    require(cap > minLen, s"cap $cap must exceed minLen $minLen")
+  /** (id, toks) tokenization frame shared by the exact-span family. */
+  private def tokensFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val toks = df.repartition(par).select(col(idCol).as("id"),
+    df.repartition(par).select(col(idCol).as("id"),
       T.tokens(T.normalizeText(col(textCol))).as("toks"))
+  }
+
+  /** Per-position TRUE dup-run length: (id, p, d) for every position
+    * whose longest corpus-repeated substring d(p) ≥ minLen (d capped
+    * at `cap`). The suffix-array-grade core shared by
+    * [[exactDupSpans]] and [[exactRemoveDupSpans]] — see the former
+    * for the construction. */
+  private def exactRunLengths(toks: DataFrame, minLen: Int, cap: Int): DataFrame = {
+    require(cap > minLen, s"cap $cap must exceed minLen $minLen")
     // one row per eligible position: gram hash + bounded extension
     val suf = toks
       .select(col("id"), col("toks"),
@@ -637,7 +645,7 @@ object Dedup {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("h").orderBy("ext_key", "id", "p")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val d = suf
+    suf
       .withColumn("c", count(lit(1)).over(wAll))
       .withColumn("lcp_prev",
         coalesce(lcpTokens(col("ext"), lag(col("ext"), 1).over(wOrd)), lit(0L)))
@@ -645,7 +653,12 @@ object Dedup {
         coalesce(lcpTokens(col("ext"), lead(col("ext"), 1).over(wOrd)), lit(0L)))
       .where(col("c") > 1)
       .select(col("id"), col("p"),
-        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).as("d"))
+        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d"))
+  }
+
+  def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, cap: Int = 200): DataFrame = {
+    val d = exactRunLengths(tokensFrame(df, idCol, textCol), minLen, cap)
     // left-maximality: suppress spans that are a predecessor's tail
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("p")
@@ -655,6 +668,45 @@ object Dedup {
         (col("prev_d") - 1 < col("d") && col("prev_d") < cap))
       .select(col("id"), col("p").cast("long").as("span_start"),
         col("d").cast("long").as("span_len"))
+  }
+
+  /** EXACT span REMOVAL — Lee et al. 2022's actual excision semantics:
+    * delete every token that any ≥ minLen corpus-repeated substring
+    * covers, with coverage computed from the TRUE per-position run
+    * lengths. Unlike the left-maximal span REPORT ([[exactDupSpans]]),
+    * removal unions [p, p+d(p)) over ALL qualifying positions — which
+    * makes coverage exact even past `cap`: inside a longer-than-cap
+    * run each successive position re-asserts its capped interval, so
+    * the union still reaches the run's true end.
+    *
+    * Returns (id, n_tokens, n_removed, clean_text) for every input
+    * row. Scale shape: [[exactRunLengths]]'s single bounded-key
+    * shuffle, one doc-keyed aggregation of (p, d) pairs, then the
+    * same narrow O(L + covered) array boundary pass as
+    * [[removeDupSpans]] — interval starts ascend, so flatten +
+    * distinct is already sorted and excision is index arithmetic,
+    * no second window shuffle. */
+  def exactRemoveDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, cap: Int = 200): DataFrame = {
+    // both the suffix stream and the final reconstruction read it
+    val toks = graft.CacheRegistry.persistTracked(
+      tokensFrame(df, idCol, textCol))
+    val ranges = exactRunLengths(toks, minLen, cap)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("p"), col("d")))).as("pd"))
+    toks.join(ranges, Seq("id"), "left")
+      .withColumn("covered", array_distinct(flatten(transform(
+        coalesce(col("pd"), array().cast("array<struct<p:int,d:int>>")),
+        s => sequence(s.getField("p"), s.getField("p") + s.getField("d") - 1)))))
+      .withColumn("all_idx", when(size(col("toks")) > 0,
+        sequence(lit(0), size(col("toks")) - 1))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("kept_idx", array_except(col("all_idx"), col("covered")))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("kept_idx"),
+          i => element_at(col("toks"), i + 1))).as("clean_text"))
   }
 
   /** N-gram Jaccard dedup with cheap prefix blocking: documents are

@@ -278,11 +278,10 @@ object Multimodal {
     * decoder's defilter path is genuinely exercised, not just
     * filter-0 passthrough. (javax.imageio reads the output; the spec
     * cross-checks exactly that.) */
-  def pngEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(pixels.length == w * h * channels,
-      s"pixels ${pixels.length} != $w*$h*$channels")
-    val rowBytes = w * channels
-    val bpp = channels
+  /** Filter `h` scanlines of `rowBytes = w·bpp` data, cycling the five
+    * filter types by row, into the raw pre-compression stream. */
+  private def filterScanlines(h: Int, rowBytes: Int, bpp: Int,
+      data: Array[Byte]): Array[Byte] = {
     val raw = new Array[Byte](h * (rowBytes + 1))
     var r = 0
     while (r < h) {
@@ -290,10 +289,10 @@ object Multimodal {
       raw(r * (rowBytes + 1)) = ft.toByte
       var x = 0
       while (x < rowBytes) {
-        val cur = pixels(r * rowBytes + x) & 0xff
-        val a = if (x >= bpp) pixels(r * rowBytes + x - bpp) & 0xff else 0
-        val b = if (r > 0) pixels((r - 1) * rowBytes + x) & 0xff else 0
-        val c = if (r > 0 && x >= bpp) pixels((r - 1) * rowBytes + x - bpp) & 0xff else 0
+        val cur = data(r * rowBytes + x) & 0xff
+        val a = if (x >= bpp) data(r * rowBytes + x - bpp) & 0xff else 0
+        val b = if (r > 0) data((r - 1) * rowBytes + x) & 0xff else 0
+        val c = if (r > 0 && x >= bpp) data((r - 1) * rowBytes + x - bpp) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -306,14 +305,41 @@ object Multimodal {
       }
       r += 1
     }
+    raw
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    pngHeader(w, h, channels) ++ pngChunk("IDAT", out.toByteArray) ++
+    out.toByteArray
+  }
+
+  def pngEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * channels,
+      s"pixels ${pixels.length} != $w*$h*$channels")
+    val raw = filterScanlines(h, w * channels, channels, pixels)
+    pngHeader(w, h, channels) ++ pngChunk("IDAT", deflate(raw)) ++
       pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Palette (color type 3) PNG: `palette` is ≤ 256 RGB triples in a
+    * PLTE chunk, `indices` one byte per pixel. Decodes back (via
+    * [[pngDecodePixels]] or any conformant reader) to the RGB
+    * expansion — the indexed layout web crawls are full of. */
+  def pngEncodeIndexed(w: Int, h: Int, palette: Array[Byte],
+      indices: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.nonEmpty && palette.length <= 768,
+      s"palette ${palette.length} must be 3..768 bytes of RGB triples")
+    require(indices.length == w * h, s"indices ${indices.length} != $w*$h")
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, 3, 0, 0, 0)
+    val raw = filterScanlines(h, w, 1, indices)
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("PLTE", palette) ++
+      pngChunk("IDAT", deflate(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** REAL PNG pixel decode: chunk walk (CRC-verified), concatenated
@@ -328,7 +354,8 @@ object Multimodal {
         (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
       val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       if (data.length < 8 || (0 until 8).exists(i => u8(i) != pngSig(i))) return None
-      var w = 0; var h = 0; var ch = -1
+      var w = 0; var h = 0; var ch = -1; var indexed = false
+      var palette: Array[Byte] = null
       var pos = 8
       var ended = false
       val idat = new java.io.ByteArrayOutputStream()
@@ -344,19 +371,25 @@ object Multimodal {
             if (len != 13) return None
             w = rd4(pos + 8); h = rd4(pos + 12)
             val depth = u8(pos + 16)
+            // ch = SAMPLES per pixel in the scanline stream (palette
+            // images carry one index byte per pixel, expanded later)
             ch = u8(pos + 17) match {
-              case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+              case 0 => 1; case 2 => 3; case 3 => indexed = true; 1
+              case 4 => 2; case 6 => 4; case _ => -1
             }
             // depth 8, compression 0, filter method 0, no interlace
             if (w <= 0 || h <= 0 || ch < 0 || depth != 8 ||
               u8(pos + 18) != 0 || u8(pos + 19) != 0 || u8(pos + 20) != 0) return None
+          case "PLTE" =>
+            if (len == 0 || len % 3 != 0 || len > 768) return None
+            palette = java.util.Arrays.copyOfRange(data, pos + 8, pos + 8 + len)
           case "IDAT" => idat.write(data, pos + 8, len)
           case "IEND" => ended = true
           case _ => () // ancillary chunks skipped by declared length
         }
         pos += 12 + len
       }
-      if (ch < 0 || !ended) return None
+      if (ch < 0 || !ended || (indexed && palette == null)) return None
       val rowBytes = w * ch
       // bound the decode buffer BEFORE inflating: a hostile IHDR must
       // not make us allocate from attacker-declared dimensions unchecked
@@ -397,7 +430,23 @@ object Multimodal {
         }
         r += 1
       }
-      Some((w, h, ch, px))
+      if (!indexed) Some((w, h, ch, px))
+      else {
+        // palette expansion: every index must address a PLTE triple —
+        // an out-of-range index is hostile bytes, not a pixel
+        val nEntries = palette.length / 3
+        val rgb = new Array[Byte](px.length * 3)
+        var i = 0
+        while (i < px.length) {
+          val idx = px(i) & 0xff
+          if (idx >= nEntries) return None
+          rgb(3 * i) = palette(3 * idx)
+          rgb(3 * i + 1) = palette(3 * idx + 1)
+          rgb(3 * i + 2) = palette(3 * idx + 2)
+          i += 1
+        }
+        Some((w, h, 3, rgb))
+      }
     } catch { case _: Exception => None }
 
   /** Per-image features over DECODED pixels. */

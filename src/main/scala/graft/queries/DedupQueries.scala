@@ -702,12 +702,13 @@ FROM spans GROUP BY span_len ORDER BY span_len
     * CASE mirrors exactly), same left-maximality predicate — any
     * boundary, ordering, or LCP defect shifts a span and breaks the
     * hash compare. */
-  val q103 = QuerySpec("q103_exact_dup_spans",
-    (s, dir) => Dedup.exactDupSpans(
-        Tables(s, dir, "documents"), "doc_id", "text", minLen = 8, cap = 32)
-      .orderBy("id", "span_start"),
-    Some(raw"""
-WITH t AS (
+  /** Shared oracle CTEs for the EXACT span family (q103, q104): the
+    * SQL rebuild of `Dedup.exactRunLengths` at minLen = 8, cap = 32 —
+    * duplicated-8-gram groups, extension sort, adjacent-rank LCP via
+    * list_zip/list_transform/list_position (both engines return 0 for
+    * "no mismatch found", so the CASE mirrors exactly). `dd` ends as
+    * (doc_id, p, d): every position with true dup-run length ≥ 8. */
+  private val sqlExactCtes = raw"""t AS (
   SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
          ELSE string_split_regex(norm, '\s+') END AS toks
   FROM (SELECT doc_id,
@@ -744,7 +745,14 @@ WITH t AS (
       coalesce(CASE WHEN list_position(nz, false) = 0 THEN len(nz)
                ELSE list_position(nz, false) - 1 END, 0)) AS d
   FROM zipped
-), sp AS (
+)"""
+
+  val q103 = QuerySpec("q103_exact_dup_spans",
+    (s, dir) => Dedup.exactDupSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", minLen = 8, cap = 32)
+      .orderBy("id", "span_start"),
+    Some(raw"""
+WITH $sqlExactCtes, sp AS (
   SELECT doc_id, p, d,
     lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p,
     lag(d) OVER (PARTITION BY doc_id ORDER BY p) AS prev_d
@@ -756,7 +764,36 @@ WHERE prev_p IS NULL OR prev_p <> p - 1 OR (prev_d - 1 < d AND prev_d < 32)
 ORDER BY id, span_start
 """))
 
+  /** q104 — EXACT span REMOVAL (Lee et al.'s excision): delete every
+    * token covered by ANY ≥ 8-token corpus-repeated substring, with
+    * coverage unioned from the true per-position run lengths — q43's
+    * removal with q103's exactness. The oracle unions [p, p+d) via
+    * unnest(range(0, d)) and reconstructs the clean text by index
+    * exclusion; both engines rebuild the exact same kept-token string,
+    * so one mis-covered position anywhere breaks the hash compare. */
+  val q104 = QuerySpec("q104_exact_remove_spans",
+    (s, dir) => Dedup.exactRemoveDupSpans(
+        Tables(s, dir, "documents"), "doc_id", "text", minLen = 8, cap = 32)
+      .orderBy("id"),
+    Some(raw"""
+WITH $sqlExactCtes, cov AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT doc_id, p + unnest(range(0, d)) AS cp FROM dd)
+), cl AS (
+  SELECT doc_id, list_sort(list(cp)) AS covered FROM cov GROUP BY doc_id
+), k AS (
+  SELECT t.doc_id, toks, coalesce(covered, []) AS covered
+  FROM t LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(covered) AS BIGINT) AS n_removed,
+  coalesce(array_to_string(
+    [toks[i + 1] FOR i IN range(0, len(toks)) IF NOT list_contains(covered, i)],
+    ' '), '') AS clean_text
+FROM k ORDER BY id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103)
+      q97, q100, q103, q104)
 }

@@ -845,7 +845,71 @@ FROM canon c LEFT JOIN hits h ON c.doc_id = h.doc_id
 ORDER BY c.doc_id
 """))
 
+  /** q105 — within-document repetition signals (the Gopher quality
+    * filters, Rae et al. 2021): the most frequent word bigram with its
+    * token fraction (tie → lexicographically smallest, deterministic
+    * both engines) and the fraction of token positions covered by a
+    * trigram repeated WITHIN the same document. Per-doc statistics
+    * with no corpus state, so the engine computes them in ONE narrow
+    * mapPartitions pass — no explode, no (doc, gram) shuffle; the
+    * oracle necessarily rebuilds them relationally (explode + group +
+    * window), which is exactly the plan shape the operator avoids. */
+  val q105 = QuerySpec("q105_repetition_stats",
+    (s, dir) => graft.operators.Repetition
+      .stats(Tables(s, dir, "documents"), "doc_id", "text")
+      .toDF()
+      .select(col("id"), col("n_tokens"), col("top_bigram"),
+        col("top_bigram_n"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
+      .orderBy("id"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM bgc) WHERE rn = 1
+), tg AS (
+  SELECT doc_id, i - 1 AS p,
+    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), tgd AS (
+  SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING count(*) > 1
+), cov AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT tg.doc_id, tg.p + unnest(range(0, 3)) AS cp
+    FROM tg JOIN tgd USING (doc_id, g))
+), covc AS (
+  SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  coalesce(top.g, '') AS top_bigram,
+  CAST(coalesce(top.c, 0) AS BIGINT) AS top_bigram_n,
+  round(CASE WHEN len(toks) >= 2
+        THEN 2.0 * coalesce(top.c, 0) / len(toks) ELSE 0.0 END, 6)
+    AS top_bigram_frac,
+  round(coalesce(nc, 0) * 1.0 /
+        CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END, 6)
+    AS dup_trigram_frac
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+LEFT JOIN covc ON t.doc_id = covc.doc_id
+ORDER BY id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95)
+      q86, q87, q88, q90, q94, q95, q105)
 }

@@ -81,6 +81,27 @@ class ExactSpanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$body")
   }
 
+  test("removal: excises exactly the covered tokens, exact even past cap") {
+    // 30-token duplication with cap 12: the span REPORT saturates at 12,
+    // but removal unions every position's interval, so all 30 tokens go
+    val S = toks("s", 30)
+    val df = Seq(
+      (1L, (toks("a", 3) ++ S ++ toks("b", 2)).mkString(" ")),
+      (2L, (toks("c", 2) ++ S ++ toks("d", 3)).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactRemoveDupSpans(df, "doc_id", "text", minLen = 5, cap = 12)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 35L, 30L, (toks("a", 3) ++ toks("b", 2)).mkString(" ")),
+      (2L, 35L, 30L, (toks("c", 2) ++ toks("d", 3)).mkString(" "))))
+    // a clean doc passes through untouched
+    val clean = Seq((9L, toks("u", 8).mkString(" "))).toDF("doc_id", "text")
+    val u = Dedup.exactRemoveDupSpans(clean, "doc_id", "text", minLen = 5, cap = 12)
+      .collect().head
+    assert(u.getLong(2) == 0L && u.getString(3) == toks("u", 8).mkString(" "))
+    CacheRegistry.releaseAll()
+  }
+
   test("a run longer than cap reports once, saturated at cap") {
     val S = toks("s", 30)
     val df = Seq(

@@ -43,6 +43,34 @@ class PngPixelSpec extends AnyFunSuite {
     }
   }
 
+  test("palette (color type 3) PNGs decode to their RGB expansion") {
+    val (w, h) = (10, 7)
+    // 5-entry palette of distinct RGB triples
+    val palette = Array.tabulate(15)(i => (i * 17 + 3).toByte)
+    val indices = Array.tabulate(w * h)(i => (i % 5).toByte)
+    val png = Multimodal.pngEncodeIndexed(w, h, palette, indices)
+    val got = Multimodal.pngDecodePixels(png)
+    assert(got.isDefined)
+    val (gw, gh, gch, rgb) = got.get
+    assert((gw, gh, gch) == (w, h, 3))
+    for (i <- 0 until w * h; b <- 0 until 3)
+      assert(rgb(3 * i + b) == palette(3 * (i % 5) + b), s"pixel $i band $b")
+    // ImageIO agrees on the expanded colors
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val e = 3 * ((y * w + x) % 5)
+      assert(((argb >> 16) & 0xff) == (palette(e) & 0xff) &&
+        ((argb >> 8) & 0xff) == (palette(e + 1) & 0xff) &&
+        (argb & 0xff) == (palette(e + 2) & 0xff), s"ImageIO pixel ($x,$y)")
+    }
+    // hostile: an index past the palette is rejected, not mis-read
+    val bad = Multimodal.pngEncodeIndexed(2, 1, palette.take(6),
+      Array[Byte](0, 3))
+    assert(Multimodal.pngDecodePixels(bad).isEmpty, "out-of-range index")
+  }
+
   test("hostile/unsupported inputs degrade to None, never throw") {
     val (w, h, ch) = (9, 5, 3)
     val px = samples(w, h, ch)(i => i)
