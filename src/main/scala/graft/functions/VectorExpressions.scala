@@ -68,6 +68,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Token-level longest common prefix of two space-joined token
+  * strings: how many complete tokens the two sequences share from the
+  * start. The exact-span dedup hot path ([[graft.operators.Dedup]]
+  * `exactRunLengths`) computes this between window-adjacent suffix
+  * extensions — with this expression the shuffle carries ONLY the
+  * joined string (no parallel array column) and the comparison is one
+  * codegen'd byte loop instead of an interpreted
+  * zip_with/array_position HOF chain.
+  *
+  * Byte-level is correct for any UTF-8: a common byte prefix is a
+  * common char prefix, the separator 0x20 never occurs inside a
+  * multi-byte char, and the token count only reads separator bytes.
+  * A partial trailing token doesn't count; equal strings count all
+  * tokens; two empty strings share zero tokens. Null → null.
+  */
+case class TokenLcp(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_lcp"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val y = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val xn = x.numBytes(); val yn = y.numBytes()
+    if (xn == 0 && yn == 0) return 0
+    val n = math.min(xn, yn)
+    var i = 0
+    while (i < n && x.getByte(i) == y.getByte(i)) i += 1
+    var t = 0; var j = 0
+    while (j < i) { if (x.getByte(j) == 0x20) t += 1; j += 1 }
+    val lastWhole = (i == xn && (i == yn || y.getByte(i) == 0x20)) ||
+      (i == yn && x.getByte(i) == 0x20)
+    if (lastWhole) t + 1 else t
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val whole = ctx.freshName("whole")
+      s"""
+        |int $xn = $x.numBytes(); int $yn = $y.numBytes();
+        |if ($xn == 0 && $yn == 0) { ${ev.value} = 0; } else {
+        |  int $n = java.lang.Math.min($xn, $yn);
+        |  int $i = 0;
+        |  while ($i < $n && $x.getByte($i) == $y.getByte($i)) $i++;
+        |  int $t = 0;
+        |  for (int $j = 0; $j < $i; $j++) { if ($x.getByte($j) == (byte) 0x20) $t++; }
+        |  boolean $whole = ($i == $xn && ($i == $yn || $y.getByte($i) == (byte) 0x20))
+        |    || ($i == $yn && $x.getByte($i) == (byte) 0x20);
+        |  ${ev.value} = $whole ? $t + 1 : $t;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Executor-side handle to a broadcast k-means codebook. The broadcast
   * ships the centroids once per executor (Torrent, not per-task
   * closure); centroid squared norms are derived lazily on first use per
@@ -710,6 +774,12 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[TokenLcp]]: whole-token common prefix of two
+    * space-joined strings. */
+  def tokenLcp(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      TokenLcp(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column API for [[CentroidScores]]. Input must be array<double>. */
   def centroidScores(x: Column, codebook: CodebookRef): Column =

@@ -553,18 +553,6 @@ object Dedup {
       .where(col("span_len") >= minLen)
   }
 
-  /** Token-level longest-common-prefix of two string arrays: index of
-    * the first mismatch (nulls from the longer side's padding count as
-    * mismatches), or the zipped length when one is a prefix of the
-    * other. Pure codegen-able array expression — no UDF. */
-  private def lcpTokens(a: Column, b: Column): Column = {
-    val z = zip_with(a, b, (x, y) => coalesce(x === y, lit(false)))
-    // array_position returns 0 for "not found" (all-equal ⇒ LCP = the
-    // zipped length) and null only for a null array (absent neighbor)
-    val pos = array_position(z, false)
-    when(pos === 0, size(z).cast("long")).otherwise(pos - 1)
-  }
-
   /** EXACT variable-length span dedup — suffix-array-grade maximal
     * repeated substrings, replacing [[dupSpanRanges]]'s fixed-gram
     * approximation (Lee et al. 2022's "substrings of ≥ 50 tokens"
@@ -607,7 +595,8 @@ object Dedup {
     * makes one big group — the standard mitigation is dropping
     * groups above a count ceiling, which are removal candidates
     * outright, before the window), one doc-keyed window for
-    * left-maximality, all LCP work codegen'd array expressions. Raw
+    * left-maximality, all LCP work one codegen'd byte loop
+    * ([[org.apache.spark.sql.graftvec.TokenLcp]]). Raw
     * text never shuffles — only (hash, bounded extension) keys.
     * Cross-engine note: group-internal order compares extension
     * STRINGS (space-joined tokens, space < every token char, so the
@@ -628,29 +617,36 @@ object Dedup {
     * for the construction. */
   private def exactRunLengths(toks: DataFrame, minLen: Int, cap: Int): DataFrame = {
     require(cap > minLen, s"cap $cap must exceed minLen $minLen")
-    // one row per eligible position: gram hash + bounded extension
+    // One row per eligible position: gram hash + bounded extension.
+    // The extension travels ONLY as its space-joined string — the sort
+    // key and the LCP operand are the same column, so the suffix
+    // shuffle carries no parallel token array (sf10: 77.6→29.9 s for
+    // the span report when the array stopped shipping; PLANS.md).
     val suf = toks
       .select(col("id"), col("toks"),
         posexplode(col("toks")).as(Seq("p", "tok")))
       .where(col("p") <= size(col("toks")) - minLen)
       .select(col("id"), col("p"),
         md5(concat_ws(" ", slice(col("toks"), col("p") + 1, lit(minLen)))).as("h"),
-        slice(col("toks"), col("p") + minLen + 1, lit(cap - minLen)).as("ext"))
-      .withColumn("ext_key", concat_ws(" ", col("ext")))
+        concat_ws(" ",
+          slice(col("toks"), col("p") + minLen + 1, lit(cap - minLen))).as("ext_key"))
     // gram-group sorted chain: adjacent extensions realize the max LCP.
     // The duplicate test is a count-over-partition in the SAME h-keyed
     // exchange the lag/lead chain needs — one suffix shuffle total, no
     // separate aggregate+join and nothing to persist (a singleton
     // group's lag/lead are null → harmless, and it drops at c > 1).
+    // TokenLcp is the codegen'd whole-token common-prefix expression —
+    // a byte loop, vs the interpreted zip_with HOF it replaced.
+    import org.apache.spark.sql.graftvec.VectorExpressions.tokenLcp
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("h").orderBy("ext_key", "id", "p")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy("h")
     suf
       .withColumn("c", count(lit(1)).over(wAll))
       .withColumn("lcp_prev",
-        coalesce(lcpTokens(col("ext"), lag(col("ext"), 1).over(wOrd)), lit(0L)))
+        coalesce(tokenLcp(col("ext_key"), lag(col("ext_key"), 1).over(wOrd)), lit(0)))
       .withColumn("lcp_next",
-        coalesce(lcpTokens(col("ext"), lead(col("ext"), 1).over(wOrd)), lit(0L)))
+        coalesce(tokenLcp(col("ext_key"), lead(col("ext_key"), 1).over(wOrd)), lit(0)))
       .where(col("c") > 1)
       .select(col("id"), col("p"),
         (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d"))

@@ -81,6 +81,31 @@ class ExactSpanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$body")
   }
 
+  test("TokenLcp: whole-token prefix semantics, interpreted == codegen") {
+    import org.apache.spark.sql.graftvec.VectorExpressions.tokenLcp
+    val cases = Seq(
+      ("a b c", "a b d", 2), ("a b", "a b", 2), ("", "", 0),
+      ("", "a", 0), ("a", "a b", 1), ("ab", "abc", 0), ("ab c", "ab d", 1),
+      ("x ⋯y z", "x ⋯y w", 2), // multi-byte inside a token
+      ("s1 s2 s3", "s1 s2 s3", 3), ("q", "r", 0))
+    val df = cases.toDF("a", "b", "want")
+    // codegen path (projection over a DataFrame)
+    val got = df.select(col("want"), tokenLcp(col("a"), col("b")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(0), r.toString))
+    // interpreted path (direct eval)
+    cases.foreach { case (a, b, want) =>
+      val e = org.apache.spark.sql.graftvec.TokenLcp(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b),
+          org.apache.spark.sql.types.StringType))
+      assert(e.eval(null) == want, s"eval('$a','$b')")
+    }
+  }
+
   test("removal: excises exactly the covered tokens, exact even past cap") {
     // 30-token duplication with cap 12: the span REPORT saturates at 12,
     // but removal unions every position's interval, so all 30 tokens go

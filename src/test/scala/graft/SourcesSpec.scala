@@ -164,6 +164,23 @@ class SourcesSpec extends SparkSpec {
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  test("S8/zstd: .wet.zst shards parse byte-identically to plain WET") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_zst")
+    val body = "payload one ⋯"
+    val n = body.getBytes("UTF-8").length
+    val wet = s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://a/7\r\n" +
+      s"Content-Length: $n\r\n\r\n$body\r\n"
+    val f = dir.resolve("shard-00.warc.wet.zst")
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    out.write(wet.getBytes("UTF-8")); out.close()
+    val recs = Sources.readWet(spark, dir.toString)
+      .collect().map(r => (r.getAs[String]("target_uri"), r.getAs[String]("body")))
+    assert(recs.toSeq == Seq(("http://a/7", body)))
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("under-shard guard: warns on one fat compressed shard, quiet on many") {
     import org.apache.spark.sql.functions.col
     val one = java.nio.file.Files.createTempDirectory("graft_shard1")
