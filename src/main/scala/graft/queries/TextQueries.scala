@@ -909,7 +909,59 @@ LEFT JOIN covc ON t.doc_id = covc.doc_id
 ORDER BY id
 """))
 
+  /** q106 — BM25 retrieval-scored selection against a fixed 5-term
+    * "target domain" query (`operators.Bm25`): the domain-targeted
+    * corpus-selection shape, where only the query's terms matter so
+    * the whole pass is one tiny stats aggregate + a narrow scoring
+    * projection — no inverted index, no (doc, term) shuffle. The
+    * oracle recomputes N/avgdl/df and the Lucene-variant formula in
+    * the identical operation order, so the rounded scores hash-match
+    * bit-for-bit (same IEEE fold, same ln). */
+  val q106 = QuerySpec("q106_bm25_select",
+    (s, dir) => graft.operators.Bm25.score(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "spark", "fast", "query", "vector"))
+      .orderBy("id"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), s AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+    sum(CASE WHEN list_contains(toks, 'table')  THEN 1 ELSE 0 END) AS df0,
+    sum(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS df1,
+    sum(CASE WHEN list_contains(toks, 'fast')   THEN 1 ELSE 0 END) AS df2,
+    sum(CASE WHEN list_contains(toks, 'query')  THEN 1 ELSE 0 END) AS df3,
+    sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df4
+  FROM t
+), f AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, len(toks) AS n_toks,
+    CAST(len(list_filter(toks, x -> x = 'table'))  AS DOUBLE) AS tf0,
+    CAST(len(list_filter(toks, x -> x = 'spark'))  AS DOUBLE) AS tf1,
+    CAST(len(list_filter(toks, x -> x = 'fast'))   AS DOUBLE) AS tf2,
+    CAST(len(list_filter(toks, x -> x = 'query'))  AS DOUBLE) AS tf3,
+    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf4
+  FROM t
+)
+SELECT doc_id AS id, CAST(n_toks AS BIGINT) AS n_tokens,
+  round(
+    ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+      * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0)
+      * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df4 AS DOUBLE) + 0.5) / (CAST(df4 AS DOUBLE) + 0.5) + 1.0)
+      * (tf4 * 2.2) / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+FROM f, s ORDER BY id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95, q105)
+      q86, q87, q88, q90, q94, q95, q105, q106)
 }
