@@ -961,7 +961,55 @@ SELECT doc_id AS id, CAST(n_toks AS BIGINT) AS n_tokens,
 FROM f, s ORDER BY id
 """))
 
+  /** q107 — DSIR importance resampling weights (`operators.Dsir`):
+    * hashed-bucket unigram models for the target subset (lang = 'en')
+    * and the whole corpus, add-one smoothed; every doc scored by the
+    * mean log-ratio of its buckets through the broadcast WeightSum
+    * path. The oracle retrains both models in SQL from the same md5
+    * buckets and folds each doc's log-ratios in position order (the
+    * q23/q47 idiom), so the per-doc doubles agree before rounding. */
+  val q107 = QuerySpec("q107_dsir_weights",
+    (s, dir) => graft.operators.Dsir.importanceWeights(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 256)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, lang, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id, lang,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), pos AS (
+  SELECT doc_id, i - 1 AS pos, lang,
+    CAST(concat('0x', substr(md5(toks[i]), 1, 8)) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM t)
+), c AS (
+  SELECT b, count(*) AS cc,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM pos GROUP BY b
+), tot AS (
+  SELECT sum(cc) AS nc, sum(ct) AS nt FROM c
+), j AS (
+  SELECT pos.doc_id, pos.pos,
+    ln((ct + 1.0) / (nt + 256)) - ln((cc + 1.0) / (nc + 256)) AS lr
+  FROM pos JOIN c USING (b), tot
+), perdoc AS (
+  SELECT doc_id, list_sum(list(lr ORDER BY pos)) AS raw
+  FROM j GROUP BY doc_id
+), o AS (
+  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    round(coalesce(raw, 0.0) /
+      greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS log_weight
+  FROM t LEFT JOIN perdoc USING (doc_id)
+)
+SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS keep
+FROM o ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95, q105, q106)
+      q86, q87, q88, q90, q94, q95, q105, q106, q107)
 }
