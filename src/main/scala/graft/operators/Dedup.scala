@@ -666,6 +666,68 @@ object Dedup {
         col("d").cast("long").as("span_len"))
   }
 
+  /** EXACT substring-level decontamination — contaminated-span
+    * detection of corpus documents against an eval/benchmark set, at
+    * suffix-array exactness: for every corpus position, the length of
+    * the longest substring starting there that ALSO appears in the
+    * benchmark corpus (≥ minLen, capped at `cap`), reported as
+    * left-maximal (id, span_start, span_len) spans.
+    *
+    * This is the exact-match upgrade of [[bloomDecontaminate]]'s
+    * n-gram membership test: instead of "shares a 13-gram", it
+    * answers "shares a verbatim run of exactly THIS length" — the
+    * evidence an eval-leakage audit actually wants.
+    *
+    * Construction: both sides' suffixes enter the SAME gram-keyed
+    * sorted chain as [[exactDupSpans]], each flagged. A corpus
+    * position's max LCP against the benchmark set is realized at the
+    * NEAREST benchmark suffix above/below it in extension-sorted
+    * order (the suffix-array neighbor property restricted to a
+    * subset), found with two ignore-null running windows — still ONE
+    * suffix shuffle, no join, benchmark text never broadcast. A
+    * corpus gram whose group holds no benchmark suffix has no ≥
+    * minLen benchmark match and drops at the group filter. */
+  def exactContaminationSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      minLen: Int = 50, cap: Int = 200): DataFrame = {
+    require(cap > minLen, s"cap $cap must exceed minLen $minLen")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftvec.VectorExpressions.tokenLcp
+    val toks = tokensFrame(corpus, idCol, textCol)
+      .withColumn("is_bench", lit(false))
+      .unionByName(tokensFrame(bench, idCol, textCol)
+        .withColumn("is_bench", lit(true)))
+    val suf = toks
+      .select(col("id"), col("is_bench"), col("toks"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .where(col("p") <= size(col("toks")) - minLen)
+      .select(col("id"), col("is_bench"), col("p"),
+        md5(concat_ws(" ", slice(col("toks"), col("p") + 1, lit(minLen)))).as("h"),
+        concat_ws(" ",
+          slice(col("toks"), col("p") + minLen + 1, lit(cap - minLen))).as("ext_key"))
+    val wOrd = Window.partitionBy("h")
+      .orderBy("ext_key", "is_bench", "id", "p")
+    val wAll = Window.partitionBy("h")
+    val prevB = last(when(col("is_bench"), col("ext_key")), ignoreNulls = true)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val nextB = first(when(col("is_bench"), col("ext_key")), ignoreNulls = true)
+      .over(wOrd.rowsBetween(1, Window.unboundedFollowing))
+    val d = suf
+      .withColumn("nb", sum(col("is_bench").cast("int")).over(wAll))
+      .withColumn("lcp_prev", coalesce(tokenLcp(col("ext_key"), prevB), lit(0)))
+      .withColumn("lcp_next", coalesce(tokenLcp(col("ext_key"), nextB), lit(0)))
+      .where(!col("is_bench") && col("nb") >= 1)
+      .select(col("id"), col("p"),
+        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d"))
+    val wd = Window.partitionBy("id").orderBy("p")
+    d.withColumn("prev_p", lag(col("p"), 1).over(wd))
+      .withColumn("prev_d", lag(col("d"), 1).over(wd))
+      .where(col("prev_p").isNull || col("prev_p") =!= col("p") - 1 ||
+        (col("prev_d") - 1 < col("d") && col("prev_d") < cap))
+      .select(col("id"), col("p").cast("long").as("span_start"),
+        col("d").cast("long").as("span_len"))
+  }
+
   /** EXACT span REMOVAL — Lee et al. 2022's actual excision semantics:
     * delete every token that any ≥ minLen corpus-repeated substring
     * covers, with coverage computed from the TRUE per-position run

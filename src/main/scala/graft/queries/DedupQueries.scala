@@ -793,7 +793,82 @@ SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
 FROM k ORDER BY id
 """))
 
+  /** q108 — EXACT substring-level decontamination: contaminated spans
+    * of corpus docs (doc_id % 50 ≠ 0) against the benchmark subset
+    * (doc_id % 50 = 0), at q103's exactness — "this doc shares a
+    * verbatim ≥ 8-token run of exactly THIS length with the eval set",
+    * vs q25's n-gram membership bit. Nearest-benchmark-in-sorted-order
+    * windows (IGNORE NULLS running first/last) realize the max LCP
+    * against the bench side only; the oracle rebuilds the identical
+    * windows and LCP in SQL. */
+  val q108 = QuerySpec("q108_exact_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.exactContaminationSpans(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", minLen = 8, cap = 32)
+        .orderBy("id", "span_start")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+    CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), suf AS (
+  SELECT doc_id, is_bench, i - 1 AS p,
+    md5(array_to_string(toks[i:i+7], ' ')) AS h,
+    toks[i+8:i+31] AS ext,
+    array_to_string(toks[i+8:i+31], ' ') AS ext_key
+  FROM (SELECT doc_id, is_bench, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM t WHERE len(toks) >= 8)
+), nb AS (
+  SELECT doc_id, is_bench, p, ext,
+    last_value(CASE WHEN is_bench THEN ext_key END IGNORE NULLS)
+      OVER wp AS pk,
+    first_value(CASE WHEN is_bench THEN ext_key END IGNORE NULLS)
+      OVER wn AS nk,
+    sum(CASE WHEN is_bench THEN 1 ELSE 0 END) OVER (PARTITION BY h) AS nbench
+  FROM suf
+  WINDOW
+    wp AS (PARTITION BY h ORDER BY ext_key, is_bench, doc_id, p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wn AS (PARTITION BY h ORDER BY ext_key, is_bench, doc_id, p
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), zipped AS (
+  SELECT doc_id, p,
+    list_transform(list_zip(ext,
+        CASE WHEN pk IS NULL THEN NULL
+             WHEN pk = '' THEN [] ELSE string_split(pk, ' ') END),
+      x -> coalesce(struct_extract(x, 1) = struct_extract(x, 2), false)) AS pz,
+    list_transform(list_zip(ext,
+        CASE WHEN nk IS NULL THEN NULL
+             WHEN nk = '' THEN [] ELSE string_split(nk, ' ') END),
+      x -> coalesce(struct_extract(x, 1) = struct_extract(x, 2), false)) AS nz
+  FROM nb WHERE NOT is_bench AND nbench >= 1
+), dd AS (
+  SELECT doc_id, p, 8 + greatest(
+      coalesce(CASE WHEN list_position(pz, false) = 0 THEN len(pz)
+               ELSE list_position(pz, false) - 1 END, 0),
+      coalesce(CASE WHEN list_position(nz, false) = 0 THEN len(nz)
+               ELSE list_position(nz, false) - 1 END, 0)) AS d
+  FROM zipped
+), sp AS (
+  SELECT doc_id, p, d,
+    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p,
+    lag(d) OVER (PARTITION BY doc_id ORDER BY p) AS prev_d
+  FROM dd
+)
+SELECT doc_id AS id, CAST(p AS BIGINT) AS span_start, CAST(d AS BIGINT) AS span_len
+FROM sp
+WHERE prev_p IS NULL OR prev_p <> p - 1 OR (prev_d - 1 < d AND prev_d < 32)
+ORDER BY id, span_start
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104)
+      q97, q100, q103, q104, q108)
 }

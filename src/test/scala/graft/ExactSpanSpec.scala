@@ -127,6 +127,24 @@ class ExactSpanSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("contamination: corpus-vs-bench exact spans; corpus-corpus dups ignored") {
+    val S = toks("s", 12)   // shared corpus↔bench run
+    val Q = toks("q", 15)   // shared corpus↔corpus run (no bench copy)
+    val corpus = Seq(
+      (1L, (toks("a", 4) ++ S ++ toks("b", 3) ++ Q).mkString(" ")),
+      (2L, (toks("c", 2) ++ Q ++ toks("d", 4)).mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq(
+      (90L, (toks("e", 5) ++ S ++ toks("f", 2)).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactContaminationSpans(corpus, bench, "doc_id", "text",
+      minLen = 6, cap = 40)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ONLY the bench-shared run reports — the 15-token corpus-corpus
+    // duplication is exactDupSpans' business, not contamination — and
+    // the bench doc itself never appears in the output
+    assert(got.toSeq == Seq((1L, 4L, 12L)))
+  }
+
   test("a run longer than cap reports once, saturated at cap") {
     val S = toks("s", 30)
     val df = Seq(
