@@ -32,8 +32,15 @@ object Bm25 {
   def score(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
-    val toks = df.select(col(idCol).as("id"),
-      T.tokens(T.normalizeText(col(textCol))).as("toks"))
+    // materialized: Catalyst's projection collapse would otherwise
+    // inline the tokenization into dl, the df aggregate, AND each
+    // per-term filter() — 7+ re-tokenizations per doc (the q34
+    // lesson; sf10 measured 41.8 s → see PLANS.md). The cache is the
+    // token arrays once; both the stats aggregate and the scoring
+    // pass read it. Tracked for the caller's releaseAll.
+    val toks = graft.CacheRegistry.persistTracked(
+      df.select(col(idCol).as("id"),
+        T.tokens(T.normalizeText(col(textCol))).as("toks")))
       .withColumn("dl", size(col("toks")))
     // one tiny corpus aggregate: N, avgdl, df per query term
     val dfCols = terms.zipWithIndex.map { case (t, i) =>

@@ -1009,7 +1009,168 @@ SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS keep
 FROM o ORDER BY doc_id
 """))
 
+  /** q109 — curation funnel v2, composing the round-7 signal family:
+    * Gopher repetition gate (top-bigram ≤ 0.12, dup-trigram ≤ 0.05) →
+    * BM25 target-domain floor (≥ 1.0) → EXACT span removal among the
+    * survivors (duplications with rejected docs deliberately don't
+    * count, as in q26's dedup-among-survivors). Per-doc stage verdicts
+    * for every input row; n_removed + md5 of the reconstructed clean
+    * text for the kept rows. The oracle replays all three stages —
+    * repetition raw fractions, the BM25 formula, and the exact-span
+    * machinery re-run on the kept SUBSET — so a drift in any stage,
+    * or in the subset the removal sees, breaks the compare. */
+  val q109 = QuerySpec("q109_curation_v2",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rep = graft.operators.Repetition.stats(docs, "doc_id", "text")
+        .toDF()
+        .select(col("id"), col("n_tokens"),
+          (col("top_bigram_frac") <= 0.12 &&
+            col("dup_trigram_frac") <= 0.05).as("rep_ok"))
+      val bm = graft.operators.Bm25.score(docs, "doc_id", "text",
+          Seq("table", "spark", "fast", "query", "vector"))
+        .select(col("id"), (col("bm25") >= 1.0).as("bm25_ok"))
+      val gates = rep.join(bm, "id")
+        .withColumn("keep", col("rep_ok") && col("bm25_ok"))
+      val kept = docs.join(
+        gates.where(col("keep")).select(col("id").as("doc_id")), "doc_id")
+      val cleaned = graft.operators.Dedup.exactRemoveDupSpans(
+          kept, "doc_id", "text", minLen = 8, cap = 32)
+        .select(col("id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_fp"))
+      gates.join(cleaned, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("rep_ok"), col("bm25_ok"), col("keep"),
+          col("n_removed"), col("clean_fp"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+         ELSE string_split_regex(norm, '\s+') END AS toks
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+    FROM bgc) WHERE rn = 1
+), tg AS (
+  SELECT doc_id, i - 1 AS p,
+    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+), tgd AS (
+  SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING count(*) > 1
+), covr AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT tg.doc_id, tg.p + unnest(range(0, 3)) AS cp
+    FROM tg JOIN tgd USING (doc_id, g))
+), covc AS (
+  SELECT doc_id, count(*) AS nc FROM covr GROUP BY doc_id
+), rep AS (
+  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    (CASE WHEN len(toks) >= 2
+          THEN 2.0 * coalesce(top.c, 0) / len(toks) ELSE 0.0 END) <= 0.12
+    AND (coalesce(nc, 0) * 1.0 /
+         CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END) <= 0.05
+    AS rep_ok
+  FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+  LEFT JOIN covc ON t.doc_id = covc.doc_id
+), bs AS (
+  SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+    sum(CASE WHEN list_contains(toks, 'table')  THEN 1 ELSE 0 END) AS df0,
+    sum(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS df1,
+    sum(CASE WHEN list_contains(toks, 'fast')   THEN 1 ELSE 0 END) AS df2,
+    sum(CASE WHEN list_contains(toks, 'query')  THEN 1 ELSE 0 END) AS df3,
+    sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df4
+  FROM t
+), bf AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    CAST(len(list_filter(toks, x -> x = 'table'))  AS DOUBLE) AS tf0,
+    CAST(len(list_filter(toks, x -> x = 'spark'))  AS DOUBLE) AS tf1,
+    CAST(len(list_filter(toks, x -> x = 'fast'))   AS DOUBLE) AS tf2,
+    CAST(len(list_filter(toks, x -> x = 'query'))  AS DOUBLE) AS tf3,
+    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf4
+  FROM t
+), bm AS (
+  SELECT doc_id, round(
+    ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+      * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5) + 1.0)
+      * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + ln((CAST(n AS DOUBLE) - CAST(df4 AS DOUBLE) + 0.5) / (CAST(df4 AS DOUBLE) + 0.5) + 1.0)
+      * (tf4 * 2.2) / (tf4 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) >= 1.0 AS bm25_ok
+  FROM bf, bs
+), gates AS (
+  SELECT rep.doc_id, n_tokens, rep_ok, bm25_ok,
+    rep_ok AND bm25_ok AS keep
+  FROM rep JOIN bm USING (doc_id)
+), t2 AS (
+  SELECT t.doc_id, toks FROM t JOIN gates USING (doc_id) WHERE keep
+), suf AS (
+  SELECT doc_id, i - 1 AS p,
+    md5(array_to_string(toks[i:i+7], ' ')) AS h,
+    toks[i+8:i+31] AS ext,
+    array_to_string(toks[i+8:i+31], ' ') AS ext_key
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM t2 WHERE len(toks) >= 8)
+), dup AS (
+  SELECT s.doc_id, s.p, s.h, s.ext, s.ext_key
+  FROM suf s JOIN (SELECT h FROM suf GROUP BY h HAVING count(*) > 1) c
+    USING (h)
+), nbw AS (
+  SELECT doc_id, p, ext,
+    lag(ext)  OVER w AS pext,
+    lead(ext) OVER w AS next_ext
+  FROM dup
+  WINDOW w AS (PARTITION BY h ORDER BY ext_key, doc_id, p)
+), zipped AS (
+  SELECT doc_id, p,
+    list_transform(list_zip(ext, pext),
+      x -> coalesce(struct_extract(x, 1) = struct_extract(x, 2), false)) AS pz,
+    list_transform(list_zip(ext, next_ext),
+      x -> coalesce(struct_extract(x, 1) = struct_extract(x, 2), false)) AS nz
+  FROM nbw
+), dd AS (
+  SELECT doc_id, p, 8 + greatest(
+      coalesce(CASE WHEN list_position(pz, false) = 0 THEN len(pz)
+               ELSE list_position(pz, false) - 1 END, 0),
+      coalesce(CASE WHEN list_position(nz, false) = 0 THEN len(nz)
+               ELSE list_position(nz, false) - 1 END, 0)) AS d
+  FROM zipped
+), cov AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT doc_id, p + unnest(range(0, d)) AS cp FROM dd)
+), cl AS (
+  SELECT doc_id, list_sort(list(cp)) AS covered FROM cov GROUP BY doc_id
+), clean AS (
+  SELECT t2.doc_id,
+    CAST(len(coalesce(covered, [])) AS BIGINT) AS n_removed,
+    md5(coalesce(array_to_string(
+      [toks[i + 1] FOR i IN range(0, len(toks))
+       IF NOT list_contains(coalesce(covered, []), i)],
+      ' '), '')) AS clean_fp
+  FROM t2 LEFT JOIN cl USING (doc_id)
+)
+SELECT gates.doc_id, n_tokens, rep_ok, bm25_ok, keep,
+  clean.n_removed, clean.clean_fp
+FROM gates LEFT JOIN clean USING (doc_id)
+ORDER BY gates.doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95, q105, q106, q107)
+      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109)
 }
