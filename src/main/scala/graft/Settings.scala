@@ -32,7 +32,8 @@ object Settings {
     // the reference's truthy set (`settings.py:14-19`)
     def b(key: String, default: Boolean): Boolean =
       env.get(key).map(v =>
-        Set("1", "true", "yes", "y", "on").contains(v.trim.toLowerCase))
+        Set("1", "true", "yes", "y", "on")
+          .contains(v.trim.toLowerCase(java.util.Locale.ROOT)))
         .getOrElse(default)
     Settings(
       timezone = env.getOrElse("PIPELINE_TZ", "Asia/Bangkok"),

@@ -49,7 +49,8 @@ object UploadCli {
     val env = Settings.envWithDotEnv(Paths.get(
       procEnv.getOrElse("GRAFT_ENV_FILE", "config/.env")), procEnv)
     val convert = env.get("DRIVE_CONVERT_TO_SHEETS")
-      .forall(v => Set("1", "true", "yes", "y", "on").contains(v.trim.toLowerCase))
+      .forall(v => Set("1", "true", "yes", "y", "on")
+        .contains(v.trim.toLowerCase(java.util.Locale.ROOT)))
     val folderId = env.get("DRIVE_FOLDER_ID").filter(_.nonEmpty)
     val id = LocalDrive.uploadCsv(spark, file, root, fileName,
       folderId = folderId, convertToSheets = convert)

@@ -41,6 +41,7 @@ object Dsir {
     * `dim` the hashed-feature dimension. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       targetFilter: Column, dim: Int = 256): DataFrame = {
+    require(dim > 0, s"hash dimension $dim must be positive")
     val spark = df.sparkSession
     // materialized: the count aggregate AND the scoring pass read it
     val base = graft.CacheRegistry.persistTracked(

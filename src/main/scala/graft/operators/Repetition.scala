@@ -22,9 +22,13 @@ object Repetition {
   final case class RepStats(id: Long, n_tokens: Long, top_bigram: String,
       top_bigram_n: Long, top_bigram_frac: Double, dup_trigram_frac: Double)
 
-  /** Scala mirror of the engine's normalize+tokenize columns. */
+  /** Scala mirror of the engine's normalize+tokenize columns.
+    * Locale.ROOT: Spark's `lower()` is locale-independent — a default
+    * locale here (e.g. Turkish dotless-ı) would silently break parity
+    * with every column-side tokenization. */
   private[operators] def tokenize(text: String): Array[String] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
     if (norm.isEmpty) Array.empty else norm.split(" ")
   }
 

@@ -81,7 +81,7 @@ object Sources extends org.apache.spark.internal.Logging {
         cellRe.findAllMatchIn(rm.group(1)).map(m => cellText(m.group(1))).toSeq
       }.toSeq.filter(_.nonEmpty)
       if (rows.isEmpty) (Seq.empty[String], Seq.empty[Seq[String]])
-      else (rows.head.map(_.toLowerCase.trim), rows.tail)
+      else (rows.head.map(_.toLowerCase(java.util.Locale.ROOT).trim), rows.tail)
     }.toSeq
   }
 
@@ -308,7 +308,8 @@ object Sources extends org.apache.spark.internal.Logging {
           if (h.isEmpty) done = true
           else h.indexOf(':') match {
             case -1 => // tolerated: non-header line inside the block
-            case i => headers += (h.take(i).trim.toLowerCase -> h.drop(i + 1).trim)
+            case i => headers += (h.take(i).trim
+              .toLowerCase(java.util.Locale.ROOT) -> h.drop(i + 1).trim)
           }
         }
         val len = headers.get("content-length").flatMap(_.toLongOption)
