@@ -253,5 +253,102 @@ FROM documents WHERE doc_id % 89 <> 0
 GROUP BY source ORDER BY source
 """))
 
-  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101)
+  /** q110 — JSONL schema-drift detection: a coercing-schema reader
+    * (q46/q101) silently DROPS fields it doesn't know, so a pipeline
+    * needs the audit that reports which keys actually arrive and how
+    * often — the alarm for an upstream crawler quietly adding (or
+    * renaming) fields. The staged fixture plants `crawl_meta` on every
+    * 11th doc and `pipeline_ver` on every 23rd (some docs carry both);
+    * the query parses raw lines with `json_object_keys` — no schema
+    * imposed, so unknown keys CAN'T be dropped — and rolls up per-key
+    * arrival counts with an expected/unexpected flag. The oracle
+    * recomputes every count arithmetically from the staging rule.
+    * Scale shape: narrow parse + one low-cardinality (distinct keys)
+    * aggregation; raw lines never shuffle. */
+  val q110 = QuerySpec("q110_schema_drift",
+    (s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val base = struct(col("doc_id"), col("lang"), col("n_chars"))
+      val m11 = struct(col("doc_id"), col("lang"), col("n_chars"),
+        lit("cc-main-2026").as("crawl_meta"))
+      val m23 = struct(col("doc_id"), col("lang"), col("n_chars"),
+        lit("v7").as("pipeline_ver"))
+      val both = struct(col("doc_id"), col("lang"), col("n_chars"),
+        lit("cc-main-2026").as("crawl_meta"), lit("v7").as("pipeline_ver"))
+      val lines = docs.select(
+        when(col("doc_id") % 11 === 0 && col("doc_id") % 23 === 0, to_json(both))
+          .when(col("doc_id") % 11 === 0, to_json(m11))
+          .when(col("doc_id") % 23 === 0, to_json(m23))
+          .otherwise(to_json(base)).as("value"))
+      val tmp = Files.createTempDirectory("graft_q110_drift")
+      lines.repartition(2).write.mode("overwrite")
+        .option("compression", "gzip").text(tmp.toString)
+      val out = s.read.text(tmp.toString)
+        .select(explode(json_object_keys(col("value"))).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n_docs"))
+        .withColumn("expected", col("key").isin("doc_id", "lang", "n_chars"))
+        .orderBy("key")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      result
+    },
+    Some(raw"""
+SELECT key, n_docs, expected FROM (
+  SELECT 'doc_id' AS key, count(*) AS n_docs, true AS expected FROM documents
+  UNION ALL SELECT 'lang', count(*), true FROM documents
+  UNION ALL SELECT 'n_chars', count(*), true FROM documents
+  UNION ALL SELECT 'crawl_meta', count(*), false FROM documents
+    WHERE doc_id % 11 = 0
+  UNION ALL SELECT 'pipeline_ver', count(*), false FROM documents
+    WHERE doc_id % 23 = 0
+) ORDER BY key
+"""))
+
+  /** q111 — corpus snapshot diff (dataset versioning audit): what
+    * changed between corpus v1 and v2 — the release-note query every
+    * dataset version bump needs. v2 is derived deterministically from
+    * v1 (every 31st doc deleted, every remaining 13th doc's text
+    * revised, every 17th doc re-added under a new id), then the diff
+    * is ONE id-keyed full-outer join of the two fingerprint
+    * projections: removed (v1 only), added (v2 only), changed (both,
+    * fingerprints differ); unchanged rows never leave the join. The
+    * oracle reproduces each status arithmetically from the derivation
+    * rule. Scale shape: two narrow md5 projections + one
+    * co-partitioned full-outer join — text never shuffles, only
+    * (id, 128-bit fp). */
+  val q111 = QuerySpec("q111_corpus_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp1"))
+      val v2base = docs.where(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      val v2added = docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      val v2 = v2base.unionByName(v2added)
+        .select(col("doc_id"), md5(col("text")).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp2").isNull, "removed")
+            .when(col("fp1").isNull, "added")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("unchanged"))
+        .where(col("status") =!= "unchanged")
+        .select(col("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id, status FROM (
+  SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id % 31 = 0
+  UNION ALL
+  SELECT doc_id, 'changed' FROM documents
+  WHERE doc_id % 31 <> 0 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 1000000000, 'added' FROM documents WHERE doc_id % 17 = 0
+) ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111)
 }
