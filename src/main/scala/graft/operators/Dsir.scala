@@ -51,7 +51,11 @@ object Dsir {
     val counts = base
       .select(col("is_target"), explode(col("bs")).as("b"))
       .groupBy("b")
-      .agg(count(lit(1)).as("cc"), sum(col("is_target").cast("long")).as("ct"))
+      // coalesce: if every row in a bucket has a NULL is_target (e.g. a
+      // null-lang targetFilter), sum() is NULL and getLong below would
+      // NPE on the driver — an all-null bucket counts 0 targets
+      .agg(count(lit(1)).as("cc"),
+        coalesce(sum(col("is_target").cast("long")), lit(0L)).as("ct"))
       .collect() // ≤ dim rows — a codebook-sized driver aggregate
     val cc = new Array[Long](dim); val ct = new Array[Long](dim)
     counts.foreach { r =>

@@ -401,7 +401,12 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) { inflater.end(); return None }
+        // inflate()==0 with the stream unfinished is ALWAYS malformed
+        // for PNG — needsInput (truncated), needsDictionary (FDICT is
+        // illegal in PNG zlib streams), or any other stuck state. Only
+        // checking needsInput() would let a crafted FDICT stream (with
+        // valid chunk CRCs) spin this loop forever on an executor.
+        if (n == 0 && !inflater.finished()) { inflater.end(); return None }
         got += n
       }
       inflater.end()

@@ -22,15 +22,16 @@ object Repetition {
   final case class RepStats(id: Long, n_tokens: Long, top_bigram: String,
       top_bigram_n: Long, top_bigram_frac: Double, dup_trigram_frac: Double)
 
-  /** Scala mirror of the engine's normalize+tokenize columns.
-    * Locale.ROOT: Spark's `lower()` is locale-independent — a default
-    * locale here (e.g. Turkish dotless-ı) would silently break parity
-    * with every column-side tokenization. */
-  private[operators] def tokenize(text: String): Array[String] = {
-    val norm = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").trim
-    if (norm.isEmpty) Array.empty else norm.split(" ")
-  }
+  /** Split of ALREADY-normalized text (see [[stats]]: lowercasing runs
+    * column-side through `Text.normalizeText`, never here). Spark's
+    * `lower()` is NOT locale-independent for non-ASCII input —
+    * UTF8String byte-lowercases pure ASCII but falls back to JVM
+    * `String.toLowerCase()` (default locale) otherwise — so the only
+    * way to guarantee engine/driver tokenization parity on a
+    * Turkish/Azeri-locale JVM is to do the case fold in exactly one
+    * place: the engine. */
+  private[operators] def tokenize(norm: String): Array[String] =
+    if (norm == null || norm.isEmpty) Array.empty else norm.split(" ")
 
   /** Per document:
     *  - `top_bigram` / `top_bigram_n`: the most frequent word bigram
@@ -44,9 +45,14 @@ object Repetition {
     */
   def stats(df: DataFrame, idCol: String, textCol: String): Dataset[RepStats] = {
     import df.sparkSession.implicits._
-    df.select(idCol, textCol).as[(Long, String)].mapPartitions { it =>
+    import org.apache.spark.sql.functions.col
+    // normalization (incl. the case fold) runs COLUMN-SIDE so it is the
+    // same code path every other text operator and the oracle see;
+    // the Scala side below only splits on single spaces
+    df.select(col(idCol), graft.functions.Text.normalizeText(col(textCol)))
+      .as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
-        val toks = tokenize(Option(text).getOrElse(""))
+        val toks = tokenize(text)
         val n = toks.length
         // most frequent bigram, smallest-gram tie-break
         var topG = ""; var topN = 0L

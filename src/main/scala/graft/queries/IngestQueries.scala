@@ -246,7 +246,7 @@ FROM f GROUP BY host, tld ORDER BY host, tld
       result
     },
     Some(raw"""
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
   min(doc_id) AS min_id, max(doc_id) AS max_id,
   (SELECT count(*) FROM documents WHERE doc_id % 89 = 0) AS n_corrupt
 FROM documents WHERE doc_id % 89 <> 0

@@ -92,6 +92,44 @@ class PngPixelSpec extends AnyFunSuite {
     assert(Multimodal.pngDecodePixels(Array.emptyByteArray).isEmpty)
   }
 
+  test("FDICT zlib stream (valid chunk CRCs) returns None, never hangs") {
+    // zlib header 0x78 0x3F: deflate/32k window, FDICT bit set, check
+    // bytes valid (0x783F % 31 == 0). Inflater.inflate() then returns 0
+    // with needsInput()==false and finished()==false forever — the
+    // decoder must bail on ANY 0-byte unfinished inflate, not just
+    // needsInput(). Chunk CRCs are valid, so CRC checks can't save us.
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = body.length
+      for (k <- 0 until 4) out.write((len >>> (24 - 8 * k)) & 0xff)
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb)
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      val cv = crc.getValue.toInt
+      for (k <- 0 until 4) out.write((cv >>> (24 - 8 * k)) & 0xff)
+      out.toByteArray
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    for (k <- 0 until 4) ihdr.write((3 >>> (24 - 8 * k)) & 0xff) // w=3
+    for (k <- 0 until 4) ihdr.write((2 >>> (24 - 8 * k)) & 0xff) // h=2
+    ihdr.write(8); ihdr.write(2) // depth 8, color type 2 (RGB)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val fdictIdat = Array[Byte](0x78, 0x3f, 1, 2, 3, 4, 0x42, 0x42)
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    png.write(chunk("IHDR", ihdr.toByteArray))
+    png.write(chunk("IDAT", fdictIdat))
+    png.write(chunk("IEND", Array.emptyByteArray))
+    val bytes = png.toByteArray
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.time.SpanSugar._
+    failAfter(10.seconds) {
+      assert(Multimodal.pngDecodePixels(bytes).isEmpty, "FDICT rejected")
+    }
+  }
+
   test("decodeStub: real mean over decoded samples for PNG, byte-sum else") {
     val (w, h, ch) = (8, 6, 1)
     val px = samples(w, h, ch)(i => i * 5)
