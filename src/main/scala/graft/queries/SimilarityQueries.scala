@@ -324,5 +324,64 @@ SELECT id, CAST(cell AS BIGINT) AS cell, cos_centroid,
 FROM ranked ORDER BY id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q44, q67, q73, q84, q93)
+  /** q112 — semantic dedup at the PRODUCTION cell count
+    * (`Similarity.cellsFor`: k ∝ N, constant ~128-vector cells): the
+    * plan you would actually run at 100×. q93 pins k=16 so its oracle
+    * is a fixed-size replay, but fixed k makes the within-cell pair
+    * pass quadratic in N (r6 sf10 probe: 19× cost at 10× rows);
+    * here k = max(1, n/128) — derived IN the oracle too
+    * (`count(*) // 128`), so the recursive-CTE replay survives
+    * data-dependent k and the within-cell candidate square stays
+    * constant as the corpus grows. The count() that sizes the codebook
+    * is one parquet-footer job over a narrow table — noise at any SF.
+    */
+  val q112 = QuerySpec("q112_semantic_dedup_scaled",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val k = Similarity.cellsFor(emb.count())
+      Similarity.semanticDedup(emb, k = k, tau = 0.35).orderBy("id")
+    },
+    Some(raw"""
+WITH RECURSIVE un AS ($sqlUnit
+), seeds AS (
+  SELECT rn - 1 AS j, u AS c,
+    list_sum([u[i]*u[i] FOR i IN range(1, ${dim + 1})]) AS c2
+  FROM (SELECT u, row_number() OVER
+          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM un)
+  WHERE rn <= (SELECT greatest(count(*) // 128, 1) FROM un)
+), scored AS (
+  SELECT vec_id, j,
+    -2.0 * list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
+  FROM un, seeds
+), cells AS (
+  SELECT vec_id, j AS cell
+  FROM (SELECT vec_id, j, row_number() OVER
+          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM scored)
+  WHERE r = 1
+), blocked AS (
+  SELECT c.vec_id, c.cell, un.u, un.inv
+  FROM cells c JOIN un ON c.vec_id = un.vec_id
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM blocked x JOIN blocked y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(${sqlCos("x", "y")}, 6) >= 0.35
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+), cc AS (
+  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+)
+SELECT c.vec_id AS id, CAST(c.cell AS BIGINT) AS cell,
+  coalesce(cc.cluster, c.vec_id) AS keeper,
+  coalesce(cc.cluster, c.vec_id) = c.vec_id AS keep
+FROM cells c LEFT JOIN cc ON c.vec_id = cc.id
+ORDER BY id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112)
 }
