@@ -592,9 +592,9 @@ object Dedup {
     *
     * Scale shape: one shuffle keyed by gram hash (uniform by
     * construction; a pathological million-fold boilerplate 50-gram
-    * makes one big group — the standard mitigation is dropping
-    * groups above a count ceiling, which are removal candidates
-    * outright, before the window), one doc-keyed window for
+    * would make one big group — the `maxGroup` ceiling routes such
+    * groups AROUND the window as saturated removal candidates, see
+    * [[exactRunLengths]]), one doc-keyed window for
     * left-maximality, all LCP work one codegen'd byte loop
     * ([[org.apache.spark.sql.graftvec.TokenLcp]]). Raw
     * text never shuffles — only (hash, bounded extension) keys.
@@ -610,19 +610,73 @@ object Dedup {
       T.tokens(T.normalizeText(col(textCol))).as("toks"))
   }
 
+  /** Default hot-gram group ceiling: a gram repeated beyond this is
+    * boilerplate by any definition; its group would otherwise land a
+    * single window partition (see [[exactRunLengths]]). Far above any
+    * legitimate LCP-measurement need, low enough that a million-fold
+    * repeated license header can't straggle a 1000-executor job. */
+  val DefaultMaxGroup: Long = 1L << 20
+
+  /** Hot-gram detection sampling: 1-in-SampleRate of positions pay the
+    * detection hash once `maxGroup ≥ SampleMinCeiling`; the same rate
+    * salts hot groups across the window shuffle. See
+    * [[exactRunLengths]]'s cost notes for the statistics. */
+  val SampleRate: Int = 64
+  val SampleMinCeiling: Long = 100000L
+
   /** Per-position TRUE dup-run length: (id, p, d) for every position
     * whose longest corpus-repeated substring d(p) ≥ minLen (d capped
     * at `cap`). The suffix-array-grade core shared by
     * [[exactDupSpans]] and [[exactRemoveDupSpans]] — see the former
-    * for the construction. */
-  private def exactRunLengths(toks: DataFrame, minLen: Int, cap: Int): DataFrame = {
+    * for the construction.
+    *
+    * `maxGroup` is the hot-gram ceiling: gram groups with more than
+    * `maxGroup` members never enter the sorted window (whose h-keyed
+    * partitioning would land the whole group on ONE task — the named
+    * scale-killer for million-fold boilerplate grams). They are
+    * removal candidates outright, so their positions SATURATE to
+    * `d = hotD` instead of being measured: `cap` for the span REPORT
+    * (the same "capped head" shape an over-cap run already reports —
+    * left-maximality then emits one row per run) and `minLen` for
+    * span REMOVAL (the provably-duplicated extent — the per-position
+    * interval union then excises exactly the boilerplate region, no
+    * overshoot past its last hot gram). Groups at or below the
+    * ceiling are measured exactly, so results are unchanged unless a
+    * gram genuinely exceeds `maxGroup`. `maxGroup <= 0` disables the
+    * split (single-shuffle plan, exact everywhere).
+    *
+    * Cost of the guard, kept near-zero by three devices:
+    *  1. an exact PRE-CHECK — a corpus with ≤ maxGroup eligible
+    *     positions cannot contain a hot group, so small inputs keep
+    *     the lean single-shuffle plan (one cheap count job);
+    *  2. SAMPLED detection (production ceilings ≥ [[SampleMinCeiling]]):
+    *     only the deterministic 1-in-[[SampleRate]] position sample
+    *     (xxhash64 of (id, p)) pays the gram hash, and a group is hot
+    *     when its sampled count reaches maxGroup/(2·rate). Chernoff
+    *     makes this sharp: a group over the ceiling is missed with
+    *     probability ~e^-1000, one under a QUARTER of it is flagged
+    *     with the same, so the effective ceiling is approximate only
+    *     within [maxGroup/4, maxGroup] — and saturating a
+    *     quarter-million-fold gram is the right call anyway. Below
+    *     [[SampleMinCeiling]] the count is exact (test-scale
+    *     ceilings, where sampling noise would matter);
+    *  3. a SINGLE suffix derivation: hot positions ride the SAME
+    *     window shuffle as everyone else, but with their group key
+    *     salted across [[SampleRate]] subkeys (no single task ever
+    *     owns a hot gram) and their sort payload blanked (the fat
+    *     extension string never ships for hot rows — a length-bounded
+    *     `avail` int rides instead for the end-of-document clamp);
+    *     their d is then overridden to the saturation value. No
+    *     anti/semi double-scan, no union, no fat persist. */
+  private def exactRunLengths(toks: DataFrame, minLen: Int, cap: Int,
+      maxGroup: Long = DefaultMaxGroup, hotD: Int = -1): DataFrame = {
     require(cap > minLen, s"cap $cap must exceed minLen $minLen")
     // One row per eligible position: gram hash + bounded extension.
     // The extension travels ONLY as its space-joined string — the sort
     // key and the LCP operand are the same column, so the suffix
     // shuffle carries no parallel token array (sf10: 77.6→29.9 s for
     // the span report when the array stopped shipping; PLANS.md).
-    val suf = toks
+    def sufFrom(t: DataFrame): DataFrame = t
       .select(col("id"), col("toks"),
         posexplode(col("toks")).as(Seq("p", "tok")))
       .where(col("p") <= size(col("toks")) - minLen)
@@ -638,23 +692,98 @@ object Dedup {
     // TokenLcp is the codegen'd whole-token common-prefix expression —
     // a byte loop, vs the interpreted zip_with HOF it replaced.
     import org.apache.spark.sql.graftvec.VectorExpressions.tokenLcp
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy("ext_key", "id", "p")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    suf
-      .withColumn("c", count(lit(1)).over(wAll))
-      .withColumn("lcp_prev",
-        coalesce(tokenLcp(col("ext_key"), lag(col("ext_key"), 1).over(wOrd)), lit(0)))
-      .withColumn("lcp_next",
-        coalesce(tokenLcp(col("ext_key"), lead(col("ext_key"), 1).over(wOrd)), lit(0)))
-      .where(col("c") > 1)
-      .select(col("id"), col("p"),
-        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d"))
+    def chain(s: DataFrame, keepHot: Boolean = false): DataFrame = {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("ext_key", "id", "p")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val keep = if (keepHot) col("c") > 1 || col("is_hot") else col("c") > 1
+      val outCols = Seq(col("id"), col("p"),
+        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d")) ++
+        (if (keepHot) Seq(col("is_hot"), col("avail")) else Nil)
+      s
+        .withColumn("c", count(lit(1)).over(wAll))
+        .withColumn("lcp_prev",
+          coalesce(tokenLcp(col("ext_key"), lag(col("ext_key"), 1).over(wOrd)), lit(0)))
+        .withColumn("lcp_next",
+          coalesce(tokenLcp(col("ext_key"), lead(col("ext_key"), 1).over(wOrd)), lit(0)))
+        .where(keep)
+        .select(outCols: _*)
+    }
+    def guarded(toksP: DataFrame): DataFrame = {
+      // hot detection over the deterministic position sample (exact
+      // below SampleMinCeiling); only (h, partial count) ever
+      // shuffles, and the flagged set COLLECTS to the driver — it is
+      // bounded by nPos/(maxGroup/4) keys (codebook-sized, like the
+      // IVF/BPE collects), which buys the common case outright: an
+      // empty hot set means the lean single-shuffle plan runs with
+      // zero per-row guard overhead.
+      val sampled = maxGroup >= SampleMinCeiling
+      val thresh =
+        if (sampled) math.max(1L, maxGroup / (2L * SampleRate)) else maxGroup
+      // per-doc gram-hash ARRAY via array HOFs, exploding only the
+      // sampled hashes: no per-position explode ever materializes and
+      // the token array is never carried row-per-position — the
+      // detection pass costs ~1/SampleRate of a suffix derivation
+      val samplePred: Column => Column =
+        if (sampled) p => pmod(xxhash64(col("id"), p), lit(SampleRate)) === 0
+        else _ => lit(true)
+      val hotSet = toksP
+        .where(size(col("toks")) >= minLen)
+        .select(explode(filter(transform(
+          sequence(lit(0), size(col("toks")) - minLen),
+          p => when(samplePred(p),
+            md5(concat_ws(" ", slice(col("toks"), p + 1, lit(minLen)))))),
+          x => x.isNotNull)).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("hc"))
+        .where(if (sampled) col("hc") >= thresh else col("hc") > thresh)
+        .select("h").collect().map(_.getString(0))
+      if (hotSet.isEmpty) chain(sufFrom(toksP))
+      else {
+        val sat = if (hotD > 0) hotD else cap
+        // single derivation: hot rows keep the shared shuffle but with
+        // a salted key (no single-task group) and a blanked sort
+        // payload (the fat extension never ships); `avail` carries the
+        // end-of-document clamp bound as one int, computed only for
+        // hot rows. isInCollection compiles to an InSet hash probe —
+        // no join, stays inside whole-stage codegen.
+        val keyed = sufFrom(toksP)
+          .withColumn("is_hot", col("h").isInCollection(hotSet))
+          .withColumn("avail", when(col("is_hot"),
+            lit(minLen) + when(col("ext_key") === "", 0)
+              .otherwise(size(split(col("ext_key"), " "))))
+            .otherwise(lit(0)).cast("int"))
+          .withColumn("h", when(col("is_hot"),
+            concat(col("h"), lit("#"), pmod(col("p"), lit(SampleRate)).cast("string")))
+            .otherwise(col("h")))
+          .withColumn("ext_key", when(col("is_hot"), lit("")).otherwise(col("ext_key")))
+        chain(keyed, keepHot = true)
+          .withColumn("d", when(col("is_hot"),
+            least(lit(sat), col("avail")).cast("int")).otherwise(col("d")))
+          .select("id", "p", "d")
+      }
+    }
+    if (maxGroup <= 0) chain(sufFrom(toks))
+    else {
+      val toksP = graft.CacheRegistry.persistTracked(toks)
+      // exact pre-check, one cheap job over the cached tokens: when the
+      // WHOLE corpus has ≤ maxGroup eligible positions, no gram group
+      // can exceed the ceiling, so the guard's extra hash pass + join
+      // would be pure overhead — keep the lean single-shuffle plan.
+      // (This is what keeps the guard free at test/bench scale while
+      // engaging automatically on corpora big enough to need it.)
+      val nPos = toksP.agg(coalesce(sum(
+          greatest(size(col("toks")) - (minLen - 1), lit(0)).cast("long")),
+        lit(0L))).head.getLong(0)
+      if (nPos <= maxGroup) chain(sufFrom(toksP))
+      else guarded(toksP)
+    }
   }
 
   def exactDupSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, cap: Int = 200): DataFrame = {
-    val d = exactRunLengths(tokensFrame(df, idCol, textCol), minLen, cap)
+      minLen: Int = 50, cap: Int = 200,
+      maxGroup: Long = DefaultMaxGroup): DataFrame = {
+    val d = exactRunLengths(tokensFrame(df, idCol, textCol), minLen, cap,
+      maxGroup, hotD = cap)
     // left-maximality: suppress spans that are a predecessor's tail
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("p")
@@ -689,15 +818,21 @@ object Dedup {
     * minLen benchmark match and drops at the group filter. */
   def exactContaminationSpans(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
-      minLen: Int = 50, cap: Int = 200): DataFrame = {
+      minLen: Int = 50, cap: Int = 200,
+      maxGroup: Long = DefaultMaxGroup): DataFrame = {
     require(cap > minLen, s"cap $cap must exceed minLen $minLen")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftvec.VectorExpressions.tokenLcp
-    val toks = tokensFrame(corpus, idCol, textCol)
+    val toksRaw = tokensFrame(corpus, idCol, textCol)
       .withColumn("is_bench", lit(false))
       .unionByName(tokensFrame(bench, idCol, textCol)
         .withColumn("is_bench", lit(true)))
-    val suf = toks
+    // guard on: the narrow tokens union persists (scanned for the hot
+    // aggregate and per join side); the fat per-position frame never
+    // materializes — same layout rationale as exactRunLengths
+    val toks = if (maxGroup <= 0) toksRaw
+      else graft.CacheRegistry.persistTracked(toksRaw)
+    def sufFrom(t: DataFrame): DataFrame = t
       .select(col("id"), col("is_bench"), col("toks"),
         posexplode(col("toks")).as(Seq("p", "tok")))
       .where(col("p") <= size(col("toks")) - minLen)
@@ -705,20 +840,92 @@ object Dedup {
         md5(concat_ws(" ", slice(col("toks"), col("p") + 1, lit(minLen)))).as("h"),
         concat_ws(" ",
           slice(col("toks"), col("p") + minLen + 1, lit(cap - minLen))).as("ext_key"))
-    val wOrd = Window.partitionBy("h")
-      .orderBy("ext_key", "is_bench", "id", "p")
-    val wAll = Window.partitionBy("h")
-    val prevB = last(when(col("is_bench"), col("ext_key")), ignoreNulls = true)
-      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    val nextB = first(when(col("is_bench"), col("ext_key")), ignoreNulls = true)
-      .over(wOrd.rowsBetween(1, Window.unboundedFollowing))
-    val d = suf
-      .withColumn("nb", sum(col("is_bench").cast("int")).over(wAll))
-      .withColumn("lcp_prev", coalesce(tokenLcp(col("ext_key"), prevB), lit(0)))
-      .withColumn("lcp_next", coalesce(tokenLcp(col("ext_key"), nextB), lit(0)))
-      .where(!col("is_bench") && col("nb") >= 1)
-      .select(col("id"), col("p"),
-        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d"))
+    val suf = sufFrom(toks)
+    def dChain(s: DataFrame, keepHot: Boolean = false): DataFrame = {
+      val wOrd = Window.partitionBy("h")
+        .orderBy("ext_key", "is_bench", "id", "p")
+      val wAll = Window.partitionBy("h")
+      val prevB = last(when(col("is_bench"), col("ext_key")), ignoreNulls = true)
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val nextB = first(when(col("is_bench"), col("ext_key")), ignoreNulls = true)
+        .over(wOrd.rowsBetween(1, Window.unboundedFollowing))
+      val keep = if (keepHot) !col("is_bench") && (col("nb") >= 1 || col("is_hot"))
+        else !col("is_bench") && col("nb") >= 1
+      val outCols = Seq(col("id"), col("p"),
+        (greatest(col("lcp_prev"), col("lcp_next")) + minLen).cast("int").as("d")) ++
+        (if (keepHot) Seq(col("is_hot"), col("avail")) else Nil)
+      s
+        .withColumn("nb", sum(col("is_bench").cast("int")).over(wAll))
+        .withColumn("lcp_prev", coalesce(tokenLcp(col("ext_key"), prevB), lit(0)))
+        .withColumn("lcp_next", coalesce(tokenLcp(col("ext_key"), nextB), lit(0)))
+        .where(keep)
+        .select(outCols: _*)
+    }
+    // hot-gram ceiling (see exactRunLengths — same three devices:
+    // exact pre-check, sampled detection, salt+blank through the one
+    // shared shuffle). A hot group with NO benchmark suffix cannot
+    // witness a ≥ minLen bench match (the union'd gram groups are
+    // complete) and drops pre-shuffle; one WITH a bench suffix is
+    // saturation-grade contamination — its corpus positions report
+    // d = cap, and left-maximality below reduces each run to its
+    // head. Bench-side gram membership is counted EXACTLY (the bench
+    // set is small; a sampled count could miss a lone bench witness
+    // inside a hot group).
+    lazy val nPos = toks.agg(coalesce(sum(
+        greatest(size(col("toks")) - (minLen - 1), lit(0)).cast("long")),
+      lit(0L))).head.getLong(0)
+    val d = if (maxGroup <= 0 || nPos <= maxGroup) dChain(suf) else {
+      val sampledDet = maxGroup >= SampleMinCeiling
+      val thresh =
+        if (sampledDet) math.max(1L, maxGroup / (2L * SampleRate)) else maxGroup
+      // per-doc gram-hash arrays via HOFs (see exactRunLengths): the
+      // detection pass explodes only sampled hashes, never positions
+      val samplePred: Column => Column =
+        if (sampledDet) p => pmod(xxhash64(col("id"), p), lit(SampleRate)) === 0
+        else _ => lit(true)
+      def gramHashes(pred: Column => Column): Column =
+        filter(transform(sequence(lit(0), size(col("toks")) - minLen),
+          p => when(pred(p),
+            md5(concat_ws(" ", slice(col("toks"), p + 1, lit(minLen)))))),
+          x => x.isNotNull)
+      // bounded driver collects (see exactRunLengths): hot candidates,
+      // then — only when any exist — which of them the bench witnesses
+      val hotCand = toks
+        .where(size(col("toks")) >= minLen)
+        .select(explode(gramHashes(samplePred)).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("hc"))
+        .where(if (sampledDet) col("hc") >= thresh else col("hc") > thresh)
+        .select("h").collect().map(_.getString(0))
+      if (hotCand.isEmpty) dChain(suf)
+      else {
+        // bench side is small: its gram membership is counted EXACTLY
+        // (unsampled), so a lone bench witness in a hot group is never
+        // missed
+        val hotBench = toks
+          .where(col("is_bench") && size(col("toks")) >= minLen)
+          .select(explode(gramHashes(_ => lit(true))).as("h"))
+          .where(col("h").isInCollection(hotCand))
+          .distinct().collect().map(_.getString(0))
+        val keyed = suf
+          .withColumn("is_hot", col("h").isInCollection(hotCand))
+          // a hot group with no bench witness cannot carry a ≥ minLen
+          // bench match — drop it before the shuffle
+          .where(!col("is_hot") ||
+            (if (hotBench.isEmpty) lit(false) else col("h").isInCollection(hotBench)))
+          .withColumn("avail", when(col("is_hot"),
+            lit(minLen) + when(col("ext_key") === "", 0)
+              .otherwise(size(split(col("ext_key"), " "))))
+            .otherwise(lit(0)).cast("int"))
+          .withColumn("h", when(col("is_hot"),
+            concat(col("h"), lit("#"), pmod(col("p"), lit(SampleRate)).cast("string")))
+            .otherwise(col("h")))
+          .withColumn("ext_key", when(col("is_hot"), lit("")).otherwise(col("ext_key")))
+        dChain(keyed, keepHot = true)
+          .withColumn("d", when(col("is_hot"),
+            least(lit(cap), col("avail")).cast("int")).otherwise(col("d")))
+          .select("id", "p", "d")
+      }
+    }
     val wd = Window.partitionBy("id").orderBy("p")
     d.withColumn("prev_p", lag(col("p"), 1).over(wd))
       .withColumn("prev_d", lag(col("d"), 1).over(wd))
@@ -745,11 +952,16 @@ object Dedup {
     * distinct is already sorted and excision is index arithmetic,
     * no second window shuffle. */
   def exactRemoveDupSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 50, cap: Int = 200): DataFrame = {
+      minLen: Int = 50, cap: Int = 200,
+      maxGroup: Long = DefaultMaxGroup): DataFrame = {
     // both the suffix stream and the final reconstruction read it
     val toks = graft.CacheRegistry.persistTracked(
       tokensFrame(df, idCol, textCol))
-    val ranges = exactRunLengths(toks, minLen, cap)
+    // hotD = minLen: removal must not overshoot — a hot position
+    // provably sits in a ≥ minLen duplicated gram, nothing more, and
+    // the interval union over consecutive hot positions then covers
+    // exactly the boilerplate region (see exactRunLengths)
+    val ranges = exactRunLengths(toks, minLen, cap, maxGroup, hotD = minLen)
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("p"), col("d")))).as("pd"))
     toks.join(ranges, Seq("id"), "left")

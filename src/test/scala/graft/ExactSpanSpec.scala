@@ -72,13 +72,91 @@ class ExactSpanSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{concat_ws, lit}
     val docs = spark.range(64).select(col("id").as("doc_id"),
       concat_ws(" ", lit("t1 t2 t3 t4 t5 t6"), col("id").cast("string")).as("text"))
-    val plan = Dedup.exactDupSpans(docs, "doc_id", "text", minLen = 5, cap = 10)
+    val plan = Dedup.exactDupSpans(docs, "doc_id", "text", minLen = 5, cap = 10,
+        maxGroup = 0L)
       .queryExecution.executedPlan.toString
     val body = plan.split("\\+\\- == Initial Plan ==")(0)
     assert(!body.contains("Join"), "no join in the exact-span plan")
     val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
       .findAllIn(body).size
     assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$body")
+  }
+
+  test("plan: hot-gram guard adds no join — InSet probe inside the one shuffle") {
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    // every doc shares the same 6-gram, so with maxGroup = 10 the
+    // guard engages AND finds a hot set — the worst case for the plan
+    val docs = spark.range(64).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("t1 t2 t3 t4 t5 t6"), col("id").cast("string")).as("text"))
+    val plan = Dedup.exactDupSpans(docs, "doc_id", "text", minLen = 5, cap = 10,
+        maxGroup = 10L)
+      .queryExecution.executedPlan.toString
+    val body = plan.split("\\+\\- == Initial Plan ==")(0)
+    // the hot set rides a collected InSet predicate: no join of any
+    // kind may appear — a shuffle join on h would re-create the very
+    // skew the guard removes
+    assert(!body.contains("Join"), s"guarded plan is join-free:\n$body")
+    CacheRegistry.releaseAll()
+  }
+
+  test("hot-gram ceiling: a 150-fold gram skips the window but still reports") {
+    // 150 docs all carrying the same 5-gram G at position 2, unique
+    // filler elsewhere — with maxGroup = 50 the G-group (150 members)
+    // must bypass the sorted window and report saturated heads.
+    val G = toks("g", 5).mkString(" ")
+    val dup = (1 to 150).map(i => (i.toLong, s"u${i}a u${i}b $G"))
+    val df = dup.toDF("doc_id", "text")
+    val got = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 5, cap = 12,
+        maxGroup = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc reports exactly its G occurrence; d clamps to the 5
+    // tokens actually available at the end of the doc
+    assert(got.length == 150)
+    assert(got.forall { case (_, s, l) => s == 2L && l == 5L }, got.take(5).toSeq)
+    // the same corpus below the ceiling reports identically (G groups
+    // are measured exactly and G's true run length IS 5)
+    val exact = Dedup.exactDupSpans(df, "doc_id", "text", minLen = 5, cap = 12,
+        maxGroup = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.sorted.toSeq == got.sorted.toSeq,
+      "ceiling-saturated output matches the exact measurement for a pure gram")
+    CacheRegistry.releaseAll()
+  }
+
+  test("hot-gram ceiling: removal excises exactly the boilerplate region") {
+    // G sits mid-document: hot positions saturate to d = minLen, so the
+    // interval union covers exactly G — no overshoot into unique tail
+    val G = toks("g", 5)
+    val dup = (1 to 120).map(i =>
+      (i.toLong, (Seq(s"u${i}a", s"u${i}b") ++ G ++ Seq(s"v${i}a", s"v${i}b")).mkString(" ")))
+    val df = dup.toDF("doc_id", "text")
+    val got = Dedup.exactRemoveDupSpans(df, "doc_id", "text", minLen = 5, cap = 12,
+        maxGroup = 40L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 120)
+    got.foreach { case (id, nTok, nRem, clean) =>
+      assert(nTok == 9L && nRem == 5L, s"doc $id: ($nTok, $nRem)")
+      assert(clean == s"u${id}a u${id}b v${id}a v${id}b", s"doc $id: '$clean'")
+    }
+    CacheRegistry.releaseAll()
+  }
+
+  test("hot-gram ceiling: contamination reports bench-shared hot grams only") {
+    val G = toks("g", 6)  // hot, bench-shared
+    val H = toks("h", 6)  // hot, corpus-only
+    val corpus = (1 to 100).map(i =>
+      (i.toLong, (Seq(s"u$i") ++ G ++ Seq(s"m$i") ++ H ++ Seq(s"v$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, (Seq("e1", "e2") ++ G).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactContaminationSpans(corpus, bench, "doc_id", "text",
+        minLen = 6, cap = 20, maxGroup = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each corpus doc flags its G occurrence (position 1); the corpus-
+    // only hot gram H has no bench witness and must NOT report
+    assert(got.length == 100, s"got ${got.length}")
+    assert(got.forall { case (_, s, _) => s == 1L }, got.take(5).toSeq)
+    CacheRegistry.releaseAll()
   }
 
   test("TokenLcp: whole-token prefix semantics, interpreted == codegen") {
