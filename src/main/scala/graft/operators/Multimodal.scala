@@ -59,22 +59,23 @@ object Multimodal {
     ).as[MediaRecord]
   }
 
-  /** Decode + feature extraction. For PNG payloads the brightness is
-    * now REAL — the mean over actually-decoded samples via
-    * [[pngDecodePixels]] (zlib inflate + per-row defilter, no external
-    * codec needed). For every other payload the codec libraries are
-    * absent in this container, so the deterministic byte-sum stand-in
-    * remains (sum of the first 16 bytes mod 256), clearly separable by
-    * whether the payload parses as PNG. Batch shape is the production
-    * one either way: per-partition worker, streaming iterator, bytes
-    * never shuffle.
+  /** Decode + feature extraction. For PNG and baseline-JPEG payloads
+    * the brightness is REAL — the mean over actually-decoded samples
+    * via [[pngDecodePixels]] / [[jpegDecodePixels]] (zlib inflate +
+    * defilter, resp. Huffman + IDCT; no external codec needed). For
+    * every other payload the codec libraries are absent in this
+    * container, so the deterministic byte-sum stand-in remains (sum of
+    * the first 16 bytes mod 256), clearly separable by whether the
+    * payload decodes. Batch shape is the production one either way:
+    * per-partition worker, streaming iterator, bytes never shuffle.
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition setup would open non-PNG codecs once here, not per row
       it.map { r =>
-        val brightness = pngDecodePixels(r.data) match {
+        val brightness = pngDecodePixels(r.data)
+          .orElse(jpegDecodePixels(r.data)) match {
           case Some((_, _, _, px)) =>
             var s = 0L; var i = 0
             while (i < px.length) { s += px(i) & 0xff; i += 1 }
@@ -458,17 +459,19 @@ object Multimodal {
   final case class PixelFeatures(doc_id: Long, width: Int, height: Int,
       channels: Int, n_samples: Long, sum_v: Long, wsum: Long, mean_luma: Long)
 
-  /** Real pixel-tier feature extraction: decode each PNG payload and
-    * reduce its samples — count, exact sum, position-weighted sum
-    * Σ(i+1)·vᵢ (order-sensitive, so a defilter that permutes or
-    * off-by-ones any byte breaks it), and integer mean. Non-PNG /
-    * undecodable payloads are dropped (quarantine-sink semantics, as
-    * [[decodeImage]]). Narrow mapPartitions; bytes never shuffle. */
+  /** Real pixel-tier feature extraction: decode each PNG or baseline
+    * JPEG payload and reduce its samples — count, exact sum,
+    * position-weighted sum Σ(i+1)·vᵢ (order-sensitive, so a defilter /
+    * IDCT that permutes or off-by-ones any byte breaks it), and
+    * integer mean. Undecodable payloads are dropped (quarantine-sink
+    * semantics, as [[decodeImage]]). Narrow mapPartitions; bytes never
+    * shuffle. */
   def decodePixelFeatures(media: Dataset[MediaRecord]): Dataset[PixelFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { rec =>
-        pngDecodePixels(rec.data).map { case (w, h, ch, px) =>
+        pngDecodePixels(rec.data).orElse(jpegDecodePixels(rec.data))
+          .map { case (w, h, ch, px) =>
           var sum = 0L; var ws = 0L; var i = 0
           while (i < px.length) {
             val v = px(i) & 0xff
@@ -481,6 +484,510 @@ object Multimodal {
       }
     }
   }
+
+  // ---- Real baseline JPEG codec (ITU-T T.81, public byte format) ----
+  //
+  // The second image format with a fully REAL pixel tier: baseline
+  // sequential DCT needs no external library — Huffman coding, 8×8
+  // DCT, and the JFIF wrapper are all public spec. Scope: SOF0
+  // (baseline), 8-bit precision, 1 component (grayscale) or 3
+  // components (YCbCr, JFIF BT.601) with NO chroma subsampling
+  // (sampling factors all 1×1); DHT/DQT are parsed generally (any
+  // valid tables, so real-world baseline files with the Annex-K
+  // tables decode too), restart markers honored. Progressive (SOF2),
+  // 12-bit, arithmetic coding, and subsampled files degrade to None —
+  // the SOF-dimension tier still covers them.
+  //
+  // The encoder quantizes with a FLAT all-8s table. That choice makes
+  // a block of CONSTANT pixels round-trip EXACTLY: such a block has
+  // only a DC coefficient 8·(v−128), which quantizes to v−128 with no
+  // remainder and reconstructs to v bit-exactly — the property the
+  // q113 oracle is built on (uniform 8×8 blocks are recomputable
+  // arithmetically by DuckDB; general content is covered by the
+  // tolerance + javax.imageio conformance specs instead).
+
+  /** Zig-zag scan order: scan position → natural block index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) scaled by C(u) — the shared 1-D DCT basis. */
+  private lazy val DctBasis: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (u, x) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Flat quantization table (see codec note above). */
+  private val FlatQ: Array[Int] = Array.fill(64)(8)
+
+  /** Writer-side Huffman tables, chosen for simplicity not optimality
+    * (any prefix-free table a DHT can describe is legal): DC = the 12
+    * size categories as 4-bit codes (code == symbol); AC = the 162
+    * emittable run/size symbols (EOB, ZRL, run 0–15 × size 1–10) as
+    * 9-bit codes, canonical code == index in the symbol list. (A DHT
+    * `Li` count is one byte, so "all 256 symbols at one length" is
+    * not encodable — and Kraft 162/512 is comfortably valid.) */
+  private val EncDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDcVals: Array[Int] = (0 until 12).toArray
+  private val EncAcVals: Array[Int] =
+    Array(0x00, 0xF0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+  private val EncAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, EncAcVals.length, 0, 0, 0, 0, 0, 0, 0)
+  /** symbol → canonical 9-bit code (its index in [[EncAcVals]]). */
+  private val EncAcCode: Array[Int] = {
+    val a = Array.fill(256)(-1)
+    EncAcVals.zipWithIndex.foreach { case (s, i) => a(s) = i }
+    a
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 §B.2.1). */
+    def flush(): Array[Byte] = {
+      if (nBits > 0) {
+        acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+        out.write(acc)
+        if (acc == 0xFF) out.write(0x00)
+        acc = 0; nBits = 0
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Magnitude category (bit size) of a DC diff / AC coefficient. */
+  private def magBits(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  private def fdctQuantized(block: Array[Double]): Array[Int] = {
+    // separable 2-D FDCT: rows then columns against the shared basis
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += block(y * 8 + x) * DctBasis(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * DctBasis(v)(yy); yy += 1 }
+        val coef = s / 4.0
+        out(v * 8 + u) = math.round(coef / FlatQ(v * 8 + u)).toInt
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private def dhtSegment(tableClass: Int, id: Int, bits: Array[Int],
+      vals: Array[Int]): Array[Byte] = {
+    val body = Array((tableClass << 4 | id).toByte) ++
+      bits.map(_.toByte) ++ vals.map(_.toByte)
+    Array(0xFF.toByte, 0xC4.toByte) ++ be2(2 + body.length) ++ body
+  }
+
+  /** Encode 8-bit samples (`w*h*channels`, row-major, channels 1 = gray
+    * or 3 = RGB) as a complete baseline JFIF JPEG. */
+  def jpegEncode(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels $channels not in {1,3}")
+    require(pixels.length == w * h * channels,
+      s"pixels ${pixels.length} != $w*$h*$channels")
+    // color: JFIF BT.601 RGB → YCbCr, rounded to the nearest sample
+    val planes: Array[Array[Int]] =
+      if (channels == 1) Array(Array.tabulate(w * h)(i => pixels(i) & 0xff))
+      else {
+        val ys = new Array[Int](w * h); val cb = new Array[Int](w * h)
+        val cr = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val r = pixels(3 * i) & 0xff; val g = pixels(3 * i + 1) & 0xff
+          val b = pixels(3 * i + 2) & 0xff
+          def clamp(d: Double): Int =
+            math.max(0, math.min(255, math.round(d).toInt))
+          ys(i) = clamp(0.299 * r + 0.587 * g + 0.114 * b)
+          cb(i) = clamp(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+          cr(i) = clamp(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+          i += 1
+        }
+        Array(ys, cb, cr)
+      }
+    val mcuX = (w + 7) / 8; val mcuY = (h + 7) / 8
+    val bw = new BitWriter
+    val dcPred = new Array[Int](planes.length)
+    var my = 0
+    while (my < mcuY) {
+      var mx = 0
+      while (mx < mcuX) {
+        var c = 0
+        while (c < planes.length) {
+          val plane = planes(c)
+          val block = new Array[Double](64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              // edge replication for partial blocks (standard practice)
+              val sx = math.min(w - 1, mx * 8 + bx)
+              val sy = math.min(h - 1, my * 8 + by)
+              block(by * 8 + bx) = plane(sy * w + sx) - 128.0
+              bx += 1
+            }
+            by += 1
+          }
+          val q = fdctQuantized(block)
+          // DC: category code + magnitude bits
+          val diff = q(0) - dcPred(c); dcPred(c) = q(0)
+          val dcSize = magBits(diff)
+          bw.put(dcSize, 4) // EncDc: code == symbol, length 4
+          if (dcSize > 0) {
+            val bits = if (diff < 0) diff + (1 << dcSize) - 1 else diff
+            bw.put(bits, dcSize)
+          }
+          // AC: run/size symbols in zig-zag order
+          var run = 0; var k = 1
+          while (k < 64) {
+            val coef = q(Zigzag(k))
+            if (coef == 0) run += 1
+            else {
+              while (run > 15) { bw.put(EncAcCode(0xF0), 9); run -= 16 } // ZRL
+              val sz = magBits(coef)
+              bw.put(EncAcCode((run << 4) | sz), 9)
+              val bits = if (coef < 0) coef + (1 << sz) - 1 else coef
+              bw.put(bits, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bw.put(EncAcCode(0x00), 9) // EOB
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    val app0 = Array(0xFF.toByte, 0xE0.toByte) ++ be2(16) ++
+      "JFIF\u0000".getBytes("US-ASCII") ++ Array[Byte](1, 1, 0) ++
+      be2(1) ++ be2(1) ++ Array[Byte](0, 0)
+    val dqt = Array(0xFF.toByte, 0xDB.toByte) ++ be2(67) ++
+      Array(0x00.toByte) ++ Zigzag.map(i => FlatQ(i).toByte) // Pq=0, Tq=0
+    val comps = (1 to planes.length)
+      .flatMap(c => Array(c.toByte, 0x11.toByte, 0.toByte)).toArray
+    val sof = Array(0xFF.toByte, 0xC0.toByte) ++
+      be2(8 + 3 * planes.length) ++ Array[Byte](8) ++ be2(h) ++ be2(w) ++
+      Array(planes.length.toByte) ++ comps
+    val dht = dhtSegment(0, 0, EncDcBits, EncDcVals) ++
+      dhtSegment(1, 0, EncAcBits, EncAcVals)
+    val scanComps = (1 to planes.length)
+      .flatMap(c => Array(c.toByte, 0x00.toByte)).toArray
+    val sos = Array(0xFF.toByte, 0xDA.toByte) ++
+      be2(6 + 2 * planes.length) ++ Array(planes.length.toByte) ++
+      scanComps ++ Array[Byte](0, 63, 0)
+    Array(0xFF.toByte, 0xD8.toByte) ++ app0 ++ dqt ++ sof ++ dht ++ sos ++
+      bw.flush() ++ Array(0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** Canonical Huffman table in T.81 DECODE form. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  /** Entropy-segment bit reader: unstuffs FF00, stops at any real
+    * marker, resets cleanly across restart markers. */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0; private var nBits = 0
+    var hitMarker = false
+    def nextBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= data.length) { hitMarker = true; return -1 }
+        var b = data(pos) & 0xff
+        if (b == 0xFF) {
+          if (pos + 1 >= data.length) { hitMarker = true; return -1 }
+          val nxt = data(pos + 1) & 0xff
+          if (nxt == 0x00) { pos += 2 } // stuffed FF
+          else { hitMarker = true; return -1 } // real marker: stop
+        } else pos += 1
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >>> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = nextBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    /** Skip a restart marker at the current (byte-aligned) position;
+      * true if one was consumed. */
+    def restart(): Boolean = {
+      nBits = 0; hitMarker = false
+      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xFF) {
+        val m = data(pos + 1) & 0xff
+        if (m >= 0xD0 && m <= 0xD7) { pos += 2; return true }
+      }
+      false
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = nextBit(); if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) && code >= t.minCode(l))
+          return t.value(l, code)
+        val b = nextBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** EXTEND (T.81 F.12): map `v` of `size` bits to its signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  /** REAL baseline JPEG pixel decode: general DQT/DHT/SOF0/SOS parse,
+    * Huffman entropy decode, dequantize, float IDCT, level shift;
+    * YCbCr→RGB (BT.601) for 3-component scans. Returns (width, height,
+    * channels, samples row-major), or None for anything outside the
+    * supported profile (progressive, subsampled, 12-bit, arithmetic)
+    * or malformed — crawl bytes degrade to None, never throw or hang. */
+  def jpegDecodePixels(data: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      def u8(i: Int): Int = data(i) & 0xff
+      def rd2(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      if (data.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+      val qTables = new Array[Array[Int]](4)
+      val dcTables = new Array[HuffTable](4); val acTables = new Array[HuffTable](4)
+      var w = 0; var h = 0; var nComp = 0
+      var compQ: Array[Int] = null // per-component quant table id
+      var restartInterval = 0
+      var pos = 2
+      var sofSeen = false
+      while (pos + 3 < data.length) {
+        if (u8(pos) != 0xFF) return None
+        val m = u8(pos + 1)
+        if (m == 0xFF) { pos += 1 } // fill byte
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) pos += 2
+        else {
+          val len = rd2(pos + 2)
+          if (len < 2 || pos + 2 + len > data.length) return None
+          val seg = pos + 4
+          m match {
+            case 0xDB => // DQT: one or more tables
+              var p = seg
+              while (p < pos + 2 + len) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
+                if (pq != 0 || tq > 3 || p + 65 > pos + 2 + len) return None
+                val t = new Array[Int](64)
+                var k = 0
+                while (k < 64) { t(Zigzag(k)) = u8(p + 1 + k); k += 1 }
+                qTables(tq) = t
+                p += 65
+              }
+            case 0xC4 => // DHT: one or more tables
+              var p = seg
+              while (p < pos + 2 + len) {
+                val tc = u8(p) >> 4; val th = u8(p) & 0x0F
+                if (tc > 1 || th > 3) return None
+                val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+                val total = bits.sum
+                if (total > 256 || p + 17 + total > pos + 2 + len) return None
+                val vals = Array.tabulate(total)(i => u8(p + 17 + i))
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                p += 17 + total
+              }
+            case 0xC0 => // SOF0 baseline
+              if (u8(seg) != 8) return None // precision
+              h = rd2(seg + 1); w = rd2(seg + 3); nComp = u8(seg + 5)
+              if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+              if (w.toLong * h * nComp > (1L << 30)) return None
+              compQ = new Array[Int](nComp)
+              var c = 0
+              while (c < nComp) {
+                val hv = u8(seg + 7 + 3 * c)
+                if (hv != 0x11) return None // subsampling unsupported
+                compQ(c) = u8(seg + 8 + 3 * c)
+                if (compQ(c) > 3) return None
+                c += 1
+              }
+              sofSeen = true
+            case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+                 0xCB | 0xCD | 0xCE | 0xCF =>
+              return None // extended/progressive/lossless/arithmetic
+            case 0xDD => // DRI
+              if (len != 4) return None
+              restartInterval = rd2(seg)
+            case 0xDA => // SOS: decode the scan and finish
+              if (!sofSeen) return None
+              val ns = u8(seg)
+              if (ns != nComp) return None
+              val dcSel = new Array[Int](nComp); val acSel = new Array[Int](nComp)
+              var c = 0
+              while (c < ns) {
+                dcSel(c) = u8(seg + 2 + 2 * c) >> 4
+                acSel(c) = u8(seg + 2 + 2 * c) & 0x0F
+                c += 1
+              }
+              c = 0
+              while (c < nComp) {
+                if (qTables(compQ(c)) == null || dcTables(dcSel(c)) == null ||
+                  acTables(acSel(c)) == null) return None
+                c += 1
+              }
+              val planes = Array.fill(nComp)(new Array[Int](w * h))
+              val br = new BitReader(data, pos + 2 + len)
+              val dcPred = new Array[Int](nComp)
+              val mcuX = (w + 7) / 8; val mcuY = (h + 7) / 8
+              val coeff = new Array[Int](64)
+              val tmp = new Array[Double](64)
+              var mcu = 0
+              val nMcu = mcuX * mcuY
+              while (mcu < nMcu) {
+                if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                  if (!br.restart()) return None
+                  java.util.Arrays.fill(dcPred, 0)
+                }
+                val my = mcu / mcuX; val mx = mcu % mcuX
+                var ci = 0
+                while (ci < nComp) {
+                  java.util.Arrays.fill(coeff, 0)
+                  val q = qTables(compQ(ci))
+                  val s = br.decodeHuff(dcTables(dcSel(ci)))
+                  if (s < 0 || s > 11) return None
+                  val diffBits = br.receive(s)
+                  if (diffBits == Int.MinValue) return None
+                  dcPred(ci) += extend(diffBits, s)
+                  coeff(0) = dcPred(ci) * q(0)
+                  var k = 1
+                  var eob = false
+                  while (k < 64 && !eob) {
+                    val rs = br.decodeHuff(acTables(acSel(ci)))
+                    if (rs < 0) return None
+                    val run = rs >> 4; val sz = rs & 0x0F
+                    if (sz == 0) {
+                      if (run == 15) k += 16 // ZRL
+                      else eob = true
+                    } else {
+                      k += run
+                      if (k > 63) return None
+                      val bits = br.receive(sz)
+                      if (bits == Int.MinValue) return None
+                      coeff(Zigzag(k)) = extend(bits, sz) * q(Zigzag(k))
+                      k += 1
+                    }
+                  }
+                  // separable IDCT: columns then rows
+                  var x = 0
+                  while (x < 8) {
+                    var y = 0
+                    while (y < 8) {
+                      var s2 = 0.0; var v = 0
+                      while (v < 8) {
+                        s2 += DctBasis(v)(y) * coeff(v * 8 + x); v += 1
+                      }
+                      tmp(y * 8 + x) = s2
+                      y += 1
+                    }
+                    x += 1
+                  }
+                  val plane = planes(ci)
+                  var y = 0
+                  while (y < 8) {
+                    var x2 = 0
+                    while (x2 < 8) {
+                      var s2 = 0.0; var u = 0
+                      while (u < 8) { s2 += DctBasis(u)(x2) * tmp(y * 8 + u); u += 1 }
+                      val px = my * 8 + y; val qx = mx * 8 + x2
+                      if (px < h && qx < w) {
+                        val v = math.round(s2 / 4.0 + 128.0).toInt
+                        plane(px * w + qx) = math.max(0, math.min(255, v))
+                      }
+                      x2 += 1
+                    }
+                    y += 1
+                  }
+                  ci += 1
+                }
+                mcu += 1
+              }
+              // assemble output samples
+              val out = new Array[Byte](w * h * nComp)
+              if (nComp == 1) {
+                var i = 0
+                while (i < w * h) { out(i) = planes(0)(i).toByte; i += 1 }
+              } else {
+                var i = 0
+                while (i < w * h) {
+                  val yv = planes(0)(i); val cb = planes(1)(i) - 128
+                  val cr = planes(2)(i) - 128
+                  def clamp(d: Double): Byte =
+                    math.max(0, math.min(255, math.round(d).toInt)).toByte
+                  out(3 * i) = clamp(yv + 1.402 * cr)
+                  out(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+                  out(3 * i + 2) = clamp(yv + 1.772 * cb)
+                  i += 1
+                }
+              }
+              return Some((w, h, nComp, out))
+            case _ => () // APPn/COM/other: skip by declared length
+          }
+          if (m != 0xDA) pos += 2 + len else pos = data.length
+        }
+      }
+      None
+    } catch { case _: Exception => None }
 
   // ---- Audio/video containers: RIFF/WAVE and ISO BMFF (MP4) ----
   // Same two-tier honesty as images: codec payloads stay opaque, but

@@ -223,5 +223,66 @@ SELECT doc_id, width, height, channels,
 FROM px GROUP BY doc_id, width, height, channels ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102)
+  /** q113 — REAL baseline JPEG pixel decode (ITU-T T.81: Huffman
+    * entropy decode, dequantize, IDCT, level shift — no codec
+    * library): each document synthesizes a grayscale image of
+    * CONSTANT 8×8 blocks (block b of doc d has value
+    * (d·37 + b·11) mod 256, dims multiples of 8 keyed off doc_id),
+    * encodes it as a baseline JFIF JPEG, decodes the pixels back and
+    * reduces them with the same features as q102. Constant blocks
+    * carry only a DC coefficient, which the flat Q=8 table quantizes
+    * WITHOUT remainder — so the lossy-in-general codec is bit-exact
+    * on this corpus and the oracle can regenerate every sample
+    * arithmetically. Any defect in the writer's DHT/DQT framing, the
+    * entropy coder, byte stuffing, the Huffman decode, dequant, or
+    * IDCT normalization shifts a sample and breaks the compare
+    * (general content + javax.imageio conformance are spec-covered:
+    * JpegPixelSpec). Encode and decode both run inside one narrow
+    * mapPartitions — pixel bytes never shuffle. */
+  val q113 = QuerySpec("q113_jpeg_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val dims = docs.select(col("doc_id"),
+          ((col("doc_id") % 3 + 2) * 8).cast("int").as("w"),
+          ((col("doc_id") % 2 + 2) * 8).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      val media = dims.mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val bpr = w / 8
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            ((id * 37 + ((y / 8) * bpr + x / 8).toLong * 11) % 256).toByte
+          }
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.jpegEncode(w, h, 1, px),
+            Multimodal.MediaMeta(w, h, "jpeg", 1))
+        }
+      }
+      Multimodal.decodePixelFeatures(media).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+WITH dims AS (
+  SELECT doc_id,
+    CAST((doc_id % 3 + 2) * 8 AS INT) AS width,
+    CAST((doc_id % 2 + 2) * 8 AS INT) AS height
+  FROM documents
+), idx AS (
+  SELECT doc_id, width, height,
+    unnest(range(0, CAST(width AS BIGINT) * height)) AS i
+  FROM dims
+), px AS (
+  SELECT doc_id, width, height, i,
+    (doc_id * 37 + ((i // width) // 8 * (width // 8) + (i % width) // 8) * 11) % 256 AS v
+  FROM idx
+)
+SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
+  count(*) AS n_samples,
+  CAST(sum(v) AS BIGINT) AS sum_v,
+  CAST(sum((i + 1) * v) AS BIGINT) AS wsum,
+  CAST(sum(v) // count(*) AS BIGINT) AS mean_luma
+FROM px GROUP BY doc_id, width, height ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102, q113)
 }
