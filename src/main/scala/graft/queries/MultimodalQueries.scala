@@ -284,5 +284,68 @@ SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
 FROM px GROUP BY doc_id, width, height ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102, q113)
+  /** q114 — REAL video frame extraction: each document synthesizes an
+    * MP4 whose moov carries a genuine stsd/stts/stsc/stsz/stco sample
+    * table over (doc_id % 3 + 1) MJPEG frames — each frame a 16×16
+    * constant-8×8-block grayscale JPEG (block b of frame f in doc d
+    * has value (d·37 + f·13 + b·11) mod 256). `frameExtract` demuxes
+    * by the same box arithmetic any player uses (stsc runs × stco
+    * offsets + stsz prefix sums), slices the real frame bytes, and
+    * `jpegDecodePixels` turns them into pixels — container → frames →
+    * pixels, fully real, no codec library. Uniform blocks make the
+    * lossy codec bit-exact (q113's flat-Q=8 property), so the oracle
+    * regenerates every frame's pixel sum arithmetically: 2×2 blocks of
+    * 64 pixels each. Any defect in the writer's table layout, the
+    * demux arithmetic, or the slice bounds shifts a frame and breaks
+    * the compare. Narrow end to end: media bytes never shuffle. */
+  val q114 = QuerySpec("q114_frame_extract",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (col("doc_id") % 3 + 1).cast("int").as("nf")).as[(Long, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, nf) =>
+          val (w, h) = (16, 16)
+          val bpr = w / 8
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              ((id * 37 + f.toLong * 13 +
+                ((y / 8) * bpr + x / 8).toLong * 11) % 256).toByte
+            }
+            Multimodal.jpegEncode(w, h, 1, px)
+          }
+          Multimodal.MediaRecord(id, "video", Multimodal.mp4VideoBytes(frames),
+            Multimodal.MediaMeta(w, h, "mjpeg", nf))
+        }
+      }
+      Multimodal.frameExtract(media).mapPartitions { it =>
+        it.flatMap { f =>
+          Multimodal.jpegDecodePixels(f.data).map { case (w, h, _, px) =>
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (f.doc_id, f.frame_idx, w, h, sum, sum / px.length)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height", "sum_v", "mean_luma")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(raw"""
+WITH f AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS frame_idx FROM documents
+), b AS (
+  SELECT doc_id, frame_idx, unnest(range(0, 4)) AS blk FROM f
+), v AS (
+  SELECT doc_id, frame_idx, (doc_id * 37 + frame_idx * 13 + blk * 11) % 256 AS val
+  FROM b
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+  CAST(sum(val) * 64 AS BIGINT) AS sum_v,
+  CAST(sum(val) * 64 // 256 AS BIGINT) AS mean_luma
+FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102, q113, q114)
 }
