@@ -160,6 +160,21 @@ object Text {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Unicode robustness preprocessing: NFC canonical normalization +
+    * supplementary-plane (non-BMP) strip, via the codegen'd
+    * [[org.apache.spark.sql.graftvec.NfcNormalize]]. Apply to a text
+    * column BEFORE any exact-span / fingerprint / edit-distance
+    * operator when the corpus mixes encodings or carries emoji: NFC
+    * makes composed and decomposed spellings hash identically, and
+    * dropping astral code points removes the one class of characters
+    * whose LENGTH UNIT engines disagree on (UTF-8 bytes vs UTF-16
+    * units vs code points), which is what narrows the cross-engine
+    * parity caveat from "ASCII only" to "non-normalized input only".
+    * Deliberately NOT part of [[normalizeText]]: byte-identical
+    * corpora must keep hashing byte-identically. */
+  def unicodeClean(c: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.nfcNormalize(c)
+
   /** Whole-document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 

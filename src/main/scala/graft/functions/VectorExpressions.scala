@@ -769,6 +769,72 @@ case class AcHitCount(child: Expression, ac: AcRef)
     copy(child = newChild)
 }
 
+/** JVM-side text normalization helper. A top-level object with no
+  * companion class, so Scala emits STATIC forwarders — generated Java
+  * calls `TextNorm.nfcStrip(s)` directly. */
+object TextNorm {
+  /** Unicode NFC normalization + supplementary-plane (non-BMP) strip.
+    * NFC collapses composed/decomposed spellings ("é" as one code
+    * point vs "e"+combining-acute) to one canonical form, so
+    * fingerprints/grams/edit-distances agree across sources that
+    * serialize differently. Astral code points (emoji, rare CJK
+    * extensions) are stripped because engines disagree on their UNIT
+    * (UTF-8 bytes vs UTF-16 units vs code points) in length/distance
+    * functions — removing them is the documented, deterministic way to
+    * make cross-engine text metrics comparable. */
+  def nfcStrip(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) str
+      else java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+    var hasAstral = false
+    var i = 0
+    while (i < nfc.length && !hasAstral) {
+      if (Character.isSurrogate(nfc.charAt(i))) hasAstral = true
+      i += 1
+    }
+    val out = if (!hasAstral) nfc else {
+      val sb = new java.lang.StringBuilder(nfc.length)
+      var j = 0
+      while (j < nfc.length) {
+        val c = nfc.charAt(j)
+        if (Character.isHighSurrogate(c) && j + 1 < nfc.length &&
+          Character.isLowSurrogate(nfc.charAt(j + 1))) j += 2
+        else if (Character.isSurrogate(c)) j += 1 // unpaired: drop too
+        else { sb.append(c); j += 1 }
+      }
+      sb.toString
+    }
+    if (out eq str) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(out)
+  }
+}
+
+/** NFC-normalize + astral-strip a string column (see
+  * [[TextNorm.nfcStrip]]); the preprocessing that upgrades the
+  * exact-span / edit-distance cross-engine ASCII caveat to "any
+  * NFC-normalizable BMP text". Codegen is a single static call, so
+  * the surrounding projection stays in one WholeStageCodegen span. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.nfcStrip(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftvec.TextNorm.nfcStrip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be array<double>. */
   def dotProduct(a: Column, b: Column): Column =
@@ -823,4 +889,8 @@ object VectorExpressions {
     * blocklist automaton. */
   def acHitCount(text: Column, ac: AcRef): Column =
     ExpressionUtils.column(AcHitCount(ExpressionUtils.expression(text), ac))
+
+  /** Column API for [[NfcNormalize]]: NFC + astral strip. */
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 }

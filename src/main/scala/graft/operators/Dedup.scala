@@ -383,14 +383,14 @@ object Dedup {
     * sim = 1 − lev/max(len); both engines run the identical integer
     * DP, so results match exactly.
     *
-    * Cross-engine caveat: the "identical DP" claim assumes the
-    * normalized text is effectively ASCII/BMP — engines disagree on
-    * the unit of edit for multi-byte text (Spark counts code points,
-    * some SQL engines count bytes or UTF-16 units), so bit-parity of
-    * `dist` against a non-Spark oracle is only guaranteed for ASCII
-    * blocks. `sim` thresholds are robust to the off-by-small
-    * difference, but treat cross-engine `dist` equality on CJK/emoji
-    * text as best-effort, not a contract. */
+    * Cross-engine caveat: the "identical DP" claim needs an agreed
+    * unit of edit. Engines disagree only beyond the BMP (Spark counts
+    * code points, some SQL engines count bytes or UTF-16 units), and
+    * composed-vs-decomposed spellings hash apart without canonical
+    * normalization — so run [[graft.functions.Text.unicodeClean]]
+    * (NFC + astral strip, UnicodeTextSpec) over the text column first
+    * and `dist` parity holds for any BMP text, CJK included; only
+    * NON-NORMALIZED input (skipping that step) remains best-effort. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       prefixTokens: Int = 3, threshold: Double = 0.8): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -599,9 +599,14 @@ object Dedup {
     * ([[org.apache.spark.sql.graftvec.TokenLcp]]). Raw
     * text never shuffles — only (hash, bounded extension) keys.
     * Cross-engine note: group-internal order compares extension
-    * STRINGS (space-joined tokens, space < every token char, so the
-    * order equals token-sequence order); bit-parity with a non-JVM
-    * oracle assumes effectively-ASCII tokens, as [[editDistancePairs]].
+    * STRINGS (space-joined tokens; space sorts below every token byte
+    * in UTF-8, so binary order equals token-sequence order for any
+    * text). Span POSITIONS are token indices — engine-independent.
+    * For corpora mixing encodings or astral characters, run
+    * [[graft.functions.Text.unicodeClean]] (NFC + astral strip) over
+    * the text first; with that, cross-engine parity holds for any BMP
+    * text, CJK included (UnicodeTextSpec) — only non-normalized input
+    * remains best-effort, as [[editDistancePairs]].
     */
   /** (id, toks) tokenization frame shared by the exact-span family. */
   private def tokensFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
