@@ -55,6 +55,11 @@ object Bench {
       case c => c.toString
     } + "\""
     val loadStart = loadAvg()
+    // per-query 1-min loadavg, sampled as each query finishes: a
+    // contended SEGMENT of a long session (round-7's driver run cost a
+    // round of misleading deltas) is then identifiable per query, not
+    // just per session via the start/end pair
+    val loadPer = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -66,6 +71,7 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      loadPer += ((name, loadAvg()))
       // release operator-internal caches before the next query's clock
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
@@ -73,6 +79,7 @@ object Bench {
     }
     // stable name order: consistent warmup attribution across rounds
     val results = selected.toSeq.sortBy(_._1).map((timed _).tupled)
+    val loadPerMain = loadPer.toSeq.take(results.size)
     // Calibration canary: re-run cheap reference queries at session END.
     // In a clean session the warm re-run is ≤ the cold first run; an
     // end/start ratio well ABOVE 1 (or a high loadavg) marks the window
@@ -116,8 +123,12 @@ object Bench {
         s""","calib":$cq,"loadavg":[${r3(loadStart)},${r3(loadEnd)}]"""
       }
     val total = r3(results.map(_._2).sum)
+    // full artifact only (the stdout contract line must stay small):
+    // the loadavg observed as each query completed
+    val loadPerJson = loadPerMain
+      .map { case (n, l) => jstr(n) + ":" + r3(l) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"loadavg_per_query":$loadPerJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort artifact; stdout is the contract

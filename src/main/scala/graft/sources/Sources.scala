@@ -85,21 +85,27 @@ object Sources extends org.apache.spark.internal.Logging {
     }.toSeq
   }
 
-  /** S1 — tickers from an HTML constituents page: first table with a
-    * ticker-ish column and ≥ minRows rows. Returns None if no table
-    * qualifies (caller falls back to S2). */
-  def tickersFromHtml(spark: SparkSession, html: String): Option[DataFrame] = {
+  /** The pure extraction tier of S1: first table with a ticker-ish
+    * column and ≥ [[minRows]] rows, as raw cell strings. Shared by
+    * [[tickersFromHtml]] and the `graft-html` DataSourceV2 connector
+    * ([[HtmlTickerSource]]). */
+  def tickerStringsFromHtml(html: String): Option[Seq[String]] =
     parseHtmlTables(html).flatMap { case (headers, rows) =>
       headers.zipWithIndex
         .find { case (h, _) => tickerColumnNames(h) }
         .map { case (_, idx) =>
           rows.flatMap(r => r.lift(idx)).filter(_.nonEmpty)
         }
-    }.find(_.size >= minRows).map { tickers =>
+    }.find(_.size >= minRows)
+
+  /** S1 — tickers from an HTML constituents page: first table with a
+    * ticker-ish column and ≥ minRows rows. Returns None if no table
+    * qualifies (caller falls back to S2). */
+  def tickersFromHtml(spark: SparkSession, html: String): Option[DataFrame] =
+    tickerStringsFromHtml(html).map { tickers =>
       import spark.implicits._
       normalize(tickers.toDF("ticker"))
     }
-  }
 
   /** S2 — tickers from a CSV file: column named `symbol`
     * (case-insensitive) else the first column. */
