@@ -1303,6 +1303,99 @@ object Multimodal {
     }
   }
 
+  // ---- Real audio sample decode (PCM: the samples ARE the bytes) ----
+  //
+  // WAV/PCM is the one audio format whose SAMPLE tier needs no codec:
+  // the data chunk is raw little-endian PCM. parsePcmSamples walks the
+  // RIFF chunks (same hostile-size hygiene as parseWav), checks the
+  // fmt says integer PCM (format 1) at 16-bit, and exposes the
+  // samples; audioFeatures reduces them to the loudness/shape signals
+  // an audio-corpus curation pass filters on. Compressed codecs (MP3,
+  // AAC, format != 1) degrade to None — the q27 metadata tier still
+  // covers them.
+
+  /** Per-clip features over DECODED samples (integer-exact, so a SQL
+    * oracle can replay them): count, Σ|s|, peak |s|, Σs² (energy; RMS
+    * = sqrt(sum_sq/n) derivable), and sign-change count (the cheap
+    * spectral-ish signal; silence → 0). */
+  final case class AudioFeatures(doc_id: Long, channels: Int,
+      sample_rate: Int, n_samples: Long, sum_abs: Long, peak: Int,
+      sum_sq: Long, zero_crossings: Long)
+
+  /** Parse a 16-bit integer-PCM WAV into (channels, rate, samples,
+    * interleaved). None for malformed / non-PCM / non-16-bit. */
+  def parsePcmSamples(data: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      def u8(i: Int): Int = data(i) & 0xff
+      def rdLe2(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def rdLe4(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+      if (data.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // fmtCode, ch, rate, bits
+      var dataAt = -1; var dataLen = 0
+      while (pos + 8 <= data.length && (fmt.isEmpty || dataAt < 0)) {
+        val id = tag(pos)
+        val sz = rdLe4(pos + 4)
+        if (id == "fmt " && sz >= 16 && pos + 8 + 16 <= data.length)
+          fmt = Some((rdLe2(pos + 8), rdLe2(pos + 10), rdLe4(pos + 12).toInt,
+            rdLe2(pos + 22)))
+        else if (id == "data") {
+          dataAt = pos + 8
+          dataLen = math.min(sz, data.length - pos - 8L).toInt
+        }
+        val next = pos + 8L + sz + (sz & 1L)
+        if (next <= pos || next > data.length) return {
+          // tolerate a final truncated chunk only if both pieces found
+          if (fmt.isDefined && dataAt >= 0) assemble(fmt.get, dataAt, dataLen)
+          else None
+        }
+        pos = next.toInt
+      }
+      def assemble(f: (Int, Int, Int, Int), at: Int, len: Int)
+          : Option[(Int, Int, Array[Short])] = {
+        val (code, ch, rate, bits) = f
+        if (code != 1 || bits != 16 || ch <= 0 || rate <= 0) return None
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (u8(at + 2 * i) | (data(at + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some((ch, rate, out))
+      }
+      if (fmt.isEmpty || dataAt < 0) None else assemble(fmt.get, dataAt, dataLen)
+    } catch { case _: Exception => None }
+
+  /** REAL audio feature extraction over decoded PCM samples; non-PCM
+    * payloads drop (quarantine semantics). Narrow mapPartitions —
+    * audio bytes never shuffle, only the 7-field feature rows. */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parsePcmSamples(r.data).map { case (ch, rate, s) =>
+          var sumAbs = 0L; var peak = 0; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            val a = math.abs(v)
+            sumAbs += a
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            if (i > 0 && ((s(i - 1) < 0 && v >= 0) || (s(i - 1) >= 0 && v < 0)))
+              zc += 1
+            i += 1
+          }
+          AudioFeatures(r.doc_id, ch, rate, s.length.toLong, sumAbs, peak,
+            sumSq, zc)
+        }
+      }
+    }
+  }
+
   final case class MediaHash(doc_id: Long, ahash: Long)
 
   /** Byte-sample average hash: 60 evenly-strided payload bytes, bit i

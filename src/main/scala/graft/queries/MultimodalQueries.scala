@@ -347,5 +347,75 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
 """))
 
-  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102, q113, q114)
+  /** q115 — REAL audio sample decode: each document synthesizes a
+    * 16-bit PCM WAV whose sample i is ((doc_id·31 + i·7) mod 65536) −
+    * 32768 (full signed range, deterministic), n = doc_id % 50 + 20
+    * samples, channels/rate keyed off doc_id. `audioFeatures` walks
+    * the RIFF chunks, checks integer-PCM/16-bit, decodes the
+    * little-endian samples and reduces them integer-exactly — count,
+    * Σ|s|, peak, Σs² (energy), sign-change count. PCM is the one
+    * audio tier needing no codec: the bytes ARE the samples, so this
+    * is fully real, and the oracle replays every sample
+    * arithmetically. Any defect in chunk traversal, the LE int16
+    * read, or the reductions breaks the compare. Narrow
+    * mapPartitions; audio bytes never shuffle. */
+  val q115 = QuerySpec("q115_audio_features",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (col("doc_id") % 50 + 20).cast("int").as("n"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        ((col("doc_id") % 3 + 1) * 8000).cast("int").as("rate"))
+        .as[(Long, Int, Int, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, n, ch, rate) =>
+          val payload = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i.toLong * 7) % 65536) - 32768).toInt
+            payload(2 * i) = v.toByte
+            payload(2 * i + 1) = (v >> 8).toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.wavBytes(ch, rate, payload),
+            Multimodal.MediaMeta(ch, rate, "pcm_s16le", 1))
+        }
+      }
+      Multimodal.audioFeatures(media).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id % 50 + 20 AS INT) AS n,
+    CAST(doc_id % 2 + 1 AS INT) AS channels,
+    CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate
+  FROM documents
+), idx AS (
+  SELECT doc_id, channels, sample_rate, n,
+    unnest(range(0, CAST(n AS BIGINT))) AS i
+  FROM base
+), smp AS (
+  SELECT doc_id, channels, sample_rate, i,
+    (doc_id * 31 + i * 7) % 65536 - 32768 AS v
+  FROM idx
+), lagged AS (
+  SELECT doc_id, channels, sample_rate, i, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM smp
+)
+SELECT doc_id, channels, sample_rate,
+  count(*) AS n_samples,
+  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+  CAST(max(abs(v)) AS INT) AS peak,
+  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+  CAST(sum(CASE WHEN pv IS NOT NULL AND
+    ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings
+FROM lagged
+GROUP BY doc_id, channels, sample_rate ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102, q113, q114, q115)
 }
