@@ -493,12 +493,15 @@ object Multimodal {
   // sequential DCT needs no external library — Huffman coding, 8×8
   // DCT, and the JFIF wrapper are all public spec. Scope: SOF0
   // (baseline), 8-bit precision, 1 component (grayscale) or 3
-  // components (YCbCr, JFIF BT.601) with NO chroma subsampling
-  // (sampling factors all 1×1); DHT/DQT are parsed generally (any
-  // valid tables, so real-world baseline files with the Annex-K
-  // tables decode too), restart markers honored. Progressive (SOF2),
-  // 12-bit, arithmetic coding, and subsampled files degrade to None —
-  // the SOF-dimension tier still covers them.
+  // components (YCbCr, JFIF BT.601) in the standard chroma layouts —
+  // 4:4:4, 4:2:2 (both orientations) and 4:2:0, i.e. luma factors up
+  // to 2×2 with 1×1 chroma, upsampled by replication. DHT/DQT are
+  // parsed generally (any valid tables, so real-world baseline files
+  // with the Annex-K tables decode too), restart markers honored.
+  // Progressive (SOF2), 12-bit, arithmetic coding, and exotic factor
+  // mixes degrade to None — the SOF-dimension tier still covers them.
+  // (The WRITER stays 4:4:4/grayscale: subsampling is a decode-side
+  // compatibility need; the oracle fixtures need exactness.)
   //
   // The encoder quantizes with a FLAT all-8s table. That choice makes
   // a block of CONSTANT pixels round-trip EXACTLY: such a block has
@@ -813,6 +816,7 @@ object Multimodal {
       val dcTables = new Array[HuffTable](4); val acTables = new Array[HuffTable](4)
       var w = 0; var h = 0; var nComp = 0
       var compQ: Array[Int] = null // per-component quant table id
+      var compH: Array[Int] = null; var compV: Array[Int] = null // sampling
       var restartInterval = 0
       var pos = 2
       var sofSeen = false
@@ -856,14 +860,23 @@ object Multimodal {
               if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
               if (w.toLong * h * nComp > (1L << 30)) return None
               compQ = new Array[Int](nComp)
+              compH = new Array[Int](nComp); compV = new Array[Int](nComp)
               var c = 0
               while (c < nComp) {
                 val hv = u8(seg + 7 + 3 * c)
-                if (hv != 0x11) return None // subsampling unsupported
+                compH(c) = hv >> 4; compV(c) = hv & 0x0F
+                if (compH(c) < 1 || compH(c) > 2 ||
+                  compV(c) < 1 || compV(c) > 2) return None
                 compQ(c) = u8(seg + 8 + 3 * c)
                 if (compQ(c) > 3) return None
                 c += 1
               }
+              // the standard chroma layouts only: luma may be 1×1,
+              // 2×1, 1×2 or 2×2; chroma must be 1×1 (covers 4:4:4,
+              // 4:2:2 both orientations, and 4:2:0 — the shapes real
+              // crawl JPEGs use). Exotic factor mixes degrade to None.
+              if (nComp == 3 && (compH(1) != 1 || compV(1) != 1 ||
+                compH(2) != 1 || compV(2) != 1)) return None
               sofSeen = true
             case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                  0xCB | 0xCD | 0xCE | 0xCF =>
@@ -888,12 +901,84 @@ object Multimodal {
                   acTables(acSel(c)) == null) return None
                 c += 1
               }
-              val planes = Array.fill(nComp)(new Array[Int](w * h))
+              // sampling geometry: a single-component scan is
+              // non-interleaved (one block per data unit) so factors
+              // don't apply; an interleaved 3-component MCU carries
+              // Hi×Vi blocks per component and covers 8·hmax × 8·vmax
+              // pixels. Component planes decode PADDED to whole MCUs
+              // and upsample by replication at assembly.
+              val hs = if (nComp == 1) Array(1) else compH
+              val vs = if (nComp == 1) Array(1) else compV
+              val hmax = hs.max; val vmax = vs.max
+              val mcuX = (w + 8 * hmax - 1) / (8 * hmax)
+              val mcuY = (h + 8 * vmax - 1) / (8 * vmax)
+              val pw = Array.tabulate(nComp)(c => mcuX * 8 * hs(c))
+              val ph = Array.tabulate(nComp)(c => mcuY * 8 * vs(c))
+              val planes = Array.tabulate(nComp)(c => new Array[Int](pw(c) * ph(c)))
               val br = new BitReader(data, pos + 2 + len)
               val dcPred = new Array[Int](nComp)
-              val mcuX = (w + 7) / 8; val mcuY = (h + 7) / 8
               val coeff = new Array[Int](64)
               val tmp = new Array[Double](64)
+              // decode one block of component ci into its padded plane
+              // at block coords (bx, by); false = malformed stream
+              def decodeBlock(ci: Int, bx: Int, by: Int): Boolean = {
+                java.util.Arrays.fill(coeff, 0)
+                val q = qTables(compQ(ci))
+                val s = br.decodeHuff(dcTables(dcSel(ci)))
+                if (s < 0 || s > 11) return false
+                val diffBits = br.receive(s)
+                if (diffBits == Int.MinValue) return false
+                dcPred(ci) += extend(diffBits, s)
+                coeff(0) = dcPred(ci) * q(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = br.decodeHuff(acTables(acSel(ci)))
+                  if (rs < 0) return false
+                  val run = rs >> 4; val sz = rs & 0x0F
+                  if (sz == 0) {
+                    if (run == 15) k += 16 // ZRL
+                    else eob = true
+                  } else {
+                    k += run
+                    if (k > 63) return false
+                    val bits = br.receive(sz)
+                    if (bits == Int.MinValue) return false
+                    coeff(Zigzag(k)) = extend(bits, sz) * q(Zigzag(k))
+                    k += 1
+                  }
+                }
+                // separable IDCT: columns then rows
+                var x = 0
+                while (x < 8) {
+                  var y = 0
+                  while (y < 8) {
+                    var s2 = 0.0; var v = 0
+                    while (v < 8) {
+                      s2 += DctBasis(v)(y) * coeff(v * 8 + x); v += 1
+                    }
+                    tmp(y * 8 + x) = s2
+                    y += 1
+                  }
+                  x += 1
+                }
+                val plane = planes(ci)
+                val rowBase = by * 8; val colBase = bx * 8
+                var y = 0
+                while (y < 8) {
+                  var x2 = 0
+                  while (x2 < 8) {
+                    var s2 = 0.0; var u = 0
+                    while (u < 8) { s2 += DctBasis(u)(x2) * tmp(y * 8 + u); u += 1 }
+                    val v = math.round(s2 / 4.0 + 128.0).toInt
+                    plane((rowBase + y) * pw(ci) + colBase + x2) =
+                      math.max(0, math.min(255, v))
+                    x2 += 1
+                  }
+                  y += 1
+                }
+                true
+              }
               var mcu = 0
               val nMcu = mcuX * mcuY
               while (mcu < nMcu) {
@@ -904,82 +989,50 @@ object Multimodal {
                 val my = mcu / mcuX; val mx = mcu % mcuX
                 var ci = 0
                 while (ci < nComp) {
-                  java.util.Arrays.fill(coeff, 0)
-                  val q = qTables(compQ(ci))
-                  val s = br.decodeHuff(dcTables(dcSel(ci)))
-                  if (s < 0 || s > 11) return None
-                  val diffBits = br.receive(s)
-                  if (diffBits == Int.MinValue) return None
-                  dcPred(ci) += extend(diffBits, s)
-                  coeff(0) = dcPred(ci) * q(0)
-                  var k = 1
-                  var eob = false
-                  while (k < 64 && !eob) {
-                    val rs = br.decodeHuff(acTables(acSel(ci)))
-                    if (rs < 0) return None
-                    val run = rs >> 4; val sz = rs & 0x0F
-                    if (sz == 0) {
-                      if (run == 15) k += 16 // ZRL
-                      else eob = true
-                    } else {
-                      k += run
-                      if (k > 63) return None
-                      val bits = br.receive(sz)
-                      if (bits == Int.MinValue) return None
-                      coeff(Zigzag(k)) = extend(bits, sz) * q(Zigzag(k))
-                      k += 1
+                  var bv = 0
+                  while (bv < vs(ci)) {
+                    var bh = 0
+                    while (bh < hs(ci)) {
+                      if (!decodeBlock(ci, mx * hs(ci) + bh, my * vs(ci) + bv))
+                        return None
+                      bh += 1
                     }
-                  }
-                  // separable IDCT: columns then rows
-                  var x = 0
-                  while (x < 8) {
-                    var y = 0
-                    while (y < 8) {
-                      var s2 = 0.0; var v = 0
-                      while (v < 8) {
-                        s2 += DctBasis(v)(y) * coeff(v * 8 + x); v += 1
-                      }
-                      tmp(y * 8 + x) = s2
-                      y += 1
-                    }
-                    x += 1
-                  }
-                  val plane = planes(ci)
-                  var y = 0
-                  while (y < 8) {
-                    var x2 = 0
-                    while (x2 < 8) {
-                      var s2 = 0.0; var u = 0
-                      while (u < 8) { s2 += DctBasis(u)(x2) * tmp(y * 8 + u); u += 1 }
-                      val px = my * 8 + y; val qx = mx * 8 + x2
-                      if (px < h && qx < w) {
-                        val v = math.round(s2 / 4.0 + 128.0).toInt
-                        plane(px * w + qx) = math.max(0, math.min(255, v))
-                      }
-                      x2 += 1
-                    }
-                    y += 1
+                    bv += 1
                   }
                   ci += 1
                 }
                 mcu += 1
               }
-              // assemble output samples
+              // assemble output samples: crop padding, replicate-
+              // upsample subsampled components to full resolution
               val out = new Array[Byte](w * h * nComp)
               if (nComp == 1) {
-                var i = 0
-                while (i < w * h) { out(i) = planes(0)(i).toByte; i += 1 }
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    out(y * w + x) = planes(0)(y * pw(0) + x).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
               } else {
-                var i = 0
-                while (i < w * h) {
-                  val yv = planes(0)(i); val cb = planes(1)(i) - 128
-                  val cr = planes(2)(i) - 128
-                  def clamp(d: Double): Byte =
-                    math.max(0, math.min(255, math.round(d).toInt)).toByte
-                  out(3 * i) = clamp(yv + 1.402 * cr)
-                  out(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-                  out(3 * i + 2) = clamp(yv + 1.772 * cb)
-                  i += 1
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val i = y * w + x
+                    def samp(ci: Int): Int =
+                      planes(ci)((y * vs(ci) / vmax) * pw(ci) + x * hs(ci) / hmax)
+                    val yv = samp(0); val cb = samp(1) - 128; val cr = samp(2) - 128
+                    def clamp(d: Double): Byte =
+                      math.max(0, math.min(255, math.round(d).toInt)).toByte
+                    out(3 * i) = clamp(yv + 1.402 * cr)
+                    out(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+                    out(3 * i + 2) = clamp(yv + 1.772 * cb)
+                    x += 1
+                  }
+                  y += 1
                 }
               }
               return Some((w, h, nComp, out))

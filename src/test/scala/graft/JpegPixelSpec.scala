@@ -123,6 +123,63 @@ class JpegPixelSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 subsampled color: we decode ImageIO-written JPEGs (real-world shape)") {
+    // the JDK's JPEG writer subsamples chroma by default — exactly the
+    // files a crawl contains. Use a smooth image (low-frequency
+    // chroma) so replication-vs-fancy upsampling differences stay
+    // small, and compare against ImageIO's own decode of the SAME file.
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + x * 3; val g = 60 + y * 4; val b = 200 - x * 2
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val bytes = baos.toByteArray
+    // confirm the fixture really is subsampled (SOF factors not all 1x1)
+    val sofAt = (0 until bytes.length - 1).find(i =>
+      (bytes(i) & 0xff) == 0xFF && (bytes(i + 1) & 0xff) == 0xC0).get
+    val lumaHv = bytes(sofAt + 11) & 0xff
+    assert(lumaHv != 0x11, f"fixture subsampled (luma hv=$lumaHv%02x)")
+    val ours = Multimodal.jpegDecodePixels(bytes)
+    assert(ours.isDefined, "subsampled baseline decodes")
+    val (gw, gh, gch, gpx) = ours.get
+    assert((gw, gh, gch) == (w, h, 3))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sumErr = 0L; var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = ref.getRGB(x, y)
+      val want = Array((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      for (c <- 0 until 3) {
+        val d = math.abs(want(c) - (gpx((y * w + x) * 3 + c) & 0xff))
+        sumErr += d; maxErr = math.max(maxErr, d)
+      }
+    }
+    val mean = sumErr.toDouble / (w * h * 3)
+    // luma is full-res (should be ~exact); chroma differs only by the
+    // upsampling filter on a smooth gradient
+    assert(mean <= 2.0, s"mean err $mean")
+    assert(maxErr <= 24, s"max err $maxErr")
+  }
+
+  test("grayscale with declared 2x2 factors (non-interleaved scan) still decodes") {
+    // single-component scans are non-interleaved: sampling factors in
+    // SOF don't change the data-unit order, and some writers declare
+    // 2x2 for gray. Patch our own gray file's SOF factors and re-read.
+    val (w, h) = (24, 16)
+    val px = blockPattern(w, h)(b => b * 29 + 17)
+    val jpg = Multimodal.jpegEncode(w, h, 1, px)
+    val sofAt = (0 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xff) == 0xFF && (jpg(i + 1) & 0xff) == 0xC0).get
+    val patched = jpg.clone()
+    patched(sofAt + 11) = 0x22.toByte // declared 2x2 on the only component
+    val got = Multimodal.jpegDecodePixels(patched)
+    assert(got.isDefined, "factors ignored for single-component scans")
+    assert(got.get._4.sameElements(px), "pixels unchanged")
+  }
+
   test("hostile/unsupported inputs degrade to None, never throw") {
     val (w, h) = (16, 8)
     val px = Array.tabulate(w * h)(i => (i % 256).toByte)
