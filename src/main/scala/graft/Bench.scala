@@ -139,8 +139,11 @@ object Bench {
     // file, write the short JSON line there too, so a driver can read
     // the result directly instead of scraping a truncated stdout tail.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (shortLine + "\n").getBytes("UTF-8"))
+      // never clobber the full artifact if pointed at the same file
+      try if (java.nio.file.Paths.get(p).toAbsolutePath.normalize !=
+            java.nio.file.Paths.get("bench_full.json").toAbsolutePath.normalize)
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (shortLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
     println(shortLine)

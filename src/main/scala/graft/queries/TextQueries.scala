@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
 import graft.functions.{Text => T}
+import graft.operators.HtmlExtract
 
 /** Text-analysis query inventory over the `documents` table: token
   * counting, language-ID, quality scoring, fingerprinting, token
@@ -1170,7 +1171,36 @@ FROM gates LEFT JOIN clean USING (doc_id)
 ORDER BY gates.doc_id
 """))
 
+  /** q116 — HTML main-content extraction (boilerplate removal): each
+    * document is wrapped in a full deterministic page — head with
+    * script/style/title (must be stripped wholesale), a pure-link nav
+    * (link density 1.0), on even ids a link-heavy promo div, the text
+    * as 15-word `<p>` blocks (density 0), and a link-heavy footer —
+    * then [[graft.operators.HtmlExtract.extractMainText]] re-derives
+    * the article text by block segmentation + link-density gating.
+    * Because the corpus text is single-spaced ASCII, the extracted
+    * text must equal the original EXACTLY, so any defect in tag
+    * scanning, raw-text skipping, whitespace normalization, or the
+    * density arithmetic breaks the compare; the block counters are
+    * recomputed by the oracle from the page grammar. */
+  val q116 = QuerySpec("q116_html_extract",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      HtmlExtract.extractMainText(HtmlExtract.encodePages(docs))
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+     + CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT)
+     AS BIGINT) AS n_blocks,
+  CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT) AS n_kept,
+  text AS extracted
+FROM documents ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109)
+      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116)
 }
