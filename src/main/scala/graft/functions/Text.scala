@@ -155,6 +155,32 @@ object Text {
   /** Whether the URL carries a query string. */
   def urlHasQuery(c: Column): Column = c.contains("?")
 
+  /** Multi-label public suffixes recognized by
+    * [[urlRegisteredDomain]]. A deliberately small embedded subset of
+    * the public-suffix list (the full Mozilla PSL is ~9k rules and
+    * would ship as a broadcast lookup in production); covers the
+    * country-code second-level domains crawl corpora actually hit.
+    * Kept sorted so the oracle SQL can mirror it as a literal IN list. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "ac.uk", "co.in", "co.jp", "co.uk", "com.au", "com.br", "com.cn",
+    "org.uk")
+
+  /** Registered (pay-level) domain of a host column: the public-suffix
+    * plus one label — the key per-domain quotas, domain blocklists,
+    * and provenance dedup group on ("www.news.co.uk" → "news.co.uk",
+    * "a.b.example.com" → "example.com"). Same split/element
+    * arithmetic the DuckDB oracle replays; hosts with one label (or
+    * empty) pass through unchanged. */
+  def urlRegisteredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    when(n >= 3 && last2.isin(MultiPartSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
   /** Normalized text: lower-cased, whitespace collapsed to single
     * spaces, trimmed — the canonical form for exact-dup hashing. */
   def normalizeText(c: Column): Column =

@@ -104,4 +104,39 @@ object Sampling {
       .withColumn("keep",
         hashBucket(col(keyCol), salt) < floor(col("frac") * Buckets))
   }
+
+  /** Per-key document quota — cap rows per group (the C4/FineWeb
+    * per-domain cap that stops a handful of giant hosts dominating a
+    * corpus), keeping the first `quota` rows by `order` within each
+    * `key` group, deterministically.
+    *
+    * Scale shape: the naive single window over every group sorts the
+    * ENTIRE corpus inside group partitions — and the whole point of a
+    * quota is that some groups are pathologically large, exactly the
+    * rows a WindowExec partition cannot skew-split. So it runs two
+    * phases: a map-side-combining count finds the (few) over-quota
+    * keys, under-quota rows pass through UNTOUCHED (no sort, no
+    * window — at a healthy cap that is almost all the data), and only
+    * the over-quota slice pays the rank. The broadcast of over-quota
+    * keys is bounded by distinct-heavy-key count, orders of magnitude
+    * smaller than the corpus (if it were not, the quota would be
+    * removing nearly everything).
+    */
+  def quotaPerKey(df: DataFrame, key: Column, order: Column,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val over = df.groupBy(key.as("qk"))
+      .agg(count(lit(1)).as("qn"))
+      .where(col("qn") > quota)
+      .select("qk")
+    val marked = df.join(broadcast(over), key === col("qk"), "left")
+    val pass = marked.where(col("qk").isNull).drop("qk")
+    val trimmed = marked.where(col("qk").isNotNull).drop("qk")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(order)))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+    pass.unionByName(trimmed)
+  }
 }

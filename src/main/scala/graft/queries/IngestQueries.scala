@@ -350,5 +350,80 @@ SELECT doc_id, status FROM (
 ) ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111)
+  /** q117 — registered-domain curation: per-doc URLs with ccSLD
+    * public suffixes ("www.site3.co.uk") flow through
+    * [[graft.functions.Text.urlRegisteredDomain]] (public-suffix +
+    * one-label extraction — "www" must strip, "co.uk" must NOT be
+    * mistaken for the domain), a domain blocklist, and the two-phase
+    * per-domain quota ([[graft.operators.Sampling.quotaPerKey]]:
+    * under-quota domains pass with no sort; only over-quota domains
+    * pay a rank — the shape that survives a pathological host at
+    * 100 TB), then a per-domain rollup. The oracle replays the same
+    * split/label arithmetic and an explicit row_number quota, so a
+    * defect in suffix matching, blocklisting, or quota determinism
+    * breaks the compare. */
+  val q117 = QuerySpec("q117_domain_quota",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 7).cast("string"), lit("."),
+        when(col("lang") === "en", lit("co.uk"))
+          .when(col("lang") === "zh", lit("com.cn"))
+          .otherwise(col("lang")),
+        lit("/"), col("source"), lit("/doc-"), col("doc_id").cast("string"))
+      val withDom = docs
+        .withColumn("rd", T.urlRegisteredDomain(T.urlHost(url)))
+        .where(!col("rd").isin("site0.co.uk", "site3.de", "site5.es"))
+      graft.operators.Sampling.quotaPerKey(withDom, col("rd"), col("doc_id"), 10)
+        .groupBy(col("rd").as("registered_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("registered_domain")
+    },
+    Some(raw"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+      || CASE WHEN lang = 'en' THEN 'co.uk'
+              WHEN lang = 'zh' THEN 'com.cn' ELSE lang END
+      || '/' || source || '/doc-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, n_chars,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+  FROM u
+), r AS (
+  SELECT doc_id, n_chars, host,
+    string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+  FROM h
+), d AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN n >= 3 AND ls[n-1] || '.' || ls[n] IN
+           ('ac.uk','co.in','co.jp','co.uk','com.au','com.br','com.cn','org.uk')
+         THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+         WHEN n >= 2 THEN ls[n-1] || '.' || ls[n]
+         ELSE host END AS rd
+  FROM r
+), f AS (
+  SELECT doc_id, n_chars, rd FROM d
+  WHERE rd NOT IN ('site0.co.uk', 'site3.de', 'site5.es')
+), q AS (
+  SELECT doc_id, n_chars, rd,
+    row_number() OVER (PARTITION BY rd ORDER BY doc_id) AS rn
+  FROM f
+)
+SELECT rd AS registered_domain, count(*) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS min_doc,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM q WHERE rn <= 10
+GROUP BY rd ORDER BY rd
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111, q117)
 }

@@ -118,4 +118,41 @@ class SamplingSpec extends SparkSpec {
     // keep column stays a total boolean (no null poisoning)
     assert(got.where(col("keep").isNull).count() == 0)
   }
+
+  test("quotaPerKey: caps over-quota keys, passes the rest untouched") {
+    import spark.implicits._
+    // key a: 7 rows (over quota 3), key b: 3 (at), key c: 1 (under)
+    val df = ((1 to 7).map(i => ("a", i.toLong)) ++
+      (1 to 3).map(i => ("b", 100L + i)) :+ ("c", 999L))
+      .toDF("k", "ord")
+    val out = Sampling.quotaPerKey(df, col("k"), col("ord"), 3)
+    val byKey = out.groupBy("k").agg(count(lit(1)).as("n"),
+      collect_list("ord").as("kept")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](2).sorted).toMap
+    assert(byKey("a") == Seq(1L, 2L, 3L), "keeps FIRST quota rows by order")
+    assert(byKey("b") == Seq(101L, 102L, 103L) && byKey("c") == Seq(999L))
+    // schema preserved (no helper columns leak)
+    assert(out.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("quotaPerKey is partitioning-invariant and deterministic") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "ord")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.quotaPerKey(d, col("k"), col("ord"), 7)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(df) == run(df.repartition(17)))
+    assert(run(df).size == 35)
+  }
+
+  test("urlRegisteredDomain: PSL subset, www strip, single-label passthrough") {
+    import spark.implicits._
+    import graft.functions.{Text => T}
+    val hosts = Seq("www.news.co.uk", "a.b.example.com", "site1.de",
+      "www.site1.de", "localhost", "", "x.com.cn").toDF("h")
+    val got = hosts.select(T.urlRegisteredDomain(col("h"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("news.co.uk", "example.com", "site1.de", "site1.de",
+      "localhost", "", "x.com.cn"))
+  }
 }
