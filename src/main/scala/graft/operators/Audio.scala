@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Frequency-domain audio features over decoded PCM — the signal tier
+  * an audio-corpus curation pipeline filters on (tone/noise/speech
+  * band balance, dominant frequency) once [[Multimodal.parsePcmSamples]]
+  * has turned container bytes back into samples.
+  *
+  * The transform is a real radix-2 Cooley–Tukey FFT implemented here
+  * (no JNI, no library): iterative, in-place, O(N log N), allocated
+  * once per window size per partition. Windows are non-overlapping
+  * frames of [[SpectralFeatures.windowSize]] samples; magnitudes sum
+  * across a record's windows before the argmax, so short records are
+  * not noisier than long ones.
+  *
+  * Scale shape: one narrow `mapPartitions` pass — audio bytes never
+  * shuffle, each record costs O(samples · log window) CPU with O(window)
+  * memory, and only the fixed-width feature rows leave the operator.
+  * Parallelism is per-record, so any shard layout works at 100 TB.
+  */
+object Audio {
+
+  final case class SpectralRow(doc_id: Long, sample_rate: Int,
+      n_samples: Long, n_windows: Long, dominant_bin: Int,
+      dominant_band: Int)
+
+  /** In-place radix-2 FFT (decimation in time). `re`/`im` length must
+    * be a power of two. Standard textbook form (Cooley–Tukey 1965):
+    * bit-reversal permutation, then log2(n) butterfly passes. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"FFT length must be a power of 2, got $n")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(base + k) = ar + tr; im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr; im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Magnitude spectrum (first n/2 bins) of a real frame. */
+  private[graft] def magnitudes(frame: Array[Double]): Array[Double] = {
+    val n = frame.length
+    val re = java.util.Arrays.copyOf(frame, n)
+    val im = new Array[Double](n)
+    fft(re, im)
+    val out = new Array[Double](n / 2)
+    var k = 0
+    while (k < n / 2) {
+      out(k) = math.sqrt(re(k) * re(k) + im(k) * im(k))
+      k += 1
+    }
+    out
+  }
+
+  /** Per-record spectral features: frame into `windowSize`-sample
+    * windows (trailing partial window dropped — it would bias the
+    * spectrum), FFT each, sum magnitudes across windows, report the
+    * dominant non-DC bin and its band (4 equal bands over n/2 bins).
+    * Records that don't decode as PCM, or are shorter than one
+    * window, drop (quarantine semantics, like [[Multimodal.audioFeatures]]). */
+  def spectralFeatures(media: Dataset[Multimodal.MediaRecord],
+      windowSize: Int = 256): Dataset[SpectralRow] = {
+    require(windowSize >= 8 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize must be a power of 2 >= 8, got $windowSize")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.parsePcmSamples(r.data).flatMap { case (_, rate, s) =>
+          val nWin = s.length / windowSize
+          if (nWin == 0) None
+          else {
+            val acc = new Array[Double](windowSize / 2)
+            val frame = new Array[Double](windowSize)
+            var w = 0
+            while (w < nWin) {
+              var i = 0
+              while (i < windowSize) {
+                frame(i) = s(w * windowSize + i).toDouble
+                i += 1
+              }
+              val mag = magnitudes(frame)
+              var k = 0
+              while (k < acc.length) { acc(k) += mag(k); k += 1 }
+              w += 1
+            }
+            // argmax over non-DC bins; ties break to the LOWEST bin so
+            // the result is deterministic regardless of fold order
+            var best = 1
+            var k = 2
+            while (k < acc.length) {
+              if (acc(k) > acc(best)) best = k
+              k += 1
+            }
+            val band = best * 4 / acc.length
+            Some(SpectralRow(r.doc_id, rate, s.length.toLong, nWin.toLong,
+              best, band))
+          }
+        }
+      }
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
-import graft.operators.Multimodal
+import graft.operators.{Audio, Multimodal}
 
 /** Multimodal query inventory: binary payload + typed metadata through
   * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
@@ -417,5 +417,56 @@ FROM lagged
 GROUP BY doc_id, channels, sample_rate ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q27, q38, q39, q91, q102, q113, q114, q115)
+  /** q118 — spectral audio features through a REAL radix-2 FFT
+    * ([[graft.operators.Audio.fft]], implemented in-repo): each
+    * document synthesizes a mono 8 kHz WAV carrying a pure tone whose
+    * frequency sits exactly on FFT bin k = 3 + doc_id % 120 of a
+    * 256-sample window (f = k·8000/256 Hz), for 1 + n_chars % 4
+    * windows. Bin-centered tones leak zero energy into other bins
+    * (rectangular window, integer periods per frame), so the decoded
+    * dominant bin must equal k EXACTLY — through WAV container
+    * parsing, LE int16 decode, framing, bit-reversal, butterflies and
+    * the magnitude argmax — and the band is its quarter of the
+    * spectrum. The oracle replays k and the window count
+    * arithmetically from the table. Narrow mapPartitions; audio bytes
+    * never shuffle. */
+  val q118 = QuerySpec("q118_audio_spectral",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (lit(3) + col("doc_id") % 120).cast("int").as("k"),
+        (lit(1) + col("n_chars") % 4).cast("int").as("nwin"))
+        .as[(Long, Int, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, k, nWin) =>
+          val n = nWin * 256
+          val payload = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = math.round(12000.0 *
+              math.sin(2.0 * math.Pi * k * (i % 256) / 256.0)).toInt
+            payload(2 * i) = v.toByte
+            payload(2 * i + 1) = (v >> 8).toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.wavBytes(1, 8000, payload),
+            Multimodal.MediaMeta(1, 8000, "pcm_s16le", 1))
+        }
+      }
+      Audio.spectralFeatures(media, 256).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST((1 + n_chars % 4) * 256 AS BIGINT) AS n_samples,
+  CAST(1 + n_chars % 4 AS BIGINT) AS n_windows,
+  CAST(3 + doc_id % 120 AS INT) AS dominant_bin,
+  CAST((3 + doc_id % 120) // 32 AS INT) AS dominant_band
+FROM documents ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118)
 }
