@@ -186,6 +186,36 @@ object Text {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  // ---- Markdown (the format README/docs/code corpora ship in).
+  // Pure regexp_replace chains — codegen'd column expressions, no UDF,
+  // and the DuckDB oracle can replay the same automaton semantics. ----
+
+  /** Markdown → plain text: drop code-fence lines (keep fenced
+    * content), heading markers, emphasis/backtick markers, list
+    * bullets; inline links keep their anchor text and drop the URL;
+    * then whitespace collapses to single spaces. Stage order matters
+    * (fences before bullets: a fence line is not a list item) and each
+    * stage feeds the next, so nothing double-strips. */
+  def stripMarkdown(c: Column): Column = {
+    val noFence = regexp_replace(c, "(?m)^```[a-z]*$", "")
+    val noHead = regexp_replace(noFence, "(?m)^#{1,6} ", "")
+    val noLink = regexp_replace(noHead, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noEmph = regexp_replace(noLink, "(\\*\\*|`)", "")
+    val noBullet = regexp_replace(noEmph, "(?m)^- ", "")
+    trim(regexp_replace(noBullet, "\\s+", " "))
+  }
+
+  /** Markdown structural counts (headings / fenced blocks / inline
+    * links / list items) — the doc-corpus quality signals (a README
+    * that is all link-list is navigation, not prose). Counted on the
+    * RAW markdown, before any stripping. */
+  def markdownStats(c: Column): (Column, Column, Column, Column) = (
+    size(regexp_extract_all(c, lit("(?m)^#{1,6} "), lit(0))),
+    (size(regexp_extract_all(c, lit("(?m)^```[a-z]*$"), lit(0))) / lit(2))
+      .cast("int"),
+    size(regexp_extract_all(c, lit("\\[[^\\]]*\\]\\([^)]*\\)"), lit(0))),
+    size(regexp_extract_all(c, lit("(?m)^- "), lit(0))))
+
   /** Unicode robustness preprocessing: NFC canonical normalization +
     * supplementary-plane (non-BMP) strip, via the codegen'd
     * [[org.apache.spark.sql.graftvec.NfcNormalize]]. Apply to a text

@@ -1200,7 +1200,54 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q119 — markdown → plain text (the README/docs/code-corpus analog
+    * of q116): each document is wrapped in deterministic markdown — a
+    * heading whose level varies by id, a code fence, its first word as
+    * a bold inline link, and 1–3 list items — then
+    * [[graft.functions.Text.stripMarkdown]] (pure codegen'd
+    * regexp_replace chain, no UDF) must recover heading text, fenced
+    * content, anchor text, the document text EXACTLY, and the item
+    * texts, with [[graft.functions.Text.markdownStats]] counting the
+    * structures on the raw markdown. The synthesis itself is pure
+    * column concat, so the whole query is one whole-stage-codegen
+    * projection. */
+  val q119 = QuerySpec("q119_markdown_strip",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val nItems = (col("n_chars") % 3 + 1).cast("int")
+      val w1 = element_at(split(col("text"), " "), 1)
+      val rest = col("text").substr(length(w1) + 1, length(col("text")))
+      val items = array_join(
+        transform(sequence(lit(1), nItems),
+          j => concat(lit("- item "), j.cast("string"))), "\n")
+      val md = concat(
+        expr("repeat('#', CAST(doc_id % 3 + 1 AS INT))"), lit(" doc "), id,
+        lit("\n\n```\ncode "), id, lit("\n```\n\n[**"), w1,
+        lit("**](http://e/"), id, lit(")"), rest, lit("\n\n"), items)
+      val (nHead, nFence, nLink, nItem) = T.markdownStats(md)
+      docs.select(col("doc_id"),
+          T.stripMarkdown(md).as("stripped"),
+          nHead.as("n_headings"), nFence.as("n_fences"),
+          nLink.as("n_links"), nItem.as("n_items"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  'doc ' || CAST(doc_id AS VARCHAR) || ' code ' || CAST(doc_id AS VARCHAR)
+    || ' ' || text || ' ' ||
+    CASE CAST(n_chars % 3 + 1 AS INT)
+      WHEN 1 THEN 'item 1'
+      WHEN 2 THEN 'item 1 item 2'
+      ELSE 'item 1 item 2 item 3' END AS stripped,
+  CAST(1 AS INT) AS n_headings,
+  CAST(1 AS INT) AS n_fences,
+  CAST(1 AS INT) AS n_links,
+  CAST(n_chars % 3 + 1 AS INT) AS n_items
+FROM documents ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116)
+      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119)
 }

@@ -105,4 +105,26 @@ class TextSpec extends SparkSpec {
     assert(got(4) == (("nodots", "", 1, false)))      // tld absent
     assert(got(5) == (("", "", 0, false)))            // non-URL
   }
+
+  test("stripMarkdown: headings, fences, links, emphasis, bullets, edges") {
+    val cases = Seq(
+      "## title\nbody" -> "title body",
+      "```scala\nval x = 1\n```" -> "val x = 1",
+      "see [the docs](http://x/y?z=1) now" -> "see the docs now",
+      "**bold** and `code` text" -> "bold and code text",
+      "- one\n- two\nplain" -> "one two plain",
+      "[empty]() [](http://u)" -> "empty",      // empty anchor/URL
+      "a - not a bullet" -> "a - not a bullet", // mid-line dash survives
+      "####### seven" -> "####### seven",       // >6 hashes: not a heading
+      "" -> "")
+    val df = cases.map(_._1).toDF("md").select(T.stripMarkdown($"md"))
+    assert(df.collect().map(_.getString(0)).toSeq == cases.map(_._2))
+  }
+
+  test("markdownStats counts structures on raw markdown") {
+    val md = "# h\n\n```\nx\n```\n\n[a](http://b) [c](http://d)\n\n- i\n- j\n- k"
+    val (h, f, l, i) = T.markdownStats(lit(md))
+    val r = spark.range(1).select(h, f, l, i).collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 2, 3)))
+  }
 }
