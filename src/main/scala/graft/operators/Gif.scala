@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** GIF87a/89a pixel decode — the third real image codec in the engine
+  * (after PNG's inflate+defilter and baseline JPEG's Huffman+IDCT),
+  * hermetic like the others: the LZW decompressor is implemented here
+  * from the public GIF specification (CompuServe GIF89a, 1990), no
+  * codec library. GIFs are a steady fraction of any web crawl, and a
+  * pixel-level decode is what perceptual hashing / mean-luma curation
+  * needs.
+  *
+  * Supported: global color table, a single image frame (interlaced or
+  * not — javax.imageio writes interlaced, so crawls contain plenty),
+  * full variable-width LZW (dictionary growth to 12 bits, clear/EOI
+  * codes, the KwKwK self-reference case), extension-block skipping
+  * (GCE, comments, application — animation frames beyond the first are
+  * out of scope). Local color tables return None
+  * (degrade-to-quarantine, never throw — same contract as the PNG and
+  * JPEG decoders; a crawl payload must not be able to hang or kill an
+  * executor).
+  *
+  * Scale shape: per-record byte work inside `mapPartitions`; image
+  * bytes never shuffle, only fixed-width feature rows leave.
+  */
+object Gif {
+
+  final case class GifPixels(width: Int, height: Int,
+      indices: Array[Byte], palette: Array[Int]) // palette: 0xRRGGBB
+
+  final case class GifFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_index: Long, sum_red: Long, sum_green: Long,
+      sum_blue: Long, n_colors: Int)
+
+  /** Decode a GIF payload to palette indices + palette. None on
+    * anything malformed, truncated, interlaced, or locally-paletted. */
+  def decode(data: Array[Byte]): Option[GifPixels] =
+    try decodeImpl(data)
+    catch { case _: Exception => None }
+
+  private def decodeImpl(data: Array[Byte]): Option[GifPixels] = {
+    def u8(i: Int): Int = data(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (data.length < 13) return None
+    val sig = new String(data, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return None // no global color table
+    val gctSize = 2 << (packed & 7)
+    var pos = 13
+    if (pos + 3 * gctSize > data.length) return None
+    val palette = Array.tabulate(gctSize) { j =>
+      (u8(pos + 3 * j) << 16) | (u8(pos + 3 * j + 1) << 8) | u8(pos + 3 * j + 2)
+    }
+    pos += 3 * gctSize
+    // skip extension blocks until the image descriptor
+    while (pos < data.length && u8(pos) == 0x21) {
+      pos += 2 // introducer + label
+      while (pos < data.length && u8(pos) != 0) pos += 1 + u8(pos)
+      pos += 1 // block terminator
+    }
+    if (pos >= data.length || u8(pos) != 0x2c) return None
+    if (pos + 10 > data.length) return None
+    val w = u16(pos + 5)
+    val h = u16(pos + 7)
+    val idPacked = u8(pos + 9)
+    if ((idPacked & 0x80) != 0) return None // local color table: unsupported
+    val interlaced = (idPacked & 0x40) != 0
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    pos += 10
+    if (pos >= data.length) return None
+    val minCode = u8(pos)
+    pos += 1
+    if (minCode < 1 || minCode > 8) return None
+    // concatenate sub-blocks
+    val lzw = new java.io.ByteArrayOutputStream()
+    while (pos < data.length && u8(pos) != 0) {
+      val len = u8(pos)
+      if (pos + 1 + len > data.length) return None
+      lzw.write(data, pos + 1, len)
+      pos += 1 + len
+    }
+    lzwDecode(lzw.toByteArray, minCode, w * h).map { raw =>
+      if (raw.exists(b => (b & 0xff) >= gctSize)) return None
+      val idx = if (interlaced) deinterlace(raw, w, h) else raw
+      GifPixels(w, h, idx, palette)
+    }
+  }
+
+  /** GIF 4-pass interlace: decoded rows arrive in pass order (every
+    * 8th from 0, every 8th from 4, every 4th from 2, every 2nd from
+    * 1); scatter them back to display order. */
+  private[graft] def deinterlace(raw: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    val out = new Array[Byte](raw.length)
+    var src = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(raw, src * w, out, y * w, w)
+        src += 1
+        y += step
+      }
+    }
+    out
+  }
+
+  /** Variable-width LSB-first LZW per the GIF spec. `minCode` is the
+    * root code size; clear = 2^minCode, EOI = clear+1; code width
+    * grows when the dictionary fills its width, capped at 12 bits
+    * (width stays 12 until the next clear). Decodes exactly
+    * `nExpected` indices (extra output is truncated; short output →
+    * None). */
+  private[graft] def lzwDecode(bytes: Array[Byte], minCode: Int,
+      nExpected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as (prefixCode, appendedByte); roots are implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var width = minCode + 1
+    val out = new Array[Byte](nExpected)
+    var outLen = 0
+    var bitPos = 0
+    val nBits = bytes.length * 8
+    var prev = -1
+
+    def readCode(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = bitPos + i
+        if ((bytes(b >> 3) & (1 << (b & 7))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    // expand a code to out[] (reversed walk); returns first byte, or -1
+    val stack = new Array[Byte](4096)
+    def expand(code: Int): Int = {
+      var c = code
+      var sp = 0
+      while (c >= clear) { // composite code
+        if (sp >= 4096 || c >= dictSize) return -1
+        stack(sp) = append(c); sp += 1
+        c = prefix(c)
+      }
+      val first = c
+      if (outLen < nExpected) { out(outLen) = c.toByte; outLen += 1 }
+      while (sp > 0) {
+        sp -= 1
+        if (outLen < nExpected) { out(outLen) = stack(sp); outLen += 1 }
+      }
+      first
+    }
+
+    def firstByteOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def addEntry(pfx: Int, app: Int): Unit =
+      if (dictSize < 4096) {
+        prefix(dictSize) = pfx; append(dictSize) = app.toByte
+        dictSize += 1
+        if (dictSize == (1 << width) && width < 12) width += 1
+      }
+
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None // truncated stream before EOI
+      if (code == eoi) done = true
+      else if (code == clear) {
+        dictSize = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be a root
+        if (expand(code) < 0) return None
+        prev = code
+      } else if (code < dictSize) {
+        val first = expand(code)
+        if (first < 0) return None
+        addEntry(prev, first)
+        prev = code
+      } else if (code == dictSize) { // KwKwK: entry is prev + first(prev)
+        addEntry(prev, firstByteOf(prev))
+        if (expand(code) < 0) return None
+        prev = code
+      } else return None
+      if (outLen >= nExpected && !done) {
+        // all pixels produced; tolerate missing EOI (seen in the wild)
+        done = true
+      }
+    }
+    if (outLen == nExpected) Some(out) else None
+  }
+
+  // ---- encoder side (fixture staging; also a valid minimal GIF
+  // writer). The LZW stream emits only root codes, mirroring the
+  // decoder's dictionary-width bookkeeping exactly and clearing before
+  // the table can overflow — the classic "uncompressed GIF" form every
+  // conformant decoder accepts. ----
+
+  private[graft] def lzwEncodeRoots(indices: Array[Byte],
+      minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nCur = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      cur |= code << nCur
+      nCur += width
+      while (nCur >= 8) {
+        bits.write(cur & 0xff)
+        cur >>= 8
+        nCur -= 8
+      }
+    }
+    var dictSize = eoi + 1
+    var first = true
+    emit(clear)
+    var i = 0
+    while (i < indices.length) {
+      emit(indices(i) & 0xff)
+      // mirror the decoder: every code after the first since a clear
+      // grows the dictionary (and possibly the code width)
+      if (!first) {
+        dictSize += 1
+        if (dictSize == (1 << width) && width < 12) width += 1
+      }
+      first = false
+      if (dictSize >= 4094) {
+        emit(clear)
+        dictSize = eoi + 1
+        width = minCode + 1
+        first = true
+      }
+      i += 1
+    }
+    emit(eoi)
+    if (nCur > 0) bits.write(cur & 0xff)
+    bits.toByteArray
+  }
+
+  /** Assemble a complete single-frame GIF89a: header, screen
+    * descriptor, global color table, a graphic-control extension (so
+    * decode exercises extension skipping), image descriptor, LZW data
+    * in ≤255-byte sub-blocks, trailer. `palette` entries are 0xRRGGBB;
+    * its length must be a power of two in [2, 256]. */
+  def gifBytes(w: Int, h: Int, palette: Array[Int],
+      indices: Array[Byte]): Array[Byte] = {
+    val n = palette.length
+    require(n >= 2 && n <= 256 && (n & (n - 1)) == 0,
+      s"palette size must be a power of 2 in [2,256], got $n")
+    require(indices.length == w * h, "one index per pixel")
+    val gctBits = Integer.numberOfTrailingZeros(n) - 1 // size field
+    val minCode = math.max(2, Integer.numberOfTrailingZeros(n))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | gctBits); out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    // graphic control extension (fixed benign payload)
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); le16(0); out.write(0); out.write(0)
+    // image descriptor
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(minCode)
+    val lzw = lzwEncodeRoots(indices, minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len)
+      out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Pixel-level features per decoded GIF record; undecodable payloads
+    * drop (quarantine semantics, as with the PNG/JPEG paths). */
+  def gifFeatures(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[GifFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decode(r.data).map { g =>
+          var si = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < g.indices.length) {
+            val idx = g.indices(i) & 0xff
+            val c = g.palette(idx)
+            si += idx
+            sr += (c >> 16) & 0xff
+            sg += (c >> 8) & 0xff
+            sb += c & 0xff
+            i += 1
+          }
+          GifFeatures(r.doc_id, g.width, g.height, g.indices.length.toLong,
+            si, sr, sg, sb, g.palette.length)
+        }
+      }
+    }
+  }
+}

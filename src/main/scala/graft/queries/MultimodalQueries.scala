@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
-import graft.operators.{Audio, Multimodal}
+import graft.operators.{Audio, Gif, Multimodal}
 
 /** Multimodal query inventory: binary payload + typed metadata through
   * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
@@ -467,6 +467,66 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q120 — REAL GIF pixel decode ([[graft.operators.Gif]]): each
+    * document synthesizes a complete single-frame GIF89a — power-of-two
+    * global palette (4/8/16 colors by id), graphic-control extension
+    * (decode must skip it), LZW-compressed index stream — and
+    * `gifFeatures` recovers the pixels through sub-block reassembly +
+    * full variable-width LZW (dictionary growth, clear handling) +
+    * palette mapping. Index and per-channel sums are integer-exact, so
+    * the oracle replays every pixel arithmetically; any defect in the
+    * bit unpacker, dictionary bookkeeping, or palette indexing breaks
+    * the compare. Narrow mapPartitions; image bytes never shuffle. */
+  val q120 = QuerySpec("q120_gif_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (lit(5) + col("doc_id") % 12).cast("int").as("w"),
+        (lit(4) + col("n_chars") % 10).cast("int").as("h"),
+        (lit(4) * pow(lit(2), col("doc_id") % 3)).cast("int").as("c"))
+        .as[(Long, Int, Int, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, w, h, c) =>
+          val palette = Array.tabulate(c) { j =>
+            (((j * 37) % 256) << 16) | (((j * 59 + 7) % 256) << 8) |
+              ((j * 83 + 13) % 256)
+          }
+          val idx = new Array[Byte](w * h)
+          var i = 0
+          while (i < idx.length) {
+            idx(i) = (((id * 7 + i.toLong * 3) % c).toInt).toByte
+            i += 1
+          }
+          Multimodal.MediaRecord(id, "image", Gif.gifBytes(w, h, palette, idx),
+            Multimodal.MediaMeta(w, h, "gif", 1))
+        }
+      }
+      Gif.gifFeatures(media).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(5 + doc_id % 12 AS INT) AS w,
+    CAST(4 + n_chars % 10 AS INT) AS h,
+    CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS INT) AS c
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, c, unnest(range(0, CAST(w * h AS BIGINT))) AS i
+  FROM base
+), v AS (
+  SELECT doc_id, w, h, c, (doc_id * 7 + i * 3) % c AS idx FROM px
+)
+SELECT doc_id, w AS width, h AS height,
+  CAST(count(*) AS BIGINT) AS n_pixels,
+  CAST(sum(idx) AS BIGINT) AS sum_index,
+  CAST(sum((idx * 37) % 256) AS BIGINT) AS sum_red,
+  CAST(sum((idx * 59 + 7) % 256) AS BIGINT) AS sum_green,
+  CAST(sum((idx * 83 + 13) % 256) AS BIGINT) AS sum_blue,
+  CAST(c AS INT) AS n_colors
+FROM v GROUP BY doc_id, w, h, c ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118)
+    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120)
 }
