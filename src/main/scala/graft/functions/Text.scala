@@ -77,6 +77,21 @@ object Text {
       .otherwise(lit("und"))
   }
 
+  /** Programming-language heuristic over a text column — the
+    * code/prose separation a Stack-style corpus runs before routing
+    * documents to code vs natural-language pipelines. First-match-wins
+    * over syntax signatures (python def/import, Scala val/def=, SQL
+    * select-from, JSON object shape); no signal → "text". Pure
+    * codegen'd expressions, same regexes replayed by the oracle. */
+  def codeLangId(c: Column): Column =
+    when(c.rlike("(?m)^(def [a-z_]+\\(.*\\):|import [a-z_.]+$|from [a-z_.]+ import )"),
+      lit("python"))
+      .when(c.rlike("(?m)^(val |var |def [a-zA-Z]+.*= *\\{|object |class )"),
+        lit("scala"))
+      .when(c.rlike("(?is)^\\s*select\\s.+\\sfrom\\s"), lit("sql"))
+      .when(c.rlike("(?s)^\\s*\\{.*\\}\\s*$"), lit("json"))
+      .otherwise(lit("text"))
+
   /** Punctuation-character count (explicit class, same regex both
     * engines). */
   def punctCount(c: Column): Column =

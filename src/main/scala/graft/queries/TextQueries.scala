@@ -1247,7 +1247,61 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q121 — code/prose routing ([[graft.functions.Text.codeLangId]]):
+    * each document is wrapped in a language template by id (python
+    * def, scala val, SQL select, JSON object, or left as prose) and
+    * the classifier must recover the language FROM THE SYNTAX — the
+    * oracle replays the same regexes over the same synthesized code in
+    * DuckDB (RE2 semantics on both engines), so a drifted pattern or
+    * wrong match order breaks the compare, not just a wrong modulus. */
+  val q121 = QuerySpec("q121_code_lang_id",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val code = when(col("doc_id") % 5 === 0,
+          concat(lit("def fn(x):\n    return x  # "), col("text")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("val x"), id, lit(" = \""), col("text"), lit("\"")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("SELECT col FROM t WHERE id = "), id, lit(" -- "),
+            col("text")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("{\"k\": \""), col("text"), lit("\"}")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), T.codeLangId(code).as("code_lang"))
+        .withColumn("is_code", col("code_lang") =!= "text")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH c AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'def fn(x):' || chr(10) || '    return x  # ' || text
+      WHEN 1 THEN 'val x' || CAST(doc_id AS VARCHAR) || ' = "' || text || '"'
+      WHEN 2 THEN 'SELECT col FROM t WHERE id = ' || CAST(doc_id AS VARCHAR)
+        || ' -- ' || text
+      WHEN 3 THEN '{"k": "' || text || '"}'
+      ELSE text END AS code
+  FROM documents
+), l AS (
+  SELECT doc_id,
+    CASE
+      WHEN regexp_matches(code,
+        '(?m)^(def [a-z_]+\(.*\):|import [a-z_.]+$$|from [a-z_.]+ import )')
+        THEN 'python'
+      WHEN regexp_matches(code,
+        '(?m)^(val |var |def [a-zA-Z]+.*= *\{|object |class )') THEN 'scala'
+      WHEN regexp_matches(code, '(?is)^\s*select\s.+\sfrom\s') THEN 'sql'
+      WHEN regexp_matches(code, '(?s)^\s*\{.*\}\s*$$') THEN 'json'
+      ELSE 'text' END AS code_lang
+  FROM c
+)
+SELECT doc_id, code_lang, code_lang <> 'text' AS is_code
+FROM l ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
-      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119)
+      q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
+      q121)
 }

@@ -121,6 +121,24 @@ class TextSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == cases.map(_._2))
   }
 
+  test("codeLangId: syntax signatures, match order, prose fallback") {
+    val cases = Seq(
+      "def parse_row(line):\n    return line" -> "python",
+      "from os.path import join" -> "python",
+      "val answer = 42" -> "scala",
+      "object Main { def run() = () }" -> "scala",
+      "SELECT a, b\nFROM t WHERE x > 0" -> "sql",
+      "{\"name\": \"doc\", \"n\": 3}" -> "json",
+      "  { \"padded\": true }  " -> "json",
+      // start-anchored SQL pattern: prose containing select..from stays text
+      "plain prose about select topics from here" -> "text",
+      "just words" -> "text",
+      "" -> "text")
+    val got = cases.map(_._1).toDF("c")
+      .select(T.codeLangId($"c")).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("markdownStats counts structures on raw markdown") {
     val md = "# h\n\n```\nx\n```\n\n[a](http://b) [c](http://d)\n\n- i\n- j\n- k"
     val (h, f, l, i) = T.markdownStats(lit(md))
