@@ -28,63 +28,113 @@ object Gif {
   final case class GifPixels(width: Int, height: Int,
       indices: Array[Byte], palette: Array[Int]) // palette: 0xRRGGBB
 
+  final case class GifFrame(index: Int, left: Int, top: Int, width: Int,
+      height: Int, indices: Array[Byte], palette: Array[Int],
+      localPalette: Boolean)
+
   final case class GifFeatures(doc_id: Long, width: Int, height: Int,
       n_pixels: Long, sum_index: Long, sum_red: Long, sum_green: Long,
       sum_blue: Long, n_colors: Int)
 
-  /** Decode a GIF payload to palette indices + palette. None on
-    * anything malformed, truncated, interlaced, or locally-paletted. */
+  /** Decode the FIRST frame of a GIF payload (still-image view): the
+    * frame must cover the full logical screen at (0,0). None on
+    * anything malformed. */
   def decode(data: Array[Byte]): Option[GifPixels] =
-    try decodeImpl(data)
+    decodeFrames(data, maxFrames = 1).flatMap { case (w, h, frames) =>
+      frames.headOption.collect {
+        case f if f.left == 0 && f.top == 0 && f.width == w && f.height == h =>
+          GifPixels(w, h, f.indices, f.palette)
+      }
+    }
+
+  /** Decode up to `maxFrames` frames of a (possibly animated) GIF.
+    * Each frame decodes independently — its own descriptor, optional
+    * LOCAL color table (falling back to the global one), own
+    * interlace flag, own LZW stream. No disposal compositing: a
+    * frame-sampling pipeline consumes raw frames (compositing is a
+    * renderer concern). Returns (screenW, screenH, frames); None if
+    * the container is malformed or a frame fails to decode. */
+  def decodeFrames(data: Array[Byte],
+      maxFrames: Int = 64): Option[(Int, Int, Seq[GifFrame])] =
+    try decodeImpl(data, maxFrames)
     catch { case _: Exception => None }
 
-  private def decodeImpl(data: Array[Byte]): Option[GifPixels] = {
+  private def decodeImpl(data: Array[Byte],
+      maxFrames: Int): Option[(Int, Int, Seq[GifFrame])] = {
     def u8(i: Int): Int = data(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     if (data.length < 13) return None
     val sig = new String(data, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
+    val screenW = u16(6)
+    val screenH = u16(8)
     val packed = u8(10)
-    if ((packed & 0x80) == 0) return None // no global color table
-    val gctSize = 2 << (packed & 7)
     var pos = 13
-    if (pos + 3 * gctSize > data.length) return None
-    val palette = Array.tabulate(gctSize) { j =>
-      (u8(pos + 3 * j) << 16) | (u8(pos + 3 * j + 1) << 8) | u8(pos + 3 * j + 2)
-    }
-    pos += 3 * gctSize
-    // skip extension blocks until the image descriptor
-    while (pos < data.length && u8(pos) == 0x21) {
-      pos += 2 // introducer + label
-      while (pos < data.length && u8(pos) != 0) pos += 1 + u8(pos)
-      pos += 1 // block terminator
-    }
-    if (pos >= data.length || u8(pos) != 0x2c) return None
-    if (pos + 10 > data.length) return None
-    val w = u16(pos + 5)
-    val h = u16(pos + 7)
-    val idPacked = u8(pos + 9)
-    if ((idPacked & 0x80) != 0) return None // local color table: unsupported
-    val interlaced = (idPacked & 0x40) != 0
-    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
-    pos += 10
-    if (pos >= data.length) return None
-    val minCode = u8(pos)
-    pos += 1
-    if (minCode < 1 || minCode > 8) return None
-    // concatenate sub-blocks
-    val lzw = new java.io.ByteArrayOutputStream()
-    while (pos < data.length && u8(pos) != 0) {
-      val len = u8(pos)
-      if (pos + 1 + len > data.length) return None
-      lzw.write(data, pos + 1, len)
-      pos += 1 + len
-    }
-    lzwDecode(lzw.toByteArray, minCode, w * h).map { raw =>
-      if (raw.exists(b => (b & 0xff) >= gctSize)) return None
+    val global: Option[Array[Int]] =
+      if ((packed & 0x80) == 0) None
+      else {
+        val n = 2 << (packed & 7)
+        if (pos + 3 * n > data.length) return None
+        val p = Array.tabulate(n) { j =>
+          (u8(pos + 3 * j) << 16) | (u8(pos + 3 * j + 1) << 8) |
+            u8(pos + 3 * j + 2)
+        }
+        pos += 3 * n
+        Some(p)
+      }
+    val frames = Seq.newBuilder[GifFrame]
+    var nFrames = 0
+    while (nFrames < maxFrames) {
+      // skip extension blocks between frames
+      while (pos + 1 < data.length && u8(pos) == 0x21) {
+        pos += 2 // introducer + label
+        while (pos < data.length && u8(pos) != 0) pos += 1 + u8(pos)
+        pos += 1 // block terminator
+      }
+      if (pos >= data.length) return None // no trailer: malformed
+      if (u8(pos) == 0x3b)                // trailer: done
+        return Some((screenW, screenH, frames.result()))
+      if (u8(pos) != 0x2c || pos + 10 > data.length) return None
+      val left = u16(pos + 1)
+      val top = u16(pos + 3)
+      val w = u16(pos + 5)
+      val h = u16(pos + 7)
+      val idPacked = u8(pos + 9)
+      val interlaced = (idPacked & 0x40) != 0
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+      pos += 10
+      val palette: Array[Int] =
+        if ((idPacked & 0x80) != 0) { // local color table
+          val n = 2 << (idPacked & 7)
+          if (pos + 3 * n > data.length) return None
+          val p = Array.tabulate(n) { j =>
+            (u8(pos + 3 * j) << 16) | (u8(pos + 3 * j + 1) << 8) |
+              u8(pos + 3 * j + 2)
+          }
+          pos += 3 * n
+          p
+        } else global.getOrElse(return None)
+      if (pos >= data.length) return None
+      val minCode = u8(pos)
+      pos += 1
+      if (minCode < 1 || minCode > 8) return None
+      val lzw = new java.io.ByteArrayOutputStream()
+      while (pos < data.length && u8(pos) != 0) {
+        val len = u8(pos)
+        if (pos + 1 + len > data.length) return None
+        lzw.write(data, pos + 1, len)
+        pos += 1 + len
+      }
+      if (pos >= data.length) return None
+      pos += 1 // sub-block terminator
+      val raw = lzwDecode(lzw.toByteArray, minCode, w * h).getOrElse(return None)
+      if (raw.exists(b => (b & 0xff) >= palette.length)) return None
       val idx = if (interlaced) deinterlace(raw, w, h) else raw
-      GifPixels(w, h, idx, palette)
+      frames += GifFrame(nFrames, left, top, w, h, idx, palette,
+        localPalette = (idPacked & 0x80) != 0)
+      nFrames += 1
     }
+    Some((screenW, screenH, frames.result()))
   }
 
   /** GIF 4-pass interlace: decoded rows arrive in pass order (every
@@ -287,6 +337,91 @@ object Gif {
     out.write(0)    // sub-block terminator
     out.write(0x3b) // trailer
     out.toByteArray
+  }
+
+  /** Assemble an animated (multi-frame) GIF89a: every frame is
+    * full-screen at (0,0) with a GCE (delay) before it; a frame with
+    * `Some(palette)` writes a LOCAL color table, `None` uses the
+    * global one. Frames must all be w×h index arrays. */
+  def gifAnimBytes(w: Int, h: Int, globalPalette: Array[Int],
+      frames: Seq[(Array[Byte], Option[Array[Int]])]): Array[Byte] = {
+    val n = globalPalette.length
+    require(n >= 2 && n <= 256 && (n & (n - 1)) == 0,
+      s"global palette size must be a power of 2 in [2,256], got $n")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x80 | (Integer.numberOfTrailingZeros(n) - 1))
+    out.write(0); out.write(0)
+    globalPalette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    frames.foreach { case (indices, local) =>
+      require(indices.length == w * h, "one index per pixel per frame")
+      // graphic control extension with a 10cs delay
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); le16(10); out.write(0); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+      local match {
+        case Some(p) =>
+          require(p.length >= 2 && p.length <= 256 &&
+            (p.length & (p.length - 1)) == 0, "local palette power of 2")
+          out.write(0x80 | (Integer.numberOfTrailingZeros(p.length) - 1))
+          p.foreach { c =>
+            out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+            out.write(c & 0xff)
+          }
+        case None => out.write(0)
+      }
+      val pal = local.getOrElse(globalPalette)
+      val minCode = math.max(2, Integer.numberOfTrailingZeros(pal.length))
+      out.write(minCode)
+      val lzw = lzwEncodeRoots(indices, minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val len = math.min(255, lzw.length - off)
+        out.write(len)
+        out.write(lzw, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class FrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, sum_index: Long, sum_luma: Long, local_palette: Boolean)
+
+  /** One row per decoded animation frame — the GIF analog of the MP4
+    * frame extraction (q114): frame sampling feeds the same
+    * image-level dedup/stats machinery regardless of container.
+    * `sum_luma` uses integer ITU-R BT.601 weights (77R+150G+29B)>>8
+    * per pixel, exactly replayable. Undecodable payloads drop. */
+  def gifFrames(media: Dataset[Multimodal.MediaRecord],
+      maxFrames: Int = 64): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeFrames(r.data, maxFrames).toSeq.flatMap { case (_, _, frames) =>
+          frames.map { f =>
+            var si = 0L; var sl = 0L
+            var i = 0
+            while (i < f.indices.length) {
+              val idx = f.indices(i) & 0xff
+              val c = f.palette(idx)
+              si += idx
+              sl += (77 * ((c >> 16) & 0xff) + 150 * ((c >> 8) & 0xff) +
+                29 * (c & 0xff)) >> 8
+              i += 1
+            }
+            FrameFeatures(r.doc_id, f.index, f.width, f.height, si, sl,
+              f.localPalette)
+          }
+        }
+      }
+    }
   }
 
   /** Pixel-level features per decoded GIF record; undecodable payloads

@@ -527,6 +527,82 @@ SELECT doc_id, w AS width, h AS height,
 FROM v GROUP BY doc_id, w, h, c ORDER BY doc_id
 """))
 
+  /** q122 — animated-GIF frame extraction (the GIF analog of q114's
+    * MP4 demux): each document synthesizes a multi-frame GIF89a —
+    * 1–3 full-screen frames, odd frames carrying a LOCAL 4-color
+    * palette (decode must switch tables per frame), even frames using
+    * the global 8-color one — and [[graft.operators.Gif.gifFrames]]
+    * re-derives one row per frame through per-frame LZW + palette
+    * resolution. Index sums and integer BT.601 luma sums are exact,
+    * so the oracle replays every pixel of every frame; a defect in
+    * frame iteration, local-table handling, or the luma arithmetic
+    * breaks the compare. */
+  val q122 = QuerySpec("q122_gif_frames",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (lit(6) + col("doc_id") % 8).cast("int").as("w"),
+        (lit(5) + col("n_chars") % 7).cast("int").as("h"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+      val globalPal = Array.tabulate(8) { j =>
+        (((j * 37) % 256) << 16) | (((j * 59 + 7) % 256) << 8) |
+          ((j * 83 + 13) % 256)
+      }
+      val localPal = Array.tabulate(4) { j =>
+        (((j * 41 + 3) % 256) << 16) | (((j * 67 + 11) % 256) << 8) |
+          ((j * 89 + 17) % 256)
+      }
+      val media = base.mapPartitions { it =>
+        it.map { case (id, w, h, nf) =>
+          val frames = (0 until nf).map { f =>
+            val sz = if (f % 2 == 1) 4 else 8
+            val idx = new Array[Byte](w * h)
+            var i = 0
+            while (i < idx.length) {
+              idx(i) = (((id * 7 + f * 11 + i.toLong * 3) % sz).toInt).toByte
+              i += 1
+            }
+            (idx, if (f % 2 == 1) Some(localPal) else None)
+          }
+          Multimodal.MediaRecord(id, "image",
+            Gif.gifAnimBytes(w, h, globalPal, frames),
+            Multimodal.MediaMeta(w, h, "gif", nf))
+        }
+      }
+      Gif.gifFrames(media).toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(6 + doc_id % 8 AS INT) AS w,
+    CAST(5 + n_chars % 7 AS INT) AS h,
+    CAST(1 + doc_id % 3 AS INT) AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, unnest(range(0, CAST(nf AS BIGINT))) AS f FROM base
+), px AS (
+  SELECT doc_id, w, h, f, CASE WHEN f % 2 = 1 THEN 4 ELSE 8 END AS sz,
+    unnest(range(0, CAST(w * h AS BIGINT))) AS i
+  FROM fr
+), v AS (
+  SELECT doc_id, w, h, f, sz, (doc_id * 7 + f * 11 + i * 3) % sz AS idx
+  FROM px
+), c AS (
+  SELECT doc_id, w, h, f, sz, idx,
+    CASE WHEN sz = 4 THEN (idx * 41 + 3) % 256 ELSE (idx * 37) % 256 END AS r,
+    CASE WHEN sz = 4 THEN (idx * 67 + 11) % 256 ELSE (idx * 59 + 7) % 256 END AS g,
+    CASE WHEN sz = 4 THEN (idx * 89 + 17) % 256 ELSE (idx * 83 + 13) % 256 END AS b
+  FROM v
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
+  CAST(sum(idx) AS BIGINT) AS sum_index,
+  CAST(sum((77 * r + 150 * g + 29 * b) // 256) AS BIGINT) AS sum_luma,
+  f % 2 = 1 AS local_palette
+FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120)
+    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122)
 }

@@ -80,13 +80,43 @@ class GifPixelSpec extends SparkSpec {
     // absurd LZW min code size
     val badMin = ok.clone(); badMin(pos + 1) = 12
     assert(Gif.decode(badMin).isEmpty)
-    // local-color-table flag without a table → quarantine
-    val local = ok.clone(); local(pos) = (local(pos) | 0x80).toByte
-    assert(Gif.decode(local).isEmpty)
+    // missing trailer (no 0x3b): malformed
+    assert(Gif.decodeFrames(ok.dropRight(1)).isEmpty)
     // corrupt one LZW byte → either None or in-range indices
     // (depends on where it lands), but never a throw
     val corrupt = ok.clone(); corrupt(pos + 3) = 0x5a
     Gif.decode(corrupt)
+  }
+
+  test("animated: per-frame decode with local palettes; ImageIO agrees") {
+    val global = Array.tabulate(8)(j => j * 0x202020)
+    val local = Array(0x112233, 0x445566, 0x778899, 0xaabbcc)
+    val w = 11; val h = 7
+    val f0 = Array.tabulate(w * h)(i => ((i * 3) % 8).toByte)
+    val f1 = Array.tabulate(w * h)(i => ((i * 5 + 1) % 4).toByte)
+    val f2 = Array.tabulate(w * h)(i => ((i * 7 + 2) % 8).toByte)
+    val bytes = Gif.gifAnimBytes(w, h, global,
+      Seq((f0, None), (f1, Some(local)), (f2, None)))
+    val (sw, sh, frames) = Gif.decodeFrames(bytes).get
+    assert(sw == w && sh == h && frames.size == 3)
+    assert(frames(0).indices.sameElements(f0) && !frames(0).localPalette)
+    assert(frames(1).indices.sameElements(f1) && frames(1).localPalette)
+    assert(frames(1).palette.toSeq == local.toSeq)
+    assert(frames(2).indices.sameElements(f2))
+    // maxFrames truncation
+    assert(Gif.decodeFrames(bytes, maxFrames = 2).get._3.size == 2)
+    // ImageIO frame-by-frame cross-check of our animated writer
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 3)
+    for ((idx, pal, fi) <- Seq((f0, global, 0), (f1, local, 1), (f2, global, 2))) {
+      val img = reader.read(fi)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRGB(x, y) == (pal(idx(y * w + x) & 0xff) | 0xff000000),
+          s"frame $fi pixel ($x,$y)")
+    }
   }
 
   test("gifFeatures drops undecodable records and sums exactly") {
