@@ -801,12 +801,15 @@ object Multimodal {
   private def extend(v: Int, size: Int): Int =
     if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
 
-  /** REAL baseline JPEG pixel decode: general DQT/DHT/SOF0/SOS parse,
-    * Huffman entropy decode, dequantize, float IDCT, level shift;
-    * YCbCr→RGB (BT.601) for 3-component scans. Returns (width, height,
-    * channels, samples row-major), or None for anything outside the
-    * supported profile (progressive, subsampled, 12-bit, arithmetic)
-    * or malformed — crawl bytes degrade to None, never throw or hang. */
+  /** REAL JPEG pixel decode: general DQT/DHT/SOF/SOS parse, Huffman
+    * entropy decode, dequantize, float IDCT, level shift; YCbCr→RGB
+    * (BT.601) for 3-component scans; 4:2:0/4:2:2 chroma subsampling by
+    * replication upsample. SOF0 baseline decodes inline; SOF2
+    * progressive dispatches to [[jpegDecodeProgressive]]. Returns
+    * (width, height, channels, samples row-major), or None for
+    * anything outside the supported profile (12-bit, lossless,
+    * arithmetic coding) or malformed — crawl bytes degrade to None,
+    * never throw or hang. */
   def jpegDecodePixels(data: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     try {
       def u8(i: Int): Int = data(i) & 0xff
@@ -878,9 +881,11 @@ object Multimodal {
               if (nComp == 3 && (compH(1) != 1 || compV(1) != 1 ||
                 compH(2) != 1 || compV(2) != 1)) return None
               sofSeen = true
-            case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+            case 0xC2 => // SOF2: progressive — dedicated multi-scan path
+              return jpegDecodeProgressive(data)
+            case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                  0xCB | 0xCD | 0xCE | 0xCF =>
-              return None // extended/progressive/lossless/arithmetic
+              return None // extended/lossless/arithmetic
             case 0xDD => // DRI
               if (len != 4) return None
               restartInterval = rd2(seg)
@@ -1043,6 +1048,410 @@ object Multimodal {
       }
       None
     } catch { case _: Exception => None }
+
+  /** REAL progressive JPEG decode (SOF2, T.81 Annex G): coefficients
+    * accumulate across every scan — first/refinement DC scans
+    * (successive-approximation bit Al), non-interleaved spectral AC
+    * scans with EOB-run coding, and the G.1.2.3 AC refinement
+    * correction-bit walk — then one dequantize + IDCT + assembly pass
+    * at EOI. Same supported profile as the baseline path (8-bit,
+    * 1 or 3 components, luma factors ≤2×2 with 1×1 chroma); anything
+    * else, or any malformed stream, degrades to None — crawl bytes
+    * never throw or hang an executor. */
+  private def jpegDecodeProgressive(
+      data: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      def u8(i: Int): Int = data(i) & 0xff
+      def rd2(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      if (data.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+      val qTables = new Array[Array[Int]](4)
+      val dcTables = new Array[HuffTable](4); val acTables = new Array[HuffTable](4)
+      var w = 0; var h = 0; var nComp = 0
+      var compQ: Array[Int] = null
+      var compH: Array[Int] = null; var compV: Array[Int] = null
+      var restartInterval = 0
+      // per-component coefficient store over the MCU-padded block grid
+      var coefs: Array[Array[Int]] = null
+      var bw: Array[Int] = null                     // padded blocks per row
+      var cbW: Array[Int] = null; var cbH: Array[Int] = null // coded grid
+      var qSnap: Array[Array[Int]] = null           // quant at first scan
+      var hmax = 1; var vmax = 1; var mcuX = 0; var mcuY = 0
+      var sofSeen = false
+      var pos = 2
+      while (pos + 1 < data.length) {
+        if (u8(pos) != 0xFF) return None
+        val m = u8(pos + 1)
+        if (m == 0xFF) { pos += 1 }
+        else if (m == 0xD9) { // EOI: dequantize + IDCT + assemble
+          if (!sofSeen || qSnap == null) return None
+          return assembleProgressive(w, h, nComp, compH, compV, hmax, vmax,
+            mcuX, mcuY, bw, coefs, qSnap)
+        } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) pos += 2
+        else {
+          val len = rd2(pos + 2)
+          if (len < 2 || pos + 2 + len > data.length) return None
+          val seg = pos + 4
+          m match {
+            case 0xDB =>
+              var p = seg
+              while (p < pos + 2 + len) {
+                val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
+                if (pq != 0 || tq > 3 || p + 65 > pos + 2 + len) return None
+                val t = new Array[Int](64)
+                var k = 0
+                while (k < 64) { t(Zigzag(k)) = u8(p + 1 + k); k += 1 }
+                qTables(tq) = t
+                p += 65
+              }
+            case 0xC4 =>
+              var p = seg
+              while (p < pos + 2 + len) {
+                val tc = u8(p) >> 4; val th = u8(p) & 0x0F
+                if (tc > 1 || th > 3) return None
+                val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+                val total = bits.sum
+                if (total > 256 || p + 17 + total > pos + 2 + len) return None
+                val vals = Array.tabulate(total)(i => u8(p + 17 + i))
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                p += 17 + total
+              }
+            case 0xC2 =>
+              if (sofSeen || u8(seg) != 8) return None
+              h = rd2(seg + 1); w = rd2(seg + 3); nComp = u8(seg + 5)
+              if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+              if (w.toLong * h * nComp > (1L << 30)) return None
+              compQ = new Array[Int](nComp)
+              compH = new Array[Int](nComp); compV = new Array[Int](nComp)
+              var c = 0
+              while (c < nComp) {
+                val hv = u8(seg + 7 + 3 * c)
+                compH(c) = hv >> 4; compV(c) = hv & 0x0F
+                if (compH(c) < 1 || compH(c) > 2 ||
+                  compV(c) < 1 || compV(c) > 2) return None
+                compQ(c) = u8(seg + 8 + 3 * c)
+                if (compQ(c) > 3) return None
+                c += 1
+              }
+              if (nComp == 3 && (compH(1) != 1 || compV(1) != 1 ||
+                compH(2) != 1 || compV(2) != 1)) return None
+              if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+              hmax = compH.max; vmax = compV.max
+              mcuX = (w + 8 * hmax - 1) / (8 * hmax)
+              mcuY = (h + 8 * vmax - 1) / (8 * vmax)
+              bw = Array.tabulate(nComp)(c => mcuX * compH(c))
+              val bhArr = Array.tabulate(nComp)(c => mcuY * compV(c))
+              // coded (non-interleaved) grid: ceil(compDim/8)
+              cbW = Array.tabulate(nComp)(c =>
+                ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
+              cbH = Array.tabulate(nComp)(c =>
+                ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
+              coefs = Array.tabulate(nComp)(c =>
+                new Array[Int](bw(c) * bhArr(c) * 64))
+              sofSeen = true
+            case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+                 0xCB | 0xCD | 0xCE | 0xCF =>
+              return None // a second frame type inside a progressive file
+            case 0xDD =>
+              if (len != 4) return None
+              restartInterval = rd2(seg)
+            case 0xDA =>
+              if (!sofSeen) return None
+              val ns = u8(seg)
+              if (ns < 1 || ns > nComp) return None
+              val scanComp = new Array[Int](ns)
+              val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+              var i = 0
+              while (i < ns) {
+                val cid = u8(seg + 1 + 2 * i)
+                // JFIF writers number components 1..nComp in SOF
+                // order, so scan ids resolve positionally; anything
+                // else degrades to None (same stance as baseline)
+                if (cid < 1 || cid > nComp) return None
+                scanComp(i) = cid - 1
+                dcSel(i) = u8(seg + 2 + 2 * i) >> 4
+                acSel(i) = u8(seg + 2 + 2 * i) & 0x0F
+                i += 1
+              }
+              val ss = u8(seg + 1 + 2 * ns)
+              val se = u8(seg + 2 + 2 * ns)
+              val ahal = u8(seg + 3 + 2 * ns)
+              val ah = ahal >> 4; val al = ahal & 0x0F
+              if (ss > 63 || se > 63 || se < ss || al > 13) return None
+              if (qSnap == null) qSnap = Array.tabulate(nComp) { c =>
+                val q = qTables(compQ(c)); if (q == null) return None
+                q.clone()
+              }
+              val br = new BitReader(data, pos + 2 + len)
+              if (ss == 0) { // DC scan (first or refinement)
+                if (se != 0) return None
+                i = 0
+                while (i < ns) {
+                  if (ah == 0 && dcTables(dcSel(i)) == null) return None
+                  i += 1
+                }
+                val dcPred = new Array[Int](ns)
+                // interleaved over the scan's components (ns==1 → the
+                // component's own padded grid, which equals its MCU
+                // tiling when it is the only scan component)
+                val sHs = Array.tabulate(ns)(i2 =>
+                  if (ns == 1) 1 else compH(scanComp(i2)))
+                val sVs = Array.tabulate(ns)(i2 =>
+                  if (ns == 1) 1 else compV(scanComp(i2)))
+                val units =
+                  if (ns == 1) cbW(scanComp(0)) * cbH(scanComp(0))
+                  else mcuX * mcuY
+                val unitsX = if (ns == 1) cbW(scanComp(0)) else mcuX
+                var mcu = 0
+                while (mcu < units) {
+                  if (restartInterval > 0 && mcu > 0 &&
+                      mcu % restartInterval == 0) {
+                    if (!br.restart()) return None
+                    java.util.Arrays.fill(dcPred, 0)
+                  }
+                  val my = mcu / unitsX; val mx = mcu % unitsX
+                  i = 0
+                  while (i < ns) {
+                    val ci = scanComp(i)
+                    var bv = 0
+                    while (bv < sVs(i)) {
+                      var bh2 = 0
+                      while (bh2 < sHs(i)) {
+                        val bx = mx * sHs(i) + bh2
+                        val by = my * sVs(i) + bv
+                        val off = (by * bw(ci) + bx) * 64
+                        if (ah == 0) {
+                          val s = br.decodeHuff(dcTables(dcSel(i)))
+                          if (s < 0 || s > 11) return None
+                          val bits = br.receive(s)
+                          if (bits == Int.MinValue) return None
+                          dcPred(i) += extend(bits, s)
+                          coefs(ci)(off) = dcPred(i) << al
+                        } else {
+                          val b = br.nextBit()
+                          if (b < 0) return None
+                          if (b == 1) coefs(ci)(off) |= 1 << al
+                        }
+                        bh2 += 1
+                      }
+                      bv += 1
+                    }
+                    i += 1
+                  }
+                  mcu += 1
+                }
+              } else { // AC scan: exactly one component (T.81 G.1.1.1)
+                if (ns != 1) return None
+                val ci = scanComp(0)
+                val ac = acTables(acSel(0))
+                if (ac == null) return None
+                val nb = cbW(ci) * cbH(ci)
+                var eobrun = 0
+                var b = 0
+                while (b < nb) {
+                  if (restartInterval > 0 && b > 0 &&
+                      b % restartInterval == 0) {
+                    if (!br.restart()) return None
+                    eobrun = 0
+                  }
+                  val by = b / cbW(ci); val bx = b % cbW(ci)
+                  val off = (by * bw(ci) + bx) * 64
+                  val cf = coefs(ci)
+                  if (ah == 0) { // first AC scan for this band
+                    if (eobrun > 0) eobrun -= 1
+                    else {
+                      var k = ss
+                      var stop = false
+                      while (k <= se && !stop) {
+                        val rs = br.decodeHuff(ac)
+                        if (rs < 0) return None
+                        val r = rs >> 4; val s = rs & 0x0F
+                        if (s == 0) {
+                          if (r < 15) {
+                            eobrun = (1 << r) - 1
+                            if (r > 0) {
+                              val x = br.receive(r)
+                              if (x == Int.MinValue) return None
+                              eobrun += x
+                            }
+                            stop = true
+                          } else k += 16
+                        } else {
+                          k += r
+                          if (k > se) return None
+                          val bits = br.receive(s)
+                          if (bits == Int.MinValue) return None
+                          cf(off + Zigzag(k)) = extend(bits, s) << al
+                          k += 1
+                        }
+                      }
+                    }
+                  } else { // AC refinement (G.1.2.3, correction bits)
+                    val delta = 1 << al
+                    def refine(idx: Int): Boolean = {
+                      val bit = br.nextBit()
+                      if (bit < 0) return false
+                      if (bit == 1 && (cf(idx) & delta) == 0) {
+                        if (cf(idx) > 0) cf(idx) += delta
+                        else cf(idx) -= delta
+                      }
+                      true
+                    }
+                    if (eobrun > 0) {
+                      eobrun -= 1
+                      var k = ss
+                      while (k <= se) {
+                        val idx = off + Zigzag(k)
+                        if (cf(idx) != 0 && !refine(idx)) return None
+                        k += 1
+                      }
+                    } else {
+                      var k = ss
+                      while (k <= se) {
+                        val rs = br.decodeHuff(ac)
+                        if (rs < 0) return None
+                        var r = rs >> 4; val s = rs & 0x0F
+                        var newVal = 0
+                        if (s == 0) {
+                          if (r < 15) { // EOBn: refine the rest, place none
+                            eobrun = (1 << r) - 1
+                            if (r > 0) {
+                              val x = br.receive(r)
+                              if (x == Int.MinValue) return None
+                              eobrun += x
+                            }
+                            r = 64
+                          }
+                        } else {
+                          if (s != 1) return None
+                          val bit = br.nextBit()
+                          if (bit < 0) return None
+                          newVal = if (bit == 1) delta else -delta
+                        }
+                        var placed = false
+                        while (k <= se && !placed) {
+                          val idx = off + Zigzag(k)
+                          if (cf(idx) != 0) {
+                            if (!refine(idx)) return None
+                          } else if (r == 0) {
+                            if (newVal != 0) cf(idx) = newVal
+                            placed = true
+                          } else r -= 1
+                          k += 1
+                        }
+                      }
+                    }
+                  }
+                  b += 1
+                }
+              }
+              // resume marker parsing after the entropy-coded segment:
+              // skip to the next real marker (trailing RSTs consumed)
+              pos = br.pos
+              var found = false
+              while (!found) {
+                if (pos + 1 >= data.length) return None
+                if (u8(pos) == 0xFF && u8(pos + 1) != 0x00) {
+                  if (u8(pos + 1) >= 0xD0 && u8(pos + 1) <= 0xD7) pos += 2
+                  else if (u8(pos + 1) == 0xFF) pos += 1
+                  else found = true
+                } else pos += 1
+              }
+            case _ => ()
+          }
+          if (m != 0xDA) pos += 2 + len
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+  /** Final pass of the progressive path: per-block dequantize + IDCT
+    * into padded planes, then the same crop/replicate-upsample/YCbCr
+    * assembly as the baseline decoder. */
+  private def assembleProgressive(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], hmax: Int, vmax: Int,
+      mcuX: Int, mcuY: Int, bw: Array[Int], coefs: Array[Array[Int]],
+      qSnap: Array[Array[Int]]): Option[(Int, Int, Int, Array[Byte])] = {
+    val pw = Array.tabulate(nComp)(c => bw(c) * 8)
+    val ph = Array.tabulate(nComp)(c => mcuY * compV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Int](pw(c) * ph(c)))
+    val tmp = new Array[Double](64)
+    val block = new Array[Int](64)
+    var ci = 0
+    while (ci < nComp) {
+      val q = qSnap(ci)
+      val nbx = bw(ci); val nby = mcuY * compV(ci)
+      var byi = 0
+      while (byi < nby) {
+        var bxi = 0
+        while (bxi < nbx) {
+          val off = (byi * nbx + bxi) * 64
+          var k = 0
+          while (k < 64) { block(k) = coefs(ci)(off + k) * q(k); k += 1 }
+          var x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 8) {
+              var s2 = 0.0; var v = 0
+              while (v < 8) { s2 += DctBasis(v)(y) * block(v * 8 + x); v += 1 }
+              tmp(y * 8 + x) = s2
+              y += 1
+            }
+            x += 1
+          }
+          val plane = planes(ci)
+          val rowBase = byi * 8; val colBase = bxi * 8
+          var y = 0
+          while (y < 8) {
+            var x2 = 0
+            while (x2 < 8) {
+              var s2 = 0.0; var u = 0
+              while (u < 8) { s2 += DctBasis(u)(x2) * tmp(y * 8 + u); u += 1 }
+              val v = math.round(s2 / 4.0 + 128.0).toInt
+              plane((rowBase + y) * pw(ci) + colBase + x2) =
+                math.max(0, math.min(255, v))
+              x2 += 1
+            }
+            y += 1
+          }
+          bxi += 1
+        }
+        byi += 1
+      }
+      ci += 1
+    }
+    val out = new Array[Byte](w * h * nComp)
+    if (nComp == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = planes(0)(y * pw(0) + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          def samp(c: Int): Int =
+            planes(c)((y * compV(c) / vmax) * pw(c) + x * compH(c) / hmax)
+          val yv = samp(0); val cb = samp(1) - 128; val cr = samp(2) - 128
+          def clamp(d: Double): Byte =
+            math.max(0, math.min(255, math.round(d).toInt)).toByte
+          out(3 * i) = clamp(yv + 1.402 * cr)
+          out(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          out(3 * i + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some((w, h, nComp, out))
+  }
 
   // ---- Audio/video containers: RIFF/WAVE and ISO BMFF (MP4) ----
   // Same two-tier honesty as images: codec payloads stay opaque, but
