@@ -603,6 +603,84 @@ SELECT doc_id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
 FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx
 """))
 
+  /** q123 — progressive JPEG decode contract: each document renders a
+    * deterministic grayscale gradient, the JDK ImageIO writer encodes
+    * it as a REAL multi-scan progressive stream (SOF2 — spectral
+    * selection, successive approximation, EOB runs), and the engine's
+    * [[graft.operators.Multimodal.jpegDecodePixels]] must (a) decode
+    * it at the right dimensions and (b) agree with ImageIO's own
+    * decode of the same bytes within 1 gray level on EVERY pixel —
+    * the same conformance bar JpegProgressiveSpec holds, here as an
+    * oracle-checked contract row (dims replayed arithmetically,
+    * agreement booleans literal) so the progressive path is
+    * registry-resident, not spec-only. */
+  val q123 = QuerySpec("q123_jpeg_progressive",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (lit(17) + col("doc_id") % 24).cast("int").as("w"),
+        (lit(12) + col("n_chars") % 21).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      val out = base.mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val params = writer.getDefaultWriteParam
+        params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        val res = it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0,
+                ((id * 5 + x * 13 + y * 7) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          ios.close()
+          val bytes = bos.toByteArray
+          val ours = Multimodal.jpegDecodePixels(bytes)
+          val ref = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val dimsOk = ours.exists { case (gw, gh, gc, _) =>
+            gw == w && gh == h && gc == 1 }
+          val agree = dimsOk && {
+            val px = ours.get._4
+            var maxD = 0
+            var y2 = 0
+            while (y2 < h) {
+              var x2 = 0
+              while (x2 < w) {
+                val d = math.abs(ref.getRaster.getSample(x2, y2, 0) -
+                  (px(y2 * w + x2) & 0xff))
+                if (d > maxD) maxD = d
+                x2 += 1
+              }
+              y2 += 1
+            }
+            maxD <= 1
+          }
+          (id, w.toLong, h.toLong, dimsOk, agree)
+        }
+        res
+      }.toDF("doc_id", "width", "height", "dims_ok", "imageio_agree")
+      out.orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(17 + doc_id % 24 AS BIGINT) AS width,
+  CAST(12 + n_chars % 21 AS BIGINT) AS height,
+  true AS dims_ok, true AS imageio_agree
+FROM documents ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122)
+    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123)
 }
