@@ -1472,11 +1472,17 @@ object Multimodal {
   /** RIFF/WAVE container: header + a JUNK chunk (the parser must skip
     * it by size, not assume fmt comes first) + 16-byte PCM `fmt ` +
     * `data` wrapping the payload. 56 bytes of framing + payload. */
-  def wavBytes(channels: Int, sampleRate: Int, payload: Array[Byte]): Array[Byte] = {
-    val blockAlign = channels * 2
-    val fmt = "fmt ".getBytes("US-ASCII") ++ le4(16) ++ le2(1) ++
+  def wavBytes(channels: Int, sampleRate: Int, payload: Array[Byte]): Array[Byte] =
+    wavBytesFmt(1, 16, channels, sampleRate, payload)
+
+  /** Generalized WAV writer: any fmt code / bit depth (1 = integer
+    * PCM, 6 = G.711 A-law, 7 = G.711 μ-law). */
+  def wavBytesFmt(fmtCode: Int, bitsPerSample: Int, channels: Int,
+      sampleRate: Int, payload: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * (bitsPerSample / 8)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le4(16) ++ le2(fmtCode) ++
       le2(channels) ++ le4(sampleRate) ++ le4(sampleRate * blockAlign) ++
-      le2(blockAlign) ++ le2(16)
+      le2(blockAlign) ++ le2(bitsPerSample)
     val junk = "JUNK".getBytes("US-ASCII") ++ le4(4) ++ Array[Byte](0, 0, 0, 0)
     val data = "data".getBytes("US-ASCII") ++ le4(payload.length) ++ payload
     val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
@@ -1787,6 +1793,42 @@ object Multimodal {
   /** Parse a 16-bit integer-PCM WAV into (channels, rate, samples,
     * interleaved). None for malformed / non-PCM / non-16-bit. */
   def parsePcmSamples(data: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    parseAudioSamples(data).collect {
+      case (ch, rate, "pcm_s16le", s) => (ch, rate, s)
+    }
+
+  /** G.711 μ-law expansion (8-bit companded byte → 16-bit linear):
+    * bit-inverted sign/exponent/mantissa, magnitude
+    * ((mant·8 + 132) << exp) − 132, max 32124. Identical to the
+    * javax.sound.sampled ULAW converter (conformance-checked). */
+  private[graft] def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val v = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -v else v
+  }
+
+  /** G.711 A-law expansion: even-bit inversion (XOR 0x55), segment 0
+    * linear, higher segments exponential; MSB SET means positive,
+    * max 32256 (A-law has no true zero — silence decodes to ±8). */
+  private[graft] def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a >> 4) & 0x07
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** WAV sample decode across the integer tiers a crawl contains:
+    * fmt 1 (16-bit PCM — the bytes ARE the samples), fmt 6 (G.711
+    * A-law) and fmt 7 (G.711 μ-law) expanded to 16-bit linear by the
+    * standard companding arithmetic. Returns (channels, rate, codec,
+    * samples); anything else (float, ADPCM, 24-bit) degrades to None
+    * with the q27 metadata tier still covering it. */
+  def parseAudioSamples(
+      data: Array[Byte]): Option[(Int, Int, String, Array[Short])] =
     try {
       def u8(i: Int): Int = data(i) & 0xff
       def rdLe2(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -1816,17 +1858,30 @@ object Multimodal {
         pos = next.toInt
       }
       def assemble(f: (Int, Int, Int, Int), at: Int, len: Int)
-          : Option[(Int, Int, Array[Short])] = {
+          : Option[(Int, Int, String, Array[Short])] = {
         val (code, ch, rate, bits) = f
-        if (code != 1 || bits != 16 || ch <= 0 || rate <= 0) return None
-        val n = len / 2
-        val out = new Array[Short](n)
-        var i = 0
-        while (i < n) {
-          out(i) = (u8(at + 2 * i) | (data(at + 2 * i + 1) << 8)).toShort
-          i += 1
+        if (ch <= 0 || rate <= 0) return None
+        code match {
+          case 1 if bits == 16 =>
+            val n = len / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = (u8(at + 2 * i) | (data(at + 2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            Some((ch, rate, "pcm_s16le", out))
+          case 6 | 7 if bits == 8 =>
+            val out = new Array[Short](len)
+            var i = 0
+            if (code == 6) while (i < len) {
+              out(i) = alawToLinear(u8(at + i)).toShort; i += 1
+            } else while (i < len) {
+              out(i) = ulawToLinear(u8(at + i)).toShort; i += 1
+            }
+            Some((ch, rate, if (code == 6) "g711_alaw" else "g711_ulaw", out))
+          case _ => None
         }
-        Some((ch, rate, out))
       }
       if (fmt.isEmpty || dataAt < 0) None else assemble(fmt.get, dataAt, dataLen)
     } catch { case _: Exception => None }
@@ -1853,6 +1908,37 @@ object Multimodal {
           }
           AudioFeatures(r.doc_id, ch, rate, s.length.toLong, sumAbs, peak,
             sumSq, zc)
+        }
+      }
+    }
+  }
+
+  final case class AudioFeaturesEx(doc_id: Long, codec: String,
+      channels: Int, sample_rate: Int, n_samples: Long, sum_abs: Long,
+      peak: Int, sum_sq: Long)
+
+  /** [[audioFeatures]] across ALL integer sample tiers
+    * ([[parseAudioSamples]]: 16-bit PCM + G.711 μ-law/A-law), with the
+    * codec surfaced — the loudness/energy reductions are
+    * codec-independent once samples are linear. Same narrow
+    * mapPartitions shape; bytes never shuffle. */
+  def audioFeaturesEx(media: Dataset[MediaRecord]): Dataset[AudioFeaturesEx] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        parseAudioSamples(r.data).map { case (ch, rate, codec, s) =>
+          var sumAbs = 0L; var peak = 0; var sumSq = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            val a = math.abs(v)
+            sumAbs += a
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            i += 1
+          }
+          AudioFeaturesEx(r.doc_id, codec, ch, rate, s.length.toLong,
+            sumAbs, peak, sumSq)
         }
       }
     }

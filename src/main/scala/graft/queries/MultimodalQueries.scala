@@ -641,14 +641,22 @@ FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          // memory-cache stream, NOT ImageIO.createImageOutputStream:
+          // the default is a DISK-backed cache (a temp file per image),
+          // which at corpus scale turns an in-memory encode into
+          // per-row file I/O — measured 38x at sf10 before this
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           writer.setOutput(ios)
           writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
           ios.close()
           val bytes = bos.toByteArray
           val ours = Multimodal.jpegDecodePixels(bytes)
-          val ref = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          // same memory-cache discipline on the reference read
+          val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+          rdr.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          val ref = rdr.read(0)
+          rdr.dispose()
           val dimsOk = ours.exists { case (gw, gh, gc, _) =>
             gw == w && gh == h && gc == 1 }
           val agree = dimsOk && {
@@ -681,6 +689,75 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q124 — G.711 companded audio decode (WAV fmt 6/7, the telephony
+    * tier real crawl audio ships in): each document synthesizes an
+    * 8-bit μ-law (even ids) or A-law (odd ids) WAV whose byte i is
+    * (doc_id·13 + i·7) mod 256, and
+    * [[graft.operators.Multimodal.audioFeaturesEx]] must expand every
+    * byte to 16-bit linear by the standard companding arithmetic
+    * before the integer-exact reductions. The oracle replays the SAME
+    * bit-level expansion (xor/shift/mask) per byte in DuckDB, so a
+    * defect in either law's sign, segment, or magnitude arithmetic
+    * breaks the compare. */
+  val q124 = QuerySpec("q124_g711_audio",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (lit(30) + col("doc_id") % 40).cast("int").as("n"))
+        .as[(Long, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, n) =>
+          val payload = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            payload(i) = ((id * 13 + i.toLong * 7) % 256).toByte
+            i += 1
+          }
+          val fmtCode = if (id % 2 == 0) 7 else 6
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.wavBytesFmt(fmtCode, 8, 1, 8000, payload),
+            Multimodal.MediaMeta(1, 8000,
+              if (id % 2 == 0) "g711_ulaw" else "g711_alaw", 1))
+        }
+      }
+      Multimodal.audioFeaturesEx(media).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id, CAST(30 + doc_id % 40 AS INT) AS n, doc_id % 2 = 0 AS ul
+  FROM documents
+), idx AS (
+  SELECT doc_id, ul, unnest(range(0, CAST(n AS BIGINT))) AS i FROM base
+), g AS (
+  SELECT doc_id, ul,
+    xor((doc_id * 13 + i * 7) % 256, 255) AS u,
+    xor((doc_id * 13 + i * 7) % 256, 85) AS a
+  FROM idx
+), m AS (
+  SELECT doc_id, ul, u, a,
+    (((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132 AS umag,
+    CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8
+         ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1) END AS amag
+  FROM g
+), v AS (
+  SELECT doc_id, ul,
+    CASE WHEN ul THEN CASE WHEN (u & 128) <> 0 THEN -umag ELSE umag END
+         ELSE CASE WHEN (a & 128) <> 0 THEN amag ELSE -amag END END AS smp
+  FROM m
+)
+SELECT doc_id,
+  CASE WHEN ul THEN 'g711_ulaw' ELSE 'g711_alaw' END AS codec,
+  CAST(1 AS INT) AS channels,
+  CAST(8000 AS INT) AS sample_rate,
+  count(*) AS n_samples,
+  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+  CAST(max(abs(smp)) AS INT) AS peak,
+  CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+FROM v GROUP BY doc_id, ul ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123)
+    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123,
+      q124)
 }

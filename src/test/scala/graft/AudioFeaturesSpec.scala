@@ -74,4 +74,58 @@ class AudioFeaturesSpec extends AnyFunSuite {
     assert(f.sum_abs == 18L && f.peak == 7 && f.sum_sq == 88L)
     assert(f.zero_crossings == 3L, s"zc ${f.zero_crossings}")
   }
+
+  test("G.711 mu-law expansion matches javax.sound.sampled for all 256 bytes") {
+    import javax.sound.sampled._
+    val payload = Array.tabulate(256)(i => i.toByte)
+    val wav = Multimodal.wavBytesFmt(7, 8, 1, 8000, payload)
+    val ours = Multimodal.parseAudioSamples(wav).get
+    assert(ours._3 == "g711_ulaw" && ours._4.length == 256)
+    // JDK reference: ULAW stream converted to 16-bit linear PCM
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(payload),
+      new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+      256)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2,
+        8000f, false), src)
+    val buf = pcm.readAllBytes()
+    for (i <- 0 until 256) {
+      val ref = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+      assert(ours._4(i) == ref, s"ulaw byte $i: ours ${ours._4(i)} vs JDK $ref")
+    }
+  }
+
+  test("G.711 A-law expansion matches javax.sound.sampled for all 256 bytes") {
+    import javax.sound.sampled._
+    val payload = Array.tabulate(256)(i => i.toByte)
+    val wav = Multimodal.wavBytesFmt(6, 8, 1, 8000, payload)
+    val ours = Multimodal.parseAudioSamples(wav).get
+    assert(ours._3 == "g711_alaw" && ours._4.length == 256)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(payload),
+      new AudioFormat(AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false),
+      256)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2,
+        8000f, false), src)
+    val buf = pcm.readAllBytes()
+    for (i <- 0 until 256) {
+      val ref = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+      assert(ours._4(i) == ref, s"alaw byte $i: ours ${ours._4(i)} vs JDK $ref")
+    }
+  }
+
+  test("audioFeaturesEx surfaces the codec; unsupported fmt still drops") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val good = Multimodal.MediaRecord(1L, "audio",
+      Multimodal.wavBytesFmt(7, 8, 1, 8000, Array.tabulate(10)(_.toByte)),
+      Multimodal.MediaMeta(1, 8000, "g711_ulaw", 1))
+    val float = Multimodal.MediaRecord(2L, "audio",
+      Multimodal.wavBytesFmt(3, 32, 1, 8000, new Array[Byte](40)), // IEEE float
+      Multimodal.MediaMeta(1, 8000, "f32", 1))
+    val got = Multimodal.audioFeaturesEx(Seq(good, float).toDS()).collect()
+    assert(got.length == 1 && got.head.codec == "g711_ulaw")
+  }
 }
