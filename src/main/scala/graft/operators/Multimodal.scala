@@ -75,7 +75,19 @@ object Multimodal {
       // per-partition setup would open non-PNG codecs once here, not per row
       it.map { r =>
         val brightness = pngDecodePixels(r.data)
-          .orElse(jpegDecodePixels(r.data)) match {
+          .orElse(jpegDecodePixels(r.data))
+          .orElse(Gif.decode(r.data).map { g =>
+            // palette GIF → grayscale view via integer BT.601 luma
+            val px = new Array[Byte](g.indices.length)
+            var i = 0
+            while (i < px.length) {
+              val c = g.palette(g.indices(i) & 0xff)
+              px(i) = ((77 * ((c >> 16) & 0xff) + 150 * ((c >> 8) & 0xff) +
+                29 * (c & 0xff)) >> 8).toByte
+              i += 1
+            }
+            (g.width, g.height, 1, px)
+          }) match {
           case Some((_, _, _, px)) =>
             var s = 0L; var i = 0
             while (i < px.length) { s += px(i) & 0xff; i += 1 }
