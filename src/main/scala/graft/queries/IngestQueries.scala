@@ -425,5 +425,69 @@ FROM q WHERE rn <= 10
 GROUP BY rd ORDER BY rd
 """))
 
-  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111, q117)
+  /** q125 — the raw-crawl composition end-to-end: WARC `response`
+    * records (ISO 28500 framing over gzip shards) carry full HTTP
+    * responses whose bodies are the q116 HTML pages; the pipeline is
+    * readWet → status-200 filter via [[graft.sources.Sources.httpSplit]]
+    * → [[graft.operators.HtmlExtract.extractMainText]] — i.e. exactly
+    * what a CommonCrawl ingestion does before any curation. Every
+    * 13th document is staged as a 404 (dropped by the filter), and the
+    * survivors' extracted text must round-trip the document text
+    * EXACTLY through all three layers of framing (WARC length → HTTP
+    * split → block segmentation). Per-FILE parallel narrow parse;
+    * payload bytes never shuffle. */
+  val q125 = QuerySpec("q125_warc_http_extract",
+    (s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val staged = graft.operators.HtmlExtract.encodePages(docs)
+        .map { p =>
+          val notFound = p.doc_id % 13 == 0
+          val status =
+            if (notFound) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+          val body = if (notFound) "<html><body>gone</body></html>" else p.html
+          val http = status + "\r\nContent-Type: text/html; charset=utf-8" +
+            s"\r\nX-Crawl-Id: ${p.doc_id}\r\n\r\n" + body
+          val httpLen = http.getBytes("UTF-8").length
+          val rec = "WARC/1.0\r\nWARC-Type: response" +
+            s"\r\nWARC-Target-URI: http://site${p.doc_id % 7}.example/doc/${p.doc_id}" +
+            s"\r\nContent-Length: $httpLen\r\n\r\n" + http + "\r\n"
+          (p.doc_id, rec)
+        }.toDF("ord", "value")
+      val tmp = Files.createTempDirectory("graft_q125_warc")
+      staged.repartition(8).select("value")
+        .write.mode("overwrite").option("compression", "gzip")
+        .text(tmp.toString)
+      val parsed = graft.sources.Sources.readWet(s, tmp.toString)
+      val pages = parsed.where(col("record_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("body"))
+        .as[(Long, String)]
+        .flatMap { case (id, payload) =>
+          graft.sources.Sources.httpSplit(payload).collect {
+            case (200, headers, html)
+                if headers.get("content-type").exists(_.startsWith("text/html")) =>
+              graft.operators.HtmlExtract.Page(id, html)
+          }
+        }
+      val out = graft.operators.HtmlExtract.extractMainText(pages)
+        .toDF().orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      result
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+     + CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT)
+     AS BIGINT) AS n_blocks,
+  CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT) AS n_kept,
+  text AS extracted
+FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111, q117, q125)
 }

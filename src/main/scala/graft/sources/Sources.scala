@@ -336,6 +336,39 @@ object Sources extends org.apache.spark.internal.Logging {
     out.toSeq
   }
 
+  /** Split an HTTP response payload (the body of a WARC `response`
+    * record — raw crawl WARCs carry these, unlike WET's pre-extracted
+    * text): status line → code, header lines to the blank line →
+    * lowercased map, remainder → body. Non-HTTP payloads degrade to
+    * None, same contract as every other crawl-byte parser here. */
+  def httpSplit(payload: String): Option[(Int, Map[String, String], String)] = {
+    val nl = payload.indexOf('\n')
+    if (nl < 0) return None
+    val statusEnd = if (nl > 0 && payload(nl - 1) == '\r') nl - 1 else nl
+    val status = payload.substring(0, statusEnd)
+    if (!status.startsWith("HTTP/")) return None
+    val parts = status.split(" ")
+    if (parts.length < 2) return None
+    val code = parts(1).toIntOption.getOrElse(return None)
+    var pos = nl + 1
+    var headers = Map.empty[String, String]
+    var done = false
+    while (!done) {
+      val e = payload.indexOf('\n', pos)
+      if (e < 0) return None // header block never terminated
+      val cut = if (e > pos && payload(e - 1) == '\r') e - 1 else e
+      val h = payload.substring(pos, cut)
+      pos = e + 1
+      if (h.isEmpty) done = true
+      else h.indexOf(':') match {
+        case -1 => () // tolerated, as in the WARC header block
+        case i => headers += (h.take(i).trim
+          .toLowerCase(java.util.Locale.ROOT) -> h.drop(i + 1).trim)
+      }
+    }
+    Some((code, headers, payload.substring(pos)))
+  }
+
   /** S8 — WET corpus source: WARC/WET shards → one row per record.
     * Gzip is transparent by extension; each (typically ~150 MB) shard
     * is read whole and parsed by one task — exactly the

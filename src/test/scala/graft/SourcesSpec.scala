@@ -214,4 +214,21 @@ class SourcesSpec extends SparkSpec {
     assert(content == "k,v\n1,a\n2,b\n")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out.csv.tmpdir")))
   }
+
+  test("httpSplit: status/headers/body; body keeps blank lines; edges -> None") {
+    val ok = Sources.httpSplit(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-N: 7\r\n\r\n" +
+        "line one\n\nline three")
+    assert(ok.isDefined)
+    val (code, headers, body) = ok.get
+    assert(code == 200 && headers("content-type") == "text/html" &&
+      headers("x-n") == "7")
+    assert(body == "line one\n\nline three") // blank lines belong to the body
+    // LF-only framing tolerated, like the WARC parser
+    assert(Sources.httpSplit("HTTP/1.0 404 NF\nA: b\n\n").get._1 == 404)
+    assert(Sources.httpSplit("not http").isEmpty)
+    assert(Sources.httpSplit("HTTP/1.1 200 OK\r\nA: b\r\n").isEmpty) // no blank line
+    assert(Sources.httpSplit("HTTP/1.1 abc\r\n\r\n").isEmpty) // non-numeric code
+    assert(Sources.httpSplit("").isEmpty)
+  }
 }
