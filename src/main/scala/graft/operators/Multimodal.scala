@@ -87,7 +87,9 @@ object Multimodal {
               i += 1
             }
             (g.width, g.height, 1, px)
-          }) match {
+          })
+          .orElse(Bmp.decode(r.data).map(b =>
+            (b.width, b.height, 3, b.rgb))) match {
           case Some((_, _, _, px)) =>
             var s = 0L; var i = 0
             while (i < px.length) { s += px(i) & 0xff; i += 1 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
-import graft.operators.{Audio, Gif, Multimodal}
+import graft.operators.{Audio, Bmp, Gif, Multimodal}
 
 /** Multimodal query inventory: binary payload + typed metadata through
   * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
@@ -757,7 +757,70 @@ SELECT doc_id,
 FROM v GROUP BY doc_id, ul ORDER BY doc_id
 """))
 
+  /** q126 — BMP pixel decode: each document synthesizes a 24-bit
+    * BI_RGB bitmap (bottom-up, 4-byte-aligned rows — the padding and
+    * row inversion are exactly where naive readers break) whose pixel
+    * (x,y) channels are (id·7 + x·3 + y·5 + ch·11) mod 256, and
+    * [[graft.operators.Bmp.bmpFeatures]] recovers per-channel sums
+    * through the header walk + row flip + BGR swizzle. Oracle replays
+    * every pixel arithmetically. */
+  val q126 = QuerySpec("q126_bmp_pixels",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        (lit(5) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(4) + col("n_chars") % 8).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      val media = base.mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var ch = 0
+              while (ch < 3) {
+                rgb((y * w + x) * 3 + ch) =
+                  ((id * 7 + x * 3 + y * 5 + ch * 11) % 256).toByte
+                ch += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Multimodal.MediaRecord(id, "image", Bmp.bmpBytes(w, h, rgb),
+            Multimodal.MediaMeta(w, h, "bmp", 1))
+        }
+      }
+      Bmp.bmpFeatures(media).toDF().orderBy("doc_id")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(5 + doc_id % 9 AS INT) AS w,
+    CAST(4 + n_chars % 8 AS INT) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(range(0, CAST(w * h AS BIGINT))) AS i
+  FROM base
+), v AS (
+  SELECT doc_id, w, h,
+    (doc_id * 7 + (i % w) * 3 + (i // w) * 5) % 256 AS r,
+    (doc_id * 7 + (i % w) * 3 + (i // w) * 5 + 11) % 256 AS g,
+    (doc_id * 7 + (i % w) * 3 + (i // w) * 5 + 22) % 256 AS b
+  FROM px
+)
+SELECT doc_id, w AS width, h AS height,
+  CAST(count(*) AS BIGINT) AS n_pixels,
+  CAST(sum(r) AS BIGINT) AS sum_red,
+  CAST(sum(g) AS BIGINT) AS sum_green,
+  CAST(sum(b) AS BIGINT) AS sum_blue,
+  CAST(24 AS INT) AS bits_per_pixel
+FROM v GROUP BY doc_id, w, h ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123,
-      q124)
+      q124, q126)
 }
