@@ -95,7 +95,20 @@ object HtmlExtract {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else {
-          val e = html.indexOf('>', i + 1)
+          // quote-aware close scan: '>' inside a quoted attribute value
+          // (href="a>b", onclick='x>y') does NOT close the tag — real
+          // crawl HTML contains these and a naive indexOf('>') would
+          // spill the attribute tail into the extracted text
+          var e = -1
+          var j = i + 1
+          var quote = 0.toChar
+          while (e < 0 && j < n) {
+            val cj = html.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            else if (cj == '>') e = j
+            j += 1
+          }
           if (e < 0) { i = n } // unterminated tag: drop the tail
           else {
             val body = html.substring(i + 1, e)

@@ -63,6 +63,16 @@ class HtmlExtractSpec extends SparkSpec {
     assert(k2 == 1 && g2 == "stay right here my no")
   }
 
+  test("'>' inside quoted attribute values does not close the tag") {
+    val (_, _, a) = extract("<p><a href=\"/a?x>y\">link text</a> and more words here</p>")
+    assert(a == "link text and more words here")
+    val (_, _, b) = extract("<div data-q='1>2'>kept body text</div>")
+    assert(b == "kept body text")
+    // unterminated quote inside a tag: the tail is dropped, not leaked
+    val (_, _, c) = extract("<p>before</p><img alt=\"dangling>")
+    assert(c == "before")
+  }
+
   test("empty page and tag-only page yield zero blocks") {
     val (b1, k1, g1) = extract("")
     assert(b1 == 0 && k1 == 0 && g1 == "")
