@@ -10,15 +10,18 @@ import org.apache.spark.sql.Dataset
   * pixel-level decode is what perceptual hashing / mean-luma curation
   * needs.
   *
-  * Supported: global color table, a single image frame (interlaced or
-  * not — javax.imageio writes interlaced, so crawls contain plenty),
-  * full variable-width LZW (dictionary growth to 12 bits, clear/EOI
-  * codes, the KwKwK self-reference case), extension-block skipping
-  * (GCE, comments, application — animation frames beyond the first are
-  * out of scope). Local color tables return None
-  * (degrade-to-quarantine, never throw — same contract as the PNG and
-  * JPEG decoders; a crawl payload must not be able to hang or kill an
-  * executor).
+  * Supported: global AND per-frame local color tables, multi-frame
+  * animated GIFs via [[decodeFrames]] (up to `maxFrames`, each frame
+  * with its own descriptor, palette, interlace flag, and LZW stream —
+  * q122 depends on this), interlaced or sequential row order
+  * (javax.imageio writes interlaced, so crawls contain plenty), full
+  * variable-width LZW (dictionary growth to 12 bits, clear/EOI codes,
+  * the KwKwK self-reference case), extension-block skipping (GCE,
+  * comments, application). Only the still-image view [[decode]]
+  * restricts to a single full-screen first frame. Malformed payloads
+  * return None (degrade-to-quarantine, never throw — same contract as
+  * the PNG and JPEG decoders; a crawl payload must not be able to hang
+  * or kill an executor).
   *
   * Scale shape: per-record byte work inside `mapPartitions`; image
   * bytes never shuffle, only fixed-width feature rows leave.

@@ -87,7 +87,21 @@ object HtmlExtract {
 
     var i = 0
     val n = html.length
-    val lower = html.toLowerCase // one pass; raw-skip close-tag scans reuse it
+    // Case-insensitive substring scan without a lowercased copy: a full
+    // toLowerCase is locale-sensitive (Turkish dotless-ı folds 'TITLE'
+    // to 'tıtle') and can change string LENGTH (U+0130 lowercases to two
+    // chars), misaligning indexOf positions. regionMatches(true, ...)
+    // folds char-by-char with no locale and no allocation.
+    def indexOfIgnoreCase(needle: String, from: Int): Int = {
+      val m = needle.length
+      var k = from
+      val last = n - m
+      while (k <= last) {
+        if (html.regionMatches(true, k, needle, 0, m)) return k
+        k += 1
+      }
+      -1
+    }
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
@@ -114,12 +128,13 @@ object HtmlExtract {
             val body = html.substring(i + 1, e)
             val closing = body.startsWith("/")
             val name = body.dropWhile(_ == '/')
-              .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+              .takeWhile(ch => ch.isLetterOrDigit)
+              .toLowerCase(java.util.Locale.ROOT)
             i = e + 1
             if (!closing && RawSkipTags.contains(name)) {
               // raw-text element: skip to its close tag wholesale
               val stop = s"</$name"
-              val s2 = lower.indexOf(stop, i)
+              val s2 = indexOfIgnoreCase(stop, i)
               i = if (s2 < 0) n else {
                 val e2 = html.indexOf('>', s2)
                 if (e2 < 0) n else e2 + 1

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling — the reproducibility primitive a
@@ -121,22 +122,58 @@ object Sampling {
     * keys is bounded by distinct-heavy-key count, orders of magnitude
     * smaller than the corpus (if it were not, the quota would be
     * removing nearly everything).
+    *
+    * Even within the over-quota slice, a single pathological key (one
+    * host with 10⁸ rows) must not land its whole rank on one window
+    * task. So the rank runs in two exact phases: rows of over-quota
+    * keys are salted into `salts` buckets by a hash of the ORDER value
+    * (order-ties stay together, so results are stable), ranked within
+    * (key, salt) keeping at most `quota` per bucket — every window
+    * partition is ~n/salts rows — then the ≤ salts·quota survivors per
+    * key pay the final exact rank (a constant-bounded partition). The
+    * pre-trim is lossless: a row among the true first `quota` of its
+    * key has < quota rows ahead of it overall, hence < quota ahead in
+    * its own salt bucket, so its in-bucket rank ≤ quota. Results are
+    * identical to a single full rank whenever `order` is a total order
+    * within each key (the same uniqueness row_number already needed
+    * for determinism).
+    *
+    * NULL keys group together (null-safe join mark), so an over-quota
+    * NULL-key group is capped like any other. Internal column names
+    * are freshened against the input schema — a caller column named
+    * `__qk`/`__rn` cannot collide.
     */
   def quotaPerKey(df: DataFrame, key: Column, order: Column,
-      quota: Int): DataFrame = {
+      quota: Int, salts: Int = 64): DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val over = df.groupBy(key.as("qk"))
-      .agg(count(lit(1)).as("qn"))
-      .where(col("qn") > quota)
-      .select("qk")
-    val marked = df.join(broadcast(over), key === col("qk"), "left")
-    val pass = marked.where(col("qk").isNull).drop("qk")
-    val trimmed = marked.where(col("qk").isNotNull).drop("qk")
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(order)))
-      .where(col("__rn") <= quota)
-      .drop("__rn")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val taken = df.columns.toSet
+    def fresh(base: String): String = {
+      var nm = base
+      while (taken(nm)) nm += "_"
+      nm
+    }
+    val qk = fresh("__qk")
+    val qn = fresh("__qn")
+    val mark = fresh("__over")
+    val slt = fresh("__salt")
+    val rn = fresh("__rn")
+    val over = df.groupBy(key.as(qk))
+      .agg(count(lit(1)).as(qn))
+      .where(col(qn) > quota)
+      .select(col(qk), lit(1).as(mark))
+    val marked = df.join(broadcast(over), key <=> col(qk), "left")
+    val pass = marked.where(col(mark).isNull).drop(qk, mark)
+    val w1 = Window.partitionBy(key, col(slt)).orderBy(order)
+    val w2 = Window.partitionBy(key).orderBy(order)
+    val trimmed = marked.where(col(mark).isNotNull).drop(qk, mark)
+      .withColumn(slt, pmod(hash(order), lit(salts)))
+      .withColumn(rn, row_number().over(w1))
+      .where(col(rn) <= quota)
+      .drop(rn)
+      .withColumn(rn, row_number().over(w2))
+      .where(col(rn) <= quota)
+      .drop(rn, slt)
     pass.unionByName(trimmed)
   }
 }

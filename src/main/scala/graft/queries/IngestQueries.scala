@@ -480,13 +480,20 @@ GROUP BY rd ORDER BY rd
       result
     },
     Some(raw"""
+WITH k AS (
+  SELECT doc_id, text,
+    -- empty-text guard, mirroring q116: DuckDB string_split('') = ['']
+    -- would count 1 where the engine keeps 0 blocks
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT)
+    END AS n_kept
+  FROM documents WHERE doc_id % 13 <> 0)
 SELECT doc_id,
-  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
-     + CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT)
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END + n_kept
      AS BIGINT) AS n_blocks,
-  CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT) AS n_kept,
-  text AS extracted
-FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id
+  n_kept,
+  CASE WHEN n_kept = 0 THEN '' ELSE text END AS extracted
+FROM k ORDER BY doc_id
 """))
 
   val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111, q117, q125)

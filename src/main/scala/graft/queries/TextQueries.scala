@@ -1191,13 +1191,21 @@ ORDER BY gates.doc_id
         .orderBy("doc_id")
     },
     Some(raw"""
+WITH k AS (
+  SELECT doc_id, text,
+    -- empty/whitespace-only text yields ZERO kept blocks (the engine's
+    -- close() drops empty blocks), not the 1 that DuckDB's
+    -- string_split('') = [''] would imply
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT)
+    END AS n_kept
+  FROM documents)
 SELECT doc_id,
-  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
-     + CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT)
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END + n_kept
      AS BIGINT) AS n_blocks,
-  CAST(ceil(len(string_split(text, ' ')) / 15.0) AS BIGINT) AS n_kept,
-  text AS extracted
-FROM documents ORDER BY doc_id
+  n_kept,
+  CASE WHEN n_kept = 0 THEN '' ELSE text END AS extracted
+FROM k ORDER BY doc_id
 """))
 
   /** q119 — markdown → plain text (the README/docs/code-corpus analog

@@ -76,17 +76,17 @@ object HtmlTickerSource {
       "graft-html: one of 'html', 'file', or 'url'+'fetcher' is required"))
   }
 
-  /** Extraction + guard + E10 normalization (see class doc). */
+  /** Extraction + guard + E10 normalization (see class doc). The
+    * strings from [[Sources.tickerStringsFromHtml]] arrive already
+    * normalized (the ≥ minRows guard counts normalized non-empty
+    * cells, reference ordering); only distinct + sort remain here. */
   private[sources] def tickers(opts: CaseInsensitiveStringMap): Array[String] = {
     val html = resolveHtml(opts)
-    val raw = Sources.tickerStringsFromHtml(html).getOrElse(
+    val normalized = Sources.tickerStringsFromHtml(html).getOrElse(
       throw new IllegalStateException(
         s"graft-html: no table with a ticker column and >= ${Sources.minRows} " +
-          "rows found (extract_tickers.py:40-41 semantics)"))
-    raw.iterator
-      .map(t => t.trim.toUpperCase(java.util.Locale.ROOT).replace('.', '-'))
-      .filter(_.nonEmpty)
-      .toArray.distinct.sorted
+          "normalized rows found (extract_tickers.py:40-41 semantics)"))
+    normalized.toArray.distinct.sorted
   }
 }
 

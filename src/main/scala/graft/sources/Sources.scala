@@ -86,15 +86,23 @@ object Sources extends org.apache.spark.internal.Logging {
   }
 
   /** The pure extraction tier of S1: first table with a ticker-ish
-    * column and ≥ [[minRows]] rows, as raw cell strings. Shared by
-    * [[tickersFromHtml]] and the `graft-html` DataSourceV2 connector
-    * ([[HtmlTickerSource]]). */
+    * column and ≥ [[minRows]] NORMALIZED rows. The guard counts cells
+    * AFTER E10 normalization (trim → upper → '.'→'-') and empty
+    * filtering, matching the reference's ordering
+    * (`extract_tickers.py:39-41` strips/uppercases and drops empties
+    * before its length check) — a table padded with whitespace-only
+    * cells cannot sneak past the guard. Shared by [[tickersFromHtml]]
+    * and the `graft-html` DataSourceV2 connector ([[HtmlTickerSource]]).
+    */
   def tickerStringsFromHtml(html: String): Option[Seq[String]] =
     parseHtmlTables(html).flatMap { case (headers, rows) =>
       headers.zipWithIndex
         .find { case (h, _) => tickerColumnNames(h) }
         .map { case (_, idx) =>
-          rows.flatMap(r => r.lift(idx)).filter(_.nonEmpty)
+          rows.flatMap(r => r.lift(idx))
+            .map(t => t.trim.toUpperCase(java.util.Locale.ROOT)
+              .replace('.', '-'))
+            .filter(_.nonEmpty)
         }
     }.find(_.size >= minRows)
 

@@ -38,6 +38,24 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got == "real content here")
   }
 
+  test("tag folding is locale-independent (Turkish dotless-i JVM)") {
+    // under a tr-TR default locale, "TITLE".toLowerCase would be
+    // "tıtle" and miss the raw-skip set — the fold must be Locale.ROOT
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val (_, _, got) = extract(
+        "<TITLE>leak</TITLE><DIV>body words</DIV><SCRIPT>var x=1;</SCRIPT>" +
+          "<LI>item text</LI>")
+      assert(got == "body words item text")
+      // U+0130 content lowercases to TWO chars — a full toLowerCase copy
+      // would misalign close-tag offsets; the scan must stay aligned
+      val (_, _, tr) = extract(
+        "<p>İstanbul ili</p><script>skip();</script><p>more body</p>")
+      assert(tr == "İstanbul ili more body")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("comments skipped; unterminated tag drops only the tail") {
     val (_, _, a) = extract("<p>keep</p><!-- <p>gone</p> --><p>also</p>")
     assert(a == "keep also")

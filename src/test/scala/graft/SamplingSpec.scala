@@ -145,6 +145,53 @@ class SamplingSpec extends SparkSpec {
     assert(run(df).size == 35)
   }
 
+  test("quotaPerKey: pathological hot key ranks through the salted path, " +
+      "exactly matching a full rank") {
+    import spark.implicits._
+    // one 100k-row host + healthy keys — the straggler scenario: the
+    // hot key's rank must NOT land on a single window partition
+    val df = ((1 to 100000).map(i => ("hot.example", i.toLong * 7 % 100001)) ++
+      (1 to 50).map(i => (s"small$i", i.toLong))).toDF("k", "ord")
+    val out = Sampling.quotaPerKey(df, col("k"), col("ord"), 25)
+    // plan-assert the salted pre-trim: the over-quota branch windows by
+    // (key, salt) before the final per-key rank
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"expected salted window in plan:\n$plan")
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // exact equivalence with the naive single full rank
+    val naive = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("ord")))
+      .where(col("rn") <= 25).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got == naive)
+    assert(got("hot.example").size == 25)
+    assert(got("small1") == Seq(1L))
+  }
+
+  test("quotaPerKey: over-quota NULL-key group is capped (null-safe join)") {
+    import spark.implicits._
+    val df = ((1 to 9).map(i => (Option.empty[String], i.toLong)) ++
+      (1 to 2).map(i => (Some("a"), 100L + i))).toDF("k", "ord")
+    val out = Sampling.quotaPerKey(df, col("k"), col("ord"), 3).collect()
+    val nullRows = out.filter(_.isNullAt(0)).map(_.getLong(1)).sorted.toSeq
+    assert(nullRows == Seq(1L, 2L, 3L), s"NULL key must be capped: $nullRows")
+    assert(out.count(!_.isNullAt(0)) == 2)
+  }
+
+  test("quotaPerKey: caller columns named like internals do not collide") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("a", i.toLong, s"u$i", i, 0, 0))
+      .toDF("k", "ord", "__qk", "__rn", "__salt", "__over")
+    val out = Sampling.quotaPerKey(df, col("k"), col("ord"), 4)
+    assert(out.columns.toSeq == df.columns.toSeq, "schema must be preserved")
+    assert(out.count() == 4)
+    // caller's __qk values survive untouched
+    assert(out.select("__qk").collect().forall(_.getString(0).startsWith("u")))
+  }
+
   test("urlRegisteredDomain: PSL subset, www strip, single-label passthrough") {
     import spark.implicits._
     import graft.functions.{Text => T}
