@@ -120,8 +120,13 @@ case class TokenLcp(left: Expression, right: Expression)
         |  while ($i < $n && $x.getByte($i) == $y.getByte($i)) $i++;
         |  int $t = 0;
         |  for (int $j = 0; $j < $i; $j++) { if ($x.getByte($j) == (byte) 0x20) $t++; }
-        |  boolean $whole = ($i == $xn && ($i == $yn || $y.getByte($i) == (byte) 0x20))
-        |    || ($i == $yn && $x.getByte($i) == (byte) 0x20);
+        |  // Janino mis-parses a leading parenthesized boolean in
+        |  // `(A && (B || C)) || (D && E)` as a cast ("is not a type"),
+        |  // which would silently drop this expression out of codegen —
+        |  // so the disjunction is sequenced as plain ifs instead.
+        |  boolean $whole = false;
+        |  if ($i == $xn) { $whole = $i == $yn || $y.getByte($i) == (byte) 0x20; }
+        |  if (!$whole && $i == $yn && $i < $xn) { $whole = $x.getByte($i) == (byte) 0x20; }
         |  ${ev.value} = $whole ? $t + 1 : $t;
         |}
       """.stripMargin
@@ -559,6 +564,96 @@ case class CentroidDots(child: Expression, codebook: CodebookRef)
     copy(child = newChild)
 }
 
+/** Argmin-by-distance seed id for the two-level (coarse→fine) IVF
+  * assignment: given a row vector x and the fine-seed list of the
+  * row's COARSE cell — an array<struct<sid:long, se:array<double>,
+  * se2:double>> where se2 = ‖se‖² precomputed with the same
+  * left-assoc fold — returns the sid minimizing −2·x·se + se2 (the
+  * x-dependent part of ‖x − se‖²). First minimum wins, so with the
+  * list sorted by sid ascending, ties resolve to the smallest sid —
+  * the rule the DuckDB oracle replays with ORDER BY s ASC, sid ASC.
+  *
+  * Why a custom Expression (same rationale as [[CentroidScores]]): the
+  * seed list arrives per-row from a per-coarse-cell join, so a
+  * broadcast codebook handle cannot serve it, and the built-in
+  * `aggregate` HOF formulation is interpreted per element with a
+  * nested fold per seed. This is one codegen'd two-level primitive
+  * loop; the surrounding projection stays in WholeStageCodegen.
+  *
+  * Null or EMPTY seed list → null (caller coalesces a fallback so a
+  * float-degenerate empty coarse cell degrades to a singleton instead
+  * of dropping the row). */
+case class NearestSeedId(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_seed_id"
+
+  override def nullSafeEval(xAny: Any, seedsAny: Any): Any = {
+    val x = xAny.asInstanceOf[ArrayData]
+    val seeds = seedsAny.asInstanceOf[ArrayData]
+    val n = seeds.numElements()
+    if (n == 0) return null
+    var best = 0.0
+    var bestSid = 0L
+    var found = false
+    var j = 0
+    while (j < n) {
+      val row = seeds.getStruct(j, 3)
+      val se = row.getArray(1)
+      val m = math.min(x.numElements(), se.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += x.getDouble(i) * se.getDouble(i); i += 1 }
+      val s = -2.0 * acc + row.getDouble(2)
+      if (!found || s < best) { best = s; bestSid = row.getLong(0); found = true }
+      j += 1
+    }
+    bestSid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, seeds) => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestSid = ctx.freshName("bestSid")
+      val found = ctx.freshName("found")
+      val row = ctx.freshName("row")
+      val se = ctx.freshName("se")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      s"""
+        |int $n = $seeds.numElements();
+        |if ($n == 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $best = 0.0;
+        |  long $bestSid = 0L;
+        |  boolean $found = false;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    org.apache.spark.sql.catalyst.InternalRow $row = $seeds.getStruct($j, 3);
+        |    org.apache.spark.sql.catalyst.util.ArrayData $se = $row.getArray(1);
+        |    int $m = java.lang.Math.min($x.numElements(), $se.numElements());
+        |    double $acc = 0.0;
+        |    for (int $i = 0; $i < $m; $i++) { $acc += $x.getDouble($i) * $se.getDouble($i); }
+        |    double $s = -2.0 * $acc + $row.getDouble(2);
+        |    if (!$found || $s < $best) { $best = $s; $bestSid = $row.getLong(0); $found = true; }
+        |  }
+        |  ${ev.value} = $bestSid;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Executor-side handle to a broadcast linear-model weight vector (the
   * fastText-style hashed bag-of-words classifier): the weights ride a
   * Torrent broadcast, never the expression tree — the plan is O(1) in
@@ -874,6 +969,12 @@ object VectorExpressions {
   def pqAdc(codes: Column, lut: Column): Column =
     ExpressionUtils.column(
       PqAdc(ExpressionUtils.expression(codes), ExpressionUtils.expression(lut)))
+
+  /** Column API for [[NearestSeedId]]: x (array<double>) ×
+    * seeds (array<struct<sid:long, se:array<double>, se2:double>>). */
+  def nearestSeedId(x: Column, seeds: Column): Column =
+    ExpressionUtils.column(NearestSeedId(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(seeds)))
 
   /** Column API for [[WeightSum]]: buckets (array<long>) × broadcast
     * weight vector. */

@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed by per-partition batch workers.
   *
-  * Two tiers of "decode" live here. PIXEL-level decode needs codec
-  * libraries the container lacks, so those steps are clearly-marked
-  * deterministic stubs (`decodeStub`, `frameSampleStub`,
-  * `byteHashStub`). HEADER-level decode is fully real:
+  * Decode here is REAL for every format with a tractable public spec,
+  * all implemented in-repo with zero codec libraries: PNG (zlib +
+  * filters), baseline AND progressive JPEG (Huffman + IDCT), GIF
+  * (LZW, animation, local palettes), BMP, MP4 sample-table demux,
+  * PCM/G.711 audio — `decodeBrightness` feeds actually-decoded pixels
+  * from all four image codecs into one brightness surface, and
   * `parseImageHeader` reads actual PNG IHDR chunks and JPEG SOF
-  * segments (public byte formats, no library needed) from real
-  * containers built by `encodeImageStub`. Everything Spark-cares-about
-  * is real in both tiers: the binary column representation, the typed
+  * segments from real containers built by `encodeImageContainers`.
+  * Formats whose entropy tier is impractical in-repo (H.264, lossy
+  * VP8…) quarantine to clearly-marked byte-level stand-ins
+  * (`frameSampleStub`'s stride checksums, `byteBandHash`'s sampled
+  * bytes, the byte-sum branch of `decodeBrightness`). Everything
+  * Spark-cares-about is identical in both tiers: the binary column
+  * representation, the typed
   * metadata struct, the case-class Encoders, the mapPartitions batch
   * shape (one worker per partition, streaming iterator, no per-row
   * JVM↔lib churn), and the partitioning (narrow — media bytes never
@@ -69,7 +75,7 @@ object Multimodal {
     * payload decodes. Batch shape is the production one either way:
     * per-partition worker, streaming iterator, bytes never shuffle.
     */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def decodeBrightness(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition setup would open non-PNG codecs once here, not per row
@@ -128,11 +134,11 @@ object Multimodal {
   // The pixel-decode stubs above stand in for codec libraries the
   // container lacks; DIMENSION decoding needs no library at all — the
   // PNG IHDR chunk and the JPEG SOF segment are ~60 lines of public
-  // byte format. encodeImageStub wraps each payload in a REAL header
+  // byte format. encodeImageContainers wraps each payload in a REAL header
   // (PNG with a real CRC-32; JPEG with an APP0/JFIF segment the parser
   // must skip over), and parseImageHeader reads it back the way any
   // production header sniffer does: signature check + chunk/marker
-  // scan. The mapPartitions batch shape is identical to decodeStub's.
+  // scan. The mapPartitions batch shape is identical to decodeBrightness's.
 
   final case class ImageInfo(doc_id: Long, format: String, width: Int,
       height: Int, channels: Int, n_bytes: Long)
@@ -232,7 +238,7 @@ object Multimodal {
     * header as the entropy-coded body would. Narrow per-partition pass;
     * the synthesized corpus is what [[decodeImage]]'s oracle-checked
     * parse runs against. */
-  def encodeImageStub(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+  def encodeImageContainers(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
@@ -266,7 +272,7 @@ object Multimodal {
   // The one image format whose PIXEL tier needs no external codec:
   // PNG's compression is zlib (java.util.zip.{Deflater,Inflater}) and
   // its per-scanline filters (none/sub/up/average/paeth) are ~40 lines
-  // of public spec. With these, `decodeStub`'s "brightness" becomes a
+  // of public spec. With these, `decodeBrightness`'s "brightness" becomes a
   // REAL mean over decoded samples for PNG payloads — the media
   // feature tier is fully real end to end for one format. Scope: bit
   // depth 8, color types 0/2/4/6, no interlace (Adam7 is a scan-order
@@ -1748,7 +1754,7 @@ object Multimodal {
 
   /** Wrap each payload in a real A/V container: WAV for even doc_id
     * (channels/rate from n_chars-derived meta), MP4 for odd
-    * (timescale/duration likewise). Mirrors [[encodeImageStub]]. */
+    * (timescale/duration likewise). Mirrors [[encodeImageContainers]]. */
   def encodeAvStub(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -1967,7 +1973,7 @@ object Multimodal {
     * in this same mapPartitions and feed the SAME banding/hamming
     * pipeline (q91) — the dedup side is modality-independent.
     */
-  def byteHashStub(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+  def byteBandHash(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
@@ -1991,6 +1997,170 @@ object Multimodal {
           Some(MediaHash(r.doc_id, hash))
         }
       }
+    }
+  }
+
+  // ---- Perceptual (pixel-level) image fingerprint: dHash ----
+  //
+  // The byte-level tier above ([[byteBandHash]], q91) cannot see that
+  // two RE-ENCODES of one image are the same picture — a PNG and a BMP
+  // of identical pixels share no bytes. With four real pixel decoders
+  // in-repo, the perceptual tier hashes what the image LOOKS like:
+  // decode → integer luma → 9×8 box-mean grid → difference hash
+  // (bit (r,c) = right neighbor brighter). Any lossless re-encode
+  // (and, by design of dHash, small brightness/contrast shifts —
+  // differences survive monotone tone changes) produces the same
+  // 64 bits; the SAME banded-hamming candidate pipeline as q33/q91
+  // then pairs them without an all-pairs join.
+
+  final case class PerceptualHash(doc_id: Long, dhash: Long)
+
+  /** Decode any supported still image to an integer luma surface:
+    * (width, height, row-major BT.601 luma ints 0..255). Grayscale
+    * sources pass through exactly ((77+150+29)·v >> 8 = v); undecodable
+    * payloads → None (quarantine, same contract as the decoders). */
+  def grayPixels(data: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+    pngDecodePixels(data).map { case (w, h, ch, px) =>
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (ch == 1) px(i) & 0xff
+          else luma(px(i * ch) & 0xff, px(i * ch + 1) & 0xff,
+            px(i * ch + 2) & 0xff)
+        i += 1
+      }
+      (w, h, out)
+    }.orElse(jpegDecodePixels(data).map { case (w, h, ch, px) =>
+      val out = new Array[Int](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (ch == 1) px(i) & 0xff
+          else luma(px(i * ch) & 0xff, px(i * ch + 1) & 0xff,
+            px(i * ch + 2) & 0xff)
+        i += 1
+      }
+      (w, h, out)
+    }).orElse(Gif.decode(data).map { g =>
+      val out = new Array[Int](g.width * g.height)
+      var i = 0
+      while (i < out.length) {
+        val c = g.palette((g.indices(i) & 0xff) % g.palette.length)
+        out(i) = luma((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+        i += 1
+      }
+      (g.width, g.height, out)
+    }).orElse(Bmp.decode(data).map { b =>
+      val out = new Array[Int](b.width * b.height)
+      var i = 0
+      while (i < out.length) {
+        out(i) = luma(b.rgb(i * 3) & 0xff, b.rgb(i * 3 + 1) & 0xff,
+          b.rgb(i * 3 + 2) & 0xff)
+        i += 1
+      }
+      (b.width, b.height, out)
+    })
+  }
+
+  /** 64-bit difference hash over a 9×8 box-mean grid: cell (r,c)
+    * averages the pixel block rows [r·h/8, (r+1)·h/8) × cols
+    * [c·w/9, (c+1)·w/9) (integer sums, truncating division — exact
+    * and engine-replayable); bit r·8+c is set iff cell (r,c+1) >
+    * cell (r,c). Needs w ≥ 9, h ≥ 8 (smaller images quarantine). */
+  def dHash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 9 || h < 8 || gray.length < w * h) return None
+    val cell = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val r0 = r * h / 8; val r1 = (r + 1) * h / 8
+        val c0 = c * w / 9; val c1 = (c + 1) * w / 9
+        var sum = 0L
+        var rr = r0
+        while (rr < r1) {
+          var cc = c0
+          while (cc < c1) { sum += gray(rr * w + cc); cc += 1 }
+          rr += 1
+        }
+        cell(r)(c) = sum / ((r1 - r0).toLong * (c1 - c0))
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cell(r)(c + 1) > cell(r)(c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** Perceptual fingerprint per record: decode → luma → [[dHash64]].
+    * Narrow mapPartitions — image bytes never shuffle, 16 bytes of
+    * (id, hash) leave per record; undecodable or sub-9×8 payloads
+    * quarantine (flatMap drops them, same contract as decodeImage). */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        grayPixels(r.data).flatMap { case (w, h, g) => dHash64(w, h, g) }
+          .map(PerceptualHash(r.doc_id, _))
+      }
+    }
+  }
+
+  /** Deterministic re-encode fixture for the perceptual-dedup oracle:
+    * documents in the same GROUP (doc_id / 3) share one 18×16
+    * grayscale pixel buffer — px(r,c) = ((g+1)·(19r + 7c² + 3)) mod
+    * 256, group-dependent through the mod-256 wrap — but each variant
+    * (doc_id mod 3) ships it in a DIFFERENT real container: grayscale
+    * PNG, 24-bit BMP, or 256-gray-palette GIF. All three are lossless,
+    * so the decoded luma (and hence the dHash) matches exactly within
+    * a group while the raw BYTES share nothing — exactly the case the
+    * byte-level q91 tier cannot pair and this tier must. */
+  def encodePerceptualFixture(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val W = 18; val H = 16
+    documents.select("doc_id").as[Long].map { id =>
+      val g = id / 3
+      val px = new Array[Byte](W * H)
+      var r = 0
+      while (r < H) {
+        var c = 0
+        while (c < W) {
+          px(r * W + c) =
+            (((g + 1L) * (19L * r + 7L * c * c + 3L)) % 256L).toByte
+          c += 1
+        }
+        r += 1
+      }
+      val data = (id % 3) match {
+        case 0 => pngEncode(W, H, 1, px)
+        case 1 =>
+          val rgb = new Array[Byte](W * H * 3)
+          var i = 0
+          while (i < W * H) {
+            rgb(i * 3) = px(i); rgb(i * 3 + 1) = px(i); rgb(i * 3 + 2) = px(i)
+            i += 1
+          }
+          Bmp.bmpBytes(W, H, rgb)
+        case _ =>
+          val palette = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+          Gif.gifBytes(W, H, palette, px)
+      }
+      val codec = (id % 3) match {
+        case 0 => "png"; case 1 => "bmp"; case _ => "gif"
+      }
+      MediaRecord(id, "image", data, MediaMeta(W, H, codec, 1))
     }
   }
 }

@@ -226,6 +226,100 @@ object Similarity {
       .withColumn("keep", col("id") === col("keeper"))
   }
 
+  /** Lexicographic md5-prefix threshold selecting an EXPECTED `k` of
+    * `n` rows: a row is a fine seed iff the first 8 hex chars of
+    * md5(id) sort below this literal. Pure filter — no sort, no limit,
+    * no driver collect — and replayable verbatim in the DuckDB oracle
+    * (`substr(md5(...),1,8) < lpad(lower(to_hex((4294967296*k)//n)),8,'0')`). */
+  def fineSeedThresholdHex(n: Long, k: Int): String =
+    f"${(4294967296L * k) / math.max(n, 1L)}%08x"
+
+  /** Two-level (coarse→fine) semantic dedup — the extreme-scale shape
+    * of [[semanticDedup]]. Same semantics (cells block a pairwise
+    * cosine-≥ τ pass; pair graph collapses to keep-min-id clusters),
+    * but cell assignment never materializes a k ∝ N codebook on the
+    * driver and never scans all k centroids per row:
+    *
+    *  1. k = [[cellsFor]](n) fine cells (constant ~`targetCellSize`
+    *     rows per cell); k₁ = ⌈√k⌉ COARSE seeds are the k₁ smallest
+    *     rows by (md5(id), id) — planned as TakeOrdered (per-partition
+    *     top-k₁ + driver merge, no global sort), so the driver holds
+    *     O(√k) vectors, never k.
+    *  2. Every row gets its coarse cell from the broadcast coarse
+    *     codebook — O(N·√k) flops through the one-node
+    *     [[org.apache.spark.sql.graftvec.CentroidScores]] expression.
+    *  3. FINE seeds are hash-sampled in place: rows whose md5 prefix
+    *     falls under [[fineSeedThresholdHex]] (expected k of them) ∪
+    *     the coarse-seed rows. They stay DISTRIBUTED: grouped by
+    *     coarse cell into sorted seed lists (~√k seeds ≈
+    *     √k·dim·8 B ≲ 1–2 MB per coarse cell at 10⁹ rows) — the full
+    *     fine codebook exists only spread across k₁ rows, never in one
+    *     place.
+    *  4. Rows join their coarse cell's seed list (k₁-row build side —
+    *     broadcast at test scale, shuffle-on-ccell at extreme scale
+    *     where each key carries ~N/√k rows) and one codegen'd
+    *     [[org.apache.spark.sql.graftvec.NearestSeedId]] argmin picks
+    *     the fine cell: O(N·√k) flops total, O(√k) per row.
+    *
+    * Every nonempty coarse cell contains its own coarse-seed row (its
+    * argmin is itself, up to exact-duplicate ties that empty the cell
+    * entirely), so the seed-list join is total; the left-join +
+    * coalesce(id) fallback only guards float-degenerate duplicates —
+    * a row it catches becomes a singleton cell, never data loss.
+    *
+    * Fine cells are labeled by SEED ROW ID (data-dependent k makes
+    * index labels meaningless), deterministic end to end, and the
+    * q112 oracle replays the full two-level rule — seeds, both
+    * argmins (ties by ascending seed id), threshold arithmetic — in
+    * recursive-CTE SQL. */
+  def semanticDedupTwoLevel(emb: DataFrame, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      targetCellSize: Int = 128): DataFrame = {
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val n = emb.count() // parquet-footer job over a narrow table
+    val k = cellsFor(n, targetCellSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarseRows = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k1)
+      .select(col(idCol).cast("long").as("id"), toDoubles(col(embCol)).as("emb"))
+      .collect()
+    val coarseIds = coarseRows.map(_.getLong(0)).toSeq
+    val ref = IvfIndex.broadcastCodebook(spark,
+      coarseRows.map(_.getSeq[Double](1).toArray).toSeq)
+    val base = graft.CacheRegistry.persistTracked(
+      emb.repartition(par).select(col(idCol).as("id"),
+        toDoubles(col(embCol)).as("u"), invNorm(col(embCol)).as("iv"),
+        IvfIndex.assignCell(col(embCol), ref).as("ccell"),
+        substring(md5(col(idCol).cast("string")), 1, 8).as("h8")))
+    val thresh = fineSeedThresholdHex(n, k)
+    val seedLists = base
+      .where(col("h8") < lit(thresh) || col("id").isInCollection(coarseIds))
+      .select(col("ccell"), struct(col("id").as("sid"), col("u").as("se"),
+        dot(col("u"), col("u")).as("se2")).as("seed"))
+      .groupBy("ccell")
+      .agg(sort_array(collect_list(col("seed"))).as("seeds"))
+    val assigned = graft.CacheRegistry.persistTracked(
+      base.join(seedLists, Seq("ccell"), "left")
+        .select(col("id"), col("u"), col("iv"),
+          coalesce(
+            org.apache.spark.sql.graftvec.VectorExpressions
+              .nearestSeedId(col("u"), col("seeds")),
+            col("id")).as("cell")))
+    val pairs = assigned.as("x").join(assigned.as("y"), Seq("cell"))
+      .where(col("x.id") < col("y.id"))
+      .where(round(dot(col("x.u"), col("y.u")) * col("x.iv") * col("y.iv"), 6)
+        >= tau)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val clusters = Dedup.connectedComponents(pairs)
+    assigned.select("id", "cell")
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        coalesce(col("cluster"), col("id")).as("keeper"))
+      .withColumn("keep", col("id") === col("keeper"))
+  }
+
   /** Cluster-balanced diversity pruning (the D4 / SSL-prototypes
     * curation move): cap every semantic cell at `quota` vectors,
     * keeping the LEAST prototypical first — rows ranked by cosine to

@@ -496,5 +496,126 @@ SELECT doc_id,
 FROM k ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q22, q24, q46, q101, q110, q111, q117, q125)
+  /** q128 — charset-aware raw-crawl ingest: the q125 composition with
+    * NON-UTF-8 pages, byte-preserving end to end. Each document's
+    * page is staged in a charset chosen by doc_id mod 5, declared the
+    * way real crawl pages declare it:
+    *  - 0: UTF-8 with a BOM, NO declaration anywhere (BOM wins);
+    *  - 1: windows-1252 ('€uro résumé café' — 0x80/0xE9 bytes that
+    *       are INVALID UTF-8), declared only in `<meta charset=…>`;
+    *  - 2: Shift_JIS (double-byte kana/kanji), declared only in
+    *       `<meta http-equiv=Content-Type content="…charset=…">`;
+    *  - 3: GB2312 (double-byte hanzi), declared only in the HTTP
+    *       `Content-Type` header;
+    *  - 4: an allowlist-unknown `charset=x-martian` → QUARANTINED
+    *       (dropped, like malformed media — never mojibake).
+    * The fixture is staged as RAW BYTES (binary shards via
+    * foreachPartition — a .text() stage would corrupt the non-UTF-8
+    * sequences before the parser ever saw them), read back with
+    * [[graft.sources.Sources.readWarcBytes]] →
+    * [[graft.sources.Sources.httpSplitBytes]] →
+    * [[graft.sources.Sources.decodeHttpBody]] →
+    * [[graft.operators.HtmlExtract.extractMainText]], and the decoded
+    * extract must round-trip each phrase EXACTLY — the oracle carries
+    * the expected UTF-8 text as literals, so one mis-transcoded byte
+    * anywhere in BOM-strip/header-sniff/meta-scan/decode breaks the
+    * hash compare. Narrow per-file parse; payload bytes never
+    * shuffle. */
+  val q128 = QuerySpec("q128_charset_ingest",
+    (s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val staged: org.apache.spark.sql.Dataset[Array[Byte]] =
+        docs.select("doc_id").as[Long].map { id =>
+          val v = (id % 5).toInt
+          val phrase = v match {
+            case 0 => "data ⋯ stream €"
+            case 1 => "€uro résumé café"
+            case 2 => "日本語 あいうえお"
+            case 3 => "中文 数据 管道"
+            case _ => "quarantine me"
+          }
+          val meta = v match {
+            case 1 => "<meta charset=\"windows-1252\">"
+            case 2 => "<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=Shift_JIS\">"
+            case _ => ""
+          }
+          val html = s"<html><head>$meta</head><body>" +
+            s"<p>doc $id $phrase</p></body></html>"
+          val cs = v match {
+            case 0 => "UTF-8"; case 1 => "windows-1252"
+            case 2 => "Shift_JIS"; case 3 => "GB2312"; case _ => "UTF-8"
+          }
+          val bodyBytes0 = html.getBytes(cs)
+          val bodyBytes = if (v == 0)
+            Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ bodyBytes0
+          else bodyBytes0
+          val ct = v match {
+            case 3 => "text/html; charset=gb2312"
+            case 4 => "text/html; charset=x-martian"
+            case _ => "text/html"
+          }
+          val httpHead = ("HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+            "\r\n\r\n").getBytes("US-ASCII")
+          val http = httpHead ++ bodyBytes
+          val warcHead = ("WARC/1.0\r\nWARC-Type: response" +
+            s"\r\nWARC-Target-URI: http://site${id % 7}.example/doc/$id" +
+            s"\r\nContent-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII")
+          warcHead ++ http ++ "\r\n".getBytes("US-ASCII")
+        }
+      val tmp = Files.createTempDirectory("graft_q128_warc")
+      // capture the path as a String: java.nio.file.Path is not
+      // Serializable and would poison the foreachPartition closure
+      val tmpStr = tmp.toString
+      staged.repartition(8).foreachPartition {
+        (it: Iterator[Array[Byte]]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$tmpStr/part-$pid.warc"))
+          try it.foreach(f.write) finally f.close()
+      }
+      val parsed = graft.sources.Sources.readWarcBytes(s, tmp.toString)
+      val pages = parsed.where(col("record_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("body"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, payload) =>
+          graft.sources.Sources.httpSplitBytes(payload).toSeq.collect {
+            case (200, headers, bytes) =>
+              graft.sources.Sources.decodeHttpBody(headers, bytes)
+                .map { case (cs, html) => (id, cs, html) }
+          }.flatten
+        }.toDF("doc_id", "charset", "html")
+      val extracted = graft.operators.HtmlExtract.extractMainText(
+        pages.select(col("doc_id"), col("html")).as[(Long, String)]
+          .map { case (id, h) => graft.operators.HtmlExtract.Page(id, h) })
+      val out = pages.select("doc_id", "charset")
+        .join(extracted.toDF().select(col("doc_id"), col("extracted")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      result
+    },
+    Some(raw"""
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+    WHEN 2 THEN 'shift_jis' ELSE 'gb2312' END AS charset,
+  'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+  CASE doc_id % 5
+    WHEN 0 THEN 'data ⋯ stream €'
+    WHEN 1 THEN '€uro résumé café'
+    WHEN 2 THEN '日本語 あいうえお'
+    ELSE '中文 数据 管道' END AS extracted
+FROM documents WHERE doc_id % 5 <> 4
+ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128)
 }

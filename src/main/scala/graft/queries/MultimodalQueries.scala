@@ -24,7 +24,7 @@ object MultimodalQueries {
     * parse defect at any byte offset breaks the compare. */
   val q38 = QuerySpec("q38_media_features",
     (s, dir) => Multimodal.decodeImage(
-        Multimodal.encodeImageStub(
+        Multimodal.encodeImageContainers(
           Multimodal.ingest(Tables(s, dir, "documents"))))
       .toDF()
       .select(col("doc_id"), col("format"),
@@ -70,7 +70,7 @@ ORDER BY doc_id, frame_idx
 """))
 
   /** q91 — media near-duplicates: byte-sample average hash per payload
-    * (mapPartitions worker, `Multimodal.byteHashStub`) → the SAME
+    * (mapPartitions worker, `Multimodal.byteBandHash`) → the SAME
     * banded-hamming candidate pipeline the text SimHash uses (q33) —
     * dedup over media is modality-independent once a fingerprint
     * exists. The hash is integer-exact (bit i: sample·cnt ≥ sum), so
@@ -80,7 +80,7 @@ ORDER BY doc_id, frame_idx
     (s, dir) => {
       import org.apache.spark.sql.functions._
       val hashes = graft.CacheRegistry.persistTracked(
-        Multimodal.byteHashStub(
+        Multimodal.byteBandHash(
           Multimodal.ingest(Tables(s, dir, "documents"))).toDF())
       val banded = hashes.select(col("doc_id"), col("ahash"),
           explode(expr("sequence(0, 3)")).as("band"))
@@ -820,7 +820,88 @@ SELECT doc_id, w AS width, h AS height,
 FROM v GROUP BY doc_id, w, h ORDER BY doc_id
 """))
 
+  /** q127 — PERCEPTUAL image near-dup: documents in the same group
+    * (doc_id/3) share one 18×16 grayscale pixel buffer but ship it in
+    * three different REAL containers (grayscale PNG / 24-bit BMP /
+    * 256-gray-palette GIF — `Multimodal.encodePerceptualFixture`), so
+    * their bytes share nothing and the q91 byte tier cannot pair
+    * them. `Multimodal.perceptualHash` decodes each container with
+    * the in-repo codec, box-means the luma to a 9×8 grid, takes the
+    * 64-bit difference hash, and the SAME banded-hamming pipeline as
+    * q91 (4×16-bit bands → candidate join → bit_count verify ≤ 6)
+    * pairs the re-encodes. The oracle never decodes an image: it
+    * recomputes the dHash arithmetically from the fixture's pixel
+    * formula — so the whole decode→luma→boxmean→hash chain must be
+    * EXACT for the compare to pass. Distinct groups pair only if
+    * their hashes genuinely collide within the hamming gate (the
+    * oracle replays the same rule, so any such pair matches too).
+    */
+  val q127 = QuerySpec("q127_perceptual_neardup",
+    (s, dir) => {
+      val hashes = graft.CacheRegistry.persistTracked(
+        Multimodal.perceptualHash(
+          Multimodal.encodePerceptualFixture(
+            Tables(s, dir, "documents"))).toDF())
+      val banded = hashes.select(col("doc_id"), col("dhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bval",
+          when(col("band") === 0, col("dhash").bitwiseAND(lit(0xFFFFL)))
+            .when(col("band") === 1,
+              shiftright(col("dhash"), 16).bitwiseAND(lit(0xFFFFL)))
+            .when(col("band") === 2,
+              shiftright(col("dhash"), 32).bitwiseAND(lit(0xFFFFL)))
+            .otherwise(shiftright(col("dhash"), 48).bitwiseAND(lit(0xFFFFL))))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bval"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+        .distinct()
+      cand.withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .where(col("hamming") <= 6)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH grp AS (
+  SELECT DISTINCT doc_id // 3 AS g FROM documents
+), cells AS (
+  SELECT grp.g, r.r, c.c,
+    ( ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c)     * (2*c.c)     + 3)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c)     * (2*c.c)     + 3)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)) % 256
+    ) // 4 AS v
+  FROM grp,
+    (SELECT unnest(range(0, 8)) AS r) r,
+    (SELECT unnest(range(0, 9)) AS c) c
+), gh AS (
+  SELECT a.g,
+    CAST(sum(CASE WHEN b.v > a.v THEN
+      CASE WHEN a.r * 8 + a.c = 63 THEN -9223372036854775808
+           ELSE 1::BIGINT << CAST(a.r * 8 + a.c AS INT) END
+      ELSE 0 END) AS BIGINT) AS dhash
+  FROM cells a JOIN cells b ON b.g = a.g AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+  GROUP BY a.g
+), dh AS (
+  SELECT d.doc_id, gh.dhash
+  FROM documents d JOIN gh ON d.doc_id // 3 = gh.g
+), banded AS (
+  SELECT doc_id, dhash, b AS band,
+    (dhash >> CAST(16 * b AS INT)) & 65535 AS bval
+  FROM dh, (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+    x.dhash AS ha, y.dhash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY a, b
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123,
-      q124, q126)
+      q124, q126, q127)
 }

@@ -324,41 +324,69 @@ SELECT id, CAST(cell AS BIGINT) AS cell, cos_centroid,
 FROM ranked ORDER BY id
 """))
 
-  /** q112 — semantic dedup at the PRODUCTION cell count
-    * (`Similarity.cellsFor`: k ∝ N, constant ~128-vector cells): the
-    * plan you would actually run at 100×. q93 pins k=16 so its oracle
-    * is a fixed-size replay, but fixed k makes the within-cell pair
-    * pass quadratic in N (r6 sf10 probe: 19× cost at 10× rows);
-    * here k = max(1, n/128) — derived IN the oracle too
-    * (`count(*) // 128`), so the recursive-CTE replay survives
-    * data-dependent k and the within-cell candidate square stays
-    * constant as the corpus grows. The count() that sizes the codebook
-    * is one parquet-footer job over a narrow table — noise at any SF.
+  /** q112 — semantic dedup at the PRODUCTION cell count AND the
+    * production assignment plan (`Similarity.semanticDedupTwoLevel`):
+    * k = max(1, n/128) fine cells (constant ~128-vector cells — the
+    * within-cell pair square stays constant as the corpus grows), with
+    * TWO-LEVEL coarse→fine assignment so the driver only ever holds
+    * ⌈√k⌉ coarse seeds (TakeOrdered, no global sort) and each row
+    * scans O(√k) centroids, not k: fine seeds are md5-threshold
+    * hash-sampled IN PLACE (a pure filter — expected k seeds, zero
+    * collect), grouped into per-coarse-cell sorted seed lists, and
+    * one codegen argmin picks the fine cell after a join on the
+    * coarse cell. q93 keeps the flat k=16 oracle pin; this row pins
+    * the extreme-scale shape. The oracle replays the ENTIRE two-level
+    * rule — n → k → k₁ → threshold arithmetic, both argmins with
+    * ascending-id tie-breaks, seed-row fallback — in SQL, so any
+    * divergence in the float fold order or the sampling rule breaks
+    * the hash compare.
     */
   val q112 = QuerySpec("q112_semantic_dedup_scaled",
-    (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val k = Similarity.cellsFor(emb.count())
-      Similarity.semanticDedup(emb, k = k, tau = 0.35).orderBy("id")
-    },
+    (s, dir) => Similarity.semanticDedupTwoLevel(
+        Tables(s, dir, "embeddings"), tau = 0.35)
+      .orderBy("id"),
     Some(raw"""
 WITH RECURSIVE un AS ($sqlUnit
-), seeds AS (
-  SELECT rn - 1 AS j, u AS c,
+), par AS (
+  SELECT count(*) AS n,
+    greatest(count(*) // 128, 1) AS k,
+    CAST(ceil(sqrt(CAST(greatest(count(*) // 128, 1) AS DOUBLE))) AS BIGINT) AS k1,
+    lpad(lower(to_hex((4294967296 * greatest(count(*) // 128, 1)) // count(*))), 8, '0') AS th
+  FROM un
+), cseeds AS (
+  SELECT rn - 1 AS j, vec_id AS cid, u AS c,
     list_sum([u[i]*u[i] FOR i IN range(1, ${dim + 1})]) AS c2
-  FROM (SELECT u, row_number() OVER
+  FROM (SELECT vec_id, u, row_number() OVER
           (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM un)
-  WHERE rn <= (SELECT greatest(count(*) // 128, 1) FROM un)
-), scored AS (
+  WHERE rn <= (SELECT k1 FROM par)
+), cscored AS (
   SELECT vec_id, j,
-    -2.0 * list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
-  FROM un, seeds
-), cells AS (
-  SELECT vec_id, j AS cell
+    -2.0 * list_sum([un.u[i] * cseeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
+  FROM un, cseeds
+), ccells AS (
+  SELECT vec_id, j AS ccell
   FROM (SELECT vec_id, j, row_number() OVER
-          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM scored)
+          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM cscored)
   WHERE r = 1
+), fseeds AS (
+  SELECT un.vec_id AS sid, un.u AS se, cc.ccell,
+    list_sum([un.u[i]*un.u[i] FOR i IN range(1, ${dim + 1})]) AS se2
+  FROM un JOIN ccells cc ON un.vec_id = cc.vec_id
+  WHERE substr(md5(CAST(un.vec_id AS VARCHAR)), 1, 8) < (SELECT th FROM par)
+     OR un.vec_id IN (SELECT cid FROM cseeds)
+), fscored AS (
+  SELECT un.vec_id, f.sid,
+    -2.0 * list_sum([un.u[i] * f.se[i] FOR i IN range(1, ${dim + 1})]) + f.se2 AS s
+  FROM un JOIN ccells cc ON un.vec_id = cc.vec_id
+  JOIN fseeds f ON f.ccell = cc.ccell
+), cells AS (
+  SELECT un.vec_id, coalesce(fc.cell, un.vec_id) AS cell
+  FROM un LEFT JOIN (
+    SELECT vec_id, sid AS cell
+    FROM (SELECT vec_id, sid, row_number() OVER
+            (PARTITION BY vec_id ORDER BY s ASC, sid ASC) AS r FROM fscored)
+    WHERE r = 1) fc ON un.vec_id = fc.vec_id
 ), blocked AS (
   SELECT c.vec_id, c.cell, un.u, un.inv
   FROM cells c JOIN un ON c.vec_id = un.vec_id

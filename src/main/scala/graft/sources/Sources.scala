@@ -394,6 +394,212 @@ object Sources extends org.apache.spark.internal.Logging {
       .as[String].flatMap(parseWet _).toDF()
   }
 
+  // ---- Charset-aware raw-crawl path ----
+  //
+  // `parseWet`/`httpSplit` above run on Strings, which is correct for
+  // WET (the format is UTF-8 text extracts by spec) but lossy for raw
+  // response WARCs: 10–20% of real crawl HTML is windows-1252 /
+  // Shift-JIS / GB2312 / …, and reading those bytes as UTF-8 replaces
+  // every non-ASCII sequence with U+FFFD before any charset logic can
+  // run. The byte-level tier below keeps payloads as bytes end to
+  // end, resolves the page charset the way browsers and the
+  // reference's readers do (requests/lxml sniffing under
+  // `/root/reference/extract_tickers.py:24`), and transcodes to UTF-8
+  // exactly once. Unknown or malformed charsets QUARANTINE (None) —
+  // the same degrade-never-throw contract as the media decoders.
+  //
+  // Scale shape: identical to readWet — per-FILE parallelism, one
+  // narrow parse pass, raw bytes never shuffle; only decoded text and
+  // small header fields leave the partition.
+
+  /** One byte-framed WARC record: header fields + the RAW payload
+    * bytes (undecoded — response bodies carry their own charset). */
+  final case class WarcByteRecord(record_type: String, target_uri: String,
+      warc_date: String, content_length: Long, body: Array[Byte])
+
+  /** Byte-level WARC framing parser — the same Content-Length-driven
+    * walk as [[parseWet]], but the payload stays `Array[Byte]`.
+    * Headers are decoded as ISO-8859-1 (WARC headers are ASCII by
+    * spec; 8859-1 is its byte-transparent superset). */
+  def parseWarcBytes(bytes: Array[Byte]): Seq[WarcByteRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcByteRecord]
+    var pos = 0
+    def line(p: Int): (String, Int) = {
+      var e = p
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      val cut = if (e > p && bytes(e - 1) == '\r') e - 1 else e
+      (new String(bytes, p, cut - p,
+        java.nio.charset.StandardCharsets.ISO_8859_1),
+        math.min(e + 1, bytes.length))
+    }
+    var ok = true
+    while (ok && pos < bytes.length) {
+      var (l, next) = line(pos)
+      while (!l.startsWith("WARC/") && next < bytes.length) {
+        val t = line(next); l = t._1; next = t._2
+      }
+      if (!l.startsWith("WARC/")) ok = false
+      else {
+        var headers = Map.empty[String, String]
+        var done = false
+        while (!done && next < bytes.length) {
+          val (h, n2) = line(next); next = n2
+          if (h.isEmpty) done = true
+          else h.indexOf(':') match {
+            case -1 => ()
+            case i => headers += (h.take(i).trim
+              .toLowerCase(java.util.Locale.ROOT) -> h.drop(i + 1).trim)
+          }
+        }
+        headers.get("content-length").flatMap(_.toLongOption) match {
+          case Some(n) if done && next + n <= bytes.length =>
+            out += WarcByteRecord(
+              headers.getOrElse("warc-type", ""),
+              headers.getOrElse("warc-target-uri", ""),
+              headers.getOrElse("warc-date", ""),
+              n,
+              java.util.Arrays.copyOfRange(bytes, next, next + n.toInt))
+            pos = next + n.toInt
+          case _ => ok = false
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Byte-preserving raw-WARC source: binary shard files → one row
+    * per record with the payload as bytes. `.gz` shards are inflated
+    * in place (concatenated-member aware, as WARC gzip uses); other
+    * extensions read raw. Per-file parallelism, same as [[readWet]]. */
+  def readWarcBytes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    underShardWarning(spark, path)
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, raw) =>
+        val bytes =
+          if (p.endsWith(".gz")) {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw))
+            try in.readAllBytes() finally in.close()
+          } else raw
+        parseWarcBytes(bytes)
+      }.toDF()
+  }
+
+  /** [[httpSplit]] at the byte level: status line + ASCII headers →
+    * lowercased map, body returned as RAW bytes for charset-aware
+    * decoding. Non-HTTP payloads → None. */
+  def httpSplitBytes(payload: Array[Byte])
+      : Option[(Int, Map[String, String], Array[Byte])] = {
+    def lineEnd(p: Int): Int = {
+      var e = p
+      while (e < payload.length && payload(e) != '\n') e += 1
+      e
+    }
+    val nl = lineEnd(0)
+    if (nl >= payload.length) return None
+    val cut = if (nl > 0 && payload(nl - 1) == '\r') nl - 1 else nl
+    val status = new String(payload, 0, cut,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!status.startsWith("HTTP/")) return None
+    val parts = status.split(" ")
+    if (parts.length < 2) return None
+    val code = parts(1).toIntOption.getOrElse(return None)
+    var pos = nl + 1
+    var headers = Map.empty[String, String]
+    var done = false
+    while (!done) {
+      val e = lineEnd(pos)
+      if (e >= payload.length) return None
+      val c2 = if (e > pos && payload(e - 1) == '\r') e - 1 else e
+      val h = new String(payload, pos, c2 - pos,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      pos = e + 1
+      if (h.isEmpty) done = true
+      else h.indexOf(':') match {
+        case -1 => ()
+        case i => headers += (h.take(i).trim
+          .toLowerCase(java.util.Locale.ROOT) -> h.drop(i + 1).trim)
+      }
+    }
+    Some((code, headers,
+      java.util.Arrays.copyOfRange(payload, pos, payload.length)))
+  }
+
+  /** The charset allowlist this pipeline transcodes (the formats that
+    * cover real crawls; an alias outside this map quarantines rather
+    * than guessing): canonical-alias → JVM charset name. */
+  private val CharsetAliases: Map[String, String] = Map(
+    "utf-8" -> "UTF-8", "utf8" -> "UTF-8",
+    "us-ascii" -> "US-ASCII", "ascii" -> "US-ASCII",
+    "iso-8859-1" -> "ISO-8859-1", "latin-1" -> "ISO-8859-1",
+    "latin1" -> "ISO-8859-1",
+    "windows-1252" -> "windows-1252", "cp1252" -> "windows-1252",
+    "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
+    "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
+    "gb2312" -> "GB2312", "gbk" -> "GBK", "gb18030" -> "GB18030",
+    "utf-16le" -> "UTF-16LE", "utf-16be" -> "UTF-16BE")
+
+  private val MetaCharsetRe =
+    """(?i)<meta\s+charset\s*=\s*["']?([A-Za-z0-9_\-]+)""".r
+  private val MetaHttpEquivRe =
+    ("""(?i)<meta\s+http-equiv\s*=\s*["']?content-type["']?\s+""" +
+      """content\s*=\s*["'][^"']*charset=([A-Za-z0-9_\-]+)""").r
+  private val HeaderCharsetRe = """(?i)charset=["']?([A-Za-z0-9_\-]+)""".r
+
+  /** Resolve a page's charset the way browsers do, in priority order:
+    * byte-order mark → HTTP `Content-Type: ...; charset=` → `<meta
+    * charset>` / `<meta http-equiv=Content-Type>` in the first 1024
+    * body bytes (scanned as 8859-1, byte-transparent) → UTF-8
+    * default. Returns (charset, bomBytesToStrip); None = alias
+    * outside the allowlist (quarantine). */
+  def resolveCharset(headers: Map[String, String], body: Array[Byte])
+      : Option[(java.nio.charset.Charset, Int)] = {
+    def named(alias: String): Option[java.nio.charset.Charset] =
+      CharsetAliases.get(alias.toLowerCase(java.util.Locale.ROOT))
+        .map(java.nio.charset.Charset.forName)
+    if (body.length >= 3 && (body(0) & 0xff) == 0xEF &&
+        (body(1) & 0xff) == 0xBB && (body(2) & 0xff) == 0xBF)
+      return Some((java.nio.charset.StandardCharsets.UTF_8, 3))
+    if (body.length >= 2 && (body(0) & 0xff) == 0xFF && (body(1) & 0xff) == 0xFE)
+      return Some((java.nio.charset.StandardCharsets.UTF_16LE, 2))
+    if (body.length >= 2 && (body(0) & 0xff) == 0xFE && (body(1) & 0xff) == 0xFF)
+      return Some((java.nio.charset.StandardCharsets.UTF_16BE, 2))
+    val fromHeader = headers.get("content-type")
+      .flatMap(ct => HeaderCharsetRe.findFirstMatchIn(ct).map(_.group(1)))
+    fromHeader match {
+      case Some(alias) => named(alias).map((_, 0)) // declared but unknown → quarantine
+      case None =>
+        val prefix = new String(body, 0, math.min(1024, body.length),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        MetaCharsetRe.findFirstMatchIn(prefix).map(_.group(1))
+          .orElse(MetaHttpEquivRe.findFirstMatchIn(prefix).map(_.group(1)))
+          match {
+          case Some(alias) => named(alias).map((_, 0))
+          case None => Some((java.nio.charset.StandardCharsets.UTF_8, 0))
+        }
+    }
+  }
+
+  /** Transcode an HTTP body to a UTF-8 String per [[resolveCharset]].
+    * Returns (canonical lowercase charset name, decoded text); None
+    * when the charset is outside the allowlist OR the bytes are
+    * malformed under the resolved charset (strict decode — mojibake
+    * never enters the corpus silently). */
+  def decodeHttpBody(headers: Map[String, String], body: Array[Byte])
+      : Option[(String, String)] =
+    resolveCharset(headers, body).flatMap { case (cs, bom) =>
+      try {
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val text = dec.decode(java.nio.ByteBuffer.wrap(body, bom,
+          body.length - bom)).toString
+        Some((cs.name().toLowerCase(java.util.Locale.ROOT), text))
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+    }
+
   /** S4 — ordered, headered, single-file CSV sink
     * (`pipeline_job.py:130-142`): coalesce(1) + driver-side rename to
     * the exact target path, plus an optional dated copy. Deliberately

@@ -91,7 +91,7 @@ class ImageHeaderSpec extends SparkSpec {
       (3L, "jpeg odd n chars", "en", "web", 16L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = Multimodal.decodeImage(
-        Multimodal.encodeImageStub(Multimodal.ingest(docs)))
+        Multimodal.encodeImageContainers(Multimodal.ingest(docs)))
       .collect().map(i => i.doc_id -> i).toMap
     assert(got.size == 4)
     for ((id, i) <- got) {

@@ -196,13 +196,13 @@ class JpegPixelSpec extends AnyFunSuite {
     assert(Multimodal.jpegDecodePixels("hello".getBytes).isEmpty)
     assert(Multimodal.jpegDecodePixels(Array.emptyByteArray).isEmpty)
     // the SOF-only synthetic container (header + raw text) from
-    // encodeImageStub parses for DIMENSIONS but not for pixels
+    // encodeImageContainers parses for DIMENSIONS but not for pixels
     val hdrOnly = Multimodal.jpegHeader(10, 10, 3) ++ "payload".getBytes
     assert(Multimodal.jpegDecodePixels(hdrOnly).isEmpty)
     assert(Multimodal.parseImageHeader(hdrOnly).contains(("jpeg", 10, 10, 3)))
   }
 
-  test("decodeStub brightness is real for JPEG payloads now") {
+  test("decodeBrightness brightness is real for JPEG payloads now") {
     val (w, h) = (16, 16)
     val px = blockPattern(w, h)(b => b * 19 + 3)
     val jpg = Multimodal.jpegEncode(w, h, 1, px)
@@ -211,7 +211,7 @@ class JpegPixelSpec extends AnyFunSuite {
     val media = Seq(
       Multimodal.MediaRecord(1L, "image", jpg, Multimodal.MediaMeta(w, h, "jpeg", 1)))
       .toDS()
-    val got = Multimodal.decodeStub(media).collect().head
+    val got = Multimodal.decodeBrightness(media).collect().head
     val want = px.map(_ & 0xff).map(_.toLong).sum / px.length
     assert(got.brightness == want, "JPEG path: mean of decoded pixels")
   }

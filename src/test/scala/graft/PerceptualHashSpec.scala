@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Bmp, Gif, Multimodal}
+
+/** Perceptual dHash tier (q127): decode → luma → 9×8 box means →
+  * difference hash, and the re-encode invariance that justifies it. */
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gradient(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+
+  test("dHash64: monotone horizontal gradient sets every bit; flat image none") {
+    // strictly increasing left→right means every right cell mean is
+    // larger → all 64 bits set
+    val inc = Multimodal.dHash64(18, 16, gradient(18, 16)).get
+    assert(inc == -1L, f"expected all bits, got $inc%016x")
+    val flat = Multimodal.dHash64(18, 16, Array.fill(18 * 16)(128)).get
+    assert(flat == 0L)
+    // sub-grid images quarantine rather than hash garbage
+    assert(Multimodal.dHash64(8, 8, Array.fill(64)(0)).isEmpty)
+    assert(Multimodal.dHash64(9, 7, Array.fill(63)(0)).isEmpty)
+  }
+
+  test("dHash64 is scale-invariant for block upscales (box means identical)") {
+    val base = Array.tabulate(18 * 16)(i =>
+      ((i * 37 + (i % 18) * (i % 18) * 5) % 256))
+    val up = new Array[Int](36 * 32)
+    for (r <- 0 until 32; c <- 0 until 36)
+      up(r * 36 + c) = base((r / 2) * 18 + (c / 2))
+    assert(Multimodal.dHash64(18, 16, base) == Multimodal.dHash64(36, 32, up))
+  }
+
+  test("re-encodes of one pixel buffer (PNG/BMP/GIF) hash identically; " +
+      "distinct groups differ") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.encodePerceptualFixture(docs)
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(p => p.doc_id -> p.dhash).toMap
+    assert(hashes.size == docs.count(), "every container must decode")
+    // within-group: all three containers agree exactly
+    hashes.keys.groupBy(_ / 3).foreach { case (g, ids) =>
+      val hs = ids.map(hashes).toSet
+      assert(hs.size == 1, s"group $g variants disagree: $hs")
+    }
+    // across groups: the overwhelming majority of groups are distinct
+    // (the fixture formula varies per group; rare genuine collisions
+    // inside the hamming gate are allowed and oracle-replayed)
+    val perGroup = hashes.groupBy(_._1 / 3).values.map(_.head._2).toSeq
+    assert(perGroup.distinct.size >= perGroup.size * 9 / 10,
+      "group hashes collapse — fixture formula degenerate")
+  }
+
+  test("grayPixels: gray PNG passthrough, BMP/GIF luma agree on equal channels") {
+    val w = 9; val h = 8
+    val px = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
+    val png = Multimodal.pngEncode(w, h, 1, px)
+    val rgb = px.flatMap(v => Array(v, v, v))
+    val bmp = Bmp.bmpBytes(w, h, rgb)
+    val palette = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    val gif = Gif.gifBytes(w, h, palette, px)
+    val Some((pw, ph, pg)) = Multimodal.grayPixels(png)
+    val Some((bw, bh, bg)) = Multimodal.grayPixels(bmp)
+    val Some((gw, gh2, gg)) = Multimodal.grayPixels(gif)
+    assert((pw, ph) == (w, h) && (bw, bh) == (w, h) && (gw, gh2) == (w, h))
+    assert(pg.toSeq == px.map(_ & 0xff).toSeq)
+    assert(bg.toSeq == pg.toSeq && gg.toSeq == pg.toSeq)
+  }
+}

@@ -130,7 +130,7 @@ class PngPixelSpec extends AnyFunSuite {
     }
   }
 
-  test("decodeStub: real mean over decoded samples for PNG, byte-sum else") {
+  test("decodeBrightness: real mean over decoded samples for PNG, byte-sum else") {
     val (w, h, ch) = (8, 6, 1)
     val px = samples(w, h, ch)(i => i * 5)
     val png = Multimodal.pngEncode(w, h, ch, px)
@@ -140,7 +140,7 @@ class PngPixelSpec extends AnyFunSuite {
       Multimodal.MediaRecord(1L, "image", png, Multimodal.MediaMeta(w, h, "png", 1)),
       Multimodal.MediaRecord(2L, "image", "plain bytes".getBytes("UTF-8"),
         Multimodal.MediaMeta(0, 0, "raw", 1))).toDS()
-    val got = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val got = Multimodal.decodeBrightness(media).collect().sortBy(_.doc_id)
     val wantMean = px.map(_ & 0xff).map(_.toLong).sum / px.length
     assert(got(0).brightness == wantMean, "PNG path: mean of decoded pixels")
     val headSum = "plain bytes".getBytes("UTF-8").take(16)

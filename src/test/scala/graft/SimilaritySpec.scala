@@ -49,6 +49,98 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupTwoLevel: exact replay of the two-level rule; " +
+      "agreement with a flat scan over all fine seeds") {
+    try {
+      val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      val got = Similarity.semanticDedupTwoLevel(emb, tau = 0.35)
+        .orderBy("id").collect()
+      // driver-side exact replication of the documented rule on the
+      // collected fixture (500×64 — test scale only)
+      val vecs = emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1)
+      def md5hex(id: Long): String = java.security.MessageDigest
+        .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val n = vecs.length.toLong
+      val k = Similarity.cellsFor(n)
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      def score(x: Array[Double], c: Array[Double]): Double = {
+        var acc = 0.0; var c2 = 0.0; var i = 0
+        while (i < c.length) { acc += x(i) * c(i); i += 1 }
+        i = 0
+        while (i < c.length) { c2 += c(i) * c(i); i += 1 }
+        -2.0 * acc + c2
+      }
+      val coarse = vecs.sortBy { case (id, _) => (md5hex(id), id) }.take(k1)
+      def ccellOf(x: Array[Double]): Int =
+        coarse.indices.minBy(j => (score(x, coarse(j)._2), j))
+      val thresh = Similarity.fineSeedThresholdHex(n, k)
+      val fine = vecs.filter { case (id, _) =>
+        md5hex(id).substring(0, 8) < thresh || coarse.exists(_._1 == id) }
+      val fineByCcell = fine.groupBy { case (_, v) => ccellOf(v) }
+      val expected = vecs.map { case (id, v) =>
+        val cands = fineByCcell.getOrElse(ccellOf(v), Array.empty)
+        if (cands.isEmpty) id
+        else cands.minBy { case (sid, sv) => (score(v, sv), sid) }._1
+      }
+      assert(got.length == n, "total: one verdict per input vector")
+      assert(got.map(_.getAs[Long]("id")).toSeq == vecs.map(_._1).toSeq)
+      assert(got.map(_.getAs[Long]("cell")).toSeq == expected.toSeq,
+        "engine cells must replay the two-level rule exactly")
+      // sanity on the sampled seed count: expected ≈ k, and never
+      // degenerate (at least the coarse seeds)
+      assert(fine.length >= k1 && fine.length <= n)
+      // two-level is an approximation of a flat scan over ALL fine
+      // seeds — agreement at test scale pins that the coarse level
+      // routes most rows to the cell a full scan would pick
+      val flat = vecs.map { case (_, v) =>
+        fine.minBy { case (sid, sv) => (score(v, sv), sid) }._1 }
+      val agree = expected.zip(flat).count { case (a, b) => a == b }
+        .toDouble / n
+      assert(agree >= 0.60,
+        f"two-level vs flat fine-seed agreement $agree%.2f below pin")
+      // keepers are cluster minima: keep=true iff keeper==id
+      got.foreach { r =>
+        assert(r.getAs[Boolean]("keep") ==
+          (r.getAs[Long]("keeper") == r.getAs[Long]("id")))
+        assert(r.getAs[Long]("keeper") <= r.getAs[Long]("id"))
+      }
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("semanticDedupTwoLevel: exact duplicates land in one cell and " +
+      "collapse to the min id") {
+    try {
+      // 3 well-separated clusters of exact duplicates on distinct axes;
+      // enough rows to exercise a real seed sample (n=192 → k=1)
+      val base = (0 until 192).map { i =>
+        val axis = i % 3
+        val v = Array.tabulate(64)(d =>
+          if (d == axis * 20) 10.0f else 0.0f)
+        (i.toLong, v.toSeq)
+      }
+      val df = spark.createDataFrame(base).toDF("vec_id", "embedding")
+      val got = Similarity.semanticDedupTwoLevel(df, tau = 0.99)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("keeper"), r.getAs[Boolean]("keep"))).toMap
+      assert(got.size == 192)
+      // identical vectors always cosine=1 ≥ τ; whether two clusters
+      // merge depends on cell routing, but within any axis group that
+      // shares a cell, the keeper is the minimum id of its component —
+      // and every axis's global minimum id must be a keeper
+      (0 until 3).foreach { axis =>
+        assert(got(axis.toLong)._2, s"min id of axis $axis must be kept")
+      }
+      // keep ⇔ keeper==id, keeper ≤ id
+      got.foreach { case (id, (keeper, keep)) =>
+        assert(keep == (keeper == id) && keeper <= id)
+      }
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("cellQuotaPrune: quota per cell, least-prototypical kept, total function") {
     try {
       val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")

@@ -231,4 +231,90 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.httpSplit("HTTP/1.1 abc\r\n\r\n").isEmpty) // non-numeric code
     assert(Sources.httpSplit("").isEmpty)
   }
+
+  test("httpSplitBytes preserves non-UTF-8 body bytes exactly") {
+    val body = Array[Byte](0x80.toByte, 0xE9.toByte, 'x', 0x00, 0xFF.toByte)
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("US-ASCII") ++ body
+    val (code, headers, got) = Sources.httpSplitBytes(payload).get
+    assert(code == 200 && headers("content-type") == "text/html")
+    assert(got.toSeq == body.toSeq) // a String round-trip would U+FFFD these
+    assert(Sources.httpSplitBytes("not http".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("resolveCharset priority: BOM > header > meta > UTF-8 default; " +
+      "unknown alias quarantines") {
+    def cs(h: Map[String, String], b: Array[Byte]): Option[String] =
+      Sources.resolveCharset(h, b).map(_._1.name())
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    // BOM wins even over a contradicting header
+    assert(cs(Map("content-type" -> "text/html; charset=gb2312"),
+      bom ++ "<html>".getBytes("US-ASCII")) == Some("UTF-8"))
+    assert(Sources.resolveCharset(Map.empty, bom ++ "x".getBytes).map(_._2)
+      == Some(3))
+    // header beats meta
+    assert(cs(Map("content-type" -> "text/html; charset=Shift_JIS"),
+      "<meta charset=\"gb2312\">".getBytes("US-ASCII")) == Some("Shift_JIS"))
+    // meta charset and meta http-equiv both sniff (first KB, 8859-1 scan)
+    assert(cs(Map.empty,
+      "<html><head><meta charset='windows-1252'></head>".getBytes("US-ASCII"))
+      == Some("windows-1252"))
+    assert(cs(Map.empty,
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=GBK\">").getBytes("US-ASCII")) == Some("GBK"))
+    // nothing declared → UTF-8 default
+    assert(cs(Map.empty, "<html>plain".getBytes("US-ASCII")) == Some("UTF-8"))
+    // declared-but-unknown quarantines (both header and meta routes)
+    assert(cs(Map("content-type" -> "text/html; charset=x-martian"),
+      Array.emptyByteArray).isEmpty)
+    assert(cs(Map.empty,
+      "<meta charset=\"x-martian\">".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("decodeHttpBody transcodes each allowlisted charset exactly; " +
+      "malformed bytes quarantine") {
+    def dec(ct: String, bytes: Array[Byte]) =
+      Sources.decodeHttpBody(Map("content-type" -> ct), bytes)
+    // windows-1252: 0x80 = €, 0xE9 = é — invalid as UTF-8
+    assert(dec("text/html; charset=windows-1252",
+      Array[Byte](0x80.toByte, 'u', 'r', 'o', ' ', 0xE9.toByte))
+      == Some(("windows-1252", "€uro é")))
+    // Shift_JIS double-byte kana
+    assert(dec("text/html; charset=shift_jis", "あい".getBytes("Shift_JIS"))
+      == Some(("shift_jis", "あい")))
+    // GB2312 hanzi
+    assert(dec("text/html; charset=gb2312", "中文".getBytes("GB2312"))
+      == Some(("gb2312", "中文")))
+    // ISO-8859-1 alias
+    assert(dec("text/html; charset=latin-1", Array[Byte](0xE9.toByte))
+      == Some(("iso-8859-1", "é")))
+    // BOM stripped from the decoded text
+    assert(Sources.decodeHttpBody(Map.empty,
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "hi".getBytes)
+      == Some(("utf-8", "hi")))
+    // malformed under the resolved charset → None, never U+FFFD
+    assert(dec("text/html; charset=utf-8", Array[Byte](0x80.toByte)).isEmpty)
+    assert(dec("text/html; charset=shift_jis",
+      Array[Byte](0x81.toByte)).isEmpty) // truncated double-byte
+  }
+
+  test("parseWarcBytes + readWarcBytes: byte-exact framing over binary shards") {
+    val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1252\r\n\r\n"
+      .getBytes("US-ASCII") ++ Array[Byte](0x80.toByte, 0xE9.toByte)
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a.example/doc/1\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++
+      body ++ "\r\n".getBytes("US-ASCII")
+    val recs = Sources.parseWarcBytes(rec ++ rec)
+    assert(recs.length == 2 &&
+      recs.forall(_.body.toSeq == body.toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcbytes")
+    try {
+      java.nio.file.Files.write(dir.resolve("shard.warc"), rec ++ rec)
+      val got = Sources.readWarcBytes(spark, dir.toString).collect()
+      assert(got.length == 2)
+      assert(got.map(_.getAs[Array[Byte]]("body").toSeq).toSet ==
+        Set(body.toSeq))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
 }

@@ -56,7 +56,7 @@ class TextSpec extends SparkSpec {
     val docs = Seq((0L, "x" * 250, "en", "s", 250L), (1L, "y" * 90, "en", "s", 90L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.ingest(docs)
-    val feats = Multimodal.decodeStub(media).collect()
+    val feats = Multimodal.decodeBrightness(media).collect()
     assert(feats.map(f => f.doc_id -> f.n_bytes).toMap == Map(0L -> 250L, 1L -> 90L))
     assert(feats.forall(f => f.brightness >= 0 && f.brightness < 256))
     // doc 0 is a "video" (doc_id % 3 == 0) with 250/100+1 = 3 frames
