@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -17,18 +17,35 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver writes `events.ts` as TIMESTAMP(NANOS), which Spark's
-    // vectorized parquet reader rejects. Read nanos as long and convert
-    // to microsecond TimestampType (truncating, matching DuckDB's
-    // ns→us cast) — still a pure columnar scan, prune/pushdown intact.
-    // Set-if-changed: redundant conf writes churn SQLConf in packed
-    // multi-query sessions.
+    // `events.ts` has shipped under three physical encodings across
+    // driver testdata generations: TIMESTAMP(NANOS) (read as raw long
+    // via nanosAsLong — Spark's vectorized reader rejects nanos),
+    // TIMESTAMP(MICROS) isAdjustedToUTC=false (inferred TIMESTAMP_NTZ),
+    // and plain µs TimestampType. Normalize all three to microsecond
+    // TimestampType so downstream `unix_micros`/window frames see one
+    // type regardless of which generation produced the files. Session tz
+    // is UTC everywhere (Bench/Verify/specs), so the NTZ→TZ cast is a
+    // pure re-tag matching DuckDB's epoch_us on the same wall-clock
+    // values. Each branch stays a pure columnar scan — prune/pushdown
+    // intact. Set-if-changed: redundant conf writes churn SQLConf in
+    // packed multi-query sessions.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Resolved physical type of an events `ts` column, if present. */
+  def eventTsType(df: DataFrame): Option[DataType] =
+    df.schema.fields.find(_.name == "ts").map(_.dataType)
+
+  /** Three-way dispatch: nanos-as-long → truncate to µs; NTZ → re-tag as
+    * UTC instant; TimestampType → pass through untouched. */
+  def normalizeEventTs(df: DataFrame): DataFrame = eventTsType(df) match {
+    case Some(LongType) =>
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    case Some(TimestampNTZType) =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
 }

@@ -20,12 +20,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val declared = SparkEntry.queries.keySet
+      .filter(name => only.forall(_.contains(name)))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release operator-internal caches between queries (same hygiene
@@ -49,6 +53,20 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Declared-vs-reported audit (round-9 lesson): an erroring query is
+    // simply ABSENT from the correctness file, so a shrinking registry
+    // can read as all-green. Diff the declared query set against what
+    // was actually written and shout any gap — on BOTH stdout and
+    // stderr, so it survives either stream being filtered.
+    val written = declared -- failed
+    val missing = (declared -- written).toSeq.sorted
+    val noOracle = (declared -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    val audit = s"[verify] AUDIT: declared=${declared.size} " +
+      s"written=${written.size} failed=${missing.size}" +
+      (if (missing.nonEmpty) s" MISSING=${missing.mkString(",")}" else "") +
+      (if (noOracle.nonEmpty) s" rows-only(no oracle)=${noOracle.mkString(",")}" else "")
+    println(audit)
+    if (missing.nonEmpty) System.err.println(audit)
     // session-hygiene evidence: after the whole registry ran with
     // per-query releaseAll, nothing may remain pinned in the JVM —
     // the r4 bench band came from exactly this kind of residue

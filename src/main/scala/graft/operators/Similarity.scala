@@ -234,6 +234,57 @@ object Similarity {
   def fineSeedThresholdHex(n: Long, k: Int): String =
     f"${(4294967296L * k) / math.max(n, 1L)}%08x"
 
+  /** Shared two-level coarse→fine cell assignment (steps 1–4 of
+    * [[semanticDedupTwoLevel]]'s doc). Returns:
+    *  - `assigned`: one row per input vector (id, u, iv, cell) with
+    *    `cell` = fine-seed ROW ID (coalesce-to-own-id fallback for
+    *    float-degenerate empty coarse cells), NOT persisted — callers
+    *    that reuse it (self-join, window) persist via CacheRegistry;
+    *  - `fineSeeds`: one row per fine seed (cell, c, c2) — the fine
+    *    CENTROID table (each fine cell's centroid IS its seed vector),
+    *    ~k = n/targetCellSize rows, distributed (never collected).
+    * The intermediate `base` projection IS persisted (both outputs
+    * scan it) and registered with CacheRegistry for caller release. */
+  private def twoLevelAssignment(emb: DataFrame, idCol: String,
+      embCol: String, targetCellSize: Int): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val n = emb.count() // parquet-footer job over a narrow table
+    val k = cellsFor(n, targetCellSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarseRows = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k1)
+      .select(col(idCol).cast("long").as("id"), toDoubles(col(embCol)).as("emb"))
+      .collect()
+    val coarseIds = coarseRows.map(_.getLong(0)).toSeq
+    val ref = IvfIndex.broadcastCodebook(spark,
+      coarseRows.map(_.getSeq[Double](1).toArray).toSeq)
+    val base = graft.CacheRegistry.persistTracked(
+      emb.repartition(par).select(col(idCol).as("id"),
+        toDoubles(col(embCol)).as("u"), invNorm(col(embCol)).as("iv"),
+        IvfIndex.assignCell(col(embCol), ref).as("ccell"),
+        substring(md5(col(idCol).cast("string")), 1, 8).as("h8")))
+    val thresh = fineSeedThresholdHex(n, k)
+    val isSeed = col("h8") < lit(thresh) || col("id").isInCollection(coarseIds)
+    val seedLists = base
+      .where(isSeed)
+      .select(col("ccell"), struct(col("id").as("sid"), col("u").as("se"),
+        dot(col("u"), col("u")).as("se2")).as("seed"))
+      .groupBy("ccell")
+      .agg(sort_array(collect_list(col("seed"))).as("seeds"))
+    val assigned = base.join(seedLists, Seq("ccell"), "left")
+      .select(col("id"), col("u"), col("iv"),
+        coalesce(
+          org.apache.spark.sql.graftvec.VectorExpressions
+            .nearestSeedId(col("u"), col("seeds")),
+          col("id")).as("cell"))
+    val fineSeeds = base.where(isSeed)
+      .select(col("id").as("cell"), col("u").as("c"),
+        dot(col("u"), col("u")).as("c2"))
+    (assigned, fineSeeds)
+  }
+
   /** Two-level (coarse→fine) semantic dedup — the extreme-scale shape
     * of [[semanticDedup]]. Same semantics (cells block a pairwise
     * cosine-≥ τ pass; pair graph collapses to keep-min-id clusters),
@@ -275,38 +326,8 @@ object Similarity {
   def semanticDedupTwoLevel(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", embCol: String = "embedding",
       targetCellSize: Int = 128): DataFrame = {
-    val spark = emb.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val n = emb.count() // parquet-footer job over a narrow table
-    val k = cellsFor(n, targetCellSize)
-    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-    val coarseRows = emb
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k1)
-      .select(col(idCol).cast("long").as("id"), toDoubles(col(embCol)).as("emb"))
-      .collect()
-    val coarseIds = coarseRows.map(_.getLong(0)).toSeq
-    val ref = IvfIndex.broadcastCodebook(spark,
-      coarseRows.map(_.getSeq[Double](1).toArray).toSeq)
-    val base = graft.CacheRegistry.persistTracked(
-      emb.repartition(par).select(col(idCol).as("id"),
-        toDoubles(col(embCol)).as("u"), invNorm(col(embCol)).as("iv"),
-        IvfIndex.assignCell(col(embCol), ref).as("ccell"),
-        substring(md5(col(idCol).cast("string")), 1, 8).as("h8")))
-    val thresh = fineSeedThresholdHex(n, k)
-    val seedLists = base
-      .where(col("h8") < lit(thresh) || col("id").isInCollection(coarseIds))
-      .select(col("ccell"), struct(col("id").as("sid"), col("u").as("se"),
-        dot(col("u"), col("u")).as("se2")).as("seed"))
-      .groupBy("ccell")
-      .agg(sort_array(collect_list(col("seed"))).as("seeds"))
-    val assigned = graft.CacheRegistry.persistTracked(
-      base.join(seedLists, Seq("ccell"), "left")
-        .select(col("id"), col("u"), col("iv"),
-          coalesce(
-            org.apache.spark.sql.graftvec.VectorExpressions
-              .nearestSeedId(col("u"), col("seeds")),
-            col("id")).as("cell")))
+    val (rawAssigned, _) = twoLevelAssignment(emb, idCol, embCol, targetCellSize)
+    val assigned = graft.CacheRegistry.persistTracked(rawAssigned)
     val pairs = assigned.as("x").join(assigned.as("y"), Seq("cell"))
       .where(col("x.id") < col("y.id"))
       .where(round(dot(col("x.u"), col("y.u")) * col("x.iv") * col("y.iv"), 6)
@@ -328,36 +349,37 @@ object Similarity {
     * Complements [[semanticDedup]]: that removes near-DUPLICATES;
     * this rebalances CONCENTRATION.
     *
-    * Deterministic end to end: the same md5-hash-rank seed codebook
-    * as semanticDedup (so the oracle replays cell assignment exactly),
-    * centroid cosines rounded to 6 before ranking, ties broken by id.
+    * Deterministic end to end: the same TWO-LEVEL coarse→fine seed
+    * assignment as [[semanticDedupTwoLevel]] (so the oracle replays
+    * cell assignment exactly, and the driver never holds a k ∝ N
+    * codebook — only the O(√k) coarse seeds), centroid cosines rounded
+    * to 6 before ranking, ties broken by id.
     *
-    * Scale shape: cell assignment is the O(1)-in-k broadcast-codebook
-    * expression; centroids join back as a broadcast of k rows; the
-    * only wide exchange is the per-cell rank window — keyed by cell,
-    * exactly the partitioning the quota needs. Returns one row per
-    * vector: (id, cell, cos_centroid, rk, keep).
+    * Scale shape: assignment is O(N·√k) flops through the broadcast
+    * coarse codebook + distributed per-coarse-cell seed lists; each
+    * fine cell's centroid IS its seed vector, so centroids join back
+    * as a k-row (n/targetCellSize) distributed table keyed by cell —
+    * broadcast at test scale by AQE, shuffle-on-cell at extreme scale,
+    * which is exactly the partitioning the rank window needs anyway.
+    * Fallback rows (float-degenerate empty coarse cell → own-id
+    * singleton cell) miss the centroid join and score their
+    * self-cosine. Returns one row per vector:
+    * (id, cell, cos_centroid, rk, keep).
     */
-  def cellQuotaPrune(emb: DataFrame, k: Int, quota: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val seeds = emb.orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k).select(toDoubles(col(embCol)).as("emb"))
-      .collect().map(_.getSeq[Double](0).toArray).toSeq
-    val ref = IvfIndex.broadcastCodebook(spark, seeds)
-    import spark.implicits._
-    val cents = seeds.zipWithIndex.map { case (c, j) =>
-      (j, c.toSeq, 1.0 / math.sqrt(c.map(x => x * x).sum))
-    }.toDF("cell", "c", "cinv")
-    val base = emb.repartition(par).select(col(idCol).as("id"),
-      toDoubles(col(embCol)).as("u"), invNorm(col(embCol)).as("iv"),
-      IvfIndex.assignCell(col(embCol), ref).as("cell"))
+  def cellQuotaPrune(emb: DataFrame, quota: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      targetCellSize: Int = 128): DataFrame = {
+    val (assigned, fineSeeds) =
+      twoLevelAssignment(emb, idCol, embCol, targetCellSize)
     val w = Window.partitionBy("cell")
       .orderBy(asc("cos_centroid"), asc("id"))
-    base.join(broadcast(cents), Seq("cell"))
+    assigned.join(fineSeeds, Seq("cell"), "left")
       .withColumn("cos_centroid",
-        round(dot(col("u"), col("c")) * col("iv") * col("cinv"), 6))
+        when(col("c").isNull,
+          round(dot(col("u"), col("u")) * col("iv") * col("iv"), 6))
+        .otherwise(
+          round(dot(col("u"), col("c")) * col("iv")
+            * (lit(1.0) / sqrt(col("c2"))), 6)))
       .withColumn("rk", row_number().over(w).cast("long"))
       .select(col("id"), col("cell").cast("long").as("cell"),
         col("cos_centroid"), col("rk"), (col("rk") <= quota).as("keep"))

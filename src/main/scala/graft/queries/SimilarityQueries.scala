@@ -280,39 +280,70 @@ ORDER BY id
 """))
 
   /** q44 — cluster-balanced diversity pruning
-    * (`Similarity.cellQuotaPrune`): cap each of 16 semantic cells at
-    * 8 vectors, cutting the most prototypical (highest centroid
-    * cosine) first. Same replayable seed codebook as q93, so the
-    * oracle recomputes cells, centroid cosines, AND the exact ranks.
+    * (`Similarity.cellQuotaPrune`): cap each semantic cell at 8
+    * vectors, cutting the most prototypical (highest centroid cosine)
+    * first. Cells come from the SAME two-level coarse→fine assignment
+    * as q112 (k = n/128 fine cells, O(√k) driver state, each fine
+    * cell's centroid = its seed vector), so the oracle replays the
+    * full assignment rule, then the centroid cosines AND the exact
+    * ranks; fallback singleton cells score their self-cosine.
     */
   val q44 = QuerySpec("q44_cell_quota_prune",
     (s, dir) => Similarity.cellQuotaPrune(Tables(s, dir, "embeddings"),
-        k = 16, quota = 8)
+        quota = 8)
       .orderBy("id"),
     Some(raw"""
 WITH un AS ($sqlUnit
-), seeds AS (
-  SELECT rn - 1 AS j, u AS c,
+), par AS (
+  SELECT count(*) AS n,
+    greatest(count(*) // 128, 1) AS k,
+    CAST(ceil(sqrt(CAST(greatest(count(*) // 128, 1) AS DOUBLE))) AS BIGINT) AS k1,
+    lpad(lower(to_hex((4294967296 * greatest(count(*) // 128, 1)) // count(*))), 8, '0') AS th
+  FROM un
+), cseeds AS (
+  SELECT rn - 1 AS j, vec_id AS cid, u AS c,
     list_sum([u[i]*u[i] FOR i IN range(1, ${dim + 1})]) AS c2
-  FROM (SELECT u, row_number() OVER
+  FROM (SELECT vec_id, u, row_number() OVER
           (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM un)
-  WHERE rn <= 16
-), scored AS (
+  WHERE rn <= (SELECT k1 FROM par)
+), cscored AS (
   SELECT vec_id, j,
-    -2.0 * list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
-  FROM un, seeds
-), cells AS (
-  SELECT vec_id, j AS cell
+    -2.0 * list_sum([un.u[i] * cseeds.c[i] FOR i IN range(1, ${dim + 1})]) + c2 AS s
+  FROM un, cseeds
+), ccells AS (
+  SELECT vec_id, j AS ccell
   FROM (SELECT vec_id, j, row_number() OVER
-          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM scored)
+          (PARTITION BY vec_id ORDER BY s ASC, j ASC) AS r FROM cscored)
   WHERE r = 1
+), fseeds AS (
+  SELECT un.vec_id AS sid, un.u AS se, cc.ccell, un.inv AS sinv,
+    list_sum([un.u[i]*un.u[i] FOR i IN range(1, ${dim + 1})]) AS se2
+  FROM un JOIN ccells cc ON un.vec_id = cc.vec_id
+  WHERE substr(md5(CAST(un.vec_id AS VARCHAR)), 1, 8) < (SELECT th FROM par)
+     OR un.vec_id IN (SELECT cid FROM cseeds)
+), fscored AS (
+  SELECT un.vec_id, f.sid,
+    -2.0 * list_sum([un.u[i] * f.se[i] FOR i IN range(1, ${dim + 1})]) + f.se2 AS s
+  FROM un JOIN ccells cc ON un.vec_id = cc.vec_id
+  JOIN fseeds f ON f.ccell = cc.ccell
+), cells AS (
+  SELECT un.vec_id, coalesce(fc.cell, un.vec_id) AS cell
+  FROM un LEFT JOIN (
+    SELECT vec_id, sid AS cell
+    FROM (SELECT vec_id, sid, row_number() OVER
+            (PARTITION BY vec_id ORDER BY s ASC, sid ASC) AS r FROM fscored)
+    WHERE r = 1) fc ON un.vec_id = fc.vec_id
 ), withcos AS (
-  SELECT un.vec_id AS id, cells.cell,
-    round(list_sum([un.u[i] * seeds.c[i] FOR i IN range(1, ${dim + 1})])
-      * un.inv * (1.0 / sqrt(seeds.c2)), 6) AS cos_centroid
-  FROM un JOIN cells ON un.vec_id = cells.vec_id
-  JOIN seeds ON seeds.j = cells.cell
+  SELECT un.vec_id AS id, c.cell,
+    CASE WHEN f.sid IS NULL
+      THEN round(list_sum([un.u[i]*un.u[i] FOR i IN range(1, ${dim + 1})])
+        * un.inv * un.inv, 6)
+      ELSE round(list_sum([un.u[i] * f.se[i] FOR i IN range(1, ${dim + 1})])
+        * un.inv * (1.0 / sqrt(f.se2)), 6)
+    END AS cos_centroid
+  FROM un JOIN cells c ON un.vec_id = c.vec_id
+  LEFT JOIN fseeds f ON f.sid = c.cell
 ), ranked AS (
   SELECT id, cell, cos_centroid,
     row_number() OVER (PARTITION BY cell

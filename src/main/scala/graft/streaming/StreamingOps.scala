@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.Tables
+
 /** Structured Streaming form of the engine's event analytics: file
   * source → watermarked tumbling-window aggregation → sink. The
   * reference itself is batch-only (SURVEY.md §2.10 — its "stream" is a
@@ -21,9 +23,12 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** The events schema as written by the driver (ts arrives as
-    * TIMESTAMP(NANOS); the streaming reader takes it as long via
-    * nanosAsLong, converted below — same trick as graft.Tables). */
+  /** The events schema with `ts` as raw long — the shape TIMESTAMP(NANOS)
+    * driver files resolve to under nanosAsLong, and the shape the
+    * long-typed spec fixtures are written in. `eventsStream` does NOT
+    * assume this: it resolves the actual physical encoding from a
+    * parquet footer and dispatches (see below). This val remains the
+    * fixture-staging schema for specs. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -55,7 +60,8 @@ object StreamingOps {
     // single file (real ingest points this at a partitioned directory —
     // see eventsStream + MultiFileStreamSpec)
     drainToBatch(spark,
-      hourlyAgg(eventsStream(spark, s"$dir/{events.parquet}")),
+      hourlyAgg(eventsStream(spark, s"$dir/{events.parquet}",
+        schemaProbePath = Some(s"$dir/events.parquet"))),
       "stream_hourly")
 
   /** Streaming reader over an events path (file or partitioned
@@ -64,17 +70,30 @@ object StreamingOps {
     * processes bounded micro-batches instead of one giant one — state
     * checkpoints between batches, so a mid-drain failure resumes
     * instead of restarting (the 100 TB ingest shape).
-    * `ts` arrives as raw INT64 nanos (driver files are
-    * TIMESTAMP(NANOS), read via nanosAsLong; plain-long fixtures hold
-    * the same values) and is converted to a µs timestamp here. */
+    *
+    * `ts` encoding is NOT assumed: one batch footer read over the same
+    * path resolves whether files carry raw nanos-long (TIMESTAMP(NANOS)
+    * under nanosAsLong, or plain-long fixtures), µs TIMESTAMP_NTZ, or µs
+    * TimestampType, and the streaming schema + conversion dispatch on
+    * that — the same three-way normalization as `graft.Tables`. The
+    * footer read is one driver-side metadata op (no data scan) and
+    * removes the class of bug where a testdata re-encode silently
+    * collapses every window (round-9 q40). */
   def eventsStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      schemaProbePath: Option[String] = None): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsSchema)
+    // probe path: the streaming source accepts brace-glob paths that the
+    // batch footer reader does not — callers using a glob pass the plain
+    // file path for schema resolution
+    val probe = schemaProbePath.getOrElse(path)
+    val tsType = Tables.eventTsType(spark.read.parquet(probe)).getOrElse(LongType)
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(reader.parquet(path))
   }
 
   /** Watermarked hourly per-type aggregation frame (q40's core).

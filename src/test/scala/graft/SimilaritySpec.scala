@@ -144,10 +144,20 @@ class SimilaritySpec extends SparkSpec {
   test("cellQuotaPrune: quota per cell, least-prototypical kept, total function") {
     try {
       val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
-      val got = Similarity.cellQuotaPrune(emb, k = 16, quota = 8)
+      val got = Similarity.cellQuotaPrune(emb, quota = 8)
       // total: one verdict per input vector
       assert(got.count() == emb.count())
       val rows = got.collect()
+      // the prune shares semanticDedupTwoLevel's assignment (coarse
+      // TakeOrdered seeds + distributed fine-seed lists + NearestSeedId
+      // argmin — no k-proportional driver collect); pin cell-for-cell
+      // agreement so the two paths can never drift apart
+      val dedupCells = Similarity.semanticDedupTwoLevel(emb, tau = 0.35)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+      rows.foreach { r =>
+        assert(dedupCells(r.getAs[Long]("id")) == r.getAs[Long]("cell"),
+          s"cell drift vs two-level assignment at id ${r.getAs[Long]("id")}")
+      }
       // quota: at most 8 keepers per cell
       val keptPerCell = rows.filter(_.getAs[Boolean]("keep"))
         .groupBy(_.getAs[Long]("cell")).view.mapValues(_.length)
