@@ -254,6 +254,12 @@ object Dedup {
     var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var converged = false
     var i = 0
+    // per-invocation observability (judge-requested after the r9 q89
+    // adjudication needed a temporary probe): accumulated from the
+    // SAME per-round observations — zero extra jobs
+    val changedPerRound = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var edgeRows = 0L
+    var vertices = 0L
     try {
       while (!converged && i < maxIter) {
         // each vertex adopts min(own label, neighbors' labels)…
@@ -272,12 +278,15 @@ object Dedup {
         // (CollectMetricsExec accumulator) — no separate count job per
         // round. This is the round's ONLY job.
         val obs = new org.apache.spark.sql.Observation()
+        val obsE = new org.apache.spark.sql.Observation()
         val stepped = edges
           .join(labels.withColumnRenamed("id", "v"), "v")
+          .observe(obsE, count(lit(1)).as("edge_rows"))
           .groupBy(col("u").as("id"))
           .agg(min("label").as("label"),
             min(when(col("u") === col("v"), col("label"))).as("old"))
-          .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"))
+          .observe(obs, sum((col("label") =!= col("old")).cast("long")).as("changed"),
+            count(lit(1)).as("vertices"))
           .localCheckpoint(true)
         // this round's checkpoint now holds the whole label state (the
         // lazy pointer-jump only references the CURRENT round), so the
@@ -287,6 +296,15 @@ object Dedup {
         val changed = obs.get.get("changed") match {
           case Some(n: java.lang.Long) => n.longValue
           case _ => 0L // empty frame: sum over zero rows is null
+        }
+        changedPerRound += changed
+        vertices = obs.get.get("vertices") match {
+          case Some(n: java.lang.Long) => n.longValue
+          case _ => 0L
+        }
+        edgeRows = obsE.get.get("edge_rows") match {
+          case Some(n: java.lang.Long) => n.longValue
+          case _ => 0L
         }
         converged = changed == 0
         // …then pointer-jumps: label ← label's own current label (path
@@ -330,6 +348,10 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds; " +
           "raise maxIter or inspect the pair graph for pathology")
     }
+    // one line per invocation, Perf's format: adjudicating a slow CC
+    // (code vs load artifact) needs rounds + graph size without a probe
+    println(s"perf cc rounds=$i vertices=$vertices " +
+      s"edge_rows=$edgeRows changed=${changedPerRound.mkString("[", ",", "]")}")
     // The returned frame references the LAST round's checkpoint
     // blocks — register them so the caller's end-of-work releaseAll
     // (Bench/Verify between queries, NearDupStream per micro-batch)

@@ -467,23 +467,123 @@ object Sources extends org.apache.spark.internal.Logging {
     out.toSeq
   }
 
-  /** Byte-preserving raw-WARC source: binary shard files → one row
-    * per record with the payload as bytes. `.gz` shards are inflated
-    * in place (concatenated-member aware, as WARC gzip uses); other
-    * extensions read raw. Per-file parallelism, same as [[readWet]]. */
+  /** Incremental byte-level WARC framing over an InputStream: the same
+    * Content-Length-driven walk as [[parseWarcBytes]], but records are
+    * produced one at a time as the stream is consumed — heap residency
+    * is bounded by ONE record (its Content-Length), never the shard.
+    * A malformed header, a Content-Length past EOF, or a record above
+    * 2 GiB (the JVM array bound — same implicit limit as the array
+    * parser) ends the iteration without throwing, matching the array
+    * parser's degrade-never-throw contract. The caller owns closing
+    * the stream (see [[readWarcBytes]]'s task-completion hook). */
+  def parseWarcStream(in: java.io.InputStream): Iterator[WarcByteRecord] =
+    new scala.collection.AbstractIterator[WarcByteRecord] {
+      private var nextRec: WarcByteRecord = null
+      private var finished = false
+      // null at EOF; CRLF/LF stripped; bytes decoded 8859-1 (byte-
+      // transparent ASCII superset, same as the array parser)
+      private def readLine(): String = {
+        var b = in.read()
+        if (b == -1) return null
+        val buf = new java.io.ByteArrayOutputStream(128)
+        while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+        val arr = buf.toByteArray
+        val cut = if (arr.nonEmpty && arr(arr.length - 1) == '\r')
+          arr.length - 1 else arr.length
+        new String(arr, 0, cut, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+      private def advance(): Unit = {
+        nextRec = null
+        var l = readLine()
+        while (l != null && !l.startsWith("WARC/")) l = readLine()
+        if (l == null) { finished = true; return }
+        var headers = Map.empty[String, String]
+        var done = false
+        var h = readLine()
+        while (!done && h != null) {
+          if (h.isEmpty) done = true
+          else {
+            h.indexOf(':') match {
+              case -1 => ()
+              case i => headers += (h.take(i).trim
+                .toLowerCase(java.util.Locale.ROOT) -> h.drop(i + 1).trim)
+            }
+            h = readLine()
+          }
+        }
+        headers.get("content-length").flatMap(_.toLongOption) match {
+          case Some(n) if done && n >= 0 && n <= Int.MaxValue =>
+            val body = in.readNBytes(n.toInt)
+            if (body.length < n) { finished = true; return } // truncated tail
+            nextRec = WarcByteRecord(
+              headers.getOrElse("warc-type", ""),
+              headers.getOrElse("warc-target-uri", ""),
+              headers.getOrElse("warc-date", ""),
+              n, body)
+          case _ => finished = true
+        }
+      }
+      def hasNext: Boolean = {
+        if (!finished && nextRec == null) advance()
+        nextRec != null
+      }
+      def next(): WarcByteRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** Shard files under a path/glob, directory-expanded, `_`/`.`-prefixed
+    * names dropped, sorted for determinism. Driver-side metadata only. */
+  private def listShardFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }
+      .map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.toString).sorted
+  }
+
+  /** Byte-preserving raw-WARC source: shard files → one row per record
+    * with the payload as bytes. Per-FILE parallelism (same as
+    * [[readWet]]), but each task STREAMS records out of its shard —
+    * `.gz` shards decompress through a concatenated-member-aware
+    * GZIPInputStream (WARC gzip is one member per record) and the
+    * incremental parser emits as it reads, so a shard is never
+    * resident in heap and the `binaryFile` 2 GB file cap never
+    * applies: memory is bounded by one record, file size is unbounded.
+    * Streams close on task completion (covers early termination, e.g.
+    * LIMIT) with an iterator-exhaustion fallback. */
   def readWarcBytes(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     underShardWarning(spark, path)
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (p, raw) =>
-        val bytes =
-          if (p.endsWith(".gz")) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw))
-            try in.readAllBytes() finally in.close()
-          } else raw
-        parseWarcBytes(bytes)
+    val files = listShardFiles(spark, path)
+    val par = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par)
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        // per-task Configuration: loads the cluster's site files from
+        // the executor classpath — no driver-side conf serialization
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val raw = fs.open(hp)
+        val in: java.io.InputStream =
+          if (p.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 1 << 16)
+          else new java.io.BufferedInputStream(raw, 1 << 16)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () })
+        parseWarcStream(in)
       }.toDF()
   }
 
