@@ -2117,14 +2117,115 @@ object Multimodal {
     }
   }
 
+  final case class PerceptualDctHash(doc_id: Long, phash: Long)
+
+  /** Fixed-point cosine table for the 8-point DCT-II: index m holds
+    * round(cos(m·π/16) · 1024) for m ∈ [0, 32). HARD-CODED (not
+    * computed) so the DuckDB oracle inlines the SAME integer literals —
+    * two engines evaluating `cos` independently risk a last-ulp
+    * disagreement landing exactly on a median/threshold boundary;
+    * fixed-point integers make the whole transform exact and
+    * engine-replayable, the same determinism move as the box-mean's
+    * truncating division. */
+  private[operators] val DctCos1024: Array[Long] = Array(
+    1024L, 1004L, 946L, 851L, 724L, 569L, 392L, 200L,
+    0L, -200L, -392L, -569L, -724L, -851L, -946L, -1004L,
+    -1024L, -1004L, -946L, -851L, -724L, -569L, -392L, -200L,
+    0L, 200L, 392L, 569L, 724L, 851L, 946L, 1004L)
+
+  /** 63-bit DCT perceptual hash (classic pHash family): 8×8 box-mean
+    * grid (same `k·dim/8` boundary rule as [[dHash64]], truncating
+    * integer division), integer 2D DCT-II through [[DctCos1024]], and
+    * bit u·8+v−1 set iff AC coefficient F(u,v) exceeds the median of
+    * the 63 AC coefficients (sorted index 31 — the exact middle). The
+    * DC term is excluded (it is mean brightness, not structure) and
+    * only bits 0..62 are used, so the hash is always non-negative —
+    * no sign-bit gymnastics in SQL mirrors.
+    *
+    * Complements [[dHash64]]: dHash compares ADJACENT cell means, so
+    * it keys on local edges; the DCT hash keys on the global frequency
+    * envelope, surviving smooth rescales and small crops that shift
+    * every dHash cell boundary at once. Magnitudes stay well inside
+    * Long (255·1024²·64 < 2⁵⁴). Needs w ≥ 8, h ≥ 8. */
+  def pHashDct64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8 || gray.length < w * h) return None
+    val cell = Array.ofDim[Long](8, 8)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val r0 = r * h / 8; val r1 = (r + 1) * h / 8
+        val c0 = c * w / 8; val c1 = (c + 1) * w / 8
+        var sum = 0L
+        var rr = r0
+        while (rr < r1) {
+          var cc = c0
+          while (cc < c1) { sum += gray(rr * w + cc); cc += 1 }
+          rr += 1
+        }
+        cell(r)(c) = sum / ((r1 - r0).toLong * (c1 - c0))
+        c += 1
+      }
+      r += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var rr = 0
+        while (rr < 8) {
+          var cc = 0
+          while (cc < 8) {
+            acc += cell(rr)(cc) *
+              DctCos1024(((2 * rr + 1) * u) % 32) *
+              DctCos1024(((2 * cc + 1) * v) % 32)
+            cc += 1
+          }
+          rr += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (f(i) > med) hash |= 1L << (i - 1)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** [[perceptualHash]]'s DCT sibling: decode → luma → [[pHashDct64]].
+    * Same narrow shape — bytes never shuffle, 16 bytes out per record,
+    * undecodable or sub-8×8 payloads quarantine. */
+  def perceptualHashDct(media: Dataset[MediaRecord]): Dataset[PerceptualDctHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        grayPixels(r.data).flatMap { case (w, h, g) => pHashDct64(w, h, g) }
+          .map(PerceptualDctHash(r.doc_id, _))
+      }
+    }
+  }
+
   /** Deterministic re-encode fixture for the perceptual-dedup oracle:
     * documents in the same GROUP (doc_id / 3) share one 18×16
-    * grayscale pixel buffer — px(r,c) = ((g+1)·(19r + 7c² + 3)) mod
-    * 256, group-dependent through the mod-256 wrap — but each variant
-    * (doc_id mod 3) ships it in a DIFFERENT real container: grayscale
-    * PNG, 24-bit BMP, or 256-gray-palette GIF. All three are lossless,
-    * so the decoded luma (and hence the dHash) matches exactly within
-    * a group while the raw BYTES share nothing — exactly the case the
+    * grayscale pixel buffer — px(r,c) = ((g+1)·(19r + 7c² + 3) +
+    * (g/256)·(23r + 5c + 17)) mod 256, group-dependent through the
+    * mod-256 wrap with a g/256-keyed term breaking the 256-group
+    * period (surfaces repeat only every 65536 groups, keeping true
+    * pair mass near-linear at scale) — but each variant (doc_id mod 3)
+    * ships it in a DIFFERENT real container: grayscale PNG, 24-bit
+    * BMP, or 256-gray-palette GIF. All three are lossless, so the
+    * decoded luma (and hence the dHash) matches exactly within a
+    * group while the raw BYTES share nothing — exactly the case the
     * byte-level q91 tier cannot pair and this tier must. */
   def encodePerceptualFixture(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
@@ -2137,8 +2238,16 @@ object Multimodal {
       while (r < H) {
         var c = 0
         while (c < W) {
+          // second term keyed by g/256 breaks the mod-256 period of the
+          // first: without it, group surfaces repeat every 256 groups
+          // and the TRUE near-dup pair mass grows quadratically with
+          // corpus size (measured as a ~5e8-pair blowup at sf10 in
+          // round 10) — surfaces now repeat only every 65536 groups.
+          // For g < 256 the added term is 0, so small-SF results (and
+          // every oracle row the driver checks) are unchanged.
           px(r * W + c) =
-            (((g + 1L) * (19L * r + 7L * c * c + 3L)) % 256L).toByte
+            (((g + 1L) * (19L * r + 7L * c * c + 3L)
+              + (g / 256L) * (23L * r + 5L * c + 17L)) % 256L).toByte
           c += 1
         }
         r += 1

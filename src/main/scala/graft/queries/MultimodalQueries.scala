@@ -867,10 +867,14 @@ WITH grp AS (
   SELECT DISTINCT doc_id // 3 AS g FROM documents
 ), cells AS (
   SELECT grp.g, r.r, c.c,
-    ( ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c)     * (2*c.c)     + 3)) % 256
-    + ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)) % 256
-    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c)     * (2*c.c)     + 3)) % 256
-    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)) % 256
+    ( ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c)     * (2*c.c)     + 3)
+       + (grp.g // 256) * (23 * (2*r.r)     + 5 * (2*c.c)     + 17)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)
+       + (grp.g // 256) * (23 * (2*r.r)     + 5 * (2*c.c + 1) + 17)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c)     * (2*c.c)     + 3)
+       + (grp.g // 256) * (23 * (2*r.r + 1) + 5 * (2*c.c)     + 17)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)
+       + (grp.g // 256) * (23 * (2*r.r + 1) + 5 * (2*c.c + 1) + 17)) % 256
     ) // 4 AS v
   FROM grp,
     (SELECT unnest(range(0, 8)) AS r) r,
@@ -901,7 +905,108 @@ SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY a, b
 """))
 
+  /** q129 — DCT perceptual near-dup (the second hash family beside
+    * q127's dHash, r9 verdict item 8): same re-encode fixture and the
+    * same banded-hamming pipeline, but the fingerprint is
+    * `Multimodal.pHashDct64` — 8×8 box-mean luma → integer 2D DCT-II
+    * through the fixed-point `DctCos1024` table → 63 bits of
+    * AC-coefficient-vs-median. dHash keys on adjacent-cell edges; the
+    * DCT hash keys on the global frequency envelope, so together they
+    * cover both local-edge and smooth-rescale variants. The oracle
+    * replays the ENTIRE integer transform — box means with truncating
+    * division via the `(8p+7)//dim` inverse cell map, the same 32
+    * cosine literals, the sorted-index-31 median, the bit layout — so
+    * any arithmetic drift in the decode→luma→DCT chain breaks the
+    * hash compare. All-integer fixed-point keeps both engines exact.
+    */
+  val q129 = QuerySpec("q129_dct_phash_neardup",
+    (s, dir) => {
+      val hashes = graft.CacheRegistry.persistTracked(
+        Multimodal.perceptualHashDct(
+          Multimodal.encodePerceptualFixture(
+            Tables(s, dir, "documents"))).toDF())
+      // STRIPED bands (bit i → band i mod 4), not contiguous 16-bit
+      // slices: DCT bits are frequency-ORDERED, so a contiguous
+      // high-bit band is near-constant across smooth surfaces and its
+      // bucket degenerates toward all-pairs (measured 2.6× at sf10).
+      // Striping mixes low/high-frequency bits into every band; the
+      // pigeonhole guarantee is band-partition-independent (≤6
+      // differing bits always leave ≥1 of 4 disjoint bands untouched).
+      def stripedBval(b: Int) = (0 until 16).map(j =>
+        shiftleft(shiftright(col("phash"), 4 * j + b).bitwiseAND(lit(1L)), j))
+        .reduce(_ + _)
+      val banded = hashes.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bval",
+          when(col("band") === 0, stripedBval(0))
+            .when(col("band") === 1, stripedBval(1))
+            .when(col("band") === 2, stripedBval(2))
+            .otherwise(stripedBval(3)))
+      val cand = banded.as("x").join(banded.as("y"), Seq("band", "bval"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.phash").as("ha"), col("y.phash").as("hb"))
+        .distinct()
+      cand.withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .where(col("hamming") <= 6)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH grp AS (
+  SELECT DISTINCT doc_id // 3 AS g FROM documents
+), px AS (
+  SELECT grp.g, pr.r, pc.c,
+    ((grp.g + 1) * (19 * pr.r + 7 * pc.c * pc.c + 3)
+     + (grp.g // 256) * (23 * pr.r + 5 * pc.c + 17)) % 256 AS v
+  FROM grp,
+    (SELECT unnest(range(0, 16)) AS r) pr,
+    (SELECT unnest(range(0, 18)) AS c) pc
+), cells AS (
+  SELECT g, (8 * r + 7) // 16 AS r8, (8 * c + 7) // 18 AS c8,
+    sum(v) // count(*) AS v
+  FROM px GROUP BY g, (8 * r + 7) // 16, (8 * c + 7) // 18
+), f AS (
+  SELECT cells.g, uu.u, vv.v,
+    sum(cells.v
+      * ([1024,1004,946,851,724,569,392,200,0,-200,-392,-569,-724,-851,-946,-1004,-1024,-1004,-946,-851,-724,-569,-392,-200,0,200,392,569,724,851,946,1004])[(((2 * cells.r8 + 1) * uu.u) % 32) + 1]
+      * ([1024,1004,946,851,724,569,392,200,0,-200,-392,-569,-724,-851,-946,-1004,-1024,-1004,-946,-851,-724,-569,-392,-200,0,200,392,569,724,851,946,1004])[(((2 * cells.c8 + 1) * vv.v) % 32) + 1]) AS fv
+  FROM cells,
+    (SELECT unnest(range(0, 8)) AS u) uu,
+    (SELECT unnest(range(0, 8)) AS v) vv
+  GROUP BY cells.g, uu.u, vv.v
+), med AS (
+  SELECT g, fv AS m FROM (
+    SELECT g, fv, row_number() OVER (PARTITION BY g ORDER BY fv) AS rn
+    FROM f WHERE NOT (u = 0 AND v = 0))
+  WHERE rn = 32
+), gh AS (
+  SELECT f.g,
+    CAST(sum(CASE WHEN f.fv > med.m
+      THEN 1::BIGINT << CAST(f.u * 8 + f.v - 1 AS INT) ELSE 0 END) AS BIGINT) AS phash
+  FROM f JOIN med ON f.g = med.g
+  WHERE NOT (f.u = 0 AND f.v = 0)
+  GROUP BY f.g
+), dh AS (
+  SELECT d.doc_id, gh.phash
+  FROM documents d JOIN gh ON d.doc_id // 3 = gh.g
+), banded AS (
+  SELECT doc_id, phash, b AS band,
+    list_sum([((phash >> CAST(4 * j + b AS INT)) & 1) << CAST(j AS INT)
+              FOR j IN range(0, 16)]) AS bval
+  FROM dh, (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+    x.phash AS ha, y.phash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY a, b
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123,
-      q124, q126, q127)
+      q124, q126, q127, q129)
 }

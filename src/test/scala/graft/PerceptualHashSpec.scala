@@ -51,6 +51,46 @@ class PerceptualHashSpec extends SparkSpec {
       "group hashes collapse — fixture formula degenerate")
   }
 
+  test("pHashDct64: flat image hashes 0; column-only structure sets only u=0 bits") {
+    // flat: every AC coefficient is 0, median 0, no bit strictly above
+    assert(Multimodal.pHashDct64(18, 16, Array.fill(18 * 16)(128)).get == 0L)
+    // an image varying only by COLUMN has zero row-frequency content:
+    // the integer cosine table is antisymmetric around pi/2, so every
+    // u != 0 coefficient cancels EXACTLY and only bits u*8+v-1 with
+    // u=0 (indices 0..6) can be set — pins the 2D DCT structure
+    val colOnly = Array.tabulate(18 * 16)(i => (i % 18) * 255 / 17)
+    val h = Multimodal.pHashDct64(18, 16, colOnly).get
+    assert(h != 0L && (h & ~0x7FL) == 0L, f"unexpected bits: $h%016x")
+    // sub-8x8 quarantine
+    assert(Multimodal.pHashDct64(7, 8, Array.fill(56)(0)).isEmpty)
+    assert(Multimodal.pHashDct64(8, 7, Array.fill(56)(0)).isEmpty)
+  }
+
+  test("pHashDct64 is scale-invariant for aligned block upscales") {
+    // 16x16 -> 32x32 nearest-neighbor doubling: cell boundaries are
+    // exact multiples, so every 8x8 box mean (and hence the DCT) is
+    // identical — the smooth-rescale robustness dHash trades away
+    val base = Array.tabulate(16 * 16)(i =>
+      ((i * 37 + (i % 16) * (i % 16) * 5) % 256))
+    val up = new Array[Int](32 * 32)
+    for (r <- 0 until 32; c <- 0 until 32)
+      up(r * 32 + c) = base((r / 2) * 16 + (c / 2))
+    assert(Multimodal.pHashDct64(16, 16, base) == Multimodal.pHashDct64(32, 32, up))
+    // hash stays in the low 63 bits (DC excluded, no sign issues)
+    assert(Multimodal.pHashDct64(16, 16, base).get >= 0L)
+  }
+
+  test("DCT re-encodes of one pixel buffer hash identically across containers") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashes = Multimodal.perceptualHashDct(
+        Multimodal.encodePerceptualFixture(docs)).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    assert(hashes.size == docs.count())
+    hashes.keys.groupBy(_ / 3).foreach { case (g, ids) =>
+      assert(ids.map(hashes).toSet.size == 1, s"group $g variants disagree")
+    }
+  }
+
   test("grayPixels: gray PNG passthrough, BMP/GIF luma agree on equal channels") {
     val w = 9; val h = 8
     val px = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
