@@ -378,20 +378,35 @@ object Sources extends org.apache.spark.internal.Logging {
   }
 
   /** S8 — WET corpus source: WARC/WET shards → one row per record.
-    * Gzip is transparent by extension; each (typically ~150 MB) shard
-    * is read whole and parsed by one task — exactly the
-    * per-file parallelism real WET processing uses (shard counts are
-    * in the tens of thousands at crawl scale, so the cluster stays
-    * saturated; the parse itself is a narrow pass and raw payloads
-    * never shuffle). `warcinfo` file-header records are kept (callers
-    * filter on record_type = 'conversion' for documents).
+    * Gzip/zstd are transparent by extension; per-FILE parallelism
+    * (shard counts are in the tens of thousands at crawl scale, so the
+    * cluster stays saturated; the parse is a narrow pass and raw
+    * payloads never shuffle). Records STREAM out of each shard through
+    * [[parseWarcStream]] — heap is bounded by one record, not the
+    * inflated shard (the previous `wholetext` read held the whole
+    * decompressed file as one String per task, the same cliff
+    * round 10 removed from [[readWarcBytes]]), and framing runs on
+    * BYTES so Content-Length arithmetic is exact even for files with
+    * invalid UTF-8 (the String round-trip re-encoded U+FFFD
+    * replacements and could drift the frame on malformed input).
+    * Payloads decode UTF-8-with-replacement per record — identical to
+    * the text reader's decode on valid UTF-8 (WET is UTF-8 by spec).
+    * `warcinfo` file-header records are kept (callers filter on
+    * record_type = 'conversion' for documents).
     */
   def readWet(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    Zstd.register(spark.sparkContext.hadoopConfiguration)
     underShardWarning(spark, path)
-    spark.read.option("wholetext", "true").text(path)
-      .as[String].flatMap(parseWet _).toDF()
+    val files = listShardFiles(spark, path)
+    val par = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(par)
+      .flatMap { p =>
+        parseWarcStream(openShardStream(p)).map(r =>
+          WetRecord(r.record_type, r.target_uri, r.warc_date,
+            r.content_length,
+            new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF()
   }
 
   // ---- Charset-aware raw-crawl path ----
@@ -533,6 +548,32 @@ object Sources extends org.apache.spark.internal.Logging {
       }
     }
 
+  /** Open one shard file as a decompressed, buffered InputStream inside
+    * a task: `.gz` through a concatenated-member-aware GZIPInputStream
+    * (WARC gzip is one member per record), `.zst` through zstd-jni
+    * (concatenated frames decode transparently), anything else raw.
+    * The per-task Hadoop Configuration loads the cluster's site files
+    * from the executor classpath — no driver-side conf serialization.
+    * The stream closes on task completion (covers early termination,
+    * e.g. LIMIT) with iterator-exhaustion as fallback. */
+  private def openShardStream(p: String): java.io.InputStream = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val raw = fs.open(hp)
+    val in: java.io.InputStream =
+      if (p.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else if (p.endsWith(".zst"))
+        new java.io.BufferedInputStream(
+          new com.github.luben.zstd.ZstdInputStream(raw), 1 << 16)
+      else new java.io.BufferedInputStream(raw, 1 << 16)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      tc.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: java.io.IOException => () })
+    in
+  }
+
   /** Shard files under a path/glob, directory-expanded, `_`/`.`-prefixed
     * names dropped, sorted for determinism. Driver-side metadata only. */
   private def listShardFiles(spark: SparkSession, path: String): Seq[String] = {
@@ -569,22 +610,8 @@ object Sources extends org.apache.spark.internal.Logging {
     val par = math.max(1,
       math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par)
-      .flatMap { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        // per-task Configuration: loads the cluster's site files from
-        // the executor classpath — no driver-side conf serialization
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val raw = fs.open(hp)
-        val in: java.io.InputStream =
-          if (p.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(raw, 1 << 16)
-          else new java.io.BufferedInputStream(raw, 1 << 16)
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null)
-          tc.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: java.io.IOException => () })
-        parseWarcStream(in)
-      }.toDF()
+      .flatMap(p => parseWarcStream(openShardStream(p)))
+      .toDF()
   }
 
   /** [[httpSplit]] at the byte level: status line + ASCII headers →
