@@ -86,9 +86,16 @@ object StreamingOps {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // probe path: the streaming source accepts brace-glob paths that the
     // batch footer reader does not — callers using a glob pass the plain
-    // file path for schema resolution
+    // file path for schema resolution. An EMPTY landing directory (the
+    // stream starts before the first file arrives) cannot be probed —
+    // fall back to the raw-long fixture schema, the encoding every
+    // pre-NTZ generation shipped; a wrong guess surfaces as a per-file
+    // read error on the first real file, never silent data corruption
+    // (long vs timestamp column types fail loudly in the parquet reader)
     val probe = schemaProbePath.getOrElse(path)
-    val tsType = Tables.eventTsType(spark.read.parquet(probe)).getOrElse(LongType)
+    val tsType =
+      try Tables.eventTsType(spark.read.parquet(probe)).getOrElse(LongType)
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val schema = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val reader = spark.readStream.schema(schema)

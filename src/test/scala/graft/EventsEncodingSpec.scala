@@ -69,6 +69,17 @@ class EventsEncodingSpec extends SparkSpec {
     }
   }
 
+  test("eventsStream on an empty landing directory falls back to the long schema") {
+    // the footer probe cannot resolve an encoding before the first file
+    // arrives — the stream must still start (raw-long fallback), drain
+    // zero batches, and emit an empty frame rather than throw
+    val dir = Files.createTempDirectory("graft_enc_empty")
+    val drained = StreamingOps.drainToBatch(spark,
+      StreamingOps.hourlyAgg(StreamingOps.eventsStream(spark, dir.toString)),
+      "enc_empty")
+    assert(drained.collect().isEmpty)
+  }
+
   test("streaming hourlyAgg is identical across all three encodings and matches batch") {
     val results = encodings.map { enc =>
       val dir = stage(enc)
