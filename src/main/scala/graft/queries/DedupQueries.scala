@@ -868,7 +868,77 @@ WHERE prev_p IS NULL OR prev_p <> p - 1 OR (prev_d - 1 < d AND prev_d < 32)
 ORDER BY id, span_start
 """))
 
+  /** q130 — quality-aware canonical selection: the keep-rule a
+    * production dedup pass actually applies. q89 collapses the q31
+    * near-dup pair graph to clusters; instead of keep-min-id, every
+    * cluster keeps its HIGHEST-QUALITY member (q20's quality score,
+    * ties by ascending id) — near-dup groups in a real corpus contain
+    * boilerplate-mangled variants, and min-id keeps an arbitrary one
+    * while this keeps the best. Unclustered docs are their own
+    * singleton (left join + coalesce) and always keep.
+    *
+    * Scale shape: pair graph + CC as q31/q89 (bucketed, no all-pairs);
+    * the quality score is a narrow codegen projection; the only new
+    * exchange is the per-cluster rank window — keyed by cluster,
+    * exactly the partitioning the keep-rule needs. The oracle replays
+    * pairs → recursive-CTE components → the full quality formula →
+    * the same DESC/ASC rank.
+    */
+  val q130 = QuerySpec("q130_canonical_select",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", k = mhK, bands = mhBands,
+          shingleN = 3, threshold = 0.5))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(desc("quality"), asc("doc_id"))
+      docs.select(col("doc_id"),
+          round(T.qualityScore(col("text")), 6).as("quality"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster", "quality", "keep")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH RECURSIVE $sqlPairCtes,
+pairs AS (
+  SELECT a, b FROM verified WHERE jaccard >= 0.5
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+), cc AS (
+  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+), qbase AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct
+  FROM documents
+), qual AS (
+  SELECT doc_id,
+    round(0.4 * least(1.0, n_chars / 400.0)
+        + 0.3 * (1.0 - least(1.0,
+            (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0))
+        + 0.3 * least(1.0,
+            (CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END) * 5.0), 6) AS quality
+  FROM qbase
+)
+SELECT q.doc_id, coalesce(cc.cluster, q.doc_id) AS cluster, q.quality,
+  (row_number() OVER (PARTITION BY coalesce(cc.cluster, q.doc_id)
+     ORDER BY q.quality DESC, q.doc_id ASC) = 1) AS keep
+FROM qual q LEFT JOIN cc ON cc.id = q.doc_id
+ORDER BY q.doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108)
+      q97, q100, q103, q104, q108, q130)
 }

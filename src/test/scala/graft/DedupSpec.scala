@@ -251,4 +251,32 @@ class DedupSpec extends SparkSpec {
         10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
     } finally CacheRegistry.releaseAll()
   }
+
+  test("canonical selection keeps the BEST-quality cluster member, not the min id") {
+    // doc 2 is a near-dup of doc 1 (superset shingles, jaccard > 0.5)
+    // but strictly higher quality (longer, stopword-rich tail) — the
+    // production keep-rule must keep 2 and cut 1, exactly where
+    // keep-min-id would choose wrong. Doc 50 is an unrelated singleton.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val low = base
+    val high = base + " the a of and is the a of and is the a of and is"
+    val dir = java.nio.file.Files.createTempDirectory("graft_q130")
+    try {
+      Seq((1L, low), (2L, high), (50L, "solo unrelated document text here"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(dir.resolve("documents.parquet").toString)
+      val got = graft.queries.DedupQueries.q130.fn(spark, dir.toString)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"))).toMap
+      assert(got(1L)._1 == 1L && got(2L)._1 == 1L,
+        s"docs 1 and 2 must share a cluster: $got")
+      assert(!got(1L)._2 && got(2L)._2,
+        s"higher-quality doc 2 must be kept over min-id doc 1: $got")
+      assert(got(50L) == (50L, true), "singletons always keep")
+    } finally {
+      CacheRegistry.releaseAll()
+      graft.streaming.StreamingResidue.deleteRecursively(dir)
+    }
+  }
 }
