@@ -106,6 +106,43 @@ object Sampling {
         hashBucket(col(keyCol), salt) < floor(col("frac") * Buckets))
   }
 
+  /** Temperature-scaled source mixing (the GPT-3 / The Pile / mT5
+    * sampling rule): target share of source s is mₛ^T / Σ mₜ^T for
+    * observed token masses m and temperature T ∈ (0, 1] — T = 1 keeps
+    * natural proportions, T < 1 upweights small sources (mT5 uses
+    * T ≈ 0.3–0.7, GPT-3's reweighting is the same shape). Unlike
+    * [[mixToTarget]] the shares come from the DATA, not a driver map,
+    * so the whole frame — masses, powers, normalizer, binding-source
+    * scale, fractions — stays distributed: two tiny per-source aggs +
+    * one broadcast of |sources| fractions back onto the corpus, same
+    * one-narrow-pass + one-broadcast-probe contract at 100 TB.
+    * Selection is the engine-standard deterministic md5 bucket, so an
+    * oracle can replay the exact kept set. Returns input rows +
+    * (share, frac, keep); the binding (relatively smallest after
+    * temperature) source is kept whole. */
+  def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
+      massCol: String, temperature: Double, salt: String = ""): DataFrame = {
+    val bySrc = df.groupBy(col(sourceCol))
+      .agg(sum(col(massCol)).cast("double").as("m"))
+      .withColumn("w", when(col("m") > 0, pow(col("m"), lit(temperature)))
+        .otherwise(lit(0.0)))
+    val z = bySrc.agg(sum(col("w")).as("z"))
+    val shared = bySrc.join(broadcast(z))
+      .withColumn("share", when(col("z") > 0, col("w") / col("z"))
+        .otherwise(lit(0.0)))
+    val t = shared.where(col("share") > 0 && col("m") > 0)
+      .agg(min(col("m") / col("share")).as("t"))
+    val fracs = shared.join(broadcast(t))
+      .withColumn("frac",
+        when(col("share") > 0 && col("m") > 0,
+          least(lit(1.0), col("share") * col("t") / col("m")))
+          .otherwise(lit(0.0)))
+      .select(col(sourceCol), col("share"), col("frac"))
+    df.join(broadcast(fracs), Seq(sourceCol))
+      .withColumn("keep",
+        hashBucket(col(keyCol), salt) < floor(col("frac") * Buckets))
+  }
+
   /** Per-key document quota — cap rows per group (the C4/FineWeb
     * per-domain cap that stops a handful of giant hosts dominating a
     * corpus), keeping the first `quota` rows by `order` within each

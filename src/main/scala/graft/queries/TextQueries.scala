@@ -614,6 +614,61 @@ FROM d JOIN f USING (source)
 ORDER BY doc_id
 """))
 
+  /** q131 — temperature-scaled source mixing
+    * (`Sampling.temperatureMix`, T = 0.5): target shares come from
+    * the DATA (mₛ^T / Σ mₜ^T over observed token masses — the
+    * GPT-3 / The Pile / mT5 sampling rule; T < 1 upweights small
+    * sources), not a driver map as in q42. Everything stays
+    * distributed: two |sources|-row aggs + one broadcast of fractions
+    * back onto the corpus; the binding source after temperature is
+    * kept whole; membership is the engine-standard md5 bucket. The
+    * oracle replays mass → power → normalizer → binding scale →
+    * fraction → the exact kept set (pow over integer-valued masses —
+    * both engines' IEEE pow agree, pinned by the hash compare).
+    */
+  val q131 = QuerySpec("q131_temperature_mix",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.temperatureMix(docs, "doc_id", "source",
+          "n_tokens", temperature = 0.5, salt = "temp")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("frac"), 6).as("frac"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+  FROM documents
+), m AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS m,
+    CASE WHEN sum(n_tokens) > 0
+         THEN pow(CAST(sum(n_tokens) AS DOUBLE), 0.5) ELSE 0.0 END AS w
+  FROM d GROUP BY source
+), zz AS (
+  SELECT sum(w) AS z FROM m
+), sh AS (
+  SELECT source, m, CASE WHEN zz.z > 0 THEN w / zz.z ELSE 0.0 END AS share
+  FROM m, zz
+), tt AS (
+  SELECT min(m / share) AS t FROM sh WHERE share > 0 AND m > 0
+), f AS (
+  SELECT source, share,
+    CASE WHEN share > 0 AND m > 0 THEN LEAST(1.0, share * tt.t / m)
+         ELSE 0.0 END AS frac
+  FROM sh, tt
+)
+SELECT d.doc_id, d.source, d.n_tokens,
+  round(f.share, 6) AS share,
+  round(f.frac, 6) AS frac,
+  CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 'temp')), 1, 8))
+    AS BIGINT) % 1000000 < floor(f.frac * 1000000) AS keep
+FROM d JOIN f USING (source)
+ORDER BY doc_id
+"""))
+
   /** q47 — model-based quality filtering: hashed bag-of-words linear
     * classifier (fastText-style), weights on a broadcast, scorer a
     * single narrow codegen'd projection. The oracle recomputes every
@@ -1311,5 +1366,5 @@ FROM l ORDER BY doc_id
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121)
+      q121, q131)
 }

@@ -192,6 +192,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("__qk").collect().forall(_.getString(0).startsWith("u")))
   }
 
+  test("temperatureMix: T=1 is natural (all kept); T<1 upweights the small source") {
+    import spark.implicits._
+    // source big: 9 docs × 10 tokens = 90; source small: 1 doc × 10 = 10
+    val docs = ((1 to 9).map(i => (i.toLong, "big", 10L)) :+ (100L, "small", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    // T = 1: shares are the natural proportions, so every source binds
+    // simultaneously and everything is kept whole
+    val nat = Sampling.temperatureMix(docs, "doc_id", "source", "n_tokens",
+      temperature = 1.0)
+    assert(nat.where(!col("keep")).count() == 0)
+    assert(nat.select("frac").collect().forall(_.getDouble(0) == 1.0))
+    // T = 0.5: w = (sqrt(90), sqrt(10)) → shares (0.75, 0.25); the small
+    // source binds (10/0.25 = 40 < 90/0.75 = 120) and is kept whole;
+    // the big source downsamples to 0.25·40/90·... = share·t/m = 1/3
+    val cool = Sampling.temperatureMix(docs, "doc_id", "source", "n_tokens",
+      temperature = 0.5)
+    val fracs = cool.select("source", "frac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fracs("small") == 1.0, s"binding source must keep whole: $fracs")
+    assert(math.abs(fracs("big") - 1.0 / 3.0) < 1e-12, s"big frac: $fracs")
+  }
+
   test("urlRegisteredDomain: PSL subset, www strip, single-label passthrough") {
     import spark.implicits._
     import graft.functions.{Text => T}
