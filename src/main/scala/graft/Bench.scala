@@ -129,22 +129,31 @@ object Bench {
       .map { case (n, l) => jstr(n) + ":" + r3(l) }.mkString("{", ",", "}")
     // Auto-adjudicated contention flags (two driver rounds in a row
     // recorded load-noise timings that a judge then had to re-run —
-    // the artifact itself now carries the verdict): a query row is
-    // `contended` when the 1-min loadavg at its completion exceeds
-    // cpus/4 (outside CPU pressure while it ran); the SESSION is
-    // contended when any end-of-session canary re-run drifted > 1.5×
-    // its cold first run, or either session loadavg bound crossed the
-    // same cpus/4 line. Readers: treat contended rows as upper bounds,
-    // not regressions.
+    // the artifact itself now carries the verdict). The flags must
+    // correct for SELF-load: a local[cpus] bench legitimately drives
+    // the 1-min loadavg toward `cpus` with its own executor threads,
+    // so the old raw cpus/4 row gate fired on every healthy run (18
+    // rows in the judge's r10 IDLE adjudication — flags meant to save
+    // a re-run were crying wolf). A query row is `contended` only
+    // when loadavg at its completion exceeds what this JVM's own pool
+    // can account for (cpus × 1.25 — headroom for GC/daemon threads);
+    // anything beyond that is runnable work we did not create. The
+    // SESSION is contended when an end-of-session canary re-run
+    // drifted > 1.5× its cold first run (drift measures interference
+    // directly, independent of load accounting), when the PRE-bench
+    // loadavg — sampled before our queries contribute — crossed
+    // cpus/4, or when the end loadavg exceeds the self-corrected
+    // bound. Readers: treat contended rows as upper bounds, not
+    // regressions.
     val cpusN =
       try cpus.toInt
       catch { case _: Throwable => Runtime.getRuntime.availableProcessors }
-    val loadBound = cpusN / 4.0
-    val contendedRows = loadPerMain.filter(_._2 > loadBound).map(_._1)
+    val selfBound = cpusN * 1.25
+    val contendedRows = loadPerMain.filter(_._2 > selfBound).map(_._1)
     val calibDrifted = calib.exists { case (n, end) =>
       results.find(_._1 == n).map(_._2).exists(s => s > 0 && end / s > 1.5) }
     val sessionContended = calibDrifted ||
-      (loadStart > loadBound) || (loadEnd > loadBound)
+      (loadStart > cpusN / 4.0) || (loadEnd > selfBound)
     val contendedJson = s""","contended":${contendedRows
         .map(jstr(_) + ":true").mkString("{", ",", "}")
       },"contended_session":$sessionContended"""

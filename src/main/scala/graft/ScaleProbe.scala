@@ -2,22 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scaling scratch (companion to [[Prof]]): time `semanticDedup`
-  * at an explicit cell count, so the k-vs-N scaling contract is
-  * measurable instead of argued — `k <= 0` selects the production
-  * `Similarity.cellsFor` setting (k ∝ N, constant cell size), any
-  * positive k pins the toy/oracle configuration.
+/** Dev scaling scratch (companion to [[Prof]]): time semantic dedup
+  * in its two reachable configurations, so the k-vs-N scaling
+  * contract is measurable instead of argued —
   *
-  *   SPARK_GRAFT_SF_DIR=data/sf10 runMain graft.ScaleProbe 0    # k ∝ N
-  *   SPARK_GRAFT_SF_DIR=data/sf10 runMain graft.ScaleProbe 16   # fixed k
+  *   SPARK_GRAFT_SF_DIR=data/sf10 runMain graft.ScaleProbe         # production (cell size 128)
+  *   SPARK_GRAFT_SF_DIR=data/sf10 runMain graft.ScaleProbe 64      # production, cell size 64
+  *   SPARK_GRAFT_SF_DIR=data/sf10 runMain graft.ScaleProbe pinned  # oracle pin (fixed 16 cells)
+  *
+  * The `pinned` mode is the DELIBERATELY non-scaling oracle variant
+  * (fixed cell count → quadratic within-cell square; its sf10 probe
+  * measured 19× at 100× rows, see PLANS.md) — kept probe-able so the
+  * contrast with the k ∝ N path stays a measurement, not folklore.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val kArg = args.headOption.flatMap(_.toIntOption).getOrElse {
-      if (args.nonEmpty) System.err.println(
-        s"usage: ScaleProbe [k]  (non-numeric '${args.head}' ignored; using k ∝ N)")
-      0
-    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -28,13 +27,20 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables(spark, sfDir, "embeddings")
     val n = emb.count()
-    val k = if (kArg > 0) kArg else graft.operators.Similarity.cellsFor(n)
+    val pinned = args.headOption.contains("pinned")
+    val cellSize = args.headOption.flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(128)
     val t0 = System.nanoTime()
-    graft.operators.Similarity.semanticDedup(emb, k = k, tau = 0.35)
+    (if (pinned)
+      graft.operators.Similarity.semanticDedupPinned(emb, tau = 0.35)
+    else
+      graft.operators.Similarity.semanticDedup(emb, tau = 0.35,
+        targetCellSize = cellSize))
       .write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     CacheRegistry.releaseAll()
-    println(f"SCALEPROBE sf=$sfDir n=$n k=$k $sec%.3f s")
+    val mode = if (pinned) "pinned16" else s"cellsize=$cellSize"
+    println(f"SCALEPROBE sf=$sfDir n=$n $mode $sec%.3f s")
     spark.stop()
   }
 }

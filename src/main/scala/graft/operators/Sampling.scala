@@ -119,7 +119,13 @@ object Sampling {
     * Selection is the engine-standard deterministic md5 bucket, so an
     * oracle can replay the exact kept set. Returns input rows +
     * (share, frac, keep); the binding (relatively smallest after
-    * temperature) source is kept whole. */
+    * temperature) source is kept whole — EXACTLY whole: its frac is
+    * pinned to the literal 1.0 by comparing each source's scale bound
+    * m/share against the min (the min is taken over those very
+    * values, so equality is IEEE-exact for the argmin), rather than
+    * trusting share·t/m to round-trip through division back to 1.0
+    * (it can land at 0.999…, silently dropping ~1e-6 of the binding
+    * source's rows through the floor'd bucket gate). */
   def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
       massCol: String, temperature: Double, salt: String = ""): DataFrame = {
     val bySrc = df.groupBy(col(sourceCol))
@@ -130,12 +136,17 @@ object Sampling {
     val shared = bySrc.join(broadcast(z))
       .withColumn("share", when(col("z") > 0, col("w") / col("z"))
         .otherwise(lit(0.0)))
-    val t = shared.where(col("share") > 0 && col("m") > 0)
-      .agg(min(col("m") / col("share")).as("t"))
+      // per-source scale bound: the corpus-wide scale t is the min of
+      // exactly these values (null for degenerate sources; min skips
+      // nulls), so `ts === t` identifies the binding source(s) exactly
+      .withColumn("ts",
+        when(col("share") > 0 && col("m") > 0, col("m") / col("share")))
+    val t = shared.agg(min(col("ts")).as("t"))
     val fracs = shared.join(broadcast(t))
       .withColumn("frac",
-        when(col("share") > 0 && col("m") > 0,
-          least(lit(1.0), col("share") * col("t") / col("m")))
+        when(col("ts") === col("t"), lit(1.0))
+          .when(col("ts").isNotNull,
+            least(lit(1.0), col("share") * col("t") / col("m")))
           .otherwise(lit(0.0)))
       .select(col(sourceCol), col("share"), col("frac"))
     df.join(broadcast(fracs), Seq(sourceCol))

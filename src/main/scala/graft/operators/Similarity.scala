@@ -201,12 +201,42 @@ object Similarity {
   def cellsFor(n: Long, targetCellSize: Int = 128): Int =
     math.max(1, (n / math.max(1, targetCellSize)).toInt)
 
-  def semanticDedup(emb: DataFrame, k: Int, tau: Double,
+  /** Production semantic dedup entry point: DELEGATES to
+    * [[semanticDedupTwoLevel]] — k ∝ N cells (constant ~`targetCellSize`
+    * rows per cell, so the within-cell pair square stays constant as
+    * the corpus grows), O(√k) driver state, O(√k)-per-row assignment.
+    * The one-level fixed-k variant this replaced
+    * ([[semanticDedupPinned]]) let a caller run a k that does not
+    * grow with N — at 100× the data its within-cell pairwise pass
+    * measured 19× the 10× cost (see PLANS.md) — so it is no longer
+    * publicly reachable; it survives only as the oracle-replay pin
+    * behind a compile-time constant. */
+  def semanticDedup(emb: DataFrame, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      targetCellSize: Int = 128): DataFrame =
+    semanticDedupTwoLevel(emb, tau, idCol, embCol, targetCellSize)
+
+  /** Cell count of the ORACLE-PINNED flat variant, fixed at compile
+    * time: small enough that a DuckDB recursive-CTE oracle replays the
+    * full seed set, and deliberately NOT a parameter — a caller-chosen
+    * fixed k on a growing corpus is the quadratic scale trap the
+    * production path exists to prevent. */
+  private val OraclePinnedCells = 16
+
+  /** Flat one-level SemDeDup — the ORACLE-REPLAY variant (q93), not a
+    * production path: seeds are the [[OraclePinnedCells]] smallest
+    * rows by (md5(id), id) (TakeOrdered — bounded 16-row collect),
+    * every row scans all 16 broadcast centroids, and the within-cell
+    * pair square grows quadratically in N because k is fixed. Pinned
+    * so the q93 DuckDB oracle can replay the flat assignment rule
+    * verbatim at test scale; `private[graft]` + constant k keep any
+    * production caller on [[semanticDedup]]'s two-level path. */
+  private[graft] def semanticDedupPinned(emb: DataFrame, tau: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val seeds = emb.orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k).select(toDoubles(col(embCol)).as("emb"))
+      .limit(OraclePinnedCells).select(toDoubles(col(embCol)).as("emb"))
       .collect().map(_.getSeq[Double](0).toArray).toSeq
     val ref = IvfIndex.broadcastCodebook(spark, seeds)
     val base = graft.CacheRegistry.persistTracked(

@@ -926,7 +926,7 @@ pairs AS (
             (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0))
         + 0.3 * least(1.0,
             (CASE WHEN len(toks) > 0 THEN
-              CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              CAST(len(list_filter(toks,
                 t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks)
               ELSE 0.0 END) * 5.0), 6) AS quality
   FROM qbase

@@ -929,9 +929,14 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY a, b
       // slices: DCT bits are frequency-ORDERED, so a contiguous
       // high-bit band is near-constant across smooth surfaces and its
       // bucket degenerates toward all-pairs (measured 2.6× at sf10).
-      // Striping mixes low/high-frequency bits into every band; the
-      // pigeonhole guarantee is band-partition-independent (≤6
-      // differing bits always leave ≥1 of 4 disjoint bands untouched).
+      // Striping mixes low/high-frequency bits into every band. The
+      // pigeonhole recall guarantee of ANY 4-band partition is
+      // hamming ≤ 3 (bands−1): 4–6 differing bits CAN spread across
+      // all four bands (2+2+1+1) and such a pair is then missed — the
+      // ≤6 verify gate bounds precision, not recall. The oracle
+      // replays the identical bands, so engine and oracle miss the
+      // same pairs and the compare stays exact; raise to 7 bands if
+      // guaranteed ≤6 recall is ever required.
       def stripedBval(b: Int) = (0 until 16).map(j =>
         shiftleft(shiftright(col("phash"), 4 * j + b).bitwiseAND(lit(1L)), j))
         .reduce(_ + _)

@@ -225,17 +225,21 @@ SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 32 ORDER BY qid
 """))
 
-  /** q93 — SemDeDup-style semantic dedup
-    * (`Similarity.semanticDedup`): k=16 coarse cells (broadcast
-    * codebook, O(1)-in-k plan) block the pairwise cosine pass; the
-    * ≥ 0.35 pair graph collapses to keep-min-id clusters via
-    * connected components. The oracle replays the hash-rank seed
-    * codebook, the −2x·c+‖c‖² argmin (same left-assoc fold), the
-    * within-cell pairs, and the components (recursive CTE).
+  /** q93 — SemDeDup-style semantic dedup, FLAT oracle pin
+    * (`Similarity.semanticDedupPinned`): 16 coarse cells — a
+    * compile-time constant, not a caller parameter — block the
+    * pairwise cosine pass; the ≥ 0.35 pair graph collapses to
+    * keep-min-id clusters via connected components. This row pins the
+    * flat one-level assignment RULE so the DuckDB recursive CTE can
+    * replay the whole seed set; the production entry point
+    * (`Similarity.semanticDedup`) routes to the two-level k ∝ N path
+    * that q112 pins. The oracle replays the hash-rank seed codebook,
+    * the −2x·c+‖c‖² argmin (same left-assoc fold), the within-cell
+    * pairs, and the components (recursive CTE).
     */
   val q93 = QuerySpec("q93_semantic_dedup",
-    (s, dir) => Similarity.semanticDedup(Tables(s, dir, "embeddings"),
-        k = 16, tau = 0.35)
+    (s, dir) => Similarity.semanticDedupPinned(Tables(s, dir, "embeddings"),
+        tau = 0.35)
       .orderBy("id"),
     Some(raw"""
 WITH RECURSIVE un AS ($sqlUnit

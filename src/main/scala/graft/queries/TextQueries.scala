@@ -107,7 +107,7 @@ WITH base AS (
     least(1.0, n_chars / 400.0) AS len_score,
     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
     CASE WHEN len(toks) > 0 THEN
-      CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      CAST(len(list_filter(toks,
         t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks)
       ELSE 0.0 END AS stop_ratio
   FROM base
@@ -621,10 +621,12 @@ ORDER BY doc_id
     * sources), not a driver map as in q42. Everything stays
     * distributed: two |sources|-row aggs + one broadcast of fractions
     * back onto the corpus; the binding source after temperature is
-    * kept whole; membership is the engine-standard md5 bucket. The
-    * oracle replays mass → power → normalizer → binding scale →
-    * fraction → the exact kept set (pow over integer-valued masses —
-    * both engines' IEEE pow agree, pinned by the hash compare).
+    * kept whole (frac pinned to the literal 1.0 in BOTH engines via
+    * the m/share = min comparison, not a float round-trip);
+    * membership is the engine-standard md5 bucket. The oracle replays
+    * mass → power → normalizer → binding scale → fraction → the exact
+    * kept set (pow over integer-valued masses — both engines' IEEE
+    * pow agree, pinned by the hash compare).
     */
   val q131 = QuerySpec("q131_temperature_mix",
     (s, dir) => {
@@ -656,7 +658,8 @@ WITH d AS (
   SELECT min(m / share) AS t FROM sh WHERE share > 0 AND m > 0
 ), f AS (
   SELECT source, share,
-    CASE WHEN share > 0 AND m > 0 THEN LEAST(1.0, share * tt.t / m)
+    CASE WHEN share > 0 AND m > 0 AND m / share = tt.t THEN 1.0
+         WHEN share > 0 AND m > 0 THEN LEAST(1.0, share * tt.t / m)
          ELSE 0.0 END AS frac
   FROM sh, tt
 )

@@ -398,11 +398,13 @@ object Sources extends org.apache.spark.internal.Logging {
     import spark.implicits._
     underShardWarning(spark, path)
     val files = listShardFiles(spark, path)
+    val bconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val par = math.max(1,
       math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par)
       .flatMap { p =>
-        parseWarcStream(openShardStream(p)).map(r =>
+        parseWarcStream(openShardStream(p, bconf.value.value)).map(r =>
           WetRecord(r.record_type, r.target_uri, r.warc_date,
             r.content_length,
             new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
@@ -489,12 +491,22 @@ object Sources extends org.apache.spark.internal.Logging {
     * A malformed header, a Content-Length past EOF, or a record above
     * 2 GiB (the JVM array bound — same implicit limit as the array
     * parser) ends the iteration without throwing, matching the array
-    * parser's degrade-never-throw contract. The caller owns closing
-    * the stream (see [[readWarcBytes]]'s task-completion hook). */
+    * parser's degrade-never-throw contract. The stream is CLOSED as
+    * soon as the iterator reaches its end — a task flatMapping over
+    * many shard files must not accumulate one open fd (plus zstd
+    * native buffers) per already-drained shard until task end; the
+    * task-completion listener in [[openShardStream]] remains the
+    * fallback for early termination (e.g. LIMIT), where the iterator
+    * never exhausts. */
   def parseWarcStream(in: java.io.InputStream): Iterator[WarcByteRecord] =
     new scala.collection.AbstractIterator[WarcByteRecord] {
       private var nextRec: WarcByteRecord = null
       private var finished = false
+      // Idempotent end-of-iteration: mark done and release the stream.
+      private def finish(): Unit = {
+        finished = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
       // null at EOF; CRLF/LF stripped; bytes decoded 8859-1 (byte-
       // transparent ASCII superset, same as the array parser)
       private def readLine(): String = {
@@ -511,7 +523,7 @@ object Sources extends org.apache.spark.internal.Logging {
         nextRec = null
         var l = readLine()
         while (l != null && !l.startsWith("WARC/")) l = readLine()
-        if (l == null) { finished = true; return }
+        if (l == null) { finish(); return }
         var headers = Map.empty[String, String]
         var done = false
         var h = readLine()
@@ -529,13 +541,13 @@ object Sources extends org.apache.spark.internal.Logging {
         headers.get("content-length").flatMap(_.toLongOption) match {
           case Some(n) if done && n >= 0 && n <= Int.MaxValue =>
             val body = in.readNBytes(n.toInt)
-            if (body.length < n) { finished = true; return } // truncated tail
+            if (body.length < n) { finish(); return } // truncated tail
             nextRec = WarcByteRecord(
               headers.getOrElse("warc-type", ""),
               headers.getOrElse("warc-target-uri", ""),
               headers.getOrElse("warc-date", ""),
               n, body)
-          case _ => finished = true
+          case _ => finish()
         }
       }
       def hasNext: Boolean = {
@@ -548,17 +560,41 @@ object Sources extends org.apache.spark.internal.Logging {
       }
     }
 
+  /** Serializable carrier for a Hadoop `Configuration` (which is not
+    * itself `java.io.Serializable`): the driver's session conf —
+    * `spark.hadoop.*` overrides, object-store credentials/endpoints —
+    * must reach task-side [[openShardStream]] calls, exactly as the
+    * former `spark.read.binaryFile` path propagated it. A bare
+    * `new Configuration()` on the executor only sees classpath site
+    * files, so driver-side listing could succeed while task-side open
+    * fails on e.g. an S3A bucket configured via the SparkSession. */
+  private[sources] class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Open one shard file as a decompressed, buffered InputStream inside
     * a task: `.gz` through a concatenated-member-aware GZIPInputStream
     * (WARC gzip is one member per record), `.zst` through zstd-jni
     * (concatenated frames decode transparently), anything else raw.
-    * The per-task Hadoop Configuration loads the cluster's site files
-    * from the executor classpath — no driver-side conf serialization.
-    * The stream closes on task completion (covers early termination,
-    * e.g. LIMIT) with iterator-exhaustion as fallback. */
-  private def openShardStream(p: String): java.io.InputStream = {
+    * `conf` is the DRIVER session's Hadoop conf, shipped via
+    * [[SerializableHadoopConf]] so `spark.hadoop.*` settings reach the
+    * task-side filesystem open. The stream closes on iterator
+    * exhaustion ([[parseWarcStream]]), with task completion as the
+    * early-termination fallback (e.g. LIMIT). */
+  private def openShardStream(p: String,
+      conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
     val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = hp.getFileSystem(conf)
     val raw = fs.open(hp)
     val in: java.io.InputStream =
       if (p.endsWith(".gz"))
@@ -601,16 +637,19 @@ object Sources extends org.apache.spark.internal.Logging {
     * incremental parser emits as it reads, so a shard is never
     * resident in heap and the `binaryFile` 2 GB file cap never
     * applies: memory is bounded by one record, file size is unbounded.
-    * Streams close on task completion (covers early termination, e.g.
-    * LIMIT) with an iterator-exhaustion fallback. */
+    * Streams close on iterator exhaustion (a task draining thousands
+    * of shards holds at most one fd at a time), with task completion
+    * as the early-termination fallback (e.g. LIMIT). */
   def readWarcBytes(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     underShardWarning(spark, path)
     val files = listShardFiles(spark, path)
+    val bconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val par = math.max(1,
       math.min(files.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(files).repartition(par)
-      .flatMap(p => parseWarcStream(openShardStream(p)))
+      .flatMap(p => parseWarcStream(openShardStream(p, bconf.value.value)))
       .toDF()
   }
 

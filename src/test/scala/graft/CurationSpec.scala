@@ -48,7 +48,10 @@ class CurationSpec extends SparkSpec {
       (10L, v(e1, 0.0, 0)), (11L, v(e1, 0.01, 1)), (12L, v(e1, 0.02, 2)),
       (20L, far.map(_.toFloat)))
     val emb = rows.toDF("vec_id", "embedding")
-    val got = Similarity.semanticDedup(emb, k = 2, tau = 0.9)
+    // public entry point = the two-level production path (n=4 → k=1
+    // fine cell: the one hash-rank seed is vec 11, all rows share its
+    // cell, so the chain pairs within one cell exactly as intended)
+    val got = Similarity.semanticDedup(emb, tau = 0.9)
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
     assert(got(10L) == (10L, true))
     assert(got(11L) == (10L, false), "near-identical vectors collapse to min id")

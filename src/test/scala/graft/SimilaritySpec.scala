@@ -172,4 +172,23 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally CacheRegistry.releaseAll()
   }
+
+  test("semanticDedup (public) IS the two-level plan: NearestSeedId " +
+      "argmin present, results identical to semanticDedupTwoLevel") {
+    try {
+      val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      val pub = Similarity.semanticDedup(emb, tau = 0.35)
+      // the r10 verdict's scale trap was a PUBLIC path whose fixed k
+      // let the within-cell square grow quadratically; the public
+      // entry point must now plan the two-level assignment (the
+      // codegen NearestSeedId argmin only exists on that path)
+      assert(pub.queryExecution.executedPlan.toString.contains("nearest_seed_id"),
+        "public semanticDedup must run the two-level assignment plan")
+      val a = pub.orderBy("id").collect().map(_.toSeq)
+      CacheRegistry.releaseAll()
+      val b = Similarity.semanticDedupTwoLevel(emb, tau = 0.35)
+        .orderBy("id").collect().map(_.toSeq)
+      assert(a.sameElements(b), "delegation must be exact")
+    } finally CacheRegistry.releaseAll()
+  }
 }
