@@ -2272,4 +2272,103 @@ object Multimodal {
       MediaRecord(id, "image", data, MediaMeta(W, H, codec, 1))
     }
   }
+
+  /** One frame-level perceptual fingerprint of a video: the frame's
+    * [[pHashDct64]] keyed by (video, temporal position). */
+  final case class VideoFrameHash(doc_id: Long, frame_idx: Int, phash: Long)
+
+  /** Per-frame DCT perceptual fingerprints for VIDEO near-dup: demux
+    * each MP4's sample table ([[frameExtract]]), decode every MJPEG
+    * frame ([[jpegDecodePixels]]), and reduce it to its
+    * [[pHashDct64]]. Narrow end to end — container and frame bytes
+    * never shuffle; what leaves the scan is ~20 bytes per frame, the
+    * video's temporal signature spread over (doc_id, frame_idx,
+    * phash) rows. Undecodable or sub-8×8 frames quarantine, same
+    * contract as [[perceptualHashDct]]. */
+  def videoFrameHashes(media: Dataset[MediaRecord]): Dataset[VideoFrameHash] = {
+    import media.sparkSession.implicits._
+    frameExtract(media).mapPartitions { it =>
+      it.flatMap { f =>
+        jpegDecodePixels(f.data).flatMap { case (w, h, _, px) =>
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) { gray(i) = px(i) & 0xff; i += 1 }
+          pHashDct64(w, h, gray)
+        }.map(VideoFrameHash(f.doc_id, f.frame_idx, _))
+      }
+    }
+  }
+
+  /** Deterministic RE-ENCODE fixture for video-level perceptual
+    * near-dup (the moving-picture analog of
+    * [[encodePerceptualFixture]]): documents in the same GROUP
+    * (doc_id / 2) share one frame SEQUENCE — (g%3)+1 frames, frame f
+    * an 8×8 grid of constant blocks with block b valued
+    * ((g+1)·((11+13f)·b + 7b² + 3) + (g/256)·(19b + 29f + 5)) mod 256 — but
+    * the two variants (doc_id mod 2) encode it at DIFFERENT
+    * resolutions: 64×64 (8×8 blocks) and 128×128 (16×16 blocks). Both
+    * keep every JPEG MCU inside one constant block, so the lossy
+    * codec is bit-exact (q113's flat-Q property), and the 8×8
+    * box-mean grid of BOTH variants reduces to the same 8×8 cell
+    * matrix (cell = its block's value) — identical [[pHashDct64]] per
+    * aligned frame — while the container bytes share nothing
+    * (different dimensions change every JPEG stream, stsz, stco).
+    *
+    * The FULL 8×8 grid of independent block values matters for pair
+    * mass, not just realism: a first cut used 2×2 quadrant blocks,
+    * and a 4-value cell matrix excites so few DCT frequencies that
+    * most AC coefficients tie at zero — hashes cluster and the ≤6
+    * hamming gate paired ~45% of ALL cross-group videos (112k pairs
+    * from 500 fixture videos; quadratic death at sf10). With 64
+    * independent values the AC spectrum is dense, cross-group
+    * hamming concentrates near 31, and surviving pairs are the
+    * intended within-group ones. The (g/256)-keyed term breaks the
+    * mod-256 group period exactly as the image fixture's does
+    * (identical surfaces only every 65536 groups — the r10 sf10
+    * pair-mass lesson); it is 0 for g < 256, so small-SF oracle rows
+    * are unaffected. */
+  def encodeVideoPerceptualFixture(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].map { id =>
+      val g = id / 2
+      val nf = (g % 3).toInt + 1
+      val scale = (id % 2).toInt + 1 // 1 → 64×64, 2 → 128×128
+      val dim = 64 * scale
+      val blk = 8 * scale
+      val frames = (0 until nf).map { f =>
+        val px = new Array[Byte](dim * dim)
+        var y = 0
+        while (y < dim) {
+          var x = 0
+          while (x < dim) {
+            val b = (y / blk) * 8 + (x / blk)
+            // (g+1) MULTIPLIES the spatial pattern (the image
+            // fixture's construction) and f sits INSIDE the linear-b
+            // coefficient — both lessons measured, not guessed:
+            // additive group terms only shift the matrix by a
+            // constant, whose sole hash effect is where the mod-256
+            // wrap lands, so group hashes clustered and the ≤6 gate
+            // kept thousands of cross-group pairs at 500 videos
+            // (quadratic at scale); an additive 13f likewise made
+            // CONSECUTIVE FRAMES constant-shifts of each other and
+            // their hashes collapsed. Multiplying gives each group a
+            // different effective spatial frequency and each frame a
+            // different ramp slope; the 7b² term keeps the pattern
+            // nonlinear in b; the (g/256)-keyed term breaks the
+            // mod-256 group period.
+            px(y * dim + x) =
+              (((g + 1L) * ((11L + 13L * f) * b + 7L * b.toLong * b + 3L)
+                + (g / 256L) * (19L * b + 29L * f + 5L))
+                % 256L).toByte
+            x += 1
+          }
+          y += 1
+        }
+        jpegEncode(dim, dim, 1, px)
+      }
+      MediaRecord(id, "video", mp4VideoBytes(frames),
+        MediaMeta(dim, dim, "mjpeg", nf))
+    }
+  }
 }

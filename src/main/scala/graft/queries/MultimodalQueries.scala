@@ -1011,7 +1011,129 @@ SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY a, b
 """))
 
+  /** q133 — VIDEO-level perceptual near-dup: the temporal composition
+    * of q114's real MP4 demux and q129's DCT pHash. Groups of two
+    * fixture videos (`Multimodal.encodeVideoPerceptualFixture`) share
+    * a frame sequence but encode it at 64×64 vs 128×128 — every JPEG
+    * stream, stsz and stco differs while each aligned frame's 8×8
+    * box-mean cell matrix (and so its `pHashDct64`) is identical —
+    * exactly the re-encoded/rescaled upload pair a 100 TB multimodal
+    * corpus must catch and byte-level q91 cannot.
+    *
+    * Pipeline: demux → decode → per-frame hash in ONE narrow pass
+    * (`videoFrameHashes` — container bytes never shuffle; a video's
+    * temporal signature is its (frame_idx, phash) rows, ~20 B/frame);
+    * candidates come from the q129 striped 4-band scheme keyed by
+    * (frame_idx, band, bval) so only TEMPORALLY ALIGNED frames in a
+    * colliding bucket ever pair; per-frame hamming ≤ 6 verify; then a
+    * per-video-pair vote — a pair is a near-dup when ≥ 70% of the
+    * shorter video's frames match (10·n_match ≥ 7·min(nf) keeps the
+    * vote in exact integers). Frame counts on the ENGINE side come
+    * from the demuxed hash rows while the oracle derives them from
+    * the fixture formula, so a dropped/extra frame anywhere in
+    * writer → demux → decode breaks the compare. The oracle replays
+    * the whole chain: block values → integer DCT (same 32 fixed-point
+    * literals) → median → bits → striped bands → aligned pairing →
+    * the integer vote. */
+  val q133 = QuerySpec("q133_video_perceptual_neardup",
+    (s, dir) => {
+      val hashes = graft.CacheRegistry.persistTracked(
+        Multimodal.videoFrameHashes(
+          Multimodal.encodeVideoPerceptualFixture(
+            Tables(s, dir, "documents"))).toDF())
+      // striped bands, same layout as q129 (bit i → band i mod 4)
+      def stripedBval(b: Int) = (0 until 16).map(j =>
+        shiftleft(shiftright(col("phash"), 4 * j + b).bitwiseAND(lit(1L)), j))
+        .reduce(_ + _)
+      val banded = hashes.select(col("doc_id"), col("frame_idx"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bval",
+          when(col("band") === 0, stripedBval(0))
+            .when(col("band") === 1, stripedBval(1))
+            .when(col("band") === 2, stripedBval(2))
+            .otherwise(stripedBval(3)))
+      val cand = banded.as("x")
+        .join(banded.as("y"), Seq("frame_idx", "band", "bval"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("frame_idx"), col("x.phash").as("ha"), col("y.phash").as("hb"))
+        .distinct()
+      val matched = cand
+        .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+      val votes = matched.groupBy("a", "b").agg(count(lit(1)).as("n_match"))
+      val nf = hashes.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      votes
+        .join(nf.select(col("doc_id").as("a"), col("nf").as("nf_a")), Seq("a"))
+        .join(nf.select(col("doc_id").as("b"), col("nf").as("nf_b")), Seq("b"))
+        .select(col("a"), col("b"), col("n_match"), col("nf_a"), col("nf_b"),
+          (col("n_match") * 10 >= least(col("nf_a"), col("nf_b")) * 7)
+            .as("is_dup"))
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH grp AS (
+  SELECT DISTINCT doc_id // 2 AS g FROM documents
+), fr AS (
+  SELECT g, unnest(range(0, g % 3 + 1)) AS fi FROM grp
+), cells AS (
+  SELECT fr.g, fr.fi, rr.r8, cc.c8,
+    ((fr.g + 1) * ((11 + 13 * fr.fi) * (rr.r8 * 8 + cc.c8)
+                   + 7 * (rr.r8 * 8 + cc.c8) * (rr.r8 * 8 + cc.c8) + 3)
+     + (fr.g // 256) * (19 * (rr.r8 * 8 + cc.c8) + 29 * fr.fi + 5)
+    ) % 256 AS v
+  FROM fr,
+    (SELECT unnest(range(0, 8)) AS r8) rr,
+    (SELECT unnest(range(0, 8)) AS c8) cc
+), f AS (
+  SELECT cells.g, cells.fi, uu.u, vv.v,
+    sum(cells.v
+      * ([1024,1004,946,851,724,569,392,200,0,-200,-392,-569,-724,-851,-946,-1004,-1024,-1004,-946,-851,-724,-569,-392,-200,0,200,392,569,724,851,946,1004])[(((2 * cells.r8 + 1) * uu.u) % 32) + 1]
+      * ([1024,1004,946,851,724,569,392,200,0,-200,-392,-569,-724,-851,-946,-1004,-1024,-1004,-946,-851,-724,-569,-392,-200,0,200,392,569,724,851,946,1004])[(((2 * cells.c8 + 1) * vv.v) % 32) + 1]) AS fv
+  FROM cells,
+    (SELECT unnest(range(0, 8)) AS u) uu,
+    (SELECT unnest(range(0, 8)) AS v) vv
+  GROUP BY cells.g, cells.fi, uu.u, vv.v
+), med AS (
+  SELECT g, fi, fv AS m FROM (
+    SELECT g, fi, fv, row_number() OVER (PARTITION BY g, fi ORDER BY fv) AS rn
+    FROM f WHERE NOT (u = 0 AND v = 0))
+  WHERE rn = 32
+), gh AS (
+  SELECT f.g, f.fi,
+    CAST(sum(CASE WHEN f.fv > med.m
+      THEN 1::BIGINT << CAST(f.u * 8 + f.v - 1 AS INT) ELSE 0 END) AS BIGINT) AS phash
+  FROM f JOIN med ON f.g = med.g AND f.fi = med.fi
+  WHERE NOT (f.u = 0 AND f.v = 0)
+  GROUP BY f.g, f.fi
+), vh AS (
+  SELECT d.doc_id, gh.fi AS frame_idx, gh.phash
+  FROM documents d JOIN gh ON d.doc_id // 2 = gh.g
+), banded AS (
+  SELECT doc_id, frame_idx, phash, b AS band,
+    list_sum([((phash >> CAST(4 * j + b AS INT)) & 1) << CAST(j AS INT)
+              FOR j IN range(0, 16)]) AS bval
+  FROM vh, (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.frame_idx AS fi,
+    x.phash AS ha, y.phash AS hb
+  FROM banded x JOIN banded y
+    ON x.frame_idx = y.frame_idx AND x.band = y.band AND x.bval = y.bval
+   AND x.doc_id < y.doc_id
+), votes AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_match
+  FROM cand WHERE bit_count(xor(ha, hb)) <= 6 GROUP BY a, b
+), nf AS (
+  SELECT doc_id, CAST(doc_id // 2 % 3 + 1 AS BIGINT) AS nf FROM documents
+)
+SELECT v.a, v.b, v.n_match, na.nf AS nf_a, nb.nf AS nf_b,
+  v.n_match * 10 >= least(na.nf, nb.nf) * 7 AS is_dup
+FROM votes v
+JOIN nf na ON v.a = na.doc_id
+JOIN nf nb ON v.b = nb.doc_id
+ORDER BY v.a, v.b
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123,
+    Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
       q124, q126, q127, q129)
 }

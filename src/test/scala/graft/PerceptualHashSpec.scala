@@ -91,6 +91,45 @@ class PerceptualHashSpec extends SparkSpec {
     }
   }
 
+  test("video fixture: aligned frames of the two resolutions hash " +
+      "identically; distinct frames and groups differ") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.encodeVideoPerceptualFixture(docs)
+    // raw containers are byte-disjoint between the variants (the
+    // whole point: the byte tier can never pair them)
+    val sizes = media.collect().map(m => m.doc_id -> m.data.length).toMap
+    sizes.keys.groupBy(_ / 2).foreach { case (g, ids) =>
+      if (ids.size == 2)
+        assert(ids.map(sizes).toSeq.distinct.size == 2,
+          s"group $g variants should differ in size (64 vs 128 px)")
+    }
+    val hashes = Multimodal.videoFrameHashes(media).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.phash).toMap
+    // every frame of every video demuxes, decodes and hashes:
+    // (g%3)+1 frames per video
+    val expected = sizes.keys.toSeq.map(id => (id / 2 % 3) + 1).sum
+    assert(hashes.size == expected, s"${hashes.size} != $expected frames")
+    // within a group, aligned frames agree exactly across resolutions
+    hashes.keys.groupBy { case (id, fi) => (id / 2, fi) }.foreach {
+      case ((g, fi), keys) =>
+        assert(keys.map(hashes).toSet.size == 1,
+          s"group $g frame $fi disagrees across resolutions")
+    }
+    // frames of one video are distinct for the overwhelming majority
+    // of videos (temporal signal): groups where (g+1) carries a large
+    // power-of-2 factor coarsen the mod-256 matrix to few values and
+    // can coincidentally hash two frames equal — rare, deterministic,
+    // oracle-replayed, and harmless to pair mass (frames never
+    // self-pair within a video) — same tolerance the image fixture's
+    // cross-group assertion uses
+    val multi = hashes.keys.groupBy(_._1).filter(_._2.size > 1)
+    val distinctFrames = multi.count { case (_, keys) =>
+      keys.map(hashes).toSet.size == keys.size }
+    assert(distinctFrames * 20 >= multi.size * 19,
+      s"only $distinctFrames of ${multi.size} multi-frame videos have " +
+        "distinct frame hashes — fixture temporal signal degenerate")
+  }
+
   test("grayPixels: gray PNG passthrough, BMP/GIF luma agree on equal channels") {
     val w = 9; val h = 8
     val px = Array.tabulate(w * h)(i => ((i * 31 + 7) % 256).toByte)
