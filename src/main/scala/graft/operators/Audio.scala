@@ -87,6 +87,54 @@ object Audio {
     out
   }
 
+  final case class SpectralWindow(doc_id: Long, window_idx: Int,
+      dominant_bin: Int)
+
+  /** TEMPORAL spectral signature: one row per non-overlapping window
+    * carrying its dominant non-DC FFT bin (ties to the LOWEST bin —
+    * deterministic regardless of fold order). The audio analog of a
+    * video's per-frame hash sequence (q133): clip-level near-dup
+    * compares ALIGNED windows, so the signature must keep temporal
+    * position, which [[spectralFeatures]]' whole-record magnitude sum
+    * throws away. Decodes ALL integer sample tiers
+    * ([[Multimodal.parseAudioSamples]]: 16-bit PCM + G.711 μ/A-law),
+    * because the near-dup case is precisely a companded telephony
+    * re-encode of a PCM original: samples differ (lossy companding)
+    * but each window's dominant bin survives — quantization noise
+    * spreads across the spectrum orders of magnitude below a tone
+    * peak. Narrow mapPartitions; audio bytes never shuffle; ~16 bytes
+    * leave per window. */
+  def spectralSignature(media: Dataset[Multimodal.MediaRecord],
+      windowSize: Int = 256): Dataset[SpectralWindow] = {
+    require(windowSize >= 8 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize must be a power of 2 >= 8, got $windowSize")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        Multimodal.parseAudioSamples(r.data).toSeq.flatMap {
+          case (_, _, _, s) =>
+            val nWin = s.length / windowSize
+            (0 until nWin).iterator.map { w =>
+              val frame = new Array[Double](windowSize)
+              var i = 0
+              while (i < windowSize) {
+                frame(i) = s(w * windowSize + i).toDouble
+                i += 1
+              }
+              val mag = magnitudes(frame)
+              var best = 1
+              var k = 2
+              while (k < mag.length) {
+                if (mag(k) > mag(best)) best = k
+                k += 1
+              }
+              SpectralWindow(r.doc_id, w, best)
+            }
+        }
+      }
+    }
+  }
+
   /** Per-record spectral features: frame into `windowSize`-sample
     * windows (trailing partial window dropped — it would bias the
     * spectrum), FFT each, sum magnitudes across windows, report the

@@ -1829,6 +1829,23 @@ object Multimodal {
     if ((u & 0x80) != 0) -v else v
   }
 
+  /** G.711 μ-law COMPRESSION (16-bit linear → 8-bit companded byte),
+    * the exact inverse pairing of [[ulawToLinear]] (round-trip
+    * identity spec-pinned): bias by 132, find the segment (exponent),
+    * take the 4 mantissa bits under it, bit-invert. Used by fixtures
+    * that need a genuine lossy telephony re-encode of a PCM signal. */
+  private[graft] def linearToUlaw(sample: Int): Int = {
+    var x = sample
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > 32635) x = 32635
+    x += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    ~(sign | (exp << 4) | mant) & 0xff
+  }
+
   /** G.711 A-law expansion: even-bit inversion (XOR 0x55), segment 0
     * linear, higher segments exponential; MSB SET means positive,
     * max 32256 (A-law has no true zero — silence decodes to ±8). */

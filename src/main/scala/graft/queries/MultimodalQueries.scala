@@ -1133,7 +1133,150 @@ JOIN nf nb ON v.b = nb.doc_id
 ORDER BY v.a, v.b
 """))
 
+  /** q134 — AUDIO perceptual near-dup: content-level pairing of a
+    * 16-bit PCM clip with its G.711 μ-law telephony re-encode —
+    * bytes disjoint (16-bit LE vs companded 8-bit), decoded sample
+    * VALUES genuinely differ (μ-law is lossy) — the case byte-level
+    * q91 can never pair and q124's per-byte decode doesn't attempt.
+    * Closes the last modality without a content-level near-dup tier
+    * beside q127/q129 (image) and q133 (video).
+    *
+    * Signature: `Audio.spectralSignature` — per 256-sample window the
+    * dominant non-DC FFT bin, through the in-repo radix-2 FFT, real
+    * WAV parsing, and BOTH sample tiers (PCM passthrough; μ-law
+    * expanded by the standard companding arithmetic). The fixture's
+    * windows are bin-centered pure tones (q118's exactness
+    * construction), so the dominant bin is analytically determined
+    * and the oracle replays the ANSWER arithmetically — float FFT
+    * internals never need cross-engine replay, while any defect in
+    * framing, companding, bit-reversal or the argmax still breaks the
+    * compare. μ-law quantization noise and harmonic distortion sit
+    * orders of magnitude below a bin-centered tone peak, so the
+    * argmax is codec-invariant by construction, not by luck.
+    *
+    * Pairing is Shazam-shaped: candidate keys are CONSECUTIVE peak
+    * pairs (window w, bin_w, bin_{w+1}) — selective enough that
+    * buckets stay tiny at crawl scale (a single-window dominant-bin
+    * key has only ~120 values, a pair key ~120²·positions) — then an
+    * exact aligned-window verify counts matching windows and the
+    * same ≥ 70% integer vote as q133 marks clip near-dups. */
+  val q134 = QuerySpec("q134_audio_perceptual_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = base.mapPartitions { it =>
+        it.map { id =>
+          val g = id / 2
+          val nw = (4 + (g % 4)).toInt
+          val n = nw * 256
+          val pcm = new Array[Short](n)
+          var w = 0
+          while (w < nw) {
+            // bin formula mirrors q118's 3..122 range; three g scales
+            // ((g+1) multiplier, g/8, g/64) decorrelate the degenerate
+            // residue classes a single multiplier leaves behind
+            val k = (3L + (((g + 1L) * (2L * w + 3L) + (g / 64L) * (w + 5L)
+              + (g / 8L) * (3L * w + 1L)) % 120L)).toInt
+            var i = 0
+            while (i < 256) {
+              pcm(w * 256 + i) = math.round(12000.0 *
+                math.sin(2.0 * math.Pi * k * i / 256.0)).toShort
+              i += 1
+            }
+            w += 1
+          }
+          val data =
+            if (id % 2 == 0) {
+              val payload = new Array[Byte](2 * n)
+              var i = 0
+              while (i < n) {
+                payload(2 * i) = pcm(i).toByte
+                payload(2 * i + 1) = (pcm(i) >> 8).toByte
+                i += 1
+              }
+              Multimodal.wavBytes(1, 8000, payload)
+            } else {
+              val payload = new Array[Byte](n)
+              var i = 0
+              while (i < n) {
+                payload(i) = Multimodal.linearToUlaw(pcm(i).toInt).toByte
+                i += 1
+              }
+              Multimodal.wavBytesFmt(7, 8, 1, 8000, payload)
+            }
+          Multimodal.MediaRecord(id, "audio", data,
+            Multimodal.MediaMeta(1, 8000,
+              if (id % 2 == 0) "pcm_s16le" else "g711_ulaw", 1))
+        }
+      }
+      val sigs = graft.CacheRegistry.persistTracked(
+        Audio.spectralSignature(media, 256).toDF())
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("window_idx")
+      val keys = sigs
+        .withColumn("b2", lead(col("dominant_bin"), 1).over(wspec))
+        .where(col("b2").isNotNull)
+        .select(col("doc_id"), col("window_idx").as("w"),
+          col("dominant_bin").as("b1"), col("b2"))
+      val cand = keys.as("x").join(keys.as("y"), Seq("w", "b1", "b2"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val sa = sigs.select(col("doc_id").as("a"),
+        col("window_idx").as("wi"), col("dominant_bin").as("ba"))
+      val sb = sigs.select(col("doc_id").as("b"),
+        col("window_idx").as("wi"), col("dominant_bin").as("bb"))
+      val matched = cand.join(sa, Seq("a")).join(sb, Seq("b", "wi"))
+        .where(col("ba") === col("bb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
+      val nw = sigs.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+      matched
+        .join(nw.select(col("doc_id").as("a"), col("nw").as("nw_a")), Seq("a"))
+        .join(nw.select(col("doc_id").as("b"), col("nw").as("nw_b")), Seq("b"))
+        .select(col("a"), col("b"), col("n_match"), col("nw_a"), col("nw_b"),
+          (col("n_match") * 10 >= least(col("nw_a"), col("nw_b")) * 7)
+            .as("is_dup"))
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH grp AS (
+  SELECT DISTINCT doc_id // 2 AS g FROM documents
+), wins AS (
+  SELECT g, unnest(range(0, 4 + g % 4)) AS w FROM grp
+), bins AS (
+  SELECT g, w,
+    3 + (((g + 1) * (2 * w + 3) + (g // 64) * (w + 5)
+          + (g // 8) * (3 * w + 1)) % 120) AS bin
+  FROM wins
+), sig AS (
+  SELECT d.doc_id, b.w, b.bin
+  FROM documents d JOIN bins b ON d.doc_id // 2 = b.g
+), keys AS (
+  SELECT s1.doc_id, s1.w, s1.bin AS b1, s2.bin AS b2
+  FROM sig s1 JOIN sig s2 ON s1.doc_id = s2.doc_id AND s2.w = s1.w + 1
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y
+    ON x.w = y.w AND x.b1 = y.b1 AND x.b2 = y.b2 AND x.doc_id < y.doc_id
+), m AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.w = sa.w
+  WHERE sa.bin = sb.bin
+  GROUP BY c.a, c.b
+), nw AS (
+  SELECT doc_id, CAST(4 + doc_id // 2 % 4 AS BIGINT) AS nw FROM documents
+)
+SELECT m.a, m.b, m.n_match, na.nw AS nw_a, nb.nw AS nw_b,
+  m.n_match * 10 >= least(na.nw, nb.nw) * 7 AS is_dup
+FROM m
+JOIN nw na ON m.a = na.doc_id
+JOIN nw nb ON m.b = nb.doc_id
+ORDER BY m.a, m.b
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
-      q124, q126, q127, q129)
+      q134, q124, q126, q127, q129)
 }

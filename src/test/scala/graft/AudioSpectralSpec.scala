@@ -79,4 +79,48 @@ class AudioSpectralSpec extends SparkSpec {
     val got = Audio.spectralFeatures(Seq(short, junk).toDS(), 256).collect()
     assert(got.isEmpty)
   }
+
+  test("linearToUlaw inverts ulawToLinear on every companded byte") {
+    // round-trip identity over the full 8-bit code space pins the
+    // encoder to the decoder (and both to the G.711 tables)
+    for (b <- 0 until 256) {
+      val lin = Multimodal.ulawToLinear(b)
+      val back = Multimodal.linearToUlaw(lin)
+      // 0x7f and 0xff both decode to 0 (±0 codes); encoding 0 picks 0xff
+      if (b == 0x7f) assert(back == 0xff)
+      else assert(back == b, f"byte 0x$b%02x -> $lin -> 0x$back%02x")
+    }
+  }
+
+  test("spectralSignature: PCM and its mu-law re-encode agree per " +
+      "window; bytes differ; trailing partial window dropped") {
+    // 2 windows of bin-centered tones (bins 11 then 40) + 100 trailing
+    // samples that must not produce a third window
+    val n = 2 * 256 + 100
+    val pcm = Array.tabulate(n) { i =>
+      val k = if (i < 256) 11 else 40
+      math.round(12000.0 * math.sin(2.0 * math.Pi * k * (i % 256) / 256.0)).toShort
+    }
+    val pcmBytes = new Array[Byte](2 * n)
+    val muBytes = new Array[Byte](n)
+    for (i <- 0 until n) {
+      pcmBytes(2 * i) = pcm(i).toByte
+      pcmBytes(2 * i + 1) = (pcm(i) >> 8).toByte
+      muBytes(i) = Multimodal.linearToUlaw(pcm(i).toInt).toByte
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "audio", Multimodal.wavBytes(1, 8000, pcmBytes),
+        Multimodal.MediaMeta(1, 8000, "pcm_s16le", 1)),
+      Multimodal.MediaRecord(1L, "audio",
+        Multimodal.wavBytesFmt(7, 8, 1, 8000, muBytes),
+        Multimodal.MediaMeta(1, 8000, "g711_ulaw", 1))).toDS()
+    val sig = Audio.spectralSignature(media, 256).collect()
+      .map(s => (s.doc_id, s.window_idx) -> s.dominant_bin).toMap
+    assert(sig.size == 4, s"expected 2 windows x 2 clips, got $sig")
+    assert(sig((0L, 0)) == 11 && sig((0L, 1)) == 40)
+    // the lossy companded re-encode yields the SAME temporal signature
+    assert(sig((1L, 0)) == 11 && sig((1L, 1)) == 40)
+    // while sharing no bytes with the original
+    assert(!pcmBytes.sameElements(muBytes))
+  }
 }
