@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+import graft.operators.{Dedup, HtmlExtract, Packing, Sampling}
+
+/** The composed end-to-end pipeline: raw crawl shards in, packed
+  * training shards out — every stage of which is individually green
+  * elsewhere in the registry, here proven to COMPOSE the way the
+  * reference's orchestrated main composes its stages
+  * (`reference/one_one_one_rule/pipeline_job.py:83-186` chains
+  * extract → fetch → valuate → sink; this is the same shape at
+  * training-corpus width).
+  */
+object E2eQueries {
+
+  private val mhK = 16
+  private val mhBands = 4
+  private val mhParams = Dedup.minhashParams(mhK)
+  private val sqlSigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
+    s"MIN(($a * h + $b) % ${Dedup.minhashP}) AS sig$i"
+  }.mkString(",\n    ")
+  private val sqlBucketList = (0 until mhBands).map { b =>
+    val parts = (s"'$b#'" +:
+      (0 until mhK / mhBands).map(j =>
+        s"CAST(sig${b * (mhK / mhBands) + j} AS VARCHAR)"))
+    s"md5(array_to_string([${parts.mkString(", ")}], ','))"
+  }.mkString(",\n     ")
+
+  /** q132 — the crawl→training-shards pipeline as ONE registry query:
+    * streaming WARC ingest → HTTP status gate → charset resolve →
+    * HTML main-text extraction → language gate (en) → quality floor
+    * (≥ 0.5) → exact dedup (min-id per normalized fingerprint) →
+    * near-dup clustering with QUALITY-AWARE canonical keep (q130's
+    * rule) → benchmark 4-gram decontamination → temperature-scaled
+    * source mixing (T = 0.5) → 512-token sequence packing → sharded
+    * `.zst` JSONL write with read-back.
+    *
+    * The output is the per-record AUDIT LEDGER — one row per staged
+    * WARC record carrying every stage's verdict (null below the stage
+    * a record died at), which is exactly what a production curation
+    * run must emit anyway (the reference logs per-stage row counts;
+    * at corpus scale you need per-RECORD attribution to debug a
+    * yield drop). The DuckDB oracle replays all eleven stages —
+    * charset gates by id arithmetic, lang/quality formulas, the full
+    * MinHash/LSH + recursive-CTE clustering, gram decontamination,
+    * the temperature-mix mass algebra, and the packing prefix sum —
+    * so every verdict of every record is independently confirmed.
+    *
+    * Fixture: every document staged as one WARC response record
+    * (gzip shards — the streaming reader walks concatenated members):
+    * doc_id % 13 = 0 → HTTP 404 (dies at the status gate);
+    * else doc_id % 17 = 0 → `charset=x-martian` (quarantined at the
+    * charset gate); else UTF-8 HTML via [[HtmlExtract.encodePages]].
+    * The benchmark set for decontamination is the raw documents with
+    * doc_id % 97 = 0 (an "external eval suite" that is also present
+    * in the crawl, so those records self-decontaminate out — the
+    * GPT-3 §C situation).
+    *
+    * Scale shape: every stage keeps its standalone plan — per-file
+    * streaming parse (no shuffle), narrow codegen scoring, bucketed
+    * LSH (no all-pairs), broadcast bench grams, two tiny mix aggs +
+    * one broadcast, two-phase prefix-sum pack, distributed shard
+    * write. The verdict ledger joins are all doc_id-keyed; at 100 TB
+    * they co-partition on the id after the first exchange. The one
+    * extra cost vs running stages standalone is the `scored` persist
+    * — one materialization feeding the funnel AND the audit join
+    * (the q34/q106 lesson: never recompute a non-codegen projection
+    * per consumer). */
+  val q132 = QuerySpec("q132_e2e_pipeline",
+    (s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+
+      // ---- stage 0: fixture — one WARC response record per document,
+      // gzip-sharded the way crawls actually ship
+      val staged: org.apache.spark.sql.Dataset[Array[Byte]] =
+        HtmlExtract.encodePages(docs).map { p =>
+          val notFound = p.doc_id % 13 == 0
+          val quarantined = !notFound && p.doc_id % 17 == 0
+          val status =
+            if (notFound) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+          val bodyStr =
+            if (notFound) "<html><body>gone</body></html>" else p.html
+          val body = bodyStr.getBytes("UTF-8")
+          val ct = if (quarantined) "text/html; charset=x-martian"
+            else "text/html; charset=utf-8"
+          val httpHead = (status + "\r\nContent-Type: " + ct + "\r\n\r\n")
+            .getBytes("US-ASCII")
+          val http = httpHead ++ body
+          val warcHead = ("WARC/1.0\r\nWARC-Type: response" +
+            s"\r\nWARC-Target-URI: http://site${p.doc_id % 7}.example/doc/${p.doc_id}" +
+            s"\r\nContent-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII")
+          warcHead ++ http ++ "\r\n".getBytes("US-ASCII")
+        }
+      val tmp = Files.createTempDirectory("graft_q132_warc")
+      val tmpStr = tmp.toString
+      staged.repartition(8).foreachPartition {
+        (it: Iterator[Array[Byte]]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.util.zip.GZIPOutputStream(
+            new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(s"$tmpStr/part-$pid.warc.gz")))
+          try it.foreach(out.write) finally out.close()
+      }
+
+      // ---- stages 1-2: streaming ingest + HTTP status + charset
+      val base0 = graft.sources.Sources.readWarcBytes(s, tmpStr)
+        .where(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("body"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, payload) =>
+          graft.sources.Sources.httpSplitBytes(payload) match {
+            case Some((200, headers, bytes)) =>
+              graft.sources.Sources.decodeHttpBody(headers, bytes) match {
+                case Some((cs, html)) => (id, true, Option(cs), Option(html))
+                case None =>
+                  (id, true, Option.empty[String], Option.empty[String])
+              }
+            case _ => (id, false, Option.empty[String], Option.empty[String])
+          }
+        }.toDF("doc_id", "http_ok", "charset", "html")
+      // checkpoint so the staging dir deletes eagerly and the WARC
+      // parse runs ONCE however many stages consume it
+      val base = graft.CacheRegistry.trackCheckpoint(base0.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+
+      // ---- stages 3-5: extract + language + quality, scored once
+      val pagesDs = base.where(col("html").isNotNull)
+        .select(col("doc_id"), col("html")).as[(Long, String)]
+        .map { case (id, h) => HtmlExtract.Page(id, h) }
+      val scored = graft.CacheRegistry.persistTracked(
+        HtmlExtract.extractMainText(pagesDs).toDF()
+          .select(col("doc_id"), col("extracted"))
+          .withColumn("lang_pred", T.langId(col("extracted")))
+          .withColumn("quality", round(T.qualityScore(col("extracted")), 6))
+          .withColumn("lang_keep", col("lang_pred") === "en")
+          .withColumn("quality_keep", col("quality") >= 0.5))
+      val s5 = scored.where(col("lang_keep") && col("quality_keep"))
+
+      // ---- stage 6: exact dedup — keep min doc_id per fingerprint
+      val exact = s5
+        .withColumn("fp", T.fingerprint(col("extracted")))
+        .withColumn("exact_keep",
+          col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", "exact_keep")
+      val s6 = s5.join(exact.where(col("exact_keep")).select("doc_id"), "doc_id")
+
+      // ---- stage 7: near-dup clusters, quality-aware canonical keep
+      val pairs = Dedup.minhashPairs(s6, "doc_id", "extracted",
+        k = mhK, bands = mhBands, shingleN = 3, threshold = 0.5)
+      val clusters = Dedup.connectedComponents(pairs)
+      val wq = Window.partitionBy("cluster")
+        .orderBy(desc("quality"), asc("doc_id"))
+      val canon = s6.select("doc_id", "quality")
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("near_keep", row_number().over(wq) === 1)
+        .select("doc_id", "cluster", "near_keep")
+      val s7 = s6.join(canon.where(col("near_keep")).select("doc_id"), "doc_id")
+
+      // ---- stage 8: benchmark decontamination (4-gram overlap)
+      val decon = Dedup.decontaminate(
+          s7.select(col("doc_id"), col("extracted").as("text")),
+          docs.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          "doc_id", "text", shingleN = 4)
+        .select(col("id").as("doc_id"), col("n_hit"),
+          col("keep").as("decon_keep"))
+      val s8 = s7.join(decon.where(col("decon_keep")).select("doc_id"), "doc_id")
+
+      // ---- stage 9: temperature-scaled source mixing (T = 0.5)
+      val mixIn = s8.join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("extracted")).cast("long").as("n_tokens"))
+      val mixed = Sampling.temperatureMix(mixIn, "doc_id", "source",
+          "n_tokens", temperature = 0.5, salt = "e2e")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("frac"), 6).as("frac"), col("keep").as("mix_keep"))
+      val s9 = mixed.where(col("mix_keep"))
+
+      // ---- stage 10: 512-token sequence packing (two-phase prefix sum)
+      val pk = Packing.withCumulativeSum(
+          s9.where(col("n_tokens") > 0).select("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr("(cum - n_tokens) div 512").as("seq"))
+
+      // ---- stage 11: sharded .zst JSONL write + read-back
+      val shardTmp = Files.createTempDirectory("graft_q132_shards")
+      val outDocs = s9
+        .join(scored.select(col("doc_id"), col("extracted").as("text")), "doc_id")
+        .select("doc_id", "text")
+      graft.sources.Sources.writeJsonl(outDocs, shardTmp.toString,
+        shards = 4, compression = "zstd")
+      val back = graft.sources.Sources.readJsonl(s, shardTmp.toString,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        .select(col("doc_id"), lit(true).as("in_shard"))
+
+      // ---- the audit ledger: one row per staged record, every verdict
+      val out = base.select("doc_id", "http_ok", "charset")
+        .join(scored.select("doc_id", "lang_pred", "quality",
+          "lang_keep", "quality_keep"), Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .join(canon, Seq("doc_id"), "left")
+        .join(decon, Seq("doc_id"), "left")
+        .join(mixed, Seq("doc_id"), "left")
+        .join(pk, Seq("doc_id"), "left")
+        .join(back, Seq("doc_id"), "left")
+        .withColumn("in_shard", coalesce(col("in_shard"), lit(false)))
+        .orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(shardTmp)
+      result
+    },
+    Some(raw"""
+WITH RECURSIVE
+v AS (
+  SELECT doc_id, text, source,
+    doc_id % 13 <> 0 AS http_ok,
+    CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN 'utf-8' END AS charset
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN '' ELSE text END AS text
+  FROM v WHERE charset IS NOT NULL
+),
+feat AS (
+  SELECT doc_id, source, text,
+    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS ltoks,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE) AS n_punct
+  FROM ex
+),
+lg AS (
+  SELECT doc_id, source, text,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+         WHEN de >= fr AND de > 0 THEN 'de'
+         WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred,
+    round(0.4 * least(1.0, n_chars / 400.0)
+        + 0.3 * (1.0 - least(1.0,
+            (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0))
+        + 0.3 * least(1.0,
+            (CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_filter(toks,
+                t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END) * 5.0), 6) AS quality
+  FROM (SELECT doc_id, source, text, cjk, toks, n_chars, n_punct,
+      len(list_filter(ltoks, t -> t IN ('the','a','of','and','is'))) AS en,
+      len(list_filter(ltoks, t -> t IN ('der','die','das','und','ist'))) AS de,
+      len(list_filter(ltoks, t -> t IN ('le','la','et','est','les'))) AS fr
+    FROM feat)
+),
+s5 AS (SELECT * FROM lg WHERE lang_pred = 'en' AND quality >= 0.5),
+exact AS (
+  SELECT doc_id,
+    doc_id = min(doc_id) OVER (PARTITION BY
+      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS exact_keep
+  FROM s5
+),
+s6 AS (SELECT s5.* FROM s5 JOIN exact USING (doc_id) WHERE exact_keep),
+sh6 AS (
+  SELECT doc_id AS id, list_distinct(
+      [array_to_string(ntoks[i:i+2], ' ') FOR i IN range(1, len(ntoks) - 1)]
+    ) AS shingles
+  FROM (SELECT doc_id,
+      CASE WHEN length(norm) = 0 THEN []
+           ELSE string_split_regex(norm, '\s+') END AS ntoks
+    FROM (SELECT doc_id,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM s6))
+),
+hashed AS (
+  SELECT id, CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT id, unnest(shingles) AS sg FROM sh6)
+),
+sigs AS (
+  SELECT id,
+    $sqlSigCols
+  FROM hashed GROUP BY id
+),
+buckets AS (
+  SELECT id, unnest(
+    [$sqlBucketList]) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.id < y.id
+),
+verified AS (
+  SELECT a, b,
+    CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+         THEN CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         ELSE 0.0 END AS jaccard
+  FROM cand
+  JOIN sh6 sa ON sa.id = cand.a
+  JOIN sh6 sb ON sb.id = cand.b
+),
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+canon AS (
+  SELECT s6.doc_id, coalesce(cc.cluster, s6.doc_id) AS cluster,
+    (row_number() OVER (PARTITION BY coalesce(cc.cluster, s6.doc_id)
+       ORDER BY s6.quality DESC, s6.doc_id ASC) = 1) AS near_keep
+  FROM s6 LEFT JOIN cc ON cc.id = s6.doc_id
+),
+s7 AS (SELECT s6.* FROM s6 JOIN canon USING (doc_id) WHERE near_keep),
+cg AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM (SELECT doc_id, string_split(t, ' ') AS toks
+              FROM (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM s7) WHERE t <> '')
+        WHERE len(toks) >= 4)
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+3], ' ')) AS h
+  FROM (SELECT toks, unnest(range(1, len(toks) - 2)) AS i
+        FROM (SELECT string_split(t, ' ') AS toks
+              FROM (SELECT
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id % 97 = 0) WHERE t <> '')
+        WHERE len(toks) >= 4)
+),
+hits AS (
+  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM cg JOIN bg USING (h) GROUP BY 1
+),
+decon AS (
+  SELECT s7.doc_id, coalesce(hits.n_hit, 0) AS n_hit,
+    coalesce(hits.n_hit, 0) = 0 AS decon_keep
+  FROM s7 LEFT JOIN hits USING (doc_id)
+),
+s8 AS (SELECT s7.* FROM s7 JOIN decon USING (doc_id) WHERE decon_keep),
+mixin AS (
+  SELECT doc_id, source,
+    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS n_tokens
+  FROM s8
+),
+msrc AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS m,
+    CASE WHEN sum(n_tokens) > 0
+         THEN pow(CAST(sum(n_tokens) AS DOUBLE), 0.5) ELSE 0.0 END AS w
+  FROM mixin GROUP BY source
+),
+zz AS (SELECT sum(w) AS z FROM msrc),
+shs AS (
+  SELECT source, m, CASE WHEN zz.z > 0 THEN w / zz.z ELSE 0.0 END AS share
+  FROM msrc, zz
+),
+tt AS (SELECT min(m / share) AS t FROM shs WHERE share > 0 AND m > 0),
+ff AS (
+  SELECT source, share,
+    CASE WHEN share > 0 AND m > 0 AND m / share = tt.t THEN 1.0
+         WHEN share > 0 AND m > 0 THEN LEAST(1.0, share * tt.t / m)
+         ELSE 0.0 END AS frac
+  FROM shs, tt
+),
+mixed AS (
+  SELECT mixin.doc_id, mixin.n_tokens, round(ff.frac, 6) AS frac,
+    CAST(concat('0x', substr(md5(concat(CAST(mixin.doc_id AS VARCHAR), 'e2e')), 1, 8))
+      AS BIGINT) % 1000000 < floor(ff.frac * 1000000) AS mix_keep
+  FROM mixin JOIN ff USING (source)
+),
+s9 AS (SELECT * FROM mixed WHERE mix_keep),
+pk AS (
+  SELECT doc_id, (cum - n_tokens) // 512 AS seq
+  FROM (SELECT doc_id, n_tokens,
+      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM s9 WHERE n_tokens > 0)
+)
+SELECT v.doc_id, v.http_ok, v.charset,
+  lg.lang_pred, lg.quality,
+  CASE WHEN lg.doc_id IS NOT NULL THEN lg.lang_pred = 'en' END AS lang_keep,
+  CASE WHEN lg.doc_id IS NOT NULL THEN lg.quality >= 0.5 END AS quality_keep,
+  exact.exact_keep,
+  canon.cluster, canon.near_keep,
+  decon.n_hit, decon.decon_keep,
+  mixed.n_tokens, mixed.frac, mixed.mix_keep,
+  pk.seq,
+  coalesce(mixed.mix_keep, FALSE) AS in_shard
+FROM v
+LEFT JOIN lg ON lg.doc_id = v.doc_id
+LEFT JOIN exact ON exact.doc_id = v.doc_id
+LEFT JOIN canon ON canon.doc_id = v.doc_id
+LEFT JOIN decon ON decon.doc_id = v.doc_id
+LEFT JOIN mixed ON mixed.doc_id = v.doc_id
+LEFT JOIN pk ON pk.doc_id = v.doc_id
+ORDER BY v.doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q132)
+}

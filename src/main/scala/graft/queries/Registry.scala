@@ -7,5 +7,6 @@ object Registry {
   def all: Seq[QuerySpec] =
     Parity.all ++ Parity2.all ++ Parity3.all ++ Benchmarkish.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all
+      StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all ++
+      E2eQueries.all
 }
