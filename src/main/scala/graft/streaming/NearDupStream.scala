@@ -215,6 +215,159 @@ object NearDupStream {
     }
   }
 
+  // ---- Media tier: perceptual near-dup state over image columns ----
+
+  /** The offline q127/q129 band keys for one image, as (bucket, hash)
+    * rows: 4 contiguous 16-bit dHash bands (`d<band>#<bval>`) plus 4
+    * STRIPED DCT-pHash bands (`p<band>#<bval>`, bit i → band i mod 4 —
+    * the same striping the offline query uses so frequency-ordered
+    * bits can't degenerate a band). The family prefix namespaces the
+    * key space: a dHash band value can never collide with a pHash
+    * band value in state, and a bucket match always compares hashes
+    * of the SAME family. Undecodable payloads yield no rows (no LSH
+    * identity — such docs pass through, like un-shingleable text).
+    * Package-visible so the spec can replay the exact key derivation
+    * for its batch-equivalence assert. */
+  private[graft] def mediaBandRows(id: Long, data: Array[Byte])
+      : Seq[(Long, String, Long)] =
+    graft.operators.Multimodal.grayPixels(data).toSeq.flatMap {
+      case (w, h, g) =>
+        val dRows = graft.operators.Multimodal.dHash64(w, h, g).toSeq
+          .flatMap { hd =>
+            (0 until 4).map(b => (id, s"d$b#${(hd >>> (16 * b)) & 0xFFFFL}", hd))
+          }
+        val pRows = graft.operators.Multimodal.pHashDct64(w, h, g).toSeq
+          .flatMap { hp =>
+            (0 until 4).map { b =>
+              var v = 0L
+              var j = 0
+              while (j < 16) { v |= ((hp >>> (4 * j + b)) & 1L) << j; j += 1 }
+              (id, s"p$b#$v", hp)
+            }
+          }
+        dRows ++ pRows
+    }
+
+  /** [[drain]] for IMAGE content: online perceptual near-dup over the
+    * same dHash + DCT-pHash band keys as the offline q127/q129
+    * pipeline, so online and offline decisions agree. Differences
+    * from the text tier, both inherent to perceptual hashing:
+    *
+    *  - state rows are (bucket, hash) not bare buckets — a band
+    *    collision is only a CANDIDATE; the verdict needs the full
+    *    64-bit hamming verify (`≤ maxHamming`, default 6 = the
+    *    offline gate), exactly as the offline pipeline verifies after
+    *    banding. The state join stays an equi-join on the bucket key;
+    *    the hamming check is a narrow post-filter on the matched rows.
+    *  - in-batch candidates come from a per-bucket self-join (the
+    *    offline candidate shape) rather than bucket-min star edges,
+    *    because unverified star edges would merge docs whose hashes
+    *    fail the hamming gate. Verified pairs then resolve through
+    *    the same [[Dedup.connectedComponents]] min-id rule; the
+    *    `Fallback` degradation drops the larger member of each
+    *    verified pair (conservative: over-keeps chains, never loses
+    *    a cluster's minimum).
+    *
+    * At-least-once delivery, state growth, compaction, and the
+    * poison-pill playbook are identical to [[drain]] (same scaladoc
+    * contracts apply). */
+  def drainMedia(spark: SparkSession,
+      media: Dataset[graft.operators.Multimodal.MediaRecord],
+      stateDir: Path, outDir: Path,
+      maxHamming: Int = 6,
+      checkpoint: Option[Path] = None,
+      ccMaxIter: Int = 20,
+      onNonConvergence: NonConvergence = Fail,
+      compactEvery: Int = 16): Unit = {
+    val ckpt = checkpoint.getOrElse(
+      Files.createTempDirectory("graft_ckpt_neardup_media"))
+    val q = media.writeStream
+      .foreachBatch {
+        (batch: Dataset[graft.operators.Multimodal.MediaRecord],
+            batchId: Long) =>
+          processMediaBatch(batch, batchId, stateDir, outDir, maxHamming,
+            ccMaxIter, onNonConvergence)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactState(spark, stateDir)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      if (checkpoint.isEmpty) StreamingResidue.release(ckpt)
+      else org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
+  private def processMediaBatch(
+      batch: Dataset[graft.operators.Multimodal.MediaRecord], batchId: Long,
+      stateDir: Path, outDir: Path, maxHamming: Int,
+      ccMaxIter: Int, onNonConvergence: NonConvergence): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.persist()
+    try {
+      // narrow decode+hash pass: ~8 rows of (id, bucket, hash) leave
+      // per image; the container bytes never shuffle
+      val keys = b.flatMap(r => mediaBandRows(r.doc_id, r.data))
+        .toDF("id", "bucket", "hash").persist()
+      val seen =
+        if (Files.exists(stateDir) && hasParquet(stateDir))
+          spark.read.parquet(stateDir.toString)
+        else spark.emptyDataFrame
+          .select(lit("").as("bucket"), lit(0L).as("hash")).limit(0)
+      // cross-batch: bucket equi-join + full-hash hamming verify (the
+      // family prefix in the bucket key guarantees hashes compared
+      // here are same-family)
+      val hits = keys
+        .join(seen.withColumnRenamed("hash", "shash"), Seq("bucket"))
+        .where(bit_count(col("hash").bitwiseXOR(col("shash"))) <= maxHamming)
+        .select("id").distinct()
+      // in-batch: the offline candidate shape (per-bucket self-join),
+      // hamming-verified, then transitive min-id resolution
+      val cand = keys.as("x").join(keys.as("y"), Seq("bucket"))
+        .where(col("x.id") < col("y.id"))
+        .where(bit_count(col("x.hash").bitwiseXOR(col("y.hash")))
+          <= maxHamming)
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val inBatchDrop =
+        try Dedup.connectedComponents(cand, maxIter = ccMaxIter)
+          .where(col("cluster") < col("id")).select("id")
+        catch {
+          case e: IllegalStateException => onNonConvergence match {
+            case Fail =>
+              throw new IllegalStateException(
+                s"NearDupStream media batch $batchId: in-batch connected " +
+                  s"components did not converge in $ccMaxIter rounds. " +
+                  "Restart with a higher ccMaxIter, or set " +
+                  "onNonConvergence=Fallback to degrade this batch to " +
+                  "verified-pair resolution (conservative: may over-keep).",
+                e)
+            case Fallback =>
+              System.err.println(
+                s"[neardup-media] batch $batchId: CC non-convergence " +
+                  s"(ccMaxIter=$ccMaxIter); dropping the larger member " +
+                  "of each verified pair for this batch")
+              cand.select(col("b").as("id")).distinct()
+          }
+        }
+      val dropped = hits.union(inBatchDrop).distinct()
+        .withColumnRenamed("id", "doc_id")
+      // output BEFORE state — same crash-replay direction as the text
+      // tier (duplicate output, never a lost novel doc)
+      b.join(dropped, Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(outDir.toString)
+      keys.select("bucket", "hash").distinct()
+        .write.mode("append").parquet(stateDir.toString)
+      keys.unpersist(blocking = false)
+    } finally {
+      b.unpersist(blocking = false)
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   /** Rewrite the bucket state to one distinct sorted file-set. Runs
     * between micro-batches (foreachBatch is serial), so no reader
     * races the swap; a crash mid-swap loses state in the conservative
