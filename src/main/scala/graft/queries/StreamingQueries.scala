@@ -107,5 +107,185 @@ FROM k WHERE doc_id % 2 = 1
 ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q40, q45)
+  /** q135 — ONLINE perceptual media near-dup
+    * ([[graft.streaming.NearDupStream.drainMedia]]): the q127/q129
+    * image fixture (same 18×16 surface per doc_id/3 group, shipped as
+    * PNG / BMP / GIF whose bytes share nothing) drains through the
+    * streaming media tier in TWO micro-batches — batch 1 the PNG
+    * member of each group (doc_id % 3 = 0), batch 2 the BMP/GIF
+    * re-encodes — so the oracle-graded path exercises BOTH decision
+    * layers: in-batch verified-pair CC resolution (batch 1), and the
+    * cross-batch (bucket, hash) state drop (batch 2 re-encodes match
+    * batch-1 state despite zero shared bytes). The output is the
+    * admitted doc_id set.
+    *
+    * The oracle replays the whole decision procedure arithmetically:
+    * both per-group hashes (q127's dHash chain + q129's integer DCT
+    * chain), both band layouts (contiguous 16-bit + striped), the
+    * hamming ≤ 6 verify, group-level adjacency, then the two-phase
+    * rule — CC min-id keep within batch 1, state-hit OR CC-drop within
+    * batch 2. Any drift anywhere in decode → luma → hash → band →
+    * verify → state → CC changes the kept set and fails the compare.
+    *
+    * Scale shape: the drain is the production operator (narrow
+    * decode+hash pass, ~8 (bucket, hash) rows per image, bucketed
+    * equi-joins, no all-pairs); the fixture staging is test-only. */
+  val q135 = QuerySpec("q135_stream_media_neardup",
+    (s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      import graft.operators.Multimodal
+      val docs = graft.Tables(s, dir, "documents")
+      val recs = Multimodal.encodePerceptualFixture(docs).toDF()
+      val inDir = Files.createTempDirectory("graft_q135_in")
+      val stateDir = Files.createTempDirectory("graft_q135_state")
+      val outDir = Files.createTempDirectory("graft_q135_out")
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_q135_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = scala.util.Using.resource(Files.list(tmp)) { st =>
+          st.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        }
+        val dest = inDir.resolve(f"part-$idx%04d.parquet")
+        Files.move(f, dest)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
+      }
+      stage(recs.where(col("doc_id") % 3 === 0), 0)
+      stage(recs.where(col("doc_id") % 3 =!= 0), 1)
+      val media = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Multimodal.MediaRecord]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString).as[Multimodal.MediaRecord]
+      graft.streaming.NearDupStream.drainMedia(s, media, stateDir, outDir)
+      val kept = s.read.parquet(outDir.toString)
+        .select("doc_id").orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(kept.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(inDir)
+      graft.streaming.StreamingResidue.deleteRecursively(stateDir)
+      graft.streaming.StreamingResidue.deleteRecursively(outDir)
+      result
+    },
+    Some(raw"""
+WITH RECURSIVE
+grp AS (
+  SELECT DISTINCT doc_id // 3 AS g FROM documents
+), cells_d AS (
+  SELECT grp.g, r.r, c.c,
+    ( ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c)     * (2*c.c)     + 3)
+       + (grp.g // 256) * (23 * (2*r.r)     + 5 * (2*c.c)     + 17)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r)     + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)
+       + (grp.g // 256) * (23 * (2*r.r)     + 5 * (2*c.c + 1) + 17)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c)     * (2*c.c)     + 3)
+       + (grp.g // 256) * (23 * (2*r.r + 1) + 5 * (2*c.c)     + 17)) % 256
+    + ((grp.g + 1) * (19 * (2*r.r + 1) + 7 * (2*c.c + 1) * (2*c.c + 1) + 3)
+       + (grp.g // 256) * (23 * (2*r.r + 1) + 5 * (2*c.c + 1) + 17)) % 256
+    ) // 4 AS v
+  FROM grp,
+    (SELECT unnest(range(0, 8)) AS r) r,
+    (SELECT unnest(range(0, 9)) AS c) c
+), gh_d AS (
+  SELECT a.g,
+    CAST(sum(CASE WHEN b.v > a.v THEN
+      CASE WHEN a.r * 8 + a.c = 63 THEN -9223372036854775808
+           ELSE 1::BIGINT << CAST(a.r * 8 + a.c AS INT) END
+      ELSE 0 END) AS BIGINT) AS dhash
+  FROM cells_d a JOIN cells_d b ON b.g = a.g AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+  GROUP BY a.g
+), px AS (
+  SELECT grp.g, pr.r, pc.c,
+    ((grp.g + 1) * (19 * pr.r + 7 * pc.c * pc.c + 3)
+     + (grp.g // 256) * (23 * pr.r + 5 * pc.c + 17)) % 256 AS v
+  FROM grp,
+    (SELECT unnest(range(0, 16)) AS r) pr,
+    (SELECT unnest(range(0, 18)) AS c) pc
+), cells_p AS (
+  SELECT g, (8 * r + 7) // 16 AS r8, (8 * c + 7) // 18 AS c8,
+    sum(v) // count(*) AS v
+  FROM px GROUP BY g, (8 * r + 7) // 16, (8 * c + 7) // 18
+), f AS (
+  SELECT cells_p.g, uu.u, vv.v,
+    sum(cells_p.v
+      * ([1024,1004,946,851,724,569,392,200,0,-200,-392,-569,-724,-851,-946,-1004,-1024,-1004,-946,-851,-724,-569,-392,-200,0,200,392,569,724,851,946,1004])[(((2 * cells_p.r8 + 1) * uu.u) % 32) + 1]
+      * ([1024,1004,946,851,724,569,392,200,0,-200,-392,-569,-724,-851,-946,-1004,-1024,-1004,-946,-851,-724,-569,-392,-200,0,200,392,569,724,851,946,1004])[(((2 * cells_p.c8 + 1) * vv.v) % 32) + 1]) AS fv
+  FROM cells_p,
+    (SELECT unnest(range(0, 8)) AS u) uu,
+    (SELECT unnest(range(0, 8)) AS v) vv
+  GROUP BY cells_p.g, uu.u, vv.v
+), med AS (
+  SELECT g, fv AS m FROM (
+    SELECT g, fv, row_number() OVER (PARTITION BY g ORDER BY fv) AS rn
+    FROM f WHERE NOT (u = 0 AND v = 0))
+  WHERE rn = 32
+), gh_p AS (
+  SELECT f.g,
+    CAST(sum(CASE WHEN f.fv > med.m
+      THEN 1::BIGINT << CAST(f.u * 8 + f.v - 1 AS INT) ELSE 0 END) AS BIGINT) AS phash
+  FROM f JOIN med ON f.g = med.g
+  WHERE NOT (f.u = 0 AND f.v = 0)
+  GROUP BY f.g
+), bands AS (
+  SELECT g, 'd' AS fam, b AS band,
+    (dhash >> CAST(16 * b AS INT)) & 65535 AS bval, dhash AS h
+  FROM gh_d, (SELECT unnest(range(0, 4)) AS b)
+  UNION ALL
+  SELECT g, 'p', b,
+    list_sum([((phash >> CAST(4 * j + b AS INT)) & 1) << CAST(j AS INT)
+              FOR j IN range(0, 16)]), phash
+  FROM gh_p, (SELECT unnest(range(0, 4)) AS b)
+), gadj AS (
+  SELECT DISTINCT x.g AS ga, y.g AS gb
+  FROM bands x JOIN bands y
+    ON x.fam = y.fam AND x.band = y.band AND x.bval = y.bval
+  WHERE bit_count(xor(x.h, y.h)) <= 6
+), d AS (
+  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 = 0 AS b1 FROM documents
+), pairs1 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.b1 AND b.b1 AND a.doc_id < b.doc_id
+  JOIN gadj ON gadj.ga = a.g AND gadj.gb = b.g
+), edges1 AS (
+  SELECT a AS u, b AS v FROM pairs1 UNION SELECT b, a FROM pairs1
+), reach1 AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges1)
+  UNION
+  SELECT e.u AS id, reach1.r FROM edges1 e JOIN reach1 ON reach1.id = e.v
+), cc1 AS (
+  SELECT id, min(r) AS cluster FROM reach1 GROUP BY id
+), kept1 AS (
+  SELECT d.doc_id FROM d LEFT JOIN cc1 ON cc1.id = d.doc_id
+  WHERE d.b1 AND coalesce(cc1.cluster, d.doc_id) = d.doc_id
+), hits AS (
+  SELECT DISTINCT d2.doc_id
+  FROM d d2
+  JOIN gadj ON gadj.ga = d2.g
+  JOIN d d1 ON d1.g = gadj.gb AND d1.b1
+  WHERE NOT d2.b1
+), pairs2 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON NOT a.b1 AND NOT b.b1 AND a.doc_id < b.doc_id
+  JOIN gadj ON gadj.ga = a.g AND gadj.gb = b.g
+), edges2 AS (
+  SELECT a AS u, b AS v FROM pairs2 UNION SELECT b, a FROM pairs2
+), reach2 AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges2)
+  UNION
+  SELECT e.u AS id, reach2.r FROM edges2 e JOIN reach2 ON reach2.id = e.v
+), cc2 AS (
+  SELECT id, min(r) AS cluster FROM reach2 GROUP BY id
+), kept2 AS (
+  SELECT d.doc_id FROM d LEFT JOIN cc2 ON cc2.id = d.doc_id
+  WHERE NOT d.b1
+    AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    AND coalesce(cc2.cluster, d.doc_id) = d.doc_id
+)
+SELECT doc_id FROM kept1
+UNION ALL
+SELECT doc_id FROM kept2
+ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q40, q45, q135)
 }
