@@ -287,5 +287,64 @@ SELECT doc_id FROM kept2
 ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q40, q45, q135)
+  /** q137 — online per-key quota ([[graft.streaming.QuotaStream]]):
+    * the C4/FineWeb per-domain cap applied WHILE the corpus arrives.
+    * Documents stream in two micro-batches (even doc_ids, then odd),
+    * keyed by source; each source admits its first
+    * ⌊count/\|sources\|·3/5⌋ documents in stream order — so the cap
+    * binds across the batch boundary (a source filling its quota in
+    * batch 1 admits nothing from batch 2). The oracle replays the
+    * stream-order rank exactly: row_number per source ordered by
+    * (doc_id % 2, doc_id) — batch order then within-batch id order —
+    * against the same integer-arithmetic quota. One long of state per
+    * key; bounded by key cardinality, not corpus size. */
+  val q137 = QuerySpec("q137_stream_quota",
+    (s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      import graft.streaming.QuotaStream
+      val docs = graft.Tables(s, dir, "documents")
+      val nDocs = docs.count()
+      val nSources = docs.select("source").distinct().count()
+      val quota = (nDocs / nSources * 3 / 5).toInt
+      val keyed = docs.select(col("doc_id"), col("source").as("key"))
+      val inDir = Files.createTempDirectory("graft_q137_in")
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_q137_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = scala.util.Using.resource(Files.list(tmp)) { st =>
+          st.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        }
+        val dest = inDir.resolve(f"part-$idx%04d.parquet")
+        Files.move(f, dest)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
+      }
+      stage(keyed.where(col("doc_id") % 2 === 0), 0)
+      stage(keyed.where(col("doc_id") % 2 =!= 0), 1)
+      val stream = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[QuotaStream.KeyedDoc]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString).as[QuotaStream.KeyedDoc]
+      val admitted = StreamingOps.drainToBatch(s,
+        QuotaStream.firstKPerKey(stream, quota).toDF(), "stream_quota",
+        outputMode = "append")
+      graft.streaming.StreamingResidue.deleteRecursively(inDir)
+      admitted.select(col("doc_id"), col("key").as("source"))
+        .orderBy("doc_id")
+    },
+    Some("""
+WITH q AS (
+  SELECT CAST(count(*) // count(DISTINCT source) * 3 // 5 AS BIGINT) AS quota
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id % 2, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r, q WHERE rn <= q.quota ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137)
 }

@@ -1366,8 +1366,60 @@ SELECT doc_id, code_lang, code_lang <> 'text' AS is_code
 FROM l ORDER BY doc_id
 """))
 
+  /** q136 — token-budget truncation: the "take the first N tokens"
+    * cut every training run makes when a corpus exceeds its compute
+    * budget. Documents are admitted in deterministic id order until
+    * the cumulative token count reaches the budget (here ⌊total/3⌋ so
+    * the query is scale-invariant); the boundary document is admitted
+    * PARTIALLY (`tokens_kept` < `n_tokens`) — the budget is hit
+    * exactly, zero waste, matching how a packed sequence stream is
+    * actually cut (q87's windows just stop mid-document).
+    *
+    * Scale shape: one |corpus|-row aggregate for the budget, then the
+    * same two-phase prefix sum as q87 ([[Packing.withCumulativeSum]]
+    * — per-range-partition local windows + a driver prefix over one
+    * row per partition, broadcast back). No single-partition global
+    * window at any size; the cut itself is a narrow projection over
+    * the cumulative column. The oracle replays budget, prefix sum,
+    * and the boundary-document arithmetic exactly. */
+  val q136 = QuerySpec("q136_token_budget",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val total = docs.agg(sum("n_tokens")).head.getLong(0)
+      val budget = total / 3
+      graft.operators.Packing.withCumulativeSum(
+          docs.where(col("n_tokens") > 0), "doc_id", "n_tokens",
+          s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("n_tokens"), col("cum"),
+          (col("cum") - col("n_tokens") < budget).as("keep"),
+          when(col("cum") - col("n_tokens") < budget,
+            least(col("n_tokens"), lit(budget) - (col("cum") - col("n_tokens"))))
+            .otherwise(lit(0L)).as("tokens_kept"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents
+), b AS (
+  SELECT CAST(sum(n_tokens) // 3 AS BIGINT) AS budget FROM t
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, cum,
+  cum - n_tokens < b.budget AS keep,
+  CASE WHEN cum - n_tokens < b.budget
+       THEN least(n_tokens, b.budget - (cum - n_tokens))
+       ELSE CAST(0 AS BIGINT) END AS tokens_kept
+FROM c, b ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131)
+      q121, q131, q136)
 }
