@@ -616,6 +616,71 @@ FROM documents WHERE doc_id % 5 <> 4
 ORDER BY doc_id
 """))
 
+  /** q138 — deterministic shard assignment + delivery manifest: the
+    * operational close of the training-shard sink. Every document is
+    * assigned a shard by the engine-standard md5 bucket (content-
+    * independent of partition count, replayable by any consumer),
+    * written as `.zst` JSONL, read BACK, and the manifest — per shard:
+    * doc count, token count, id range, and an ids fingerprint — is
+    * computed from the round-tripped bytes, so a lossy write, a
+    * dropped row, or a drifted shard rule all break the compare.
+    *
+    * The fingerprint is an ORDER-INSENSITIVE combinable hash
+    * (`bit_xor` of each id's 60-bit md5 prefix), not
+    * md5-of-concatenated-ids: xor aggregates map-side, needs no
+    * per-shard sorted materialization, and two manifests diff by
+    * xor-ing — the shape that still works when one shard holds 10⁹
+    * ids. The oracle replays bucket arithmetic, token counts, and the
+    * same xor fold. */
+  val q138 = QuerySpec("q138_shard_manifest",
+    (s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val nShards = 4
+      val withShard = docs.select(col("doc_id"), col("text"),
+        (graft.operators.Sampling.hashBucket(col("doc_id"), "shard")
+          % nShards).cast("int").as("shard"))
+      val outDir = Files.createTempDirectory("graft_q138_shards")
+      graft.sources.Sources.writeJsonl(withShard, outDir.toString,
+        shards = nShards, compression = "zstd")
+      val back = graft.sources.Sources.readJsonl(s, outDir.toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.IntegerType))))
+      val manifest = back.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string))," +
+            " 1, 15), 16, 10) as bigint))").as("ids_fp"))
+        .orderBy("shard")
+      val result = graft.CacheRegistry.trackCheckpoint(
+        manifest.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(outDir)
+      result
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'shard')), 1, 8))
+      AS BIGINT) % 1000000) % 4 AS INT) AS shard
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(CASE WHEN length(trim(text)) = 0 THEN []
+    ELSE string_split_regex(trim(text), '\s+') END)) AS BIGINT) AS n_tokens,
+  min(doc_id) AS first_doc,
+  max(doc_id) AS last_doc,
+  bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+    AS BIGINT)) AS ids_fp
+FROM t GROUP BY shard ORDER BY shard
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128)
+    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138)
 }
