@@ -142,13 +142,20 @@ object E2eQueries {
           .withColumn("quality_keep", col("quality") >= 0.5))
       val s5 = scored.where(col("lang_keep") && col("quality_keep"))
 
-      // ---- stage 6: exact dedup — keep min doc_id per fingerprint
-      val exact = s5
+      // ---- stage 6: exact dedup — keep min doc_id per fingerprint.
+      // Every stage-verdict frame from here on is persistTracked: each
+      // is SMALL (one row per surviving doc) but referenced at least
+      // twice — by the next funnel stage AND by the audit-ledger join —
+      // and without materialization each reference re-runs the whole
+      // upstream window/join chain (measured: 47.6 s packed for the
+      // un-persisted form vs ~sum-of-stages with persists).
+      val exact = graft.CacheRegistry.persistTracked(s5
         .withColumn("fp", T.fingerprint(col("extracted")))
         .withColumn("exact_keep",
           col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
-        .select("doc_id", "exact_keep")
-      val s6 = s5.join(exact.where(col("exact_keep")).select("doc_id"), "doc_id")
+        .select("doc_id", "exact_keep"))
+      val s6 = graft.CacheRegistry.persistTracked(
+        s5.join(exact.where(col("exact_keep")).select("doc_id"), "doc_id"))
 
       // ---- stage 7: near-dup clusters, quality-aware canonical keep
       val pairs = Dedup.minhashPairs(s6, "doc_id", "extracted",
@@ -156,37 +163,39 @@ object E2eQueries {
       val clusters = Dedup.connectedComponents(pairs)
       val wq = Window.partitionBy("cluster")
         .orderBy(desc("quality"), asc("doc_id"))
-      val canon = s6.select("doc_id", "quality")
+      val canon = graft.CacheRegistry.persistTracked(s6.select("doc_id", "quality")
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
         .withColumn("near_keep", row_number().over(wq) === 1)
-        .select("doc_id", "cluster", "near_keep")
-      val s7 = s6.join(canon.where(col("near_keep")).select("doc_id"), "doc_id")
+        .select("doc_id", "cluster", "near_keep"))
+      val s7 = graft.CacheRegistry.persistTracked(
+        s6.join(canon.where(col("near_keep")).select("doc_id"), "doc_id"))
 
       // ---- stage 8: benchmark decontamination (4-gram overlap)
-      val decon = Dedup.decontaminate(
+      val decon = graft.CacheRegistry.persistTracked(Dedup.decontaminate(
           s7.select(col("doc_id"), col("extracted").as("text")),
           docs.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
           "doc_id", "text", shingleN = 4)
         .select(col("id").as("doc_id"), col("n_hit"),
-          col("keep").as("decon_keep"))
+          col("keep").as("decon_keep")))
       val s8 = s7.join(decon.where(col("decon_keep")).select("doc_id"), "doc_id")
 
       // ---- stage 9: temperature-scaled source mixing (T = 0.5)
       val mixIn = s8.join(docs.select("doc_id", "source"), "doc_id")
         .select(col("doc_id"), col("source"),
           T.tokenCount(col("extracted")).cast("long").as("n_tokens"))
-      val mixed = Sampling.temperatureMix(mixIn, "doc_id", "source",
-          "n_tokens", temperature = 0.5, salt = "e2e")
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("frac"), 6).as("frac"), col("keep").as("mix_keep"))
+      val mixed = graft.CacheRegistry.persistTracked(
+        Sampling.temperatureMix(mixIn, "doc_id", "source",
+            "n_tokens", temperature = 0.5, salt = "e2e")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("frac"), 6).as("frac"), col("keep").as("mix_keep")))
       val s9 = mixed.where(col("mix_keep"))
 
       // ---- stage 10: 512-token sequence packing (two-phase prefix sum)
-      val pk = Packing.withCumulativeSum(
+      val pk = graft.CacheRegistry.persistTracked(Packing.withCumulativeSum(
           s9.where(col("n_tokens") > 0).select("doc_id", "n_tokens"),
           "doc_id", "n_tokens", s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), expr("(cum - n_tokens) div 512").as("seq"))
+        .select(col("doc_id"), expr("(cum - n_tokens) div 512").as("seq")))
 
       // ---- stage 11: sharded .zst JSONL write + read-back
       val shardTmp = Files.createTempDirectory("graft_q132_shards")
