@@ -170,6 +170,34 @@ object Text {
   /** Whether the URL carries a query string. */
   def urlHasQuery(c: Column): Column = c.contains("?")
 
+  /** Crawl-frontier URL canonicalization — the rule that decides two
+    * discovered links are the SAME page so a frontier fetches it once:
+    * scheme and host lowercase, default port stripped (`:80` for http,
+    * `:443` for https), empty path → `/`, one trailing slash stripped
+    * from deeper paths, `utm_*` tracking params dropped (remaining
+    * params keep their order — reordering changes semantics for some
+    * endpoints), fragment dropped. Pure codegen'd regexp/array
+    * expressions plus one interpreted param-filter HOF (bound once per
+    * row); a DuckDB oracle replays every step with the same regexes. */
+  def urlCanonicalize(c: Column): Column = bound(c) { u =>
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val path = when(path0 =!= "/", regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_") && p =!= ""), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** Multi-label public suffixes recognized by
     * [[urlRegisteredDomain]]. A deliberately small embedded subset of
     * the public-suffix list (the full Mozilla PSL is ~9k rules and

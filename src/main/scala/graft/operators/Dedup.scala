@@ -1013,6 +1013,42 @@ object Dedup {
     * pass is impossible; a block key — prefix, URL host, length bucket —
     * is what makes pairwise verification tractable).
     */
+  /** Asymmetric CONTAINMENT pairs — |A∩B| / |A| for the smaller
+    * shingle set A against the larger B: the quote/excerpt/syndication
+    * detector Jaccard cannot be (a 100-token excerpt inside a
+    * 10k-token article has Jaccard ≈ 0.01 but containment ≈ 1.0 —
+    * exactly why MassiveText/Gopher treat containment as its own dedup
+    * signal). Deliberately NO length prefilter: the whole point is the
+    * size-mismatched pair the Jaccard prefilter prunes. Blocking is
+    * the same token-prefix rule as [[ngramJaccardPairs]] — an excerpt
+    * that starts mid-document needs a positional blocker (the q103
+    * suffix machinery); prefix blocking covers the lead-paragraph
+    * syndication case at zero extra shuffle. Ties (equal sizes) emit
+    * once, smaller id first; empty shingle sets never pair. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, prefixTokens: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = graft.CacheRegistry.persistTracked(
+      df.repartition(par).select(col(idCol).as("id"),
+        md5(concat_ws(" ",
+          slice(T.tokens(T.normalizeText(col(textCol))), 1, prefixTokens)))
+          .as("block"),
+        array_distinct(T.wordShingles(T.tokens(T.normalizeText(col(textCol))),
+          shingleN)).as("shingles"))
+        .withColumn("n", size(col("shingles"))))
+    base.as("x").join(base.as("y"), Seq("block"))
+      .where(col("x.n") > 0 &&
+        (col("x.n") < col("y.n") ||
+          (col("x.n") === col("y.n") && col("x.id") < col("y.id"))))
+      .withColumn("containment",
+        size(array_intersect(col("x.shingles"), col("y.shingles")))
+          .cast("double") / col("x.n"))
+      .where(col("containment") >= threshold)
+      .select(col("x.id").as("small"), col("y.id").as("large"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, prefixTokens: Int = 3,
       threshold: Double = 0.3): DataFrame = {

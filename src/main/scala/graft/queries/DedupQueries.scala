@@ -938,7 +938,78 @@ FROM qual q LEFT JOIN cc ON cc.id = q.doc_id
 ORDER BY q.doc_id
 """))
 
+  /** q140 — asymmetric containment pairs
+    * ([[Dedup.containmentPairs]]): the quote/excerpt/syndication
+    * detector. The fixture unions the corpus with an EXCERPT of every
+    * document (its first ⌊3n/5⌋ normalized tokens, min 3, id-shifted
+    * past the corpus) — the excerpt's shingles are a subset of the
+    * original's, so containment is exactly 1.0 while Jaccard is ≈ 0.6
+    * and falls with document length (the pair class the symmetric
+    * measure misses by construction). Emitted as (small, large,
+    * containment ≥ 0.9); same prefix blocking as q34, deliberately no
+    * length prefilter (the size-mismatched pair IS the target). The
+    * oracle rebuilds the excerpts with the same integer arithmetic and
+    * replays blocking, the intersection, and the asymmetric ratio. */
+  val q140 = QuerySpec("q140_containment_pairs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val shift = docs.agg(max("doc_id")).head.getLong(0) + 1L
+      // floor((n*3)/5.0) == integer division for non-negative ints (an
+      // integer true quotient is exactly representable, so floor can't
+      // land one below it)
+      val excerpt = T.bound(T.tokens(T.normalizeText(col("text")))) { ts =>
+        val k = greatest(floor(size(ts) * 3 / lit(5.0)), lit(3L)).cast("int")
+        concat_ws(" ", slice(ts, lit(1), k))
+      }
+      val excerpts = docs.select(
+        (col("doc_id") + shift).as("doc_id"), excerpt.as("text"))
+      val unioned = docs.select(col("doc_id"), col("text"))
+        .unionByName(excerpts)
+      Dedup.containmentPairs(unioned, "doc_id", "text",
+          shingleN = 3, prefixTokens = 3, threshold = 0.9)
+        .orderBy("small", "large")
+    },
+    Some(raw"""
+WITH shiftv AS (
+  SELECT max(doc_id) + 1 AS shift FROM documents
+), normd AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), toks AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+       ELSE string_split_regex(norm, '\s+') END AS ntoks
+  FROM normd
+), unioned AS (
+  -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+  SELECT doc_id, coalesce(array_to_string(ntoks, ' '), '') AS t FROM toks
+  UNION ALL
+  SELECT doc_id + shiftv.shift AS doc_id,
+    coalesce(array_to_string(
+      ntoks[1:greatest(len(ntoks) * 3 // 5, 3)], ' '), '') AS t
+  FROM toks, shiftv
+), sh AS (
+  SELECT doc_id AS id,
+    md5(coalesce(array_to_string(tt[1:3], ' '), '')) AS block,
+    list_distinct(CASE WHEN len(tt) < 3 THEN []
+      ELSE [array_to_string(tt[i:i+2], ' ') FOR i IN range(1, len(tt) - 1)]
+      END) AS shingles
+  FROM (SELECT doc_id, CASE WHEN length(t) = 0 THEN []
+          ELSE string_split_regex(t, '\s+') END AS tt
+        FROM unioned)
+)
+SELECT x.id AS small, y.id AS large,
+  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+    / len(x.shingles), 6) AS containment
+FROM sh x JOIN sh y ON x.block = y.block
+WHERE len(x.shingles) > 0
+  AND (len(x.shingles) < len(y.shingles)
+       OR (len(x.shingles) = len(y.shingles) AND x.id < y.id))
+  AND CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      / len(x.shingles) >= 0.9
+ORDER BY small, large
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108, q130)
+      q97, q100, q103, q104, q108, q130, q140)
 }

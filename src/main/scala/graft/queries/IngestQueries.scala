@@ -681,6 +681,78 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY shard ORDER BY shard
 """))
 
+  /** q139 — crawl-frontier URL canonicalization + dedup: every
+    * discovered link canonicalized ([[T.urlCanonicalize]]) so the
+    * frontier fetches each page once. The fixture stages TWO variants
+    * per document — a clean form and a messy twin (uppercase
+    * scheme/host, explicit `:443`, trailing slash, `utm_*` tracking
+    * param, fragment) — and the canonical forms must COLLIDE exactly
+    * (n_variants = 2 per page): any drift in scheme/host folding,
+    * default-port stripping, path normalization, param filtering, or
+    * fragment dropping splits a group and breaks the compare. One
+    * narrow canonicalization projection + one group-by — frontier
+    * dedup at crawl scale is exactly this shape. */
+  val q139 = QuerySpec("q139_url_frontier",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val clean = concat(lit("https://site"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?ref=rss")).otherwise(lit("")))
+      val messy = concat(lit("HTTPS://SITE"),
+        (col("doc_id") % 7).cast("string"), lit(".Example.COM:443/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast("string"), lit("/"),
+        lit("?utm_source=feed"),
+        when(col("doc_id") % 4 === 0, lit("&ref=rss")).otherwise(lit("")),
+        lit("#frag"))
+      docs.select(col("doc_id"), clean.as("url"))
+        .unionByName(docs.select(col("doc_id"), messy.as("url")))
+        .select(col("doc_id"), T.urlCanonicalize(col("url")).as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("first_doc"))
+        .orderBy("canonical")
+    },
+    Some(raw"""
+WITH urls AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+      || lang || '/doc-' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END AS u
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'HTTPS://SITE' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:443/'
+      || lang || '/doc-' || CAST(doc_id AS VARCHAR) || '/'
+      || '?utm_source=feed'
+      || CASE WHEN doc_id % 4 = 0 THEN '&ref=rss' ELSE '' END
+      || '#frag' AS u
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+    regexp_extract(u, '\?([^#]*)', 1) AS q
+  FROM urls
+), n AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         ELSE hostport END AS host,
+    CASE WHEN (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) <> '/'
+         THEN regexp_replace(
+           CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '/$$', '')
+         ELSE '/' END AS path,
+    coalesce(array_to_string(list_filter(string_split(q, '&'),
+      x -> NOT starts_with(x, 'utm_') AND x <> ''), '&'), '') AS kq
+  FROM p
+)
+SELECT scheme || '://' || host || path
+    || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical,
+  CAST(count(*) AS BIGINT) AS n_variants, min(doc_id) AS first_doc
+FROM n GROUP BY 1 ORDER BY canonical
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138)
+    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139)
 }

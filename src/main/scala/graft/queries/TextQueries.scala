@@ -1418,8 +1418,66 @@ SELECT doc_id, n_tokens, cum,
 FROM c, b ORDER BY doc_id
 """))
 
+  /** q141 — per-document TF-IDF keyword extraction: the top-3 terms
+    * of every document by term frequency × inverse document frequency
+    * — the tagging/routing signal curation dashboards and topic
+    * bucketing run over a corpus. Ranking is deliberately
+    * INTEGER-ONLY (tf desc, df asc, token asc): it orders by the same
+    * two monotone factors as tf·idf but cannot be split by a last-ulp
+    * `ln` disagreement between engines — the float score is REPORTED
+    * (rounded) but never ordered on. Plan: one explode + two
+    * hash-aggregates (doc,term) → (term), a term-keyed join of
+    * df onto tf (broadcastable while the vocabulary is small,
+    * shuffle-on-term at corpus scale), and a per-doc top-k window.
+    * The oracle replays tf, df, the smoothed idf, and the integer
+    * rank. */
+  val q141 = QuerySpec("q141_tfidf_keywords",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val toks = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(T.tokens(T.normalizeText(col("text")))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("tf"), asc("df"), asc("tok"))
+      tf.join(dfreq, "tok")
+        .withColumn("score",
+          round(col("tf") * log(lit(n + 1.0) / (col("df") + lit(1L))), 6))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, unnest(CASE WHEN length(norm) = 0 THEN []
+      ELSE string_split_regex(norm, '\s+') END) AS tok
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), dfq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nn AS (
+  SELECT count(*) AS n FROM documents
+), s AS (
+  SELECT doc_id, tok, tf, df,
+    round(tf * ln((nn.n + 1.0) / (df + 1)), 6) AS score,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY tf DESC, df ASC, tok ASC) AS rnk
+  FROM tf JOIN dfq USING (tok), nn
+)
+SELECT doc_id, rnk, tok, tf, df, score
+FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136)
+      q121, q131, q136, q141)
 }
