@@ -78,6 +78,51 @@ object Similarity {
     * scanned, never shuffled — the per-query rank runs on (qid, nid,
     * cos) triples.
     */
+  /** Contrastive TRIPLET mining — for each anchor, its nearest
+    * neighbor as the POSITIVE and the top-`kNeg` vectors inside a
+    * mid-similarity band `[bandLo, bandHi)` as HARD NEGATIVES: random
+    * negatives are trivially separable (cos ≈ 0) and teach an
+    * embedding model nothing, near-dups are false negatives — the
+    * band is where the training signal lives (the standard hard-
+    * negative mining recipe for contrastive/embedding training data).
+    *
+    * Both ranks order on the ROUNDED cosine with an id tiebreak (the
+    * q36 determinism contract) and the band filters the rounded value
+    * too, so an oracle replays the exact triplet set. Scale shape:
+    * identical to [[bruteForceTopK]] (anchors broadcast, corpus
+    * streamed once, WindowGroupLimit prunes per-partition before the
+    * rank exchange); at production corpus sizes compose the same
+    * scoring with the IVF cell-probe shortlist instead of the full
+    * scan, exactly as q84 does for retrieval. */
+  def tripletMine(corpus: DataFrame, queries: DataFrame, kNeg: Int,
+      bandLo: Double, bandHi: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("nid"), toDoubles(col(embCol)).as("nemb"),
+        invNorm(col(embCol)).as("ni"))
+    val q = queries.select(col(idCol).as("qid"),
+      toDoubles(col(embCol)).as("qemb"), invNorm(col(embCol)).as("qi"))
+    val scored = graft.CacheRegistry.persistTracked(
+      c.crossJoin(broadcast(q))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(dot(col("qemb"), col("nemb")) * col("qi") * col("ni"), 6)
+            .as("cos")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    val pos = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col("qid"), lit("pos").as("kind"),
+        col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    val neg = scored
+      .where(col("cos") >= bandLo && col("cos") < bandHi)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNeg)
+      .select(col("qid"), lit("neg").as("kind"),
+        col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+    pos.unionByName(neg)
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism

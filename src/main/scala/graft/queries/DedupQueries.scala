@@ -1009,7 +1009,87 @@ WHERE len(x.shingles) > 0
 ORDER BY small, large
 """))
 
+  /** q142 — cross-document boilerplate segment removal (the C4 rule
+    * class: a LINE/segment occurring verbatim across multiple pages
+    * is site chrome, not content): documents are cut into consecutive
+    * 10-token segments (last one partial), a segment whose md5 occurs
+    * in ≥ 2 DISTINCT documents is excised everywhere, and each
+    * document is reassembled from its surviving segments in position
+    * order. Differs from q43/q103 (n-gram/suffix spans, any repeat
+    * within OR across docs) in being segment-ALIGNED and counting
+    * distinct-document support — the boilerplate signal, not the
+    * quotation signal.
+    *
+    * Plan: one narrow segmentation projection (bound token array →
+    * position slices), one (doc,h)-distinct + h-keyed count (the
+    * two-step form — no countDistinct Expand), a broadcastable count
+    * join back, and ONE doc-keyed aggregate that restores order via
+    * array_sort(collect_list(struct(pos, seg))) — the q83 regroup
+    * pattern. The oracle replays segmentation arithmetic, the
+    * distinct-doc support rule, and the reassembly (string_agg in pos
+    * order). */
+  val q142 = QuerySpec("q142_boilerplate_segments",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val segsCol = T.bound(T.tokens(T.normalizeText(col("text")))) { ts =>
+        val nseg = floor((size(ts) + 9) / lit(10.0)).cast("int")
+        when(size(ts) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), nseg),
+            i => concat_ws(" ", slice(ts, (i - 1) * 10 + 1, lit(10)))))
+      }
+      val seg = docs.select(col("doc_id"),
+          posexplode(segsCol).as(Seq("pos", "seg")))
+        .withColumn("h", md5(col("seg")))
+      val cnt = seg.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+      val marked = seg.join(cnt, "h").withColumn("rm", col("nd") >= 2)
+      val out = marked.groupBy("doc_id").agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("rm").cast("long")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("rm"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+      docs.select("doc_id").join(out, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+       ELSE string_split_regex(norm, '\s+') END AS tt
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), segs AS (
+  SELECT doc_id, i - 1 AS pos,
+    array_to_string(tt[(i-1)*10+1:(i-1)*10+10], ' ') AS seg
+  FROM (SELECT doc_id, tt, unnest(range(1, (len(tt)+9)//10 + 1)) AS i FROM t)
+), cnt AS (
+  SELECT md5(seg) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM segs GROUP BY 1
+), m AS (
+  SELECT s.doc_id, s.pos, s.seg, c.nd >= 2 AS rm
+  FROM segs s JOIN cnt c ON md5(s.seg) = c.h
+), o AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')
+      AS clean_text
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(o.n_segments, 0) AS n_segments,
+  coalesce(o.n_removed, 0) AS n_removed,
+  coalesce(o.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN o USING (doc_id)
+ORDER BY d.doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108, q130, q140)
+      q97, q100, q103, q104, q108, q130, q140, q142)
 }

@@ -446,5 +446,46 @@ FROM cells c LEFT JOIN cc ON c.vec_id = cc.id
 ORDER BY id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112)
+  /** q143 — contrastive triplet mining
+    * ([[Similarity.tripletMine]]): for each of the 8 anchor vectors,
+    * the nearest neighbor as POSITIVE plus the top-3 HARD NEGATIVES
+    * from the mid-similarity band [0.1, 0.6) — random negatives
+    * (cos ≈ 0) are trivially separable and near-dups are false
+    * negatives, so the band is where contrastive training signal
+    * lives. Ranks and the band both use the ROUNDED cosine with an
+    * id tiebreak (the q36 determinism contract), so the oracle
+    * replays the exact triplet set. */
+  val q143 = QuerySpec("q143_triplet_mining",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.tripletMine(e, e.where(col("vec_id") < 8), kNeg = 3,
+          bandLo = 0.1, bandHi = 0.6)
+        .orderBy("qid", "kind", "rank")
+    },
+    Some(raw"""
+WITH un AS ($sqlUnit),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+    round(${sqlCos("q", "c")}, 6) AS cos
+  FROM un q JOIN un c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+pos AS (
+  SELECT qid, 'pos' AS kind, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+    SELECT qid, nid, cos,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+    FROM scored)
+  WHERE rank = 1
+),
+neg AS (
+  SELECT qid, 'neg' AS kind, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+    SELECT qid, nid, cos,
+      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+    FROM scored WHERE cos >= 0.1 AND cos < 0.6)
+  WHERE rank <= 3
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg ORDER BY qid, kind, rank
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112, q143)
 }
