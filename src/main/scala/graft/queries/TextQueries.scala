@@ -1476,8 +1476,69 @@ SELECT doc_id, rnk, tok, tf, df, score
 FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk
 """))
 
+  /** q144 — per-source corpus datasheet: the one-screen report a
+    * dataset release ships (a "datasheets for datasets" rollup) —
+    * per source: doc count, token mass, empty-doc count, English
+    * fraction numerator, distinct-fingerprint count (exact-dup
+    * pressure), and mean quality. The mean is computed over INTEGER
+    * micro-units (round(quality,6)·10⁶ as a long) so the sum is exact
+    * and partition-order-independent — summing raw doubles would make
+    * the report nondeterministic across runs at scale (IEEE addition
+    * is not associative; the one float op left is a single division,
+    * deterministic). Distinct fingerprints use the two-step
+    * distinct + count (no countDistinct Expand, the q62 lesson). */
+  val q144 = QuerySpec("q144_corpus_datasheet",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("source"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        (length(trim(col("text"))) === 0).cast("long").as("is_empty"),
+        (col("lang") === "en").cast("long").as("is_en"),
+        round(round(T.qualityScore(col("text")), 6) * 1e6, 0)
+          .cast("long").as("q_micro"),
+        T.fingerprint(col("text")).as("fp"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("is_empty").as("n_empty"),
+        sum("is_en").as("n_en"),
+        sum("q_micro").as("qm"))
+      val fps = base.select("source", "fp").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct_fp"))
+      agg.join(fps, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_empty"), col("n_en"), col("n_distinct_fp"),
+          round(col("qm") / (col("n_docs") * lit(1e6)), 6).as("avg_quality"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT source,
+    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS is_empty,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+    CAST(round(round($sqlQuality, 6) * 1e6, 0) AS BIGINT) AS q_micro,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(sum(is_empty) AS BIGINT) AS n_empty,
+    CAST(sum(is_en) AS BIGINT) AS n_en,
+    CAST(sum(q_micro) AS BIGINT) AS qm
+  FROM base GROUP BY source
+), fps AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_fp
+  FROM (SELECT DISTINCT source, fp FROM base) GROUP BY source
+)
+SELECT agg.source, n_docs, n_tokens, n_empty, n_en, n_distinct_fp,
+  round(qm / (n_docs * 1e6), 6) AS avg_quality
+FROM agg JOIN fps ON agg.source = fps.source
+ORDER BY agg.source
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141)
+      q121, q131, q136, q141, q144)
 }
