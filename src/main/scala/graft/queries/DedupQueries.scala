@@ -1089,7 +1089,45 @@ FROM documents d LEFT JOIN o USING (doc_id)
 ORDER BY d.doc_id
 """))
 
+  /** q146 — dedup-yield report: the cluster-size HISTOGRAM of the
+    * near-dup graph (q31 pairs → connected components) — the number a
+    * curation run actually reports ("X% of the corpus sits in dup
+    * clusters, largest cluster size Y, dedup keeps Z docs"). Size
+    * distribution is the early-warning signal for boilerplate storms
+    * (one giant cluster) vs healthy syndication (many small ones).
+    * Tiny post-CC aggregate; the oracle replays the full pair chain +
+    * recursive-CTE clustering and the same rollup. */
+  val q146 = QuerySpec("q146_dedup_yield",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", k = mhK, bands = mhBands,
+          shingleN = 3, threshold = 0.5))
+      clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs_covered"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("n_docs_covered"))
+        .orderBy("cluster_size")
+    },
+    Some(raw"""
+WITH RECURSIVE $sqlPairCtes,
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY cluster)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(sz) AS BIGINT) AS n_docs_covered
+FROM sizes GROUP BY sz ORDER BY cluster_size
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108, q130, q140, q142)
+      q97, q100, q103, q104, q108, q130, q140, q142, q146)
 }

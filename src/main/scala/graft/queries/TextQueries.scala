@@ -1537,8 +1537,183 @@ FROM agg JOIN fps ON agg.source = fps.source
 ORDER BY agg.source
 """))
 
+  /** q145 — mixed-language segmentation: documents cut into aligned
+    * 15-token blocks, each block language-ID'd with the q19 heuristic,
+    * adjacent same-language blocks merged into RUNS (gaps-and-islands)
+    * — the "document-level language is a lie" operator: real crawl
+    * pages interleave languages (quoted passages, boilerplate in the
+    * site language, code-switched forums), and a run-level map is
+    * what lets a pipeline route SEGMENTS instead of dropping whole
+    * mixed documents. Per-doc windows partition on doc_id (bounded
+    * partitions); the run merge is one lag + one running sum on the
+    * same window, no extra exchange. The oracle replays block
+    * arithmetic, the per-block language formula, and the island
+    * numbering. */
+  val q145 = QuerySpec("q145_language_runs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val blocksCol = T.bound(T.tokens(T.normalizeText(col("text")))) { ts =>
+        val nb = floor((size(ts) + 14) / lit(15.0)).cast("int")
+        when(size(ts) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), nb),
+            i => concat_ws(" ", slice(ts, (i - 1) * 15 + 1, lit(15)))))
+      }
+      val blocks = docs.select(col("doc_id"),
+          posexplode(blocksCol).as(Seq("bpos", "btext")))
+        .withColumn("blang", T.langId(col("btext")))
+      val w = Window.partitionBy("doc_id").orderBy("bpos")
+      val runs = blocks
+        .withColumn("new_run",
+          when(lag("blang", 1).over(w).isNull ||
+            lag("blang", 1).over(w) =!= col("blang"), 1L).otherwise(0L))
+        .withColumn("run_idx", sum("new_run").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy("doc_id", "run_idx", "blang")
+        .agg(count(lit(1)).as("n_blocks"), min("bpos").as("first_block"))
+        .select(col("doc_id"), col("run_idx"), col("blang").as("lang"),
+          col("n_blocks"), col("first_block"))
+        .orderBy("doc_id", "run_idx")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+       ELSE string_split_regex(norm, '\s+') END AS tt
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+), b AS (
+  SELECT doc_id, i - 1 AS bpos,
+    array_to_string(tt[(i-1)*15+1:(i-1)*15+15], ' ') AS btext
+  FROM (SELECT doc_id, tt, unnest(range(1, (len(tt)+14)//15 + 1)) AS i FROM t)
+), lng AS (
+  SELECT doc_id, bpos,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+         WHEN de >= fr AND de > 0 THEN 'de'
+         WHEN fr > 0 THEN 'fr' ELSE 'und' END AS blang
+  FROM (
+    SELECT doc_id, bpos,
+      len(regexp_extract_all(btext, '[\x{4e00}-\x{9fff}]')) AS cjk,
+      len(list_filter(string_split(btext, ' '),
+        x -> x IN ('the','a','of','and','is'))) AS en,
+      len(list_filter(string_split(btext, ' '),
+        x -> x IN ('der','die','das','und','ist'))) AS de,
+      len(list_filter(string_split(btext, ' '),
+        x -> x IN ('le','la','et','est','les'))) AS fr
+    FROM b)
+), runs AS (
+  SELECT doc_id, bpos, blang,
+    CAST(sum(nr) OVER (PARTITION BY doc_id ORDER BY bpos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_idx
+  FROM (
+    SELECT doc_id, bpos, blang,
+      CASE WHEN lag(blang) OVER (PARTITION BY doc_id ORDER BY bpos)
+             IS DISTINCT FROM blang THEN 1 ELSE 0 END AS nr
+    FROM lng)
+)
+SELECT doc_id, run_idx, blang AS lang,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  min(bpos) AS first_block
+FROM runs GROUP BY doc_id, run_idx, blang
+ORDER BY doc_id, run_idx
+"""))
+
+  /** q147 — SFT chat-template rendering with loss-mask boundary: each
+    * document becomes a (prompt = first 20 tokens, completion = rest)
+    * training example rendered through a fixed chat template, plus the
+    * TOKEN INDEX where the loss mask turns on (everything before the
+    * completion is context, not target — the off-by-one here silently
+    * trains on the prompt, the classic SFT-data bug this projection
+    * makes auditable). All boundary arithmetic is integer
+    * (mask_start = min(n, 20) + role-marker count), the rendering is
+    * one codegen'd concat, and the oracle replays both exactly.
+    * Documents with ≤ 20 tokens yield an empty completion and are
+    * flagged unusable (`usable = false`) rather than dropped — the
+    * audit-ledger convention. */
+  val q147 = QuerySpec("q147_sft_render",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val out = T.bound(T.tokens(T.normalizeText(col("text")))) { ts =>
+        val n = size(ts)
+        val k = least(n, lit(20))
+        val prompt = concat_ws(" ", slice(ts, lit(1), k))
+        val completion = when(n > 20,
+          concat_ws(" ", slice(ts, lit(21), n - 20))).otherwise(lit(""))
+        val rendered = concat(lit("<|user|> "), prompt,
+          lit(" <|assistant|> "), completion)
+        struct(
+          rendered.as("rendered"),
+          (k + lit(2)).cast("long").as("mask_start"),
+          (n + lit(2)).cast("long").as("n_tokens"),
+          (n > 20).as("usable"))
+      }
+      docs.select(col("doc_id"), out.as("o"))
+        .select(col("doc_id"), col("o.rendered").as("rendered"),
+          col("o.mask_start").as("mask_start"),
+          col("o.n_tokens").as("n_tokens"), col("o.usable").as("usable"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length(norm) = 0 THEN []
+       ELSE string_split_regex(norm, '\s+') END AS tt
+  FROM (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents)
+)
+SELECT doc_id,
+  '<|user|> ' || coalesce(array_to_string(tt[1:least(len(tt), 20)], ' '), '')
+    || ' <|assistant|> '
+    || CASE WHEN len(tt) > 20
+         THEN coalesce(array_to_string(tt[21:len(tt)], ' '), '')
+         ELSE '' END AS rendered,
+  CAST(least(len(tt), 20) + 2 AS BIGINT) AS mask_start,
+  CAST(len(tt) + 2 AS BIGINT) AS n_tokens,
+  len(tt) > 20 AS usable
+FROM t ORDER BY doc_id
+"""))
+
+  /** q148 — length-bucketed batching: documents grouped into
+    * power-of-two token-length buckets (bucket = bit length of the
+    * token count — INTEGER-exact via `bin()` string length in both
+    * engines, never `log2` whose ulp at exact powers of two differs
+    * across libm builds), with per-bucket padded cost (docs ×
+    * 2^bits) and padding-waste fraction — the batching-efficiency
+    * report that decides bucket boundaries for training/inference
+    * serving. Zero-token docs are excluded (they occupy no batch
+    * slot, the q87 convention). */
+  val q148 = QuerySpec("q148_length_buckets",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(T.tokenCount(col("text")).cast("long").as("n"))
+        .where(col("n") > 0)
+        .withColumn("bits", length(bin(col("n"))).cast("int"))
+        .groupBy("bits")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .withColumn("padded",
+          col("n_docs") * expr("shiftleft(1L, bits)").cast("long"))
+        .withColumn("waste_pct",
+          round((col("padded") - col("n_tokens")) / col("padded").cast("double"), 6))
+        .select("bits", "n_docs", "n_tokens", "padded", "waste_pct")
+        .orderBy("bits")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT CAST(len($sqlToks) AS BIGINT) AS n FROM documents
+), b AS (
+  SELECT n, CAST(length(bin(n)) AS INT) AS bits FROM t WHERE n > 0
+)
+SELECT bits, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) * (CAST(1 AS BIGINT) << bits) AS BIGINT) AS padded,
+  round((count(*) * (CAST(1 AS BIGINT) << bits) - sum(n))
+    / CAST(count(*) * (CAST(1 AS BIGINT) << bits) AS DOUBLE), 6) AS waste_pct
+FROM b GROUP BY bits ORDER BY bits
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141, q144)
+      q121, q131, q136, q141, q144, q145, q147, q148)
 }
