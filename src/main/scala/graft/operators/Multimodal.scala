@@ -365,6 +365,64 @@ object Multimodal {
       pngChunk("IDAT", deflate(raw)) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
+  /** Insert serialized ancillary chunks immediately after IHDR (test
+    * fixture builder for metadata-bearing PNGs: tEXt/tIME/eXIf/…).
+    * Chunks are serialized with real CRCs so conformant readers accept
+    * the result. */
+  def pngInjectMetadata(png: Array[Byte],
+      chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ihdrEnd = 8 + 4 + 4 + 13 + 4 // signature + IHDR chunk
+    require(png.length >= ihdrEnd, "not a PNG with an IHDR")
+    val injected = chunks.map { case (t, c) => pngChunk(t, c) }
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    png.take(ihdrEnd) ++ injected ++ png.drop(ihdrEnd)
+  }
+
+  /** PRIVACY SCRUB: drop every ANCILLARY chunk from a PNG — tEXt,
+    * zTXt, iTXt, eXIf, tIME, pHYs and anything else whose type's
+    * first letter is lowercase (bit 5 set = ancillary per the PNG
+    * spec), the channels that carry author names, GPS EXIF blobs,
+    * timestamps, and editor fingerprints into a training corpus.
+    * Critical chunks (IHDR/PLTE/IDAT/IEND — uppercase first letter)
+    * are byte-copied untouched, CRCs and pixel data preserved; no
+    * re-encode. This is the maximal-privacy profile: it also drops
+    * rendering hints like gAMA/tRNS — a product that needs them would
+    * allowlist specific ancillary types, the rule stays one bit test.
+    * Returns (scrubbed bytes, total chunks seen, chunks removed,
+    * bytes removed); None for malformed input (quarantine, never
+    * mis-scrub). */
+  def pngScrubMetadata(data: Array[Byte])
+      : Option[(Array[Byte], Int, Int, Long)] =
+    try {
+      def u8(i: Int): Int = data(i) & 0xff
+      def rd4(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (data.length < 8 || (0 until 8).exists(i => u8(i) != pngSig(i)))
+        return None
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(data, 0, 8)
+      var pos = 8
+      var total = 0
+      var removed = 0
+      var removedBytes = 0L
+      var sawEnd = false
+      while (!sawEnd && pos + 12 <= data.length) {
+        val len = rd4(pos)
+        if (len < 0 || pos + 12 + len > data.length) return None
+        val chunkLen = 12 + len
+        total += 1
+        val ancillary = (u8(pos + 4) & 0x20) != 0
+        if (ancillary) { removed += 1; removedBytes += chunkLen }
+        else out.write(data, pos, chunkLen)
+        if (u8(pos + 4) == 'I' && u8(pos + 5) == 'E' &&
+          u8(pos + 6) == 'N' && u8(pos + 7) == 'D') sawEnd = true
+        pos += chunkLen
+      }
+      if (!sawEnd) return None
+      Some((out.toByteArray, total, removed, removedBytes))
+    } catch { case _: Exception => None }
+
   /** REAL PNG pixel decode: chunk walk (CRC-verified), concatenated
     * IDAT inflate, per-row defilter. Returns (width, height, channels,
     * samples) with samples row-major `w*h*channels` bytes, or None for

@@ -1276,7 +1276,58 @@ JOIN nw nb ON m.b = nb.doc_id
 ORDER BY m.a, m.b
 """))
 
+  /** q149 — PNG metadata privacy scrub
+    * ([[Multimodal.pngScrubMetadata]]): every ancillary chunk — the
+    * tEXt author strings, eXIf GPS blobs, tIME stamps that ride crawl
+    * images into a training corpus — dropped by the spec's one-bit
+    * ancillary test, critical chunks byte-copied with CRCs intact, no
+    * re-encode. The fixture injects deterministic metadata (a tEXt
+    * `Author` record always; tIME on even ids; an eXIf payload on
+    * ids % 3 = 0) into real in-repo-encoded PNGs; the engine verifies
+    * the scrubbed file still DECODES to identical pixels
+    * (`pixels_ok`), and the oracle replays the chunk census and the
+    * removed-byte arithmetic from the id formulas — a scrubber that
+    * drops the wrong chunk, miscounts a length, or corrupts the
+    * stream breaks either the compare or the decode. */
+  val q149 = QuerySpec("q149_png_metadata_scrub",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      docs.select("doc_id").as[Long].map { id =>
+        val w = 8; val h = 8
+        val px = Array.tabulate(w * h)(i => (((id + 1) * (i * 7 + 3)) % 256).toByte)
+        val base = Multimodal.pngEncode(w, h, 1, px)
+        val meta =
+          Seq("tEXt" -> ("Author user" + id).getBytes("ISO-8859-1")) ++
+            (if (id % 2 == 0) Seq("tIME" -> Array.fill[Byte](7)(1)) else Nil) ++
+            (if (id % 3 == 0)
+              Seq("eXIf" -> Array.fill[Byte]((id % 5 + 4).toInt)(2))
+            else Nil)
+        val dirty = Multimodal.pngInjectMetadata(base, meta)
+        val (clean, nChunks, nRemoved, removedBytes) =
+          Multimodal.pngScrubMetadata(dirty).get
+        val pixelsOk =
+          Multimodal.pngDecodePixels(clean).map(_._4.toSeq) ==
+            Multimodal.pngDecodePixels(dirty).map(_._4.toSeq)
+        (id, nChunks.toLong, nRemoved.toLong, removedBytes, pixelsOk)
+      }.toDF("doc_id", "n_chunks", "n_removed", "removed_bytes", "pixels_ok")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  CAST(4 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_chunks,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_removed,
+  CAST((12 + 11 + length(CAST(doc_id AS VARCHAR)))
+     + CASE WHEN doc_id % 2 = 0 THEN 19 ELSE 0 END
+     + CASE WHEN doc_id % 3 = 0 THEN 12 + (doc_id % 5 + 4) ELSE 0 END
+     AS BIGINT) AS removed_bytes,
+  TRUE AS pixels_ok
+FROM documents ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
-      q134, q124, q126, q127, q129)
+      q134, q124, q126, q127, q129, q149)
 }
