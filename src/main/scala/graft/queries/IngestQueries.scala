@@ -753,6 +753,70 @@ SELECT scheme || '://' || host || path
 FROM n GROUP BY 1 ORDER BY canonical
 """))
 
+  /** q150 — robots.txt rule filtering: per-host robots files are
+    * PARSED from text (line split → trim → `Disallow: ` prefix
+    * extraction — the real format, not a pre-built rules table) and
+    * the URL frontier is filtered by prefix match against its host's
+    * rules — the compliance gate that runs between frontier dedup
+    * (q139) and fetch. The per-host rule set is tiny by nature →
+    * broadcast; the frontier pass is one narrow join + startsWith,
+    * no shuffle of the URL table beyond the verdict aggregate. The
+    * oracle replays the robots synthesis, the line parse, and the
+    * prefix-match verdict per URL. */
+  val q150 = QuerySpec("q150_robots_filter",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val hosts = s.range(0, 7).select(
+        concat(lit("site"), col("id").cast("string"), lit(".example.com"))
+          .as("host"),
+        concat(lit("User-agent: *\n"),
+          when(col("id") % 2 === 0, lit("Disallow: /de\n")).otherwise(lit("")),
+          when(col("id") % 3 === 0, lit("Disallow: /fr\n")).otherwise(lit("")),
+          lit("Crawl-delay: 1\n")).as("robots"))
+      val rules = hosts.select(col("host"),
+          explode(filter(transform(split(col("robots"), "\n"), l => trim(l)),
+            l => l.startsWith("Disallow: "))).as("line"))
+        .select(col("host"), expr("substring(line, 11)").as("prefix"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("host"),
+        concat(lit("/"), col("lang"), lit("/doc-"),
+          col("doc_id").cast("string")).as("path"))
+      urls.join(broadcast(rules), Seq("host"), "left")
+        .withColumn("hit",
+          col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+        .groupBy("doc_id", "host", "path")
+        .agg(max(col("hit")).as("blocked"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH hosts AS (
+  SELECT 'site' || CAST(i AS VARCHAR) || '.example.com' AS host,
+    'User-agent: *' || chr(10)
+      || CASE WHEN i % 2 = 0 THEN 'Disallow: /de' || chr(10) ELSE '' END
+      || CASE WHEN i % 3 = 0 THEN 'Disallow: /fr' || chr(10) ELSE '' END
+      || 'Crawl-delay: 1' || chr(10) AS robots
+  FROM (SELECT unnest(range(0, 7)) AS i)
+), rules AS (
+  SELECT host, substring(line, 11) AS prefix
+  FROM (SELECT host, unnest(list_filter(
+      [trim(x) FOR x IN string_split(robots, chr(10))],
+      x -> starts_with(x, 'Disallow: '))) AS line
+    FROM hosts)
+), urls AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+    '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT u.doc_id, u.host, u.path,
+  coalesce(max(r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)),
+    FALSE) AS blocked
+FROM urls u LEFT JOIN rules r ON u.host = r.host
+GROUP BY u.doc_id, u.host, u.path
+ORDER BY u.doc_id
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139)
+    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139, q150)
 }
