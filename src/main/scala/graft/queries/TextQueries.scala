@@ -1712,8 +1712,46 @@ SELECT bits, CAST(count(*) AS BIGINT) AS n_docs,
 FROM b GROUP BY bits ORDER BY bits
 """))
 
+  /** q151 — deterministic train/val/test split: the engine-standard
+    * md5 bucket routes every document to train (90%), val (5%), or
+    * test (5%) — content-keyed, so the assignment is stable across
+    * runs, partitionings, and corpus growth (a doc never migrates
+    * between splits when new data arrives — the property a
+    * row_number-based split lacks). The rollup reports per-source ×
+    * split counts and token masses so stratification skew is visible
+    * at a glance; the oracle replays the bucket arithmetic and the
+    * rollup. One narrow projection + one small aggregate. */
+  val q151 = QuerySpec("q151_train_val_test",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), "split")
+      docs.select(col("source"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          when(bucket < 900000L, lit("train"))
+            .when(bucket < 950000L, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source", "split")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT source,
+    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+    CASE WHEN b < 900000 THEN 'train'
+         WHEN b < 950000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT source, text,
+      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 8))
+        AS BIGINT) % 1000000 AS b
+    FROM documents)
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY source, split ORDER BY source, split
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141, q144, q145, q147, q148)
+      q121, q131, q136, q141, q144, q145, q147, q148, q151)
 }
