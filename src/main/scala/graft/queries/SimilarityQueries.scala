@@ -486,6 +486,73 @@ neg AS (
 SELECT * FROM pos UNION ALL SELECT * FROM neg ORDER BY qid, kind, rank
 """))
 
+  /** q152 — matryoshka prefix-dimension fidelity: for each anchor's
+    * full-dim nearest neighbor, the cosine recomputed from only the
+    * FIRST d dims (d ∈ {8, 16, 32, 64}) and its error vs the full
+    * similarity — the evaluation that decides how far an
+    * MRL/matryoshka-style embedding can be truncated before retrieval
+    * quality collapses (truncation is the cheapest ANN speedup there
+    * is: a 16-dim prefix scan is 4× less memory traffic than 64).
+    * Prefix cosines use the reciprocal-norm multiplication order of
+    * the q36 family (dot · inv_a · inv_b, left-assoc) so both engines
+    * fold identically before the round. */
+  val q152 = QuerySpec("q152_matryoshka_eval",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val top1 = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 8), k = 1)
+        .select(col("qid"), col("nid"), col("cos").as("cos_full"))
+      val vecs = e.select(col("vec_id"),
+        Similarity.toDoubles(col("embedding")).as("v"))
+      val joined = top1
+        .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+        .join(vecs.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      val perDim = Seq(8, 16, 32, 64).map { d =>
+        val qp = slice(col("qv"), 1, d)
+        val np = slice(col("nv"), 1, d)
+        val qi = lit(1.0) / sqrt(Similarity.dot(qp, qp))
+        val ni = lit(1.0) / sqrt(Similarity.dot(np, np))
+        struct(lit(d.toLong).as("dim"),
+          round(Similarity.dot(qp, np) * qi * ni, 6).as("cos_prefix"))
+      }
+      joined.select(col("qid"), col("nid"), col("cos_full"),
+          explode(array(perDim: _*)).as("p"))
+        .select(col("qid"), col("nid"), col("p.dim").as("dim"),
+          col("p.cos_prefix").as("cos_prefix"), col("cos_full"),
+          round(abs(col("cos_full") - col("p.cos_prefix")), 6).as("abs_err"))
+        .orderBy("qid", "dim")
+    },
+    Some(raw"""
+WITH un AS ($sqlUnit),
+top1 AS (
+  SELECT qid, nid, cos AS cos_full FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+      round(${sqlCos("q", "c")}, 6) AS cos,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(${sqlCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+    FROM un q JOIN un c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+  WHERE rank = 1
+),
+v AS (
+  SELECT vec_id,
+    [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, $dim + 1)] AS u
+  FROM embeddings
+),
+p AS (
+  SELECT t.qid, t.nid, d.dim, t.cos_full,
+    round(list_sum([qv.u[i] * nv.u[i] FOR i IN range(1, d.dim + 1)])
+      * (1.0 / sqrt(list_sum([qv.u[i] * qv.u[i] FOR i IN range(1, d.dim + 1)])))
+      * (1.0 / sqrt(list_sum([nv.u[i] * nv.u[i] FOR i IN range(1, d.dim + 1)]))),
+      6) AS cos_prefix
+  FROM top1 t
+  JOIN v qv ON qv.vec_id = t.qid
+  JOIN v nv ON nv.vec_id = t.nid,
+  (SELECT unnest([8, 16, 32, 64]) AS dim) d
+)
+SELECT qid, nid, CAST(dim AS BIGINT) AS dim, cos_prefix, cos_full,
+  round(abs(cos_full - cos_prefix), 6) AS abs_err
+FROM p ORDER BY qid, dim
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112, q143)
+    Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112, q143, q152)
 }
