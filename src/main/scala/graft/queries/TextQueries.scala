@@ -1750,8 +1750,77 @@ SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY source, split ORDER BY source, split
 """))
 
+  /** q153 — length/quality correlation per source: Pearson r between
+    * token count and quality, computed ENTIRELY from integer sums —
+    * quality in micro-units (round(q,6)·10⁶ as a long), so Σx, Σy,
+    * Σxy, Σx², Σy² are exact longs (partition-order-independent,
+    * unlike a raw double corr() whose accumulation order varies run to
+    * run), and the only float arithmetic is the one closed-form
+    * expression at the end: r = (nΣxy − ΣxΣy) /
+    * √((nΣx²−(Σx)²)(nΣy²−(Σy)²)). The report answers the curation
+    * question "is my quality score just a length proxy here?" —
+    * r → 1 means the two filters are redundant. The SUMS stay exact
+    * longs (Σy² ≈ 2·10¹⁶ at sf10, comfortably inside 2⁶³); the
+    * closed form itself runs in doubles because the variance PRODUCT
+    * n²·Σx²·Σy² exceeds any integer width — both engines convert the
+    * same exact longs to the same doubles, so determinism holds. At
+    * corpus scales where Σy² itself would overflow, pre-aggregate per
+    * shard and combine — the sums are trivially combinable. */
+  val q153 = QuerySpec("q153_quality_length_corr",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("source"),
+        T.tokenCount(col("text")).cast("long").as("x"),
+        round(round(T.qualityScore(col("text")), 6) * 1e6, 0)
+          .cast("long").as("y"))
+      base.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("r", {
+          // the closed form runs in DOUBLES (identical op structure in
+          // the oracle): long arithmetic overflows in the variance
+          // product at n·Σy² ≈ 5·10²⁰; the SUMS stay exact longs —
+          // that is the determinism claim — and both engines convert
+          // the same long to the same double
+          val nd = col("n").cast("double")
+          val sxd = col("sx").cast("double"); val syd = col("sy").cast("double")
+          val sxyd = col("sxy").cast("double")
+          val sxxd = col("sxx").cast("double"); val syyd = col("syy").cast("double")
+          round((nd * sxyd - sxd * syd) /
+            sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        })
+        .select("source", "n", "sx", "sy", "r")
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT source,
+    CAST(len($sqlToks) AS BIGINT) AS x,
+    CAST(round(round($sqlQuality, 6) * 1e6, 0) AS BIGINT) AS y
+  FROM documents
+), a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY source
+)
+SELECT source, n, sx, sy,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+FROM a ORDER BY source
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141, q144, q145, q147, q148, q151)
+      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153)
 }
