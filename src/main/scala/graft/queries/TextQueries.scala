@@ -1819,8 +1819,54 @@ SELECT source, n, sx, sy,
 FROM a ORDER BY source
 """))
 
+  /** q154 — tokenizer fertility report: per language, characters per
+    * BPE-ish piece and pieces per whitespace word — THE metric for
+    * how well a tokenizer fits a language (high fertility = more
+    * pieces per word = more compute per byte of training signal; the
+    * reason multilingual models report per-language fertility tables).
+    * All numerators/denominators accumulate as exact integer sums;
+    * the two ratios are single float divisions at the end — the q144
+    * determinism recipe. CJK text shows the effect in-fixture:
+    * whitespace words are long multi-char runs, so pieces-per-word
+    * diverges from the Latin sources. */
+  val q154 = QuerySpec("q154_tokenizer_fertility",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          T.tokenCount(col("text")).cast("long").as("n_words"),
+          T.bpeCount(col("text")).cast("long").as("n_pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum("n_words").as("n_words"),
+          sum("n_pieces").as("n_pieces"))
+        .withColumn("chars_per_piece",
+          round(col("n_chars").cast("double") / col("n_pieces"), 6))
+        .withColumn("pieces_per_word",
+          round(col("n_pieces").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len($sqlToks) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      AS BIGINT) AS n_pieces
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_pieces), 6) AS chars_per_piece,
+  round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 6) AS pieces_per_word
+FROM base GROUP BY lang ORDER BY lang
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153)
+      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153, q154)
 }
