@@ -817,6 +817,68 @@ GROUP BY u.doc_id, u.host, u.path
 ORDER BY u.doc_id
 """))
 
+  /** q155 — shard-manifest DIFF: the consumer-side half of q138's
+    * design claim. Two corpus snapshots (B modifies the text of every
+    * doc_id % 251 = 0 — ids unchanged) produce per-shard manifests
+    * with TWO xor fingerprints — ids (membership) and content — and
+    * the diff joins them by shard: `ids_same` must hold everywhere
+    * (membership didn't change) while `content_changed` flags EXACTLY
+    * the shards holding a modified document. This is why the
+    * fingerprints are xor-combinable rather than order-sensitive
+    * hashes: a consumer detects and LOCALIZES drift by comparing two
+    * manifest tables — no row-level scan of either snapshot — and the
+    * same comparison works incrementally (xor of the two fingerprints
+    * is the fingerprint of the symmetric difference). The oracle
+    * replays both manifests and the diff. */
+  val q155 = QuerySpec("q155_manifest_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nShards = 4
+      def manifest(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("text"),
+          (graft.operators.Sampling.hashBucket(col("doc_id"), "shard")
+            % nShards).cast("int").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string))," +
+            " 1, 15), 16, 10) as bigint))").as("ids_fp"),
+          expr("bit_xor(cast(conv(substring(md5(text)," +
+            " 1, 15), 16, 10) as bigint))").as("content_fp"))
+      val a = manifest(docs)
+      val b = manifest(docs.withColumn("text",
+        when(col("doc_id") % 251 === 0, concat(col("text"), lit(" changed")))
+          .otherwise(col("text"))))
+      a.alias("a").join(b.alias("b"), Seq("shard"))
+        .select(col("shard"),
+          col("a.n_docs").as("n_docs"),
+          (col("a.ids_fp") === col("b.ids_fp")).as("ids_same"),
+          (col("a.content_fp") =!= col("b.content_fp")).as("content_changed"))
+        .orderBy("shard")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'shard')), 1, 8))
+      AS BIGINT) % 1000000) % 4 AS INT) AS shard,
+    CASE WHEN doc_id % 251 = 0 THEN text || ' changed' ELSE text END AS text_b
+  FROM documents
+), m AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+    bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT)) AS ids_fp_a,
+    bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+      AS content_fp_a,
+    bit_xor(CAST(concat('0x', substr(md5(text_b), 1, 15)) AS BIGINT))
+      AS content_fp_b
+  FROM t GROUP BY shard
+)
+SELECT shard, n_docs,
+  TRUE AS ids_same,
+  content_fp_a <> content_fp_b AS content_changed
+FROM m ORDER BY shard
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139, q150)
+    Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139,
+      q150, q155)
 }
