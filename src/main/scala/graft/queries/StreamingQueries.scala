@@ -346,5 +346,84 @@ WITH q AS (
 SELECT doc_id, source FROM r, q WHERE rn <= q.quota ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137)
+  /** q156 — streaming distribution-drift monitor
+    * ([[graft.streaming.DriftStream]]): documents arrive in three
+    * micro-batches (doc_id % 3); the first batch's language
+    * distribution becomes the BASELINE and every later batch reports
+    * its total-variation distance against it plus a drift flag — the
+    * data-quality alarm that catches a broken extractor or source-mix
+    * shift batches before it poisons a training run. The per-batch
+    * distance folds its per-language terms in sorted-language order
+    * (the LmScore ordered-fold pattern), so the oracle replays the
+    * float sum term for term. */
+  val q156 = QuerySpec("q156_stream_drift",
+    (s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      import graft.streaming.DriftStream
+      val docs = graft.Tables(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), col("lang").as("key"))
+      val inDir = Files.createTempDirectory("graft_q156_in")
+      val stateDir = Files.createTempDirectory("graft_q156_state")
+      val outDir = Files.createTempDirectory("graft_q156_out")
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_q156_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = scala.util.Using.resource(Files.list(tmp)) { st =>
+          st.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        }
+        val dest = inDir.resolve(f"part-$idx%04d.parquet")
+        Files.move(f, dest)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000L + idx * 60000L))
+      }
+      (0 until 3).foreach(i =>
+        stage(keyed.where(col("doc_id") % 3 === i), i))
+      val stream = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[DriftStream.KeyedDoc]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString).as[DriftStream.KeyedDoc]
+      DriftStream.drain(s, stream, stateDir, outDir, threshold = 0.05)
+      val out = s.read.parquet(outDir.toString).orderBy("batch_id")
+      val result = graft.CacheRegistry.trackCheckpoint(out.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(inDir)
+      graft.streaming.StreamingResidue.deleteRecursively(stateDir)
+      graft.streaming.StreamingResidue.deleteRecursively(outDir)
+      result
+    },
+    Some(raw"""
+WITH b AS (
+  SELECT doc_id % 3 AS batch_id, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), n AS (
+  SELECT batch_id, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1
+), base AS (
+  SELECT lang, c AS bc FROM b WHERE batch_id = 0
+), bn AS (
+  SELECT CAST(sum(bc) AS BIGINT) AS bn FROM base
+), langs AS (
+  SELECT DISTINCT lang FROM documents
+), terms AS (
+  SELECT nb.batch_id, l.lang,
+    abs(coalesce(bb.c, 0) * 1.0 / nb.n
+      - coalesce(base.bc, 0) * 1.0 / bn.bn) AS t
+  FROM (SELECT batch_id, n FROM n WHERE batch_id <> 0) nb
+  CROSS JOIN langs l
+  LEFT JOIN b bb ON bb.batch_id = nb.batch_id AND bb.lang = l.lang
+  LEFT JOIN base ON base.lang = l.lang
+  CROSS JOIN bn
+), agg AS (
+  SELECT batch_id, round(list_sum(list(t ORDER BY lang)) * 0.5, 6) AS tvd
+  FROM terms GROUP BY batch_id
+)
+SELECT n.batch_id, n.n AS n_docs,
+  CASE WHEN n.batch_id = 0 THEN 0.0 ELSE agg.tvd END AS tvd,
+  CASE WHEN n.batch_id = 0 THEN FALSE ELSE agg.tvd > 0.05 END AS drifted,
+  n.batch_id = 0 AS is_baseline
+FROM n LEFT JOIN agg ON agg.batch_id = n.batch_id
+ORDER BY n.batch_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137, q156)
 }
