@@ -1127,7 +1127,59 @@ SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
 FROM sizes GROUP BY sz ORDER BY cluster_size
 """))
 
+  /** q157 — near-dup threshold sweep: the verified pair set computed
+    * ONCE at the LSH design floor (0.5 — the banding's tuning point;
+    * sweeping below it would need different bands), then counted at
+    * every candidate threshold {0.5 … 0.9} — the curve a curation run
+    * reads to PICK its dedup threshold (where does pair mass fall
+    * off? how many docs does each setting touch?). One pair
+    * computation, one explode over five thresholds, one aggregate;
+    * doc counts are distinct-doc support per threshold via the
+    * two-step union-distinct (no countDistinct Expand). */
+  val q157 = QuerySpec("q157_threshold_sweep",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = graft.CacheRegistry.persistTracked(
+        Dedup.minhashPairs(docs, "doc_id", "text", k = mhK, bands = mhBands,
+          shingleN = 3, threshold = 0.5))
+      val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val swept = pairs
+        .select(col("a"), col("b"), col("jaccard"),
+          explode(array(ths.map(lit): _*)).as("threshold"))
+        .where(col("jaccard") >= col("threshold"))
+      val nPairs = swept.groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = swept.select(col("threshold"), col("a").as("id"))
+        .union(swept.select(col("threshold"), col("b").as("id")))
+        .distinct()
+        .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+      nPairs.join(nDocs, "threshold")
+        .orderBy("threshold")
+    },
+    Some(raw"""
+WITH $sqlPairCtes,
+vp AS (SELECT a, b, round(jaccard, 6) AS jaccard
+       FROM verified WHERE jaccard >= 0.5),
+sw AS (
+  SELECT t.threshold, vp.a, vp.b
+  FROM vp, (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) t
+  WHERE vp.jaccard >= t.threshold
+),
+np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM sw GROUP BY threshold),
+nd AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs FROM (
+    SELECT DISTINCT threshold, id FROM (
+      SELECT threshold, a AS id FROM sw
+      UNION ALL SELECT threshold, b FROM sw))
+  GROUP BY threshold
+)
+SELECT np.threshold, np.n_pairs, nd.n_docs
+FROM np JOIN nd ON np.threshold = nd.threshold
+ORDER BY np.threshold
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108, q130, q140, q142, q146)
+      q97, q100, q103, q104, q108, q130, q140, q142, q146, q157)
 }
