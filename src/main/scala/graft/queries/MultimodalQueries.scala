@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
-import graft.operators.{Audio, Bmp, Gif, Multimodal}
+import graft.operators.{Audio, Bmp, Exif, Gif, Multimodal}
 
 /** Multimodal query inventory: binary payload + typed metadata through
   * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
@@ -1327,7 +1327,56 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q162 — JPEG EXIF extraction + privacy scrub
+    * ([[graft.operators.Exif]]): the JPEG counterpart of q149. The
+    * fixture injects a REAL APP1/TIFF EXIF segment into in-repo-
+    * encoded JPEGs — Make/Model ASCII entries (Make external in the
+    * TIFF data area, Model inline per the ≤4-byte rule), Orientation
+    * SHORT, a GPS IFD on ids % 3 = 0, and BOTH byte orders (odd ids
+    * little-endian) so the II/MM dispatch is exercised row by row.
+    * The engine parses the fields back out of the bytes, scrubs every
+    * APPn/COM segment, verifies the scrubbed file still decodes to
+    * identical pixels and that no EXIF survives. The oracle replays
+    * the field formulas and the segment-size arithmetic (66 bytes
+    * without GPS, 96 with — pinned to the documented TIFF layout by
+    * JpegExifSpec); a parser that misreads an endianness, an inline
+    * value, or an offset breaks the compare. */
+  val q162 = QuerySpec("q162_jpeg_exif",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      docs.select("doc_id").as[Long].map { id =>
+        val px = Array.tabulate(64)(i => (((id + 1) * (i * 7 + 3)) % 256).toByte)
+        val base = Multimodal.jpegEncode(8, 8, 1, px)
+        val seg = Exif.exifSegment("Cam" + (id % 7), "M" + (id % 5),
+          (1 + id % 8).toInt, gps = id % 3 == 0, littleEndian = id % 2 == 1)
+        val dirty = Exif.jpegInjectExif(base, seg)
+        val (make, model, orient, hasGps) = Exif.jpegExif(dirty).get
+        val (clean, _, removed, removedBytes) =
+          Exif.jpegScrubMetadata(dirty).get
+        val pixelsOk =
+          Multimodal.jpegDecodePixels(clean).map(_._4.toSeq) ==
+            Multimodal.jpegDecodePixels(dirty).map(_._4.toSeq)
+        (id, make, model, orient.toLong, hasGps, removed.toLong,
+          removedBytes, pixelsOk, Exif.jpegExif(clean).isEmpty)
+      }.toDF("doc_id", "make", "model", "orientation", "has_gps",
+          "n_removed", "removed_bytes", "pixels_ok", "exif_gone")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  'Cam' || CAST(doc_id % 7 AS VARCHAR) AS make,
+  'M' || CAST(doc_id % 5 AS VARCHAR) AS model,
+  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+  doc_id % 3 = 0 AS has_gps,
+  CAST(1 AS BIGINT) AS n_removed,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 96 ELSE 66 END AS BIGINT)
+    AS removed_bytes,
+  TRUE AS pixels_ok, TRUE AS exif_gone
+FROM documents ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
-      q134, q124, q126, q127, q129, q149)
+      q134, q124, q126, q127, q129, q149, q162)
 }
