@@ -301,5 +301,158 @@ LEFT JOIN outd o ON r.node = o.src
 ORDER BY r.rank DESC, r.node
 """))
 
-  val all: Seq[QuerySpec] = Seq(q158, q159, q160, q161)
+  /** q163 — SCD Type-2 dimension build (the slowly-changing-dimension
+    * history table every warehouse maintains): three deterministic
+    * snapshot versions of the customer dimension (v2 moves every 5th
+    * customer's segment, v3 every 7th) collapse into one history row
+    * per (key, value run) — change points found with lag() over the
+    * per-key version order, validity ranges closed with lead(), open
+    * range = current row. One exchange keyed by the dimension key
+    * serves both windows; at a 10⁹-row dimension the same plan holds
+    * (the per-key window is bounded by the snapshot count, never by
+    * table size). The oracle replays the snapshot synthesis and both
+    * windows.
+    */
+  val q163 = QuerySpec("q163_scd2_dimension",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val v1 = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit(1L).as("version"))
+      val v2 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("seg"), lit(2L).as("version"))
+      val v3 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit("CHURNED"))
+          .when(col("c_custkey") % 5 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("seg"), lit(3L).as("version"))
+      val byKey = Window.partitionBy("c_custkey").orderBy("version")
+      v1.unionByName(v2).unionByName(v3)
+        .withColumn("prev", lag("seg", 1).over(byKey))
+        .where(col("prev").isNull || col("prev") =!= col("seg"))
+        .withColumn("valid_from", col("version"))
+        .withColumn("valid_to",
+          lead("valid_from", 1).over(byKey) - 1)
+        .select(col("c_custkey"), col("seg"), col("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some(raw"""
+WITH snaps AS (
+  SELECT c_custkey, c_mktsegment AS seg, 1 AS version FROM customer
+  UNION ALL
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END, 2
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 7 = 0 THEN 'CHURNED'
+         WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END, 3
+  FROM customer
+), changes AS (
+  SELECT c_custkey, seg, version,
+    lag(seg) OVER (PARTITION BY c_custkey ORDER BY version) AS prev
+  FROM snaps
+), runs AS (
+  SELECT c_custkey, seg, CAST(version AS BIGINT) AS valid_from
+  FROM changes WHERE prev IS NULL OR prev <> seg
+)
+SELECT c_custkey, seg, valid_from,
+  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) - 1
+    AS valid_to,
+  (lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from))
+    IS NULL AS is_current
+FROM runs ORDER BY c_custkey, valid_from
+"""))
+
+  /** q164 — inverted index build (the retrieval structure a
+    * search-over-corpus service materializes): one token explode →
+    * per-(term, doc) occurrence counts → per-term document frequency,
+    * collection frequency, the HEAD of the sorted postings list, and
+    * an order-insensitive xor fingerprint of the FULL posting set
+    * (bit_xor of per-id md5 prefixes — the q138 manifest trick). The
+    * fingerprint verifies every posting without materializing the
+    * unbounded list: a stopword-scale term at 100 TB keeps a 12-entry
+    * head plus one 8-byte fingerprint, never a 10⁹-element array.
+    * Two exchanges: (term, doc) aggregate, then term aggregate; the
+    * head folds in doc order on both engines.
+    */
+  val q164 = QuerySpec("q164_inverted_index",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+          slice(array_sort(collect_list(col("doc_id"))), 1, 12)
+            .as("postings_head"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string))," +
+            " 1, 15), 16, 10) as bigint))").as("ids_fp"))
+        .orderBy("term")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+    ELSE string_split_regex(trim(text), '\s+') END) AS term
+  FROM documents
+), td AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+  list_sort(list(doc_id))[1:12] AS postings_head,
+  bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+    AS BIGINT)) AS ids_fp
+FROM td GROUP BY term ORDER BY term
+"""))
+
+  /** q165 — join-key skew diagnostic (the report that decides whether
+    * a key needs salting or an AQE skew-join before a 100 TB join
+    * ships): per hot key of lineitem.l_suppkey, row count, share in
+    * integer parts-per-million (count·10⁶ div total — exact, never a
+    * float percentage that flaps), rank, and running cumulative ppm.
+    * One aggregate + a 20-row top-k window (WindowGroupLimit prunes
+    * per partition before the exchange); the total rides a broadcast
+    * 1-row aggregate. The cumulative window runs over 20 rows, not
+    * the key space.
+    */
+  val q165 = QuerySpec("q165_skew_report",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val total = li.agg(count(lit(1)).as("total"))
+      val ranked = counts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n"), col("key"))))
+        .where(col("rank") <= 20)
+      ranked
+        .withColumn("ppm", expr("(n * 1000000) div total"))
+        .withColumn("cum_ppm", sum(col("ppm")).over(
+          Window.orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("rank", "key", "n", "ppm", "cum_ppm")
+        .orderBy("rank")
+    },
+    Some(raw"""
+WITH counts AS (
+  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem
+), ranked AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank,
+    (n * 1000000) // t.total AS ppm
+  FROM counts, t
+)
+SELECT CAST(rank AS INT) AS rank, key, n, ppm,
+  CAST(sum(ppm) OVER (ORDER BY rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ppm
+FROM ranked WHERE rank <= 20 ORDER BY rank
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q158, q159, q160, q161, q163, q164, q165)
 }
