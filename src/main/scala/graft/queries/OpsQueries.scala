@@ -454,5 +454,151 @@ SELECT CAST(rank AS INT) AS rank, key, n, ppm,
 FROM ranked WHERE rank <= 20 ORDER BY rank
 """))
 
-  val all: Seq[QuerySpec] = Seq(q158, q159, q160, q161, q163, q164, q165)
+  /** q166 — mojibake detection + repair (the ftfy pass of a crawl
+    * pipeline): UTF-8 text that was once decoded as Latin-1 carries
+    * unmistakable two-byte signatures (é → "Ã©", á → "Ã¡", ° → "Â°");
+    * the fixture plants them deterministically (every 4th doc gets its
+    * 'a's double-encoded as if the source had 'á', every 6th its 'e's
+    * as 'é'), detection counts signature lead bytes, and repair is a
+    * staged replace chain — pure codegen string expressions, no UDF.
+    * The invariant the engine must prove: repair(corrupt(text))
+    * equals the text the ORIGINAL encoding intended (`fixed_ok`), and
+    * untouched docs pass through byte-identical. The oracle replays
+    * corruption, detection count, and the same replace chain.
+    */
+  val q166 = QuerySpec("q166_mojibake_repair",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val aMoji = "Ã¡" // "Ã¡" — á read as Latin-1
+      val eMoji = "Ã©" // "Ã©" — é read as Latin-1
+      val lead = "Ã"
+      val staged = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+            expr(s"replace(text, 'a', '$aMoji')"))
+          .when(col("doc_id") % 6 === 0,
+            expr(s"replace(text, 'e', '$eMoji')"))
+          .otherwise(col("text")).as("raw"),
+        when(col("doc_id") % 4 === 0, expr("replace(text, 'a', 'á')"))
+          .when(col("doc_id") % 6 === 0, expr("replace(text, 'e', 'é')"))
+          .otherwise(col("text")).as("intended"))
+      staged.select(col("doc_id"), col("intended"),
+          (length(col("raw")) -
+            length(expr(s"replace(raw, '$lead', '')"))).cast("long")
+            .as("n_sigs"),
+          expr(s"replace(replace(raw, '$aMoji', 'á'), " +
+            s"'$eMoji', 'é')").as("repaired"))
+        .select(col("doc_id"), col("n_sigs"),
+          (col("n_sigs") > 0).as("has_moji"),
+          (col("repaired") === col("intended")).as("fixed_ok"),
+          length(col("repaired")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH staged AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN replace(text, 'a', 'Ã¡')
+         WHEN doc_id % 6 = 0 THEN replace(text, 'e', 'Ã©')
+         ELSE text END AS raw,
+    CASE WHEN doc_id % 4 = 0 THEN replace(text, 'a', 'á')
+         WHEN doc_id % 6 = 0 THEN replace(text, 'e', 'é')
+         ELSE text END AS intended
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(raw) - length(replace(raw, 'Ã', '')) AS BIGINT) AS n_sigs,
+  (length(raw) - length(replace(raw, 'Ã', ''))) > 0 AS has_moji,
+  replace(replace(raw, 'Ã¡', 'á'), 'Ã©', 'é') = intended AS fixed_ok,
+  CAST(length(replace(replace(raw, 'Ã¡', 'á'), 'Ã©', 'é')) AS BIGINT)
+    AS n_chars
+FROM staged ORDER BY doc_id
+"""))
+
+  /** q167 — embedding hygiene audit (the expectation suite for the
+    * vector table, run before any ANN index build): per label, counts
+    * of wrong-dimension, non-finite (NaN/±inf), and zero-norm vectors
+    * — the three corruption classes that silently poison a cosine
+    * index — plus norm statistics over the HEALTHY rows only, summed
+    * in integer micro-units so the aggregate is partition-order-exact
+    * (the q144 recipe). The fixture unions deterministic corrupt
+    * copies (a NaN element every 50th vector, a zero vector every
+    * 70th, a truncated 32-dim every 90th) onto the clean table; one
+    * narrow projection + one aggregate, vectors never shuffle.
+    */
+  val q167 = QuerySpec("q167_embedding_audit",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val nan = expr("transform(embedding, (x, i) -> " +
+        "case when i = 0 then cast('NaN' as float) else x end)")
+      val zero = expr("transform(embedding, x -> cast(0.0 as float))")
+      val trunc = expr("slice(embedding, 1, 32)")
+      val staged = emb.select(col("vec_id"), col("label"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+            nan.as("embedding")))
+        .unionByName(emb.where(col("vec_id") % 70 === 0)
+          .select((col("vec_id") + 200000).as("vec_id"), col("label"),
+            zero.as("embedding")))
+        .unionByName(emb.where(col("vec_id") % 90 === 0)
+          .select((col("vec_id") + 300000).as("vec_id"), col("label"),
+            trunc.as("embedding")))
+      val audited = staged.select(col("label"),
+        (size(col("embedding")) =!= 64).as("bad_dim"),
+        expr("exists(embedding, x -> isnan(x) or abs(x) = cast('Infinity'" +
+          " as float))").as("non_finite"),
+        expr("aggregate(embedding, cast(0.0 as double)," +
+          " (a, x) -> a + cast(x as double) * cast(x as double))")
+          .as("sq"))
+      audited.withColumn("healthy",
+          !col("bad_dim") && !col("non_finite") && col("sq") > 0)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("bad_dim"), 1L).otherwise(0L)).as("n_bad_dim"),
+          sum(when(!col("bad_dim") && col("non_finite"), 1L).otherwise(0L))
+            .as("n_non_finite"),
+          sum(when(col("healthy") === false &&
+              !col("bad_dim") && !col("non_finite"), 1L).otherwise(0L))
+            .as("n_zero_norm"),
+          sum(when(col("healthy"),
+              round(sqrt(col("sq")) * 1e6, 0).cast("long")).otherwise(0L))
+            .as("sum_norm_u"))
+        .orderBy("label")
+    },
+    Some(raw"""
+WITH staged AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+    [CASE WHEN i = 1 THEN 'NaN'::FLOAT ELSE embedding[i] END
+     FOR i IN range(1, len(embedding) + 1)]
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 200000, label,
+    [0.0::FLOAT FOR i IN range(1, len(embedding) + 1)]
+  FROM embeddings WHERE vec_id % 70 = 0
+  UNION ALL
+  SELECT vec_id + 300000, label, embedding[1:32]
+  FROM embeddings WHERE vec_id % 90 = 0
+), audited AS (
+  SELECT label,
+    len(embedding) <> 64 AS bad_dim,
+    len(list_filter(embedding, x -> isnan(x) OR abs(x) = 'Infinity'::FLOAT))
+      > 0 AS non_finite,
+    list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      FOR i IN range(1, len(embedding) + 1)]) AS sq
+  FROM staged
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+  CAST(sum(CASE WHEN NOT bad_dim AND non_finite THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_non_finite,
+  CAST(sum(CASE WHEN NOT bad_dim AND NOT non_finite AND NOT sq > 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+  CAST(sum(CASE WHEN NOT bad_dim AND NOT non_finite AND sq > 0
+    THEN CAST(round(sqrt(sq) * 1e6, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS sum_norm_u
+FROM audited GROUP BY label ORDER BY label
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167)
 }
