@@ -599,6 +599,179 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM audited GROUP BY label ORDER BY label
 """))
 
+  /** q168 — temporal (AS-OF-version) dimension lookup: the consumer
+    * side of q163's SCD2 history — each fact row (orders, given a
+    * deterministic observation version o_orderkey % 3 + 1) joins the
+    * ONE dimension row whose validity range covers it:
+    * valid_from ≤ v ≤ coalesce(valid_to, ∞). The history is a
+    * broadcast build side here (an SCD2 dimension is small relative
+    * to facts — the star-join shape); the range predicate rides the
+    * equi-join on the key, so no theta-join blowup: Spark plans
+    * BroadcastHashJoin on c_custkey with the range as a post-filter.
+    * Rolled up per (version, seg) so the output is the
+    * version-distribution report. Oracle replays the q163 history
+    * build and the same range lookup.
+    */
+  val q168 = QuerySpec("q168_scd2_lookup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val v1 = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit(1L).as("version"))
+      val v2 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("seg"), lit(2L).as("version"))
+      val v3 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit("CHURNED"))
+          .when(col("c_custkey") % 5 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("seg"), lit(3L).as("version"))
+      val byKey = Window.partitionBy("c_custkey").orderBy("version")
+      val hist = v1.unionByName(v2).unionByName(v3)
+        .withColumn("prev", lag("seg", 1).over(byKey))
+        .where(col("prev").isNull || col("prev") =!= col("seg"))
+        .withColumn("valid_from", col("version"))
+        .withColumn("valid_to", lead("valid_from", 1).over(byKey) - 1)
+        .select("c_custkey", "seg", "valid_from", "valid_to")
+      val facts = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 3 + 1).as("obs_version"))
+      facts.join(broadcast(hist),
+          facts("o_custkey") === hist("c_custkey") &&
+            col("obs_version") >= col("valid_from") &&
+            col("obs_version") <= coalesce(col("valid_to"), lit(Long.MaxValue)))
+        .groupBy("obs_version", "seg")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("obs_version", "seg")
+    },
+    Some(raw"""
+WITH snaps AS (
+  SELECT c_custkey, c_mktsegment AS seg, 1 AS version FROM customer
+  UNION ALL
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END, 2
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 7 = 0 THEN 'CHURNED'
+         WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END, 3
+  FROM customer
+), changes AS (
+  SELECT c_custkey, seg, version,
+    lag(seg) OVER (PARTITION BY c_custkey ORDER BY version) AS prev
+  FROM snaps
+), runs AS (
+  SELECT c_custkey, seg, CAST(version AS BIGINT) AS valid_from
+  FROM changes WHERE prev IS NULL OR prev <> seg
+), hist AS (
+  SELECT c_custkey, seg, valid_from,
+    lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) - 1
+      AS valid_to
+  FROM runs
+), facts AS (
+  SELECT o_orderkey, o_custkey, o_orderkey % 3 + 1 AS obs_version
+  FROM orders
+)
+SELECT CAST(f.obs_version AS BIGINT) AS obs_version, h.seg,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM facts f JOIN hist h ON f.o_custkey = h.c_custkey
+  AND f.obs_version >= h.valid_from
+  AND f.obs_version <= coalesce(h.valid_to, 9223372036854775807)
+GROUP BY f.obs_version, h.seg ORDER BY obs_version, seg
+"""))
+
+  /** q169 — incremental materialized-view maintenance: a per-source
+    * (n_docs, n_tokens, fp) rollup is maintained WITHOUT rescanning
+    * the base corpus when a delta batch lands — new_view =
+    * combine(old_view, aggregate(delta)) — because every measure is
+    * chosen combinable: counts and token sums add, and membership is
+    * an xor fingerprint (q138) so the delta's fp xors straight in.
+    * The engine computes the incrementally-maintained view AND the
+    * from-scratch view and proves them identical (`consistent`) —
+    * the property that lets a 100 TB rollup refresh in O(delta).
+    * Delta here: every 9th doc re-ingested with a " v2" suffix
+    * (update = retract + insert: the retraction xors the old
+    * fingerprint out, token delta subtracts), every 11th doc new.
+    */
+  val q169 = QuerySpec("q169_incremental_rollup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val fpExpr = "bit_xor(cast(conv(substring(md5(cast(doc_id as string) ||" +
+        " ':' || cast(n_chars as string)), 1, 15), 16, 10) as bigint))"
+      def view(d: DataFrame): DataFrame = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        expr(fpExpr).as("fp"))
+      val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      // delta: updates change n_chars (+3 for " v2"); inserts are new ids
+      val updatesNew = base.where(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 3).as("n_chars"))
+      val inserts = base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+          col("n_chars"))
+      val retracted = base.where(col("doc_id") % 9 === 0)
+      // incremental: old view ± delta aggregates (n_docs: +inserts;
+      // n_chars: +inserts +updates −retractions; fp: xor of all three)
+      val oldView = view(base)
+      val dIns = view(inserts)
+        .withColumnRenamed("n_docs", "i_docs")
+        .withColumnRenamed("n_chars", "i_chars")
+        .withColumnRenamed("fp", "i_fp")
+      val dUpd = view(updatesNew)
+        .withColumnRenamed("n_docs", "u_docs")
+        .withColumnRenamed("n_chars", "u_chars")
+        .withColumnRenamed("fp", "u_fp")
+      val dRet = view(retracted)
+        .withColumnRenamed("n_docs", "r_docs")
+        .withColumnRenamed("n_chars", "r_chars")
+        .withColumnRenamed("fp", "r_fp")
+      val incr = oldView.join(dIns, Seq("source"), "left")
+        .join(dUpd, Seq("source"), "left")
+        .join(dRet, Seq("source"), "left")
+        .select(col("source"),
+          (col("n_docs") + coalesce(col("i_docs"), lit(0L))).as("n_docs"),
+          (col("n_chars") + coalesce(col("i_chars"), lit(0L))
+            + coalesce(col("u_chars"), lit(0L))
+            - coalesce(col("r_chars"), lit(0L))).as("n_chars"),
+          (col("fp").bitwiseXOR(coalesce(col("i_fp"), lit(0L)))
+            .bitwiseXOR(coalesce(col("u_fp"), lit(0L)))
+            .bitwiseXOR(coalesce(col("r_fp"), lit(0L)))).as("fp"))
+      // from-scratch view over the post-delta corpus
+      val current = base.where(!(col("doc_id") % 9 === 0))
+        .unionByName(updatesNew).unionByName(inserts)
+      val scratch = view(current)
+        .withColumnRenamed("n_docs", "s_docs")
+        .withColumnRenamed("n_chars", "s_chars")
+        .withColumnRenamed("fp", "s_fp")
+      incr.join(scratch, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("fp"),
+          (col("n_docs") === col("s_docs") &&
+            col("n_chars") === col("s_chars") &&
+            col("fp") === col("s_fp")).as("consistent"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents
+), upd AS (
+  SELECT doc_id, source, n_chars + 3 AS n_chars FROM base WHERE doc_id % 9 = 0
+), ins AS (
+  SELECT doc_id + 700000 AS doc_id, source, n_chars
+  FROM base WHERE doc_id % 11 = 0
+), cur AS (
+  SELECT * FROM base WHERE doc_id % 9 <> 0
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+  bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS fp,
+  TRUE AS consistent
+FROM cur GROUP BY source ORDER BY source
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167)
+    Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169)
 }
