@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
-import graft.operators.{Audio, Bmp, Exif, Gif, Multimodal}
+import graft.operators.{Audio, Bmp, Exif, Gif, Mp3, Multimodal}
 
 /** Multimodal query inventory: binary payload + typed metadata through
   * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
@@ -1376,7 +1376,64 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """))
 
+  /** q170 — MP3 stream metadata ([[graft.operators.Mp3]]): the web's
+    * dominant audio format gets the same REAL container tier as
+    * WAV/MP4 (q27) — ID3v2 tags skipped by their sync-safe 28-bit
+    * size, then an MPEG-1 Layer III frame walk using the public
+    * bitrate/sample-rate tables and the 144·bitrate/rate+padding
+    * frame-length rule; duration is exact integer arithmetic
+    * (frames·1152·1000 div rate). The fixture synthesizes per-doc
+    * streams — CBR on even ids, per-frame varying bitrate (VBR) on
+    * odd, ID3v2 tags of varying sync-safe size on ids % 4 = 0, a
+    * trailing ID3v1 block on ids % 5 = 0 — and the oracle replays the
+    * whole table arithmetic per frame (bitrate list indexing, padded
+    * lengths, integer duration, the min≠max VBR test). */
+  val q170 = QuerySpec("q170_mp3_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      docs.select("doc_id").as[Long].map { id =>
+        val srIdx = (id % 3).toInt
+        val n = (3 + id % 5).toInt
+        val spec = Seq.tabulate(n) { f =>
+          val br = if (id % 2 == 0) 1 + (id % 14).toInt
+                   else 1 + ((id + f) % 14).toInt
+          (br, f % 2)
+        }
+        val id3 = if (id % 4 == 0) (id % 200).toInt else 0
+        val bytes = Mp3.mp3Encode(spec, srIdx, id3v2Bytes = id3,
+          id3v1 = id % 5 == 0)
+        val (frames, audio, rate, durMs, meanBr, vbr) =
+          Mp3.mp3Frames(bytes).get
+        (id, frames.toLong, audio, rate.toLong, durMs, meanBr, vbr)
+      }.toDF("doc_id", "n_frames", "audio_bytes", "sample_rate",
+          "duration_ms", "mean_br", "is_vbr")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS fr
+  FROM documents
+), per AS (
+  SELECT doc_id, fr,
+    ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+      CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 14
+           ELSE 1 + (doc_id + fr) % 14 END + 1] AS kbps,
+    ([44100, 48000, 32000])[doc_id % 3 + 1] AS sr,
+    fr % 2 AS pad
+  FROM f
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(sum(144000 * kbps // sr + pad) AS BIGINT) AS audio_bytes,
+  CAST(min(sr) AS BIGINT) AS sample_rate,
+  CAST(count(*) * 1152 * 1000 // min(sr) AS BIGINT) AS duration_ms,
+  CAST(sum(kbps) // count(*) AS BIGINT) AS mean_br,
+  min(kbps) <> max(kbps) AS is_vbr
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
-      q134, q124, q126, q127, q129, q149, q162)
+      q134, q124, q126, q127, q129, q149, q162, q170)
 }
