@@ -425,5 +425,85 @@ FROM n LEFT JOIN agg ON agg.batch_id = n.batch_id
 ORDER BY n.batch_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137, q156)
+  /** q171 — streaming keep-latest upsert sink
+    * ([[graft.streaming.UpsertSink]]): the q98 CDC compaction run
+    * ONLINE — the base corpus arrives as micro-batch 0, a delta batch
+    * (every 7th doc updated to a v2 text, every 13th arriving new) as
+    * micro-batch 1, and each batch MERGEs into an immutable versioned
+    * parquet snapshot (read snapshot N, keep-latest window, write
+    * snapshot N+1 — the lakehouse transaction-log pattern; a crashed
+    * batch leaves snapshot N intact and replays). The final snapshot
+    * must equal the one-shot batch CDC merge, which is exactly what
+    * the oracle computes. */
+  val q171 = QuerySpec("q171_stream_upsert",
+    (s, dir) => {
+      import java.nio.file.Files
+      val docs = graft.Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), lit(1L).as("version"),
+        col("text"))
+      val delta = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          concat(col("text"), lit(" v2")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            lit(2L).as("version"), col("text")))
+      val inDir = Files.createTempDirectory("graft_q171_in")
+      val tableDir = Files.createTempDirectory("graft_q171_table")
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_q171_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = scala.util.Using.resource(Files.list(tmp)) { st =>
+          st.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        }
+        val dest = inDir.resolve(f"part-$idx%04d.parquet")
+        Files.move(f, dest)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000L + idx * 60000L))
+      }
+      stage(base, 0)
+      stage(delta, 1)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      val finalSnap = graft.streaming.UpsertSink
+        .drainUpsert(s, stream, tableDir.toString)
+        .select(col("doc_id"), col("version"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+      val result = graft.CacheRegistry.trackCheckpoint(
+        finalSnap.localCheckpoint(true))
+      graft.streaming.StreamingResidue.deleteRecursively(inDir)
+      graft.streaming.StreamingResidue.deleteRecursively(tableDir)
+      result
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT doc_id, 1 AS version, text FROM documents
+), delta AS (
+  SELECT doc_id, 2 AS version, text || ' v2' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 500000, 2, text FROM documents WHERE doc_id % 13 = 0
+), m AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+), r AS (
+  SELECT doc_id, version, text,
+    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rk
+  FROM m
+)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM r WHERE rk = 1 ORDER BY doc_id
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137, q156, q171)
 }
