@@ -772,6 +772,166 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM cur GROUP BY source ORDER BY source
 """))
 
+  /** q172 — quality-score calibration deciles (the report that picks
+    * a filter threshold: "what does the 30th percentile actually look
+    * like?"): every document ranked by (quality in integer
+    * micro-units, doc_id) — an INTEGER total order, so no float tie
+    * can flap a decile boundary — via the q158 two-phase prefix rank
+    * over a lexicographic lpad key (fixed-width zero-padded numbers
+    * sort numerically), then decile = rank·10 div N. Per decile:
+    * count and exact min/max quality micro-units. No NTILE — a global
+    * NTILE is a single-partition window; the two-phase rank scales
+    * like a sort. The oracle replays the padding, the row_number, and
+    * the decile arithmetic.
+    */
+  val q172 = QuerySpec("q172_quality_deciles",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val qu = round(round(graft.functions.Text.qualityScore(col("text")), 6)
+        * 1e6, 0).cast("long")
+      val keyed = docs.select(col("doc_id"), qu.as("q_u"))
+        .withColumn("k", concat(lpad(col("q_u").cast("string"), 8, "0"),
+          lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
+        .withColumn("one", lit(1L))
+      val n = docs.count()
+      Packing.withCumulativeSum(keyed, "k", "one", 32)
+        .withColumn("decile", ((col("cum") - 1) * 10 / lit(n)).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("q_u").as("min_q_u"), max("q_u").as("max_q_u"))
+        .orderBy("decile")
+    },
+    Some(raw"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(round(round(${TextQueries.sqlQuality}, 6) * 1e6, 0) AS BIGINT) AS q_u
+  FROM documents
+), r AS (
+  SELECT q_u,
+    row_number() OVER (ORDER BY
+      lpad(CAST(q_u AS VARCHAR), 8, '0') || ':' ||
+      lpad(CAST(doc_id AS VARCHAR), 12, '0')) - 1 AS rk
+  FROM q
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(rk * 10 // n.n AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(q_u) AS BIGINT) AS min_q_u,
+  CAST(max(q_u) AS BIGINT) AS max_q_u
+FROM r, n GROUP BY rk * 10 // n.n ORDER BY decile
+"""))
+
+  /** q173 — polite crawl fetch scheduler: the frontier (one URL per
+    * document, host = doc_id % 50) is scheduled per host under a
+    * per-host politeness delay (2 + host % 3 seconds) and a per-host
+    * budget of 40 fetches — priority order is (rank desc, doc_id),
+    * rank being the q161-style prioritization signal (doc_id % 100
+    * here). Slot assignment is a per-HOST window (bounded by the
+    * host's frontier, never the corpus) → fetch_at = slot·delay;
+    * deferred = frontier beyond the budget. The per-host report gives
+    * the makespan the politeness constraint implies — the number a
+    * crawl planner actually needs. The oracle replays the priority
+    * window, the budget cut, and the makespan arithmetic.
+    */
+  val q173 = QuerySpec("q173_fetch_scheduler",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 40L
+      val docs = Tables(s, dir, "documents")
+      val frontier = docs.select(col("doc_id"),
+        (col("doc_id") % 50).as("host"),
+        (col("doc_id") % 100).as("priority"))
+      val byHost = Window.partitionBy("host")
+        .orderBy(desc("priority"), col("doc_id"))
+      frontier
+        .withColumn("slot", row_number().over(byHost) - 1)
+        .withColumn("delay_s", col("host") % 3 + 2)
+        .groupBy("host", "delay_s")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("slot") < budget, 1L).otherwise(0L)).as("scheduled"),
+          sum(when(col("slot") >= budget, 1L).otherwise(0L)).as("deferred"),
+          max(when(col("slot") < budget, col("slot") * (col("host") % 3 + 2)))
+            .as("makespan_s"),
+          min(when(col("slot") === 0, col("doc_id"))).as("first_fetch"))
+        .orderBy("host")
+    },
+    Some(raw"""
+WITH frontier AS (
+  SELECT doc_id, doc_id % 50 AS host, doc_id % 100 AS priority
+  FROM documents
+), slotted AS (
+  SELECT doc_id, host, host % 3 + 2 AS delay_s,
+    row_number() OVER (PARTITION BY host
+      ORDER BY priority DESC, doc_id) - 1 AS slot
+  FROM frontier
+)
+SELECT host, delay_s,
+  CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(*) FILTER (WHERE slot < 40) AS BIGINT) AS scheduled,
+  CAST(count(*) FILTER (WHERE slot >= 40) AS BIGINT) AS deferred,
+  CAST(max(CASE WHEN slot < 40 THEN slot * delay_s END) AS BIGINT)
+    AS makespan_s,
+  CAST(min(CASE WHEN slot = 0 THEN doc_id END) AS BIGINT) AS first_fetch
+FROM slotted GROUP BY host, delay_s ORDER BY host
+"""))
+
+  /** q174 — right-to-be-forgotten deletion audit: given a deletion
+    * list (every 37th document here), the tombstone plan over the
+    * immutable sharded corpus — which q138 shards are touched, how
+    * many documents each loses, and the shard's ids-fingerprint
+    * BEFORE and AFTER, where after = before ⊕ xor(deleted ids): the
+    * xor-fingerprint algebra means the post-deletion manifest is
+    * computable from the deletion list alone, no corpus rescan, and a
+    * later q155-style manifest diff localizes exactly the shards the
+    * deletion actually rewrote. The engine cross-checks the algebra
+    * by also computing the survivor fingerprint from scratch
+    * (`fp_consistent` — the q169 incremental-vs-scratch proof).
+    */
+  val q174 = QuerySpec("q174_deletion_audit",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nShards = 8
+      val fpCol = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15)," +
+        " 16, 10) as bigint)"
+      val withShard = docs.select(col("doc_id"),
+        (graft.operators.Sampling.hashBucket(col("doc_id"), "shard")
+          % nShards).cast("long").as("shard"),
+        (col("doc_id") % 37 === 0).as("deleted"),
+        expr(fpCol).as("h"))
+      withShard.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+          expr("bit_xor(h)").as("fp_before"),
+          expr("bit_xor(case when deleted then h else 0 end)").as("fp_del"),
+          expr("bit_xor(case when not deleted then h else 0 end)")
+            .as("fp_scratch"))
+        .select(col("shard"), col("n_docs"), col("n_deleted"),
+          col("fp_before"),
+          col("fp_before").bitwiseXOR(col("fp_del")).as("fp_after"),
+          (col("fp_before").bitwiseXOR(col("fp_del")) === col("fp_scratch"))
+            .as("fp_consistent"),
+          (col("n_deleted") > 0).as("rewrite_needed"))
+        .orderBy("shard")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id,
+    CAST((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'shard')), 1, 8))
+      AS BIGINT) % 1000000) % 8 AS BIGINT) AS shard,
+    doc_id % 37 = 0 AS deleted,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) AS h
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE deleted) AS BIGINT) AS n_deleted,
+  bit_xor(h) AS fp_before,
+  xor(bit_xor(h), bit_xor(CASE WHEN deleted THEN h ELSE 0 END)) AS fp_after,
+  TRUE AS fp_consistent,
+  count(*) FILTER (WHERE deleted) > 0 AS rewrite_needed
+FROM t GROUP BY shard ORDER BY shard
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169)
+    Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
+      q172, q173, q174)
 }

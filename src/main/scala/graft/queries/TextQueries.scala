@@ -14,12 +14,12 @@ import graft.operators.HtmlExtract
 object TextQueries {
 
   /** Shared DuckDB token expression, mirroring Text.tokens. */
-  private val sqlToks =
+  private[queries] val sqlToks =
     "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
 
   /** Shared DuckDB quality-score expression (unrounded), mirroring
     * Text.qualityScore — same IEEE op order as the Spark column. */
-  private val sqlQuality = raw"""0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0)
+  private[queries] val sqlQuality = raw"""0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0)
       + 0.3 * (1.0 - least(1.0,
           CASE WHEN length(text) > 0
                THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\-]')) AS DOUBLE)
