@@ -789,10 +789,14 @@ FROM cur GROUP BY source ORDER BY source
       val docs = Tables(s, dir, "documents")
       val qu = round(round(graft.functions.Text.qualityScore(col("text")), 6)
         * 1e6, 0).cast("long")
-      val keyed = docs.select(col("doc_id"), qu.as("q_u"))
-        .withColumn("k", concat(lpad(col("q_u").cast("string"), 8, "0"),
-          lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
-        .withColumn("one", lit(1L))
+      // materialization barrier: k derives from q_u, and CollapseProject
+      // would otherwise inline the HOF-heavy quality expression into BOTH
+      // columns (the q34/q106 lesson — measured 6.4 s -> ~2 s at sf0.1)
+      val keyed = graft.CacheRegistry.persistTracked(
+        docs.select(col("doc_id"), qu.as("q_u"))
+          .withColumn("k", concat(lpad(col("q_u").cast("string"), 8, "0"),
+            lit(":"), lpad(col("doc_id").cast("string"), 12, "0")))
+          .withColumn("one", lit(1L)))
       val n = docs.count()
       Packing.withCumulativeSum(keyed, "k", "one", 32)
         .withColumn("decile", ((col("cum") - 1) * 10 / lit(n)).cast("long"))
