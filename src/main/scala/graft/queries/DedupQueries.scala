@@ -1179,7 +1179,80 @@ FROM np JOIN nd ON np.threshold = nd.threshold
 ORDER BY np.threshold
 """))
 
+
+  /** q176 — dedup-cluster quality evaluation (B-cubed precision /
+    * recall): the measurement harness a curation team runs before
+    * trusting a near-dup pipeline — the system clustering (q31 minhash
+    * pairs at the 0.5 design floor → connected components; docs in no
+    * pair are singletons labeled by their own id) is scored against
+    * the EXACT-duplicate ground truth (md5(text) groups). B-cubed
+    * per-item precision = |C(i)∩T(i)|/|C(i)| and recall =
+    * |C(i)∩T(i)|/|T(i)| reduce to three group-size joins — per
+    * (cluster, truth) cell g, per cluster c, per truth t — with the
+    * per-item fractions summed as g·round(10⁶·g/c) integer
+    * micro-units, so the corpus-wide sums are partition-order-exact
+    * (the q144 recipe); only the final P/R/F1 ratios run in doubles,
+    * identically in both engines. The oracle replays the full pair
+    * chain, the recursive-CTE components, and the same cell algebra.
+    */
+  val q176 = QuerySpec("q176_dedup_bcubed",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", k = mhK, bands = mhBands,
+          shingleN = 3, threshold = 0.5))
+      val items = docs.select(col("doc_id"), md5(col("text")).as("truth"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("truth"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val cells = items.groupBy("cluster", "truth")
+        .agg(count(lit(1)).as("g"))
+      val csz = items.groupBy("cluster").agg(count(lit(1)).as("c"))
+      val tsz = items.groupBy("truth").agg(count(lit(1)).as("t"))
+      val scored = cells.join(csz, Seq("cluster")).join(tsz, Seq("truth"))
+        .agg(sum("g").as("n_items"),
+          sum(col("g") * round(col("g") * 1e6 / col("c"), 0).cast("long"))
+            .as("p_u"),
+          sum(col("g") * round(col("g") * 1e6 / col("t"), 0).cast("long"))
+            .as("r_u"))
+      scored.select(col("n_items"), col("p_u"), col("r_u"),
+          round(col("p_u") / (col("n_items") * 1e6), 6).as("precision"),
+          round(col("r_u") / (col("n_items") * 1e6), 6).as("recall"))
+    },
+    Some(raw"""
+WITH RECURSIVE $sqlPairCtes,
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+items AS (
+  SELECT d.doc_id, md5(d.text) AS truth,
+    coalesce(cc.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+cells AS (
+  SELECT cluster, truth, CAST(count(*) AS BIGINT) AS g
+  FROM items GROUP BY cluster, truth
+),
+csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY cluster),
+tsz AS (SELECT truth, CAST(count(*) AS BIGINT) AS t FROM items GROUP BY truth),
+agg AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n_items,
+    CAST(sum(g * CAST(round(g * 1e6 / c, 0) AS BIGINT)) AS BIGINT) AS p_u,
+    CAST(sum(g * CAST(round(g * 1e6 / t, 0) AS BIGINT)) AS BIGINT) AS r_u
+  FROM cells JOIN csz USING (cluster) JOIN tsz USING (truth)
+)
+SELECT n_items, p_u, r_u,
+  round(p_u / (n_items * 1e6), 6) AS precision,
+  round(r_u / (n_items * 1e6), 6) AS recall
+FROM agg
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108, q130, q140, q142, q146, q157)
+      q97, q100, q103, q104, q108, q130, q140, q142, q146, q157, q176)
 }

@@ -935,7 +935,52 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
 FROM t GROUP BY shard ORDER BY shard
 """))
 
+  /** q175 — robust length-outlier detection (median/MAD, the
+    * curation-stage filter that survives heavy tails where mean/stddev
+    * do not): per source, the exact median of n_chars (the engine's
+    * A1 exact-median aggregate, never approx) and the median absolute
+    * deviation, then |x − med| > 3·MAD flags outliers. Two
+    * aggregate passes + two broadcast joins of |sources|-row frames —
+    * the corpus scans twice and never shuffles by anything wider than
+    * `source`. All comparisons sit on exact .0/.5 interpolated-median
+    * doubles, identical in both engines (the q02 parity pin).
+    */
+  val q175 = QuerySpec("q175_length_outliers",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val med = docs.groupBy("source")
+        .agg(expr("median(n_chars)").as("med"))
+      val withDev = docs.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = withDev.groupBy("source")
+        .agg(expr("median(dev)").as("mad"))
+      withDev.join(broadcast(mad), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("med"), 1).as("med"),
+          round(min("mad"), 1).as("mad"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+), dev AS (
+  SELECT d.source, d.n_chars, abs(d.n_chars - m.med) AS dev, m.med
+  FROM documents d JOIN med m ON d.source = m.source
+), mad AS (
+  SELECT source, median(dev) AS mad FROM dev GROUP BY source
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  round(min(d.med), 1) AS med, round(min(a.mad), 1) AS mad,
+  CAST(count(*) FILTER (WHERE d.dev > a.mad * 3) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a ON d.source = a.source
+GROUP BY d.source ORDER BY d.source
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
-      q172, q173, q174)
+      q172, q173, q174, q175)
 }
