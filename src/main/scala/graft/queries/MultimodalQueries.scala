@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
-import graft.operators.{Audio, Bmp, Exif, Gif, Mp3, Multimodal}
+import graft.operators.{Audio, Bmp, Exif, Gif, Mp3, Multimodal, Tiff, Webp}
 
 /** Multimodal query inventory: binary payload + typed metadata through
   * mapPartitions batch workers — a REAL PNG/JPEG header decode (q38)
@@ -1433,7 +1433,55 @@ SELECT doc_id,
 FROM per GROUP BY doc_id ORDER BY doc_id
 """))
 
+  /** q177 — WebP + standalone TIFF header metadata
+    * ([[graft.operators.Webp]], [[graft.operators.Tiff]]): dimensions
+    * and feature flags recovered from the real bit layouts — WebP's
+    * three bitstream variants round-robin across documents (lossy
+    * key-frame 14-bit dims, lossless bit-packed minus-one dims +
+    * alpha bit 28, extended 24-bit canvas + alpha feature flag), and
+    * TIFF alternates byte order, SHORT/LONG dimension types, and
+    * inline-vs-external BitsPerSample. The oracle replays every
+    * generator formula; a parser that misreads one bit field breaks
+    * the compare. Completes the five-format crawl image-header tier
+    * (PNG/JPEG/GIF/BMP + WebP) plus archival TIFF. */
+  val q177 = QuerySpec("q177_webp_tiff_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      docs.select("doc_id").as[Long].map { id =>
+        val w = (16 + id % 300).toInt; val h = (16 + (id * 7) % 200).toInt
+        val webp = (id % 3) match {
+          case 0 => Webp.encodeLossy(w, h)
+          case 1 => Webp.encodeLossless(w, h, alpha = id % 2 == 0)
+          case _ => Webp.encodeExtended(w, h, alpha = id % 4 == 0)
+        }
+        val (variant, ww, wh, alpha) = Webp.parse(webp).get
+        val tiff = Tiff.encode(w, h, 8, (1 + id % 3).toInt,
+          littleEndian = id % 2 == 0, longDims = id % 5 == 0)
+        val (tw, th, bps, spp, le) = Tiff.parse(tiff).get
+        (id, variant, ww.toLong, wh.toLong, alpha,
+          tw.toLong, th.toLong, bps.toLong, spp.toLong, le)
+      }.toDF("doc_id", "variant", "w", "h", "alpha",
+          "tiff_w", "tiff_h", "tiff_bps", "tiff_spp", "tiff_le")
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+    ELSE 'extended' END AS variant,
+  CAST(16 + doc_id % 300 AS BIGINT) AS w,
+  CAST(16 + (doc_id * 7) % 200 AS BIGINT) AS h,
+  CASE doc_id % 3 WHEN 0 THEN FALSE
+    WHEN 1 THEN doc_id % 2 = 0 ELSE doc_id % 4 = 0 END AS alpha,
+  CAST(16 + doc_id % 300 AS BIGINT) AS tiff_w,
+  CAST(16 + (doc_id * 7) % 200 AS BIGINT) AS tiff_h,
+  CAST(8 AS BIGINT) AS tiff_bps,
+  CAST(1 + doc_id % 3 AS BIGINT) AS tiff_spp,
+  doc_id % 2 = 0 AS tiff_le
+FROM documents ORDER BY doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
-      q134, q124, q126, q127, q129, q149, q162, q170)
+      q134, q124, q126, q127, q129, q149, q162, q170, q177)
 }
