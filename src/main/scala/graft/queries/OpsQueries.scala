@@ -980,7 +980,103 @@ FROM dev d JOIN mad a ON d.source = a.source
 GROUP BY d.source ORDER BY d.source
 """))
 
+
+  /** q178 — modality alignment audit: the documents↔embeddings
+    * coverage report a multimodal corpus needs before any joint
+    * training run — which documents lack a vector (the embedding
+    * backlog), which vectors are orphaned (their document was culled
+    * upstream), and the aligned count, with coverage in exact integer
+    * ppm. One full-outer join on the id + one aggregate; at corpus
+    * scale both sides arrive bucketed by id and the join is
+    * exchange-free (BucketingSpec).
+    */
+  val q178 = QuerySpec("q178_modality_alignment",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val vecs = Tables(s, dir, "embeddings").select(col("vec_id"))
+      docs.join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+        .agg(
+          sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+          sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_vecs"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_aligned"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNull, 1L)
+            .otherwise(0L)).as("docs_without_vec"),
+          sum(when(col("doc_id").isNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("vecs_without_doc"))
+        .withColumn("coverage_ppm",
+          expr("(n_aligned * 1000000) div n_docs"))
+    },
+    Some(raw"""
+WITH j AS (
+  SELECT d.doc_id, v.vec_id
+  FROM documents d FULL OUTER JOIN embeddings v ON d.doc_id = v.vec_id
+)
+SELECT
+  CAST(count(doc_id) AS BIGINT) AS n_docs,
+  CAST(count(vec_id) AS BIGINT) AS n_vecs,
+  CAST(count(*) FILTER (WHERE doc_id IS NOT NULL AND vec_id IS NOT NULL)
+    AS BIGINT) AS n_aligned,
+  CAST(count(*) FILTER (WHERE doc_id IS NOT NULL AND vec_id IS NULL)
+    AS BIGINT) AS docs_without_vec,
+  CAST(count(*) FILTER (WHERE doc_id IS NULL AND vec_id IS NOT NULL)
+    AS BIGINT) AS vecs_without_doc,
+  CAST((count(*) FILTER (WHERE doc_id IS NOT NULL AND vec_id IS NOT NULL))
+    * 1000000 // count(doc_id) AS BIGINT) AS coverage_ppm
+FROM j
+"""))
+
+  /** q179 — epoch-order independence check: two q158 epoch
+    * permutations should be statistically unrelated, and the Spearman
+    * rank correlation ρ = 1 − 6·Σd² / (n(n²−1)) measures exactly
+    * that (ρ ≈ 0 for a healthy shuffle; ρ → 1 would mean the "new"
+    * epoch replays the old order — the bug this report exists to
+    * catch). Σd² accumulates as an exact long (max n³ ≈ 10¹⁵ at
+    * 100k docs — inside int64; shard-combine the sums beyond that);
+    * only the final ρ division runs in doubles, identically in both
+    * engines.
+    */
+  val q179 = QuerySpec("q179_epoch_independence",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      def epochPos(seed: String, out: String): DataFrame =
+        Packing.withCumulativeSum(
+            docs.withColumn("k",
+                md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+              .withColumn("one", lit(1L)),
+            "k", "one", 32)
+          .select(col("doc_id"), (col("cum") - 1).as(out))
+      epochPos("epoch1", "p1").join(epochPos("epoch2", "p2"), Seq("doc_id"))
+        .select(((col("p1") - col("p2")) * (col("p1") - col("p2"))).as("d2"))
+        .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))
+        .withColumn("rho", round(lit(1.0) -
+          col("sum_d2").cast("double") * 6.0 /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - 1.0)), 6))
+    },
+    Some(raw"""
+WITH e1 AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)))
+      - 1 AS p1
+  FROM documents
+), e2 AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY md5('epoch2:' || CAST(doc_id AS VARCHAR)))
+      - 1 AS p2
+  FROM documents
+), d AS (
+  SELECT (e1.p1 - e2.p2) * (e1.p1 - e2.p2) AS d2
+  FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d2) AS BIGINT) AS sum_d2,
+  round(1.0 - CAST(sum(d2) AS DOUBLE) * 6.0 /
+    (CAST(count(*) AS DOUBLE) *
+      (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)), 6) AS rho
+FROM d
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
-      q172, q173, q174, q175)
+      q172, q173, q174, q175, q178, q179)
 }
