@@ -1865,8 +1865,62 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM base GROUP BY lang ORDER BY lang
 """))
 
+  /** q180 — packed-sequence loss-mask span layout: the table an
+    * attention-masking kernel actually consumes — for every
+    * (sequence, document) incidence of the q87 packing, the
+    * document's token span CLIPPED to the sequence window
+    * ([span_start, span_end) in sequence-local offsets), plus flags
+    * for the two boundary cases a mask must treat specially (the doc
+    * continues from the previous sequence / into the next one). Same
+    * two-phase prefix sum as q87 — one range shuffle, one explode
+    * over each doc's overlapped windows, no per-sequence regroup
+    * needed because the span rows ARE the output. The oracle replays
+    * the prefix sum, the window overlap, and the clip arithmetic.
+    */
+  val q180 = QuerySpec("q180_loss_mask_spans",
+    (s, dir) => {
+      val cap = 512
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n"))
+      val cum = graft.operators.Packing.withCumulativeSum(
+          docs.where(col("n") > 0), "doc_id", "n", 32)
+        .withColumn("start", col("cum") - col("n"))
+      cum.select(col("doc_id"), col("start"), col("cum"),
+          explode(sequence(expr(s"start div $cap"),
+            expr(s"(cum - 1) div $cap"))).as("seq"))
+        .select(col("seq"), col("doc_id"),
+          (greatest(col("start"), col("seq") * cap) - col("seq") * cap)
+            .as("span_start"),
+          (least(col("cum"), (col("seq") + 1) * cap) - col("seq") * cap)
+            .as("span_end"),
+          (col("start") < col("seq") * cap).as("continues_prev"),
+          (col("cum") > (col("seq") + 1) * cap).as("continues_next"))
+        .orderBy("seq", "span_start", "doc_id")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+    sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t WHERE n > 0
+), w AS (
+  SELECT doc_id, cum - n AS start, cum,
+    unnest(range(CAST((cum - n) // 512 AS BIGINT),
+      CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq
+  FROM c
+)
+SELECT seq, doc_id,
+  CAST(greatest(start, seq * 512) - seq * 512 AS BIGINT) AS span_start,
+  CAST(least(cum, (seq + 1) * 512) - seq * 512 AS BIGINT) AS span_end,
+  start < seq * 512 AS continues_prev,
+  cum > (seq + 1) * 512 AS continues_next
+FROM w ORDER BY seq, span_start, doc_id
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153, q154)
+      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153, q154, q180)
 }
