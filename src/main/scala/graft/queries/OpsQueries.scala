@@ -1076,7 +1076,137 @@ SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d2) AS BIGINT) AS sum_d2,
 FROM d
 """))
 
+
+  /** q181 — GROUPING SETS multi-granularity report: per-(source,lang),
+    * per-source, per-lang, and grand-total doc/token counts in ONE
+    * aggregation pass (Spark plans a single Expand + one exchange —
+    * vs four separate scans+aggregates for the same report; q51/q68
+    * cover the rollup/cube specializations, this is the explicit
+    * mixed-granularity form a reporting layer actually emits).
+    * grouping() flags disambiguate "aggregated over" from a literal
+    * value in both engines.
+    */
+  val q181 = QuerySpec("q181_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("g_docs")
+      s.sql("""
+        SELECT source, lang,
+          CAST(grouping(source) AS INT) AS g_source,
+          CAST(grouping(lang) AS INT) AS g_lang,
+          count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM g_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        ORDER BY g_source, g_lang, source, lang
+      """)
+    },
+    Some(raw"""
+SELECT source, lang,
+  CAST(grouping(source) AS INT) AS g_source,
+  CAST(grouping(lang) AS INT) AS g_lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+ORDER BY g_source, g_lang, source, lang
+"""))
+
+  /** q182 — event funnel (view → click → purchase, strictly ordered
+    * in time per user): each stage's entry time is the user's
+    * earliest qualifying event AFTER the previous stage — three
+    * per-user conditional-min aggregates chained by broadcast joins
+    * of the (tiny) per-user stage frames onto the event stream; the
+    * events table scans once per stage and shuffles only by user_id.
+    * Output is the funnel report: stage populations and exact-ppm
+    * conversion. The oracle replays the same chained minimums.
+    */
+  val q182 = QuerySpec("q182_event_funnel",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(broadcast(s1), Seq("user_id"))
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(broadcast(s2), Seq("user_id"))
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val nAll = ev.select("user_id").distinct().count()
+      val n1 = s1.count(); val n2 = s2.count(); val n3 = s3.count()
+      import s.implicits._
+      Seq((nAll, n1, n2, n3,
+          if (n1 == 0) 0L else n2 * 1000000L / n1,
+          if (n2 == 0) 0L else n3 * 1000000L / n2))
+        .toDF("n_users", "n_view", "n_view_click", "n_full_funnel",
+          "click_ppm", "purchase_ppm")
+    },
+    Some(raw"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT
+  CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+  CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_full_funnel,
+  CAST(CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0
+    ELSE (SELECT count(*) FROM s2) * 1000000 // (SELECT count(*) FROM s1)
+    END AS BIGINT) AS click_ppm,
+  CAST(CASE WHEN (SELECT count(*) FROM s2) = 0 THEN 0
+    ELSE (SELECT count(*) FROM s3) * 1000000 // (SELECT count(*) FROM s2)
+    END AS BIGINT) AS purchase_ppm
+"""))
+
+  /** q183 — retention cohort analysis: users cohorted by first-seen
+    * day, activity counted at day offsets from the cohort — the
+    * triangle every growth dashboard draws. Distinct (user, offset)
+    * membership via the two-step distinct-then-count (no countDistinct
+    * Expand); the cohort frame is per-user tiny and broadcasts onto
+    * the event stream. Day arithmetic is date_trunc + integer
+    * day-diff, identical in both engines.
+    */
+  val q183 = QuerySpec("q183_retention_cohorts",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(broadcast(cohort), Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+), m AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+    CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset
+  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
-      q172, q173, q174, q175, q178, q179)
+      q172, q173, q174, q175, q178, q179, q181, q182, q183)
 }
