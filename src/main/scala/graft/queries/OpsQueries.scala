@@ -1206,7 +1206,121 @@ SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
 FROM m GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
 """))
 
+
+  /** q184 — hopping (sliding) window aggregation: 1-hour windows
+    * every 15 minutes over the event stream — each event lands in 4
+    * overlapping windows (Spark's `window(ts, '1 hour', '15
+    * minutes')`, the shape q14's tumbling windows cannot express and
+    * the one real dashboards smooth with). The oracle regenerates the
+    * same window set arithmetically: 15-minute bucket minus k·15min
+    * for k = 0..3. Per (window_start, event_type): count + decimal
+    * -exact value sum (the q14 recipe).
+    */
+  val q184 = QuerySpec("q184_hopping_window",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(28,10)")), 2)
+            .cast("double").as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    },
+    Some(raw"""
+WITH hop AS (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '15 minutes', ts)
+      - k.k * INTERVAL '15 minutes' AS win_start
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+    AS total_value
+FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
+"""))
+
+  /** q185 — exponential time-decay weighted activity (half-life 7
+    * days): the recency-weighted per-type event mass a ranking or
+    * monitoring layer prefers over raw counts. The decay weights are
+    * a PINNED integer table — round(10⁶·0.5^(age/7)) for ages 0..30,
+    * hard-coded identically in both engines — because computing pow()
+    * live in two libm implementations risks a last-ulp disagreement
+    * (the q129 fixed-point-cosine lesson applied to time decay).
+    * decayed_u = Σ per-age-count · weight is then an exact long.
+    */
+  val q185 = QuerySpec("q185_time_decay",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+      val maxDay = ev.agg(max("day").as("max_day"))
+      ev.crossJoin(broadcast(maxDay))
+        .select(col("event_type"),
+          datediff(col("max_day"), col("day")).cast("long").as("age"))
+        .withColumn("w", expr("CASE age WHEN 0 THEN 1000000L WHEN 1 THEN 905724L WHEN 2 THEN 820335L WHEN 3 THEN 742997L WHEN 4 THEN 672950L WHEN 5 THEN 609507L WHEN 6 THEN 552045L WHEN 7 THEN 500000L WHEN 8 THEN 452862L WHEN 9 THEN 410168L WHEN 10 THEN 371499L WHEN 11 THEN 336475L WHEN 12 THEN 304753L WHEN 13 THEN 276022L WHEN 14 THEN 250000L WHEN 15 THEN 226431L WHEN 16 THEN 205084L WHEN 17 THEN 185749L WHEN 18 THEN 168238L WHEN 19 THEN 152377L WHEN 20 THEN 138011L WHEN 21 THEN 125000L WHEN 22 THEN 113215L WHEN 23 THEN 102542L WHEN 24 THEN 92875L WHEN 25 THEN 84119L WHEN 26 THEN 76188L WHEN 27 THEN 69006L WHEN 28 THEN 62500L WHEN 29 THEN 56608L WHEN 30 THEN 51271L ELSE 0L END"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("w").as("decayed_u"),
+          max("age").as("max_age"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_type,
+    date_diff('day', CAST(ts AS DATE),
+      (SELECT max(CAST(ts AS DATE)) FROM events)) AS age
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE age WHEN 0 THEN 1000000 WHEN 1 THEN 905724 WHEN 2 THEN 820335 WHEN 3 THEN 742997 WHEN 4 THEN 672950 WHEN 5 THEN 609507 WHEN 6 THEN 552045 WHEN 7 THEN 500000 WHEN 8 THEN 452862 WHEN 9 THEN 410168 WHEN 10 THEN 371499 WHEN 11 THEN 336475 WHEN 12 THEN 304753 WHEN 13 THEN 276022 WHEN 14 THEN 250000 WHEN 15 THEN 226431 WHEN 16 THEN 205084 WHEN 17 THEN 185749 WHEN 18 THEN 168238 WHEN 19 THEN 152377 WHEN 20 THEN 138011 WHEN 21 THEN 125000 WHEN 22 THEN 113215 WHEN 23 THEN 102542 WHEN 24 THEN 92875 WHEN 25 THEN 84119 WHEN 26 THEN 76188 WHEN 27 THEN 69006 WHEN 28 THEN 62500 WHEN 29 THEN 56608 WHEN 30 THEN 51271 ELSE 0 END) AS BIGINT) AS decayed_u,
+  CAST(max(age) AS BIGINT) AS max_age
+FROM ev GROUP BY event_type ORDER BY event_type
+"""))
+
+  /** q186 — event path mining: the most common 3-step user journeys
+    * (consecutive event triples in per-user time order, ties broken
+    * by event_id so the sequence is a total order). One per-user
+    * window (bounded by a user's event count) forms the triples with
+    * two lead()s; the global top-15 paths rank by (count desc, path)
+    * — deterministic. The product-analytics "what do users do before
+    * purchase" query.
+    */
+  val q186 = QuerySpec("q186_event_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+      ev.withColumn("e2", lead("event_type", 1).over(byUser))
+        .withColumn("e3", lead("event_type", 2).over(byUser))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(15)
+    },
+    Some(raw"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+  CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 15
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
-      q172, q173, q174, q175, q178, q179, q181, q182, q183)
+      q172, q173, q174, q175, q178, q179, q181, q182, q183, q184, q185,
+      q186)
 }
