@@ -1319,8 +1319,170 @@ FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY path ORDER BY n DESC, path LIMIT 15
 """))
 
+
+  /** q187 — token-balanced worker sharding (the data-parallel
+    * training assignment: every worker should chew the same token
+    * mass, not the same doc count): docs ranked by (tokens desc, id)
+    * through the two-phase prefix rank, worker = rank mod W — the
+    * round-robin-by-size heuristic (LPT family: consecutive giants
+    * land on different workers). The report gives per-worker doc/token
+    * mass and imbalance vs the ideal in exact ppm; the oracle replays
+    * the rank and the modulo.
+    */
+  val q187 = QuerySpec("q187_worker_balance",
+    (s, dir) => {
+      val workers = 8L
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Text.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      val keyed = graft.CacheRegistry.persistTracked(
+        docs.withColumn("k",
+            concat(lpad((lit(100000000L) - col("n_tokens")).cast("string"),
+              10, "0"), lit(":"),
+              lpad(col("doc_id").cast("string"), 12, "0")))
+          .withColumn("one", lit(1L)))
+      val ranked = Packing.withCumulativeSum(keyed, "k", "one", 32)
+        .withColumn("worker", (col("cum") - 1) % workers)
+      val perWorker = ranked.groupBy("worker")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      val total = perWorker.agg(sum("n_tokens").as("t"))
+      perWorker.crossJoin(broadcast(total))
+        .select(col("worker"), col("n_docs"), col("n_tokens"),
+          expr(s"(n_tokens * 1000000 * $workers) div t - 1000000")
+            .as("imbalance_ppm"))
+        .orderBy("worker")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT doc_id, CAST(len(${TextQueries.sqlToks}) AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+    (row_number() OVER (ORDER BY
+      lpad(CAST(100000000 - n_tokens AS VARCHAR), 10, '0') || ':' ||
+      lpad(CAST(doc_id AS VARCHAR), 12, '0')) - 1) % 8 AS worker
+  FROM t
+), pw AS (
+  SELECT worker, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM r GROUP BY worker
+)
+SELECT worker, n_docs, n_tokens,
+  CAST((n_tokens * 1000000 * 8) // (SELECT sum(n_tokens) FROM pw)
+    - 1000000 AS BIGINT) AS imbalance_ppm
+FROM pw ORDER BY worker
+"""))
+
+  /** q188 — equi-width numeric histogram with explicit under/overflow
+    * bins (the profiling pass that sizes partition bounds and spots
+    * outliers before a range shuffle): o_totalprice binned at width
+    * 25000 over [0, 500000); bin indices are integer floor division,
+    * so boundaries can never flap; the two open tails get their own
+    * labeled bins. One aggregate, bins ordered by index.
+    */
+  val q188 = QuerySpec("q188_numeric_histogram",
+    (s, dir) => {
+      val width = 25000L
+      val lo = 0L; val hi = 500000L
+      val orders = Tables(s, dir, "orders")
+      orders.select(
+          when(col("o_totalprice") < lo, lit(-1L))
+            .when(col("o_totalprice") >= hi, lit((hi - lo) / width))
+            .otherwise(floor((col("o_totalprice") - lo) / width)
+              .cast("long")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .withColumn("label",
+          when(col("bin") === -1L, lit("underflow"))
+            .when(col("bin") === (hi - lo) / width, lit("overflow"))
+            .otherwise(concat((col("bin") * width).cast("string"),
+              lit(".."), ((col("bin") + 1) * width).cast("string"))))
+        .orderBy("bin")
+    },
+    Some(raw"""
+WITH b AS (
+  SELECT CASE WHEN o_totalprice < 0 THEN -1
+    WHEN o_totalprice >= 500000 THEN 20
+    ELSE CAST(floor((o_totalprice - 0) / 25000) AS BIGINT) END AS bin
+  FROM orders
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+  CASE WHEN bin = -1 THEN 'underflow' WHEN bin = 20 THEN 'overflow'
+    ELSE CAST(bin * 25000 AS VARCHAR) || '..' ||
+      CAST((bin + 1) * 25000 AS VARCHAR) END AS label
+FROM b GROUP BY bin ORDER BY bin
+"""))
+
+  /** q189 — table profile (the per-column census a catalog publishes):
+    * for each profiled lineitem column — rows, nulls, exact distinct
+    * count, integer-exact min/max (doubles ×100 to cents so the
+    * extremes are longs). One aggregate per column (each countDistinct
+    * kept ALONE in its aggregate — the q62 Expand lesson), unioned
+    * into the report; at a real lake each column's pass shares one
+    * scan via column pruning.
+    */
+  val q189 = QuerySpec("q189_table_profile",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def prof(cname: String, valueExpr: org.apache.spark.sql.Column)
+          : DataFrame = {
+        val base = li.select(valueExpr.as("v"))
+        val counts = base.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        val ndv = base.agg(countDistinct(col("v")).as("ndv"))
+        counts.crossJoin(ndv)
+          .select(lit(cname).as("column_name"), col("n_rows"),
+            col("n_nulls"), col("ndv"), col("min_v"), col("max_v"))
+      }
+      prof("l_orderkey", col("l_orderkey").cast("long"))
+        .unionByName(prof("l_partkey", col("l_partkey").cast("long")))
+        .unionByName(prof("l_suppkey", col("l_suppkey").cast("long")))
+        .unionByName(prof("l_quantity",
+          round(col("l_quantity") * 100, 0).cast("long")))
+        .unionByName(prof("l_extendedprice",
+          round(col("l_extendedprice") * 100, 0).cast("long")))
+        .orderBy("column_name")
+    },
+    Some(raw"""
+WITH p AS (
+  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+    count(*) FILTER (WHERE l_orderkey IS NULL) AS n_nulls,
+    count(DISTINCT l_orderkey) AS ndv,
+    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', count(*),
+    count(*) FILTER (WHERE l_partkey IS NULL),
+    count(DISTINCT l_partkey), min(l_partkey), max(l_partkey)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', count(*),
+    count(*) FILTER (WHERE l_suppkey IS NULL),
+    count(DISTINCT l_suppkey), min(l_suppkey), max(l_suppkey)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', count(*),
+    count(*) FILTER (WHERE l_quantity IS NULL),
+    count(DISTINCT CAST(round(l_quantity * 100, 0) AS BIGINT)),
+    min(CAST(round(l_quantity * 100, 0) AS BIGINT)),
+    max(CAST(round(l_quantity * 100, 0) AS BIGINT))
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*),
+    count(*) FILTER (WHERE l_extendedprice IS NULL),
+    count(DISTINCT CAST(round(l_extendedprice * 100, 0) AS BIGINT)),
+    min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)),
+    max(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+  FROM lineitem
+)
+SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv,
+  CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v
+FROM p ORDER BY column_name
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
       q172, q173, q174, q175, q178, q179, q181, q182, q183, q184, q185,
-      q186)
+      q186, q187, q188, q189)
 }
