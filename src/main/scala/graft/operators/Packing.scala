@@ -29,7 +29,17 @@ object Packing {
   def withCumulativeSum(df: DataFrame, idCol: String, nCol: String,
       partitions: Int): DataFrame = {
     val spark = df.sparkSession
-    val parted = df.repartitionByRange(partitions, col(idCol))
+    // The input is consumed THREE times (the range partitioner's
+    // boundary-sampling pass, the partitioned map pass, and the totals
+    // aggregate), and a computed/filtered child under a rangepartitioning
+    // exchange can degrade far past 3x: measured 45 s vs 2 s at 500k rows
+    // when the child was a regex tokenize + n>0 filter (the q34/q106
+    // materialization lesson surfacing INSIDE the exchange). Persist the
+    // input once — callers pass narrow (id, n) frames, so the cache is
+    // bytes-per-row small; released by the CacheRegistry owner
+    // (Verify/Bench) after the query completes.
+    val src = graft.CacheRegistry.persistTracked(df)
+    val parted = src.repartitionByRange(partitions, col(idCol))
       .sortWithinPartitions(idCol)
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__local_cum",
