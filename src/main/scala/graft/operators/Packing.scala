@@ -22,41 +22,89 @@ import org.apache.spark.sql.expressions.Window
   */
 object Packing {
 
-  /** Exact global cumulative sum of `nCol` in `idCol` order, without
-    * a single-partition window: range-partition by id, local window
-    * per partition, then add each partition's driver-prefixed offset
-    * via a broadcast join. */
+  /** Exact global cumulative sum of `nCol` (read as an integral) in
+    * `idCol` order, without a single-partition window. Appends a
+    * `cum` LONG column (running total INCLUSIVE of the row).
+    *
+    * Implementation is a two-phase prefix sum over an RDD
+    * `sortByKey`, chosen very deliberately over the DataFrame
+    * `repartitionByRange` form it replaces:
+    *
+    *  - CORRECTNESS: the per-partition offsets are computed in one
+    *    job and applied in another, so both jobs MUST see the same
+    *    partition boundaries. A Dataset rangepartitioning exchange
+    *    RE-SAMPLES its boundaries on every action (the sampling seed
+    *    derives from the per-execution RDD id) — boundary-adjacent
+    *    rows can land in different partitions across the two jobs and
+    *    the offsets silently corrupt the ranks. Latent until a caller
+    *    outgrew the regime where every run coalesced identically:
+    *    first surfaced at 15k rows (q192's quartiles off by small
+    *    shifts near each boundary; every smaller caller had been
+    *    oracle-exact). `sortByKey` constructs its RangePartitioner
+    *    ONCE, eagerly, at transformation time, and every job over the
+    *    sorted RDD reuses the SAME shuffle files (DAGScheduler stage
+    *    reuse) — one set of boundaries, by construction.
+    *  - PERFORMANCE: stage reuse also means the (possibly expensive —
+    *    regex tokenize class) input projection runs once for the
+    *    partitioner sample and once for the shuffle map, never per
+    *    consuming job: the Dataset form re-derived it per action and
+    *    measured 125 s vs 7 s at 500k rows (q180, sf10).
+    *
+    * Key ordering: integral keys sort numerically; string keys sort
+    * by UTF-8 bytes (unsigned lexicographic — exactly SQL/DuckDB
+    * binary collation, NOT Java String UTF-16 order, which diverges
+    * on supplementary characters). Ties across rows are
+    * caller-ambiguous — callers pass unique keys.
+    */
   def withCumulativeSum(df: DataFrame, idCol: String, nCol: String,
       partitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, IntegerType}
     val spark = df.sparkSession
-    // The input is consumed THREE times (the range partitioner's
-    // boundary-sampling pass, the partitioned map pass, and the totals
-    // aggregate), and a computed/filtered child under a rangepartitioning
-    // exchange can degrade far past 3x: measured 45 s vs 2 s at 500k rows
-    // when the child was a regex tokenize + n>0 filter (the q34/q106
-    // materialization lesson surfacing INSIDE the exchange). Persist the
-    // input once — callers pass narrow (id, n) frames, so the cache is
-    // bytes-per-row small; released by the CacheRegistry owner
-    // (Verify/Bench) after the query completes.
-    val src = graft.CacheRegistry.persistTracked(df)
-    val parted = src.repartitionByRange(partitions, col(idCol))
-      .sortWithinPartitions(idCol)
-      .withColumn("__pid", spark_partition_id())
-    val local = parted.withColumn("__local_cum",
-      sum(col(nCol)).over(
-        Window.partitionBy("__pid").orderBy(idCol)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // driver-side prefix over ≤ `partitions` rows
-    val totals = local.groupBy("__pid").agg(sum(col(nCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
-    }.dropRight(1).zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    local.join(broadcast(offDf), Seq("__pid"), "left")
-      .withColumn("cum", col("__local_cum") + coalesce(col("__off"), lit(0L)))
-      .drop("__pid", "__local_cum", "__off")
+    val schema = df.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val nIdx = schema.fieldIndex(nCol)
+    val sorted = schema(idIdx).dataType match {
+      case StringType =>
+        implicit val byteOrd: Ordering[Array[Byte]] = (a, b) => {
+          var i = 0
+          var res = 0
+          val len = math.min(a.length, b.length)
+          while (res == 0 && i < len) {
+            res = (a(i) & 0xff) - (b(i) & 0xff)
+            i += 1
+          }
+          if (res != 0) res else Integer.compare(a.length, b.length)
+        }
+        df.rdd.map(r => (r.getString(idIdx)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8), r))
+          .sortByKey(ascending = true, numPartitions = partitions)
+      case LongType | IntegerType =>
+        df.rdd.map(r => (r.getAs[Number](idIdx).longValue(), r))
+          .sortByKey(ascending = true, numPartitions = partitions)
+      case dt =>
+        throw new IllegalArgumentException(s"unsupported key type $dt")
+    }
+    // phase 1: per-partition totals (one tiny row per partition)
+    val partSums = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = 0L
+      it.foreach { case (_, r) => acc += r.getAs[Number](nIdx).longValue() }
+      Iterator((i, acc))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, t) => offsets(i + 1) = t }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    // phase 2: in-partition running sum + the partition's offset;
+    // the shuffle files from phase 1 are REUSED (skipped stages)
+    val outRows = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (_, r) =>
+        acc += r.getAs[Number](nIdx).longValue()
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(outRows, schema.add("cum", LongType))
   }
 
   /** Pack rows into `capacity`-token sequences. Returns one row per

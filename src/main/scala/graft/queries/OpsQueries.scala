@@ -1481,8 +1481,183 @@ SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
 FROM p ORDER BY column_name
 """))
 
+
+  /** q191 — triangle census over the link graph (the cohesion metric
+    * a crawl-graph or social analysis reports beside q161's rank):
+    * canonical a<b<c edge enumeration — two self-joins of the
+    * deduplicated undirected edge list — counts each triangle once;
+    * per-node participation unions the three corners and aggregates.
+    * At web scale the same join runs degree-ORIENTED (each edge
+    * directed low→high degree, bounding join fan-out by arboricity —
+    * the standard trick); id order stands in for it here and keeps
+    * the oracle replay one line. Output: the 20 most triangle-dense
+    * nodes with degree and an exact-micro clustering coefficient
+    * (2·tri·10⁶ div (deg·(deg−1))).
+    */
+  val q191 = QuerySpec("q191_triangle_census",
+    (s, dir) => {
+      val n = 200L
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      // ring + chord edges guarantee (x, x+1, x+2) closures; the two
+      // hash generators add irregular chords on top
+      val raw = docs.select((col("doc_id") % n).as("x"),
+          ((col("doc_id") + 1) % n).as("y"))
+        .unionByName(docs.select((col("doc_id") % n).as("x"),
+          ((col("doc_id") + 2) % n).as("y")))
+        .unionByName(docs.select((col("doc_id") % n).as("x"),
+          ((col("doc_id") * 7 + 13) % n).as("y")))
+        .unionByName(docs.select((col("doc_id") % n).as("x"),
+          ((col("doc_id") * 3 + 41) % n).as("y")))
+        .where(col("x") =!= col("y"))
+      val edges = graft.CacheRegistry.persistTracked(
+        raw.select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct())
+      val e1 = edges.as("e1"); val e2 = edges.as("e2"); val e3 = edges.as("e3")
+      val tris = e1.join(e2, col("e1.b") === col("e2.a"))
+        .join(e3, col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("u"), col("e1.b").as("v"),
+          col("e2.b").as("w"))
+      val triCached = graft.CacheRegistry.persistTracked(tris)
+      val perNode = triCached.select(col("u").as("node"))
+        .unionByName(triCached.select(col("v").as("node")))
+        .unionByName(triCached.select(col("w").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      val deg = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      import org.apache.spark.sql.expressions.Window
+      perNode.join(deg, Seq("node"))
+        .withColumn("cc_u",
+          expr("(triangles * 2 * 1000000) div (degree * (degree - 1))"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("triangles"), col("node"))))
+        .where(col("rank") <= 20)
+        .select("rank", "node", "triangles", "degree", "cc_u")
+        .orderBy("rank")
+    },
+    Some(raw"""
+WITH raw AS (
+  SELECT doc_id % 200 AS x, (doc_id + 1) % 200 AS y FROM documents
+  UNION ALL
+  SELECT doc_id % 200, (doc_id + 2) % 200 FROM documents
+  UNION ALL
+  SELECT doc_id % 200, (doc_id * 7 + 13) % 200 FROM documents
+  UNION ALL
+  SELECT doc_id % 200, (doc_id * 3 + 41) % 200 FROM documents
+), edges AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM raw WHERE x <> y
+), tris AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b
+), pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT u AS node FROM tris
+    UNION ALL SELECT v FROM tris
+    UNION ALL SELECT w FROM tris)
+  GROUP BY node
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY node
+), ranked AS (
+  SELECT p.node, p.triangles, d.degree,
+    (p.triangles * 2 * 1000000) // (d.degree * (d.degree - 1)) AS cc_u,
+    row_number() OVER (ORDER BY p.triangles DESC, p.node) AS rank
+  FROM pernode p JOIN deg d ON p.node = d.node
+)
+SELECT CAST(rank AS INT) AS rank, node, triangles, degree,
+  CAST(cc_u AS BIGINT) AS cc_u
+FROM ranked WHERE rank <= 20 ORDER BY rank
+"""))
+
+  /** q192 — RFM customer segmentation (recency / frequency /
+    * monetary): the classic BI scoring, made engine-deterministic —
+    * each dimension is quartiled by the q172 integer-total-order
+    * rule (metric + customer id through a zero-padded lexicographic
+    * rank, quartile = rank·4 div N) instead of NTILE's
+    * single-partition window; the three digits concatenate into the
+    * 111..444 segment code. Output: per-segment customer counts and
+    * aggregate monetary mass (cents-exact).
+    */
+  val q192 = QuerySpec("q192_rfm_segments",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val per = graft.CacheRegistry.persistTracked(
+        orders.groupBy("o_custkey").agg(
+          max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents")))
+      val n = per.count()
+      def quartile(metric: org.apache.spark.sql.Column, asc: Boolean,
+          out: String): DataFrame = {
+        val m = if (asc) metric else lit(10000000000L) - metric
+        val keyed = per.select(col("o_custkey"),
+            concat(lpad(m.cast("string"), 12, "0"), lit(":"),
+              lpad(col("o_custkey").cast("string"), 12, "0")).as("k"))
+          .withColumn("one", lit(1L))
+        Packing.withCumulativeSum(keyed, "k", "one", 32)
+          .select(col("o_custkey"),
+            (((col("cum") - 1) * 4 / lit(n)).cast("long") + 1).as(out))
+      }
+      // recency: more recent = better (datediff from epoch, desc)
+      val r = quartile(datediff(col("last_day"), lit("1970-01-01")), asc = false, "r")
+      val f = quartile(col("freq"), asc = false, "f")
+      val mq = quartile(col("cents"), asc = false, "m")
+      per.join(r, Seq("o_custkey")).join(f, Seq("o_custkey"))
+        .join(mq, Seq("o_custkey"))
+        .withColumn("segment", concat(col("r"), col("f"), col("m")))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+        .orderBy("segment")
+    },
+    Some(raw"""
+WITH per AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+    CAST(count(*) AS BIGINT) AS freq,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), n AS (SELECT count(*) AS n FROM per),
+r AS (
+  SELECT o_custkey,
+    (row_number() OVER (ORDER BY
+      lpad(CAST(10000000000 - date_diff('day', DATE '1970-01-01', last_day)
+        AS VARCHAR), 12, '0') || ':' ||
+      lpad(CAST(o_custkey AS VARCHAR), 12, '0')) - 1) * 4
+      // (SELECT n FROM n) + 1 AS r
+  FROM per
+), f AS (
+  SELECT o_custkey,
+    (row_number() OVER (ORDER BY
+      lpad(CAST(10000000000 - freq AS VARCHAR), 12, '0') || ':' ||
+      lpad(CAST(o_custkey AS VARCHAR), 12, '0')) - 1) * 4
+      // (SELECT n FROM n) + 1 AS f
+  FROM per
+), m AS (
+  SELECT o_custkey,
+    (row_number() OVER (ORDER BY
+      lpad(CAST(10000000000 - cents AS VARCHAR), 12, '0') || ':' ||
+      lpad(CAST(o_custkey AS VARCHAR), 12, '0')) - 1) * 4
+      // (SELECT n FROM n) + 1 AS m
+  FROM per
+)
+SELECT CAST(r.r AS VARCHAR) || CAST(f.f AS VARCHAR) || CAST(m.m AS VARCHAR)
+    AS segment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(per.cents) AS BIGINT) AS cents
+FROM per
+JOIN r ON per.o_custkey = r.o_custkey
+JOIN f ON per.o_custkey = f.o_custkey
+JOIN m ON per.o_custkey = m.o_custkey
+GROUP BY segment ORDER BY segment
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
       q172, q173, q174, q175, q178, q179, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189)
+      q186, q187, q188, q189, q191, q192)
 }

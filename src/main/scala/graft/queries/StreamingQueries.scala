@@ -505,5 +505,32 @@ SELECT doc_id, CAST(version AS BIGINT) AS version,
 FROM r WHERE rk = 1 ORDER BY doc_id
 """))
 
-  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137, q156, q171)
+  /** q190 — streaming hopping-window aggregation == batch q184: the
+    * overlapping 1 h/15 min windows run through the watermarked
+    * streaming state store (each event updates four window states)
+    * and drained AvailableNow must reproduce the batch hopping
+    * aggregate count for count — the overlap multiplies state, never
+    * results. */
+  val q190 = QuerySpec("q190_stream_hopping",
+    (s, dir) => StreamingOps.hoppingEventStats(s, dir)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_start", "event_type"),
+    Some(raw"""
+WITH hop AS (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '15 minutes', ts)
+      - k.k * INTERVAL '15 minutes' AS win_start
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+    AS total_value
+FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137, q156, q171, q190)
 }

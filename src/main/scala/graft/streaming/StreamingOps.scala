@@ -64,6 +64,30 @@ object StreamingOps {
         schemaProbePath = Some(s"$dir/events.parquet"))),
       "stream_hourly")
 
+  /** Streaming HOPPING-window aggregation (1-hour windows every 15
+    * minutes — q184's overlapping-window shape run online): identical
+    * watermarked state machinery to [[hourlyAgg]], but every event
+    * updates FOUR window states. Drained AvailableNow and compared to
+    * the batch hopping aggregate — overlap must not change a single
+    * count. */
+  def hoppingEventStats(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val agg = eventsStream(spark, s"$dir/{events.parquet}",
+          schemaProbePath = Some(s"$dir/events.parquet"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(28,10)")), 2)
+            .cast("double").as("total_value"))
+      drainToBatch(spark, agg, "stream_hopping")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+  }
+
   /** Streaming reader over an events path (file or partitioned
     * directory). `maxFilesPerTrigger` is the backlog-draining rate
     * limit: a cron'd AvailableNow catch-up over a deep directory
