@@ -52,4 +52,27 @@ class PackingSpec extends SparkSpec {
       "only the final window may be partial")
     assert(fills.sum == docs.agg(sum("n")).head().getLong(0))
   }
+
+  test("rank consistency at boundary-sensitive scale (the q192 regression)") {
+    // 30k rows with string keys: the Dataset rangepartitioning form
+    // re-sampled its boundaries per job at this size and shifted ranks
+    // near every partition boundary (metrics identical, ranks off —
+    // the q192 RFM quartile bug). The sortByKey core must produce the
+    // exact row_number ranks at any size and any partition count.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 30000
+    val df = s.range(n.toLong).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("k"))
+      .withColumn("one", lit(1L))
+    for (parts <- Seq(7, 32)) {
+      val got = graft.operators.Packing
+        .withCumulativeSum(df, "k", "one", parts)
+        .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1)
+      val want = df.orderBy("k").select("id").as[Long].collect()
+        .zipWithIndex.map { case (id, i) => (id, i + 1L) }.sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"parts=$parts")
+    }
+  }
 }
