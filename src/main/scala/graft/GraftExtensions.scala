@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftvec.{DotProduct, NfcNormalize, TokenLcp}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * codegen expressions as SQL FUNCTIONS, so a pure-SQL consumer (the
+  * `spark.sql(...)` surface q65 exercises, a JDBC notebook, a
+  * `spark-sql` shell) reaches them without touching the Scala API —
+  * the standard extension-library arrangement
+  * (`spark.sql.extensions=graft.GraftExtensions`), or programmatic
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Registered:
+  *  - `graft_dot(array<double>, array<double>)` — the codegen'd
+  *    sequential-fold dot product ([[org.apache.spark.sql.graftvec.DotProduct]]);
+  *    identical IEEE semantics to `aggregate(zip_with(a,b,(x,y)->x*y),
+  *    0D, (s,x)->s+x)` at a fraction of the cost (HOFs don't codegen).
+  *  - `graft_token_lcp(string, string)` — number of complete leading
+  *    tokens two space-joined strings share (the exact-span family's
+  *    LCP primitive).
+  *  - `graft_nfc(string)` — NFC normalization + astral strip (the
+  *    cross-engine Unicode cleaner).
+  *
+  * Each function is injected into the session's FunctionRegistry at
+  * analysis time; the expressions themselves are unchanged, so plans
+  * built from SQL and plans built from the Scala API are literally
+  * the same operators.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String): ExpressionInfo =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product over array<double>"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_lcp"),
+      info("graft_token_lcp", "whole-token common prefix bytes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_token_lcp takes 2 arguments")
+        TokenLcp(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "NFC normalize + astral strip"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc takes 1 argument")
+        NfcNormalize(children.head)
+      }))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration of the custom codegen expressions: a
+  * session configured with graft.GraftExtensions reaches graft_dot /
+  * graft_token_lcp / graft_nfc from pure SQL, with results identical
+  * to the built-in formulations (the same operator classes run
+  * underneath the SQL names). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  /** A NEW SparkSession (reusing the shared SparkContext) with the
+    * extensions applied — getOrCreate only applies extensions at
+    * session creation, so the active/default session is cleared
+    * first and restored after. */
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sess = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(sess)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("graft_dot from SQL equals the HOF fold bit for bit") {
+    withExtSession { sess =>
+      val row = sess.sql("""
+        SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 0.5D, 2.0D))
+          AS d,
+          aggregate(zip_with(array(1.0D, 2.0D, 3.0D),
+                             array(4.0D, 0.5D, 2.0D), (x, y) -> x * y),
+            0D, (s, x) -> s + x) AS ref
+      """).head()
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(0) == 11.0)
+    }
+  }
+
+  test("graft_token_lcp and graft_nfc from SQL") {
+    withExtSession { sess =>
+      val r = sess.sql("""
+        SELECT graft_token_lcp('alpha beta gamma', 'alpha beta delta') AS l,
+               graft_nfc('café') AS n
+      """).head()
+      assert(r.getInt(0) == 2) // two complete shared tokens
+      // decomposed e + COMBINING ACUTE collapses to the composed char
+      assert(r.getString(1) == "café")
+    }
+  }
+
+  test("an un-extended session does NOT have the functions (scoping)") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D), array(1.0D))").head()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot"))
+  }
+}
