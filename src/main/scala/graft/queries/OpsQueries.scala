@@ -1656,8 +1656,64 @@ JOIN m ON per.o_custkey = m.o_custkey
 GROUP BY segment ORDER BY segment
 """))
 
+
+  /** q193 — last-touch attribution: every purchase is credited to the
+    * user's most recent preceding view-or-click within a 7-day
+    * lookback (the marketing-attribution rule), carried by ONE
+    * per-user running-state window (`last(..., ignoreNulls)` over ts
+    * order — the q59/q64 as-of machinery): no self-join, the event
+    * stream shuffles once by user. Purchases with no touch in the
+    * window credit 'none'. Revenue totals are decimal-exact (the q14
+    * recipe). The oracle replays the same running window.
+    */
+  val q193 = QuerySpec("q193_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables(s, dir, "events")
+      val touched = ev
+        .withColumn("touch_ts", last(
+          when(col("event_type").isin("view", "click"), col("ts")),
+          ignoreNulls = true).over(byUser))
+        .withColumn("touch_type", last(
+          when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(byUser))
+      touched.where(col("event_type") === "purchase")
+        .select(
+          when(col("touch_ts").isNotNull &&
+              col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("touch_type")).otherwise(lit("none")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(28,10)")), 2)
+            .cast("double").as("attributed_value"))
+        .orderBy("channel")
+    },
+    Some(raw"""
+WITH touched AS (
+  SELECT event_type, ts, value,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+      IGNORE NULLS) OVER w AS touch_ts,
+    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      IGNORE NULLS) OVER w AS touch_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CASE WHEN touch_ts IS NOT NULL
+    AND touch_ts >= ts - INTERVAL 7 DAY THEN touch_type
+    ELSE 'none' END AS channel,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+    AS attributed_value
+FROM touched WHERE event_type = 'purchase'
+GROUP BY channel ORDER BY channel
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
       q172, q173, q174, q175, q178, q179, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q191, q192)
+      q186, q187, q188, q189, q191, q192, q193)
 }
