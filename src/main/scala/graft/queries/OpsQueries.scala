@@ -1657,6 +1657,116 @@ GROUP BY segment ORDER BY segment
 """))
 
 
+
+  /** q194 — time-to-convert distribution: for users completing the
+    * q182 funnel, minutes from first view to first subsequent
+    * purchase, reported as exact integer-minute quantiles (the
+    * engine's exact median / interpolated percentiles over integer
+    * minutes — a latency distribution that never flaps). Chained
+    * conditional minimums as in q182; one per-user frame, one
+    * aggregate.
+    */
+  val q194 = QuerySpec("q194_time_to_convert",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(broadcast(s1), Seq("user_id"))
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      import org.apache.spark.sql.expressions.Window
+      val mins = s1.join(s3, Seq("user_id"))
+        .select(((col("t3").cast("long") - col("t1").cast("long")) / 60L)
+          .cast("long").as("minutes"))
+      // p90 by explicit integer rank (smallest value covering ≥90% of
+      // rows) — Spark's and DuckDB's CONTINUOUS percentiles interpolate
+      // with different float arithmetic; a rank pick can never flap
+      val ranked = mins
+        .withColumn("rn", row_number().over(Window.orderBy("minutes")))
+      val n = mins.count()
+      val p90 = ranked.where(col("rn") === (n * 9 + 9) / 10)
+        .select(col("minutes").as("p90_m"))
+      mins.agg(count(lit(1)).as("n_converted"),
+          min("minutes").as("min_m"),
+          expr("median(minutes)").as("p50_m"),
+          max("minutes").as("max_m"))
+        .crossJoin(broadcast(p90))
+        .select("n_converted", "min_m", "p50_m", "p90_m", "max_m")
+    },
+    Some(raw"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), d AS (
+  SELECT (CAST(floor(epoch(t3)) AS BIGINT)
+    - CAST(floor(epoch(t1)) AS BIGINT)) // 60 AS minutes
+  FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+), r AS (
+  SELECT minutes, row_number() OVER (ORDER BY minutes) AS rn,
+    count(*) OVER () AS n
+  FROM d
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_converted,
+  CAST((SELECT min(minutes) FROM d) AS BIGINT) AS min_m,
+  (SELECT median(minutes) FROM d) AS p50_m,
+  CAST((SELECT minutes FROM r WHERE rn = (n * 9 + 9) // 10) AS BIGINT)
+    AS p90_m,
+  CAST((SELECT max(minutes) FROM d) AS BIGINT) AS max_m
+"""))
+
+  /** q195 — error-burst detection (gaps-and-islands over the hourly
+    * error rate): hours where errors exceed 25% of events are burst
+    * hours; CONSECUTIVE burst hours merge into one incident via the
+    * island rule (hour_index − rank = island id — pure integer
+    * arithmetic over the tiny hourly rollup, never the event stream).
+    * Output: one row per incident with span and totals — the alert a
+    * pipeline monitor pages on.
+    */
+  val q195 = QuerySpec("q195_error_bursts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val hourly = ev.groupBy(
+          (col("ts").cast("long") / 3600L).cast("long").as("hour_idx"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+      val bursts = hourly.where(col("n_err") * 4 > col("n"))
+      bursts
+        .withColumn("island", col("hour_idx") -
+          row_number().over(Window.orderBy("hour_idx")))
+        .groupBy("island")
+        .agg(min("hour_idx").as("first_hour"),
+          max("hour_idx").as("last_hour"),
+          count(lit(1)).as("n_hours"),
+          sum("n_err").as("total_errors"))
+        .select("first_hour", "last_hour", "n_hours", "total_errors")
+        .orderBy("first_hour")
+    },
+    Some(raw"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), bursts AS (
+  SELECT hour_idx, n, n_err,
+    hour_idx - row_number() OVER (ORDER BY hour_idx) AS island
+  FROM hourly WHERE n_err * 4 > n
+)
+SELECT min(hour_idx) AS first_hour, max(hour_idx) AS last_hour,
+  CAST(count(*) AS BIGINT) AS n_hours,
+  CAST(sum(n_err) AS BIGINT) AS total_errors
+FROM bursts GROUP BY island ORDER BY first_hour
+"""))
+
   /** q193 — last-touch attribution: every purchase is credited to the
     * user's most recent preceding view-or-click within a 7-day
     * lookback (the marketing-attribution rule), carried by ONE
@@ -1715,5 +1825,5 @@ GROUP BY channel ORDER BY channel
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
       q172, q173, q174, q175, q178, q179, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q191, q192, q193)
+      q186, q187, q188, q189, q191, q192, q193, q194, q195)
 }
