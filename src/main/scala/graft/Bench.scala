@@ -55,6 +55,33 @@ object Bench {
       case c => c.toString
     } + "\""
     val loadStart = loadAvg()
+    // Parallel-throughput probe: loadavg misses the noise mode that
+    // actually poisons benches on shared hosts — full cores visible,
+    // multi-x slowdowns only under WIDE parallel load (co-tenant
+    // phases; round-11 measured the same binary at 259.8s and 468.4s
+    // for the identical 195-query session). One fixed CPU-bound task
+    // fanned across every core, before and after the session: a clean
+    // window reads near the single-thread time; a noisy phase inflates
+    // it multiplicatively. Adjudication-grade artifacts require
+    // probe_s within ~2x of the machine's known-clean value.
+    def parallelProbeSec(): Double = {
+      val n = Runtime.getRuntime.availableProcessors
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { _ =>
+        new Thread(() => {
+          var h = 0x9e3779b97f4a7c15L
+          var i = 0
+          while (i < 30000000) { // ~60 ms of integer mixing per core, clean
+            h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+            i += 1
+          }
+          if (h == 42L) println("") // defeat dead-code elimination
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeStart = parallelProbeSec()
     // per-query 1-min loadavg, sampled as each query finishes: a
     // contended SEGMENT of a long session (round-7's driver run cost a
     // round of misleading deltas) is then identifiable per query, not
@@ -120,7 +147,8 @@ object Bench {
           val start = results.find(_._1 == n).map(_._2).getOrElse(-1.0)
           jstr(key(n)) + ":[" + r3(start) + "," + r3(end) + "]"
         }.mkString("{", ",", "}")
-        s""","calib":$cq,"loadavg":[${r3(loadStart)},${r3(loadEnd)}]"""
+        s""","calib":$cq,"loadavg":[${r3(loadStart)},${r3(loadEnd)}]""" +
+          s""","parallel_probe_s":[${r3(probeStart)},${r3(parallelProbeSec())}]"""
       }
     val total = r3(results.map(_._2).sum)
     // full artifact only (the stdout contract line must stay small):
