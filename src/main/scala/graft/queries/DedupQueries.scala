@@ -1252,7 +1252,52 @@ SELECT n_items, p_u, r_u,
 FROM agg
 """))
 
+
+  /** q196 — cross-source syndication matrix: the q31 verified
+    * near-dup pairs bucketed by the (source_a, source_b) pair of
+    * their endpoints (canonical order) — the report that shows WHICH
+    * corpora plagiarize which (heavy off-diagonal mass = syndication
+    * between feeds; diagonal mass = within-source boilerplate), the
+    * signal that decides whether dedup must run globally or can run
+    * per source. One pair computation + two broadcast joins of the
+    * |docs|-row (id, source) projection onto the (small) pair set.
+    */
+  val q196 = QuerySpec("q196_syndication_matrix",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", k = mhK,
+        bands = mhBands, shingleN = 3, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("source", "source_raw_a"), Seq("a"))
+        .join(src.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("source", "source_raw_b"), Seq("b"))
+        .select(
+          least(col("source_raw_a"), col("source_raw_b")).as("source_a"),
+          greatest(col("source_raw_a"), col("source_raw_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(raw"""
+WITH $sqlPairCtes,
+vp AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+m AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+    greatest(sa.source, sb.source) AS source_b
+  FROM vp
+  JOIN documents sa ON vp.a = sa.doc_id
+  JOIN documents sb ON vp.b = sb.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+  source_a <> source_b AS cross_source
+FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
-      q97, q100, q103, q104, q108, q130, q140, q142, q146, q157, q176)
+      q97, q100, q103, q104, q108, q130, q140, q142, q146, q157, q176,
+      q196)
 }
