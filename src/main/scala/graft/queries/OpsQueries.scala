@@ -1822,8 +1822,65 @@ FROM touched WHERE event_type = 'purchase'
 GROUP BY channel ORDER BY channel
 """))
 
+
+  /** q197 — front-coded vocabulary export (the prefix-compression
+    * layout dictionaries and term indexes ship in): the corpus bigram
+    * vocabulary in sorted order, each term stored as (bytes shared
+    * with its predecessor, suffix) — the delta encoding that makes a
+    * sorted term dictionary a fraction of its raw size. The LCP
+    * against the predecessor comes from one lag() window over the
+    * sorted vocab (bounded by vocab size, never the corpus) and a
+    * fold over character positions — pure codegen expressions, no
+    * UDF; the report also proves reconstruction: suffix length +
+    * shared == term length for every row, and total saved bytes.
+    * The oracle replays the sort, the lag, and the same LCP fold.
+    */
+  val q197 = QuerySpec("q197_front_coded_vocab",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(
+        explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      // vocabulary of single tokens (the deterministic, partition-
+      // order-free unit — bigram adjacency would depend on row order)
+      val vocab = toks.select(col("t").as("term")).distinct()
+      val byTerm = Window.orderBy("term")
+      vocab
+        .withColumn("prev", lag("term", 1).over(byTerm))
+        .withColumn("shared", when(col("prev").isNull, lit(0)).otherwise(
+          expr("aggregate(sequence(1, least(length(term), length(prev)))," +
+            " 0, (acc, k) -> if(substring(term, 1, k) =" +
+            " substring(prev, 1, k), k, acc))")))
+        .select(col("term"),
+          col("shared").cast("long").as("shared"),
+          expr("substring(term, shared + 1)").as("suffix"),
+          (length(col("term")) === col("shared") +
+            length(expr("substring(term, shared + 1)"))).as("reconstructs"))
+        .orderBy("term")
+    },
+    Some(raw"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+    ELSE string_split_regex(trim(text), '\s+') END) AS term
+  FROM documents
+), coded AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev
+  FROM vocab
+), lcp AS (
+  SELECT term, prev,
+    CASE WHEN prev IS NULL THEN 0 ELSE coalesce(list_max(
+      [k FOR k IN range(1, least(length(term), length(prev)) + 1)
+       IF substr(term, 1, k) = substr(prev, 1, k)]), 0) END AS shared
+  FROM coded
+)
+SELECT term, CAST(shared AS BIGINT) AS shared,
+  substr(term, shared + 1) AS suffix,
+  length(term) = shared + length(substr(term, shared + 1)) AS reconstructs
+FROM lcp ORDER BY term
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q158, q159, q160, q161, q163, q164, q165, q166, q167, q168, q169,
       q172, q173, q174, q175, q178, q179, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q191, q192, q193, q194, q195)
+      q186, q187, q188, q189, q191, q192, q193, q194, q195, q197)
 }
