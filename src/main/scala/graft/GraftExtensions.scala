@@ -32,8 +32,11 @@ import org.apache.spark.sql.graftvec.{DotProduct, NfcNormalize, TokenLcp}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // (className, db = null, name, usage, extended = "") — the 5-arg
+    // overload is the one that surfaces usage in DESCRIBE FUNCTION
     def info(name: String, usage: String): ExpressionInfo =
-      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+        usage, "")
 
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
   *    toward 0 (random sign agreement), so cells don't merge across
   *    copies.
   *
-  * The eight relational tables are byte-copied unchanged: the heavy
-  * scale targets (q31/q33/q84/q89/q91–q96) read only documents and
-  * embeddings, and the TPC-H-ish tables already have their own sf1
-  * story upstream. Output layout mirrors /root/testdata/sf*, so
-  * `SPARK_GRAFT_SF_DIR=<dst> runMain graft.Bench` works as-is.
+  * `events`/`orders`/`lineitem` scale by key-shifted copies (ids
+  * shifted, timestamps and attributes untouched — "10× the users over
+  * the same period"), so the behavioral/event query family (q184–q195)
+  * has a measurable growth story too; dimension keys (part, supplier,
+  * customer) are deliberately NOT shifted — a bigger fact table joins
+  * the same catalog, which is exactly the 100 TB shape. The five
+  * dimension tables are byte-copied unchanged. Output layout mirrors
+  * /root/testdata/sf*, so `SPARK_GRAFT_SF_DIR=<dst> runMain
+  * graft.Bench` works as-is.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -87,8 +91,43 @@ object ScaleGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+    // Event/behavioral tables scale by KEY-SHIFTED copies — "10× the
+    // users over the same period", which is what a larger deployment
+    // actually looks like: per-window masses (hopping windows, burst
+    // detection) grow 10×, while per-user/per-customer structure
+    // (paths, attribution, RFM) replicates exactly, so the q184–q195
+    // family measures real growth, not a rescaled clock. Timestamps
+    // and non-key attributes are untouched.
+    val events = Tables(spark, src, "events")
+    (0 until copies).map { c =>
+      if (c == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(c * shift))
+        .withColumn("user_id", col("user_id") + lit(c * shift))
+    }.reduce(_ unionByName _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    val orders = Tables(spark, src, "orders")
+    (0 until copies).map { c =>
+      if (c == 0) orders
+      else orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c * shift))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * shift))
+    }.reduce(_ unionByName _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    val lineitem = Tables(spark, src, "lineitem")
+    (0 until copies).map { c =>
+      if (c == 0) lineitem
+      else lineitem
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c * shift))
+    }.reduce(_ unionByName _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val from = Paths.get(src, s"$t.parquet")
       val to = Paths.get(dst, s"$t.parquet")
       if (Files.isRegularFile(from))

@@ -88,6 +88,12 @@ object Exif {
       s"layout drift: ${out.size() - tiffStart} != $dataOff")
     out.write(ext.toByteArray)
     val payload = out.toByteArray
+    // the 2-byte segment length caps a JPEG marker segment at 65535;
+    // oversized Make/Model strings would silently WRAP the length
+    // field and emit a corrupt APP1 — refuse loudly instead
+    require(payload.length + 2 <= 0xFFFF,
+      s"EXIF payload ${payload.length} bytes overflows the APP1 " +
+        "2-byte length field")
     Array(0xFF.toByte, 0xE1.toByte) ++ be2(payload.length + 2) ++ payload
   }
 
@@ -190,13 +196,19 @@ object Exif {
     Some((make, model, orientation, hasGps))
   }
 
-  /** PRIVACY SCRUB: drop every APP1–APP15 and COM segment from a
-    * JPEG — the EXIF/XMP/ICC/comment channels that carry camera
+  /** PRIVACY SCRUB: drop the APP1/APP3–APP13/APP15 and COM segments
+    * from a JPEG — the EXIF/XMP/comment channels that carry camera
     * serials, GPS fixes, author names and editor fingerprints.
-    * APP0/JFIF and all structural segments (DQT/DHT/SOF/SOS/…) are
-    * byte-copied; everything from SOS on (the entropy-coded image
-    * data, including embedded RST markers) is copied verbatim — no
-    * re-encode, decoded pixels identical by construction. Returns
+    * DECODE-AFFECTING application segments are preserved: APP14
+    * (Adobe color-transform flag — removing it changes how decoders
+    * interpret YCCK/CMYK components, breaking pixel identity) and
+    * APP2 (ICC profile — color-managed viewers would render shifted
+    * colors without it; it carries no PII channel). APP0/JFIF and all
+    * structural segments (DQT/DHT/SOF/SOS/…) are byte-copied;
+    * everything from SOS on (the entropy-coded image data, including
+    * embedded RST markers) is copied verbatim — no re-encode, decoded
+    * pixels identical by construction for ALL variants, including
+    * Adobe-encoded YCCK/CMYK. Returns
     * (scrubbed bytes, segments seen before SOS, segments removed,
     * bytes removed); None for malformed input (quarantine, never
     * mis-scrub — the q149 contract). */
@@ -228,7 +240,10 @@ object Exif {
           val len = ((data(pos + 2) & 0xff) << 8) | (data(pos + 3) & 0xff)
           if (len < 2 || pos + 2 + len > data.length) return None
           total += 1
-          val drop = (marker >= 0xE1 && marker <= 0xEF) || marker == 0xFE
+          // keep APP2 (0xE2, ICC) + APP14 (0xEE, Adobe transform) —
+          // both feed the decode path, neither is a PII channel
+          val drop = ((marker >= 0xE1 && marker <= 0xEF) ||
+            marker == 0xFE) && marker != 0xE2 && marker != 0xEE
           if (drop) { removed += 1; removedBytes += 2L + len }
           else out.write(data, pos, 2 + len)
           pos += 2 + len

@@ -11,9 +11,11 @@ package graft.operators
 object Tiff {
 
   /** Parse (width, height, bitsPerSample, samplesPerPixel,
-    * littleEndian). BitsPerSample with count > 1 reads the FIRST
-    * sample's value from the external array (uniform-depth images —
-    * the overwhelmingly common case; mixed depths quarantine). */
+    * littleEndian). BitsPerSample with count 2 (4 bytes) is read
+    * INLINE from the value field per TIFF 6.0 §2; count > 2 reads the
+    * FIRST sample's value from the external array (uniform-depth
+    * images — the overwhelmingly common case; mixed depths
+    * quarantine). */
   def parse(data: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] =
     try {
       if (data.length < 8) return None
@@ -52,9 +54,18 @@ object Tiff {
           case 257 => h = scalar().toInt
           case 258 =>
             if (count == 1) bps = scalar().toInt
-            else {
-              // external SHORT array: read the first entry, require
-              // uniform depth across samples
+            else if (typ == 3 && count == 2) {
+              // TIFF 6.0 §2: a value whose total size fits the 4-byte
+              // value field is stored INLINE — a SHORT array of count 2
+              // (gray+alpha, spp = 2) is 4 bytes, so the value field
+              // holds the two shorts, not an offset; reading it as an
+              // offset misparses every spp=2 image in the wild
+              val a = u16(e + 8); val b = u16(e + 10)
+              if (a != b) return None // mixed depths quarantine
+              bps = a
+            } else {
+              // > 4 bytes: external SHORT array behind an offset; read
+              // the first entry, require uniform depth across samples
               val off = u32(e + 8).toInt
               if (off < 0 || off + 2 * count.toInt > data.length) return None
               val first = u16(off)
@@ -76,7 +87,8 @@ object Tiff {
 
   /** Fixture builder: minimal conformant single-IFD TIFF. Dimension
     * tags written as LONG when `longDims`, SHORT otherwise;
-    * BitsPerSample external array when spp > 1. */
+    * BitsPerSample inline for spp ≤ 2 (fits the value field), external
+    * array for spp > 2. */
   def encode(w: Int, h: Int, bps: Int, spp: Int,
       littleEndian: Boolean, longDims: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -100,12 +112,16 @@ object Tiff {
     }
     dimEntry(256, w)
     dimEntry(257, h)
-    // BitsPerSample: inline when one sample, external array otherwise
+    // BitsPerSample: inline while the SHORT array fits the 4-byte
+    // value field (count ≤ 2, per TIFF 6.0 §2 — spp=2 gray+alpha is
+    // stored inline in the wild), external array beyond that
     w16(258); w16(3); w32(spp.toLong)
-    if (spp == 1) { w16(bps); w16(0) } else w32(extOff.toLong)
+    if (spp == 1) { w16(bps); w16(0) }
+    else if (spp == 2) { w16(bps); w16(bps) }
+    else w32(extOff.toLong)
     w16(277); w16(3); w32(1); w16(spp); w16(0)
     w32(0) // next IFD
-    if (spp > 1) (0 until spp).foreach(_ => w16(bps))
+    if (spp > 2) (0 until spp).foreach(_ => w16(bps))
     out.toByteArray
   }
 }

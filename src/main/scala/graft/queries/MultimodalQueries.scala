@@ -829,7 +829,14 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id
     * the in-repo codec, box-means the luma to a 9×8 grid, takes the
     * 64-bit difference hash, and the SAME banded-hamming pipeline as
     * q91 (4×16-bit bands → candidate join → bit_count verify ≤ 6)
-    * pairs the re-encodes. The oracle never decodes an image: it
+    * pairs the re-encodes. Recall contract (pigeonhole): 4 bands
+    * GUARANTEE candidacy only for hamming ≤ 3 (= bands−1); pairs at
+    * 4–6 differing bits can spread across all four bands (2+2+1+1)
+    * and are then missed — the ≤ 6 verify gate bounds precision, not
+    * recall. Guaranteed ≤ 6 recall would need 7 bands; the oracle
+    * replays these exact 4 bands, so engine and oracle miss the same
+    * pairs and the compare stays exact (see q129's striped-band note).
+    * The oracle never decodes an image: it
     * recomputes the dHash arithmetically from the fixture's pixel
     * formula — so the whole decode→luma→boxmean→hash chain must be
     * EXACT for the compare to pass. Distinct groups pair only if

@@ -386,8 +386,8 @@ FROM runs ORDER BY c_custkey, valid_from
       toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
-          slice(array_sort(collect_list(col("doc_id"))), 1, 12)
-            .as("postings_head"),
+          array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 12),
+            ",").as("postings_head"),
           expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string))," +
             " 1, 15), 16, 10) as bigint))").as("ids_fp"))
         .orderBy("term")
@@ -402,7 +402,7 @@ WITH toks AS (
   FROM toks GROUP BY term, doc_id
 )
 SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-  list_sort(list(doc_id))[1:12] AS postings_head,
+  array_to_string(list_sort(list(doc_id))[1:12], ',') AS postings_head,
   bit_xor(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
     AS BIGINT)) AS ids_fp
 FROM td GROUP BY term ORDER BY term

@@ -301,7 +301,9 @@ object NearDupStream {
     }
   }
 
-  private def processMediaBatch(
+  // private[streaming] so RestartSpec can replay one batch exactly as
+  // the recovering stream would (foreachBatch at-least-once)
+  private[streaming] def processMediaBatch(
       batch: Dataset[graft.operators.Multimodal.MediaRecord], batchId: Long,
       stateDir: Path, outDir: Path, maxHamming: Int,
       ccMaxIter: Int, onNonConvergence: NonConvergence): Unit = {

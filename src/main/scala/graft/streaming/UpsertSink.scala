@@ -18,6 +18,17 @@ import org.apache.spark.sql.streaming.Trigger
   *    N and writes snapshot N+1, never appends in place, so a crash
   *    mid-batch leaves snapshot N valid (foreachBatch replays the
   *    batch, the at-least-once contract NearDupStream documents);
+  *  - crash-replay soundness needs TWO guards beyond immutability
+  *    (UpsertRestartSpec pins both): the merge input is the latest
+  *    snapshot that (a) carries a `_SUCCESS` commit marker — a crash
+  *    mid-write leaves a marker-less partial directory that must
+  *    never seed a merge — and (b) has id < the replaying batchId,
+  *    so a replay never lazily reads the very directory its
+  *    `mode(overwrite)` is about to clobber (Spark would abort with
+  *    "Cannot overwrite a path that is also being read from", or
+  *    worse, merge partial data). With both guards a replayed batch
+  *    recomputes snapshot N from (committed snapshot N−1) ∪ batch —
+  *    deterministic, so the rewrite is idempotent;
   *  - the merge itself is the one-exchange keep-latest window keyed
   *    by the upsert key — at table scale the snapshot would be
   *    bucketed by key (BucketingSpec) and even that exchange
@@ -31,19 +42,9 @@ object UpsertSink {
   def drainUpsert(spark: SparkSession, stream: DataFrame,
       tableDir: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt")
-    val byKey = Window.partitionBy("doc_id")
-      .orderBy(desc("version"), desc("batch_id"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val incoming = batch.withColumn("batch_id", lit(batchId))
-        val prev = latestSnapshot(spark, tableDir)
-        val merged = prev.map(_.unionByName(incoming)).getOrElse(incoming)
-          .withColumn("rk", row_number().over(byKey))
-          .where(col("rk") === 1)
-          .drop("rk")
-        merged.write.mode("overwrite")
-          .parquet(s"$tableDir/snapshot_$batchId")
-        ()
+        mergeBatch(spark, batch, batchId, tableDir)
       }
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
@@ -53,17 +54,42 @@ object UpsertSink {
       q.stop()
       StreamingResidue.release(ckpt)
     }
-    latestSnapshot(spark, tableDir)
+    latestSnapshot(spark, tableDir, belowBatch = None)
       .getOrElse(throw new IllegalStateException("no snapshot written"))
   }
 
-  /** Highest-numbered snapshot directory, if any. */
-  private def latestSnapshot(spark: SparkSession,
-      tableDir: String): Option[DataFrame] = {
+  /** One micro-batch merge: (latest COMMITTED snapshot below batchId)
+    * ∪ batch → keep-latest window → snapshot_batchId. Factored out so
+    * the restart spec can replay a batch against a hand-planted
+    * partial snapshot exactly as the recovering stream would. */
+  private[streaming] def mergeBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, tableDir: String): Unit = {
+    val byKey = Window.partitionBy("doc_id")
+      .orderBy(desc("version"), desc("batch_id"))
+    val incoming = batch.withColumn("batch_id", lit(batchId))
+    val prev = latestSnapshot(spark, tableDir, belowBatch = Some(batchId))
+    val merged = prev.map(_.unionByName(incoming)).getOrElse(incoming)
+      .withColumn("rk", row_number().over(byKey))
+      .where(col("rk") === 1)
+      .drop("rk")
+    merged.write.mode("overwrite")
+      .parquet(s"$tableDir/snapshot_$batchId")
+    ()
+  }
+
+  /** Highest-numbered COMMITTED snapshot directory (has `_SUCCESS`),
+    * optionally restricted to ids strictly below `belowBatch` (the
+    * replay guard — see the class doc). */
+  private[streaming] def latestSnapshot(spark: SparkSession,
+      tableDir: String, belowBatch: Option[Long]): Option[DataFrame] = {
     val dir = new java.io.File(tableDir)
     val snaps = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snapshot_"))
-      .sortBy(f => f.getName.stripPrefix("snapshot_").toLong)
-    snaps.lastOption.map(f => spark.read.parquet(f.getAbsolutePath))
+      .filter(f => new java.io.File(f, "_SUCCESS").isFile)
+      .map(f => (f.getName.stripPrefix("snapshot_").toLong, f))
+      .filter { case (id, _) => belowBatch.forall(id < _) }
+      .sortBy(_._1)
+    snaps.lastOption.map { case (_, f) =>
+      spark.read.parquet(f.getAbsolutePath) }
   }
 }

@@ -214,6 +214,34 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(fracs("big") - 1.0 / 3.0) < 1e-12, s"big frac: $fracs")
   }
 
+  test("temperatureMix: binding-source frac is the LITERAL 1.0 even when " +
+      "the naive share·t/m round-trip would land at 0.999…") {
+    import spark.implicits._
+    // masses 2 and 10 at T = 0.5 are a verified IEEE hazard: computing
+    // share·t/m for the binding source in doubles yields
+    // 0.9999999999999999, which floor(frac · Buckets) turns into a
+    // silent ~1-bucket loss of the source that must be kept WHOLE.
+    // First prove the fixture exercises the hazard…
+    val (ma, mb) = (2.0, 10.0)
+    val (wa, wb) = (math.sqrt(ma), math.sqrt(mb))
+    val z = wa + wb
+    val (sa, sb) = (wa / z, wb / z)
+    val bindShare = if (ma / sa <= mb / sb) sa else sb
+    val bindM = if (ma / sa <= mb / sb) ma else mb
+    val t = math.min(ma / sa, mb / sb)
+    assert(bindShare * t / bindM != 1.0,
+      "fixture no longer exercises the round-trip hazard — pick new masses")
+    // …then assert the engine pins it structurally (ts === t compare)
+    val docs = Seq((1L, "tiny", 2L), (2L, "big", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val fr = Sampling.temperatureMix(docs, "doc_id", "source", "n_tokens",
+        temperature = 0.5)
+      .select("source", "frac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fr("tiny") == 1.0, s"binding source frac must be exactly 1.0: $fr")
+    assert(fr("big") < 1.0, s"$fr")
+  }
+
   test("urlRegisteredDomain: PSL subset, www strip, single-label passthrough") {
     import spark.implicits._
     import graft.functions.{Text => T}

@@ -43,6 +43,19 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("qualityScore stopword matching is case-SENSITIVE — the engine/" +
+      "oracle convention pin (capitalized markers must NOT count)") {
+    // same length, same punct, same token count — the ONLY difference
+    // is marker case, so the score gap is exactly the 0.3 stopword
+    // weight (lower: ratio 1.0 → capped 1.0; upper: ratio 0 → 0).
+    // The q20/q130 oracles match raw-case tokens with the same list;
+    // if either side ever adds a lower(), this pins the divergence.
+    val got = Seq(("the the the", "The The The")).toDF("lo", "up")
+      .select(T.qualityScore($"lo").as("qlo"), T.qualityScore($"up").as("qup"))
+      .collect().head
+    assert(math.abs(got.getDouble(0) - got.getDouble(1) - 0.3) < 1e-12)
+  }
+
   test("fingerprint is whitespace/case-insensitive; min-shingle needs ≥3 tokens") {
     val df = Seq(("Hello  World FOO", "hello world foo"))
       .toDF("a", "b")

@@ -47,6 +47,23 @@ class WebpTiffSpec extends SparkSpec {
     assert(Tiff.parse(t).isEmpty)
   }
 
+  test("TIFF inline SHORT BitsPerSample (count 2, spp=2 gray+alpha): " +
+      "value field holds the shorts, NOT an offset") {
+    // TIFF 6.0 §2: a 4-byte SHORT[2] is stored inline; the old
+    // external-offset read would misinterpret the (8, 8) pair as
+    // offset 0x00080008 and garbage-parse or bounds-reject
+    for (le <- Seq(true, false))
+      assert(Tiff.parse(Tiff.encode(32, 16, 8, 2, le))
+        .contains((32, 16, 8, 2, le)), s"le=$le")
+    // mixed inline depths quarantine, same as the external path
+    val t = Tiff.encode(32, 16, 8, 2, littleEndian = true)
+    // entry 3 of 4 (tag 258) starts at 8 + 2 + 2*12; value field +8,
+    // second short +10
+    val valueField = 8 + 2 + 2 * 12 + 8
+    t(valueField + 2) = 16.toByte
+    assert(Tiff.parse(t).isEmpty)
+  }
+
   test("TIFF hostile input quarantines") {
     assert(Tiff.parse("not a tiff".getBytes).isEmpty)
     val good = Tiff.encode(8, 8, 8, 1, littleEndian = false)

@@ -20,6 +20,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None)
+    # the DRIVER canonicalizes row order by sorting on every column —
+    # replicate it so its failure modes reproduce here (r11: a
+    # top-level array<bigint> column raised "unhashable type:
+    # numpy.ndarray" in the driver while this mirror passed, hiding
+    # the one red row). Queries must emit scalar columns only
+    # (stringify arrays with array_join / array_to_string).
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 
