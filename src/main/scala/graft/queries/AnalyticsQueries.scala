@@ -1,0 +1,557 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+import graft.operators.RangeJoin
+
+/** Round-12 analytics tier: the operator families a warehouse bolts on
+  * once the core engine is trusted — range (interval) joins, mergeable
+  * cardinality sketches (KMV), count-min heavy hitters, n-gram language
+  * models, vocabulary-growth curves, character-diversity quality
+  * signals, session sequence mining, robust (median/MAD) anomaly
+  * detection, and sketch roll-up without rescan.
+  *
+  * Engineering rules inherited from the earlier tiers: every query is
+  * a declarative plan (no UDFs, no driver loops), every numeric output
+  * is either an exact integer or a deterministic IEEE expression both
+  * engines evaluate identically (the q185 pinned-arithmetic lesson:
+  * never let two libm implementations both compute a transcendental),
+  * and every shape is the one that survives 100 TB — bucketized joins
+  * instead of cross products, map-side-combining aggregates, window
+  * top-k that WindowGroupLimit prunes, broadcast-sized sketch frames.
+  */
+object AnalyticsQueries {
+  import TextQueries.sqlToks
+
+  /** The engine-standard 60-bit deterministic hash of a string column:
+    * top 15 hex digits of md5 as a bigint (the q164 fingerprint trick —
+    * both engines parse the same hex, so sketches built from it are
+    * bit-identical). */
+  private def h60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+  private def sqlH60(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** q198 — bucketized range join ([[RangeJoin.pointInInterval]]):
+    * every `error` event opens a 10-minute incident window; the query
+    * reports, per window, the other-type events and distinct users
+    * caught inside it — the "what else happened during the incident"
+    * join every observability store runs. Naively this is a cross
+    * join with a BETWEEN predicate (O(N·M) — the plan Spark falls
+    * back to for range predicates); the operator quantizes time into
+    * 600 s buckets, explodes each interval over the ≤ 2 buckets it
+    * covers, and equi-joins on the bucket, so Catalyst plans a plain
+    * shuffled join with AQE in play and the range predicate only
+    * refines bucket-local candidates. A point meets a qualifying
+    * interval in exactly one bucket — duplicate-free without a
+    * distinct. The oracle replays the naive BETWEEN join (tractable
+    * at test SF), which must equal the bucketized plan exactly.
+    */
+  val q198 = QuerySpec("q198_range_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("long").as("t"),
+          col("user_id"), col("event_type"))
+      val bursts = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("burst_id"), col("t").as("start_t"),
+          (col("t") + 600L).as("end_t"))
+      val pts = ev.where(col("event_type") =!= "error")
+        .select(col("event_id"), col("t"), col("user_id"), col("event_type"))
+      RangeJoin.pointInInterval(pts, "t", bursts, "start_t", "end_t",
+          bucketWidth = 600L)
+        .groupBy("burst_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .orderBy("burst_id")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id,
+    event_type
+  FROM events
+), bursts AS (
+  SELECT event_id AS burst_id, t AS start_t, t + 600 AS end_t
+  FROM ev WHERE event_type = 'error'
+)
+SELECT b.burst_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+  CAST(count(*) FILTER (WHERE p.event_type = 'purchase') AS BIGINT)
+    AS n_purchases
+FROM bursts b
+JOIN ev p ON p.event_type <> 'error'
+  AND p.t BETWEEN b.start_t AND b.end_t
+GROUP BY b.burst_id ORDER BY b.burst_id
+"""))
+
+  /** q199 — KMV (k-minimum-values) cardinality sketch, the mergeable
+    * distinct-count structure a 100 TB corpus uses instead of
+    * count(DISTINCT): keep the k smallest deterministic 60-bit hashes
+    * of the values; the k-th smallest estimates the cardinality as
+    * (k−1)·2⁶⁰/h₍ₖ₎, and two sketches merge by re-taking the k
+    * smallest of their union — no rescan. Per-source sketches (k=64)
+    * plus the merged ALL row; a source with < k distinct values
+    * reports its exact count (the sketch IS exact below k). The
+    * estimate is pure IEEE multiply/divide/floor on integers — no
+    * libm — so both engines land on the identical bigint. The exact
+    * distinct count rides along as the verification column you would
+    * drop at scale. Window top-k prunes per-partition
+    * (WindowGroupLimit) before the exchange.
+    */
+  val q199 = QuerySpec("q199_kmv_sketch",
+    (s, dir) => {
+      val k = 64
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      val hashed = graft.CacheRegistry.persistTracked(
+        toks.distinct()
+          .withColumn("h", expr(h60("tok"))))
+      def sketch(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("source").orderBy("h", "tok")
+        df.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k)
+          .groupBy("source")
+          .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+            count(lit(1)).as("kseen"))
+      }
+      val perSrc = sketch(hashed.toDF())
+      // merged sketch: k smallest over the distinct hash union — the
+      // per-source sketches' union would give the identical result
+      // (min-hashes compose), computed here from the same frame
+      val all = sketch(hashed.select(lit("ALL").as("source"), col("tok"),
+        col("h")).distinct())
+      val exact = hashed.groupBy("source").agg(count(lit(1)).as("exact_n"))
+        .unionByName(hashed.select("tok").distinct()
+          .agg(count(lit(1)).as("exact_n")).select(lit("ALL").as("source"),
+            col("exact_n")))
+      perSrc.unionByName(all).join(exact, "source")
+        .withColumn("est_n",
+          when(col("kseen") < k, col("kseen"))
+            .otherwise(expr(
+              s"cast(floor(${k - 1}.0 * 1152921504606846976.0 / hk) as bigint)")))
+        .select(col("source"), col("kseen"), col("est_n"), col("exact_n"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest($sqlToks) AS tok FROM documents
+), hashed AS (
+  SELECT source, tok, ${sqlH60("tok")} AS h FROM toks
+), unioned AS (
+  SELECT * FROM hashed
+  UNION
+  SELECT DISTINCT 'ALL' AS source, tok, h FROM hashed
+), r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+  FROM unioned
+), sk AS (
+  SELECT source, max(CASE WHEN rn = 64 THEN h END) AS hk,
+    CAST(count(*) AS BIGINT) AS kseen
+  FROM r WHERE rn <= 64 GROUP BY source
+), ex AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_n
+  FROM unioned GROUP BY source
+)
+SELECT sk.source, sk.kseen,
+  CASE WHEN sk.kseen < 64 THEN sk.kseen
+       ELSE CAST(floor(63.0 * 1152921504606846976.0
+                       / CAST(sk.hk AS DOUBLE)) AS BIGINT) END AS est_n,
+  ex.exact_n
+FROM sk JOIN ex ON sk.source = ex.source ORDER BY sk.source
+"""))
+
+  /** q200 — count-min sketch heavy hitters: the frequency structure
+    * that answers "how often does token X appear" over 100 TB in
+    * 4×512 longs. Each occurrence increments one cell per depth row
+    * (deterministic md5-derived bucket), a point estimate is the MIN
+    * over the 4 rows — an overestimate by construction, never under.
+    * The query builds the sketch in ONE map-side-combining aggregate
+    * (2048 result rows — broadcast-sized), takes the exact top-20
+    * tokens as probe keys, and reports exact vs estimated count and
+    * the collision overcount. At scale the exact column is the
+    * one-off calibration pass; the sketch then serves point lookups
+    * without touching the corpus.
+    */
+  val q200 = QuerySpec("q200_heavy_hitters",
+    (s, dir) => {
+      val occ = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "documents")
+          .select(explode(T.tokens(col("text"))).as("tok")))
+      val bucket = expr(
+        s"pmod(${h60("concat(d, ':', tok)")}, 512)")
+      val sketch = occ.select(col("tok"),
+          explode(expr("sequence(0, 3)")).as("d"))
+        .withColumn("b", bucket)
+        .groupBy("d", "b").agg(count(lit(1)).as("cell"))
+      val top = occ.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), asc("tok")).limit(20)
+      top.select(col("tok"), col("exact_n"),
+          explode(expr("sequence(0, 3)")).as("d"))
+        .withColumn("b", bucket)
+        .join(broadcast(sketch), Seq("d", "b"))
+        .groupBy("tok", "exact_n")
+        .agg(min("cell").as("est_n"))
+        .withColumn("overcount", col("est_n") - col("exact_n"))
+        .orderBy(desc("exact_n"), asc("tok"))
+    },
+    Some(raw"""
+WITH occ AS (
+  SELECT unnest($sqlToks) AS tok FROM documents
+), occ_d AS (
+  SELECT tok, d FROM occ, (SELECT unnest([0, 1, 2, 3]) AS d)
+), sketch AS (
+  SELECT d, ${sqlH60("concat(d, ':', tok)")} % 512 AS b,
+    CAST(count(*) AS BIGINT) AS cell
+  FROM occ_d GROUP BY 1, 2
+), top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+  FROM occ GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20
+), probes AS (
+  SELECT t.tok, t.exact_n, d.d,
+    ${sqlH60("concat(d.d, ':', t.tok)")} % 512 AS b
+  FROM top t, (SELECT unnest([0, 1, 2, 3]) AS d) d
+)
+SELECT p.tok, p.exact_n, min(s.cell) AS est_n,
+  min(s.cell) - p.exact_n AS overcount
+FROM probes p JOIN sketch s ON p.d = s.d AND p.b = s.b
+GROUP BY p.tok, p.exact_n ORDER BY p.exact_n DESC, p.tok
+"""))
+
+  /** q201 — bigram language model with add-one smoothing: the
+    * simplest trainable LM a corpus pipeline materializes (the same
+    * table interpolated Kneser-Ney starts from). Per-document token
+    * bigrams → corpus counts c(w₁w₂) and contexts c(w₁); the smoothed
+    * conditional P(w₂|w₁) = (c+1)/(c(w₁)+V) is emitted in exact
+    * integer parts-per-million (numerator·10⁶ div denominator — no
+    * float probabilities that flap between engines). Output: the 30
+    * most frequent bigrams with their smoothed ppm. One exchange for
+    * the bigram aggregate, one broadcast of the (tiny) context frame,
+    * V rides a 1-row broadcast.
+    */
+  val q201 = QuerySpec("q201_bigram_lm",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(T.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= 2)
+      val bi = graft.CacheRegistry.persistTracked(
+        toks.select(explode(expr(
+            "transform(sequence(0, size(ts) - 2), " +
+              "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+      val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val v = Tables(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      counts.join(broadcast(ctx), "w1").crossJoin(broadcast(v))
+        .withColumn("p_ppm", expr("((c + 1) * 1000000) div (cw + v)"))
+        .select("w1", "w2", "c", "cw", "p_ppm")
+        .orderBy(desc("c"), asc("w1"), asc("w2"))
+        .limit(30)
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT $sqlToks AS ts FROM documents
+), b AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM t
+        WHERE len(ts) >= 2)
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS cw FROM b GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest($sqlToks) AS tok FROM documents)
+)
+SELECT counts.w1, counts.w2, counts.c, ctx.cw,
+  ((counts.c + 1) * 1000000) // (ctx.cw + v.v) AS p_ppm
+FROM counts JOIN ctx ON counts.w1 = ctx.w1, v
+ORDER BY counts.c DESC, counts.w1, counts.w2 LIMIT 30
+"""))
+
+  /** q202 — vocabulary-growth (Heaps-law) curve under corpus
+    * subsampling: distinct-token count at 25/50/75/100 % of the
+    * corpus — the measurement that sizes a tokenizer vocab and
+    * predicts OOV rates before training. Deliberately HASH-SUBSAMPLED
+    * (doc_id mod 4 < q), not prefix-ordered: a prefix needs a global
+    * document rank (a driver-adjacent total order), while nested
+    * random subsets give the same growth curve on an exchangeable
+    * corpus and cost one exploded aggregate — each token occurrence
+    * emits its subset memberships (m+1..4) and ONE map-side-combining
+    * pass produces all four checkpoints. All-integer output. */
+  val q202 = QuerySpec("q202_vocab_growth",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("tok"), explode(expr(
+          "sequence(cast(pmod(doc_id, 4) + 1 as int), 4)")).as("q"))
+        .groupBy("q")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct("tok").as("vocab"))
+        .orderBy("q")
+    },
+    Some(raw"""
+WITH occ AS (
+  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+), m AS (
+  SELECT doc_id, tok, unnest(range(CAST(doc_id % 4 AS INT) + 1, 5)) AS q
+  FROM occ
+)
+SELECT CAST(q AS INT) AS q,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+FROM m GROUP BY q ORDER BY q
+"""))
+
+  /** q203 — character-diversity quality signal (Gini–Simpson index):
+    * 1 − Σ(cᵢ/n)² over each document's character histogram — the
+    * integer-exact cousin of character entropy ((n²−Σcᵢ²)·10⁶ div n²;
+    * entropy itself would put a live log2 in two libms, the exact
+    * failure q185 pins). Low diversity flags keyboard-mash, repeated
+    * padding, and template spam that length/stopword filters miss.
+    * Reported per source: mean diversity (exact integer mean of
+    * per-doc ppm), min, and the low-diversity count — the
+    * quality-gate statistic. The per-doc histogram is one
+    * map-side-combining aggregate keyed by (doc, char).
+    */
+  val q203 = QuerySpec("q203_char_diversity",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val per = docs
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "")).as("c"))
+        .where(col("c") =!= "")
+        .groupBy("doc_id", "source", "c").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "source")
+        .agg(sum("cnt").as("n"), sum(col("cnt") * col("cnt")).as("s2"))
+        .withColumn("gini_ppm",
+          expr("((n * n - s2) * 1000000) div (n * n)"))
+      docs.select("doc_id", "source")
+        .join(per.select("doc_id", "gini_ppm"), Seq("doc_id"), "left")
+        .withColumn("gini_ppm", coalesce(col("gini_ppm"), lit(0L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(gini_ppm) div count(1)").as("mean_gini_ppm"),
+          min("gini_ppm").as("min_gini_ppm"),
+          sum(when(col("gini_ppm") < 500000L, 1L).otherwise(0L))
+            .as("n_low_diversity"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH chars AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS c
+  FROM documents
+), hist AS (
+  SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM chars WHERE c <> '' GROUP BY 1, 2, 3
+), per AS (
+  SELECT doc_id, source, sum(cnt) AS n, sum(cnt * cnt) AS s2
+  FROM hist GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id, d.source,
+    coalesce(((p.n * p.n - p.s2) * 1000000) // (p.n * p.n), 0) AS gini_ppm
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(gini_ppm) // count(*) AS BIGINT) AS mean_gini_ppm,
+  CAST(min(gini_ppm) AS BIGINT) AS min_gini_ppm,
+  CAST(count(*) FILTER (WHERE gini_ppm < 500000) AS BIGINT)
+    AS n_low_diversity
+FROM scored GROUP BY source ORDER BY source
+"""))
+
+  /** q204 — session sequence mining: the top event-type trigrams
+    * inside 30-minute-gap sessions — the "what do users actually do"
+    * pattern table behind funnel design and bot fingerprinting.
+    * Sessionization is the standard lag-gap → cumulative-flag pair of
+    * windows keyed by user (each user's history sorts inside its own
+    * partition — the key the computation inherently needs); trigrams
+    * are two leads in the session window; the count is one exchange.
+    * Ties in the top-20 break lexicographically. */
+  val q204 = QuerySpec("q204_event_trigrams",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("t"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val sess = ev
+        .withColumn("gap", col("t") - lag("t", 1).over(w))
+        .withColumn("newsess",
+          when(col("gap").isNull || col("gap") > 1800L, 1L).otherwise(0L))
+        .withColumn("sid", sum("newsess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+      sess
+        .withColumn("e2", lead("event_type", 1).over(ws))
+        .withColumn("e3", lead("event_type", 2).over(ws))
+        .where(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3"))
+        .limit(20)
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+    event_id
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN t - lag(t) OVER uw > 1800
+                   OR lag(t) OVER uw IS NULL THEN 1 ELSE 0 END AS newsess
+  FROM ev WINDOW uw AS (PARTITION BY user_id ORDER BY t, event_id)
+), sess AS (
+  SELECT *, sum(newsess) OVER
+    (PARTITION BY user_id ORDER BY t, event_id
+     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), tri AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER sw AS e2,
+    lead(event_type, 2) OVER sw AS e3
+  FROM sess WINDOW sw AS (PARTITION BY user_id, sid ORDER BY t, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3 ORDER BY n DESC, e1, e2, e3 LIMIT 20
+"""))
+
+  /** q205 — robust anomaly detection (median/MAD): per event type,
+    * the exact median of `value`, the median absolute deviation, and
+    * the count of events beyond 3 MADs — the outlier rule that,
+    * unlike mean/stddev z-scores, a few extreme points cannot drag.
+    * Two exact-median aggregates (the q02 machinery) + one broadcast
+    * probe of the 5-row stats frame back onto the stream; medians and
+    * deviations round to 6 (the engine-standard float pin), and the
+    * 3·MAD comparison happens on the ROUNDED values so both engines
+    * gate identically.
+    */
+  val q205 = QuerySpec("q205_value_anomalies",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(round(median(col("value")), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", round(abs(col("value") - col("med")), 6))
+      val stats = dev.groupBy("event_type")
+        .agg(first("med").as("med"), round(median(col("ad")), 6).as("mad"))
+      dev.drop("med").join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(first("med").as("med"), first("mad").as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .withColumn("anomaly_ppm", expr("(n_anomalies * 1000000) div n"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH med AS (
+  SELECT event_type, round(median(value), 6) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, round(abs(e.value - m.med), 6) AS ad, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), stats AS (
+  SELECT event_type, any_value(med) AS med, round(median(ad), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, s.med, s.mad,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) FILTER (WHERE d.ad > s.mad * 3) AS BIGINT) AS n_anomalies,
+  (count(*) FILTER (WHERE d.ad > s.mad * 3)) * 1000000 // count(*)
+    AS anomaly_ppm
+FROM dev d JOIN stats s ON d.event_type = s.event_type
+GROUP BY d.event_type, s.med, s.mad ORDER BY d.event_type
+"""))
+
+  /** q206 — sketch roll-up without rescan: per-HOUR KMV sketches of
+    * distinct users (k=32) merged up to per-day estimates by
+    * re-taking the k smallest hashes of the hour sketches' union —
+    * the exact mechanism a 100 TB metrics store uses to serve
+    * "distinct users per day/week/month" from hour-grain sketch
+    * partitions without ever rescanning raw events. The day estimate
+    * comes only from the ≤ 24·k merged hash rows, not from the event
+    * stream; the exact per-day distinct rides along as the
+    * verification column. Same deterministic 60-bit hash and IEEE
+    * estimator as q199. */
+  val q206 = QuerySpec("q206_sketch_rollup",
+    (s, dir) => {
+      val k = 32
+      val ev = Tables(s, dir, "events")
+        .select((col("ts").cast("long") / 3600L).cast("long").as("hour_idx"),
+          col("user_id"))
+      val hashed = graft.CacheRegistry.persistTracked(
+        ev.distinct()
+          .withColumn("h", expr(h60("cast(user_id as string)")))
+          .withColumn("day_idx", expr("hour_idx div 24")))
+      // hour-grain sketches: top-k smallest hashes per hour
+      val wh = Window.partitionBy("hour_idx").orderBy("h", "user_id")
+      val hourSketch = hashed.withColumn("rn", row_number().over(wh))
+        .where(col("rn") <= k)
+        .select("day_idx", "hour_idx", "h")
+      // day-grain merge: k smallest of the union of the day's hour
+      // sketches (distinct h first — the same user in two hours is
+      // one identity)
+      val wd = Window.partitionBy("day_idx").orderBy("h")
+      val daySketch = hourSketch.select("day_idx", "h").distinct()
+        .withColumn("rn", row_number().over(wd))
+        .where(col("rn") <= k)
+        .groupBy("day_idx")
+        .agg(max(when(col("rn") === k, col("h"))).as("hk"),
+          count(lit(1)).as("kseen"))
+      val exact = hashed.select("day_idx", "user_id").distinct()
+        .groupBy("day_idx").agg(count(lit(1)).as("exact_n"))
+      daySketch.join(exact, "day_idx")
+        .withColumn("est_n",
+          when(col("kseen") < k, col("kseen"))
+            .otherwise(expr(
+              s"cast(floor(${k - 1}.0 * 1152921504606846976.0 / hk) as bigint)")))
+        .select("day_idx", "kseen", "est_n", "exact_n")
+        .orderBy("day_idx")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+    user_id
+  FROM events
+), hashed AS (
+  SELECT hour_idx, hour_idx // 24 AS day_idx, user_id,
+    ${sqlH60("CAST(user_id AS VARCHAR)")} AS h
+  FROM ev
+), hr AS (
+  SELECT day_idx, hour_idx, h,
+    row_number() OVER (PARTITION BY hour_idx ORDER BY h, user_id) AS rn
+  FROM hashed
+), hour_sketch AS (
+  SELECT DISTINCT day_idx, h FROM hr WHERE rn <= 32
+), dr AS (
+  SELECT day_idx, h,
+    row_number() OVER (PARTITION BY day_idx ORDER BY h) AS rn
+  FROM hour_sketch
+), day_sketch AS (
+  SELECT day_idx, max(CASE WHEN rn = 32 THEN h END) AS hk,
+    CAST(count(*) AS BIGINT) AS kseen
+  FROM dr WHERE rn <= 32 GROUP BY day_idx
+), exact AS (
+  SELECT day_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+  FROM hashed GROUP BY day_idx
+)
+SELECT d.day_idx, d.kseen,
+  CASE WHEN d.kseen < 32 THEN d.kseen
+       ELSE CAST(floor(31.0 * 1152921504606846976.0
+                       / CAST(d.hk AS DOUBLE)) AS BIGINT) END AS est_n,
+  e.exact_n
+FROM day_sketch d JOIN exact e ON d.day_idx = e.day_idx
+ORDER BY d.day_idx
+"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206)
+}

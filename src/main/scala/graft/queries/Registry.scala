@@ -8,5 +8,5 @@ object Registry {
     Parity.all ++ Parity2.all ++ Parity3.all ++ Benchmarkish.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all ++
-      E2eQueries.all ++ OpsQueries.all
+      E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all
 }
