@@ -552,6 +552,346 @@ FROM day_sketch d JOIN exact e ON d.day_idx = e.day_idx
 ORDER BY d.day_idx
 """))
 
+  /** q207 — hybrid retrieval with reciprocal-rank fusion (RRF): the
+    * standard way a 2020s search stack merges a lexical run and a
+    * second scorer's run without calibrating their incomparable score
+    * scales — each run contributes 1/(60+rank), summed. Run A ranks
+    * by total query-term frequency; run B by distinct-term coverage
+    * (coverage-first, the "all words present" heuristic) — two real,
+    * differently-shaped lexical scorers. RRF here is integer-exact:
+    * 10⁹ div (60+rank), summed — no float fusion scores to drift.
+    * Each run is a top-20 window (WindowGroupLimit prunes) over one
+    * shared term-match aggregate; the fusion joins two 20-row frames.
+    */
+  val q207 = QuerySpec("q207_hybrid_retrieval_rrf",
+    (s, dir) => {
+      val terms = Seq("the", "data", "spark", "fast")
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .where(col("tok").isin(terms: _*))
+      val matches = graft.CacheRegistry.persistTracked(
+        toks.groupBy("doc_id")
+          .agg(count(lit(1)).as("tf"), countDistinct("tok").as("cov")))
+      def run(ord: Seq[org.apache.spark.sql.Column], name: String) =
+        matches.withColumn(name,
+            row_number().over(Window.orderBy(ord: _*)))
+          .where(col(name) <= 20)
+          .select(col("doc_id"), col(name))
+      val runA = run(Seq(desc("tf"), asc("doc_id")), "rank_a")
+      val runB = run(Seq(desc("cov"), desc("tf"), asc("doc_id")), "rank_b")
+      runA.join(runB, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_nano",
+          coalesce(expr("1000000000 div (60 + rank_a)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + rank_b)"), lit(0L)))
+        .withColumn("fused_rank", row_number().over(
+          Window.orderBy(desc("rrf_nano"), asc("doc_id"))))
+        .where(col("fused_rank") <= 15)
+        .select("fused_rank", "doc_id", "rank_a", "rank_b", "rrf_nano")
+        .orderBy("fused_rank")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+), m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf,
+    CAST(count(DISTINCT tok) AS BIGINT) AS cov
+  FROM toks WHERE tok IN ('the', 'data', 'spark', 'fast')
+  GROUP BY doc_id
+), ra AS (
+  SELECT doc_id, rank_a FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_a
+    FROM m) WHERE rank_a <= 20
+), rb AS (
+  SELECT doc_id, rank_b FROM (
+    SELECT doc_id,
+      row_number() OVER (ORDER BY cov DESC, tf DESC, doc_id) AS rank_b
+    FROM m) WHERE rank_b <= 20
+), fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_a, rb.rank_b,
+    coalesce(1000000000 // (60 + ra.rank_a), 0)
+      + coalesce(1000000000 // (60 + rb.rank_b), 0) AS rrf_nano
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS INT)
+      AS fused_rank,
+    doc_id, CAST(rank_a AS INT) AS rank_a, CAST(rank_b AS INT) AS rank_b,
+    rrf_nano
+  FROM fused
+) WHERE fused_rank <= 15 ORDER BY fused_rank
+"""))
+
+  /** q208 — stratified k-fold assignment + balance audit: the
+    * cross-validation split a model-selection pass needs, hash-
+    * assigned (engine-standard deterministic md5, so folds are
+    * reproducible across runs AND machines — no RNG state) within
+    * each (source, lang) stratum. The audit pivots fold counts per
+    * stratum and reports the min/max fold-size imbalance — the
+    * number a reviewer checks before trusting a CV estimate.
+    * One narrow projection + one map-side-combining aggregate.
+    */
+  val q208 = QuerySpec("q208_stratified_kfold",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("fold", expr(
+          s"pmod(${h60("concat(source, '|', lang, '|', doc_id)")}, 5)"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("fold") === 0, 1L).otherwise(0L)).as("f0"),
+          sum(when(col("fold") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("fold") === 2, 1L).otherwise(0L)).as("f2"),
+          sum(when(col("fold") === 3, 1L).otherwise(0L)).as("f3"),
+          sum(when(col("fold") === 4, 1L).otherwise(0L)).as("f4"))
+        .withColumn("imbalance",
+          greatest(col("f0"), col("f1"), col("f2"), col("f3"), col("f4")) -
+            least(col("f0"), col("f1"), col("f2"), col("f3"), col("f4")))
+        .orderBy("source", "lang")
+    },
+    Some(raw"""
+WITH f AS (
+  SELECT source, lang,
+    ${sqlH60("concat(source, '|', lang, '|', doc_id)")} % 5 AS fold
+  FROM documents
+), a AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) FILTER (WHERE fold = 0) AS BIGINT) AS f0,
+    CAST(count(*) FILTER (WHERE fold = 1) AS BIGINT) AS f1,
+    CAST(count(*) FILTER (WHERE fold = 2) AS BIGINT) AS f2,
+    CAST(count(*) FILTER (WHERE fold = 3) AS BIGINT) AS f3,
+    CAST(count(*) FILTER (WHERE fold = 4) AS BIGINT) AS f4
+  FROM f GROUP BY source, lang
+)
+SELECT source, lang, n, f0, f1, f2, f3, f4,
+  greatest(f0, f1, f2, f3, f4) - least(f0, f1, f2, f3, f4) AS imbalance
+FROM a ORDER BY source, lang
+"""))
+
+  /** q209 — OHLC bars (open/high/low/close + volume + integer mean):
+    * the time-series compaction every market-data store runs — and
+    * the reference pipeline's own domain. Values convert to EXACT
+    * integer cents (round(value·100): the source is 2-decimal, so the
+    * nearest integer is the true cents — no float aggregation
+    * anywhere). Open/close are first/last by (ts, event_id) — the
+    * total order making ties impossible — via two ranked windows
+    * keyed by the bar, which is exactly the partitioning the bar
+    * aggregate needs anyway. */
+  val q209 = QuerySpec("q209_ohlc_bars",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)").as("day_idx"),
+          col("ts").cast("long").as("t"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val w = Window.partitionBy("event_type", "day_idx")
+      val ranked = ev
+        .withColumn("rn_open",
+          row_number().over(w.orderBy(asc("t"), asc("event_id"))))
+        .withColumn("rn_close",
+          row_number().over(w.orderBy(desc("t"), desc("event_id"))))
+      ranked.groupBy("event_type", "day_idx")
+        .agg(max(when(col("rn_open") === 1, col("cents"))).as("open_c"),
+          max("cents").as("high_c"), min("cents").as("low_c"),
+          max(when(col("rn_close") === 1, col("cents"))).as("close_c"),
+          count(lit(1)).as("volume"),
+          expr("sum(cents) div count(1)").as("mean_c"))
+        .orderBy("event_type", "day_idx")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, day_idx
+      ORDER BY t, event_id) AS rn_open,
+    row_number() OVER (PARTITION BY event_type, day_idx
+      ORDER BY t DESC, event_id DESC) AS rn_close
+  FROM ev
+)
+SELECT event_type, day_idx,
+  max(CASE WHEN rn_open = 1 THEN cents END) AS open_c,
+  max(cents) AS high_c, min(cents) AS low_c,
+  max(CASE WHEN rn_close = 1 THEN cents END) AS close_c,
+  CAST(count(*) AS BIGINT) AS volume,
+  sum(cents) // count(*) AS mean_c
+FROM ranked GROUP BY event_type, day_idx ORDER BY event_type, day_idx
+"""))
+
+  /** q210 — Mann–Kendall trend test: the nonparametric "is this
+    * metric trending" statistic (S = Σ_{i<j} sign(xⱼ−xᵢ) over the
+    * daily series) that, being rank-based, no outlier day can fake —
+    * the monitoring-layer complement to q205's MAD outliers. The
+    * corpus-scale work is the per-day aggregate; the pairwise sum
+    * runs on the ~30-row-per-key day series (bounded by the calendar,
+    * not the corpus — the O(days²) term is a constant at any corpus
+    * size). All-integer: cents sums, sign counts, and Kendall's tau
+    * in exact ppm of the n(n−1)/2 pair count.
+    */
+  val q210 = QuerySpec("q210_trend_mann_kendall",
+    (s, dir) => {
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+              .as("day_idx"))
+          .agg(expr("sum(cast(round(value * 100) as bigint))").as("x")))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day_idx") < col("b.day_idx"))
+        .select(col("a.event_type").as("event_type"),
+          signum(col("b.x") - col("a.x")).cast("long").as("sgn"))
+      val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      pairs.groupBy("event_type").agg(sum("sgn").as("s_stat"))
+        .join(n, "event_type")
+        .withColumn("tau_ppm",
+          expr("(s_stat * 1000000) div (n_days * (n_days - 1) div 2)"))
+        .select("event_type", "n_days", "s_stat", "tau_ppm")
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, CAST(sign(b.x - a.x) AS BIGINT) AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT p.event_type, n.n_days, sum(p.sgn) AS s_stat,
+  (sum(p.sgn) * 1000000) // (n.n_days * (n.n_days - 1) // 2) AS tau_ppm
+FROM pairs p JOIN n ON p.event_type = n.event_type
+GROUP BY p.event_type, n.n_days ORDER BY p.event_type
+"""))
+
+  /** q211 — CUSUM changepoint detection: the cumulative-sum scan
+    * statistic (max |Σᵢ (xₖ − x̄)|) that localizes WHERE a daily
+    * metric shifted — the drift detector's offline sibling (q156
+    * watches distributions stream-side; this pins the day a level
+    * change happened). Mean and cumulative deviations are exact
+    * integers (cents·n kept un-divided: Sᵢ·n = n·Σxₖ − i·Σx avoids
+    * the floor-mean bias entirely). Per-key series are
+    * calendar-bounded, so the window cumsum is O(days) per key; the
+    * corpus-scale work is again the daily aggregate. */
+  val q211 = QuerySpec("q211_cusum_changepoint",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+            .as("day_idx"))
+        .agg(expr("sum(cast(round(value * 100) as bigint))").as("x"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy("event_type").orderBy("day_idx")
+      // S_i scaled by n: n·(x₁+…+xᵢ) − i·Σx — integer-exact
+      val scanned = daily.join(broadcast(tot), "event_type")
+        .withColumn("i", row_number().over(w))
+        .withColumn("cum", sum("x").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s_n", col("n_days") * col("cum") - col("i") * col("sx"))
+        .withColumn("abs_s", abs(col("s_n")))
+      scanned.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(desc("abs_s"), asc("day_idx"))))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("day_idx").as("change_day"), col("abs_s").as("max_cusum_n"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(x) AS sx, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), scanned AS (
+  SELECT d.event_type, t.n_days, d.day_idx,
+    abs(t.n_days * sum(d.x) OVER (PARTITION BY d.event_type
+        ORDER BY d.day_idx ROWS UNBOUNDED PRECEDING)
+      - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day_idx))
+        * t.sx) AS abs_s
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY abs_s DESC, day_idx) AS rk
+  FROM scanned
+)
+SELECT event_type, n_days, day_idx AS change_day, abs_s AS max_cusum_n
+FROM best WHERE rk = 1 ORDER BY event_type
+"""))
+
+  /** q212 — zone-map data skipping audit: the min/max-per-zone
+    * statistics that let a 100 TB scan skip files without opening
+    * them (the Parquet row-group / Iceberg manifest mechanism,
+    * reduced to its engine core). Zones are 1000-event arrival-order
+    * slices (event_id order ≈ time order in an append-only log, so
+    * time zones are NATURALLY tight); for each of three probe-window
+    * widths (hour / day / week, anchored mid-range) the audit counts
+    * zones whose [min,max] time range misses the window — the
+    * skippable fraction in exact ppm. The zone-stat frame is one
+    * map-side-combining aggregate, |zones| rows; the probe join is
+    * against a 3-row literal frame. */
+  val q212 = QuerySpec("q212_zone_map_skipping",
+    (s, dir) => {
+      val zones = Tables(s, dir, "events")
+        .select(expr("event_id div 1000").as("zone"),
+          col("ts").cast("long").as("t"))
+        .groupBy("zone").agg(min("t").as("tmin"), max("t").as("tmax"))
+      val bounds = zones.agg(min("tmin").as("lo"), max("tmax").as("hi"))
+      val probes = bounds.select(explode(expr(
+        "array(struct('hour' as probe, 3600L as width), " +
+          "struct('day' as probe, 86400L as width), " +
+          "struct('week' as probe, 604800L as width))")).as("p"),
+          col("lo"), col("hi"))
+        .select(col("p.probe").as("probe"),
+          ((col("lo") + col("hi")) / 2).cast("long").as("w_start"),
+          (((col("lo") + col("hi")) / 2).cast("long") + col("p.width"))
+            .as("w_end"))
+      zones.crossJoin(broadcast(probes))
+        .groupBy("probe")
+        .agg(count(lit(1)).as("zones_total"),
+          sum(when(col("tmax") < col("w_start") ||
+            col("tmin") > col("w_end"), 1L).otherwise(0L))
+            .as("zones_skipped"))
+        .withColumn("skip_ppm",
+          expr("(zones_skipped * 1000000) div zones_total"))
+        .orderBy("probe")
+    },
+    Some(raw"""
+WITH zones AS (
+  SELECT event_id // 1000 AS zone,
+    min(CAST(floor(epoch(ts)) AS BIGINT)) AS tmin,
+    max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(tmin) AS lo, max(tmax) AS hi FROM zones
+), probes AS (
+  SELECT p.probe, (b.lo + b.hi) // 2 AS w_start,
+    (b.lo + b.hi) // 2 + p.width AS w_end
+  FROM bounds b, (SELECT unnest([
+    {'probe': 'hour', 'width': 3600},
+    {'probe': 'day', 'width': 86400},
+    {'probe': 'week', 'width': 604800}], recursive := true)) p
+)
+SELECT p.probe, CAST(count(*) AS BIGINT) AS zones_total,
+  CAST(count(*) FILTER (WHERE z.tmax < p.w_start OR z.tmin > p.w_end)
+    AS BIGINT) AS zones_skipped,
+  (count(*) FILTER (WHERE z.tmax < p.w_start OR z.tmin > p.w_end))
+    * 1000000 // count(*) AS skip_ppm
+FROM zones z, probes p GROUP BY p.probe ORDER BY p.probe
+"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
+      q208, q209, q210, q211, q212)
 }
