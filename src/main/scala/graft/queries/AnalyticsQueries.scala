@@ -891,7 +891,222 @@ SELECT p.probe, CAST(count(*) AS BIGINT) AS zones_total,
 FROM zones z, probes p GROUP BY p.probe ORDER BY p.probe
 """))
 
+  /** q213 — token co-occurrence LIFT (the integer-exact stand-in for
+    * PMI, which would put a live log in two libms): for pairs of
+    * frequent tokens, lift = P(a,b)/(P(a)·P(b)) over documents, in
+    * exact ppm — (c_ab·N·10⁶) div (c_a·c_b). The pair space is
+    * restricted to the top-12 tokens by document frequency (the
+    * bounded-candidate discipline every co-occurrence miner needs:
+    * unrestricted token pairs are quadratic in vocabulary), so the
+    * pair join runs on a broadcast-sized doc-set frame. Output: all
+    * co-occurring top-token pairs with counts and lift, ordered by
+    * lift. Collocations (lift ≫ 1) vs anti-correlated pairs (< 1)
+    * fall straight out. */
+  val q213 = QuerySpec("q213_token_lift",
+    (s, dir) => {
+      val docToks = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+          .distinct())
+      val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val top = docToks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("tok")).limit(12)
+      val hits = docToks.join(broadcast(top.select("tok", "df")), "tok")
+      val pairs = hits.as("x").join(hits.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("x.tok") < col("y.tok"))
+        .groupBy(col("x.tok").as("tok_a"), col("y.tok").as("tok_b"),
+          col("x.df").as("df_a"), col("y.df").as("df_b"))
+        .agg(count(lit(1)).as("c_ab"))
+      pairs.crossJoin(broadcast(n))
+        .withColumn("lift_ppm",
+          expr("(c_ab * n_docs * 1000000) div (df_a * df_b)"))
+        .select("tok_a", "tok_b", "c_ab", "df_a", "df_b", "lift_ppm")
+        .orderBy(desc("lift_ppm"), asc("tok_a"), asc("tok_b"))
+    },
+    Some(raw"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY tok ORDER BY df DESC, tok LIMIT 12
+), hits AS (
+  SELECT dt.doc_id, dt.tok, top.df FROM dt JOIN top ON dt.tok = top.tok
+), pairs AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b, x.df AS df_a, y.df AS df_b,
+    CAST(count(*) AS BIGINT) AS c_ab
+  FROM hits x JOIN hits y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tok_a, tok_b, c_ab, df_a, df_b,
+  (c_ab * n.n_docs * 1000000) // (df_a * df_b) AS lift_ppm
+FROM pairs, n ORDER BY lift_ppm DESC, tok_a, tok_b
+"""))
+
+  /** q214 — cross-source vocabulary overlap: exact Jaccard of the
+    * token vocabularies of every source pair, in ppm — the corpus-
+    * composition diagnostic that flags a source as domain-shifted
+    * (low overlap with everything) or redundant (near-total overlap
+    * with one sibling) before mixing weights are chosen. |V| per
+    * source and |∩| per pair come from ONE distinct (source, token)
+    * frame: the pair intersection is a self-join on token restricted
+    * to source_a < source_b — token-keyed, so the join work scales
+    * with shared vocabulary, never |Vₐ|·|V_b|. */
+  val q214 = QuerySpec("q214_source_vocab_overlap",
+    (s, dir) => {
+      val st = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "documents")
+          .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+          .distinct())
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
+      val inter = st.as("a").join(st.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("v", "v_a"), "src_a")
+        .join(sizes.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("v", "v_b"), "src_b")
+        .withColumn("jaccard_ppm",
+          expr("(n_common * 1000000) div (v_a + v_b - n_common)"))
+        .select("src_a", "src_b", "v_a", "v_b", "n_common", "jaccard_ppm")
+        .orderBy("src_a", "src_b")
+    },
+    Some(raw"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents)
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+  (i.n_common * 1000000) // (sa.v + sb.v - i.n_common) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+ORDER BY i.src_a, i.src_b
+"""))
+
+  /** q215 — token burstiness (index of dispersion): variance-to-mean
+    * ratio of per-document counts for the top document-frequency
+    * tokens — the classic content-vs-function-word separator
+    * (function words spread evenly, dispersion ≈ 1; topical words
+    * clump, dispersion ≫ 1) that term-weighting and stopword
+    * induction build on. Kept integer-exact by scaling before the
+    * division: dispersion·10⁶ = (n·Σc² − (Σc)²)·10⁶ div (n·Σc) —
+    * variance and mean never materialize as floats. Zero-count
+    * documents are IN the statistics (n is the corpus size, Σ runs
+    * over occurrences), which the algebra handles for free. */
+  val q215 = QuerySpec("q215_token_burstiness",
+    (s, dir) => {
+      val perDoc = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c")))
+      val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val top = perDoc.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .orderBy(desc("df"), asc("tok")).limit(15)
+      top.crossJoin(broadcast(n))
+        .withColumn("dispersion_ppm",
+          expr("((n_docs * sc2 - sc * sc) * 1000000) div (n_docs * sc)"))
+        .select("tok", "df", "sc", "dispersion_ppm")
+        .orderBy(desc("dispersion_ppm"), asc("tok"))
+    },
+    Some(raw"""
+WITH pd AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df, sum(c) AS sc,
+    sum(c * c) AS sc2
+  FROM pd GROUP BY tok ORDER BY df DESC, tok LIMIT 15
+)
+SELECT tok, df, sc,
+  ((n.n_docs * sc2 - sc * sc) * 1000000) // (n.n_docs * sc)
+    AS dispersion_ppm
+FROM top, n ORDER BY dispersion_ppm DESC, tok
+"""))
+
+  /** q216 — log-binned quantile sketch: the mergeable quantile
+    * structure (power-of-two bins — a 64-cell histogram per key) that
+    * answers p50/p90/p99 over 100 TB with relative-error-bounded
+    * BRACKETS instead of a full sort. The bin index is
+    * length(bin(cents))−1 = ⌊log₂⌋ computed on the BINARY STRING —
+    * integer-exact, no live log2 whose boundary ulps could disagree
+    * between engines (the q185 rule again). Per event type: bin
+    * counts → cumulative → the first bin where the running count
+    * reaches ⌈q·n⌉ gives [2^bin, 2^(bin+1)) as the quantile bracket.
+    * Sketches merge by adding bin counts — the same roll-up contract
+    * as q206's KMV. */
+  val q216 = QuerySpec("q216_log_quantile_sketch",
+    (s, dir) => {
+      val binned = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .where(col("cents") > 0)
+        .withColumn("bin", (length(expr("bin(cents)")) - 1).cast("long"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("bc"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+      val cum = binned
+        .withColumn("cumc", sum("bc").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(binned.groupBy("event_type").agg(sum("bc").as("n")),
+          "event_type")
+      val qs = cum.select(col("event_type"), col("bin"), col("cumc"),
+          col("n"), explode(expr(
+            "array(struct(50L as q), struct(90L as q), struct(99L as q))"))
+            .as("p"))
+        .withColumn("q", col("p.q"))
+        .where(col("cumc") * 100 >= col("q") * col("n"))
+        .groupBy("event_type", "q", "n")
+        .agg(min("bin").as("qbin"))
+      qs.withColumn("lo_cents", expr("cast(pow(2, qbin) as bigint)"))
+        .withColumn("hi_cents", expr("cast(pow(2, qbin + 1) as bigint) - 1"))
+        .select("event_type", "q", "n", "qbin", "lo_cents", "hi_cents")
+        .orderBy("event_type", "q")
+    },
+    Some(raw"""
+WITH binned AS (
+  SELECT event_type, length(bin(cents)) - 1 AS bin,
+    CAST(count(*) AS BIGINT) AS bc
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+  WHERE cents > 0 GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, bc,
+    sum(bc) OVER (PARTITION BY event_type ORDER BY bin
+      ROWS UNBOUNDED PRECEDING) AS cumc,
+    sum(bc) OVER (PARTITION BY event_type) AS n
+  FROM binned
+), qs AS (
+  SELECT event_type, q.q, n, min(bin) AS qbin
+  FROM cum, (SELECT unnest([50, 90, 99]) AS q) q
+  WHERE cumc * 100 >= q.q * n
+  GROUP BY event_type, q.q, n
+)
+SELECT event_type, CAST(q AS BIGINT) AS q, CAST(n AS BIGINT) AS n,
+  CAST(qbin AS BIGINT) AS qbin,
+  CAST(2 ** qbin AS BIGINT) AS lo_cents,
+  CAST(2 ** (qbin + 1) AS BIGINT) - 1 AS hi_cents
+FROM qs ORDER BY event_type, q
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-      q208, q209, q210, q211, q212)
+      q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }
