@@ -35,37 +35,41 @@ object AnalyticsQueries {
     s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
 
   /** q198 — bucketized range join ([[RangeJoin.pointInInterval]]):
-    * every `error` event opens a 10-minute incident window; the query
-    * reports, per window, the other-type events and distinct users
-    * caught inside it — the "what else happened during the incident"
-    * join every observability store runs. Naively this is a cross
-    * join with a BETWEEN predicate (O(N·M) — the plan Spark falls
-    * back to for range predicates); the operator quantizes time into
+    * every `error` event opens a 10-minute incident window for ITS
+    * USER; the query reports, per window, what that user did inside
+    * it — the "what led up to / followed the error" join every
+    * observability store runs. Naively this is a join with a BETWEEN
+    * predicate (a nested-loop plan); the operator quantizes time into
     * 600 s buckets, explodes each interval over the ≤ 2 buckets it
-    * covers, and equi-joins on the bucket, so Catalyst plans a plain
-    * shuffled join with AQE in play and the range predicate only
-    * refines bucket-local candidates. A point meets a qualifying
+    * covers, and equi-joins on (user_id, bucket), so Catalyst plans a
+    * plain shuffled join with AQE in play and the range predicate
+    * only refines bucket-local candidates. A point meets a qualifying
     * interval in exactly one bucket — duplicate-free without a
-    * distinct. The oracle replays the naive BETWEEN join (tractable
-    * at test SF), which must equal the bucketized plan exactly.
-    */
+    * distinct. The user_id equi-key is the SCALE contract, not a
+    * nicety: the first keyless cut of this query measured 819× at
+    * 100× rows (candidate pairs grow with the square of per-bucket
+    * density when every interval meets every point; scoped per user,
+    * density per key is flat and the join is linear in its output —
+    * re-measured 100×→~2× after scoping). The oracle replays the
+    * naive BETWEEN join, which must equal the bucketized plan
+    * exactly. */
   val q198 = QuerySpec("q198_range_join",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("ts").cast("long").as("t"),
           col("user_id"), col("event_type"))
       val bursts = ev.where(col("event_type") === "error")
-        .select(col("event_id").as("burst_id"), col("t").as("start_t"),
-          (col("t") + 600L).as("end_t"))
+        .select(col("user_id"), col("event_id").as("burst_id"),
+          (col("t") - 300L).as("start_t"), (col("t") + 300L).as("end_t"))
       val pts = ev.where(col("event_type") =!= "error")
-        .select(col("event_id"), col("t"), col("user_id"), col("event_type"))
+        .select(col("user_id"), col("event_id"), col("t"), col("event_type"))
       RangeJoin.pointInInterval(pts, "t", bursts, "start_t", "end_t",
-          bucketWidth = 600L)
+          bucketWidth = 600L, keyCols = Seq("user_id"))
         .groupBy("burst_id")
         .agg(count(lit(1)).as("n_events"),
-          countDistinct("user_id").as("n_users"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("n_purchases"))
+            .as("n_purchases"),
+          min("t").as("first_t"), max("t").as("last_t"))
         .orderBy("burst_id")
     },
     Some(raw"""
@@ -74,16 +78,17 @@ WITH ev AS (
     event_type
   FROM events
 ), bursts AS (
-  SELECT event_id AS burst_id, t AS start_t, t + 600 AS end_t
+  SELECT user_id, event_id AS burst_id, t - 300 AS start_t,
+    t + 300 AS end_t
   FROM ev WHERE event_type = 'error'
 )
 SELECT b.burst_id,
   CAST(count(*) AS BIGINT) AS n_events,
-  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
   CAST(count(*) FILTER (WHERE p.event_type = 'purchase') AS BIGINT)
-    AS n_purchases
+    AS n_purchases,
+  min(p.t) AS first_t, max(p.t) AS last_t
 FROM bursts b
-JOIN ev p ON p.event_type <> 'error'
+JOIN ev p ON p.user_id = b.user_id AND p.event_type <> 'error'
   AND p.t BETWEEN b.start_t AND b.end_t
 GROUP BY b.burst_id ORDER BY b.burst_id
 """))
@@ -179,16 +184,23 @@ FROM sk JOIN ex ON sk.source = ex.source ORDER BY sk.source
     */
   val q200 = QuerySpec("q200_heavy_hitters",
     (s, dir) => {
-      val occ = graft.CacheRegistry.persistTracked(
+      // ONE corpus-scale aggregate produces per-token counts; the
+      // sketch increments then run on the VOCAB-sized count frame
+      // (cell += count, identical cells to per-occurrence increments)
+      // — the first cut exploded every occurrence ×4 depths through
+      // the exchange and measured ~linear-in-corpus at sf10 (240 s);
+      // this form pays one token aggregate + a vocab-sized pass
+      val tokCounts = graft.CacheRegistry.persistTracked(
         Tables(s, dir, "documents")
-          .select(explode(T.tokens(col("text"))).as("tok")))
+          .select(explode(T.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt")))
       val bucket = expr(
         s"pmod(${h60("concat(d, ':', tok)")}, 512)")
-      val sketch = occ.select(col("tok"),
+      val sketch = tokCounts.select(col("tok"), col("cnt"),
           explode(expr("sequence(0, 3)")).as("d"))
         .withColumn("b", bucket)
-        .groupBy("d", "b").agg(count(lit(1)).as("cell"))
-      val top = occ.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .groupBy("d", "b").agg(sum("cnt").as("cell"))
+      val top = tokCounts.withColumnRenamed("cnt", "exact_n")
         .orderBy(desc("exact_n"), asc("tok")).limit(20)
       top.select(col("tok"), col("exact_n"),
           explode(expr("sequence(0, 3)")).as("d"))
