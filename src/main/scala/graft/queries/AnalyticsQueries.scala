@@ -1118,7 +1118,234 @@ SELECT event_type, CAST(q AS BIGINT) AS q, CAST(n AS BIGINT) AS n,
 FROM qs ORDER BY event_type, q
 """))
 
+  /** q217 — prefix-cache hit-rate simulation: sort the corpus's
+    * token streams lexicographically and measure how many leading
+    * tokens each document shares with its predecessor — the exact
+    * upper bound an inference server's prefix (KV) cache can reuse
+    * when prompts are routed in sorted order, and the statistic that
+    * decides whether prefix-dedup sharding is worth building. The
+    * token-LCP is the repo's codegen'd [[TokenLcp]] expression (one
+    * byte loop, no per-row array work).
+    *
+    * Scale shape: the global sort is NOT a single-partition window —
+    * rows range-partition by the sort key, each partition lags
+    * locally (window keyed by the range-bucket id), and the ≤
+    * |partitions| boundary rows get their true predecessor from a
+    * bounded per-partition max frame broadcast back (the two-phase
+    * pattern the prefix-sum core uses). Output is per-source exact
+    * integers; the oracle replays the same neighbor relation with a
+    * token-array leading-equal count. */
+  val q217 = QuerySpec("q217_prefix_cache_sim",
+    (s, dir) => {
+      import org.apache.spark.sql.graftvec.VectorExpressions.tokenLcp
+      val ext = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", T.tokens(col("text"))).as("ext"))
+      val parted = ext.repartitionByRange(32, col("ext"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val w = Window.partitionBy("pid").orderBy("ext", "doc_id")
+      val withPrev = parted.withColumn("prev_ext", lag("ext", 1).over(w))
+      // partition-boundary predecessors: the lexicographic max over
+      // ALL previous range buckets (robust to empty buckets), from a
+      // |partitions|-row frame — bounded, broadcast. The running max
+      // equals the last row of the nearest non-empty predecessor
+      // because bucket ranges are key-ordered.
+      val wp = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val edges = parted.groupBy("pid")
+        .agg(max(col("ext")).as("bucket_max"))
+        .withColumn("edge_ext", max("bucket_max").over(wp))
+        .select("pid", "edge_ext")
+      withPrev.join(broadcast(edges), Seq("pid"), "left")
+        .withColumn("prev", coalesce(col("prev_ext"), col("edge_ext")))
+        .withColumn("n_toks",
+          when(col("ext") === "", 0)
+            .otherwise(size(split(col("ext"), " "))).cast("long"))
+        .withColumn("lcp",
+          coalesce(tokenLcp(col("ext"), col("prev")), lit(0)).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum("lcp").as("cached_tokens"))
+        .withColumn("hit_ppm",
+          expr("case when n_tokens > 0 then " +
+            "(cached_tokens * 1000000) div n_tokens else 0 end"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH e AS (
+  SELECT doc_id, source, $sqlToks AS ta,
+    array_to_string($sqlToks, ' ') AS ext
+  FROM documents
+), o AS (
+  SELECT doc_id, source, ta, len(ta) AS la,
+    lag(ta) OVER (ORDER BY ext, doc_id) AS tb
+  FROM e
+), l AS (
+  SELECT doc_id, source, la,
+    CASE WHEN tb IS NULL THEN 0
+      ELSE coalesce(
+        list_filter(range(1, least(la, len(tb)) + 1),
+          i -> ta[i] IS DISTINCT FROM tb[i])[1] - 1,
+        least(la, len(tb)))
+      END AS lcp
+  FROM o
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(la) AS BIGINT) AS n_tokens,
+  CAST(sum(lcp) AS BIGINT) AS cached_tokens,
+  CASE WHEN sum(la) > 0
+       THEN (sum(lcp) * 1000000) // sum(la) ELSE 0 END AS hit_ppm
+FROM l GROUP BY source ORDER BY source
+"""))
+
+  /** q218 — activity-streak distribution: per user, the longest run
+    * of consecutive active DAYS, reported as a histogram (streak
+    * length → user count) — the engagement metric every product
+    * dashboard carries, and the canonical gaps-and-islands exercise:
+    * distinct active days minus their per-user row_number are
+    * constant within a consecutive run, so one window + two
+    * aggregates produce streaks without self-joins. All windows key
+    * by user — the partitioning the per-user statistic needs anyway.
+    */
+  val q218 = QuerySpec("q218_activity_streaks",
+    (s, dir) => {
+      val days = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+            .as("day_idx"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_idx")
+      val streaks = days
+        .withColumn("grp", col("day_idx") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("best"))
+      streaks.groupBy("best").agg(count(lit(1)).as("n_users"))
+        .select(col("best").as("streak_days"), col("n_users"))
+        .orderBy("streak_days")
+    },
+    Some(raw"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+), g AS (
+  SELECT user_id, day_idx,
+    day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx)
+      AS grp
+  FROM days
+), runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+  FROM g GROUP BY 1, 2
+), best AS (
+  SELECT user_id, max(len) AS best FROM runs GROUP BY 1
+)
+SELECT best AS streak_days, CAST(count(*) AS BIGINT) AS n_users
+FROM best GROUP BY best ORDER BY streak_days
+"""))
+
+  /** q219 — maximum drawdown: per event type, the largest
+    * peak-to-trough fall of the cumulative daily value series — the
+    * risk statistic the reference's valuation domain reports next to
+    * returns. Cumulative sums, running maxima, and the drawdown are
+    * all exact integer cents through two ordered windows over the
+    * calendar-bounded daily series; the corpus-scale work is the
+    * daily aggregate, as in q210/q211. Reports the drawdown, the
+    * peak and trough days, and the peak value. */
+  val q219 = QuerySpec("q219_max_drawdown",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+            .as("day_idx"))
+        .agg(expr("sum(cast(round(value * 100) as bigint))").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day_idx")
+      val cum = daily
+        .withColumn("cum", sum("x").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("peak", max("cum").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dd", col("peak") - col("cum"))
+      cum.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("dd"), asc("day_idx"))))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("day_idx").as("trough_day"),
+          col("peak").as("peak_cents"), col("dd").as("drawdown_cents"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day_idx,
+    sum(x) OVER (PARTITION BY event_type ORDER BY day_idx
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+), pk AS (
+  SELECT event_type, day_idx, cum,
+    max(cum) OVER (PARTITION BY event_type ORDER BY day_idx
+      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cum
+), dd AS (
+  SELECT event_type, day_idx, peak, peak - cum AS dd,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY peak - cum DESC, day_idx) AS rk
+  FROM pk
+)
+SELECT event_type, day_idx AS trough_day, peak AS peak_cents,
+  dd AS drawdown_cents
+FROM dd WHERE rk = 1 ORDER BY event_type
+"""))
+
+  /** q220 — deterministic priority sampling (weight-proportional
+    * without replacement, Duffield/Alon style): each document gets
+    * priority = weight·2³¹ div (hash₃₁+1) — an EXACT integer in place
+    * of the classical w/uniform — and the global top-k by priority is
+    * the sample. Hash-derived "randomness" makes the sample
+    * reproducible across runs, machines, and engines (the same
+    * property every sampling operator in this repo pins), and
+    * weight-proportional inclusion follows because priority grows
+    * with w while the hash is uniform. Top-k is a rank window that
+    * WindowGroupLimit prunes per partition — no global sort of the
+    * corpus. */
+  val q220 = QuerySpec("q220_priority_sample",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("w"))
+        .where(col("w") > 0)
+        // 31-bit hash keeps w·2³¹ far inside long range (the 60-bit
+        // form would overflow at w ≥ 9): priority = w·2³¹ div (h₃₁+1)
+        .withColumn("h31",
+          expr(s"pmod(${h60("concat('ps|', doc_id)")}, 2147483648) + 1"))
+        .withColumn("priority", expr("(w * 2147483648) div h31"))
+      docs.withColumn("rk", row_number().over(
+          Window.orderBy(desc("priority"), asc("doc_id"))))
+        .where(col("rk") <= 20)
+        .select(col("rk"), col("doc_id"), col("w"), col("priority"))
+        .orderBy("rk")
+    },
+    Some(raw"""
+WITH docs AS (
+  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS w,
+    ${sqlH60("concat('ps|', doc_id)")} % 2147483648 + 1 AS h31
+  FROM documents
+), p AS (
+  SELECT doc_id, w, (w * 2147483648) // h31 AS priority
+  FROM docs WHERE w > 0
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT)
+      AS rk,
+    doc_id, w, priority
+  FROM p
+) WHERE rk <= 20 ORDER BY rk
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-      q208, q209, q210, q211, q212, q213, q214, q215, q216)
+      q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
+      q218, q219, q220)
 }
