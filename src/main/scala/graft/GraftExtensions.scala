@@ -28,10 +28,17 @@ import org.apache.spark.sql.graftvec.{DotProduct, NfcNormalize, TokenLcp}
   * analysis time; the expressions themselves are unchanged, so plans
   * built from SQL and plans built from the Scala API are literally
   * the same operators.
+  *
+  * Also injected: the [[graft.plans.RangeJoinRewrite]] optimizer rule
+  * — BETWEEN-predicate joins become bucketized equi-joins when
+  * `spark.graft.rangeJoin.bucketWidth` is set (off by default, so an
+  * extended session plans identically to a stock one until the user
+  * opts in).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
     // (className, db = null, name, usage, extended = "") — the 5-arg
     // overload is the one that surfaces usage in DESCRIBE FUNCTION
     def info(name: String, usage: String): ExpressionInfo =
