@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftvec.{DotProduct, NfcNormalize, TokenLcp}
+import org.apache.spark.sql.graftvec.{DotProduct, JaroWinkler, NfcNormalize, TokenLcp}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * codegen expressions as SQL FUNCTIONS, so a pure-SQL consumer (the
@@ -21,6 +21,10 @@ import org.apache.spark.sql.graftvec.{DotProduct, NfcNormalize, TokenLcp}
   *  - `graft_token_lcp(string, string)` — number of complete leading
   *    tokens two space-joined strings share (the exact-span family's
   *    LCP primitive).
+  *  - `graft_jw(string, string)` — Jaro–Winkler record-linkage
+  *    similarity, bit-identical to DuckDB's
+  *    `jaro_winkler_similarity` on ASCII (pinned conventions in
+  *    [[org.apache.spark.sql.graftvec.StringSim]]).
   *  - `graft_nfc(string)` — NFC normalization + astral strip (the
   *    cross-engine Unicode cleaner).
   *
@@ -59,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_token_lcp takes 2 arguments")
         TokenLcp(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jw"),
+      info("graft_jw", "Jaro-Winkler similarity (DuckDB parity)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_jw takes 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -8,5 +8,6 @@ object Registry {
     Parity.all ++ Parity2.all ++ Parity3.all ++ Benchmarkish.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all ++
-      E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all
+      E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all ++
+      LinkageQueries.all ++ QoiQueries.all
 }

@@ -55,6 +55,19 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_jw from SQL matches the DuckDB-pinned kernel values") {
+    withExtSession { sess =>
+      val r = sess.sql("""
+        SELECT graft_jw('MARTHA', 'MARHTA') AS a,
+               graft_jw('CRATE', 'TRACE') AS b,
+               graft_jw('', '') AS c
+      """).head()
+      assert(r.getDouble(0) == 0.9611111111111111)
+      assert(r.getDouble(1) == 0.7333333333333334) // no prefix → no boost
+      assert(r.getDouble(2) == 0.0) // DuckDB convention: both-empty → 0
+    }
+  }
+
   test("an un-extended session does NOT have the functions (scoping)") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1.0D), array(1.0D))").head()
