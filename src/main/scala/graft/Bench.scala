@@ -32,6 +32,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension surface as Verify: q228 exercises the
+      // conf-gated RangeJoinRewrite rule through a child session
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: query names to run (default: all) — dev profiling
@@ -81,7 +84,42 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // I/O probe: the CPU probe above is blind to disk/page-cache
+    // stalls (r12: the e2e family read 2–8× its clean records in a
+    // clean-CPU, loadavg-8 session and the artifact could not
+    // adjudicate which). One fixed 64 MiB write+fsync+read+delete on
+    // the bench CWD's filesystem (same device as Spark's local dirs
+    // here): a healthy box reads well under a second; a saturated
+    // device or evicted page cache inflates multiplicatively. The
+    // probe never fails the bench — on any error it just reports the
+    // elapsed time of the attempt.
+    def ioProbeSec(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val p = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get("."), ".io_probe", ".tmp")
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, 0x5a.toByte)
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        var i = 0
+        while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+        ch.force(true)
+        ch.close()
+        val in = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.READ)
+        val rb = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 0L
+        var r = in.read(rb)
+        while (r >= 0) { n += r; rb.clear(); r = in.read(rb) }
+        in.close()
+        java.nio.file.Files.deleteIfExists(p)
+        if (n == 42L) println("") // keep the read live
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     val probeStart = parallelProbeSec()
+    val ioProbeStart = ioProbeSec()
     // per-query 1-min loadavg, sampled as each query finishes: a
     // contended SEGMENT of a long session (round-7's driver run cost a
     // round of misleading deltas) is then identifiable per query, not
@@ -114,15 +152,23 @@ object Bench {
     // A reader drops exactly the poisoned blocks, keeps the rest.
     val probeEvery = 15
     val probeOkThresholdSec = 1.0
+    val ioProbeOkThresholdSec = 2.0
     val blockProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioBlockProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     // stable name order: consistent warmup attribution across rounds
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((n, fn), i) =>
-        if (i % probeEvery == 0) blockProbes += parallelProbeSec()
+        if (i % probeEvery == 0) {
+          blockProbes += parallelProbeSec()
+          ioBlockProbes += ioProbeSec()
+        }
         timed(n, fn)
     }
     val probeOfQuery: Seq[(String, Double)] = results.zipWithIndex.map {
       case ((n, _, _), i) => (n, blockProbes(i / probeEvery))
+    }
+    val ioProbeOfQuery: Seq[(String, Double)] = results.zipWithIndex.map {
+      case ((n, _, _), i) => (n, ioBlockProbes(i / probeEvery))
     }
     val loadPerMain = loadPer.toSeq.take(results.size)
     // Calibration canary: re-run cheap reference queries at session END.
@@ -212,9 +258,19 @@ object Bench {
       .mkString("{", ",", "}")
     val probeOkSession = blockProbes.forall(_ <= probeOkThresholdSec) &&
       probeStart <= probeOkThresholdSec
+    val ioProbeEnd = ioProbeSec()
+    val ioPerJson = ioProbeOfQuery
+      .map { case (n, p) => jstr(n) + ":" + r3(p) }.mkString("{", ",", "}")
+    val ioProbeOkSession =
+      ioBlockProbes.forall(_ <= ioProbeOkThresholdSec) &&
+        ioProbeStart <= ioProbeOkThresholdSec &&
+        ioProbeEnd <= ioProbeOkThresholdSec
     val probeFullJson =
       s""","probe_per_query":$probePerJson,"probe_ok":$probeOkPerJson""" +
-        s""","probe_ok_session":$probeOkSession"""
+        s""","probe_ok_session":$probeOkSession""" +
+        s""","io_probe_s":[${r3(ioProbeStart)},${r3(ioProbeEnd)}]""" +
+        s""","io_probe_per_query":$ioPerJson""" +
+        s""","io_probe_ok_session":$ioProbeOkSession"""
     val fullLine =
       s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"loadavg_per_query":$loadPerJson$contendedJson$probeFullJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // extension surface installed exactly as a production deployment
+      // would (spark.sql.extensions): SQL-function registry + the
+      // conf-gated RangeJoinRewrite rule (off unless a query opts in)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

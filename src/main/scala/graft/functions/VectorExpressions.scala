@@ -1021,6 +1021,52 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Order-preserving bigint key for a double column: the IEEE-754 bit
+  * pattern sign-folded (`bits XOR ((bits >> 63) | Long.MinValue)`) so
+  * that UNSIGNED comparison of the key — equivalently, lexicographic
+  * comparison of its fixed-width hex rendering — orders exactly like
+  * the doubles themselves, negatives included. This is what lets the
+  * two-phase prefix-rank machinery ([[graft.operators.Packing]]
+  * `withCumulativeSum`, an RDD `sortByKey` that scales like a sort)
+  * rank-select raw DOUBLE columns (exact medians, MADs, percentile
+  * rows) without a per-key window over raw rows: the global sort key
+  * is `concat(group, hex(key), tiebreak)` and per-group rank = global
+  * cumulative count − group offset.
+  *
+  * The mapping is a strictly monotone bijection on non-NaN doubles, so
+  * selection-by-rank through it picks exactly the row a plain
+  * `ORDER BY value` picks — the DuckDB oracle needs no counterpart
+  * function. Edge pins: −0.0 keys BELOW +0.0 (engines treating them
+  * equal break such ties by the caller's tiebreak column instead —
+  * only distinguishable if a corpus carries both at a selected rank);
+  * NaN keys above +∞ (deterministic, but keep NaNs filtered upstream
+  * when the oracle must agree). Null → null. */
+case class DoubleSortKey(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "double_sort_key"
+
+  override def nullSafeEval(x: Any): Any = {
+    val bits = java.lang.Double.doubleToLongBits(x.asInstanceOf[Double])
+    bits ^ ((bits >> 63) | java.lang.Long.MIN_VALUE)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val bits = ctx.freshName("bits")
+      s"""
+        |long $bits = java.lang.Double.doubleToLongBits($x);
+        |${ev.value} = $bits ^ (($bits >> 63) | java.lang.Long.MIN_VALUE);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be array<double>. */
   def dotProduct(a: Column, b: Column): Column =
@@ -1092,4 +1138,9 @@ object VectorExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(
       JaroWinkler(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[DoubleSortKey]]: order-preserving bigint key of
+    * a double (unsigned/hex-lexicographic order = double order). */
+  def doubleSortKey(x: Column): Column =
+    ExpressionUtils.column(DoubleSortKey(ExpressionUtils.expression(x)))
 }

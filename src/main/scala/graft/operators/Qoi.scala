@@ -124,19 +124,23 @@ object Qoi {
     var p = 14
     var px = 0
     val dataEnd = bytes.length - 8 // the 8-byte end marker
+    // operand reads must not consume end-marker bytes: a truncated
+    // stream fails loudly here, never with an array bounds throw
+    def needOperands(k: Int, px: Int): Unit =
+      require(p + k <= dataEnd, s"truncated op stream at pixel $px")
     while (px < n) {
       require(p < dataEnd, s"truncated op stream at pixel $px")
       val b0 = bytes(p) & 0xff; p += 1
       // emit: 1 for every op except RUN, which carries its own count
       var emit = 1
       if (b0 == OpRgb) {
+        needOperands(3, px)
         r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff
         b = bytes(p + 2) & 0xff; p += 3
-        index(hash(r, g, b, a)) = (r << 24) | (g << 16) | (b << 8) | a
       } else if (b0 == OpRgba) {
+        needOperands(4, px)
         r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff
         b = bytes(p + 2) & 0xff; a = bytes(p + 3) & 0xff; p += 4
-        index(hash(r, g, b, a)) = (r << 24) | (g << 16) | (b << 8) | a
       } else (b0 & 0xc0) match {
         case OpIndex =>
           val v = index(b0 & 0x3f)
@@ -146,17 +150,22 @@ object Qoi {
           r = (r + ((b0 >> 4) & 0x03) - 2) & 0xff
           g = (g + ((b0 >> 2) & 0x03) - 2) & 0xff
           b = (b + (b0 & 0x03) - 2) & 0xff
-          index(hash(r, g, b, a)) = (r << 24) | (g << 16) | (b << 8) | a
         case OpLuma =>
           val dg = (b0 & 0x3f) - 32
+          needOperands(1, px)
           val b1 = bytes(p) & 0xff; p += 1
           r = (r + dg + ((b1 >> 4) & 0x0f) - 8) & 0xff
           g = (g + dg) & 0xff
           b = (b + dg + (b1 & 0x0f) - 8) & 0xff
-          index(hash(r, g, b, a)) = (r << 24) | (g << 16) | (b << 8) | a
         case OpRun =>
           emit = (b0 & 0x3f) + 1 // stored as run-1, range 1..62
       }
+      // spec decoder (reference qoi.h) indexes EVERY decoded pixel,
+      // including RUN and INDEX ops — a conformant foreign encoder may
+      // run the initial (0,0,0,255) and later reference it via
+      // OP_INDEX; skipping the write here decoded that wrong (r12
+      // advice). Idempotent for INDEX/self-encoded streams.
+      index(hash(r, g, b, a)) = (r << 24) | (g << 16) | (b << 8) | a
       require(px + emit <= n, "op stream overruns pixel count")
       while (emit > 0) {
         out(px * 4) = r.toByte; out(px * 4 + 1) = g.toByte

@@ -683,27 +683,28 @@ FROM a ORDER BY source, lang
     * the reference pipeline's own domain. Values convert to EXACT
     * integer cents (round(value·100): the source is 2-decimal, so the
     * nearest integer is the true cents — no float aggregation
-    * anywhere). Open/close are first/last by (ts, event_id) — the
-    * total order making ties impossible — via two ranked windows
-    * keyed by the bar, which is exactly the partitioning the bar
-    * aggregate needs anyway. */
+    * anywhere). Open/close are first/last by (ts, event_id) — a
+    * total order making ties impossible — selected by `min_by`/
+    * `max_by` over ONE packed bigint ordering key (in-day seconds ·
+    * 2⁴² + event_id: seconds < 2¹⁷ and ids < 2⁴² keep the packing
+    * collision-free and far inside long range), so the whole bar is
+    * ONE map-side-combining aggregate: zero windows, zero sorts. The
+    * r12 shape (two ranked windows) funneled every row of a hot
+    * (type, day) through a single-task sort TWICE — at 100 TB that is
+    * billions of rows on one core; min_by folds in constant state.
+    * The oracle replays the same packing via arg_min/arg_max. */
   val q209 = QuerySpec("q209_ohlc_bars",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("event_type"),
           expr("cast(floor(cast(ts as long) / 86400) as bigint)").as("day_idx"),
-          col("ts").cast("long").as("t"), col("event_id"),
+          expr("(cast(ts as long) % 86400) * 4398046511104 + event_id")
+            .as("ordk"),
           expr("cast(round(value * 100) as bigint)").as("cents"))
-      val w = Window.partitionBy("event_type", "day_idx")
-      val ranked = ev
-        .withColumn("rn_open",
-          row_number().over(w.orderBy(asc("t"), asc("event_id"))))
-        .withColumn("rn_close",
-          row_number().over(w.orderBy(desc("t"), desc("event_id"))))
-      ranked.groupBy("event_type", "day_idx")
-        .agg(max(when(col("rn_open") === 1, col("cents"))).as("open_c"),
+      ev.groupBy("event_type", "day_idx")
+        .agg(expr("min_by(cents, ordk)").as("open_c"),
           max("cents").as("high_c"), min("cents").as("low_c"),
-          max(when(col("rn_close") === 1, col("cents"))).as("close_c"),
+          expr("max_by(cents, ordk)").as("close_c"),
           count(lit(1)).as("volume"),
           expr("sum(cents) div count(1)").as("mean_c"))
         .orderBy("event_type", "day_idx")
@@ -712,24 +713,18 @@ FROM a ORDER BY source, lang
 WITH ev AS (
   SELECT event_type,
     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
-    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+    (CAST(floor(epoch(ts)) AS BIGINT) % 86400) * 4398046511104 + event_id
+      AS ordk,
     CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
-), ranked AS (
-  SELECT *,
-    row_number() OVER (PARTITION BY event_type, day_idx
-      ORDER BY t, event_id) AS rn_open,
-    row_number() OVER (PARTITION BY event_type, day_idx
-      ORDER BY t DESC, event_id DESC) AS rn_close
-  FROM ev
 )
 SELECT event_type, day_idx,
-  max(CASE WHEN rn_open = 1 THEN cents END) AS open_c,
+  arg_min(cents, ordk) AS open_c,
   max(cents) AS high_c, min(cents) AS low_c,
-  max(CASE WHEN rn_close = 1 THEN cents END) AS close_c,
+  arg_max(cents, ordk) AS close_c,
   CAST(count(*) AS BIGINT) AS volume,
-  sum(cents) // count(*) AS mean_c
-FROM ranked GROUP BY event_type, day_idx ORDER BY event_type, day_idx
+  CAST(sum(cents) // count(*) AS BIGINT) AS mean_c
+FROM ev GROUP BY event_type, day_idx ORDER BY event_type, day_idx
 """))
 
   /** q210 — Mann–Kendall trend test: the nonparametric "is this
@@ -777,8 +772,9 @@ WITH daily AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
   FROM daily GROUP BY 1
 )
-SELECT p.event_type, n.n_days, sum(p.sgn) AS s_stat,
-  (sum(p.sgn) * 1000000) // (n.n_days * (n.n_days - 1) // 2) AS tau_ppm
+SELECT p.event_type, n.n_days, CAST(sum(p.sgn) AS BIGINT) AS s_stat,
+  CAST((sum(p.sgn) * 1000000) // (n.n_days * (n.n_days - 1) // 2)
+    AS BIGINT) AS tau_ppm
 FROM pairs p JOIN n ON p.event_type = n.event_type
 GROUP BY p.event_type, n.n_days ORDER BY p.event_type
 """))
@@ -838,7 +834,8 @@ WITH daily AS (
     ORDER BY abs_s DESC, day_idx) AS rk
   FROM scanned
 )
-SELECT event_type, n_days, day_idx AS change_day, abs_s AS max_cusum_n
+SELECT event_type, n_days, day_idx AS change_day,
+  CAST(abs_s AS BIGINT) AS max_cusum_n
 FROM best WHERE rk = 1 ORDER BY event_type
 """))
 
@@ -1044,13 +1041,14 @@ WITH pd AS (
 ), n AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
 ), top AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS df, sum(c) AS sc,
-    sum(c * c) AS sc2
+  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(c) AS BIGINT) AS sc,
+    CAST(sum(c * c) AS BIGINT) AS sc2
   FROM pd GROUP BY tok ORDER BY df DESC, tok LIMIT 15
 )
 SELECT tok, df, sc,
-  ((n.n_docs * sc2 - sc * sc) * 1000000) // (n.n_docs * sc)
-    AS dispersion_ppm
+  CAST(((n.n_docs * sc2 - sc * sc) * 1000000) // (n.n_docs * sc)
+    AS BIGINT) AS dispersion_ppm
 FROM top, n ORDER BY dispersion_ppm DESC, tok
 """))
 
@@ -1193,8 +1191,9 @@ WITH e AS (
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(la) AS BIGINT) AS n_tokens,
   CAST(sum(lcp) AS BIGINT) AS cached_tokens,
-  CASE WHEN sum(la) > 0
-       THEN (sum(lcp) * 1000000) // sum(la) ELSE 0 END AS hit_ppm
+  CAST(CASE WHEN sum(la) > 0
+       THEN (sum(lcp) * 1000000) // sum(la) ELSE 0 END AS BIGINT)
+    AS hit_ppm
 FROM l GROUP BY source ORDER BY source
 """))
 
@@ -1294,8 +1293,9 @@ WITH daily AS (
       ORDER BY peak - cum DESC, day_idx) AS rk
   FROM pk
 )
-SELECT event_type, day_idx AS trough_day, peak AS peak_cents,
-  dd AS drawdown_cents
+SELECT event_type, day_idx AS trough_day,
+  CAST(peak AS BIGINT) AS peak_cents,
+  CAST(dd AS BIGINT) AS drawdown_cents
 FROM dd WHERE rk = 1 ORDER BY event_type
 """))
 
@@ -1344,8 +1344,72 @@ SELECT * FROM (
 ) WHERE rk <= 20 ORDER BY rk
 """))
 
+  /** q228 — q198's incident-window join written NAIVELY (a plain
+    * BETWEEN predicate, no hand-bucketing) and optimized by the
+    * injected [[graft.plans.RangeJoinRewrite]] Catalyst rule instead:
+    * the declarative surface a SQL user actually writes, with the
+    * engine — not the query author — supplying the bucketized
+    * equi-join plan. Runs in a child session (`newSession`: same
+    * SparkContext and extensions, isolated SQL conf) so the
+    * `spark.graft.rangeJoin.bucketWidth=600` opt-in cannot leak into
+    * any other registry query's planning. Must return exactly q198's
+    * rows (the rule re-applies the original predicate, so semantics
+    * are the nested-loop join's); RangeJoinRuleSpec asserts this
+    * query's physical plan carries no BroadcastNestedLoopJoin or
+    * CartesianProduct when extensions are installed. In a session
+    * built WITHOUT GraftExtensions the same code still answers
+    * correctly through the nested-loop plan — the rule is an
+    * optimization, never a semantics dependency. */
+  val q228 = QuerySpec("q228_range_join_rule",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rangeJoin.bucketWidth", "600")
+      // child sessions inherit builder-time options, but pin the two
+      // that drive planning in case the parent set them at runtime
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      val ev = Tables(s2, dir, "events")
+        .select(col("event_id"), col("ts").cast("long").as("t"),
+          col("user_id"), col("event_type"))
+      val bursts = ev.where(col("event_type") === "error")
+        .select(col("user_id").as("b_user"), col("event_id").as("burst_id"),
+          (col("t") - 300L).as("start_t"), (col("t") + 300L).as("end_t"))
+      val pts = ev.where(col("event_type") =!= "error")
+      pts.join(bursts,
+          col("user_id") === col("b_user") &&
+            col("t") >= col("start_t") && col("t") <= col("end_t"))
+        .groupBy("burst_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          min("t").as("first_t"), max("t").as("last_t"))
+        .orderBy("burst_id")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id,
+    event_type
+  FROM events
+), bursts AS (
+  SELECT user_id, event_id AS burst_id, t - 300 AS start_t,
+    t + 300 AS end_t
+  FROM ev WHERE event_type = 'error'
+)
+SELECT b.burst_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) FILTER (WHERE p.event_type = 'purchase') AS BIGINT)
+    AS n_purchases,
+  min(p.t) AS first_t, max(p.t) AS last_t
+FROM bursts b
+JOIN ev p ON p.user_id = b.user_id AND p.event_type <> 'error'
+  AND p.t BETWEEN b.start_t AND b.end_t
+GROUP BY b.burst_id ORDER BY b.burst_id
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
       q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-      q218, q219, q220)
+      q218, q219, q220, q228)
 }

@@ -119,8 +119,8 @@ ORDER BY nm_a, nm_b
         .agg(sum(col("ca") * col("cb")).as("exact_rows"))
       exact.crossJoin(est)
         .select(col("exact_rows"), col("cm_estimate"),
-          ((col("cm_estimate") - col("exact_rows")) * lit(1000000L) /
-            col("exact_rows")).cast("long").as("overest_ppm"))
+          expr("((cm_estimate - exact_rows) * 1000000) div exact_rows")
+            .as("overest_ppm"))
     },
     Some(raw"""
 WITH ek AS (
@@ -153,34 +153,57 @@ FROM ex
   /** q223 — robust outlier report by exact median/MAD (the
     * heavy-tail-safe anomaly screen: mean/stddev break on one extreme
     * value; median ± k·MAD doesn't). Both medians are LOWER medians
-    * selected by explicit integer rank (`rn == (n+1)/2` over a
-    * row_number window) — raw data values, zero interpolation, so the
-    * engines can't diverge on float arithmetic (the q194 percentile
-    * lesson institutionalized). The outlier cutoff multiplies MAD by
-    * the single constant 4.4478 (= 3σ × the 1.4826 normal-consistency
-    * factor, pre-multiplied so there is exactly ONE float multiply to
-    * agree on). Two rank-select passes = two shuffles on event_type;
-    * this is the exact-diagnostics tier — the streaming quantile
-    * sketch (q216) is the one-pass approximate alternative at scale. */
+    * selected by explicit integer rank — raw data values, zero
+    * interpolation, so the engines can't diverge on float arithmetic
+    * (the q194 percentile lesson institutionalized). The outlier
+    * cutoff multiplies MAD by the single constant 4.4478 (= 3σ × the
+    * 1.4826 normal-consistency factor, pre-multiplied so there is
+    * exactly ONE float multiply to agree on).
+    *
+    * Scale shape (rebuilt r13 per the r12 verdict): rank selection
+    * runs on the q172 two-phase prefix-rank core — a global
+    * `sortByKey` over `event_type : hex(doubleSortKey(value)) :
+    * event_id` (the [[org.apache.spark.sql.graftvec.DoubleSortKey]]
+    * sign-fold makes hex-lexicographic order EXACTLY double order, so
+    * the oracle's plain ORDER BY picks the identical row) plus a
+    * broadcast per-type offset frame; per-type rank = global
+    * cumulative count − type offset. No window ever touches raw
+    * events — the r12 shape put each event type's full row set
+    * through one task's sort, which a hot type at 100 TB turns into
+    * billions of rows on one core. Two rank passes scale like two
+    * sorts; q216's sketch remains the one-pass approximate tier. */
   val q223 = QuerySpec("q223_robust_outliers",
     (s, dir) => {
+      import org.apache.spark.sql.graftvec.VectorExpressions.doubleSortKey
       val ev = Tables(s, dir, "events")
         .select(col("event_type"), col("event_id"), col("value"))
-      val w = Window.partitionBy("event_type")
-      val med = ev
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("value"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(w))
-        .where(expr("rn = (n + 1) div 2"))
-        .select(col("event_type"), col("value").as("med"), col("n"))
+      // rank-select the per-type lower median of `vCol` without any
+      // window over raw rows: two-phase global prefix rank + a
+      // |types|-row offset/count frame (broadcast both ways)
+      def medianByRank(df: DataFrame, vCol: String,
+          outName: String): DataFrame = {
+        val counts = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val wt = Window.orderBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = counts
+          .withColumn("off", coalesce(sum("n").over(wt), lit(0L)))
+        val keyed = df
+          .withColumn("k", concat(col("event_type"), lit(":"),
+            lpad(hex(doubleSortKey(col(vCol))), 16, "0"), lit(":"),
+            lpad(col("event_id").cast("string"), 12, "0")))
+          .withColumn("one", lit(1L))
+        graft.operators.Packing.withCumulativeSum(keyed, "k", "one", 32)
+          .join(broadcast(offsets), "event_type")
+          .where(expr("cum - off = (n + 1) div 2"))
+          .select(col("event_type"), col(vCol).as(outName), col("n"))
+      }
+      val med = medianByRank(ev, "value", "med")
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("absdev", abs(col("value") - col("med")))
-      val mad = dev
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("absdev"), col("event_id"))))
-        .where(expr("rn = (n + 1) div 2"))
-        .select(col("event_type"), col("absdev").as("mad"))
-      dev.join(broadcast(mad), "event_type")
+      val mad = medianByRank(
+        dev.select(col("event_type"), col("event_id"), col("absdev")),
+        "absdev", "mad")
+      dev.join(broadcast(mad.select("event_type", "mad")), "event_type")
         .groupBy("event_type")
         .agg(first("n").as("n"), first("med").as("med"),
           first("mad").as("mad"),
@@ -238,6 +261,11 @@ GROUP BY dev.event_type ORDER BY dev.event_type
       val obs = Tables(s, dir, "orders")
         .select(substring(floor(col("o_totalprice")).cast("long")
           .cast("string"), 1, 1).cast("int").as("digit"))
+        // Benford is defined on significant digits 1-9 only: totals
+        // < 1 yield digit 0 and negatives a null (leading '-') — both
+        // out of the law's domain, filtered identically in BOTH
+        // engines so neither can fall through to a divergent branch
+        .where(col("digit").between(1, 9))
         .groupBy("digit").agg(count(lit(1)).as("obs"))
       val total = obs.agg(sum("obs").as("total"))
       obs.crossJoin(total)
@@ -252,11 +280,13 @@ GROUP BY dev.event_type ORDER BY dev.event_type
         .orderBy("digit")
     },
     Some(raw"""
-WITH obs AS (
+WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
-      1, 1) AS INT) AS digit,
-    CAST(count(*) AS BIGINT) AS obs
-  FROM orders GROUP BY 1
+      1, 1) AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS obs
+  FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY 1
 ), t AS (
   SELECT CAST(sum(obs) AS BIGINT) AS total FROM obs
 )

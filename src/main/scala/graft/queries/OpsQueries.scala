@@ -1190,6 +1190,13 @@ SELECT
         .distinct()
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).as("n_users"))
+        // ISO string like every date/ts output in the registry (q184
+        // convention): a DATE column reaches the driver's pandas canon
+        // as python objects from Spark parquet but datetime64 from
+        // DuckDB — same values, different dtype kind (r13 lint)
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+            .as("cohort_day"),
+          col("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
     },
     Some(raw"""
@@ -1202,7 +1209,8 @@ WITH ev AS (
     CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset
   FROM ev e JOIN cohort c ON e.user_id = c.user_id
 )
-SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+  CAST(count(*) AS BIGINT) AS n_users
 FROM m GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
 """))
 

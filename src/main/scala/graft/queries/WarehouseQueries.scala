@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+
+/** Round-13 warehouse-maintenance tier: the operators that keep a
+  * 100 TB store CURRENT rather than merely queryable — market-basket
+  * association rules (the 2-itemset a-priori core over real order
+  * baskets), HyperLogLog register sketches whose roll-up is a pure
+  * register-max (the no-rescan merge KMV can't do), changelog
+  * application with last-writer-wins + tombstone semantics (the MERGE
+  * INTO core), and partial-aggregate incremental view maintenance with
+  * an in-query consistency proof against the full rescan.
+  *
+  * Determinism rules as everywhere in the registry: integer or
+  * bit-pinned arithmetic only — association statistics are exact ppm
+  * two-step floor divisions sequenced identically in both engines
+  * (and overflow-aware: no intermediate exceeds ~10¹⁵ at any corpus
+  * size), HLL's harmonic sum is an EXACT bigint (2^(51−reg) register
+  * terms; the one float op is a single constant-folded
+  * multiply/divide on the 1-row result), changelog op codes come from
+  * the engine-standard 60-bit md5 hash, and every aggregate output is
+  * CAST to BIGINT on the oracle side (the r12 HUGEINT lesson).
+  */
+object WarehouseQueries {
+
+  private def h60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+  private def sqlH60(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** q229 — market-basket association rules (the 2-itemset a-priori
+    * core): which parts co-occur in orders beyond chance, scored by
+    * support / confidence / lift — the affinity analysis every
+    * retailer-scale warehouse runs, and a distinct operator family
+    * from q204's TEMPORAL sequence mining (baskets are unordered
+    * sets; the statistics are set-co-occurrence, not succession).
+    *
+    * Scale shape: baskets come from one distinct projection; the pair
+    * expansion is the within-order self-join — quadratic in BASKET
+    * size (bounded by order line counts, ~single digits, a data
+    * constant) and linear in orders, the canonical market-basket
+    * plan. Pair/item counts are map-side-combining aggregates; the
+    * support floor (max(2, 0.01% of orders) — see the inline note)
+    * cuts the pair frame before the two joins that attach item
+    * counts; top-25 by lift is a rank window WindowGroupLimit prunes.
+    *
+    * Arithmetic: all ppm figures are exact integer two-step floor
+    * divisions, OVERFLOW-AWARE by construction — lift is
+    * `((pair·10⁶ div cnt_a) · n_orders) div cnt_b` rather than the
+    * textbook `pair·n·10⁶/(cnt_a·cnt_b)` whose numerator exceeds
+    * long range (and silently becomes HUGEINT in DuckDB but an
+    * overflow error in Spark) once orders reach ~10⁷. The two-step
+    * form stays under 10¹⁵ at any scale and both engines replay the
+    * identical truncation sequence. */
+  val q229 = QuerySpec("q229_market_basket",
+    (s, dir) => {
+      val baskets = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("part"))
+          .distinct())
+      val nOrders = baskets.select("oid").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemCnt = baskets.groupBy("part").agg(count(lit(1)).as("cnt"))
+      val pairs = baskets.as("x").join(baskets.as("y"), Seq("oid"))
+        .where(col("x.part") < col("y.part"))
+        .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+      pairs.crossJoin(broadcast(nOrders))
+        // support floor: 0.01% of orders, but never below 2 — the
+        // relative term governs at warehouse scale (it is what keeps
+        // the scored frame sub-linear in the pair expansion); the
+        // absolute term keeps the uniform synthetic fixture (whose
+        // pair counts are Poisson-thin by design) non-degenerate
+        .where(col("pair_cnt") >=
+          greatest(lit(2L), expr("n_orders div 10000")))
+        .join(itemCnt.select(col("part").as("part_a"),
+          col("cnt").as("cnt_a")), "part_a")
+        .join(itemCnt.select(col("part").as("part_b"),
+          col("cnt").as("cnt_b")), "part_b")
+        .withColumn("support_ppm",
+          expr("(pair_cnt * 1000000) div n_orders"))
+        .withColumn("conf_ppm", expr("(pair_cnt * 1000000) div cnt_a"))
+        .withColumn("lift_ppm",
+          expr("(((pair_cnt * 1000000) div cnt_a) * n_orders) div cnt_b"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("lift_ppm"), asc("part_a"), asc("part_b"))))
+        .where(col("rk") <= 25)
+        .select(col("rk").cast("long").as("rk"), col("part_a"),
+          col("part_b"), col("pair_cnt"), col("support_ppm"),
+          col("conf_ppm"), col("lift_ppm"))
+        .orderBy("rk")
+    },
+    Some(raw"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS part FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_orders FROM baskets
+), ic AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT x.part AS part_a, y.part AS part_b,
+    CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM baskets x JOIN baskets y
+    ON x.oid = y.oid AND x.part < y.part
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.part_a, p.part_b, p.pair_cnt,
+    (p.pair_cnt * 1000000) // n.n_orders AS support_ppm,
+    (p.pair_cnt * 1000000) // a.cnt AS conf_ppm,
+    (((p.pair_cnt * 1000000) // a.cnt) * n.n_orders) // b.cnt AS lift_ppm
+  FROM pairs p
+  CROSS JOIN n
+  JOIN ic a ON p.part_a = a.part
+  JOIN ic b ON p.part_b = b.part
+  WHERE p.pair_cnt >= greatest(2, n.n_orders // 10000)
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, part_a, part_b)
+    AS rk
+  FROM scored
+)
+SELECT CAST(rk AS BIGINT) AS rk, part_a, part_b, pair_cnt,
+  CAST(support_ppm AS BIGINT) AS support_ppm,
+  CAST(conf_ppm AS BIGINT) AS conf_ppm,
+  CAST(lift_ppm AS BIGINT) AS lift_ppm
+FROM ranked WHERE rk <= 25 ORDER BY rk
+"""))
+
+  /** q230 — HyperLogLog register sketch (m=256) over per-returnflag
+    * order-key cardinalities, with the merge story KMV (q199) cannot
+    * offer: the ALL row is computed from the per-flag REGISTERS by a
+    * pure register-wise max — no rescan of the data, the exact
+    * roll-up a 100 TB store runs nightly over per-shard sketches.
+    * Register: bucket = h₆₀ mod 256, rho = leading-zero count of the
+    * remaining 52 bits + 1, computed via `length(bin(v))` on the
+    * integer (the q216 rule: never a live log2). The harmonic
+    * denominator is an EXACT bigint — Σ 2^(53−reg), absent buckets
+    * contributing 2^53 — so the only float arithmetic is one
+    * constant·constant/bigint expression on the final 1-row-per-group
+    * frame, identical IEEE in both engines (same literals, same
+    * parenthesization). Raw HLL estimate — no small-range (linear
+    * counting) correction, which would need a live ln(): m=256 is
+    * sized so every group sits in the estimator's flat regime at
+    * every fixture SF (measured ≤ 8.4% error at sf0.001/0.01/0.1,
+    * inside the 1.04/√256 = 6.5%·2σ envelope). Exact distinct count
+    * and signed error ppm ride along as the verification columns
+    * you'd drop at scale. */
+  val q230 = QuerySpec("q230_hll_sketch",
+    (s, dir) => {
+      val keyed = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_orderkey").as("k"))
+          .distinct()
+          .withColumn("h", expr(h60("concat('hll|', cast(k as string))"))))
+      val regs = graft.CacheRegistry.persistTracked(
+        keyed
+          .withColumn("bucket", expr("pmod(h, 256)"))
+          .withColumn("v", expr("h div 256"))
+          .withColumn("rho", expr(
+            "case when v = 0 then 53 else 53 - length(bin(v)) end"))
+          .groupBy("g", "bucket").agg(max("rho").as("reg")))
+      // merged ALL sketch: register-wise max over the per-group
+      // sketches — the no-rescan roll-up contract
+      val allRegs = regs.groupBy("bucket")
+        .agg(max("reg").as("reg"))
+        .select(lit("ALL").as("g"), col("bucket"), col("reg"))
+      val est = regs.unionByName(allRegs)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_set"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - reg as int))"))
+            .as("sp"))
+        .withColumn("s_exact",
+          col("sp") + (lit(256L) - col("n_set")) *
+            lit(9007199254740992L)) // 2^53 per empty bucket
+        .withColumn("est_n", expr(
+          "cast(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * " +
+            "256.0 * 9007199254740992.0 / cast(s_exact as double)) " +
+            "as bigint)"))
+      val exact = keyed.groupBy("g").agg(count(lit(1)).as("exact_n"))
+        .unionByName(keyed.select("k").distinct()
+          .agg(count(lit(1)).as("exact_n"))
+          .select(lit("ALL").as("g"), col("exact_n")))
+      est.join(exact, "g")
+        .withColumn("err_ppm",
+          expr("((est_n - exact_n) * 1000000) div exact_n"))
+        .select("g", "n_set", "est_n", "exact_n", "err_ppm")
+        .orderBy("g")
+    },
+    Some(raw"""
+WITH st AS (
+  SELECT DISTINCT l_returnflag AS g, l_orderkey AS k FROM lineitem
+), h AS (
+  SELECT g, k, ${sqlH60("concat('hll|', CAST(k AS VARCHAR))")} AS h FROM st
+), b AS (
+  SELECT g, h % 256 AS bucket, h // 256 AS v FROM h
+), regs AS (
+  SELECT g, bucket,
+    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS reg
+  FROM b GROUP BY 1, 2
+), allregs AS (
+  SELECT 'ALL' AS g, bucket, max(reg) AS reg FROM regs GROUP BY 2
+), unioned AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM allregs
+), est AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_set,
+    CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+      + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s_exact
+  FROM unioned GROUP BY g
+), ex AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS exact_n FROM st GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT k) AS BIGINT) FROM st
+), final AS (
+  SELECT e.g AS g, e.n_set AS n_set,
+    CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+      9007199254740992.0 / CAST(e.s_exact AS DOUBLE)) AS BIGINT) AS est_n,
+    x.exact_n AS exact_n
+  FROM est e JOIN ex x ON e.g = x.g
+)
+SELECT g, n_set, est_n, exact_n,
+  ((est_n - exact_n) * 1000000) // exact_n AS err_ppm
+FROM final ORDER BY g
+"""))
+
+  /** q231 — changelog (CDC) application: last-writer-wins upserts +
+    * tombstone deletes over a keyed stream — the batch core of MERGE
+    * INTO and of every lakehouse table format's compaction. The
+    * changelog derives deterministically from events (key = user_id,
+    * sequence = event_id, 1-in-10 ops are deletes by the standard
+    * 60-bit hash); applying it is ONE map-side-combining aggregate —
+    * `max_by(op, seq)` / `max_by(cents, seq)` per key (the q209
+    * argmax shape; seq is unique so ties are impossible), then
+    * tombstones drop. No window, no sort, no per-key state that
+    * outlives the aggregate buffer: the shape that survives a 10⁹-key
+    * changelog. Output is the per-bucket reconciliation report (8 hash
+    * buckets of the key space): applied/live/deleted counts and the
+    * surviving payload sum — the numbers a CDC pipeline alerts on. */
+  val q231 = QuerySpec("q231_cdc_apply",
+    (s, dir) => {
+      val log = Tables(s, dir, "events")
+        .select(col("user_id").as("k"), col("event_id").as("seq"),
+          expr(s"case when pmod(${h60("concat('cdc|', event_id)")}, 10) " +
+            "= 0 then 'D' else 'U' end").as("op"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val fin = log.groupBy("k")
+        .agg(count(lit(1)).as("n_ops"),
+          expr("max_by(op, seq)").as("last_op"),
+          expr("max_by(cents, seq)").as("last_cents"),
+          max("seq").as("last_seq"))
+      fin.groupBy(expr("pmod(k, 8)").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum("n_ops").as("n_ops"),
+          sum(when(col("last_op") === "U", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("last_op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("last_op") === "U", col("last_cents"))
+            .otherwise(0L)).as("live_cents"),
+          max("last_seq").as("max_seq"))
+        .orderBy("bucket")
+    },
+    Some(raw"""
+WITH log AS (
+  SELECT user_id AS k, event_id AS seq,
+    CASE WHEN ${sqlH60("concat('cdc|', event_id)")} % 10 = 0
+      THEN 'D' ELSE 'U' END AS op,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), fin AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_ops,
+    arg_max(op, seq) AS last_op,
+    arg_max(cents, seq) AS last_cents,
+    max(seq) AS last_seq
+  FROM log GROUP BY k
+)
+SELECT k % 8 AS bucket,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(n_ops) AS BIGINT) AS n_ops,
+  CAST(count(*) FILTER (WHERE last_op = 'U') AS BIGINT) AS n_live,
+  CAST(count(*) FILTER (WHERE last_op = 'D') AS BIGINT) AS n_deleted,
+  CAST(coalesce(sum(CASE WHEN last_op = 'U' THEN last_cents END), 0)
+    AS BIGINT) AS live_cents,
+  max(last_seq) AS max_seq
+FROM fin GROUP BY 1 ORDER BY bucket
+"""))
+
+  /** q232 — incremental view maintenance by partial-aggregate merge,
+    * with the consistency proof in-query: the corpus splits at its
+    * midpoint day into BASE and DELTA (the refresh boundary), each
+    * side folds to per-type partial aggregates (count / cents sum /
+    * min / max — all mergeable), and the view refresh is a merge of
+    * the two partial frames (sum of counts and sums, min of mins, max
+    * of maxes) — never a rescan of base. The `consistent` column
+    * compares every merged figure against the full-rescan aggregate
+    * computed side by side: the algebraic contract (the same one
+    * q230's register-max roll-up and q206's sketch merges rely on)
+    * becomes a driver-checked output instead of a comment. Scale
+    * shape: two map-side-combining aggregates + a 2·|types|-row
+    * merge; the midpoint derives from a broadcast 1-row min/max
+    * frame. */
+  val q232 = QuerySpec("q232_incremental_rollup",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+            .as("day_idx"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val bounds = ev.agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("part",
+          when(col("day_idx") < expr("(lo + hi + 1) div 2"), "base")
+            .otherwise("delta"))
+      val partials = tagged.groupBy("event_type", "part")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          min("cents").as("mn"), max("cents").as("mx"))
+      val merged = partials.groupBy("event_type")
+        .agg(sum("n").as("n"), sum("s").as("sum_cents"),
+          min("mn").as("min_cents"), max("mx").as("max_cents"))
+      val full = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("fn"), sum("cents").as("fs"),
+          min("cents").as("fmn"), max("cents").as("fmx"))
+      merged.join(full, "event_type")
+        .select(col("event_type"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          (col("n") === col("fn") && col("sum_cents") === col("fs") &&
+            col("min_cents") === col("fmn") &&
+            col("max_cents") === col("fmx")).as("consistent"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), b AS (
+  SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM ev
+), tagged AS (
+  SELECT ev.*, CASE WHEN ev.day_idx < (b.lo + b.hi + 1) // 2
+    THEN 'base' ELSE 'delta' END AS part
+  FROM ev, b
+), partials AS (
+  SELECT event_type, part, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS s,
+    min(cents) AS mn, max(cents) AS mx
+  FROM tagged GROUP BY 1, 2
+), merged AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(s) AS BIGINT) AS sum_cents,
+    min(mn) AS min_cents, max(mx) AS max_cents
+  FROM partials GROUP BY 1
+), f AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS fn,
+    CAST(sum(cents) AS BIGINT) AS fs,
+    min(cents) AS fmn, max(cents) AS fmx
+  FROM ev GROUP BY 1
+)
+SELECT m.event_type, m.n, m.sum_cents, m.min_cents, m.max_cents,
+  (m.n = f.fn AND m.sum_cents = f.fs AND m.min_cents = f.fmn
+    AND m.max_cents = f.fmx) AS consistent
+FROM merged m JOIN f ON m.event_type = f.event_type
+ORDER BY m.event_type
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232)
+}

@@ -43,6 +43,39 @@ class LinkageSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("q223 scale shape: no window over raw events — every Window " +
+      "node sits above an Aggregate (bounded offset frames only)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.queries.LinkageQueries.q223.fn(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.forall(w =>
+      w.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "a Window directly over raw event rows funnels a whole event " +
+        "type through one task — q223 must rank via the two-phase " +
+        "prefix-rank core instead")
+  }
+
+  test("DoubleSortKey: hex-lexicographic key order IS double order " +
+      "(negatives, zeros, subnormals, codegen and interpreted)") {
+    val rnd = new scala.util.Random(13L)
+    val doubles = Seq(0.0, -0.0, 1.0, -1.0, Double.MinPositiveValue,
+      -Double.MinPositiveValue, 1e308, -1e308, 3.14, -2.71) ++
+      Seq.fill(500)(math.tan(rnd.nextDouble() * 3.0 - 1.5) *
+        math.pow(10, rnd.nextInt(12) - 6))
+    val df = doubles.zipWithIndex.toDF("v", "i")
+      .withColumn("k", lpad(hex(
+        org.apache.spark.sql.graftvec.VectorExpressions
+          .doubleSortKey(col("v"))), 16, "0"))
+    val rows = df.select("v", "k").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    // strict monotonicity: v1 < v2 ⇔ k1 < k2 (−0.0 vs 0.0 compare
+    // equal as doubles, so the v1 < v2 guard skips exactly that pair)
+    for ((v1, k1) <- rows; (v2, k2) <- rows if v1 < v2)
+      assert(k1 < k2, s"key order broke between $v1 and $v2")
+    assert(rows.nonEmpty && rows.forall(_._2.length == 16))
+  }
+
   test("q226: the k_anon ride-along equals the true min class size " +
       "and suppression flags agree with it") {
     val out = graft.queries.LinkageQueries.q226.fn(spark, dir).collect()

@@ -115,4 +115,35 @@ class QoiSpec extends AnyFunSuite {
     val badEnd = ok.clone(); badEnd(badEnd.length - 1) = 0
     intercept[IllegalArgumentException](Qoi.decode(badEnd))
   }
+
+  test("truncated operand bytes fail loudly, not with a bounds throw") {
+    // RGB op byte present but its 3 operand bytes cut off: the stream
+    // then holds header + 0xfe + the 8-byte end marker — without the
+    // operand-length guard the decoder consumed marker bytes as pixel
+    // data (r12 advice). Must be the documented IllegalArgumentException.
+    val h1x1 = Array[Byte]('q', 'o', 'i', 'f', 0, 0, 0, 1, 0, 0, 0, 1, 4, 0)
+    val rgbCut = h1x1 ++ Array[Byte](0xfe.toByte) ++ endMarker
+    intercept[IllegalArgumentException](Qoi.decode(rgbCut))
+    val rgbaCut = h1x1 ++ Array[Byte](0xff.toByte, 1, 2) ++ endMarker
+    intercept[IllegalArgumentException](Qoi.decode(rgbaCut))
+    val lumaCut = h1x1 ++ Array[Byte](0xa7.toByte) ++ endMarker
+    intercept[IllegalArgumentException](Qoi.decode(lumaCut))
+  }
+
+  test("foreign-encoder stream: RUN pixels enter the seen-colors index") {
+    // A spec-conformant encoder may RUN the initial (0,0,0,255) pixel
+    // and later reference it via OP_INDEX — the reference decoder
+    // indexes every pixel, so slot hash(0,0,0,255)= (255·11)%64 = 53
+    // holds it. This repo's encoder never emits this shape (it indexes
+    // at literal time), so the vector is hand-assembled.
+    val h3x1 = Array[Byte]('q', 'o', 'i', 'f', 0, 0, 0, 3, 0, 0, 0, 1, 4, 0)
+    val stream = h3x1 ++ Array[Byte](
+      0xc0.toByte,       // RUN 1: initial (0,0,0,255)
+      0xfe.toByte, 9, 9, 9, // RGB (9,9,9,255)
+      (0x00 | 53).toByte // INDEX slot 53 → must be (0,0,0,255)
+    ) ++ endMarker
+    val img = Qoi.decode(stream)
+    assert(img.rgba.toSeq == px((0, 0, 0, 255), (9, 9, 9, 255),
+      (0, 0, 0, 255)).toSeq)
+  }
 }

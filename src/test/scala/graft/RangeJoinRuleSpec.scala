@@ -96,6 +96,25 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("q228 runs the rule from the registry: extended session → no " +
+      "nested loop in the plan, rows identical to hand-bucketed q198") {
+    withExtSession { sess =>
+      val dir = "/root/testdata/sf0.001"
+      val viaRule = graft.queries.AnalyticsQueries.q228.fn(sess, dir)
+      val plan = viaRule.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"q228 must plan through RangeJoinRewrite:\n${plan.take(800)}")
+      assert(plan.contains("__rj_bucket"))
+      val got = viaRule.collect().map(_.toSeq).toSeq
+      val want = graft.queries.AnalyticsQueries.q198.fn(sess, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, "rule-planned join must equal the " +
+        "hand-bucketed RangeJoin operator row for row")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("guards: non-long range columns and non-inner joins are left alone") {
     withExtSession { sess =>
       import sess.implicits._

@@ -14,12 +14,20 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize ns/us timestamps and NaN/None
+    # normalize ns/us timestamps and NaN/None; widen integer/float
+    # widths to 64-bit so the dtype gate below compares KIND (int vs
+    # float vs bool vs object), not storage width
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            pass
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     # the DRIVER canonicalizes row order by sorting on every column —
     # replicate it so its failure modes reproduce here (r11: a
     # top-level array<bigint> column raised "unhashable type:
@@ -45,6 +53,17 @@ def main(out_dir: str, sf_dir: str) -> int:
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} vs "
                       f"{list(want.columns)}")
+                n_fail += 1
+                continue
+            # dtype gate (r12 lesson: DuckDB's sum(BIGINT) is HUGEINT,
+            # which pandas renders float64 — values equal, driver hash
+            # broken; this mirror must fail what the driver fails)
+            dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                      for c in got.columns
+                      if str(got[c].dtype) != str(want[c].dtype)]
+            if dt_bad:
+                print(f"FAIL {name}: dtypes {dt_bad} "
+                      "(CAST the oracle output — likely an un-cast sum)")
                 n_fail += 1
                 continue
             if len(got) != len(want):
