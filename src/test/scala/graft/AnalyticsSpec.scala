@@ -15,6 +15,16 @@ class AnalyticsSpec extends SparkSpec {
   private def h60(c: String): String =
     s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
 
+  test("q209 scale shape: the OHLC bar is one aggregate — zero Window " +
+      "nodes in the plan (min_by/max_by, not ranked sorts)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = graft.queries.AnalyticsQueries.q209
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "a window over raw events funnels a hot (type, day) through one " +
+        "task's sort — open/close must come from min_by/max_by")
+  }
+
   test("KMV mergeability: the sketch of a union equals the merge of " +
       "the sketches (k smallest of the k-smallest unions)") {
     val k = 16
