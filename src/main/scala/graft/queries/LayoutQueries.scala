@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+
+/** Round-13 second wave: physical-layout optimization and frontier /
+  * integrity analytics — the Z-order (Morton) clustering audit behind
+  * every lakehouse OPTIMIZE ZORDER decision, 2-D skyline (Pareto
+  * frontier) extraction on the two-phase prefix-min pattern, and
+  * homoglyph (mixed-script spoofing) detection for ingest integrity.
+  *
+  * Determinism rules unchanged: pure integer arithmetic for the bit
+  * interleaves, zone stats, and ppm figures; the skyline orders by
+  * exact integer cents/epoch-days; the homoglyph skeleton is one
+  * fixed translate() table applied identically in both engines.
+  */
+object LayoutQueries {
+
+  private def h60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+  private def sqlH60(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** 16-bit Morton spread (insert a zero bit before each input bit),
+    * emitted as engine-dialect SQL text so Spark and DuckDB evaluate
+    * the IDENTICAL mask/shift sequence: the classic 4-step magic-mask
+    * chain, valid for inputs < 2¹⁶ (result < 2³², all in bigint). */
+  private def spread(x: String, shl: (String, Int) => String): String = {
+    val s1 = s"((($x) | ${shl(x, 8)}) & 16711935)"
+    val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
+    val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
+    s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+  }
+  private def sparkShl(x: String, n: Int): String = s"shiftleft($x, $n)"
+  private def duckShl(x: String, n: Int): String = s"($x << $n)"
+
+  /** q233 — Z-order layout audit: would OPTIMIZE ZORDER(user, day)
+    * beat the single-key sort layout for this table's probe mix? The
+    * audit materializes zone statistics (min/max per zone of both
+    * dimensions — the Parquet row-group / manifest mechanism, as in
+    * q212) under TWO layouts — zones keyed by the leading 8 bits of
+    * the single-key sort (user) versus the leading 8 bits of the
+    * Morton interleave z = spread(u)|spread(d)<<1 — and counts, for a
+    * fixed 1/16-width range probe on EACH dimension, the zones whose
+    * [min,max] bracket cannot be skipped. Expected shape (and what
+    * the spec pins): the single-key layout skips near-perfectly on
+    * its own key and not at all on the other; Z-order skips on BOTH.
+    * Dimensions normalize to 16-bit grids by exact integer min/max
+    * scaling; everything downstream is bigint mask/shift/compare —
+    * the two engines run the literally identical expression text.
+    * Scale shape: one pass to zone stats (map-side-combining
+    * aggregate on the zone id), then arithmetic on the ≤ 256-row zone
+    * frames; the probe never touches rows. */
+  val q233 = QuerySpec("q233_zorder_audit",
+    (s, dir) => {
+      val zS = spread("u16", sparkShl)
+      val dS = spread("d16", sparkShl)
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").as("u"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)").as("d"))
+      val bounds = ev.agg(min("u").as("ulo"), max("u").as("uhi"),
+        min("d").as("dlo"), max("d").as("dhi"))
+      val grid = ev.crossJoin(broadcast(bounds))
+        .withColumn("u16",
+          expr("((u - ulo) * 65535) div greatest(1, uhi - ulo)"))
+        .withColumn("d16",
+          expr("((d - dlo) * 65535) div greatest(1, dhi - dlo)"))
+        .withColumn("z", expr(s"$zS | shiftleft($dS, 1)"))
+      def zoneStats(zoneExpr: String, layout: String) = {
+        val zones = grid.groupBy(expr(zoneExpr).as("zone"))
+          .agg(min("u16").as("umin"), max("u16").as("umax"),
+            min("d16").as("dmin"), max("d16").as("dmax"))
+        zones.agg(count(lit(1)).as("n_zones"),
+          sum(when(col("umax") >= 30720 && col("umin") <= 34815, 1L)
+            .otherwise(0L)).as("u_hit"),
+          sum(when(col("dmax") >= 30720 && col("dmin") <= 34815, 1L)
+            .otherwise(0L)).as("d_hit"))
+          .select(lit(layout).as("layout"), col("n_zones"),
+            col("u_hit"), col("d_hit"))
+      }
+      zoneStats("u16 div 256", "single_key")
+        .unionByName(zoneStats("z div 16777216", "zorder"))
+        .select(col("layout"), explode(expr(
+          "array(struct('u' as probe_dim, u_hit as zones_hit), " +
+            "struct('d' as probe_dim, d_hit as zones_hit))")).as("p"),
+          col("n_zones"))
+        .select(col("layout"), col("p.probe_dim").as("probe_dim"),
+          col("n_zones"), col("p.zones_hit").as("zones_hit"),
+          expr("((n_zones - zones_hit) * 1000000) div n_zones")
+            .as("skip_ppm"))
+        .orderBy("layout", "probe_dim")
+    },
+    Some {
+      val zD = spread("u16", duckShl)
+      val dD = spread("d16", duckShl)
+      raw"""
+WITH ev AS (
+  SELECT user_id AS u,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+), b AS (
+  SELECT min(u) AS ulo, max(u) AS uhi, min(d) AS dlo, max(d) AS dhi
+  FROM ev
+), grid AS (
+  SELECT ((u - ulo) * 65535) // greatest(1, uhi - ulo) AS u16,
+    ((d - dlo) * 65535) // greatest(1, dhi - dlo) AS d16
+  FROM ev, b
+), gz AS (
+  SELECT u16, d16, ($zD | (($dD) << 1)) AS z FROM grid
+), za AS (
+  SELECT 'single_key' AS layout, u16 // 256 AS zone,
+    min(u16) AS umin, max(u16) AS umax,
+    min(d16) AS dmin, max(d16) AS dmax
+  FROM gz GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', z // 16777216,
+    min(u16), max(u16), min(d16), max(d16)
+  FROM gz GROUP BY 2
+), st AS (
+  SELECT layout, CAST(count(*) AS BIGINT) AS n_zones,
+    CAST(count(*) FILTER (WHERE umax >= 30720 AND umin <= 34815)
+      AS BIGINT) AS u_hit,
+    CAST(count(*) FILTER (WHERE dmax >= 30720 AND dmin <= 34815)
+      AS BIGINT) AS d_hit
+  FROM za GROUP BY layout
+)
+SELECT layout, p.probe_dim, n_zones,
+  CASE p.probe_dim WHEN 'u' THEN u_hit ELSE d_hit END AS zones_hit,
+  ((n_zones - CASE p.probe_dim WHEN 'u' THEN u_hit ELSE d_hit END)
+    * 1000000) // n_zones AS skip_ppm
+FROM st CROSS JOIN (SELECT unnest(['u', 'd']) AS probe_dim) p
+ORDER BY layout, probe_dim
+"""
+    })
+
+  /** q234 — 2-D skyline (Pareto frontier) of orders on (price asc,
+    * recency desc): the cheapest-order-for-how-recent tradeoff curve
+    * — the multi-criteria shortlist operator (skyline) that no
+    * single ORDER BY can produce. Minimize x = exact cents, minimize
+    * y = −epoch-day; a distinct point survives iff no other point is
+    * ≤ on both axes with one strict.
+    *
+    * Algorithm (scale shape): collapse to the per-price minimum y
+    * (one map-side-combining aggregate — anything above it at the
+    * same price is dominated), then a STRICT prefix-min over the
+    * price-sorted candidate frame decides survival — computed with
+    * the q217 two-phase pattern: range-partition by price, per-bucket
+    * local running min, and a ≤|buckets|-row broadcast edge frame
+    * carrying each bucket's predecessor minimum. No single-partition
+    * window ever sees the candidate frame. The oracle replays the
+    * same frontier with a plain window (fine at oracle scale);
+    * count-per-point rides along from the (x, y) aggregate. */
+  val q234 = QuerySpec("q234_skyline_orders",
+    (s, dir) => {
+      val pts = Tables(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("x"),
+          (-expr("datediff(o_orderdate, date'1970-01-01')").cast("long"))
+            .as("y"))
+      val counts = pts.groupBy("x", "y").agg(count(lit(1)).as("n_orders"))
+      val cand = pts.groupBy("x").agg(min("y").as("y"))
+      val parted = cand.repartitionByRange(32, col("x"))
+        .withColumn("pid", spark_partition_id())
+      val w = Window.partitionBy("pid").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = parted.withColumn("lmin", min("y").over(w))
+      val wp = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val edges = parted.groupBy("pid").agg(min("y").as("bmin"))
+        .withColumn("emin", min("bmin").over(wp))
+        .select("pid", "emin")
+      local.join(broadcast(edges), Seq("pid"), "left")
+        .withColumn("pm", least(col("lmin"), col("emin")))
+        .where(col("pm").isNull || col("y") < col("pm"))
+        .join(counts, Seq("x", "y"))
+        .select(col("x").as("price_cents"), (-col("y")).as("order_day"),
+          col("n_orders"))
+        .orderBy("price_cents")
+    },
+    Some(raw"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+    -CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+      AS y
+  FROM orders
+), counts AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_orders
+  FROM pts GROUP BY 1, 2
+), cand AS (
+  SELECT x, min(y) AS y FROM pts GROUP BY x
+), f AS (
+  SELECT x, y, min(y) OVER (ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM cand
+)
+SELECT f.x AS price_cents, -f.y AS order_day, c.n_orders
+FROM f JOIN counts c ON f.x = c.x AND f.y = c.y
+WHERE f.pm IS NULL OR f.y < f.pm
+ORDER BY price_cents
+"""))
+
+  /** q235 — homoglyph (mixed-script spoofing) detection: the ingest
+    * integrity screen that catches Cyrillic lookalikes smuggled into
+    * ASCII words — the UTS #39 confusables idea reduced to its
+    * engine core: a token is SPOOFED iff it differs from its skeleton
+    * (one fixed confusable→ASCII translate table) and the skeleton is
+    * a pure ASCII word — i.e. the token renders as an English word
+    * but isn't one byte-wise. The fixture corpus is clean, so the
+    * query first derives a deterministic "submission" stream with a
+    * known injection (docs whose 60-bit hash ≡ 0 mod 7 get a/e/o
+    * swapped for а/е/о — both engines replay the identical
+    * injection), and the detector must recover exactly that split;
+    * per source: submissions, flagged docs, spoofed token count, and
+    * the flagged share in ppm. One narrow projection + explode +
+    * aggregate — no joins, no windows; the translate table is a
+    * constant. */
+  val q235 = QuerySpec("q235_homoglyph_screen",
+    (s, dir) => {
+      val subs = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          when(expr(s"pmod(${h60("concat('hg|', doc_id)")}, 7)") === 0,
+            translate(col("text"), "aeo", "аео"))
+            .otherwise(col("text")).as("text"))
+      val toks = subs
+        .select(col("source"), col("doc_id"),
+          explode(T.tokens(col("text"))).as("tok"))
+        .withColumn("skel",
+          translate(col("tok"),
+            "аеорсхуіѕј",
+            "aeopcxyisj"))
+        .withColumn("spoofed",
+          col("tok") =!= col("skel") && col("skel").rlike("^[a-z]+$"))
+      toks.groupBy("source", "doc_id")
+        .agg(sum(when(col("spoofed"), 1L).otherwise(0L)).as("sp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sp") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+          sum("sp").as("spoofed_tokens"))
+        .withColumn("flagged_ppm",
+          expr("(flagged_docs * 1000000) div n_docs"))
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH subs AS (
+  SELECT source, doc_id,
+    CASE WHEN ${sqlH60("concat('hg|', doc_id)")} % 7 = 0
+      THEN translate(text, 'aeo', 'аео') ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT source, doc_id, unnest(${TextQueries.sqlToks}) AS tok
+  FROM subs
+), sk AS (
+  SELECT source, doc_id, tok,
+    translate(tok, 'аеорсхуіѕј', 'aeopcxyisj') AS skel
+  FROM toks
+), per_doc AS (
+  SELECT source, doc_id,
+    CAST(count(*) FILTER (WHERE tok <> skel
+      AND regexp_matches(skel, '^[a-z]+${"$"}')) AS BIGINT) AS sp
+  FROM sk GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE sp > 0) AS BIGINT) AS flagged_docs,
+  CAST(sum(sp) AS BIGINT) AS spoofed_tokens,
+  (count(*) FILTER (WHERE sp > 0) * 1000000) // count(*) AS flagged_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q233, q234, q235)
+}

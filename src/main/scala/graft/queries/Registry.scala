@@ -9,5 +9,6 @@ object Registry {
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all ++
       E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all ++
-      LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all
+      LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
+      LayoutQueries.all
 }
