@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.operators.Packing
+
+/** Round-13 third wave: the model-evaluation / statistical-guardrail
+  * tier — the measurements a curation platform runs on its own
+  * classifiers and release gates: AUC by the tie-aware rank-sum
+  * (Mann–Whitney) identity, Wilson-interval defect gates, and
+  * calibration (reliability) bins.
+  *
+  * Determinism: AUC and calibration are PURE bigint arithmetic (the
+  * doubled-midrank trick keeps tie handling integer-exact); the
+  * Wilson bound is the one place a square root appears — sqrt is NOT
+  * in the banned-transcendental class (IEEE 754 requires correct
+  * rounding, so both engines produce the identical double), and the
+  * expression text is written once with pinned parenthesization and
+  * interpolated into both dialects.
+  */
+object EvalQueries {
+
+  /** q236 — AUC of the quality score as a detector for English
+    * documents, computed by the rank-sum identity AUC =
+    * (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with TIES at midrank — the exact
+    * statistic sklearn's roc_auc_score produces, reduced to integer
+    * arithmetic: scores collapse to the distinct-value frame
+    * (value, count, positive-count), the strict-predecessor
+    * cumulative count comes from the two-phase prefix-sum core (an
+    * RDD sortByKey over the lpad'd score key — never a
+    * single-partition window over the value frame), and doubled
+    * midranks (2·mid = 2·cum_before + cnt + 1) keep everything
+    * bigint. Output: counts, the doubled rank-sum, and AUC in ppm
+    * (exact floor; the ·10⁶ numerator stays inside long up to ~10⁹
+    * scored documents — the same envelope every ppm figure in this
+    * registry carries). AUC ≈ 0.5 here (the quality features are
+    * language-blind) — the INTERESTING property is that two engines
+    * agree on it to the ppm, ties and all. */
+  val q236 = QuerySpec("q236_auc_rank",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(
+          round(round(graft.functions.Text.qualityScore(col("text")), 6)
+            * 1e6, 0).cast("long").as("q_u"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byScore = graft.CacheRegistry.persistTracked(
+        docs.groupBy("q_u")
+          .agg(count(lit(1)).as("cnt"), sum("pos").as("pc"))
+          .withColumn("k", lpad(col("q_u").cast("string"), 8, "0"))
+          .withColumn("one", col("cnt")))
+      val ranked = Packing.withCumulativeSum(byScore.toDF(), "k", "one", 32)
+        .withColumn("mid2",
+          (col("cum") - col("cnt")) * 2 + col("cnt") + 1)
+      ranked
+        .agg(sum(col("pc") * col("mid2")).as("r2_pos"),
+          sum("pc").as("n_pos"),
+          (sum("cnt") - sum("pc")).as("n_neg"))
+        .withColumn("auc_ppm", expr(
+          "((r2_pos - n_pos * (n_pos + 1)) * 1000000) div " +
+            "(2 * n_pos * n_neg)"))
+        .select("n_pos", "n_neg", "r2_pos", "auc_ppm")
+    },
+    Some(raw"""
+WITH docs AS (
+  SELECT CAST(round(round(${TextQueries.sqlQuality}, 6) * 1e6, 0)
+      AS BIGINT) AS q_u,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), by_score AS (
+  SELECT q_u, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(pos) AS BIGINT) AS pc
+  FROM docs GROUP BY q_u
+), ranked AS (
+  SELECT cnt, pc,
+    (sum(cnt) OVER (ORDER BY q_u ROWS UNBOUNDED PRECEDING) - cnt) * 2
+      + cnt + 1 AS mid2
+  FROM by_score
+), agg AS (
+  SELECT CAST(sum(pc * mid2) AS BIGINT) AS r2_pos,
+    CAST(sum(pc) AS BIGINT) AS n_pos,
+    CAST(sum(cnt) - sum(pc) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg, r2_pos,
+  ((r2_pos - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg)
+    AS auc_ppm
+FROM agg
+"""))
+
+  /** The Wilson 95% interval endpoints as dialect-shared expression
+    * text over bigint columns `d` (defects) and `n`: z = 1.96
+    * (z² = 3.8416 exactly as a literal), every operation and paren
+    * pinned so both engines execute the identical IEEE sequence; the
+    * only non-arithmetic op is sqrt, which IEEE 754 requires to be
+    * correctly rounded — bit-identical across conforming engines. */
+  private def wilson(sign: String): String =
+    "((pd + 1.9208 / nd " + sign + " 1.96 * sqrt(" +
+      "(pd * (1.0 - pd) + 0.9604 / nd) / nd)) / (1.0 + 3.8416 / nd))"
+
+  /** q237 — Wilson-interval release gate: per source, the defect rate
+    * (documents under the 0.5 quality bar) with its Wilson 95%
+    * lower/upper bounds — the statistically honest form of "is this
+    * source's defect rate above 30%?" that a raw proportion can't
+    * answer at small n (the gate a curation platform runs before
+    * admitting a source into a training mix). Bounds floor to ppm
+    * AFTER the pinned-order float evaluation (see [[wilson]]); the
+    * gate column compares the ppm INTEGER, so the driver-checked
+    * decision is integer-exact end to end. One aggregate, no joins,
+    * |sources| output rows. */
+  val q237 = QuerySpec("q237_wilson_gate",
+    (s, dir) => {
+      val per = Tables(s, dir, "documents")
+        .select(col("source"),
+          when(round(graft.functions.Text.qualityScore(col("text")), 6)
+            < 0.5, 1L).otherwise(0L).as("defect"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("defect").as("d"))
+      per
+        .withColumn("pd", expr("cast(d as double) / cast(n as double)"))
+        .withColumn("nd", expr("cast(n as double)"))
+        .withColumn("rate_ppm", expr("(d * 1000000) div n"))
+        .withColumn("wilson_lo_ppm",
+          expr(s"cast(floor(${wilson("-")} * 1000000.0) as bigint)"))
+        .withColumn("wilson_hi_ppm",
+          expr(s"cast(floor(${wilson("+")} * 1000000.0) as bigint)"))
+        .withColumn("gate_fail", col("wilson_lo_ppm") > 300000L)
+        .select("source", "n", "d", "rate_ppm",
+          "wilson_lo_ppm", "wilson_hi_ppm", "gate_fail")
+        .orderBy("source")
+    },
+    Some(raw"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) FILTER (
+      WHERE round(${TextQueries.sqlQuality}, 6) < 0.5) AS BIGINT) AS d
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n, d,
+    CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS pd,
+    CAST(n AS DOUBLE) AS nd
+  FROM per
+)
+SELECT source, n, d,
+  (d * 1000000) // n AS rate_ppm,
+  CAST(floor(${wilson("-")} * 1000000.0) AS BIGINT) AS wilson_lo_ppm,
+  CAST(floor(${wilson("+")} * 1000000.0) AS BIGINT) AS wilson_hi_ppm,
+  CAST(floor(${wilson("-")} * 1000000.0) AS BIGINT) > 300000
+    AS gate_fail
+FROM w ORDER BY source
+"""))
+
+  /** q238 — calibration (reliability) bins: does the quality score,
+    * read as P(document is English)-style confidence, mean what it
+    * says? Ten equal-width score bins; per bin the mean predicted
+    * value in exact micro-units (integer sum div count — no float
+    * mean) against the observed positive rate in ppm — the
+    * reliability-diagram table, from which ECE or a recalibration
+    * map is one more aggregate. Everything bigint; one map-side-
+    * combining aggregate over a narrow projection. */
+  val q238 = QuerySpec("q238_calibration_bins",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(
+          round(round(graft.functions.Text.qualityScore(col("text")), 6)
+            * 1e6, 0).cast("long").as("q_u"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .withColumn("bin", least(lit(9L), expr("q_u div 100000")))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("q_u").as("sq"),
+          sum("pos").as("n_pos"))
+        .select(col("bin"), col("n"),
+          expr("sq div n").as("mean_pred_u"),
+          expr("(n_pos * 1000000) div n").as("obs_pos_ppm"))
+        .orderBy("bin")
+    },
+    Some(raw"""
+WITH docs AS (
+  SELECT CAST(round(round(${TextQueries.sqlQuality}, 6) * 1e6, 0)
+      AS BIGINT) AS q_u,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), b AS (
+  SELECT least(9, q_u // 100000) AS bin, q_u, pos FROM docs
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(q_u) // count(*) AS BIGINT) AS mean_pred_u,
+  CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS obs_pos_ppm
+FROM b GROUP BY bin ORDER BY bin
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q236, q237, q238)
+}
