@@ -188,5 +188,76 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
 FROM b GROUP BY bin ORDER BY bin
 """))
 
-  def all: Seq[QuerySpec] = Seq(q236, q237, q238)
+  /** q239 — exact two-sample Kolmogorov–Smirnov statistic between the
+    * English and non-English quality-score distributions: the
+    * distribution-level drift test that completes the family (q156
+    * watches stream-side histogram drift; q210 trends a scalar; this
+    * is the exact "are these two samples from the same distribution"
+    * statistic). D = max over thresholds |F_A − F_B|, kept integer by
+    * cross-multiplying: D_scaled = max |cumA·n_B − cumB·n_A|, reported
+    * as d_ppm = (D_scaled·10⁶) div (n_A·n_B) with the FIRST threshold
+    * attaining the max (min q_u tie-break — a deterministic argmax).
+    * The two cumulatives run as two passes of the two-phase prefix-sum
+    * core over the distinct-score frame (same sort key, linear scale;
+    * never a single-partition window); cross-products stay inside
+    * long up to ~3·10⁹ rows per side. */
+  val q239 = QuerySpec("q239_ks_two_sample",
+    (s, dir) => {
+      val byScore = Tables(s, dir, "documents")
+        .select(
+          round(round(graft.functions.Text.qualityScore(col("text")), 6)
+            * 1e6, 0).cast("long").as("q_u"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("b"))
+        .groupBy("q_u")
+        .agg(sum("a").as("ca"), sum("b").as("cb"))
+        .withColumn("k", lpad(col("q_u").cast("string"), 8, "0"))
+      val cumA = Packing.withCumulativeSum(byScore, "k", "ca", 32)
+        .withColumnRenamed("cum", "cum_a")
+      val cum2 = Packing.withCumulativeSum(
+          cumA.select("q_u", "k", "cb", "cum_a"), "k", "cb", 32)
+        .withColumnRenamed("cum", "cum_b")
+      // totals are the final cumulatives — exact, no second scan
+      val stats = cum2.agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
+      cum2.crossJoin(broadcast(stats))
+        .withColumn("gap",
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .groupBy("n_a", "n_b")
+        // argmax(gap) with min-q_u tie-break as ONE packed bigint key
+        // (q_u < 2²¹; DuckDB's arg_min takes scalar orderings only):
+        // minimize q_u − gap·2²¹
+        .agg(max("gap").as("d_scaled"),
+          expr("min_by(q_u, q_u - gap * 2097152)").as("at_q_u"))
+        .withColumn("d_ppm", expr("(d_scaled * 1000000) div (n_a * n_b)"))
+        .select("n_a", "n_b", "d_ppm", "at_q_u")
+    },
+    Some(raw"""
+WITH docs AS (
+  SELECT CAST(round(round(${TextQueries.sqlQuality}, 6) * 1e6, 0)
+      AS BIGINT) AS q_u,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+    CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+  FROM documents
+), by_score AS (
+  SELECT q_u, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+  FROM docs GROUP BY q_u
+), cums AS (
+  SELECT q_u,
+    sum(ca) OVER (ORDER BY q_u ROWS UNBOUNDED PRECEDING) AS cum_a,
+    sum(cb) OVER (ORDER BY q_u ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM by_score
+), tot AS (
+  SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cums
+), gaps AS (
+  SELECT c.q_u, t.n_a, t.n_b,
+    abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS gap
+  FROM cums c, tot t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST((max(gap) * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
+  CAST(arg_min(q_u, q_u - gap * 2097152) AS BIGINT) AS at_q_u
+FROM gaps GROUP BY n_a, n_b
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239)
 }

@@ -32,6 +32,28 @@ class EvalSpec extends SparkSpec {
       s"rank-sum ${out.getAs[Long]("auc_ppm")} vs brute $wantPpm")
   }
 
+  test("q239: KS statistic equals the brute-force max CDF gap and " +
+      "the reported threshold attains it") {
+    val out = graft.queries.EvalQueries.q239.fn(spark, dir).head()
+    val docs = Tables(spark, dir, "documents")
+      .select(
+        round(round(graft.functions.Text.qualityScore(col("text")), 6)
+          * 1e6, 0).cast("long").as("q_u"),
+        (col("lang") === "en").as("en"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val as = docs.filter(_._2).map(_._1).sorted
+    val bs = docs.filterNot(_._2).map(_._1).sorted
+    val nA = as.length.toLong; val nB = bs.length.toLong
+    assert(out.getAs[Long]("n_a") == nA && out.getAs[Long]("n_b") == nB)
+    val thresholds = (as ++ bs).distinct.sorted
+    def gapAt(t: Long): Long =
+      math.abs(as.count(_ <= t) * nB - bs.count(_ <= t) * nA)
+    val dScaled = thresholds.map(gapAt).max
+    assert(out.getAs[Long]("d_ppm") == dScaled * 1000000L / (nA * nB))
+    assert(gapAt(out.getAs[Long]("at_q_u")) == dScaled,
+      "reported threshold must attain the max gap")
+  }
+
   test("q237: Wilson interval brackets the point rate and the gate " +
       "matches its own lower bound") {
     val out = graft.queries.EvalQueries.q237.fn(spark, dir).collect()
