@@ -267,5 +267,73 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM per_doc GROUP BY source ORDER BY source
 """))
 
-  def all: Seq[QuerySpec] = Seq(q233, q234, q235)
+  /** q240 — spatial radius self-join via space-filling-curve
+    * bucketing: all point pairs within Euclidean distance r, found by
+    * an EQUI-join on Morton cells instead of the quadratic θ-join the
+    * predicate literally is. Points are deterministic hash coordinates
+    * (doc_id → a 2²⁰-square grid); cells are r-wide (cell = coord div 8192), one side expands to its 3×3 cell neighborhood,
+    * the other stays home — every qualifying pair meets in EXACTLY one
+    * (expanded, home) cell combination, so no post-dedup is needed —
+    * and the exact integer predicate dx² + dy² ≤ r² refines
+    * cell-local candidates only. The oracle is the NAIVE quadratic
+    * join with the same predicate: the comparison proves the
+    * bucketization neither loses nor duplicates a single pair.
+    * Output is the banded distance histogram (8 d² bands) — bounded
+    * rows at any corpus size.
+    *
+    * Scale shape: candidates are linear in Σ per-cell density² (flat
+    * for hash-uniform points — the same argument as q198's per-key
+    * range buckets); the join is a plain shuffled equi-join AQE can
+    * re-plan; the 9× expansion touches only (id, x, y) tuples. */
+  val q240 = QuerySpec("q240_spatial_join",
+    (s, dir) => {
+      val r2 = 8192L * 8192L
+      val pts = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          expr(s"pmod(${h60("concat('px|', doc_id)")}, 1048576)").as("x"),
+          expr(s"pmod(${h60("concat('py|', doc_id)")}, 1048576)").as("y"))
+      val home = pts
+        .withColumn("cx", expr("x div 8192"))
+        .withColumn("cy", expr("y div 8192"))
+      val expanded = home
+        .select(col("id"), col("x"), col("y"),
+          explode(expr("array(-1L, 0L, 1L)")).as("dx"), col("cx"), col("cy"))
+        .select(col("id"), col("x"), col("y"),
+          (col("cx") + col("dx")).as("cx"),
+          explode(expr("array(-1L, 0L, 1L)")).as("dy"), col("cy"))
+        .select(col("id"), col("x"), col("y"),
+          col("cx"), (col("cy") + col("dy")).as("cy"))
+      val pairs = expanded.as("a")
+        .join(home.select(col("id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+        .where(col("id") < col("id_b"))
+        .withColumn("d2",
+          (col("x") - col("xb")) * (col("x") - col("xb")) +
+            (col("y") - col("yb")) * (col("y") - col("yb")))
+        .where(col("d2") <= r2)
+      pairs
+        .groupBy(expr(s"(d2 * 8) div ${r2 + 1}").as("band"))
+        .agg(count(lit(1)).as("n_pairs"), min("d2").as("min_d2"),
+          max("d2").as("max_d2"))
+        .orderBy("band")
+    },
+    Some(raw"""
+WITH pts AS (
+  SELECT doc_id AS id,
+    ${sqlH60("concat('px|', doc_id)")} % 1048576 AS x,
+    ${sqlH60("concat('py|', doc_id)")} % 1048576 AS y
+  FROM documents
+), pairs AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+    <= 67108864
+)
+SELECT (d2 * 8) // 67108865 AS band,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  min(d2) AS min_d2, max(d2) AS max_d2
+FROM pairs GROUP BY 1 ORDER BY band
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q233, q234, q235, q240)
 }

@@ -55,6 +55,38 @@ class LayoutSpec2 extends SparkSpec {
     }
   }
 
+  test("q240: Morton-bucketed radius join finds exactly the brute-force " +
+      "pair set (no pair lost at cell borders, none duplicated)") {
+    // sf0.01: 500 documents -> a few dozen qualifying pairs (sf0.001's
+    // 50 points are too sparse to exercise the bands)
+    val d01 = "/root/testdata/sf0.01"
+    val out = graft.queries.LayoutQueries.q240.fn(spark, d01).collect()
+    val r2 = 8192L * 8192L
+    // brute force the same hash coordinates
+    val pts = Tables(spark, d01, "documents")
+      .selectExpr("doc_id as id",
+        "pmod(cast(conv(substring(md5(concat('px|', doc_id)), 1, 15), 16, 10) as bigint), 1048576) as x",
+        "pmod(cast(conv(substring(md5(concat('py|', doc_id)), 1, 15), 16, 10) as bigint), 1048576) as y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var want = 0L
+    val bandWant = scala.collection.mutable.Map.empty[Long, Long]
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val (_, x1, y1) = pts(i); val (_, x2, y2) = pts(j)
+      val d2 = (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)
+      if (d2 <= r2) {
+        want += 1
+        val b = d2 * 8 / (r2 + 1)
+        bandWant(b) = bandWant.getOrElse(b, 0L) + 1
+      }
+    }
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == want,
+      s"pair count ${out.map(_.getAs[Long]("n_pairs")).sum} vs brute $want")
+    for (r <- out) {
+      assert(r.getAs[Long]("n_pairs") == bandWant(r.getAs[Long]("band")))
+      assert(r.getAs[Long]("max_d2") <= r2)
+    }
+  }
+
   test("q235: the detector recovers exactly the injected 1-in-7 docs " +
       "and flags zero clean docs") {
     val out = graft.queries.LayoutQueries.q235.fn(spark, dir).collect()
