@@ -259,5 +259,57 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM gaps GROUP BY n_a, n_b
 """))
 
-  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239)
+  /** q241 — NATIVE session windows (`session_window(ts, '30
+    * minutes')`): the built-in gap-based sessionizer, exercised from
+    * the registry so the engine covers BOTH sessionization paths —
+    * this declarative one (Catalyst plans it as a per-key merging
+    * aggregate; at scale it shuffles once on user and needs no state
+    * store in batch) and the custom `flatMapGroupsWithState` path
+    * ([[graft.streaming.SessionizeStream]]) for semantics the
+    * built-in can't express. Sessions run at MICROSECOND precision
+    * (the fixture's ts carries µs; a floor-to-seconds oracle would
+    * mis-split borderline gaps): an event extends its session iff
+    * t − prev < 30 min exactly as the oracle's lag/cumsum island
+    * replay defines it. Output is the session-size histogram with
+    * exact µs duration sums — bounded rows at any scale. */
+  val q241 = QuerySpec("q241_session_window",
+    (s, dir) => {
+      val sess = Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("n_events"),
+          (expr("unix_micros(w.end)") - expr("unix_micros(w.start)") -
+            lit(1800000000L)).as("dur_us"))
+      sess.groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("dur_us").as("sum_dur_us"), max("dur_us").as("max_dur_us"))
+        .orderBy("n_events")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+), lagged AS (
+  SELECT user_id, t,
+    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000
+      THEN 1 ELSE 0 END AS brk
+  FROM ev
+), sid AS (
+  SELECT user_id, t,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+), sess AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+    max(t) - min(t) AS dur_us
+  FROM sid GROUP BY 1, 2
+)
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+  CAST(max(dur_us) AS BIGINT) AS max_dur_us
+FROM sess GROUP BY n_events ORDER BY n_events
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239, q241)
 }

@@ -69,6 +69,38 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q241: sessions partition the event stream and native " +
+      "session_window agrees with the batch lag/cumsum replay") {
+    val out = graft.queries.EvalQueries.q241.fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    val covered = out.map(r =>
+      r.getAs[Long]("n_events") * r.getAs[Long]("n_sessions")).sum
+    assert(covered == Tables(spark, dir, "events").count(),
+      "every event must land in exactly one session")
+    // replay sessionization independently (scala fold over sorted
+    // per-user micro-times) and compare the histogram
+    val evs = Tables(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) as t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val hist = scala.collection.mutable.Map.empty[Long, Long]
+    for ((_, ts) <- evs) {
+      var n = 0L
+      var prev = Long.MinValue
+      for (t <- ts) {
+        if (prev == Long.MinValue || t - prev >= 1800000000L) {
+          if (n > 0) hist(n) = hist.getOrElse(n, 0L) + 1
+          n = 0L
+        }
+        n += 1; prev = t
+      }
+      if (n > 0) hist(n) = hist.getOrElse(n, 0L) + 1
+    }
+    val got = out.map(r =>
+      r.getAs[Long]("n_events") -> r.getAs[Long]("n_sessions")).toMap
+    assert(got == hist.toMap, s"histogram $got vs replay $hist")
+  }
+
   test("q238: bins partition the corpus, mean prediction lives inside " +
       "its bin, observed rates are probabilities") {
     val out = graft.queries.EvalQueries.q238.fn(spark, dir).collect()
