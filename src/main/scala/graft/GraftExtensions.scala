@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // whole-operator extension: the AS-OF JOIN logical node plans to
+    // its merge-based physical operator (AsOfJoinExec)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftexec.AsOfJoinStrategy)
     // (className, db = null, name, usage, extended = "") — the 5-arg
     // overload is the one that surfaces usage in DESCRIBE FUNCTION
     def info(name: String, usage: String): ExpressionInfo =

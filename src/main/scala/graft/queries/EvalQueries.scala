@@ -311,5 +311,56 @@ SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
 FROM sess GROUP BY n_events ORDER BY n_events
 """))
 
-  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239, q241)
+  /** q242 — backward as-of join through the engine's own PHYSICAL
+    * operator ([[org.apache.spark.sql.graftexec.AsOfJoinExec]], the
+    * custom LogicalPlan → Strategy → SparkPlan stack GraftExtensions
+    * injects): every click joined to its user's most recent
+    * purchase-or-earlier event, then rolled up per user — the same
+    * semantics q64 builds from the union+window composition, now
+    * planned as a co-partitioned sorted MERGE with one retained row
+    * of state (no union materialization, no window buffer). The
+    * oracle is DuckDB's native ASOF JOIN — engine-vs-engine on the
+    * operator both implement natively. Rollup: per user, clicks,
+    * matched clicks, and the exact sum of click→purchase lags in
+    * µs (unmatched clicks excluded), bucketed by user id mod 16 to
+    * keep output bounded. */
+  val q242 = QuerySpec("q242_asof_exec",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("t"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("t").as("p_t"))
+      val joined = org.apache.spark.sql.graftexec.AsOfJoinPhysical
+        .joinBackward(clicks, purchases, "user_id", "p_user", "t", "p_t")
+      joined
+        .groupBy(expr("pmod(user_id, 16)").as("bucket"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("p_t").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("p_t").isNotNull, col("t") - col("p_t"))
+            .otherwise(0L)).as("sum_lag_us"))
+        .orderBy("bucket")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), clicks AS (
+  SELECT user_id, t FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, t AS p_t FROM ev WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.user_id, c.t, p.p_t
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND p.p_t <= c.t
+)
+SELECT user_id % 16 AS bucket,
+  CAST(count(*) AS BIGINT) AS n_clicks,
+  CAST(count(p_t) AS BIGINT) AS n_matched,
+  CAST(coalesce(sum(t - p_t), 0) AS BIGINT) AS sum_lag_us
+FROM j GROUP BY 1 ORDER BY bucket
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239, q241, q242)
 }
