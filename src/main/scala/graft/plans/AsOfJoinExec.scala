@@ -44,7 +44,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,19 +60,26 @@ case class AsOfJoin(
   * can plan the node too. */
 object AsOfJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
 
+/** @param forward false = backward (latest right with rt ≤ lt);
+  *                true = forward (earliest right with rt ≥ lt). The
+  *                forward merge is the backward one over time
+  *                REVERSED: both sides sort (key asc, time desc), and
+  *                advancing through rights with rt ≥ lt retains the
+  *                smallest qualifying rt. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryExecNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   private def longAble(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | TimestampType | TimestampNTZType => true
@@ -90,11 +98,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)) ::
-      Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val tsDir = if (forward) Descending else Ascending
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir)) :: Nil
+  }
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
@@ -137,14 +146,18 @@ case class AsOfJoinExec(
           }
           // discard right rows for keys already passed, then advance
           // through this key's rows up to the left time — the retained
-          // row IS the as-of match (both sides ascend, so the pointer
-          // never rewinds; ties rTs == lt are taken, matching DuckDB)
+          // row IS the as-of match (time ascends backward / descends
+          // forward, so the pointer never rewinds; ties rTs == lt are
+          // taken in both directions, matching DuckDB)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rh = rBuf.head
             val rk = asLong(rkB.eval(rh))
             if (rk < lk) { rBuf.next() }
-            else if (rk == lk && asLong(rtB.eval(rh)) <= lt) {
+            else if (rk == lk && {
+              val rt = asLong(rtB.eval(rh))
+              if (forward) rt >= lt else rt <= lt
+            }) {
               lastMatch = rBuf.next().copy()
             } else advancing = false
           }
@@ -169,7 +182,16 @@ case class AsOfJoinExec(
   * one scan) can't collide. */
 object AsOfJoinPhysical {
   def joinBackward(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, leftTs: String, rightTs: String): DataFrame = {
+      rightKey: String, leftTs: String, rightTs: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs, forward = false)
+
+  def joinForward(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTs, rightTs, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String,
+      forward: Boolean): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     // idempotent fallback registration: extension-built sessions get
     // the strategy from GraftExtensions; plain sessions (shared test
@@ -189,6 +211,6 @@ object AsOfJoinPhysical {
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
     Dataset.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+      attr(lPlan, leftTs), attr(rPlan, rightTs), forward))
   }
 }

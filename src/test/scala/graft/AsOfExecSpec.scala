@@ -60,6 +60,31 @@ class AsOfExecSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getLong(0) == 99L)
   }
 
+  test("forward direction matches brute force (earliest right with " +
+      "rt >= lt; ties match; null fill beyond the last right row)") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = (1 to 150).map { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong * 10)
+    }.toDF("rk", "rt", "pay")
+      .groupBy("rk", "rt").agg(max("pay").as("pay"))
+    val got = AsOfJoinPhysical
+      .joinForward(left, right, "k", "rk", "t", "rt")
+      .select("lid", "pay").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = left.collect().map { r =>
+      val (k, t, lid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = rights.filter(x => x._1 == k && x._2 >= t)
+      lid -> (if (cands.isEmpty) -1L else cands.minBy(_._2)._3)
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_ == -1L) && got.values.exists(_ != -1L))
+  }
+
   test("agrees with the union+window composition on the events fixture " +
       "and survives a self-join (both sides one scan)") {
     val dir = "/root/testdata/sf0.001"
