@@ -362,5 +362,153 @@ SELECT user_id % 16 AS bucket,
 FROM j GROUP BY 1 ORDER BY bucket
 """))
 
-  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239, q241, q242)
+  /** q243 — FORWARD as-of through the physical operator
+    * ([[org.apache.spark.sql.graftexec.AsOfJoinExec]] with
+    * `forward=true`): every click joined to its user's EARLIEST
+    * following (or simultaneous) purchase — the time-to-convert
+    * direction — same co-partitioned sorted-merge plan with time
+    * reversed. The oracle replays the forward match with a min-over-
+    * following window (DuckDB ASOF is backward-only), so the custom
+    * exec is checked against an independent SQL formulation rather
+    * than a twin implementation. Output mirrors q242's bucketed
+    * rollup with forward lags. */
+  val q243 = QuerySpec("q243_asof_forward_exec",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("t"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("t").as("p_t"))
+      val joined = org.apache.spark.sql.graftexec.AsOfJoinPhysical
+        .joinForward(clicks, purchases, "user_id", "p_user", "t", "p_t")
+      joined
+        .groupBy(expr("pmod(user_id, 16)").as("bucket"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("p_t").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("p_t").isNotNull, col("p_t") - col("t"))
+            .otherwise(0L)).as("sum_lag_us"))
+        .orderBy("bucket")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), clicks AS (
+  SELECT user_id, t FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, t AS p_t FROM ev WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.user_id, c.t,
+    (SELECT min(p.p_t) FROM purchases p
+     WHERE p.user_id = c.user_id AND p.p_t >= c.t) AS p_t
+  FROM clicks c
+)
+SELECT user_id % 16 AS bucket,
+  CAST(count(*) AS BIGINT) AS n_clicks,
+  CAST(count(p_t) AS BIGINT) AS n_matched,
+  CAST(coalesce(sum(p_t - t), 0) AS BIGINT) AS sum_lag_us
+FROM j GROUP BY 1 ORDER BY bucket
+"""))
+
+  /** q244 — declarative data-contract audit (the dbt-test / Deequ
+    * constraint suite reduced to its engine core): one bounded report
+    * over the whole star schema — referential integrity (orders →
+    * customer, lineitem → orders, events.user_id → the user universe
+    * implied by events itself is skipped as vacuous; supplier →
+    * nation), key uniqueness (lineitem's (l_orderkey, l_linenumber),
+    * which the synthetic fixture DELIBERATELY violates — the audit
+    * must report, not hide, the known duplicates), domain constraints
+    * (event_type's accepted values, non-negative totals), and
+    * completeness (non-null keys). Every check is one aggregate or
+    * one anti-join — the shapes that stay linear at 100 TB — and the
+    * report is |constraints| rows of exact violation counts with a
+    * pass flag, union'd in a fixed order. */
+  val q244 = QuerySpec("q244_constraint_audit",
+    (s, dir) => {
+      def row(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("constraint_name"),
+          col("n_violations").cast("long").as("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val lineitem = Tables(s, dir, "lineitem")
+      val supplier = Tables(s, dir, "supplier")
+      val nation = Tables(s, dir, "nation")
+      val events = Tables(s, dir, "events")
+      val fkOrdersCust = orders.join(
+          customer.select(col("c_custkey")).distinct(),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val fkLineOrders = lineitem.join(
+          orders.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val fkSuppNation = supplier.join(
+          nation.select(col("n_nationkey")).distinct(),
+          col("s_nationkey") === col("n_nationkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val uniqLine = lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).where(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      val domainEvents = events
+        .agg(sum(when(col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 0L)
+          .otherwise(1L)).as("n_violations"))
+      val nonNegTotals = orders
+        .agg(sum(when(col("o_totalprice") >= 0, 0L).otherwise(1L))
+          .as("n_violations"))
+      val notNullUser = events
+        .agg(sum(when(col("user_id").isNotNull, 0L).otherwise(1L))
+          .as("n_violations"))
+      row("fk_orders_customer", fkOrdersCust)
+        .unionByName(row("fk_lineitem_orders", fkLineOrders))
+        .unionByName(row("fk_supplier_nation", fkSuppNation))
+        .unionByName(row("unique_lineitem_key", uniqLine))
+        .unionByName(row("domain_event_type", domainEvents))
+        .unionByName(row("nonneg_order_total", nonNegTotals))
+        .unionByName(row("notnull_event_user", notNullUser))
+        .orderBy("constraint_name")
+    },
+    Some(raw"""
+WITH checks AS (
+  SELECT 'fk_orders_customer' AS constraint_name,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey)) AS n_violations
+  UNION ALL
+  SELECT 'fk_lineitem_orders',
+    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'fk_supplier_nation',
+    (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                       WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'unique_lineitem_key',
+    (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+       SELECT count(*) AS c FROM lineitem
+       GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'domain_event_type',
+    (SELECT CAST(count(*) FILTER (WHERE event_type NOT IN
+       ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT)
+     FROM events)
+  UNION ALL
+  SELECT 'nonneg_order_total',
+    (SELECT CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+     FROM orders)
+  UNION ALL
+  SELECT 'notnull_event_user',
+    (SELECT CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+     FROM events)
+)
+SELECT constraint_name, n_violations, n_violations = 0 AS pass
+FROM checks ORDER BY constraint_name
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q236, q237, q238, q239, q241, q242,
+    q243, q244)
 }
