@@ -335,5 +335,99 @@ SELECT (d2 * 8) // 67108865 AS band,
 FROM pairs GROUP BY 1 ORDER BY band
 """))
 
-  def all: Seq[QuerySpec] = Seq(q233, q234, q235, q240)
+  /** q245 — columnar-encoding advisor: for each candidate column,
+    * the statistics a writer needs to pick its encoding (the
+    * Parquet/ORC encoding-selection pass as a query): exact NDV,
+    * adjacent-run count in storage order, and modeled sizes for
+    * PLAIN (8 B/value), RLE (12 B/run), and DICTIONARY (8 B/entry +
+    * ⌈log₂ ndv⌉ bits/value) — with the winner named. The subtle
+    * part at scale is the RUN COUNT: adjacency is sequential, but
+    * rather than a single-partition window the query counts
+    * adjacent-equal pairs with a SELF-JOIN on `event_id + 1` — a
+    * plain shuffled equi-join, linear and AQE-replannable; runs =
+    * n − equal-adjacent-pairs (id gaps conservatively break runs —
+    * exactly what a row-group boundary does). String columns reduce
+    * to the engine-standard 60-bit hash surrogate (equality-faithful
+    * for run/NDV purposes; both engines hash identically). Bit
+    * widths via `length(bin(·))` — never a live log2. */
+  val q245 = QuerySpec("q245_encoding_advisor",
+    (s, dir) => {
+      val ev = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .select(col("event_id"),
+            expr(h60("event_type")).as("c_event_type"),
+            col("user_id").as("c_user_id"),
+            expr("cast(round(value * 100) as bigint)").as("c_cents")))
+      def advise(colName: String): org.apache.spark.sql.DataFrame = {
+        val c = s"c_$colName"
+        val base = ev.select(col("event_id"), col(c).as("v"))
+        val adjEq = base.as("a").join(
+            base.select((col("event_id") - 1).as("event_id"),
+              col("v").as("v_next")).as("b"), Seq("event_id"))
+          .where(col("v") === col("v_next"))
+          .agg(count(lit(1)).as("eq_adj"))
+        val stats = base.agg(count(lit(1)).as("n"),
+          count_distinct(col("v")).as("ndv"))
+        stats.crossJoin(broadcast(adjEq))
+          .select(lit(colName).as("column_name"), col("n"), col("ndv"),
+            (col("n") - col("eq_adj")).as("runs"))
+          .withColumn("plain_bytes", expr("n * 8"))
+          .withColumn("rle_bytes", expr("runs * 12"))
+          .withColumn("dict_bytes", expr(
+            "ndv * 8 + (n * (case when ndv <= 1 then 1 else " +
+              "length(bin(ndv - 1)) end) + 7) div 8"))
+          .withColumn("best", expr(
+            "case when plain_bytes <= rle_bytes and " +
+              "plain_bytes <= dict_bytes then 'plain' " +
+              "when rle_bytes <= dict_bytes then 'rle' " +
+              "else 'dict' end"))
+      }
+      advise("event_type")
+        .unionByName(advise("user_id"))
+        .unionByName(advise("cents"))
+        .orderBy("column_name")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_id,
+    ${sqlH60("event_type")} AS c_event_type,
+    user_id AS c_user_id,
+    CAST(round(value * 100) AS BIGINT) AS c_cents
+  FROM events
+), cols AS (
+  SELECT 'event_type' AS column_name, event_id, c_event_type AS v FROM ev
+  UNION ALL
+  SELECT 'user_id', event_id, c_user_id FROM ev
+  UNION ALL
+  SELECT 'cents', event_id, c_cents FROM ev
+), adj AS (
+  SELECT a.column_name, CAST(count(*) AS BIGINT) AS eq_adj
+  FROM cols a JOIN cols b
+    ON b.column_name = a.column_name AND b.event_id = a.event_id + 1
+      AND b.v = a.v
+  GROUP BY 1
+), st AS (
+  SELECT column_name, CAST(count(*) AS BIGINT) AS n,
+    CAST(count(DISTINCT v) AS BIGINT) AS ndv
+  FROM cols GROUP BY 1
+), m AS (
+  SELECT s.column_name, s.n, s.ndv,
+    s.n - coalesce(a.eq_adj, 0) AS runs,
+    s.n * 8 AS plain_bytes,
+    (s.n - coalesce(a.eq_adj, 0)) * 12 AS rle_bytes,
+    s.ndv * 8 + (s.n * (CASE WHEN s.ndv <= 1 THEN 1
+      ELSE length(bin(s.ndv - 1)) END) + 7) // 8 AS dict_bytes
+  FROM st s LEFT JOIN adj a ON s.column_name = a.column_name
+)
+SELECT column_name, n, ndv, runs,
+  CAST(plain_bytes AS BIGINT) AS plain_bytes,
+  CAST(rle_bytes AS BIGINT) AS rle_bytes,
+  CAST(dict_bytes AS BIGINT) AS dict_bytes,
+  CASE WHEN plain_bytes <= rle_bytes AND plain_bytes <= dict_bytes
+    THEN 'plain'
+    WHEN rle_bytes <= dict_bytes THEN 'rle' ELSE 'dict' END AS best
+FROM m ORDER BY column_name
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q233, q234, q235, q240, q245)
 }

@@ -87,6 +87,23 @@ class LayoutSpec2 extends SparkSpec {
     }
   }
 
+  test("q245: encoding-advisor laws — ndv <= runs <= n, models " +
+      "consistent, and 'best' is the true argmin") {
+    val out = graft.queries.LayoutQueries.q245.fn(spark, dir).collect()
+    assert(out.length == 3)
+    for (r <- out) {
+      val n = r.getAs[Long]("n"); val ndv = r.getAs[Long]("ndv")
+      val runs = r.getAs[Long]("runs")
+      assert(ndv >= 1 && ndv <= runs && runs <= n,
+        s"${r.getAs[String]("column_name")}: ndv $ndv runs $runs n $n")
+      val sizes = Map(
+        "plain" -> r.getAs[Long]("plain_bytes"),
+        "rle" -> r.getAs[Long]("rle_bytes"),
+        "dict" -> r.getAs[Long]("dict_bytes"))
+      assert(sizes(r.getAs[String]("best")) == sizes.values.min)
+    }
+  }
+
   test("q235: the detector recovers exactly the injected 1-in-7 docs " +
       "and flags zero clean docs") {
     val out = graft.queries.LayoutQueries.q235.fn(spark, dir).collect()
