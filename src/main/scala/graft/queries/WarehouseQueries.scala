@@ -363,5 +363,129 @@ FROM merged m JOIN f ON m.event_type = f.event_type
 ORDER BY m.event_type
 """))
 
-  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232)
+  /** q246 — theta-sketch SET ALGEBRA over per-source KMV sketches:
+    * pairwise vocabulary intersection/union/Jaccard ESTIMATED from
+    * the k=64 smallest 60-bit hashes alone — the Theta-sketch
+    * framework (the industrial standard for distinct-count set
+    * operations) that answers "how much do these corpora overlap"
+    * from kilobyte sketches, no rescan, where q214 computes the same
+    * thing exactly by re-reading the data. For a pair: θ = min of the
+    * two k-th-smallest retained hashes (a source below k retains all
+    * — θ = 2⁶⁰), the common retained hashes below θ estimate the
+    * intersection as c·2⁶⁰/θ (the one float expression — a single
+    * multiply/divide over exact integers, identical IEEE both
+    * engines), and union/Jaccard follow from the same counts. Exact
+    * intersections ride along via inclusion-exclusion as the
+    * verification columns you'd drop at scale. Sketch rows come from
+    * one rank window WindowGroupLimit prunes; pair joins touch only
+    * sketch rows (≤ k per source, broadcastable at any corpus
+    * size). */
+  val q246 = QuerySpec("q246_theta_sketch_ops",
+    (s, dir) => {
+      val k = 64
+      val theta0 = 1152921504606846976L // 2^60
+      val hashed = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "documents")
+          .select(col("source"), explode(
+            graft.functions.Text.tokens(col("text"))).as("tok"))
+          .distinct()
+          .withColumn("h", expr(h60("tok"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("h", "tok")
+      val sk = graft.CacheRegistry.persistTracked(
+        hashed.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k)
+          .select("source", "h", "rn"))
+      val thetas = sk.groupBy("source")
+        .agg(coalesce(max(when(col("rn") === k, col("h"))),
+          lit(theta0)).as("hk"))
+      val pairs = sk.select(col("source").as("src_a"), col("h"))
+        .join(sk.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .where(col("src_a") < col("src_b"))
+        .join(broadcast(thetas.select(col("source").as("src_a"),
+          col("hk").as("hk_a"))), Seq("src_a"))
+        .join(broadcast(thetas.select(col("source").as("src_b"),
+          col("hk").as("hk_b"))), Seq("src_b"))
+        .withColumn("theta", least(col("hk_a"), col("hk_b")))
+        // conditional count, NOT a pre-filter: a pair whose common
+        // hashes all sit above θ must still emit a c_inter = 0 row
+        // (the oracle's FILTER aggregate does)
+        .groupBy("src_a", "src_b", "theta")
+        .agg(sum(when(col("h") < col("theta"), 1L).otherwise(0L))
+          .as("c_inter"))
+      val exact = hashed.groupBy("source").agg(count(lit(1)).as("n_ex"))
+      val exInter = hashed.select(col("source").as("src_a"), col("tok"))
+        .join(hashed.select(col("source").as("src_b"), col("tok")),
+          Seq("tok"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+      pairs
+        .join(broadcast(exact.select(col("source").as("src_a"),
+          col("n_ex").as("n_a"))), Seq("src_a"))
+        .join(broadcast(exact.select(col("source").as("src_b"),
+          col("n_ex").as("n_b"))), Seq("src_b"))
+        .join(exInter, Seq("src_a", "src_b"))
+        .withColumn("est_inter", expr(
+          "cast(floor(cast(c_inter as double) * 1152921504606846976.0" +
+            " / cast(theta as double)) as bigint)"))
+        .withColumn("exact_union",
+          col("n_a") + col("n_b") - col("exact_inter"))
+        .withColumn("est_err_ppm", expr(
+          "((est_inter - exact_inter) * 1000000) div " +
+            "greatest(1, exact_inter)"))
+        .select("src_a", "src_b", "c_inter", "est_inter", "exact_inter",
+          "exact_union", "est_err_ppm")
+        .orderBy("src_a", "src_b")
+    },
+    Some(raw"""
+WITH st AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(${TextQueries.sqlToks}) AS tok FROM documents)
+), h AS (
+  SELECT source, tok, ${sqlH60("tok")} AS h FROM st
+), sk AS (
+  SELECT source, h, rn FROM (
+    SELECT source, h,
+      row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+    FROM h
+  ) WHERE rn <= 64
+), thetas AS (
+  SELECT source,
+    coalesce(max(CASE WHEN rn = 64 THEN h END), 1152921504606846976)
+      AS hk
+  FROM sk GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    least(ta.hk, tb.hk) AS theta,
+    CAST(count(*) FILTER (WHERE a.h < least(ta.hk, tb.hk)) AS BIGINT)
+      AS c_inter
+  FROM sk a
+  JOIN sk b ON a.h = b.h AND a.source < b.source
+  JOIN thetas ta ON ta.source = a.source
+  JOIN thetas tb ON tb.source = b.source
+  GROUP BY 1, 2, 3
+), ex AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_ex FROM st GROUP BY 1
+), exi AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    CAST(count(*) AS BIGINT) AS exact_inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.c_inter,
+  CAST(floor(CAST(p.c_inter AS DOUBLE) * 1152921504606846976.0
+    / CAST(p.theta AS DOUBLE)) AS BIGINT) AS est_inter,
+  i.exact_inter,
+  xa.n_ex + xb.n_ex - i.exact_inter AS exact_union,
+  ((CAST(floor(CAST(p.c_inter AS DOUBLE) * 1152921504606846976.0
+      / CAST(p.theta AS DOUBLE)) AS BIGINT) - i.exact_inter) * 1000000)
+    // greatest(1, i.exact_inter) AS est_err_ppm
+FROM pairs p
+JOIN ex xa ON xa.source = p.src_a
+JOIN ex xb ON xb.source = p.src_b
+JOIN exi i ON i.src_a = p.src_a AND i.src_b = p.src_b
+ORDER BY p.src_a, p.src_b
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246)
 }

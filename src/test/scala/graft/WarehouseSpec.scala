@@ -75,6 +75,48 @@ class WarehouseSpec extends SparkSpec {
     assert(nKeys == nUsers)
   }
 
+  test("q246: on the fixture (vocab < k) sketches are exact; on a " +
+      "synthetic large vocabulary the theta estimate lands inside " +
+      "the 1/sqrt(k) envelope") {
+    import spark.implicits._
+    // fixture regime: below k the sketch IS the set — zero error
+    val fx = graft.queries.WarehouseQueries.q246.fn(spark, dir).collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall(_.getAs[Long]("est_err_ppm") == 0L),
+      "below-k sketches must be exact")
+    // estimation regime: two sources, ~1200 distinct tokens each,
+    // 50% overlap — far above k = 64
+    val tmp = java.nio.file.Files.createTempDirectory("theta")
+    try {
+      // sa covers w0..w599, sb covers w300..w899 → overlap = 300
+      val docs = (0 until 120).flatMap { d =>
+        val src = if (d % 2 == 0) "sa" else "sb"
+        val base = if (d % 2 == 0) 0 else 300
+        val toks = (0 until 10).map(i => s"w${base + (d / 2) * 10 + i}")
+        Seq((src, d.toLong, toks.mkString(" ")))
+      }.toDF("source", "doc_id", "text")
+      docs.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = graft.queries.WarehouseQueries.q246
+        .fn(spark, tmp.toString).collect()
+      assert(out.length == 1)
+      val r = out.head
+      val est = r.getAs[Long]("est_inter")
+      val exact = r.getAs[Long]("exact_inter")
+      assert(exact == 300L, s"fixture construction: overlap $exact")
+      // theta-sketch rse ≈ 1/sqrt(k) = 12.5%; 40% ≈ 3σ. The data is
+      // deterministic (md5 hashes), so this is a fixed number.
+      assert(math.abs(est - exact) <= exact * 40 / 100,
+        s"est $est vs exact $exact outside the envelope")
+      assert(est != exact, "large vocab must actually be estimating")
+    } finally {
+      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("q232: the merge-vs-rescan consistency proof holds on every row") {
     val out = graft.queries.WarehouseQueries.q232.fn(spark, dir).collect()
     assert(out.nonEmpty)
