@@ -52,4 +52,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 110L, 110L, 1L, 3.0)))
     assert(got.contains((2L, 5L, 15L, 2L, 12.0)))
   }
+
+  test("NATIVE session_window under the streaming state store emits " +
+      "the same sessions as the batch q241 semantics") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = input.toDS()
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("start_us"),
+        expr("unix_micros(session_window.end)").as("end_us"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("native_sessions_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same shape as the custom-state test: two users, a session
+      // split across micro-batches, then a far-future event whose
+      // watermark closes everything still open
+      input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 10, 2.0), ev(2, 10, 5, 5.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 3, 110, 3.0), ev(2, 11, 15, 7.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 99, 10000, 0.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 100, 20000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("native_sessions_test").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_us") / M - base,
+        r.getAs[Long]("n_events"))).toSet
+    // session_window pads end = last + gap, so compare (user, start, n):
+    // user 1 [0..10] n=2, then [110] n=1; user 2 [5..15] n=2
+    assert(got.contains((1L, 0L, 2L)))
+    assert(got.contains((1L, 110L, 1L)))
+    assert(got.contains((2L, 5L, 2L)))
+    // cross-check against the BATCH computation over the same events
+    val batch = Seq(ev(1, 1, 0, 1.0), ev(1, 2, 10, 2.0),
+        ev(2, 10, 5, 5.0), ev(1, 3, 110, 3.0), ev(2, 11, 15, 7.0),
+        ev(3, 99, 10000, 0.0), ev(3, 100, 20000, 0.0)).toDS()
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("start_us"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / M - base, r.getLong(2)))
+      .toSet
+    // the very last session (user 3 @ 20000) stays OPEN in streaming
+    // by construction — no later event ever advances the watermark
+    // past its end, so append mode cannot emit it; every closable
+    // session must match the batch computation exactly
+    val closable = batch.filterNot(_._2 == 20000L)
+    assert(got == closable,
+      s"streaming sessions $got must equal closable batch sessions $closable")
+  }
 }
