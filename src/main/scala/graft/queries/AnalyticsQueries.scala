@@ -1408,8 +1408,77 @@ JOIN ev p ON p.user_id = b.user_id AND p.event_type <> 'error'
 GROUP BY b.burst_id ORDER BY b.burst_id
 """))
 
+  /** q247 — Theil–Sen robust trend slope: the median of all pairwise
+    * slopes (x_j − x_i)/(j − i) over each type's daily series — the
+    * estimator that tells you HOW FAST a metric trends where q210's
+    * Mann–Kendall only tells you THAT it trends, and that one outlier
+    * day cannot move (breakdown point 29%). The pairwise frame is
+    * calendar-bounded exactly as q210's (O(days²) per key is a
+    * constant in corpus size; the corpus-scale work is the daily
+    * aggregate). Determinism: slopes order by their IEEE double —
+    * division is correctly rounded, so two engines ordering the same
+    * (dy, dx) pairs agree bit-for-bit — with the (i, j) day pair as
+    * an integer tiebreak, and the LOWER median is selected by
+    * explicit rank (the q223 rule: never interpolate across engines).
+    * The selected slope is reported as exact integer cents/day parts:
+    * dy, dx, and floor-ppm. */
+  val q247 = QuerySpec("q247_theil_sen",
+    (s, dir) => {
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+              .as("day_idx"))
+          .agg(expr("sum(cast(round(value * 100) as bigint))").as("x")))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day_idx") < col("b.day_idx"))
+        .select(col("a.event_type").as("event_type"),
+          (col("b.x") - col("a.x")).as("dy"),
+          (col("b.day_idx") - col("a.day_idx")).as("dx"),
+          col("a.day_idx").as("i"), col("b.day_idx").as("j"))
+        .withColumn("slope",
+          col("dy").cast("double") / col("dx").cast("double"))
+      val w = Window.partitionBy("event_type")
+      pairs
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("slope"), col("i"), col("j"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .where(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col("n").as("n_pairs"),
+          col("dy").as("med_dy_cents"), col("dx").as("med_dx_days"),
+          expr("(dy * 1000000) div dx").as("slope_ppm_cents_per_day"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+    CAST(b.x - a.x AS BIGINT) AS dy, b.day_idx - a.day_idx AS dx,
+    a.day_idx AS i, b.day_idx AS j,
+    CAST(CAST(b.x - a.x AS BIGINT) AS DOUBLE)
+      / CAST(b.day_idx - a.day_idx AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY slope, i, j) AS rn,
+    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM pairs
+)
+SELECT event_type, n AS n_pairs, dy AS med_dy_cents,
+  dx AS med_dx_days,
+  (dy * 1000000) // dx AS slope_ppm_cents_per_day
+FROM ranked WHERE rn = (n + 1) // 2 ORDER BY event_type
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
       q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-      q218, q219, q220, q228)
+      q218, q219, q220, q228, q247)
 }

@@ -25,6 +25,34 @@ class AnalyticsSpec extends SparkSpec {
         "task's sort — open/close must come from min_by/max_by")
   }
 
+  test("q247: Theil-Sen slope is the true lower-median pairwise slope " +
+      "(brute force over the daily frame)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.AnalyticsQueries.q247.fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("cast(floor(cast(ts as long) / 86400) as bigint)").as("d"))
+      .agg(expr("sum(cast(round(value * 100) as bigint))").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for (r <- out) {
+      val et = r.getAs[String]("event_type")
+      val pts = daily(et).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield ((pts(j)._2 - pts(i)._2).toDouble /
+          (pts(j)._1 - pts(i)._1).toDouble,
+        pts(i)._1, pts(j)._1)).sortBy(t => (t._1, t._2, t._3))
+      assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+      val med = slopes((slopes.length + 1) / 2 - 1)
+      val gotSlope = r.getAs[Long]("med_dy_cents").toDouble /
+        r.getAs[Long]("med_dx_days").toDouble
+      assert(gotSlope == med._1, s"$et: $gotSlope vs ${med._1}")
+    }
+  }
+
   test("KMV mergeability: the sketch of a union equals the merge of " +
       "the sketches (k smallest of the k-smallest unions)") {
     val k = 16
