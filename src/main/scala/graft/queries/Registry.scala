@@ -10,5 +10,5 @@ object Registry {
       StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all ++
       E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all ++
       LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
-      LayoutQueries.all ++ EvalQueries.all
+      LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all
 }

@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-14 statistics tier: the remaining classical time-series /
+  * categorical / concentration statistics a metrics warehouse runs
+  * that the registry did not yet cover — autocorrelation (ACF),
+  * ordinary-least-squares trend with R², the chi-squared independence
+  * test, and revenue-concentration indices (Gini, HHI, CR-k).
+  *
+  * Determinism rules as everywhere in the registry (see
+  * AnalyticsQueries): exact integer arithmetic with identical
+  * truncation sequences in both engines; the one float expression
+  * (q249's R²) is a pinned-order IEEE double sequence shared as
+  * identical text, floored to ppm before output. The standard
+  * envelope applies: ·10⁶ ppm numerators stay inside long up to ~10⁹
+  * daily-aggregate magnitudes — same bound every ppm figure in this
+  * registry carries.
+  *
+  * Scale shapes: every query here reduces the corpus with one
+  * map-side-combining daily/cell aggregate first; the statistics then
+  * run on calendar- or domain-bounded frames (≤ |types|·|days| or
+  * |types|·7 rows — constants at any corpus size). q251's ranks come
+  * from the two-phase prefix-sum core (Packing.withCumulativeSum), not
+  * a per-nation window over raw customers — no single-task sort at any
+  * fan-in.
+  */
+object StatsQueries {
+
+  /** Engine-shared day index: µs-precision timestamp → epoch day. */
+  private val dayIdxSpark = "cast(floor(cast(ts as long) / 86400) as bigint)"
+  private val dayIdxSql = "CAST(floor(epoch(ts)) AS BIGINT) // 86400"
+
+  /** q248 — autocorrelation function (ACF) of the daily event-count
+    * series per event_type at lags 1–3: the seasonality/persistence
+    * diagnostic that decides whether a metric needs differencing
+    * before the trend tests (q210/q247) mean anything. Deviations are
+    * taken around the FLOORED integer mean (x̄ = Σx div n — one
+    * truncation, replayed identically by both engines; the n-scaled
+    * exact form would push the ·10⁶ numerator past long at ~10⁷ rows
+    * per day, this form holds to ~10⁹). Lag pairing is calendar
+    * pairing (day_idx + k must exist) — a gap day contributes no
+    * pair, the standard treatment for regularly-sampled series with
+    * holes. The corpus-scale work is the daily aggregate; the lag
+    * self-join runs on the |types|·|days| frame. */
+  val q248 = QuerySpec("q248_acf",
+    (s, dir) => {
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), expr(dayIdxSpark).as("day_idx"))
+          .agg(count(lit(1)).as("x")))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("s"))
+        .where(col("n_days") >= lit(4L))
+      val dev = daily.join(stats, "event_type")
+        .withColumn("d", col("x") - expr("s div n_days"))
+        .select("event_type", "day_idx", "d", "n_days")
+      val den = dev.groupBy("event_type")
+        .agg(sum(col("d") * col("d")).as("den"))
+        .where(col("den") > 0L)
+      val lags = s.range(1, 4).select(col("id").as("lag"))
+      val pairs = dev.as("a")
+        .join(broadcast(lags))
+        .join(dev.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day_idx") + col("lag") === col("b.day_idx"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(sum(col("a.d") * col("b.d")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      pairs.join(den, "event_type")
+        .join(stats.select("event_type", "n_days"), "event_type")
+        .withColumn("acf_ppm", expr("(num * 1000000) div den"))
+        .select("event_type", "lag", "n_days", "n_pairs", "acf_ppm")
+        .orderBy("event_type", "lag")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day_idx,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(x) AS BIGINT) AS s
+  FROM daily GROUP BY 1 HAVING count(*) >= 4
+), dev AS (
+  SELECT d.event_type, d.day_idx, d.x - (st.s // st.n_days) AS d,
+    st.n_days
+  FROM daily d JOIN stats st ON d.event_type = st.event_type
+), den AS (
+  SELECT event_type, CAST(sum(d * d) AS BIGINT) AS den
+  FROM dev GROUP BY 1 HAVING sum(d * d) > 0
+), lags AS (SELECT * FROM (VALUES (1), (2), (3)) t(lag)), pairs AS (
+  SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+    CAST(sum(a.d * b.d) AS BIGINT) AS num,
+    CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dev a CROSS JOIN lags l
+  JOIN dev b ON a.event_type = b.event_type
+    AND a.day_idx + l.lag = b.day_idx
+  GROUP BY 1, 2
+)
+SELECT p.event_type, p.lag, st.n_days, p.n_pairs,
+  CAST((p.num * 1000000) // dn.den AS BIGINT) AS acf_ppm
+FROM pairs p
+JOIN den dn ON p.event_type = dn.event_type
+JOIN stats st ON p.event_type = st.event_type
+ORDER BY p.event_type, p.lag
+"""))
+
+  /** q249 — OLS daily trend per event_type: least-squares slope of
+    * the daily count series in micro-counts/day plus the fit quality
+    * R² in ppm — the parametric sibling of q247's Theil–Sen (which is
+    * robust but rank-based; OLS is what dashboards draw). All sums are
+    * exact integers over the calendar-bounded daily frame (x = day
+    * offset from the per-type minimum, so Σx² stays tiny); the slope
+    * is one exact ·10⁶ floor division of the n-scaled covariance
+    * identity n·Σxy − Σx·Σy over n·Σx² − (Σx)². R² = Sxy²/(Sxx·Syy)
+    * cannot stay in long (Sxy² overflows at any useful scale), so it
+    * is the registry's pinned-float pattern: one double expression,
+    * identical text both engines, multiplication/division only (each
+    * IEEE-correctly-rounded), floored to ppm. */
+  val q249 = QuerySpec("q249_ols_trend",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr(dayIdxSpark).as("day_idx"))
+        .agg(count(lit(1)).as("y"))
+      val based = daily
+        .withColumn("x0", min("day_idx")
+          .over(Window.partitionBy("event_type")))
+        .withColumn("x", col("day_idx") - col("x0"))
+      based.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .where(col("n") >= 3L)
+        .withColumn("cxy", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("cxx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("cyy", col("n") * col("syy") - col("sy") * col("sy"))
+        .where(col("cxx") > 0L && col("cyy") > 0L)
+        .withColumn("slope_micro", expr("(cxy * 1000000) div cxx"))
+        .withColumn("r2_ppm", expr(
+          "cast(floor(cast(cxy as double) * cast(cxy as double) / " +
+            "(cast(cxx as double) * cast(cyy as double)) * 1000000.0) " +
+            "as bigint)"))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("slope_micro"), col("r2_ppm"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day_idx,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), based AS (
+  SELECT event_type,
+    day_idx - min(day_idx) OVER (PARTITION BY event_type) AS x, y
+  FROM daily
+), sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM based GROUP BY 1 HAVING count(*) >= 3
+), c AS (
+  SELECT event_type, n, n * sxy - sx * sy AS cxy,
+    n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy
+  FROM sums
+)
+SELECT event_type, n AS n_days,
+  CAST((cxy * 1000000) // cxx AS BIGINT) AS slope_micro,
+  CAST(floor(CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) /
+    (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) * 1000000.0)
+    AS BIGINT) AS r2_ppm
+FROM c WHERE cxx > 0 AND cyy > 0
+ORDER BY event_type
+"""))
+
+  /** q250 — chi-squared independence test, event_type × weekday: is
+    * activity mix stable across the week, the screening test behind
+    * every "did the composition shift" alert. The weekday comes from
+    * pure epoch-day arithmetic ((day_idx + 4) mod 7, Sunday = 0) so
+    * NO engine date function is in the comparison path (Spark's
+    * dayofweek is 1-based-Sunday, DuckDB's 0-based — a classic
+    * cross-engine trap bypassed entirely). Expected counts and χ²
+    * contributions are exact two-step integer divisions: the cell
+    * deviation dev = O·N − R·C is exact in long to ~10⁹ rows, and the
+    * contribution dev²·10³/(R·C·N) is sequenced as
+    * ((dev·10³ div (R·C)) · dev) div N so no intermediate squares.
+    * Output: the |types|×7 contingency frame with per-cell expected
+    * (milli) and contribution (milli), plus the ride-along total χ²
+    * and degrees of freedom on every row (broadcast 1-row join). */
+  val q250 = QuerySpec("q250_chi2_independence",
+    (s, dir) => {
+      val cells = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .withColumn("day_idx", expr(dayIdxSpark))
+          .withColumn("dow", expr("(day_idx + 4) % 7"))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("o")))
+      val rowT = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("c"))
+      val n = cells.agg(sum("o").as("n_total"))
+      val enriched = graft.CacheRegistry.persistTracked(cells
+        .join(rowT, "event_type").join(colT, "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("e_milli", expr("(r * c * 1000) div n_total"))
+        .withColumn("dev", expr("o * n_total - r * c"))
+        .withColumn("contrib_milli",
+          expr("(((dev * 1000) div (r * c)) * dev) div n_total")))
+      val total = enriched
+        .agg(sum("contrib_milli").as("chi2_milli"),
+          ((countDistinct("event_type") - 1) *
+            (countDistinct("dow") - 1)).as("dof"))
+      enriched.crossJoin(broadcast(total))
+        .select("event_type", "dow", "o", "e_milli", "contrib_milli",
+          "chi2_milli", "dof")
+        .orderBy("event_type", "dow")
+    },
+    Some(raw"""
+WITH cells AS (
+  SELECT event_type, ($dayIdxSql + 4) % 7 AS dow,
+    CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+), ct AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells),
+enriched AS (
+  SELECT cells.event_type, cells.dow, cells.o,
+    (rt.r * ct.c * 1000) // nt.n_total AS e_milli,
+    cells.o * nt.n_total - rt.r * ct.c AS dev,
+    ((((cells.o * nt.n_total - rt.r * ct.c) * 1000) // (rt.r * ct.c))
+      * (cells.o * nt.n_total - rt.r * ct.c)) // nt.n_total
+      AS contrib_milli
+  FROM cells JOIN rt ON cells.event_type = rt.event_type
+  JOIN ct ON cells.dow = ct.dow CROSS JOIN nt
+), tot AS (
+  SELECT CAST(sum(contrib_milli) AS BIGINT) AS chi2_milli,
+    CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+      AS BIGINT) AS dof
+  FROM enriched
+)
+SELECT e.event_type, e.dow, e.o, CAST(e.e_milli AS BIGINT) AS e_milli,
+  CAST(e.contrib_milli AS BIGINT) AS contrib_milli,
+  t.chi2_milli, t.dof
+FROM enriched e CROSS JOIN tot t
+ORDER BY e.event_type, e.dow
+"""))
+
+  /** q251 — revenue-concentration indices per nation: Gini
+    * coefficient, Herfindahl–Hirschman index, and CR-10 (top-10
+    * customer share) over customer order revenue — the "is this
+    * market/tenant concentrated" report every usage-billing warehouse
+    * ships. The Gini needs every customer's revenue RANK within its
+    * nation: ranks come from ONE global two-phase prefix-sum
+    * (Packing.withCumulativeSum over the packed nation|revenue|cust
+    * key — the q236 machinery) minus each nation's start offset
+    * (a |nations|-row frame; its prefix window is over 25 rows, a
+    * data constant) — never a per-nation window over raw customers,
+    * so a hot nation costs nothing. Gini via the rank identity
+    * G = 2·Σ(rank·v)/(n·Σv) − (n+1)/n, sequenced as two exact floor
+    * divisions; HHI as Σ share_ppm² div 10⁶; shares in exact ppm. */
+  val q251 = QuerySpec("q251_concentration",
+    (s, dir) => {
+      val rev = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("v"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nation"))
+      val keyed = rev.join(cust, "o_custkey")
+        .withColumn("k",
+          concat(lpad(col("nation").cast("string"), 3, "0"),
+            lpad(col("v").cast("string"), 15, "0"),
+            lpad(col("o_custkey").cast("string"), 12, "0")))
+        .withColumn("one", lit(1L))
+      val ranked = graft.CacheRegistry.persistTracked(
+        graft.operators.Packing
+          .withCumulativeSum(keyed.toDF(), "k", "one", 32))
+      // nation start offsets: |nations| rows — window is over a
+      // domain-bounded constant frame
+      val offs = ranked.groupBy("nation").agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum("cnt").over(Window.orderBy("nation")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val withRank = ranked.join(broadcast(offs), "nation")
+        .withColumn("rk", col("cum") - col("off"))
+      withRank.groupBy("nation")
+        .agg(count(lit(1)).as("n_cust"), sum("v").as("s"),
+          sum(col("rk") * col("v")).as("t"),
+          max("v").as("vmax"),
+          sum(when(col("rk") > col("cnt") - 10L, col("v"))
+            .otherwise(0L)).as("top10"))
+        .withColumn("gini_ppm",
+          expr("(((2 * t) div n_cust) * 1000000) div s " +
+            "- ((n_cust + 1) * 1000000) div n_cust"))
+        .join(
+          // HHI needs per-customer share_ppm²: one more pass over the
+          // (nation, v) frame joined to nation totals — map-side only
+          withRank.groupBy("nation").agg(sum("v").as("s2"))
+            .join(withRank.select("nation", "v"), "nation")
+            .withColumn("share_ppm", expr("(v * 1000000) div s2"))
+            .groupBy("nation")
+            .agg(expr("sum(share_ppm * share_ppm) div 1000000")
+              .as("hhi_ppm")),
+          "nation")
+        .withColumn("top1_ppm", expr("(vmax * 1000000) div s"))
+        .withColumn("cr10_ppm", expr("(top10 * 1000000) div s"))
+        .select("nation", "n_cust", "gini_ppm", "hhi_ppm", "top1_ppm",
+          "cr10_ppm")
+        .orderBy("nation")
+    },
+    Some(raw"""
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+), keyed AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nation, r.o_custkey, r.v
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT nation, v,
+    row_number() OVER (PARTITION BY nation ORDER BY v, o_custkey)
+      AS rk,
+    count(*) OVER (PARTITION BY nation) AS cnt
+  FROM keyed
+), gini AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_cust,
+    CAST(sum(v) AS BIGINT) AS s, CAST(sum(rk * v) AS BIGINT) AS t,
+    CAST(max(v) AS BIGINT) AS vmax,
+    CAST(sum(CASE WHEN rk > cnt - 10 THEN v ELSE 0 END) AS BIGINT)
+      AS top10
+  FROM ranked GROUP BY 1
+), hhi AS (
+  SELECT nation,
+    CAST(sum(((v * 1000000) // s2) * ((v * 1000000) // s2)) // 1000000
+      AS BIGINT) AS hhi_ppm
+  FROM (SELECT nation, v, CAST(sum(v) OVER (PARTITION BY nation)
+    AS BIGINT) AS s2 FROM keyed) GROUP BY 1
+)
+SELECT g.nation, g.n_cust,
+  CAST((((2 * g.t) // g.n_cust) * 1000000) // g.s
+    - ((g.n_cust + 1) * 1000000) // g.n_cust AS BIGINT) AS gini_ppm,
+  h.hhi_ppm,
+  CAST((g.vmax * 1000000) // g.s AS BIGINT) AS top1_ppm,
+  CAST((g.top10 * 1000000) // g.s AS BIGINT) AS cr10_ppm
+FROM gini g JOIN hhi h ON g.nation = h.nation
+ORDER BY g.nation
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251)
+}
