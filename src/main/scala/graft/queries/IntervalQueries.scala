@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-14 interval/layout tier: temporal-interval analytics and two
+  * physical-layout audits a 100 TB store runs against itself —
+  *
+  *  - q252: the sweep-line over interval endpoints (max concurrency,
+  *    union-of-intervals coverage, utilization) — capacity planning's
+  *    core query, built on the two-phase prefix-sum machinery so no
+  *    single-task window ever sees the endpoint stream;
+  *  - q253: a bitmap-index audit — predicate bitmaps packed into
+  *    62-bit words via `bit_or` aggregation, AND/OR cardinalities from
+  *    `bit_count` word joins, validated against exact conditional
+  *    counts in the same result row;
+  *  - q254: the Gorilla timestamp-compression cost model
+  *    (delta-of-delta bit classes) per event type — the "should this
+  *    series be delta-encoded" advisor next to q245's PLAIN/RLE/DICT
+  *    models.
+  *
+  * Integer-exact everywhere; every oracle aggregate is CAST to BIGINT.
+  */
+object IntervalQueries {
+
+  /** q252 — interval sweep-line: events become half-open usage
+    * intervals [ts, ts + dur) (dur derives deterministically from the
+    * payload: cents mod 3600 + 60 seconds); the classic sweep then
+    * computes, per event_type: peak concurrency, the earliest time the
+    * peak is reached, union-of-intervals covered time, and utilization
+    * of the type's active span — the capacity-planning query.
+    *
+    * Scale shape: the endpoint stream (2 rows per event) goes through
+    * ONE two-phase prefix-sum pass (Packing.withCumulativeSum) over
+    * the packed type|time|pri|id key, with TWO counters packed into
+    * the single accumulated long (delta·2⁴⁰ + 1): the high 23 bits of
+    * headroom carry the running concurrency (envelope: peak < 8·10⁶),
+    * the low 40 the global row rank — so concurrency AND the adjacency
+    * rank come from one sort instead of two. Ends sort before starts
+    * at equal timestamps (half-open semantics), so within a tied block
+    * each same-sign run is monotone and every per-row statistic the
+    * aggregates consume is order-independent. Segment durations come
+    * from a rank+1 self-join (the q245 adjacency idiom — no window);
+    * covered time sums segments whose running concurrency is
+    * positive. Prior types net to zero in the global running sum
+    * (every +1 has its −1), so per-type concurrency needs no offset
+    * correction at all. */
+  val q252 = QuerySpec("q252_interval_sweep",
+    (s, dir) => {
+      val iv = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("st"),
+            expr("unix_micros(ts) + (cast(round(value * 100) as bigint)" +
+              " % 3600 + 60) * 1000000").as("en")))
+      val endpoints = iv.select(col("event_type"), col("st").as("t"),
+          lit(1L).as("pri"), lit(1L).as("delta"), col("event_id"))
+        .unionByName(iv.select(col("event_type"), col("en").as("t"),
+          lit(0L).as("pri"), lit(-1L).as("delta"), col("event_id")))
+        .withColumn("k", concat(col("event_type"), lit("|"),
+          lpad(col("t").cast("string"), 20, "0"),
+          col("pri").cast("string"),
+          lpad(col("event_id").cast("string"), 12, "0")))
+        // two counters in one accumulator: delta rides at bit 40, the
+        // constant +1 accumulates the global rank in the low 40 bits
+        .withColumn("step",
+          col("delta") * lit(1099511627776L) + lit(1L))
+      val swept = graft.CacheRegistry.persistTracked(
+        graft.operators.Packing
+          .withCumulativeSum(endpoints.toDF(), "k", "step", 32)
+          .withColumn("conc", expr("cum div 1099511627776"))
+          .withColumn("rk", expr("cum % 1099511627776"))
+          .select("event_type", "t", "conc", "rk"))
+      val segs = swept.as("a").join(
+          swept.selectExpr("event_type", "rk - 1 as rk",
+            "t as t_next").as("b"),
+          Seq("event_type", "rk"))
+        .groupBy("event_type")
+        .agg(sum(when(col("conc") > 0L, col("t_next") - col("t"))
+          .otherwise(0L)).as("covered_us"))
+      val maxc = swept.groupBy("event_type")
+        .agg(max("conc").as("max_conc"))
+      val peak = swept.join(maxc, "event_type")
+        .where(col("conc") === col("max_conc"))
+        .groupBy("event_type").agg(min("t").as("peak_t_us"))
+      val span = iv.groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          (max("en") - min("st")).as("span_us"))
+      span.join(maxc, "event_type").join(peak, "event_type")
+        .join(segs, "event_type")
+        .withColumn("util_ppm", expr("(covered_us * 1000000) div span_us"))
+        .select("event_type", "n_intervals", "max_conc", "peak_t_us",
+          "covered_us", "span_us", "util_ppm")
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH iv AS (
+  SELECT event_type, event_id, epoch_us(ts) AS st,
+    epoch_us(ts) + (CAST(round(value * 100) AS BIGINT) % 3600 + 60)
+      * 1000000 AS en
+  FROM events
+), d AS (
+  SELECT event_type, st AS t, 1 AS pri, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, en, 0, -1, event_id FROM iv
+), c AS (
+  SELECT event_type, t, delta,
+    CAST(sum(delta) OVER (PARTITION BY event_type
+      ORDER BY t, pri, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS conc,
+    lead(t) OVER (PARTITION BY event_type ORDER BY t, pri, event_id)
+      AS t_next
+  FROM d
+), cov AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN conc > 0 AND t_next IS NOT NULL
+      THEN t_next - t ELSE 0 END) AS BIGINT) AS covered_us,
+    CAST(max(conc) AS BIGINT) AS max_conc
+  FROM c GROUP BY 1
+), peak AS (
+  SELECT c.event_type, CAST(min(c.t) AS BIGINT) AS peak_t_us
+  FROM c JOIN cov ON c.event_type = cov.event_type
+    AND c.conc = cov.max_conc
+  GROUP BY 1
+), span AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+    CAST(max(en) - min(st) AS BIGINT) AS span_us
+  FROM iv GROUP BY 1
+)
+SELECT s.event_type, s.n_intervals, cov.max_conc, p.peak_t_us,
+  cov.covered_us, s.span_us,
+  CAST((cov.covered_us * 1000000) // s.span_us AS BIGINT) AS util_ppm
+FROM span s JOIN cov ON s.event_type = cov.event_type
+JOIN peak p ON s.event_type = p.event_type
+ORDER BY s.event_type
+"""))
+
+  /** q253 — bitmap-index audit: two predicate bitmaps (event_type =
+    * 'click'; payload ≥ 200.00) packed into 62-bit words keyed by
+    * (zone, word) via `bit_or` aggregation, then AND/OR cardinalities
+    * per 4096-row arrival zone from `bit_count` over the word join —
+    * the layout experiment that decides whether a bitmap index would
+    * answer combined predicates without row access. Exact conditional
+    * counts computed directly from the rows ride along in the same
+    * output row, so the driver hash itself certifies that the bitmap
+    * algebra reproduces the truth (62 bits per word keeps the sign
+    * bit and bit 62 out of play — no engine disagreement about
+    * negative-value bit semantics can arise). Everything is
+    * map-side-combining aggregates and one (zone, word) equi-join;
+    * bitmap words are 1/62nd of the row count. */
+  val q253 = QuerySpec("q253_bitmap_index",
+    (s, dir) => {
+      val base = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .withColumn("zone", expr("event_id div 4096"))
+          .withColumn("word", expr("(event_id % 4096) div 62"))
+          .withColumn("m", expr(
+            "shiftleft(cast(1 as bigint), cast((event_id % 4096) % 62 as int))"))
+          .withColumn("pa", (col("event_type") === "click").cast("long"))
+          .withColumn("pb", (col("cents") >= 20000L).cast("long")))
+      val wa = base.where(col("pa") === 1L).groupBy("zone", "word")
+        .agg(expr("bit_or(m)").as("wa"))
+      val wb = base.where(col("pb") === 1L).groupBy("zone", "word")
+        .agg(expr("bit_or(m)").as("wb"))
+      val words = wa.join(wb, Seq("zone", "word"), "full_outer")
+        .select(col("zone"), col("word"),
+          coalesce(col("wa"), lit(0L)).as("wa"),
+          coalesce(col("wb"), lit(0L)).as("wb"))
+      val fromBits = words.groupBy("zone")
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("cast(bit_count(wa) as bigint)")).as("n_a"),
+          sum(expr("cast(bit_count(wb) as bigint)")).as("n_b"),
+          sum(expr("cast(bit_count(wa & wb) as bigint)")).as("n_and"),
+          sum(expr("cast(bit_count(wa | wb) as bigint)")).as("n_or"))
+      val exact = base.groupBy("zone")
+        .agg(sum("pa").as("exact_a"), sum("pb").as("exact_b"),
+          sum(col("pa") * col("pb")).as("exact_and"),
+          sum(greatest(col("pa"), col("pb"))).as("exact_or"))
+      fromBits.join(exact, "zone")
+        .select("zone", "n_words", "n_a", "n_b", "n_and", "n_or",
+          "exact_a", "exact_b", "exact_and", "exact_or")
+        .orderBy("zone")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT event_id // 4096 AS zone, (event_id % 4096) // 62 AS word,
+    CAST(1 AS BIGINT) << CAST((event_id % 4096) % 62 AS INTEGER) AS m,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pa,
+    CASE WHEN CAST(round(value * 100) AS BIGINT) >= 20000 THEN 1
+      ELSE 0 END AS pb
+  FROM events
+), wa AS (
+  SELECT zone, word, CAST(bit_or(m) AS BIGINT) AS wa FROM base
+  WHERE pa = 1 GROUP BY 1, 2
+), wb AS (
+  SELECT zone, word, CAST(bit_or(m) AS BIGINT) AS wb FROM base
+  WHERE pb = 1 GROUP BY 1, 2
+), words AS (
+  SELECT coalesce(wa.zone, wb.zone) AS zone,
+    coalesce(wa.wa, 0) AS wa, coalesce(wb.wb, 0) AS wb
+  FROM wa FULL OUTER JOIN wb
+    ON wa.zone = wb.zone AND wa.word = wb.word
+), bits AS (
+  SELECT zone, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(bit_count(wa)) AS BIGINT) AS n_a,
+    CAST(sum(bit_count(wb)) AS BIGINT) AS n_b,
+    CAST(sum(bit_count(wa & wb)) AS BIGINT) AS n_and,
+    CAST(sum(bit_count(wa | wb)) AS BIGINT) AS n_or
+  FROM words GROUP BY 1
+), exact AS (
+  SELECT zone, CAST(sum(pa) AS BIGINT) AS exact_a,
+    CAST(sum(pb) AS BIGINT) AS exact_b,
+    CAST(sum(pa * pb) AS BIGINT) AS exact_and,
+    CAST(sum(greatest(pa, pb)) AS BIGINT) AS exact_or
+  FROM base GROUP BY 1
+)
+SELECT b.zone, b.n_words, b.n_a, b.n_b, b.n_and, b.n_or,
+  e.exact_a, e.exact_b, e.exact_and, e.exact_or
+FROM bits b JOIN exact e ON b.zone = e.zone
+ORDER BY b.zone
+"""))
+
+  /** q254 — Gorilla timestamp-compression cost model: per-user event
+    * streams are what a metrics store delta-encodes; this query prices
+    * each event's SECOND-resolution timestamp under the Gorilla
+    * delta-of-delta scheme (first point 64 bits raw; then dod = 0 →
+    * 1 bit, [−63,64] → 2+7, [−255,256] → 3+9, [−2047,2048] → 4+12,
+    * else 5+32 bits; a stream's second point prices its first delta
+    * against an implicit prior delta of 0) and reports, per
+    * event_type, the modeled bits against 64-bit-plain — the
+    * delta-encoding advisor beside q245's PLAIN/RLE/DICT models.
+    * Lags run per-user (the natural series key: bounded partitions,
+    * the q59 sessionize shape); the pricing CASE is pure integer
+    * arithmetic replayed identically by both engines. */
+  val q254 = QuerySpec("q254_gorilla_cost",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val priced = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("cast(floor(cast(ts as long)) as bigint)").as("t"))
+        .withColumn("delta", col("t") - lag("t", 1).over(w))
+        .withColumn("dod",
+          when(col("delta").isNull, lit(null))
+            .otherwise(col("delta") -
+              coalesce(lag("delta", 1).over(w), lit(0L))))
+        .withColumn("bits",
+          when(col("delta").isNull, lit(64L))
+            .when(col("dod") === 0L, lit(1L))
+            .when(col("dod") >= -63L && col("dod") <= 64L, lit(9L))
+            .when(col("dod") >= -255L && col("dod") <= 256L, lit(12L))
+            .when(col("dod") >= -2047L && col("dod") <= 2048L, lit(16L))
+            .otherwise(lit(37L)))
+      priced.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (count(lit(1)) * 64L).as("plain_bits"),
+          sum("bits").as("gorilla_bits"),
+          sum(when(col("bits") === 37L, 1L).otherwise(0L))
+            .as("n_overflow"))
+        .withColumn("ratio_ppm",
+          expr("(gorilla_bits * 1000000) div plain_bits"))
+        .select("event_type", "n_events", "plain_bits", "gorilla_bits",
+          "n_overflow", "ratio_ppm")
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH t AS (
+  SELECT user_id, event_type, event_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), deltas AS (
+  SELECT user_id, event_type, event_id, t,
+    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      AS delta
+  FROM t
+), d AS (
+  SELECT event_type, delta,
+    delta - coalesce(lag(delta) OVER (PARTITION BY user_id
+      ORDER BY t, event_id), 0) AS dod
+  FROM deltas
+), priced AS (
+  SELECT event_type,
+    CASE WHEN delta IS NULL THEN 64
+      WHEN dod = 0 THEN 1
+      WHEN dod BETWEEN -63 AND 64 THEN 9
+      WHEN dod BETWEEN -255 AND 256 THEN 12
+      WHEN dod BETWEEN -2047 AND 2048 THEN 16
+      ELSE 37 END AS bits
+  FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) * 64 AS BIGINT) AS plain_bits,
+  CAST(sum(bits) AS BIGINT) AS gorilla_bits,
+  CAST(sum(CASE WHEN bits = 37 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_overflow,
+  CAST((sum(bits) * 1000000) // (count(*) * 64) AS BIGINT)
+    AS ratio_ppm
+FROM priced GROUP BY 1 ORDER BY event_type
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q252, q253, q254)
+}

@@ -10,5 +10,6 @@ object Registry {
       StreamingQueries.all ++ ScaleQueries.all ++ IngestQueries.all ++
       E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all ++
       LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
-      LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all
+      LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all ++
+      IntervalQueries.all
 }
