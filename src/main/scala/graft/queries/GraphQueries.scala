@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-14 graph tier addition: multi-source BFS shortest-hop labels
+  * over the co-purchase graph — the "how far is everything from the
+  * hubs" reachability diagnostic that complements q89's connected
+  * components (global partition), q161's PageRank (stationary mass),
+  * and q191's triangle census (local clustering).
+  */
+object GraphQueries {
+
+  /** q255 — multi-source BFS hop histogram: parts that co-occur in at
+    * least 2 orders form an undirected graph; the 3 highest-degree
+    * parts seed a breadth-first search; output is the exact hop
+    * histogram (min hops from any seed, 0–4) plus the unreached count
+    * as hop = −1 — the reachability profile a graph-feature pipeline
+    * computes before trusting hub-distance features.
+    *
+    * Scale shape: the O(diameter) iterative min-label pattern q89's
+    * connected components established — each round is one
+    * frontier⋈edges equi-join plus a distinct and an anti-join
+    * against the visited set (all map-side-combining shuffles on the
+    * node key; no windows, no driver state beyond the 3-row seed
+    * take). Rounds are bounded by the hop cap (4), so the plan is 4
+    * joins regardless of corpus size. Seeds come from TakeOrdered
+    * (top-3 by degree, partkey tiebreak) — never a global sort. The
+    * oracle replays the exact search as a recursive CTE with
+    * UNION-distinct termination. Edge support ≥ 2 bounds the edge
+    * frame the same way q229's support floor bounds its pair frame. */
+  val q255 = QuerySpec("q255_bfs_hops",
+    (s, dir) => {
+      val baskets = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("part"))
+        .distinct()
+      val e0 = baskets.as("x").join(baskets.as("y"), Seq("oid"))
+        .where(col("x.part") < col("y.part"))
+        .groupBy(col("x.part").as("a"), col("y.part").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2L)
+        .select("a", "b")
+      val edges = graft.CacheRegistry.persistTracked(
+        e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))))
+      val deg = graft.CacheRegistry.persistTracked(
+        edges.groupBy(col("a").as("part")).agg(count(lit(1)).as("d")))
+      val seeds = deg.orderBy(desc("d"), asc("part")).limit(3)
+        .select("part")
+      var labels = graft.CacheRegistry.persistTracked(
+        seeds.withColumn("hop", lit(0L)))
+      var frontier = labels.select("part")
+      for (k <- 1 to 4) {
+        val nbrs = frontier.as("f")
+          .join(edges.as("e"), col("f.part") === col("e.a"))
+          .select(col("e.b").as("part")).distinct()
+        val fresh = graft.CacheRegistry.persistTracked(
+          nbrs.join(labels.select("part"), Seq("part"), "left_anti"))
+        labels = graft.CacheRegistry.persistTracked(
+          labels.unionByName(fresh.withColumn("hop", lit(k.toLong))))
+        frontier = fresh
+      }
+      val hist = labels.groupBy("hop").agg(count(lit(1)).as("n_parts"))
+      val unreached = deg
+        .join(labels.select("part"), Seq("part"), "left_anti")
+        .agg(count(lit(1)).as("n_parts"))
+        .select(lit(-1L).as("hop"), col("n_parts"))
+      hist.unionByName(unreached).orderBy("hop")
+    },
+    Some(raw"""
+WITH RECURSIVE baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS part FROM lineitem
+), edges0 AS (
+  SELECT x.part AS a, y.part AS b FROM baskets x JOIN baskets y
+  USING (oid) WHERE x.part < y.part GROUP BY 1, 2
+  HAVING count(*) >= 2
+), edges AS (
+  SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0
+), deg AS (
+  SELECT a AS part, count(*) AS d FROM edges GROUP BY 1
+), seeds AS (
+  SELECT part FROM deg ORDER BY d DESC, part LIMIT 3
+), bfs(node, hop) AS (
+  SELECT part, 0 FROM seeds
+  UNION
+  SELECT e.b, bfs.hop + 1 FROM bfs JOIN edges e ON bfs.node = e.a
+  WHERE bfs.hop < 4
+), lab AS (
+  SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY 1
+)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_parts FROM lab GROUP BY 1
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT) FROM deg
+WHERE part NOT IN (SELECT node FROM lab)
+ORDER BY hop
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q255)
+}

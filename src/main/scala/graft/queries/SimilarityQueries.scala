@@ -553,6 +553,78 @@ SELECT qid, nid, CAST(dim AS BIGINT) AS dim, cos_prefix, cos_full,
 FROM p ORDER BY qid, dim
 """))
 
+  /** q256 — retrieval-quality evaluation (MRR and hit@k): for each of
+    * the 32 query vectors, the exact top-10 cosine neighbors (q36's
+    * brute-force core: corpus scanned once, queries broadcast), scored
+    * against the label ground truth — reciprocal rank of the first
+    * same-label neighbor in exact ppm (10⁶ div rank — integer, no
+    * float), hit@1/5/10 flags, plus the corpus-level MRR summary as
+    * the ride-along qid = −1 row (floor-mean of the per-query ppm
+    * figures; hit columns carry the summed counts there). The metric
+    * every embedding-index change is gated on, computed with the
+    * registry's determinism rules: cosine rounded to 6dp with vec_id
+    * tiebreak (the q36 ordering), everything after that integer. */
+  val q256 = QuerySpec("q256_mrr_eval",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val top = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 32),
+        k = 10)
+      val qlab = e.where(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("label").cast("long")
+          .as("qlabel"))
+      val nlab = e.select(col("vec_id").as("nid"),
+        col("label").cast("long").as("nlabel"))
+      val per = top.join(broadcast(qlab), "qid").join(nlab, "nid")
+        .groupBy("qid")
+        .agg(min(when(col("nlabel") === col("qlabel"), col("rank")))
+          .as("fr"))
+        .withColumn("first_rel_rank", coalesce(col("fr"), lit(0L)))
+        .withColumn("rr_ppm", when(col("fr").isNotNull,
+          expr("1000000 div fr")).otherwise(0L))
+        .withColumn("hit1",
+          when(col("fr") === 1L, 1L).otherwise(0L))
+        .withColumn("hit5",
+          when(col("fr") <= 5L, 1L).otherwise(0L))
+        .withColumn("hit10",
+          when(col("fr") <= 10L, 1L).otherwise(0L))
+        .select("qid", "first_rel_rank", "rr_ppm", "hit1", "hit5",
+          "hit10")
+      val summary = per.agg(count(lit(1)).as("n"),
+          sum("rr_ppm").as("srr"), sum("hit1").as("h1"),
+          sum("hit5").as("h5"), sum("hit10").as("h10"))
+        .select(lit(-1L).as("qid"), lit(0L).as("first_rel_rank"),
+          expr("srr div n").as("rr_ppm"), col("h1").as("hit1"),
+          col("h5").as("hit5"), col("h10").as("hit10"))
+      per.unionByName(summary).orderBy("qid")
+    },
+    Some(raw"""
+WITH un AS ($sqlUnit), scored AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS nlabel,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY round(${sqlCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+  FROM un q JOIN un c ON q.vec_id < 32 AND c.vec_id <> q.vec_id
+), per AS (
+  SELECT qid,
+    min(CASE WHEN nlabel = qlabel THEN rank END) AS fr
+  FROM scored WHERE rank <= 10 GROUP BY qid
+), perq AS (
+  SELECT qid, CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+    CAST(CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END
+      AS BIGINT) AS rr_ppm,
+    CAST(CASE WHEN fr = 1 THEN 1 ELSE 0 END AS BIGINT) AS hit1,
+    CAST(CASE WHEN fr <= 5 THEN 1 ELSE 0 END AS BIGINT) AS hit5,
+    CAST(CASE WHEN fr <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hit10
+  FROM per
+)
+SELECT qid, first_rel_rank, rr_ppm, hit1, hit5, hit10 FROM perq
+UNION ALL
+SELECT -1, 0, CAST(sum(rr_ppm) // count(*) AS BIGINT),
+  CAST(sum(hit1) AS BIGINT), CAST(sum(hit5) AS BIGINT),
+  CAST(sum(hit10) AS BIGINT)
+FROM perq
+ORDER BY qid
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112, q143, q152)
+    Seq(q35, q36, q37, q44, q67, q73, q84, q93, q112, q143, q152, q256)
 }
