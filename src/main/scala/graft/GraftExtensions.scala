@@ -84,5 +84,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_nfc takes 1 argument")
         NfcNormalize(children.head)
       }))
+
+    // custom AGGREGATE function (TypedImperativeAggregate): the
+    // analyzer wraps a bare AggregateFunction from a registry builder
+    // into its AggregateExpression, same as the built-in entries
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      info("graft_hll", "HyperLogLog (m=256) distinct estimate over " +
+        "a 60-bit hash column"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hll takes 1 argument")
+        org.apache.spark.sql.graftagg.HllAgg(children.head)
+      }))
+
+    // custom GENERATOR function (UDTF): lazy character n-grams
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      info("graft_char_ngrams", "lazy character n-gram generator"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_char_ngrams takes 2 arguments")
+        org.apache.spark.sql.graftgen.CharNgrams(children.head,
+          children(1))
+      }))
   }
 }

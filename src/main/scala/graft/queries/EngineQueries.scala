@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftagg.HllAgg
+import org.apache.spark.sql.graftgen.CharNgrams
+import graft.{QuerySpec, Tables}
+
+/** Round-14 engine-surface queries: each exercises a custom-function
+  * extension point END TO END from the registry (the q228 lesson — an
+  * extension no real query runs is an extension that rots):
+  *
+  *  - q257 drives the native [[HllAgg]] TypedImperativeAggregate (the
+  *    mergeable-sketch-as-first-class-aggregate path, partial
+  *    aggregation shipping 256-byte registers) and pins it to the
+  *    exact q230 register-table semantics through the DuckDB oracle;
+  *  - q258 drives the [[CharNgrams]] Generator (lazy UDTF — no
+  *    per-document n-gram array materialization) through a trigram
+  *    corpus profile with a plain-SQL oracle.
+  */
+object EngineQueries {
+
+  private def h60(c: String): String =
+    s"cast(conv(substring(md5($c), 1, 15), 16, 10) as bigint)"
+  private def sqlH60(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** q257 — the native HLL aggregate against q230's ground truth: the
+    * same distinct (returnflag, orderkey) frame and the same 60-bit
+    * hash go through `graft_hll` — ONE aggregate whose partial state
+    * is the 256-byte register array (map-side combine ships sketches,
+    * not rows) — plus the ALL row from a second pass over the frame.
+    * The oracle replays q230's register-table SQL, so a driver-green
+    * row certifies the custom TypedImperativeAggregate is bit-parity
+    * with the declarative formulation (same buckets, same ρ, same
+    * exact-bigint harmonic sum, same pinned-IEEE estimator). Exact
+    * counts and err_ppm ride along as in q230. */
+  val q257 = QuerySpec("q257_hll_native_agg",
+    (s, dir) => {
+      val keyed = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_orderkey").as("k"))
+          .distinct()
+          .withColumn("h", expr(h60("concat('hll|', cast(k as string))"))))
+      val perG = keyed.groupBy("g")
+        .agg(HllAgg.graftHll(col("h")).as("est_n"))
+      val allG = keyed.agg(HllAgg.graftHll(col("h")).as("est_n"))
+        .select(lit("ALL").as("g"), col("est_n"))
+      val exact = keyed.groupBy("g").agg(count(lit(1)).as("exact_n"))
+        .unionByName(keyed.select("k").distinct()
+          .agg(count(lit(1)).as("exact_n"))
+          .select(lit("ALL").as("g"), col("exact_n")))
+      perG.unionByName(allG).join(exact, "g")
+        .withColumn("err_ppm",
+          expr("((est_n - exact_n) * 1000000) div exact_n"))
+        .select("g", "est_n", "exact_n", "err_ppm")
+        .orderBy("g")
+    },
+    Some(raw"""
+WITH st AS (
+  SELECT DISTINCT l_returnflag AS g, l_orderkey AS k FROM lineitem
+), h AS (
+  SELECT g, k, ${sqlH60("concat('hll|', CAST(k AS VARCHAR))")} AS h FROM st
+), b AS (
+  SELECT g, h % 256 AS bucket, h // 256 AS v FROM h
+), regs AS (
+  SELECT g, bucket,
+    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS reg
+  FROM b GROUP BY 1, 2
+), allregs AS (
+  SELECT 'ALL' AS g, bucket, max(reg) AS reg FROM regs GROUP BY 2
+), unioned AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM allregs
+), est AS (
+  SELECT g,
+    CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+      + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s_exact
+  FROM unioned GROUP BY g
+), ex AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS exact_n FROM st GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT k) AS BIGINT) FROM st
+), final AS (
+  SELECT e.g AS g,
+    CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+      9007199254740992.0 / CAST(e.s_exact AS DOUBLE)) AS BIGINT) AS est_n,
+    x.exact_n AS exact_n
+  FROM est e JOIN ex x ON e.g = x.g
+)
+SELECT g, est_n, exact_n,
+  ((est_n - exact_n) * 1000000) // exact_n AS err_ppm
+FROM final ORDER BY g
+"""))
+
+  /** q258 — trigram corpus profile through the lazy n-gram Generator:
+    * per language, total and distinct character trigrams plus the
+    * modal trigram — the cheap language-fingerprint a curation
+    * pipeline keeps per shard. The generate is [[CharNgrams]] (rows
+    * stream out of GenerateExec; no per-document array allocation —
+    * the explode formulation would materialize ~|text| 3-char strings
+    * per row BEFORE generating); everything downstream is
+    * map-side-combining aggregation, and the modal pick is a rank
+    * window with an adjacent rank filter (WindowGroupLimit prunes it)
+    * over the per-language trigram-count frame. */
+  val q258 = QuerySpec("q258_ngram_generator",
+    (s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .select(col("lang"),
+          CharNgrams.charNgrams(col("text"), 3).as("ngram"))
+      val hist = graft.CacheRegistry.persistTracked(
+        grams.groupBy("lang", "ngram").agg(count(lit(1)).as("cnt")))
+      val tops = hist
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(desc("cnt"), asc("ngram"))))
+        .where(col("rk") === 1)
+        .select(col("lang"), col("ngram").as("top_gram"),
+          col("cnt").as("top_cnt"))
+      hist.groupBy("lang")
+        .agg(sum("cnt").as("n_grams"), count(lit(1)).as("n_distinct"))
+        .join(tops, "lang")
+        .select("lang", "n_grams", "n_distinct", "top_gram", "top_cnt")
+        .orderBy("lang")
+    },
+    Some(raw"""
+WITH grams AS (
+  SELECT lang, substring(text, gs, 3) AS ngram
+  FROM documents,
+    unnest(generate_series(1, greatest(length(text) - 2, 0))) AS u(gs)
+), hist AS (
+  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY 1, 2
+), tops AS (
+  SELECT lang, ngram AS top_gram, cnt AS top_cnt,
+    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram)
+      AS rk
+  FROM hist
+)
+SELECT h.lang, CAST(sum(h.cnt) AS BIGINT) AS n_grams,
+  CAST(count(*) AS BIGINT) AS n_distinct, t.top_gram, t.top_cnt
+FROM hist h JOIN tops t ON h.lang = t.lang AND t.rk = 1
+GROUP BY h.lang, t.top_gram, t.top_cnt
+ORDER BY h.lang
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q257, q258)
+}

@@ -11,5 +11,5 @@ object Registry {
       E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all ++
       LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
       LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all ++
-      IntervalQueries.all ++ GraphQueries.all
+      IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all
 }
