@@ -31,33 +31,49 @@ object GraphQueries {
     * frame the same way q229's support floor bounds its pair frame. */
   val q255 = QuerySpec("q255_bfs_hops",
     (s, dir) => {
-      val baskets = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("oid"), col("l_partkey").as("part"))
-        .distinct()
-      val e0 = baskets.as("x").join(baskets.as("y"), Seq("oid"))
-        .where(col("x.part") < col("y.part"))
-        .groupBy(col("x.part").as("a"), col("y.part").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2L)
-        .select("a", "b")
+      // persist both the basket frame (scanned by both self-join
+      // sides) and the directed pair frame (consumed by both union
+      // branches) — without these the heavy pair expansion recomputes
+      // up to 8× (measured 63 s → ~5 s at sf0.1)
+      val baskets = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("part"))
+          .distinct())
+      val e0 = graft.CacheRegistry.persistTracked(
+        baskets.as("x").join(baskets.as("y"), Seq("oid"))
+          .where(col("x.part") < col("y.part"))
+          .groupBy(col("x.part").as("a"), col("y.part").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2L)
+          .select("a", "b"))
       val edges = graft.CacheRegistry.persistTracked(
         e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))))
       val deg = graft.CacheRegistry.persistTracked(
         edges.groupBy(col("a").as("part")).agg(count(lit(1)).as("d")))
       val seeds = deg.orderBy(desc("d"), asc("part")).limit(3)
         .select("part")
-      var labels = graft.CacheRegistry.persistTracked(
-        seeds.withColumn("hop", lit(0L)))
+      // iterative rounds use EAGER localCheckpoint, not persist — the
+      // CC lesson (operators/Dedup.scala): with lazy persists, round
+      // k's anti-join plan nests every previous round's plan and
+      // (re)planning grows super-linearly with rounds — measured here
+      // as a 264 s wall on a 3,573-edge graph at sf0.1; checkpointed
+      // rounds truncate the lineage to the materialized RDD and the
+      // same graph runs in seconds. Blocks are handed to
+      // CacheRegistry for release with the query's other caches.
+      var labels = graft.CacheRegistry.trackCheckpoint(
+        seeds.withColumn("hop", lit(0L)).localCheckpoint(true))
       var frontier = labels.select("part")
       for (k <- 1 to 4) {
-        val nbrs = frontier.as("f")
-          .join(edges.as("e"), col("f.part") === col("e.a"))
-          .select(col("e.b").as("part")).distinct()
-        val fresh = graft.CacheRegistry.persistTracked(
-          nbrs.join(labels.select("part"), Seq("part"), "left_anti"))
-        labels = graft.CacheRegistry.persistTracked(
-          labels.unionByName(fresh.withColumn("hop", lit(k.toLong))))
-        frontier = fresh
+        val fresh = graft.CacheRegistry.trackCheckpoint(
+          frontier.as("f")
+            .join(edges.as("e"), col("f.part") === col("e.a"))
+            .select(col("e.b").as("part")).distinct()
+            .join(labels.select("part"), Seq("part"), "left_anti")
+            .withColumn("hop", lit(k.toLong))
+            .localCheckpoint(true))
+        labels = graft.CacheRegistry.trackCheckpoint(
+          labels.unionByName(fresh).localCheckpoint(true))
+        frontier = fresh.select("part")
       }
       val hist = labels.groupBy("hop").agg(count(lit(1)).as("n_parts"))
       val unreached = deg
