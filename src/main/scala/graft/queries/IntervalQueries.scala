@@ -31,20 +31,16 @@ object IntervalQueries {
     * of the type's active span — the capacity-planning query.
     *
     * Scale shape: the endpoint stream (2 rows per event) goes through
-    * ONE two-phase prefix-sum pass (Packing.withCumulativeSum) over
-    * the packed type|time|pri|id key, with TWO counters packed into
-    * the single accumulated long (delta·2⁴⁰ + 1): the high 23 bits of
-    * headroom carry the running concurrency (envelope: peak < 8·10⁶),
-    * the low 40 the global row rank — so concurrency AND the adjacency
-    * rank come from one sort instead of two. Ends sort before starts
-    * at equal timestamps (half-open semantics), so within a tied block
-    * each same-sign run is monotone and every per-row statistic the
-    * aggregates consume is order-independent. Segment durations come
-    * from a rank+1 self-join (the q245 adjacency idiom — no window);
-    * covered time sums segments whose running concurrency is
-    * positive. Prior types net to zero in the global running sum
-    * (every +1 has its −1), so per-type concurrency needs no offset
-    * correction at all. */
+    * ONE two-phase prefix-sum pass (Packing.withCumulativeSum) over a
+    * single packed LONG key (tid·2⁵² + t·2 + pri — primitive-compare
+    * sorting; the string-key form measured 58× at 100× rows). Ends
+    * sort before starts at equal timestamps (half-open semantics), so
+    * within a tied block each same-sign run is monotone and every
+    * statistic the aggregates consume is order-independent. Covered
+    * time needs NO adjacency join: it is Σ t(closings) − Σ t(openings)
+    * over the sweep (see the inline derivation). Prior types net to
+    * zero in the global running sum (every +1 has its −1), so
+    * per-type concurrency needs no offset correction at all. */
   val q252 = QuerySpec("q252_interval_sweep",
     (s, dir) => {
       val iv = graft.CacheRegistry.persistTracked(
@@ -53,31 +49,61 @@ object IntervalQueries {
             expr("unix_micros(ts)").as("st"),
             expr("unix_micros(ts) + (cast(round(value * 100) as bigint)" +
               " % 3600 + 60) * 1000000").as("en")))
+      // dense type ids so the sort key packs into ONE long (tid·2⁵² +
+      // t·2 + pri — epoch-µs fits 51 bits through 2041, 1024 type
+      // headroom): long keys keep the two-phase sort in primitive
+      // comparisons — the string-key formulation measured 58× at 100×
+      // rows purely on key building + byte-wise sorting. The window
+      // below ranks the |types|-row distinct frame, a domain-bounded
+      // constant. Ties in (t, pri) need no id tiebreak: equal-key
+      // rows carry the same timestamp and same delta sign, so every
+      // aggregate this query outputs is invariant to their order (the
+      // Scaladoc argument above), and the persisted sweep freezes one
+      // concrete ranking for the adjacency join.
+      val tids = iv.select("event_type").distinct()
+        .withColumn("tid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("event_type"))
+          .cast("long"))
       val endpoints = iv.select(col("event_type"), col("st").as("t"),
-          lit(1L).as("pri"), lit(1L).as("delta"), col("event_id"))
+          lit(1L).as("pri"), lit(1L).as("delta"))
         .unionByName(iv.select(col("event_type"), col("en").as("t"),
-          lit(0L).as("pri"), lit(-1L).as("delta"), col("event_id")))
-        .withColumn("k", concat(col("event_type"), lit("|"),
-          lpad(col("t").cast("string"), 20, "0"),
-          col("pri").cast("string"),
-          lpad(col("event_id").cast("string"), 12, "0")))
-        // two counters in one accumulator: delta rides at bit 40, the
-        // constant +1 accumulates the global rank in the low 40 bits
-        .withColumn("step",
-          col("delta") * lit(1099511627776L) + lit(1L))
+          lit(0L).as("pri"), lit(-1L).as("delta")))
+        .join(broadcast(tids), "event_type")
+        .withColumn("k",
+          expr("shiftleft(tid, 52) + shiftleft(t, 1) + pri"))
+      // the cum pass ships ONLY (k, delta) through the sort shuffle
+      // (the primitive fast path — no Row boxing); tid/time/delta
+      // decode back out of the packed key afterwards and the
+      // event_type string rejoins from the broadcast tid dim
       val swept = graft.CacheRegistry.persistTracked(
         graft.operators.Packing
-          .withCumulativeSum(endpoints.toDF(), "k", "step", 32)
-          .withColumn("conc", expr("cum div 1099511627776"))
-          .withColumn("rk", expr("cum % 1099511627776"))
-          .select("event_type", "t", "conc", "rk"))
-      val segs = swept.as("a").join(
-          swept.selectExpr("event_type", "rk - 1 as rk",
-            "t as t_next").as("b"),
-          Seq("event_type", "rk"))
-        .groupBy("event_type")
-        .agg(sum(when(col("conc") > 0L, col("t_next") - col("t"))
-          .otherwise(0L)).as("covered_us"))
+          .withCumulativeSumPacked(
+            endpoints.select("k", "delta"), "k", "delta", 32)
+          .withColumnRenamed("cum", "conc")
+          .withColumn("tid", expr("shiftright(k, 52)"))
+          .withColumn("t", expr("shiftright(k, 1) & 2251799813685247"))
+          .withColumn("delta", col("n"))
+          .join(broadcast(tids), "tid")
+          .select("event_type", "t", "delta", "conc"))
+      // union-of-intervals coverage WITHOUT an adjacency join: the
+      // covered regions are maximal [opening, closing] intervals, and
+      // a row is an opening iff (delta = +1 ∧ conc = 1), a closing iff
+      // (delta = −1 ∧ conc = 0) — so covered = Σ t(closings) −
+      // Σ t(openings), one aggregate over the sweep (the rank+1
+      // self-join formulation measured 3× slower at 100× rows). Ties
+      // cannot break it: a 1→0→1 bounce inside a tied block adds a
+      // closing and an opening at the SAME t — net zero. The partial
+      // sums of raw epoch-µs exceed long at ~10⁴ intervals, so they
+      // accumulate in decimal (Spark) / HUGEINT (DuckDB) and only the
+      // difference — bounded by span·concurrency — casts back to
+      // bigint.
+      val segs = swept.groupBy("event_type")
+        .agg(expr(
+          "cast(sum(case " +
+            "when delta = -1 and conc = 0 then cast(t as decimal(28,0)) " +
+            "when delta = 1 and conc = 1 then -cast(t as decimal(28,0)) " +
+            "else cast(0 as decimal(28,0)) end) as bigint)")
+          .as("covered_us"))
       val maxc = swept.groupBy("event_type")
         .agg(max("conc").as("max_conc"))
       val peak = swept.join(maxc, "event_type")
