@@ -142,5 +142,137 @@ GROUP BY h.lang, t.top_gram, t.top_cnt
 ORDER BY h.lang
 """))
 
-  def all: Seq[QuerySpec] = Seq(q257, q258)
+  /** q259 — hierarchy (bill-of-materials) rollup through Spark's
+    * RECURSIVE CTE support (4.x): the part key space forms a binary
+    * tree (parent = key div 2 — the synthetic stand-in for a BOM edge
+    * table), and one `WITH RECURSIVE` statement descends from roots
+    * 4–7 and rolls up subtree lineitem revenue — the canonical
+    * hierarchy workload (org charts, BOM explosion, account trees)
+    * expressed in PURE SQL on BOTH engines with near-identical text.
+    * The recursion is over a TREE from fixed roots, so UNION ALL
+    * multiplicity is exactly 1 per (root, node) — no path explosion
+    * ever (the reason q255's cyclic-graph BFS stays on the iterative
+    * operator: Spark recursion is UNION ALL-only, and UNION ALL on a
+    * cyclic graph enumerates walks). Depth is log₂(maxkey) ≈ 15
+    * rounds of an equi-join on the parent key; the revenue frame is
+    * one map-side-combining aggregate joined once at the end. */
+  val q259 = QuerySpec("q259_recursive_cte",
+    (s, dir) => {
+      Tables(s, dir, "part").createOrReplaceTempView("part_v")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey div 2 AS parent
+  FROM part_v WHERE p_partkey >= 2
+), des (root, node) AS (
+  SELECT p_partkey, p_partkey FROM part_v
+  WHERE p_partkey BETWEEN 4 AND 7
+  UNION ALL
+  SELECT d.root, e.child FROM des d JOIN edges e ON e.parent = d.node
+), rev AS (
+  SELECT l_partkey AS node,
+    sum(cast(round(l_extendedprice * 100) as bigint)) AS cents,
+    cast(count(*) as bigint) AS n_li
+  FROM lineitem_v GROUP BY 1
+)
+SELECT d.root, cast(count(*) as bigint) AS n_nodes,
+  cast(coalesce(sum(r.cents), 0) as bigint) AS subtree_cents,
+  cast(coalesce(sum(r.n_li), 0) as bigint) AS n_lineitems
+FROM des d LEFT JOIN rev r ON d.node = r.node
+GROUP BY d.root ORDER BY d.root
+""")
+    },
+    Some(raw"""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 2 AS parent
+  FROM part WHERE p_partkey >= 2
+), des (root, node) AS (
+  SELECT p_partkey, p_partkey FROM part
+  WHERE p_partkey BETWEEN 4 AND 7
+  UNION ALL
+  SELECT d.root, e.child FROM des d JOIN edges e ON e.parent = d.node
+), rev AS (
+  SELECT l_partkey AS node,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents,
+    CAST(count(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY 1
+)
+SELECT d.root, CAST(count(*) AS BIGINT) AS n_nodes,
+  CAST(coalesce(sum(r.cents), 0) AS BIGINT) AS subtree_cents,
+  CAST(coalesce(sum(r.n_li), 0) AS BIGINT) AS n_lineitems
+FROM des d LEFT JOIN rev r ON d.node = r.node
+GROUP BY d.root ORDER BY d.root
+"""))
+
+  /** q261 — hopping-window distinct cardinality through the native
+    * HLL aggregate: distinct users per 6-hour window hopping every
+    * 3 hours (each event lands in exactly two windows — the q184
+    * hopping idiom), estimated by `graft_hll` with the exact count
+    * and err_ppm riding along — the sketch × window composition a
+    * metrics store runs continuously (and the batch twin of the
+    * streaming drift/quota monitors). The oracle replays the
+    * register tables per window. Windows are calendar-bounded
+    * (≤ 2·span/hop rows out); the corpus-scale work is the ONE
+    * partial-aggregating pass whose shuffle carries 256-byte
+    * sketches per window, not user rows. */
+  val q261 = QuerySpec("q261_hopping_hll",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("cast(floor(cast(ts as long)) as bigint) div 10800")
+            .as("w0"))
+        .withColumn("h", expr(h60("concat('u|', cast(user_id as string))")))
+      val both = ev.select(col("h"), col("user_id"),
+          (col("w0") * 10800L).as("w_start"))
+        .unionByName(ev.select(col("h"), col("user_id"),
+          ((col("w0") - 1L) * 10800L).as("w_start")))
+      val est = both.groupBy("w_start")
+        .agg(HllAgg.graftHll(col("h")).as("est_n"))
+      val exact = both.groupBy("w_start")
+        .agg(countDistinct("user_id").as("exact_n"))
+      est.join(exact, "w_start")
+        .withColumn("err_ppm",
+          expr("((est_n - exact_n) * 1000000) div exact_n"))
+        .select("w_start", "est_n", "exact_n", "err_ppm")
+        .orderBy("w_start")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id,
+    ${sqlH60("concat('u|', CAST(user_id AS VARCHAR))")} AS h,
+    (CAST(floor(epoch(ts)) AS BIGINT) // 10800) AS w0
+  FROM events
+), both_w AS (
+  SELECT h, user_id, w0 * 10800 AS w_start FROM ev
+  UNION ALL
+  SELECT h, user_id, (w0 - 1) * 10800 AS w_start FROM ev
+), b AS (
+  SELECT w_start, h % 256 AS bucket, h // 256 AS v FROM both_w
+), regs AS (
+  SELECT w_start, bucket,
+    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS reg
+  FROM b GROUP BY 1, 2
+), est AS (
+  SELECT w_start,
+    CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+      + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s_exact
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT w_start, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+  FROM both_w GROUP BY 1
+), final AS (
+  SELECT e.w_start,
+    CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+      9007199254740992.0 / CAST(e.s_exact AS DOUBLE)) AS BIGINT)
+      AS est_n,
+    x.exact_n
+  FROM est e JOIN ex x ON e.w_start = x.w_start
+)
+SELECT w_start, est_n, exact_n,
+  ((est_n - exact_n) * 1000000) // exact_n AS err_ppm
+FROM final ORDER BY w_start
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261)
 }

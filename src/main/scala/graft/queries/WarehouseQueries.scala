@@ -487,5 +487,124 @@ JOIN exi i ON i.src_a = p.src_a AND i.src_b = p.src_b
 ORDER BY p.src_a, p.src_b
 """))
 
-  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246)
+  /** q260 — Merkle-style replica reconciliation (anti-entropy): two
+    * replicas of the orders table — B carries a deterministic
+    * divergence injection (1‰ of keys get a one-cent payload drift,
+    * another 1‰ are missing) — are compared WITHOUT row exchange:
+    * each side reduces to 4096 leaf digests (order-independent sums
+    * of per-row 40-bit hashes + row counts, keyed by a hashed bucket
+    * of the primary key), the leaf frames join, and divergence
+    * localizes to the exact leaves; level-1 (÷64) and root digests
+    * ride along, certifying the drill-down path a real anti-entropy
+    * protocol would walk (compare 1 root → 64 nodes → only the
+    * diverging leaves' rows). The expected injection counts per leaf
+    * (n_plus/n_drop) are computed independently from the tamper
+    * classes, so the driver hash certifies the localization is
+    * EXACTLY the injected set. Row hashes fold payload AND key; sums
+    * stay under long at 10⁹ rows/leaf (2⁴⁰·rows). Output: the ≤20
+    * lowest diverging leaves plus ride-along root/level-1 divergence
+    * tallies on every row. */
+  val q260 = QuerySpec("q260_merkle_reconcile",
+    (s, dir) => {
+      val base = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+            col("o_orderstatus").as("st"))
+          .withColumn("c", expr(
+            s"pmod(${h60("concat('tamper|', cast(k as string))")}, 1000)"))
+          .withColumn("leaf", expr(
+            s"pmod(${h60("concat('bucket|', cast(k as string))")}, 4096)")))
+      def digest(centsExpr: String) = expr(
+        s"${h60(s"concat_ws('|', 'row', cast(k as string), cast($centsExpr as string), st)")} % 1099511627776")
+      val leafA = base
+        .withColumn("h", digest("cents"))
+        .groupBy("leaf").agg(sum("h").as("s_a"), count(lit(1)).as("n_a"))
+      val leafB = base.where(col("c") =!= 1L)
+        .withColumn("h", digest("cents + (case when c = 0 then 1 else 0 end)"))
+        .groupBy("leaf").agg(sum("h").as("s_b"), count(lit(1)).as("n_b"))
+      val leaves = graft.CacheRegistry.persistTracked(
+        leafA.join(leafB, Seq("leaf"), "full_outer")
+          .select(col("leaf"),
+            coalesce(col("s_a"), lit(0L)).as("s_a"),
+            coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("s_b"), lit(0L)).as("s_b"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+          .withColumn("div", (col("s_a") =!= col("s_b") ||
+            col("n_a") =!= col("n_b")).cast("long")))
+      val tallies = leaves
+        .withColumn("l1", expr("leaf div 64"))
+        .groupBy("l1")
+        .agg(sum("s_a").as("l1a"), sum("s_b").as("l1b"),
+          sum("div").as("nd"))
+        .agg(sum(when(col("l1a") =!= col("l1b"), 1L).otherwise(0L))
+            .as("n_l1_div"),
+          sum("nd").as("n_leaf_div"),
+          when(sum("l1a") === sum("l1b"), 1L).otherwise(0L)
+            .as("root_match"))
+      val expected = base.groupBy("leaf")
+        .agg(sum(when(col("c") === 0L, 1L).otherwise(0L)).as("n_plus"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_drop"))
+      leaves.where(col("div") === 1L)
+        .join(expected, "leaf")
+        .crossJoin(broadcast(tallies))
+        .orderBy("leaf").limit(20)
+        .select("leaf", "n_a", "n_b", "n_plus", "n_drop",
+          "n_leaf_div", "n_l1_div", "root_match")
+        .orderBy("leaf")
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderstatus AS st,
+    ${sqlH60("concat('tamper|', CAST(o_orderkey AS VARCHAR))")} % 1000
+      AS c,
+    ${sqlH60("concat('bucket|', CAST(o_orderkey AS VARCHAR))")} % 4096
+      AS leaf
+  FROM orders
+), la AS (
+  SELECT leaf,
+    CAST(sum(${sqlH60("concat_ws('|', 'row', CAST(k AS VARCHAR), CAST(cents AS VARCHAR), st)")} % 1099511627776) AS BIGINT) AS s_a,
+    CAST(count(*) AS BIGINT) AS n_a
+  FROM base GROUP BY 1
+), lb AS (
+  SELECT leaf,
+    CAST(sum(${sqlH60("concat_ws('|', 'row', CAST(k AS VARCHAR), CAST(cents + (CASE WHEN c = 0 THEN 1 ELSE 0 END) AS VARCHAR), st)")} % 1099511627776) AS BIGINT) AS s_b,
+    CAST(count(*) AS BIGINT) AS n_b
+  FROM base WHERE c <> 1 GROUP BY 1
+), leaves AS (
+  SELECT coalesce(la.leaf, lb.leaf) AS leaf,
+    coalesce(la.s_a, 0) AS s_a, coalesce(la.n_a, 0) AS n_a,
+    coalesce(lb.s_b, 0) AS s_b, coalesce(lb.n_b, 0) AS n_b,
+    CASE WHEN coalesce(la.s_a, 0) <> coalesce(lb.s_b, 0)
+      OR coalesce(la.n_a, 0) <> coalesce(lb.n_b, 0)
+      THEN 1 ELSE 0 END AS dv
+  FROM la FULL OUTER JOIN lb ON la.leaf = lb.leaf
+), l1 AS (
+  SELECT leaf // 64 AS l1, sum(s_a) AS l1a, sum(s_b) AS l1b,
+    sum(dv) AS nd
+  FROM leaves GROUP BY 1
+), tallies AS (
+  SELECT CAST(sum(CASE WHEN l1a <> l1b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_l1_div,
+    CAST(sum(nd) AS BIGINT) AS n_leaf_div,
+    CAST(CASE WHEN sum(l1a) = sum(l1b) THEN 1 ELSE 0 END AS BIGINT)
+      AS root_match
+  FROM l1
+), expected AS (
+  SELECT leaf,
+    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop
+  FROM base GROUP BY 1
+)
+SELECT lv.leaf, lv.n_a, lv.n_b, e.n_plus, e.n_drop,
+  t.n_leaf_div, t.n_l1_div, t.root_match
+FROM leaves lv JOIN expected e ON lv.leaf = e.leaf
+CROSS JOIN tallies t
+WHERE lv.dv = 1
+ORDER BY lv.leaf LIMIT 20
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246, q260)
 }
