@@ -113,4 +113,65 @@ class StreamingSpec extends SparkSpec {
     assert(got == closable,
       s"streaming sessions $got must equal closable batch sessions $closable")
   }
+
+  test("native HLL aggregate under the streaming state store: " +
+      "windowed distinct estimates equal the batch computation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftagg.HllAgg
+    implicit val sqlCtx = spark.sqlContext
+    // the TypedImperativeAggregate's serialize/deserialize path is
+    // exercised for real here: each micro-batch persists the 256-byte
+    // register buffer into the state store and the next batch merges
+    // into the DESERIALIZED buffer — a different code path than the
+    // in-memory partial/final merge of a batch aggregate
+    val input = MemoryStream[Event]
+    def agg(ds: org.apache.spark.sql.DataFrame) = ds
+      .select(expr("timestamp_micros(ts_us)").as("ts"), col("user_id"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), " +
+          "16, 10) as bigint)"))
+    val windowed = agg(input.toDF())
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(HllAgg.graftHll(col("h")).as("est"))
+      .select(expr("unix_micros(window.start)").as("w_us"), col("est"))
+    val q = windowed.writeStream.format("memory")
+      .queryName("hll_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1 (hour containing base): users 1-2000 split across
+      // TWO micro-batches (forces a state-store round trip
+      // mid-window); window 2: users 1500-4100 — both well above the
+      // 2.5·m small-range threshold so the raw estimator is in its
+      // accurate regime; a far-future event closes both
+      input.addData((1L to 1000L).map(u => ev(u, u, 0, 0.0)): _*)
+      q.processAllAvailable()
+      input.addData((1001L to 2000L).map(u => ev(u, 10000 + u, 10, 0.0)): _*)
+      q.processAllAvailable()
+      input.addData((1500L to 4100L).map(u => ev(u, 20000 + u, 70, 0.0)): _*)
+      q.processAllAvailable()
+      input.addData(ev(99, 99999, 10000, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hll_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = agg(
+      ((1L to 1000L).map(u => ev(u, u, 0, 0.0)) ++
+        (1001L to 2000L).map(u => ev(u, 10000 + u, 10, 0.0)) ++
+        (1500L to 4100L).map(u => ev(u, 20000 + u, 70, 0.0))).toDS().toDF())
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(HllAgg.graftHll(col("h")).as("est"))
+      .select(expr("unix_micros(window.start)").as("w_us"), col("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch.size == 2)
+    for ((w, est) <- batch)
+      assert(got.get(w).contains(est),
+        s"window $w: streaming ${got.get(w)} vs batch $est")
+    // and the estimates land within a generous 3/√m envelope of the
+    // exact counts (2000 and 2601 distinct users)
+    val exact = Map(got.keys.min -> 2000.0, got.keys.max -> 2601.0)
+    for ((w, e) <- batch)
+      assert(math.abs(e - exact(w)) / exact(w) < 0.19,
+        s"window $w estimate $e vs exact ${exact(w)}")
+  }
 }
