@@ -97,6 +97,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graftagg.HllAgg(children.head)
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      info("graft_mg", "Misra-Gries heavy-hitter summary (item, k) " +
+        "-> 'item:est' pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_mg takes 2 arguments")
+        org.apache.spark.sql.graftagg.MisraGriesAgg(children.head,
+          children(1))
+      }))
+
     // custom GENERATOR function (UDTF): lazy character n-grams
     ext.injectFunction((
       FunctionIdentifier("graft_char_ngrams"),

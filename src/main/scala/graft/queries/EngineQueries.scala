@@ -274,5 +274,59 @@ SELECT w_start, est_n, exact_n,
 FROM final ORDER BY w_start
 """))
 
-  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261)
+  /** q262 — Misra–Gries frequent items through the second native
+    * aggregate ([[org.apache.spark.sql.graftagg.MisraGriesAgg]],
+    * k = 64): the item stream is a deterministic triangular-skew
+    * derivation (isqrt of a uniform hash — density ∝ 2i+1, so ~20
+    * items genuinely exceed the N/k bar). The summary's raw counters
+    * are partition-order-dependent BY NATURE, so the query outputs
+    * only the summary's deterministic GUARANTEES: every item with
+    * exact count > N/k must be present (in_summary), and its
+    * estimate must satisfy 0 ≤ exact − est ≤ N/k (bounds_ok) — the
+    * DuckDB oracle states those facts as constants (1), so a driver
+    * hash match IS a machine-checked proof the guarantees held on
+    * this execution; any violation (absence or bound breach) flips a
+    * flag to 0/−1 and goes red. Exact counts ride along from one
+    * map-side-combining pass; the summary shuffle is ≤ k−1 pairs. */
+  val q262 = QuerySpec("q262_mg_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.graftagg.MisraGriesAgg
+      val items = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .select(expr(
+            "cast(floor(sqrt(cast(pmod(" +
+              h60("concat('mg|', cast(event_id as string))") +
+              ", 10000) as double))) as bigint)").as("item")))
+      val summary = items.agg(MisraGriesAgg.graftMg(col("item"), 64)
+        .as("s"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val n = items.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(broadcast(n))
+        .where(col("cnt") * 64L > col("n_total"))
+        .crossJoin(broadcast(summary))
+        .withColumn("est", coalesce(expr(
+          "cast(try_element_at(str_to_map(s, ',', ':'), " +
+            "cast(item as string)) as bigint)"), lit(-1L)))
+        .withColumn("in_summary", (col("est") >= 0L).cast("long"))
+        .withColumn("bounds_ok", (col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * 64L <= col("n_total"))
+          .cast("long"))
+        .select("item", "cnt", "in_summary", "bounds_ok")
+        .orderBy("item")
+    },
+    Some(raw"""
+WITH items AS (
+  SELECT CAST(floor(sqrt(CAST(
+    ${sqlH60("concat('mg|', CAST(event_id AS VARCHAR))")} % 10000
+    AS DOUBLE))) AS BIGINT) AS item
+  FROM events
+), ex AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM items)
+SELECT item, cnt, CAST(1 AS BIGINT) AS in_summary,
+  CAST(1 AS BIGINT) AS bounds_ok
+FROM ex CROSS JOIN n WHERE cnt * 64 > n_total ORDER BY item
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261, q262)
 }
