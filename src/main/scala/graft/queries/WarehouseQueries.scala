@@ -606,5 +606,95 @@ WHERE lv.dv = 1
 ORDER BY lv.leaf LIMIT 20
 """))
 
-  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246, q260)
+  /** q263 — time-travel (snapshot) reads over the q231 changelog: the
+    * lakehouse "AS OF" contract — reconstruct table state at three
+    * sequence cutoffs (25% / 50% / 100% of max seq) from the same
+    * last-writer-wins + tombstone log, reporting per-snapshot live
+    * keys, tombstones, live payload, and the churn since the previous
+    * snapshot (keys whose state CHANGED between cutoffs — what an
+    * incremental consumer would re-read). One pass: each log row
+    * fans out to the snapshots it is visible in (≤ |snapshots|, a
+    * constant), then ONE max_by aggregate per (snapshot, key) — the
+    * q231/q209 argmax shape, no windows; snapshot totals and the
+    * adjacent-snapshot diff both fold from that frame. */
+  val q263 = QuerySpec("q263_time_travel",
+    (s, dir) => {
+      val log = Tables(s, dir, "events")
+        .select(col("user_id").as("k"), col("event_id").as("seq"),
+          expr(s"case when pmod(${h60("concat('cdc|', event_id)")}, 10) " +
+            "= 0 then 'D' else 'U' end").as("op"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val mx = log.agg(max("seq").as("mseq"))
+      val snaps = mx.select(explode(array(lit(1L), lit(2L), lit(4L)))
+          .as("snap"), col("mseq"))
+        .withColumn("cutoff", expr("(mseq * snap) div 4"))
+        .select("snap", "cutoff")
+      val visible = log.crossJoin(broadcast(snaps))
+        .where(col("seq") <= col("cutoff"))
+      val state = graft.CacheRegistry.persistTracked(
+        visible.groupBy("snap", "cutoff", "k")
+          .agg(expr("max_by(op, seq)").as("op"),
+            expr("max_by(cents, seq)").as("cents"),
+            max("seq").as("at_seq")))
+      val totals = state.groupBy("snap", "cutoff")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("op") === "U", col("cents")).otherwise(0L))
+            .as("live_cents"))
+      // churn between adjacent snapshots: keys whose last-visible seq
+      // differs (includes first-appearing keys; snap 1 diffs vs empty)
+      val churn = state.select(col("snap"), col("k"), col("at_seq"))
+        .join(state.select((col("snap") * 2L).as("snap"),
+          col("k"), col("at_seq").as("prev_seq")), Seq("snap", "k"),
+          "left_outer")
+        .groupBy("snap")
+        .agg(sum(when(col("prev_seq").isNull ||
+          col("prev_seq") =!= col("at_seq"), 1L).otherwise(0L))
+          .as("n_changed"))
+      totals.join(churn, "snap")
+        .select("snap", "cutoff", "n_keys", "n_live", "n_deleted",
+          "live_cents", "n_changed")
+        .orderBy("snap")
+    },
+    Some(raw"""
+WITH log AS (
+  SELECT user_id AS k, event_id AS seq,
+    CASE WHEN ${sqlH60("concat('cdc|', event_id)")} % 10 = 0
+      THEN 'D' ELSE 'U' END AS op,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), mx AS (SELECT max(seq) AS mseq FROM log),
+snaps AS (
+  SELECT snap, (mseq * snap) // 4 AS cutoff
+  FROM mx CROSS JOIN (VALUES (1), (2), (4)) t(snap)
+), state AS (
+  SELECT s.snap, s.cutoff, l.k, arg_max(l.op, l.seq) AS op,
+    arg_max(l.cents, l.seq) AS cents, max(l.seq) AS at_seq
+  FROM log l CROSS JOIN snaps s WHERE l.seq <= s.cutoff
+  GROUP BY 1, 2, 3
+), totals AS (
+  SELECT snap, CAST(cutoff AS BIGINT) AS cutoff,
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(count(*) FILTER (WHERE op = 'U') AS BIGINT) AS n_live,
+    CAST(count(*) FILTER (WHERE op = 'D') AS BIGINT) AS n_deleted,
+    CAST(coalesce(sum(CASE WHEN op = 'U' THEN cents END), 0)
+      AS BIGINT) AS live_cents
+  FROM state GROUP BY 1, 2
+), churn AS (
+  SELECT a.snap,
+    CAST(sum(CASE WHEN b.at_seq IS NULL OR b.at_seq <> a.at_seq
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+  FROM state a LEFT JOIN state b
+    ON a.snap = b.snap * 2 AND a.k = b.k
+  GROUP BY 1
+)
+SELECT CAST(t.snap AS BIGINT) AS snap, t.cutoff, t.n_keys, t.n_live,
+  t.n_deleted, t.live_cents, c.n_changed
+FROM totals t JOIN churn c ON t.snap = c.snap
+ORDER BY snap
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246, q260,
+    q263)
 }
