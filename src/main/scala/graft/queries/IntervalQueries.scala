@@ -23,6 +23,9 @@ import graft.{QuerySpec, Tables}
   */
 object IntervalQueries {
 
+  /** Engine-shared day index (same derivation as StatsQueries). */
+  private val dayIdxSql = "CAST(floor(epoch(ts)) AS BIGINT) // 86400"
+
   /** q252 — interval sweep-line: events become half-open usage
     * intervals [ts, ts + dur) (dur derives deterministically from the
     * payload: cents mod 3600 + 60 seconds); the classic sweep then
@@ -326,5 +329,144 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM priced GROUP BY 1 ORDER BY event_type
 """))
 
-  def all: Seq[QuerySpec] = Seq(q252, q253, q254)
+  /** q264 — service-backlog simulation per event_type at daily
+    * granularity: arrivals are the daily event counts, capacity is
+    * the floored mean daily count (one truncation, both engines), and
+    * the backlog recurrence b_n = max(0, b_{n−1} + a_n − c) — NOT a
+    * plain window — resolves exactly through the classic identity
+    * b_n = S_n − min(0, min_{k≤n} S_k) over the net series
+    * S = Σ(a − c): one running sum + one running min, both over the
+    * calendar-bounded daily frame (≤ |days| rows per type — windows
+    * here are the bounded-frame kind the registry allows). Output per
+    * type: peak backlog, the day it peaks (earliest), days with
+    * backlog, final backlog — the capacity-planning companion to
+    * q252's concurrency sweep. */
+  val q264 = QuerySpec("q264_backlog_sim",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+            .as("day_idx"))
+        .agg(count(lit(1)).as("a"))
+      val cap = daily.groupBy("event_type")
+        .agg(expr("sum(a) div count(1)").as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val series = graft.CacheRegistry.persistTracked(
+        daily.join(cap, "event_type")
+          .withColumn("net", col("a") - col("c"))
+          .withColumn("s_run", sum("net").over(w))
+          .withColumn("m_run", least(lit(0L), min("s_run").over(w)))
+          .withColumn("backlog", col("s_run") - col("m_run"))
+          .select("event_type", "day_idx", "backlog"))
+      val mx = series.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max("backlog").as("peak_backlog"),
+          sum(when(col("backlog") > 0L, 1L).otherwise(0L))
+            .as("days_backlogged"),
+          expr("max_by(backlog, day_idx)").as("final_backlog"))
+      val peakDay = series
+        .join(mx.select("event_type", "peak_backlog"), "event_type")
+        .where(col("backlog") === col("peak_backlog"))
+        .groupBy("event_type").agg(min("day_idx").as("peak_day"))
+      mx.join(peakDay, "event_type")
+        .select("event_type", "n_days", "peak_backlog", "peak_day",
+          "days_backlogged", "final_backlog")
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day_idx,
+    CAST(count(*) AS BIGINT) AS a
+  FROM events GROUP BY 1, 2
+), cap AS (
+  SELECT event_type, CAST(sum(a) // count(*) AS BIGINT) AS c
+  FROM daily GROUP BY 1
+), series AS (
+  SELECT d.event_type, d.day_idx,
+    sum(d.a - cap.c) OVER (PARTITION BY d.event_type
+      ORDER BY d.day_idx ROWS UNBOUNDED PRECEDING) AS s_run
+  FROM daily d JOIN cap ON d.event_type = cap.event_type
+), b AS (
+  SELECT event_type, day_idx,
+    s_run - least(0, min(s_run) OVER (PARTITION BY event_type
+      ORDER BY day_idx ROWS UNBOUNDED PRECEDING)) AS backlog
+  FROM series
+), mx AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(max(backlog) AS BIGINT) AS peak_backlog,
+    CAST(sum(CASE WHEN backlog > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS days_backlogged,
+    CAST(arg_max(backlog, day_idx) AS BIGINT) AS final_backlog
+  FROM b GROUP BY 1
+)
+SELECT m.event_type, m.n_days, m.peak_backlog,
+  CAST(min(b.day_idx) AS BIGINT) AS peak_day,
+  m.days_backlogged, m.final_backlog
+FROM mx m JOIN b ON m.event_type = b.event_type
+  AND b.backlog = m.peak_backlog
+GROUP BY 1, 2, 3, 5, 6
+ORDER BY m.event_type
+"""))
+
+  /** q265 — DAU / trailing-7-day WAU / stickiness per day: the
+    * product-analytics staple. The sliding distinct-count NEVER runs
+    * a sliding window over raw events: the corpus reduces to the
+    * distinct (user, day) frame once, each user-day then fans out to
+    * the ≤7 target days it is visible in (a constant multiplier, the
+    * q261 hopping idiom), and WAU is one distinct aggregate per
+    * target day. Stickiness = DAU·10⁶ div WAU, exact ppm. Days
+    * without a full 7-day history are reported (the leading edge) —
+    * consumers filter on n_hist if they need complete windows. */
+  val q265 = QuerySpec("q265_dau_wau",
+    (s, dir) => {
+      val userDay = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .select(col("user_id"),
+            expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+              .as("day_idx"))
+          .distinct())
+      val dau = userDay.groupBy("day_idx")
+        .agg(count(lit(1)).as("dau"))
+      val spanned = userDay
+        .join(broadcast(s.range(0, 7).select(col("id").as("off"))))
+        .select(col("user_id"), (col("day_idx") + col("off"))
+          .as("target_day"), col("day_idx"))
+      val calendar = userDay.select("day_idx").distinct()
+      val wau = spanned
+        .join(calendar.select(col("day_idx").as("target_day")),
+          "target_day")
+        .groupBy("target_day")
+        .agg(countDistinct("user_id").as("wau"),
+          countDistinct("day_idx").as("n_hist"))
+      dau.join(wau, dau("day_idx") === wau("target_day"))
+        .withColumn("stickiness_ppm", expr("(dau * 1000000) div wau"))
+        .select(col("day_idx"), col("dau"), col("wau"), col("n_hist"),
+          col("stickiness_ppm"))
+        .orderBy("day_idx")
+    },
+    Some(raw"""
+WITH ud AS (
+  SELECT DISTINCT user_id, $dayIdxSql AS day_idx FROM events
+), dau AS (
+  SELECT day_idx, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), cal AS (SELECT DISTINCT day_idx FROM ud),
+sp AS (
+  SELECT ud.user_id, ud.day_idx + t.off AS target_day, ud.day_idx
+  FROM ud CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) t(off)
+), wau AS (
+  SELECT sp.target_day,
+    CAST(count(DISTINCT sp.user_id) AS BIGINT) AS wau,
+    CAST(count(DISTINCT sp.day_idx) AS BIGINT) AS n_hist
+  FROM sp JOIN cal ON sp.target_day = cal.day_idx
+  GROUP BY 1
+)
+SELECT d.day_idx, d.dau, w.wau, w.n_hist,
+  CAST((d.dau * 1000000) // w.wau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN wau w ON d.day_idx = w.target_day
+ORDER BY d.day_idx
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q252, q253, q254, q264, q265)
 }
