@@ -468,5 +468,57 @@ FROM dau d JOIN wau w ON d.day_idx = w.target_day
 ORDER BY d.day_idx
 """))
 
-  def all: Seq[QuerySpec] = Seq(q252, q253, q254, q264, q265)
+  /** q268 — velocity (burst) flags: an event is flagged when it is
+    * the 3rd event from its user inside 6 hours (ts − lag(ts, 2) ≤
+    * 6h) — the rate-limit / fraud-velocity rule every event pipeline
+    * screens with. One lag window per user (the natural bounded
+    * series key), then a per-type aggregate: flags, distinct flagged
+    * users, earliest flag, and flags-per-million-events — all exact.
+    */
+  val q268 = QuerySpec("q268_velocity_flags",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val flagged = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("span", col("t") - lag("t", 2).over(w))
+        .withColumn("flag",
+          (col("span").isNotNull && col("span") <= 21600000000L)
+            .cast("long"))
+      flagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("flag").as("n_flags"),
+          countDistinct(when(col("flag") === 1L, col("user_id")))
+            .as("n_users_flagged"),
+          min(when(col("flag") === 1L, col("t"))).as("first_flag_us"))
+        .withColumn("flag_ppm", expr("(n_flags * 1000000) div n_events"))
+        .select("event_type", "n_events", "n_flags", "n_users_flagged",
+          "first_flag_us", "flag_ppm")
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), w AS (
+  SELECT event_type, user_id, t,
+    t - lag(t, 2) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      AS span
+  FROM e
+), f AS (
+  SELECT event_type, user_id, t,
+    CASE WHEN span IS NOT NULL AND span <= 21600000000 THEN 1
+      ELSE 0 END AS flag
+  FROM w
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(flag) AS BIGINT) AS n_flags,
+  CAST(count(DISTINCT CASE WHEN flag = 1 THEN user_id END) AS BIGINT)
+    AS n_users_flagged,
+  CAST(min(CASE WHEN flag = 1 THEN t END) AS BIGINT) AS first_flag_us,
+  CAST((sum(flag) * 1000000) // count(*) AS BIGINT) AS flag_ppm
+FROM f GROUP BY 1 ORDER BY event_type
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q252, q253, q254, q264, q265, q268)
 }

@@ -353,5 +353,102 @@ FROM gini g JOIN hhi h ON g.nation = h.nation
 ORDER BY g.nation
 """))
 
-  def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251)
+  /** q266 — ship-lag percentiles per order priority (exact p50/p90):
+    * the fulfillment-SLO report. The exact percentile NEVER ranks raw
+    * rows: lag days collapse to the per-priority VALUE HISTOGRAM
+    * first (one map-side-combining aggregate; the lag domain is a
+    * data-bounded few thousand distinct values), and the percentile
+    * is min(v) where cum·k ≥ n·j over that bounded frame — the same
+    * histogram-rank idiom as q188/q216, windows over constants. */
+  val q266 = QuerySpec("q266_ship_lag_percentiles",
+    (s, dir) => {
+      val w = Window.partitionBy("pri").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("pri")
+      val lag = Tables(s, dir, "lineitem").as("l")
+        .join(Tables(s, dir, "orders").as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .select(col("o.o_orderpriority").as("pri"),
+          expr("cast(datediff(cast(l_shipdate as date), " +
+            "cast(o_orderdate as date)) as bigint)").as("d"))
+      lag.groupBy("pri", "d").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+        .groupBy("pri")
+        .agg(min(when(col("cum") * 2L >= col("n"), col("d"))).as("p50"),
+          min(when(col("cum") * 10L >= col("n") * 9L, col("d")))
+            .as("p90"),
+          max("n").as("n"), min("d").as("dmin"), max("d").as("dmax"))
+        .orderBy("pri")
+    },
+    Some(raw"""
+WITH lag AS (
+  SELECT o.o_orderpriority AS pri,
+    CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), h AS (
+  SELECT pri, d, CAST(count(*) AS BIGINT) AS cnt FROM lag GROUP BY 1, 2
+), c AS (
+  SELECT pri, d, cnt,
+    sum(cnt) OVER (PARTITION BY pri ORDER BY d
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY pri) AS n
+  FROM h
+)
+SELECT pri, CAST(min(d) FILTER (WHERE cum * 2 >= n) AS BIGINT) AS p50,
+  CAST(min(d) FILTER (WHERE cum * 10 >= n * 9) AS BIGINT) AS p90,
+  CAST(max(n) AS BIGINT) AS n, CAST(min(d) AS BIGINT) AS dmin,
+  CAST(max(d) AS BIGINT) AS dmax
+FROM c GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q267 — weekly seasonality index per (event_type, weekday): the
+    * descriptive companion to q250's chi-squared TEST — how far each
+    * weekday's mean daily volume sits from the type's overall mean,
+    * in exact ppm (index 10⁶ = flat). Same epoch-day weekday
+    * arithmetic (no engine date functions); one exact truncation
+    * sequence ((s_dw·n)·10⁶) div (n_dw·s) — inside long to ~10⁹
+    * events/day. Daily frames are calendar-bounded. */
+  val q267 = QuerySpec("q267_seasonality_index",
+    (s, dir) => {
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), expr(dayIdxSpark).as("day_idx"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", expr("(day_idx + 4) % 7")))
+      val per = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_dw"), sum("x").as("s_dw"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"))
+      per.join(tot, "event_type")
+        .withColumn("index_ppm",
+          expr("((s_dw * n) * 1000000) div (n_dw * s)"))
+        .select("event_type", "dow", "n_dw", "s_dw", "index_ppm")
+        .orderBy("event_type", "dow")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day_idx,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), d2 AS (
+  SELECT event_type, (day_idx + 4) % 7 AS dow, x FROM daily
+), per AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_dw,
+    CAST(sum(x) AS BIGINT) AS s_dw
+  FROM d2 GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS s
+  FROM d2 GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.n_dw, p.s_dw,
+  CAST(((p.s_dw * t.n) * 1000000) // (p.n_dw * t.s) AS BIGINT)
+    AS index_ppm
+FROM per p JOIN tot t ON p.event_type = t.event_type
+ORDER BY p.event_type, p.dow
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267)
 }
