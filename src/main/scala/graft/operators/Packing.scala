@@ -150,6 +150,51 @@ object Packing {
       StructField("cum", LongType, nullable = false))))
   }
 
+  /** The prefix-MAX sibling of [[withCumulativeSumPacked]]: same
+    * primitive two-phase machinery (eager long-key `sortByKey`, one
+    * boundary set, shuffle-file reuse), with the running aggregate
+    * being the MAX monoid instead of addition — per-partition maxes
+    * collect to the driver, prefix-combine into offsets, and phase 2
+    * emits the INCLUSIVE running max per row. The primitive that
+    * turns "how late can an event arrive" (watermark sizing, q269)
+    * into one sort instead of a per-key full-partition window.
+    * Returns columns (`k`, `n`, `cummax`). Empty partitions carry
+    * Long.MinValue offsets (the monoid identity). */
+  def withCumulativeMaxPacked(df: DataFrame, idCol: String, nCol: String,
+      partitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val nIdx = df.schema.fieldIndex(nCol)
+    val sorted = df.rdd
+      .map(r => (r.getLong(idIdx), r.getLong(nIdx)))
+      .sortByKey(ascending = true, numPartitions = partitions)
+    val partMaxes = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = Long.MinValue
+      it.foreach { case (_, n) => if (n > acc) acc = n }
+      Iterator((i, acc))
+    }.collect().sortBy(_._1)
+    val offsets = Array.fill(partMaxes.length + 1)(Long.MinValue)
+    partMaxes.foreach { case (i, m) => offsets(i + 1) = m }
+    var i = 1
+    while (i < offsets.length) {
+      if (offsets(i - 1) > offsets(i)) offsets(i) = offsets(i - 1)
+      i += 1
+    }
+    val outRows = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (k, n) =>
+        if (n > acc) acc = n
+        Row(k, n, acc)
+      }
+    }
+    spark.createDataFrame(outRows, StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("cummax", LongType, nullable = false))))
+  }
+
   /** Pack rows into `capacity`-token sequences. Returns one row per
     * sequence: (seq, n_docs, n_tokens, first_doc, last_doc). Rows with
     * zero tokens occupy no stream space and are excluded. */

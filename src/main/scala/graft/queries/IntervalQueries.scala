@@ -520,5 +520,99 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM f GROUP BY 1 ORDER BY event_type
 """))
 
-  def all: Seq[QuerySpec] = Seq(q252, q253, q254, q264, q265, q268)
+  /** q269 — watermark-delay audit: for each event_type, the lateness
+    * distribution an out-of-order stream would exhibit — lateness of
+    * an event = (max event-time seen so far in arrival order) − its
+    * own event time — and therefore the watermark delay that would
+    * have admitted 50/95/99/100% of events. THE number a streaming
+    * deployment needs before setting `withWatermark`, computed from
+    * history (arrival order proxied by event_id).
+    *
+    * Scale shape: the running max never runs as a per-type window
+    * over raw events — it is ONE packed-long two-phase prefix-MAX
+    * pass (Packing.withCumulativeMaxPacked). Cross-type isolation
+    * inside a single global scan comes from VALUE packing: the
+    * accumulated value is tid·2⁵² + ts, so an earlier type's maximum
+    * can never exceed any current-type value and the masked low bits
+    * are exactly the within-type running max (ts < 2⁵² µs holds to
+    * year 2112). Percentiles then run on the bounded lateness-minute
+    * histogram (the q266 idiom). */
+  val q269 = QuerySpec("q269_watermark_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("t")))
+      val tids = ev.select("event_type").distinct()
+        .withColumn("tid", row_number().over(W.orderBy("event_type"))
+          .cast("long"))
+      val packed = ev.join(broadcast(tids), "event_type")
+        .withColumn("k", expr("shiftleft(tid, 52) + event_id"))
+        .withColumn("v", expr("shiftleft(tid, 52) + t"))
+      val late = graft.CacheRegistry.persistTracked(
+        graft.operators.Packing
+          .withCumulativeMaxPacked(packed.select("k", "v"), "k", "v", 32)
+          .withColumn("tid", expr("shiftright(k, 52)"))
+          .withColumn("late_min", expr(
+            "((cummax & 4503599627370495) - (n & 4503599627370495)) " +
+              "div 60000000"))
+          .join(broadcast(tids), "tid")
+          .select("event_type", "late_min"))
+      val w = W.partitionBy("event_type").orderBy("late_min")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy("event_type")
+      late.groupBy("event_type", "late_min")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(wAll))
+        .groupBy("event_type")
+        .agg(max("n").as("n_events"),
+          min(when(col("cum") * 2L >= col("n"), col("late_min")))
+            .as("p50_min"),
+          min(when(col("cum") * 20L >= col("n") * 19L, col("late_min")))
+            .as("p95_min"),
+          min(when(col("cum") * 100L >= col("n") * 99L, col("late_min")))
+            .as("p99_min"),
+          max("late_min").as("max_min"),
+          sum(when(col("late_min") === 0L, col("cnt")).otherwise(0L))
+            .as("n_on_time"))
+        .withColumn("on_time_ppm",
+          expr("(n_on_time * 1000000) div n_events"))
+        .select("event_type", "n_events", "p50_min", "p95_min",
+          "p99_min", "max_min", "on_time_ppm")
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t FROM events
+), lateness AS (
+  SELECT event_type,
+    (max(t) OVER (PARTITION BY event_type ORDER BY event_id
+      ROWS UNBOUNDED PRECEDING) - t) // 60000000 AS late_min
+  FROM e
+), h AS (
+  SELECT event_type, late_min, CAST(count(*) AS BIGINT) AS cnt
+  FROM lateness GROUP BY 1, 2
+), c AS (
+  SELECT event_type, late_min, cnt,
+    sum(cnt) OVER (PARTITION BY event_type ORDER BY late_min
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+  CAST(min(late_min) FILTER (WHERE cum * 2 >= n) AS BIGINT) AS p50_min,
+  CAST(min(late_min) FILTER (WHERE cum * 20 >= n * 19) AS BIGINT)
+    AS p95_min,
+  CAST(min(late_min) FILTER (WHERE cum * 100 >= n * 99) AS BIGINT)
+    AS p99_min,
+  CAST(max(late_min) AS BIGINT) AS max_min,
+  CAST((sum(CASE WHEN late_min = 0 THEN cnt ELSE 0 END) * 1000000)
+    // max(n) AS BIGINT) AS on_time_ppm
+FROM c GROUP BY 1 ORDER BY event_type
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q252, q253, q254, q264, q265, q268,
+    q269)
 }

@@ -121,6 +121,35 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q269 watermark audit equals the naive running-max lateness") {
+    val got = graft.queries.IntervalQueries.q269.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    CacheRegistry.releaseAll()
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((tpe, rows) <- ev.groupBy(_._1)) {
+      val inOrder = rows.sortBy(_._2)
+      var mx = Long.MinValue
+      val lateMin = inOrder.map { case (_, _, t) =>
+        if (t > mx) mx = t
+        (mx - t) / 60000000L
+      }
+      val sorted = lateMin.sorted
+      val n = sorted.length
+      def pct(j: Int, k: Int) = sorted((n * j + k - 1) / k - 1)
+      val r = got(tpe)
+      assert(r.getLong(1) == n.toLong, s"$tpe n")
+      assert(r.getLong(2) == pct(1, 2), s"$tpe p50")
+      assert(r.getLong(3) == pct(19, 20), s"$tpe p95")
+      assert(r.getLong(4) == pct(99, 100), s"$tpe p99")
+      assert(r.getLong(5) == sorted.last, s"$tpe max")
+      assert(r.getLong(6) ==
+        lateMin.count(_ == 0L).toLong * 1000000L / n, s"$tpe on-time")
+    }
+  }
+
   test("q248 ACF equals the naive lagged computation") {
     val got = graft.queries.StatsQueries.q248.fn(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
