@@ -450,5 +450,95 @@ FROM per p JOIN tot t ON p.event_type = t.event_type
 ORDER BY p.event_type, p.dow
 """))
 
-  def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267)
+  /** q270 — calendar gap-fill with forward-fill AND exact linear
+    * interpolation: the thin daily series (high-value events only —
+    * ~13% of type-days are empty) joins onto the dense calendar
+    * (sequence() per type between its observed bounds), and each gap
+    * day gets (a) the last observed value (forward fill) and (b) the
+    * linearly interpolated value between its non-null neighbours —
+    * px + ((nx − px)·(d − pd)) div (nd − pd), one exact truncation,
+    * both engines — with edge gaps falling back to the available
+    * neighbour. The repair step every time-series warehouse runs
+    * before feeding models that can't see NULL. All windows run over
+    * calendar-bounded per-type frames; the corpus-scale work is the
+    * one daily aggregate. */
+  val q270 = QuerySpec("q270_gap_fill",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), expr(dayIdxSpark).as("day"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val daily = ev.where(col("cents") >= 17000L)
+        .groupBy("event_type", "day").agg(sum("cents").as("x"))
+      val cal = ev.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+      val wAsc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.partitionBy("event_type").orderBy(desc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = cal.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("px", last("x", ignoreNulls = true).over(wAsc))
+        .withColumn("pd", last(when(col("x").isNotNull, col("day")),
+          ignoreNulls = true).over(wAsc))
+        .withColumn("nx", last("x", ignoreNulls = true).over(wDesc))
+        .withColumn("nd", last(when(col("x").isNotNull, col("day")),
+          ignoreNulls = true).over(wDesc))
+        .withColumn("interp",
+          when(col("x").isNotNull, col("x"))
+            .when(col("pd").isNotNull && col("nd").isNotNull,
+              col("px") + expr(
+                "((nx - px) * (day - pd)) div (nd - pd)"))
+            .otherwise(coalesce(col("px"), col("nx"))))
+      filled.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cal"),
+          sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_gaps"),
+          sum("px").as("ffill_cents"),
+          sum("interp").as("interp_cents"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_type, $dayIdxSql AS day,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS x
+  FROM ev WHERE cents >= 17000 GROUP BY 1, 2
+), cal AS (
+  SELECT event_type, unnest(generate_series(min(day), max(day)))
+    AS day
+  FROM ev GROUP BY event_type
+), filled AS (
+  SELECT c.event_type, c.day, d.x,
+    last_value(d.x IGNORE NULLS) OVER (PARTITION BY c.event_type
+      ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS px,
+    last_value(CASE WHEN d.x IS NOT NULL THEN c.day END IGNORE NULLS)
+      OVER (PARTITION BY c.event_type ORDER BY c.day
+      ROWS UNBOUNDED PRECEDING) AS pd,
+    last_value(d.x IGNORE NULLS) OVER (PARTITION BY c.event_type
+      ORDER BY c.day DESC ROWS UNBOUNDED PRECEDING) AS nx,
+    last_value(CASE WHEN d.x IS NOT NULL THEN c.day END IGNORE NULLS)
+      OVER (PARTITION BY c.event_type ORDER BY c.day DESC
+      ROWS UNBOUNDED PRECEDING) AS nd
+  FROM cal c LEFT JOIN daily d
+    ON c.event_type = d.event_type AND c.day = d.day
+), interp AS (
+  SELECT event_type, x, px,
+    CASE WHEN x IS NOT NULL THEN x
+      WHEN pd IS NOT NULL AND nd IS NOT NULL
+        THEN px + ((nx - px) * (day - pd)) // (nd - pd)
+      ELSE coalesce(px, nx) END AS interp
+  FROM filled
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+  CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gaps,
+  CAST(sum(px) AS BIGINT) AS ffill_cents,
+  CAST(sum(interp) AS BIGINT) AS interp_cents
+FROM interp GROUP BY 1 ORDER BY event_type
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267,
+    q270)
 }
