@@ -11,5 +11,6 @@ object Registry {
       E2eQueries.all ++ OpsQueries.all ++ AnalyticsQueries.all ++
       LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
       LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all ++
-      IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all
+      IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all ++
+      AqpQueries.all
 }
