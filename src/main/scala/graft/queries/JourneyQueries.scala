@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.{QuerySpec, Tables}
+
+/** Round-14 journey-analytics tier: the two classic ITERATIVE
+  * customer-journey computations, made exactly deterministic —
+  *
+  *  - q274 Markov-chain attribution with removal effects: absorption
+  *    probabilities by K-step power iteration in integer ppb (every
+  *    step is integer multiply + order-independent sum + one floor
+  *    division, so two engines replay it bit for bit — no float
+  *    drift, ever);
+  *  - q275 discrete-time survival/hazard with the survival curve as a
+  *    sequential truncating product, run as a RECURSIVE CTE with
+  *    near-identical SQL text on BOTH engines (Spark 4.x recursion —
+  *    the q259 surface doing real statistics).
+  */
+object JourneyQueries {
+
+  private val K = 30 // power-iteration steps (geometric convergence;
+                     // identical truncation sequence both engines)
+  private val channels = Seq("click", "error", "signup", "view")
+
+  /** q274 — Markov removal-effect attribution: user journeys
+    * (event streams truncated at first purchase) define a first-order
+    * Markov chain over {START, channels..., purchase} with absorbing
+    * CONV (conversion) and DROP (journey lost); the value of channel
+    * c is the REMOVAL EFFECT — how much the START→CONV absorption
+    * probability falls when every transition into c is redirected to
+    * DROP (Anderl et al.'s attribution model, public literature).
+    *
+    * Determinism/scale: transition probabilities are exact ppm floor
+    * divisions; absorption runs K = 30 power-iteration steps in
+    * integer ppb (Σ ppm·p fits long: ≤ 10⁶·10⁹·|states|). The
+    * corpus-scale work is the distributed journey/transition
+    * counting; the iteration itself runs DRIVER-SIDE over the
+    * |states|²·|variants| matrix — a DOMAIN constant (≤ hundreds of
+    * rows at any corpus size), which is the scale-correct home for
+    * it. The oracle replays the identical iteration as K unrolled
+    * CTE steps (generated SQL), so the driver hash certifies all 30
+    * steps agree. */
+  val q274 = QuerySpec("q274_markov_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("rn")
+      val ordered = Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select("user_id", "event_type", "rn")
+      val firstP = ordered.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("prn"))
+      val j = ordered.join(firstP, Seq("user_id"), "left")
+        .where(col("prn").isNull || col("rn") <= col("prn"))
+      val steps = j
+        .withColumn("b", lead("event_type", 1).over(w))
+        .select(col("event_type").as("a"),
+          coalesce(
+            when(col("event_type") === "purchase", lit("CONV"))
+              .otherwise(col("b")),
+            lit("DROP")).as("nxt"))
+      val starts = j.where(col("rn") === 1)
+        .select(lit("START").as("a"), col("event_type").as("nxt"))
+      val trans = steps.unionByName(starts)
+        .groupBy("a", "nxt").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2)))
+      // driver-side exact iteration over the domain-bounded matrix
+      def absorption(removed: Option[String]): Long = {
+        val redirected = trans.map { case (a, b, c) =>
+          (a, if (removed.contains(b)) "DROP" else b, c)
+        }
+        val outC = redirected.groupBy(_._1).view
+          .mapValues(_.map(_._3).sum).toMap
+        val ppm = redirected.groupBy(x => (x._1, x._2)).map {
+          case ((a, b), xs) =>
+            (a, b, xs.map(_._3).sum * 1000000L / outC(a))
+        }.toSeq
+        var p = Map[String, Long]("CONV" -> 1000000000L)
+        for (_ <- 1 to K) {
+          val next = ppm.groupBy(_._1).map { case (a, edges) =>
+            a -> edges.map { case (_, b, t) =>
+              t * p.getOrElse(b, 0L)
+            }.sum./(1000000L)
+          }
+          p = next + ("CONV" -> 1000000000L)
+        }
+        p.getOrElse("START", 0L)
+      }
+      val full = absorption(None)
+      val rows = (("none", full, 0L) +: channels.map { c =>
+        val pr = absorption(Some(c))
+        (c, pr, (full - pr) * 1000000L / full)
+      }).map { case (v, p, re) => Row(v, p, re) }
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(
+          StructField("removed", StringType, nullable = false),
+          StructField("p_start_ppb", LongType, nullable = false),
+          StructField("removal_ppm", LongType, nullable = false))))
+        .orderBy("removed")
+    },
+    Some {
+      // AS MATERIALIZED per step: DuckDB otherwise inlines every CTE
+      // reference, so step k's plan embeds all k−1 prior plans —
+      // measured superlinear (0.5 s at K=3 → 2.5 s at K=9 →
+      // intractable at 30); materialized, each tiny step runs once
+      val steps = (1 to K).map { i =>
+        s"""p$i AS MATERIALIZED (
+  SELECT vt.v, vt.a AS node,
+    CAST(sum(vt.ppm * coalesce(p.p, 0)) // 1000000 AS BIGINT) AS p
+  FROM vtrans vt LEFT JOIN p${i - 1} p
+    ON vt.v = p.v AND vt.b = p.node
+  GROUP BY 1, 2
+  UNION ALL SELECT v, 'CONV', 1000000000 FROM variants
+)"""
+      }.mkString(", ")
+      raw"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn
+  FROM events
+), firstp AS (
+  SELECT user_id, min(rn) AS prn FROM ordered
+  WHERE event_type = 'purchase' GROUP BY 1
+), j AS (
+  SELECT o.user_id, o.event_type, o.rn FROM ordered o
+  LEFT JOIN firstp f ON o.user_id = f.user_id
+  WHERE f.prn IS NULL OR o.rn <= f.prn
+), st AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS b
+  FROM j
+), trans AS (
+  SELECT a, nxt, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT event_type AS a,
+      coalesce(CASE WHEN event_type = 'purchase' THEN 'CONV'
+        ELSE b END, 'DROP') AS nxt
+    FROM st
+    UNION ALL
+    SELECT 'START', event_type FROM j WHERE rn = 1
+  ) GROUP BY 1, 2
+), out_c AS (
+  SELECT a, CAST(sum(c) AS BIGINT) AS oc FROM trans GROUP BY 1
+), variants(v) AS (
+  VALUES ('none'), ('click'), ('error'), ('signup'), ('view')
+), vtrans AS MATERIALIZED (
+  -- merge redirected counts BEFORE the ppm division (the driver-side
+  -- iteration floors once over the merged count — must match)
+  SELECT v, a, b, CAST((sum(c) * 1000000) // oc AS BIGINT) AS ppm
+  FROM (
+    SELECT v.v, t.a,
+      CASE WHEN t.nxt = v.v THEN 'DROP' ELSE t.nxt END AS b,
+      t.c, o.oc
+    FROM trans t JOIN out_c o ON t.a = o.a CROSS JOIN variants v
+  ) GROUP BY v, a, b, oc
+), p0 AS MATERIALIZED (
+  SELECT v, 'CONV' AS node, CAST(1000000000 AS BIGINT) AS p
+  FROM variants
+), $steps, fin AS (
+  SELECT v AS removed, p AS p_start_ppb FROM p$K
+  WHERE node = 'START'
+), fullp AS (
+  SELECT p_start_ppb AS fp FROM fin WHERE removed = 'none'
+)
+SELECT f.removed, f.p_start_ppb,
+  CAST(CASE WHEN f.removed = 'none' THEN 0
+    ELSE ((fl.fp - f.p_start_ppb) * 1000000) // fl.fp END AS BIGINT)
+    AS removal_ppm
+FROM fin f CROSS JOIN fullp fl
+ORDER BY f.removed
+"""
+    })
+
+  /** q275 — discrete-time survival analysis (churn hazard + survival
+    * curve) with right-censoring: users "enter" at their first
+    * HIGH-VALUE week (payload ≥ 170.00 — the engagement definition;
+    * every-week raw activity is degenerate in this fixture) and churn
+    * at lifetime k if their last high-value week is k weeks after
+    * entry AND before the observation horizon (users still engaged in
+    * the final week are censored, not churned — the Kaplan–Meier
+    * discipline). hazard(k) = churned(k) / at-risk(k)
+    * in exact ppm (at-risk = suffix count over the bounded lifetime
+    * frame), and the survival curve S(k) = Π (1 − h(j)) is a
+    * SEQUENTIAL truncating product — computed by a RECURSIVE CTE
+    * whose SQL text is near-identical on Spark and DuckDB (only the
+    * integer-division operator differs), each step one exact
+    * multiply + floor division in ppm. All frames after the one
+    * distributed per-user aggregate are lifetime-bounded constants.
+    */
+  val q275 = QuerySpec("q275_survival_hazard",
+    (s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_sv")
+      s.sql(survivalSql("events_sv", "div"))
+    },
+    Some(survivalSql("events", "//")))
+
+  /** One SQL text, two engines: `divOp` is the only dialect split. */
+  private def survivalSql(table: String, divOp: String): String = raw"""
+WITH RECURSIVE wk AS (
+  SELECT user_id,
+    CAST(floor(${if (divOp == "//") "epoch(ts)"
+      else "cast(ts as long)"}) AS BIGINT) $divOp 604800 AS week
+  FROM $table
+  WHERE CAST(round(value * 100) AS BIGINT) >= 17000
+), span AS (
+  SELECT user_id, min(week) AS f, max(week) AS l FROM wk GROUP BY 1
+), horizon AS (SELECT max(l) AS wmax FROM span),
+lifetimes AS (
+  SELECT s.l - s.f AS k,
+    CASE WHEN s.l = h.wmax THEN 1 ELSE 0 END AS censored
+  FROM span s CROSS JOIN horizon h
+), byk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(censored) AS BIGINT) AS n_cens
+  FROM lifetimes GROUP BY 1
+), hz AS (
+  SELECT k, n, n_cens, n - n_cens AS churned,
+    CAST(sum(n) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS at_risk
+  FROM byk
+), h AS (
+  SELECT k, at_risk, churned, n_cens,
+    CAST((churned * 1000000) $divOp at_risk AS BIGINT) AS hazard_ppm
+  FROM hz
+), surv (k, s_ppm) AS (
+  SELECT h.k, CAST(1000000 - h.hazard_ppm AS BIGINT) FROM h
+  WHERE h.k = 0
+  UNION ALL
+  SELECT h.k,
+    CAST((surv.s_ppm * (1000000 - h.hazard_ppm)) $divOp 1000000
+      AS BIGINT)
+  FROM surv JOIN h ON h.k = surv.k + 1
+)
+SELECT h.k, h.at_risk, h.churned, h.n_cens, h.hazard_ppm,
+  surv.s_ppm AS survival_ppm
+FROM h JOIN surv ON h.k = surv.k
+ORDER BY h.k
+"""
+
+  def all: Seq[QuerySpec] = Seq(q274, q275)
+}
