@@ -193,53 +193,77 @@ ORDER BY f.removed
     */
   val q275 = QuerySpec("q275_survival_hazard",
     (s, dir) => {
+      // Spark executes each UnionLoop step against the anchor plan —
+      // an un-materialized hazard CTE would re-run the corpus scan +
+      // aggregates once per recursion step (measured 31 s at sf10).
+      // Materialize the tiny hazard frame first; the recursion then
+      // iterates over the cached 5-row view (7 s → 31 s fixed).
       Tables(s, dir, "events").createOrReplaceTempView("events_sv")
-      s.sql(survivalSql("events_sv", "div"))
+      graft.CacheRegistry.persistTracked(
+        s.sql(hazardSql("events_sv", "div", "cast(ts as long)")))
+        .createOrReplaceTempView("hazard_sv")
+      s.sql(recursionSql("hazard_sv", "div"))
     },
-    Some(survivalSql("events", "//")))
+    Some(raw"""
+WITH RECURSIVE h AS (${hazardSql("events", "//", "epoch(ts)")}),
+${recursionBody("h", "//")}
+"""))
 
-  /** One SQL text, two engines: `divOp` is the only dialect split. */
-  private def survivalSql(table: String, divOp: String): String = raw"""
-WITH RECURSIVE wk AS (
-  SELECT user_id,
-    CAST(floor(${if (divOp == "//") "epoch(ts)"
-      else "cast(ts as long)"}) AS BIGINT) $divOp 604800 AS week
-  FROM $table
-  WHERE CAST(round(value * 100) AS BIGINT) >= 17000
-), span AS (
-  SELECT user_id, min(week) AS f, max(week) AS l FROM wk GROUP BY 1
-), horizon AS (SELECT max(l) AS wmax FROM span),
-lifetimes AS (
-  SELECT s.l - s.f AS k,
-    CASE WHEN s.l = h.wmax THEN 1 ELSE 0 END AS censored
-  FROM span s CROSS JOIN horizon h
-), byk AS (
-  SELECT k, CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(censored) AS BIGINT) AS n_cens
-  FROM lifetimes GROUP BY 1
-), hz AS (
+  /** The non-recursive hazard computation — one text, two engines
+    * (`divOp` and the epoch accessor are the only dialect splits). */
+  private def hazardSql(table: String, divOp: String,
+      epochExpr: String): String = raw"""
+SELECT k, at_risk, churned, n_cens,
+  CAST((churned * 1000000) $divOp at_risk AS BIGINT) AS hazard_ppm
+FROM (
   SELECT k, n, n_cens, n - n_cens AS churned,
     CAST(sum(n) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
       AS BIGINT) AS at_risk
-  FROM byk
-), h AS (
-  SELECT k, at_risk, churned, n_cens,
-    CAST((churned * 1000000) $divOp at_risk AS BIGINT) AS hazard_ppm
-  FROM hz
-), surv (k, s_ppm) AS (
-  SELECT h.k, CAST(1000000 - h.hazard_ppm AS BIGINT) FROM h
-  WHERE h.k = 0
+  FROM (
+    SELECT k, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(censored) AS BIGINT) AS n_cens
+    FROM (
+      SELECT s.l - s.f AS k,
+        CASE WHEN s.l = hz.wmax THEN 1 ELSE 0 END AS censored
+      FROM (
+        SELECT user_id, min(week) AS f, max(week) AS l FROM (
+          SELECT user_id,
+            CAST(floor($epochExpr) AS BIGINT) $divOp 604800 AS week
+          FROM $table
+          WHERE CAST(round(value * 100) AS BIGINT) >= 17000
+        ) GROUP BY 1
+      ) s CROSS JOIN (
+        SELECT max(l) AS wmax FROM (
+          SELECT user_id, max(week) AS l FROM (
+            SELECT user_id,
+              CAST(floor($epochExpr) AS BIGINT) $divOp 604800 AS week
+            FROM $table
+            WHERE CAST(round(value * 100) AS BIGINT) >= 17000
+          ) GROUP BY 1
+        )
+      ) hz
+    ) GROUP BY 1
+  )
+)"""
+
+  /** The recursive survival-curve part, shared modulo `divOp`. */
+  private def recursionBody(h: String, divOp: String): String = raw"""
+surv (k, s_ppm) AS (
+  SELECT $h.k, CAST(1000000 - $h.hazard_ppm AS BIGINT) FROM $h
+  WHERE $h.k = 0
   UNION ALL
-  SELECT h.k,
-    CAST((surv.s_ppm * (1000000 - h.hazard_ppm)) $divOp 1000000
+  SELECT $h.k,
+    CAST((surv.s_ppm * (1000000 - $h.hazard_ppm)) $divOp 1000000
       AS BIGINT)
-  FROM surv JOIN h ON h.k = surv.k + 1
+  FROM surv JOIN $h ON $h.k = surv.k + 1
 )
-SELECT h.k, h.at_risk, h.churned, h.n_cens, h.hazard_ppm,
+SELECT $h.k, $h.at_risk, $h.churned, $h.n_cens, $h.hazard_ppm,
   surv.s_ppm AS survival_ppm
-FROM h JOIN surv ON h.k = surv.k
-ORDER BY h.k
-"""
+FROM $h JOIN surv ON $h.k = surv.k
+ORDER BY $h.k"""
+
+  private def recursionSql(h: String, divOp: String): String =
+    s"WITH RECURSIVE ${recursionBody(h, divOp)}"
 
   def all: Seq[QuerySpec] = Seq(q274, q275)
 }
