@@ -532,5 +532,81 @@ SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
 FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
 """))
 
-  val all: Seq[QuerySpec] = Seq(q40, q45, q135, q137, q156, q171, q190)
+  /** q276 — ONLINE velocity screening
+    * ([[graft.streaming.VelocityStream]]): q268's 3-events-in-6-hours
+    * rule as a stateful stream — per-user state is exactly TWO
+    * timestamps (the lag(t,2) frontier), 16 bytes/user forever. The
+    * corpus drains in TWO micro-batches split at the median event
+    * time (any event-time-monotone split preserves per-user order:
+    * every batch-1 event of a user precedes every batch-2 event), so
+    * boundary flags are decided by the STATE carried across batches,
+    * not by in-batch sorting. The oracle is q268's batch rule
+    * aggregated to the same report — split-invariant by
+    * construction, so a driver match certifies the streaming and
+    * batch semantics coincide. */
+  val q276 = QuerySpec("q276_stream_velocity",
+    (s, dir) => {
+      import java.nio.file.Files
+      import graft.streaming.VelocityStream
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("ts_us"))
+      val med = ev.agg(expr("cast(percentile(ts_us, 0.5) as long)"))
+        .head.getLong(0)
+      val inDir = Files.createTempDirectory("graft_q276_in")
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+        val tmp = Files.createTempDirectory("graft_q276_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = scala.util.Using.resource(Files.list(tmp)) { st =>
+          st.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        }
+        val dest = inDir.resolve(f"part-$idx%04d.parquet")
+        Files.move(f, dest)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000L + idx * 60000L))
+      }
+      stage(ev.where(col("ts_us") < med), 0)
+      stage(ev.where(col("ts_us") >= med), 1)
+      import s.implicits._
+      val stream = s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[
+          VelocityStream.Ev]].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString).as[VelocityStream.Ev]
+      val flagged = graft.streaming.StreamingOps.drainToBatch(s,
+        VelocityStream.flags(stream).toDF(), "stream_velocity",
+        outputMode = "append")
+      graft.streaming.StreamingResidue.deleteRecursively(inDir)
+      flagged.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("flag").as("n_flags"),
+          countDistinct(when(col("flag") === 1L, col("user_id")))
+            .as("n_users_flagged"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), w AS (
+  SELECT event_type, user_id,
+    t - lag(t, 2) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      AS span
+  FROM e
+), f AS (
+  SELECT event_type, user_id,
+    CASE WHEN span IS NOT NULL AND span <= 21600000000 THEN 1
+      ELSE 0 END AS flag
+  FROM w
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(flag) AS BIGINT) AS n_flags,
+  CAST(count(DISTINCT CASE WHEN flag = 1 THEN user_id END) AS BIGINT)
+    AS n_users_flagged
+FROM f GROUP BY 1 ORDER BY event_type
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q40, q45, q135, q137, q156, q171, q190, q276)
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Online velocity (burst) screening: flag an event when it is the
+  * 3rd from its user inside 6 hours — q268's batch rule as a
+  * STATEFUL stream. Per-user state is exactly TWO timestamps (the
+  * q268 lag(t, 2) window collapsed to its sliding frontier), so state
+  * size is 16 bytes/user regardless of history length — the shape
+  * that survives unbounded streams. Within a micro-batch each group
+  * sorts its events by (ts, id) (micro-batch iterators carry no
+  * order); across batches the caller stages input so per-user event
+  * order is preserved (any event-time-monotone file split does).
+  */
+object VelocityStream {
+
+  case class Ev(user_id: Long, event_id: Long, event_type: String,
+      ts_us: Long)
+  case class Flagged(user_id: Long, event_id: Long, event_type: String,
+      flag: Long)
+  /** Last two event times for the user; MinValue = absent. */
+  case class St(t1: Long, t2: Long)
+
+  val windowUs: Long = 21600000000L // 6 hours
+
+  def flags(events: Dataset[Ev]): Dataset[Flagged] = {
+    implicit val stEnc: Encoder[St] = Encoders.product[St]
+    implicit val outEnc: Encoder[Flagged] = Encoders.product[Flagged]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[St]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var (t1, t2) = state.getOption
+            .map(s => (s.t1, s.t2))
+            .getOrElse((Long.MinValue, Long.MinValue))
+          val out = evs.map { e =>
+            val flag =
+              if (t1 != Long.MinValue && e.ts_us - t1 <= windowUs) 1L
+              else 0L
+            t1 = t2
+            t2 = e.ts_us
+            Flagged(user, e.event_id, e.event_type, flag)
+          }
+          state.update(St(t1, t2))
+          out.iterator
+      }
+  }
+}
