@@ -536,11 +536,12 @@ FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
     * ([[graft.streaming.VelocityStream]]): q268's 3-events-in-6-hours
     * rule as a stateful stream — per-user state is exactly TWO
     * timestamps (the lag(t,2) frontier), 16 bytes/user forever. The
-    * corpus drains in TWO micro-batches split at the median event
-    * time (any event-time-monotone split preserves per-user order:
-    * every batch-1 event of a user precedes every batch-2 event), so
-    * boundary flags are decided by the STATE carried across batches,
-    * not by in-batch sorting. The oracle is q268's batch rule
+    * corpus drains in EIGHT micro-batches, each a contiguous
+    * (ts, event_id) range (an event-time-monotone split preserves
+    * per-user order: every earlier-batch event of a user precedes
+    * every later-batch event), so boundary flags are decided by the
+    * STATE carried across batches, not by in-batch sorting. The
+    * oracle is q268's batch rule
     * aggregated to the same report — split-invariant by
     * construction, so a driver match certifies the streaming and
     * batch semantics coincide. */
@@ -551,24 +552,31 @@ FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
       val ev = graft.Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("unix_micros(ts)").as("ts_us"))
-      val med = ev.agg(expr("cast(percentile(ts_us, 0.5) as long)"))
-        .head.getLong(0)
       val inDir = Files.createTempDirectory("graft_q276_in")
-      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
-        val tmp = Files.createTempDirectory("graft_q276_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val f = scala.util.Using.resource(Files.list(tmp)) { st =>
-          st.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        }
+      // 8 micro-batches, each a contiguous (ts, event_id) range:
+      // repartitionByRange writes part-0000k in range order, and the
+      // pinned ascending mod-times make file order = batch order =
+      // event-time order — so per-user sequence order is preserved
+      // across ALL batch boundaries (the tuple key makes boundaries
+      // exact even at timestamp ties). Parallel write — a coalesce(1)
+      // staging measured 31× at 100× rows on the single-threaded
+      // 5M-row file alone.
+      val tmp = Files.createTempDirectory("graft_q276_stage")
+      ev.repartitionByRange(8, col("ts_us"), col("event_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val parts = scala.util.Using.resource(Files.list(tmp)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
+      parts.zipWithIndex.foreach { case (f, idx) =>
         val dest = inDir.resolve(f"part-$idx%04d.parquet")
         Files.move(f, dest)
-        graft.streaming.StreamingResidue.deleteRecursively(tmp)
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(
             1000000000L + idx * 60000L))
       }
-      stage(ev.where(col("ts_us") < med), 0)
-      stage(ev.where(col("ts_us") >= med), 1)
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
       import s.implicits._
       val stream = s.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[
@@ -580,9 +588,9 @@ FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
         outputMode = "append")
       graft.streaming.StreamingResidue.deleteRecursively(inDir)
       flagged.groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum("flag").as("n_flags"),
-          countDistinct(when(col("flag") === 1L, col("user_id")))
+        .agg(sum("n_events").as("n_events"),
+          sum("n_flags").as("n_flags"),
+          countDistinct(when(col("n_flags") > 0L, col("user_id")))
             .as("n_users_flagged"))
         .orderBy("event_type")
     },

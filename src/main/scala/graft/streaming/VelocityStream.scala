@@ -17,16 +17,21 @@ object VelocityStream {
 
   case class Ev(user_id: Long, event_id: Long, event_type: String,
       ts_us: Long)
-  case class Flagged(user_id: Long, event_id: Long, event_type: String,
-      flag: Long)
+  /** Per-(user, type) partial counts for ONE micro-batch — the
+    * operator reduces before the sink, so the stream ships
+    * |users|·|types| rows per batch, never per-event rows (a
+    * per-event output measured 10× slower at sf10 purely on the
+    * memory-sink collect). */
+  case class Partial(user_id: Long, event_type: String,
+      n_events: Long, n_flags: Long)
   /** Last two event times for the user; MinValue = absent. */
   case class St(t1: Long, t2: Long)
 
   val windowUs: Long = 21600000000L // 6 hours
 
-  def flags(events: Dataset[Ev]): Dataset[Flagged] = {
+  def flags(events: Dataset[Ev]): Dataset[Partial] = {
     implicit val stEnc: Encoder[St] = Encoders.product[St]
-    implicit val outEnc: Encoder[Flagged] = Encoders.product[Flagged]
+    implicit val outEnc: Encoder[Partial] = Encoders.product[Partial]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
@@ -35,16 +40,21 @@ object VelocityStream {
           var (t1, t2) = state.getOption
             .map(s => (s.t1, s.t2))
             .getOrElse((Long.MinValue, Long.MinValue))
-          val out = evs.map { e =>
+          val counts = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Long, Long)]
+          evs.foreach { e =>
             val flag =
               if (t1 != Long.MinValue && e.ts_us - t1 <= windowUs) 1L
               else 0L
             t1 = t2
             t2 = e.ts_us
-            Flagged(user, e.event_id, e.event_type, flag)
+            val (n, f) = counts.getOrElse(e.event_type, (0L, 0L))
+            counts.update(e.event_type, (n + 1, f + flag))
           }
           state.update(St(t1, t2))
-          out.iterator
+          counts.iterator.map { case (tpe, (n, f)) =>
+            Partial(user, tpe, n, f)
+          }
       }
   }
 }
