@@ -11,6 +11,39 @@ import graft.streaming.StreamingOps
   */
 object StreamingQueries {
 
+  /** Stages a frame as `n` event-time-monotone parquet micro-batches:
+    * repartitionByRange on the given sort columns writes part files
+    * in range order; pinned ascending mod-times make file order =
+    * batch order = event-time order under maxFilesPerTrigger=1, so
+    * per-key sequence order is preserved across ALL batch boundaries.
+    * Parallel write — a coalesce(1) staging measured 31× slower at
+    * 100× rows on the single-threaded write alone (q276 lesson).
+    * Caller deletes the returned directory after draining.
+    */
+  private[queries] def stageMonotoneBatches(
+      df: org.apache.spark.sql.DataFrame, n: Int,
+      sortCols: org.apache.spark.sql.Column*): java.nio.file.Path = {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    val tmp = Files.createTempDirectory("graft_stream_stage")
+    df.repartitionByRange(n, sortCols: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = scala.util.Using.resource(Files.list(tmp)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+    parts.zipWithIndex.foreach { case (f, idx) =>
+      val dest = inDir.resolve(f"part-$idx%04d.parquet")
+      Files.move(f, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000L + idx * 60000L))
+    }
+    graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    inDir
+  }
+
   /** q40 — streaming hourly window aggregation == batch q14. */
   val q40 = QuerySpec("q40_stream_hourly",
     (s, dir) => StreamingOps.hourlyEventStats(s, dir)
@@ -552,31 +585,10 @@ FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
       val ev = graft.Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("unix_micros(ts)").as("ts_us"))
-      val inDir = Files.createTempDirectory("graft_q276_in")
-      // 8 micro-batches, each a contiguous (ts, event_id) range:
-      // repartitionByRange writes part-0000k in range order, and the
-      // pinned ascending mod-times make file order = batch order =
-      // event-time order — so per-user sequence order is preserved
-      // across ALL batch boundaries (the tuple key makes boundaries
-      // exact even at timestamp ties). Parallel write — a coalesce(1)
-      // staging measured 31× at 100× rows on the single-threaded
-      // 5M-row file alone.
-      val tmp = Files.createTempDirectory("graft_q276_stage")
-      ev.repartitionByRange(8, col("ts_us"), col("event_id"))
-        .write.mode("overwrite").parquet(tmp.toString)
-      val parts = scala.util.Using.resource(Files.list(tmp)) { st =>
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-      }
-      parts.zipWithIndex.foreach { case (f, idx) =>
-        val dest = inDir.resolve(f"part-$idx%04d.parquet")
-        Files.move(f, dest)
-        Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1000000000L + idx * 60000L))
-      }
-      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      // 8 micro-batches, each a contiguous (ts, event_id) range — the
+      // tuple key makes boundaries exact even at timestamp ties
+      val inDir = stageMonotoneBatches(ev.toDF(), 8,
+        col("ts_us"), col("event_id"))
       import s.implicits._
       val stream = s.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[
@@ -615,6 +627,74 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM f GROUP BY 1 ORDER BY event_type
 """))
 
+  /** q277 — per-user inter-event gap telemetry on the Spark 4.x
+    * `transformWithState` operator ([[graft.streaming.GapStream]]) —
+    * the NEW StatefulProcessor API with TWO typed state variables
+    * (ValueState gap frontier + MapState per-type history), run under
+    * the RocksDB state store (a transformWithState requirement). The
+    * corpus drains in eight event-time-monotone micro-batches, so
+    * every batch-boundary gap and every cross-batch first-of-type
+    * decision is made by checkpointed state, not in-batch data; the
+    * oracle is the batch lag()/row_number() equivalent, which is
+    * split-invariant — a driver match certifies the new API's state
+    * semantics coincide with batch. */
+  val q277 = QuerySpec("q277_stream_tws_gaps",
+    (s, dir) => {
+      import graft.streaming.GapStream
+      val prevProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val ev = graft.Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("ts_us"))
+        val inDir = stageMonotoneBatches(ev, 8,
+          col("ts_us"), col("event_id"))
+        import s.implicits._
+        val stream = s.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[
+            GapStream.Ev]].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString).as[GapStream.Ev]
+        val partials = graft.streaming.StreamingOps.drainToBatch(s,
+          GapStream.gapStats(stream).toDF(), "stream_tws_gaps",
+          outputMode = "append")
+        graft.streaming.StreamingResidue.deleteRecursively(inDir)
+        partials.groupBy("event_type")
+          .agg(sum("n_events").as("n_events"),
+            sum("n_gaps").as("n_gaps"),
+            sum("sum_gap_us").as("sum_gap_us"),
+            max("max_gap_us").as("max_gap_us"),
+            sum("n_first").as("n_first_of_type"))
+          .orderBy("event_type")
+      } finally prevProvider match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some(raw"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), g AS (
+  SELECT event_type, user_id,
+    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap,
+    row_number() OVER (PARTITION BY user_id, event_type
+      ORDER BY t, event_id) AS rk_type
+  FROM e
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+  CAST(sum(CASE WHEN rk_type = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_first_of_type
+FROM g GROUP BY 1 ORDER BY event_type
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q40, q45, q135, q137, q156, q171, q190, q276)
+    Seq(q40, q45, q135, q137, q156, q171, q190, q276, q277)
 }
