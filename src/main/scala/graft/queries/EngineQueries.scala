@@ -328,5 +328,42 @@ SELECT item, cnt, CAST(1 AS BIGINT) AS in_summary,
 FROM ex CROSS JOIN n WHERE cnt * 64 > n_total ORDER BY item
 """))
 
-  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261, q262)
+  /** q278 — the Spark 4 VARIANT type end to end: a nested JSON
+    * document (object + sub-object + array) is built from order
+    * columns, parsed into a real `VariantType` column (`parse_json` —
+    * the binary variant encoding, not string re-parsing), and shredded
+    * back out with typed `variant_get` paths: top-level int, double
+    * (decimal-string round trip through the variant numeric tower),
+    * nested object field, 0-based array index, and a missing-path
+    * `try_variant_get` (must be NULL, never an error). The oracle
+    * computes every shredded value DIRECTLY from the base columns, so
+    * a driver match certifies the whole JSON→variant→typed-extract
+    * round trip is value-exact — including the
+    * shortest-repr-double→decimal→double identity on price. */
+  val q278 = QuerySpec("q278_variant_shred",
+    (s, dir) => {
+      val j = to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("price"),
+        struct(col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st")).as("meta"),
+        array(col("o_custkey"), col("o_orderkey") % 7).as("arr")))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), parse_json(j).as("v"))
+        .select(col("o_orderkey"),
+          expr("variant_get(v, '$.id', 'bigint')").as("vid"),
+          expr("variant_get(v, '$.price', 'double')").as("vprice"),
+          expr("variant_get(v, '$.meta.pri', 'string')").as("vpri"),
+          expr("variant_get(v, '$.arr[1]', 'bigint')").as("varr1"),
+          expr("try_variant_get(v, '$.meta.nope', 'bigint') is null")
+            .as("missing_ok"))
+        .orderBy("o_orderkey")
+    },
+    Some(raw"""
+SELECT o_orderkey, o_orderkey AS vid, o_totalprice AS vprice,
+  o_orderpriority AS vpri, o_orderkey % 7 AS varr1, TRUE AS missing_ok
+FROM orders ORDER BY o_orderkey
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261, q262, q278)
 }
