@@ -107,6 +107,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1))
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll"),
+      info("graft_kll", "KLL quantile summary (value, k, phis) -> " +
+        "'n=..,err=..,q<phi_ppm>=<value>' pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_kll takes 3 arguments")
+        org.apache.spark.sql.graftagg.KllAgg(children.head,
+          children(1), children(2))
+      }))
+
     // custom GENERATOR function (UDTF): lazy character n-grams
     ext.injectFunction((
       FunctionIdentifier("graft_char_ngrams"),

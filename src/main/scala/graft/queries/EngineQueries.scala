@@ -365,5 +365,57 @@ SELECT o_orderkey, o_orderkey AS vid, o_totalprice AS vprice,
 FROM orders ORDER BY o_orderkey
 """))
 
-  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261, q262, q278)
+  /** q279 — the native KLL quantile aggregate
+    * ([[org.apache.spark.sql.graftagg.KllAgg]], the third
+    * TypedImperativeAggregate) certified from the registry. Like q262
+    * (Misra–Gries), the sketch's VALUES are partition-merge-order
+    * facts, so the query emits the deterministic GUARANTEES: for each
+    * φ over lineitem price-cents, (a) the true rank of the sketch's
+    * answer — recomputed by one exact scan — is within the sketch's
+    * self-certified worst-case bound of the target rank, (b) that
+    * bound is ≤ 2 % of n (k = 2048 ⇒ ≈ 0.2 % here and 1.4 % even at
+    * n = 10¹², growing only logarithmically), and (c) the answer is a
+    * genuine data value. One sketch pass + one certification scan —
+    * the shuffle ships k·log(n/k) longs, never the column. */
+  val q279 = QuerySpec("q279_kll_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.graftagg.KllAgg
+      val phis = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val ppms = phis.map(p => math.round(p * 1e6))
+      val li = Tables(s, dir, "lineitem")
+        .select(expr("cast(round(l_extendedprice * 100) as bigint)")
+          .as("cents"))
+      val m = li
+        .agg(KllAgg.graftKll(col("cents"), 2048, phis).as("s"))
+        .head().getString(0)
+        .split(',').map { kv =>
+          val Array(a, b) = kv.split('='); (a, b.toLong)
+        }.toMap
+      val (n, err) = (m("n"), m("err"))
+      val rankCols = ppms.map { ppm =>
+        sum(when(col("cents") <= m(s"q$ppm"), 1L).otherwise(0L))
+          .as(s"r$ppm")
+      } ++ ppms.map { ppm =>
+        max(when(col("cents") === m(s"q$ppm"), 1L).otherwise(0L))
+          .as(s"d$ppm")
+      }
+      val rr = li.agg(rankCols.head, rankCols.tail: _*).head()
+      import s.implicits._
+      phis.zipWithIndex.map { case (p, i) =>
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        (ppms(i), n, math.abs(rr.getLong(i) - target) <= err,
+          err <= n / 50, rr.getLong(phis.length + i) == 1L)
+      }.toDF("phi_ppm", "n", "within_bound", "bound_le_2pct",
+        "is_data_value")
+        .orderBy("phi_ppm")
+    },
+    Some(raw"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+p AS (SELECT unnest([10000, 250000, 500000, 750000, 990000]) AS phi_ppm)
+SELECT CAST(phi_ppm AS BIGINT) AS phi_ppm, n.n AS n,
+  TRUE AS within_bound, TRUE AS bound_le_2pct, TRUE AS is_data_value
+FROM p CROSS JOIN n ORDER BY phi_ppm
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261, q262, q278, q279)
 }
