@@ -1477,8 +1477,64 @@ SELECT event_type, n AS n_pairs, dy AS med_dy_cents,
 FROM ranked WHERE rn = (n + 1) // 2 ORDER BY event_type
 """))
 
+  /** q281 — EWMA burst screen as an EXACT integer recurrence:
+    * s_t = (x_t + 7·s_{t−1}) div 8 (α = 1/8 in fixed-point cents, no
+    * floats anywhere) over the per-(priority, day) order totals, with
+    * a burst counted when a day's total exceeds 2× the prior smoothed
+    * level. The recurrence is inherently sequential, but the SERIES
+    * IS CALENDAR-BOUNDED (≤ ~2.4 k days regardless of row count), so
+    * the scale-safe plan is: distributed exact daily aggregation
+    * (the only part that sees N rows), then a per-group `aggregate`
+    * HOF fold over the bounded day array — no window over raw rows,
+    * no driver loop. The oracle replays the identical integer
+    * recurrence as a recursive CTE; integer div makes the match
+    * exact, not ppm-approximate. */
+  val q281 = QuerySpec("q281_ewma_bursts",
+    (s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("x"))
+      daily.groupBy("pri")
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("xs"))
+        .select(col("pri"),
+          size(col("xs")).cast("long").as("n_days"),
+          expr("""aggregate(
+              slice(xs, 2, size(xs) - 1),
+              named_struct('s', xs[0].x, 'b', cast(0 as bigint)),
+              (acc, e) -> named_struct(
+                's', (e.x + 7L * acc.s) div 8L,
+                'b', acc.b + if(e.x > 2L * acc.s,
+                  cast(1 as bigint), cast(0 as bigint))))""")
+            .as("f"))
+        .select(col("pri"), col("n_days"), col("f.s").as("s_final"),
+          col("f.b").as("n_bursts"))
+        .orderBy("pri")
+    },
+    Some(raw"""
+WITH RECURSIVE d AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x,
+    row_number() OVER (PARTITION BY o_orderpriority
+      ORDER BY CAST(o_orderdate AS DATE)) AS rk
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT pri, rk, x, x AS s, CAST(0 AS BIGINT) AS b FROM d WHERE rk = 1
+  UNION ALL
+  SELECT d.pri, d.rk, d.x, (d.x + 7 * r.s) // 8,
+    r.b + CASE WHEN d.x > 2 * r.s THEN 1 ELSE 0 END
+  FROM r JOIN d ON d.pri = r.pri AND d.rk = r.rk + 1
+)
+SELECT pri, CAST(max(rk) AS BIGINT) AS n_days,
+  CAST(max_by(s, rk) AS BIGINT) AS s_final,
+  CAST(max_by(b, rk) AS BIGINT) AS n_bursts
+FROM r GROUP BY pri ORDER BY pri
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
       q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-      q218, q219, q220, q228, q247)
+      q218, q219, q220, q228, q247, q281)
 }

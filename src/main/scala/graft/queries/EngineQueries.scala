@@ -417,5 +417,48 @@ SELECT CAST(phi_ppm AS BIGINT) AS phi_ppm, n.n AS n,
 FROM p CROSS JOIN n ORDER BY phi_ppm
 """))
 
-  def all: Seq[QuerySpec] = Seq(q257, q258, q259, q261, q262, q278, q279)
+  /** q280 — the Spark 4 SQL PIPE syntax surface (`FROM … |> WHERE …
+    * |> AGGREGATE … |> JOIN …`) end to end: a four-stage pipe program
+    * (filter → per-order aggregate → dimension join → re-aggregate →
+    * having-filter → order) must produce the IDENTICAL result to the
+    * classic nested-SQL formulation the DuckDB oracle runs. Pipe
+    * stages lower to the same Catalyst operators as the classic
+    * syntax — this query pins that equivalence through the driver
+    * hash, so the pipe surface is certified, not just parsed. */
+  val q280 = QuerySpec("q280_sql_pipe",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_pipe_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("ord_pipe_v")
+      s.sql("""
+        FROM li_pipe_v
+        |> WHERE l_quantity >= 5
+        |> AGGREGATE sum(cast(round(l_extendedprice * 100) as bigint)) AS cents,
+                     count(*) AS n_items
+           GROUP BY l_orderkey
+        |> JOIN ord_pipe_v ON l_orderkey = o_orderkey
+        |> AGGREGATE sum(cents) AS cents, sum(n_items) AS n_items,
+                     count(*) AS n_orders
+           GROUP BY o_orderpriority
+        |> WHERE n_orders >= 10
+        |> SELECT o_orderpriority, cents, n_items, n_orders
+        |> ORDER BY o_orderpriority
+      """)
+    },
+    Some(raw"""
+WITH per_order AS (
+  SELECT l_orderkey,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+    count(*) AS n_items
+  FROM lineitem WHERE l_quantity >= 5 GROUP BY l_orderkey
+)
+SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS cents,
+  CAST(sum(n_items) AS BIGINT) AS n_items,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority HAVING count(*) >= 10
+ORDER BY o_orderpriority
+"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q257, q258, q259, q261, q262, q278, q279, q280)
 }
