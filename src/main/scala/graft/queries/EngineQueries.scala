@@ -459,6 +459,51 @@ GROUP BY o_orderpriority HAVING count(*) >= 10
 ORDER BY o_orderpriority
 """))
 
+  /** q282 — DSv2 AGGREGATE PUSHDOWN
+    * ([[graft.sources.ShardStatsSource]], `graft-shard`) end to end:
+    * lineitem is staged as CSV telemetry shards, read back through
+    * the connector, and profiled with `GROUP BY g: count/min/max` —
+    * the shape the scan rewrites itself for, so each shard ships one
+    * row per local group instead of its rows (the plan is
+    * REQUIRED to carry the connector's PushedAggregates marker — a
+    * silent pushdown regression fails the query, not just a spec).
+    * Spark's planner finishes with the partial-merge (SUM of counts,
+    * MIN/MAX of extremes), which is what makes the answer exact under
+    * any shard split. The oracle profiles the same frame from the
+    * parquet directly. Result is collected to a LocalRelation (6
+    * rows) so the shard staging can be deleted eagerly. */
+  val q282 = QuerySpec("q282_agg_pushdown",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q282_shards")
+      try {
+        Tables(s, dir, "lineitem")
+          .select(concat(col("l_returnflag"), col("l_linestatus")).as("g"),
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("x"))
+          .repartition(8)
+          .write.mode("overwrite").csv(tmp.toString)
+        val out = s.read.format("graft-shard")
+          .option("path", tmp.toString).load()
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"), min("x").as("min_cents"),
+            max("x").as("max_cents"))
+          .orderBy("g")
+        require(out.queryExecution.executedPlan.toString
+          .contains("PushedAggregates"),
+          "graft-shard aggregate pushdown did not engage")
+        val sunk = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT l_returnflag || l_linestatus AS g, CAST(count(*) AS BIGINT) AS n,
+  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS min_cents,
+  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS max_cents
+FROM lineitem GROUP BY 1 ORDER BY g
+"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q257, q258, q259, q261, q262, q278, q279, q280)
+    Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282)
 }

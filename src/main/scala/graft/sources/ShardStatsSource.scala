@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft-shard")` — a DataSourceV2 connector over
+  * a directory of CSV telemetry shards (`g,x` per line) that
+  * implements AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`), the
+  * DSv2 read-path capability the engine's other connectors don't
+  * exercise (graft-html: plain batch read; graft-csv: the write
+  * path).
+  *
+  * When the query shape is `[GROUP BY g] count(*) / min(x) / max(x)`,
+  * the scan REWRITES ITSELF: each shard's reader streams its file
+  * once and emits one row per local group — the rows crossing the
+  * source boundary drop from |rows| to |files|·|groups|, and Spark's
+  * planner (V2ScanRelationPushDown) finishes with the matching final
+  * merge (SUM of partial counts, MIN of partial mins, MAX of partial
+  * maxes) because `supportCompletePushDown` stays false — PARTIAL
+  * pushdown, the shape that is correct under any file split. Any
+  * other aggregate (sum, avg, distinct) or grouping is declined and
+  * the source serves plain rows — pushdown must never change
+  * semantics, only traffic.
+  *
+  * At 100 TB this is the connector-side half of the zone-map story
+  * (q212): a storage layer that can answer count/min/max per shard
+  * turns a full-corpus profile query into metadata traffic. One
+  * input partition per shard file = the usual split model; no state
+  * is shared across readers.
+  */
+class ShardStatsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-shard"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardStatsSource.rowSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ShardStatsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object ShardStatsSource {
+  val rowSchema: StructType = StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("x", LongType, nullable = false)))
+
+  private[sources] def shardFiles(opts: CaseInsensitiveStringMap): Array[String] = {
+    val dir = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-shard: 'path' is required"))
+    val d = new java.io.File(dir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath)
+    java.util.Arrays.sort(fs, java.util.Comparator.naturalOrder[String]())
+    fs
+  }
+}
+
+private[sources] class ShardStatsTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-shard"
+  override def schema(): StructType = ShardStatsSource.rowSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new ShardStatsScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownAggregates {
+
+  // pushed state: None = plain row scan; Some((groupByG, funcs)) =
+  // aggregated scan. funcs are tags: 'c' (count*), 'n' (min x),
+  // 'x' (max x) — order preserved from the query's Aggregation.
+  private var pushed: Option[(Boolean, Seq[Char])] = None
+
+  private def isCol(e: Expression, name: String): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames()(0).equalsIgnoreCase(name)
+    case _ => false
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    false // partial pushdown: correct under any shard split
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val grouped = aggregation.groupByExpressions() match {
+      case Array() => false
+      case Array(e) if isCol(e, "g") => true
+      case _ => return false
+    }
+    val tags = aggregation.aggregateExpressions().map {
+      case _: CountStar => 'c'
+      case m: Min if isCol(m.column(), "x") => 'n'
+      case m: Max if isCol(m.column(), "x") => 'x'
+      case _ => return false
+    }
+    if (tags.isEmpty) return false
+    pushed = Some((grouped, tags.toSeq))
+    true
+  }
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = pushed match {
+    case None => ShardStatsSource.rowSchema
+    case Some((grouped, tags)) =>
+      val aggFields = tags.zipWithIndex.map {
+        case ('c', i) => StructField(s"count_$i", LongType, nullable = false)
+        case ('n', i) => StructField(s"min_$i", LongType, nullable = true)
+        case (_, i) => StructField(s"max_$i", LongType, nullable = true)
+      }
+      StructType(
+        (if (grouped) Seq(StructField("g", StringType, nullable = false))
+         else Seq.empty) ++ aggFields)
+  }
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ShardStatsSource.shardFiles(options).map(f =>
+      ShardPartition(f, pushed.map { case (g, t) => (g, t.mkString) }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardStatsReaderFactory
+  override def description(): String = pushed match {
+    case Some((grouped, tags)) =>
+      s"graft-shard PushedAggregates[${tags.mkString(",")}] grouped=$grouped"
+    case None => "graft-shard rows"
+  }
+}
+
+private[sources] final case class ShardPartition(
+    file: String, pushed: Option[(Boolean, String)]) extends InputPartition
+
+private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardPartition]
+    p.pushed match {
+      case None => new ShardRowReader(p.file)
+      case Some((grouped, tags)) => new ShardAggReader(p.file, grouped, tags)
+    }
+  }
+
+  private def parse(ln: String): (String, Long) = {
+    val i = ln.indexOf(',')
+    (ln.substring(0, i), java.lang.Long.parseLong(ln.substring(i + 1)))
+  }
+
+  private class ShardRowReader(file: String) extends PartitionReader[InternalRow] {
+    private val src = scala.io.Source.fromFile(file, "UTF-8")
+    private val it = src.getLines()
+    private var cur: (String, Long) = _
+    override def next(): Boolean = {
+      val h = it.hasNext; if (h) cur = parse(it.next()); h
+    }
+    override def get(): InternalRow =
+      InternalRow(UTF8String.fromString(cur._1), cur._2)
+    override def close(): Unit = src.close()
+  }
+
+  /** One file pass → one output row per local group (or one total). */
+  private class ShardAggReader(file: String, grouped: Boolean, tags: String)
+      extends PartitionReader[InternalRow] {
+    private lazy val rows: Iterator[InternalRow] = {
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long, Long)] // count, min, max
+      scala.util.Using.resource(scala.io.Source.fromFile(file, "UTF-8")) {
+        src =>
+          src.getLines().foreach { ln =>
+            val (g, x) = parse(ln)
+            val key = if (grouped) g else ""
+            val (c, mn, mx) =
+              acc.getOrElse(key, (0L, Long.MaxValue, Long.MinValue))
+            acc.update(key, (c + 1, math.min(mn, x), math.max(mx, x)))
+          }
+      }
+      acc.iterator.map { case (g, (c, mn, mx)) =>
+        val aggVals: Seq[Any] = tags.map {
+          case 'c' => c
+          case 'n' => mn
+          case _ => mx
+        }.toSeq
+        InternalRow.fromSeq(
+          (if (grouped) Seq(UTF8String.fromString(g)) else Seq.empty) ++
+            aggVals)
+      }
+    }
+    private var cur: InternalRow = _
+    override def next(): Boolean = {
+      val h = rows.hasNext; if (h) cur = rows.next(); h
+    }
+    override def get(): InternalRow = cur
+    override def close(): Unit = ()
+  }
+}

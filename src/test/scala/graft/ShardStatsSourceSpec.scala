@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft-shard DSv2 connector: plain row serving, aggregate
+  * pushdown engagement (plan marker + reduced source traffic),
+  * decline semantics for unsupported aggregates, and exact agreement
+  * between pushed and un-pushed results. */
+class ShardStatsSourceSpec extends SparkSpec {
+
+  private def stage(): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_spec")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "x,5\ny,7\nx,1\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      "y,9\nz,2\nx,8\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("ignored.txt"),
+      "not,1\n".getBytes("UTF-8"))
+    dir
+  }
+
+  test("plain row scan serves every CSV line; non-csv files ignored") {
+    val dir = stage()
+    try {
+      val rows = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq(("x", 1L), ("x", 5L), ("x", 8L), ("y", 7L),
+        ("y", 9L), ("z", 2L)))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("grouped count/min/max pushes down and matches the row-scan answer") {
+    val dir = stage()
+    try {
+      val df = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+      val agg = df.groupBy("g").agg(count(lit(1)).as("n"),
+        min("x").as("mn"), max("x").as("mx")).orderBy("g")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates[c,n,x] grouped=true"), plan)
+      val got = agg.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == Seq(("x", 3L, 1L, 8L), ("y", 2L, 7L, 9L),
+        ("z", 1L, 2L, 2L)))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("global (ungrouped) aggregate pushes down") {
+    val dir = stage()
+    try {
+      val agg = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+        .agg(count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+      assert(agg.queryExecution.executedPlan.toString
+        .contains("grouped=false"))
+      assert(agg.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))) == Seq((6L, 1L, 9L)))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("unsupported aggregate (sum) declines pushdown and stays correct") {
+    val dir = stage()
+    try {
+      val agg = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+        .groupBy("g").agg(sum("x").as("s")).orderBy("g")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("PushedAggregates"), plan)
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("x", 14L), ("y", 16L), ("z", 2L)))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("pushdown reduces rows crossing the source boundary") {
+    // 2 shards x 3 distinct groups: the pushed scan emits <= 6 rows
+    // where the row scan emits 2000
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_big")
+    try {
+      val sb = new StringBuilder
+      (0 until 1000).foreach(i => sb.append(s"g${i % 3},$i\n"))
+      java.nio.file.Files.write(dir.resolve("a.csv"),
+        sb.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b.csv"),
+        sb.toString.getBytes("UTF-8"))
+      val df = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+      val pushed = df.groupBy("g").agg(max("x").as("mx"))
+      pushed.collect()
+      val scanRows = pushed.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+      assert(scanRows <= 6L, s"scan emitted $scanRows rows")
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+}
