@@ -265,5 +265,105 @@ ORDER BY $h.k"""
   private def recursionSql(h: String, divOp: String): String =
     s"WITH RECURSIVE ${recursionBody(h, divOp)}"
 
-  def all: Seq[QuerySpec] = Seq(q274, q275)
+  /** q283 — EXACT Shapley-value attribution (Shao & Li's coalition
+    * model, public literature): the characteristic function
+    * v(S) = (# converted journeys whose touched-channel set ⊆ S) /
+    * (# journeys), and each channel's credit is its exact Shapley
+    * value over the 2⁴ coalitions. All arithmetic is integer: the
+    * output is Σ_S |S|!·(3−|S|)!·(N(S∪{c}) − N(S)) — an exact
+    * integer "scaled Shapley" (the true value × 4! × n_total) — plus
+    * its ppm floor division. v is monotone (mask ⊆ test), so every
+    * marginal is ≥ 0 and floor division is engine-identical.
+    *
+    * Scale shape: the N-row work is the distributed journey
+    * truncation + per-user bitmask fold (bit_or) + a 16-row mask
+    * histogram; the coalition sweep runs driver-side over a DOMAIN
+    * constant (2⁴ subsets × 4 channels — like q274's matrix, the
+    * scale-correct home). The oracle replays the identical subset
+    * algebra in SQL over generate_series(0,15). */
+  val q283 = QuerySpec("q283_shapley_attribution",
+    (s, dir) => {
+      val maskExpr = expr("""bit_or(CASE event_type
+        WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)""")
+      val ordered = Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select("user_id", "event_type", "rn")
+      val firstP = ordered.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("prn"))
+      val j = ordered.join(firstP, Seq("user_id"), "left")
+        .where(col("prn").isNull || col("rn") <= col("prn"))
+        .groupBy("user_id")
+        .agg(maskExpr.as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val stats = j.groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val nTotal = stats.map(_._2).sum
+      val ncByMask = stats.map(x => x._1 -> x._3).toMap
+      def nS(sMask: Int): Long =
+        ncByMask.collect { case (m, c) if (m | sMask) == sMask => c }.sum
+      val wt = Array(6L, 2L, 2L, 6L) // |S|!·(3−|S|)! for |S| = 0..3
+      val rows = Seq("click" -> 1, "error" -> 2, "signup" -> 4,
+        "view" -> 8).map { case (c, bit) =>
+        val scaled = (0 until 16).filter(ss => (ss & bit) == 0).map {
+          ss => wt(Integer.bitCount(ss)) * (nS(ss | bit) - nS(ss))
+        }.sum
+        Row(c, scaled, scaled * 1000000L / (24L * nTotal))
+      }
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toList, 1),
+        StructType(Seq(
+          StructField("channel", StringType, nullable = false),
+          StructField("shapley_scaled", LongType, nullable = false),
+          StructField("shapley_ppm", LongType, nullable = false))))
+        .orderBy("channel")
+    },
+    Some(raw"""
+WITH e AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), fp AS (
+  SELECT user_id, min(rn) AS prn FROM e
+  WHERE event_type = 'purchase' GROUP BY 1
+), j AS (
+  SELECT e.user_id,
+    bit_or(CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM e LEFT JOIN fp ON e.user_id = fp.user_id
+  WHERE fp.prn IS NULL OR e.rn <= fp.prn
+  GROUP BY 1
+), tot AS (SELECT count(*) AS n_total FROM j),
+m AS (SELECT mask, count(*) AS nc FROM j WHERE conv = 1 GROUP BY mask),
+sub AS (SELECT unnest(generate_series(0, 15)) AS s),
+ns AS (
+  SELECT sub.s, CAST(coalesce(sum(m.nc), 0) AS BIGINT) AS n
+  FROM sub LEFT JOIN m ON (m.mask | sub.s) = sub.s
+  GROUP BY sub.s
+), chan AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+    ('view', 8)) AS t(name, bit)
+)
+SELECT chan.name AS channel,
+  CAST(sum((CASE bit_count(sub.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      WHEN 2 THEN 2 ELSE 6 END) * (n2.n - n1.n)) AS BIGINT)
+    AS shapley_scaled,
+  CAST(sum((CASE bit_count(sub.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      WHEN 2 THEN 2 ELSE 6 END) * (n2.n - n1.n)) * 1000000
+    // (24 * any_value(tot.n_total)) AS BIGINT) AS shapley_ppm
+FROM chan
+JOIN sub ON (sub.s & chan.bit) = 0
+JOIN ns n1 ON n1.s = sub.s
+JOIN ns n2 ON n2.s = (sub.s | chan.bit)
+CROSS JOIN tot
+GROUP BY chan.name
+ORDER BY channel
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q274, q275, q283)
 }
