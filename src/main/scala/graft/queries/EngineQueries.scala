@@ -504,6 +504,53 @@ SELECT l_returnflag || l_linestatus AS g, CAST(count(*) AS BIGINT) AS n,
 FROM lineitem GROUP BY 1 ORDER BY g
 """))
 
+  /** q285 — correlated LATERAL subquery surface: top-2 nations by
+    * exact revenue cents per region, written as `JOIN LATERAL
+    * (… WHERE correlated … GROUP BY … ORDER BY … LIMIT 2)` — the
+    * per-row-subquery SQL shape. Spark's analyzer decorrelates the
+    * lateral into a joined aggregate + per-group limit (no
+    * per-region re-execution), which is exactly what makes the shape
+    * survive scale; the oracle runs the IDENTICAL lateral text in
+    * DuckDB, so the decorrelation is certified against a native
+    * lateral executor. Exact cents keep the top-2 ordering
+    * float-free; (cents DESC, n_name) is a total order. */
+  val q285 = QuerySpec("q285_lateral_topk",
+    (s, dir) => {
+      Seq("region", "nation", "customer", "orders").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(s"${t}_lat_v"))
+      s.sql("""
+        SELECT r.r_name, l.n_name, l.cents
+        FROM region_lat_v r
+        JOIN LATERAL (
+          SELECT n.n_name,
+            sum(cast(round(o.o_totalprice * 100) as bigint)) AS cents
+          FROM nation_lat_v n
+          JOIN customer_lat_v c ON c.c_nationkey = n.n_nationkey
+          JOIN orders_lat_v o ON o.o_custkey = c.c_custkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY cents DESC, n_name LIMIT 2
+        ) l
+        ORDER BY r_name, cents DESC, n_name
+      """)
+    },
+    Some(raw"""
+SELECT r.r_name, l.n_name, l.cents
+FROM region r
+JOIN LATERAL (
+  SELECT n.n_name,
+    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM nation n
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY cents DESC, n_name LIMIT 2
+) l ON TRUE
+ORDER BY r_name, cents DESC, n_name
+"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282)
+    Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285)
 }

@@ -878,7 +878,56 @@ SELECT shard, n_docs,
 FROM m ORDER BY shard
 """))
 
+  /** q286 — XML round trip through Spark 4's BUILT-IN xml source:
+    * document metadata is rendered per row with `to_xml`
+    * (rowTag=doc), staged as parallel text shards, read back with
+    * `spark.read.format("xml")` under an EXPLICIT schema (inference
+    * is a second corpus pass — never at scale), and profiled per
+    * (lang, source). The oracle profiles the base parquet directly,
+    * so a driver match certifies the whole render→parse round trip
+    * loses nothing (ids summed as an integrity ride-along). Staging
+    * is a parallel text write; the result is collected (bounded by
+    * |langs|·|sources|) so the staging deletes eagerly. */
+  val q286 = QuerySpec("q286_xml_ingest",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q286_xml")
+      try {
+        // each partition becomes one well-formed XML file: a <docs>
+        // root wrapping the to_xml rows (the xml source requires a
+        // rooted document; rowTag elements are located inside it)
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(expr(
+            """to_xml(named_struct(
+                 'id', doc_id, 'lang', lang, 'source', source,
+                 'chars', n_chars),
+               map('rowTag', 'doc'))""").as("x"))
+          .repartition(4).as[String]
+          .mapPartitions(rows => Iterator("<docs>") ++ rows ++
+            Iterator("</docs>"))
+          .write.mode("overwrite").text(tmp.toString)
+        val parsed = s.read.format("xml")
+          .option("rowTag", "doc")
+          .schema("id BIGINT, lang STRING, source STRING, chars BIGINT")
+          .load(tmp.toString)
+        val out = parsed.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("chars").as("sum_chars"),
+            sum("id").as("sum_ids"))
+          .orderBy("lang", "source")
+        val sunk = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139,
-      q150, q155)
+      q150, q155, q286)
 }

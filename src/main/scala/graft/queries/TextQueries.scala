@@ -1919,8 +1919,75 @@ SELECT seq, doc_id,
 FROM w ORDER BY seq, span_start, doc_id
 """))
 
+  /** q284 — exact PHRASE search on a POSITIONAL inverted index: the
+    * retrieval capability q164's inverted index lacks (positions).
+    * Tokenize once (posexplode), keep postings ONLY for the phrase
+    * vocabulary (the filter sits under the shuffle, so the index
+    * frame is |phrase-term postings|, not the corpus), then each
+    * 3-word phrase is two self-equi-joins on (doc_id, pos+offset) —
+    * adjacency as join keys, the standard positional-index plan.
+    * Counts include overlapping occurrences (a substring scan can't
+    * see those; the oracle replays the same positional algebra with
+    * DuckDB's indexed list_transform). Output per phrase: matched
+    * docs + total occurrences. At 100 TB: postings shuffle on
+    * (doc_id) once per phrase word, every join equi-keyed, no
+    * windows, no regex over the corpus. */
+  val q284 = QuerySpec("q284_phrase_search",
+    (s, dir) => {
+      val phrases = Seq(
+        ("slow hash batch", "slow", "hash", "batch"),
+        ("part filter scan", "part", "filter", "scan"),
+        ("row column sort", "row", "column", "sort"))
+      val vocab = phrases.flatMap(p => Seq(p._2, p._3, p._4)).distinct
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .where(col("term").isin(vocab: _*))
+      val p = graft.CacheRegistry.persistTracked(toks)
+      val perPhrase = phrases.map { case (name, w0, w1, w2) =>
+        p.as("t0").where(col("t0.term") === w0)
+          .join(p.as("t1"),
+            col("t1.doc_id") === col("t0.doc_id") &&
+              col("t1.pos") === col("t0.pos") + 1 &&
+              col("t1.term") === w1)
+          .join(p.as("t2"),
+            col("t2.doc_id") === col("t0.doc_id") &&
+              col("t2.pos") === col("t0.pos") + 2 &&
+              col("t2.term") === w2)
+          .agg(lit(name).as("phrase"),
+            countDistinct(col("t0.doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .select("phrase", "n_docs", "n_occ")
+      }
+      perPhrase.reduce(_.unionByName(_)).orderBy("phrase")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT doc_id, u.term AS term, u.pos AS pos
+  FROM (SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+      (w, i) -> struct_pack(term := w, pos := i))) AS u
+    FROM documents)
+), ph AS (
+  SELECT * FROM (VALUES ('slow hash batch', 'slow', 'hash', 'batch'),
+    ('part filter scan', 'part', 'filter', 'scan'),
+    ('row column sort', 'row', 'column', 'sort')) AS t(phrase, w0, w1, w2)
+), occ AS (
+  SELECT ph.phrase, t0.doc_id
+  FROM ph
+  JOIN toks t0 ON t0.term = ph.w0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+    AND t1.term = ph.w1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+    AND t2.term = ph.w2
+)
+SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occ
+FROM occ GROUP BY phrase ORDER BY phrase
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q18, q19, q20, q21, q23, q26, q28, q41, q42, q47, q78, q83, q85,
       q86, q87, q88, q90, q94, q95, q105, q106, q107, q109, q116, q119,
-      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153, q154, q180)
+      q121, q131, q136, q141, q144, q145, q147, q148, q151, q153, q154,
+      q180, q284)
 }
