@@ -551,6 +551,91 @@ JOIN LATERAL (
 ORDER BY r_name, cents DESC, n_name
 """))
 
+  /** q289 — correlated-subquery semantics battery, one SQL text on
+    * both engines: per nation, a correlated SCALAR subquery
+    * (customer count), an exact above-average count via integer
+    * cross-multiplication (cents·n > sum — no float average, so no
+    * tie drift), correlated EXISTS, correlated NOT EXISTS, and the
+    * ANSI NOT-IN NULL TRAP — `x NOT IN (set containing NULL)` is
+    * never true, so the last column must be 0 for every nation; an
+    * engine that "fixes" the three-valued logic fails the driver
+    * hash. Decorrelation is Spark's job (RewriteCorrelatedScalarSubquery
+    * etc. turn these into joins); DuckDB runs its own flattening —
+    * the match certifies both land on ANSI. */
+  val q289 = QuerySpec("q289_subquery_semantics",
+    (s, dir) => {
+      Seq("nation", "customer", "supplier", "orders").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(s"${t}_sq_v"))
+      s.sql(sqBattery("nation_sq_v", "customer_sq_v", "supplier_sq_v",
+        "orders_sq_v"))
+    },
+    Some(sqBattery("nation", "customer", "supplier", "orders")))
+
+  private def sqBattery(nation: String, customer: String,
+      supplier: String, orders: String): String = raw"""
+WITH cb AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM $customer
+), agg AS (
+  SELECT c_nationkey, count(*) AS nc, sum(cents) AS sc
+  FROM cb GROUP BY c_nationkey
+)
+SELECT n.n_name,
+  CAST(coalesce((SELECT agg.nc FROM agg
+    WHERE agg.c_nationkey = n.n_nationkey), 0) AS BIGINT) AS n_cust,
+  CAST((SELECT count(*) FROM cb JOIN agg
+      ON agg.c_nationkey = cb.c_nationkey
+    WHERE cb.c_nationkey = n.n_nationkey
+      AND cb.cents * agg.nc > agg.sc) AS BIGINT) AS n_above_avg,
+  EXISTS(SELECT 1 FROM $supplier s
+    WHERE s.s_nationkey = n.n_nationkey) AS has_supplier,
+  CAST((SELECT count(*) FROM cb
+    WHERE cb.c_nationkey = n.n_nationkey
+      AND NOT EXISTS (SELECT 1 FROM $orders o
+        WHERE o.o_custkey = cb.c_custkey
+          AND o.o_orderpriority = '1-URGENT')) AS BIGINT)
+    AS n_no_urgent,
+  CAST((SELECT count(*) FROM cb
+    WHERE cb.c_nationkey = n.n_nationkey
+      AND cb.c_custkey NOT IN (SELECT CASE
+          WHEN o.o_orderpriority = '1-URGENT' THEN o.o_custkey END
+        FROM $orders o)) AS BIGINT) AS n_notin_nullset
+FROM $nation n ORDER BY n_name
+"""
+
+  /** q290 — BAG (multiset) set operations: INTERSECT ALL and
+    * EXCEPT ALL keep multiplicities (min / truncated difference per
+    * value), unlike the DISTINCT variants q50 covers. The returned
+    * counts carry the multiset identity |A| = |A ∩all B| + |A ∖all B|
+    * in-row — both engines must implement real bag semantics for the
+    * five counts to agree. Spark plans these as aggregate+generate
+    * (sum-of-min counts), never a row-pairing join, which is the
+    * scale-safe shape. */
+  val q290 = QuerySpec("q290_bag_set_ops",
+    (s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_bag_v")
+      s.sql(bagSetOps("li_bag_v"))
+    },
+    Some(bagSetOps("lineitem")))
+
+  private def bagSetOps(lineitem: String): String = raw"""
+WITH a AS (SELECT l_partkey AS k FROM $lineitem WHERE l_returnflag = 'A'),
+r AS (SELECT l_partkey AS k FROM $lineitem WHERE l_returnflag = 'R')
+SELECT op, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'a_total' AS op, count(*) AS n FROM a
+  UNION ALL SELECT 'intersect_all', count(*) FROM
+    (SELECT k FROM a INTERSECT ALL SELECT k FROM r)
+  UNION ALL SELECT 'except_all', count(*) FROM
+    (SELECT k FROM a EXCEPT ALL SELECT k FROM r)
+  UNION ALL SELECT 'intersect_distinct', count(*) FROM
+    (SELECT k FROM a INTERSECT SELECT k FROM r)
+  UNION ALL SELECT 'except_distinct', count(*) FROM
+    (SELECT k FROM a EXCEPT SELECT k FROM r)
+) t ORDER BY op
+"""
+
   def all: Seq[QuerySpec] =
-    Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285)
+    Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
+      q289, q290)
 }

@@ -695,6 +695,106 @@ FROM totals t JOIN churn c ON t.snap = c.snap
 ORDER BY snap
 """))
 
+  /** q287 — CO-BUCKETED ZERO-SHUFFLE JOIN from the registry (the
+    * BucketingSpec capability promoted to an oracle-checked query —
+    * the q228 lesson): orders and customer are written as bucketed
+    * tables on the join key (8 buckets, sorted), and the revenue
+    * rollup joins them with broadcast disabled — the REQUIRED plan is
+    * bucketed scans feeding a SortMergeJoin with NO exchange on
+    * either join key (the only shuffle left is the 5-row segment
+    * rollup's). At 100 TB this is the difference between paying the
+    * orders⋈customer shuffle every run and paying it once at layout
+    * time. Exact cents make the result float-free; the oracle joins
+    * the base parquet. */
+  val q287 = QuerySpec("q287_bucketed_join",
+    (s, dir) => {
+      import java.nio.file.Files
+      val wh = Files.createTempDirectory("graft_q287_wh")
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        Tables(s, dir, "orders")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$wh/orders_b287").saveAsTable("orders_b287")
+        Tables(s, dir, "customer")
+          .write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$wh/customer_b287").saveAsTable("customer_b287")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table("orders_b287")
+          .join(s.table("customer_b287"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("cents"))
+          .orderBy("c_mktsegment")
+        val rows = j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains("Bucketed: true") &&
+          !plan.contains("Exchange hashpartitioning(o_custkey") &&
+          !plan.contains("Exchange hashpartitioning(c_custkey"),
+          "bucketed join unexpectedly shuffled its join keys")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        s.sql("DROP TABLE IF EXISTS orders_b287")
+        s.sql("DROP TABLE IF EXISTS customer_b287")
+        graft.streaming.StreamingResidue.deleteRecursively(wh)
+      }
+    },
+    Some(raw"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q288 — HIVE-STYLE PARTITION PRUNING from the registry: events
+    * re-laid out as a directory tree partitioned by event_type, then
+    * a two-type report over the partitioned store — the scan is
+    * REQUIRED to carry partition filters (the plan's PartitionFilters
+    * entry), so only the two matching directories are listed and
+    * read; the other partitions are never opened. The 100 TB point:
+    * partition pruning is METADATA-time elimination — unlike
+    * row-group skipping (q212) it removes whole files from the scan
+    * plan before any I/O is scheduled. Value totals use the
+    * engine-standard decimal-sum pin; oracle reads the base
+    * parquet. */
+  val q288 = QuerySpec("q288_partition_pruning",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q288_part")
+      try {
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(tmp.toString)
+        val out = s.read.parquet(tmp.toString)
+          .where(col("event_type").isin("purchase", "signup"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(28,10)")), 2)
+              .cast("double").as("total_value"))
+          .orderBy("event_type")
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        require("PartitionFilters: \\[[^\\]]*event_type".r
+          .findFirstIn(plan).isDefined,
+          "partitioned scan did not prune on event_type")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+    AS total_value
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1 ORDER BY 1
+"""))
+
   def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246, q260,
-    q263)
+    q263, q287, q288)
 }
