@@ -695,6 +695,84 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM g GROUP BY 1 ORDER BY event_type
 """))
 
+  /** q291 — watermarked STREAM-STREAM interval join from the
+    * registry ([[graft.streaming.StreamJoin]], previously spec-only —
+    * the q228 lesson): view and purchase events run as TWO live
+    * streams, joined on user with purchase ∈ [view, view + 1 h]; the
+    * time-range bound is what lets Spark evict both sides' state at
+    * the watermark, so state is proportional to the window, never the
+    * history. Both streams drain in four event-time-monotone
+    * micro-batches with a 2 h watermark delay (covers in-batch
+    * disorder; monotone staging advances both watermarks together,
+    * so no true pair is ever dropped — certified by the batch
+    * oracle). The sink is foreachBatch emitting per-batch PARTIALS
+    * (count / sum / max — all merge-safe; per-pair rows through a
+    * memory sink were the q276 10× lesson), merged driver-side. */
+  val q291 = QuerySpec("q291_stream_stream_join",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+      val vDir = stageMonotoneBatches(
+        ev.where(col("event_type") === "view").drop("event_type"), 4,
+        col("ts"), col("event_id"))
+      val pDir = stageMonotoneBatches(
+        ev.where(col("event_type") === "purchase").drop("event_type"), 4,
+        col("ts"), col("event_id"))
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", TimestampType)))
+      def stream(p: java.nio.file.Path) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(p.toString)
+      val joined = graft.streaming.StreamJoin.within(
+        stream(vDir), stream(pDir), "user_id", "1 HOUR", "2 hours")
+      val partials =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q291_ckpt")
+      try {
+        val q = joined.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val r = df.agg(count(lit(1)),
+              sum(expr("unix_micros(right_ts) - unix_micros(left_ts)")),
+              max(expr("unix_micros(right_ts) - unix_micros(left_ts)")))
+              .head()
+            partials.synchronized {
+              partials += ((r.getLong(0),
+                if (r.isNullAt(1)) 0L else r.getLong(1),
+                if (r.isNullAt(2)) 0L else r.getLong(2)))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+        graft.streaming.StreamingResidue.deleteRecursively(vDir)
+        graft.streaming.StreamingResidue.deleteRecursively(pDir)
+      }
+      import s.implicits._
+      Seq((partials.map(_._1).sum, partials.map(_._2).sum,
+        if (partials.isEmpty) 0L else partials.map(_._3).max))
+        .toDF("n_pairs", "sum_lag_us", "max_lag_us")
+    },
+    Some(raw"""
+WITH v AS (SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'purchase')
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(coalesce(sum(epoch_us(p.ts) - epoch_us(v.ts)), 0) AS BIGINT)
+    AS sum_lag_us,
+  CAST(coalesce(max(epoch_us(p.ts) - epoch_us(v.ts)), 0) AS BIGINT)
+    AS max_lag_us
+FROM v JOIN p ON p.user_id = v.user_id
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q40, q45, q135, q137, q156, q171, q190, q276, q277)
+    Seq(q40, q45, q135, q137, q156, q171, q190, q276, q277, q291)
 }
