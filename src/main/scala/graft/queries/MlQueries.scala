@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-15 distributed-ML tier: the model-fitting primitives a
+  * training-data platform runs ON the warehouse before anything ever
+  * reaches a GPU — Lloyd k-means over the embedding corpus, a
+  * multivariate OLS fit by normal equations + Cramer solve, the
+  * Mann–Whitney U rank test, and a quantized additive naive-Bayes
+  * language classifier with its confusion matrix.
+  *
+  * Determinism rules as everywhere in the registry: embeddings are
+  * quantized to an integer grid (floor(x·1000)) so every centroid,
+  * distance, and assignment is exact integer arithmetic — no float
+  * summation-order hazard anywhere in the iterative path. The one
+  * intrinsically-float output (q293's betas, q294's z) follows the
+  * pinned-float pattern (q249/q272): exact integer sums feed ONE
+  * double expression shared as identical text with the oracle, then
+  * floor-to-ppm.
+  *
+  * Scale shapes: q292's per-iteration work is one broadcast-k
+  * crossJoin scan + a (k·dim)-row centroid aggregate — linear in N
+  * with k and dim constants; q293 reduces the corpus to a single
+  * 9-sum row before the closed-form solve; q294 ranks through the
+  * bounded distinct-cents domain (the q266 histogram-rank shape),
+  * never a window over raw events; q295's model frame is
+  * vocab×|langs| joined on token — the corpus-scale work is the
+  * token explode, everything after is model-sized.
+  */
+object MlQueries {
+
+  private val kDim = 64
+  private val kK = 8
+
+  /** Integer-grid quantization both engines replay exactly:
+    * floor(double(x)·1000) per dimension. */
+  private val qArrSpark =
+    "transform(embedding, x -> floor(cast(x as double) * 1000.0))"
+  private val qArrSql =
+    s"[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) FOR i IN range(1, ${kDim + 1})]"
+
+  /** Squared-L2 between a quantized vector column `q` and a centroid
+    * array column `c` — exact bigint. */
+  private val distSpark =
+    "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+  private val distSql =
+    s"CAST(list_sum([(u.q[i] - c.c[i]) * (u.q[i] - c.c[i]) FOR i IN range(1, ${kDim + 1})]) AS BIGINT)"
+
+  /** One Lloyd round: assign every vector to its nearest live centroid
+    * (tie → lowest cid, encoded arithmetically as min(dist·8 + cid) so
+    * both engines share one total order), then recompute centroids as
+    * the per-dimension floored integer mean. `cents` is (cid, c:
+    * array<bigint>) — k rows, broadcast into the scan. */
+  private def assign(ve: DataFrame, cents: DataFrame): DataFrame =
+    ve.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(distSpark))
+      .groupBy("vec_id")
+      .agg(min(col("dist") * lit(kK.toLong) + col("cid")).as("akey"))
+      .select(col("vec_id"), (col("akey") % kK).as("cid"),
+        expr(s"akey div $kK").as("dist"))
+
+  private def update(asg: DataFrame, ve: DataFrame): DataFrame =
+    asg.join(ve, "vec_id")
+      .select(col("cid"), posexplode(col("q")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(col) div count(1)").as("cv"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+        .as("sc"))
+      .select(col("cid"), expr("transform(sc, s -> s.cv)").as("c"))
+
+  /** q292 — distributed Lloyd k-means over the 64-dim embedding
+    * corpus: k = 8 centroids seeded from vec_id 0–7, two full
+    * assign→update rounds on the integer grid, then a final
+    * assignment and per-cluster report (size, within-cluster sum of
+    * squares, majority ground-truth label and its purity) — the
+    * "does the embedding space even cluster" audit run before
+    * semantic dedup thresholds (q93) are trusted.
+    *
+    * Scale: each round is one broadcast-8 crossJoin scan of the
+    * corpus (narrow, codegen'd zip_with/aggregate — no shuffle on
+    * the wide arrays) plus a (k·64)-row map-side-combining centroid
+    * aggregate; rounds are a constant (2), so the plan is O(N·k·dim)
+    * work and O(k·dim) shuffle bytes per round at any corpus size.
+    * Assignment ties and empty clusters (a cid that loses all
+    * members simply drops out of the centroid frame) replay
+    * identically in both engines. */
+  val q292 = QuerySpec("q292_kmeans_lloyd",
+    (s, dir) => {
+      val ve = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr(qArrSpark).as("q")))
+      val c0 = ve.where(col("vec_id") < kK)
+        .select(col("vec_id").as("cid"), col("q").as("c"))
+      val c1 = graft.CacheRegistry.persistTracked(update(assign(ve, c0), ve))
+      val c2 = graft.CacheRegistry.persistTracked(update(assign(ve, c1), ve))
+      val fin = assign(ve, c2).join(ve, "vec_id")
+      val byLabel = fin.groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = fin.groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum("dist").as("wcss"))
+      stats.join(byLabel, "cid")
+        .groupBy(col("cid"), col("n"), col("wcss"))
+        .agg(max(col("cnt") * lit(1024L) + lit(1023L) - col("label"))
+          .as("tkey"))
+        .select(col("cid"), col("n"), col("wcss"),
+          (lit(1023L) - col("tkey") % 1024L).as("top_label"),
+          expr("((tkey div 1024) * 1000000) div n").as("purity_ppm"))
+        .orderBy("cid")
+    },
+    Some(raw"""
+WITH un AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, $qArrSql AS q
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, q AS c FROM un WHERE vec_id < $kK
+), a1 AS (
+  SELECT u.vec_id,
+    CAST(min($distSql * $kK + c.cid) AS BIGINT) AS akey
+  FROM un u CROSS JOIN c0 c GROUP BY 1
+), c1 AS (
+  SELECT cid, list(cv ORDER BY i) AS c FROM (
+    SELECT a.akey % $kK AS cid, t.i,
+      CAST(sum(u.q[t.i]) // count(*) AS BIGINT) AS cv
+    FROM a1 a JOIN un u ON a.vec_id = u.vec_id
+    CROSS JOIN (SELECT unnest(range(1, ${kDim + 1})) AS i) t
+    GROUP BY 1, 2) GROUP BY 1
+), a2 AS (
+  SELECT u.vec_id,
+    CAST(min($distSql * $kK + c.cid) AS BIGINT) AS akey
+  FROM un u CROSS JOIN c1 c GROUP BY 1
+), c2 AS (
+  SELECT cid, list(cv ORDER BY i) AS c FROM (
+    SELECT a.akey % $kK AS cid, t.i,
+      CAST(sum(u.q[t.i]) // count(*) AS BIGINT) AS cv
+    FROM a2 a JOIN un u ON a.vec_id = u.vec_id
+    CROSS JOIN (SELECT unnest(range(1, ${kDim + 1})) AS i) t
+    GROUP BY 1, 2) GROUP BY 1
+), fin AS (
+  SELECT u.vec_id, u.label,
+    CAST(min($distSql * $kK + c.cid) AS BIGINT) % $kK AS cid,
+    CAST(min($distSql * $kK + c.cid) AS BIGINT) // $kK AS dist
+  FROM un u CROSS JOIN c2 c GROUP BY 1, 2
+), by_label AS (
+  SELECT cid, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM fin GROUP BY 1, 2
+), stats AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(dist) AS BIGINT) AS wcss
+  FROM fin GROUP BY 1
+)
+SELECT s.cid, s.n, s.wcss,
+  CAST(1023 - max(b.cnt * 1024 + 1023 - b.label) % 1024 AS BIGINT)
+    AS top_label,
+  CAST(((max(b.cnt * 1024 + 1023 - b.label) // 1024) * 1000000) // s.n
+    AS BIGINT) AS purity_ppm
+FROM stats s JOIN by_label b ON s.cid = b.cid
+GROUP BY s.cid, s.n, s.wcss
+ORDER BY s.cid
+"""))
+
+  /** Shared pinned-double Cramer solve for q293: the determinant
+    * expansions are written ONCE here and spliced into both engines
+    * verbatim, so the IEEE op sequence is identical by construction
+    * (the q249 pattern). Inputs are the exact integer sums cast to
+    * double (dn, d1, d2, d11, d12, d22, dy, d1y, d2y). */
+  private[graft] val detExpr =
+    "dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2)"
+  private[graft] val det0Expr =
+    "dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y)"
+  private[graft] val det1Expr =
+    "dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2)"
+  private[graft] val det2Expr =
+    "dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2)"
+
+  /** q293 — multivariate OLS by normal equations: fit
+    * price_cents ~ β₀ + β₁·quantity + β₂·discount_pct over lineitem
+    * in closed form — one exact-integer aggregate collapses the
+    * corpus to the nine normal-equation sums (n, Σx₁, Σx₂, Σx₁²,
+    * Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y), then a 3×3 Cramer solve produces
+    * the coefficients. This is THE scale shape for linear model
+    * fitting on a warehouse: the only corpus-scale work is one
+    * map-side-combining aggregate; the solve is O(1) on a single
+    * row. Betas are pinned-float ppm (floor(detᵢ/det·10⁶) on the
+    * shared expansion text above); the sums themselves stay exact
+    * bigint (Σx₁y ≈ 5·10¹⁴ at sf0.01 — inside long through sf100).
+    * MlFitSpec recovers planted coefficients on a synthetic exact-fit
+    * frame, independent of DuckDB. */
+  val q293 = QuerySpec("q293_ols_normal_eq",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(
+          expr("cast(l_quantity as bigint)").as("x1"),
+          expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+          sum(expr("x2 * x2")).as("s22"), sum("y").as("sy"),
+          sum(expr("x1 * y")).as("s1y"), sum(expr("x2 * y")).as("s2y"))
+        .select(col("n"),
+          expr("cast(n as double)").as("dn"),
+          expr("cast(s1 as double)").as("d1"),
+          expr("cast(s2 as double)").as("d2"),
+          expr("cast(s11 as double)").as("d11"),
+          expr("cast(s12 as double)").as("d12"),
+          expr("cast(s22 as double)").as("d22"),
+          expr("cast(sy as double)").as("dy"),
+          expr("cast(s1y as double)").as("d1y"),
+          expr("cast(s2y as double)").as("d2y"))
+        .select(col("n"),
+          expr(s"cast(floor(($det0Expr) / ($detExpr) * 1000000.0) as bigint)")
+            .as("beta0_ppm"),
+          expr(s"cast(floor(($det1Expr) / ($detExpr) * 1000000.0) as bigint)")
+            .as("beta1_ppm"),
+          expr(s"cast(floor(($det2Expr) / ($detExpr) * 1000000.0) as bigint)")
+            .as("beta2_ppm"))
+    },
+    Some(raw"""
+WITH obs AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+    CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM obs
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+    CAST(s2 AS DOUBLE) AS d2, CAST(s11 AS DOUBLE) AS d11,
+    CAST(s12 AS DOUBLE) AS d12, CAST(s22 AS DOUBLE) AS d22,
+    CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y,
+    CAST(s2y AS DOUBLE) AS d2y
+  FROM sums
+)
+SELECT n,
+  CAST(floor(($det0Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS beta0_ppm,
+  CAST(floor(($det1Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS beta1_ppm,
+  CAST(floor(($det2Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS beta2_ppm
+FROM d
+"""))
+
+  /** q294 — Mann–Whitney U: does the `value` distribution of `click`
+    * events differ from `view` events? The nonparametric two-sample
+    * location test that needs no normality assumption (the KS test
+    * q239 compares whole CDFs; U targets stochastic dominance).
+    * Ranking runs on the bounded distinct-cents domain — one
+    * groupBy(cents) histogram then a prefix sum over distinct values
+    * (the q266 histogram-rank shape), never a window over raw
+    * events, so a billion-event day still ranks through a
+    * domain-sized frame. Tied ranks use the standard midrank,
+    * doubled (rank2 = 2·cum_before + t + 1) so everything stays
+    * integer; U is reported doubled (u2 = 2·U) for the same reason.
+    * z carries the tie-corrected variance via the pinned-float
+    * pattern. */
+  val q294 = QuerySpec("q294_mann_whitney",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .where(col("event_type").isin("click", "view"))
+        .select(expr("cast(floor(value * 100) as bigint)").as("cents"),
+          col("event_type"))
+      val hist = ev.groupBy("cents")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("na"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("nb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("cumb", coalesce(sum(col("na") + col("nb")).over(w),
+          lit(0L)))
+        .withColumn("rank2",
+          lit(2L) * col("cumb") + col("na") + col("nb") + lit(1L))
+        .withColumn("t", col("na") + col("nb"))
+      ranked.agg(
+        sum("na").as("n_a"), sum("nb").as("n_b"),
+        sum(expr("na * rank2")).as("r2a"),
+        sum(expr("nb * rank2")).as("r2b"),
+        sum(expr("t * t * t - t")).as("ties"))
+        .select(col("n_a"), col("n_b"),
+          expr("r2a - n_a * (n_a + 1)").as("u2_a"),
+          expr("r2b - n_b * (n_b + 1)").as("u2_b"),
+          expr("cast(floor((cast(r2a - n_a * (n_a + 1) as double) / 2.0 - cast(n_a as double) * cast(n_b as double) / 2.0) / sqrt(cast(n_a as double) * cast(n_b as double) / 12.0 * (cast(n_a + n_b + 1 as double) - cast(ties as double) / (cast(n_a + n_b as double) * cast(n_a + n_b - 1 as double)))) * 1000000.0) as bigint)")
+            .as("z_ppm"))
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS cents, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+), hist AS (
+  SELECT cents,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM ev GROUP BY 1
+), ranked AS (
+  SELECT na, nb, na + nb AS t,
+    2 * COALESCE(sum(na + nb) OVER (ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + na + nb + 1 AS rank2
+  FROM hist
+), s AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+    CAST(sum(na * rank2) AS BIGINT) AS r2a,
+    CAST(sum(nb * rank2) AS BIGINT) AS r2b,
+    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+  FROM ranked
+)
+SELECT n_a, n_b,
+  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+  CAST(r2b - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+  CAST(floor((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))) * 1000000.0) AS BIGINT) AS z_ppm
+FROM s
+"""))
+
+  /** q295 — quantized naive-Bayes language classifier with confusion
+    * matrix: train token→lang evidence weights on the 80% of
+    * `documents` with doc_id % 5 ≠ 0 (add-1 smoothing over the train
+    * vocabulary, weights quantized to ppm of the per-lang token mass
+    * so scoring is exact integer addition — the registry's log-free
+    * surrogate for the multinomial NB decision rule), score the held
+    * -out 20%, and report the actual×predicted confusion matrix.
+    * Unseen test tokens get the per-lang smoothing floor
+    * (10⁶ div (tot_l + V)) via the coalesce on the left join, and a
+    * per-doc prior term mirrors the class frequencies. Argmax with
+    * lowest-lang tie-break is the arithmetic key score·8 + (8 − lid)
+    * — one total order both engines share.
+    *
+    * Scale: the corpus-scale work is the token explode + one
+    * (token, lang) count aggregate; the model frame is vocab×|langs|
+    * and joins the test explode on token (AQE-broadcastable when the
+    * vocab is dictionary-sized); scoring is a per-doc sum. */
+  val q295 = QuerySpec("q295_naive_bayes",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = graft.CacheRegistry.persistTracked(
+        docs.select(col("doc_id"), col("lang"),
+          explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+            .as("tok")))
+      val train = toks.where(col("doc_id") % 5 =!= 0)
+      val vocab = train.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val langs = graft.CacheRegistry.persistTracked(
+        train.groupBy("lang").agg(count(lit(1)).as("tot"))
+          .crossJoin(vocab)
+          .withColumn("lid", row_number().over(Window.orderBy("lang"))
+            .cast("long")))
+      val ndocs = docs.where(col("doc_id") % 5 =!= 0)
+        .groupBy("lang").agg(count(lit(1)).as("nd"))
+      val prior = langs.join(ndocs, "lang")
+        .crossJoin(broadcast(
+          docs.where(col("doc_id") % 5 =!= 0).agg(count(lit(1)).as("ndt"))))
+        .select(col("lang"), col("lid"), col("tot"), col("v"),
+          expr("(nd * 1000000) div ndt").as("prior"))
+      val weights = train.groupBy(col("tok"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .join(langs.select("lang", "tot", "v"), "lang")
+        .select(col("tok"), col("lang"),
+          expr("((c + 1) * 1000000) div (tot + v)").as("w"))
+      val test = toks.where(col("doc_id") % 5 === 0)
+      val perDocLang = test
+        .crossJoin(broadcast(prior.select(col("lang").as("cand"),
+          col("lid"), col("tot"), col("v"), col("prior"))))
+        .join(weights.select(col("tok").as("wtok"),
+          col("lang").as("cand2"), col("w")),
+          col("tok") === col("wtok") && col("cand") === col("cand2"),
+          "left_outer")
+        .select(col("doc_id"), col("lang"), col("cand"), col("lid"),
+          col("prior"),
+          coalesce(col("w"), expr("1000000 div (tot + v)")).as("wv"))
+        .groupBy(col("doc_id"), col("lang"), col("cand"), col("lid"),
+          col("prior"))
+        .agg(sum("wv").as("ev"))
+        .select(col("doc_id"), col("lang"),
+          (col("prior") + col("ev")).as("score"), col("lid"))
+      val pred = perDocLang.groupBy(col("doc_id"), col("lang"))
+        .agg(max(col("score") * lit(8L) + (lit(8L) - col("lid")))
+          .as("akey"))
+        .select(col("doc_id"), col("lang"),
+          (lit(8L) - col("akey") % 8L).as("plid"))
+        .join(langs.select(col("lid").as("plid"), col("lang").as("pred")),
+          "plid")
+      pred.groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), train AS (
+  SELECT * FROM toks WHERE doc_id % 5 <> 0
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM train
+), langs AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tot,
+    CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS lid
+  FROM train GROUP BY lang
+), prior AS (
+  SELECT l.lang, l.lid, l.tot, vocab.v,
+    (CAST(nd.nd AS BIGINT) * 1000000) // nd.ndt AS prior
+  FROM langs l
+  JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS nd,
+      CAST((SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT) AS ndt
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang) nd
+    ON l.lang = nd.lang
+  CROSS JOIN vocab
+), weights AS (
+  SELECT t.tok, t.lang,
+    ((CAST(count(*) AS BIGINT) + 1) * 1000000) // (l.tot + v.v) AS w
+  FROM train t JOIN langs l ON t.lang = l.lang CROSS JOIN vocab v
+  GROUP BY t.tok, t.lang, l.tot, v.v
+), test AS (
+  SELECT * FROM toks WHERE doc_id % 5 = 0
+), scored AS (
+  SELECT te.doc_id, te.lang, p.lang AS cand, p.lid,
+    p.prior + CAST(sum(COALESCE(w.w, 1000000 // (p.tot + p.v))) AS BIGINT) AS score
+  FROM test te
+  CROSS JOIN prior p
+  LEFT JOIN weights w ON te.tok = w.tok AND p.lang = w.lang
+  GROUP BY te.doc_id, te.lang, p.lang, p.lid, p.prior
+), pred AS (
+  SELECT s.doc_id, s.lang,
+    8 - max(s.score * 8 + (8 - s.lid)) % 8 AS plid
+  FROM scored s GROUP BY s.doc_id, s.lang
+)
+SELECT p.lang, l.lang AS pred, CAST(count(*) AS BIGINT) AS n
+FROM pred p JOIN langs l ON p.plid = l.lid
+GROUP BY 1, 2 ORDER BY 1, 2
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295)
+}

@@ -12,5 +12,5 @@ object Registry {
       LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
       LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all ++
       IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all ++
-      AqpQueries.all ++ JourneyQueries.all
+      AqpQueries.all ++ JourneyQueries.all ++ MlQueries.all
 }
