@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+import graft.functions.{Text => T}
+import graft.operators.MultiPattern
+
+/** Round-15 matching tier: winnowed document fingerprints (the MOSS
+  * local fingerprinting scheme — Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03), Aho–Corasick multi-pattern scanning (one pass over the
+  * corpus for ALL patterns), and a windowed complex-event pattern
+  * (view → first purchase within 30 min with no error between)
+  * expressed entirely in per-user window functions — no per-group
+  * collect anywhere.
+  *
+  * Shared determinism machinery: the winnowing argmin uses the
+  * registry's arithmetic-key trick (h·2²⁰ + (2²⁰ − pos), min ⇒
+  * smallest hash, rightmost position on ties — the canonical robust
+  * winnowing tie rule); hashes are the engine-standard
+  * first-8-hex-chars-of-md5 integers both engines compute from the
+  * same normalized text.
+  */
+object MatchQueries {
+
+  // winnowing constants: k-gram length and window size
+  private val wK = 12
+  private val wW = 4
+
+  /** q296 — winnowed fingerprint near-dup pairs: per document, hash
+    * every 12-char gram of the normalized text, slide a 4-gram window
+    * and keep each window's minimum hash (rightmost on ties), then
+    * report document pairs sharing ≥ 3 distinct selected hashes.
+    * Winnowing guarantees any shared substring of length ≥ k+w−1 = 15
+    * yields a shared fingerprint, at ~2/(w+1) the density of full
+    * k-gram shingling — the standard local fingerprinting scheme for
+    * plagiarism/near-dup detection at corpus scale. (k = 12 spans
+    * 2–3 tokens of this corpus's short-word vocabulary — an 8-char
+    * gram matched on single shared WORDS and paired 35% of all docs;
+    * measured before pinning these constants.)
+    *
+    * Scale: the gram explode is the corpus-scale work (narrow);
+    * selection is a per-document ordered window (parallel across
+    * docs, frame of 4); the pair join runs on the winnowed
+    * fingerprint set (≈ 2/(w+1) of gram volume) with a hot-hash
+    * guard (df ≤ 50) bounding any boilerplate hash's fan-out — the
+    * q31 banded-candidates shape. */
+  val q296 = QuerySpec("q296_winnow_fingerprints",
+    (s, dir) => {
+      val norm = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.normalizeText(col("text")).as("t"))
+        .where(length(col("t")) >= wK + wW - 1)
+      val grams = norm
+        .select(col("doc_id"), length(col("t")).as("len"),
+          explode(expr(s"sequence(1, length(t) - ${wK - 1})")).as("i"),
+          col("t"))
+        .select(col("doc_id"), col("i"),
+          (col("len") - lit(wK - 1)).as("maxi"),
+          expr(s"cast(conv(substring(md5(substring(t, i, $wK)), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.currentRow, wW - 1)
+      val fps = grams
+        .withColumn("sel", min(col("h") * lit(1048576L) +
+          (lit(1048576L) - col("i"))).over(w))
+        .where(col("i") <= col("maxi") - lit(wW - 1))
+        .select(col("doc_id"), expr("sel div 1048576").as("h"))
+        .distinct()
+      val capped = fps.join(
+        fps.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") <= 50L), "h")
+      capped.as("x").join(capped.as("y"), Seq("h"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3L)
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i, length(t) - ${wK - 1} AS maxi,
+    CAST(concat('0x', substr(md5(substr(t, i, $wK)), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, t,
+      unnest(range(1, length(t) - ${wK - 2})) AS i
+    FROM norm WHERE length(t) >= ${wK + wW - 1})
+), sel AS (
+  SELECT doc_id,
+    min(h * 1048576 + (1048576 - i)) OVER (PARTITION BY doc_id
+      ORDER BY i ROWS BETWEEN CURRENT ROW AND ${wW - 1} FOLLOWING)
+      AS sk,
+    i, maxi
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, sk // 1048576 AS h
+  FROM sel WHERE i <= maxi - ${wW - 1}
+), capped AS (
+  SELECT f.doc_id, f.h FROM fps f
+  JOIN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50) ok
+    ON f.h = ok.h
+)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY a, b
+"""))
+
+  private val acPatterns = Seq("a", "art", "scan", "ta", "table", "value")
+
+  /** q297 — Aho–Corasick multi-pattern scan over `documents`: all six
+    * patterns counted in ONE pass per text by the broadcast automaton
+    * ([[graft.operators.MultiPattern]]) — including patterns nested
+    * in others ("ta" inside "table", "a" inside both: the output-link
+    * chain) and overlapping occurrences, since matches are counted at
+    * every end position. The oracle replays end-position counts with
+    * a per-pattern sliding substr compare — P corpus scans, which is
+    * exactly the cost shape the automaton exists to avoid at 100 TB.
+    * MultiPatternSpec fuzzes the automaton against the naive counter
+    * on random small-alphabet strings. */
+  val q297 = QuerySpec("q297_aho_corasick",
+    (s, dir) => {
+      val norm = Tables(s, dir, "documents")
+        .select(col("doc_id"), T.normalizeText(col("text")).as("t"))
+      MultiPattern.matchCounts(s, norm, "doc_id", "t", acPatterns)
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_docs"), sum("cnt").as("hits"))
+        .orderBy("pattern")
+    },
+    Some(raw"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), pats AS (
+  SELECT * FROM (VALUES ('a'), ('art'), ('scan'), ('ta'), ('table'),
+    ('value')) p(pat)
+), cnts AS (
+  SELECT n.doc_id, p.pat,
+    COALESCE(list_sum([CASE WHEN substr(n.t, i, length(p.pat)) = p.pat
+        THEN 1 ELSE 0 END
+      FOR i IN range(1, length(n.t) - length(p.pat) + 2)]), 0) AS cnt
+  FROM norm n CROSS JOIN pats p
+)
+SELECT pat AS pattern, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(cnt) AS BIGINT) AS hits
+FROM cnts WHERE cnt > 0
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q298 — complex-event pattern via pure window algebra: per user,
+    * "a `view` followed by the FIRST subsequent `purchase` within 30
+    * minutes, with no `error` strictly between them". The classic CEP
+    * triple (A → B within t, no C between) without any per-group
+    * collect: a per-user row_number gives the sequence position, a
+    * running error count gives O(1) "errors between" via subtraction,
+    * and min-over-following-frame finds the first purchase — three
+    * windows and one self-join keyed by (user, seq), every piece
+    * partitioned by user so a billion users parallelize and no task
+    * ever holds more than one user's ordered slice.
+    *
+    * Matches per view are 0/1 (first purchase only); latency is
+    * exact µs. Output: per-user match count and minimum latency. */
+  val q298 = QuerySpec("q298_cep_pattern",
+    (s, dir) => {
+      val wSeq = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .where(col("event_type").isin("view", "purchase", "error"))
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("tsu"), col("event_type"))
+        .withColumn("seq", row_number().over(wSeq).cast("long"))
+        .withColumn("ec", sum(when(col("event_type") === "error", 1L)
+          .otherwise(0L)).over(wSeq))
+      val cached = graft.CacheRegistry.persistTracked(ev)
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("seq"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val views = cached
+        .withColumn("p_seq",
+          min(when(col("event_type") === "purchase", col("seq"))).over(wNext))
+        .where(col("event_type") === "view" && col("p_seq").isNotNull)
+        .select(col("user_id"), col("tsu").as("v_tsu"),
+          col("ec").as("v_ec"), col("p_seq"))
+      val purchases = cached.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("seq").as("p_seq"),
+          col("tsu").as("p_tsu"), col("ec").as("p_ec"))
+      views.join(purchases, Seq("user_id", "p_seq"))
+        .where(col("p_tsu") - col("v_tsu") <= lit(1800000000L) &&
+          col("p_ec") === col("v_ec"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("p_tsu") - col("v_tsu")).as("min_lat_us"))
+        .orderBy("user_id")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+    CAST(row_number() OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ec
+  FROM events WHERE event_type IN ('view', 'purchase', 'error')
+), views AS (
+  SELECT user_id, tsu AS v_tsu, ec AS v_ec, p_seq FROM (
+    SELECT user_id, tsu, ec, event_type,
+      min(CASE WHEN event_type = 'purchase' THEN seq END)
+        OVER (PARTITION BY user_id ORDER BY seq
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_seq
+    FROM ev)
+  WHERE event_type = 'view' AND p_seq IS NOT NULL
+), purchases AS (
+  SELECT user_id, seq AS p_seq, tsu AS p_tsu, ec AS p_ec
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(p.p_tsu - v.v_tsu) AS BIGINT) AS min_lat_us
+FROM views v JOIN purchases p
+  ON v.user_id = p.user_id AND v.p_seq = p.p_seq
+WHERE p.p_tsu - v.v_tsu <= 1800000000 AND p.p_ec = v.v_ec
+GROUP BY 1 ORDER BY 1
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q296, q297, q298)
+}

@@ -12,5 +12,6 @@ object Registry {
       LinkageQueries.all ++ QoiQueries.all ++ WarehouseQueries.all ++
       LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all ++
       IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all ++
-      AqpQueries.all ++ JourneyQueries.all ++ MlQueries.all
+      AqpQueries.all ++ JourneyQueries.all ++ MlQueries.all ++
+      MatchQueries.all
 }
