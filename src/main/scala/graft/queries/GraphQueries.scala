@@ -110,5 +110,93 @@ WHERE part NOT IN (SELECT node FROM lab)
 ORDER BY hop
 """))
 
-  def all: Seq[QuerySpec] = Seq(q255)
+  /** Shared co-purchase edge-frame SQL (q255's construction):
+    * undirected support-≥2 part pairs. */
+  private val edgeSql = raw"""baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS part FROM lineitem
+), edges0 AS (
+  SELECT x.part AS a, y.part AS b FROM baskets x JOIN baskets y
+  USING (oid) WHERE x.part < y.part GROUP BY 1, 2
+  HAVING count(*) >= 2
+), edges AS (
+  SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0
+)"""
+
+  private val kcoreRounds = 6
+  private val kcoreK = 3
+
+  private val kcoreSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $edgeSql, alive0 AS (SELECT DISTINCT a AS v FROM edges)"
+    for (r <- 1 to kcoreRounds) sb ++= s""",
+deg$r AS (
+  SELECT e.a AS v, count(*) AS d FROM edges e
+  JOIN alive${r - 1} x ON e.a = x.v JOIN alive${r - 1} y ON e.b = y.v
+  GROUP BY 1
+), alive$r AS (SELECT v FROM deg$r WHERE d >= $kcoreK)"""
+    sb ++= (1 to kcoreRounds).map(r => s"""
+SELECT CAST($r AS BIGINT) AS round,
+  CAST((SELECT count(*) FROM alive${r - 1})
+    - (SELECT count(*) FROM alive$r) AS BIGINT) AS n_removed,
+  CAST((SELECT count(*) FROM alive$r) AS BIGINT) AS n_remaining""")
+      .mkString("", "\nUNION ALL", "")
+    sb ++= "\nORDER BY round"
+    sb.toString
+  }
+
+  /** q299 — k-core peeling toward the 3-core of the co-purchase
+    * graph: each round drops every vertex whose degree among
+    * SURVIVING vertices is < 3, and reports (round, n_removed,
+    * n_remaining) for a fixed 6-round schedule — the standard graph
+    * densification / spam-filtering primitive (a vertex's coreness
+    * certifies it sits in a subgraph of min-degree k, which PageRank
+    * and degree alone both miss). The round count is a FIXED constant
+    * on both sides, so the output is well-defined whether or not the
+    * peel has converged — no fixpoint detection crosses the engine
+    * boundary (convergence shows up in the data as n_removed = 0
+    * tail rows).
+    *
+    * Scale: each round is one edges⋈alive⋈alive equi-join plus a
+    * map-side-combining degree count — O(rounds · |E|) total, the
+    * q89/q255 iterative-join shape. Each round's survivor set is
+    * EAGERLY localCheckpointed (the q255 lesson: lazy persists nest
+    * every prior round's plan and re-planning grows super-linearly
+    * with rounds). */
+  val q299 = QuerySpec("q299_kcore_peel",
+    (s, dir) => {
+      import s.implicits._
+      val baskets = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("oid"), col("l_partkey").as("part"))
+          .distinct())
+      val e0 = baskets.as("x").join(baskets.as("y"), Seq("oid"))
+        .where(col("x.part") < col("y.part"))
+        .groupBy(col("x.part").as("a"), col("y.part").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2L)
+        .select("a", "b")
+      val edges = graft.CacheRegistry.persistTracked(
+        e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))))
+      var alive = edges.select(col("a").as("v")).distinct()
+        .localCheckpoint(true)
+      var aliveN = alive.count()
+      val stats = Seq.newBuilder[(Long, Long, Long)]
+      for (r <- 1 to kcoreRounds) {
+        val deg = edges
+          .join(alive.select(col("v").as("a")), "a")
+          .join(alive.select(col("v").as("b")), "b")
+          .groupBy("a").agg(count(lit(1)).as("d"))
+        val next = deg.where(col("d") >= kcoreK.toLong)
+          .select(col("a").as("v")).localCheckpoint(true)
+        val nextN = next.count()
+        stats += ((r.toLong, aliveN - nextN, nextN))
+        alive = next
+        aliveN = nextN
+      }
+      stats.result().toDF("round", "n_removed", "n_remaining")
+        .orderBy("round")
+    },
+    Some(kcoreSql))
+
+  def all: Seq[QuerySpec] = Seq(q255, q299)
 }

@@ -429,5 +429,128 @@ SELECT column_name, n, ndv, runs,
 FROM m ORDER BY column_name
 """))
 
-  def all: Seq[QuerySpec] = Seq(q233, q234, q235, q240, q245)
+  /** One xy2d Hilbert level (side n = 256): given columns (x, y, acc)
+    * and the level's bit s, emit the portable SQL projections for the
+    * next (x, y, acc). Pure CASE/&/± arithmetic — Spark and DuckDB
+    * evaluate the literally identical text (the quadrant value
+    * (3·rx) XOR ry is enumerated as a CASE so no dialect-specific
+    * XOR operator is needed). The classic Aho-free formulation:
+    * d += s²·q, then flip (n−1 − ·) when rx=1 ∧ ry=0, swap when
+    * ry=0. HilbertSpec proves bijection + unit-step adjacency over
+    * the full 256×256 grid, so these expressions are pinned to the
+    * real Hilbert curve, not merely engine-consistent. */
+  private[graft] def hilbertLevel(s: Int): (String, String, String) = {
+    val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    val quad = s"(CASE WHEN $rx = 1 AND $ry = 1 THEN 2 " +
+      s"WHEN $rx = 1 THEN 3 WHEN $ry = 1 THEN 1 ELSE 0 END)"
+    val nx = s"(CASE WHEN $ry = 0 THEN " +
+      s"(CASE WHEN $rx = 1 THEN 255 - y ELSE y END) ELSE x END)"
+    val ny = s"(CASE WHEN $ry = 0 THEN " +
+      s"(CASE WHEN $rx = 1 THEN 255 - x ELSE x END) ELSE y END)"
+    (nx, ny, s"acc + ${s * s} * $quad")
+  }
+
+  private[graft] val hilbertLevels = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** q300 — Hilbert-curve layout audit, the q233 companion: on the
+    * SAME events grid and the same fixed 1/16-width range probes,
+    * does a Hilbert-ordered layout (256 zones of the 8-bit×8-bit
+    * grid's Hilbert index) skip more zones than the Morton/Z-order
+    * layout? Hilbert has strictly better locality than Morton (no
+    * quadrant-boundary jumps), which shows up as tighter per-zone
+    * [min,max] envelopes on both dimensions. The Hilbert index is
+    * computed by the 8-level unrolled xy2d recurrence above — each
+    * level is a named projection, so the expression tree stays
+    * linear in levels (nesting the substitutions instead would
+    * duplicate the (x,y) subtrees 2⁸-fold).
+    *
+    * Scale: one pass to 16-bit grid + 8 narrow codegen'd
+    * projections per row, then a ≤256-row zone-stats aggregate per
+    * layout — identical cost shape to q233. */
+  val q300 = QuerySpec("q300_hilbert_layout",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").as("u"),
+          expr("cast(floor(cast(ts as long) / 86400) as bigint)").as("d"))
+      val bounds = ev.agg(min("u").as("ulo"), max("u").as("uhi"),
+        min("d").as("dlo"), max("d").as("dhi"))
+      val grid0 = ev.crossJoin(broadcast(bounds))
+        .withColumn("u8",
+          expr("(((u - ulo) * 65535) div greatest(1, uhi - ulo)) div 256"))
+        .withColumn("d8",
+          expr("(((d - dlo) * 65535) div greatest(1, dhi - dlo)) div 256"))
+        .select(col("u8"), col("d8"), col("u8").as("x"),
+          col("d8").as("y"), lit(0L).as("acc"))
+      val hilb = hilbertLevels.foldLeft(grid0) { (df, lv) =>
+        val (nx, ny, nacc) = hilbertLevel(lv)
+        df.selectExpr("u8", "d8", s"$nx as x", s"$ny as y",
+          s"$nacc as acc")
+      }
+      val zS = spread("u8", sparkShl)
+      val dS = spread("d8", sparkShl)
+      def zoneStats(df: org.apache.spark.sql.DataFrame, zoneExpr: String,
+          layout: String) = {
+        val zones = df.groupBy(expr(zoneExpr).as("zone"))
+          .agg(min("u8").as("umin"), max("u8").as("umax"),
+            min("d8").as("dmin"), max("d8").as("dmax"))
+        zones.agg(count(lit(1)).as("n_zones"),
+          sum(when(col("umax") >= 120 && col("umin") <= 135, 1L)
+            .otherwise(0L)).as("u_hit"),
+          sum(when(col("dmax") >= 120 && col("dmin") <= 135, 1L)
+            .otherwise(0L)).as("d_hit"))
+          .select(lit(layout).as("layout"), col("n_zones"),
+            col("u_hit"), col("d_hit"))
+      }
+      val base = graft.CacheRegistry.persistTracked(
+        hilb.withColumn("z8", expr(s"$zS | shiftleft($dS, 1)")))
+      zoneStats(base, "acc div 256", "hilbert")
+        .unionByName(zoneStats(base, "z8 div 256", "zorder8"))
+        .orderBy("layout")
+    },
+    Some {
+      val levelCtes = hilbertLevels.zipWithIndex.map { case (lv, ix) =>
+        val (nx, ny, nacc) = hilbertLevel(lv)
+        s"""h${ix + 1} AS (
+  SELECT u8, d8, $nx AS x, $ny AS y, $nacc AS acc
+  FROM h$ix
+)"""
+      }.mkString(", ")
+      raw"""
+WITH ev AS (
+  SELECT user_id AS u,
+    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+), bounds AS (
+  SELECT min(u) AS ulo, max(u) AS uhi, min(d) AS dlo, max(d) AS dhi
+  FROM ev
+), h0 AS (
+  SELECT u8, d8, u8 AS x, d8 AS y, CAST(0 AS BIGINT) AS acc FROM (
+    SELECT (((u - ulo) * 65535) // greatest(1, uhi - ulo)) // 256 AS u8,
+      (((d - dlo) * 65535) // greatest(1, dhi - dlo)) // 256 AS d8
+    FROM ev CROSS JOIN bounds)
+), $levelCtes, zh AS (
+  SELECT acc // 256 AS zone, min(u8) AS umin, max(u8) AS umax,
+    min(d8) AS dmin, max(d8) AS dmax
+  FROM h8 GROUP BY 1
+), zz AS (
+  SELECT (${spread("u8", duckShl)} | (${spread("d8", duckShl)} << 1)) // 256
+      AS zone,
+    min(u8) AS umin, max(u8) AS umax, min(d8) AS dmin, max(d8) AS dmax
+  FROM h8 GROUP BY 1
+)
+SELECT 'hilbert' AS layout, CAST(count(*) AS BIGINT) AS n_zones,
+  CAST(sum(CASE WHEN umax >= 120 AND umin <= 135 THEN 1 ELSE 0 END) AS BIGINT) AS u_hit,
+  CAST(sum(CASE WHEN dmax >= 120 AND dmin <= 135 THEN 1 ELSE 0 END) AS BIGINT) AS d_hit
+FROM zh
+UNION ALL
+SELECT 'zorder8', CAST(count(*) AS BIGINT),
+  CAST(sum(CASE WHEN umax >= 120 AND umin <= 135 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN dmax >= 120 AND dmin <= 135 THEN 1 ELSE 0 END) AS BIGINT)
+FROM zz
+ORDER BY layout
+"""
+    })
+
+  def all: Seq[QuerySpec] = Seq(q233, q234, q235, q240, q245, q300)
 }

@@ -440,5 +440,116 @@ FROM pred p JOIN langs l ON p.plid = l.lid
 GROUP BY 1, 2 ORDER BY 1, 2
 """))
 
-  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295)
+  /** q301 — PCA top component by integer power iteration: center the
+    * quantized embedding grid, build the exact 64×64 integer
+    * covariance-numerator matrix C = Σ d·dᵀ (one corpus-scale
+    * outer-product aggregate, map-side combining on (i,j)), then run
+    * three power-iteration steps v ← C·v with ppm renormalization —
+    * every step exact integer arithmetic (the matvec accumulates in
+    * decimal(38,0)/HUGEINT, then rescales to max |v| = 10⁶ by
+    * integral division), so there is no float summation anywhere and
+    * both engines replay the identical trajectory, sign and all
+    * (v₀ = +10⁶ pins the eigenvector sign). Output: the 64 ppm
+    * components plus the Rayleigh quotient λ = (vᵀCv) div (vᵀv) as
+    * the dominant-eigenvalue estimate.
+    *
+    * Scale: C is the only corpus-scale pass (N·64² products, the
+    * standard distributed-covariance shape); iteration runs on the
+    * 4096-row C frame joined to a 64-row vector — constants at any
+    * corpus size. */
+  val q301 = QuerySpec("q301_pca_power",
+    (s, dir) => {
+      val ve = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), expr(qArrSpark).as("q")))
+      val marr = ve.select(posexplode(col("q")))
+        .groupBy("pos").agg(expr("sum(col) div count(1)").as("m"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("sm"))
+        .select(expr("transform(sm, s -> s.m)").as("marr"))
+      val dev = ve.crossJoin(broadcast(marr))
+        .select(col("vec_id"),
+          expr("zip_with(q, marr, (a, b) -> a - b)").as("d"))
+      val cov = graft.CacheRegistry.persistTracked(
+        dev.select(explode(expr(
+          "flatten(transform(d, (x, i) -> transform(d, (y, j) -> " +
+            "named_struct('i', i, 'j', j, 'p', x * y))))")).as("e"))
+          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+          .agg(sum(col("e.p")).as("c")))
+      var v = s.range(0, kDim.toLong)
+        .select(col("id").as("j"), lit(1000000L).as("vj"))
+      for (_ <- 1 to 3) {
+        val u = cov.join(v, "j")
+          .groupBy("i")
+          .agg(sum(col("c").cast("decimal(38,0)") *
+            col("vj").cast("decimal(38,0)")).as("u"))
+        val mx = u.agg(max(abs(col("u"))).as("mx"))
+        v = u.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("(u * 1000000) div mx").as("vj"))
+          .localCheckpoint(true)
+      }
+      val vc = v
+      val ray = cov
+        .join(vc.select(col("j").as("i"), col("vj").as("vi")), "i")
+        .join(vc, "j")
+        .agg(sum(col("c").cast("decimal(38,0)") *
+          col("vi").cast("decimal(38,0)") * col("vj").cast("decimal(38,0)"))
+          .as("num"))
+        .crossJoin(broadcast(
+          vc.agg(sum(expr("vj * vj")).cast("decimal(38,0)").as("den"))))
+        .select(expr("num div den").as("lambda"))
+      vc.crossJoin(broadcast(ray))
+        .select((col("j") + 1L).as("dim"), col("vj").as("v_ppm"),
+          col("lambda"))
+        .orderBy("dim")
+    },
+    Some(raw"""
+WITH un AS (
+  SELECT vec_id, $qArrSql AS q FROM embeddings
+), mean AS (
+  SELECT i, CAST(sum(q[i]) // count(*) AS BIGINT) AS m
+  FROM un CROSS JOIN (SELECT unnest(range(1, ${kDim + 1})) AS i) t
+  GROUP BY 1
+), dev AS (
+  SELECT u.vec_id, m.i, u.q[m.i] - m.m AS d
+  FROM un u CROSS JOIN mean m
+), cov AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.d * b.d) AS HUGEINT) AS c
+  FROM dev a JOIN dev b USING (vec_id) GROUP BY 1, 2
+), v0 AS (
+  SELECT CAST(i AS BIGINT) AS j, CAST(1000000 AS HUGEINT) AS vj
+  FROM (SELECT unnest(range(1, ${kDim + 1})) AS i)
+), u1 AS (
+  SELECT c.i, sum(c.c * v.vj) AS u FROM cov c JOIN v0 v ON c.j = v.j
+  GROUP BY 1
+), v1 AS (
+  SELECT i AS j, (u * 1000000) // (SELECT max(abs(u)) FROM u1) AS vj
+  FROM u1
+), u2 AS (
+  SELECT c.i, sum(c.c * v.vj) AS u FROM cov c JOIN v1 v ON c.j = v.j
+  GROUP BY 1
+), v2 AS (
+  SELECT i AS j, (u * 1000000) // (SELECT max(abs(u)) FROM u2) AS vj
+  FROM u2
+), u3 AS (
+  SELECT c.i, sum(c.c * v.vj) AS u FROM cov c JOIN v2 v ON c.j = v.j
+  GROUP BY 1
+), v3 AS (
+  SELECT i AS j, (u * 1000000) // (SELECT max(abs(u)) FROM u3) AS vj
+  FROM u3
+), ray AS (
+  SELECT CAST(
+    (SELECT sum(c.c * va.vj * vb.vj) FROM cov c
+      JOIN v3 va ON c.i = va.j JOIN v3 vb ON c.j = vb.j)
+    // (SELECT sum(vj * vj) FROM v3) AS BIGINT) AS lambda
+)
+SELECT CAST(v.j AS BIGINT) AS dim, CAST(v.vj AS BIGINT) AS v_ppm,
+  r.lambda
+FROM v3 v CROSS JOIN ray r
+ORDER BY dim
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295, q301)
 }

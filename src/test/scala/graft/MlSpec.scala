@@ -95,6 +95,37 @@ class MlSpec extends SparkSpec {
     assert(out.getLong(2) == -11000000L, s"beta2 ${out.getLong(2)}")
   }
 
+  test("q301 power iteration equals the naive BigInt trajectory") {
+    val got = graft.queries.MlQueries.q301.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    CacheRegistry.releaseAll()
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> floor(cast(x as double) * 1000.0))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length
+    val means = Array.tabulate(64)(i => vecs.map(_(i)).sum / n)
+    val dev = vecs.map(q => Array.tabulate(64)(i => q(i) - means(i)))
+    val cov = Array.tabulate(64, 64)((i, j) =>
+      BigInt(dev.map(d => d(i) * d(j)).sum))
+    var v = Array.fill(64)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(64)(i =>
+        (0 until 64).map(j => cov(i)(j) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      v = u.map(x => x * 1000000 / mx) // BigInt / truncates toward zero
+    }
+    val num = (for (i <- 0 until 64; j <- 0 until 64)
+      yield cov(i)(j) * v(i) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val lambda = (num / den).toLong
+    for (i <- 0 until 64) {
+      assert(got(i)._1 == (i + 1).toLong)
+      assert(got(i)._2 == v(i).toLong, s"dim ${i + 1} v_ppm")
+      assert(got(i)._3 == lambda, s"dim ${i + 1} lambda")
+    }
+  }
+
   test("q294 doubled-U equals naive midrank computation") {
     val row = graft.queries.MlQueries.q294.fn(spark, dir).head()
     CacheRegistry.releaseAll()
