@@ -43,32 +43,43 @@ object MatchQueries {
     * selection is a per-document ordered window (parallel across
     * docs, frame of 4); the pair join runs on the winnowed
     * fingerprint set (≈ 2/(w+1) of gram volume) with a hot-hash
-    * guard (df ≤ 50) bounding any boilerplate hash's fan-out — the
+    * guard (df ≤ 16) bounding any boilerplate hash's fan-out — the
     * q31 banded-candidates shape. */
   val q296 = QuerySpec("q296_winnow_fingerprints",
     (s, dir) => {
       val norm = Tables(s, dir, "documents")
         .select(col("doc_id"), T.normalizeText(col("text")).as("t"))
         .where(length(col("t")) >= wK + wW - 1)
+      // hash positions inside ONE per-doc array projection, then
+      // explode bare (i, h) pairs — exploding positions first and
+      // hashing after makes every generated row carry the full text
+      // string (measured: GCLocker 256 MB-allocation stalls at sf10;
+      // 145M rows x 300-byte strings of transient UnsafeRow copies)
       val grams = norm
-        .select(col("doc_id"), length(col("t")).as("len"),
-          explode(expr(s"sequence(1, length(t) - ${wK - 1})")).as("i"),
-          col("t"))
-        .select(col("doc_id"), col("i"),
-          (col("len") - lit(wK - 1)).as("maxi"),
-          expr(s"cast(conv(substring(md5(substring(t, i, $wK)), 1, 8), 16, 10) as bigint)")
-            .as("h"))
+        .select(col("doc_id"),
+          (length(col("t")) - lit(wK - 1)).as("maxi"),
+          explode(expr(
+            s"transform(sequence(1, length(t) - ${wK - 1}), i -> " +
+              s"named_struct('i', i, 'h', cast(conv(substring(" +
+              s"md5(substring(t, i, $wK)), 1, 8), 16, 10) as bigint)))"))
+            .as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("maxi"),
+          col("g.h").as("h"))
       val w = Window.partitionBy("doc_id").orderBy("i")
         .rowsBetween(Window.currentRow, wW - 1)
-      val fps = grams
+      // persist: fps feeds both the df aggregate and the pair join,
+      // and capped is both sides of the self-join — without these the
+      // md5-gram pipeline recomputes up to 4x (the q255 double-branch
+      // lesson; measured 2x wall at sf10)
+      val fps = graft.CacheRegistry.persistTracked(grams
         .withColumn("sel", min(col("h") * lit(1048576L) +
           (lit(1048576L) - col("i"))).over(w))
         .where(col("i") <= col("maxi") - lit(wW - 1))
         .select(col("doc_id"), expr("sel div 1048576").as("h"))
-        .distinct()
-      val capped = fps.join(
+        .distinct())
+      val capped = graft.CacheRegistry.persistTracked(fps.join(
         fps.groupBy("h").agg(count(lit(1)).as("df"))
-          .where(col("df") <= 50L), "h")
+          .where(col("df") <= 16L), "h"))
       capped.as("x").join(capped.as("y"), Seq("h"))
         .where(col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -98,7 +109,7 @@ WITH norm AS (
   FROM sel WHERE i <= maxi - ${wW - 1}
 ), capped AS (
   SELECT f.doc_id, f.h FROM fps f
-  JOIN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 50) ok
+  JOIN (SELECT h FROM fps GROUP BY h HAVING count(*) <= 16) ok
     ON f.h = ok.h
 )
 SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
