@@ -442,8 +442,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
   /** q301 — PCA top component by integer power iteration: center the
     * quantized embedding grid, build the exact 64×64 integer
-    * covariance-numerator matrix C = Σ d·dᵀ (one corpus-scale
-    * outer-product aggregate, map-side combining on (i,j)), then run
+    * covariance-numerator matrix C = Σ d·dᵀ (one corpus-scale pass: a
+    * per-partition 64×64 long accumulator, merged as 4096 longs per
+    * partition — the distributed-covariance shape), then run
     * three power-iteration steps v ← C·v with ppm renormalization —
     * every step exact integer arithmetic (the matvec accumulates in
     * decimal(38,0)/HUGEINT, then rescales to max |v| = 10⁶ by
@@ -471,12 +472,37 @@ GROUP BY 1, 2 ORDER BY 1, 2
       val dev = ve.crossJoin(broadcast(marr))
         .select(col("vec_id"),
           expr("zip_with(q, marr, (a, b) -> a - b)").as("d"))
+      // per-partition 64x64 long accumulation (exact integer sums,
+      // identical to an outer-product groupBy but with 4096 longs per
+      // partition on the wire instead of N·4096 aggregate rows — the
+      // explode formulation shuffled 2G structs and ran 60 s at sf10)
+      val parts = dev.select(col("d")).rdd.mapPartitions { rows =>
+        val acc = Array.ofDim[Long](kDim * kDim)
+        rows.foreach { r =>
+          val a = r.getSeq[Long](0).toArray
+          var i = 0
+          while (i < kDim) {
+            val ai = a(i)
+            val base = i * kDim
+            var j = 0
+            while (j < kDim) { acc(base + j) += ai * a(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      // bounded driver merge: 4096 longs per partition (the broadcast
+      // -codebook pattern — model-sized, not corpus-sized)
+      val covArr = parts.fold(Array.ofDim[Long](kDim * kDim)) { (x, y) =>
+        var t = 0
+        while (t < x.length) { x(t) += y(t); t += 1 }
+        x
+      }
+      val covRows = for (i <- 0 until kDim; j <- 0 until kDim)
+        yield (i.toLong, j.toLong, covArr(i * kDim + j))
+      import s.implicits._
       val cov = graft.CacheRegistry.persistTracked(
-        dev.select(explode(expr(
-          "flatten(transform(d, (x, i) -> transform(d, (y, j) -> " +
-            "named_struct('i', i, 'j', j, 'p', x * y))))")).as("e"))
-          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-          .agg(sum(col("e.p")).as("c")))
+        covRows.toDF("i", "j", "c"))
       var v = s.range(0, kDim.toLong)
         .select(col("id").as("j"), lit(1000000L).as("vj"))
       for (_ <- 1 to 3) {
