@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
@@ -172,40 +173,41 @@ GROUP BY 1 ORDER BY 1
     *
     * Matches per view are 0/1 (first purchase only); latency is
     * exact µs. Output: per-user match count and minimum latency. */
-  val q298 = QuerySpec("q298_cep_pattern",
-    (s, dir) => {
-      val wSeq = Window.partitionBy("user_id")
-        .orderBy(col("tsu"), col("event_id"))
-      val ev = Tables(s, dir, "events")
-        .where(col("event_type").isin("view", "purchase", "error"))
-        .select(col("user_id"), col("event_id"),
-          expr("unix_micros(ts)").as("tsu"), col("event_type"))
-        .withColumn("seq", row_number().over(wSeq).cast("long"))
-        .withColumn("ec", sum(when(col("event_type") === "error", 1L)
-          .otherwise(0L)).over(wSeq))
-      val cached = graft.CacheRegistry.persistTracked(ev)
-      val wNext = Window.partitionBy("user_id")
-        .orderBy(col("seq"))
-        .rowsBetween(1, Window.unboundedFollowing)
-      val views = cached
-        .withColumn("p_seq",
-          min(when(col("event_type") === "purchase", col("seq"))).over(wNext))
-        .where(col("event_type") === "view" && col("p_seq").isNotNull)
-        .select(col("user_id"), col("tsu").as("v_tsu"),
-          col("ec").as("v_ec"), col("p_seq"))
-      val purchases = cached.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("seq").as("p_seq"),
-          col("tsu").as("p_tsu"), col("ec").as("p_ec"))
-      views.join(purchases, Seq("user_id", "p_seq"))
-        .where(col("p_tsu") - col("v_tsu") <= lit(1800000000L) &&
-          col("p_ec") === col("v_ec"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_matches"),
-          min(col("p_tsu") - col("v_tsu")).as("min_lat_us"))
-        .orderBy("user_id")
-    },
-    Some(raw"""
-WITH ev AS (
+  /** Valid (view → first purchase) candidate pairs shared by q298 and
+    * q306: (user_id, v_seq, p_seq, lat_us). */
+  private[graft] def cepCandidates(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val wSeq = Window.partitionBy("user_id")
+      .orderBy(col("tsu"), col("event_id"))
+    val ev = Tables(s, dir, "events")
+      .where(col("event_type").isin("view", "purchase", "error"))
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"), col("event_type"))
+      .withColumn("seq", row_number().over(wSeq).cast("long"))
+      .withColumn("ec", sum(when(col("event_type") === "error", 1L)
+        .otherwise(0L)).over(wSeq))
+    val cached = graft.CacheRegistry.persistTracked(ev)
+    val wNext = Window.partitionBy("user_id")
+      .orderBy(col("seq"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val views = cached
+      .withColumn("p_seq",
+        min(when(col("event_type") === "purchase", col("seq"))).over(wNext))
+      .where(col("event_type") === "view" && col("p_seq").isNotNull)
+      .select(col("user_id"), col("seq").as("v_seq"),
+        col("tsu").as("v_tsu"), col("ec").as("v_ec"), col("p_seq"))
+    val purchases = cached.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("seq").as("p_seq"),
+        col("tsu").as("p_tsu"), col("ec").as("p_ec"))
+    views.join(purchases, Seq("user_id", "p_seq"))
+      .where(col("p_tsu") - col("v_tsu") <= lit(1800000000L) &&
+        col("p_ec") === col("v_ec"))
+      .select(col("user_id"), col("v_seq"), col("p_seq"),
+        (col("p_tsu") - col("v_tsu")).as("lat_us"))
+  }
+
+  /** SQL mirror of [[cepCandidates]] — CTE chain ending in `cand`. */
+  private[graft] val cepCandSql = raw"""ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
     CAST(row_number() OVER (PARTITION BY user_id
       ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq,
@@ -213,25 +215,107 @@ WITH ev AS (
       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ec
   FROM events WHERE event_type IN ('view', 'purchase', 'error')
-), views AS (
-  SELECT user_id, tsu AS v_tsu, ec AS v_ec, p_seq FROM (
-    SELECT user_id, tsu, ec, event_type,
+), vw AS (
+  SELECT user_id, seq AS v_seq, tsu AS v_tsu, ec AS v_ec, p_seq FROM (
+    SELECT user_id, seq, tsu, ec, event_type,
       min(CASE WHEN event_type = 'purchase' THEN seq END)
         OVER (PARTITION BY user_id ORDER BY seq
           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_seq
     FROM ev)
   WHERE event_type = 'view' AND p_seq IS NOT NULL
-), purchases AS (
+), pu AS (
   SELECT user_id, seq AS p_seq, tsu AS p_tsu, ec AS p_ec
   FROM ev WHERE event_type = 'purchase'
-)
-SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_matches,
-  CAST(min(p.p_tsu - v.v_tsu) AS BIGINT) AS min_lat_us
-FROM views v JOIN purchases p
-  ON v.user_id = p.user_id AND v.p_seq = p.p_seq
-WHERE p.p_tsu - v.v_tsu <= 1800000000 AND p.p_ec = v.v_ec
-GROUP BY 1 ORDER BY 1
+), cand AS (
+  SELECT v.user_id, v.v_seq, v.p_seq, p.p_tsu - v.v_tsu AS lat_us
+  FROM vw v JOIN pu p
+    ON v.user_id = p.user_id AND v.p_seq = p.p_seq
+  WHERE p.p_tsu - v.v_tsu <= 1800000000 AND p.p_ec = v.v_ec
+)"""
+
+  val q298 = QuerySpec("q298_cep_pattern",
+    (s, dir) => cepCandidates(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("lat_us")).as("min_lat_us"))
+      .orderBy("user_id"),
+    Some(raw"""
+WITH $cepCandSql
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(lat_us) AS BIGINT) AS min_lat_us
+FROM cand GROUP BY 1 ORDER BY 1
 """))
 
-  val all: Seq[QuerySpec] = Seq(q296, q297, q298)
+  private val greedyRounds = 8
+
+  /** q306 — GREEDY NON-OVERLAPPING pattern matching, the q298
+    * semantics a streaming CEP engine actually runs: after a (view →
+    * purchase) match completes, the scan resumes AFTER the consumed
+    * purchase — a later view cannot re-use it. Overlap-free match
+    * counts are inherently sequential per user (each match's start
+    * depends on the previous match's end), so the chain is followed
+    * iteratively: each round advances every user's cursor to the
+    * first candidate view past it (argmin via the arithmetic key
+    * v_seq·2³¹ + p_seq, both sequence positions being per-user
+    * row_numbers < 2³¹) and bumps the match count. Rounds are a
+    * FIXED constant (8) on both sides — users with more matches
+    * report the cap, deterministically (the q299 bounded-schedule
+    * rule: no fixpoint detection crosses the engine boundary).
+    *
+    * Scale: candidates come from the q298 window algebra (no
+    * per-group collect); each round is one equi-join on user (plus
+    * the cursor range predicate) into a map-side-combining min — the
+    * iterative-join shape of q89/q255/q299, with the state frame one
+    * row per user. */
+  val q306 = QuerySpec("q306_cep_greedy",
+    (s, dir) => {
+      val cand = graft.CacheRegistry.persistTracked(
+        cepCandidates(s, dir)
+          .select(col("user_id"),
+            (col("v_seq") * lit(2147483648L) + col("p_seq")).as("akey"),
+            col("v_seq")))
+      var st = cand.groupBy("user_id")
+        .agg(lit(-1L).as("cursor"), lit(0L).as("n"))
+        .localCheckpoint(true)
+      for (_ <- 1 to greedyRounds) {
+        val nx = st.join(cand, Seq("user_id"))
+          .where(col("v_seq") > col("cursor"))
+          .groupBy("user_id").agg(min(col("akey")).as("nkey"))
+        st = st.join(nx, Seq("user_id"), "left_outer")
+          .select(col("user_id"),
+            coalesce(col("nkey") % 2147483648L, col("cursor"))
+              .as("cursor"),
+            (col("n") + when(col("nkey").isNotNull, 1L).otherwise(0L))
+              .as("n"))
+          .localCheckpoint(true)
+      }
+      st.select(col("user_id"), col("n").as("n_matches"))
+        .where(col("n_matches") >= 1L)
+        .orderBy("user_id")
+    },
+    Some {
+      val sb = new StringBuilder
+      sb ++= s"WITH $cepCandSql, ck AS (\n"
+      sb ++= "  SELECT user_id, v_seq * 2147483648 + p_seq AS akey, v_seq\n"
+      sb ++= "  FROM cand\n), s0 AS (\n"
+      sb ++= "  SELECT user_id, CAST(-1 AS BIGINT) AS cursor, " +
+        "CAST(0 AS BIGINT) AS n FROM ck GROUP BY 1\n)"
+      for (r <- 1 to greedyRounds) sb ++= s""", nx$r AS (
+  SELECT s.user_id, min(c.akey) AS nkey
+  FROM s${r - 1} s JOIN ck c
+    ON c.user_id = s.user_id AND c.v_seq > s.cursor
+  GROUP BY 1
+), s$r AS (
+  SELECT s.user_id,
+    COALESCE(n.nkey % 2147483648, s.cursor) AS cursor,
+    s.n + CASE WHEN n.nkey IS NULL THEN 0 ELSE 1 END AS n
+  FROM s${r - 1} s LEFT JOIN nx$r n ON s.user_id = n.user_id
+)"""
+      sb ++= s"""
+SELECT user_id, CAST(n AS BIGINT) AS n_matches
+FROM s$greedyRounds WHERE n >= 1 ORDER BY user_id"""
+      sb.toString
+    })
+
+  val all: Seq[QuerySpec] = Seq(q296, q297, q298, q306)
 }

@@ -39,6 +39,68 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("q302 FIFO allocation equals the naive per-part scan") {
+    val got = graft.queries.PlanningQueries.q302.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    CacheRegistry.releaseAll()
+    val li = Tables(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "l_returnflag",
+        "cast(l_quantity as bigint)",
+        "cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)",
+        "l_orderkey", "l_linenumber",
+        "cast(floor(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5).toLong, r.getLong(6)))
+    val byPart = li.groupBy(_._1)
+    for ((part, rows) <- byPart) {
+      val demand = rows.filter(_._2 == "R").map(_._3).sum
+      if (demand > 0 && rows.exists(_._2 != "R")) {
+        val lots = rows.filter(_._2 != "R")
+          .sortBy(t => (t._4, t._5, t._6, t._3, t._7))
+        var remaining = demand
+        var nLots = 0L
+        var cost = 0L
+        var allocated = 0L
+        for ((_, _, qty, _, _, _, uc) <- lots) {
+          val a = math.max(0L, math.min(qty, remaining))
+          if (a > 0) { nLots += 1; cost += a * uc; allocated += a }
+          remaining -= a
+          if (remaining < 0) remaining = 0
+        }
+        val (d, sup, alloc, unfilled, nl, cc) = got(part)
+        assert(d == demand, s"part=$part demand")
+        assert(sup == lots.map(_._3).sum, s"part=$part supply")
+        assert(alloc == allocated, s"part=$part allocated")
+        assert(unfilled == demand - allocated, s"part=$part unfilled")
+        assert(nl == nLots, s"part=$part n_lots")
+        assert(cc == cost, s"part=$part cost")
+      } else {
+        assert(!got.contains(part), s"part=$part should be absent")
+      }
+    }
+  }
+
+  test("q306 greedy non-overlap count equals the naive sequential scan") {
+    val got = graft.queries.MatchQueries.q306.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    val cand = graft.queries.MatchQueries.cepCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    CacheRegistry.releaseAll()
+    val naive = cand.groupBy(_._1).map { case (u, cs) =>
+      val sorted = cs.map(c => (c._2, c._3)).sortBy(_._1)
+      var cursor = -1L
+      var n = 0L
+      for ((v, p) <- sorted if n < 8) {
+        if (v > cursor) { n += 1; cursor = p }
+      }
+      u -> n
+    }.filter(_._2 >= 1)
+    assert(got == naive.toMap, "greedy mismatch")
+  }
+
   test("q300 Hilbert expressions: bijection + unit-step adjacency on the full grid") {
     import spark.implicits._
     val cells = for (x <- 0 until 256; y <- 0 until 256)
