@@ -117,6 +117,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1), children(2))
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "bounded-heap grouped top-k (value, id, k) " +
+        "-> rank-ordered 'id@value' pairs; no Window, no corpus Sort"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_topk takes 3 arguments")
+        org.apache.spark.sql.graftagg.TopKAgg(children.head,
+          children(1), children(2))
+      }))
+
     // custom GENERATOR function (UDTF): lazy character n-grams
     ext.injectFunction((
       FunctionIdentifier("graft_char_ngrams"),

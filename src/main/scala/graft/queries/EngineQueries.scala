@@ -635,7 +635,77 @@ SELECT op, CAST(n AS BIGINT) AS n FROM (
 ) t ORDER BY op
 """
 
+  /** q307 — the native bounded-heap top-k aggregate
+    * ([[org.apache.spark.sql.graftagg.TopKAgg]]) end to end: top-3
+    * orders by value per priority WITHOUT any Window or corpus-wide
+    * Sort in the plan — partial buffers keep ≤ 3 (cents, orderkey)
+    * pairs, combine map-side, and ship 3 pairs per group through the
+    * shuffle; the row_number-window idiom the oracle replays must
+    * instead sort every order of every priority (and a hot group
+    * funnels through one task when no rank filter sits adjacent to
+    * the window). Top-k under (value DESC, id ASC) is a semilattice,
+    * so unlike graft_mg (q262) the output is fully deterministic
+    * under any partitioning and directly driver-hashable.
+    * TopKAggSpec pins partition invariance, ties, SQL registration,
+    * and the no-Window plan contract. */
+  val q307 = QuerySpec("q307_topk_native_agg",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"),
+          col("o_orderkey").as("ok"))
+      o.groupBy("pri")
+        .agg(org.apache.spark.sql.graftagg.TopKAgg
+          .graftTopK(col("cents"), col("ok"), 3).as("top3"))
+        .orderBy("pri")
+    },
+    Some(raw"""
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderkey AS ok
+  FROM orders
+), r AS (
+  SELECT pri, cents, ok,
+    row_number() OVER (PARTITION BY pri ORDER BY cents DESC, ok) AS rk
+  FROM o
+)
+SELECT pri, string_agg(concat(CAST(ok AS VARCHAR), '@',
+  CAST(cents AS VARCHAR)), ',' ORDER BY rk) AS top3
+FROM r WHERE rk <= 3 GROUP BY 1 ORDER BY pri
+"""))
+
+  /** q308 — the same native top-k aggregate under the STREAMING state
+    * store: 6-hour windowed top-3 events by value per type, drained
+    * AvailableNow through watermarked micro-batches. Because top-k is
+    * merge-order independent (q307), the streamed result must equal
+    * the batch computation EXACTLY — which is what the batch oracle
+    * asserts — making this the strongest streaming-equivalence claim
+    * in the registry (HLL/q261 relies on identical merge trees; this
+    * holds for ANY micro-batch split). State per (window, type) is ≤
+    * 3 pairs, serialized through the state store between batches. */
+  val q308 = QuerySpec("q308_stream_topk",
+    (s, dir) => graft.streaming.StreamingOps.streamTopK(s, dir)
+      .orderBy("win_start", "event_type"),
+    Some(raw"""
+WITH w AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+    CAST(floor(value * 100) AS BIGINT) AS cents, event_id
+  FROM events
+), r AS (
+  SELECT win_start, event_type, cents, event_id,
+    row_number() OVER (PARTITION BY win_start, event_type
+      ORDER BY cents DESC, event_id) AS rk
+  FROM w
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+  string_agg(concat(CAST(event_id AS VARCHAR), '@',
+    CAST(cents AS VARCHAR)), ',' ORDER BY rk) AS top3
+FROM r WHERE rk <= 3
+GROUP BY 1, 2 ORDER BY win_start, event_type
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290)
+      q289, q290, q307, q308)
 }

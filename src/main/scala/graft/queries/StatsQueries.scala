@@ -539,6 +539,112 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
 FROM interp GROUP BY 1 ORDER BY event_type
 """))
 
+  /** Shared pinned-double CUPED expressions (q309): θ from the pooled
+    * exact integer sums, and the adjusted arm mean — spliced verbatim
+    * into both engines (the q249/q293 pattern). */
+  private val thetaExpr =
+    "(dn * dxy - dx * dy) / (dn * dxx - dx * dx)"
+  private val adjExpr =
+    s"(ya / na - ($thetaExpr) * (xa / na - dx / dn))"
+
+  /** q309 — A/B lift with CUPED variance reduction (Deng et al.,
+    * WSDM'13 — the standard experimentation-platform adjustment):
+    * users hash-split into two arms; the experiment metric Y is each
+    * user's purchase value over the LAST 15 days of the data window,
+    * the covariate X the same metric over the PRIOR period; the
+    * adjusted metric Y − θ·(X − X̄) removes the pre-period component
+    * of the variance (θ = cov(X,Y)/var(X), pooled). Reported per arm:
+    * exact n and Σy, the adjusted mean (pinned-float ppm), and θ —
+    * the numbers a lift dashboard prints.
+    *
+    * Scale: one purchases pass to per-user (x, y) conditional sums
+    * (map-side combining on user), one 1-row pooled aggregate
+    * broadcast back, one per-arm aggregate. Σx², Σxy accumulate in
+    * decimal(38,0)/HUGEINT (past long at ~10⁶ heavy users). */
+  val q309 = QuerySpec("q309_cuped_lift",
+    (s, dir) => {
+      val maxd = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .agg(max(expr(dayIdxSpark)).as("maxd"))
+      val peruser = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .crossJoin(broadcast(maxd))
+          .select(col("user_id"),
+            expr(s"case when $dayIdxSpark > maxd - 15 then " +
+              "cast(floor(value * 100) as bigint) else 0L end").as("yc"),
+            expr(s"case when $dayIdxSpark <= maxd - 15 then " +
+              "cast(floor(value * 100) as bigint) else 0L end").as("xc"))
+          .groupBy("user_id")
+          .agg(sum("yc").as("y"), sum("xc").as("x"))
+          .withColumn("arm", expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2")))
+      val pooled = peruser.agg(
+        count(lit(1)).as("pn"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+          .as("sxy"))
+      peruser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("y").as("sum_y_cents"),
+          sum("x").as("sum_x_cents"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n"), col("sum_y_cents"),
+          expr("cast(n as double)").as("na"),
+          expr("cast(sum_y_cents as double)").as("ya"),
+          expr("cast(sum_x_cents as double)").as("xa"),
+          expr("cast(pn as double)").as("dn"),
+          expr("cast(sx as double)").as("dx"),
+          expr("cast(sy as double)").as("dy"),
+          expr("cast(sxx as double)").as("dxx"),
+          expr("cast(sxy as double)").as("dxy"))
+        .select(col("arm"), col("n"), col("sum_y_cents"),
+          expr(s"cast(floor(($adjExpr) * 1000000.0) as bigint)")
+            .as("adj_mean_ppm"),
+          expr(s"cast(floor(($thetaExpr) * 1000000.0) as bigint)")
+            .as("theta_ppm"))
+        .orderBy("arm")
+    },
+    Some(raw"""
+WITH md AS (
+  SELECT max($dayIdxSql) AS maxd FROM events
+  WHERE event_type = 'purchase'
+), peruser AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN $dayIdxSql > md.maxd - 15
+      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+    CAST(sum(CASE WHEN $dayIdxSql <= md.maxd - 15
+      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      AS BIGINT) % 2 AS arm
+  FROM events CROSS JOIN md
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+), pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS pn,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+  FROM peruser
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS sum_y_cents,
+    CAST(sum(x) AS BIGINT) AS sum_x_cents
+  FROM peruser GROUP BY 1
+), d AS (
+  SELECT arm, n, sum_y_cents,
+    CAST(n AS DOUBLE) AS na, CAST(sum_y_cents AS DOUBLE) AS ya,
+    CAST(sum_x_cents AS DOUBLE) AS xa, CAST(pn AS DOUBLE) AS dn,
+    CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+    CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy
+  FROM arms CROSS JOIN pooled
+)
+SELECT arm, n, sum_y_cents,
+  CAST(floor(($adjExpr) * 1000000.0) AS BIGINT) AS adj_mean_ppm,
+  CAST(floor(($thetaExpr) * 1000000.0) AS BIGINT) AS theta_ppm
+FROM d ORDER BY arm
+"""))
+
   def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267,
-    q270)
+    q270, q309)
 }

@@ -88,6 +88,32 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
   }
 
+  /** 6-hour windowed top-3 events by value per type through the
+    * native bounded-heap top-k aggregate under the streaming state
+    * store (q308): merge-order independence makes the drained result
+    * equal the batch computation under ANY micro-batch split. */
+  def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val agg = eventsStream(spark, s"$dir/{events.parquet}",
+          schemaProbePath = Some(s"$dir/events.parquet"))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), col("event_type"), col("event_id"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(org.apache.spark.sql.graftagg.TopKAgg
+          .graftTopK(col("cents"), col("event_id"), 3).as("top3"))
+      drainToBatch(spark, agg, "stream_topk")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("top3"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+  }
+
   /** Streaming reader over an events path (file or partitioned
     * directory). `maxFilesPerTrigger` is the backlog-draining rate
     * limit: a cron'd AvailableNow catch-up over a deep directory
