@@ -1296,8 +1296,108 @@ SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
 """))
 
+  /** q312 — MinHash estimator calibration: over the q31 LSH candidate
+    * pairs, the signature-agreement estimate (matching components /
+    * 16, in ppm) bucketed into quarters against the mean EXACT
+    * Jaccard — the estimator-bias audit run before any similarity
+    * threshold is trusted (E[matches/k] = J is the MinHash identity;
+    * this measures the k=16 variance + LSH-candidate conditioning on
+    * THIS corpus, the same audit shape as q273's AQP error table).
+    * Same hash family, permutations, and banding as q31/q29/
+    * NearDupStream, so the calibration speaks for every MinHash
+    * consumer in the engine. All-integer output: est is a multiple
+    * of 62500 ppm, exact Jaccard is floored ppm. */
+  val q312 = QuerySpec("q312_minhash_calibration",
+    (s, dir) => {
+      val par = s.sparkContext.defaultParallelism
+      val shingled = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "documents").repartition(par)
+          .select(col("doc_id").as("id"),
+            Dedup.shingleSet(col("text"), 3).as("shingles"))
+          .where(size(col("shingles")) > 0))
+      val params = Dedup.minhashParams(mhK)
+      val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % lit(Dedup.minhashP))
+          .as(s"sig$i")
+      }
+      val sigs = graft.CacheRegistry.persistTracked(
+        shingled.select(col("id"), explode(col("shingles")).as("sh"))
+          .withColumn("h", Dedup.shingleHash(col("sh")))
+          .groupBy("id").agg(sigCols.head, sigCols.tail: _*))
+      val r = mhK / mhBands
+      val bucketArr = array((0 until mhBands).map { b =>
+        md5(concat_ws(",", (lit(b.toString + "#") +:
+          (0 until r).map(j => col(s"sig${b * r + j}").cast("string"))): _*))
+      }: _*)
+      val buckets = sigs.select(col("id"), explode(bucketArr).as("bucket"))
+      val cand = buckets.as("x").join(buckets.as("y"), Seq("bucket"))
+        .where(col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val estExpr = (0 until mhK)
+        .map(i => s"(case when xa.sig$i = yb.sig$i then 1 else 0 end)")
+        .mkString(" + ")
+      val withEst = cand
+        .join(sigs.as("xa"), col("a") === col("xa.id"))
+        .join(sigs.as("yb"), col("b") === col("yb.id"))
+        .select(col("a"), col("b"),
+          expr(s"(($estExpr) * 1000000) div $mhK").as("est_ppm"))
+      withEst
+        .join(shingled.select(col("id").as("a"), col("shingles").as("sa")),
+          Seq("a"))
+        .join(shingled.select(col("id").as("b"), col("shingles").as("sb")),
+          Seq("b"))
+        .withColumn("jac_ppm", expr(
+          "(size(array_intersect(sa, sb)) * 1000000L) div " +
+            "size(array_union(sa, sb))"))
+        .groupBy(expr("est_ppm div 250000").as("est_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est_ppm) div count(1)").as("mean_est_ppm"),
+          expr("sum(jac_ppm) div count(1)").as("mean_exact_ppm"))
+        .orderBy("est_bucket")
+    },
+    Some(raw"""
+WITH base0 AS ($sqlShingled
+), base AS (
+  SELECT id, shingles FROM base0 WHERE len(shingles) > 0
+), hashed AS (
+  SELECT id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT id, unnest(shingles) AS s FROM base)
+), sigs AS (
+  SELECT id,
+    $sqlSigCols
+  FROM hashed GROUP BY id
+), buckets AS (
+  SELECT id, unnest(
+    [$sqlBucketList]) AS bucket
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.id < y.id
+), est AS (
+  SELECT c.a, c.b,
+    ((${(0 until 16).map(i =>
+        s"(CASE WHEN xa.sig$i = yb.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")}) * 1000000) // 16 AS est_ppm
+  FROM cand c
+  JOIN sigs xa ON c.a = xa.id JOIN sigs yb ON c.b = yb.id
+), jac AS (
+  SELECT e.a, e.b, e.est_ppm,
+    (CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+      * 1000000)
+      // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      AS jac_ppm
+  FROM est e
+  JOIN base sa ON sa.id = e.a JOIN base sb ON sb.id = e.b
+)
+SELECT CAST(est_ppm // 250000 AS BIGINT) AS est_bucket,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(est_ppm) // count(*) AS BIGINT) AS mean_est_ppm,
+  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_exact_ppm
+FROM jac GROUP BY 1 ORDER BY est_bucket
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q25, q29, q30, q31, q32, q33, q34, q43, q48, q49, q89, q92, q96,
       q97, q100, q103, q104, q108, q130, q140, q142, q146, q157, q176,
-      q196)
+      q196, q312)
 }

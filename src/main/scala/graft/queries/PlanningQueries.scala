@@ -328,5 +328,188 @@ FROM sample s JOIN cut c ON s.pri = c.pri
 GROUP BY 1, 2, 3 ORDER BY s.pri
 """))
 
-  val all: Seq[QuerySpec] = Seq(q302, q303, q304, q305)
+  /** q310 — spend-decile mobility matrix: each purchasing user's
+    * bucketed spend decile in the PRIOR period versus the LAST 15
+    * days (the q309 split), as a transition matrix — the
+    * customer-migration diagnostic behind churn/upsell dashboards.
+    * Deciles are VALUE-threshold deciles computed scale-safely: a
+    * 1024-bucket histogram of per-user cents (bounds from one 1-row
+    * aggregate), a prefix sum over the ≤1024-row bucket frame, and
+    * threshold buckets t_d = first bucket with cum ≥ d·N/10; a
+    * user's decile is 1 + |{d : bucket ≥ t_d}| — every frame after
+    * the per-user aggregate is ≤1024 rows, no global sort, no
+    * per-user rank. Ties share a decile by construction (bucketed
+    * value deciles — documented, deterministic). */
+  val q310 = QuerySpec("q310_decile_mobility",
+    (s, dir) => {
+      val dayIdx = "cast(floor(cast(ts as long) / 86400) as bigint)"
+      val maxd = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .agg(max(expr(dayIdx)).as("maxd"))
+      val peruser = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .where(col("event_type") === "purchase")
+          .crossJoin(broadcast(maxd))
+          .select(col("user_id"),
+            expr(s"case when $dayIdx > maxd - 15 then " +
+              "cast(floor(value * 100) as bigint) else 0L end").as("yc"),
+            expr(s"case when $dayIdx <= maxd - 15 then " +
+              "cast(floor(value * 100) as bigint) else 0L end").as("xc"))
+          .groupBy("user_id")
+          .agg(sum("yc").as("y"), sum("xc").as("x"))
+          .where(col("x") > 0L && col("y") > 0L))
+      def deciles(valCol: String, tag: String) = {
+        val mx = peruser.agg(max(col(valCol)).as("mx"))
+        val bucketed = peruser.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            expr(s"($valCol * 1024) div (mx + 1)").as("bk"))
+        val hist = bucketed.groupBy("bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(
+            Window.orderBy("bk")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(peruser.agg(count(lit(1)).as("n"))))
+        val thresholds = hist
+          .crossJoin(broadcast(s.range(1, 10).select(col("id").as("d"))))
+          .where(col("cum") * 10L >= col("d") * col("n"))
+          .groupBy("d").agg(min("bk").as("td"))
+        bucketed.crossJoin(broadcast(thresholds))
+          .groupBy("user_id", "bk")
+          .agg(sum(when(col("bk") >= col("td"), 1L).otherwise(0L))
+            .as("above"))
+          .select(col("user_id"), (col("above") + 1L).as(tag))
+      }
+      deciles("x", "d_prior").join(deciles("y", "d_last"), "user_id")
+        .groupBy("d_prior", "d_last").agg(count(lit(1)).as("n_users"))
+        .orderBy("d_prior", "d_last")
+    },
+    Some(raw"""
+WITH md AS (
+  SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS maxd
+  FROM events WHERE event_type = 'purchase'
+), peruser AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        > md.maxd - 15
+      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+    CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        <= md.maxd - 15
+      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+  FROM events CROSS JOIN md
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+  HAVING sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+      > md.maxd - 15
+    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) > 0
+   AND sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+      <= md.maxd - 15
+    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) > 0
+), n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM peruser),
+bx AS (
+  SELECT user_id, (x * 1024) // ((SELECT max(x) FROM peruser) + 1) AS bk
+  FROM peruser
+), by_ AS (
+  SELECT user_id, (y * 1024) // ((SELECT max(y) FROM peruser) + 1) AS bk
+  FROM peruser
+), hx AS (
+  SELECT bk, sum(count(*)) OVER (ORDER BY bk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bx GROUP BY bk
+), hy AS (
+  SELECT bk, sum(count(*)) OVER (ORDER BY bk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM by_ GROUP BY bk
+), tx AS (
+  SELECT d.d, min(h.bk) AS td
+  FROM hx h CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+  CROSS JOIN n1 WHERE h.cum * 10 >= d.d * n1.n GROUP BY 1
+), ty AS (
+  SELECT d.d, min(h.bk) AS td
+  FROM hy h CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+  CROSS JOIN n1 WHERE h.cum * 10 >= d.d * n1.n GROUP BY 1
+), dx AS (
+  SELECT b.user_id,
+    CAST(1 + sum(CASE WHEN b.bk >= t.td THEN 1 ELSE 0 END) AS BIGINT)
+      AS d_prior
+  FROM bx b CROSS JOIN tx t GROUP BY 1
+), dy AS (
+  SELECT b.user_id,
+    CAST(1 + sum(CASE WHEN b.bk >= t.td THEN 1 ELSE 0 END) AS BIGINT)
+      AS d_last
+  FROM by_ b CROSS JOIN ty t GROUP BY 1
+)
+SELECT dx.d_prior, dy.d_last, CAST(count(*) AS BIGINT) AS n_users
+FROM dx JOIN dy ON dx.user_id = dy.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""))
+
+  /** q311 — join-cardinality estimate audit: the textbook optimizer
+    * estimate |R ⋈ S| ≈ |R|·|S| / max(ndv_R(k), ndv_S(k)) scored
+    * against the EXACT intermediate sizes, for both orders of the
+    * orders–lineitem–customer 3-way join. This is the engine auditing
+    * its own planning arithmetic: the estimates come from the same
+    * per-table statistics a cost-based optimizer keeps (row count +
+    * NDV per join key), the actuals from one count per intermediate,
+    * and err_ppm quantifies how far uniform-frequency assumptions
+    * drift on this schema (FK joins: near-exact; the lesson is WHERE
+    * the formula is trustworthy). All integer arithmetic. */
+  val q311 = QuerySpec("q311_join_cardinality_audit",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val c = Tables(s, dir, "customer")
+      def stats(df: org.apache.spark.sql.DataFrame, k: String) = {
+        val r = df.agg(count(lit(1)), countDistinct(col(k))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (no, ndvOok) = stats(o, "o_orderkey")
+      val (nl, ndvLok) = stats(l, "l_orderkey")
+      val (_, ndvOck) = stats(o, "o_custkey")
+      val (nc, ndvCck) = stats(c, "c_custkey")
+      val aOL = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+      val aOC = o.join(c, col("o_custkey") === col("c_custkey")).count()
+      val eOL = no * nl / math.max(ndvOok, ndvLok)
+      val eOC = no * nc / math.max(ndvOck, ndvCck)
+      Seq(
+        ("OL_then_C", "orders_join_lineitem", eOL, aOL),
+        ("OC_then_L", "orders_join_customer", eOC, aOC))
+        .toDF("path", "step", "est", "actual")
+        .withColumn("err_ppm",
+          expr("((est - actual) * 1000000) div greatest(actual, 1)"))
+        .orderBy("path")
+    },
+    Some(raw"""
+WITH s AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no,
+    (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+      AS ndv_ook,
+    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl,
+    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+      AS ndv_lok,
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+      AS ndv_ock,
+    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc,
+    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+      AS ndv_cck,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS a_ol,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey) AS a_oc
+)
+SELECT path, step, est, actual,
+  CAST(((est - actual) * 1000000) // greatest(actual, 1) AS BIGINT)
+    AS err_ppm
+FROM (
+  SELECT 'OL_then_C' AS path, 'orders_join_lineitem' AS step,
+    CAST(no * nl // greatest(ndv_ook, ndv_lok) AS BIGINT) AS est,
+    a_ol AS actual
+  FROM s
+  UNION ALL
+  SELECT 'OC_then_L', 'orders_join_customer',
+    CAST(no * nc // greatest(ndv_ock, ndv_cck) AS BIGINT), a_oc
+  FROM s)
+ORDER BY path
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q302, q303, q304, q305, q310, q311)
 }
