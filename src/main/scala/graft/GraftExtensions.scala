@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // aggregate navigation over a materialized summary (off unless
+    // spark.graft.summary.{base,path} are both set)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite())
     // whole-operator extension: the AS-OF JOIN logical node plans to
     // its merge-based physical operator (AsOfJoinExec)
     ext.injectPlannerStrategy(_ =>

@@ -705,7 +705,85 @@ FROM r WHERE rk <= 3
 GROUP BY 1, 2 ORDER BY win_start, event_type
 """))
 
+  /** q313 — aggregate navigation through the
+    * [[graft.plans.SummaryRewrite]] optimizer rule: the query is
+    * written against the RAW lineitem fact table — filter, groupBy,
+    * count/sum/min/max, nothing summary-aware in the query text — and
+    * the ENGINE answers it from a materialized (flag, status,
+    * shipdate)-grain summary built by [[graft.operators.Summary]],
+    * because the query's granularity is a coarsening of the
+    * summary's and its filter references a summary grouping column
+    * only. The in-query `require` proves the optimized plan scans the
+    * summary path and never the fact table (the q282 pattern:
+    * plan-shape claims live in the query, value claims in the
+    * oracle); the DuckDB oracle computes from the RAW table, so the
+    * rewrite's answer is certified equal to the full-scan answer.
+    * Runs in a child session (`newSession`) so the two summary confs
+    * cannot leak into any other registry query's planning.
+    *
+    * Determinism: l_quantity is integral-valued double (sums exact in
+    * <2^53 either grouping order), min/max are data values, count is
+    * exact — re-aggregation through partials is bit-equal, not just
+    * close. Scale: this is the 100 TB dashboard pattern — the summary
+    * is ~|flag×status×day| rows, so every covered aggregate reads
+    * kilobytes instead of rescanning the fact corpus; the rule, not
+    * the query author, decides eligibility. */
+  val q313 = QuerySpec("q313_summary_rewrite",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val tmp = Files.createTempDirectory("graft_q313_summary")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("spark.sql.shuffle.partitions"))
+        s2.conf.set("spark.sql.session.timeZone",
+          s.conf.get("spark.sql.session.timeZone"))
+        val base = s"$dir/lineitem.parquet"
+        graft.operators.Summary.build(
+            s2.read.parquet(base),
+            groups = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+            measures = Seq("l_quantity", "l_extendedprice"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        s2.conf.set("spark.graft.summary.base", base)
+        s2.conf.set("spark.graft.summary.path", tmp.toString)
+        val out = s2.read.parquet(base)
+          .where(col("l_returnflag") =!= "N")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").as("qty"),
+            min("l_extendedprice").as("minp"),
+            max("l_extendedprice").as("maxp"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            col("qty").cast("long").as("sum_qty"),
+            expr("cast(round(minp * 100) as bigint)").as("min_cents"),
+            expr("cast(round(maxp * 100) as bigint)").as("max_cents"))
+          .orderBy("l_returnflag", "l_linestatus")
+        val scanned = out.queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).mkString(",")
+            case _ => ""
+          }
+        }
+        require(scanned.nonEmpty &&
+          scanned.forall(_.contains(tmp.getFileName.toString)),
+          s"summary rewrite did not engage (scans: $scanned)")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+  CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS min_cents,
+  CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS max_cents
+FROM lineitem
+WHERE l_returnflag <> 'N'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308)
+      q289, q290, q307, q308, q313)
 }
