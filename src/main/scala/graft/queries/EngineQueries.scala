@@ -783,7 +783,59 @@ WHERE l_returnflag <> 'N'
 GROUP BY 1, 2 ORDER BY 1, 2
 """))
 
+  /** q317 — runtime BLOOM-FILTER semi-join reduction: the selective
+    * dimension predicate (p_size ≤ 3, ~6% of parts) is turned by the
+    * engine into a bloom filter EVALUATED INSIDE THE FACT SCAN, so
+    * non-qualifying lineitem rows die at the scan instead of riding
+    * the shuffle to the join — at 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~6%
+    * that can possibly match. Broadcast is disabled in the child
+    * session to model the cluster case where the dimension is too
+    * large to broadcast but its FILTERED key set still fits a sketch
+    * — exactly the regime runtime filtering exists for. The in-query
+    * `require` proves the optimized plan carries the injected
+    * bloom_filter/might_contain pair (plan-shape claim in the query,
+    * value claim in the oracle, the q282/q313 pattern). */
+  val q317 = QuerySpec("q317_runtime_bloom_join",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.session.timeZone",
+        s.conf.get("spark.sql.session.timeZone"))
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
+      // local fixtures are far below the 10 GiB production default;
+      // the threshold is a tuning knob, not a semantics switch
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val li = Tables(s2, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)")
+            .as("cents"))
+      val pt = Tables(s2, dir, "part").where(col("p_size") <= 3)
+        .select(col("p_partkey"), col("p_size"))
+      val out = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("p_size")
+      val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+      require(plan.contains("might_contain") ||
+        plan.contains("bloomfilter"),
+        "runtime bloom filter was not injected")
+      out
+    },
+    Some(raw"""
+SELECT p_size, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 3
+GROUP BY 1 ORDER BY 1
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308, q313)
+      q289, q290, q307, q308, q313, q317)
 }

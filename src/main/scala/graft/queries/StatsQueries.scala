@@ -645,6 +645,274 @@ SELECT arm, n, sum_y_cents,
 FROM d ORDER BY arm
 """))
 
+  /** q314 — Spearman rank correlation (tie-aware midranks) between
+    * discount and quantity per return flag: the monotone-association
+    * estimator that q272's Pearson r cannot give (Pearson measures
+    * LINEAR association; Spearman is invariant to any monotone
+    * rescaling of either axis). Completes the association tier on the
+    * same two columns: q272 Pearson, this, and q315's Kendall τ-b are
+    * the three classical estimators side by side.
+    *
+    * Ranking never touches raw rows: both variables live on bounded
+    * domains (discount percent-points 0–10, quantity 1–50), so
+    * midranks come from per-flag marginal histograms — a prefix sum
+    * over ≤ 50 distinct values — and every per-row quantity is a
+    * per-CELL quantity of the ≤ 550-cell joint histogram, weighted by
+    * the cell count. Doubled midranks (rank2 = 2·cum_before + t + 1,
+    * the q294 device) keep ranks integer under ties; deviations are
+    * taken around the EXACT rank2 mean n+1 (Σ rank2 = n(n+1)
+    * identically), so the three Σ c·d·d sums are exact integers with
+    * no n·Σ cross-multiplication — they stay within decimal(38,0) /
+    * HUGEINT to ~10¹² rows (4n³ < 10³⁸), Spark and DuckDB summing the
+    * IDENTICAL integers. One pinned float expression converts the
+    * three exact sums to ρ in ppm. */
+  val q314 = QuerySpec("q314_spearman_corr",
+    (s, dir) => {
+      val w = Window.partitionBy("flag")
+      val cells = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("cast(round(l_discount * 100) as bigint)").as("x"),
+          expr("cast(round(l_quantity) as bigint)").as("y"))
+        .groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
+      val mx = cells.groupBy("flag", "x").agg(sum("c").as("cx"))
+        .withColumn("rx2", lit(2L) * coalesce(sum("cx").over(
+          w.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + col("cx") + lit(1L))
+        .select("flag", "x", "rx2")
+      val my = cells.groupBy("flag", "y").agg(sum("c").as("cy"))
+        .withColumn("ry2", lit(2L) * coalesce(sum("cy").over(
+          w.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + col("cy") + lit(1L))
+        .select("flag", "y", "ry2")
+      val n = cells.groupBy("flag").agg(sum("c").as("n"))
+      cells.join(mx, Seq("flag", "x")).join(my, Seq("flag", "y"))
+        .join(n, Seq("flag"))
+        .withColumn("dx", col("rx2") - col("n") - lit(1L))
+        .withColumn("dy", col("ry2") - col("n") - lit(1L))
+        .groupBy("flag")
+        .agg(max("n").as("n"),
+          sum(expr("cast(c as decimal(38,0)) * dx * dy")).as("sxy"),
+          sum(expr("cast(c as decimal(38,0)) * dx * dx")).as("sxx"),
+          sum(expr("cast(c as decimal(38,0)) * dy * dy")).as("syy"))
+        .where(col("sxx") > 0 && col("syy") > 0)
+        .select(col("flag"), col("n"),
+          expr("cast(floor(cast(sxy as double) / sqrt(cast(sxx as double)" +
+            " * cast(syy as double)) * 1000000.0) as bigint)")
+            .as("rho_ppm"))
+        .orderBy("flag")
+    },
+    Some(raw"""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+    CAST(round(l_discount * 100) AS BIGINT) AS x,
+    CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+  FROM li GROUP BY 1, 2, 3
+), n AS (
+  SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+), mx AS (
+  SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1, 2
+), mx2 AS (
+  SELECT flag, x, 2 * COALESCE(sum(cx) OVER (PARTITION BY flag ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cx + 1 AS rx2
+  FROM mx
+), my AS (
+  SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1, 2
+), my2 AS (
+  SELECT flag, y, 2 * COALESCE(sum(cy) OVER (PARTITION BY flag ORDER BY y
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cy + 1 AS ry2
+  FROM my
+), j AS (
+  SELECT cells.flag, c, rx2 - n - 1 AS dx, ry2 - n - 1 AS dy, n.n
+  FROM cells
+  JOIN mx2 ON mx2.flag = cells.flag AND mx2.x = cells.x
+  JOIN my2 ON my2.flag = cells.flag AND my2.y = cells.y
+  JOIN n ON n.flag = cells.flag
+), agg AS (
+  SELECT flag, CAST(max(n) AS BIGINT) AS n,
+    sum(CAST(c AS HUGEINT) * dx * dy) AS sxy,
+    sum(CAST(c AS HUGEINT) * dx * dx) AS sxx,
+    sum(CAST(c AS HUGEINT) * dy * dy) AS syy
+  FROM j GROUP BY 1
+)
+SELECT flag, n,
+  CAST(floor(CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE)
+    * CAST(syy AS DOUBLE)) * 1000000.0) AS BIGINT) AS rho_ppm
+FROM agg WHERE sxx > 0 AND syy > 0 ORDER BY flag
+"""))
+
+  /** q315 — Kendall τ-b between discount and quantity per return
+    * flag: the third estimator of the association tier — pairwise
+    * concordance, the statistic with the direct probabilistic reading
+    * (P[concordant] − P[discordant]) and full tie correction in both
+    * margins. The O(n²) pair space never materializes: concordance is
+    * a bilinear form over the joint histogram, so the pair join runs
+    * on ≤ 550 CELLS per flag (≤ 300k cell pairs — a constant at any
+    * corpus size) with every count product exact in long to ~3·10⁹
+    * rows (Σ cᵢcⱼ ≤ n²). C2/D2 count ordered pairs (each unordered
+    * pair twice, always even), tie terms t2 = Σ c(c−1) doubled the
+    * same way, and the single pinned float expression assembles τ-b
+    * in ppm from five exact integers. */
+  val q315 = QuerySpec("q315_kendall_tau",
+    (s, dir) => {
+      val cells = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("cast(round(l_discount * 100) as bigint)").as("x"),
+            expr("cast(round(l_quantity) as bigint)").as("y"))
+          .groupBy("flag", "x", "y").agg(count(lit(1)).as("c")))
+      val pairs = cells.as("a").join(cells.as("b"), Seq("flag"))
+        .select(col("flag"),
+          (col("a.c") * col("b.c")).as("cc"),
+          signum(col("a.x") - col("b.x")).as("sx"),
+          signum(col("a.y") - col("b.y")).as("sy"))
+      val conc = pairs.groupBy("flag")
+        .agg(sum(when(col("sx") * col("sy") > 0, col("cc"))
+          .otherwise(0L)).as("c2"),
+          sum(when(col("sx") * col("sy") < 0, col("cc"))
+            .otherwise(0L)).as("d2"))
+      val ties = cells.groupBy("flag").agg(sum("c").as("n"),
+        sum(expr("c * (c - 1)")).as("txy2"))
+      val tx = cells.groupBy("flag", "x").agg(sum("c").as("cx"))
+        .groupBy("flag").agg(sum(expr("cx * (cx - 1)")).as("tx2"))
+      val ty = cells.groupBy("flag", "y").agg(sum("c").as("cy"))
+        .groupBy("flag").agg(sum(expr("cy * (cy - 1)")).as("ty2"))
+      conc.join(ties, Seq("flag")).join(tx, Seq("flag"))
+        .join(ty, Seq("flag"))
+        .withColumn("n0_2", expr("n * (n - 1)"))
+        .select(col("flag"), col("n"),
+          expr("c2 div 2").as("concordant"),
+          expr("d2 div 2").as("discordant"),
+          expr("cast(floor(cast(c2 - d2 as double) / " +
+            "sqrt(cast(n0_2 - tx2 as double) * " +
+            "cast(n0_2 - ty2 as double)) * 1000000.0) as bigint)")
+            .as("tau_ppm"))
+        .orderBy("flag")
+    },
+    Some(raw"""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+    CAST(round(l_discount * 100) AS BIGINT) AS x,
+    CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+  FROM li GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.flag,
+    CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0
+      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS c2,
+    CAST(sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
+      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS d2
+  FROM cells a JOIN cells b ON a.flag = b.flag
+  GROUP BY 1
+), ties AS (
+  SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(c * (c - 1)) AS BIGINT) AS txy2
+  FROM cells GROUP BY 1
+), tx AS (
+  SELECT flag, CAST(sum(cx * (cx - 1)) AS BIGINT) AS tx2
+  FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx
+    FROM cells GROUP BY 1, 2) GROUP BY 1
+), ty AS (
+  SELECT flag, CAST(sum(cy * (cy - 1)) AS BIGINT) AS ty2
+  FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy
+    FROM cells GROUP BY 1, 2) GROUP BY 1
+)
+SELECT p.flag, n, c2 // 2 AS concordant, d2 // 2 AS discordant,
+  CAST(floor(CAST(c2 - d2 AS DOUBLE) /
+    sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+      * CAST(n * (n - 1) - ty2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+    AS tau_ppm
+FROM pairs p
+JOIN ties USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
+ORDER BY flag
+"""))
+
+  /** q316 — isotonic (PAVA-equivalent) calibration of purchase rate
+    * over spend bins, computed by the exact MINIMAX identity:
+    * iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k) — the closed
+    * form whose value at every i equals the pool-adjacent-violators
+    * fit, with no sequential pooling loop to distribute. The curve
+    * answers "is P(purchase) monotone in event value, and what is its
+    * best monotone approximation?" — the calibration layer q238's
+    * reliability bins feed.
+    *
+    * Scale: the corpus-scale work is ONE binning aggregate (value
+    * cents div 2048, capped at 24 bins); prefix sums, the ≤ 300
+    * (j,k)-segment frame, the per-j suffix minimum, and the per-k
+    * maximum all run on bin-bounded frames — constants at any corpus
+    * size. Segment means are exact floor-ppm integers ((10⁶·Y) div N),
+    * so min/max comparisons are integer and the whole output is
+    * engine-exact; monotonicity of the result is a THEOREM of the
+    * minimax form (max_{j≤i} of a family nondecreasing in i), which
+    * the oracle's equality check re-certifies bin by bin. */
+  val q316 = QuerySpec("q316_isotonic_calibration",
+    (s, dir) => {
+      val w = Window.orderBy("b")
+      val bins = Tables(s, dir, "events")
+        .select(expr("least(cast(round(value * 100) as bigint) div 2048," +
+          " 23)").as("b"),
+          expr("cast(event_type = 'purchase' as long)").as("yy"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("yy").as("y"))
+      val pref = bins
+        .withColumn("cn", sum("n").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cy", sum("y").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val segs = pref.as("j").select(col("j.b").as("jb"),
+          (col("j.cn") - col("j.n")).as("cn0"),
+          (col("j.cy") - col("j.y")).as("cy0"))
+        .join(pref.as("k").select(col("k.b").as("kb"), col("k.cn"),
+          col("k.cy")), col("jb") <= col("kb"))
+        .select(col("jb"), col("kb"),
+          expr("((cy - cy0) * 1000000) div (cn - cn0)").as("avg_ppm"))
+      val tail = segs.withColumn("min_tail", min("avg_ppm").over(
+        Window.partitionBy("jb").orderBy(col("kb").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val iso = tail.groupBy(col("kb").as("b"))
+        .agg(max("min_tail").as("iso_ppm"))
+      bins.join(iso, Seq("b"))
+        .select(col("b"), col("n"), col("y"),
+          expr("(y * 1000000) div n").as("rate_ppm"), col("iso_ppm"))
+        .orderBy("b")
+    },
+    Some(raw"""
+WITH bins AS (
+  SELECT LEAST(CAST(round(value * 100) AS BIGINT) // 2048, 23) AS b,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS y
+  FROM events GROUP BY 1
+), pref AS (
+  SELECT b, n, y,
+    CAST(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS BIGINT) AS cn,
+    CAST(sum(y) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS BIGINT) AS cy
+  FROM bins
+), segs AS (
+  SELECT j.b AS jb, k.b AS kb,
+    ((k.cy - (j.cy - j.y)) * 1000000) // (k.cn - (j.cn - j.n))
+      AS avg_ppm
+  FROM pref j JOIN pref k ON j.b <= k.b
+), tail AS (
+  SELECT jb, kb, CAST(min(avg_ppm) OVER (PARTITION BY jb ORDER BY kb DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS min_tail
+  FROM segs
+), iso AS (
+  SELECT kb AS b, CAST(max(min_tail) AS BIGINT) AS iso_ppm
+  FROM tail GROUP BY 1
+)
+SELECT bins.b, n, y, CAST((y * 1000000) // n AS BIGINT) AS rate_ppm,
+  iso_ppm
+FROM bins JOIN iso USING (b) ORDER BY b
+"""))
+
   def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267,
-    q270, q309)
+    q270, q309, q314, q315, q316)
 }
