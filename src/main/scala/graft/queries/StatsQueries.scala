@@ -913,6 +913,90 @@ SELECT bins.b, n, y, CAST((y * 1000000) // n AS BIGINT) AS rate_ppm,
 FROM bins JOIN iso USING (b) ORDER BY b
 """))
 
+  /** q319 — Holt double-exponential smoothing (level + trend) of the
+    * daily event-count series per type, with 1- and 3-day-ahead
+    * forecasts and the in-sample sum of absolute one-step errors: the
+    * FORECASTING member of the time-series tier (ACF q248 diagnoses
+    * persistence, q249/q247 fit a global trend, EWMA q281 smooths
+    * level only — Holt extrapolates level AND trend). α = β = ¼.
+    *
+    * Determinism: the recurrence runs in milli-scaled integers with
+    * explicit floor((·)/4.0) steps — division by 4 is exact in double
+    * for any long below 2⁵³, and floor is engine-independent, so the
+    * whole trajectory is exact integer replay on both sides (the
+    * `div`-vs-`//` negative-operand trap never arises because neither
+    * engine's truncating division is used). The Spark side folds
+    * sort_array(collect_list) through the `aggregate` HOF — a
+    * sequential left fold the engine cannot reorder; the oracle runs
+    * the SAME recurrence as a recursive CTE, so two entirely
+    * different execution mechanisms must reproduce identical 15-digit
+    * state trajectories.
+    *
+    * Scale: the corpus-scale work is the one daily count aggregate;
+    * the fold is over the calendar-bounded per-type day vector (a
+    * constant in corpus size), same envelope as q248/q267. */
+  val q319 = QuerySpec("q319_holt_winters",
+    (s, dir) => {
+      val step =
+        "cast(floor((e.x * 1000 + 3 * (acc.s + acc.b)) / 4.0) as bigint)"
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr(dayIdxSpark).as("d"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("x"))))
+          .as("arr"))
+        .where(size(col("arr")) >= 2)
+        .withColumn("st", expr(s"""
+          aggregate(
+            slice(arr, 2, size(arr) - 1),
+            named_struct(
+              's', element_at(arr, 1).x * 1000,
+              'b', (element_at(arr, 2).x - element_at(arr, 1).x) * 1000,
+              'sae', cast(0 as bigint)),
+            (acc, e) -> named_struct(
+              's', $step,
+              'b', cast(floor(($step - acc.s + 3 * acc.b) / 4.0)
+                as bigint),
+              'sae', acc.sae + abs(e.x * 1000 - (acc.s + acc.b))))"""))
+        .select(col("event_type"),
+          size(col("arr")).cast("long").as("n_days"),
+          col("st.s").as("level_milli"), col("st.b").as("trend_milli"),
+          col("st.sae").as("sae_milli"),
+          (col("st.s") + col("st.b")).as("fc1_milli"),
+          (col("st.s") + lit(3L) * col("st.b")).as("fc3_milli"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, $dayIdxSql AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, x,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+      AS BIGINT) AS rn
+  FROM daily
+), dn AS (
+  SELECT event_type, CAST(max(rn) AS BIGINT) AS nd FROM seq GROUP BY 1
+), rec AS (
+  SELECT a.event_type, CAST(1 AS BIGINT) AS rn,
+    a.x * 1000 AS s, (b2.x - a.x) * 1000 AS b, CAST(0 AS BIGINT) AS sae
+  FROM seq a JOIN seq b2 ON b2.event_type = a.event_type AND b2.rn = 2
+  WHERE a.rn = 1
+  UNION ALL
+  SELECT d.event_type, r.rn + 1,
+    CAST(floor((d.x * 1000 + 3 * (r.s + r.b)) / 4.0) AS BIGINT),
+    CAST(floor((CAST(floor((d.x * 1000 + 3 * (r.s + r.b)) / 4.0)
+      AS BIGINT) - r.s + 3 * r.b) / 4.0) AS BIGINT),
+    r.sae + abs(d.x * 1000 - (r.s + r.b))
+  FROM rec r JOIN seq d ON d.event_type = r.event_type
+    AND d.rn = r.rn + 1
+)
+SELECT r.event_type, nd AS n_days, s AS level_milli, b AS trend_milli,
+  sae AS sae_milli, s + b AS fc1_milli, s + 3 * b AS fc3_milli
+FROM rec r JOIN dn ON dn.event_type = r.event_type AND r.rn = dn.nd
+ORDER BY r.event_type
+"""))
+
   def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267,
-    q270, q309, q314, q315, q316)
+    q270, q309, q314, q315, q316, q319)
 }

@@ -795,6 +795,75 @@ FROM events WHERE event_type IN ('purchase', 'signup')
 GROUP BY 1 ORDER BY 1
 """))
 
+  /** q320 — BITEMPORAL point query (SQL:2011 temporal): "as KNOWN at
+    * transaction day T*, what was each order's amount VALID at
+    * business day V*" — the two-axis lookup that q263 (transaction
+    * time only) and q168 (valid time only) each cover half of, and
+    * the shape every audited warehouse must answer exactly (what did
+    * we believe on date X about state on date Y). The version history
+    * is synthesized deterministically from order arithmetic: order k
+    * carries k mod 3 + 1 amendments, amendment v becoming KNOWN at
+    * od + 7v and claiming VALIDITY from od + 3v, amount = cents +
+    * 500v.
+    *
+    * Plan shape: explode the bounded amendment fan-out (≤ 3 — a
+    * constant), filter BOTH time axes, then the q263 argmax device —
+    * per-order `max_by` over the packed (valid_from, txn) total order
+    * (vf·10⁵ + txn, exact and collision-free at these day
+    * magnitudes), ONE map-side-combining aggregate, no windows — and
+    * a final rollup by priority. At 100 TB both aggregates are plain
+    * combinable shuffles on their natural keys. */
+  val q320 = QuerySpec("q320_bitemporal_asof",
+    (s, dir) => {
+      val tStar = 10227L // 1998-01-01, transaction-time cut
+      val vStar = 10217L // valid-time point, 10 days earlier
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("cast(datediff(cast(o_orderdate as date), " +
+            "date'1970-01-01') as bigint)").as("od"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents0"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("od"),
+          col("cents0"),
+          explode(expr("sequence(0L, o_orderkey % 3)")).as("ver"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("ver"),
+          (col("od") + col("ver") * 3L).as("vf"),
+          (col("od") + col("ver") * 7L).as("txn"),
+          (col("cents0") + col("ver") * 500L).as("cents"))
+        .where(col("txn") <= tStar && col("vf") <= vStar)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(expr("max_by(ver, vf * 100000 + txn)").as("ver"),
+          expr("max_by(cents, vf * 100000 + txn)").as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"),
+          min("ver").as("min_ver"), max("ver").as("max_ver"))
+        .orderBy("o_orderpriority")
+    },
+    Some(raw"""
+WITH v AS (
+  SELECT o_orderkey, o_orderpriority,
+    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS od,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents0,
+    unnest(range(o_orderkey % 3 + 1)) AS ver
+  FROM orders
+), el AS (
+  SELECT o_orderkey, o_orderpriority, ver,
+    od + ver * 3 AS vf, od + ver * 7 AS txn,
+    cents0 + ver * 500 AS cents
+  FROM v
+  WHERE od + ver * 7 <= 10227 AND od + ver * 3 <= 10217
+), pick AS (
+  SELECT o_orderkey, o_orderpriority,
+    arg_max(ver, vf * 100000 + txn) AS ver,
+    arg_max(cents, vf * 100000 + txn) AS cents
+  FROM el GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(cents) AS BIGINT) AS sum_cents,
+  CAST(min(ver) AS BIGINT) AS min_ver,
+  CAST(max(ver) AS BIGINT) AS max_ver
+FROM pick GROUP BY 1 ORDER BY 1
+"""))
+
   def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246, q260,
-    q263, q287, q288)
+    q263, q287, q288, q320)
 }
