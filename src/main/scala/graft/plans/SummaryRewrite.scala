@@ -103,8 +103,20 @@ case class SummaryRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       : Option[Option[Expression]] = {
     def isBase(p: LogicalPlan): Boolean = p match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        val want = new Path(base).toUri.getPath
-        fs.location.rootPaths.exists(_.toUri.getPath == want)
+        // Compare fully-qualified URIs: a same-path relation on a
+        // different filesystem (s3://bucket/data vs file:/data) must
+        // NOT be answered from the summary.
+        val hconf = fs.sparkSession.sessionState.newHadoopConf()
+        val basePath = new Path(base)
+        val want = Try(
+          basePath.getFileSystem(hconf).makeQualified(basePath).toUri
+        ).getOrElse(basePath.toUri)
+        fs.location.rootPaths.exists { rp =>
+          val got = Try(
+            rp.getFileSystem(hconf).makeQualified(rp).toUri
+          ).getOrElse(rp.toUri)
+          got == want
+        }
       case _ => false
     }
     child match {
@@ -139,9 +151,12 @@ case class SummaryRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
     val groupNames = groups.map(_.asInstanceOf[AttributeReference].name)
     if (!groupNames.forall(groupCols.contains)) return None
-    // residual filter may only reference summary grouping columns
-    if (!residual.forall(_.references.forall(a =>
-      groupCols.contains(a.name)))) return None
+    // residual filter may only reference summary grouping columns and
+    // must be deterministic — a nondeterministic predicate (rand()<p)
+    // applied once per summary GROUP instead of once per base ROW
+    // changes semantics (count(*) would become all-or-nothing / group).
+    if (!residual.forall(r => r.deterministic &&
+      r.references.forall(a => groupCols.contains(a.name)))) return None
 
     def measure(a: Expression, suffix: String): Option[Attribute] =
       a match {

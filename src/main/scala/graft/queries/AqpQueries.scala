@@ -22,9 +22,12 @@ object AqpQueries {
   /** q271 — weekly cohort LTV curves: users cohorted by first-activity
     * week, revenue (payload cents) accumulated by cohort age in weeks,
     * with the running cumulative LTV per cohort — the revenue twin of
-    * q183's retention counts. Cohort assignment is one min-aggregate;
-    * the curve is a groupBy over (cohort, age); the cumulative runs on
-    * the calendar-bounded (cohort × age) frame (≤ weeks² rows). */
+    * q183's retention counts. Cohort assignment is a min-over-window
+    * on the user_id exchange (no per-user frame is built or broadcast
+    * — users grow with the data); the curve is a groupBy over (cohort,
+    * age); the cumulative runs on the calendar-bounded (cohort × age)
+    * frame (≤ weeks² rows); the only broadcast is the per-cohort size
+    * table, bounded by the number of calendar weeks. */
   val q271 = QuerySpec("q271_cohort_ltv",
     (s, dir) => {
       val ev = graft.CacheRegistry.persistTracked(
@@ -32,12 +35,14 @@ object AqpQueries {
           .select(col("user_id"),
             expr("cast(floor(cast(ts as long) / 86400) as bigint) div 7")
               .as("week"),
-            expr("cast(round(value * 100) as bigint)").as("cents")))
-      val cohort = ev.groupBy("user_id")
-        .agg(min("week").as("cohort_week"))
-      val sizes = cohort.groupBy("cohort_week")
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .withColumn("cohort_week",
+            min("week").over(Window.partitionBy("user_id"))))
+      val sizes = ev.groupBy("user_id")
+        .agg(min("cohort_week").as("cohort_week"))
+        .groupBy("cohort_week")
         .agg(count(lit(1)).as("n_users"))
-      val curve = ev.join(broadcast(cohort), "user_id")
+      val curve = ev
         .withColumn("age_week", col("week") - col("cohort_week"))
         .groupBy("cohort_week", "age_week")
         .agg(sum("cents").as("rev_cents"))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QuerySpec, Tables}
 import graft.operators.Packing
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operational / table-maintenance tier: the jobs that run AROUND the
@@ -65,8 +66,10 @@ FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id ORDER BY e1.doc_id
     * count-distinct aggregate (never mixed with other aggregates,
     * which would plant an Expand and demote the whole pass to
     * sort-based — the q62 lesson), completeness / bounds / accepted
-    * values as conditional counts, referential integrity as a
-    * broadcast anti-join count. The per-constraint rows union into the
+    * values as conditional counts, referential integrity as an
+    * unhinted anti-join count (the key side grows with the data, so no
+    * forced broadcast; AQE upgrades it when small). The per-constraint
+    * rows union into the
     * report; every metric is an exact long so status never flaps.
     */
   val q159 = QuerySpec("q159_expectations",
@@ -85,7 +88,13 @@ FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id ORDER BY e1.doc_id
         .select((col("n") - col("d")).as("v"))
       val compl = orders.agg(
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v"))
-      val refInt = orders.join(broadcast(customer.select(col("c_custkey"))),
+      // referential integrity: UNHINTED left_anti — the build side is
+      // ALL customer keys, which grows with the data (10^9 at 100 TB);
+      // a broadcast hint there would force a driver collect + per-
+      // executor ship regardless of size. A shuffle on the equi-key is
+      // one exchange of a key-only projection; AQE still broadcasts
+      // when the side is actually small.
+      val refInt = orders.join(customer.select(col("c_custkey")),
           orders("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("v"))
       val bounds = li.agg(sum(
@@ -211,11 +220,14 @@ ORDER BY c.file_id
     * floats can never drift a rank. Three fixed iterations unroll as
     * chained aggregates (the oracle mirrors them as chained CTEs);
     * dangling mass is deliberately not redistributed (rank ORDER is
-    * the product; the leak is uniform). Per iteration: one broadcast
-    * join of the 200-row rank table onto the edge list + one
-    * sum-by-dst aggregate — at a real host graph (10⁸ nodes) the same
-    * plan runs as a shuffle join with AQE, and rounds localCheckpoint
-    * as connectedComponents does.
+    * the product; the leak is uniform). Scale shape: the edge list
+    * (with out-degree attached) is hash-partitioned by src ONCE and
+    * persisted — the cached InMemoryTableScan reports that
+    * partitioning, so every iteration's rank⋈edges join reuses the
+    * edge-side shuffle and only the rank frame (|nodes| rows) moves.
+    * No broadcast hint anywhere: at a real host graph (10⁸ nodes) a
+    * hinted broadcast of the rank table would collect 10⁸ rows to the
+    * driver every round; unhinted, AQE still upgrades when small.
     */
   val q161 = QuerySpec("q161_pagerank",
     (s, dir) => {
@@ -233,15 +245,19 @@ ORDER BY c.file_id
           .where(col("src") =!= col("dst"))
           .distinct())
       val out = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      // attach out-degree once and co-partition by src — every rank
+      // iteration joins on src against this cached, already-
+      // distributed frame, so only the rank table shuffles per round
+      val edgesOd = graft.CacheRegistry.persistTracked(
+        edges.join(out, Seq("src")).repartition(col("src")))
       val nodes = edges.select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node"))).distinct()
       val base = lit(scale * 15L).divide(lit(100L * n)).cast("long")
       var rank = nodes.withColumn("rank",
         lit(scale).divide(lit(n)).cast("long"))
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
-          .join(broadcast(out), Seq("src"))
+        val contrib = edgesOd
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"),
             expr("(rank * 85) div (100 * od)").as("c"))
           .groupBy("dst").agg(sum("c").as("c"))
@@ -1113,35 +1129,45 @@ ORDER BY g_source, g_lang, source, lang
 
   /** q182 — event funnel (view → click → purchase, strictly ordered
     * in time per user): each stage's entry time is the user's
-    * earliest qualifying event AFTER the previous stage — three
-    * per-user conditional-min aggregates chained by broadcast joins
-    * of the (tiny) per-user stage frames onto the event stream; the
-    * events table scans once per stage and shuffles only by user_id.
-    * Output is the funnel report: stage populations and exact-ppm
-    * conversion. The oracle replays the same chained minimums.
+    * earliest qualifying event AFTER the previous stage — expressed as
+    * THREE chained conditional-min window passes over ONE
+    * partitionBy(user_id) exchange (each stage's predicate references
+    * the previous stage's window result; Catalyst stacks the Window
+    * operators on the same hash distribution, so events shuffle by
+    * user_id exactly once). No per-user frame is ever collected or
+    * broadcast — at 10⁹ users the plan is one exchange + narrow
+    * passes — and the funnel report is computed fully in-plan (no
+    * driver-side count() actions). The oracle replays the same
+    * chained minimums as CTEs.
     */
   val q182 = QuerySpec("q182_event_funnel",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val s1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val s2 = ev.where(col("event_type") === "click")
-        .join(broadcast(s1), Seq("user_id"))
-        .where(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val s3 = ev.where(col("event_type") === "purchase")
-        .join(broadcast(s2), Seq("user_id"))
-        .where(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      val nAll = ev.select("user_id").distinct().count()
-      val n1 = s1.count(); val n2 = s2.count(); val n3 = s3.count()
-      import s.implicits._
-      Seq((nAll, n1, n2, n3,
-          if (n1 == 0) 0L else n2 * 1000000L / n1,
-          if (n2 == 0) 0L else n3 * 1000000L / n2))
-        .toDF("n_users", "n_view", "n_view_click", "n_full_funnel",
-          "click_ppm", "purchase_ppm")
+      val w = Window.partitionBy("user_id")
+      val staged = ev
+        .withColumn("t1", min(when(col("event_type") === "view",
+          col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2"), col("ts"))).over(w))
+      // per-user stage times are partition constants — reduce to one
+      // row per user on the SAME user_id distribution (no new shuffle)
+      val per = staged.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      per.agg(count(lit(1)).as("n_users"),
+          count("t1").as("n_view"),
+          count("t2").as("n_view_click"),
+          count("t3").as("n_full_funnel"))
+        .select(col("n_users"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          when(col("n_view") === 0L, lit(0L))
+            .otherwise(expr("n_view_click * 1000000 div n_view"))
+            .as("click_ppm"),
+          when(col("n_view_click") === 0L, lit(0L))
+            .otherwise(expr("n_full_funnel * 1000000 div n_view_click"))
+            .as("purchase_ppm"))
     },
     Some(raw"""
 WITH s1 AS (
@@ -1175,16 +1201,18 @@ SELECT
     * day, activity counted at day offsets from the cohort — the
     * triangle every growth dashboard draws. Distinct (user, offset)
     * membership via the two-step distinct-then-count (no countDistinct
-    * Expand); the cohort frame is per-user tiny and broadcasts onto
-    * the event stream. Day arithmetic is date_trunc + integer
-    * day-diff, identical in both engines.
+    * Expand); the cohort day is a min-over-partition window on the
+    * user_id exchange — no per-user frame is built, collected, or
+    * broadcast (a broadcast there would ship ALL users to every
+    * executor). Day arithmetic is date_trunc + integer day-diff,
+    * identical in both engines.
     */
   val q183 = QuerySpec("q183_retention_cohorts",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
-      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
-      ev.join(broadcast(cohort), Seq("user_id"))
+      ev.withColumn("cohort_day",
+          min("day").over(Window.partitionBy("user_id")))
         .select(col("user_id"), col("cohort_day"),
           datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
         .distinct()
@@ -1671,36 +1699,46 @@ GROUP BY segment ORDER BY segment
     * purchase, reported as exact integer-minute quantiles (the
     * engine's exact median / interpolated percentiles over integer
     * minutes — a latency distribution that never flaps). Chained
-    * conditional minimums as in q182; one per-user frame, one
-    * aggregate.
+    * conditional minimums as two stacked window passes on ONE
+    * partitionBy(user_id) exchange (the q182 shape — no per-user frame
+    * is collected or broadcast). p90 is a histogram rank: cumulative
+    * counts over DISTINCT minute values (bounded by the time range,
+    * not by user count), so no global row_number over a
+    * user-cardinality frame; the only broadcasts are 1-row aggregates.
     */
   val q194 = QuerySpec("q194_time_to_convert",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
-      val s1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val s3 = ev.where(col("event_type") === "purchase")
-        .join(broadcast(s1), Seq("user_id"))
-        .where(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      import org.apache.spark.sql.expressions.Window
-      val mins = s1.join(s3, Seq("user_id"))
+      val w = Window.partitionBy("user_id")
+      val staged = ev
+        .withColumn("t1", min(when(col("event_type") === "view",
+          col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t1"), col("ts"))).over(w))
+      val mins = staged.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t3").as("t3"))
+        .where(col("t1").isNotNull && col("t3").isNotNull)
         .select(((col("t3").cast("long") - col("t1").cast("long")) / 60L)
           .cast("long").as("minutes"))
+      val tot = mins.agg(count(lit(1)).as("n_converted"),
+        min("minutes").as("min_m"),
+        expr("median(minutes)").as("p50_m"),
+        max("minutes").as("max_m"))
       // p90 by explicit integer rank (smallest value covering ≥90% of
       // rows) — Spark's and DuckDB's CONTINUOUS percentiles interpolate
-      // with different float arithmetic; a rank pick can never flap
-      val ranked = mins
-        .withColumn("rn", row_number().over(Window.orderBy("minutes")))
-      val n = mins.count()
-      val p90 = ranked.where(col("rn") === (n * 9 + 9) / 10)
-        .select(col("minutes").as("p90_m"))
-      mins.agg(count(lit(1)).as("n_converted"),
-          min("minutes").as("min_m"),
-          expr("median(minutes)").as("p50_m"),
-          max("minutes").as("max_m"))
-        .crossJoin(broadcast(p90))
+      // with different float arithmetic; a rank pick can never flap.
+      // Rank over the VALUE histogram: the ordered window runs over
+      // distinct minutes (time-bounded domain), never over users.
+      val hist = mins.groupBy("minutes").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("minutes")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val p90 = hist
+        .crossJoin(broadcast(tot.select(col("n_converted").as("n"))))
+        .where(col("cum") >= expr("(n * 9 + 9) div 10"))
+        .agg(min("minutes").as("p90_m"))
+      tot.crossJoin(broadcast(p90))
         .select("n_converted", "min_m", "p50_m", "p90_m", "max_m")
     },
     Some(raw"""

@@ -569,7 +569,9 @@ FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
     * ([[graft.streaming.VelocityStream]]): q268's 3-events-in-6-hours
     * rule as a stateful stream — per-user state is exactly TWO
     * timestamps (the lag(t,2) frontier), 16 bytes/user forever. The
-    * corpus drains in EIGHT micro-batches, each a contiguous
+    * corpus drains in FOUR micro-batches (3 state-carrying
+    * boundaries — the cross-batch claim binds at any count ≥ 2; 8 was
+    * pure harness staging cost, ~1.5 s/batch), each a contiguous
     * (ts, event_id) range (an event-time-monotone split preserves
     * per-user order: every earlier-batch event of a user precedes
     * every later-batch event), so boundary flags are decided by the
@@ -585,9 +587,9 @@ FROM hop GROUP BY win_start, event_type ORDER BY win_start, event_type
       val ev = graft.Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("unix_micros(ts)").as("ts_us"))
-      // 8 micro-batches, each a contiguous (ts, event_id) range — the
+      // 4 micro-batches, each a contiguous (ts, event_id) range — the
       // tuple key makes boundaries exact even at timestamp ties
-      val inDir = stageMonotoneBatches(ev.toDF(), 8,
+      val inDir = stageMonotoneBatches(ev.toDF(), 4,
         col("ts_us"), col("event_id"))
       import s.implicits._
       val stream = s.readStream
@@ -632,7 +634,9 @@ FROM f GROUP BY 1 ORDER BY event_type
     * the NEW StatefulProcessor API with TWO typed state variables
     * (ValueState gap frontier + MapState per-type history), run under
     * the RocksDB state store (a transformWithState requirement). The
-    * corpus drains in eight event-time-monotone micro-batches, so
+    * corpus drains in four event-time-monotone micro-batches (3
+    * checkpointed boundaries — enough to bind every cross-batch
+    * claim; see q276), so
     * every batch-boundary gap and every cross-batch first-of-type
     * decision is made by checkpointed state, not in-batch data; the
     * oracle is the batch lag()/row_number() equivalent, which is
@@ -650,7 +654,7 @@ FROM f GROUP BY 1 ORDER BY event_type
         val ev = graft.Tables(s, dir, "events")
           .select(col("user_id"), col("event_id"), col("event_type"),
             expr("unix_micros(ts)").as("ts_us"))
-        val inDir = stageMonotoneBatches(ev, 8,
+        val inDir = stageMonotoneBatches(ev, 4,
           col("ts_us"), col("event_id"))
         import s.implicits._
         val stream = s.readStream
@@ -701,8 +705,8 @@ FROM g GROUP BY 1 ORDER BY event_type
     * streams, joined on user with purchase ∈ [view, view + 1 h]; the
     * time-range bound is what lets Spark evict both sides' state at
     * the watermark, so state is proportional to the window, never the
-    * history. Both streams drain in four event-time-monotone
-    * micro-batches with a 2 h watermark delay (covers in-batch
+    * history. Both streams drain in three event-time-monotone
+    * micro-batches (2 watermark-advancing boundaries) with a 2 h watermark delay (covers in-batch
     * disorder; monotone staging advances both watermarks together,
     * so no true pair is ever dropped — certified by the batch
     * oracle). The sink is foreachBatch emitting per-batch PARTIALS
@@ -715,10 +719,10 @@ FROM g GROUP BY 1 ORDER BY event_type
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts"))
       val vDir = stageMonotoneBatches(
-        ev.where(col("event_type") === "view").drop("event_type"), 4,
+        ev.where(col("event_type") === "view").drop("event_type"), 3,
         col("ts"), col("event_id"))
       val pDir = stageMonotoneBatches(
-        ev.where(col("event_type") === "purchase").drop("event_type"), 4,
+        ev.where(col("event_type") === "purchase").drop("event_type"), 3,
         col("ts"), col("event_id"))
       val schema = StructType(Seq(
         StructField("user_id", LongType), StructField("event_id", LongType),

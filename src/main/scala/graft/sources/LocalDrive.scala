@@ -156,6 +156,130 @@ object LocalDrive {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Resumable upload (`MediaFileUpload(..., resumable=True)`,
+  // `load_drive.py:212,237-248,260-274`): Drive's resumable protocol
+  // modeled hermetically — initiate a session, send chunks with
+  // explicit offsets, query received-bytes after an interruption and
+  // resume from there, then COMMIT atomically (the catalog/payload is
+  // only touched when every byte has landed; a repeated commit is
+  // idempotent and returns the same file id, like retrying the final
+  // resumable request after a lost response).
+  //
+  // Session state is two files under `<root>/_sessions/`:
+  //   <token>.part  — the staged bytes received so far
+  //   <token>.meta  — upload params + total size (+ committed id after
+  //                   commit, which is what makes the retry idempotent)
+  // -------------------------------------------------------------------
+
+  final case class SessionStatus(received: Long, total: Long,
+      committedId: Option[String])
+
+  private def sessionDir(root: Path): Path = root.resolve("_sessions")
+  private def partPath(root: Path, token: String): Path =
+    sessionDir(root).resolve(token + ".part")
+  private def metaPath(root: Path, token: String): Path =
+    sessionDir(root).resolve(token + ".meta")
+
+  private def readMeta(root: Path, token: String): Map[String, String] = {
+    val p = metaPath(root, token)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(s"unknown upload session $token")
+    Files.readAllLines(p).asScala.filter(_.contains("\t")).map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> v
+    }.toMap
+  }
+
+  private def writeMeta(root: Path, token: String,
+      m: Map[String, String]): Unit =
+    Files.writeString(metaPath(root, token),
+      m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+
+  /** Initiate a resumable upload session (the session-URI handshake).
+    * All upsert parameters are pinned at initiation, as Drive pins
+    * them in the session URI. */
+  def beginResumableUpload(root: Path, fileName: String, totalBytes: Long,
+      folderId: Option[String] = None, fileId: Option[String] = None,
+      mimeType: String = "application/octet-stream",
+      convertToSheets: Boolean = false,
+      serviceAccountMode: Boolean = false): String = {
+    require(totalBytes >= 0, "totalBytes must be >= 0")
+    Files.createDirectories(sessionDir(root))
+    val token = f"sess_${Files.list(sessionDir(root)).count() + 1}%06d"
+    Files.write(partPath(root, token), Array.emptyByteArray)
+    writeMeta(root, token, Map(
+      "name" -> fileName, "total" -> totalBytes.toString,
+      "folder" -> folderId.getOrElse(""), "fileId" -> fileId.getOrElse(""),
+      "mime" -> mimeType, "convert" -> convertToSheets.toString,
+      "svcAcct" -> serviceAccountMode.toString))
+    token
+  }
+
+  /** Resume status (the `PUT` with `Content-Range: bytes star/total`
+    * probe): how many bytes the session has durably received, and the
+    * committed id when the final request already succeeded. */
+  def resumeStatus(root: Path, token: String): SessionStatus = {
+    val m = readMeta(root, token)
+    SessionStatus(Files.size(partPath(root, token)), m("total").toLong,
+      m.get("committedId").filter(_.nonEmpty))
+  }
+
+  /** Upload one chunk at `offset`. Semantics mirror the protocol:
+    * a chunk at exactly the received frontier appends; a chunk fully
+    * BEHIND the frontier is a retransmit and is ignored (idempotent
+    * retry of a chunk whose ack was lost); a chunk beyond the frontier
+    * is a gap — rejected, the caller must query resumeStatus and back
+    * up. Returns the new received frontier. */
+  def uploadChunk(root: Path, token: String, offset: Long,
+      chunk: Array[Byte]): Long = {
+    val m = readMeta(root, token)
+    if (m.get("committedId").exists(_.nonEmpty))
+      throw new IllegalStateException(s"session $token already committed")
+    val part = partPath(root, token)
+    val received = Files.size(part)
+    if (offset > received)
+      throw new IllegalArgumentException(
+        s"gap: session has $received bytes, chunk starts at $offset — " +
+          "query resumeStatus and resume from the frontier")
+    val total = m("total").toLong
+    if (offset + chunk.length > total)
+      throw new IllegalArgumentException(
+        s"chunk overruns declared total $total")
+    if (offset + chunk.length <= received) received // full retransmit
+    else {
+      val fresh = chunk.drop((received - offset).toInt)
+      Files.write(part, fresh, java.nio.file.StandardOpenOption.APPEND)
+      received + fresh.length
+    }
+  }
+
+  /** Finalize the session: only runs the find-or-create/update upsert
+    * when EVERY declared byte has landed; called twice (a retried
+    * final request), returns the same id without re-running the
+    * upsert. The staged payload is handed to the exact same
+    * `uploadFile` path a non-resumable upload takes. */
+  def commitResumableUpload(spark: SparkSession, root: Path,
+      token: String): String = {
+    val m = readMeta(root, token)
+    m.get("committedId").filter(_.nonEmpty) match {
+      case Some(done) => done // idempotent retry
+      case None =>
+        val st = resumeStatus(root, token)
+        if (st.received != st.total)
+          throw new IllegalStateException(
+            s"incomplete: ${st.received}/${st.total} bytes received")
+        val id = uploadFile(spark, partPath(root, token), root,
+          fileName = m("name"),
+          folderId = Option(m("folder")).filter(_.nonEmpty),
+          fileId = Option(m("fileId")).filter(_.nonEmpty),
+          mimeType = m("mime"),
+          convertToSheets = m("convert").toBoolean,
+          serviceAccountMode = m("svcAcct").toBoolean)
+        writeMeta(root, token, m + ("committedId" -> id))
+        id
+    }
+  }
+
   /** Payload writer: plain byte copy, or the CSV→parquet conversion
     * (the engine-side analog of Drive's CSV→Sheets import). */
   private def writePayload(spark: SparkSession, source: Path, target: Path,

@@ -68,10 +68,22 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("an un-extended session does NOT have the functions (scoping)") {
-    val err = intercept[Exception] {
-      spark.sql("SELECT graft_dot(array(1.0D), array(1.0D))").head()
+  test("extension functions are session-scoped: registered in the " +
+      "extended session's registry, NEVER in the global builtin one") {
+    // The shared test session installs GraftExtensions (it mirrors the
+    // driver harness since round 15), so "un-extended session errors"
+    // can no longer be asserted on it; the scoping contract that
+    // matters is that injectFunction touches the SESSION registry, not
+    // FunctionRegistry.builtin — a builtin mutation would leak the
+    // functions into every session of the JVM, extended or not.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    for (fn <- Seq("graft_dot", "graft_jw", "graft_nfc", "graft_token_lcp")) {
+      assert(!FunctionRegistry.builtin.functionExists(FunctionIdentifier(fn)),
+        s"$fn leaked into the GLOBAL builtin registry")
+      assert(spark.sessionState.catalog.functionExists(FunctionIdentifier(fn)) ||
+        spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(fn)),
+        s"$fn missing from the extended session registry")
     }
-    assert(err.getMessage.toLowerCase.contains("graft_dot"))
   }
 }

@@ -111,4 +111,65 @@ class LocalDriveSpec extends SparkSpec {
     assert(LocalDrive.findExistingFileId(root, "out.csv", Some(f1)).contains(a))
     assert(LocalDrive.findExistingFileId(root, "out.csv", Some(sub)).contains(b))
   }
+
+  test("resumable upload: interrupt, resume from the frontier, commit") {
+    val root = tmpRoot
+    val bytes = ("a,b\n" + (1 to 50).map(i => s"$i,x$i").mkString("\n"))
+      .getBytes("UTF-8")
+    val tok = LocalDrive.beginResumableUpload(root, "big.csv",
+      totalBytes = bytes.length, mimeType = LocalDrive.CsvMime,
+      convertToSheets = true)
+    // first two chunks land, then the "process dies"
+    assert(LocalDrive.uploadChunk(root, tok, 0, bytes.slice(0, 100)) === 100)
+    assert(LocalDrive.uploadChunk(root, tok, 100, bytes.slice(100, 180)) === 180)
+    // nothing is visible before commit — the catalog has no entry
+    assert(LocalDrive.findExistingFileId(root, "big.csv").isEmpty)
+
+    // resume: query the durable frontier, NOT a client-side counter
+    val st = LocalDrive.resumeStatus(root, tok)
+    assert(st.received === 180 && st.total === bytes.length)
+    assert(st.committedId.isEmpty)
+    // a retransmit that overlaps the frontier is absorbed idempotently
+    assert(LocalDrive.uploadChunk(root, tok, 150,
+      bytes.slice(150, 220)) === 220)
+    // a gapped chunk is rejected (protocol: back up to the frontier)
+    intercept[IllegalArgumentException] {
+      LocalDrive.uploadChunk(root, tok, 300, bytes.slice(300, 310))
+    }
+    LocalDrive.uploadChunk(root, tok, 220, bytes.drop(220))
+
+    val id = LocalDrive.commitResumableUpload(spark, root, tok)
+    // the staged payload went through the normal upsert + conversion
+    val payload = LocalDrive.payloadPath(root, id, LocalDrive.SheetMime)
+    assert(spark.read.parquet(payload.toString).count() === 50)
+    // double commit (retried final request) is idempotent: same id,
+    // no duplicate catalog entry
+    assert(LocalDrive.commitResumableUpload(spark, root, tok) === id)
+    assert(LocalDrive.listEntries(root).count(_.name == "big.csv") === 1)
+    // and a committed session refuses further bytes
+    intercept[IllegalStateException] {
+      LocalDrive.uploadChunk(root, tok, bytes.length.toLong, Array[Byte](1))
+    }
+  }
+
+  test("resumable upload: premature commit fails, session upsert " +
+      "updates an existing same-name file in place") {
+    val root = tmpRoot
+    val first = csvFile(root, "src.csv", Seq("1,x"))
+    val existing = LocalDrive.uploadCsv(spark, first, root, "report.csv")
+
+    val bytes = "a,b\n9,z".getBytes("UTF-8")
+    val tok = LocalDrive.beginResumableUpload(root, "report.csv",
+      totalBytes = bytes.length, mimeType = LocalDrive.CsvMime,
+      convertToSheets = true)
+    LocalDrive.uploadChunk(root, tok, 0, bytes.slice(0, 3))
+    intercept[IllegalStateException] {
+      LocalDrive.commitResumableUpload(spark, root, tok)
+    }
+    LocalDrive.uploadChunk(root, tok, 3, bytes.drop(3))
+    // commit runs the SAME find-or-create path: updates in place
+    assert(LocalDrive.commitResumableUpload(spark, root, tok) === existing)
+    val payload = LocalDrive.payloadPath(root, existing, LocalDrive.SheetMime)
+    assert(spark.read.parquet(payload.toString).count() === 1)
+  }
 }

@@ -97,4 +97,67 @@ class ParityGapsSpec extends SparkSpec {
     assert(LocalDrive.listEntries(root)
       .count(_.name == "nasdaq100_valuations_latest.csv") == 1)
   }
+
+  test("drive auth dispatch: oauth cached-token flow (reuse / refresh " +
+      "/ mint) and the two missing-file failures — load_drive.py:26-82") {
+    import java.nio.file.Files
+    import graft.sources.DriveAuth
+    val dir = Files.createTempDirectory("graft_auth")
+    val client = dir.resolve("client.json")
+    Files.writeString(client, """{"client_id":"graft-local"}""")
+    val token = dir.resolve("cache").resolve("oauth_token.tsv")
+    val t0 = 1_760_000_000L
+
+    // 1. no cache → flow runs against the client file, token cached
+    //    (parent dirs created like oauth_token_file.parent.mkdir)
+    val minted = DriveAuth.getDriveAuth("oauth",
+      oauthClientFile = Some(client), oauthTokenFile = Some(token), now = t0)
+    assert(Files.exists(token))
+    assert(minted.refreshToken.isDefined)
+    assert(minted.expiresAt === t0 + DriveAuth.TokenTtlSeconds)
+
+    // 2. cache valid → reused as-is (same access token, no rewrite)
+    val reused = DriveAuth.getDriveAuth("oauth",
+      oauthClientFile = Some(client), oauthTokenFile = Some(token),
+      now = t0 + 100)
+    assert(reused.accessToken === minted.accessToken)
+
+    // 3. cache expired + refresh token present → REFRESH path: a new
+    //    access token that is NOT what a fresh flow at this instant
+    //    would mint (proves the refresh grant was used), cache rewritten
+    val later = t0 + DriveAuth.TokenTtlSeconds + 1
+    val refreshed = DriveAuth.getDriveAuth("oauth",
+      oauthClientFile = Some(client), oauthTokenFile = Some(token),
+      now = later)
+    assert(refreshed.accessToken !== minted.accessToken)
+    assert(refreshed.refreshToken === minted.refreshToken)
+    val flowWouldMint = DriveAuth.oauthCredentials(client,
+      dir.resolve("other_token.tsv"), later)
+    assert(refreshed.accessToken !== flowWouldMint.accessToken)
+    // rewritten cache is reused on the next call
+    assert(DriveAuth.getDriveAuth("oauth", oauthClientFile = Some(client),
+      oauthTokenFile = Some(token), now = later + 10)
+      .accessToken === refreshed.accessToken)
+
+    // 4. the reference's two failure messages
+    val noClient = intercept[IllegalArgumentException] {
+      DriveAuth.getDriveAuth("oauth",
+        oauthClientFile = Some(dir.resolve("absent.json")),
+        oauthTokenFile = Some(token), now = t0)
+    }
+    assert(noClient.getMessage.contains("OAuth client file not found"))
+    val noKey = intercept[IllegalArgumentException] {
+      DriveAuth.getDriveAuth("service_account",
+        serviceAccountFile = Some(dir.resolve("absent_key.json")), now = t0)
+    }
+    assert(noKey.getMessage.contains("Service account file not found"))
+
+    // 5. unrecognized/empty mode falls back to service_account, and a
+    //    present key file yields a non-interactive credential
+    val key = dir.resolve("svc.json")
+    Files.writeString(key, """{"type":"service_account"}""")
+    val svc = DriveAuth.getDriveAuth("", serviceAccountFile = Some(key),
+      now = t0)
+    assert(svc.mode === "service_account" && svc.refreshToken.isEmpty)
+  }
 }
