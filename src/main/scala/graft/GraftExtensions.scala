@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate navigation over a materialized summary (off unless
     // spark.graft.summary.{base,path} are both set)
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite())
+    // uniqueness-aware DISTINCT elimination (off unless
+    // spark.graft.unique.{path,cols} are both set)
+    ext.injectOptimizerRule(_ => graft.plans.UniqueKeyDistinctElim())
     // whole-operator extension: the AS-OF JOIN logical node plans to
     // its merge-based physical operator (AsOfJoinExec)
     ext.injectPlannerStrategy(_ =>

@@ -835,7 +835,121 @@ WHERE p_size <= 3
 GROUP BY 1 ORDER BY 1
 """))
 
+  /** q321 — DSv2 LIMIT and TOP-N PUSHDOWN
+    * ([[graft.sources.ShardStatsSource]] grew `SupportsPushDownLimit`
+    * + `SupportsPushDownTopN` this round): orders staged as CSV
+    * shards, then (a) `ORDER BY x DESC LIMIT 5` — each shard ships
+    * only its local top-5 through a bounded heap (|files|·5 rows
+    * cross the source boundary instead of the corpus; Spark's
+    * retained global TopK finishes, so the answer is exact under any
+    * shard split — partial pushdown, the q282 contract), and (b)
+    * `LIMIT 1000` — each shard stops READING after 1000 lines (the
+    * remainder is never parsed), certified by counting the limited
+    * read. x is made UNIQUE (cents·2³⁰ + orderkey) so the top-5 row
+    * SET is deterministic and oracle-comparable; both pushdowns are
+    * plan-asserted via the scan's PushedTopN/PushedLimit markers. */
+  val q321 = QuerySpec("q321_limit_topn_pushdown",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q321_shards")
+      try {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            (expr("cast(round(o_totalprice * 100) as bigint)") *
+              lit(1073741824L) + col("o_orderkey")).as("x"))
+          .repartition(8)
+          .write.mode("overwrite").csv(tmp.toString)
+        val shard = s.read.format("graft-shard")
+          .option("path", tmp.toString).load()
+        val top = shard.orderBy(desc("x")).limit(5)
+          .select(lit("top").as("kind"), col("g"), col("x"))
+        require(top.queryExecution.executedPlan.toString
+          .contains("PushedTopN"),
+          "graft-shard top-n pushdown did not engage")
+        val limited = shard.limit(1000)
+          .agg(count(lit(1)).as("c"))
+          .select(lit("limit_count").as("kind"), lit("").as("g"),
+            col("c").as("x"))
+        require(limited.queryExecution.executedPlan.toString
+          .contains("PushedLimit"),
+          "graft-shard limit pushdown did not engage")
+        val sunk = top.unionByName(limited).orderBy("kind", "x").collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), top.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+WITH o AS (
+  SELECT o_orderpriority AS g,
+    CAST(round(o_totalprice * 100) AS BIGINT) * 1073741824 + o_orderkey
+      AS x
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'top' AS kind, g, x FROM o ORDER BY x DESC LIMIT 5
+)
+UNION ALL
+SELECT 'limit_count', '',
+  (SELECT count(*) FROM (SELECT * FROM o LIMIT 1000) t)
+ORDER BY kind, x
+"""))
+
+  /** q322 — uniqueness-aware DISTINCT ELIMINATION through the
+    * [[graft.plans.UniqueKeyDistinctElim]] optimizer rule: the query
+    * text is a plain `SELECT DISTINCT o_orderkey, … FROM orders WHERE
+    * …` — nothing constraint-aware in it — and the ENGINE, told via
+    * session conf that o_orderkey is a unique key of the orders path,
+    * proves the DISTINCT a no-op and deletes it: the optimized plan
+    * is REQUIRED to contain no Aggregate, so the corpus-wide Exchange
+    * + two-phase HashAggregate a DISTINCT costs on a 10⁹-row fact
+    * table never happens. The oracle runs the DISTINCT for real —
+    * equal results certify the functional-dependency reasoning, not
+    * just the plan shape. */
+  val q322 = QuerySpec("q322_distinct_elim",
+    (s, dir) => {
+      val base = s"$dir/orders.parquet"
+      val prevPath = s.conf.getOption("spark.graft.unique.path")
+      val prevCols = s.conf.getOption("spark.graft.unique.cols")
+      s.conf.set("spark.graft.unique.path", base)
+      s.conf.set("spark.graft.unique.cols", "o_orderkey")
+      try {
+        val out = s.read.parquet(base)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_custkey"))
+          .distinct()
+          .orderBy("o_orderkey")
+        val optimized = out.queryExecution.optimizedPlan
+        require(!optimized.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst
+            .plans.logical.Aggregate]),
+          "unique-key distinct elimination did not engage")
+        // negative control: without the key column in the projection
+        // the rule must NOT fire (duplicates are possible)
+        val control = s.read.parquet(base)
+          .select(col("o_orderpriority")).distinct()
+        require(control.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst
+            .plans.logical.Aggregate]),
+          "distinct elimination fired without the unique key — unsound")
+        out
+      } finally {
+        prevPath match {
+          case Some(p) => s.conf.set("spark.graft.unique.path", p)
+          case None => s.conf.unset("spark.graft.unique.path")
+        }
+        prevCols match {
+          case Some(p) => s.conf.set("spark.graft.unique.cols", p)
+          case None => s.conf.unset("spark.graft.unique.cols")
+        }
+      }
+    },
+    Some(raw"""
+SELECT DISTINCT o_orderkey, o_orderpriority, o_custkey
+FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308, q313, q317)
+      q289, q290, q307, q308, q313, q317, q321, q322)
 }

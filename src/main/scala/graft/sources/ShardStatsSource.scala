@@ -4,9 +4,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,12 +79,43 @@ private[sources] class ShardStatsTable(options: CaseInsensitiveStringMap)
 
 private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   // pushed state: None = plain row scan; Some((groupByG, funcs)) =
   // aggregated scan. funcs are tags: 'c' (count*), 'n' (min x),
   // 'x' (max x) — order preserved from the query's Aggregation.
   private var pushed: Option[(Boolean, Seq[Char])] = None
+  // LIMIT/TopN pushdown (both PARTIAL: each shard keeps its local
+  // k rows / top-k; Spark's plan retains the global Limit / TopK, so
+  // the answer is exact under any shard split — the same contract as
+  // the partial aggregate pushdown above). topN: (k, descending).
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Int, Boolean)] = None
+
+  /** LIMIT k over the raw rows: every shard may stop reading after k
+    * lines — a pure traffic cut (|files|·k rows cross the boundary). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.isDefined) return false // agg output is already tiny
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY x [ASC|DESC] LIMIT k: each shard ships only its local
+    * top-k by x (bounded heap over one file pass). Only the single
+    * numeric column is orderable; anything else is declined and the
+    * source serves plain rows — pushdown must never change semantics. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (pushed.isDefined) return false
+    orders match {
+      case Array(o) if isCol(o.expression(), "x") =>
+        pushedTopN = Some((limit, o.direction() == SortDirection.DESCENDING))
+        pushedLimit = None // TopN subsumes any plain limit
+        true
+      case _ => false
+    }
+  }
 
   private def isCol(e: Expression, name: String): Boolean = e match {
     case r: NamedReference =>
@@ -128,25 +159,35 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ShardStatsSource.shardFiles(options).map(f =>
-      ShardPartition(f, pushed.map { case (g, t) => (g, t.mkString) }))
+      ShardPartition(f, pushed.map { case (g, t) => (g, t.mkString) },
+        pushedLimit, pushedTopN))
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardStatsReaderFactory
   override def description(): String = pushed match {
     case Some((grouped, tags)) =>
       s"graft-shard PushedAggregates[${tags.mkString(",")}] grouped=$grouped"
-    case None => "graft-shard rows"
+    case None =>
+      val topn = pushedTopN.map { case (k, desc) =>
+        s" PushedTopN[x ${if (desc) "DESC" else "ASC"} limit=$k]"
+      }.getOrElse("")
+      val lim = pushedLimit.map(k => s" PushedLimit[$k]").getOrElse("")
+      s"graft-shard rows$topn$lim"
   }
 }
 
 private[sources] final case class ShardPartition(
-    file: String, pushed: Option[(Boolean, String)]) extends InputPartition
+    file: String, pushed: Option[(Boolean, String)],
+    limit: Option[Int] = None,
+    topN: Option[(Int, Boolean)] = None) extends InputPartition
 
 private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardPartition]
-    p.pushed match {
-      case None => new ShardRowReader(p.file)
-      case Some((grouped, tags)) => new ShardAggReader(p.file, grouped, tags)
+    (p.pushed, p.topN) match {
+      case (Some((grouped, tags)), _) =>
+        new ShardAggReader(p.file, grouped, tags)
+      case (None, Some((k, desc))) => new ShardTopNReader(p.file, k, desc)
+      case (None, None) => new ShardRowReader(p.file, p.limit)
     }
   }
 
@@ -155,16 +196,56 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
     (ln.substring(0, i), java.lang.Long.parseLong(ln.substring(i + 1)))
   }
 
-  private class ShardRowReader(file: String) extends PartitionReader[InternalRow] {
+  private class ShardRowReader(file: String, limit: Option[Int] = None)
+      extends PartitionReader[InternalRow] {
     private val src = scala.io.Source.fromFile(file, "UTF-8")
     private val it = src.getLines()
     private var cur: (String, Long) = _
+    private var emitted = 0
     override def next(): Boolean = {
-      val h = it.hasNext; if (h) cur = parse(it.next()); h
+      // pushed LIMIT: stop reading this shard after k lines — the
+      // remainder of the file is never parsed, let alone shipped
+      if (limit.exists(emitted >= _)) return false
+      val h = it.hasNext
+      if (h) { cur = parse(it.next()); emitted += 1 }
+      h
     }
     override def get(): InternalRow =
       InternalRow(UTF8String.fromString(cur._1), cur._2)
     override def close(): Unit = src.close()
+  }
+
+  /** Pushed ORDER BY x LIMIT k: one file pass through a bounded heap
+    * of size k (ties kept arbitrarily — Spark's retained global TopK
+    * re-sorts, so only the SET of per-shard top values must be a
+    * superset of the shard's contribution to the global answer, which
+    * a size-k heap guarantees). Emits in heap-pop order; order across
+    * the boundary is irrelevant under partial pushdown. */
+  private class ShardTopNReader(file: String, k: Int, desc: Boolean)
+      extends PartitionReader[InternalRow] {
+    private lazy val rows: Iterator[(String, Long)] = {
+      val ord: Ordering[(String, Long)] =
+        if (desc) Ordering.by[(String, Long), Long](_._2).reverse
+        else Ordering.by[(String, Long), Long](_._2)
+      // PQ keeps the WORST retained row at the head for O(log k) evict
+      val pq = scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord)
+      scala.util.Using.resource(scala.io.Source.fromFile(file, "UTF-8")) {
+        src =>
+          src.getLines().foreach { ln =>
+            val row = parse(ln)
+            if (pq.size < k) pq.enqueue(row)
+            else if (ord.lt(row, pq.head)) { pq.dequeue(); pq.enqueue(row) }
+          }
+      }
+      pq.iterator.toList.iterator
+    }
+    private var cur: (String, Long) = _
+    override def next(): Boolean = {
+      val h = rows.hasNext; if (h) cur = rows.next(); h
+    }
+    override def get(): InternalRow =
+      InternalRow(UTF8String.fromString(cur._1), cur._2)
+    override def close(): Unit = ()
   }
 
   /** One file pass → one output row per local group (or one total). */

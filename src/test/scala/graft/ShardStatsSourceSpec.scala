@@ -92,4 +92,65 @@ class ShardStatsSourceSpec extends SparkSpec {
       assert(scanRows <= 6L, s"scan emitted $scanRows rows")
     } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
   }
+
+  test("top-n pushdown: per-shard bounded heap, exact answer both " +
+      "directions, boundary traffic = files x k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_topn")
+    try {
+      // distinct x everywhere so the top-k row SET is deterministic
+      val sb1 = new StringBuilder; val sb2 = new StringBuilder
+      (0 until 500).foreach(i => sb1.append(s"g${i % 3},${i * 2}\n"))
+      (0 until 500).foreach(i => sb2.append(s"g${i % 3},${i * 2 + 1}\n"))
+      java.nio.file.Files.write(dir.resolve("a.csv"),
+        sb1.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b.csv"),
+        sb2.toString.getBytes("UTF-8"))
+      val df = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+
+      val topDesc = df.orderBy(desc("x")).limit(4)
+      assert(topDesc.queryExecution.executedPlan.toString
+        .contains("PushedTopN[x DESC limit=4]"))
+      assert(topDesc.collect().map(_.getLong(1)).toSeq ==
+        Seq(999L, 998L, 997L, 996L))
+      val scanRows = topDesc.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+      assert(scanRows <= 8L, s"scan emitted $scanRows rows") // 2 files x 4
+
+      val topAsc = df.orderBy(asc("x")).limit(3)
+      assert(topAsc.queryExecution.executedPlan.toString
+        .contains("PushedTopN[x ASC limit=3]"))
+      assert(topAsc.collect().map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+
+      // sort on g (non-numeric column) is declined — plain rows served
+      val declined = df.orderBy("g").limit(2)
+      assert(!declined.queryExecution.executedPlan.toString
+        .contains("PushedTopN"))
+      assert(declined.collect().length == 2)
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("limit pushdown: shards stop reading after k lines; global " +
+      "limit still exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_lim")
+    try {
+      val sb = new StringBuilder
+      (0 until 1000).foreach(i => sb.append(s"g,$i\n"))
+      java.nio.file.Files.write(dir.resolve("a.csv"),
+        sb.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b.csv"),
+        sb.toString.getBytes("UTF-8"))
+      val df = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+      val limited = df.limit(10)
+      assert(limited.queryExecution.executedPlan.toString
+        .contains("PushedLimit[10]"))
+      assert(limited.count() == 10L)
+      val scanRows = limited.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+      assert(scanRows <= 20L, s"scan emitted $scanRows rows") // 2 files x 10
+      // limit larger than the corpus: every row, exactly once
+      assert(df.limit(5000).count() == 2000L)
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
 }
