@@ -857,7 +857,10 @@ GROUP BY 1 ORDER BY 1
           .select(col("o_orderpriority").as("g"),
             (expr("cast(round(o_totalprice * 100) as bigint)") *
               lit(1073741824L) + col("o_orderkey")).as("x"))
-          .repartition(8)
+          // 32 shards: the staging write AND the per-shard readers
+          // parallelize across the full local[32] (8 shards left 3/4
+          // of the box idle — measured 39.5 s -> staging-bound at sf10)
+          .repartition(32)
           .write.mode("overwrite").csv(tmp.toString)
         val shard = s.read.format("graft-shard")
           .option("path", tmp.toString).load()

@@ -13,5 +13,6 @@ object Registry {
       LayoutQueries.all ++ EvalQueries.all ++ StatsQueries.all ++
       IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all ++
       AqpQueries.all ++ JourneyQueries.all ++ MlQueries.all ++
-      MatchQueries.all ++ PlanningQueries.all ++ VisionQueries.all
+      MatchQueries.all ++ PlanningQueries.all ++ VisionQueries.all ++
+      Wave15Queries.all
 }

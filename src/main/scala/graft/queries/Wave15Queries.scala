@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-15 statistics wave: classical statistical screens a data
+  * platform runs over its own corpus — independence testing, fraud
+  * screening, supervised splitting, concentration measurement, and
+  * autoregressive forecasting — each expressed as exact-integer
+  * aggregates with any irrational arithmetic (ratios of exact sums)
+  * performed ONCE per bounded output row in IEEE double and floored
+  * to ppm, the registry's standard no-flap convention (q272/q309).
+  * Every post-corpus frame in this file is bounded by a DOMAIN
+  * (lang×source grid, 9 digits, 50 quantity values, distinct price
+  * values, calendar days) — never by corpus cardinality.
+  */
+object Wave15Queries {
+
+  private val dayIdxSpark = "cast(floor(cast(ts as long) / 86400) as bigint)"
+  private val dayIdxSql = "CAST(floor(epoch(ts)) AS BIGINT) // 86400"
+
+  /** q323 — Pearson chi-square test of independence, lang × source
+    * over `documents` (the "is my corpus mix confounded" screen run
+    * before attributing quality differences to a source): exact
+    * integer contingency cells O, marginals R/C/N from ONE corpus
+    * pass (a cube over two bounded columns), expected counts in exact
+    * integer ppm (R·C·10⁶ div N), and each cell's χ² contribution
+    * floor(10⁶·d²/(R·C·N)) with d = O·N − R·C computed EXACTLY in
+    * int64 first — the single double division per cell is the same
+    * IEEE expression in both engines. The grid is |langs|·|sources|
+    * rows, so every frame after the first aggregate is O(1) in the
+    * corpus; the total rides along as a window sum over the grid. */
+  val q323 = QuerySpec("q323_chisq_independence",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select("lang", "source")
+      val cells = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rows = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+      val cols = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      cells.join(rows, "lang").join(cols, "source").crossJoin(tot)
+        .withColumn("d", col("o") * col("n") - col("r") * col("c"))
+        .select(col("lang"), col("source"), col("o"),
+          expr("r * c * 1000000 div n").as("e_ppm"),
+          expr("cast(floor(1000000.0 * (cast(d as double) * " +
+            "cast(d as double)) / cast(r * c * n as double)) as bigint)")
+            .as("contrib_ppm"))
+        .withColumn("chi2_ppm", sum("contrib_ppm").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .orderBy("lang", "source")
+    },
+    Some(raw"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rows_ AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS r FROM documents GROUP BY 1
+), cols_ AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+g AS (
+  SELECT lang, source, o, r, c, n, o * n - r * c AS d
+  FROM cells JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN tot
+)
+SELECT lang, source, o,
+  CAST(r * c * 1000000 // n AS BIGINT) AS e_ppm,
+  CAST(floor(1000000.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+    / CAST(r * c * n AS DOUBLE)) AS BIGINT) AS contrib_ppm,
+  CAST(sum(CAST(floor(1000000.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+    / CAST(r * c * n AS DOUBLE)) AS BIGINT)) OVER () AS BIGINT) AS chi2_ppm
+FROM g ORDER BY lang, source
+"""))
+
+  /** q324 — Benford's-law first-digit audit of order totals (the
+    * classic forensic-accounting / synthetic-data screen): leading
+    * digit of the exact cents value, observed frequency in integer
+    * ppm against the Benford expectation. The nine expected ppm
+    * values are PINNED LITERALS (floor(log10(1+1/d)·10⁶)) in both
+    * query texts — a runtime log10 would compare two libms' last
+    * ulps, the exact flap class the registry bans. One corpus pass to
+    * 9 rows; everything after is O(1). */
+  val q324 = QuerySpec("q324_benford_audit",
+    (s, dir) => {
+      val benford = "case digit when 1 then 301029 when 2 then 176091 " +
+        "when 3 then 124938 when 4 then 96910 when 5 then 79181 " +
+        "when 6 then 66946 when 7 then 57991 when 8 then 51152 " +
+        "else 45757 end"
+      Tables(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .where(col("cents") > 0L)
+        .select(expr("cast(substring(cast(cents as string), 1, 1) as int)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("observed_ppm"),
+          expr(benford).as("expected_ppm"),
+          (expr("n * 1000000 div total") - expr(benford)).as("dev_ppm"))
+        .orderBy("digit")
+    },
+    Some(raw"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+    AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+), g AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(count(*)) OVER () AS BIGINT) AS total
+  FROM d GROUP BY 1
+), e AS (
+  SELECT digit, n,
+    CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+    CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+      WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+      ELSE 45757 END AS BIGINT) AS expected_ppm
+  FROM g
+)
+SELECT digit, n, observed_ppm, expected_ppm,
+  CAST(observed_ppm - expected_ppm AS BIGINT) AS dev_ppm
+FROM e ORDER BY digit
+"""))
+
+  /** q325 — decision stump on l_quantity predicting returns (the
+    * one-split CART step — distributed supervised learning's
+    * smallest unit, and the shape feature-importance scans repeat):
+    * one corpus pass to the 50-value quantity histogram with per-
+    * value positive counts, prefix sums over that BOUNDED frame, and
+    * for every split t the weighted Gini cost
+    * (nL²−posL²−negL²)/nL + (nR²−posR²−negR²)/nR, normalized by n
+    * and floored to ppm — the count arithmetic is exact int64 inside
+    * one double division per candidate row (49 rows). The best split
+    * is the (cost, t)-lexicographic minimum, a deterministic argmin.
+    */
+  val q325 = QuerySpec("q325_decision_stump",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir, "lineitem")
+        .select(expr("cast(l_quantity as bigint)").as("q"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val hist = li.groupBy("q")
+        .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      val w = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("nl", sum("cnt").over(w))
+        .withColumn("posl", sum("pos").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
+        .withColumn("post", sum("pos").over(Window.partitionBy(lit(1))))
+        .where(col("nl") < col("n")) // t = q splits left/right non-empty
+      val scored = cum.select(col("q").as("t"),
+          col("nl").as("n_left"), col("posl").as("pos_left"),
+          expr("""cast(floor(1000000.0 * (
+            (cast(nl as double) * cast(nl as double)
+              - cast(posl as double) * cast(posl as double)
+              - cast(nl - posl as double) * cast(nl - posl as double))
+              / cast(nl as double)
+            + (cast(n - nl as double) * cast(n - nl as double)
+              - cast(post - posl as double) * cast(post - posl as double)
+              - cast((n - nl) - (post - posl) as double)
+                * cast((n - nl) - (post - posl) as double))
+              / cast(n - nl as double)
+          ) / cast(n as double)) as bigint)""").as("cost_ppm"))
+      scored.withColumn("is_best",
+          when(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("cost_ppm", "t")) === 1, 1).otherwise(0))
+        .orderBy("t")
+    },
+    Some(raw"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), hist AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM li GROUP BY 1
+), cum AS (
+  SELECT q, cnt, pos,
+    CAST(sum(cnt) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+    CAST(sum(pos) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS posl,
+    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+    CAST(sum(pos) OVER () AS BIGINT) AS post
+  FROM hist
+), scored AS (
+  SELECT q AS t, nl AS n_left, posl AS pos_left,
+    CAST(floor(1000000.0 * (
+      (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)
+        - CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+        - CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+        / CAST(nl AS DOUBLE)
+      + (CAST(n - nl AS DOUBLE) * CAST(n - nl AS DOUBLE)
+        - CAST(post - posl AS DOUBLE) * CAST(post - posl AS DOUBLE)
+        - CAST((n - nl) - (post - posl) AS DOUBLE)
+          * CAST((n - nl) - (post - posl) AS DOUBLE))
+        / CAST(n - nl AS DOUBLE)
+    ) / CAST(n AS DOUBLE)) AS BIGINT) AS cost_ppm
+  FROM cum WHERE nl < n
+)
+SELECT t, n_left, pos_left, cost_ppm,
+  CAST(CASE WHEN row_number() OVER (ORDER BY cost_ppm, t) = 1
+    THEN 1 ELSE 0 END AS INT) AS is_best
+FROM scored ORDER BY t
+"""))
+
+  /** q326 — revenue concentration: exact Lorenz-curve decile shares
+    * and the exact Gini coefficient of order totals (the "what share
+    * of revenue do the bottom d deciles hold" screen behind every
+    * whale-risk dashboard). Rank arithmetic runs on the VALUE
+    * HISTOGRAM (one row per distinct cents value — bounded by the
+    * price domain, not by order count; the q194 convention): for a
+    * run of cnt tied values starting after cumBefore rows,
+    * Σ rank·x = x·(2·cnt·cumBefore + cnt·(cnt+1))/2 exactly, so
+    * 2Σrank·x accumulates in decimal(38,0)/HUGEINT and Gini =
+    * 2Σrank·x/(n·S) − (n+1)/n is ONE double expression from exact
+    * integers. Decile boundary ranks locate their histogram bucket by
+    * a 10-row theta join (deciles × histogram), and each share
+    * numerator cumXbefore + (r − cumBefore)·x is exact int. */
+  val q326 = QuerySpec("q326_gini_lorenz",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vh = Tables(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val cum = vh
+        .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("cumx_before",
+          coalesce(sum(col("cnt") * col("x")).over(w), lit(0L)))
+      val tot = cum.agg(sum("cnt").as("n"),
+        sum(col("cnt") * col("x")).as("s"),
+        sum(expr("cast(x as decimal(38,0)) * (2 * cnt * cum_before" +
+          " + cnt * (cnt + 1))")).as("two_sum_rank_x"))
+      val gini = tot.select(
+        expr("cast(floor(1000000.0 * (cast(two_sum_rank_x as double)" +
+          " / (cast(n as double) * cast(s as double))" +
+          " - (cast(n as double) + 1.0) / cast(n as double)))" +
+          " as bigint)").as("gini_ppm"),
+        col("n"), col("s"))
+      import s.implicits._
+      val deciles = (1 to 10).toDF("d")
+      deciles.crossJoin(gini)
+        .withColumn("r", expr("d * n div 10"))
+        .join(cum, col("cum_before") < col("r") &&
+          col("r") <= col("cum_before") + col("cnt"))
+        .select(col("d"),
+          expr("cast(cast(cumx_before + (r - cum_before) * x" +
+            " as decimal(38,0)) * 1000000 div cast(s as decimal(38,0))" +
+            " as bigint)").as("cum_share_ppm"),
+          col("gini_ppm"))
+        .orderBy("d")
+    },
+    Some(raw"""
+WITH vh AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT x, cnt,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before,
+    CAST(coalesce(sum(cnt * x) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cumx_before
+  FROM vh
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+    CAST(sum(cnt * x) AS BIGINT) AS s,
+    sum(CAST(x AS HUGEINT) * (2 * cnt * cum_before + cnt * (cnt + 1)))
+      AS two_sum_rank_x
+  FROM cum
+), gini AS (
+  SELECT CAST(floor(1000000.0 * (CAST(two_sum_rank_x AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))) AS BIGINT)
+      AS gini_ppm,
+    n, s
+  FROM tot
+), deciles AS (SELECT unnest(generate_series(1, 10)) AS d)
+SELECT dd.d,
+  CAST(CAST(c.cumx_before + (dd.r - c.cum_before) * c.x AS HUGEINT)
+    * 1000000 // dd.s AS BIGINT) AS cum_share_ppm,
+  dd.gini_ppm
+FROM (
+  SELECT d, gini_ppm, s, d * n // 10 AS r FROM deciles CROSS JOIN gini
+) dd
+JOIN cum c ON c.cum_before < dd.r AND dd.r <= c.cum_before + c.cnt
+ORDER BY dd.d
+"""))
+
+  /** q327 — AR(1) fit by Yule–Walker with 1-step forecast, per event
+    * type over the zero-densified daily count series (the persistence
+    * model the q248 ACF diagnoses and q319's Holt smoothing sits
+    * beside — this is the FITTED autoregression, with the coefficient
+    * and the forecast it implies). The series is calendar-bounded
+    * (≤ a few thousand rows per type); all sums (Σx, Σx², Σx_t·x_{t−1},
+    * edge sums) are exact int64 from one pass over it, combined in
+    * decimal(38,0)/HUGEINT via the n²-scaled centered identities
+    * n²·num = n²Σxy − nS(Sa+Sb) + (n−1)S²,
+    * n²·den = n²Σx² − nS², so φ = num/den and
+    * x̂ = m + φ(x_n − m) are each ONE double expression. */
+  val q327 = QuerySpec("q327_ar1_yule_walker",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr(dayIdxSpark).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val span = daily.groupBy("event_type")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val dense = span
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val wl = Window.partitionBy("event_type").orderBy("day")
+      val paired = dense
+        .withColumn("xprev", lag("x", 1).over(wl))
+        .withColumn("rn_desc", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("day"))))
+      val agg = paired.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("case when xprev is not null then x * xprev end"))
+          .as("sxy"),
+        sum(expr("case when xprev is not null then x end")).as("sa"),
+        sum(expr("case when xprev is not null then xprev end")).as("sb"),
+        max(expr("case when rn_desc = 1 then x end")).as("xlast"))
+      agg.select(col("event_type"), col("n").as("n_days"),
+          expr("sx * 1000000 div n").as("mean_ppm"),
+          expr("""cast(floor(1000000.0 *
+            cast(cast(n as decimal(38,0)) * n * sxy
+              - cast(n as decimal(38,0)) * sx * (sa + sb)
+              + cast(n - 1 as decimal(38,0)) * sx * sx as double)
+            / cast(cast(n as decimal(38,0)) * n * sxx
+              - cast(n as decimal(38,0)) * sx * sx as double))
+            as bigint)""").as("phi_ppm"),
+          expr("""cast(floor(1000000.0 * (
+            cast(sx as double) / cast(n as double)
+            + (cast(cast(n as decimal(38,0)) * n * sxy
+                - cast(n as decimal(38,0)) * sx * (sa + sb)
+                + cast(n - 1 as decimal(38,0)) * sx * sx as double)
+              / cast(cast(n as decimal(38,0)) * n * sxx
+                - cast(n as decimal(38,0)) * sx * sx as double))
+              * (cast(xlast as double) - cast(sx as double) / cast(n as double))
+          )) as bigint)""").as("forecast_ppm"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1
+  FROM daily GROUP BY 1
+), dense0 AS (
+  SELECT s.event_type, gs.day
+  FROM span s, unnest(generate_series(s.d0, s.d1)) AS gs(day)
+), dense AS (
+  SELECT d0.event_type, d0.day, coalesce(d.x, 0) AS x
+  FROM dense0 d0
+  LEFT JOIN daily d ON d.event_type = d0.event_type AND d.day = d0.day
+), paired AS (
+  SELECT event_type, day, x,
+    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xprev,
+    row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+      AS rn_desc
+  FROM dense
+), agg AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(CASE WHEN xprev IS NOT NULL THEN x * xprev END) AS BIGINT)
+      AS sxy,
+    CAST(sum(CASE WHEN xprev IS NOT NULL THEN x END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN xprev IS NOT NULL THEN xprev END) AS BIGINT) AS sb,
+    CAST(max(CASE WHEN rn_desc = 1 THEN x END) AS BIGINT) AS xlast
+  FROM paired GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+  CAST(sx * 1000000 // n AS BIGINT) AS mean_ppm,
+  CAST(floor(1000000.0 *
+    CAST(CAST(n AS HUGEINT) * n * sxy
+      - CAST(n AS HUGEINT) * sx * (sa + sb)
+      + CAST(n - 1 AS HUGEINT) * sx * sx AS DOUBLE)
+    / CAST(CAST(n AS HUGEINT) * n * sxx
+      - CAST(n AS HUGEINT) * sx * sx AS DOUBLE)) AS BIGINT) AS phi_ppm,
+  CAST(floor(1000000.0 * (
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+    + (CAST(CAST(n AS HUGEINT) * n * sxy
+        - CAST(n AS HUGEINT) * sx * (sa + sb)
+        + CAST(n - 1 AS HUGEINT) * sx * sx AS DOUBLE)
+      / CAST(CAST(n AS HUGEINT) * n * sxx
+        - CAST(n AS HUGEINT) * sx * sx AS DOUBLE))
+      * (CAST(xlast AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+  )) AS BIGINT) AS forecast_ppm
+FROM agg ORDER BY event_type
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q323, q324, q325, q326, q327)
+}
