@@ -952,7 +952,70 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 ORDER BY o_orderkey
 """))
 
+  /** q328 — DSv2 FILTER + COLUMN-PRUNING pushdown (the remaining two
+    * read-path capabilities of [[graft.sources.ShardStatsSource]],
+    * added this round): (a) a filtered single-column scan — the g
+    * equality and x range predicates are evaluated AT PARSE TIME
+    * inside the readers (rejected lines never become rows), and
+    * because pushed V2 filters are trusted, Spark prunes the read
+    * schema to the one projected column; the plan is REQUIRED to
+    * carry both the PushedFilters and the ReadSchema[x] markers.
+    * (b) the same filters COMPOSED with aggregate pushdown — each
+    * shard ships one filtered row per local group. The oracle replays
+    * both parts from the base parquet. */
+  val q328 = QuerySpec("q328_filter_prune_pushdown",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q328_shards")
+      try {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+          .repartition(32)
+          .write.mode("overwrite").csv(tmp.toString)
+        val shard = s.read.format("graft-shard")
+          .option("path", tmp.toString).load()
+        // (a) filtered, pruned row scan (sum declines agg pushdown,
+        // so the scan serves rows — filtered and single-column)
+        val rows = shard
+          .where(col("g") === "1-URGENT" && col("x") > 15000000L)
+          .agg(count(lit(1)).as("n"), sum("x").as("sum_x"))
+          .select(lit("rows_urgent_gt").as("part"), lit("").as("g"),
+            col("n"), col("sum_x"))
+        val rowsPlan = rows.queryExecution.executedPlan.toString
+        require(rowsPlan.contains("PushedFilters"),
+          "graft-shard filter pushdown did not engage")
+        require(rowsPlan.contains("ReadSchema[x]"),
+          "graft-shard column pruning did not engage")
+        // (b) filters composed under aggregate pushdown
+        val agg = shard.where(col("x") <= 10000000L)
+          .groupBy("g").agg(count(lit(1)).as("n"))
+          .select(lit("agg_le").as("part"), col("g"), col("n"),
+            lit(null).cast("long").as("sum_x"))
+        val aggPlan = agg.queryExecution.executedPlan.toString
+        require(aggPlan.contains("PushedAggregates") &&
+          aggPlan.contains("PushedFilters"),
+          "filtered aggregate pushdown did not engage")
+        val sunk = rows.unionByName(agg).orderBy("part", "g").collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), rows.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+WITH o AS (
+  SELECT o_orderpriority AS g,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+)
+SELECT 'rows_urgent_gt' AS part, '' AS g,
+  CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sum_x
+FROM o WHERE g = '1-URGENT' AND x > 15000000
+UNION ALL
+SELECT 'agg_le', g, CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM o WHERE x <= 10000000 GROUP BY g
+ORDER BY part, g
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308, q313, q317, q321, q322)
+      q289, q290, q307, q308, q313, q317, q321, q322, q328)
 }

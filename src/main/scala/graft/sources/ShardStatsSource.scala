@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,7 +81,8 @@ private[sources] class ShardStatsTable(options: CaseInsensitiveStringMap)
 private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   // pushed state: None = plain row scan; Some((groupByG, funcs)) =
   // aggregated scan. funcs are tags: 'c' (count*), 'n' (min x),
@@ -92,6 +94,42 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
   // the partial aggregate pushdown above). topN: (k, descending).
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Int, Boolean)] = None
+  // accepted scan-level predicates on (g, x) — evaluated at PARSE
+  // time inside every reader path (rows, top-n, limited, aggregated),
+  // so rejected lines never become rows at all. V2ScanRelationPushDown
+  // pushes filters FIRST, so the later-pushed aggregate/top-n/limit
+  // semantics apply to the filtered stream — exactly the SQL order.
+  private var accepted: Seq[Filter] = Nil
+  // column pruning for non-aggregated scans: None = full (g, x)
+  private var pruned: Option[StructType] = None
+
+  /** Accept the equality/range shapes a `g,x` line can answer while
+    * parsing; everything else is returned for Spark to evaluate
+    * post-scan. IsNotNull is vacuously true here (both columns are
+    * non-nullable) and is absorbed. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo("g", _: String) => true
+      case EqualTo("x", _: Long) => true
+      case GreaterThan("x", _: Long) => true
+      case GreaterThanOrEqual("x", _: Long) => true
+      case LessThan("x", _: Long) => true
+      case LessThanOrEqual("x", _: Long) => true
+      case IsNotNull("g") | IsNotNull("x") => true
+      case _ => false
+    }
+    accepted = ok.toSeq
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = accepted.toArray
+
+  /** Column pruning for the plain-row path (the aggregate path's
+    * output schema is the aggregation itself — pruning is ignored
+    * there). An empty required schema (bare count(*) when the
+    * aggregate path declined) is honored: readers emit zero-column
+    * rows. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (pushed.isEmpty) pruned = Some(requiredSchema)
 
   /** LIMIT k over the raw rows: every shard may stop reading after k
     * lines — a pure traffic cut (|files|·k rows cross the boundary). */
@@ -145,7 +183,7 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = this
   override def readSchema(): StructType = pushed match {
-    case None => ShardStatsSource.rowSchema
+    case None => pruned.getOrElse(ShardStatsSource.rowSchema)
     case Some((grouped, tags)) =>
       val aggFields = tags.zipWithIndex.map {
         case ('c', i) => StructField(s"count_$i", LongType, nullable = false)
@@ -160,34 +198,48 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
   override def planInputPartitions(): Array[InputPartition] =
     ShardStatsSource.shardFiles(options).map(f =>
       ShardPartition(f, pushed.map { case (g, t) => (g, t.mkString) },
-        pushedLimit, pushedTopN))
+        pushedLimit, pushedTopN, accepted,
+        pruned.map(_.fieldNames.toSeq)))
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardStatsReaderFactory
-  override def description(): String = pushed match {
-    case Some((grouped, tags)) =>
-      s"graft-shard PushedAggregates[${tags.mkString(",")}] grouped=$grouped"
-    case None =>
-      val topn = pushedTopN.map { case (k, desc) =>
-        s" PushedTopN[x ${if (desc) "DESC" else "ASC"} limit=$k]"
-      }.getOrElse("")
-      val lim = pushedLimit.map(k => s" PushedLimit[$k]").getOrElse("")
-      s"graft-shard rows$topn$lim"
+  override def description(): String = {
+    val filt =
+      if (accepted.isEmpty) ""
+      else s" PushedFilters[${accepted.mkString(", ")}]"
+    pushed match {
+      case Some((grouped, tags)) =>
+        s"graft-shard PushedAggregates[${tags.mkString(",")}] " +
+          s"grouped=$grouped$filt"
+      case None =>
+        val topn = pushedTopN.map { case (k, desc) =>
+          s" PushedTopN[x ${if (desc) "DESC" else "ASC"} limit=$k]"
+        }.getOrElse("")
+        val lim = pushedLimit.map(k => s" PushedLimit[$k]").getOrElse("")
+        val cols = pruned.map(p =>
+          s" ReadSchema[${p.fieldNames.mkString(",")}]").getOrElse("")
+        s"graft-shard rows$topn$lim$filt$cols"
+    }
   }
 }
 
 private[sources] final case class ShardPartition(
     file: String, pushed: Option[(Boolean, String)],
     limit: Option[Int] = None,
-    topN: Option[(Int, Boolean)] = None) extends InputPartition
+    topN: Option[(Int, Boolean)] = None,
+    filters: Seq[Filter] = Nil,
+    prunedCols: Option[Seq[String]] = None) extends InputPartition
 
 private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardPartition]
+    val keep = predicate(p.filters)
+    val proj = projector(p.prunedCols)
     (p.pushed, p.topN) match {
       case (Some((grouped, tags)), _) =>
-        new ShardAggReader(p.file, grouped, tags)
-      case (None, Some((k, desc))) => new ShardTopNReader(p.file, k, desc)
-      case (None, None) => new ShardRowReader(p.file, p.limit)
+        new ShardAggReader(p.file, grouped, tags, keep)
+      case (None, Some((k, desc))) =>
+        new ShardTopNReader(p.file, k, desc, keep, proj)
+      case (None, None) => new ShardRowReader(p.file, p.limit, keep, proj)
     }
   }
 
@@ -196,22 +248,50 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
     (ln.substring(0, i), java.lang.Long.parseLong(ln.substring(i + 1)))
   }
 
-  private class ShardRowReader(file: String, limit: Option[Int] = None)
+  /** Compile the accepted scan filters to one line-level predicate. */
+  private def predicate(fs: Seq[Filter]): ((String, Long)) => Boolean = {
+    if (fs.isEmpty) return _ => true
+    row => fs.forall {
+      case EqualTo("g", v: String) => row._1 == v
+      case EqualTo("x", v: Long) => row._2 == v
+      case GreaterThan("x", v: Long) => row._2 > v
+      case GreaterThanOrEqual("x", v: Long) => row._2 >= v
+      case LessThan("x", v: Long) => row._2 < v
+      case LessThanOrEqual("x", v: Long) => row._2 <= v
+      case IsNotNull(_) => true
+      case _ => true // unreachable: pushFilters accepted only the above
+    }
+  }
+
+  /** Compile the pruned column list to an InternalRow projector. */
+  private def projector(cols: Option[Seq[String]])
+      : ((String, Long)) => InternalRow = cols match {
+    case None => row => InternalRow(UTF8String.fromString(row._1), row._2)
+    case Some(cs) =>
+      row => InternalRow.fromSeq(cs.map {
+        case "g" => UTF8String.fromString(row._1)
+        case _ => row._2
+      })
+  }
+
+  private class ShardRowReader(file: String, limit: Option[Int] = None,
+      keep: ((String, Long)) => Boolean = _ => true,
+      proj: ((String, Long)) => InternalRow =
+        r => InternalRow(UTF8String.fromString(r._1), r._2))
       extends PartitionReader[InternalRow] {
     private val src = scala.io.Source.fromFile(file, "UTF-8")
-    private val it = src.getLines()
+    private val it = src.getLines().map(parse).filter(keep)
     private var cur: (String, Long) = _
     private var emitted = 0
     override def next(): Boolean = {
-      // pushed LIMIT: stop reading this shard after k lines — the
-      // remainder of the file is never parsed, let alone shipped
+      // pushed LIMIT: stop reading this shard after k SURVIVING rows
+      // — the remainder of the file is never shipped
       if (limit.exists(emitted >= _)) return false
       val h = it.hasNext
-      if (h) { cur = parse(it.next()); emitted += 1 }
+      if (h) { cur = it.next(); emitted += 1 }
       h
     }
-    override def get(): InternalRow =
-      InternalRow(UTF8String.fromString(cur._1), cur._2)
+    override def get(): InternalRow = proj(cur)
     override def close(): Unit = src.close()
   }
 
@@ -221,7 +301,10 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
     * superset of the shard's contribution to the global answer, which
     * a size-k heap guarantees). Emits in heap-pop order; order across
     * the boundary is irrelevant under partial pushdown. */
-  private class ShardTopNReader(file: String, k: Int, desc: Boolean)
+  private class ShardTopNReader(file: String, k: Int, desc: Boolean,
+      keep: ((String, Long)) => Boolean = _ => true,
+      proj: ((String, Long)) => InternalRow =
+        r => InternalRow(UTF8String.fromString(r._1), r._2))
       extends PartitionReader[InternalRow] {
     private lazy val rows: Iterator[(String, Long)] = {
       val ord: Ordering[(String, Long)] =
@@ -233,8 +316,10 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
         src =>
           src.getLines().foreach { ln =>
             val row = parse(ln)
-            if (pq.size < k) pq.enqueue(row)
-            else if (ord.lt(row, pq.head)) { pq.dequeue(); pq.enqueue(row) }
+            if (keep(row)) {
+              if (pq.size < k) pq.enqueue(row)
+              else if (ord.lt(row, pq.head)) { pq.dequeue(); pq.enqueue(row) }
+            }
           }
       }
       pq.iterator.toList.iterator
@@ -243,13 +328,13 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
     override def next(): Boolean = {
       val h = rows.hasNext; if (h) cur = rows.next(); h
     }
-    override def get(): InternalRow =
-      InternalRow(UTF8String.fromString(cur._1), cur._2)
+    override def get(): InternalRow = proj(cur)
     override def close(): Unit = ()
   }
 
   /** One file pass → one output row per local group (or one total). */
-  private class ShardAggReader(file: String, grouped: Boolean, tags: String)
+  private class ShardAggReader(file: String, grouped: Boolean, tags: String,
+      keep: ((String, Long)) => Boolean = _ => true)
       extends PartitionReader[InternalRow] {
     private lazy val rows: Iterator[InternalRow] = {
       val acc = scala.collection.mutable.LinkedHashMap
@@ -257,11 +342,14 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
       scala.util.Using.resource(scala.io.Source.fromFile(file, "UTF-8")) {
         src =>
           src.getLines().foreach { ln =>
-            val (g, x) = parse(ln)
-            val key = if (grouped) g else ""
-            val (c, mn, mx) =
-              acc.getOrElse(key, (0L, Long.MaxValue, Long.MinValue))
-            acc.update(key, (c + 1, math.min(mn, x), math.max(mx, x)))
+            val row = parse(ln)
+            if (keep(row)) {
+              val (g, x) = row
+              val key = if (grouped) g else ""
+              val (c, mn, mx) =
+                acc.getOrElse(key, (0L, Long.MaxValue, Long.MinValue))
+              acc.update(key, (c + 1, math.min(mn, x), math.max(mx, x)))
+            }
           }
       }
       acc.iterator.map { case (g, (c, mn, mx)) =>

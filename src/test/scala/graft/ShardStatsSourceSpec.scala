@@ -153,4 +153,59 @@ class ShardStatsSourceSpec extends SparkSpec {
       assert(df.limit(5000).count() == 2000L)
     } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
   }
+
+  test("filter pushdown: parse-time evaluation, trusted (no post-scan " +
+      "re-filter), composes with limit / top-n / aggregates") {
+    val dir = stage() // x values: a:(x5,y7,x1) b:(y9,z2,x8)
+    try {
+      val df = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+
+      val filtered = df.where(col("x") > 4L && col("g") =!= "z")
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("PushedFilters"))
+      assert(filtered.collect().map(_.getLong(1)).sorted.toSeq ==
+        Seq(5L, 7L, 8L, 9L))
+      // g != 'z' is NOT an accepted shape — it must survive post-scan;
+      // x > 4 IS accepted and the scan must not re-emit rejected rows
+      val leafRows = filtered.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+      assert(leafRows == 4L, s"scan emitted $leafRows rows")
+
+      // equality on g composes with top-n
+      val top = df.where(col("g") === "x").orderBy(desc("x")).limit(2)
+      val topPlan = top.queryExecution.executedPlan.toString
+      assert(topPlan.contains("PushedTopN") &&
+        topPlan.contains("PushedFilters"))
+      assert(top.collect().map(_.getLong(1)).toSeq == Seq(8L, 5L))
+
+      // filters under aggregate pushdown: per-group stats of x >= 5
+      val agg = df.where(col("x") >= 5L)
+        .groupBy("g").agg(count(lit(1)).as("n"), max("x").as("mx"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(aggPlan.contains("PushedAggregates") &&
+        aggPlan.contains("PushedFilters"))
+      assert(agg.orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("x", 2L, 8L), ("y", 2L, 9L)))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("column pruning: single-column and zero-column reads") {
+    val dir = stage()
+    try {
+      val df = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+      val xOnly = df.select("x")
+      assert(xOnly.queryExecution.executedPlan.toString
+        .contains("ReadSchema[x]"))
+      assert(xOnly.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 5L, 7L, 8L, 9L))
+      val gOnly = df.select("g")
+      assert(gOnly.queryExecution.executedPlan.toString
+        .contains("ReadSchema[g]"))
+      assert(gOnly.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("x", "x", "x", "y", "y", "z"))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
 }
