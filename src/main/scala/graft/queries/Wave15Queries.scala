@@ -401,5 +401,224 @@ SELECT event_type, n AS n_days,
 FROM agg ORDER BY event_type
 """))
 
-  def all: Seq[QuerySpec] = Seq(q323, q324, q325, q326, q327)
+  /** q329 — CUSUM change-point detection on the daily event series
+    * (the offline mean-shift locator behind every "when did traffic
+    * change" incident review; Page's cumulative-sum statistic): with
+    * S_t = Σ_{i≤t}(x_i − x̄), the change point is argmax|S_t|. The
+    * whole statistic stays EXACT INTEGER by n-scaling:
+    * n·S_t = n·cum_t − t·Σx, so the argmax, the peak, and the
+    * before/after means are integer arithmetic end to end — no ppm
+    * rounding anywhere near the argmax decision (ties break to the
+    * earliest day, a total order). One corpus pass to the calendar-
+    * bounded daily frame; prefix sums over it. */
+  val q329 = QuerySpec("q329_cusum_changepoint",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(expr(dayIdxSpark).as("day"))
+        .agg(count(lit(1)).as("x"))
+      // t = dense day rank (1-based), calendar-bounded frame
+      val wOrd = Window.orderBy("day")
+      val cum = daily
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("cum", sum("x").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("x").over(Window.partitionBy(lit(1))))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .withColumn("ns", expr("nd * cum - t * n")) // n_days-scaled S_t
+      val peak = cum
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("ns")).desc, col("t"))))
+        .where(col("rk") === 1)
+      peak.select(col("day").as("change_day"),
+          col("t").as("t_star"), col("nd").as("n_days"),
+          abs(col("ns")).as("peak_nscaled"),
+          expr("cum * 1000000 div t").as("mean_before_ppm"),
+          expr("(n - cum) * 1000000 div (nd - t)").as("mean_after_ppm"),
+          expr("(n - cum) * 1000000 div (nd - t)" +
+            " - cum * 1000000 div t").as("shift_ppm"))
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT $dayIdxSql AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day, x,
+    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+    CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum,
+    CAST(sum(x) OVER () AS BIGINT) AS n,
+    CAST(count(*) OVER () AS BIGINT) AS nd
+  FROM daily
+), scored AS (
+  SELECT day, t, nd, cum, n, nd * cum - t * n AS ns,
+    row_number() OVER (ORDER BY abs(nd * cum - t * n) DESC, t) AS rk
+  FROM cum
+)
+SELECT day AS change_day, t AS t_star, nd AS n_days,
+  CAST(abs(ns) AS BIGINT) AS peak_nscaled,
+  CAST(cum * 1000000 // t AS BIGINT) AS mean_before_ppm,
+  CAST((n - cum) * 1000000 // (nd - t) AS BIGINT) AS mean_after_ppm,
+  CAST((n - cum) * 1000000 // (nd - t)
+    - cum * 1000000 // t AS BIGINT) AS shift_ppm
+FROM scored WHERE rk = 1
+"""))
+
+  /** q330 — Mann–Kendall monotone-trend test per event type over the
+    * daily series (the nonparametric "is this metric drifting" test —
+    * no linearity or normality assumed, the standard alongside the
+    * AR/Holt fits): S = Σ_{i<j} sgn(x_j − x_i) computed EXACTLY from
+    * the calendar-bounded frame — the pair double-sum is over days²
+    * (≤ a few million for years of data), never over events — with
+    * the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_v c_v(c_v−1)(2c_v+5)]/18 from the value histogram. The z score
+    * uses IEEE sqrt, which (unlike log) is CORRECTLY ROUNDED by
+    * specification, so floor-to-ppm cannot flap between engines. */
+  val q330 = QuerySpec("q330_mann_kendall",
+    (s, dir) => {
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), expr(dayIdxSpark).as("day"))
+          .agg(count(lit(1)).as("x")))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+      val ties = daily.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum(expr("c * (c - 1) * (2 * c + 5)")).as("tie_corr"),
+          sum("c").as("n"))
+      pairs.join(ties, "event_type")
+        .select(col("event_type"), col("n").as("n_days"), col("s"),
+          expr("(n * (n - 1) * (2 * n + 5) - tie_corr) div 18")
+            .as("var_s"),
+          expr("""cast(floor(1000000.0 * cast(s as double) /
+            sqrt(cast((n * (n - 1) * (2 * n + 5) - tie_corr) div 18
+              as double))) as bigint)""").as("z_ppm"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+    CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), ties AS (
+  SELECT event_type,
+    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_corr,
+    CAST(sum(c) AS BIGINT) AS n
+  FROM (
+    SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+    FROM daily GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT p.event_type, t.n AS n_days, p.s,
+  CAST((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_corr) // 18 AS BIGINT)
+    AS var_s,
+  CAST(floor(1000000.0 * CAST(p.s AS DOUBLE)
+    / sqrt(CAST((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_corr) // 18
+      AS DOUBLE))) AS BIGINT) AS z_ppm
+FROM pairs p JOIN ties t ON p.event_type = t.event_type
+ORDER BY p.event_type
+"""))
+
+  /** q331 — Wald–Wolfowitz runs test for randomness per event type:
+    * the daily series binarized against its EXACT MEDIAN-BY-RANK
+    * (values equal to the median are dropped, the standard
+    * convention), runs counted as sign changes + 1 via one lag
+    * window, and z = (R − E[R])/σ with E[R] = 2n₁n₂/n + 1 and
+    * σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) — exact integers into one
+    * correctly-rounded sqrt. A low z flags clumped (autocorrelated)
+    * days, the cheap randomness screen before trusting an A/B day
+    * split. */
+  val q331 = QuerySpec("q331_runs_test",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), expr(dayIdxSpark).as("day"))
+          .agg(count(lit(1)).as("x")))
+      // exact lower-median by rank over the calendar-bounded frame
+      val med = daily
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy("x", "day")))
+        .withColumn("nd", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .where(col("rk") === expr("(nd + 1) div 2"))
+        .select(col("event_type"), col("x").as("median_x"))
+      val signed = daily.join(med, "event_type")
+        .where(col("x") =!= col("median_x"))
+        .withColumn("above", (col("x") > col("median_x")).cast("int"))
+      val runs = signed
+        .withColumn("prev", lag("above", 1).over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("above").cast("long").as("n1"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+            .otherwise(0L))).as("r"))
+      runs.select(col("event_type"), col("n"), col("n1"),
+          (col("n") - col("n1")).as("n2"), col("r"),
+          // E[R]·n in exact integer: 2·n1·n2 + n
+          expr("(2 * n1 * (n - n1) + n) * 1000000 div n").as("er_ppm"),
+          expr("""cast(floor(1000000.0 *
+            (cast(r as double) - (2.0 * cast(n1 as double)
+              * cast(n - n1 as double) / cast(n as double) + 1.0))
+            / sqrt((2.0 * cast(n1 as double) * cast(n - n1 as double)
+              * (2.0 * cast(n1 as double) * cast(n - n1 as double)
+                - cast(n as double)))
+              / (cast(n as double) * cast(n as double)
+                * (cast(n as double) - 1.0)))) as bigint)""")
+            .as("z_ppm"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT event_type, $dayIdxSql AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, x AS median_x FROM (
+    SELECT event_type, x,
+      row_number() OVER (PARTITION BY event_type ORDER BY x, day) AS rk,
+      count(*) OVER (PARTITION BY event_type) AS nd
+    FROM daily
+  ) WHERE rk = (nd + 1) // 2
+), signed AS (
+  SELECT d.event_type, d.day,
+    CASE WHEN d.x > m.median_x THEN 1 ELSE 0 END AS above
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+  WHERE d.x <> m.median_x
+), lagged AS (
+  SELECT event_type, above,
+    lag(above) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM signed
+), runs AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(above) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END)
+      AS BIGINT) AS r
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n, n1, CAST(n - n1 AS BIGINT) AS n2, r,
+  CAST((2 * n1 * (n - n1) + n) * 1000000 // n AS BIGINT) AS er_ppm,
+  CAST(floor(1000000.0 *
+    (CAST(r AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE)
+      * CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0))
+    / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+        - CAST(n AS DOUBLE)))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        * (CAST(n AS DOUBLE) - 1.0)))) AS BIGINT) AS z_ppm
+FROM runs ORDER BY event_type
+"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q323, q324, q325, q326, q327, q329, q330, q331)
 }
