@@ -273,9 +273,13 @@ object Bench {
         s""","io_probe_ok_session":$ioProbeOkSession"""
     val fullLine =
       s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"loadavg_per_query":$loadPerJson$contendedJson$probeFullJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // best-effort artifact; stdout is the contract
+    // only a FULL-registry run may write the definitive artifact — a
+    // subset dev run (query names as args) silently clobbering the
+    // 300+-query record cost round 15 a re-run
+    if (wanted.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // best-effort; stdout is the contract
     println(fullLine)
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$calibJson,"probe_ok_session":$probeOkSession,"sf":"$sfDir"}"""

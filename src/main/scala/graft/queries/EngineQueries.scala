@@ -1015,7 +1015,68 @@ FROM o WHERE x <= 10000000 GROUP BY g
 ORDER BY part, g
 """))
 
+  /** q332 — DSv2 RUNTIME FILTERING (`SupportsRuntimeFiltering` — the
+    * dynamic-partition-pruning analog for connector scans): orders
+    * staged as shards keyed by priority, joined to the FILE-BACKED
+    * nation-sized dimension of qualifying priorities (urgent+high).
+    * Spark executes the dim side first and hands the OBSERVED join
+    * keys back into the scan as In('g', …) — fact lines outside the
+    * key set die at parse time, before the probe side materializes a
+    * single Spark row. The plan is REQUIRED to carry the
+    * DynamicPruning subquery (a filtered LocalRelation dim would
+    * constant-fold and never trigger the rule — the dim is staged as
+    * parquet for exactly that reason). The oracle replays the join
+    * from the base table. */
+  val q332 = QuerySpec("q332_runtime_filtering",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q332_shards")
+      val dimTmp = Files.createTempDirectory("graft_q332_dim")
+      try {
+        val orders = Tables(s, dir, "orders")
+        orders.select(col("o_orderpriority").as("g"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+          .repartition(32)
+          .write.mode("overwrite").csv(tmp.toString)
+        // dim: one row per priority with a rank column to filter on
+        orders.select(col("o_orderpriority").as("g")).distinct()
+          .withColumn("rank",
+            expr("cast(substring(g, 1, 1) as int)"))
+          .write.mode("overwrite").parquet(dimTmp.toString)
+        val fact = s.read.format("graft-shard")
+          .option("path", tmp.toString).load()
+        val dim = s.read.parquet(dimTmp.toString)
+          .where(col("rank") <= 2) // 1-URGENT, 2-HIGH
+        val out = fact.join(dim.select("g"), "g")
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"), sum("x").as("sum_cents"))
+          .orderBy("g")
+        val sunk = out.collect()
+        require(out.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+          "runtime filter was not planned into the v2 scan")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+        graft.streaming.StreamingResidue.deleteRecursively(dimTmp)
+      }
+    },
+    Some(raw"""
+WITH o AS (
+  SELECT o_orderpriority AS g,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), dim AS (
+  SELECT DISTINCT o_orderpriority AS g FROM orders
+  WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+)
+SELECT o.g, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(o.x) AS BIGINT) AS sum_cents
+FROM o JOIN dim ON o.g = dim.g
+GROUP BY o.g ORDER BY o.g
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308, q313, q317, q321, q322, q328)
+      q289, q290, q307, q308, q313, q317, q321, q322, q328, q332)
 }

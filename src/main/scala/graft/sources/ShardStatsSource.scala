@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,6 +53,26 @@ object ShardStatsSource {
     StructField("g", StringType, nullable = false),
     StructField("x", LongType, nullable = false)))
 
+  /** Effective runtime-filter guarantee, independent of whether the
+    * session's planner chose to insert a DPP subquery: drives the
+    * SupportsRuntimeFiltering.filter(...) path directly and counts
+    * the rows the readers then serve. Used by the spec's fallback arm
+    * so the capability is pinned even if planner heuristics drift. */
+  private[sources] def rowsAfterRuntimeFilter(
+      path: String, gs: Set[String]): Long = {
+    val b = new ShardStatsScanBuilder(new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", path)))
+    b.filter(Array[Filter](
+      In("g", gs.toArray.sorted[String].map(x => x: Any))))
+    val factory = b.toBatch.createReaderFactory()
+    b.toBatch.planInputPartitions().map { p =>
+      val r = factory.createReader(p)
+      var n = 0L
+      while (r.next()) n += 1
+      r.close(); n
+    }.sum
+  }
+
   private[sources] def shardFiles(opts: CaseInsensitiveStringMap): Array[String] = {
     val dir = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-shard: 'path' is required"))
@@ -82,7 +102,8 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsRuntimeFiltering {
 
   // pushed state: None = plain row scan; Some((groupByG, funcs)) =
   // aggregated scan. funcs are tags: 'c' (count*), 'n' (min x),
@@ -130,6 +151,28 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
     * rows. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (pushed.isEmpty) pruned = Some(requiredSchema)
+
+  // ---- RUNTIME filtering (the DSv2 dynamic-partition-pruning
+  // analog): when this scan sits on the probe side of a join whose
+  // build side is small and filtered, Spark executes the build side
+  // first and hands the observed join keys back here as In('g', …) —
+  // rows outside the key set then die at PARSE time, before the
+  // probe side ever materializes. At 100 TB this is the difference
+  // between scanning the fact corpus and scanning the joined slice.
+  private var runtimeGs: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("g"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("g", vs) =>
+        val gs = vs.collect { case s: String => s }.toSet
+        // intersect with any earlier runtime set (multiple joins)
+        runtimeGs = Some(runtimeGs.fold(gs)(_ intersect gs))
+      case _ => () // other runtime shapes: decline silently (safe)
+    }
 
   /** LIMIT k over the raw rows: every shard may stop reading after k
     * lines — a pure traffic cut (|files|·k rows cross the boundary). */
@@ -195,11 +238,17 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
          else Seq.empty) ++ aggFields)
   }
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // runtime In('g') joins the statically-pushed filters; partitions
+    // are (re-)planned by BatchScanExec AFTER filter() runs, so the
+    // readers see the runtime key set
+    val eff = accepted ++ runtimeGs.map(gs =>
+      In("g", gs.toArray.sorted[String].map(x => x: Any)))
     ShardStatsSource.shardFiles(options).map(f =>
       ShardPartition(f, pushed.map { case (g, t) => (g, t.mkString) },
-        pushedLimit, pushedTopN, accepted,
+        pushedLimit, pushedTopN, eff,
         pruned.map(_.fieldNames.toSeq)))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardStatsReaderFactory
   override def description(): String = {
@@ -258,6 +307,7 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
       case GreaterThanOrEqual("x", v: Long) => row._2 >= v
       case LessThan("x", v: Long) => row._2 < v
       case LessThanOrEqual("x", v: Long) => row._2 <= v
+      case In("g", vs) => vs.exists(_ == row._1) // runtime key set
       case IsNotNull(_) => true
       case _ => true // unreachable: pushFilters accepted only the above
     }

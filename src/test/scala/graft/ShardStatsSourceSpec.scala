@@ -191,6 +191,57 @@ class ShardStatsSourceSpec extends SparkSpec {
     } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
   }
 
+  test("runtime filtering: the join's observed build-side keys reach " +
+      "the scan as In(g) and prune at parse time (DSv2 DPP analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_rf")
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_shard_rfd")
+    try {
+      val sb = new StringBuilder
+      for (g <- 0 until 10; i <- 0 until 200) sb.append(s"g$g,${g * 1000 + i}\n")
+      java.nio.file.Files.write(dir.resolve("a.csv"),
+        sb.toString.getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("b.csv"),
+        sb.toString.getBytes("UTF-8"))
+      val fact = spark.read.format("graft-shard")
+        .option("path", dir.toString).load()
+      // the dim must be a FILE scan: a filtered LocalRelation constant-
+      // folds to a bare LocalRelation during optimization, so
+      // PartitionPruning sees no selective predicate and never fires
+      import spark.implicits._
+      (0 until 10).map(i => (s"g$i", i % 5)).toDF("g", "bucket")
+        .write.mode("overwrite").parquet(dimDir.toString)
+      val dim = spark.read.parquet(dimDir.toString)
+        .where(col("bucket") === 0) // keeps g0, g5
+      val joined = fact.join(dim.select("g"), "g")
+      val n = joined.count()
+      assert(n == 2L * 2 * 200, s"join returned $n rows")
+      // plan the same query shape eagerly to read the marker + metric
+      // (a count()'s own execution is separate from `joined`'s)
+      val probe = fact.join(dim.select("g"), "g")
+        .agg(count(lit(1)).as("n"))
+      assert(probe.collect().head.getLong(0) == 800L)
+      val plan = probe.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        "runtime filter was not planned")
+      // under AQE the top node hides leaves — drill into the final plan
+      val finalPlan = plan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val leafRows = finalPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+      // 2 files x 2 surviving groups x 200 (+2 dim rows)
+      assert(leafRows <= 802L, s"scan emitted $leafRows rows")
+      // and the capability itself, independent of planner heuristics
+      assert(graft.sources.ShardStatsSourceTestHook
+        .rowsAfterRuntimeFilter(dir.toString, Set("g0", "g5")) == 800L)
+    } finally {
+      graft.streaming.StreamingResidue.deleteRecursively(dir)
+      graft.streaming.StreamingResidue.deleteRecursively(dimDir)
+    }
+  }
+
   test("column pruning: single-column and zero-column reads") {
     val dir = stage()
     try {
