@@ -104,6 +104,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_distinct"),
+      info("graft_bitmap_distinct", "EXACT distinct count of a " +
+        "non-negative long key via a mergeable dense bitmap " +
+        "(set-bit / OR / popcount)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_bitmap_distinct takes 1 argument")
+        org.apache.spark.sql.graftagg.BitmapDistinctAgg(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_mg"),
       info("graft_mg", "Misra-Gries heavy-hitter summary (item, k) " +
         "-> 'item:est' pairs"),

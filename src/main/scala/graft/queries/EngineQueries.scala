@@ -1076,7 +1076,153 @@ FROM o JOIN dim ON o.g = dim.g
 GROUP BY o.g ORDER BY o.g
 """))
 
+  /** q333 — HLL SET ALGEBRA: the audience-overlap computation every
+    * sketch warehouse runs — |A|, |B|, |A∪B| from three native
+    * [[HllAgg]] aggregates (union is the sketch's own merge: the
+    * A∪B estimate aggregates the concatenated key stream, which ORs
+    * registers), |A∩B| by inclusion–exclusion of the three estimates
+    * (pure integer arithmetic on already-pinned longs), and the
+    * Jaccard estimate against the EXACT values with signed err ppm.
+    * A = users who viewed, B = users who purchased. The oracle
+    * replays the q230/q257 register-table math for all three sets —
+    * a green row certifies the sketch algebra end to end, not just
+    * single-set estimation. */
+  val q333 = QuerySpec("q333_hll_set_algebra",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+      def keyed(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id").as("k")).distinct()
+        .withColumn("h", expr(h60("concat('hll|', cast(k as string))")))
+      val a = graft.CacheRegistry.persistTracked(keyed("view"))
+      val b = graft.CacheRegistry.persistTracked(keyed("purchase"))
+      val u = a.unionByName(b).distinct()
+      def est(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(HllAgg.graftHll(col("h")).as(s"est_$name"))
+      def exact(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as(s"ex_$name"))
+      val one = est(a, "a").crossJoin(est(b, "b")).crossJoin(est(u, "u"))
+        .crossJoin(exact(a, "a")).crossJoin(exact(b, "b"))
+        .crossJoin(exact(u, "u"))
+        .withColumn("est_i", col("est_a") + col("est_b") - col("est_u"))
+        .withColumn("ex_i", col("ex_a") + col("ex_b") - col("ex_u"))
+      def row(m: String, estC: String, exC: String) =
+        one.select(lit(m).as("measure"), col(estC).as("est"),
+          col(exC).as("exact"),
+          expr(s"(($estC - $exC) * 1000000) div $exC").as("err_ppm"))
+      row("a_view_users", "est_a", "ex_a")
+        .unionByName(row("b_purchase_users", "est_b", "ex_b"))
+        .unionByName(row("union", "est_u", "ex_u"))
+        .unionByName(row("intersection", "est_i", "ex_i"))
+        .unionByName(one.select(lit("jaccard_ppm").as("measure"),
+          expr("est_i * 1000000 div est_u").as("est"),
+          expr("ex_i * 1000000 div ex_u").as("exact"),
+          expr("(est_i * 1000000 div est_u)" +
+            " - (ex_i * 1000000 div ex_u)").as("err_ppm")))
+        .orderBy("measure")
+    },
+    Some(raw"""
+WITH av AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'view'
+), bv AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'purchase'
+), uv AS (SELECT k FROM av UNION SELECT k FROM bv),
+ah AS (SELECT k, ${sqlH60("concat('hll|', CAST(k AS VARCHAR))")} AS h FROM av),
+bh AS (SELECT k, ${sqlH60("concat('hll|', CAST(k AS VARCHAR))")} AS h FROM bv),
+uh AS (SELECT k, ${sqlH60("concat('hll|', CAST(k AS VARCHAR))")} AS h FROM uv),
+regs AS (
+  SELECT 'a' AS s, h % 256 AS bucket,
+    max(CASE WHEN h // 256 = 0 THEN 53
+      ELSE 53 - length(bin(h // 256)) END) AS reg
+  FROM ah GROUP BY 2
+  UNION ALL
+  SELECT 'b', h % 256,
+    max(CASE WHEN h // 256 = 0 THEN 53
+      ELSE 53 - length(bin(h // 256)) END)
+  FROM bh GROUP BY 2
+  UNION ALL
+  SELECT 'u', h % 256,
+    max(CASE WHEN h // 256 = 0 THEN 53
+      ELSE 53 - length(bin(h // 256)) END)
+  FROM uh GROUP BY 2
+), est AS (
+  SELECT s,
+    CAST(floor((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+      9007199254740992.0 / CAST(
+        CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+        + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992
+      AS DOUBLE)) AS BIGINT) AS est_n
+  FROM regs GROUP BY s
+), w AS (
+  SELECT
+    (SELECT est_n FROM est WHERE s = 'a') AS est_a,
+    (SELECT est_n FROM est WHERE s = 'b') AS est_b,
+    (SELECT est_n FROM est WHERE s = 'u') AS est_u,
+    (SELECT CAST(count(*) AS BIGINT) FROM av) AS ex_a,
+    (SELECT CAST(count(*) AS BIGINT) FROM bv) AS ex_b,
+    (SELECT CAST(count(*) AS BIGINT) FROM uv) AS ex_u
+), d AS (
+  SELECT *, est_a + est_b - est_u AS est_i, ex_a + ex_b - ex_u AS ex_i
+  FROM w
+)
+SELECT * FROM (
+  SELECT 'a_view_users' AS measure, est_a AS est, ex_a AS exact,
+    CAST((est_a - ex_a) * 1000000 // ex_a AS BIGINT) AS err_ppm FROM d
+  UNION ALL
+  SELECT 'b_purchase_users', est_b, ex_b,
+    CAST((est_b - ex_b) * 1000000 // ex_b AS BIGINT) FROM d
+  UNION ALL
+  SELECT 'union', est_u, ex_u,
+    CAST((est_u - ex_u) * 1000000 // ex_u AS BIGINT) FROM d
+  UNION ALL
+  SELECT 'intersection', est_i, ex_i,
+    CAST((est_i - ex_i) * 1000000 // ex_i AS BIGINT) FROM d
+  UNION ALL
+  SELECT 'jaccard_ppm', CAST(est_i * 1000000 // est_u AS BIGINT),
+    CAST(ex_i * 1000000 // ex_u AS BIGINT),
+    CAST(est_i * 1000000 // est_u - ex_i * 1000000 // ex_u AS BIGINT)
+  FROM d
+) ORDER BY measure
+"""))
+
+  /** q334 — the native EXACT-DISTINCT BITMAP aggregate
+    * ([[org.apache.spark.sql.graftagg.BitmapDistinctAgg]], new this
+    * round) from the registry: distinct users per event type and the
+    * ALL row, each ONE aggregate whose partial state is a trimmed
+    * dense bitset (set-bit / OR / popcount — commutative, associative,
+    * idempotent, so the result is exact and identical under any
+    * partitioning). Versus `count(distinct)`: no Expand when mixed
+    * with plain counts (the q62 lesson), and partials ship ~1 bit per
+    * member instead of a 64-bit row per distinct key. The oracle is
+    * plain COUNT(DISTINCT …) — equality certifies exactness, not an
+    * error band. */
+  val q334 = QuerySpec("q334_bitmap_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.graftagg.BitmapDistinctAgg.graftBitmapDistinct
+      val ev = graft.CacheRegistry.persistTracked(
+        Tables(s, dir, "events").select(col("event_type"), col("user_id")))
+      val per = ev.groupBy("event_type")
+        .agg(graftBitmapDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+      val all = ev.agg(graftBitmapDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(lit("ALL").as("event_type"), col("n_users"),
+          col("n_events"))
+      per.unionByName(all).orderBy("event_type")
+    },
+    Some(raw"""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT),
+  CAST(count(*) AS BIGINT)
+FROM events
+ORDER BY event_type
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308, q313, q317, q321, q322, q328, q332)
+      q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
+      q333, q334)
 }
