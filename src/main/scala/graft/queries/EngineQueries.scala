@@ -1221,8 +1221,28 @@ FROM events
 ORDER BY event_type
 """))
 
+  /** q335 — the exact-distinct bitmap aggregate under the STREAMING
+    * state store: 6-hour windowed distinct users per type, drained
+    * AvailableNow through watermarked micro-batches. Because the
+    * bitmap algebra is a SEMILATTICE (OR is commutative, associative,
+    * idempotent), the streamed result equals the batch count(distinct)
+    * EXACTLY under ANY micro-batch split — a strictly stronger claim
+    * than the streaming-HLL equivalence (identical merge trees) and
+    * the exact-cardinality twin of q308's top-k contract. State per
+    * (window, type) is the trimmed chunk set, serialized through the
+    * state store between batches. */
+  val q335 = QuerySpec("q335_stream_bitmap_distinct",
+    (s, dir) => graft.streaming.StreamingOps.streamBitmapDistinct(s, dir)
+      .orderBy("win_start", "event_type"),
+    Some(raw"""
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+    '%Y-%m-%d %H:%M:%S') AS win_start,
+  event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334)
+      q333, q334, q335)
 }

@@ -114,6 +114,34 @@ object StreamingOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
   }
 
+  /** Windowed EXACT distinct users per event type through the native
+    * bitmap aggregate under the streaming state store: the
+    * partition-invariance contract (set-bit/OR/popcount is a
+    * semilattice) means the streamed result must equal batch EXACTLY
+    * under any micro-batch split — the same equivalence class as
+    * streamTopK, but for an exact set cardinality, where the HLL
+    * stream (q261's twin) only promises identical merge trees. */
+  def streamBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val agg = eventsStream(spark, s"$dir/{events.parquet}",
+          schemaProbePath = Some(s"$dir/events.parquet"))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), col("event_type"), col("user_id"))
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(org.apache.spark.sql.graftagg.BitmapDistinctAgg
+          .graftBitmapDistinct(col("user_id")).as("n_users"))
+      drainToBatch(spark, agg, "stream_bitmap_distinct")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n_users"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+  }
+
   /** Streaming reader over an events path (file or partitioned
     * directory). `maxFilesPerTrigger` is the backlog-draining rate
     * limit: a cron'd AvailableNow catch-up over a deep directory
