@@ -82,6 +82,40 @@ class RegistryLintSpec extends SparkSpec {
     assert(bad.isEmpty, "\n" + bad.mkString("\n"))
   }
 
+  test("no global (unpartitioned) ordered Window directly over " +
+      "corpus-cardinality rows — a single-partition sort of the " +
+      "whole input at 100 TB") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- graft.queries.Registry.all) {
+      try {
+        val plan = q.fn(spark, dir).queryExecution.analyzed
+        bad ++= BroadcastLint.globalWindowsOverCorpus(plan)
+          .map(w => s"${q.name}: $w")
+      } catch { case _: Throwable => () } // fn errors are test #2's job
+      CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+    assert(bad.isEmpty, "\n" + bad.mkString("\n"))
+  }
+
+  test("global-window lint catches a deliberate raw-corpus window " +
+      "and passes the histogram-rank idiom") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // raw corpus rows under a global ordered window: must flag
+    val rawRank = ev.withColumn("rn",
+      row_number().over(Window.orderBy("ts")))
+    assert(BroadcastLint.globalWindowsOverCorpus(
+      rawRank.queryExecution.analyzed).nonEmpty)
+    // the q194/q310 idiom — a value-histogram aggregate RE-KEYS the
+    // frame to the bounded value domain before the ordered window
+    val hist = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("event_type")))
+    assert(BroadcastLint.globalWindowsOverCorpus(
+      hist.queryExecution.analyzed).isEmpty)
+  }
+
   test("broadcast lint catches a deliberately-hinted regression") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$dir/events.parquet")
@@ -106,7 +140,8 @@ class RegistryLintSpec extends SparkSpec {
   */
 object BroadcastLint {
   import org.apache.spark.sql.catalyst.plans.logical._
-  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.expressions
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 
   private val unboundedKeys =
     Set("user_id", "doc_id", "emb_id", "node", "c_custkey", "o_custkey",
@@ -121,6 +156,70 @@ object BroadcastLint {
       case _ => ()
     }
     out.toSeq.distinct
+  }
+
+  /** Global ordered-Window nodes whose input is CORPUS-cardinality:
+    * partitionSpec empty + orderSpec non-empty moves every input row
+    * to one task. The frame is considered bounded when an Aggregate
+    * (re-keys to its grouping domain — the histogram-rank idiom) or a
+    * Limit sits between the Window and the relation; a window sitting
+    * directly on relation rows is flagged. Returns descriptions. */
+  def globalWindowsOverCorpus(plan: LogicalPlan): Seq[String] = {
+    // Windows bounded by an ADJACENT RANK FILTER (rk <= k over the
+    // window's own rank output) are exempt: Spark's WindowGroupLimit
+    // keeps k rows per partition BEFORE the single-partition stage,
+    // so only numPartitions·k rows ever reach one task (the q220
+    // top-k idiom).
+    val rankLimited = scala.collection.mutable.Set.empty[Int]
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[Attribute]) ||
+          ps.forall(_.deterministic) => stripProjects(c)
+      case other => other
+    }
+    plan.foreach {
+      case Filter(cond, child) => stripProjects(child) match {
+        case w: Window =>
+          val rankAttrs = w.windowExpressions.map(_.exprId).toSet
+          val isRankBound = cond.exists {
+            case expressions.LessThanOrEqual(a: AttributeReference,
+                expressions.Literal(_, _)) => rankAttrs.contains(a.exprId)
+            case expressions.LessThan(a: AttributeReference,
+                expressions.Literal(_, _)) => rankAttrs.contains(a.exprId)
+            case expressions.EqualTo(a: AttributeReference,
+                expressions.Literal(_, _)) => rankAttrs.contains(a.exprId)
+            case _ => false
+          }
+          if (isRankBound) rankLimited += System.identityHashCode(w)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case w: Window
+          if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+            !rankLimited.contains(System.identityHashCode(w)) &&
+            reachesRelationUnbounded(w.child) =>
+        out += s"global ordered Window over corpus rows " +
+          s"(order=${w.orderSpec.map(_.sql).mkString(",")})"
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** True when `p` reaches a leaf relation without passing an
+    * Aggregate / Distinct / Deduplicate (all re-key the frame to a
+    * value domain — the histogram-rank and vocab idioms) or a Limit —
+    * i.e. the frame still has corpus cardinality. Stacked Windows
+    * look through. */
+  private def reachesRelationUnbounded(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit | _: Aggregate | _: Distinct |
+        _: Deduplicate => false
+    case leaf if leaf.children.isEmpty =>
+      // relations/scans are corpus-sized; tiny literal frames
+      // (LocalRelation from Seq.toDF) are bounded by construction
+      !leaf.getClass.getSimpleName.contains("LocalRelation")
+    case other => other.children.exists(reachesRelationUnbounded)
   }
 
   /** Unbounded grouping keys in `p`, not shielded by a Limit. An
