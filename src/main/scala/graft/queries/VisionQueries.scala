@@ -101,5 +101,107 @@ FROM px
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """))
 
-  def all: Seq[QuerySpec] = Seq(q318)
+  /** q336 — deterministic AUGMENTATION pipeline (flip → crop →
+    * normalization statistics), the per-sample transform leg of a
+    * vision training-data pipeline: per document a 32×32×3 linear-
+    * field image is horizontally flipped when doc_id is odd, cropped
+    * to 24×24 at a hash-derived offset (ox = id mod 9,
+    * oy = (id div 9) mod 9 — the "random" crop made reproducible, the
+    * same derived-parameter discipline as every sampler in this
+    * repo), and reduced to exact per-channel Σv and Σv² (the two
+    * accumulators a normalize step needs, kept as integers — no mean
+    * division anywhere near the compare). The REAL array operations
+    * run in one mapPartitions (synthesize → reverse rows → window
+    * copy → accumulate; pixels never leave the task); the oracle
+    * regenerates the expected stats from the closed form
+    * v = 3·X + 2·(oy+y) + off_c with X = 31−(ox+x) under flip — any
+    * off-by-one in the flip/crop indexing shifts Σv by a multiple of
+    * 3 and breaks the compare. Embarrassingly parallel at 100 TB. */
+  val q336 = QuerySpec("q336_augment_stats",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val off = Array((id % 64).toInt, ((id + 17) % 64).toInt,
+            ((id + 34) % 64).toInt)
+          val flip = (id % 2).toInt
+          val ox = (id % 9).toInt
+          val oy = ((id / 9) % 9).toInt
+          // synthesize
+          val src = new Array[Int](32 * 32 * 3)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              var c = 0
+              while (c < 3) {
+                src((y * 32 + x) * 3 + c) = 3 * x + 2 * y + off(c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          // real flip: reverse each row in place (pixel-wise)
+          if (flip == 1) {
+            var fy = 0
+            while (fy < 32) {
+              var lo = 0; var hi = 31
+              while (lo < hi) {
+                var c = 0
+                while (c < 3) {
+                  val a = (fy * 32 + lo) * 3 + c
+                  val b = (fy * 32 + hi) * 3 + c
+                  val t = src(a); src(a) = src(b); src(b) = t
+                  c += 1
+                }
+                lo += 1; hi -= 1
+              }
+              fy += 1
+            }
+          }
+          // real crop + per-channel accumulation over the window
+          val sums = new Array[Long](3)
+          val sqs = new Array[Long](3)
+          var cy = 0
+          while (cy < 24) {
+            var cx = 0
+            while (cx < 24) {
+              var c = 0
+              while (c < 3) {
+                val v = src(((oy + cy) * 32 + (ox + cx)) * 3 + c).toLong
+                sums(c) += v; sqs(c) += v * v
+                c += 1
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          (0 until 3).map(c => (id, c.toLong, flip.toLong, ox.toLong,
+            oy.toLong, sums(c), sqs(c)))
+        }
+      }.toDF("doc_id", "channel", "flip", "ox", "oy", "s", "ss")
+        .orderBy("doc_id", "channel")
+    },
+    Some(raw"""
+WITH aug AS (
+  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS flip,
+    CAST(doc_id % 9 AS BIGINT) AS ox,
+    CAST((doc_id // 9) % 9 AS BIGINT) AS oy
+  FROM documents
+), px AS (
+  SELECT a.doc_id, c.c AS channel, a.flip, a.ox, a.oy,
+    3 * (CASE WHEN a.flip = 1 THEN 31 - (a.ox + x.x)
+         ELSE a.ox + x.x END)
+      + 2 * (a.oy + y.y) + (a.doc_id + 17 * c.c) % 64 AS v
+  FROM aug a, range(24) x(x), range(24) y(y), range(3) c(c)
+)
+SELECT doc_id, channel, flip, ox, oy,
+  CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id, channel
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q318, q336)
 }
