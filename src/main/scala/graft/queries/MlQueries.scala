@@ -577,5 +577,143 @@ FROM v3 v CROSS JOIN ray r
 ORDER BY dim
 """))
 
-  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295, q301)
+  /** Shared q337 expressions, spliced verbatim into both engines.
+    * Validation SSE stays EXACT INTEGER by scoring with the ppm-
+    * floored coefficients: with e_i = 10⁶·y_i − b0 − b1·x1_i − b2·x2_i
+    * (all integers), Σe_i² expands over the per-fold moment sums —
+    * 10¹²·Σy² + b0²n + b1²S11 + b2²S22 − 2·10⁶(b0Sy + b1S1y + b2S2y)
+    * + 2(b0b1S1 + b0b2S2 + b1b2S12) — so the only floats anywhere are
+    * the Cramer solve (the q293 pinned sequence) and one final
+    * correctly-rounded sqrt for RMSE. */
+  private def sse12Expr(big: String => String): String = {
+    def b(s: String) = big(s)
+    s"${b("1000000000000")} * tyy" +
+      s" + ${b("b0")} * b0 * tn + ${b("b1")} * b1 * t11" +
+      s" + ${b("b2")} * b2 * t22" +
+      s" - 2 * ${b("1000000")} * b0 * ty" +
+      s" - 2 * ${b("1000000")} * b1 * t1y" +
+      s" - 2 * ${b("1000000")} * b2 * t2y" +
+      s" + 2 * ${b("b0")} * b1 * t1 + 2 * ${b("b0")} * b2 * t2" +
+      s" + 2 * ${b("b1")} * b2 * t12"
+  }
+  private val sse12Spark = sse12Expr(s => s"cast($s as decimal(38,0))")
+  private val sse12Duck = sse12Expr(s => s"CAST($s AS HUGEINT)")
+  private val rmseSpark = s"cast(floor(sqrt(cast(($sse12Spark) as double)" +
+    " / (1000000000000.0 * cast(tn as double)))) as bigint)"
+  private val rmseDuck = s"CAST(floor(sqrt(CAST(($sse12Duck) AS DOUBLE)" +
+    " / (1000000000000.0 * CAST(tn AS DOUBLE)))) AS BIGINT)"
+
+  /** q337 — 5-fold CROSS-VALIDATION of the q293 linear model in ONE
+    * corpus pass: fold = 60-bit-md5(row) mod 5 (the reproducible
+    * "random" split — a function of row values, so both engines and
+    * any re-run agree), per-fold moment sums from a single
+    * groupBy(fold) aggregate, TRAIN sums for fold f by SUBTRACTION
+    * (total − fold — no second scan, no 5× train passes: the moments
+    * are additive, which is the whole point of the normal-equation
+    * formulation at scale), β per fold via the q293 pinned Cramer
+    * solve, and held-out SSE/RMSE from the SAME fold sums via the
+    * exact-integer expansion above. The entire 5-fold CV costs one
+    * aggregate of 10 sums plus arithmetic on a 5-row frame. */
+  val q337 = QuerySpec("q337_cross_validation",
+    (s, dir) => {
+      val fold = "pmod(cast(conv(substring(md5(concat('cv|', " +
+        "cast(l_orderkey as string), '|', cast(l_linenumber as string), " +
+        "'|', cast(x1 as string), '|', cast(x2 as string), '|', " +
+        "cast(y as string))), 1, 15), 16, 10) as bigint), 5)"
+      val obs = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("cast(l_quantity as bigint)").as("x1"),
+          expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
+        .withColumn("fold", expr(fold))
+      val perFold = obs.groupBy("fold").agg(
+        count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
+        sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
+        sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
+        sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("tyy"))
+      val w = Window.partitionBy(lit(1))
+      // totals ride along as window sums over the 5-row fold frame
+      val staged = perFold
+        .withColumn("gn", sum("tn").over(w))
+        .withColumn("g1", sum("t1").over(w))
+        .withColumn("g2", sum("t2").over(w))
+        .withColumn("g11", sum("t11").over(w))
+        .withColumn("g12", sum("t12").over(w))
+        .withColumn("g22", sum("t22").over(w))
+        .withColumn("gy", sum("ty").over(w))
+        .withColumn("g1y", sum("t1y").over(w))
+        .withColumn("g2y", sum("t2y").over(w))
+        .withColumn("dn", expr("cast(gn - tn as double)"))
+        .withColumn("d1", expr("cast(g1 - t1 as double)"))
+        .withColumn("d2", expr("cast(g2 - t2 as double)"))
+        .withColumn("d11", expr("cast(g11 - t11 as double)"))
+        .withColumn("d12", expr("cast(g12 - t12 as double)"))
+        .withColumn("d22", expr("cast(g22 - t22 as double)"))
+        .withColumn("dy", expr("cast(gy - ty as double)"))
+        .withColumn("d1y", expr("cast(g1y - t1y as double)"))
+        .withColumn("d2y", expr("cast(g2y - t2y as double)"))
+        .withColumn("b0",
+          expr(s"cast(floor(($det0Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b1",
+          expr(s"cast(floor(($det1Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b2",
+          expr(s"cast(floor(($det2Expr) / ($detExpr) * 1000000.0) as bigint)"))
+      staged.select(col("fold"),
+          expr("gn - tn").as("n_train"), col("tn").as("n_test"),
+          col("b0").as("beta0_ppm"), col("b1").as("beta1_ppm"),
+          col("b2").as("beta2_ppm"),
+          expr(rmseSpark).as("rmse_cents"))
+        .orderBy("fold")
+    },
+    Some(raw"""
+WITH obs AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+    CAST(concat('0x', substr(md5(concat('cv|',
+      CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR),
+      '|', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '|',
+      CAST(CAST(floor(l_discount * 100) AS BIGINT) AS VARCHAR), '|',
+      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR))),
+      1, 15)) AS BIGINT) % 5 AS fold
+  FROM lineitem
+), per_fold AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS tn,
+    CAST(sum(x1) AS BIGINT) AS t1, CAST(sum(x2) AS BIGINT) AS t2,
+    CAST(sum(x1 * x1) AS BIGINT) AS t11,
+    CAST(sum(x1 * x2) AS BIGINT) AS t12,
+    CAST(sum(x2 * x2) AS BIGINT) AS t22,
+    CAST(sum(y) AS BIGINT) AS ty,
+    CAST(sum(x1 * y) AS BIGINT) AS t1y,
+    CAST(sum(x2 * y) AS BIGINT) AS t2y,
+    sum(CAST(y AS HUGEINT) * y) AS tyy
+  FROM obs GROUP BY 1
+), staged AS (
+  SELECT *,
+    CAST(sum(tn) OVER () - tn AS DOUBLE) AS dn,
+    CAST(sum(t1) OVER () - t1 AS DOUBLE) AS d1,
+    CAST(sum(t2) OVER () - t2 AS DOUBLE) AS d2,
+    CAST(sum(t11) OVER () - t11 AS DOUBLE) AS d11,
+    CAST(sum(t12) OVER () - t12 AS DOUBLE) AS d12,
+    CAST(sum(t22) OVER () - t22 AS DOUBLE) AS d22,
+    CAST(sum(ty) OVER () - ty AS DOUBLE) AS dy,
+    CAST(sum(t1y) OVER () - t1y AS DOUBLE) AS d1y,
+    CAST(sum(t2y) OVER () - t2y AS DOUBLE) AS d2y,
+    CAST(sum(tn) OVER () - tn AS BIGINT) AS n_train
+  FROM per_fold
+), betas AS (
+  SELECT *,
+    CAST(floor(($det0Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b0,
+    CAST(floor(($det1Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b1,
+    CAST(floor(($det2Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b2
+  FROM staged
+)
+SELECT fold, n_train, tn AS n_test,
+  b0 AS beta0_ppm, b1 AS beta1_ppm, b2 AS beta2_ppm,
+  $rmseDuck AS rmse_cents
+FROM betas ORDER BY fold
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295, q301, q337)
 }
