@@ -715,5 +715,114 @@ SELECT fold, n_train, tn AS n_test,
 FROM betas ORDER BY fold
 """))
 
-  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295, q301, q337)
+  /** q338 — LEARNING CURVE (the scaling-law audit a training-data
+    * engine exists to answer: how does model quality move as the
+    * training set grows?): rows hash into 20 buckets; bucket 0 is the
+    * FIXED held-out test set, and nested training subsets are buckets
+    * 1..s for s ∈ {2, 5, 10, 19} (~10/25/50/95% of the corpus —
+    * nested by construction, so the curve is monotone-comparable).
+    * Same one-pass shape as q337: a single groupBy(bucket) moment
+    * aggregate; each subset's moments are a SUM over its bucket rows
+    * (a ≤ 4×19-row theta join, additivity again); β per size via the
+    * pinned Cramer solve; held-out RMSE via the exact-integer SSE
+    * expansion against bucket 0's moments. Output: rmse_cents vs
+    * n_train — the curve itself. */
+  val q338 = QuerySpec("q338_learning_curve",
+    (s, dir) => {
+      val bucket = "pmod(cast(conv(substring(md5(concat('lc|', " +
+        "cast(l_orderkey as string), '|', cast(l_linenumber as string), " +
+        "'|', cast(x1 as string), '|', cast(x2 as string), '|', " +
+        "cast(y as string))), 1, 15), 16, 10) as bigint), 20)"
+      val obs = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("cast(l_quantity as bigint)").as("x1"),
+          expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
+          expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
+        .withColumn("b", expr(bucket))
+      val perB = graft.CacheRegistry.persistTracked(
+        obs.groupBy("b").agg(
+          count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
+          sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
+          sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
+          sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("tyy")))
+      val test = perB.where(col("b") === 0L) // aliases match sse12Spark
+      import s.implicits._
+      val sizes = Seq(2L, 5L, 10L, 19L).toDF("s")
+      val train = sizes.crossJoin(perB)
+        .where(col("b") >= 1L && col("b") <= col("s"))
+        .groupBy("s").agg(
+          expr("cast(sum(tn) as double)").as("dn"),
+          expr("cast(sum(t1) as double)").as("d1"),
+          expr("cast(sum(t2) as double)").as("d2"),
+          expr("cast(sum(t11) as double)").as("d11"),
+          expr("cast(sum(t12) as double)").as("d12"),
+          expr("cast(sum(t22) as double)").as("d22"),
+          expr("cast(sum(ty) as double)").as("dy"),
+          expr("cast(sum(t1y) as double)").as("d1y"),
+          expr("cast(sum(t2y) as double)").as("d2y"),
+          sum("tn").as("n_train"))
+        .withColumn("b0",
+          expr(s"cast(floor(($det0Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b1",
+          expr(s"cast(floor(($det1Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b2",
+          expr(s"cast(floor(($det2Expr) / ($detExpr) * 1000000.0) as bigint)"))
+      train.crossJoin(broadcast(test))
+        .select(col("s").as("n_buckets"), col("n_train"),
+          col("tn").as("n_test"),
+          col("b0").as("beta0_ppm"), col("b1").as("beta1_ppm"),
+          col("b2").as("beta2_ppm"),
+          expr(rmseSpark).as("rmse_cents"))
+        .orderBy("n_buckets")
+    },
+    Some(raw"""
+WITH obs AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+    CAST(concat('0x', substr(md5(concat('lc|',
+      CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR),
+      '|', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '|',
+      CAST(CAST(floor(l_discount * 100) AS BIGINT) AS VARCHAR), '|',
+      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR))),
+      1, 15)) AS BIGINT) % 20 AS b
+  FROM lineitem
+), per_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS tn,
+    CAST(sum(x1) AS BIGINT) AS t1, CAST(sum(x2) AS BIGINT) AS t2,
+    CAST(sum(x1 * x1) AS BIGINT) AS t11,
+    CAST(sum(x1 * x2) AS BIGINT) AS t12,
+    CAST(sum(x2 * x2) AS BIGINT) AS t22,
+    CAST(sum(y) AS BIGINT) AS ty,
+    CAST(sum(x1 * y) AS BIGINT) AS t1y,
+    CAST(sum(x2 * y) AS BIGINT) AS t2y,
+    sum(CAST(y AS HUGEINT) * y) AS tyy
+  FROM obs GROUP BY 1
+), sizes AS (SELECT unnest([2, 5, 10, 19]) AS s),
+train AS (
+  SELECT s,
+    CAST(sum(tn) AS DOUBLE) AS dn, CAST(sum(t1) AS DOUBLE) AS d1,
+    CAST(sum(t2) AS DOUBLE) AS d2, CAST(sum(t11) AS DOUBLE) AS d11,
+    CAST(sum(t12) AS DOUBLE) AS d12, CAST(sum(t22) AS DOUBLE) AS d22,
+    CAST(sum(ty) AS DOUBLE) AS dy, CAST(sum(t1y) AS DOUBLE) AS d1y,
+    CAST(sum(t2y) AS DOUBLE) AS d2y,
+    CAST(sum(tn) AS BIGINT) AS n_train
+  FROM sizes JOIN per_b ON b >= 1 AND b <= s
+  GROUP BY s
+), betas AS (
+  SELECT *,
+    CAST(floor(($det0Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b0,
+    CAST(floor(($det1Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b1,
+    CAST(floor(($det2Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b2
+  FROM train
+)
+SELECT CAST(s AS BIGINT) AS n_buckets, n_train, t.tn AS n_test,
+  b0 AS beta0_ppm, b1 AS beta1_ppm, b2 AS beta2_ppm,
+  $rmseDuck AS rmse_cents
+FROM betas CROSS JOIN (SELECT * FROM per_b WHERE b = 0) t
+ORDER BY n_buckets
+"""))
+
+  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295, q301, q337, q338)
 }
