@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // uniqueness-aware DISTINCT elimination (off unless
     // spark.graft.unique.{path,cols} are both set)
     ext.injectOptimizerRule(_ => graft.plans.UniqueKeyDistinctElim())
+    // referential-integrity join elimination (off unless all four
+    // spark.graft.fk.{factPath,factCol,dimPath,dimCol} are set)
+    ext.injectOptimizerRule(_ => graft.plans.FkJoinElim())
+    // eager aggregation: partial-agg pushdown below a PK-FK join
+    // (off unless spark.graft.eagerAgg.enabled + the fk declaration)
+    ext.injectOptimizerRule(_ => graft.plans.EagerAggregation())
     // whole-operator extension: the AS-OF JOIN logical node plans to
     // its merge-based physical operator (AsOfJoinExec)
     ext.injectPlannerStrategy(_ =>
@@ -112,6 +118,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "graft_bitmap_distinct takes 1 argument")
         org.apache.spark.sql.graftagg.BitmapDistinctAgg(children.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      info("graft_cms", "Count-min sketch (d=4, w=256) over a " +
+        "non-negative long key -> flat row-major counter table " +
+        "array<bigint>; probe with least(element_at(...))"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_cms takes 1 argument")
+        org.apache.spark.sql.graftagg.CountMinAgg(children.head)
       }))
 
     ext.injectFunction((

@@ -1241,8 +1241,199 @@ SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
 FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """))
 
+  /** q339 — referential-integrity JOIN ELIMINATION through the
+    * [[graft.plans.FkJoinElim]] optimizer rule: the query text joins
+    * lineitem to orders and consumes ONLY lineitem columns (plus the
+    * dim key itself, which the rule rebinds to the fact's fk — the
+    * alias-substitution path) — the machine-generated shape every
+    * view-expanding BI layer emits — and the ENGINE, told via session
+    * conf that l_orderkey REFERENCES o_orderkey, proves the join a
+    * no-op and deletes it: the optimized plan is REQUIRED to contain
+    * no Join at all, so the corpus-wide exchange (or dim broadcast +
+    * probe) a 10⁹-row fact join costs never happens; what remains is
+    * `WHERE l_orderkey IS NOT NULL`, which the parquet scan absorbs.
+    * The oracle runs the join for real — equal results certify the
+    * RI reasoning, not just the plan shape. A negative control
+    * (consuming o_orderdate) must keep its Join: eliminating a join
+    * whose dim columns are used would be unsound. */
+  val q339 = QuerySpec("q339_fk_join_elim",
+    (s, dir) => {
+      val factPath = s"$dir/lineitem.parquet"
+      val dimPath = s"$dir/orders.parquet"
+      val keys = Seq("spark.graft.fk.factPath", "spark.graft.fk.factCol",
+        "spark.graft.fk.dimPath", "spark.graft.fk.dimCol")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.graft.fk.factPath", factPath)
+      s.conf.set("spark.graft.fk.factCol", "l_orderkey")
+      s.conf.set("spark.graft.fk.dimPath", dimPath)
+      s.conf.set("spark.graft.fk.dimCol", "o_orderkey")
+      try {
+        val li = s.read.parquet(factPath)
+        val ord = s.read.parquet(dimPath)
+        val out = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .where(col("l_quantity") >= 49)
+          .select(li("l_orderkey"), col("l_linenumber"),
+            expr("cast(l_quantity as bigint)").as("qty"),
+            ord("o_orderkey"))
+          .orderBy("l_orderkey", "l_linenumber")
+        require(!out.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst
+            .plans.logical.Join]),
+          "fk join elimination did not engage")
+        // negative control: a consumed dim column vetoes elimination
+        val control = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(li("l_orderkey"), ord("o_orderdate"))
+        require(control.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst
+            .plans.logical.Join]),
+          "join elimination fired with a consumed dim column — unsound")
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some(raw"""
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+  o_orderkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_quantity >= 49
+ORDER BY l_orderkey, l_linenumber
+"""))
+
+  /** q340 — EAGER AGGREGATION through the
+    * [[graft.plans.EagerAggregation]] optimizer rule (Yan–Larson
+    * group-by/join reordering, unique-dim-key case): the query text
+    * is a plain revenue-by-priority rollup joining lineitem to
+    * orders, and the ENGINE — told o_orderkey is unique and the
+    * rewrite is enabled — pushes SUM/COUNT/MIN/MAX partials below the
+    * join, grouped by l_orderkey: the optimized plan is REQUIRED to
+    * carry an Aggregate UNDER the Join, so the join's shuffled input
+    * shrinks from one row per lineitem (6×10⁹ at TPC-H SF1000) to one
+    * row per order (4× fewer, map-side-combined besides). The oracle
+    * aggregates after the join as written — equal results certify the
+    * partial algebra (SUM→SUM, COUNT→SUM, MIN/MIN, MAX/MAX), exact
+    * here because every measure is integral. A negative control with
+    * the rewrite disabled must keep the fact corpus below the join
+    * un-aggregated. */
+  val q340 = QuerySpec("q340_eager_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+      val dimPath = s"$dir/orders.parquet"
+      val keys = Seq("spark.graft.eagerAgg.enabled",
+        "spark.graft.unique.path", "spark.graft.unique.cols")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.graft.eagerAgg.enabled", "true")
+      s.conf.set("spark.graft.unique.path", dimPath)
+      s.conf.set("spark.graft.unique.cols", "o_orderkey")
+      try {
+        def rollup(): org.apache.spark.sql.DataFrame = {
+          val li = Tables(s, dir, "lineitem")
+          val ord = s.read.parquet(dimPath)
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .groupBy(ord("o_orderpriority"))
+            .agg(
+              sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+                .as("rev_cents"),
+              count(lit(1)).as("n_lines"),
+              min(expr("cast(l_quantity as bigint)")).as("min_qty"),
+              max(expr("cast(l_quantity as bigint)")).as("max_qty"))
+            .orderBy("o_orderpriority")
+        }
+        val out = rollup()
+        def aggBelowJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.exists {
+            case Join(jl, jr, _, _, _) =>
+              jl.exists(_.isInstanceOf[Aggregate]) ||
+                jr.exists(_.isInstanceOf[Aggregate])
+            case _ => false
+          }
+        require(aggBelowJoin(out),
+          "eager aggregation did not push partials below the join")
+        s.conf.set("spark.graft.eagerAgg.enabled", "false")
+        require(!aggBelowJoin(rollup()),
+          "partial aggregate below join with the rewrite disabled")
+        s.conf.set("spark.graft.eagerAgg.enabled", "true")
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some(raw"""
+SELECT o_orderpriority,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS rev_cents,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""))
+
+  /** q341 — native COUNT–MIN SKETCH aggregate
+    * ([[org.apache.spark.sql.graftagg.CountMinAgg]], SQL `graft_cms`):
+    * one corpus pass folds every event into a 4×256 counter table
+    * (8 KB per partial, merge = elementwise add — bit-identical under
+    * ANY partitioning), then the 8 heaviest users are probed against
+    * it with plain `least(element_at(...))` expressions: estimate =
+    * min of the key's 4 counters, ≥ exact by construction, ≤ exact +
+    * εN w.h.p. The oracle REBUILDS the full counter table in SQL from
+    * the pinned Carter–Wegman seeds (each cell is a count of keys
+    * hashing there — the sketch's defining identity) and probes it the
+    * same way, so the hash family, the table layout, AND the estimate
+    * algebra are all certified cross-engine, not just "close". The
+    * overcount column makes the sketch's error CONTENT, not a flap:
+    * both engines compute the identical table, so est−exact matches
+    * exactly. */
+  val q341 = QuerySpec("q341_count_min_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.graftagg.CountMinAgg
+      val ev = Tables(s, dir, "events").select(col("user_id"))
+      val sk = ev.agg(CountMinAgg.graftCms(col("user_id")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val probes = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("user_id")).limit(8)
+      val estExpr = (0 until CountMinAgg.D)
+        .map(i => s"element_at(sk, ${CountMinAgg.cellExpr(i, "user_id")})")
+        .mkString("least(", ", ", ")")
+      probes.crossJoin(sk)
+        .withColumn("cms_est", expr(estExpr))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"),
+          col("n_total"))
+        .orderBy(desc("exact_cnt"), col("user_id"))
+    },
+    Some(raw"""
+WITH seeds(i, a, b) AS (
+  VALUES (0, 1103, 7), (1, 12289, 101), (2, 524287, 3571),
+    (3, 8191, 65537)
+), cells AS (
+  SELECT s.i,
+    CAST(s.i * 256 + ((s.a * (user_id % 2147483647) + s.b)
+      % 2147483647) % 256 + 1 AS INT) AS pos,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events CROSS JOIN seeds s GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 8
+), est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(c.c) AS cms_est
+  FROM probes p CROSS JOIN seeds s
+  JOIN cells c ON c.i = s.i
+    AND c.pos = CAST(s.i * 256 + ((s.a * (p.user_id % 2147483647)
+      + s.b) % 2147483647) % 256 + 1 AS INT)
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
+FROM est ORDER BY exact_cnt DESC, user_id
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334, q335)
+      q333, q334, q335, q339, q340, q341)
 }

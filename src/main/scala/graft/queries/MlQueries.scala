@@ -824,5 +824,99 @@ FROM betas CROSS JOIN (SELECT * FROM per_b WHERE b = 0) t
 ORDER BY n_buckets
 """))
 
-  val all: Seq[QuerySpec] = Seq(q292, q293, q294, q295, q301, q337, q338)
+  /** q342 — RIDGE REGULARIZATION PATH (Hoerl–Kennard 1970) from ONE
+    * corpus pass: the whole λ-sweep reuses the q293 normal-equation
+    * moments — ridge with an unpenalized intercept only perturbs the
+    * Gram matrix diagonal (S11+λ, S22+λ), so four λ values are four
+    * 3×3 Cramer solves on a 4-row literal frame crossed with the
+    * single global moment row. This is THE scale shape for
+    * hyperparameter sweeps: a naive implementation refits per λ (k
+    * corpus passes); moment additivity makes the sweep O(1) extra
+    * work after one aggregate, at 100 TB exactly as at 60k rows.
+    * λ=0 reproduces the q293 OLS fit bit-for-bit (same pinned det
+    * expressions); as λ grows the slopes shrink toward 0, the
+    * intercept toward mean(y), and train RMSE (exact-integer SSE
+    * expansion, q337's) rises monotonically — the output IS the
+    * shrinkage curve. Every irrational step is the registry-standard
+    * pinned sequence: identical double det text in both engines, ppm
+    * floor, one correctly-rounded sqrt. */
+  val q342 = QuerySpec("q342_ridge_path",
+    (s, dir) => {
+      val obs = Tables(s, dir, "lineitem").select(
+        expr("cast(l_quantity as bigint)").as("x1"),
+        expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
+      val tot = obs.agg(
+        count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
+        sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
+        sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
+        sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("tyy"))
+      import s.implicits._
+      val lams = Seq(0L, 10000L, 1000000L, 100000000L).toDF("lambda")
+      lams.crossJoin(broadcast(tot))
+        .withColumn("dn", expr("cast(tn as double)"))
+        .withColumn("d1", expr("cast(t1 as double)"))
+        .withColumn("d2", expr("cast(t2 as double)"))
+        .withColumn("d11", expr("cast(t11 + lambda as double)"))
+        .withColumn("d12", expr("cast(t12 as double)"))
+        .withColumn("d22", expr("cast(t22 + lambda as double)"))
+        .withColumn("dy", expr("cast(ty as double)"))
+        .withColumn("d1y", expr("cast(t1y as double)"))
+        .withColumn("d2y", expr("cast(t2y as double)"))
+        .withColumn("b0",
+          expr(s"cast(floor(($det0Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b1",
+          expr(s"cast(floor(($det1Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b2",
+          expr(s"cast(floor(($det2Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .select(col("lambda"), col("tn").as("n"),
+          col("b0").as("beta0_ppm"), col("b1").as("beta1_ppm"),
+          col("b2").as("beta2_ppm"),
+          expr(rmseSpark).as("rmse_cents"))
+        .orderBy("lambda")
+    },
+    Some(raw"""
+WITH obs AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS tn,
+    CAST(sum(x1) AS BIGINT) AS t1, CAST(sum(x2) AS BIGINT) AS t2,
+    CAST(sum(x1 * x1) AS BIGINT) AS t11,
+    CAST(sum(x1 * x2) AS BIGINT) AS t12,
+    CAST(sum(x2 * x2) AS BIGINT) AS t22,
+    CAST(sum(y) AS BIGINT) AS ty,
+    CAST(sum(x1 * y) AS BIGINT) AS t1y,
+    CAST(sum(x2 * y) AS BIGINT) AS t2y,
+    sum(CAST(y AS HUGEINT) * y) AS tyy
+  FROM obs
+), lams AS (SELECT unnest([0, 10000, 1000000, 100000000]) AS lambda),
+g AS (
+  SELECT CAST(lambda AS BIGINT) AS lambda, tot.*,
+    CAST(tn AS DOUBLE) AS dn, CAST(t1 AS DOUBLE) AS d1,
+    CAST(t2 AS DOUBLE) AS d2,
+    CAST(t11 + lambda AS DOUBLE) AS d11,
+    CAST(t12 AS DOUBLE) AS d12,
+    CAST(t22 + lambda AS DOUBLE) AS d22,
+    CAST(ty AS DOUBLE) AS dy, CAST(t1y AS DOUBLE) AS d1y,
+    CAST(t2y AS DOUBLE) AS d2y
+  FROM lams CROSS JOIN tot
+), betas AS (
+  SELECT *,
+    CAST(floor(($det0Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b0,
+    CAST(floor(($det1Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b1,
+    CAST(floor(($det2Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b2
+  FROM g
+)
+SELECT lambda, tn AS n,
+  b0 AS beta0_ppm, b1 AS beta1_ppm, b2 AS beta2_ppm,
+  $rmseDuck AS rmse_cents
+FROM betas ORDER BY lambda
+"""))
+
+  val all: Seq[QuerySpec] =
+    Seq(q292, q293, q294, q295, q301, q337, q338, q342)
 }
