@@ -1432,8 +1432,176 @@ SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
 FROM est ORDER BY exact_cnt DESC, user_id
 """))
 
+  /** q343 — the count-min sketch through the STREAMING state store:
+    * windowed per-event-type CMS tables over the event stream. The
+    * sketch's merge is elementwise addition — a commutative monoid —
+    * so the streamed result is EXACT under ANY micro-batch split (the
+    * q335 class), certified three ways per (window, type) group: the
+    * table total (= d·N), a position-weighted FINGERPRINT Σ c·pos
+    * that pins every one of the 1024 counters (any single-counter
+    * drift moves it), and a live probe — the window's heaviest user
+    * (exact argmax, min-user tie-break) estimated from the streamed
+    * table with the same least/element_at algebra as q341. The oracle
+    * rebuilds each window's counter table from the pinned seeds in
+    * SQL and replays all three. State per group between batches is
+    * one 8 KB array through the state store — bounded by the
+    * watermark, constant in corpus size. */
+  val q343 = QuerySpec("q343_stream_cms",
+    (s, dir) => {
+      import org.apache.spark.sql.graftagg.CountMinAgg
+      import org.apache.spark.sql.expressions.Window
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val agg = graft.streaming.StreamingOps
+          .eventsStream(s, s"$dir/{events.parquet}",
+            schemaProbePath = Some(s"$dir/events.parquet"))
+          .withWatermark("ts", "1 hour")
+          .select(col("ts"), col("event_type"), col("user_id"))
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(CountMinAgg.graftCms(col("user_id")).as("sk"))
+        val sk = graft.streaming.StreamingOps
+          .drainToBatch(s, agg, "stream_cms")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"), col("event_type"), col("sk"))
+        val ev = Tables(s, dir, "events")
+          .select(date_format(window(col("ts"), "6 hours")("start"),
+            "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("user_id"))
+        val top = ev.groupBy("win_start", "event_type", "user_id")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy("win_start", "event_type")
+            .orderBy(desc("exact_cnt"), col("user_id"))))
+          .where(col("rn") === 1)
+          .select(col("win_start"), col("event_type"),
+            col("user_id").as("top_user"), col("exact_cnt"))
+        val estExpr = (0 until CountMinAgg.D)
+          .map(i => s"element_at(sk, ${CountMinAgg.cellExpr(i, "top_user")})")
+          .mkString("least(", ", ", ")")
+        top.join(sk, Seq("win_start", "event_type"))
+          .withColumn("cms_est", expr(estExpr))
+          .withColumn("tbl_sum",
+            expr("aggregate(sk, 0L, (acc, x) -> acc + x)"))
+          .withColumn("tbl_fp",
+            expr("aggregate(zip_with(sk, sequence(1L, 1024L), " +
+              "(c, p) -> c * p), 0L, (acc, x) -> acc + x)"))
+          .select(col("win_start"), col("event_type"), col("top_user"),
+            col("exact_cnt"), col("cms_est"), col("tbl_sum"),
+            col("tbl_fp"))
+          .orderBy("win_start", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+      '%Y-%m-%d %H:%M:%S') AS win_start,
+    event_type, user_id
+  FROM events
+), seeds(i, a, b) AS (
+  VALUES (0, 1103, 7), (1, 12289, 101), (2, 524287, 3571),
+    (3, 8191, 65537)
+), cells AS (
+  SELECT win_start, event_type, s.i,
+    CAST(s.i * 256 + ((s.a * (user_id % 2147483647) + s.b)
+      % 2147483647) % 256 + 1 AS INT) AS pos,
+    CAST(count(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN seeds s GROUP BY 1, 2, 3, 4
+), tbl AS (
+  SELECT win_start, event_type, CAST(sum(c) AS BIGINT) AS tbl_sum,
+    CAST(sum(c * pos) AS BIGINT) AS tbl_fp
+  FROM cells GROUP BY 1, 2
+), top AS (
+  SELECT win_start, event_type, user_id AS top_user, cnt AS exact_cnt
+  FROM (
+    SELECT win_start, event_type, user_id,
+      CAST(count(*) AS BIGINT) AS cnt,
+      row_number() OVER (PARTITION BY win_start, event_type
+        ORDER BY count(*) DESC, user_id) AS rn
+    FROM ev GROUP BY 1, 2, 3
+  ) WHERE rn = 1
+), est AS (
+  SELECT t.win_start, t.event_type, t.top_user, t.exact_cnt,
+    MIN(c.c) AS cms_est
+  FROM top t CROSS JOIN seeds s
+  JOIN cells c ON c.win_start = t.win_start
+    AND c.event_type = t.event_type AND c.i = s.i
+    AND c.pos = CAST(s.i * 256 + ((s.a * (t.top_user % 2147483647)
+      + s.b) % 2147483647) % 256 + 1 AS INT)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT e.win_start, e.event_type, e.top_user, e.exact_cnt, e.cms_est,
+  t.tbl_sum, t.tbl_fp
+FROM est e JOIN tbl t ON e.win_start = t.win_start
+  AND e.event_type = t.event_type
+ORDER BY e.win_start, e.event_type
+"""))
+
+  /** q344 — SQL SCRIPTING (the Spark 4 procedural surface: BEGIN/
+    * DECLARE/WHILE/SET, SQL/PSM semantics) driving an ADAPTIVE
+    * THRESHOLD SEARCH: find the smallest power-of-two price cutoff
+    * capturing at least half of all orders by DOUBLING — a scripted
+    * loop of ~log₂(maxPrice) cheap filtered counts instead of a
+    * corpus-wide sort/quantile, the probing pattern ops scripts use
+    * against tables too big to rank (each probe is a pushed-down
+    * predicate scan; no shuffle anywhere). Control flow runs on the
+    * driver, every probe is a full Catalyst query — this is the
+    * surface where "query" and "program" meet, and the registry runs
+    * it as a first-class query like any other. The oracle has no
+    * scripting, which is the point: it certifies the LOOP's result
+    * from a closed form (a 41-row powers table joined against the
+    * corpus, minimal qualifying power) — the procedural and
+    * declarative answers must agree exactly. */
+  val q344 = QuerySpec("q344_scripted_search",
+    (s, dir) => {
+      val prev = s.conf.getOption("spark.sql.scripting.enabled")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try {
+        Tables(s, dir, "orders")
+          .select(expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("cents"))
+          .createOrReplaceTempView("q344_ord_v")
+        s.sql("""BEGIN
+          |  DECLARE t BIGINT = 1;
+          |  DECLARE it INT = 0;
+          |  DECLARE n BIGINT;
+          |  DECLARE cnt BIGINT;
+          |  SET n = (SELECT count(*) FROM q344_ord_v);
+          |  SET cnt = (SELECT count(*) FROM q344_ord_v WHERE cents <= t);
+          |  WHILE cnt * 2 < n DO
+          |    SET t = t * 2;
+          |    SET it = it + 1;
+          |    SET cnt = (SELECT count(*) FROM q344_ord_v WHERE cents <= t);
+          |  END WHILE;
+          |  SELECT t AS threshold_cents, CAST(it AS BIGINT) AS doublings,
+          |    cnt AS n_below, n AS n_total;
+          |END""".stripMargin)
+      } finally {
+        s.catalog.dropTempView("q344_ord_v")
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+      }
+    },
+    Some(raw"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+pows AS (
+  SELECT e, (1::BIGINT << e) AS t FROM generate_series(0, 40) g(e)
+), cnts AS (
+  SELECT p.e, p.t,
+    CAST(count(*) FILTER (WHERE o.cents <= p.t) AS BIGINT) AS cnt
+  FROM pows p CROSS JOIN o GROUP BY 1, 2
+)
+SELECT t AS threshold_cents, CAST(e AS BIGINT) AS doublings,
+  cnt AS n_below, (SELECT n FROM tot) AS n_total
+FROM cnts CROSS JOIN tot WHERE cnt * 2 >= n ORDER BY t LIMIT 1
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334, q335, q339, q340, q341)
+      q333, q334, q335, q339, q340, q341, q343, q344)
 }
