@@ -1600,8 +1600,101 @@ SELECT t AS threshold_cents, CAST(e AS BIGINT) AS doublings,
 FROM cnts CROSS JOIN tot WHERE cnt * 2 >= n ORDER BY t LIMIT 1
 """))
 
+  /** q345 — STORAGE-PARTITIONED EXECUTION through
+    * [[graft.sources.KeyedShardSource]] (`SupportsReportPartitioning`,
+    * the SPARK-37377 contract and the one read-path DSv2 capability
+    * the graft-shard ladder didn't yet cover): orders are staged in
+    * the `partitionBy("g")` layout, the connector reports
+    * `KeyGroupedPartitioning(g)` with one `HasPartitionKey` input
+    * partition per key directory, and under
+    * `spark.sql.sources.v2.bucketing.enabled` the per-priority profile
+    * aggregate plans with NO Exchange anywhere under the aggregate —
+    * the group-by's clustering requirement is satisfied BY THE LAYOUT.
+    * At 100 TB over a tenant/date-keyed corpus this is the single
+    * largest avoidable shuffle in the plan. Both the fired shape and
+    * the control (same query, conf off ⇒ the exchange reappears) are
+    * asserted on the FINAL adaptive plan; the oracle replays the
+    * profile from the base parquet, certifying the reported
+    * partitioning told the truth (a wrong claim silently corrupts
+    * every group). */
+  val q345 = QuerySpec("q345_storage_partitioned_agg",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val tmp = Files.createTempDirectory("graft_q345_keyed")
+      val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.getOption(ConfKey)
+      s.conf.set(ConfKey, "true")
+      try {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+          .repartition(8)
+          .write.mode("overwrite").partitionBy("g").csv(tmp.toString)
+        def profile(): org.apache.spark.sql.DataFrame =
+          s.read.format("graft-shard-keyed")
+            .option("path", tmp.toString).load()
+            .groupBy("g").agg(count(lit(1)).as("n"),
+              sum("x").as("sum_cents"), min("x").as("min_cents"),
+              max("x").as("max_cents"))
+        def shuffleBelowAgg(df: org.apache.spark.sql.DataFrame): Boolean = {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.QueryStageExec
+          df.collect() // force execution so the adaptive plan is final
+          val plan = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          // an executed AQE plan nests materialized stages as LEAVES
+          // (Result/ShuffleQueryStageExec: children = Nil, real tree
+          // on .plan) — ordinary TreeNode traversal never sees inside,
+          // so both walks descend through query-stage boundaries
+          def hasShuffle(p: SparkPlan): Boolean = p match {
+            case _: ShuffleExchangeLike => true
+            case qs: QueryStageExec => hasShuffle(qs.plan)
+            case _ => p.children.exists(hasShuffle)
+          }
+          def aggs(p: SparkPlan): Seq[BaseAggregateExec] = p match {
+            case a: BaseAggregateExec => a +: a.children.flatMap(aggs)
+            case qs: QueryStageExec => aggs(qs.plan)
+            case _ => p.children.flatMap(aggs)
+          }
+          aggs(plan).exists(_.children.exists(hasShuffle))
+        }
+        val out = profile()
+        require(!shuffleBelowAgg(out),
+          "source-reported partitioning did not eliminate the exchange")
+        // control: without v2 bucketing the same plan must shuffle
+        s.conf.set(ConfKey, "false")
+        require(shuffleBelowAgg(profile()),
+          "no exchange even without the reported partitioning — " +
+            "the assert proves nothing")
+        s.conf.set(ConfKey, "true")
+        val sunk = out.orderBy("g").collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(ConfKey, v)
+          case None => s.conf.unset(ConfKey)
+        }
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS min_cents,
+  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS max_cents
+FROM orders GROUP BY 1 ORDER BY g
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334, q335, q339, q340, q341, q343, q344)
+      q333, q334, q335, q339, q340, q341, q343, q344, q345)
 }

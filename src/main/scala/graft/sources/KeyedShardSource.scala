@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft-shard-keyed")` — a DataSourceV2 connector
+  * over a KEY-PARTITIONED shard directory (the `write.partitionBy("g")`
+  * layout: `g=<value>/…​.csv`, one `x` per line) that implements
+  * `SupportsReportPartitioning`: the scan DECLARES its data is already
+  * clustered by `g` (`KeyGroupedPartitioning`, one input partition per
+  * key directory, each carrying its `HasPartitionKey` row), so under
+  * `spark.sql.sources.v2.bucketing.enabled` Spark's EnsureRequirements
+  * sees every `GROUP BY g` / join-on-g clustering requirement ALREADY
+  * satisfied and plans NO Exchange — the storage-partitioned-execution
+  * contract (SPARK-37377), and the remaining read-path DSv2 capability
+  * [[ShardStatsSource]]'s ladder (filters, pruning, aggregates, limit,
+  * top-n, runtime filtering) doesn't cover.
+  *
+  * Why it matters at 100 TB: a corpus laid out by its natural key
+  * (tenant, date, priority) re-shuffles on EVERY aggregate/join over
+  * that key if the engine can't see the layout — the single largest
+  * avoidable exchange in a warehouse. Reporting the partitioning turns
+  * those into narrow, per-directory pipelines. All files of one key
+  * are CHAINED INTO ONE input partition by the scan itself, so
+  * correctness never depends on Spark's optional same-key split
+  * grouping; the cost is one task per key, which is the right shape
+  * when the key domain is the unit of downstream consumption.
+  *
+  * The layout is self-describing (`g=` directory names, URL-escaped by
+  * the writer, decoded here); non-keyed directories fail loudly rather
+  * than degrade to a mis-declared partitioning — a WRONG partitioning
+  * claim silently produces WRONG aggregates, so the guard is strict.
+  */
+class KeyedShardSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-shard-keyed"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KeyedShardSource.rowSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KeyedShardTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KeyedShardSource {
+  val rowSchema: StructType = StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("x", LongType, nullable = false)))
+
+  /** (key, sorted csv files) per `g=<value>` subdirectory. */
+  private[sources] def keyedDirs(
+      opts: CaseInsensitiveStringMap): Array[(String, Array[String])] = {
+    val dir = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-shard-keyed: 'path' is required"))
+    val subs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .filter(_.getName.startsWith("g="))
+    require(subs.nonEmpty,
+      s"graft-shard-keyed: no g=<value> subdirectories under $dir — " +
+        "refusing to claim a partitioning the layout doesn't have")
+    subs.map { d =>
+      val key = java.net.URLDecoder.decode(
+        d.getName.stripPrefix("g="), "UTF-8")
+      val files = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .map(_.getAbsolutePath).sorted
+      (key, files)
+    }.sortBy(_._1)
+  }
+}
+
+private[sources] class KeyedShardTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-shard-keyed"
+  override def schema(): StructType = KeyedShardSource.rowSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](
+      options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new KeyedShardScan(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class KeyedShardScan(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch with SupportsReportPartitioning {
+
+  private lazy val dirs = KeyedShardSource.keyedDirs(options)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = KeyedShardSource.rowSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-shard-keyed keys=${dirs.length}"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("g")), dirs.length)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    dirs.map { case (k, files) => KeyedShardPartition(k, files) }
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeyedShardReaderFactory
+}
+
+private[sources] final case class KeyedShardPartition(
+    key: String, files: Array[String])
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(key))
+}
+
+private[sources] class KeyedShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KeyedShardPartition]
+    new PartitionReader[InternalRow] {
+      private val g = UTF8String.fromString(kp.key)
+      private var fileIdx = 0
+      private var lines: java.util.Iterator[String] = _
+      private var stream: java.util.stream.Stream[String] = _
+      private var current: InternalRow = _
+
+      private def advance(): Boolean = {
+        while (true) {
+          if (lines != null && lines.hasNext) {
+            val line = lines.next().trim
+            if (line.nonEmpty) {
+              current = InternalRow(g, line.toLong)
+              return true
+            }
+          } else if (fileIdx < kp.files.length) {
+            if (stream != null) stream.close()
+            stream = java.nio.file.Files.lines(
+              java.nio.file.Paths.get(kp.files(fileIdx)))
+            lines = stream.iterator()
+            fileIdx += 1
+          } else return false
+        }
+        false
+      }
+
+      override def next(): Boolean = advance()
+      override def get(): InternalRow = current
+      override def close(): Unit = if (stream != null) stream.close()
+    }
+  }
+}
