@@ -1693,8 +1693,110 @@ SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
 FROM orders GROUP BY 1 ORDER BY g
 """))
 
+  /** q346 — STORAGE-PARTITIONED JOIN (the join leg of SPARK-37377,
+    * composing with q345's aggregation leg): two corpora staged in
+    * the same `g=`-keyed layout (orders split at the median orderkey
+    * into an "early" and a "late" era — the everyday reconcile-two-
+    * snapshots shape), each profiled per key, then JOINED on the key
+    * — and because both [[graft.sources.KeyedShardSource]] scans
+    * report the same `KeyGroupedPartitioning(g)`, the ENTIRE plan
+    * (two scans, two aggregates, one join) executes with ZERO
+    * exchanges: clustering is satisfied by the layout on both sides,
+    * through the aggregates, into the join (broadcast disabled so the
+    * assert can't be satisfied vacuously). At 100 TB this is the
+    * co-partitioned-tables story bucketing tells (q287) — minus the
+    * bucketing metadata, carried instead by the connector's declared
+    * partitioning. The control re-plans with v2 bucketing off and
+    * must shuffle; the oracle reconciles the eras from base parquet. */
+  val q346 = QuerySpec("q346_storage_partitioned_join",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val tmp = Files.createTempDirectory("graft_q346_spj")
+      val BucketKey = "spark.sql.sources.v2.bucketing.enabled"
+      val BcastKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevB = s.conf.getOption(BucketKey)
+      val prevT = s.conf.getOption(BcastKey)
+      s.conf.set(BucketKey, "true")
+      s.conf.set(BcastKey, "-1")
+      try {
+        val ord = Tables(s, dir, "orders")
+        // exact integer key-range midpoint: identical in both engines
+        // (an approximate median would split differently per engine)
+        val mid = ord.agg(
+          expr("(min(o_orderkey) + max(o_orderkey)) div 2").as("m"))
+          .head().getLong(0)
+        def side(name: String, cond: org.apache.spark.sql.Column): Unit =
+          ord.where(cond)
+            .select(col("o_orderpriority").as("g"),
+              expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+            .repartition(8)
+            .write.mode("overwrite").partitionBy("g").csv(s"$tmp/$name")
+        side("early", col("o_orderkey") <= mid)
+        side("late", col("o_orderkey") > mid)
+        def profile(name: String, tag: String) =
+          s.read.format("graft-shard-keyed")
+            .option("path", s"$tmp/$name").load()
+            .groupBy("g").agg(count(lit(1)).as(s"n_$tag"),
+              sum("x").as(s"cents_$tag"))
+        def reconcile() = profile("early", "early")
+          .join(profile("late", "late"), "g")
+          .select(col("g"), col("n_early"), col("n_late"),
+            col("cents_early"), col("cents_late"),
+            (col("cents_late") - col("cents_early")).as("cents_shift"))
+        def anyShuffle(df: org.apache.spark.sql.DataFrame): Boolean = {
+          df.collect()
+          def walk(p: SparkPlan): Boolean = p match {
+            case _: ShuffleExchangeLike => true
+            case qs: QueryStageExec => walk(qs.plan)
+            case _ => p.children.exists(walk)
+          }
+          df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case p => walk(p)
+          }
+        }
+        val out = reconcile()
+        require(!anyShuffle(out),
+          "storage-partitioned join did not run exchange-free")
+        s.conf.set(BucketKey, "false")
+        require(anyShuffle(reconcile()),
+          "no exchange without the reported partitioning — " +
+            "the assert proves nothing")
+        s.conf.set(BucketKey, "true")
+        val sunk = out.orderBy("g").collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        Seq((BucketKey, prevB), (BcastKey, prevT)).foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+WITH mid AS (
+  SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS m FROM orders
+), early AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_early,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents_early
+  FROM orders, mid WHERE o_orderkey <= m GROUP BY 1
+), late AS (
+  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n_late,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents_late
+  FROM orders, mid WHERE o_orderkey > m GROUP BY 1
+)
+SELECT g, n_early, n_late, cents_early, cents_late,
+  cents_late - cents_early AS cents_shift
+FROM early JOIN late USING (g) ORDER BY g
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334, q335, q339, q340, q341, q343, q344, q345)
+      q333, q334, q335, q339, q340, q341, q343, q344, q345, q346)
 }
