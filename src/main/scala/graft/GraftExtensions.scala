@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // eager aggregation: partial-agg pushdown below a PK-FK join
     // (off unless spark.graft.eagerAgg.enabled + the fk declaration)
     ext.injectOptimizerRule(_ => graft.plans.EagerAggregation())
+    // count(DISTINCT long) -> exact bitmap aggregate (off unless
+    // spark.graft.bitmapDistinct.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.DistinctToBitmap())
     // whole-operator extension: the AS-OF JOIN logical node plans to
     // its merge-based physical operator (AsOfJoinExec)
     ext.injectPlannerStrategy(_ =>

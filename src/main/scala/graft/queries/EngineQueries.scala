@@ -1795,8 +1795,255 @@ SELECT g, n_early, n_late, cents_early, cents_late,
 FROM early JOIN late USING (g) ORDER BY g
 """))
 
+  /** q347 — COUNT(DISTINCT) → BITMAP rewrite through the
+    * [[graft.plans.DistinctToBitmap]] optimizer rule: the query text
+    * is the everyday per-type profile that mixes TWO distinct counts
+    * (distinct users AND distinct price points) with plain aggregates
+    * — exactly the shape Spark executes by planting an EXPAND (a
+    * corpus multiplier: one duplicated input row per distinct-column
+    * group) plus per-distinct-key exchanges — and the ENGINE, opted
+    * in via conf, substitutes the native exact bitmap aggregate for
+    * both: the optimized plan is REQUIRED to contain no Expand and to
+    * carry `graft_bitmap_distinct`; the conf-off control must
+    * re-plant the Expand. (One lesson is pinned in the asserts: a
+    * SINGLE distinct aggregate never plants Expand — Spark plans it
+    * with the two-exchange distinct path — so the multi-distinct mix
+    * is the shape where the rewrite pays most.) The oracle runs the
+    * real count(DISTINCT)s: the rewrite trades PLAN, not answers —
+    * exact equality is the contract (q334's semilattice), certified
+    * here through the rewrite path rather than the explicit API. */
+  val q347 = QuerySpec("q347_distinct_bitmap_rewrite",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.plans.logical.Expand
+      val ConfKey = "spark.graft.bitmapDistinct.enabled"
+      val prev = s.conf.getOption(ConfKey)
+      s.conf.set(ConfKey, "true")
+      try {
+        def profile(): org.apache.spark.sql.DataFrame =
+          Tables(s, dir, "events")
+            .select(col("event_type"), col("user_id"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+            .groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("n_users"),
+              countDistinct(col("cents")).as("n_prices"),
+              count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+            .orderBy("event_type")
+        val out = profile()
+        val opt = out.queryExecution.optimizedPlan
+        require(!opt.exists(_.isInstanceOf[Expand]) &&
+          opt.toString.contains("graft_bitmap_distinct"),
+          "distinct->bitmap rewrite did not engage")
+        s.conf.set(ConfKey, "false")
+        require(profile().queryExecution.optimizedPlan
+          .exists(_.isInstanceOf[Expand]),
+          "no Expand without the rewrite — the assert proves nothing")
+        s.conf.set(ConfKey, "true")
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(ConfKey, v)
+        case None => s.conf.unset(ConfKey)
+      }
+    },
+    Some(raw"""
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    AS n_prices,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q348 — ORC ROUND-TRIP with scan-level pushdown: the engine's
+    * format matrix (parquet, CSV, JSONL, XML, the DSv2 connectors)
+    * gains the other first-class columnar format. lineitem is written
+    * wide to ORC, read back under a selective filter + narrow
+    * projection, and the ORC scan is REQUIRED to carry the pushed
+    * predicates (PushedFilters — qty/flag evaluated inside the
+    * reader against ORC's stripe/row-group statistics, the zone-map
+    * behavior) and a pruned ReadSchema (unprojected columns never
+    * decoded — columnar I/O's whole point). The oracle replays filter
+    * + rollup from the base parquet: byte-exact value preservation
+    * across the format boundary is the round-trip claim. */
+  val q348 = QuerySpec("q348_orc_roundtrip",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q348_orc")
+      try {
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            expr("cast(l_quantity as bigint)").as("qty"),
+            expr("cast(round(l_extendedprice * 100) as bigint)")
+              .as("cents"),
+            col("l_returnflag"), col("l_shipdate"))
+          .write.mode("overwrite").orc(tmp.toString)
+        val out = s.read.orc(tmp.toString)
+          .where(col("qty") >= 45 && col("l_returnflag") === "R")
+          .groupBy("l_linenumber")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("qty").as("min_qty"))
+          .orderBy("l_linenumber")
+        val planStr = out.queryExecution.executedPlan.toString
+        require(planStr.contains("PushedFilters: [") &&
+          planStr.contains("GreaterThanOrEqual(qty,45)") &&
+          planStr.contains("EqualTo(l_returnflag,R)"),
+          "orc filter pushdown did not engage")
+        val readSchema = planStr.split("ReadSchema: ").last
+        require(!readSchema.contains("l_orderkey") &&
+          !readSchema.contains("l_shipdate"),
+          "orc column pruning did not engage")
+        // materialize before the staged ORC files are deleted (the
+        // caller writes the returned frame lazily)
+        val sunk = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty
+FROM lineitem
+WHERE CAST(l_quantity AS BIGINT) >= 45 AND l_returnflag = 'R'
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q349 — AQE RUNTIME JOIN-STRATEGY SWITCH: a fact⋈dim join whose
+    * dim side is a selective non-pushable filter over orders — the
+    * STATIC size estimate is the full file (megabytes, over the
+    * broadcast threshold ⇒ sort-merge), but the RUNTIME materialized
+    * size is a handful of rows, so adaptive execution re-plans the
+    * join to a broadcast-hash mid-query from the finished stage's
+    * actual statistics. This is THE 100 TB insurance policy: filter
+    * selectivities are unknowable at plan time, and the engine that
+    * can only trust static estimates either broadcasts something
+    * huge (OOM) or shuffles something tiny (latency). Asserted both
+    * ways — the final adaptive plan must carry a BroadcastHashJoin,
+    * and the same query with AQE off must carry a SortMergeJoin (the
+    * static decision, proving the switch was AQE's doing). The
+    * oracle replays the join; the strategy must not move the
+    * numbers. */
+  val q349 = QuerySpec("q349_aqe_join_switch",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      val Thresh = "spark.sql.autoBroadcastJoinThreshold"
+      val Aqe = "spark.sql.adaptive.enabled"
+      val prevT = s.conf.getOption(Thresh)
+      val prevA = s.conf.getOption(Aqe)
+      s.conf.set(Thresh, "32768")
+      try {
+        def q(): org.apache.spark.sql.DataFrame = {
+          val li = Tables(s, dir, "lineitem")
+          val ord = Tables(s, dir, "orders")
+            // non-pushable predicate: static size stays the full file
+            .where(expr("pmod(o_orderkey, 997) = 0"))
+            .select(col("o_orderkey"), col("o_orderpriority"))
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_lines"),
+              sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+                .as("rev_cents"))
+            .orderBy("o_orderpriority")
+        }
+        def joins(df: org.apache.spark.sql.DataFrame,
+            run: Boolean): Seq[SparkPlan] = {
+          if (run) df.collect()
+          def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+            case qs: QueryStageExec => walk(qs.plan)
+            case j @ (_: BroadcastHashJoinExec | _: SortMergeJoinExec) =>
+              j +: j.children.flatMap(walk)
+            case _ => p.children.flatMap(walk)
+          }
+          df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case p => walk(p)
+          }
+        }
+        s.conf.set(Aqe, "true")
+        val out = q()
+        require(joins(out, run = true)
+          .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          "AQE did not re-plan the join to broadcast at runtime")
+        s.conf.set(Aqe, "false")
+        require(joins(q(), run = false)
+          .exists(_.isInstanceOf[SortMergeJoinExec]),
+          "static plan already broadcasts — the runtime switch is " +
+            "not being exercised")
+        s.conf.set(Aqe, "true")
+        out
+      } finally {
+        Seq((Thresh, prevT), (Aqe, prevA)).foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      }
+    },
+    Some(raw"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS rev_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey % 997 = 0
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q350 — EXCHANGE REUSE: the daily-share-of-total report computes
+    * the daily aggregate ONCE and feeds both the per-day rows AND the
+    * global total from the same shuffle — the planner's ReuseExchange
+    * rule recognizes the two aggregate subtrees as canonically
+    * identical and replaces the second with a ReusedExchange
+    * reference, so the corpus is scanned and exchanged one time, not
+    * two. The plan is REQUIRED to carry the ReusedExchangeExec (AQE
+    * disabled for the query so the classic operator is visible rather
+    * than AQE's stage-cache equivalent). At 100 TB every
+    * self-referencing dashboard query (share-of-total, DoD, WoW) is
+    * this shape, and exchange reuse is the difference between 1× and
+    * 2× the corpus scan. Shape note: the total rides on a crossJoin
+    * of the SAME frame, not a key-transformed self-join — an
+    * inner-join variant infers different IsNotNull constraints into
+    * the two subtrees and canonical equality (hence reuse) is lost.
+    * The oracle computes the same shares from a window total. */
+  val q350 = QuerySpec("q350_exchange_reuse",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val Aqe = "spark.sql.adaptive.enabled"
+      val prevA = s.conf.getOption(Aqe)
+      s.conf.set(Aqe, "false")
+      try {
+        val daily = Tables(s, dir, "events")
+          .select(expr("cast(floor(cast(ts as long) / 86400) as bigint)")
+            .as("day_idx"))
+          .groupBy("day_idx").agg(count(lit(1)).as("n"))
+        val total = daily.agg(sum("n").as("total"))
+        val out = daily.crossJoin(total)
+          .select(col("day_idx"), col("n"), col("total"),
+            expr("n * 1000000 div total").as("share_ppm"))
+          .orderBy("day_idx")
+        require(out.queryExecution.executedPlan
+          .exists(_.isInstanceOf[ReusedExchangeExec]),
+          "the daily aggregate's exchange was not reused")
+        out
+      } finally prevA match {
+        case Some(v) => s.conf.set(Aqe, v)
+        case None => s.conf.unset(Aqe)
+      }
+    },
+    Some(raw"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT day_idx, n, CAST(sum(n) OVER () AS BIGINT) AS total,
+  CAST(n * 1000000 // sum(n) OVER () AS BIGINT) AS share_ppm
+FROM daily ORDER BY day_idx
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334, q335, q339, q340, q341, q343, q344, q345, q346)
+      q333, q334, q335, q339, q340, q341, q343, q344, q345, q346,
+      q347, q348, q349, q350)
 }
