@@ -1304,13 +1304,16 @@ ORDER BY l_orderkey, l_linenumber
   /** q340 — EAGER AGGREGATION through the
     * [[graft.plans.EagerAggregation]] optimizer rule (Yan–Larson
     * group-by/join reordering, unique-dim-key case): the query text
-    * is a plain revenue-by-priority rollup joining lineitem to
-    * orders, and the ENGINE — told o_orderkey is unique and the
-    * rewrite is enabled — pushes SUM/COUNT/MIN/MAX partials below the
-    * join, grouped by l_orderkey: the optimized plan is REQUIRED to
-    * carry an Aggregate UNDER the Join, so the join's shuffled input
-    * shrinks from one row per lineitem (6×10⁹ at TPC-H SF1000) to one
-    * row per order (4× fewer, map-side-combined besides). The oracle
+    * is a plain revenue-by-brand rollup joining lineitem to part, and
+    * the ENGINE — told p_partkey is unique and the rewrite is enabled
+    * — pushes SUM/COUNT/MIN/MAX partials below the join, grouped by
+    * l_partkey: the optimized plan is REQUIRED to carry an Aggregate
+    * UNDER the Join, so the join's shuffled input shrinks from one
+    * row per lineitem to one row per PART — a 30× reduction at this
+    * schema's ~30 lines/part, map-side-combined besides. (The fk
+    * cardinality is the rewrite's whole economics: against orders at
+    * ~4 lines/order the pre-aggregate barely pays — which is exactly
+    * why the rule is opt-in rather than always-on.) The oracle
     * aggregates after the join as written — equal results certify the
     * partial algebra (SUM→SUM, COUNT→SUM, MIN/MIN, MAX/MAX), exact
     * here because every measure is integral. A negative control with
@@ -1319,26 +1322,26 @@ ORDER BY l_orderkey, l_linenumber
   val q340 = QuerySpec("q340_eager_agg",
     (s, dir) => {
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-      val dimPath = s"$dir/orders.parquet"
+      val dimPath = s"$dir/part.parquet"
       val keys = Seq("spark.graft.eagerAgg.enabled",
         "spark.graft.unique.path", "spark.graft.unique.cols")
       val prev = keys.map(k => k -> s.conf.getOption(k))
       s.conf.set("spark.graft.eagerAgg.enabled", "true")
       s.conf.set("spark.graft.unique.path", dimPath)
-      s.conf.set("spark.graft.unique.cols", "o_orderkey")
+      s.conf.set("spark.graft.unique.cols", "p_partkey")
       try {
         def rollup(): org.apache.spark.sql.DataFrame = {
           val li = Tables(s, dir, "lineitem")
-          val ord = s.read.parquet(dimPath)
-          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-            .groupBy(ord("o_orderpriority"))
+          val part = s.read.parquet(dimPath)
+          li.join(part, li("l_partkey") === part("p_partkey"))
+            .groupBy(part("p_brand"))
             .agg(
               sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
                 .as("rev_cents"),
               count(lit(1)).as("n_lines"),
               min(expr("cast(l_quantity as bigint)")).as("min_qty"),
               max(expr("cast(l_quantity as bigint)")).as("max_qty"))
-            .orderBy("o_orderpriority")
+            .orderBy("p_brand")
         }
         val out = rollup()
         def aggBelowJoin(df: org.apache.spark.sql.DataFrame): Boolean =
@@ -1361,15 +1364,15 @@ ORDER BY l_orderkey, l_linenumber
       }
     },
     Some(raw"""
-SELECT o_orderpriority,
+SELECT p_brand,
   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
     AS rev_cents,
   CAST(count(*) AS BIGINT) AS n_lines,
   CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
   CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
 """))
 
   /** q341 — native COUNT–MIN SKETCH aggregate

@@ -626,12 +626,22 @@ ORDER BY dim
           expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
           expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
         .withColumn("fold", expr(fold))
+      // Σy² via the q342 split-sum core: three exact int64 cross sums
+      // per fold, one decimal recombination on the 5-row frame (the
+      // per-row decimal(38) multiply was a measured 15× slowdown of
+      // the whole pass at 100× rows)
       val perFold = obs.groupBy("fold").agg(
         count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
         sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
         sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
         sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
-        sum(expr("cast(y as decimal(38,0)) * y")).as("tyy"))
+        sum(expr("(y div 10000) * (y div 10000)")).as("tyy_a"),
+        sum(expr("(y div 10000) * (y % 10000)")).as("tyy_ab"),
+        sum(expr("(y % 10000) * (y % 10000)")).as("tyy_b"))
+        .withColumn("tyy", expr(
+          "cast(tyy_a as decimal(38,0)) * 100000000 + " +
+            "2 * cast(tyy_ab as decimal(38,0)) * 10000 + " +
+            "cast(tyy_b as decimal(38,0))"))
       val w = Window.partitionBy(lit(1))
       // totals ride along as window sums over the 5-row fold frame
       val staged = perFold
@@ -687,7 +697,9 @@ WITH obs AS (
     CAST(sum(y) AS BIGINT) AS ty,
     CAST(sum(x1 * y) AS BIGINT) AS t1y,
     CAST(sum(x2 * y) AS BIGINT) AS t2y,
-    sum(CAST(y AS HUGEINT) * y) AS tyy
+    CAST(sum((y // 10000) * (y // 10000)) AS HUGEINT) * 100000000
+      + 2 * CAST(sum((y // 10000) * (y % 10000)) AS HUGEINT) * 10000
+      + CAST(sum((y % 10000) * (y % 10000)) AS HUGEINT) AS tyy
   FROM obs GROUP BY 1
 ), staged AS (
   SELECT *,
@@ -739,13 +751,20 @@ FROM betas ORDER BY fold
           expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
           expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
         .withColumn("b", expr(bucket))
+      // same split-sum Σy² core as q337/q342 (per-row decimal ban)
       val perB = graft.CacheRegistry.persistTracked(
         obs.groupBy("b").agg(
           count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
           sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
           sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
           sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
-          sum(expr("cast(y as decimal(38,0)) * y")).as("tyy")))
+          sum(expr("(y div 10000) * (y div 10000)")).as("tyy_a"),
+          sum(expr("(y div 10000) * (y % 10000)")).as("tyy_ab"),
+          sum(expr("(y % 10000) * (y % 10000)")).as("tyy_b"))
+        .withColumn("tyy", expr(
+          "cast(tyy_a as decimal(38,0)) * 100000000 + " +
+            "2 * cast(tyy_ab as decimal(38,0)) * 10000 + " +
+            "cast(tyy_b as decimal(38,0))")))
       val test = perB.where(col("b") === 0L) // aliases match sse12Spark
       import s.implicits._
       val sizes = Seq(2L, 5L, 10L, 19L).toDF("s")
@@ -797,7 +816,9 @@ WITH obs AS (
     CAST(sum(y) AS BIGINT) AS ty,
     CAST(sum(x1 * y) AS BIGINT) AS t1y,
     CAST(sum(x2 * y) AS BIGINT) AS t2y,
-    sum(CAST(y AS HUGEINT) * y) AS tyy
+    CAST(sum((y // 10000) * (y // 10000)) AS HUGEINT) * 100000000
+      + 2 * CAST(sum((y // 10000) * (y % 10000)) AS HUGEINT) * 10000
+      + CAST(sum((y % 10000) * (y % 10000)) AS HUGEINT) AS tyy
   FROM obs GROUP BY 1
 ), sizes AS (SELECT unnest([2, 5, 10, 19]) AS s),
 train AS (
@@ -846,12 +867,24 @@ ORDER BY n_buckets
         expr("cast(l_quantity as bigint)").as("x1"),
         expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
         expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
+      // Σy² exceeds int64 (y ≤ 10⁷ cents, 10⁸+ rows at scale), but a
+      // per-row decimal(38) multiply is a BigDecimal per row — a
+      // measured 15× slowdown of the whole pass at 100× rows. Split
+      // y = a·10⁴ + b: the three cross sums stay exact IN INT64
+      // (Σa² ≤ n·10⁶, Σab ≤ n·10⁷, Σb² ≤ n·10⁸), and the single
+      // decimal recombination happens on the 1-row frame.
       val tot = obs.agg(
         count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
         sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
         sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
         sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
-        sum(expr("cast(y as decimal(38,0)) * y")).as("tyy"))
+        sum(expr("(y div 10000) * (y div 10000)")).as("tyy_a"),
+        sum(expr("(y div 10000) * (y % 10000)")).as("tyy_ab"),
+        sum(expr("(y % 10000) * (y % 10000)")).as("tyy_b"))
+        .withColumn("tyy", expr(
+          "cast(tyy_a as decimal(38,0)) * 100000000 + " +
+            "2 * cast(tyy_ab as decimal(38,0)) * 10000 + " +
+            "cast(tyy_b as decimal(38,0))"))
       import s.implicits._
       val lams = Seq(0L, 10000L, 1000000L, 100000000L).toDF("lambda")
       lams.crossJoin(broadcast(tot))
@@ -891,7 +924,9 @@ WITH obs AS (
     CAST(sum(y) AS BIGINT) AS ty,
     CAST(sum(x1 * y) AS BIGINT) AS t1y,
     CAST(sum(x2 * y) AS BIGINT) AS t2y,
-    sum(CAST(y AS HUGEINT) * y) AS tyy
+    CAST(sum((y // 10000) * (y // 10000)) AS HUGEINT) * 100000000
+      + 2 * CAST(sum((y // 10000) * (y % 10000)) AS HUGEINT) * 10000
+      + CAST(sum((y % 10000) * (y % 10000)) AS HUGEINT) AS tyy
   FROM obs
 ), lams AS (SELECT unnest([0, 10000, 1000000, 100000000]) AS lambda),
 g AS (
