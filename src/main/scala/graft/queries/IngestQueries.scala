@@ -927,7 +927,114 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """))
 
+  /** q351 — FILE-PROVENANCE METADATA COLUMNS (`_metadata.file_name`,
+    * the hidden per-row lineage surface Spark attaches to every file
+    * scan): orders are staged as a multi-file parquet directory at a
+    * FIXED path, and the query attributes every row back to the shard
+    * file that carried it — rows-per-file, revenue-per-file — without
+    * any column being written for it. This is the "which shard did
+    * the bad row come from" question every 100 TB ingest
+    * investigation starts with, answered from scan metadata instead
+    * of a bookkeeping column baked into the data. The oracle reads
+    * the SAME staged files with DuckDB's filename column; basenames
+    * (opaque task UUIDs, but identical strings for both readers) key
+    * the comparison, so the per-file attribution itself is what's
+    * certified. The staging persists across the verify→oracle gap by
+    * design — mode=overwrite keeps reruns clean. */
+  val q351 = QuerySpec("q351_file_provenance",
+    (s, dir) => {
+      val stage = "/tmp/graft_q351_meta"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      s.read.parquet(stage)
+        .select(col("cents"), col("_metadata.file_name").as("file_name"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("file_name")
+    },
+    Some(raw"""
+SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM read_parquet('/tmp/graft_q351_meta/*.parquet', filename = true)
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q352 — CROSS-FORMAT LOSSLESSNESS AUDIT: one projection of orders
+    * (an id, an exact cents value, a string, a date rendered to ISO
+    * text) written to all four interchange formats — parquet, ORC,
+    * CSV, JSON-lines — read back, and collapsed to one content
+    * fingerprint per format: row count, Σcents, and an order-free
+    * Σmd5₆₀(key|cents|priority|date) over every row. All four rows
+    * must carry the SAME fingerprint, and the oracle computes the
+    * fingerprint ONCE from the base table — so what's certified is
+    * that every format round-trip preserved every value of every type
+    * exactly (the quiet corruption channels: CSV quoting, JSON number
+    * formatting, date rendering). This is the ingest-QA gate a
+    * multi-format lake runs before trusting a new writer path. */
+  val q352 = QuerySpec("q352_format_matrix_audit",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q352_fmt")
+      try {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+            col("o_orderpriority").as("prio"),
+            expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("d"))
+        base.write.mode("overwrite").parquet(s"$tmp/p")
+        base.write.mode("overwrite").orc(s"$tmp/o")
+        base.write.mode("overwrite").option("header", "true")
+          .csv(s"$tmp/c")
+        base.write.mode("overwrite").json(s"$tmp/j")
+        val schema = "o_orderkey bigint, cents bigint, prio string, d string"
+        val reads = Seq(
+          "parquet" -> s.read.parquet(s"$tmp/p"),
+          "orc" -> s.read.orc(s"$tmp/o"),
+          "csv" -> s.read.option("header", "true").schema(schema)
+            .csv(s"$tmp/c"),
+          "json" -> s.read.schema(schema).json(s"$tmp/j"))
+        // per-row term reduced mod 10^9 so the order-free sum stays in
+        // int64 at any corpus size (10^10 rows x <10^9 < 2^63)
+        val fp = "sum(cast(conv(substring(md5(concat(" +
+          "cast(o_orderkey as string), '|', cast(cents as string), '|', " +
+          "prio, '|', d)), 1, 15), 16, 10) as bigint) % 1000000000)"
+        val out = reads.map { case (fmt, df) =>
+          df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            expr(fp).as("content_fp"))
+            .select(lit(fmt).as("format"), col("n"), col("sum_cents"),
+              col("content_fp"))
+        }.reduce(_ unionByName _).orderBy("format")
+        val sunk = out.collect()
+        require(sunk.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .distinct.length == 1,
+          "format round-trips disagree — a writer or reader is lossy")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderpriority AS prio, strftime(o_orderdate, '%Y-%m-%d') AS d
+  FROM orders
+), fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS BIGINT) AS sum_cents,
+    CAST(sum(CAST(concat('0x', substr(md5(concat(
+      CAST(o_orderkey AS VARCHAR), '|', CAST(cents AS VARCHAR), '|',
+      prio, '|', d)), 1, 15)) AS BIGINT) % 1000000000) AS BIGINT)
+      AS content_fp
+  FROM base
+)
+SELECT f.format, fp.n, fp.sum_cents, fp.content_fp
+FROM (SELECT unnest(['csv', 'json', 'orc', 'parquet']) AS format) f
+CROSS JOIN fp ORDER BY f.format
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139,
-      q150, q155, q286)
+      q150, q155, q286, q351, q352)
 }

@@ -952,6 +952,119 @@ SELECT lambda, tn AS n,
 FROM betas ORDER BY lambda
 """))
 
+  /** Shared pinned R² text (spliced verbatim into both engines): the
+    * ppm-floored coefficient of determination from the exact-integer
+    * pieces — SSE via [[sse12Expr]] (already 10¹²-scaled by the ppm
+    * betas), SST·n = n·Σy² − (Σy)² kept exact in 38-digit integers,
+    * and ONE double division with the 10¹² rescale folded into the
+    * denominator text (multiplying it into the integer would overflow
+    * 38 digits). */
+  private def r2Expr(sse: String, big: String => String): String =
+    s"cast(floor(1000000.0 * (1.0 - cast(($sse) as double) / " +
+      s"(cast((${big("tn")} * tyy - ${big("ty")} * ty) as double) * " +
+      "1000000000000.0))) as bigint)"
+  private val r2Spark =
+    r2Expr(sse12Spark, s => s"cast($s as decimal(38,0))")
+  private val r2Duck = s"CAST(floor(1000000.0 * (1.0 - " +
+    s"CAST(($sse12Duck) AS DOUBLE) / (CAST((CAST(tn AS HUGEINT) * tyy " +
+    "- CAST(ty AS HUGEINT) * ty) AS DOUBLE) * 1000000000000.0))) " +
+    "AS BIGINT)"
+
+  /** q353 — GROUPED OLS ("many models in one pass", the per-tenant /
+    * per-segment regression pattern): one model per l_returnflag,
+    * price_cents ~ quantity + discount, fitted in closed form from a
+    * single groupBy(flag) moment aggregate — the q293 machinery with
+    * the group key carried through, plus per-model quality
+    * diagnostics (train RMSE via the exact-integer SSE expansion, R²
+    * via the pinned text above). THE scale claim of the
+    * normal-equation formulation: a million tenant models cost
+    * exactly one corpus pass plus a million 3×3 solves on the
+    * aggregated frame — no per-model scans, no iteration, no
+    * cross-model interference. Σy² rides the q342 split-sum core
+    * (int64 cross sums, one decimal recombination per GROUP, never
+    * per row). */
+  val q353 = QuerySpec("q353_grouped_ols",
+    (s, dir) => {
+      val obs = Tables(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        expr("cast(l_quantity as bigint)").as("x1"),
+        expr("cast(floor(l_discount * 100) as bigint)").as("x2"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("y"))
+      obs.groupBy("flag").agg(
+        count(lit(1)).as("tn"), sum("x1").as("t1"), sum("x2").as("t2"),
+        sum(expr("x1 * x1")).as("t11"), sum(expr("x1 * x2")).as("t12"),
+        sum(expr("x2 * x2")).as("t22"), sum("y").as("ty"),
+        sum(expr("x1 * y")).as("t1y"), sum(expr("x2 * y")).as("t2y"),
+        sum(expr("(y div 10000) * (y div 10000)")).as("tyy_a"),
+        sum(expr("(y div 10000) * (y % 10000)")).as("tyy_ab"),
+        sum(expr("(y % 10000) * (y % 10000)")).as("tyy_b"))
+        .withColumn("tyy", expr(
+          "cast(tyy_a as decimal(38,0)) * 100000000 + " +
+            "2 * cast(tyy_ab as decimal(38,0)) * 10000 + " +
+            "cast(tyy_b as decimal(38,0))"))
+        .withColumn("dn", expr("cast(tn as double)"))
+        .withColumn("d1", expr("cast(t1 as double)"))
+        .withColumn("d2", expr("cast(t2 as double)"))
+        .withColumn("d11", expr("cast(t11 as double)"))
+        .withColumn("d12", expr("cast(t12 as double)"))
+        .withColumn("d22", expr("cast(t22 as double)"))
+        .withColumn("dy", expr("cast(ty as double)"))
+        .withColumn("d1y", expr("cast(t1y as double)"))
+        .withColumn("d2y", expr("cast(t2y as double)"))
+        .withColumn("b0",
+          expr(s"cast(floor(($det0Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b1",
+          expr(s"cast(floor(($det1Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .withColumn("b2",
+          expr(s"cast(floor(($det2Expr) / ($detExpr) * 1000000.0) as bigint)"))
+        .select(col("flag"), col("tn").as("n"),
+          col("b0").as("beta0_ppm"), col("b1").as("beta1_ppm"),
+          col("b2").as("beta2_ppm"),
+          expr(rmseSpark).as("rmse_cents"),
+          expr(r2Spark).as("r2_ppm"))
+        .orderBy("flag")
+    },
+    Some(raw"""
+WITH obs AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x1,
+    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), per_g AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS tn,
+    CAST(sum(x1) AS BIGINT) AS t1, CAST(sum(x2) AS BIGINT) AS t2,
+    CAST(sum(x1 * x1) AS BIGINT) AS t11,
+    CAST(sum(x1 * x2) AS BIGINT) AS t12,
+    CAST(sum(x2 * x2) AS BIGINT) AS t22,
+    CAST(sum(y) AS BIGINT) AS ty,
+    CAST(sum(x1 * y) AS BIGINT) AS t1y,
+    CAST(sum(x2 * y) AS BIGINT) AS t2y,
+    CAST(sum((y // 10000) * (y // 10000)) AS HUGEINT) * 100000000
+      + 2 * CAST(sum((y // 10000) * (y % 10000)) AS HUGEINT) * 10000
+      + CAST(sum((y % 10000) * (y % 10000)) AS HUGEINT) AS tyy
+  FROM obs GROUP BY 1
+), staged AS (
+  SELECT *,
+    CAST(tn AS DOUBLE) AS dn, CAST(t1 AS DOUBLE) AS d1,
+    CAST(t2 AS DOUBLE) AS d2, CAST(t11 AS DOUBLE) AS d11,
+    CAST(t12 AS DOUBLE) AS d12, CAST(t22 AS DOUBLE) AS d22,
+    CAST(ty AS DOUBLE) AS dy, CAST(t1y AS DOUBLE) AS d1y,
+    CAST(t2y AS DOUBLE) AS d2y
+  FROM per_g
+), betas AS (
+  SELECT *,
+    CAST(floor(($det0Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b0,
+    CAST(floor(($det1Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b1,
+    CAST(floor(($det2Expr) / ($detExpr) * 1000000.0) AS BIGINT) AS b2
+  FROM staged
+)
+SELECT flag, tn AS n,
+  b0 AS beta0_ppm, b1 AS beta1_ppm, b2 AS beta2_ppm,
+  $rmseDuck AS rmse_cents,
+  $r2Duck AS r2_ppm
+FROM betas ORDER BY flag
+"""))
+
   val all: Seq[QuerySpec] =
-    Seq(q292, q293, q294, q295, q301, q337, q338, q342)
+    Seq(q292, q293, q294, q295, q301, q337, q338, q342, q353)
 }

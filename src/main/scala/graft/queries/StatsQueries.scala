@@ -997,6 +997,100 @@ FROM rec r JOIN dn ON dn.event_type = r.event_type AND r.rn = dn.nd
 ORDER BY r.event_type
 """))
 
+  /** q354 — MEDIAN / MAD ROBUST OUTLIER SCREEN per event type (the
+    * Hampel rule, |x − med| > 3·MAD — the robust-stats screen that,
+    * unlike z-scores, a few extreme values cannot poison because
+    * median and MAD have 50% breakdown points): both medians are
+    * EXACT LOWER MEDIANS (min v with cum·2 ≥ n) computed through the
+    * q266 value-histogram rank idiom — the cents domain is bounded
+    * (~49k distinct values), so nothing ever ranks raw rows, and the
+    * outlier count comes from the DEVIATION histogram, not a third
+    * corpus pass. Two corpus passes total (value histogram; deviation
+    * histogram after a broadcast of the 1-row-per-type medians) —
+    * the 100 TB shape for any two-level order statistic. Everything
+    * is integer; the convention (lower median) is pinned in both
+    * engines by construction rather than trusting either engine's
+    * median() interpolation. */
+  val q354 = QuerySpec("q354_mad_outliers",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val wCum = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val med = ev.groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wAll))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") * 2L >= col("n"), col("cents")))
+          .as("median_cents"), max("n").as("n"))
+      val wCumD = Window.partitionBy("event_type").orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val devHist = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("cents") - col("median_cents")).as("ad"))
+        .groupBy("event_type", "ad").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCumD))
+        .withColumn("n", sum("cnt").over(wAll))
+      val mad = devHist.groupBy("event_type")
+        .agg(min(when(col("cum") * 2L >= col("n"), col("ad")))
+          .as("mad_cents"))
+      val outliers = devHist.join(broadcast(mad), "event_type")
+        .where(col("ad") > col("mad_cents") * 3L)
+        .groupBy("event_type").agg(sum("cnt").as("o"))
+      med.join(mad, "event_type")
+        .join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("median_cents"),
+          col("mad_cents"), coalesce(col("o"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some(raw"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), h AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), c AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+), med AS (
+  SELECT event_type,
+    CAST(min(cents) FILTER (WHERE cum * 2 >= n) AS BIGINT)
+      AS median_cents,
+    CAST(max(n) AS BIGINT) AS n
+  FROM c GROUP BY 1
+), dh AS (
+  SELECT e.event_type, abs(e.cents - m.median_cents) AS ad,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM ev e JOIN med m ON e.event_type = m.event_type
+  GROUP BY 1, 2
+), dc AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY ad
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM dh
+), mad AS (
+  SELECT event_type,
+    CAST(min(ad) FILTER (WHERE cum * 2 >= n) AS BIGINT) AS mad_cents
+  FROM dc GROUP BY 1
+), outl AS (
+  SELECT d.event_type, CAST(sum(d.cnt) AS BIGINT) AS o
+  FROM dh d JOIN mad m ON d.event_type = m.event_type
+  WHERE d.ad > m.mad_cents * 3
+  GROUP BY 1
+)
+SELECT med.event_type, med.n, med.median_cents, mad.mad_cents,
+  CAST(coalesce(outl.o, 0) AS BIGINT) AS n_outliers
+FROM med JOIN mad ON med.event_type = mad.event_type
+LEFT JOIN outl ON med.event_type = outl.event_type
+ORDER BY med.event_type
+"""))
+
   def all: Seq[QuerySpec] = Seq(q248, q249, q250, q251, q266, q267,
-    q270, q309, q314, q315, q316, q319)
+    q270, q309, q314, q315, q316, q319, q354)
 }
