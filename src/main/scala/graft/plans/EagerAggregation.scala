@@ -5,8 +5,8 @@ import scala.util.Try
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -50,7 +50,9 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType,
   * key produced by the scan itself (a dim Filter only drops groups —
   * safe; Project passthrough preserves uniqueness); aggregate
   * functions drawn from SUM (integral/floating child — decimal sums
-  * re-widen and would change the output type), COUNT, MIN, MAX, no
+  * re-widen and would change the output type), COUNT, MIN, MAX, AVG
+  * (decomposed to double-sum + count, the same accumulation type
+  * Average itself buffers in), no
   * DISTINCT, no FILTER clause, deterministic children referencing
   * only the fact side; grouping expressions are bare attributes; the
   * fact side is not itself an Aggregate (idempotency — the rewritten
@@ -125,16 +127,34 @@ case class EagerAggregation() extends Rule[LogicalPlan] {
                 ae.aggregateFunction.children.forall(c => c.deterministic &&
                   c.references.subsetOf(fact.outputSet)) &&
                 pushable(ae) =>
-            val p = Alias(ae, s"__ea${partials.length}")()
-            partials += p
-            val pa = p.toAttribute
-            val combined = ae.aggregateFunction match {
-              case _: Sum => Sum(pa)
-              case _: Count => Sum(pa)
-              case _: Min => Min(pa)
-              case _: Max => Max(pa)
+            def partial(f: org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateFunction): Attribute = {
+              val p = Alias(f.toAggregateExpression(),
+                s"__ea${partials.length}")()
+              partials += p
+              p.toAttribute
             }
-            Alias(combined.toAggregateExpression(), al.name)(
+            val rebuilt: Expression = ae.aggregateFunction match {
+              case s: Sum => Sum(partial(s)).toAggregateExpression()
+              case c: Count => Sum(partial(c)).toAggregateExpression()
+              case m: Min => Min(partial(m)).toAggregateExpression()
+              case m: Max => Max(partial(m)).toAggregateExpression()
+              case a: Average =>
+                // avg decomposes to (double-sum, count) — the SAME
+                // accumulation type Average itself buffers in, so the
+                // rewrite changes grouping order only, never the
+                // arithmetic class; null child rows drop from both
+                // partials exactly as Average skips them
+                val child = a.child.dataType match {
+                  case DoubleType => a.child
+                  case _ => Cast(a.child, DoubleType)
+                }
+                val ds = partial(Sum(child))
+                val cnt = partial(Count(Seq(a.child)))
+                Divide(Sum(ds).toAggregateExpression(),
+                  Cast(Sum(cnt).toAggregateExpression(), DoubleType))
+            }
+            Alias(rebuilt, al.name)(
               exprId = al.exprId, qualifier = al.qualifier)
           case _ =>
             ok = false
@@ -158,17 +178,22 @@ case class EagerAggregation() extends Rule[LogicalPlan] {
   }
 
   /** SUM over integral/floating children keeps its result type when
-    * re-summed; COUNT/MIN/MAX always combine losslessly. */
-  private def pushable(ae: AggregateExpression): Boolean =
+    * re-summed; COUNT/MIN/MAX always combine losslessly; AVG (same
+    * type domain) decomposes to double-sum + count. Decimal is out:
+    * its sums re-widen their result type on the second pass. */
+  private def pushable(ae: AggregateExpression): Boolean = {
+    def ok(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case ShortType | IntegerType | LongType | FloatType |
+           DoubleType => true
+      case _ => false
+    }
     ae.aggregateFunction match {
-      case s: Sum => s.child.dataType match {
-        case ShortType | IntegerType | LongType | FloatType |
-             DoubleType => true
-        case _ => false
-      }
+      case s: Sum => ok(s.child.dataType)
+      case a: Average => ok(a.child.dataType)
       case _: Count | _: Min | _: Max => true
       case _ => false
     }
+  }
 
   /** dim side is [Project(attribute-only)]? [Filter(deterministic)]?
     * scan(dimPath), with `pk` produced by the scan itself and naming

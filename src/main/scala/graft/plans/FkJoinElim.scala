@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, ExprId, Expression, IsNotNull, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Expand, Filter, Join, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -40,7 +40,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * join, which the rewrite preserves via IsNotNull).
   *
   * The guarded pattern is `Project(exprs, Join(fact, dim, Inner,
-  * fk = pk))` where
+  * fk = pk))` — plus two siblings sharing every guard: an Aggregate
+  * directly on the join (the BI-rollup shape; grouping expressions
+  * and aggregates together must consume nothing of the dim beyond
+  * pk) and a bare Join whose own output qualifies (the no-op-Project-
+  * removed shape) — where
   *  - the dim side is `[Project(attrs)]? scan(dimPath)` — bare: a
   *    dim-side Filter would remove fact rows, so its presence vetoes;
   *  - `pk` is produced BY the dim scan itself (exprId provenance, not
@@ -86,39 +90,65 @@ case class FkJoinElim() extends Rule[LogicalPlan] with PredicateHelper {
       case p @ Project(exprs,
           Join(l, r, Inner, Some(EqualTo(a: AttributeReference,
             b: AttributeReference)), _)) =>
-        tryEliminate(p, exprs, l, r, a, b,
-          factPath, factCol, dimPath, dimCol).getOrElse(p)
+        eliminate(exprs, l, r, a, b, factPath, factCol, dimPath, dimCol)
+          .map { case (fk, pk, newChild) =>
+            Project(substOutputs(exprs, pk, fk), newChild)
+          }.getOrElse(p)
+      // the BI-rollup shape: an Aggregate sits directly on the join
+      // and consumes only fact columns (grouping by the fk itself is
+      // common — "revenue per order id" — and substitutes to fk)
+      case agg @ Aggregate(groups, aggs,
+          Join(l, r, Inner, Some(EqualTo(a: AttributeReference,
+            b: AttributeReference)), _), hint) =>
+        eliminate(groups ++ aggs, l, r, a, b,
+          factPath, factCol, dimPath, dimCol)
+          .map { case (fk, pk, newChild) =>
+            Aggregate(groups.map(substPk(_, pk, fk)),
+              substOutputs(aggs, pk, fk), newChild, hint)
+          }.getOrElse(agg)
       // no Project above (the select list matched the join output, so
       // the no-op Project was removed): when the dim side is pruned
       // to exactly [pk], every join output is a fact column or pk
       // itself — eliminable regardless of what consumes it above
       case j @ Join(l, r, Inner, Some(EqualTo(a: AttributeReference,
           b: AttributeReference)), _) =>
-        tryEliminateBare(j, l, r, a, b,
-          factPath, factCol, dimPath, dimCol).getOrElse(j)
+        eliminate(j.output, l, r, a, b,
+          factPath, factCol, dimPath, dimCol)
+          .map { case (fk, pk, newChild) =>
+            Project(substOutputs(
+              j.output.map(identity[NamedExpression]), pk, fk), newChild)
+          }.getOrElse(j)
     }
   }
 
-  private def tryEliminateBare(j: Join,
-      l: LogicalPlan, r: LogicalPlan,
-      a: AttributeReference, b: AttributeReference,
-      factPath: String, factCol: String,
-      dimPath: String, dimCol: String): Option[LogicalPlan] = {
-    // synthesize the identity projection over the join output and let
-    // the Project path do the work: its consumed-dim-columns guard
-    // rejects exactly the cases where the dim side carries anything
-    // beyond the key, so this is sound for any bare join
-    tryEliminate(
-      Project(j.output.map(identity[NamedExpression]), j),
-      j.output.map(identity[NamedExpression]), l, r, a, b,
-      factPath, factCol, dimPath, dimCol)
+  private def substPk(e: Expression, pk: AttributeReference,
+      fk: AttributeReference): Expression = e.transform {
+    case attr: Attribute if attr.exprId == pk.exprId => fk
   }
 
-  private def tryEliminate(orig: Project, exprs: Seq[NamedExpression],
+  /** Rewrite an output list with pk references rebound to fk; a
+    * top-level bare pk keeps its downstream exprId alive on an alias
+    * of fk so parent plans resolve unchanged. */
+  private def substOutputs(exprs: Seq[NamedExpression],
+      pk: AttributeReference,
+      fk: AttributeReference): Seq[NamedExpression] =
+    exprs.map {
+      case attr: Attribute if attr.exprId == pk.exprId =>
+        Alias(fk, attr.name)(exprId = attr.exprId,
+          qualifier = attr.qualifier)
+      case ne => substPk(ne, pk, fk).asInstanceOf[NamedExpression]
+    }
+
+  /** All guards, shared by every consuming shape: orient the
+    * condition, qualify dim + fact sides, require the consumed
+    * expressions to touch nothing of the dim beyond pk, and build the
+    * replacement fact-side child (null filter + transferred pk-only
+    * dim predicates). Returns (fk, pk, newChild). */
+  private def eliminate(consumed: Seq[Expression],
       l: LogicalPlan, r: LogicalPlan,
       a: AttributeReference, b: AttributeReference,
-      factPath: String, factCol: String,
-      dimPath: String, dimCol: String): Option[LogicalPlan] = {
+      factPath: String, factCol: String, dimPath: String, dimCol: String)
+      : Option[(AttributeReference, AttributeReference, LogicalPlan)] = {
     // orient the equi-condition: which attr is the declared dim key?
     val oriented: Option[(LogicalPlan, AttributeReference, LogicalPlan,
       AttributeReference, Seq[Expression])] =
@@ -133,25 +163,15 @@ case class FkJoinElim() extends Rule[LogicalPlan] with PredicateHelper {
         fk.name.toLowerCase == factCol &&
         scanProduces(fact, fk.exprId, factPath) &&
         !fact.exists(n => n.isInstanceOf[Union] || n.isInstanceOf[Expand])
-      // the projection may consume fact attrs and pk, nothing else
-      val dimRefsOk = exprs.flatMap(_.references)
+      // the consumer may touch fact attrs and pk, nothing else of dim
+      val dimRefsOk = consumed.flatMap(_.references)
         .forall(ref => fact.outputSet.contains(ref) || ref.exprId == pk.exprId)
       if (!factOk || !dimRefsOk) None
       else {
-        def substPk(e: Expression): Expression = e.transform {
-          case attr: Attribute if attr.exprId == pk.exprId => fk
-        }
-        val rewritten = exprs.map {
-          case attr: Attribute if attr.exprId == pk.exprId =>
-            // bare pk output: keep the downstream exprId alive on fk
-            Alias(fk, attr.name)(exprId = attr.exprId,
-              qualifier = attr.qualifier)
-          case ne => substPk(ne).asInstanceOf[NamedExpression]
-        }
-        val cond = (IsNotNull(fk) +: dimPreds.map(substPk))
+        val cond = (IsNotNull(fk) +: dimPreds.map(substPk(_, pk, fk)))
           .reduce[Expression](org.apache.spark.sql.catalyst
             .expressions.And(_, _))
-        Some(Project(rewritten, Filter(cond, fact)))
+        Some((fk, pk, Filter(cond, fact)))
       }
     }
   }

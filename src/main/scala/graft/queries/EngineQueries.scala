@@ -1935,7 +1935,18 @@ GROUP BY 1 ORDER BY 1
       val Aqe = "spark.sql.adaptive.enabled"
       val prevT = s.conf.getOption(Thresh)
       val prevA = s.conf.getOption(Aqe)
-      s.conf.set(Thresh, "32768")
+      // the threshold must sit BETWEEN the static estimate (the file
+      // size scaled by column pruning's width ratio — the filter is
+      // non-pushable, so planning sees every row) and the runtime
+      // size (~1/997 of rows) at EVERY sf — a SIXTEENTH of the file
+      // clears the pruning ratio from above and the 997× row cut from
+      // below, where any fixed constant fails at some scale (at
+      // sf0.001 the whole file is under 32 KB)
+      def sizeOf(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).getOrElse(Array.empty).map(sizeOf).sum
+      val dimBytes = sizeOf(new java.io.File(s"$dir/orders.parquet"))
+      s.conf.set(Thresh, math.max(4096L, dimBytes / 16).toString)
       try {
         def q(): org.apache.spark.sql.DataFrame = {
           val li = Tables(s, dir, "lineitem")

@@ -52,7 +52,7 @@ class EagerAggregationSpec extends SparkSpec {
       def q(): DataFrame = f.join(d, f("fk") === d("pk"))
         .groupBy(col("grp"))
         .agg(sum("v").as("sv"), count(lit(1)).as("n"),
-          min("v").as("mn"), max("v").as("mx"))
+          min("v").as("mn"), max("v").as("mx"), avg("v").as("av"))
         .orderBy("grp")
       val plain = rows(q())
       val eager = withDecl(dim) {
@@ -91,8 +91,6 @@ class EagerAggregationSpec extends SparkSpec {
       val d = spark.read.parquet(dim).withColumn("w", col("pk") * 2)
       withDecl(dim) {
         val j = f.join(d, f("fk") === d("pk"))
-        // avg is not decomposable without a count ride-along
-        assert(!pushed(j.groupBy(col("grp")).agg(avg("v").as("a"))))
         // distinct sum can't pre-aggregate per key
         assert(!pushed(j.groupBy(col("grp"))
           .agg(sum_distinct(col("v")).as("sd"))))

@@ -96,6 +96,23 @@ class FkJoinElimSpec extends SparkSpec {
     } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
   }
 
+  test("fires under an Aggregate directly on the join; dim group vetoes") {
+    val (fact, dim, tmp) = fixture(spark)
+    try withDecl(fact, dim) {
+      val f = spark.read.parquet(fact)
+      val d = spark.read.parquet(dim)
+      // grouping by the dim KEY itself substitutes to fk
+      val out = f.join(d, f("fk") === d("pk"))
+        .groupBy(d("pk")).agg(sum("v").as("sv")).orderBy("pk")
+      assert(!hasJoin(out), "rollup join should be eliminated")
+      assert(rows(out).map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((1L, 10L), (2L, 41L), (3L, 30L), (4L, 40L)))
+      // grouping by a non-key dim column consumes the dim — veto
+      assert(hasJoin(f.join(d, f("fk") === d("pk"))
+        .groupBy(col("name")).agg(sum("v").as("sv"))))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+  }
+
   test("transfers pk-only dim predicates onto the fact key") {
     val (fact, dim, tmp) = fixture(spark)
     try withDecl(fact, dim) {
