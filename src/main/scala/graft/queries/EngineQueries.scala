@@ -2055,9 +2055,64 @@ SELECT day_idx, n, CAST(sum(n) OVER () AS BIGINT) AS total,
 FROM daily ORDER BY day_idx
 """))
 
+  /** q355 — PARQUET FOOTER-STATS AGGREGATE PUSHDOWN
+    * (`spark.sql.parquet.aggregatePushdown`, V2 parquet scan): the
+    * corpus profile COUNT/MIN/MAX is answered from row-group METADATA
+    * — the footers every parquet writer already maintains — without
+    * decoding a single data page. The scan is REQUIRED to carry the
+    * PushedAggregation marker; the conf-off control must plan a real
+    * scan. At 100 TB this is the difference between a metadata
+    * listing and a full corpus read for the profile queries every
+    * catalog/BI layer fires constantly — the same zone-map economics
+    * as q212 and the graft-shard aggregate pushdown (q282), here on
+    * Spark's own first-class format. (Parquet rides the V1 path by
+    * default; the query scopes the V2 switch + restore, which is
+    * itself the surface being exercised.) */
+  val q355 = QuerySpec("q355_parquet_footer_stats",
+    (s, dir) => {
+      val V1List = "spark.sql.sources.useV1SourceList"
+      val AggPd = "spark.sql.parquet.aggregatePushdown"
+      val prevV = s.conf.getOption(V1List)
+      val prevA = s.conf.getOption(AggPd)
+      // route parquet through DSv2 (drop it from the V1 list), enable
+      // the footer-stats pushdown
+      val v1 = prevV.getOrElse("avro,csv,json,kafka,orc,parquet,text")
+      s.conf.set(V1List, v1.split(",").map(_.trim)
+        .filter(_.toLowerCase != "parquet").mkString(","))
+      s.conf.set(AggPd, "true")
+      try {
+        def stats(): org.apache.spark.sql.DataFrame =
+          s.read.parquet(s"$dir/orders.parquet")
+            .agg(expr("count(*)").as("n"),
+              min("o_orderkey").as("min_key"),
+              max("o_orderkey").as("max_key"))
+        val out = stats()
+        require(out.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)"),
+          "parquet footer-stats aggregate pushdown did not engage")
+        s.conf.set(AggPd, "false")
+        require(!stats().queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)"),
+          "pushdown marker present with the conf off — assert is vacuous")
+        s.conf.set(AggPd, "true")
+        out
+      } finally {
+        Seq((V1List, prevV), (AggPd, prevA)).foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      }
+    },
+    Some(raw"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+  CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
       q333, q334, q335, q339, q340, q341, q343, q344, q345, q346,
-      q347, q348, q349, q350)
+      q347, q348, q349, q350, q355)
 }

@@ -1034,7 +1034,50 @@ FROM (SELECT unnest(['csv', 'json', 'orc', 'parquet']) AS format) f
 CROSS JOIN fp ORDER BY f.format
 """))
 
+  /** q356 — SCHEMA EVOLUTION under `mergeSchema`: a corpus written in
+    * two generations — the second adds a column the first never had —
+    * read back as ONE table, old rows null-filling the new field (the
+    * additive-evolution contract every long-lived 100 TB dataset
+    * depends on: re-writing history for each added field is not an
+    * option). Per-generation rollup over the merged read certifies
+    * that neither generation's values moved and the null-fill landed
+    * exactly on the old rows; the oracle replays the union with
+    * DuckDB's union_by_name over the SAME staged files (fixed path,
+    * the q351 convention). */
+  val q356 = QuerySpec("q356_schema_evolution",
+    (s, dir) => {
+      val stage = "/tmp/graft_q356_evo"
+      graft.streaming.StreamingResidue.deleteRecursively(
+        java.nio.file.Paths.get(stage))
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+          col("o_orderpriority").as("prio"))
+      base.where(expr("pmod(o_orderkey, 2) = 0"))
+        .write.parquet(s"$stage/gen=1")
+      base.where(expr("pmod(o_orderkey, 2) = 1"))
+        .withColumn("channel",
+          expr("case when pmod(o_orderkey, 3) = 0 then 'web' " +
+            "else 'store' end"))
+        .write.parquet(s"$stage/gen=2")
+      s.read.option("mergeSchema", "true").parquet(stage)
+        .groupBy("gen", "channel")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("o_orderkey").as("min_key"))
+        .orderBy("gen", "channel")
+    },
+    Some(raw"""
+WITH merged AS (
+  SELECT * FROM read_parquet('/tmp/graft_q356_evo/gen=*/*.parquet',
+    union_by_name = true, hive_partitioning = true)
+)
+SELECT CAST(gen AS INT) AS gen, channel, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(cents) AS BIGINT) AS sum_cents,
+  CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM merged GROUP BY 1, 2 ORDER BY gen, channel
+"""))
+
   val all: Seq[QuerySpec] =
     Seq(q22, q24, q46, q101, q110, q111, q117, q125, q128, q138, q139,
-      q150, q155, q286, q351, q352)
+      q150, q155, q286, q351, q352, q356)
 }
