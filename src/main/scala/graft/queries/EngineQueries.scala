@@ -2110,9 +2110,79 @@ SELECT CAST(count(*) AS BIGINT) AS n,
 FROM orders
 """))
 
+  /** q357 — TOP-K PLAN BATTERY: the two plan shapes that keep "give
+    * me the k best" from ever materializing a corpus-wide sort. (a)
+    * global ORDER BY + LIMIT is REQUIRED to plan as
+    * TakeOrderedAndProject — per-partition bounded heaps merged once,
+    * k rows crossing the exchange instead of the corpus (no Sort
+    * node anywhere); (b) per-group rank() ≤ k carries
+    * WindowGroupLimit AND is computed as the TWO-PHASE SALTED top-k:
+    * rank within (group, x mod 32) first — a member of any group's
+    * true top-3 is by definition within its own salt cell's top-3, so
+    * phase 2 ranks ≤ groups·32·3 survivors and the answer is EXACT.
+    * The salt is what makes the shape survive LOW-CARDINALITY groups:
+    * a direct partitionBy over the 3 flags sorts a third of the
+    * corpus per task (measured 158 s at 100× rows); the salted
+    * exchange balances across every core. Both window passes are
+    * plan-asserted to carry WindowGroupLimit; the oracle computes the
+    * per-group top-3 directly. (Output columns are exactly the sort
+    * keys, so boundary ties — identical x — cannot flap the compared
+    * rows.) */
+  val q357 = QuerySpec("q357_topk_plan_battery",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (expr("cast(round(l_extendedprice * 100) as bigint)") *
+            lit(16384L) + col("l_orderkey") * lit(8L) +
+            col("l_linenumber")).as("x"))
+      val globalTop = li.orderBy(desc("x")).limit(7)
+        .select(lit("global").as("kind"), lit(0L).as("rk"), col("x"))
+      // string asserts: pre-execution the AQE wrapper is a traversal
+      // LEAF (children = Nil), so isInstanceOf walks see nothing —
+      // toString prints through it (the q345 lesson's flip side)
+      val gplan = globalTop.queryExecution.executedPlan.toString
+      require(gplan.contains("TakeOrderedAndProject") &&
+        !gplan.contains("+- Sort"),
+        "global top-k did not plan as TakeOrderedAndProject")
+      val salted = li.withColumn("srk", row_number().over(
+          Window.partitionBy(col("flag"), pmod(col("x"), lit(32L)))
+            .orderBy(desc("x"))))
+        .where(col("srk") <= 3)
+      val grouped = salted.withColumn("rk", row_number().over(
+          Window.partitionBy("flag").orderBy(desc("x"))))
+        .where(col("rk") <= 3)
+        .select(concat(lit("per_"), col("flag")).as("kind"),
+          col("rk").cast("long").as("rk"), col("x"))
+      require(grouped.queryExecution.executedPlan.toString
+        .contains("WindowGroupLimit"),
+        "per-group top-k did not carry WindowGroupLimit")
+      globalTop.unionByName(grouped).orderBy("kind", "rk", "x")
+    },
+    Some(raw"""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+    CAST(round(l_extendedprice * 100) AS BIGINT) * 16384
+      + l_orderkey * 8 + l_linenumber AS x
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'global' AS kind, CAST(0 AS BIGINT) AS rk, x
+  FROM li ORDER BY x DESC LIMIT 7
+)
+UNION ALL
+SELECT concat('per_', flag) AS kind, CAST(rk AS BIGINT) AS rk, x
+FROM (
+  SELECT flag, x,
+    row_number() OVER (PARTITION BY flag ORDER BY x DESC) AS rk
+  FROM li
+) WHERE rk <= 3
+ORDER BY kind, rk, x
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
       q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
       q333, q334, q335, q339, q340, q341, q343, q344, q345, q346,
-      q347, q348, q349, q350, q355)
+      q347, q348, q349, q350, q355, q357)
 }

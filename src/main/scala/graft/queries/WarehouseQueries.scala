@@ -864,6 +864,92 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
 FROM pick GROUP BY 1 ORDER BY 1
 """))
 
+  /** q358 — TABLE PROFILING SNAPSHOT (the ANALYZE-statistics /
+    * data-catalog column profile): every column of orders collapsed
+    * to (rows, nulls, EXACT distinct count, lexicographic min/max of
+    * a pinned string representation, milli-average representation
+    * length) — the statistics a cost-based optimizer, a data catalog,
+    * and a drift monitor all consume. Shape: one PRUNED SINGLE-COLUMN
+    * pass per column with NDV on the column's NATIVE type — measured
+    * 4× cheaper at 100× rows than the tempting stack-then-group
+    * formulation, whose (name, stringified-value) generator shuffles
+    * |columns|× the corpus AS STRINGS for the distinct; per-column
+    * passes read one parquet column each and distinct-hash longs
+    * where longs suffice. Representations are pinned cross-engine
+    * (bigints via CAST, price as exact cents, the timestamp through
+    * one ISO format) — profiling floats or raw timestamps directly
+    * would compare two engines' formatters, the flap class the
+    * registry bans. This is what ANALYZE costs, run as a query
+    * instead of a DDL side effect. */
+  val q358 = QuerySpec("q358_table_profile",
+    (s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      // NDV runs as its OWN aggregate: mixing count(DISTINCT) with
+      // plain aggregates plants an Expand (2× the corpus through the
+      // aggregate — measured 2× the column's profile cost); two
+      // single-row aggregates crossJoined cost the two passes and
+      // nothing else
+      def prof(name: String, native: org.apache.spark.sql.Column,
+          repr: org.apache.spark.sql.Column) = {
+        val base = ord.select(native.as("v"), repr.as("r"))
+        val ndv = base.agg(countDistinct(col("v")).as("n_distinct"))
+        base.agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count("v")).as("n_null"),
+            min("r").as("min_repr"), max("r").as("max_repr"),
+            expr("sum(length(r)) * 1000 div count(r)")
+              .as("avg_len_milli"))
+          .crossJoin(ndv)
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_repr"), col("max_repr"),
+            col("avg_len_milli"))
+      }
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      val iso = expr("date_format(o_orderdate, 'yyyy-MM-dd')")
+      val profiles = Seq(
+        prof("o_orderkey", col("o_orderkey"),
+          col("o_orderkey").cast("string")),
+        prof("o_custkey", col("o_custkey"),
+          col("o_custkey").cast("string")),
+        prof("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
+        prof("o_orderpriority", col("o_orderpriority"),
+          col("o_orderpriority")),
+        prof("price_cents", cents, cents.cast("string")),
+        prof("order_date", iso, iso))
+      // materialize each 1-row profile EAGERLY and assemble locally:
+      // a lazy 6-way union of these crossJoined aggregates measured
+      // ~6× the sum of its parts (203 s vs 35 s at 100× rows) —
+      // per-column actions keep each pass at its own cost, and the
+      // collect is 6 rows by construction
+      val sunk = profiles.flatMap(_.collect())
+      s.createDataFrame(java.util.Arrays.asList(sunk: _*),
+          profiles.head.schema)
+        .orderBy("col_name")
+    },
+    Some(raw"""
+WITH repr AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS c1,
+    CAST(o_custkey AS VARCHAR) AS c2,
+    o_orderstatus AS c3, o_orderpriority AS c4,
+    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS c5,
+    strftime(o_orderdate, '%Y-%m-%d') AS c6
+  FROM orders
+), stacked AS (
+  SELECT 'o_orderkey' AS col_name, c1 AS val FROM repr
+  UNION ALL SELECT 'o_custkey', c2 FROM repr
+  UNION ALL SELECT 'o_orderstatus', c3 FROM repr
+  UNION ALL SELECT 'o_orderpriority', c4 FROM repr
+  UNION ALL SELECT 'price_cents', c5 FROM repr
+  UNION ALL SELECT 'order_date', c6 FROM repr
+)
+SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(val) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+  min(val) AS min_repr, max(val) AS max_repr,
+  CAST(sum(length(val)) * 1000 // count(val) AS BIGINT)
+    AS avg_len_milli
+FROM stacked GROUP BY 1 ORDER BY 1
+"""))
+
   def all: Seq[QuerySpec] = Seq(q229, q230, q231, q232, q246, q260,
-    q263, q287, q288, q320)
+    q263, q287, q288, q320, q358)
 }
