@@ -39,19 +39,52 @@ import org.apache.spark.storage.StorageLevel
   * therefore call releaseAll() only at quiescent points (no returned
   * frame will be materialized again), and must never re-materialize a
   * connectedComponents result after releasing — re-run the operator
-  * instead. A host running queries concurrently would additionally
-  * lose the self-join reuse the persists exist for; such a host
-  * should persist/unpersist its operators' inputs itself and skip the
-  * registry.
+  * instead. A host running queries concurrently must NOT use
+  * releaseAll between queries — it would destroy a sibling's
+  * checkpoint blocks mid-flight; wrap each unit of work in [[scoped]]
+  * instead (per-thread tracking + release, parallel Verify's mode)
+  * and keep releaseAll for the quiescent end of the session.
   */
 object CacheRegistry {
 
   private val handles = new ConcurrentLinkedQueue[() => Unit]()
 
+  /** Active thread-local scope, if any — see [[scoped]]. Deliberately
+    * NOT inheritable: storage registered from OTHER threads (e.g. a
+    * streaming micro-batch thread) must fall through to the global
+    * queue, where only a quiescent-point releaseAll() touches it. */
+  private val scope =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[() => Unit]]()
+
+  private def register(h: () => Unit): Unit = {
+    val s = scope.get()
+    if (s != null) s += h else handles.add(h)
+  }
+
+  /** Run `f` with a thread-local handle scope: storage tracked by
+    * operators invoked on THIS thread during `f` is released when `f`
+    * returns, WITHOUT touching other threads' in-flight handles. This
+    * is the contract a concurrent host (parallel Verify workers) needs
+    * — the global [[releaseAll]] assumes one unit of work in the whole
+    * JVM and would destroy a sibling's localCheckpoint blocks
+    * mid-flight. The caller must fully materialize `f`'s result inside
+    * the scope (write/collect), exactly the releaseAll quiescence rule
+    * applied per thread. */
+  def scoped[T](f: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val prev = scope.get()
+    scope.set(buf)
+    try f
+    finally {
+      if (prev != null) scope.set(prev) else scope.remove()
+      buf.foreach(h => try h() catch { case _: Throwable => () })
+    }
+  }
+
   /** Persist `ds` at MEMORY_AND_DISK and track the handle. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    handles.add(() => p.unpersist(blocking = false))
+    register(() => p.unpersist(blocking = false))
     p
   }
 
@@ -69,7 +102,7 @@ object CacheRegistry {
   def trackCheckpoint[T](ds: Dataset[T]): Dataset[T] = {
     val rdds = checkpointRdds(ds)
     if (rdds.nonEmpty)
-      handles.add(() => rdds.foreach(_.unpersist(blocking = false)))
+      register(() => rdds.foreach(_.unpersist(blocking = false)))
     ds
   }
 

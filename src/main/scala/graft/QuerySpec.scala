@@ -12,4 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QuerySpec(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** True for queries that RUN A STREAM (start/stop a
+      * StreamingQuery): a concurrent host must hold one global lock
+      * across them. The JVM-wide StateStore machinery makes
+      * stop-vs-commit a race between two live streams (observed as
+      * CANNOT_WRITE_STATE_STORE from the checksum file manager's
+      * closed thread pool when parallel Verify stopped one stream
+      * while another committed); one-active-stream-at-a-time is the
+      * principled exclusion, and batch queries stay fully parallel. */
+    serial: Boolean = false)

@@ -5,7 +5,7 @@ import scala.util.Try
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
@@ -81,8 +81,8 @@ case class EagerAggregation() extends Rule[LogicalPlan] {
       // so match through it and let pruning re-derive it afterwards
       case agg @ Aggregate(groups, out, AggChild(
           join @ Join(l, r, Inner, Some(EqualTo(a: AttributeReference,
-            b: AttributeReference)), _)), _) =>
-        tryPush(agg, groups, out, join, l, r, a, b, dimPath, dimCol)
+            b: AttributeReference)), _)), hint) =>
+        tryPush(agg, groups, out, join, l, r, a, b, dimPath, dimCol, hint)
           .getOrElse(agg)
     }
   }
@@ -100,7 +100,9 @@ case class EagerAggregation() extends Rule[LogicalPlan] {
       out: Seq[NamedExpression], join: Join,
       l: LogicalPlan, r: LogicalPlan,
       a: AttributeReference, b: AttributeReference,
-      dimPath: String, dimCol: String): Option[LogicalPlan] = {
+      dimPath: String, dimCol: String,
+      hint: Option[org.apache.spark.sql.catalyst.plans.logical
+        .AggregateHint]): Option[LogicalPlan] = {
     val oriented =
       if (r.outputSet.contains(b) && isUniqueDim(r, b, dimPath, dimCol))
         Some((l, a, r, b))
@@ -136,7 +138,15 @@ case class EagerAggregation() extends Rule[LogicalPlan] {
             }
             val rebuilt: Expression = ae.aggregateFunction match {
               case s: Sum => Sum(partial(s)).toAggregateExpression()
-              case c: Count => Sum(partial(c)).toAggregateExpression()
+              case c: Count =>
+                // COUNT combines as SUM of partial counts, but the two
+                // differ on EMPTY input: a global aggregate (no GROUP
+                // BY) over a zero-row join yields COUNT=0 vs SUM=NULL.
+                // Coalesce(…, 0L) restores the 0 AND keeps the output
+                // attribute non-nullable — the original exprId is
+                // reused, so a nullability flip would leak to parents.
+                Coalesce(Seq(Sum(partial(c)).toAggregateExpression(),
+                  Literal(0L)))
               case m: Min => Min(partial(m)).toAggregateExpression()
               case m: Max => Max(partial(m)).toAggregateExpression()
               case a: Average =>
@@ -171,7 +181,7 @@ case class EagerAggregation() extends Rule[LogicalPlan] {
           val newJoin = join.copy(
             left = if (join.left eq fact) inner else dim,
             right = if (join.left eq fact) dim else inner)
-          Some(Aggregate(groups, rebuilt, newJoin))
+          Some(Aggregate(groups, rebuilt, newJoin, hint))
         }
       }
     }

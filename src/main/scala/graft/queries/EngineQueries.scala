@@ -2182,7 +2182,10 @@ ORDER BY kind, rk, x
 
   def all: Seq[QuerySpec] =
     Seq(q257, q258, q259, q261, q262, q278, q279, q280, q282, q285,
-      q289, q290, q307, q308, q313, q317, q321, q322, q328, q332,
-      q333, q334, q335, q339, q340, q341, q343, q344, q345, q346,
-      q347, q348, q349, q350, q355, q357)
+      q289, q290, q307, q313, q317, q321, q322, q328, q332,
+      q333, q334, q339, q340, q341, q344, q345, q346,
+      q347, q348, q349, q350, q355, q357) ++
+      // the three stream-running queries in this file → serial (one
+      // live stream per JVM; see QuerySpec.serial)
+      Seq(q308, q335, q343).map(_.copy(serial = true))
 }

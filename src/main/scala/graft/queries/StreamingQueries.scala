@@ -777,6 +777,9 @@ FROM v JOIN p ON p.user_id = v.user_id
   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
 """))
 
+  // every query here RUNS a stream → serial (one live stream per JVM;
+  // see QuerySpec.serial for the stop-vs-commit race this prevents)
   val all: Seq[QuerySpec] =
     Seq(q40, q45, q135, q137, q156, q171, q190, q276, q277, q291)
+      .map(_.copy(serial = true))
 }

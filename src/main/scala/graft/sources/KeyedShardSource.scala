@@ -39,6 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * the writer, decoded here); non-keyed directories fail loudly rather
   * than degrade to a mis-declared partitioning — a WRONG partitioning
   * claim silently produces WRONG aggregates, so the guard is strict.
+  *
+  * FILESYSTEM CONTRACT: this source lists directories with
+  * driver-local `java.io.File` and readers open executor-local
+  * absolute paths with `java.nio.Files` — it requires a filesystem
+  * every node sees at the same path (local mode, NFS/Lustre/FUSE
+  * mounts). It intentionally does NOT route through Hadoop
+  * `FileSystem`: the connector exists to demonstrate the
+  * `SupportsReportPartitioning` contract, and a production object-store
+  * variant would swap only `keyedDirs` + the reader's open call —
+  * the partitioning declaration (the part Spark cares about) is
+  * path-scheme-agnostic. Compare [[ShardStatsSource]] which shows the
+  * Hadoop-FS-routed listing for the same shard layout.
   */
 class KeyedShardSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-shard-keyed"
@@ -138,7 +150,14 @@ private[sources] class KeyedShardReaderFactory extends PartitionReaderFactory {
           if (lines != null && lines.hasNext) {
             val line = lines.next().trim
             if (line.nonEmpty) {
-              current = InternalRow(g, line.toLong)
+              val x =
+                try line.toLong
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"graft-shard-keyed: malformed long '$line' in " +
+                      s"${kp.files(fileIdx - 1)} (key g=${kp.key})")
+                }
+              current = InternalRow(g, x)
               return true
             }
           } else if (fileIdx < kp.files.length) {

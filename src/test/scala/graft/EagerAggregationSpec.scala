@@ -84,7 +84,33 @@ class EagerAggregationSpec extends SparkSpec {
     } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
   }
 
-  test("vetoes: avg, distinct, dim-side measure, decimal sum, disabled") {
+  test("global aggregate over an EMPTY join: COUNT stays 0, not NULL") {
+    val (fact, dim, tmp) = fixture(spark)
+    try {
+      val f = spark.read.parquet(fact)
+      // dim filter keeps only pk=99 → zero join rows; the global
+      // (no GROUP BY) COUNT must survive the Sum-of-partials combine
+      val d = spark.read.parquet(dim).filter(col("pk") === 99L)
+      def q(): DataFrame = f.join(d, f("fk") === d("pk"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val plain = rows(q())
+      val eager = withDecl(dim) {
+        val out = q()
+        assert(pushed(out), "global aggregate should still push")
+        // the combined COUNT attribute must remain non-nullable even
+        // though it is now built from a (nullable) Sum of partials —
+        // checked on the OPTIMIZED plan (the analyzed schema predates
+        // the rewrite and would pass vacuously)
+        assert(!out.queryExecution.optimizedPlan.output
+          .find(_.name == "n").get.nullable)
+        rows(out)
+      }
+      assert(eager == plain)
+      assert(eager.head.getLong(0) == 0L && eager.head.isNullAt(1))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+  }
+
+  test("vetoes: distinct, dim-side measure, decimal sum, disabled") {
     val (fact, dim, tmp) = fixture(spark)
     try {
       val f = spark.read.parquet(fact)
