@@ -119,6 +119,10 @@ object Verify {
         // isolated SQLConf/temp views (the same isolation the engine's
         // own conf-keyed queries get in a sequential run)
         val session = if (lanes == 1) spark else spark.newSession()
+        // pin the child session as THIS thread's active session:
+        // SQLConf.get (rules, plan asserts touched outside an action)
+        // must resolve to the worker's conf, not the base session's
+        SparkSession.setActiveSession(session)
         if (wi == 0) drain(session, streamWork)
         drain(session, batchWork)
       }, s"graft-verify-$wi")

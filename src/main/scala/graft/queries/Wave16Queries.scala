@@ -1,0 +1,685 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-16 engine wave: the Spark 4 surfaces a 100 TB deployment
+  * leans on that the registry had not yet certified — watermarked
+  * streaming dedup (`dropDuplicatesWithinWatermark`), the state-store
+  * READER (debugging a live pipeline's checkpoint without stopping
+  * it), dynamic partition pruning (the join-driven scan eliminator),
+  * cost-based join reordering off ANALYZE stats, collation-aware
+  * distincts (ICU), SQL-declared UDFs (the migration path for
+  * warehouse UDF libraries), and the native approx_top_k sketch.
+  * Every query keeps the registry's no-flap conventions: exact
+  * integer aggregates wherever possible, IEEE-pinned expressions
+  * (sqrt is correctly rounded per IEEE 754, so both engines agree
+  * bit-for-bit) otherwise, and ties broken by a total order.
+  */
+object Wave16Queries {
+
+  /** q359 — STREAMING dedup with `dropDuplicatesWithinWatermark`:
+    * the bounded-state dedup Spark 3.5 added for exactly the 100 TB
+    * ingest case where q45's plain dropDuplicates would pin one key
+    * forever. Input: every event plus a deterministic duplicate echo
+    * (same event_id, ts shifted +30 min — a retry landing inside the
+    * 2 h dedup horizon), staged as event-time-monotone micro-batches.
+    * The operator must drop every echo (its original is always within
+    * the watermark delay), so the drained per-type report equals the
+    * duplicate-free batch aggregate. Outputs are chosen invariant to
+    * WHICH copy survives a same-batch race: count of distinct
+    * event_id and of distinct users per type, never ts-derived
+    * columns. State at 100 TB: one (event_id) row per event inside
+    * the 2 h horizon — bounded by arrival rate, not corpus size. */
+  val q359 = QuerySpec("q359_stream_dedup_watermark",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val echoed = ev.union(
+        ev.withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES")))
+      val inDir = StreamingQueries.stageMonotoneBatches(echoed, 3,
+        col("ts"), col("event_id"))
+      val stream = s.readStream.schema(echoed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      val deduped = stream
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val out = graft.streaming.StreamingOps.drainToBatch(s,
+        deduped, "stream_dedup_wm")
+      graft.streaming.StreamingResidue.deleteRecursively(inDir)
+      out.orderBy("event_type")
+    },
+    Some(raw"""
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY event_type
+"""),
+    serial = true)
+
+  /** q360 — STATE-STORE READER (`spark.read.format("statestore")`,
+    * the Spark 4 state data source): run a watermarked 6 h windowed
+    * count to its checkpoint, then read the operator's state store
+    * back as a DataFrame and report it — the "inspect a live
+    * pipeline's state without stopping it" capability that turns a
+    * 100 TB streaming deploy from a black box into a queryable table
+    * (skew in state, watermark stalls, poison keys are all found this
+    * way). In complete mode nothing is evicted, so the final state
+    * version must equal the batch 6 h bucket aggregate EXACTLY —
+    * the oracle certifies the state contents, not just the sink. */
+  val q360 = QuerySpec("q360_state_store_read",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q360_ckpt")
+      try {
+        val ev = graft.streaming.StreamingOps.eventsStream(s,
+          s"$dir/{events.parquet}",
+          schemaProbePath = Some(s"$dir/events.parquet"))
+        val agg = ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val name = s"q360_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        s.catalog.dropTempView(name)
+        val state = s.read.format("statestore").load(ckpt.toString)
+          .select(
+            date_format(col("key.window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("win_start"),
+            col("key.event_type").as("event_type"),
+            col("value.count").as("n"))
+          .orderBy("win_start", "event_type")
+        // detach from the checkpoint files before they are deleted
+        val rows = state.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), state.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+    },
+    Some(raw"""
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+    '%Y-%m-%d %H:%M:%S') AS win_start,
+  event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""),
+    serial = true)
+
+  /** q361 — DYNAMIC PARTITION PRUNING: the fact corpus laid out by
+    * `event_type` (the natural-key layout of q288), joined to a
+    * parquet dim FILTERED at runtime — the selective predicate lives
+    * on the dim, so no static partition filter exists, and the engine
+    * must insert a `dynamicpruningexpression` (fed by the reused
+    * broadcast of the dim) to skip 3 of 5 fact partitions AT RUN
+    * TIME. This is THE scan eliminator for star-schema 100 TB
+    * warehouses: without it this query reads every partition of the
+    * fact; with it the scan I/O is proportional to the dim
+    * selectivity. Plan-asserted, with the result identical either
+    * way. */
+  val q361 = QuerySpec("q361_dynamic_partition_pruning",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q361")
+      try {
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(s"$tmp/fact")
+        // dim: one row per event_type with a weight; only w<2 kept at
+        // run time → {purchase:0, signup:1} survive
+        s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("purchase", 0L),
+          org.apache.spark.sql.Row("signup", 1L),
+          org.apache.spark.sql.Row("click", 2L),
+          org.apache.spark.sql.Row("view", 3L),
+          org.apache.spark.sql.Row("error", 4L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("et",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+          .write.mode("overwrite").parquet(s"$tmp/dim")
+        val fact = s.read.parquet(s"$tmp/fact")
+        val dim = s.read.parquet(s"$tmp/dim").filter(col("w") < 2)
+        val out = fact.join(dim, fact("event_type") === dim("et"))
+          .groupBy("et")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("et")
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruningexpression"),
+          "join-driven scan must carry a dynamic partition pruning filter")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1 ORDER BY et
+"""))
+
+  /** q362 — COST-BASED JOIN REORDER: catalog tables + `ANALYZE TABLE
+    * … COMPUTE STATISTICS FOR ALL COLUMNS` + `spark.sql.cbo.*` — the
+    * query text joins lineitem to the BIG dim (orders) first and the
+    * tiny filtered dim (nation-sized supplier slice) last, exactly
+    * the shape a view-expanding BI tool emits, and the optimizer must
+    * use the column stats to reorder (the selective join first) —
+    * at 100 TB the difference between shuffling the full fact TWICE
+    * and once. Asserted structurally: with CBO on, the DEEPEST join
+    * in the optimized plan is fact⋈supplier (the selective one),
+    * where the stats-less plan keeps the authored fact⋈orders first;
+    * and ANALYZE row counts are visible on the table plan. Catalog
+    * tables are external (LOCATION), uniquely named, and dropped in a
+    * finally. */
+  val q362 = QuerySpec("q362_cbo_join_reorder",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q362")
+      val tag = s"graft_cbo_${System.nanoTime()}"
+      val conf = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled")
+      val saved = conf.map(k => k -> s.conf.getOption(k))
+      try {
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+          .write.parquet(s"$tmp/li")
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.parquet(s"$tmp/ord")
+        Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .write.parquet(s"$tmp/sup")
+        s.sql(s"CREATE TABLE ${tag}_li USING parquet LOCATION '$tmp/li'")
+        s.sql(s"CREATE TABLE ${tag}_ord USING parquet LOCATION '$tmp/ord'")
+        s.sql(s"CREATE TABLE ${tag}_sup USING parquet LOCATION '$tmp/sup'")
+        Seq(s"${tag}_li", s"${tag}_ord", s"${tag}_sup").foreach(t =>
+          s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        val sql =
+          s"""SELECT o.o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM ${tag}_li l
+             |JOIN ${tag}_ord o ON l.l_orderkey = o.o_orderkey
+             |JOIN ${tag}_sup p ON l.l_suppkey = p.s_suppkey
+             |WHERE p.s_nationkey = 3
+             |GROUP BY 1 ORDER BY 1""".stripMargin
+        s.conf.set("spark.sql.cbo.enabled", "false")
+        val before = s.sql(sql).queryExecution.optimizedPlan
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        require(s.table(s"${tag}_li").queryExecution.optimizedPlan
+          .stats.rowCount.isDefined,
+          "ANALYZE row count must be visible on the table plan")
+        val out = s.sql(sql)
+        val after = out.queryExecution.optimizedPlan
+        // deepest Join (collect is pre-order, so last = innermost)
+        def deepest(p: org.apache.spark.sql.catalyst.plans.logical
+            .LogicalPlan): String = p.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.last.toString
+        require(deepest(before).contains(s"${tag}_ord"),
+          "stats-less plan should keep the authored join order")
+        require(deepest(after).contains(s"${tag}_sup"),
+          "CBO must reorder the selective supplier join innermost")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        saved.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+        Seq("li", "ord", "sup").foreach(t =>
+          s.sql(s"DROP TABLE IF EXISTS ${tag}_$t"))
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier p ON l.l_suppkey = p.s_suppkey
+WHERE p.s_nationkey = 3
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q363 — COLLATION-AWARE DISTINCT (ICU, Spark 4 collations): the
+    * corpus-hygiene question "how many customers per segment, and how
+    * many once case noise is folded" answered by the ENGINE's
+    * collation machinery (`collate(c, 'UTF8_LCASE')`) instead of a
+    * per-row lower() rewrite — at 100 TB collation-aware grouping
+    * pushes the fold into the hash of the aggregate (no second
+    * string materialized) and is the correct tool for locale-aware
+    * equality. Case noise is synthesized deterministically (even
+    * custkeys upper-cased), so raw ≈ 2× folded. Oracle folds with
+    * lower(), which UTF8_LCASE coincides with on this ASCII domain. */
+  val q363 = QuerySpec("q363_collation_distinct",
+    (s, dir) => {
+      val noisy = Tables(s, dir, "customer")
+        .withColumn("name_noisy",
+          when(col("c_custkey") % 2 === 0, upper(col("c_name")))
+            .otherwise(col("c_name")))
+      noisy.groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("name_noisy")).as("n_raw"),
+          countDistinct(expr("collate(name_noisy, 'UTF8_LCASE')"))
+            .as("n_folded"))
+        .orderBy("c_mktsegment")
+    },
+    Some(raw"""
+WITH noisy AS (
+  SELECT c_mktsegment,
+    CASE WHEN c_custkey % 2 = 0 THEN upper(c_name) ELSE c_name END
+      AS name_noisy
+  FROM customer
+)
+SELECT c_mktsegment, CAST(count(DISTINCT name_noisy) AS BIGINT) AS n_raw,
+  CAST(count(DISTINCT lower(name_noisy)) AS BIGINT) AS n_folded
+FROM noisy GROUP BY 1 ORDER BY c_mktsegment
+"""))
+
+  /** q364 — SQL-DECLARED UDFs (`CREATE TEMPORARY FUNCTION … RETURN`,
+    * Spark 4 SQL UDFs): the reference's Graham-number and
+    * margin-of-safety ladder re-declared as a SQL function library —
+    * the exact migration path for a warehouse's existing UDF estate
+    * (functions stay declarative, inline into the plan, and stay
+    * inside whole-stage codegen — no JVM/Python round trip). The
+    * numeric domain is synthesized from lineitem the same way both
+    * sides: eps = quantity cents / 100, bvps = extendedprice / 1000.
+    * sqrt is IEEE-correctly-rounded in both engines, and the operand
+    * order is pinned, so the doubles match bit-for-bit. */
+  val q364 = QuerySpec("q364_sql_udf_valuation",
+    (s, dir) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_graham(
+              |  eps DOUBLE, bvps DOUBLE) RETURNS DOUBLE
+              |RETURN CASE WHEN eps > 0 AND bvps > 0
+              |  THEN sqrt(22.5 * eps * bvps) END""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_mos(
+              |  fair DOUBLE, price DOUBLE) RETURNS DOUBLE
+              |RETURN CASE WHEN fair > 0 AND price > 0
+              |  THEN (fair - price) / fair END""".stripMargin)
+      Tables(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_q364_li")
+      s.sql("""SELECT verdict, CAST(count(*) AS BIGINT) AS n
+              |FROM (
+              |  SELECT CASE
+              |      WHEN graft_mos(
+              |        graft_graham(CAST(l_quantity AS DOUBLE),
+              |                     l_extendedprice / 1000.0),
+              |        l_extendedprice / 100.0) > 0.25 THEN 'under'
+              |      WHEN graft_mos(
+              |        graft_graham(CAST(l_quantity AS DOUBLE),
+              |                     l_extendedprice / 1000.0),
+              |        l_extendedprice / 100.0) < 0.0 THEN 'over'
+              |      ELSE 'fair' END AS verdict
+              |  FROM graft_q364_li)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some(raw"""
+WITH v AS (
+  SELECT CASE WHEN CAST(l_quantity AS DOUBLE) > 0
+      AND l_extendedprice / 1000.0 > 0
+    THEN sqrt(22.5 * CAST(l_quantity AS DOUBLE)
+      * (l_extendedprice / 1000.0)) END AS fair,
+    l_extendedprice / 100.0 AS price
+  FROM lineitem
+), m AS (
+  SELECT CASE WHEN fair > 0 AND price > 0
+    THEN (fair - price) / fair END AS mos FROM v
+)
+SELECT CASE WHEN mos > 0.25 THEN 'under'
+  WHEN mos < 0.0 THEN 'over' ELSE 'fair' END AS verdict,
+  CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q365 — approx_top_k NATIVE SKETCH: Spark 4's built-in
+    * frequent-items sketch, run with capacity ≥ the key domain so the
+    * estimate is EXACT and oracle-checkable (the same
+    * exactness-contract device as q257's HLL and q262's Misra–Gries).
+    * At 100 TB the sketch is the point: one pass, fixed memory,
+    * partial-merge-safe — the engine's answer to "top sources by
+    * volume" without a full groupBy shuffle. Output exploded to rows
+    * and re-sorted by (count desc, item) — a total order — so tie
+    * placement inside the sketch never surfaces. */
+  val q365 = QuerySpec("q365_approx_topk_sketch",
+    (s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_q365_ev")
+      s.sql("""SELECT t.item AS event_type, t.count AS n
+              |FROM (SELECT approx_top_k(event_type, 5, 64) AS tk
+              |      FROM graft_q365_ev) LATERAL VIEW explode(tk) AS t
+              |ORDER BY n DESC, event_type""".stripMargin)
+    },
+    Some(raw"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, event_type
+"""))
+
+  /** q366 — DSv2 TRANSACTIONAL WRITE round-trip: lineitem's
+    * (returnflag, quantity) stream written through the graft-shard
+    * connector's two-phase commit (per-task staged files named by
+    * attempt, job commit publishes exactly the task-committed set —
+    * the protocol that makes speculative execution and task retry
+    * safe at 1000 executors), then read BACK through the same
+    * connector with the aggregate pushdown engaged — the write and
+    * read halves of the connector certified against each other, and
+    * the oracle certifies both against the original table. */
+  val q366 = QuerySpec("q366_dsv2_write_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q366")
+      try {
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            col("l_quantity").cast("long").as("x"))
+          .repartition(4)
+          .write.format("graft-shard").option("path", s"$tmp/shards")
+          .mode("append").save()
+        val out = s.read.format("graft-shard").load(s"$tmp/shards")
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"), min("x").as("min_x"),
+            max("x").as("max_x"))
+          .orderBy("g")
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("PushedAggregates"),
+          "read-back must engage the connector's aggregate pushdown")
+        require(new java.io.File(s"$tmp/shards").listFiles()
+          .forall(f => !f.getName.startsWith(".staging")),
+          "job commit must leave no staging residue")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_x,
+  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_x
+FROM lineitem GROUP BY 1 ORDER BY g
+"""))
+
+  /** q367 — OFFSET PUSHDOWN (paged export): orders exported as ONE
+    * ordered shard, then page [100, 150) requested as
+    * offset(100).limit(50) — the connector accepts the offset (legal
+    * exactly because one reader serves the scan in storage order;
+    * multi-shard scans decline it and the plan keeps the Offset
+    * node), Spark pushes the limit as offset+limit, and the reader
+    * ships ONLY the 50 page rows: a cursor-paged export reads
+    * O(page), not O(corpus). Plan-asserted on PushedOffset. */
+  val q367 = QuerySpec("q367_offset_pushdown",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q367")
+      try {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            col("o_orderkey").cast("long").as("x"))
+          .orderBy("x").coalesce(1)
+          .write.format("graft-shard").option("path", s"$tmp/shard")
+          .mode("append").save()
+        val out = s.read.format("graft-shard").load(s"$tmp/shard")
+          .offset(100).limit(50)
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("PushedOffset[100]") &&
+          plan.contains("PushedLimit[150]"),
+          s"paged read must push offset+limit into the scan")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT o_orderpriority AS g, CAST(o_orderkey AS BIGINT) AS x
+FROM orders ORDER BY x LIMIT 50 OFFSET 100
+"""))
+
+  /** q368 — STATE-METADATA READER (`spark.read.format
+    * ("state-metadata")`): the checkpoint's operator inventory —
+    * which stateful operators exist, under which store names, across
+    * how many shuffle partitions, spanning which batch range — read
+    * back as a table. The ops question it answers at 100 TB: "can I
+    * change shuffle partitions / swap the store backend on THIS
+    * checkpoint, and which operator is the state hog" — asked of the
+    * checkpoint directly, not of tribal memory. The stream runs on a
+    * child session with shuffle partitions PINNED to 4 so every
+    * metadata column is deterministic. */
+  val q368 = QuerySpec("q368_state_metadata",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q368_ckpt")
+      try {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val ev = graft.streaming.StreamingOps.eventsStream(s2,
+          s"$dir/{events.parquet}",
+          schemaProbePath = Some(s"$dir/events.parquet"))
+        val agg = ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val name = s"q368_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        s2.catalog.dropTempView(name)
+        val md = s.read.format("state-metadata").load(ckpt.toString)
+          .select(col("operatorId").cast("long").as("operator_id"),
+            col("operatorName").as("operator_name"),
+            col("stateStoreName").as("state_store_name"),
+            col("numPartitions").cast("long").as("num_partitions"),
+            col("minBatchId").cast("long").as("min_batch"),
+            col("maxBatchId").cast("long").as("max_batch"))
+          .orderBy("operator_id", "state_store_name")
+        val rows = md.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), md.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+    },
+    Some(raw"""
+SELECT CAST(0 AS BIGINT) AS operator_id,
+  'stateStoreSave' AS operator_name, 'default' AS state_store_name,
+  CAST(4 AS BIGINT) AS num_partitions, CAST(0 AS BIGINT) AS min_batch,
+  CAST(0 AS BIGINT) AS max_batch
+"""),
+    serial = true)
+
+  /** q369 — JOIN-STRATEGY HINT battery: the same lineitem⋈orders
+    * aggregate executed under BROADCAST, MERGE, and SHUFFLE_HASH
+    * hints, each asserted to plan its named exec (broadcast-hash,
+    * sort-merge, shuffled-hash) and all three required to agree —
+    * the hint surface is how a 100 TB operator overrides a wrong
+    * size estimate (a broadcast that would OOM, a sort-merge where
+    * the build side fits), so "hint is honored" and "hint never
+    * changes the answer" are both contracts worth pinning. */
+  val q369 = QuerySpec("q369_join_hint_battery",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      def run(hint: String, exec: String) = {
+        val out = li.join(ord.hint(hint),
+            li("l_orderkey") === ord("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .withColumn("strategy", lit(hint))
+          .select("strategy", "o_orderpriority", "n", "qty")
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains(exec),
+          s"hint $hint must plan $exec")
+        (rows, out.schema)
+      }
+      val all = Seq(
+        run("broadcast", "BroadcastHashJoin"),
+        run("merge", "SortMergeJoin"),
+        run("shuffle_hash", "ShuffledHashJoin"))
+      val schema = all.head._2
+      s.createDataFrame(
+        java.util.Arrays.asList(all.flatMap(_._1): _*), schema)
+        .orderBy("strategy", "o_orderpriority")
+    },
+    Some(raw"""
+WITH agg AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT s.strategy, a.o_orderpriority, a.n, a.qty
+FROM agg a CROSS JOIN (SELECT unnest(
+  ['broadcast', 'merge', 'shuffle_hash']) AS strategy) s
+ORDER BY s.strategy, a.o_orderpriority
+"""))
+
+  /** q370 — PARAMETERIZED SQL (named parameters, Spark 4): the same
+    * revenue screen templated with `:minTotal` / `:prio` markers and
+    * bound through `spark.sql(text, args)` — the injection-safe
+    * templating surface every multi-tenant 100 TB SQL service needs
+    * (parameters are BOUND as literals by the parser, never spliced
+    * into text, so a hostile value cannot change the plan shape).
+    * The oracle runs the equivalent literal query. */
+  val q370 = QuerySpec("q370_parameterized_sql",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_q370_ord")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS cents
+          |FROM graft_q370_ord
+          |WHERE o_totalprice > :minTotal
+          |  AND o_orderpriority <> :excluded
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+        Map[String, Any]("minTotal" -> 1000.0, "excluded" -> "3-MEDIUM"))
+    },
+    Some(raw"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 1000.0 AND o_orderpriority <> '3-MEDIUM'
+GROUP BY 1 ORDER BY 1
+"""))
+
+  /** q371 — AQE SKEW-JOIN SPLIT: a deliberately skewed fact (≈80% of
+    * lineitem lands on one synthetic key) sort-merge-joined to its key
+    * dim under tiny skew thresholds on a CHILD session — the runtime
+    * must detect the hot partition and SPLIT it
+    * (`OptimizeSkewedJoin`, `skew=true` in the final adaptive plan)
+    * instead of letting one task carry 80% of the corpus. This is the
+    * AUTOMATIC counterpart of the registry's manual mitigations
+    * (q61 salted agg, q69 salted join): at 100 TB the first line of
+    * defense is AQE splitting; salting remains for aggregates AQE
+    * can't split. Plan-asserted on the final adaptive plan. */
+  val q371 = QuerySpec("q371_aqe_skew_join",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q371")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE's RUNTIME broadcast conversion must be off too, or the
+      // tiny dim turns the SMJ into a broadcast join before the skew
+      // optimizer ever sees it
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // the downstream re-aggregation (on a key derived from k) makes
+      // AQE's "no extra shuffle" cost check veto the split — force it:
+      // the extra exchange is exactly what we're buying balance with
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "8KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "4KB")
+      try {
+        // Two probe lessons baked in: (1) a skewed REDUCER partition
+        // is split at MAP-OUTPUT granularity, so a single-file scan
+        // (one map task) is UNSPLITTABLE — repartition(16) gives the
+        // k-shuffle 16 map chunks to cut at; (2) the md5 payload makes
+        // the hot partition incompressibly heavy, so the byte
+        // thresholds hold at every SF the drivers run.
+        val fact = Tables(s2, dir, "lineitem")
+          .select(
+            when(col("l_orderkey") % 10 < 8, 0L)
+              .otherwise(col("l_orderkey") % 97).as("k"),
+            col("l_quantity").cast("long").as("qty"),
+            md5(concat(col("l_orderkey").cast("string"), lit("-"),
+              col("l_linenumber").cast("string"))).as("payload"))
+          .repartition(16)
+        // the dim must be an INDEPENDENT scan: OptimizeSkewedJoin
+        // pattern-matches SMJ(Sort(Stage), Sort(Stage)) — an agg
+        // between sort and stage (e.g. fact.distinct) vetoes the rule
+        s2.range(0, 97).select(col("id").as("k"),
+          concat(lit("k"), col("id").cast("string")).as("label"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/dim")
+        val dim = s2.read.parquet(s"$tmp/dim")
+        val out = fact.join(dim, "k")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("qty").as("qty"),
+            max("payload").as("cert"))
+          .orderBy(col("n").desc, col("label")).limit(5)
+        val rows = out.collect()
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("skew=true"),
+          "the hot key's partition must be split by OptimizeSkewedJoin")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+    ELSE l_orderkey % 97 END AS k,
+    CAST(l_quantity AS BIGINT) AS qty,
+    md5(CAST(l_orderkey AS VARCHAR) || '-'
+      || CAST(l_linenumber AS VARCHAR)) AS payload
+  FROM lineitem
+), dim AS (SELECT k, 'k' || CAST(k AS VARCHAR) AS label
+  FROM (SELECT unnest(range(0, 97)) AS k))
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(qty) AS BIGINT) AS qty, max(payload) AS cert
+FROM fact JOIN dim USING (k)
+GROUP BY 1 ORDER BY n DESC, label LIMIT 5
+"""))
+
+  /** q372 — ROCKSDB STATE BACKEND in the oracle-gated registry: the
+    * 6 h windowed decimal aggregate drained through
+    * `RocksDBStateStoreProvider` on a child session — the provider a
+    * 100 TB streaming deployment actually runs (state >> heap: spill
+    * to native storage, snapshot+changelog checkpointing) — and the
+    * result must be bit-identical to the batch aggregate: the
+    * backend changes WHERE state lives, never what it says. The
+    * suite covers RocksDB under HLL (StateBackendSpec); this pins the
+    * plain-aggregate path under the driver's DuckDB gate. */
+  val q372 = QuerySpec("q372_rocksdb_state_backend",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val ev = graft.streaming.StreamingOps.eventsStream(s2,
+        s"$dir/{events.parquet}",
+        schemaProbePath = Some(s"$dir/events.parquet"))
+      val agg = ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(28,10)")), 2)
+            .cast("double").as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+      graft.streaming.StreamingOps.drainToBatch(s2, agg,
+        "rocksdb_backend")
+        .orderBy("win_start", "event_type")
+    },
+    Some(raw"""
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+    '%Y-%m-%d %H:%M:%S') AS win_start,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+    AS total_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""),
+    serial = true)
+
+  def all: Seq[QuerySpec] =
+    Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
+      q369, q370, q371, q372)
+}

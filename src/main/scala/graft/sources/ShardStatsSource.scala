@@ -3,10 +3,11 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -86,11 +87,14 @@ object ShardStatsSource {
 }
 
 private[sources] class ShardStatsTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "graft-shard"
   override def schema(): StructType = ShardStatsSource.rowSchema
   override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ShardWriteBuilder(options, info)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
@@ -102,6 +106,7 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsRuntimeFiltering {
 
@@ -183,6 +188,21 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** OFFSET m (paged export): unlike LIMIT, an offset has no partial
+    * form — "skip m rows" is only answerable when ONE reader serves
+    * the whole scan in its storage order, so the push is accepted
+    * only for a single-shard directory (and declined under any
+    * aggregate/top-n rewrite). Spark removes the Offset node when
+    * accepted; Spark pushes the preceding LIMIT as limit+offset, so
+    * the reader serves kept-row indices [offset, limit). */
+  private var pushedOffset: Option[Int] = None
+  override def pushOffset(offset: Int): Boolean = {
+    if (pushed.isDefined || pushedTopN.isDefined) return false
+    if (ShardStatsSource.shardFiles(options).length != 1) return false
+    pushedOffset = Some(offset)
+    true
+  }
+
   /** ORDER BY x [ASC|DESC] LIMIT k: each shard ships only its local
     * top-k by x (bounded heap over one file pass). Only the single
     * numeric column is orderable; anything else is declined and the
@@ -247,7 +267,7 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
     ShardStatsSource.shardFiles(options).map(f =>
       ShardPartition(f, pushed.map { case (g, t) => (g, t.mkString) },
         pushedLimit, pushedTopN, eff,
-        pruned.map(_.fieldNames.toSeq)))
+        pruned.map(_.fieldNames.toSeq), pushedOffset))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardStatsReaderFactory
@@ -263,7 +283,8 @@ private[sources] class ShardStatsScanBuilder(options: CaseInsensitiveStringMap)
         val topn = pushedTopN.map { case (k, desc) =>
           s" PushedTopN[x ${if (desc) "DESC" else "ASC"} limit=$k]"
         }.getOrElse("")
-        val lim = pushedLimit.map(k => s" PushedLimit[$k]").getOrElse("")
+        val lim = pushedLimit.map(k => s" PushedLimit[$k]").getOrElse("") +
+          pushedOffset.map(m => s" PushedOffset[$m]").getOrElse("")
         val cols = pruned.map(p =>
           s" ReadSchema[${p.fieldNames.mkString(",")}]").getOrElse("")
         s"graft-shard rows$topn$lim$filt$cols"
@@ -276,7 +297,8 @@ private[sources] final case class ShardPartition(
     limit: Option[Int] = None,
     topN: Option[(Int, Boolean)] = None,
     filters: Seq[Filter] = Nil,
-    prunedCols: Option[Seq[String]] = None) extends InputPartition
+    prunedCols: Option[Seq[String]] = None,
+    offset: Option[Int] = None) extends InputPartition
 
 private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -288,7 +310,8 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
         new ShardAggReader(p.file, grouped, tags, keep)
       case (None, Some((k, desc))) =>
         new ShardTopNReader(p.file, k, desc, keep, proj)
-      case (None, None) => new ShardRowReader(p.file, p.limit, keep, proj)
+      case (None, None) =>
+        new ShardRowReader(p.file, p.limit, keep, proj, p.offset)
     }
   }
 
@@ -327,12 +350,20 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
   private class ShardRowReader(file: String, limit: Option[Int] = None,
       keep: ((String, Long)) => Boolean = _ => true,
       proj: ((String, Long)) => InternalRow =
-        r => InternalRow(UTF8String.fromString(r._1), r._2))
+        r => InternalRow(UTF8String.fromString(r._1), r._2),
+      offset: Option[Int] = None)
       extends PartitionReader[InternalRow] {
     private val src = scala.io.Source.fromFile(file, "UTF-8")
     private val it = src.getLines().map(parse).filter(keep)
     private var cur: (String, Long) = _
     private var emitted = 0
+    // pushed OFFSET: the first m SURVIVING rows are consumed (parsed,
+    // filtered, never shipped) before the first next(); with a pushed
+    // LIMIT alongside (Spark pushes it as limit+offset), the reader
+    // serves kept-row indices [offset, limit)
+    offset.foreach { m =>
+      while (emitted < m && it.hasNext) { it.next(); emitted += 1 }
+    }
     override def next(): Boolean = {
       // pushed LIMIT: stop reading this shard after k SURVIVING rows
       // — the remainder of the file is never shipped
@@ -419,5 +450,110 @@ private[sources] class ShardStatsReaderFactory extends PartitionReaderFactory {
     }
     override def get(): InternalRow = cur
     override def close(): Unit = ()
+  }
+}
+
+/** WRITE path of the `graft-shard` connector: a TRANSACTIONAL DSv2
+  * batch write with the two-phase task/job commit protocol every
+  * 100 TB-safe sink needs —
+  *
+  *  1. each task writes its rows to a private file under
+  *     `<dir>/.staging-<queryId>/` (one file per task ATTEMPT:
+  *     partitionId + taskId in the name, so a speculative retry can
+  *     never collide with the attempt it races);
+  *  2. task commit returns the staged file name as the commit
+  *     message — only files NAMED IN A MESSAGE exist as far as the
+  *     job is concerned;
+  *  3. job commit publishes exactly the message-named files into the
+  *     directory by rename (and, for a truncate/overwrite write,
+  *     removes the previous generation first), then drops the staging
+  *     directory — orphans from failed/speculative attempts vanish
+  *     with it;
+  *  4. job abort deletes the staging directory — a failed write leaves
+  *     the target byte-identical to before.
+  *
+  * Same executor-visible-filesystem contract as the read side (local
+  * mode / shared POSIX mounts); an object-store deployment would swap
+  * the rename for a manifest write, keeping the protocol. Append and
+  * truncate (SaveMode.Overwrite) are supported; the input schema must
+  * be exactly (g STRING, x BIGINT). */
+private[sources] class ShardWriteBuilder(options: CaseInsensitiveStringMap,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val s = info.schema()
+    require(s.length == 2 &&
+      s(0).name == "g" && s(0).dataType == StringType &&
+      s(1).name == "x" && s(1).dataType == LongType,
+      s"graft-shard write requires schema (g STRING, x BIGINT), got $s")
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-shard: 'path' is required"))
+    new Write {
+      override def toBatch: BatchWrite =
+        new ShardBatchWrite(dir, info.queryId(), truncateFirst)
+    }
+  }
+}
+
+private[graft] final case class ShardCommit(stagedFile: String)
+  extends WriterCommitMessage
+
+private[graft] class ShardBatchWrite(dir: String, queryId: String,
+    truncateFirst: Boolean) extends BatchWrite {
+  private val staging = new java.io.File(dir, s".staging-$queryId")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    staging.mkdirs()
+    ShardWriterFactory(staging.getAbsolutePath)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new java.io.File(dir)
+    target.mkdirs()
+    if (truncateFirst)
+      Option(target.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .foreach(_.delete())
+    messages.foreach { case ShardCommit(staged) =>
+      val src = new java.io.File(staged)
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(target, src.getName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteStaging()
+
+  private def deleteStaging(): Unit = {
+    Option(staging.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    staging.delete()
+  }
+}
+
+private[graft] final case class ShardWriterFactory(stagingDir: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    val f = new java.io.File(stagingDir,
+      f"part-$partitionId%05d-$taskId.csv")
+    new DataWriter[InternalRow] {
+      private val out = new java.io.BufferedWriter(new java.io.FileWriter(f))
+      override def write(row: InternalRow): Unit = {
+        val g = row.getUTF8String(0).toString
+        require(!g.contains(',') && !g.contains('\n'),
+          s"graft-shard: group value '$g' would corrupt the g,x line format")
+        out.write(g); out.write(',')
+        out.write(java.lang.Long.toString(row.getLong(1))); out.write('\n')
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close(); ShardCommit(f.getAbsolutePath)
+      }
+      override def abort(): Unit = { out.close(); f.delete(): Unit }
+      override def close(): Unit = ()
+    }
   }
 }
