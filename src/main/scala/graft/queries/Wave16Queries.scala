@@ -583,11 +583,24 @@ GROUP BY 1 ORDER BY 1
       // AQE's "no extra shuffle" cost check veto the split — force it:
       // the extra exchange is exactly what we're buying balance with
       s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // thresholds scale with the input (~1/256 of the fact's on-disk
+      // bytes, floored for the tiny SFs): at sf0.001 this is the 8 KB
+      // floor, at 100× rows it is ~4 MB — fixed tiny thresholds would
+      // shred the hot partition into thousands of advisory-sized
+      // pieces at scale and pay more in task overhead than the skew
+      // cost (measured 64× at 100× rows before this scaling)
+      val factBytes = {
+        val f = new java.io.File(s"$dir/lineitem.parquet")
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length).sum
+      }
+      val thresholdB = math.max(8L << 10, factBytes / 256)
       s2.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "8KB")
+        thresholdB.toString)
       s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        "4KB")
+        (thresholdB / 2).toString)
       try {
         // Two probe lessons baked in: (1) a skewed REDUCER partition
         // is split at MAP-OUTPUT granularity, so a single-file scan
@@ -613,7 +626,12 @@ GROUP BY 1 ORDER BY 1
         val out = fact.join(dim, "k")
           .groupBy("label")
           .agg(count(lit(1)).as("n"), sum("qty").as("qty"),
-            max("payload").as("cert"))
+            // numeric payload reduction: a string max would force a
+            // sort-based aggregate over the full corpus (measured as
+            // the dominant cost at 100x rows); the payload still
+            // rides the join shuffle, which is what the skew is about
+            sum(ascii(substring(col("payload"), 1, 1)))
+              .cast("long").as("cert"))
           .orderBy(col("n").desc, col("label")).limit(5)
         val rows = out.collect()
         val plan = out.queryExecution.executedPlan.toString
@@ -633,7 +651,8 @@ WITH fact AS (
 ), dim AS (SELECT k, 'k' || CAST(k AS VARCHAR) AS label
   FROM (SELECT unnest(range(0, 97)) AS k))
 SELECT label, CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(qty) AS BIGINT) AS qty, max(payload) AS cert
+  CAST(sum(qty) AS BIGINT) AS qty,
+  CAST(sum(ascii(substring(payload, 1, 1))) AS BIGINT) AS cert
 FROM fact JOIN dim USING (k)
 GROUP BY 1 ORDER BY n DESC, label LIMIT 5
 """))
