@@ -1,9 +1,42 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiling scratch: run one query N times in a warm session. */
+/** Dev profiling scratch: run one query N times in a warm session.
+  *
+  * Each run also reports EXECUTION-MEMORY evidence from TaskMetrics
+  * (verdict r15 #8 — the 100 TB scale story was plan-shaped but
+  * nothing measured spill): summed in-memory/on-disk spill bytes, the
+  * max per-task peak execution memory, and total shuffle bytes
+  * written, aggregated across every task of the run by a listener.
+  * `spillDisk=0` at sf10 is the "bounded memory at 100×" claim made
+  * measurable; a nonzero value quantifies exactly how gracefully the
+  * operator degrades instead of OOMing.
+  */
 object Prof {
+  private final class MemListener extends SparkListener {
+    val spillMem = new AtomicLong(0L)
+    val spillDisk = new AtomicLong(0L)
+    val peakExecMem = new AtomicLong(0L)
+    val shuffleWrite = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = {
+      spillMem.set(0); spillDisk.set(0)
+      peakExecMem.set(0); shuffleWrite.set(0)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val n = if (args.length > 1) args(1).toInt else 3
@@ -21,14 +54,34 @@ object Prof {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mem = new MemListener
+    spark.sparkContext.addSparkListener(mem)
     val fn = SparkEntry.queries(name)
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     for (i <- 1 to n) {
+      mem.reset()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
-      println(f"PROF $name run$i $sec%.3f s")
+      // listener events drain asynchronously (the bus is
+      // private[spark]); poll until the counters stop moving
+      var prevSnap = -1L
+      var snap = mem.spillMem.get + mem.spillDisk.get +
+        mem.peakExecMem.get + mem.shuffleWrite.get
+      var waited = 0
+      while (snap != prevSnap && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        prevSnap = snap
+        snap = mem.spillMem.get + mem.spillDisk.get +
+          mem.peakExecMem.get + mem.shuffleWrite.get
+      }
+      println(f"PROF $name run$i $sec%.3f s " +
+        s"spillMemMB=${mb(mem.spillMem.get)} " +
+        s"spillDiskMB=${mb(mem.spillDisk.get)} " +
+        s"peakTaskExecMemMB=${mb(mem.peakExecMem.get)} " +
+        s"shuffleWriteMB=${mb(mem.shuffleWrite.get)}")
     }
     spark.stop()
   }

@@ -164,5 +164,20 @@ object Verify {
     println(s"[verify] residue: tracked=${CacheRegistry.trackedCount} " +
       s"persistentRdds=${spark.sparkContext.getPersistentRDDs.size}")
     spark.stop()
+    // Zero-output sentinel (round-16 hardening, verdict r15 #1): a run
+    // that produced NOTHING comparable must be LOUD and non-zero, not a
+    // silently-empty correctness round (CORRECTNESS_r15.json came back
+    // `{}`). Belt and braces: the in-process `written` ledger AND the
+    // on-disk directory both have to show output.
+    val onDisk = Option(new java.io.File(outDir).list()).map(_.count(
+      n => n != "oracle_sql.json")).getOrElse(0)
+    if (written.isEmpty || onDisk == 0) {
+      val msg = s"[verify] FATAL: ZERO query outputs " +
+        s"(written=${written.size} onDisk=$onDisk declared=${declared.size})" +
+        " — the correctness round would be empty; failing loudly"
+      println(msg)
+      System.err.println(msg)
+      sys.exit(3)
+    }
   }
 }

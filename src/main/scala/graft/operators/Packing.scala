@@ -195,6 +195,55 @@ object Packing {
       StructField("cummax", LongType, nullable = false))))
   }
 
+  /** Two-measure sibling of [[withCumulativeSumPacked]]: one long-key
+    * sort shuffle carries BOTH running sums (the Lorenz/Gini shape —
+    * cumulative count AND cumulative count·value over the same value
+    * order — q326's rank arithmetic needs exactly this pair; two
+    * separate prefix passes would sort the histogram twice). Same
+    * two-phase machinery: eager `sortByKey` fixes one boundary set,
+    * per-partition totals (one tiny 2-long row per partition) collect
+    * to the driver, prefix-combine into offsets, and phase 2 re-reads
+    * the SAME shuffle files (skipped stages) emitting the INCLUSIVE
+    * running sums. Returns columns (`k`, `n1`, `n2`, `cum1`, `cum2`).
+    */
+  def withCumulativeSums2Packed(df: DataFrame, idCol: String,
+      n1Col: String, n2Col: String, partitions: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val n1Idx = df.schema.fieldIndex(n1Col)
+    val n2Idx = df.schema.fieldIndex(n2Col)
+    val sorted = df.rdd
+      .map(r => (r.getLong(idIdx), (r.getLong(n1Idx), r.getLong(n2Idx))))
+      .sortByKey(ascending = true, numPartitions = partitions)
+    val partSums = sorted.mapPartitionsWithIndex { (i, it) =>
+      var a1 = 0L; var a2 = 0L
+      it.foreach { case (_, (n1, n2)) => a1 += n1; a2 += n2 }
+      Iterator((i, a1, a2))
+    }.collect().sortBy(_._1)
+    val off1 = new Array[Long](partSums.length + 1)
+    val off2 = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, t1, t2) => off1(i + 1) = t1; off2(i + 1) = t2 }
+    var i = 1
+    while (i < off1.length) {
+      off1(i) += off1(i - 1); off2(i) += off2(i - 1); i += 1
+    }
+    val outRows = sorted.mapPartitionsWithIndex { (i, it) =>
+      var a1 = off1(i); var a2 = off2(i)
+      it.map { case (k, (n1, n2)) =>
+        a1 += n1; a2 += n2
+        Row(k, n1, n2, a1, a2)
+      }
+    }
+    spark.createDataFrame(outRows, StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n1", LongType, nullable = false),
+      StructField("n2", LongType, nullable = false),
+      StructField("cum1", LongType, nullable = false),
+      StructField("cum2", LongType, nullable = false))))
+  }
+
   /** Pack rows into `capacity`-token sequences. Returns one row per
     * sequence: (seq, n_docs, n_tokens, first_doc, last_doc). Rows with
     * zero tokens occupy no stream space and are excluded. */

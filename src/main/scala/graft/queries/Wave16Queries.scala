@@ -698,7 +698,253 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """),
     serial = true)
 
+  /** q373 — the Apps Script consumer's PROMPT ASSEMBLY, end-to-end
+    * hermetic (verdict r15 #6, the last §2-adjacent reference
+    * behavior): `analyze_nasdaq100_valuations_with_geminiAI.gs`
+    * composes (a) the latest-file argmax over dated filenames
+    * (`.gs:10-35`, the q12 shape), (b) the full valuation table, and
+    * (c) the prompt's numbered analysis sections — market sentiment
+    * overview, top-3 margin-of-safety "hidden gems", top-3
+    * PEG-nearest-1 "growth at fair price", most-overvalued "watch
+    * out" (`.gs:85-95`) — then renders Markdown to email HTML
+    * (`formatMarkdownToHtml`, `.gs:141-149`: bold→<b>, ##→<h3>,
+    * "- "→"• "). This query IS that assembly minus the two external
+    * effects (the Gemini POST and MailApp send): one row per prompt
+    * line, `md` the Markdown line and `html` its rendered form, so a
+    * user of the reference reproduces the exact prompt payload from
+    * the engine alone. Numeric renders are floor-ppm/cents integers
+    * (floor is identical cross-engine; double→string is not), ranks
+    * break ties on ticker, and every section is a TakeOrdered or a
+    * 1-row aggregate over the shared persisted valuation frame — at
+    * 100 TB the corpus is read once and only top-3s and counts move.
+    */
+  val q373 = QuerySpec("q373_gemini_prompt_assembly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val labeled = graft.CacheRegistry.persistTracked(
+        graft.Pipeline.run(
+          graft.Pipeline.syntheticFundamentals(s, dir), col("p_partkey")))
+      val header = Tables(s, dir, "orders")
+        .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("d"))
+        .select(lit(0L).as("line_no"),
+          concat(lit("## AI Market Insight — nasdaq100_valuations_"),
+            col("d"), lit(".csv")).as("md"))
+      val sentiment = labeled.agg(
+          sum(when(col("valuation") === "undervalued", 1).otherwise(0))
+            .as("u"),
+          sum(when(col("valuation") === "overvalued", 1).otherwise(0))
+            .as("o"),
+          sum(when(col("valuation") === "fair", 1).otherwise(0)).as("f"),
+          sum(when(col("valuation") === "unknown", 1).otherwise(0))
+            .as("k"),
+          count(lit(1)).as("n"))
+      val sentimentLine = sentiment.select(lit(10L).as("line_no"),
+        concat(lit("**Market Sentiment:** undervalued="), col("u"),
+          lit(" overvalued="), col("o"), lit(" fair="), col("f"),
+          lit(" unknown="), col("k"), lit(" of "), col("n")).as("md"))
+      val gemsOrder = Seq(desc("margin_of_safety"), asc("ticker"))
+      val gems = labeled.where(col("margin_of_safety").isNotNull)
+        .orderBy(gemsOrder: _*).limit(3)
+        .withColumn("rk", row_number().over(Window.orderBy(gemsOrder: _*)))
+        .select((lit(20L) + col("rk")).as("line_no"),
+          concat(lit("- **"), col("ticker"), lit("** mos_ppm="),
+            expr("cast(floor(margin_of_safety * 1000000) as bigint)"),
+            lit(" price_cents="),
+            expr("cast(floor(price * 100) as bigint)")).as("md"))
+      val pegOrder = Seq(asc("peg_dist"), asc("ticker"))
+      val growth = labeled.where(col("peg_ratio") > 0)
+        .withColumn("peg_dist", abs(col("peg_ratio") - 1.0))
+        .orderBy(pegOrder: _*).limit(3)
+        .withColumn("rk", row_number().over(Window.orderBy(pegOrder: _*)))
+        .select((lit(30L) + col("rk")).as("line_no"),
+          concat(lit("- **"), col("ticker"), lit("** peg_ppm="),
+            expr("cast(floor(peg_ratio * 1000000) as bigint)")).as("md"))
+      val overOrder = Seq(desc("pct_diff"), asc("ticker"))
+      val watch = labeled.where(col("valuation") === "overvalued" &&
+          col("pct_diff").isNotNull)
+        .orderBy(overOrder: _*).limit(3)
+        .withColumn("rk", row_number().over(Window.orderBy(overOrder: _*)))
+        .select((lit(40L) + col("rk")).as("line_no"),
+          concat(lit("- **"), col("ticker"), lit("** pct_diff_ppm="),
+            expr("cast(floor(pct_diff * 1000000) as bigint)")).as("md"))
+      val advice = sentiment.select(lit(50L).as("line_no"),
+        concat(lit("**Summary:** "),
+          when(col("u") > col("o"), "accumulate")
+            .when(col("o") > col("u"), "defensive")
+            .otherwise("hold")).as("md"))
+      val headers = Seq(
+        (20L, "**The Hidden Gems (top margin of safety):**"),
+        (30L, "**Growth at a fair price (PEG nearest 1):**"),
+        (40L, "**Watch out (most overvalued):**"))
+        .toDF("line_no", "md")
+      header.unionByName(sentimentLine).unionByName(headers)
+        .unionByName(gems).unionByName(growth).unionByName(watch)
+        .unionByName(advice)
+        .select(col("line_no"), col("md"),
+          regexp_replace(regexp_replace(regexp_replace(col("md"),
+            lit("\\*\\*(.*?)\\*\\*"), lit("<b>$1</b>")),
+            lit("^## (.*)$"), lit("<h3>$1</h3>")),
+            lit("^- "), lit("• ")).as("html"))
+        .orderBy("line_no")
+    },
+    Some(Parity.valuationCtes + raw""", hdr AS (
+  SELECT CAST(0 AS BIGINT) AS line_no,
+    '## AI Market Insight — nasdaq100_valuations_' ||
+      max(strftime(o_orderdate, '%Y-%m-%d')) || '.csv' AS md
+  FROM orders
+), sent AS (
+  SELECT CAST(sum(CASE WHEN valuation = 'undervalued' THEN 1 ELSE 0 END)
+      AS BIGINT) AS u,
+    CAST(sum(CASE WHEN valuation = 'overvalued' THEN 1 ELSE 0 END)
+      AS BIGINT) AS o,
+    CAST(sum(CASE WHEN valuation = 'fair' THEN 1 ELSE 0 END)
+      AS BIGINT) AS f,
+    CAST(sum(CASE WHEN valuation = 'unknown' THEN 1 ELSE 0 END)
+      AS BIGINT) AS k,
+    CAST(count(*) AS BIGINT) AS n
+  FROM labeled
+), lines AS (
+  SELECT line_no, md FROM hdr
+  UNION ALL
+  SELECT CAST(10 AS BIGINT),
+    '**Market Sentiment:** undervalued=' || CAST(u AS VARCHAR) ||
+    ' overvalued=' || CAST(o AS VARCHAR) || ' fair=' || CAST(f AS VARCHAR) ||
+    ' unknown=' || CAST(k AS VARCHAR) || ' of ' || CAST(n AS VARCHAR)
+  FROM sent
+  UNION ALL
+  SELECT CAST(20 AS BIGINT), '**The Hidden Gems (top margin of safety):**'
+  UNION ALL
+  SELECT CAST(30 AS BIGINT), '**Growth at a fair price (PEG nearest 1):**'
+  UNION ALL
+  SELECT CAST(40 AS BIGINT), '**Watch out (most overvalued):**'
+  UNION ALL
+  SELECT CAST(20 + rn AS BIGINT),
+    '- **' || ticker || '** mos_ppm=' ||
+    CAST(CAST(floor(margin_of_safety * 1000000) AS BIGINT) AS VARCHAR) ||
+    ' price_cents=' || CAST(CAST(floor(price * 100) AS BIGINT) AS VARCHAR)
+  FROM (SELECT *, row_number() OVER
+      (ORDER BY margin_of_safety DESC, ticker) AS rn
+    FROM labeled WHERE margin_of_safety IS NOT NULL) WHERE rn <= 3
+  UNION ALL
+  SELECT CAST(30 + rn AS BIGINT),
+    '- **' || ticker || '** peg_ppm=' ||
+    CAST(CAST(floor(peg_ratio * 1000000) AS BIGINT) AS VARCHAR)
+  FROM (SELECT *, row_number() OVER
+      (ORDER BY abs(peg_ratio - 1.0), ticker) AS rn
+    FROM labeled WHERE peg_ratio > 0) WHERE rn <= 3
+  UNION ALL
+  SELECT CAST(40 + rn AS BIGINT),
+    '- **' || ticker || '** pct_diff_ppm=' ||
+    CAST(CAST(floor(pct_diff * 1000000) AS BIGINT) AS VARCHAR)
+  FROM (SELECT *, row_number() OVER (ORDER BY pct_diff DESC, ticker) AS rn
+    FROM labeled
+    WHERE valuation = 'overvalued' AND pct_diff IS NOT NULL) WHERE rn <= 3
+  UNION ALL
+  SELECT CAST(50 AS BIGINT),
+    '**Summary:** ' || CASE WHEN u > o THEN 'accumulate'
+      WHEN o > u THEN 'defensive' ELSE 'hold' END
+  FROM sent
+)
+SELECT line_no, md,
+  regexp_replace(regexp_replace(regexp_replace(md,
+    '\*\*(.*?)\*\*', '<b>\1</b>', 'g'),
+    '^## (.*)$$', '<h3>\1</h3>'),
+    '^- ', '• ') AS html
+FROM lines ORDER BY line_no
+"""))
+
+  /** q374 — OPTIMIZER-RULE COMPOSITION under one plan (verdict r15
+    * #7): [[graft.plans.FkJoinElim]] and
+    * [[graft.plans.DistinctToBitmap]] each carry solo plan asserts
+    * (q339, q347); rule interaction is where Catalyst rewrites
+    * regress, so this query REQUIRES both to fire together. The text
+    * is the machine-generated BI shape — a per-flag supplier/part
+    * distinct-count rollup over lineitem JOIN orders that consumes no
+    * order column — and the optimized plan must show (a) NO Join
+    * (the declared l_orderkey→o_orderkey RI proves it a no-op; the
+    * corpus-wide dim exchange disappears) and (b) NO Expand with the
+    * bitmap aggregate present (the multi-distinct's corpus multiplier
+    * replaced by two container-sparse bitmaps per flag). Three
+    * conf-off controls pin each rewrite's independent contribution:
+    * bitmap-off keeps the Expand (join still eliminated), fk-off
+    * keeps the Join (Expand still replaced), both-off keeps both —
+    * so a regression in EITHER rule, or in their composition, fails
+    * this query and not just a unit spec. The oracle runs the join
+    * and the true count(DISTINCT)s — equal results certify both
+    * rewrites' semantics end-to-end. */
+  val q374 = QuerySpec("q374_rule_composition",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.plans.logical.{Expand, Join}
+      val factPath = s"$dir/lineitem.parquet"
+      val dimPath = s"$dir/orders.parquet"
+      val keys = Seq("spark.graft.fk.factPath", "spark.graft.fk.factCol",
+        "spark.graft.fk.dimPath", "spark.graft.fk.dimCol",
+        "spark.graft.bitmapDistinct.enabled")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      def setAll(fk: Boolean, bitmap: Boolean): Unit = {
+        if (fk) {
+          s.conf.set("spark.graft.fk.factPath", factPath)
+          s.conf.set("spark.graft.fk.factCol", "l_orderkey")
+          s.conf.set("spark.graft.fk.dimPath", dimPath)
+          s.conf.set("spark.graft.fk.dimCol", "o_orderkey")
+        } else keys.take(4).foreach(s.conf.unset)
+        s.conf.set("spark.graft.bitmapDistinct.enabled", bitmap.toString)
+      }
+      try {
+        def rollup(): org.apache.spark.sql.DataFrame = {
+          val li = s.read.parquet(factPath)
+          val ord = s.read.parquet(dimPath)
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+            .groupBy(li("l_returnflag"))
+            .agg(
+              countDistinct(expr("cast(l_suppkey as bigint)"))
+                .as("n_supps"),
+              countDistinct(expr("cast(l_partkey as bigint)"))
+                .as("n_parts"),
+              count(lit(1)).as("n_lines"),
+              sum(expr("cast(l_quantity as bigint)")).as("sum_qty"))
+            .orderBy("l_returnflag")
+        }
+        def shape(df: org.apache.spark.sql.DataFrame)
+            : (Boolean, Boolean, Boolean) = {
+          val opt = df.queryExecution.optimizedPlan
+          (opt.exists(_.isInstanceOf[Join]),
+            opt.exists(_.isInstanceOf[Expand]),
+            opt.toString.contains("graft_bitmap_distinct"))
+        }
+        setAll(fk = true, bitmap = true)
+        val out = rollup()
+        require(shape(out) == ((false, false, true)),
+          s"composed rewrite shape ${shape(out)}, " +
+            "expected (noJoin, noExpand, bitmap)")
+        setAll(fk = true, bitmap = false)
+        require(shape(rollup()) == ((false, true, false)),
+          "fk-only control: join must be eliminated, Expand must stay")
+        setAll(fk = false, bitmap = true)
+        require(shape(rollup()) == ((true, false, true)),
+          "bitmap-only control: join must stay, Expand must be replaced")
+        setAll(fk = false, bitmap = false)
+        require(shape(rollup()) == ((true, true, false)),
+          "both-off control: plain Catalyst plan expected")
+        setAll(fk = true, bitmap = true)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some(raw"""
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
-      q369, q370, q371, q372)
+      q369, q370, q371, q372, q373, q374)
 }

@@ -91,6 +91,10 @@ class RegistryLintSpec extends SparkSpec {
         val plan = q.fn(spark, dir).queryExecution.analyzed
         bad ++= BroadcastLint.globalWindowsOverCorpus(plan)
           .map(w => s"${q.name}: $w")
+        // NDV-aware companion (r15 verdict #3): an Aggregate bounds
+        // the frame only if its key's value domain does — probe it
+        bad ++= BroadcastLint.aggWindowsOverUnboundedNdv(plan, spark)
+          .map(w => s"${q.name}: $w")
       } catch { case _: Throwable => () } // fn errors are test #2's job
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
@@ -114,6 +118,46 @@ class RegistryLintSpec extends SparkSpec {
       .withColumn("cum", sum("cnt").over(Window.orderBy("event_type")))
     assert(BroadcastLint.globalWindowsOverCorpus(
       hist.queryExecution.analyzed).isEmpty)
+  }
+
+  test("NDV-aware window lint flags a value histogram keyed by a " +
+      "corpus-proportional key (the shape that slipped past the " +
+      "Aggregate-bounds-everything assumption in round 15's q326) " +
+      "and passes bounded-domain histograms") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    // price cents are near-unique: the "histogram" IS the corpus, and
+    // the global ordered window sorts it on one task — must flag
+    val centsHist = ord
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("x")))
+    assert(BroadcastLint.aggWindowsOverUnboundedNdv(
+      centsHist.queryExecution.analyzed, spark).nonEmpty,
+      "corpus-proportional NDV histogram under a global window " +
+        "escaped the lint")
+    // ...and the static lint alone would NOT have caught it (the
+    // Aggregate shields it) — the probe is load-bearing, not redundant
+    assert(BroadcastLint.globalWindowsOverCorpus(
+      centsHist.queryExecution.analyzed).isEmpty)
+    // a bounded value domain (order priorities: ≤5 values) collapses
+    // the corpus at any SF — must pass
+    val prioHist = ord.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("o_orderpriority")))
+    assert(BroadcastLint.aggWindowsOverUnboundedNdv(
+      prioHist.queryExecution.analyzed, spark).isEmpty)
+    // a rank-filtered top-k over the same near-unique histogram is
+    // WindowGroupLimit-bounded — must pass
+    val topk = ord
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("cnt"), col("x"))))
+      .where(col("rk") <= 10)
+    assert(BroadcastLint.aggWindowsOverUnboundedNdv(
+      topk.queryExecution.analyzed, spark).isEmpty)
   }
 
   test("broadcast lint catches a deliberately-hinted regression") {
@@ -165,11 +209,87 @@ object BroadcastLint {
     * Limit sits between the Window and the relation; a window sitting
     * directly on relation rows is flagged. Returns descriptions. */
   def globalWindowsOverCorpus(plan: LogicalPlan): Seq[String] = {
-    // Windows bounded by an ADJACENT RANK FILTER (rk <= k over the
-    // window's own rank output) are exempt: Spark's WindowGroupLimit
-    // keeps k rows per partition BEFORE the single-partition stage,
-    // so only numPartitions·k rows ever reach one task (the q220
-    // top-k idiom).
+    val rankLimited = rankLimitedIds(plan)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case w: Window
+          if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+            !rankLimited.contains(System.identityHashCode(w)) &&
+            reachesRelationUnbounded(w.child) =>
+        out += s"global ordered Window over corpus rows " +
+          s"(order=${w.orderSpec.map(_.sql).mkString(",")})"
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** The NDV-aware companion of [[globalWindowsOverCorpus]] — closes
+    * the blind spot that admitted q326 (verdict r15 #3): that lint
+    * treats ANY Aggregate/Distinct as re-keying the frame to a
+    * bounded value domain, but a grouping key whose NDV is
+    * corpus-proportional (price cents, doc ids) defeats it — the
+    * "histogram" under the global window still has ~|corpus| rows
+    * and one task sorts it all. Static analysis can't know a key's
+    * domain, so this check probes EMPIRICALLY at the lint's tiny SF:
+    * for each unpartitioned ordered Window whose frame is bounded
+    * only by an Aggregate/Distinct (no Limit in between), count that
+    * node's output rows vs its input rows and flag when
+    * out > max(1000, in/10) — a bounded value domain collapses
+    * multiple corpus rows per value even at sf0.001; a
+    * corpus-proportional key does not. Probe failures (streaming
+    * relations, staged temp paths) are skipped — those shapes are
+    * covered by their own specs. */
+  def aggWindowsOverUnboundedNdv(plan: LogicalPlan,
+      spark: org.apache.spark.sql.SparkSession): Seq[String] = {
+    val rankLimited = rankLimitedIds(plan)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def countRows(p: LogicalPlan): Long = {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+      val cnt = Alias(Count(Literal(1)).toAggregateExpression(), "cnt")()
+      spark.sessionState.executePlan(Aggregate(Nil, Seq(cnt), p))
+        .executedPlan.executeCollect().head.getLong(0)
+    }
+    // the first re-keying node on each path below the window, unless a
+    // Limit already bounds the frame above it
+    def boundingNodes(p: LogicalPlan): Seq[(LogicalPlan, LogicalPlan)] =
+      p match {
+        case _: GlobalLimit | _: LocalLimit => Nil
+        case a: Aggregate =>
+          if (a.groupingExpressions.isEmpty) Nil // global agg: 1 row
+          else Seq((a, a.child))
+        case d: Distinct => Seq((d, d.child))
+        case d: Deduplicate => Seq((d, d.child))
+        case other => other.children.flatMap(boundingNodes)
+      }
+    plan.foreach {
+      case w: Window
+          if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+            !rankLimited.contains(System.identityHashCode(w)) =>
+        boundingNodes(w.child).foreach { case (node, input) =>
+          try {
+            val outN = countRows(node)
+            if (outN > 1000) { // cheap pre-gate: tiny frames never flag
+              val inN = countRows(input)
+              if (outN > math.max(1000L, inN / 10))
+                out += "global ordered Window over " +
+                  s"${node.getClass.getSimpleName} with corpus-" +
+                  s"proportional key NDV ($outN of $inN input rows " +
+                  "at lint SF) — one task sorts ~the corpus at 100 TB"
+            }
+          } catch { case _: Throwable => () }
+        }
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** Windows bounded by an ADJACENT RANK FILTER (rk <= k over the
+    * window's own rank output) are exempt from the global-window
+    * lints: Spark's WindowGroupLimit keeps k rows per partition
+    * BEFORE the single-partition stage, so only numPartitions·k rows
+    * ever reach one task (the q220 top-k idiom). */
+  private def rankLimitedIds(plan: LogicalPlan): Set[Int] = {
     val rankLimited = scala.collection.mutable.Set.empty[Int]
     def stripProjects(p: LogicalPlan): LogicalPlan = p match {
       case Project(ps, c) if ps.forall(_.isInstanceOf[Attribute]) ||
@@ -194,17 +314,7 @@ object BroadcastLint {
       }
       case _ => ()
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    plan.foreach {
-      case w: Window
-          if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
-            !rankLimited.contains(System.identityHashCode(w)) &&
-            reachesRelationUnbounded(w.child) =>
-        out += s"global ordered Window over corpus rows " +
-          s"(order=${w.orderSpec.map(_.sql).mkString(",")})"
-      case _ => ()
-    }
-    out.toSeq
+    rankLimited.toSet
   }
 
   /** True when `p` reaches a leaf relation without passing an
