@@ -38,7 +38,7 @@ object Prof {
   }
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val n = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val builder = SparkSession.builder()
@@ -46,6 +46,10 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extension surface as Verify/Bench — conf-gated optimizer
+      // rules (q228, q339, q374…) must fire here too or their plan
+      // asserts fail under profiling
+      .withExtensions(new GraftExtensions)
     // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for conf experiments
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
       _.split(';').filter(_.contains('=')).foreach { kv =>
@@ -56,9 +60,9 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     val mem = new MemListener
     spark.sparkContext.addSparkListener(mem)
-    val fn = SparkEntry.queries(name)
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
-    for (i <- 1 to n) {
+    for (name <- names; i <- 1 to n) {
+      val fn = SparkEntry.queries(name)
       mem.reset()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
