@@ -944,7 +944,202 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """))
 
+  /** q375 — DSv2 REPORTED ORDERING (`SupportsReportOrdering`, the
+    * sort-elimination half of storage-partitioned execution and the
+    * last read-path capability the graft-shard ladder lacked): orders
+    * are staged per-priority with `x` PRE-SORTED inside each key
+    * directory (`repartition(g) → sortWithinPartitions(g, x)`), the
+    * scan declares per-partition ordering `[g ASC, x ASC]` under
+    * `option("ordered", true)` — a claim the reader VERIFIES row by
+    * row, throwing on the first inversion — and the exact rank-based
+    * per-priority P90 (value at row_number ceil(0.9·n) over the
+    * ordered frame) plans with NO SortExec AND NO Exchange anywhere:
+    * the window's clustering requirement is met by the reported
+    * KeyGroupedPartitioning, its ordering requirement by the reported
+    * SortOrder. At 100 TB a corpus already laid out sorted (log
+    * shards, time-series blocks, LSM runs) pays ZERO sort CPU and
+    * ZERO shuffle for every window/merge-join keyed its way — the
+    * read-path twin of q345/q346. Two controls: `ordered=false` must
+    * re-plan the SortExec (same result), and the ordering claim
+    * without v2 bucketing still kills the Sort while the Exchange
+    * returns — the two halves are independent and independently
+    * asserted. */
+  val q375 = QuerySpec("q375_dsv2_reported_ordering",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.expressions.Window
+      val tmp = Files.createTempDirectory("graft_q375_ordered")
+      val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
+      val prev = s.conf.getOption(ConfKey)
+      s.conf.set(ConfKey, "true")
+      try {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+          .repartition(col("g"))
+          .sortWithinPartitions("g", "x")
+          .write.mode("overwrite").partitionBy("g").csv(tmp.toString)
+        // NOTE: no presentation orderBy here — the frame under plan
+        // assert must contain ONLY the windowed computation (the final
+        // 5-row orderBy is appended on the returned copy below)
+        def p90(ordered: Boolean): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy("g").orderBy("x")
+          s.read.format("graft-shard-keyed")
+            .option("path", tmp.toString).option("ordered", ordered)
+            .load()
+            .withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+            .where(col("rn") === ceil(col("n") * 0.9).cast("long"))
+            .select(col("g"), col("n"), col("x").as("p90_cents"))
+        }
+        def shape(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
+          df.collect() // finalize the adaptive plan
+          val plan = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          def walk(p: SparkPlan)(f: SparkPlan => Boolean): Boolean =
+            p match {
+              case qs: QueryStageExec => walk(qs.plan)(f)
+              case _ => f(p) || p.children.exists(walk(_)(f))
+            }
+          (walk(plan)(_.isInstanceOf[SortExec]),
+            walk(plan)(_.isInstanceOf[ShuffleExchangeLike]))
+        }
+        val out = p90(ordered = true)
+        require(shape(out) == ((false, false)),
+          s"reported ordering+partitioning left ${shape(out)} " +
+            "(hasSort, hasExchange) in the plan")
+        // control 1: no ordering claim → the Sort must come back
+        // (clustering still satisfied: no exchange)
+        require(shape(p90(ordered = false)) == ((true, false)),
+          "no Sort without the ordering claim — the assert proves nothing")
+        // control 2: ordering claimed but v2 bucketing off → the
+        // exchange returns AND destroys the scan order, so the sort
+        // must come back too (ordering alone cannot survive a shuffle)
+        s.conf.set(ConfKey, "false")
+        require(shape(p90(ordered = true)) == ((true, true)),
+          "expected shuffle+sort with v2 bucketing disabled")
+        s.conf.set(ConfKey, "true")
+        val sunk = out.orderBy("g").collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(ConfKey, v)
+          case None => s.conf.unset(ConfKey)
+        }
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+WITH v AS (
+  SELECT o_orderpriority AS g,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), r AS (
+  SELECT g, x,
+    row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM v
+)
+SELECT g, CAST(n AS BIGINT) AS n, x AS p90_cents
+FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
+"""))
+
+  /** q376 — CUSTOM MICRO-BATCH STREAMING SOURCE
+    * ([[graft.sources.ReplaySource]], `format("graft-replay")`): the
+    * Kafka-shaped DSv2 read surface — file-index offsets serialized
+    * through the checkpoint, `SupportsAdmissionControl` rate-limiting
+    * each micro-batch to `maxFilesPerBatch`, and
+    * `SupportsTriggerAvailableNow` pinning the drain end — which the
+    * registry's streaming tier (all built-in file sources until now)
+    * did not yet exercise. Events are staged as 4 event-time-ordered
+    * CSV segments (quartile time slices, so batch boundaries are
+    * real time progress), replayed one file per micro-batch into a
+    * windowed per-type count+revenue aggregate in complete mode, and
+    * the drain is REQUIRED to have processed ≥3 separate non-empty
+    * micro-batches — proving the admission control actually split
+    * the backlog rather than gulping it (the bounded-memory
+    * catch-up contract a 100 TB landing zone needs: state
+    * checkpoints between segments, a mid-drain crash resumes from
+    * the offset instead of restarting). The batch oracle aggregates
+    * the same events directly — equality certifies the replay
+    * delivered every row exactly once across batch boundaries. */
+  val q376 = QuerySpec("q376_custom_stream_source",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = Files.createTempDirectory("graft_q376_replay")
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = Tables(s, dir, "events").select(
+          expr("unix_micros(ts)").as("ts_us"),
+          col("user_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us"))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val span = math.max(1L, (hi - lo) / 4 + 1)
+        val replayDir = Files.createDirectory(tmp.resolve("replay"))
+        for (i <- 0 until 4) {
+          val stage = tmp.resolve(s"stage$i")
+          ev.where(col("ts_us") >= lo + i * span &&
+              col("ts_us") < lo + (i + 1) * span)
+            .select(concat_ws(",", col("ts_us"), col("user_id"),
+              col("event_type"), col("cents")).as("line"))
+            .coalesce(1).write.mode("overwrite").text(stage.toString)
+          val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-")).get
+          Files.move(part.toPath, replayDir.resolve(f"seg$i%02d.csv"))
+        }
+        val agg = s.readStream.format("graft-replay")
+          .option("path", replayDir.toString)
+          .option("maxFilesPerBatch", 1).load()
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        val name = s"replay_agg_${System.nanoTime()}"
+        val ckpt = Files.createTempDirectory("graft_q376_ckpt")
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination()
+          val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(fedBatches >= 3,
+            s"replay drained in $fedBatches micro-batches — admission " +
+              "control did not split the backlog")
+          val sunk = s.table(name)
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("win_start"),
+              col("event_type"), col("n"), col("sum_cents"))
+            .orderBy("win_start", "event_type")
+          s.createDataFrame(sunk.collectAsList(), sunk.schema)
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(name)
+          graft.streaming.StreamingResidue.release(ckpt)
+        }
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+    '%Y-%m-%d %H:%M:%S') AS win_start,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""),
+    serial = true)
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
-      q369, q370, q371, q372, q373, q374)
+      q369, q370, q371, q372, q373, q374, q375, q376)
 }

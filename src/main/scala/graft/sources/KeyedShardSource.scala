@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportOrdering, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -106,22 +107,44 @@ private[sources] class KeyedShardTable(options: CaseInsensitiveStringMap)
 }
 
 private[sources] class KeyedShardScan(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with Batch with SupportsReportPartitioning {
+    extends ScanBuilder with Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   private lazy val dirs = KeyedShardSource.keyedDirs(options)
+  private val ordered = options.getBoolean("ordered", false)
 
   override def build(): Scan = this
   override def readSchema(): StructType = KeyedShardSource.rowSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-shard-keyed keys=${dirs.length}"
+    s"graft-shard-keyed keys=${dirs.length} ordered=$ordered"
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.identity("g")), dirs.length)
 
+  /** `option("ordered", true)` is the writer's declaration that every
+    * file carries non-decreasing `x` AND each key's files are named so
+    * their lexicographic order concatenates sorted (the
+    * sortWithinPartitions staging layout) — the scan then reports
+    * per-partition ordering `[g ASC, x ASC]` (g is constant within a
+    * key partition, so any g direction holds vacuously) and Spark's
+    * EnsureRequirements drops the Sort under windows/SMJs keyed this
+    * way — the sort-elimination half of storage-partitioned execution.
+    * The claim is VERIFIED, not trusted: the reader throws on the
+    * first out-of-order row (a wrong ordering claim silently corrupts
+    * merge joins and window frames — same strictness as the
+    * partitioning guard above). Without the option the scan reports
+    * no ordering and plans sort as usual. */
+  override def outputOrdering(): Array[SortOrder] =
+    if (ordered)
+      Array(
+        Expressions.sort(Expressions.column("g"), SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("x"), SortDirection.ASCENDING))
+    else Array.empty
+
   override def planInputPartitions(): Array[InputPartition] =
-    dirs.map { case (k, files) => KeyedShardPartition(k, files) }
+    dirs.map { case (k, files) => KeyedShardPartition(k, files, ordered) }
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -129,7 +152,7 @@ private[sources] class KeyedShardScan(options: CaseInsensitiveStringMap)
 }
 
 private[sources] final case class KeyedShardPartition(
-    key: String, files: Array[String])
+    key: String, files: Array[String], ordered: Boolean = false)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(UTF8String.fromString(key))
@@ -144,6 +167,7 @@ private[sources] class KeyedShardReaderFactory extends PartitionReaderFactory {
       private var lines: java.util.Iterator[String] = _
       private var stream: java.util.stream.Stream[String] = _
       private var current: InternalRow = _
+      private var prevX = Long.MinValue
 
       private def advance(): Boolean = {
         while (true) {
@@ -157,6 +181,14 @@ private[sources] class KeyedShardReaderFactory extends PartitionReaderFactory {
                     s"graft-shard-keyed: malformed long '$line' in " +
                       s"${kp.files(fileIdx - 1)} (key g=${kp.key})")
                 }
+              if (kp.ordered) {
+                if (x < prevX)
+                  throw new IllegalStateException(
+                    s"graft-shard-keyed: ordered=true but $x < $prevX in " +
+                      s"${kp.files(fileIdx - 1)} (key g=${kp.key}) — " +
+                      "refusing to serve a false ordering claim")
+                prevX = x
+              }
               current = InternalRow(g, x)
               return true
             }

@@ -93,4 +93,80 @@ class KeyedShardSourceSpec extends SparkSpec {
         (err.getCause != null && err.getCause.getMessage.contains("g=")))
     } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
   }
+
+  private def stageSorted(): java.nio.file.Path = {
+    val tmp = Files.createTempDirectory("graft_keyed_sorted")
+    import spark.implicits._
+    Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 5L))
+      .toDF("g", "x").repartition(col("g")).sortWithinPartitions("g", "x")
+      .write.mode("overwrite").partitionBy("g").csv(tmp.toString)
+    tmp
+  }
+
+  test("reported ordering eliminates the window sort iff claimed " +
+      "(SupportsReportOrdering)") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.expressions.Window
+    def hasSort(p: SparkPlan): Boolean = p match {
+      case _: SortExec => true
+      case qs: QueryStageExec => hasSort(qs.plan)
+      case _ => p.children.exists(hasSort)
+    }
+    def executedHasSort(df: DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => hasSort(a.executedPlan)
+        case p => hasSort(p)
+      }
+    }
+    val tmp = stageSorted()
+    val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prev = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, "true")
+    try {
+      def ranked(ordered: Boolean): DataFrame =
+        spark.read.format("graft-shard-keyed")
+          .option("path", tmp.toString).option("ordered", ordered).load()
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("g").orderBy("x")))
+      val claimed = ranked(ordered = true)
+      assert(!executedHasSort(claimed) && !executedHasShuffle(claimed))
+      assert(rows(claimed.orderBy("g", "x")).map(r =>
+        (r.getString(0), r.getLong(1), r.getInt(2))) ==
+        Seq(("a", 1L, 1), ("a", 2L, 2), ("a", 3L, 3),
+          ("b", 5L, 1), ("b", 9L, 2)))
+      // no claim → Spark must sort (and the result is identical)
+      assert(executedHasSort(ranked(ordered = false)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ConfKey, v)
+        case None => spark.conf.unset(ConfKey)
+      }
+      graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    }
+  }
+
+  test("a FALSE ordering claim fails loudly at read, never serves " +
+      "out-of-order rows under the claim") {
+    val tmp = Files.createTempDirectory("graft_keyed_unsorted")
+    import spark.implicits._
+    // deliberately unsorted within the key
+    Seq(("a", 5L), ("a", 1L), ("a", 3L)).toDF("g", "x")
+      .coalesce(1).write.mode("overwrite").partitionBy("g")
+      .csv(tmp.toString)
+    try {
+      val err = intercept[Exception] {
+        spark.read.format("graft-shard-keyed")
+          .option("path", tmp.toString).option("ordered", true)
+          .load().collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else String.valueOf(t.getMessage) +: messages(t.getCause)
+      assert(messages(err).exists(_.contains("false ordering claim")))
+      // same layout without the claim reads fine
+      assert(spark.read.format("graft-shard-keyed")
+        .option("path", tmp.toString).load().count() == 3)
+    } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+  }
 }
