@@ -1068,6 +1068,35 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
     * the offset instead of restarting). The batch oracle aggregates
     * the same events directly — equality certifies the replay
     * delivered every row exactly once across batch boundaries. */
+  /** Stage the events table as 4 event-time-quartile CSV segments in
+    * `tmp/replay` — the deterministic replay fixture shared by the
+    * graft-replay queries (batch boundaries are real time progress,
+    * so windows/watermarks advance across micro-batches). */
+  private def stageEventSegments(s: SparkSession, dir: String,
+      tmp: java.nio.file.Path): java.nio.file.Path = {
+    import java.nio.file.Files
+    val ev = Tables(s, dir, "events").select(
+      expr("unix_micros(ts)").as("ts_us"),
+      col("user_id"), col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max(1L, (hi - lo) / 4 + 1)
+    val replayDir = Files.createDirectory(tmp.resolve("replay"))
+    for (i <- 0 until 4) {
+      val stage = tmp.resolve(s"stage$i")
+      ev.where(col("ts_us") >= lo + i * span &&
+          col("ts_us") < lo + (i + 1) * span)
+        .select(concat_ws(",", col("ts_us"), col("user_id"),
+          col("event_type"), col("cents")).as("line"))
+        .coalesce(1).write.mode("overwrite").text(stage.toString)
+      val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-")).get
+      Files.move(part.toPath, replayDir.resolve(f"seg$i%02d.csv"))
+    }
+    replayDir
+  }
+
   val q376 = QuerySpec("q376_custom_stream_source",
     (s, dir) => {
       import java.nio.file.{Files, Paths}
@@ -1076,25 +1105,7 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val ev = Tables(s, dir, "events").select(
-          expr("unix_micros(ts)").as("ts_us"),
-          col("user_id"), col("event_type"),
-          expr("cast(round(value * 100) as bigint)").as("cents"))
-        val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us"))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val span = math.max(1L, (hi - lo) / 4 + 1)
-        val replayDir = Files.createDirectory(tmp.resolve("replay"))
-        for (i <- 0 until 4) {
-          val stage = tmp.resolve(s"stage$i")
-          ev.where(col("ts_us") >= lo + i * span &&
-              col("ts_us") < lo + (i + 1) * span)
-            .select(concat_ws(",", col("ts_us"), col("user_id"),
-              col("event_type"), col("cents")).as("line"))
-            .coalesce(1).write.mode("overwrite").text(stage.toString)
-          val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-            .find(f => f.getName.startsWith("part-")).get
-          Files.move(part.toPath, replayDir.resolve(f"seg$i%02d.csv"))
-        }
+        val replayDir = stageEventSegments(s, dir, tmp)
         val agg = s.readStream.format("graft-replay")
           .option("path", replayDir.toString)
           .option("maxFilesPerBatch", 1).load()
@@ -1139,7 +1150,84 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """),
     serial = true)
 
+  /** q377 — CUSTOM STREAMING SINK (`graft-replay` write half,
+    * [[graft.sources.ReplaySource]]): the Kafka-producer-shaped DSv2
+    * `StreamingWrite` the connector matrix still lacked — per-task
+    * dot-prefixed staged files, commit messages carrying PATHS only
+    * (no data bytes through the driver), and per-epoch publication by
+    * pure atomic rename to deterministic `epoch<E>-p<P>.csv` names,
+    * so a crashed-and-replayed epoch re-publishes the SAME names and
+    * duplicates are structurally impossible (exactly-once by naming,
+    * the epoch id as the transaction id). The query runs the full
+    * landing-zone relay: events staged as 4 time segments → drained
+    * through the graft-replay SOURCE one file per micro-batch → a
+    * stateless high-value filter → re-landed through the graft-replay
+    * SINK (append mode, one epoch per batch) — stream stages
+    * composing, the 100 TB hop-to-hop shape. Asserts: ≥3 fed epochs,
+    * ≥3 published segments, ZERO staged residue; then the published
+    * layout is batch-read and aggregated, and the oracle replays the
+    * same filter+rollup straight from `events` — equality certifies
+    * every row crossed both hops exactly once. ReplayWriteSpec pins
+    * the idempotence and abort contracts directly. */
+  val q377 = QuerySpec("q377_custom_stream_sink",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = Files.createTempDirectory("graft_q377_relay")
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val replayDir = stageEventSegments(s, dir, tmp)
+        val outDir = tmp.resolve("landed")
+        val ckpt = Files.createTempDirectory("graft_q377_ckpt")
+        val q = s.readStream.format("graft-replay")
+          .option("path", replayDir.toString)
+          .option("maxFilesPerBatch", 1).load()
+          .where(col("cents") >= 5000L)
+          .writeStream.format("graft-replay")
+          .option("path", outDir.toString)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination()
+          val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(fedBatches >= 3,
+            s"relay drained in $fedBatches micro-batches")
+        } finally {
+          q.stop()
+          graft.streaming.StreamingResidue.release(ckpt)
+        }
+        val published = Option(outDir.toFile.listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+        require(published.count(_.matches("epoch\\d+-p\\d+\\.csv")) >= 3,
+          s"expected >=3 published epoch segments, got " +
+            published.mkString(","))
+        require(!published.exists(_.startsWith(".stage-")),
+          "staged residue left behind after commit")
+        val sunk = s.read
+          .schema(graft.sources.ReplaySource.rowSchema)
+          .csv(outDir.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("event_type")
+        s.createDataFrame(sunk.collectAsList(), sunk.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(c) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+) WHERE c >= 5000 GROUP BY 1 ORDER BY 1
+"""),
+    serial = true)
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
-      q369, q370, q371, q372, q373, q374, q375, q376)
+      q369, q370, q371, q372, q373, q374, q375, q376, q377)
 }

@@ -3,10 +3,12 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -62,7 +64,8 @@ object ReplaySource {
   private[sources] def listFiles(dir: String): Array[String] = {
     val fs = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .filter(f => f.isFile && f.getName.endsWith(".csv") &&
+        !f.getName.startsWith("."))
       .map(_.getAbsolutePath).sorted
     require(fs.nonEmpty, s"graft-replay: no .csv files under $dir")
     fs
@@ -70,11 +73,12 @@ object ReplaySource {
 }
 
 private[sources] class ReplayTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "graft-replay"
   override def schema(): StructType = ReplaySource.rowSchema
   override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](
@@ -82,6 +86,115 @@ private[sources] class ReplayTable(options: CaseInsensitiveStringMap)
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
     new ReplayScan(new CaseInsensitiveStringMap(merged))
   }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = Option(options.get("path"))
+      .orElse(Option(info.options().get("path")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-replay: 'path' is required for writes"))
+    // strict schema gate: a replay segment that doesn't round-trip
+    // through the read schema would corrupt every downstream drain
+    val got = info.schema()
+    require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
+      ReplaySource.rowSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft-replay: write schema ${got.simpleString} must match " +
+        s"${ReplaySource.rowSchema.simpleString}")
+    new ReplayWriteBuilder(dir)
+  }
+}
+
+private[sources] class ReplayWriteBuilder(dir: String) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toStreaming: StreamingWrite = new ReplayStreamingWrite(dir)
+  }
+}
+
+/** The WRITE half of the replay surface — a custom
+  * [[StreamingWrite]] with per-epoch EXACTLY-ONCE publication, the
+  * Kafka-producer-shaped counterpart of [[ReplayMicroBatchStream]]:
+  *
+  *  - each task writes its rows to a dot-prefixed STAGED file
+  *    (`.stage-<epoch>-p<partition>-<uuid>`) the read side never
+  *    lists, and ships only the PATH in its commit message — no data
+  *    bytes ride through the driver;
+  *  - `commit(epochId, msgs)` publishes by pure ATOMIC RENAME to the
+  *    deterministic name `epoch<E>-p<P>.csv` (REPLACE_EXISTING):
+  *    re-running a crashed epoch re-stages and re-publishes the SAME
+  *    names, so duplicates are structurally impossible — idempotence
+  *    by naming, the same two-phase discipline as the graft-shard
+  *    batch writer, with the epoch id as the transaction id;
+  *  - `abort` deletes whatever staged files its attempt produced and
+  *    leaves published segments untouched.
+  *
+  * Output segments are themselves a valid `graft-replay` READ layout
+  * (lexicographic name order == epoch order == event-time order for
+  * monotone pipelines), so stream stages compose: land → drain →
+  * transform → re-land. Same executor/driver shared-filesystem
+  * contract as [[KeyedShardSource]] (documented there). */
+private[sources] class ReplayStreamingWrite(dir: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ReplayWriterFactory(dir)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    messages.foreach {
+      case ReplayStagedFile(partitionId, staged) =>
+        val src = java.nio.file.Paths.get(staged)
+        // an idempotent epoch replay may find its stage already
+        // consumed by the previous successful publish of this name
+        if (java.nio.file.Files.exists(src)) {
+          java.nio.file.Files.move(src,
+            d.resolve(f"epoch$epochId%05d-p$partitionId%05d.csv"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      case m => throw new IllegalStateException(
+        s"graft-replay: foreign commit message $m")
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ReplayStagedFile(_, staged) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(staged))
+      case _ => ()
+    }
+}
+
+private[sources] final case class ReplayStagedFile(
+    partitionId: Int, stagedPath: String) extends WriterCommitMessage
+
+private[sources] class ReplayWriterFactory(dir: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      private val staged = d.resolve(
+        f".stage-$epochId%05d-p$partitionId%05d-${java.util.UUID.randomUUID()}")
+      private val out = java.nio.file.Files.newBufferedWriter(staged)
+
+      override def write(r: InternalRow): Unit = {
+        out.write(s"${r.getLong(0)},${r.getLong(1)}," +
+          s"${r.getUTF8String(2)},${r.getLong(3)}")
+        out.write("\n")
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        ReplayStagedFile(partitionId, staged.toString)
+      }
+      override def abort(): Unit = {
+        out.close()
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class ReplayScan(options: CaseInsensitiveStringMap)
