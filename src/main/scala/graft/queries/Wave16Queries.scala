@@ -1227,7 +1227,73 @@ FROM (
 """),
     serial = true)
 
+  /** q378 — DSv2 METADATA COLUMNS + COLUMN PRUNING on the keyed
+    * connector (`SupportsMetadataColumns` + `SupportsPushDownRequired
+    * Columns`, the last two read-path capabilities the graft-shard
+    * ladder lacked): `_shard_dir` exposes file provenance as a
+    * metadata column — materialized ONLY when referenced (the
+    * `SELECT *`-invisible `_metadata` mechanism), so per-row lineage
+    * costs nothing unless asked for — and the pruned rollup's scan is
+    * REQUIRED to read `columns=[x]` alone (decoding key strings for a
+    * `sum(x)` is wasted I/O at any scale; the connector also degrades
+    * its KeyGroupedPartitioning claim honestly to Unknown when the
+    * clustering column itself is pruned away). Asserts: the
+    * provenance scan carries `_shard_dir`, the rollup scan carries
+    * only `x`, a bare `SELECT *` carries exactly `[g, x]` (metadata
+    * stays hidden), and the pruned total equals the per-shard sum.
+    * The oracle rebuilds `_shard_dir` from the staging rule
+    * (`'g=' || priority` — keys chosen with no escapable characters),
+    * certifying the provenance VALUES, not just the plumbing. */
+  val q378 = QuerySpec("q378_dsv2_metadata_pruning",
+    (s, dir) => {
+      import java.nio.file.Files
+      val tmp = Files.createTempDirectory("graft_q378_meta")
+      try {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+          .repartition(8)
+          .write.mode("overwrite").partitionBy("g").csv(tmp.toString)
+        def t = s.read.format("graft-shard-keyed")
+          .option("path", tmp.toString).load()
+        def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+          df.collect()
+          df.queryExecution.executedPlan.toString
+            .linesIterator.find(_.contains("BatchScan graft-shard-keyed"))
+            .getOrElse("")
+        }
+        val prov = t.select(col("_shard_dir"), col("x"))
+          .groupBy("_shard_dir")
+          .agg(count(lit(1)).as("n"), sum("x").as("sum_cents"))
+          .orderBy("_shard_dir")
+          .select(col("_shard_dir").as("shard_dir"), col("n"),
+            col("sum_cents"))
+        require(scanDesc(prov).contains("columns=[_shard_dir,x]") ||
+          scanDesc(prov).contains("columns=[x,_shard_dir]"),
+          s"metadata column not pushed into the scan: ${scanDesc(prov)}")
+        val pruned = t.agg(sum("x").as("total_cents"))
+        require(scanDesc(pruned).contains("columns=[x]"),
+          s"column pruning did not reach the scan: ${scanDesc(pruned)}")
+        // SELECT * must NOT carry the metadata column
+        require(scanDesc(t.where(col("x") >= 0)).contains("columns=[g,x]"),
+          "metadata column leaked into SELECT *")
+        // value gate: the pruned total equals the per-shard sum
+        val total = pruned.collect().head.getLong(0)
+        val parts = prov.collect()
+        require(parts.map(_.getLong(2)).sum == total,
+          "pruned rollup disagrees with per-shard provenance sum")
+        s.createDataFrame(java.util.Arrays.asList(parts: _*), prov.schema)
+      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+    },
+    Some(raw"""
+SELECT 'g=' || o_orderpriority AS shard_dir,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
-      q369, q370, q371, q372, q373, q374, q375, q376, q377)
+      q369, q370, q371, q372, q373, q374, q375, q376, q377, q378)
 }

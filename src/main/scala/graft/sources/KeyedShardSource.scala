@@ -3,13 +3,13 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportOrdering, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -92,11 +92,26 @@ object KeyedShardSource {
 }
 
 private[sources] class KeyedShardTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = "graft-shard-keyed"
   override def schema(): StructType = KeyedShardSource.rowSchema
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** `_shard_dir` — the `g=<value>` directory a row was read from:
+    * file-provenance as a METADATA COLUMN (`SupportsMetadataColumns`,
+    * the `_metadata` mechanism user tables get for free), projected
+    * only when referenced — absent from `SELECT *`, pruned like any
+    * column when unused, so provenance costs nothing unless asked
+    * for. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_shard_dir"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "g=<value> shard directory this row was read from"
+    })
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](
@@ -108,20 +123,41 @@ private[sources] class KeyedShardTable(options: CaseInsensitiveStringMap)
 
 private[sources] class KeyedShardScan(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch with SupportsReportPartitioning
-    with SupportsReportOrdering {
+    with SupportsReportOrdering with SupportsPushDownRequiredColumns {
 
   private lazy val dirs = KeyedShardSource.keyedDirs(options)
   private val ordered = options.getBoolean("ordered", false)
 
+  /** COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the planner
+    * hands down exactly the referenced columns — including the
+    * `_shard_dir` metadata column when (and only when) the query asks
+    * for it — and the reader materializes nothing else. A scan that
+    * decodes `g` strings for a `sum(x)` rollup is wasted I/O at any
+    * scale. */
+  private var prunedSchema: StructType = KeyedShardSource.rowSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
   override def build(): Scan = this
-  override def readSchema(): StructType = KeyedShardSource.rowSchema
+  override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-shard-keyed keys=${dirs.length} ordered=$ordered"
+    s"graft-shard-keyed keys=${dirs.length} ordered=$ordered " +
+      s"columns=[${prunedSchema.fieldNames.mkString(",")}]"
 
+  private def has(name: String): Boolean =
+    prunedSchema.fieldNames.contains(name)
+
+  /** The key-grouped claim is only valid while `g` is in the output —
+    * a pruned-away clustering column leaves nothing for
+    * EnsureRequirements to match against, so the scan degrades
+    * honestly to UnknownPartitioning instead of referencing a column
+    * it no longer produces. */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.identity("g")), dirs.length)
+    if (has("g"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("g")), dirs.length)
+    else new UnknownPartitioning(dirs.length)
 
   /** `option("ordered", true)` is the writer's declaration that every
     * file carries non-decreasing `x` AND each key's files are named so
@@ -138,21 +174,24 @@ private[sources] class KeyedShardScan(options: CaseInsensitiveStringMap)
     * no ordering and plans sort as usual. */
   override def outputOrdering(): Array[SortOrder] =
     if (ordered)
-      Array(
-        Expressions.sort(Expressions.column("g"), SortDirection.ASCENDING),
-        Expressions.sort(Expressions.column("x"), SortDirection.ASCENDING))
+      Array(("g", has("g")), ("x", has("x"))).collect {
+        case (c, true) =>
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)
+      }
     else Array.empty
 
   override def planInputPartitions(): Array[InputPartition] =
-    dirs.map { case (k, files) => KeyedShardPartition(k, files, ordered) }
-      .toArray[InputPartition]
+    dirs.map { case (k, files) =>
+      KeyedShardPartition(k, files, ordered, prunedSchema.fieldNames)
+    }.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KeyedShardReaderFactory
 }
 
 private[sources] final case class KeyedShardPartition(
-    key: String, files: Array[String], ordered: Boolean = false)
+    key: String, files: Array[String], ordered: Boolean = false,
+    columns: Array[String] = Array("g", "x"))
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(UTF8String.fromString(key))
@@ -168,6 +207,7 @@ private[sources] class KeyedShardReaderFactory extends PartitionReaderFactory {
       private var stream: java.util.stream.Stream[String] = _
       private var current: InternalRow = _
       private var prevX = Long.MinValue
+      private var shardDir: UTF8String = _
 
       private def advance(): Boolean = {
         while (true) {
@@ -189,13 +229,21 @@ private[sources] class KeyedShardReaderFactory extends PartitionReaderFactory {
                       "refusing to serve a false ordering claim")
                 prevX = x
               }
-              current = InternalRow(g, x)
+              current = InternalRow(kp.columns.map {
+                case "g" => g
+                case "x" => java.lang.Long.valueOf(x)
+                case "_shard_dir" => shardDir
+                case other => throw new IllegalStateException(
+                  s"graft-shard-keyed: unknown column '$other'")
+              }.toIndexedSeq: _*)
               return true
             }
           } else if (fileIdx < kp.files.length) {
             if (stream != null) stream.close()
-            stream = java.nio.file.Files.lines(
-              java.nio.file.Paths.get(kp.files(fileIdx)))
+            val path = java.nio.file.Paths.get(kp.files(fileIdx))
+            shardDir = UTF8String.fromString(
+              path.getParent.getFileName.toString)
+            stream = java.nio.file.Files.lines(path)
             lines = stream.iterator()
             fileIdx += 1
           } else return false
