@@ -1293,7 +1293,124 @@ SELECT 'g=' || o_orderpriority AS shard_dir,
 FROM orders GROUP BY 1 ORDER BY 1
 """))
 
+  /** q379 — ZERO-EXCHANGE, ZERO-SORT SORT-MERGE JOIN: the capstone
+    * composing q345/q346's storage-partitioned execution with q375's
+    * reported ordering. Two corpora (orders split at the median
+    * orderkey into an early and a late era) are staged in the SAME
+    * `g=`-keyed layout with `x` PRE-SORTED per key; both scans report
+    * `KeyGroupedPartitioning(g)` AND `[g ASC, x ASC]`, and the
+    * price-collision reconciliation — an SMJ on `(g, x)` (clustering
+    * on `g` co-locates every `(g, x)` pair; the reported order is
+    * exactly the SMJ's required prefix) — executes with NO
+    * ShuffleExchange and NO SortExec ANYWHERE: two scans, a merge
+    * join, and the per-key rollup, all riding the layout. This is
+    * the LSM/log-structured merge shape at 100 TB — reconciling two
+    * sorted snapshot generations pays ZERO shuffle and ZERO sort
+    * CPU, just one streaming merge pass. Controls: ordering claim
+    * off → SortExec returns on both sides (still no exchange);
+    * v2 bucketing off → exchanges return. Broadcast is disabled so
+    * SMJ is the strategy under test, never a vacuous pass. */
+  val q379 = QuerySpec("q379_zero_sort_merge_join",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val tmp = Files.createTempDirectory("graft_q379_smj")
+      val BucketKey = "spark.sql.sources.v2.bucketing.enabled"
+      val BcastKey = "spark.sql.autoBroadcastJoinThreshold"
+      // join keys (g, x) ⊃ partition keys (g): equal join tuples are
+      // co-located under the subset clustering, but EnsureRequirements
+      // demands ALL join keys in the children's partitioning unless
+      // this knob says subset co-partitioning is acceptable
+      val SubsetKey = "spark.sql.requireAllClusterKeysForCoPartition"
+      val prev = Seq(BucketKey, BcastKey, SubsetKey)
+        .map(k => k -> s.conf.getOption(k))
+      s.conf.set(BucketKey, "true")
+      s.conf.set(BcastKey, "-1")
+      s.conf.set(SubsetKey, "false")
+      try {
+        // whole-dollar prices: coarse enough that cross-era collisions
+        // are plentiful in every priority (cents are near-unique and
+        // would make the reconciliation trivially tiny)
+        val ord = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("g"),
+            expr("cast(round(o_totalprice) as bigint)").as("x"))
+        val median = ord.stat.approxQuantile("o_orderkey",
+          Array(0.5), 0.0).head
+        def stage(name: String, cond: org.apache.spark.sql.Column)
+            : String = {
+          val p = tmp.resolve(name).toString
+          ord.where(cond).select(col("g"), col("x"))
+            .repartition(col("g")).sortWithinPartitions("g", "x")
+            .write.mode("overwrite").partitionBy("g").csv(p)
+          p
+        }
+        val early = stage("early", col("o_orderkey") <= median)
+        val late = stage("late", col("o_orderkey") > median)
+        def reconcile(ordered: Boolean): org.apache.spark.sql.DataFrame = {
+          def read(p: String) = s.read.format("graft-shard-keyed")
+            .option("path", p).option("ordered", ordered).load()
+          val e = read(early)
+          val l = read(late)
+          // price-collision reconciliation: cents values seen in BOTH
+          // eras of the same priority (the dedup-across-snapshots
+          // probe), rolled up per priority
+          e.join(l, e("g") === l("g") && e("x") === l("x"))
+            .groupBy(e("g"))
+            .agg(count(lit(1)).as("n_collisions"),
+              min(l("x")).as("min_price"), max(l("x")).as("max_price"))
+        }
+        def shape(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
+          df.collect()
+          val plan = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          def walk(p: SparkPlan)(f: SparkPlan => Boolean): Boolean =
+            p match {
+              case qs: QueryStageExec => walk(qs.plan)(f)
+              case _ => f(p) || p.children.exists(walk(_)(f))
+            }
+          (walk(plan)(_.isInstanceOf[SortExec]),
+            walk(plan)(_.isInstanceOf[ShuffleExchangeLike]))
+        }
+        val out = reconcile(ordered = true)
+        require(shape(out) == ((false, false)),
+          s"zero-sort SMJ not achieved: ${shape(out)} (hasSort, hasExchange)")
+        require(shape(reconcile(ordered = false)) == ((true, false)),
+          "expected sorts (and no exchange) without the ordering claim")
+        s.conf.set(BucketKey, "false")
+        require(shape(reconcile(ordered = true))._2,
+          "expected exchanges with v2 bucketing disabled")
+        s.conf.set(BucketKey, "true")
+        val sunk = out.orderBy("g").collect()
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
+    },
+    Some(raw"""
+WITH v AS (
+  SELECT o_orderkey, o_orderpriority AS g,
+    CAST(round(o_totalprice) AS BIGINT) AS x
+  FROM orders
+), m AS (
+  SELECT median(o_orderkey) AS med FROM v
+), e AS (SELECT g, x FROM v, m WHERE o_orderkey <= med),
+l AS (SELECT g, x FROM v, m WHERE o_orderkey > med)
+SELECT e.g, CAST(count(*) AS BIGINT) AS n_collisions,
+  CAST(min(l.x) AS BIGINT) AS min_price,
+  CAST(max(l.x) AS BIGINT) AS max_price
+FROM e JOIN l ON e.g = l.g AND e.x = l.x
+GROUP BY e.g ORDER BY e.g
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
-      q369, q370, q371, q372, q373, q374, q375, q376, q377, q378)
+      q369, q370, q371, q372, q373, q374, q375, q376, q377, q378, q379)
 }
