@@ -1410,7 +1410,200 @@ FROM e JOIN l ON e.g = l.g AND e.x = l.x
 GROUP BY e.g ORDER BY e.g
 """))
 
+  /** q380 — CORPUS SNAPSHOT DRIFT by Jensen–Shannon divergence: the
+    * "did the token mixture shift between crawls" gate every
+    * training-data refresh runs before swapping in a new snapshot
+    * (a JSD spike means the new crawl changed register/language/spam
+    * mix and the mixture weights need re-fitting). Documents split
+    * into two deterministic snapshot halves (doc_id parity); unigram
+    * distributions compared by JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m)
+    * (m the midpoint — zeros handled natively, no smoothing
+    * constant), with the top-10 drift-CONTRIBUTING tokens reported
+    * alongside the total (per-token terms are ≥ 0, so contributions
+    * rank). Float discipline: each token's term is quantized to
+    * parts-per-trillion (`floor(term·1e12)`) BEFORE summation — the
+    * sum is then exact integer arithmetic, order-insensitive under
+    * any partitioning, and both engines compute identical terms
+    * (same divisions, same ln, the q106 contract). Plan: one token
+    * explode → vocabulary-bounded histogram (never a doc×doc or
+    * token-pair shuffle), a 1-row totals broadcast, and a
+    * rank-filtered top-k (WindowGroupLimit) — O(corpus) scan,
+    * O(vocab) everything after. */
+  val q380 = QuerySpec("q380_snapshot_drift_jsd",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("a"),
+          explode(split(trim(regexp_replace(lower(col("text")),
+            "\\s+", " ")), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val counts = toks.groupBy("tok").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val contrib = counts.crossJoin(broadcast(tot))
+        .withColumn("p", col("ca").cast("double") / col("na"))
+        .withColumn("q", col("cb").cast("double") / col("nb"))
+        .withColumn("m", (col("p") + col("q")) / 2.0)
+        .withColumn("term",
+          when(col("ca") > 0, col("p") * log(col("p") / col("m")))
+            .otherwise(0.0) +
+          when(col("cb") > 0, col("q") * log(col("q") / col("m")))
+            .otherwise(0.0))
+        .withColumn("contrib_ppt",
+          expr("cast(floor(term * 1e12) as bigint)"))
+      val top = contrib
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("contrib_ppt"), col("tok"))))
+        .where(col("rk") <= 10)
+        .select(col("rk").cast("long").as("rk"), col("tok"),
+          col("contrib_ppt"), col("ca"), col("cb"))
+      val total = contrib
+        .agg(expr("sum(contrib_ppt) div 2").as("jsd_ppt"))
+        .crossJoin(broadcast(tot))
+        .select(lit(0L).as("rk"), lit("__TOTAL__").as("tok"),
+          col("jsd_ppt").as("contrib_ppt"),
+          col("na").as("ca"), col("nb").as("cb"))
+      total.unionByName(top).orderBy("rk")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS a,
+    unnest(string_split_regex(
+      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok,
+    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks WHERE length(tok) > 0 GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM counts
+), terms AS (
+  SELECT tok, ca, cb,
+    CAST(floor((
+      (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+          / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+            + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))
+        ELSE 0.0 END)
+      + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+          / (((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+            + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0))
+        ELSE 0.0 END)) * 1e12) AS BIGINT) AS contrib_ppt
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(0 AS BIGINT) AS rk, '__TOTAL__' AS tok,
+  CAST(sum(contrib_ppt) // 2 AS BIGINT) AS contrib_ppt,
+  (SELECT na FROM tot) AS ca, (SELECT nb FROM tot) AS cb
+FROM terms
+UNION ALL
+SELECT CAST(rk AS BIGINT), tok, contrib_ppt, ca, cb FROM (
+  SELECT tok, contrib_ppt, ca, cb,
+    row_number() OVER (ORDER BY contrib_ppt DESC, tok) AS rk
+  FROM terms
+) WHERE rk <= 10
+ORDER BY rk
+"""))
+
+  /** q381 — SOURCE-MIXTURE DRIFT between snapshots (q380's
+    * distribution-level companion at the DOMAIN granularity): the
+    * per-source document shares of the two snapshot halves, their
+    * deltas, and the chi-square homogeneity statistic — the gate a
+    * mixture-weighted training pipeline runs to decide whether
+    * domain weights need re-fitting after a crawl refresh (a source
+    * whose share moved is exactly where DSIR/mix-to-target weights
+    * go stale). Shares are exact integer ppm (`count·10⁶ div total`);
+    * chi-square cell terms (o−e)²/e are quantized to ppb BEFORE
+    * summation, so the statistic is exact integer arithmetic under
+    * any partitioning and both engines agree bit-for-bit. The frame
+    * is source-domain-bounded after one corpus pass — nothing here
+    * grows with rows at 100 TB. */
+  val q381 = QuerySpec("q381_mixture_drift_chi2",
+    (s, dir) => {
+      val cells = Tables(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("a"), col("source"))
+        .groupBy("source").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"))
+      val tot = cells.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      val scored = cells.crossJoin(broadcast(tot))
+        .withColumn("share_a_ppm", expr("n_a * 1000000 div ta"))
+        .withColumn("share_b_ppm", expr("n_b * 1000000 div tb"))
+        .withColumn("delta_ppm",
+          col("share_a_ppm") - col("share_b_ppm"))
+        .withColumn("ea", expr(
+          "cast(n_a + n_b as double) * cast(ta as double)" +
+            " / cast(ta + tb as double)"))
+        .withColumn("eb", expr(
+          "cast(n_a + n_b as double) * cast(tb as double)" +
+            " / cast(ta + tb as double)"))
+        .withColumn("chi_ppb", expr(
+          "cast(floor(((cast(n_a as double) - ea) * " +
+            "(cast(n_a as double) - ea) / ea + " +
+            "(cast(n_b as double) - eb) * " +
+            "(cast(n_b as double) - eb) / eb) * 1e9) as bigint)"))
+      val perSource = scored.select(lit(1L).as("rk"), col("source"),
+        col("n_a"), col("n_b"), col("share_a_ppm"), col("share_b_ppm"),
+        col("delta_ppm"), col("chi_ppb"))
+      val total = scored.agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+          sum("chi_ppb").as("chi_ppb"))
+        .select(lit(0L).as("rk"), lit("__TOTAL__").as("source"),
+          col("n_a"), col("n_b"),
+          lit(1000000L).as("share_a_ppm"), lit(1000000L).as("share_b_ppm"),
+          lit(0L).as("delta_ppm"), col("chi_ppb"))
+      total.unionByName(perSource).orderBy("rk", "source")
+    },
+    Some(raw"""
+WITH cells AS (
+  SELECT source,
+    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_b
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM cells
+), scored AS (
+  SELECT source, n_a, n_b,
+    CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
+    CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
+    CAST(n_a * 1000000 // ta - n_b * 1000000 // tb AS BIGINT)
+      AS delta_ppm,
+    CAST(floor((
+      (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+        * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+        / CAST(ta + tb AS DOUBLE))
+      + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+        * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+      / (CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+        / CAST(ta + tb AS DOUBLE))) * 1e9) AS BIGINT) AS chi_ppb
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(0 AS BIGINT) AS rk, '__TOTAL__' AS source,
+  CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
+  CAST(1000000 AS BIGINT) AS share_a_ppm,
+  CAST(1000000 AS BIGINT) AS share_b_ppm,
+  CAST(0 AS BIGINT) AS delta_ppm,
+  CAST(sum(chi_ppb) AS BIGINT) AS chi_ppb
+FROM scored
+UNION ALL
+SELECT CAST(1 AS BIGINT), source, n_a, n_b, share_a_ppm, share_b_ppm,
+  delta_ppm, chi_ppb
+FROM scored
+ORDER BY rk, source
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
-      q369, q370, q371, q372, q373, q374, q375, q376, q377, q378, q379)
+      q369, q370, q371, q372, q373, q374, q375, q376, q377, q378, q379,
+      q380, q381)
 }
