@@ -1299,7 +1299,7 @@ FROM orders GROUP BY 1 ORDER BY 1
     * orderkey into an early and a late era) are staged in the SAME
     * `g=`-keyed layout with `x` PRE-SORTED per key; both scans report
     * `KeyGroupedPartitioning(g)` AND `[g ASC, x ASC]`, and the
-    * price-collision reconciliation — an SMJ on `(g, x)` (clustering
+    * re-crawl duplicate reconciliation — an SMJ on `(g, x)` (clustering
     * on `g` co-locates every `(g, x)` pair; the reported order is
     * exactly the SMJ's required prefix) — executes with NO
     * ShuffleExchange and NO SortExec ANYWHERE: two scans, a merge
@@ -1319,69 +1319,92 @@ FROM orders GROUP BY 1 ORDER BY 1
       val tmp = Files.createTempDirectory("graft_q379_smj")
       val BucketKey = "spark.sql.sources.v2.bucketing.enabled"
       val BcastKey = "spark.sql.autoBroadcastJoinThreshold"
+      // AQE re-plans tiny shuffles into broadcast joins through its OWN
+      // threshold even when the static one is -1 — at lint SF that
+      // turns the bucketing-off control's ShuffleExchange into a
+      // BroadcastExchange and the assert reads vacuously; pin both
+      val AqeBcastKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
       // join keys (g, x) ⊃ partition keys (g): equal join tuples are
       // co-located under the subset clustering, but EnsureRequirements
       // demands ALL join keys in the children's partitioning unless
       // this knob says subset co-partitioning is acceptable
       val SubsetKey = "spark.sql.requireAllClusterKeysForCoPartition"
-      val prev = Seq(BucketKey, BcastKey, SubsetKey)
+      val prev = Seq(BucketKey, BcastKey, AqeBcastKey, SubsetKey)
         .map(k => k -> s.conf.getOption(k))
       s.conf.set(BucketKey, "true")
       s.conf.set(BcastKey, "-1")
+      s.conf.set(AqeBcastKey, "-1")
       s.conf.set(SubsetKey, "false")
       try {
-        // whole-dollar prices: coarse enough that cross-era collisions
-        // are plentiful in every priority (cents are near-unique and
-        // would make the reconciliation trivially tiny)
+        // exact CENTS join keys with PLANTED cross-snapshot duplicates
+        // (every 37th early order re-appears in the late era — the
+        // re-crawled-record shape): cents are near-unique, so the
+        // reconciliation output stays LINEAR in the corpus (a coarse
+        // bucket key was measured at 3.3x10^8 joined pairs at sf10),
+        // while the planted rows guarantee non-empty output at every
+        // SF (an empty join lets AQE's empty-result propagation erase
+        // the very stages under assert)
         val ord = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority").as("g"),
-            expr("cast(round(o_totalprice) as bigint)").as("x"))
+            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
         val median = ord.stat.approxQuantile("o_orderkey",
           Array(0.5), 0.0).head
-        def stage(name: String, cond: org.apache.spark.sql.Column)
-            : String = {
+        def stage(name: String,
+            frame: org.apache.spark.sql.DataFrame): String = {
           val p = tmp.resolve(name).toString
-          ord.where(cond).select(col("g"), col("x"))
+          frame.select(col("g"), col("x"))
             .repartition(col("g")).sortWithinPartitions("g", "x")
             .write.mode("overwrite").partitionBy("g").csv(p)
           p
         }
-        val early = stage("early", col("o_orderkey") <= median)
-        val late = stage("late", col("o_orderkey") > median)
+        val early = stage("early", ord.where(col("o_orderkey") <= median))
+        val late = stage("late",
+          ord.where(col("o_orderkey") > median).unionByName(
+            ord.where(col("o_orderkey") <= median &&
+              col("o_orderkey") % 37 === 0)))
         def reconcile(ordered: Boolean): org.apache.spark.sql.DataFrame = {
           def read(p: String) = s.read.format("graft-shard-keyed")
             .option("path", p).option("ordered", ordered).load()
           val e = read(early)
           val l = read(late)
-          // price-collision reconciliation: cents values seen in BOTH
-          // eras of the same priority (the dedup-across-snapshots
+          // re-crawl reconciliation: cents values seen in BOTH eras
+          // of the same priority (the dedup-across-snapshots
           // probe), rolled up per priority
           e.join(l, e("g") === l("g") && e("x") === l("x"))
             .groupBy(e("g"))
             .agg(count(lit(1)).as("n_collisions"),
               min(l("x")).as("min_price"), max(l("x")).as("max_price"))
         }
-        def shape(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
-          df.collect()
-          val plan = df.queryExecution.executedPlan match {
-            case a: AdaptiveSparkPlanExec => a.executedPlan
-            case p => p
+        def walk(p: SparkPlan)(f: SparkPlan => Boolean): Boolean =
+          p match {
+            case qs: QueryStageExec => walk(qs.plan)(f)
+            case _ => f(p) || p.children.exists(walk(_)(f))
           }
-          def walk(p: SparkPlan)(f: SparkPlan => Boolean): Boolean =
-            p match {
-              case qs: QueryStageExec => walk(qs.plan)(f)
-              case _ => f(p) || p.children.exists(walk(_)(f))
-            }
-          (walk(plan)(_.isInstanceOf[SortExec]),
-            walk(plan)(_.isInstanceOf[ShuffleExchangeLike]))
-        }
+        // the fired claim asserts the EXECUTED adaptive plan (collisions
+        // are guaranteed non-empty by the bucket width, so AQE cannot
+        // erase the stages under assert via empty-result propagation)
         val out = reconcile(ordered = true)
-        require(shape(out) == ((false, false)),
-          s"zero-sort SMJ not achieved: ${shape(out)} (hasSort, hasExchange)")
-        require(shape(reconcile(ordered = false)) == ((true, false)),
+        out.collect()
+        val finalPlan = out.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        require(!walk(finalPlan)(_.isInstanceOf[SortExec]) &&
+          !walk(finalPlan)(_.isInstanceOf[ShuffleExchangeLike]),
+          "zero-sort zero-exchange SMJ not achieved in the final plan")
+        // the CONTROLS assert the post-EnsureRequirements initial plan
+        // WITHOUT executing (queryExecution.sparkPlan is pre-preparation
+        // and never carries exchanges; the un-executed AdaptiveSparkPlan
+        // renders exactly the initial physical plan) — the negative
+        // shapes are a planning property, so no corpus re-run is paid
+        def initialStr(df: org.apache.spark.sql.DataFrame): String =
+          df.queryExecution.executedPlan.toString
+        val ctl1 = initialStr(reconcile(ordered = false))
+        require(ctl1.contains("Sort [") && !ctl1.contains("Exchange "),
           "expected sorts (and no exchange) without the ordering claim")
         s.conf.set(BucketKey, "false")
-        require(shape(reconcile(ordered = true))._2,
+        require(initialStr(reconcile(ordered = true))
+            .contains("Exchange hashpartitioning"),
           "expected exchanges with v2 bucketing disabled")
         s.conf.set(BucketKey, "true")
         val sunk = out.orderBy("g").collect()
@@ -1397,12 +1420,15 @@ FROM orders GROUP BY 1 ORDER BY 1
     Some(raw"""
 WITH v AS (
   SELECT o_orderkey, o_orderpriority AS g,
-    CAST(round(o_totalprice) AS BIGINT) AS x
+    CAST(round(o_totalprice * 100) AS BIGINT) AS x
   FROM orders
 ), m AS (
   SELECT median(o_orderkey) AS med FROM v
 ), e AS (SELECT g, x FROM v, m WHERE o_orderkey <= med),
-l AS (SELECT g, x FROM v, m WHERE o_orderkey > med)
+l AS (SELECT g, x FROM v, m WHERE o_orderkey > med
+      UNION ALL
+      SELECT g, x FROM v, m
+      WHERE o_orderkey <= med AND o_orderkey % 37 = 0)
 SELECT e.g, CAST(count(*) AS BIGINT) AS n_collisions,
   CAST(min(l.x) AS BIGINT) AS min_price,
   CAST(max(l.x) AS BIGINT) AS max_price
