@@ -12,6 +12,13 @@ import graft.{QuerySpec, Tables}
   * cost-based join reordering off ANALYZE stats, collation-aware
   * distincts (ICU), SQL-declared UDFs (the migration path for
   * warehouse UDF libraries), and the native approx_top_k sketch.
+  * The second half of the round closes the remaining connector and
+  * consumer surfaces: the Apps Script prompt assembly (q373),
+  * optimizer-rule composition (q374), DSv2 reported ordering (q375),
+  * the custom micro-batch streaming source and exactly-once sink
+  * (q376/q377), metadata columns + column pruning (q378), the
+  * zero-exchange zero-sort storage-layout SMJ capstone (q379), and
+  * the snapshot drift gates (q380/q381).
   * Every query keeps the registry's no-flap conventions: exact
   * integer aggregates wherever possible, IEEE-pinned expressions
   * (sqrt is correctly rounded per IEEE 754, so both engines agree
