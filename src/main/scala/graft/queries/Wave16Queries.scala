@@ -1635,8 +1635,141 @@ FROM scored
 ORDER BY rk, source
 """))
 
+  /** q382 — CLASSIFIER AGREEMENT by Cohen's kappa: before a pipeline
+    * trusts a cheap quality screen at 100 TB, it measures how far the
+    * screen agrees with an independent one BEYOND CHANCE — raw
+    * accuracy flatters any pair of screens that both say "keep" to
+    * 90% of the corpus; kappa subtracts the agreement their margins
+    * alone would produce. Two deterministic screens over documents
+    * (A: length ≥ 200 chars; B: ≥ 30 whitespace tokens), exact
+    * integer confusion counts in one corpus pass (never a doc×doc
+    * anything), then κ = (p_o − p_e)/(1 − p_e) from those integers,
+    * floored to ppm — both engines compute the identical doubles from
+    * identical ints. One summary row. */
+  val q382 = QuerySpec("q382_screen_agreement_kappa",
+    (s, dir) => {
+      val flags = Tables(s, dir, "documents").select(
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("a"),
+        when(size(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")) >= 30, 1L).otherwise(0L).as("b"))
+      flags.agg(
+          count(lit(1)).as("n"),
+          sum(expr("a * b")).as("n11"),
+          sum(expr("a * (1 - b)")).as("n10"),
+          sum(expr("(1 - a) * b")).as("n01"),
+          sum(expr("(1 - a) * (1 - b)")).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+          expr("cast(floor((cast((n11 + n10) as double) * " +
+            "cast((n11 + n01) as double) + " +
+            "cast((n01 + n00) as double) * " +
+            "cast((n10 + n00) as double)) / " +
+            "(cast(n as double) * cast(n as double)) * 1e6) as bigint)")
+            .as("pe_ppm"),
+          expr("cast(floor((" +
+            "cast(n11 + n00 as double) / cast(n as double) - " +
+            "(cast(n11 + n10 as double) * cast(n11 + n01 as double) + " +
+            "cast(n01 + n00 as double) * cast(n10 + n00 as double)) / " +
+            "(cast(n as double) * cast(n as double))) / " +
+            "(1.0 - (cast(n11 + n10 as double) * " +
+            "cast(n11 + n01 as double) + " +
+            "cast(n01 + n00 as double) * cast(n10 + n00 as double)) / " +
+            "(cast(n as double) * cast(n as double))) * 1e6) as bigint)")
+            .as("kappa_ppm"))
+    },
+    Some(raw"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+    CASE WHEN len(string_split_regex(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) >= 30
+      THEN 1 ELSE 0 END AS b
+  FROM documents
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(a * b) AS BIGINT) AS n11,
+    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM flags
+)
+SELECT n, n11, n10, n01, n00,
+  CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+  CAST(floor((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+    AS pe_ppm,
+  CAST(floor((
+    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+    - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+    / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1e6) AS BIGINT)
+    AS kappa_ppm
+FROM c
+"""))
+
+  /** q383 — PER-LANGUAGE TOKEN-BUDGET table (the context-window
+    * planning sheet): per language, exact document/word/char totals,
+    * chars-per-word, words-per-doc, and a subword FERTILITY proxy
+    * (⌈len/4⌉ fixed-chunk subwords per word — the budget arithmetic a
+    * tokenizer-agnostic planner runs before committing packing
+    * lengths per language; the learned-BPE fertility lives with the
+    * BPE queries, this is its closed-form screen). All ratios are
+    * exact integer ppm (`·10⁶ div`), so the frame is bit-stable at
+    * any partitioning; one corpus pass, language-domain-bounded
+    * after. */
+  val q383 = QuerySpec("q383_lang_token_budget",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(split(trim(regexp_replace(lower(col("text")),
+            "\\s+", " ")), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("lang"), col("doc_id"),
+          length(col("tok")).cast("long").as("chars"),
+          expr("cast(ceil(length(tok) / 4.0) as bigint)").as("subwords"))
+      toks.groupBy("lang").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum("chars").as("n_chars"),
+          sum("subwords").as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_chars"), col("n_subwords"),
+          expr("n_chars * 1000000 div n_words").as("chars_per_word_ppm"),
+          expr("n_words * 1000000 div n_docs").as("words_per_doc_ppm"),
+          expr("n_subwords * 1000000 div n_words").as("fertility_ppm"))
+        .orderBy("lang")
+    },
+    Some(raw"""
+WITH toks AS (
+  SELECT lang, doc_id, tok FROM (
+    SELECT lang, doc_id,
+      unnest(string_split_regex(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+), w AS (
+  SELECT lang, doc_id,
+    CAST(length(tok) AS BIGINT) AS chars,
+    CAST(ceil(length(tok) / 4.0) AS BIGINT) AS subwords
+  FROM toks
+)
+SELECT lang,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(chars) AS BIGINT) AS n_chars,
+  CAST(sum(subwords) AS BIGINT) AS n_subwords,
+  CAST(sum(chars) * 1000000 // count(*) AS BIGINT) AS chars_per_word_ppm,
+  CAST(count(*) * 1000000 // count(DISTINCT doc_id) AS BIGINT)
+    AS words_per_doc_ppm,
+  CAST(sum(subwords) * 1000000 // count(*) AS BIGINT) AS fertility_ppm
+FROM w GROUP BY lang ORDER BY lang
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
       q369, q370, q371, q372, q373, q374, q375, q376, q377, q378, q379,
-      q380, q381)
+      q380, q381, q382, q383)
 }
