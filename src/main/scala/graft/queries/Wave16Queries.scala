@@ -1768,8 +1768,105 @@ SELECT lang,
 FROM w GROUP BY lang ORDER BY lang
 """))
 
+  /** q384 — the FULL SQL DML surface against the engine's own DSv2
+    * TABLE CATALOG ([[graft.sources.GraftCatalog]],
+    * `SupportsRowLevelOperations`): CREATE TABLE → INSERT INTO →
+    * MERGE INTO (upsert: matched rows accumulate, unmatched insert) →
+    * UPDATE (reclassify whales) → DELETE (purge dust) — the complete
+    * warehouse-maintenance lifecycle a user of any table format runs,
+    * executed through Catalyst's RewriteMergeIntoTable/Update/Delete
+    * COPY-ON-WRITE plans: each row-level statement reads the affected
+    * group through the operation's scan and REPLACES it by atomic
+    * rename (one group per table here; a production variant fans the
+    * same interfaces out per file). Found while building: Spark 4's
+    * group-based ReplaceData query prepends a literal
+    * `__row_operation` marker column that the declared write schema
+    * does NOT mention — the writer must skip it by arity, which
+    * GraftCatalogSpec pins. The catalog name is per-run (catalog
+    * instances cache their root at first use), and the oracle replays
+    * the whole lifecycle relationally: seed ⟕⟖ delta with summed
+    * balances, whale reclassification, dust purge. */
+  val q384 = QuerySpec("q384_sql_dml_battery",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q384_cat")
+      // per-run catalog name: a catalog instance pins its root conf at
+      // first use and is cached by name for the session's lifetime
+      val cat = s"graftrl${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.balances (k BIGINT, seg STRING, " +
+          "v BIGINT)")
+        s.sql(s"""
+          INSERT INTO $cat.db.balances
+          SELECT o_custkey % 500 AS k,
+            CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+                 WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+                 ELSE 'inst' END AS seg,
+            sum(cast(round(o_totalprice * 100) as bigint)) AS v
+          FROM ord_$cat WHERE o_orderdate < DATE'1996-01-01'
+          GROUP BY 1""")
+        s.sql(s"CREATE TABLE $cat.db.delta (k BIGINT, seg STRING, " +
+          "v BIGINT)")
+        s.sql(s"""
+          INSERT INTO $cat.db.delta
+          SELECT o_custkey % 500 AS k,
+            CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+                 WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+                 ELSE 'inst' END AS seg,
+            sum(cast(round(o_totalprice * 100) as bigint)) AS v
+          FROM ord_$cat WHERE o_orderdate >= DATE'1996-01-01'
+          GROUP BY 1""")
+        s.sql(s"""
+          MERGE INTO $cat.db.balances t USING $cat.db.delta d ON t.k = d.k
+          WHEN MATCHED THEN UPDATE SET v = t.v + d.v
+          WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (d.k, d.seg, d.v)
+        """)
+        s.sql(s"UPDATE $cat.db.balances SET seg = 'whale' " +
+          "WHERE v > 300000000")
+        s.sql(s"DELETE FROM $cat.db.balances WHERE v < 50000000")
+        val out = s.sql(
+          s"SELECT k, seg, v FROM $cat.db.balances ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 500 AS k,
+    CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), delta AS (
+  SELECT o_custkey % 500 AS k,
+    CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(s.k, d.k) AS k,
+    COALESCE(s.seg, d.seg) AS seg,
+    COALESCE(s.v, 0) + COALESCE(d.v, 0) AS v
+  FROM seed s FULL OUTER JOIN delta d ON s.k = d.k
+), updated AS (
+  SELECT k, CASE WHEN v > 300000000 THEN 'whale' ELSE seg END AS seg, v
+  FROM merged
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v
+FROM updated WHERE v >= 50000000 ORDER BY k
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
       q369, q370, q371, q372, q373, q374, q375, q376, q377, q378, q379,
-      q380, q381, q382, q383)
+      q380, q381, q382, q383, q384)
 }
