@@ -1865,8 +1865,104 @@ SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v
 FROM updated WHERE v >= 50000000 ORDER BY k
 """))
 
+  /** q385 — TIME TRAVEL (`VERSION AS OF`) over the DML history:
+    * every [[graft.sources.GraftCatalog]] commit retains its
+    * published group as an immutable snapshot, so the ENTIRE audit
+    * trail of q384's lifecycle is queryable — v1 the seeded balances,
+    * v2 post-MERGE, v3 post-whale-reclassification, v4 post-purge —
+    * and this query reconstructs all four states in one frame (the
+    * "what did the table say when the report ran" question every
+    * regulated pipeline answers with time travel). The oracle replays
+    * each stage relationally from the base corpus; equality across
+    * ALL versions certifies that copy-on-write snapshots are
+    * bit-stable history, not best-effort caches. Per-version totals
+    * keep the frame small (4 rows) while still pinning every row of
+    * every snapshot through the sum/count/distinct-seg algebra. */
+  val q385 = QuerySpec("q385_time_travel_audit",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q385_cat")
+      val cat = s"graftv${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        def seedSql(where: String): String = s"""
+          SELECT o_custkey % 500 AS k,
+            CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+                 WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+                 ELSE 'inst' END AS seg,
+            sum(cast(round(o_totalprice * 100) as bigint)) AS v
+          FROM ord_$cat WHERE $where GROUP BY 1"""
+        s.sql(s"CREATE TABLE $cat.db.bal (k BIGINT, seg STRING, v BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.bal " +
+          seedSql("o_orderdate < DATE'1996-01-01'"))
+        s.sql(s"CREATE TABLE $cat.db.d (k BIGINT, seg STRING, v BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.d " +
+          seedSql("o_orderdate >= DATE'1996-01-01'"))
+        s.sql(s"""
+          MERGE INTO $cat.db.bal t USING $cat.db.d d ON t.k = d.k
+          WHEN MATCHED THEN UPDATE SET v = t.v + d.v
+          WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (d.k, d.seg, d.v)
+        """)
+        s.sql(s"UPDATE $cat.db.bal SET seg = 'whale' WHERE v > 300000000")
+        s.sql(s"DELETE FROM $cat.db.bal WHERE v < 50000000")
+        val out = (1 to 4).map { v =>
+          s.sql(s"SELECT CAST($v AS BIGINT) AS version, " +
+            "count(*) AS n_keys, sum(v) AS total_cents, " +
+            "count(DISTINCT seg) AS n_segs " +
+            s"FROM $cat.db.bal VERSION AS OF $v")
+        }.reduce(_ unionByName _).orderBy("version")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 500 AS k,
+    CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), delta AS (
+  SELECT o_custkey % 500 AS k,
+    CASE WHEN (o_custkey % 500) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 500) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(s.k, d.k) AS k, COALESCE(s.seg, d.seg) AS seg,
+    COALESCE(s.v, 0) + COALESCE(d.v, 0) AS v
+  FROM seed s FULL OUTER JOIN delta d ON s.k = d.k
+), updated AS (
+  SELECT k, CASE WHEN v > 300000000 THEN 'whale' ELSE seg END AS seg, v
+  FROM merged
+), purged AS (
+  SELECT * FROM updated WHERE v >= 50000000
+)
+SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(v) AS BIGINT) AS total_cents,
+  CAST(count(DISTINCT seg) AS BIGINT) AS n_segs FROM seed
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+  CAST(sum(v) AS BIGINT), CAST(count(DISTINCT seg) AS BIGINT) FROM merged
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+  CAST(sum(v) AS BIGINT), CAST(count(DISTINCT seg) AS BIGINT) FROM updated
+UNION ALL
+SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+  CAST(sum(v) AS BIGINT), CAST(count(DISTINCT seg) AS BIGINT) FROM purged
+ORDER BY version
+"""))
+
   def all: Seq[QuerySpec] =
     Seq(q359, q360, q361, q362, q363, q364, q365, q366, q367, q368,
       q369, q370, q371, q372, q373, q374, q375, q376, q377, q378, q379,
-      q380, q381, q382, q383, q384)
+      q380, q381, q382, q383, q384, q385)
 }

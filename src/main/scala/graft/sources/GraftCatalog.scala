@@ -78,6 +78,33 @@ class GraftCatalog extends TableCatalog {
     new GraftRlTable(ident.toString, dir, schema)
   }
 
+  /** TIME TRAVEL (`SELECT … VERSION AS OF n`): every commit snapshots
+    * the published group as `data.v<n>.tsv` (copy-on-write versioning
+    * IS a retained copy per commit — the lakehouse trade), so loading
+    * version n is just reading that immutable snapshot. Versioned
+    * tables are read-only: they expose no write builder target and a
+    * DML statement against them fails in analysis. v0 (the empty
+    * just-created table) is addressable too. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val schemaFile = dir.resolve("schema.json")
+    if (!Files.exists(schemaFile))
+      throw new NoSuchTableException(ident)
+    val v = try version.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF expects an integer, got '$version'")
+      }
+    val snap = if (v == 0L) None else Some(dir.resolve(f"data.v$v%05d.tsv"))
+    snap.foreach(p => require(Files.exists(p),
+      s"graft catalog: ${ident.toString} has no version $v"))
+    val schema = DataType.fromJson(Files.readString(schemaFile))
+      .asInstanceOf[StructType]
+    new GraftRlTable(s"${ident.toString}@v$v", dir, schema,
+      dataFileName = snap.map(_.getFileName.toString)
+        .getOrElse("data.v00000.tsv"))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -94,6 +121,7 @@ class GraftCatalog extends TableCatalog {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schema.json)
     Files.writeString(dir.resolve("data.tsv"), "")
+    Files.writeString(dir.resolve("data.v00000.tsv"), "")
     new GraftRlTable(ident.toString, dir, schema)
   }
 
@@ -192,7 +220,7 @@ private[sources] object GraftRlTable {
 }
 
 private[sources] class GraftRlTable(ident: String, dir: Path,
-    tableSchema: StructType)
+    tableSchema: StructType, dataFileName: String = "data.tsv")
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations {
 
@@ -204,7 +232,7 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRlScan(dir, tableSchema)
+    new GraftRlScan(dir, tableSchema, dataFileName)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftRlWriteBuilder(dir, tableSchema, info.schema())
@@ -241,14 +269,15 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
     }
 }
 
-private[sources] class GraftRlScan(dir: Path, schema: StructType)
+private[sources] class GraftRlScan(dir: Path, schema: StructType,
+    dataFileName: String = "data.tsv")
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-rl-table $dir"
+  override def description(): String = s"graft-rl-table $dir/$dataFileName"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftRlPartition(dir.resolve("data.tsv").toString))
+    Array(GraftRlPartition(dir.resolve(dataFileName).toString))
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRlReaderFactory(schema)
 }
@@ -337,6 +366,14 @@ private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
     } finally out.close()
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // version snapshot for time travel: the next free data.v<n>.tsv
+    // (monotone per table; commits are serialized by the driver)
+    val next = 1L + Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("data.v") && n.endsWith(".tsv") =>
+        n.stripPrefix("data.v").stripSuffix(".tsv").toLong
+      }.foldLeft(-1L)(math.max)
+    Files.copy(target, dir.resolve(f"data.v$next%05d.tsv"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

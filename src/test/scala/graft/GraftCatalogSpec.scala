@@ -75,12 +75,38 @@ class GraftCatalogSpec extends SparkSpec {
     """)
     assert(sqlRows("SELECT k, seg, v FROM graftrl.db.acct ORDER BY k") ==
       Seq(Seq(1L, "a", 10L), Seq(3L, "b", 137L), Seq(5L, "c", 50L)))
-    // no staged residue in either table dir after all operations
+    // no staged/commit residue in either table dir after all
+    // operations — only the live file, the schema, and the immutable
+    // version snapshots each commit retains for time travel
     for (t <- Seq("acct", "delta")) {
       val files = root.resolve("db").resolve(t).toFile.listFiles()
         .map(_.getName).sorted
-      assert(files.toSeq == Seq("data.tsv", "schema.json"),
+      assert(files.forall(f => f == "data.tsv" || f == "schema.json" ||
+        f.matches("data\\.v\\d+\\.tsv")),
         s"residue in $t: ${files.mkString(",")}")
+    }
+  }
+
+  test("time travel: VERSION AS OF addresses every committed snapshot") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.tt (k BIGINT, seg STRING, v BIGINT)")
+    spark.sql("INSERT INTO graftrl.db.tt VALUES (1, 'a', 10), (2, 'a', 20)")
+    spark.sql("UPDATE graftrl.db.tt SET v = v * 2 WHERE k = 2")
+    spark.sql("DELETE FROM graftrl.db.tt WHERE k = 1")
+    def at(v: Int): Seq[(Long, Long)] =
+      sqlRows(s"SELECT k, v FROM graftrl.db.tt VERSION AS OF $v ORDER BY k")
+        .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(at(0) == Seq())                          // created empty
+    assert(at(1) == Seq((1L, 10L), (2L, 20L)))      // after insert
+    assert(at(2) == Seq((1L, 10L), (2L, 40L)))      // after update
+    assert(at(3) == Seq((2L, 40L)))                 // after delete
+    // the live table equals the newest snapshot
+    assert(sqlRows("SELECT k, v FROM graftrl.db.tt ORDER BY k")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      == at(3))
+    // a version that was never committed refuses loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftrl.db.tt VERSION AS OF 9").collect()
     }
   }
 
