@@ -12,4 +12,11 @@ object ReplaySourceTestHook {
     new ReplayStreamingWrite(dir)
 
   def listFiles(dir: String): Array[String] = ReplaySource.listFiles(dir)
+
+  def offset(i: Int): org.apache.spark.sql.connector.read.streaming.Offset =
+    ReplayOffset(i)
+
+  def deserialize(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ReplayOffset(json.trim.toInt)
 }
