@@ -75,4 +75,47 @@ class PackingSpec extends SparkSpec {
       assert(got.toSeq == want.toSeq, s"parts=$parts")
     }
   }
+
+  test("two-measure packed prefix sums == sequential fold at any " +
+      "partition count (the q326 core)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial keys: duplicates, negatives, Long extremes ordering
+    val rows = Seq(
+      (5L, 2L, 10L), (-3L, 1L, 7L), (5L, 4L, 1L), (0L, 3L, 3L),
+      (Long.MinValue + 1, 1L, 1L), (Long.MaxValue, 2L, 2L),
+      (-3L, 5L, 5L), (7L, 1L, 4L))
+    val df = rows.toDF("x", "n1", "n2")
+    // sequential reference: sort by key (stable on input order for
+    // ties — the core must produce SOME total order whose per-row
+    // inclusive sums are consistent; with tied keys the cum at the
+    // LAST row of each key group is order-invariant, so compare the
+    // per-key maximum cums plus the grand totals
+    val want = rows.sortBy(_._1)
+    val wantByKeyMax = want.zipWithIndex.map { case ((x, a, b), i) =>
+      val pre = want.take(i + 1)
+      (x, pre.map(_._2).sum, pre.map(_._3).sum)
+    }.groupBy(_._1).map { case (x, g) =>
+      (x, g.map(_._2).max, g.map(_._3).max)
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = graft.operators.Packing
+        .withCumulativeSums2Packed(df, "x", "n1", "n2", parts)
+        .select("k", "n1", "n2", "cum1", "cum2")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // totals exact
+      assert(got.map(_._2).sum == rows.map(_._2).sum)
+      assert(got.map(_._3).sum == rows.map(_._3).sum)
+      // inclusive cums non-decreasing in key order
+      val sorted = got.sortBy(r => (r._1, r._4))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+        a._4 <= b._4 && a._5 <= b._5 })
+      // per-key final cums match the sequential fold
+      val gotByKeyMax = got.groupBy(_._1).map { case (x, g) =>
+        (x, g.map(_._4).max, g.map(_._5).max)
+      }
+      assert(gotByKeyMax.toSet == wantByKeyMax.toSet, s"parts=$parts")
+    }
+  }
 }
