@@ -1776,13 +1776,18 @@ FROM w GROUP BY lang ORDER BY lang
     * warehouse-maintenance lifecycle a user of any table format runs,
     * executed through Catalyst's RewriteMergeIntoTable/Update/Delete
     * COPY-ON-WRITE plans: each row-level statement reads the affected
-    * group through the operation's scan and REPLACES it by atomic
-    * rename (one group per table here; a production variant fans the
-    * same interfaces out per file). Found while building: Spark 4's
-    * group-based ReplaceData query prepends a literal
-    * `__row_operation` marker column that the declared write schema
-    * does NOT mention — the writer must skip it by arity, which
-    * GraftCatalogSpec pins. The catalog name is per-run (catalog
+    * FILE-KEYED GROUPS through the operation's scan — narrowed by
+    * static manifest min/max stats and by runtime `_file` group
+    * filtering — and the commit publishes a manifest replacing
+    * exactly those files (untouched groups are never rewritten; scans
+    * plan one partition per group; racing commits are resolved by
+    * optimistic atomic-exclusive manifest publish). Found while
+    * building: Spark 4's group-based rewrite ships writer rows either
+    * with a leading `__row_operation` marker or, once
+    * ReplaceDataProjections are planned, with exactly the data
+    * columns — the writer resolves the offset from the first row's
+    * arity, which GraftCatalogSpec pins. The catalog name is per-run
+    * (catalog
     * instances cache their root at first use), and the oracle replays
     * the whole lifecycle relationally: seed ⟕⟖ delta with summed
     * balances, whale reclassification, dust purge. */

@@ -1,16 +1,19 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{Filter => SFilter}
+import org.apache.spark.sql.{sources => sf}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,24 +23,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * support the FULL SQL DML surface, including ROW-LEVEL OPERATIONS
   * (`DELETE FROM` / `UPDATE` / `MERGE INTO`) via
   * [[SupportsRowLevelOperations]] in the COPY-ON-WRITE (group-based)
-  * style: Catalyst's RewriteDelete/RewriteUpdate/RewriteMergeIntoTable
-  * plans compute the complete post-operation content of every
-  * affected group through the operation's own scan, and the
-  * operation's write REPLACES those groups atomically. This is the
-  * mechanism behind every table format's MERGE (Iceberg/Delta
-  * copy-on-write), exercised here with the SIMPLEST sound group
-  * geometry — ONE group per table — so the replace is a single
-  * atomic rename; a production variant keys groups by file exactly
-  * like [[KeyedShardSource]] keys partitions, swapping only the
-  * group-resolution and commit fan-out, not the interfaces.
+  * style with FILE-KEYED GROUPS: a table is a set of immutable
+  * `data-*.tsv` group files bound together by a versioned MANIFEST,
+  * Catalyst's RewriteDelete/RewriteUpdate/RewriteMergeIntoTable plans
+  * compute the post-operation content of the groups the operation's
+  * scan READ, and the commit replaces exactly those files in the next
+  * manifest — untouched groups are never rewritten and never even
+  * opened. Two independent pruning layers keep "touched" small:
   *
-  * Layout: `<root>/<namespace…>/<table>/schema.json` (Spark's own
-  * StructType JSON) + `data.tsv` (tab-separated; `\t \n \\` escaped,
-  * `\N` is NULL). Long/Double/String columns (the DML battery's
-  * domain); anything else is refused at CREATE. Writes stage
-  * per-task files and commit by concatenate-and-atomic-rename —
-  * append for INSERT, replace for row-level ops and TRUNCATE
-  * overwrites. Same shared-filesystem contract as
+  *   - STATIC: each manifest line carries per-file min/max stats for
+  *     every BIGINT column; the command condition is pushed into the
+  *     row-level scan (Spark's GroupBasedRowLevelOperationScanPlanning
+  *     → `SupportsPushDownFilters`) and files whose stats prove no row
+  *     can match are dropped before any I/O. The pushdown is INEXACT
+  *     (all filters are returned as residual), so surviving groups
+  *     still stream every row into the rewrite — the COW contract.
+  *   - RUNTIME: the scan exposes the `_file` METADATA COLUMN
+  *     ([[SupportsMetadataColumns]]) and implements
+  *     [[SupportsRuntimeV2Filtering]] on it, so Spark's
+  *     RowLevelOperationRuntimeGroupFiltering rule narrows a MERGE
+  *     (whose ON condition references the source and cannot be pushed
+  *     statically) to the groups that actually contain matches via a
+  *     dynamic IN-subquery over `_file`.
+  *
+  * Scans plan ONE InputPartition PER GROUP FILE, so reads of a
+  * many-group table are parallel — the geometry that holds at 100 TB,
+  * where a MERGE touching one hot partition must not rewrite (or
+  * serially re-scan) the other thousand.
+  *
+  * CONCURRENCY: commits are optimistic. A writer publishes version
+  * `n+1` by writing a temp manifest and hard-linking it to
+  * `v<n+1>.manifest` — creation is atomic-exclusive on POSIX, so of
+  * two racing commits exactly one wins. INSERT appends REBASE onto
+  * the winner and retry (appends commute); row-level operations and
+  * overwrites ABORT loudly (their result was computed against a
+  * snapshot the winner invalidated) and delete their staged files —
+  * no committed row is ever silently lost to a last-write-wins race.
+  *
+  * TIME TRAVEL (`SELECT … VERSION AS OF n`): version n IS manifest n —
+  * data files are immutable, so every historical version stays
+  * bit-stable and readable for free until
+  * [[GraftCatalog.expireSnapshots]] retires it (retain-last-N; an
+  * expired version refuses loudly, live versions are untouched, and
+  * data files referenced by no surviving manifest are vacuumed).
+  * Versioned loads are read-only: DML against a snapshot refuses.
+  *
+  * Layout: `<root>/<ns…>/<table>/schema.json` (Spark StructType JSON),
+  * `v<NNNNN>.manifest` (one per commit; `file \t rows \t stats` lines),
+  * `data-*.tsv` (tab-separated; `\t \n \r \\` escaped, `\N` is NULL).
+  * Long/Double/String columns (the DML battery's domain); anything
+  * else is refused at CREATE. Same shared-filesystem contract as
   * [[KeyedShardSource]].
   */
 class GraftCatalog extends TableCatalog {
@@ -68,61 +103,71 @@ class GraftCatalog extends TableCatalog {
       .map(d => Identifier.of(namespace, d.getName))
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = tableDir(ident)
+  private def readSchema(dir: Path, ident: Identifier): StructType = {
     val schemaFile = dir.resolve("schema.json")
     if (!Files.exists(schemaFile))
       throw new NoSuchTableException(ident)
-    val schema = DataType.fromJson(Files.readString(schemaFile))
-      .asInstanceOf[StructType]
-    new GraftRlTable(ident.toString, dir, schema)
+    DataType.fromJson(Files.readString(schemaFile)).asInstanceOf[StructType]
   }
 
-  /** TIME TRAVEL (`SELECT … VERSION AS OF n`): every commit snapshots
-    * the published group as `data.v<n>.tsv` (copy-on-write versioning
-    * IS a retained copy per commit — the lakehouse trade), so loading
-    * version n is just reading that immutable snapshot. Versioned
-    * tables are read-only: they expose no write builder target and a
-    * DML statement against them fails in analysis. v0 (the empty
-    * just-created table) is addressable too. */
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val schema = readSchema(dir, ident)
+    val cur = GraftRl.currentVersion(dir)
+    val files = GraftRl.readManifest(dir, cur).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog: ${ident.toString} current manifest v$cur unreadable"))
+    new GraftRlTable(ident.toString, dir, schema, cur, files,
+      writable = true)
+  }
+
+  /** Version n is manifest n — immutable data files make every
+    * retained snapshot bit-stable history. Distinguishes loudly
+    * between a version that never existed (> current) and one retired
+    * by [[GraftCatalog.expireSnapshots]]. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    val schemaFile = dir.resolve("schema.json")
-    if (!Files.exists(schemaFile))
-      throw new NoSuchTableException(ident)
+    val schema = readSchema(dir, ident)
     val v = try version.trim.toLong
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"graft catalog: VERSION AS OF expects an integer, got '$version'")
       }
-    val snap = if (v == 0L) None else Some(dir.resolve(f"data.v$v%05d.tsv"))
-    snap.foreach(p => require(Files.exists(p),
-      s"graft catalog: ${ident.toString} has no version $v"))
-    val schema = DataType.fromJson(Files.readString(schemaFile))
-      .asInstanceOf[StructType]
-    new GraftRlTable(s"${ident.toString}@v$v", dir, schema,
-      dataFileName = snap.map(_.getFileName.toString)
-        .getOrElse("data.v00000.tsv"))
+    val cur = GraftRl.currentVersion(dir)
+    if (v < 0 || v > cur)
+      throw new IllegalArgumentException(
+        s"graft catalog: ${ident.toString} has no version $v " +
+          s"(current is $cur)")
+    val files = GraftRl.readManifest(dir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: ${ident.toString} version $v has been expired " +
+          "by snapshot retention and is no longer addressable"))
+    new GraftRlTable(s"${ident.toString}@v$v", dir, schema, v, files,
+      writable = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
-      "graft catalog: partitioned tables not supported (one group per table)")
+      "graft catalog: explicit PARTITIONED BY not supported " +
+        "(groups are keyed by file)")
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType ||
         f.dataType == DoubleType,
       s"graft catalog: unsupported column type ${f.dataType.simpleString}"))
+    require(!schema.fieldNames.contains("_file"),
+      "graft catalog: column name _file is reserved for file provenance")
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("schema.json")))
       throw new TableAlreadyExistsException(
         ident.namespace().toSeq :+ ident.name())
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schema.json)
-    Files.writeString(dir.resolve("data.tsv"), "")
-    Files.writeString(dir.resolve("data.v00000.tsv"), "")
-    new GraftRlTable(ident.toString, dir, schema)
+    require(GraftRl.publish(dir, 0L, ""),
+      s"graft catalog: concurrent CREATE of ${ident.toString}")
+    new GraftRlTable(ident.toString, dir, schema, 0L, Seq.empty,
+      writable = true)
   }
 
   override def alterTable(ident: Identifier,
@@ -145,13 +190,219 @@ class GraftCatalog extends TableCatalog {
       "graft catalog: RENAME not supported")
 }
 
+object GraftCatalog {
+  /** Result of [[expireSnapshots]]: which manifest versions were
+    * retired, which now-unreferenced data files were vacuumed, and
+    * which versions remain addressable. */
+  final case class ExpireResult(expiredVersions: Seq[Long],
+      deletedDataFiles: Seq[String], retainedVersions: Seq[Long])
+
+  /** SNAPSHOT RETENTION — the maintenance half every table format
+    * pairs with time travel: retire all but the newest `retainLast`
+    * manifest versions, then vacuum data files referenced by no
+    * surviving manifest. Live versions are untouched (immutable files,
+    * bit-stable before/after); an expired `VERSION AS OF` refuses
+    * loudly at load. CAVEAT (shared with every vacuum from Delta to
+    * Iceberg): must not run concurrently with an in-flight writer,
+    * whose staged-but-uncommitted files look unreferenced. */
+  def expireSnapshots(tableDir: Path, retainLast: Int): ExpireResult = {
+    require(retainLast >= 1,
+      s"graft catalog: retainLast must be >= 1, got $retainLast")
+    val versions = GraftRl.manifestVersions(tableDir)
+    require(versions.nonEmpty,
+      s"graft catalog: $tableDir has no manifests (not a table?)")
+    val cur = versions.max
+    val (keep, expire) = versions.sorted.partition(_ > cur - retainLast)
+    expire.foreach(v => Files.delete(GraftRl.manifestPath(tableDir, v)))
+    val live: Set[String] = keep.flatMap(v =>
+      GraftRl.readManifest(tableDir, v).getOrElse(Seq.empty))
+      .map(_.name).toSet
+    val dead = Option(tableDir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("data-") && n.endsWith(".tsv") &&
+        !live.contains(n))
+      .sorted.toSeq
+    dead.foreach(n => Files.delete(tableDir.resolve(n)))
+    ExpireResult(expire, dead, keep)
+  }
+}
+
+/** Driver-side fault-injection seam for the concurrency specs: runs
+  * immediately before a commit's first publish attempt so a test can
+  * interleave a competing writer at exactly the racy instant.
+  * No-ops in production. */
+private[sources] object GraftRlConcurrencyHook {
+  @volatile var beforeReplacePublish: () => Unit = () => ()
+  @volatile var beforeAppendPublish: () => Unit = () => ()
+}
+
+/** Manifest + group-file model: a table version is the list of
+  * immutable group files named by `v<NNNNN>.manifest`, one line per
+  * group — `<file> \t <rows> \t <stats>` where stats is a
+  * comma-joined per-column token, `lo:hi` (decimal) for a BIGINT
+  * column with at least one non-null value and `-` otherwise. The
+  * stats power static group pruning; they are advisory (a missing or
+  * `-` token just means "cannot prune"). */
+private[sources] object GraftRl {
+  final case class GroupFile(name: String, rows: Long, statsToken: String) {
+    /** column index → (min, max) for BIGINT columns with stats */
+    lazy val longStats: Map[Int, (Long, Long)] =
+      statsToken.split(",", -1).zipWithIndex.collect {
+        case (tok, i) if tok.nonEmpty && tok != "-" =>
+          val Array(lo, hi) = tok.split(":", 2)
+          i -> (lo.toLong, hi.toLong)
+      }.toMap
+    def manifestLine: String = s"$name\t$rows\t$statsToken"
+  }
+
+  def manifestPath(dir: Path, v: Long): Path =
+    dir.resolve(f"v$v%05d.manifest")
+
+  def manifestVersions(dir: Path): Seq[Long] =
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong
+      }.sorted.toSeq
+
+  def currentVersion(dir: Path): Long = {
+    val vs = manifestVersions(dir)
+    require(vs.nonEmpty, s"graft catalog: no manifests in $dir — corrupt " +
+      "table (create writes v00000.manifest)")
+    vs.max
+  }
+
+  def readManifest(dir: Path, v: Long): Option[Seq[GroupFile]] = {
+    val p = manifestPath(dir, v)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).split("\n", -1).toSeq
+      .filter(_.nonEmpty).map { line =>
+        val parts = line.split("\t", -1)
+        require(parts.length == 3,
+          s"graft catalog: malformed manifest line '$line' in $p")
+        GroupFile(parts(0), parts(1).toLong, parts(2))
+      })
+  }
+
+  /** Atomic-exclusive manifest publish (the commit's linearization
+    * point): write a temp file, HARD-LINK it to the versioned name —
+    * link creation is atomic and fails if the target exists, so of
+    * two racing commits to the same version exactly one wins. Returns
+    * whether this writer won. */
+  def publish(dir: Path, v: Long, content: String): Boolean = {
+    val target = manifestPath(dir, v)
+    if (Files.exists(target)) return false
+    val tmp = dir.resolve(s".manifest-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  def render(files: Seq[GroupFile]): String =
+    if (files.isEmpty) "" else files.map(_.manifestLine).mkString("", "\n", "\n")
+
+  /** Conservative may-this-file-contain-a-match test against per-file
+    * BIGINT min/max stats. Returns true ("keep") on anything it cannot
+    * prove — non-long columns, null-sensitive predicates, unknown
+    * filter shapes — so pruning is always sound, never load-bearing. */
+  def mightMatch(gf: GroupFile, longIdx: Map[String, Int],
+      filter: SFilter): Boolean = {
+    def rng(attr: String): Option[(Long, Long)] =
+      longIdx.get(attr).flatMap(gf.longStats.get)
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    filter match {
+      case sf.EqualTo(a, v) =>
+        (rng(a), num(v)) match {
+          case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
+          case _ => true
+        }
+      case sf.EqualNullSafe(a, v) if v != null =>
+        mightMatch(gf, longIdx, sf.EqualTo(a, v))
+      case sf.GreaterThan(a, v) =>
+        (rng(a), num(v)) match {
+          case (Some((_, hi)), Some(x)) => hi > x
+          case _ => true
+        }
+      case sf.GreaterThanOrEqual(a, v) =>
+        (rng(a), num(v)) match {
+          case (Some((_, hi)), Some(x)) => hi >= x
+          case _ => true
+        }
+      case sf.LessThan(a, v) =>
+        (rng(a), num(v)) match {
+          case (Some((lo, _)), Some(x)) => lo < x
+          case _ => true
+        }
+      case sf.LessThanOrEqual(a, v) =>
+        (rng(a), num(v)) match {
+          case (Some((lo, _)), Some(x)) => lo <= x
+          case _ => true
+        }
+      case sf.In(a, vs) =>
+        rng(a) match {
+          case Some((lo, hi)) => vs.exists(v => num(v) match {
+            case Some(x) => x >= lo && x <= hi
+            case None => true
+          })
+          case None => true
+        }
+      case sf.And(l, r) =>
+        mightMatch(gf, longIdx, l) && mightMatch(gf, longIdx, r)
+      case sf.Or(l, r) =>
+        mightMatch(gf, longIdx, l) || mightMatch(gf, longIdx, r)
+      case _ => true
+    }
+  }
+
+  /** Extract the group names admitted by a runtime `_file IN (...)` /
+    * `_file = ...` predicate; None when the predicate is not a
+    * recognizable `_file` restriction (then it must be ignored — a
+    * misread runtime filter would corrupt the replaced-group set). */
+  def fileInValues(p: Predicate): Option[Set[String]] = {
+    def litString(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+        case u: UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+    val ch = p.children()
+    val onFile = ch.headOption.exists {
+      case r: NamedReference => r.fieldNames().sameElements(Array("_file"))
+      case _ => false
+    }
+    if (!onFile) None
+    else p.name() match {
+      case "IN" | "=" =>
+        val vals = ch.tail.flatMap(litString)
+        if (vals.length == ch.length - 1) Some(vals.toSet) else None
+      case _ => None
+    }
+  }
+}
+
 private[sources] object GraftRlTable {
-  /** TSV escaping: `\t`, `\n`, `\\`; NULL is the bare token `\N`. */
+  /** TSV escaping: `\t`, `\n`, `\r`, `\\`; NULL is the bare token
+    * `\N`. `\r` matters because `Files.lines` treats a lone carriage
+    * return as a line terminator — unescaped it would split one
+    * stored string into two file lines (silent row duplication for a
+    * single-string-column table). */
   def escape(s: String): String = {
     val b = new StringBuilder(s.length)
     s.foreach {
       case '\t' => b.append("\\t")
       case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
       case '\\' => b.append("\\\\")
       case c => b.append(c)
     }
@@ -167,6 +418,7 @@ private[sources] object GraftRlTable {
         s.charAt(i + 1) match {
           case 't' => b.append('\t'); i += 2
           case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
           case '\\' => b.append('\\'); i += 2
           case other => b.append(other); i += 2
         }
@@ -200,11 +452,11 @@ private[sources] object GraftRlTable {
     }.mkString("\t")
   }
 
-  def lineToRow(line: String, schema: StructType): InternalRow = {
+  def lineToValues(line: String, schema: StructType): Array[Any] = {
     val parts = line.split("\t", -1)
     require(parts.length == schema.fields.length,
       s"graft catalog: malformed row '$line'")
-    InternalRow(schema.fields.indices.map { i =>
+    schema.fields.indices.map { i =>
       val p = parts(i)
       if (p == "\\N") null
       else schema.fields(i).dataType match {
@@ -215,90 +467,221 @@ private[sources] object GraftRlTable {
         case StringType => UTF8String.fromString(unescape(p))
         case dt => throw new IllegalStateException(s"unsupported $dt")
       }
-    }: _*)
+    }.toArray
   }
+
+  def lineToRow(line: String, schema: StructType): InternalRow =
+    InternalRow(lineToValues(line, schema).toIndexedSeq: _*)
 }
 
 private[sources] class GraftRlTable(ident: String, dir: Path,
-    tableSchema: StructType, dataFileName: String = "data.tsv")
+    tableSchema: StructType, version: Long,
+    files: Seq[GraftRl.GroupFile], writable: Boolean)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (writable)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** `_file` — the group file a row lives in: file provenance as a
+    * metadata column, and the attribute Spark's runtime group
+    * filtering narrows row-level operations on (a MERGE's dynamic
+    * `_file IN (subquery)` is what keeps a one-partition upsert from
+    * rewriting the whole table). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "group file this row was read from"
+    })
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRlScan(dir, tableSchema, dataFileName)
+    new GraftRlScanBuilder(dir, tableSchema, files, None)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"graft catalog: $ident is a versioned snapshot and is read-only")
     new GraftRlWriteBuilder(dir, tableSchema, info.schema())
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(writable,
+      s"graft catalog: $ident is a versioned snapshot and is read-only")
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
-        override def command(): RowLevelOperation.Command = info.command()
-        override def description(): String =
-          s"graft-rl ${info.command()} on $ident"
-        // the rewrite plan reads the affected groups through the
-        // operation's OWN scan (one group = the whole table here)
-        override def newScanBuilder(
-            options: CaseInsensitiveStringMap): ScanBuilder =
-          new GraftRlScan(dir, tableSchema)
-        // ...and REPLACES them with the computed post-operation rows
-        override def newWriteBuilder(
-            info: LogicalWriteInfo): WriteBuilder = {
-          require(info.schema().fields.map(f => (f.name, f.dataType))
-              .toSeq ==
-            tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
-            s"graft catalog: replace-write schema " +
-              s"${info.schema().simpleString} != table " +
-              s"${tableSchema.simpleString}")
-          new WriteBuilder {
-            override def build(): Write = new Write {
-              override def toBatch: BatchWrite = new GraftRlBatchWrite(
-                dir, tableSchema, replace = true, rowOffset = 1)
-            }
-          }
-        }
+      override def build(): RowLevelOperation = new GraftRlOperation(
+        dir, ident, tableSchema, version, files, info.command())
+    }
+  }
+}
+
+/** One row-level statement = one instance: carries the snapshot it
+  * operates on (base version + group files) and RECORDS which groups
+  * its scan actually read — after static stats pruning and runtime
+  * `_file` filtering — so the commit replaces exactly those files.
+  * The runtime-group-filter subquery does NOT flow through here
+  * (Spark rebuilds it against the original table), so the recording
+  * is unambiguous. */
+private[sources] class GraftRlOperation(dir: Path, ident: String,
+    schema: StructType, baseVersion: Long,
+    baseFiles: Seq[GraftRl.GroupFile],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  @volatile private var scanned: Option[Seq[String]] = None
+  def recordScanned(names: Seq[String]): Unit = scanned = Some(names)
+  def scannedGroups: Option[Seq[String]] = scanned
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-rl $cmd on $ident"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRlScanBuilder(dir, schema, baseFiles, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft catalog: replace-write schema " +
+        s"${info.schema().simpleString} != table ${schema.simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftRlReplaceWrite(
+          dir, ident, schema, baseVersion, baseFiles,
+          GraftRlOperation.this)
       }
     }
+  }
 }
 
-private[sources] class GraftRlScan(dir: Path, schema: StructType,
-    dataFileName: String = "data.tsv")
-    extends ScanBuilder with Scan with Batch {
-  override def build(): Scan = this
-  override def readSchema(): StructType = schema
+/** Scan builder shared by plain reads and row-level operations:
+  * column pruning (including the `_file` metadata column), and
+  * INEXACT filter pushdown — pushed predicates prune GROUP FILES via
+  * manifest min/max stats but are all returned as residual, so
+  * surviving groups still yield every row (exactly the Parquet
+  * row-group-stats discipline, and the only sound choice for a COW
+  * scan whose unread groups are silently kept). */
+private[sources] class GraftRlScanBuilder(dir: Path,
+    tableSchema: StructType, files: Seq[GraftRl.GroupFile],
+    op: Option[GraftRlOperation])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = tableSchema
+  private var candidates: Seq[GraftRl.GroupFile] = files
+  private var accepted: Array[SFilter] = Array.empty
+  private val longIdx: Map[String, Int] =
+    tableSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType => f.name -> i
+    }.toMap
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    candidates = candidates.filter(gf =>
+      filters.forall(f => GraftRl.mightMatch(gf, longIdx, f)))
+    accepted = filters
+    filters // ALL residual: stats pruning is inexact by design
+  }
+  override def pushedFilters(): Array[SFilter] = accepted
+
+  override def build(): Scan = op match {
+    case Some(o) =>
+      new GraftRlRowLevelScan(dir, tableSchema, required, candidates, o)
+    case None =>
+      new GraftRlScan(dir, tableSchema, required, candidates, None)
+  }
+}
+
+/** One InputPartition per group file — a table with N groups scans
+  * with N-way parallelism (the single-task table scan was this
+  * catalog's round-16 weakness). */
+private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
+    required: StructType, initial: Seq[GraftRl.GroupFile],
+    op: Option[GraftRlOperation]) extends Scan with Batch {
+
+  @volatile protected var kept: Seq[GraftRl.GroupFile] = initial
+
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-rl-table $dir/$dataFileName"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftRlPartition(dir.resolve(dataFileName).toString))
+  override def description(): String =
+    s"graft-rl-table $dir groups=${kept.size} " +
+      s"columns=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // the groups handed to Spark are BY CONTRACT the groups a
+    // row-level commit replaces — record them on the operation
+    op.foreach(_.recordScanned(kept.map(_.name)))
+    kept.map(f =>
+      GraftRlPartition(dir.resolve(f.name).toString, f.name))
+      .toArray[InputPartition]
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRlReaderFactory(schema)
+    new GraftRlReaderFactory(tableSchema, required)
 }
 
-private[sources] final case class GraftRlPartition(file: String)
-  extends InputPartition
+/** The row-level variant adds runtime group filtering: Spark's
+  * RowLevelOperationRuntimeGroupFiltering plans a `_file IN
+  * (matching-groups subquery)` dynamic filter for conditions it
+  * cannot push statically (a MERGE's ON references the source), and
+  * this scan narrows its group list when that filter arrives. */
+private[sources] class GraftRlRowLevelScan(dir: Path,
+    tableSchema: StructType, required: StructType,
+    initial: Seq[GraftRl.GroupFile], rlOp: GraftRlOperation)
+  extends GraftRlScan(dir, tableSchema, required, initial, Some(rlOp))
+  with SupportsRuntimeV2Filtering {
 
-private[sources] class GraftRlReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      GraftRl.fileInValues(p).foreach { names =>
+        kept = kept.filter(f => names.contains(f.name))
+      }
+    }
+    // runtime filters may arrive after an initial planInputPartitions
+    // — re-record so the commit replaces the narrowed set
+    rlOp.recordScanned(kept.map(_.name))
+  }
+}
+
+private[sources] final case class GraftRlPartition(path: String,
+    name: String) extends InputPartition
+
+private[sources] class GraftRlReaderFactory(tableSchema: StructType,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[GraftRlPartition].file
+    val gp = p.asInstanceOf[GraftRlPartition]
+    // required-column projection: data columns by table index, the
+    // _file metadata column materialized from the partition itself
+    val proj: Array[Int] = required.fields.map(f =>
+      if (f.name == "_file") -1 else tableSchema.fieldIndex(f.name))
+    val fileName = UTF8String.fromString(gp.name)
     new PartitionReader[InternalRow] {
-      private val stream = Files.lines(Paths.get(file))
+      private val stream = Files.lines(Paths.get(gp.path))
       private val lines = stream.iterator()
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (lines.hasNext) {
           val line = lines.next()
           if (line.nonEmpty) {
-            current = GraftRlTable.lineToRow(line, schema)
+            val vals = GraftRlTable.lineToValues(line, tableSchema)
+            current = InternalRow(proj.map(i =>
+              if (i == -1) fileName else vals(i)).toIndexedSeq: _*)
             return true
           }
         }
@@ -325,83 +708,190 @@ private[sources] class GraftRlWriteBuilder(dir: Path,
   }
 }
 
-private[sources] final case class GraftRlStaged(stagedPath: String)
-  extends WriterCommitMessage
+private[sources] final case class GraftRlStaged(name: String,
+    rows: Long, statsToken: String) extends WriterCommitMessage {
+  def toGroupFile: GraftRl.GroupFile =
+    GraftRl.GroupFile(name, rows, statsToken)
+}
 
-/** Two-phase commit over the single group: tasks stage dot-prefixed
-  * files, commit concatenates them (plus the existing content for
-  * appends) into a fresh file and ATOMIC-renames it over `data.tsv` —
-  * the same staged/publish discipline as the graft-shard and replay
-  * writers, with replace-vs-append the only branch. */
+/** INSERT / INSERT OVERWRITE commit: tasks stage immutable group
+  * files (invisible until a manifest references them), the commit
+  * publishes the next manifest by atomic-exclusive hard link, and a
+  * LOST RACE REBASES — appends commute (the rebased manifest is the
+  * winner's files plus ours) and an overwrite replaces everything
+  * regardless, so retrying is sound for both. Bounded attempts; on
+  * exhaustion the staged files are deleted and the commit fails
+  * loudly. */
 private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
-    replace: Boolean, rowOffset: Int = 0) extends BatchWrite {
+    replace: Boolean) extends BatchWrite {
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftRlWriterFactory(dir.toString, schema, rowOffset)
+    new GraftRlWriterFactory(dir.toString, schema, rowOffset = 0)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val target = dir.resolve("data.tsv")
-    val tmp = dir.resolve(s".commit-${java.util.UUID.randomUUID()}")
-    val out = Files.newBufferedWriter(tmp)
-    try {
-      if (!replace && Files.exists(target)) {
-        val prior = Files.lines(target)
-        try prior.iterator().asScala.foreach { l =>
-          if (l.nonEmpty) { out.write(l); out.write("\n") }
-        } finally prior.close()
+    val staged = messages.map {
+      case m: GraftRlStaged => m
+      case m => throw new IllegalStateException(
+        s"graft catalog: foreign commit message $m")
+    }.filter(_.rows > 0).map(_.toGroupFile).toSeq
+    GraftRlConcurrencyHook.beforeAppendPublish()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = GraftRl.currentVersion(dir)
+      val prior = if (replace) Seq.empty
+        else GraftRl.readManifest(dir, cur).getOrElse(
+          throw new IllegalStateException(
+            s"graft catalog: manifest v$cur vanished mid-commit in $dir"))
+      done = GraftRl.publish(dir, cur + 1, GraftRl.render(prior ++ staged))
+      if (!done) {
+        attempt += 1
+        if (attempt >= 64) {
+          staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
+          throw new IllegalStateException(
+            s"graft catalog: gave up publishing after $attempt rebases " +
+              s"in $dir (livelock?) — staged files deleted, no partial " +
+              "state published")
+        }
       }
-      messages.foreach {
-        case GraftRlStaged(p) =>
-          val path = Paths.get(p)
-          if (Files.exists(path)) {
-            val st = Files.lines(path)
-            try st.iterator().asScala.foreach { l =>
-              if (l.nonEmpty) { out.write(l); out.write("\n") }
-            } finally st.close()
-            Files.delete(path)
-          }
-        case m => throw new IllegalStateException(
-          s"graft catalog: foreign commit message $m")
-      }
-    } finally out.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // version snapshot for time travel: the next free data.v<n>.tsv
-    // (monotone per table; commits are serialized by the driver)
-    val next = 1L + Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
-      .collect { case n if n.startsWith("data.v") && n.endsWith(".tsv") =>
-        n.stripPrefix("data.v").stripSuffix(".tsv").toLong
-      }.foldLeft(-1L)(math.max)
-    Files.copy(target, dir.resolve(f"data.v$next%05d.tsv"))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftRlStaged(p) => Files.deleteIfExists(Paths.get(p))
+      case GraftRlStaged(name, _, _) =>
+        Files.deleteIfExists(dir.resolve(name))
       case _ => ()
     }
 }
 
+/** Row-level (DELETE/UPDATE/MERGE) commit: replaces EXACTLY the
+  * groups the operation's scan read — survivors of static stats
+  * pruning and runtime `_file` filtering — with the staged
+  * post-operation files, publishing base+1 by the same
+  * atomic-exclusive link. NO REBASE here: the replacement rows were
+  * computed against the base snapshot, so if any other commit won
+  * version base+1 first this one ABORTS loudly and deletes its
+  * staged files — optimistic concurrency, no lost update. */
+private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
+    schema: StructType, baseVersion: Long,
+    baseFiles: Seq[GraftRl.GroupFile], op: GraftRlOperation)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftRlWriterFactory(dir.toString, schema, rowOffset = 1)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case m: GraftRlStaged if m.rows > 0 => m.toGroupFile
+    }
+    def cleanup(): Unit =
+      staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
+    val read = op.scannedGroups.getOrElse(Seq.empty)
+    if (read.isEmpty && staged.nonEmpty) {
+      cleanup()
+      throw new IllegalStateException(
+        s"graft catalog: $ident ${op.command()} produced replacement " +
+          "rows but its scan recorded no groups — refusing a commit " +
+          "that cannot name the files it replaces")
+    }
+    val readSet = read.toSet
+    val survivors = baseFiles.filterNot(g => readSet.contains(g.name))
+    val content = GraftRl.render(survivors ++ staged)
+    GraftRlConcurrencyHook.beforeReplacePublish()
+    if (!GraftRl.publish(dir, baseVersion + 1, content)) {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent commit on $ident — this " +
+          s"${op.command()} read snapshot v$baseVersion but version " +
+          s"v${baseVersion + 1} was published by another writer while " +
+          "it ran; the operation aborts (its staged files are deleted, " +
+          "the other writer's commit is intact) — re-run the statement " +
+          "against the current snapshot")
+    }
+    // replaced groups stay on disk: still referenced by older
+    // manifests (time travel) until expireSnapshots retires them
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftRlStaged(name, _, _) =>
+        Files.deleteIfExists(dir.resolve(name))
+      case _ => ()
+    }
+}
+
+/** Tasks write group files under their FINAL immutable names — a
+  * file is invisible until a manifest references it, so no rename
+  * dance is needed; abort simply deletes. Tracks per-BIGINT-column
+  * min/max while writing (the manifest stats behind static group
+  * pruning). Empty outputs stage nothing. */
 private[sources] class GraftRlWriterFactory(dir: String,
     schema: StructType, rowOffset: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val staged = Paths.get(dir).resolve(
-        f".stage-p$partitionId%05d-t$taskId-${java.util.UUID.randomUUID()}")
-      private val out = Files.newBufferedWriter(staged)
+      private val name =
+        f"data-p$partitionId%05d-t$taskId-${java.util.UUID.randomUUID()}.tsv"
+      private val path = Paths.get(dir).resolve(name)
+      private val out = Files.newBufferedWriter(path)
+      private var rows = 0L
+      private val nCols = schema.fields.length
+      private val isLong: Array[Boolean] =
+        schema.fields.map(_.dataType == LongType)
+      private val mins = Array.fill(nCols)(Long.MaxValue)
+      private val maxs = Array.fill(nCols)(Long.MinValue)
+      private val seen = Array.fill(nCols)(false)
+
+      /** Row-level rewrites have shipped rows in two shapes across
+        * Spark 4 minors: with a leading `__row_operation` marker the
+        * declared schema does not mention (round-16 behavior, before
+        * this table declared metadata attributes) and, once
+        * ReplaceDataProjections are planned, with exactly the data
+        * columns. Resolve the offset from the first row's arity and
+        * hold every later row to it. */
+      private var off = -1
+
       override def write(r: InternalRow): Unit = {
-        out.write(GraftRlTable.rowToLine(r, schema, rowOffset))
+        if (off < 0) {
+          off = r.numFields - nCols
+          require(rowOffset == 0 && off == 0 ||
+            rowOffset == 1 && (off == 0 || off == 1),
+            s"graft catalog: writer row has ${r.numFields} fields for " +
+              s"a ${nCols}-column table (expected offset $rowOffset)")
+        }
+        out.write(GraftRlTable.rowToLine(r, schema, off))
         out.write("\n")
+        rows += 1
+        var i = 0
+        while (i < nCols) {
+          if (isLong(i) && !r.isNullAt(i + off)) {
+            val v = r.getLong(i + off)
+            if (v < mins(i)) mins(i) = v
+            if (v > maxs(i)) maxs(i) = v
+            seen(i) = true
+          }
+          i += 1
+        }
       }
+
       override def commit(): WriterCommitMessage = {
         out.close()
-        GraftRlStaged(staged.toString)
+        if (rows == 0L) {
+          Files.deleteIfExists(path)
+          GraftRlStaged(name, 0L, "")
+        } else {
+          val token = (0 until nCols).map(i =>
+            if (seen(i)) s"${mins(i)}:${maxs(i)}" else "-").mkString(",")
+          GraftRlStaged(name, rows, token)
+        }
       }
+
       override def abort(): Unit = {
         out.close()
-        Files.deleteIfExists(staged)
+        Files.deleteIfExists(path)
       }
       override def close(): Unit = ()
     }

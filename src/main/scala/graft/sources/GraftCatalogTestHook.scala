@@ -13,4 +13,41 @@ object GraftCatalogTestHook {
     GraftRlTable.rowToLine(r, schema, off = 0)
   def lineToRow(line: String, schema: StructType): InternalRow =
     GraftRlTable.lineToRow(line, schema)
+  def expireSnapshots(tableDir: java.nio.file.Path,
+      retainLast: Int): GraftCatalog.ExpireResult =
+    GraftCatalog.expireSnapshots(tableDir, retainLast)
+
+  /** Manifest introspection for group-geometry asserts: which
+    * versions exist and which group files a version binds. */
+  def manifestVersions(tableDir: java.nio.file.Path): Seq[Long] =
+    GraftRl.manifestVersions(tableDir)
+  def manifestFiles(tableDir: java.nio.file.Path,
+      version: Long): Seq[String] =
+    GraftRl.readManifest(tableDir, version).getOrElse(
+      throw new IllegalArgumentException(s"no manifest v$version"))
+      .map(_.name)
+
+  /** Deterministic concurrent-writer fault injection: the callbacks
+    * run on the driver immediately before a commit's first manifest
+    * publish attempt (row-level replace / append respectively), so a
+    * test can publish a competing version at exactly the racy
+    * instant. Production leaves them as no-ops. */
+  def setBeforeReplacePublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.beforeReplacePublish = f
+  def setBeforeAppendPublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.beforeAppendPublish = f
+  def clearPublishHooks(): Unit = {
+    GraftRlConcurrencyHook.beforeReplacePublish = () => ()
+    GraftRlConcurrencyHook.beforeAppendPublish = () => ()
+  }
+
+  /** Directly publish a manifest version (the "other writer" in
+    * concurrency tests): content is the given version's manifest
+    * re-published as `asVersion`. Returns whether the publish won. */
+  def republishAs(tableDir: java.nio.file.Path, fromVersion: Long,
+      asVersion: Long): Boolean = {
+    val files = GraftRl.readManifest(tableDir, fromVersion).getOrElse(
+      throw new IllegalArgumentException(s"no manifest v$fromVersion"))
+    GraftRl.publish(tableDir, asVersion, GraftRl.render(files))
+  }
 }

@@ -76,13 +76,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sqlRows("SELECT k, seg, v FROM graftrl.db.acct ORDER BY k") ==
       Seq(Seq(1L, "a", 10L), Seq(3L, "b", 137L), Seq(5L, "c", 50L)))
     // no staged/commit residue in either table dir after all
-    // operations — only the live file, the schema, and the immutable
-    // version snapshots each commit retains for time travel
+    // operations — only the schema, the immutable group files, and
+    // the versioned manifests that bind them into snapshots
     for (t <- Seq("acct", "delta")) {
       val files = root.resolve("db").resolve(t).toFile.listFiles()
         .map(_.getName).sorted
-      assert(files.forall(f => f == "data.tsv" || f == "schema.json" ||
-        f.matches("data\\.v\\d+\\.tsv")),
+      assert(files.forall(f => f == "schema.json" ||
+        f.matches("data-.*\\.tsv") || f.matches("v\\d+\\.manifest")),
         s"residue in $t: ${files.mkString(",")}")
     }
   }
@@ -108,6 +108,162 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT * FROM graftrl.db.tt VERSION AS OF 9").collect()
     }
+  }
+
+  private def ins1(table: String, rows: String): Unit =
+    // REPARTITION(1) pins one write task → exactly one group file,
+    // making group geometry deterministic for the asserts below
+    spark.sql(s"INSERT INTO $table SELECT /*+ REPARTITION(1) */ * " +
+      s"FROM VALUES $rows AS t(k, seg, v)")
+
+  private def dataFilesOnDisk(dir: java.nio.file.Path): Set[String] =
+    dir.toFile.listFiles().map(_.getName)
+      .filter(n => n.startsWith("data-") && n.endsWith(".tsv")).toSet
+
+  test("file-keyed groups: one partition per group, MERGE touching " +
+      "1 of 4 groups rewrites exactly 1 file") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.grp (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("grp")
+    // four disjoint key-range groups, one file each
+    ins1("graftrl.db.grp", "(1L,'a',10L),(2L,'a',20L)")
+    ins1("graftrl.db.grp", "(11L,'b',30L),(12L,'b',40L)")
+    ins1("graftrl.db.grp", "(21L,'c',50L),(22L,'c',60L)")
+    ins1("graftrl.db.grp", "(31L,'d',70L),(32L,'d',80L)")
+    val v4 = Hook.manifestFiles(dir, 4L)
+    assert(v4.size == 4, s"expected 4 groups, got $v4")
+    val g2 = (Hook.manifestFiles(dir, 2L).toSet --
+      Hook.manifestFiles(dir, 1L).toSet).head
+    // the scan plans one InputPartition per group — parallel reads
+    assert(spark.sql("SELECT * FROM graftrl.db.grp")
+      .rdd.getNumPartitions == 4)
+    // MERGE whose source keys live only in group 2 (k=11,12 match;
+    // k=13 is a NOT MATCHED insert): runtime group filtering must
+    // narrow the rewrite to that single file
+    locally {
+      import spark.implicits._
+      Seq((11L, "b", 5L), (12L, "b", 5L), (13L, "b", 99L))
+        .toDF("k", "seg", "v").createOrReplaceTempView("grp_delta")
+    }
+    spark.sql("""
+      MERGE INTO graftrl.db.grp t USING grp_delta s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+      WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)
+    """)
+    val v5 = Hook.manifestFiles(dir, 5L)
+    assert(v5.toSet.intersect(v4.toSet) == v4.toSet - g2,
+      s"MERGE should have replaced exactly $g2: v4=$v4 v5=$v5")
+    assert(sqlRows("SELECT k, v FROM graftrl.db.grp ORDER BY k") ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(11L, 35L), Seq(12L, 45L),
+        Seq(13L, 99L), Seq(21L, 50L), Seq(22L, 60L), Seq(31L, 70L),
+        Seq(32L, 80L)))
+    // DELETE with a key predicate: manifest min/max stats prune the
+    // scan statically — only the k<=2 group is read, and because every
+    // row in it dies, the new manifest simply drops that file
+    spark.sql("DELETE FROM graftrl.db.grp WHERE k <= 2")
+    val v6 = Hook.manifestFiles(dir, 6L)
+    assert(v6.toSet == v5.toSet -- Hook.manifestFiles(dir, 1L).toSet,
+      s"DELETE should have dropped exactly the first group: v5=$v5 v6=$v6")
+    // UPDATE keyed into the third group rewrites exactly that file
+    val g3 = (Hook.manifestFiles(dir, 3L).toSet --
+      Hook.manifestFiles(dir, 2L).toSet).head
+    spark.sql("UPDATE graftrl.db.grp SET v = v + 1 WHERE k = 21")
+    val v7 = Hook.manifestFiles(dir, 7L)
+    assert(v7.toSet.intersect(v6.toSet) == v6.toSet - g3,
+      s"UPDATE should have replaced exactly $g3: v6=$v6 v7=$v7")
+    assert(sqlRows("SELECT v FROM graftrl.db.grp WHERE k = 21")
+      == Seq(Seq(51L)))
+  }
+
+  test("optimistic concurrency: a row-level commit racing a " +
+      "competing writer aborts loudly and loses no committed row") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.occ (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("occ")
+    ins1("graftrl.db.occ", "(1L,'a',10L),(2L,'a',20L)")
+    // the competing writer publishes v2 at the exact instant this
+    // UPDATE (which read snapshot v1) tries to commit its own v2
+    Hook.setBeforeReplacePublish(() => {
+      Hook.clearPublishHooks()
+      assert(Hook.republishAs(dir, 1L, 2L), "competing publish lost?")
+    })
+    try {
+      val ex = intercept[Exception] {
+        spark.sql("UPDATE graftrl.db.occ SET v = v + 1 WHERE k = 1")
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t =>
+        t.isInstanceOf[java.util.ConcurrentModificationException] ||
+          Option(t.getMessage).exists(_.contains("concurrent commit"))),
+        s"expected a loud concurrent-commit abort, got: $chain")
+    } finally Hook.clearPublishHooks()
+    // the winner's commit is intact and the loser applied NOTHING
+    assert(Hook.manifestVersions(dir).max == 2L)
+    assert(sqlRows("SELECT k, v FROM graftrl.db.occ ORDER BY k") ==
+      Seq(Seq(1L, 10L), Seq(2L, 20L)))
+    // no orphaned staged files: everything on disk is manifest-bound
+    val referenced = Hook.manifestVersions(dir)
+      .flatMap(v => Hook.manifestFiles(dir, v)).toSet
+    assert(dataFilesOnDisk(dir) == referenced)
+    // a clean retry against the current snapshot succeeds
+    spark.sql("UPDATE graftrl.db.occ SET v = v + 1 WHERE k = 1")
+    assert(sqlRows("SELECT v FROM graftrl.db.occ WHERE k = 1") ==
+      Seq(Seq(11L)))
+  }
+
+  test("append commits rebase past a racing writer: both inserts land") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.apr (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("apr")
+    ins1("graftrl.db.apr", "(1L,'a',10L)")
+    Hook.setBeforeAppendPublish(() => {
+      Hook.clearPublishHooks()
+      assert(Hook.republishAs(dir, 1L, 2L), "competing publish lost?")
+    })
+    try ins1("graftrl.db.apr", "(2L,'b',20L)")
+    finally Hook.clearPublishHooks()
+    // the insert lost v2 to the racing writer, rebased, won v3 —
+    // appends commute, so every committed row from both writers lives
+    assert(Hook.manifestVersions(dir).max == 3L)
+    assert(sqlRows("SELECT k FROM graftrl.db.apr ORDER BY k")
+      .map(_.head) == Seq(1L, 2L))
+  }
+
+  test("snapshot retention: expireSnapshots retires old versions, " +
+      "keeps surviving ones bit-stable, vacuums unreferenced files") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.ret (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("ret")
+    ins1("graftrl.db.ret", "(1L,'a',10L),(2L,'a',20L)")   // v1
+    spark.sql("UPDATE graftrl.db.ret SET v = v * 2")        // v2
+    spark.sql("DELETE FROM graftrl.db.ret WHERE k = 1")     // v3
+    ins1("graftrl.db.ret", "(3L,'c',30L)")                  // v4
+    def snap(v: Long): Seq[Seq[Any]] =
+      sqlRows(s"SELECT k, v FROM graftrl.db.ret VERSION AS OF $v ORDER BY k")
+    val (pre3, pre4) = (snap(3L), snap(4L))
+    val res = Hook.expireSnapshots(dir, retainLast = 2)
+    assert(res.retainedVersions == Seq(3L, 4L))
+    assert(res.expiredVersions == Seq(0L, 1L, 2L))
+    assert(res.deletedDataFiles.nonEmpty,
+      "v1/v2's replaced group files should have been vacuumed")
+    // surviving snapshots are bit-stable across the expiry
+    assert(snap(3L) == pre3 && snap(4L) == pre4)
+    assert(sqlRows("SELECT k, v FROM graftrl.db.ret ORDER BY k") == pre4)
+    // expired versions refuse loudly — and say why
+    val gone = intercept[Exception] { snap(1L) }
+    assert(gone.getMessage.contains("expired"), gone.getMessage)
+    // a version that never existed stays a different, honest error
+    val never = intercept[Exception] { snap(9L) }
+    assert(never.getMessage.contains("no version"), never.getMessage)
+    // disk holds exactly the files the surviving manifests reference
+    val referenced = Seq(3L, 4L)
+      .flatMap(v => Hook.manifestFiles(dir, v)).toSet
+    assert(dataFilesOnDisk(dir) == referenced)
   }
 
   test("catalog hygiene: duplicate create refuses, drop removes, " +
