@@ -9,14 +9,22 @@ import org.apache.spark.sql.connector.write.streaming.StreamingWrite
   * exercised by q377. */
 object ReplaySourceTestHook {
   def streamingWrite(dir: String): StreamingWrite =
-    new ReplayStreamingWrite(dir)
+    new ReplayStreamingWrite(dir, ReplaySource.rowSchema)
+
+  def streamingWrite(dir: String,
+      schema: org.apache.spark.sql.types.StructType): StreamingWrite =
+    new ReplayStreamingWrite(dir, schema)
 
   def listFiles(dir: String): Array[String] = ReplaySource.listFiles(dir)
 
   def offset(i: Int): org.apache.spark.sql.connector.read.streaming.Offset =
     ReplayOffset(i)
 
+  def offsetPinned(i: Int, last: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ReplayOffset(i, Some(last))
+
   def deserialize(json: String)
       : org.apache.spark.sql.connector.read.streaming.Offset =
-    ReplayOffset(json.trim.toInt)
+    ReplayOffset.parse(json)
 }

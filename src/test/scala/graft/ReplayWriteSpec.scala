@@ -29,6 +29,50 @@ class ReplayWriteSpec extends SparkSpec {
   private def mkWrite(dir: Path) =
     graft.sources.ReplaySourceTestHook.streamingWrite(dir.toString)
 
+  test("string values that cannot round-trip the CSV layout are " +
+      "refused at write time, not accepted and corrupted") {
+    val dir = Files.createTempDirectory("graft_rw_inject")
+    try {
+      val w = mkWrite(dir)
+      for (hostile <- Seq("has,comma", "has\nnewline", "has\rreturn")) {
+        val task = w.createStreamingWriterFactory(null)
+          .createWriter(0, 0L, 0L)
+        val ex = intercept[IllegalArgumentException] {
+          task.write(InternalRow(1L, 1L, UTF8String.fromString(hostile), 1L))
+        }
+        assert(ex.getMessage.contains("cannot round-trip"), ex.getMessage)
+        task.abort()
+      }
+      // nothing got published
+      assert(!dir.toFile.listFiles().exists(_.getName.endsWith(".csv")))
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
+  test("custom-schema write: BIGINT/DOUBLE/STRING rows publish and " +
+      "re-read exactly") {
+    val dir = Files.createTempDirectory("graft_rw_schema")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val w = graft.sources.ReplaySourceTestHook
+        .streamingWrite(dir.toString, schema)
+      val task = w.createStreamingWriterFactory(null).createWriter(0, 0L, 0L)
+      task.write(InternalRow(UTF8String.fromString("alpha"), 1.5, 7L))
+      task.write(InternalRow(UTF8String.fromString("beta"),
+        -0.1234567890123456789, 9L))
+      w.commit(0L, Array(task.commit()))
+      val content = Files.readString(dir.resolve("epoch00000-p00000.csv"))
+      assert(content == "alpha,1.5,7\nbeta,-0.12345678901234568,9\n")
+      // Double.toString → parseDouble is an exact round trip
+      assert("-0.12345678901234568".toDouble == -0.1234567890123456789)
+    } finally graft.streaming.StreamingResidue.deleteRecursively(dir)
+  }
+
   test("epoch replay republishes the SAME segment names — no dups") {
     val dir = Files.createTempDirectory("graft_rw_idem")
     try {

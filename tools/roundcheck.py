@@ -7,19 +7,127 @@ Usage: python3 tools/roundcheck.py <round-number> [expected-query-count]
 
 Checks, loudly, before the round's final commit:
   1. CORRECTNESS_r{N}.json exists, parses, is non-empty, and its
-     per-query rows are all green (any failing row is printed).
+     per-query rows are all green. A row that is not a dict, or that
+     carries NONE of the rows_match/schema_match/hash_match flags,
+     FAILS — a driver format change must never read as green
+     (round-17 hardening of the round-16 gate).
   2. BENCH_r{N}.json exists, parses, carries a query map of roughly
-     the registry size, and discloses its load average.
+     the registry size, and discloses its load average. A
+     contended_session:true disclosure is surfaced loudly.
+  3. BENCH_quiet_r{N}.json (round >= 17): the builder's quiet
+     definitive bench as a committed machine-readable artifact — the
+     driver artifact has been contended three rounds running, so
+     adjudication must not depend on PLANS.md prose. Must parse,
+     cover the registry, and be genuinely quiet (no
+     contended_session:true, starting loadavg < 4).
 Exit 0 only when every check passes; any failure prints REASONS and
 exits 1 so a shell `&&` chain halts the close.
 """
 import json
 import sys
 
+FLAGS = ("rows_match", "schema_match", "hash_match")
+
 
 def fail(msg: str) -> None:
     print(f"ROUNDCHECK FAIL: {msg}")
     sys.exit(1)
+
+
+def load(path: str):
+    try:
+        return json.load(open(path))
+    except FileNotFoundError:
+        fail(f"{path} missing")
+    except json.JSONDecodeError as e:
+        fail(f"{path} is not valid JSON: {e}")
+
+
+def check_correctness(cpath: str, expected) -> None:
+    corr = load(cpath)
+    if not corr:
+        fail(f"{cpath} is EMPTY ({{}}) — the r15 failure mode; rerun "
+             "graft.Verify and investigate before closing the round")
+    rows = corr.get("queries", corr)
+    if not isinstance(rows, dict):
+        fail(f"{cpath}: top-level query map is a {type(rows).__name__}, "
+             "not a dict — unrecognized artifact format")
+    bad, unflagged = [], []
+    for k, v in rows.items():
+        if not isinstance(v, dict):
+            unflagged.append(k)
+        elif not any(f in v for f in FLAGS):
+            # a row with no recognizable flags must never default to
+            # green — that is exactly the silent-close failure mode
+            unflagged.append(k)
+        elif not all(v.get(f, True) for f in FLAGS if f in v):
+            bad.append(k)
+    print(f"{cpath}: {len(rows)} rows, {len(bad)} failing, "
+          f"{len(unflagged)} unrecognizable")
+    if unflagged:
+        fail(f"rows carrying none of {FLAGS} (format drift?): "
+             f"{','.join(sorted(unflagged)[:20])}")
+    if bad:
+        fail(f"failing queries: {','.join(sorted(bad)[:20])}")
+    if expected and len(rows) < expected * 0.95:
+        fail(f"{cpath} has {len(rows)} rows, expected ~{expected} — "
+             "a shrunken registry reads as all-green; diff the "
+             "declared set")
+
+
+def contended(bench, raw: str) -> bool:
+    if isinstance(bench, dict) and bench.get("contended_session") is True:
+        return True
+    # driver wrapper embeds the bench line in `tail` — scan it
+    return '"contended_session":true' in raw.replace(" ", "")
+
+
+def check_bench(bpath: str, expected, quiet_required: bool) -> None:
+    bench = load(bpath)
+    if not bench:
+        fail(f"{bpath} is EMPTY")
+    raw = json.dumps(bench)
+    # two shapes exist: the Bench main's own line ({metric, value,
+    # queries, loadavg}) and the driver's wrapper ({n, rc, cpus, tail})
+    if "rc" in bench and "queries" not in bench:
+        print(f"{bpath}: driver wrapper, rc={bench['rc']} "
+              f"cpus={bench.get('cpus')} tail={len(bench.get('tail', ''))}B")
+        if bench["rc"] != 0:
+            fail(f"{bpath} records bench exit code {bench['rc']}")
+        raw = bench.get("tail", "") or raw
+    else:
+        q = bench.get("queries", {})
+        print(f"{bpath}: total={bench.get('value')}{bench.get('unit', '')} "
+              f"over {len(q)} queries, loadavg={bench.get('loadavg')}")
+        if expected and len(q) < expected * 0.95:
+            fail(f"{bpath} covers {len(q)} queries, expected ~{expected}")
+        la = bench.get("loadavg")
+        if isinstance(la, list) and la and la[0] > 16:
+            print(f"ROUNDCHECK WARN: bench ran at loadavg {la[0]} — "
+                  "contended artifact (r14/r15 lesson)")
+    if contended(bench, raw):
+        print(f"ROUNDCHECK WARN: {bpath} discloses contended_session=true "
+              "— the artifact's timings are inflated by outside load; "
+              "the quiet artifact below is the plan-comparable one"
+              if quiet_required else
+              f"ROUNDCHECK WARN: {bpath} discloses contended_session=true")
+
+
+def check_quiet_bench(qpath: str, expected) -> None:
+    bench = load(qpath)
+    if not bench:
+        fail(f"{qpath} is EMPTY")
+    q = bench.get("queries", {})
+    print(f"{qpath}: total={bench.get('value')}{bench.get('unit', '')} "
+          f"over {len(q)} queries, loadavg={bench.get('loadavg')}")
+    if expected and len(q) < expected * 0.95:
+        fail(f"{qpath} covers {len(q)} queries, expected ~{expected}")
+    if bench.get("contended_session") is True:
+        fail(f"{qpath} is itself contended — a 'quiet' artifact must be "
+             "recorded on an idle box (loadavg < ~2, no parallel suites)")
+    la = bench.get("loadavg")
+    if isinstance(la, list) and la and la[0] > 4:
+        fail(f"{qpath} starting loadavg {la[0]} is not quiet — re-record")
 
 
 def main() -> None:
@@ -28,60 +136,11 @@ def main() -> None:
     rnd = int(sys.argv[1])
     expected = int(sys.argv[2]) if len(sys.argv) > 2 else None
 
-    cpath = f"CORRECTNESS_r{rnd:02d}.json"
-    bpath = f"BENCH_r{rnd:02d}.json"
-
-    try:
-        corr = json.load(open(cpath))
-    except FileNotFoundError:
-        fail(f"{cpath} missing — the driver has not written it yet")
-    except json.JSONDecodeError as e:
-        fail(f"{cpath} is not valid JSON: {e}")
-    if not corr:
-        fail(f"{cpath} is EMPTY ({{}}) — the r15 failure mode; rerun "
-             "graft.Verify and investigate before closing the round")
-    rows = corr.get("queries", corr)
-    if isinstance(rows, dict):
-        bad = [k for k, v in rows.items()
-               if isinstance(v, dict) and not all(
-                   v.get(f, True) for f in
-                   ("rows_match", "schema_match", "hash_match")
-                   if f in v)]
-        print(f"{cpath}: {len(rows)} rows, {len(bad)} failing")
-        if bad:
-            fail(f"failing queries: {','.join(sorted(bad)[:20])}")
-        if expected and len(rows) < expected * 0.95:
-            fail(f"{cpath} has {len(rows)} rows, expected ~{expected} — "
-                 "a shrunken registry reads as all-green; diff the "
-                 "declared set")
-
-    try:
-        bench = json.load(open(bpath))
-    except FileNotFoundError:
-        fail(f"{bpath} missing — the driver has not written it yet")
-    except json.JSONDecodeError as e:
-        fail(f"{bpath} is not valid JSON: {e}")
-    if not bench:
-        fail(f"{bpath} is EMPTY")
-    # two shapes exist: the Bench main's own line ({metric, value,
-    # queries, loadavg}) and the driver's wrapper ({n, rc, cpus, tail})
-    if "rc" in bench and "queries" not in bench:
-        print(f"{bpath}: driver wrapper, rc={bench['rc']} "
-              f"cpus={bench.get('cpus')} tail={len(bench.get('tail', ''))}B")
-        if bench["rc"] != 0:
-            fail(f"{bpath} records bench exit code {bench['rc']}")
-        print("ROUNDCHECK OK")
-        return
-    q = bench.get("queries", {})
-    print(f"{bpath}: total={bench.get('value')}{bench.get('unit', '')} "
-          f"over {len(q)} queries, loadavg={bench.get('loadavg')}")
-    if expected and len(q) < expected * 0.95:
-        fail(f"{bpath} covers {len(q)} queries, expected ~{expected}")
-    la = bench.get("loadavg")
-    if isinstance(la, list) and la and la[0] > 16:
-        print(f"ROUNDCHECK WARN: bench ran at loadavg {la[0]} — "
-              "contended artifact (r14/r15 lesson); quiet numbers in "
-              "PLANS.md are the plan-comparable ones")
+    check_correctness(f"CORRECTNESS_r{rnd:02d}.json", expected)
+    quiet_required = rnd >= 17
+    check_bench(f"BENCH_r{rnd:02d}.json", expected, quiet_required)
+    if quiet_required:
+        check_quiet_bench(f"BENCH_quiet_r{rnd:02d}.json", expected)
     print("ROUNDCHECK OK")
 
 
