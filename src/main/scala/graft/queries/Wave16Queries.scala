@@ -1302,8 +1302,8 @@ FROM orders GROUP BY 1 ORDER BY 1
 
   /** q379 — ZERO-EXCHANGE, ZERO-SORT SORT-MERGE JOIN: the capstone
     * composing q345/q346's storage-partitioned execution with q375's
-    * reported ordering. Two corpora (orders split at the median
-    * orderkey into an early and a late era) are staged in the SAME
+    * reported ordering. Two corpora (orders split at the key-range
+    * midpoint into an early and a late era) are staged in the SAME
     * `g=`-keyed layout with `x` PRE-SORTED per key; both scans report
     * `KeyGroupedPartitioning(g)` AND `[g ASC, x ASC]`, and the
     * re-crawl duplicate reconciliation — an SMJ on `(g, x)` (clustering
@@ -1354,8 +1354,14 @@ FROM orders GROUP BY 1 ORDER BY 1
         val ord = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority").as("g"),
             expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
-        val median = ord.stat.approxQuantile("o_orderkey",
-          Array(0.5), 0.0).head
+        // era split point: the integer MIDPOINT of the key range
+        // (max div 2), not a count median — Spark's approxQuantile
+        // returns an actual element while DuckDB's median()
+        // interpolates the two middle values on even counts, an
+        // unpinned cross-engine tie convention; max-div-2 is the
+        // same integer arithmetic in both engines at every SF
+        val median = ord.agg(max("o_orderkey")).head
+          .getAs[Number](0).longValue / 2
         def stage(name: String,
             frame: org.apache.spark.sql.DataFrame): String = {
           val p = tmp.resolve(name).toString
@@ -1430,7 +1436,7 @@ WITH v AS (
     CAST(round(o_totalprice * 100) AS BIGINT) AS x
   FROM orders
 ), m AS (
-  SELECT median(o_orderkey) AS med FROM v
+  SELECT max(o_orderkey) // 2 AS med FROM v
 ), e AS (SELECT g, x FROM v, m WHERE o_orderkey <= med),
 l AS (SELECT g, x FROM v, m WHERE o_orderkey > med
       UNION ALL
