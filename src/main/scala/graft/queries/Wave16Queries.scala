@@ -978,17 +978,17 @@ GROUP BY 1 ORDER BY 1
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
       import org.apache.spark.sql.expressions.Window
-      val tmp = Files.createTempDirectory("graft_q375_ordered")
       val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
       val prev = s.conf.getOption(ConfKey)
       s.conf.set(ConfKey, "true")
       try {
-        Tables(s, dir, "orders")
-          .select(col("o_orderpriority").as("g"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
-          .repartition(col("g"))
-          .sortWithinPartitions("g", "x")
-          .write.mode("overwrite").partitionBy("g").csv(tmp.toString)
+        val tmp = graft.FixtureCache.staged(dir, "ord_prio_sorted_csv")(
+          t => Tables(s, dir, "orders")
+            .select(col("o_orderpriority").as("g"),
+              expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+            .repartition(col("g"))
+            .sortWithinPartitions("g", "x")
+            .write.mode("overwrite").partitionBy("g").csv(t.toString))
         // NOTE: no presentation orderBy here — the frame under plan
         // assert must contain ONLY the windowed computation (the final
         // 5-row orderBy is appended on the returned copy below)
@@ -1038,7 +1038,6 @@ GROUP BY 1 ORDER BY 1
           case Some(v) => s.conf.set(ConfKey, v)
           case None => s.conf.unset(ConfKey)
         }
-        graft.streaming.StreamingResidue.deleteRecursively(tmp)
       }
     },
     Some(raw"""
@@ -1079,8 +1078,12 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
     * `tmp/replay` — the deterministic replay fixture shared by the
     * graft-replay queries (batch boundaries are real time progress,
     * so windows/watermarks advance across micro-batches). */
+  /** Stage the events corpus as 4 time-sliced replay segments in
+    * `target`. Cached per corpus by the caller ([[graft.FixtureCache]])
+    * — q376 and q377 share one staged layout instead of each
+    * re-deriving it per run. */
   private def stageEventSegments(s: SparkSession, dir: String,
-      tmp: java.nio.file.Path): java.nio.file.Path = {
+      target: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     val ev = Tables(s, dir, "events").select(
       expr("unix_micros(ts)").as("ts_us"),
@@ -1089,30 +1092,31 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
     val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us"))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val span = math.max(1L, (hi - lo) / 4 + 1)
-    val replayDir = Files.createDirectory(tmp.resolve("replay"))
-    for (i <- 0 until 4) {
-      val stage = tmp.resolve(s"stage$i")
-      ev.where(col("ts_us") >= lo + i * span &&
-          col("ts_us") < lo + (i + 1) * span)
-        .select(concat_ws(",", col("ts_us"), col("user_id"),
-          col("event_type"), col("cents")).as("line"))
-        .coalesce(1).write.mode("overwrite").text(stage.toString)
-      val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-        .find(f => f.getName.startsWith("part-")).get
-      Files.move(part.toPath, replayDir.resolve(f"seg$i%02d.csv"))
-    }
-    replayDir
+    val work = Files.createTempDirectory("graft_replay_stage")
+    try {
+      for (i <- 0 until 4) {
+        val stage = work.resolve(s"stage$i")
+        ev.where(col("ts_us") >= lo + i * span &&
+            col("ts_us") < lo + (i + 1) * span)
+          .select(concat_ws(",", col("ts_us"), col("user_id"),
+            col("event_type"), col("cents")).as("line"))
+          .coalesce(1).write.mode("overwrite").text(stage.toString)
+        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-")).get
+        Files.move(part.toPath, target.resolve(f"seg$i%02d.csv"))
+      }
+    } finally graft.streaming.StreamingResidue.deleteRecursively(work)
   }
 
   val q376 = QuerySpec("q376_custom_stream_source",
     (s, dir) => {
       import java.nio.file.{Files, Paths}
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = Files.createTempDirectory("graft_q376_replay")
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val replayDir = stageEventSegments(s, dir, tmp)
+        val replayDir = graft.FixtureCache.staged(dir, "events_replay4")(
+          t => stageEventSegments(s, dir, t))
         val agg = s.readStream.format("graft-replay")
           .option("path", replayDir.toString)
           .option("maxFilesPerBatch", 1).load()
@@ -1145,7 +1149,6 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
         }
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-        graft.streaming.StreamingResidue.deleteRecursively(tmp)
       }
     },
     Some(raw"""
@@ -1184,7 +1187,8 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val replayDir = stageEventSegments(s, dir, tmp)
+        val replayDir = graft.FixtureCache.staged(dir, "events_replay4")(
+          t => stageEventSegments(s, dir, t))
         val outDir = tmp.resolve("landed")
         val ckpt = Files.createTempDirectory("graft_q377_ckpt")
         val q = s.readStream.format("graft-replay")
@@ -1254,13 +1258,13 @@ FROM (
   val q378 = QuerySpec("q378_dsv2_metadata_pruning",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q378_meta")
-      try {
-        Tables(s, dir, "orders")
-          .select(col("o_orderpriority").as("g"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
-          .repartition(8)
-          .write.mode("overwrite").partitionBy("g").csv(tmp.toString)
+      locally {
+        val tmp = graft.FixtureCache.staged(dir, "ord_prio_keyed8_csv")(
+          t => Tables(s, dir, "orders")
+            .select(col("o_orderpriority").as("g"),
+              expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+            .repartition(8)
+            .write.mode("overwrite").partitionBy("g").csv(t.toString))
         def t = s.read.format("graft-shard-keyed")
           .option("path", tmp.toString).load()
         def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
@@ -1290,7 +1294,7 @@ FROM (
         require(parts.map(_.getLong(2)).sum == total,
           "pruned rollup disagrees with per-shard provenance sum")
         s.createDataFrame(java.util.Arrays.asList(parts: _*), prov.schema)
-      } finally graft.streaming.StreamingResidue.deleteRecursively(tmp)
+      }
     },
     Some(raw"""
 SELECT 'g=' || o_orderpriority AS shard_dir,
@@ -1323,7 +1327,6 @@ FROM orders GROUP BY 1 ORDER BY 1
       import org.apache.spark.sql.execution.{SortExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      val tmp = Files.createTempDirectory("graft_q379_smj")
       val BucketKey = "spark.sql.sources.v2.bucketing.enabled"
       val BcastKey = "spark.sql.autoBroadcastJoinThreshold"
       // AQE re-plans tiny shuffles into broadcast joins through its OWN
@@ -1363,13 +1366,12 @@ FROM orders GROUP BY 1 ORDER BY 1
         val median = ord.agg(max("o_orderkey")).head
           .getAs[Number](0).longValue / 2
         def stage(name: String,
-            frame: org.apache.spark.sql.DataFrame): String = {
-          val p = tmp.resolve(name).toString
-          frame.select(col("g"), col("x"))
-            .repartition(col("g")).sortWithinPartitions("g", "x")
-            .write.mode("overwrite").partitionBy("g").csv(p)
-          p
-        }
+            frame: org.apache.spark.sql.DataFrame): String =
+          graft.FixtureCache.staged(dir, s"ord_era_${name}_csv")(
+            t => frame.select(col("g"), col("x"))
+              .repartition(col("g")).sortWithinPartitions("g", "x")
+              .write.mode("overwrite").partitionBy("g").csv(t.toString))
+            .toString
         val early = stage("early", ord.where(col("o_orderkey") <= median))
         val late = stage("late",
           ord.where(col("o_orderkey") > median).unionByName(
@@ -1427,7 +1429,6 @@ FROM orders GROUP BY 1 ORDER BY 1
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
         }
-        graft.streaming.StreamingResidue.deleteRecursively(tmp)
       }
     },
     Some(raw"""

@@ -102,6 +102,73 @@ class RegistryLintSpec extends SparkSpec {
     assert(bad.isEmpty, "\n" + bad.mkString("\n"))
   }
 
+  test("no single-partition DSv2 BatchScan over corpus-proportional " +
+      "rows — a connector that plans one InputPartition for a big " +
+      "table serializes the whole read at 100 TB") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- graft.queries.Registry.all) {
+      try {
+        val plan = q.fn(spark, dir).queryExecution.analyzed
+        bad ++= BroadcastLint.singlePartitionCorpusScans(plan, spark)
+          .map(s => s"${q.name}: $s")
+      } catch { case _: Throwable => () } // fn errors are test #2's job
+      CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+    assert(bad.isEmpty, "\n" + bad.mkString("\n"))
+  }
+
+  test("single-partition-scan lint catches a deliberately misused " +
+      "one-group catalog table holding the corpus, and passes " +
+      "multi-group and bounded-rollup tables") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lint_cat")
+    val cat = s"graftlint${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    try {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView(s"ord_$cat")
+      // MISUSE: the whole corpus shoved into ONE group file — the
+      // scan plans a single InputPartition for corpus-sized data
+      spark.sql(s"CREATE TABLE $cat.db.big (k BIGINT, seg STRING, " +
+        "v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.big " +
+        s"SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderpriority, " +
+        s"cast(round(o_totalprice * 100) as bigint) FROM ord_$cat")
+      val flagged = BroadcastLint.singlePartitionCorpusScans(
+        spark.sql(s"SELECT sum(v) AS s FROM $cat.db.big")
+          .queryExecution.analyzed, spark)
+      assert(flagged.nonEmpty,
+        "a 1-group corpus-sized catalog scan escaped the lint")
+      // the SAME corpus across several groups: parallel scan, passes
+      spark.sql(s"CREATE TABLE $cat.db.sharded (k BIGINT, seg STRING, " +
+        "v BIGINT)")
+      for (m <- 0 to 3)
+        spark.sql(s"INSERT INTO $cat.db.sharded " +
+          s"SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderpriority, " +
+          s"cast(round(o_totalprice * 100) as bigint) FROM ord_$cat " +
+          s"WHERE o_orderkey % 4 = $m")
+      assert(BroadcastLint.singlePartitionCorpusScans(
+        spark.sql(s"SELECT sum(v) AS s FROM $cat.db.sharded")
+          .queryExecution.analyzed, spark).isEmpty)
+      // a bounded rollup in one group is fine — small data, one task
+      spark.sql(s"CREATE TABLE $cat.db.small (k BIGINT, seg STRING, " +
+        "v BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.small " +
+        s"SELECT /*+ REPARTITION(1) */ o_orderkey % 50, " +
+        s"max(o_orderpriority), " +
+        s"sum(cast(round(o_totalprice * 100) as bigint)) " +
+        s"FROM ord_$cat GROUP BY 1")
+      assert(BroadcastLint.singlePartitionCorpusScans(
+        spark.sql(s"SELECT sum(v) AS s FROM $cat.db.small")
+          .queryExecution.analyzed, spark).isEmpty)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      graft.streaming.StreamingResidue.deleteRecursively(root)
+    }
+  }
+
   test("global-window lint catches a deliberate raw-corpus window " +
       "and passes the histogram-rank idiom") {
     import org.apache.spark.sql.expressions.Window
@@ -279,6 +346,57 @@ object BroadcastLint {
             }
           } catch { case _: Throwable => () }
         }
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** The DSv2 sibling of the window lints (r16 verdict #7): a custom
+    * connector whose Batch plans ONE InputPartition for
+    * corpus-proportional data serializes the whole read on one task —
+    * exactly the shape round 16's one-group-per-table GraftCatalog
+    * had. For every DataSourceV2Relation leaf in the analyzed plan,
+    * plan its scan (driver-side only — no job runs for the partition
+    * count) and, when it yields a single partition, probe the
+    * relation's row count at the lint's tiny SF; corpus tables exceed
+    * 1000 rows even at sf0.001 while bounded rollups stay under.
+    * Streaming relations and probe failures are skipped — covered by
+    * their own specs. */
+  def singlePartitionCorpusScans(plan: LogicalPlan,
+      spark: org.apache.spark.sql.SparkSession): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2Relation}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case r: DataSourceV2Relation =>
+        try {
+          val scans = spark.sessionState.executePlan(r).executedPlan
+            .collect { case b: BatchScanExec => b }
+          scans.foreach { b =>
+            // FileScan partitioning is BYTE-driven (maxPartitionBytes):
+            // a tiny lint-SF parquet reads as one partition but splits
+            // automatically as the corpus grows — the lint targets
+            // connectors with FIXED group geometry, where one
+            // partition at any SF stays one partition at 100 TB
+            val byteDriven = b.scan.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.FileScan]
+            val nParts = b.scan.toBatch.planInputPartitions().length
+            if (nParts == 1 && !byteDriven) {
+              val cnt = Alias(Count(Literal(1)).toAggregateExpression(),
+                "cnt")()
+              val rows = spark.sessionState
+                .executePlan(Aggregate(Nil, Seq(cnt), r))
+                .executedPlan.executeCollect().head.getLong(0)
+              if (rows > 1000)
+                out += s"single-partition BatchScan " +
+                  s"(${b.scan.getClass.getSimpleName}) reading $rows " +
+                  "rows at lint SF — one task reads ~the corpus at " +
+                  "100 TB; key the source's groups/files so the scan " +
+                  "plans parallel partitions"
+            }
+          }
+        } catch { case _: Throwable => () }
       case _ => ()
     }
     out.toSeq
