@@ -257,5 +257,151 @@ SELECT * FROM (
 ) ORDER BY version, phase
 """))
 
-  def all: Seq[QuerySpec] = Seq(q386, q387)
+  /** q388 — METADATA-ONLY AGGREGATES over the DSv2 catalog
+    * ([[org.apache.spark.sql.connector.read.SupportsPushDownAggregates]],
+    * complete pushdown): an ungrouped COUNT(* )/COUNT(col)/MIN/MAX on
+    * BIGINT columns is answered straight from the manifest's per-file
+    * row counts and min/max/null-count stats — the plan's scan is the
+    * one-row `graft-rl-agg` leaf and NO data file is opened (the
+    * Iceberg metadata-table trick; `SELECT count(*)` on a 100 TB
+    * table is a driver-side fold). The query REQUIRES the fast path
+    * fired in the plan, and that the guarded cases fall back: a WHERE
+    * defeats the proof (rows would need scanning — inexact filter
+    * pushdown means Spark keeps the filter and refuses the agg push),
+    * as does GROUP BY. NULL discipline: count(v) subtracts per-file
+    * null counts; min/max ignore nulls by SQL semantics, so all-null
+    * files contribute nothing. The oracle replays every measure
+    * relationally from the corpus. */
+  val q388 = QuerySpec("q388_metadata_only_agg",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q388_cat")
+      val cat = s"graftma${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.ma (k BIGINT, seg STRING, v BIGINT)")
+        // v is NULLed on every 7th key so count(v)/min(v) exercise the
+        // per-file null-count stats, not just row counts
+        s.sql(s"""
+          SELECT k, seg, CASE WHEN k % 7 = 0 THEN NULL ELSE v END AS v
+          FROM (${seedSql(s"ord_$cat",
+            "o_orderdate < DATE'1996-01-01'")})""")
+          .createOrReplaceTempView(s"masrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.ma " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM masrc_$cat " +
+            s"WHERE $slice")
+        val fast = s.sql(s"SELECT count(*) AS n, count(v) AS nv, " +
+          s"min(k) AS mink, max(k) AS maxk, min(v) AS minv, " +
+          s"max(v) AS maxv FROM $cat.db.ma")
+        require(fast.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "metadata-only aggregate scan missing from the plan")
+        // guarded fallbacks: a filter or a grouping defeats the proof
+        val hi = s.sql(
+          s"SELECT count(*) AS n_hi FROM $cat.db.ma WHERE k >= 67")
+        require(!hi.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "a filtered aggregate must NOT take the metadata path")
+        require(!s.sql(s"SELECT seg, count(*) FROM $cat.db.ma GROUP BY seg")
+          .queryExecution.executedPlan.toString.contains("graft-rl-agg"),
+          "a grouped aggregate must NOT take the metadata path")
+        val out = fast.crossJoin(hi)
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"masrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v0
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), t AS (
+  SELECT k, CASE WHEN k % 7 = 0 THEN NULL ELSE v0 END AS v FROM seed
+)
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(v) AS BIGINT) AS nv,
+  CAST(min(k) AS BIGINT) AS mink, CAST(max(k) AS BIGINT) AS maxk,
+  CAST(min(v) AS BIGINT) AS minv, CAST(max(v) AS BIGINT) AS maxv,
+  CAST((SELECT count(*) FROM t WHERE k >= 67) AS BIGINT) AS n_hi
+FROM t
+"""))
+
+  /** q389 — METADATA-ONLY DELETE
+    * ([[org.apache.spark.sql.connector.catalog.SupportsDeleteV2]] +
+    * Spark's OptimizeMetadataOnlyDeleteFromTable): deleting a key
+    * range ALIGNED with the file-keyed groups is a pure manifest edit
+    * — the per-file min/max/null-count stats PROVE every group either
+    * all-match (dropped from the next manifest) or none-match (kept),
+    * so retiring an era from a 100 TB table costs zero data I/O. The
+    * query REQUIRES the fast path left the data files untouched, then
+    * issues a MISALIGNED delete that splits a group and REQUIRES the
+    * copy-on-write fallback staged a replacement file — the proof
+    * engine may refuse, never lie (GraftCatalogSpec pins the NULL
+    * case: a file with a NULL key can never be dropped by proof,
+    * because SQL DELETE keeps NULL-predicate rows). Time travel keeps
+    * every pre-delete version addressable. */
+  val q389 = QuerySpec("q389_metadata_only_delete",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q389_cat")
+      val cat = s"graftmd${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val hook = graft.sources.GraftCatalogTestHook
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.md (k BIGINT, seg STRING, v BIGINT)")
+        val tdir = root.resolve("db").resolve("md")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"mdsrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.md " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM mdsrc_$cat " +
+            s"WHERE $slice")
+        def disk: Set[String] = Option(tdir.toFile.listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+          .filter(n => n.startsWith("data-") && n.endsWith(".tsv")).toSet
+        val before = disk
+        val g1 = hook.manifestFiles(tdir, 1L).toSet
+        s.sql(s"DELETE FROM $cat.db.md WHERE k < 34") // aligned → v4
+        require(disk == before,
+          "aligned delete must be metadata-only: no data file " +
+            "created or removed")
+        require(hook.manifestFiles(tdir, 4L).toSet ==
+          hook.manifestFiles(tdir, 3L).toSet -- g1,
+          "aligned delete should have dropped exactly the first group")
+        s.sql(s"DELETE FROM $cat.db.md WHERE k < 50") // splits group 2
+        require(disk != before,
+          "misaligned delete must fall back to the COW rewrite")
+        val out = s.sql(s"SELECT k, seg, v FROM $cat.db.md ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"mdsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v
+FROM seed WHERE k >= 50 ORDER BY k
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q386, q387, q388, q389)
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{Filter => SFilter}
 import org.apache.spark.sql.{sources => sf}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -239,18 +239,34 @@ private[sources] object GraftRlConcurrencyHook {
 /** Manifest + group-file model: a table version is the list of
   * immutable group files named by `v<NNNNN>.manifest`, one line per
   * group — `<file> \t <rows> \t <stats>` where stats is a
-  * comma-joined per-column token, `lo:hi` (decimal) for a BIGINT
-  * column with at least one non-null value and `-` otherwise. The
-  * stats power static group pruning; they are advisory (a missing or
-  * `-` token just means "cannot prune"). */
+  * comma-joined per-column token: `lo:hi:nulls` (decimal) for a
+  * BIGINT column with at least one non-null value, `N:nulls` for an
+  * all-null BIGINT column, `-` otherwise (non-BIGINT, or a legacy
+  * `lo:hi` token without a null count). The stats power static group
+  * pruning, metadata-only COUNT/MIN/MAX, and metadata-only DELETE;
+  * they are advisory for pruning (an unknown token just means
+  * "cannot prune") and LOAD-BEARING only where a proof is required —
+  * there an unknown token makes the fast path refuse, never lie. */
 private[sources] object GraftRl {
   final case class GroupFile(name: String, rows: Long, statsToken: String) {
-    /** column index → (min, max) for BIGINT columns with stats */
+    private lazy val tokens: Array[String] = statsToken.split(",", -1)
+    /** column index → (min, max) over NON-NULL values */
     lazy val longStats: Map[Int, (Long, Long)] =
-      statsToken.split(",", -1).zipWithIndex.collect {
-        case (tok, i) if tok.nonEmpty && tok != "-" =>
-          val Array(lo, hi) = tok.split(":", 2)
-          i -> (lo.toLong, hi.toLong)
+      tokens.zipWithIndex.collect {
+        case (tok, i) if tok.nonEmpty && tok != "-" &&
+            !tok.startsWith("N:") =>
+          val parts = tok.split(":", 3)
+          i -> (parts(0).toLong, parts(1).toLong)
+      }.toMap
+    /** column index → null count; absent when unknown (legacy token
+      * or non-BIGINT column) */
+    lazy val longNulls: Map[Int, Long] =
+      tokens.zipWithIndex.collect {
+        case (tok, i) if tok.startsWith("N:") =>
+          i -> tok.stripPrefix("N:").toLong
+        case (tok, i) if tok.nonEmpty && tok != "-" &&
+            tok.count(_ == ':') == 2 =>
+          i -> tok.split(":", 3)(2).toLong
       }.toMap
     def manifestLine: String = s"$name\t$rows\t$statsToken"
   }
@@ -359,6 +375,143 @@ private[sources] object GraftRl {
         mightMatch(gf, longIdx, l) || mightMatch(gf, longIdx, r)
       case _ => true
     }
+  }
+
+  /** Tri-state per-file predicate coverage — the proof engine behind
+    * METADATA-ONLY DELETE: `AllRows` means every row of the file
+    * provably satisfies the predicate (drop the whole file from the
+    * manifest, zero data I/O), `NoRows` means provably none does
+    * (keep untouched), `SomeRows` means unprovable either way (the
+    * caller must fall back to the copy-on-write rewrite). SQL null
+    * semantics are honored: a NULL predicate keeps its row, so an
+    * all-match proof additionally requires a ZERO null count on every
+    * referenced column — a legacy stats token without null counts can
+    * prove NoRows but never AllRows. Everything unrecognized
+    * degrades to SomeRows: the fast path may refuse, never lie. */
+  sealed trait Coverage
+  case object AllRows extends Coverage
+  case object NoRows extends Coverage
+  case object SomeRows extends Coverage
+
+  def deleteCoverage(gf: GroupFile, longIdx: Map[String, Int],
+      p: Predicate): Coverage = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    def refCol(e: VExpr): Option[Int] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        longIdx.get(r.fieldNames()(0))
+      case _ => None
+    }
+    def litLong(e: VExpr): Option[Long] = e match {
+      case l: VLit[_] => l.value match {
+        case v: java.lang.Long => Some(v)
+        case v: java.lang.Integer => Some(v.toLong)
+        case v: java.lang.Short => Some(v.toLong)
+        case v: java.lang.Byte => Some(v.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
+    /** (allNonNull, noneNonNull) for `col <op> v` over the file's
+      * non-null domain [lo, hi]; vacuous (true, true) when the file
+      * has no non-null values in the column. */
+    def cmp(op: String, i: Int, v: Long): Option[(Boolean, Boolean)] =
+      gf.longStats.get(i) match {
+        case None if gf.longNulls.get(i).contains(gf.rows) =>
+          Some((true, true)) // all-null column: no non-null rows exist
+        case None => None // legacy/unknown stats: no proof either way
+        case Some((lo, hi)) => op match {
+          case "=" => Some((lo == v && hi == v, v < lo || v > hi))
+          case "<=>" => Some((lo == v && hi == v, v < lo || v > hi))
+          case "<" => Some((hi < v, lo >= v))
+          case "<=" => Some((hi <= v, lo > v))
+          case ">" => Some((lo > v, hi <= v))
+          case ">=" => Some((lo >= v, hi < v))
+          case "<>" => Some((v < lo || v > hi, lo == v && hi == v))
+          case _ => None
+        }
+      }
+    def nullsKnownZero(i: Int): Boolean = gf.longNulls.get(i).contains(0L)
+    // NULL comparisons are never TRUE (<=> against a non-null literal
+    // included): nulls count toward "none", and they break an "all"
+    // proof unless the null count is known to be zero
+    def fromNonNull(i: Int, an: Boolean, nn: Boolean,
+        nullSafe: Boolean): Coverage =
+      if (nn) NoRows
+      else if (an && nullsKnownZero(i)) AllRows
+      else SomeRows
+    def eval(pred: Predicate): Coverage = pred match {
+      case a: org.apache.spark.sql.connector.expressions.filter.And =>
+        (eval(a.left()), eval(a.right())) match {
+          case (AllRows, AllRows) => AllRows
+          case (NoRows, _) | (_, NoRows) => NoRows
+          case _ => SomeRows
+        }
+      case o: org.apache.spark.sql.connector.expressions.filter.Or =>
+        (eval(o.left()), eval(o.right())) match {
+          case (NoRows, NoRows) => NoRows
+          case (AllRows, _) | (_, AllRows) => AllRows
+          case _ => SomeRows
+        }
+      case _ => pred.name() match {
+        case "ALWAYS_TRUE" => AllRows
+        case "ALWAYS_FALSE" => NoRows
+        case "IS_NULL" =>
+          refCol(pred.children()(0)).flatMap(i =>
+            gf.longNulls.get(i).map(n =>
+              if (n == gf.rows) AllRows
+              else if (n == 0L) NoRows else SomeRows))
+            .getOrElse(SomeRows)
+        case "IS_NOT_NULL" =>
+          refCol(pred.children()(0)).flatMap(i =>
+            gf.longNulls.get(i).map(n =>
+              if (n == 0L) AllRows
+              else if (n == gf.rows) NoRows else SomeRows))
+            .getOrElse(SomeRows)
+        case op @ ("=" | "<=>" | "<" | "<=" | ">" | ">=" | "<>") =>
+          val ch = pred.children()
+          if (ch.length != 2) SomeRows
+          else {
+            val direct = for {
+              i <- refCol(ch(0)); v <- litLong(ch(1))
+              r <- cmp(op, i, v)
+            } yield (i, r)
+            val flippedOp = op match {
+              case "<" => ">" case "<=" => ">="
+              case ">" => "<" case ">=" => "<=" case other => other
+            }
+            val flipped = for {
+              i <- refCol(ch(1)); v <- litLong(ch(0))
+              r <- cmp(flippedOp, i, v)
+            } yield (i, r)
+            direct.orElse(flipped) match {
+              case Some((i, (an, nn))) =>
+                fromNonNull(i, an, nn, nullSafe = op == "<=>")
+              case None => SomeRows
+            }
+          }
+        case "IN" =>
+          val ch = pred.children()
+          refCol(ch.head) match {
+            case Some(i) =>
+              val vs = ch.tail.flatMap(litLong)
+              if (vs.length != ch.length - 1) SomeRows
+              else {
+                val per = vs.map(v => cmp("=", i, v))
+                if (per.exists(_.isEmpty)) SomeRows
+                else {
+                  val covs = per.flatten
+                  if (covs.forall(_._2)) NoRows // no value can match
+                  else if (covs.exists(_._1) && nullsKnownZero(i))
+                    AllRows // one value covers the whole file
+                  else SomeRows
+                }
+              }
+            case None => SomeRows
+          }
+        case _ => SomeRows
+      }
+    }
+    if (gf.rows == 0L) NoRows else eval(p)
   }
 
   /** Extract the group names admitted by a runtime `_file IN (...)` /
@@ -478,7 +631,58 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
     tableSchema: StructType, version: Long,
     files: Seq[GraftRl.GroupFile], writable: Boolean)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsRowLevelOperations with SupportsMetadataColumns {
+  with SupportsRowLevelOperations with SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  private lazy val longIdx: Map[String, Int] =
+    tableSchema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType => f.name -> i
+    }.toMap
+
+  private def conjCoverage(gf: GraftRl.GroupFile,
+      predicates: Array[Predicate]): GraftRl.Coverage =
+    predicates.foldLeft(GraftRl.AllRows: GraftRl.Coverage) { (acc, p) =>
+      (acc, GraftRl.deleteCoverage(gf, longIdx, p)) match {
+        case (GraftRl.NoRows, _) | (_, GraftRl.NoRows) => GraftRl.NoRows
+        case (GraftRl.AllRows, GraftRl.AllRows) => GraftRl.AllRows
+        case _ => GraftRl.SomeRows
+      }
+    }
+
+  /** METADATA-ONLY DELETE ([[SupportsDeleteV2]]): Spark's
+    * OptimizeMetadataOnlyDeleteFromTable replaces the copy-on-write
+    * rewrite with a pure manifest edit whenever every group file is
+    * PROVABLY all-match (drop it) or none-match (keep it) under the
+    * delete predicates — the per-file min/max/null-count stats are
+    * the proof. Deleting an aligned key range from a 100 TB table
+    * then costs zero data I/O: no scan, no rewrite, one manifest.
+    * Any unprovable file makes canDeleteWhere refuse and the
+    * row-level COW path runs instead — the fast path may refuse,
+    * never lie. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    writable && files.forall(gf =>
+      conjCoverage(gf, predicates) != GraftRl.SomeRows)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(writable,
+      s"graft catalog: $ident is a versioned snapshot and is read-only")
+    val keep = files.filter(gf =>
+      conjCoverage(gf, predicates) != GraftRl.AllRows)
+    if (!GraftRl.publish(dir, version + 1, GraftRl.render(keep)))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent commit on $ident — metadata " +
+          s"delete read snapshot v$version but v${version + 1} was " +
+          "published by another writer; re-run the statement")
+  }
+
+  override def truncateTable(): Boolean = {
+    require(writable,
+      s"graft catalog: $ident is a versioned snapshot and is read-only")
+    if (!GraftRl.publish(dir, version + 1, ""))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent commit on $ident during TRUNCATE")
+    true
+  }
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
@@ -575,11 +779,13 @@ private[sources] class GraftRlScanBuilder(dir: Path,
     tableSchema: StructType, files: Seq[GraftRl.GroupFile],
     op: Option[GraftRlOperation])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var candidates: Seq[GraftRl.GroupFile] = files
   private var accepted: Array[SFilter] = Array.empty
+  private var agg: Option[(StructType, Array[java.lang.Long])] = None
   private val longIdx: Map[String, Int] =
     tableSchema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType => f.name -> i
@@ -596,13 +802,125 @@ private[sources] class GraftRlScanBuilder(dir: Path,
   }
   override def pushedFilters(): Array[SFilter] = accepted
 
-  override def build(): Scan = op match {
-    case Some(o) =>
-      new GraftRlRowLevelScan(dir, tableSchema, required, candidates, o)
-    case None =>
-      new GraftRlScan(dir, tableSchema, required, candidates, None)
+  /** METADATA-ONLY COUNT/MIN/MAX ([[SupportsPushDownAggregates]],
+    * complete pushdown): an ungrouped COUNT(*) / MIN / MAX over
+    * BIGINT columns is answered straight from the manifest — row
+    * counts summed, per-file mins/maxs folded — so `SELECT count(*)`
+    * on a 100 TB table reads ZERO data files (the Iceberg
+    * metadata-table trick). Refused whenever a proof is impossible:
+    * any filter present (rows would need scanning), a grouping, a
+    * non-BIGINT column, or a file whose stats token predates null
+    * counts. MIN/MAX ignore nulls by SQL semantics, so all-null
+    * files simply contribute nothing. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions
+        .aggregate.Aggregation): Boolean =
+    translateAgg(aggregation).isDefined
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions
+        .aggregate.Aggregation): Boolean = {
+    agg = translateAgg(aggregation)
+    agg.isDefined
+  }
+
+  private def translateAgg(
+      aggregation: org.apache.spark.sql.connector.expressions
+        .aggregate.Aggregation)
+      : Option[(StructType, Array[java.lang.Long])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    if (accepted.nonEmpty) return None // filtered: values need a scan
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        longIdx.get(r.fieldNames()(0))
+      case _ => None
+    }
+    // a file with rows but no usable stats for the column defeats the
+    // proof; an all-null column (N: token) legitimately contributes
+    // nothing to MIN/MAX
+    def statsComplete(i: Int): Boolean = candidates.forall(gf =>
+      gf.rows == 0L || gf.longStats.contains(i) ||
+        gf.longNulls.get(i).contains(gf.rows))
+    val out = aggregation.aggregateExpressions().map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          java.lang.Long.valueOf(candidates.map(_.rows).sum)))
+      case c: Count if !c.isDistinct =>
+        // COUNT(col) = rows minus nulls — needs a null count per file
+        colOf(c.column()).filter(i => candidates.forall(gf =>
+          gf.rows == 0L || gf.longNulls.contains(i))).map { i =>
+          val v = candidates.map(gf =>
+            gf.rows - gf.longNulls.getOrElse(i, 0L)).sum
+          (StructField(s"count_$i", LongType, nullable = false),
+            java.lang.Long.valueOf(v))
+        }
+      case m: Min =>
+        colOf(m.column()).filter(statsComplete).map { i =>
+          val vs = candidates.flatMap(_.longStats.get(i)).map(_._1)
+          (StructField(s"min_$i", LongType, nullable = true),
+            if (vs.isEmpty) null
+            else java.lang.Long.valueOf(vs.min))
+        }
+      case m: Max =>
+        colOf(m.column()).filter(statsComplete).map { i =>
+          val vs = candidates.flatMap(_.longStats.get(i)).map(_._2)
+          (StructField(s"max_$i", LongType, nullable = true),
+            if (vs.isEmpty) null
+            else java.lang.Long.valueOf(vs.max))
+        }
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.flatten.map(_._1)),
+      out.flatten.map(_._2).toArray))
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, values)) => new GraftRlAggScan(dir, schema, values)
+    case None => op match {
+      case Some(o) =>
+        new GraftRlRowLevelScan(dir, tableSchema, required, candidates, o)
+      case None =>
+        new GraftRlScan(dir, tableSchema, required, candidates, None)
+    }
   }
 }
+
+/** The manifest-answered aggregate scan: one partition, one row, the
+  * values computed on the driver from stats — no data file is ever
+  * opened. The description advertises the fast path so plan asserts
+  * can pin it. */
+private[sources] class GraftRlAggScan(dir: Path, aggSchema: StructType,
+    values: Array[java.lang.Long]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rl-agg $dir metadata-only " +
+      s"[${aggSchema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRlAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[GraftRlAggPartition].values
+          private var served = false
+          override def next(): Boolean =
+            if (served) false else { served = true; true }
+          override def get(): InternalRow = InternalRow(
+            vals.map(v => if (v == null) null
+              else java.lang.Long.valueOf(v.longValue())).toIndexedSeq: _*)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] final case class GraftRlAggPartition(
+    values: Array[java.lang.Long]) extends InputPartition
 
 /** One InputPartition per group file — a table with N groups scans
   * with N-way parallelism (the single-task table scan was this
@@ -844,6 +1162,7 @@ private[sources] class GraftRlWriterFactory(dir: String,
       private val mins = Array.fill(nCols)(Long.MaxValue)
       private val maxs = Array.fill(nCols)(Long.MinValue)
       private val seen = Array.fill(nCols)(false)
+      private val nulls = Array.fill(nCols)(0L)
 
       /** Row-level rewrites have shipped rows in two shapes across
         * Spark 4 minors: with a leading `__row_operation` marker the
@@ -867,11 +1186,14 @@ private[sources] class GraftRlWriterFactory(dir: String,
         rows += 1
         var i = 0
         while (i < nCols) {
-          if (isLong(i) && !r.isNullAt(i + off)) {
-            val v = r.getLong(i + off)
-            if (v < mins(i)) mins(i) = v
-            if (v > maxs(i)) maxs(i) = v
-            seen(i) = true
+          if (isLong(i)) {
+            if (r.isNullAt(i + off)) nulls(i) += 1
+            else {
+              val v = r.getLong(i + off)
+              if (v < mins(i)) mins(i) = v
+              if (v > maxs(i)) maxs(i) = v
+              seen(i) = true
+            }
           }
           i += 1
         }
@@ -884,7 +1206,9 @@ private[sources] class GraftRlWriterFactory(dir: String,
           GraftRlStaged(name, 0L, "")
         } else {
           val token = (0 until nCols).map(i =>
-            if (seen(i)) s"${mins(i)}:${maxs(i)}" else "-").mkString(",")
+            if (seen(i)) s"${mins(i)}:${maxs(i)}:${nulls(i)}"
+            else if (isLong(i)) s"N:${nulls(i)}"
+            else "-").mkString(",")
           GraftRlStaged(name, rows, token)
         }
       }

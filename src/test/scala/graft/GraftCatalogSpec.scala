@@ -266,6 +266,85 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dataFilesOnDisk(dir) == referenced)
   }
 
+  test("metadata-only aggregates: ungrouped COUNT/MIN/MAX answered " +
+      "from the manifest without opening a data file") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.agg (k BIGINT, seg STRING, v BIGINT)")
+    ins1("graftrl.db.agg", "(5L,'a',10L),(1L,'a',CAST(NULL AS BIGINT))")
+    ins1("graftrl.db.agg", "(11L,'b',30L),(12L,'b',40L)")
+    ins1("graftrl.db.agg", "(CAST(NULL AS BIGINT),'c',CAST(NULL AS BIGINT))")
+    val q = spark.sql("SELECT count(*) AS n, count(v) AS nv, " +
+      "min(k) AS mink, max(k) AS maxk, min(v) AS minv " +
+      "FROM graftrl.db.agg")
+    assert(q.queryExecution.executedPlan.toString.contains("graft-rl-agg"),
+      "expected the metadata-only aggregate scan in the plan:\n" +
+        q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(5L, 3L, 1L, 12L, 10L)))
+    // a WHERE defeats the proof: normal scan, same SQL answer shape
+    val filtered = spark.sql("SELECT count(*) AS n FROM graftrl.db.agg " +
+      "WHERE k >= 11")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"))
+    assert(filtered.collect().head.getLong(0) == 2L)
+    // grouping defeats it too
+    val grouped = spark.sql("SELECT seg, count(*) AS n " +
+      "FROM graftrl.db.agg GROUP BY seg")
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"))
+    assert(grouped.collect().length == 3)
+    // empty table: count 0, min/max NULL — still metadata-only
+    spark.sql("CREATE TABLE graftrl.db.agge (k BIGINT, seg STRING, v BIGINT)")
+    val e = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mk FROM graftrl.db.agge")
+    assert(e.queryExecution.executedPlan.toString.contains("graft-rl-agg"))
+    val er = e.collect().head
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+  }
+
+  test("metadata-only DELETE: an aligned key-range delete edits the " +
+      "manifest and touches no data file; a misaligned one falls " +
+      "back to the copy-on-write rewrite") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.md (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("md")
+    ins1("graftrl.db.md", "(1L,'a',10L),(2L,'a',20L)")     // k 1..2
+    ins1("graftrl.db.md", "(11L,'b',30L),(12L,'b',40L)")   // k 11..12
+    ins1("graftrl.db.md", "(21L,'c',50L),(22L,'c',60L)")   // k 21..22
+    val before = dataFilesOnDisk(dir)
+    val g1 = Hook.manifestFiles(dir, 1L).toSet
+    // aligned: every file is provably all-match or none-match
+    spark.sql("DELETE FROM graftrl.db.md WHERE k < 10")
+    assert(dataFilesOnDisk(dir) == before,
+      "metadata delete must not create or remove any data file")
+    assert(Hook.manifestFiles(dir, 4L).toSet ==
+      Hook.manifestFiles(dir, 3L).toSet -- g1)
+    assert(sqlRows("SELECT k FROM graftrl.db.md ORDER BY k")
+      .map(_.head) == Seq(11L, 12L, 21L, 22L))
+    // time travel still sees the pre-delete state
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.md VERSION AS OF 3")
+      .head.head == 6L)
+    // misaligned: k < 12 splits the second group → COW rewrite runs,
+    // staging a replacement file for it
+    spark.sql("DELETE FROM graftrl.db.md WHERE k < 12")
+    assert(dataFilesOnDisk(dir) != before,
+      "expected the copy-on-write fallback to stage a replacement file")
+    assert(sqlRows("SELECT k FROM graftrl.db.md ORDER BY k")
+      .map(_.head) == Seq(12L, 21L, 22L))
+    // a predicate over nulls can never prove all-match: NULL keeps
+    // its row under SQL delete semantics
+    spark.sql("CREATE TABLE graftrl.db.mdn (k BIGINT, seg STRING, v BIGINT)")
+    val nd = root.resolve("db").resolve("mdn")
+    ins1("graftrl.db.mdn",
+      "(1L,'a',1L),(CAST(NULL AS BIGINT),'a',2L)")
+    val ndBefore = dataFilesOnDisk(nd)
+    spark.sql("DELETE FROM graftrl.db.mdn WHERE k < 10")
+    assert(dataFilesOnDisk(nd) != ndBefore,
+      "a file with a NULL key cannot be dropped by metadata proof")
+    assert(sqlRows("SELECT v FROM graftrl.db.mdn").map(_.head) == Seq(2L))
+  }
+
   test("catalog hygiene: duplicate create refuses, drop removes, " +
       "unsupported types refused") {
     root
