@@ -403,5 +403,102 @@ SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v
 FROM seed WHERE k >= 50 ORDER BY k
 """))
 
-  def all: Seq[QuerySpec] = Seq(q386, q387, q388, q389)
+  /** q390 — STORAGE-PARTITIONED JOIN over the catalog's partitioned
+    * tables: `CREATE TABLE … PARTITIONED BY (k)` keys group files BY
+    * PARTITION VALUE (the write's
+    * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * clusters incoming rows so each value lands in one file), and the
+    * scan reports `KeyGroupedPartitioning(identity(k))` from the
+    * manifest stats — so a join of two such tables on the partition
+    * key, plus the rollup above it, plans with ZERO shuffle exchanges
+    * under `spark.sql.sources.v2.bucketing.enabled`. This composes
+    * the q345/q379 storage-partitioned machinery with the DML tier:
+    * at 100 TB, reconciling two partitioned warehouse tables is a
+    * per-partition streaming pass, not a corpus shuffle — and the
+    * same per-value geometry is what makes q389's partition-aligned
+    * deletes metadata-only. Asserts: zero exchange in the executed
+    * fired plan (join AND aggregate), exchanges back in the
+    * bucketing-off control, broadcast pinned off so SMJ/SHJ is the
+    * strategy under test. The oracle replays the join relationally. */
+  val q390 = QuerySpec("q390_partitioned_catalog_spj",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q390_cat")
+      val cat = s"graftpj${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "-1")
+      s.conf.set(keys(2), "-1")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        for (t <- Seq("early", "late"))
+          s.sql(s"CREATE TABLE $cat.db.$t (k BIGINT, seg STRING, " +
+            "v BIGINT) PARTITIONED BY (k)")
+        s.sql(s"INSERT INTO $cat.db.early " +
+          seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+        s.sql(s"INSERT INTO $cat.db.late " +
+          seedSql(s"ord_$cat", "o_orderdate >= DATE'1996-01-01'"))
+        def reconcile = s.sql(s"""
+          SELECT e.k AS k, e.seg AS seg,
+            e.v AS early_cents, l.v AS late_cents, e.v + l.v AS total
+          FROM $cat.db.early e JOIN $cat.db.late l ON e.k = l.k""")
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        def hasExchange(df: org.apache.spark.sql.DataFrame): Boolean = {
+          df.collect()
+          def walk(p: SparkPlan): Boolean = p match {
+            case qs: QueryStageExec => walk(qs.plan)
+            case _ => p.isInstanceOf[ShuffleExchangeLike] ||
+              p.children.exists(walk)
+          }
+          walk(df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          })
+        }
+        val out = reconcile
+        require(!hasExchange(out),
+          "storage-partitioned catalog join should plan zero exchanges")
+        s.conf.set(keys(0), "false")
+        require(hasExchange(reconcile),
+          "bucketing-off control lost its exchange — assert is vacuous")
+        s.conf.set(keys(0), "true")
+        val sunk = out.orderBy("k").collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH early AS (
+  SELECT o_custkey % 100 AS k,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), late AS (
+  SELECT o_custkey % 100 AS k,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+)
+SELECT CAST(e.k AS BIGINT) AS k, e.seg,
+  CAST(e.v AS BIGINT) AS early_cents, CAST(l.v AS BIGINT) AS late_cents,
+  CAST(e.v + l.v AS BIGINT) AS total
+FROM early e JOIN late l ON e.k = l.k ORDER BY k
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q386, q387, q388, q389, q390)
 }

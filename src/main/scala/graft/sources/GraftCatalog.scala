@@ -110,6 +110,11 @@ class GraftCatalog extends TableCatalog {
     DataType.fromJson(Files.readString(schemaFile)).asInstanceOf[StructType]
   }
 
+  private def readPartCol(dir: Path): Option[String] = {
+    val p = dir.resolve("partcol")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     val schema = readSchema(dir, ident)
@@ -118,7 +123,7 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalStateException(
         s"graft catalog: ${ident.toString} current manifest v$cur unreadable"))
     new GraftRlTable(ident.toString, dir, schema, cur, files,
-      writable = true)
+      writable = true, partCol = readPartCol(dir))
   }
 
   /** Version n is manifest n — immutable data files make every
@@ -143,15 +148,33 @@ class GraftCatalog extends TableCatalog {
         s"graft catalog: ${ident.toString} version $v has been expired " +
           "by snapshot retention and is no longer addressable"))
     new GraftRlTable(s"${ident.toString}@v$v", dir, schema, v, files,
-      writable = false)
+      writable = false, partCol = readPartCol(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: explicit PARTITIONED BY not supported " +
-        "(groups are keyed by file)")
+    // PARTITIONED BY (col): at most one IDENTITY transform on a
+    // BIGINT column — each partition value becomes its own group
+    // file(s), making partition-keyed DML metadata-only and scans
+    // key-grouped by construction
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val refs = t.references()
+        require(t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames().length == 1,
+          s"graft catalog: only identity(<column>) partitioning is " +
+            s"supported, got $t")
+        val c = refs(0).fieldNames()(0)
+        require(schema.fields.exists(f => f.name == c &&
+          f.dataType == LongType),
+          s"graft catalog: partition column '$c' must be a BIGINT " +
+            "table column")
+        Some(c)
+      case many => throw new IllegalArgumentException(
+        s"graft catalog: at most one partition transform, got $many")
+    }
     schema.fields.foreach(f => require(
       f.dataType == LongType || f.dataType == StringType ||
         f.dataType == DoubleType,
@@ -164,10 +187,11 @@ class GraftCatalog extends TableCatalog {
         ident.namespace().toSeq :+ ident.name())
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schema.json)
+    partCol.foreach(c => Files.writeString(dir.resolve("partcol"), c))
     require(GraftRl.publish(dir, 0L, ""),
       s"graft catalog: concurrent CREATE of ${ident.toString}")
     new GraftRlTable(ident.toString, dir, schema, 0L, Seq.empty,
-      writable = true)
+      writable = true, partCol = partCol)
   }
 
   override def alterTable(ident: Identifier,
@@ -376,6 +400,43 @@ private[sources] object GraftRl {
       case _ => true
     }
   }
+
+  /** Writes to a partitioned table declare
+    * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * clustered on the partition column: Spark shuffles the incoming
+    * rows so each task sees whole partition values, keeping the
+    * file-per-value layout tight instead of scattering every value
+    * across every task's output file. */
+  def maybeClustered(partCol: Option[String],
+      bw: BatchWrite): Write = partCol match {
+    case Some(c) =>
+      new Write with org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering {
+        override def toBatch: BatchWrite = bw
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.identity(c)))
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+      }
+    case None => new Write { override def toBatch: BatchWrite = bw }
+  }
+
+  /** The single partition value of a file on column `i`, when
+    * provable: `Some(Some(v))` (constant non-null v, no nulls),
+    * `Some(None)` (all-null), `None` (mixed or unknown — the file
+    * does not respect the partition layout, so scans degrade to
+    * per-file partitions and no key grouping is claimed). */
+  def partValueOf(gf: GroupFile, i: Int): Option[Option[Long]] =
+    gf.longStats.get(i) match {
+      case Some((lo, hi)) if lo == hi &&
+          gf.longNulls.get(i).contains(0L) => Some(Some(lo))
+      case None if gf.rows > 0L &&
+          gf.longNulls.get(i).contains(gf.rows) => Some(None)
+      case _ => None
+    }
 
   /** Tri-state per-file predicate coverage — the proof engine behind
     * METADATA-ONLY DELETE: `AllRows` means every row of the file
@@ -629,10 +690,19 @@ private[sources] object GraftRlTable {
 
 private[sources] class GraftRlTable(ident: String, dir: Path,
     tableSchema: StructType, version: Long,
-    files: Seq[GraftRl.GroupFile], writable: Boolean)
+    files: Seq[GraftRl.GroupFile], writable: Boolean,
+    partCol: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  private def partIdx: Option[Int] = partCol.map(tableSchema.fieldIndex)
+
+  /** `PARTITIONED BY (identity(col))` — reported back to Spark so
+    * SHOW CREATE / catalog introspection see the layout, and the
+    * scan's KeyGroupedPartitioning claim has a declared source. */
+  override def partitioning(): Array[Transform] =
+    partCol.map(c => Expressions.identity(c)).toArray
 
   private lazy val longIdx: Map[String, Int] =
     tableSchema.fields.zipWithIndex.collect {
@@ -708,12 +778,13 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRlScanBuilder(dir, tableSchema, files, None)
+    new GraftRlScanBuilder(dir, tableSchema, files, None,
+      partCol.map(c => (c, tableSchema.fieldIndex(c))))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
-    new GraftRlWriteBuilder(dir, tableSchema, info.schema())
+    new GraftRlWriteBuilder(dir, tableSchema, info.schema(), partCol)
   }
 
   override def newRowLevelOperationBuilder(
@@ -722,7 +793,7 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new GraftRlOperation(
-        dir, ident, tableSchema, version, files, info.command())
+        dir, ident, tableSchema, version, files, info.command(), partCol)
     }
   }
 }
@@ -737,7 +808,8 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
 private[sources] class GraftRlOperation(dir: Path, ident: String,
     schema: StructType, baseVersion: Long,
     baseFiles: Seq[GraftRl.GroupFile],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    partCol: Option[String] = None) extends RowLevelOperation {
 
   @volatile private var scanned: Option[Seq[String]] = None
   def recordScanned(names: Seq[String]): Unit = scanned = Some(names)
@@ -751,7 +823,7 @@ private[sources] class GraftRlOperation(dir: Path, ident: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRlScanBuilder(dir, schema, baseFiles, Some(this))
+    new GraftRlScanBuilder(dir, schema, baseFiles, Some(this), None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -759,11 +831,10 @@ private[sources] class GraftRlOperation(dir: Path, ident: String,
       s"graft catalog: replace-write schema " +
         s"${info.schema().simpleString} != table ${schema.simpleString}")
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftRlReplaceWrite(
-          dir, ident, schema, baseVersion, baseFiles,
-          GraftRlOperation.this)
-      }
+      override def build(): Write = GraftRl.maybeClustered(partCol,
+        new GraftRlReplaceWrite(dir, ident, schema, baseVersion,
+          baseFiles, GraftRlOperation.this,
+          partCol.map(schema.fieldIndex)))
     }
   }
 }
@@ -777,7 +848,7 @@ private[sources] class GraftRlOperation(dir: Path, ident: String,
   * scan whose unread groups are silently kept). */
 private[sources] class GraftRlScanBuilder(dir: Path,
     tableSchema: StructType, files: Seq[GraftRl.GroupFile],
-    op: Option[GraftRlOperation])
+    op: Option[GraftRlOperation], partInfo: Option[(String, Int)])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -884,7 +955,8 @@ private[sources] class GraftRlScanBuilder(dir: Path,
       case Some(o) =>
         new GraftRlRowLevelScan(dir, tableSchema, required, candidates, o)
       case None =>
-        new GraftRlScan(dir, tableSchema, required, candidates, None)
+        new GraftRlScan(dir, tableSchema, required, candidates, None,
+          partInfo)
     }
   }
 }
@@ -924,10 +996,22 @@ private[sources] final case class GraftRlAggPartition(
 
 /** One InputPartition per group file — a table with N groups scans
   * with N-way parallelism (the single-task table scan was this
-  * catalog's round-16 weakness). */
+  * catalog's round-16 weakness). A PARTITIONED table goes further:
+  * group files are bucketed by their provable partition value and the
+  * scan reports `KeyGroupedPartitioning(identity(partCol))`
+  * ([[SupportsReportPartitioning]]), so joins and aggregates keyed on
+  * the partition column run with ZERO exchange under
+  * `spark.sql.sources.v2.bucketing.enabled` — storage-partitioned
+  * execution straight off the manifest. The claim degrades honestly:
+  * a pruned-away partition column, an empty scan, or any file whose
+  * stats cannot prove a single value (a pre-partitioning layout)
+  * falls back to per-file UnknownPartitioning. */
 private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     required: StructType, initial: Seq[GraftRl.GroupFile],
-    op: Option[GraftRlOperation]) extends Scan with Batch {
+    op: Option[GraftRlOperation],
+    partInfo: Option[(String, Int)] = None)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile protected var kept: Seq[GraftRl.GroupFile] = initial
 
@@ -937,13 +1021,49 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     s"graft-rl-table $dir groups=${kept.size} " +
       s"columns=[${required.fieldNames.mkString(",")}]"
 
+  /** (nullKey?, key, files) per provable partition value — None when
+    * key grouping cannot be claimed. */
+  private def keyedGroups
+      : Option[Seq[(Boolean, Long, Seq[GraftRl.GroupFile])]] =
+    partInfo.flatMap { case (name, idx) =>
+      if (!required.fieldNames.contains(name) || kept.isEmpty) None
+      else {
+        val vals = kept.map(f => GraftRl.partValueOf(f, idx))
+        if (vals.contains(None)) None
+        else Some(kept.zip(vals.map(_.get))
+          .groupBy(_._2).toSeq
+          .map { case (k, fs) =>
+            (k.isEmpty, k.getOrElse(0L), fs.map(_._1)) }
+          .sortBy { case (isNull, k, _) => (!isNull, k) })
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.identity(partInfo.get._1)), gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(kept.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // the groups handed to Spark are BY CONTRACT the groups a
     // row-level commit replaces — record them on the operation
     op.foreach(_.recordScanned(kept.map(_.name)))
-    kept.map(f =>
-      GraftRlPartition(dir.resolve(f.name).toString, f.name))
-      .toArray[InputPartition]
+    keyedGroups match {
+      case Some(gs) => gs.map { case (isNull, k, fs) =>
+        GraftRlKeyedPartition(
+          fs.map(f => dir.resolve(f.name).toString).toArray,
+          fs.map(_.name).toArray, isNull, k)
+      }.toArray[InputPartition]
+      case None => kept.map(f =>
+        GraftRlPartition(Array(dir.resolve(f.name).toString),
+          Array(f.name))).toArray[InputPartition]
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -976,43 +1096,71 @@ private[sources] class GraftRlRowLevelScan(dir: Path,
   }
 }
 
-private[sources] final case class GraftRlPartition(path: String,
-    name: String) extends InputPartition
+private[sources] sealed trait GraftRlFileSet {
+  def paths: Array[String]
+  def names: Array[String]
+}
+
+private[sources] final case class GraftRlPartition(
+    paths: Array[String], names: Array[String])
+  extends InputPartition with GraftRlFileSet
+
+/** A partition-value group: several files, one key — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] half of
+  * the scan's KeyGroupedPartitioning claim. */
+private[sources] final case class GraftRlKeyedPartition(
+    paths: Array[String], names: Array[String],
+    keyIsNull: Boolean, key: Long)
+  extends InputPartition with GraftRlFileSet
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(if (keyIsNull) null else java.lang.Long.valueOf(key))
+}
 
 private[sources] class GraftRlReaderFactory(tableSchema: StructType,
     required: StructType) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftRlPartition]
+    val gp = p.asInstanceOf[GraftRlFileSet]
     // required-column projection: data columns by table index, the
     // _file metadata column materialized from the partition itself
     val proj: Array[Int] = required.fields.map(f =>
       if (f.name == "_file") -1 else tableSchema.fieldIndex(f.name))
-    val fileName = UTF8String.fromString(gp.name)
     new PartitionReader[InternalRow] {
-      private val stream = Files.lines(Paths.get(gp.path))
-      private val lines = stream.iterator()
+      private var fileIdx = 0
+      private var stream: java.util.stream.Stream[String] = _
+      private var lines: java.util.Iterator[String] = _
+      private var fileName: UTF8String = _
       private var current: InternalRow = _
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val line = lines.next()
-          if (line.nonEmpty) {
-            val vals = GraftRlTable.lineToValues(line, tableSchema)
-            current = InternalRow(proj.map(i =>
-              if (i == -1) fileName else vals(i)).toIndexedSeq: _*)
-            return true
-          }
+        while (true) {
+          if (lines != null && lines.hasNext) {
+            val line = lines.next()
+            if (line.nonEmpty) {
+              val vals = GraftRlTable.lineToValues(line, tableSchema)
+              current = InternalRow(proj.map(i =>
+                if (i == -1) fileName else vals(i)).toIndexedSeq: _*)
+              return true
+            }
+          } else if (fileIdx < gp.paths.length) {
+            if (stream != null) stream.close()
+            stream = Files.lines(Paths.get(gp.paths(fileIdx)))
+            lines = stream.iterator()
+            fileName = UTF8String.fromString(gp.names(fileIdx))
+            fileIdx += 1
+          } else return false
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = stream.close()
+      override def close(): Unit = if (stream != null) stream.close()
     }
   }
 }
 
 private[sources] class GraftRlWriteBuilder(dir: Path,
-    tableSchema: StructType, writeSchema: StructType)
+    tableSchema: StructType, writeSchema: StructType,
+    partCol: Option[String])
   extends WriteBuilder with SupportsTruncate {
   require(writeSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
     tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -1020,17 +1168,19 @@ private[sources] class GraftRlWriteBuilder(dir: Path,
       s"match table schema ${tableSchema.simpleString}")
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftRlBatchWrite(dir, tableSchema, replace)
-  }
+  override def build(): Write = GraftRl.maybeClustered(partCol,
+    new GraftRlBatchWrite(dir, tableSchema, replace,
+      partCol.map(tableSchema.fieldIndex)))
 }
 
-private[sources] final case class GraftRlStaged(name: String,
-    rows: Long, statsToken: String) extends WriterCommitMessage {
+private[sources] final case class GraftRlStagedFile(name: String,
+    rows: Long, statsToken: String) {
   def toGroupFile: GraftRl.GroupFile =
     GraftRl.GroupFile(name, rows, statsToken)
 }
+
+private[sources] final case class GraftRlStaged(
+    files: Seq[GraftRlStagedFile]) extends WriterCommitMessage
 
 /** INSERT / INSERT OVERWRITE commit: tasks stage immutable group
   * files (invisible until a manifest references them), the commit
@@ -1041,15 +1191,15 @@ private[sources] final case class GraftRlStaged(name: String,
   * exhaustion the staged files are deleted and the commit fails
   * loudly. */
 private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
-    replace: Boolean) extends BatchWrite {
+    replace: Boolean, partIdx: Option[Int]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftRlWriterFactory(dir.toString, schema, rowOffset = 0)
+    new GraftRlWriterFactory(dir.toString, schema, rowOffset = 0, partIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.map {
-      case m: GraftRlStaged => m
+    val staged = messages.flatMap {
+      case m: GraftRlStaged => m.files
       case m => throw new IllegalStateException(
         s"graft catalog: foreign commit message $m")
     }.filter(_.rows > 0).map(_.toGroupFile).toSeq
@@ -1078,8 +1228,8 @@ private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftRlStaged(name, _, _) =>
-        Files.deleteIfExists(dir.resolve(name))
+      case GraftRlStaged(files) =>
+        files.foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
       case _ => ()
     }
 }
@@ -1094,17 +1244,16 @@ private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
   * staged files — optimistic concurrency, no lost update. */
 private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
     schema: StructType, baseVersion: Long,
-    baseFiles: Seq[GraftRl.GroupFile], op: GraftRlOperation)
-  extends BatchWrite {
+    baseFiles: Seq[GraftRl.GroupFile], op: GraftRlOperation,
+    partIdx: Option[Int]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftRlWriterFactory(dir.toString, schema, rowOffset = 1)
+    new GraftRlWriterFactory(dir.toString, schema, rowOffset = 1, partIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect {
-      case m: GraftRlStaged if m.rows > 0 => m.toGroupFile
-    }
+    val staged = messages.collect { case m: GraftRlStaged => m.files }
+      .flatten.filter(_.rows > 0).map(_.toGroupFile).toSeq
     def cleanup(): Unit =
       staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
     val read = op.scannedGroups.getOrElse(Seq.empty)
@@ -1135,8 +1284,8 @@ private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftRlStaged(name, _, _) =>
-        Files.deleteIfExists(dir.resolve(name))
+      case GraftRlStaged(files) =>
+        files.foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
       case _ => ()
     }
 }
@@ -1144,25 +1293,41 @@ private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
 /** Tasks write group files under their FINAL immutable names — a
   * file is invisible until a manifest references it, so no rename
   * dance is needed; abort simply deletes. Tracks per-BIGINT-column
-  * min/max while writing (the manifest stats behind static group
-  * pruning). Empty outputs stage nothing. */
+  * min/max/null-count while writing (the manifest stats behind static
+  * pruning, metadata-only aggregates, and metadata-only deletes).
+  * PARTITIONED tables split each task's output into one file per
+  * partition value (writes are clustered on the partition column, so
+  * a task sees whole values); files are opened lazily on first row,
+  * so empty tasks stage nothing. */
 private[sources] class GraftRlWriterFactory(dir: String,
-    schema: StructType, rowOffset: Int) extends DataWriterFactory {
+    schema: StructType, rowOffset: Int,
+    partIdx: Option[Int] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val name =
-        f"data-p$partitionId%05d-t$taskId-${java.util.UUID.randomUUID()}.tsv"
-      private val path = Paths.get(dir).resolve(name)
-      private val out = Files.newBufferedWriter(path)
-      private var rows = 0L
       private val nCols = schema.fields.length
       private val isLong: Array[Boolean] =
         schema.fields.map(_.dataType == LongType)
-      private val mins = Array.fill(nCols)(Long.MaxValue)
-      private val maxs = Array.fill(nCols)(Long.MinValue)
-      private val seen = Array.fill(nCols)(false)
-      private val nulls = Array.fill(nCols)(0L)
+
+      private final class FileState {
+        val name =
+          f"data-p$partitionId%05d-t$taskId-${java.util.UUID.randomUUID()}.tsv"
+        val path = Paths.get(dir).resolve(name)
+        val out = Files.newBufferedWriter(path)
+        var rows = 0L
+        val mins = Array.fill(nCols)(Long.MaxValue)
+        val maxs = Array.fill(nCols)(Long.MinValue)
+        val seen = Array.fill(nCols)(false)
+        val nulls = Array.fill(nCols)(0L)
+        def statsToken: String = (0 until nCols).map(i =>
+          if (seen(i)) s"${mins(i)}:${maxs(i)}:${nulls(i)}"
+          else if (isLong(i)) s"N:${nulls(i)}"
+          else "-").mkString(",")
+      }
+      // keyed by partition value (null key boxed as the sentinel);
+      // unpartitioned writes use a single shared key
+      private val states =
+        scala.collection.mutable.LinkedHashMap.empty[Any, FileState]
 
       /** Row-level rewrites have shipped rows in two shapes across
         * Spark 4 minors: with a leading `__row_operation` marker the
@@ -1181,18 +1346,25 @@ private[sources] class GraftRlWriterFactory(dir: String,
             s"graft catalog: writer row has ${r.numFields} fields for " +
               s"a ${nCols}-column table (expected offset $rowOffset)")
         }
-        out.write(GraftRlTable.rowToLine(r, schema, off))
-        out.write("\n")
-        rows += 1
+        val key: Any = partIdx match {
+          case Some(i) =>
+            if (r.isNullAt(i + off)) " null"
+            else java.lang.Long.valueOf(r.getLong(i + off))
+          case None => "all"
+        }
+        val st = states.getOrElseUpdate(key, new FileState)
+        st.out.write(GraftRlTable.rowToLine(r, schema, off))
+        st.out.write("\n")
+        st.rows += 1
         var i = 0
         while (i < nCols) {
           if (isLong(i)) {
-            if (r.isNullAt(i + off)) nulls(i) += 1
+            if (r.isNullAt(i + off)) st.nulls(i) += 1
             else {
               val v = r.getLong(i + off)
-              if (v < mins(i)) mins(i) = v
-              if (v > maxs(i)) maxs(i) = v
-              seen(i) = true
+              if (v < st.mins(i)) st.mins(i) = v
+              if (v > st.maxs(i)) st.maxs(i) = v
+              st.seen(i) = true
             }
           }
           i += 1
@@ -1200,22 +1372,14 @@ private[sources] class GraftRlWriterFactory(dir: String,
       }
 
       override def commit(): WriterCommitMessage = {
-        out.close()
-        if (rows == 0L) {
-          Files.deleteIfExists(path)
-          GraftRlStaged(name, 0L, "")
-        } else {
-          val token = (0 until nCols).map(i =>
-            if (seen(i)) s"${mins(i)}:${maxs(i)}:${nulls(i)}"
-            else if (isLong(i)) s"N:${nulls(i)}"
-            else "-").mkString(",")
-          GraftRlStaged(name, rows, token)
-        }
+        states.values.foreach(_.out.close())
+        GraftRlStaged(states.values.map(st =>
+          GraftRlStagedFile(st.name, st.rows, st.statsToken)).toSeq)
       }
 
-      override def abort(): Unit = {
-        out.close()
-        Files.deleteIfExists(path)
+      override def abort(): Unit = states.values.foreach { st =>
+        st.out.close()
+        Files.deleteIfExists(st.path)
       }
       override def close(): Unit = ()
     }

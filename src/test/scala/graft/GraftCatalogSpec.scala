@@ -345,6 +345,92 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sqlRows("SELECT v FROM graftrl.db.mdn").map(_.head) == Seq(2L))
   }
 
+  test("partitioned tables: per-value group files, zero-exchange " +
+      "join on the partition key, metadata-only partition delete") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    for (t <- Seq("pt", "pt2"))
+      spark.sql(s"CREATE TABLE graftrl.db.$t (k BIGINT, seg STRING, " +
+        "v BIGINT) PARTITIONED BY (k)")
+    // unclustered input: the write's required distribution clusters
+    // by k, so each partition value lands in exactly ONE group file
+    spark.sql("INSERT INTO graftrl.db.pt SELECT id % 4 AS k, " +
+      "concat('s', id % 4) AS seg, id AS v FROM range(0, 40)")
+    spark.sql("INSERT INTO graftrl.db.pt2 SELECT id % 4 AS k, " +
+      "concat('t', id % 4) AS seg, id * 10 AS v FROM range(0, 20)")
+    val dir = root.resolve("db").resolve("pt")
+    assert(Hook.manifestFiles(dir, 1L).size == 4,
+      s"expected one group file per partition value: " +
+        s"${Hook.manifestFiles(dir, 1L)}")
+    // scan plans one partition per VALUE
+    assert(spark.sql("SELECT * FROM graftrl.db.pt")
+      .rdd.getNumPartitions == 4)
+    // storage-partitioned join: both scans report KeyGrouped(k) →
+    // the join plans with ZERO shuffle exchange
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "-1")
+    spark.conf.set(keys(2), "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def hasExchange(df: org.apache.spark.sql.DataFrame): Boolean = {
+        df.collect()
+        def walk(p: SparkPlan): Boolean = p match {
+          case qs: QueryStageExec => walk(qs.plan)
+          case _ => p.isInstanceOf[ShuffleExchangeLike] ||
+            p.children.exists(walk)
+        }
+        walk(df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        })
+      }
+      val joined = spark.sql("""
+        SELECT a.k AS k, count(*) AS n, sum(a.v + b.v) AS s
+        FROM graftrl.db.pt a JOIN graftrl.db.pt2 b ON a.k = b.k
+        GROUP BY a.k""")
+      assert(!hasExchange(joined),
+        "partition-keyed join+rollup should plan zero exchanges:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq == Seq((0L, 50L), (1L, 50L), (2L, 50L),
+          (3L, 50L)))
+      // control: bucketing off → the exchanges come back
+      spark.conf.set(keys(0), "false")
+      assert(hasExchange(spark.sql(
+        "SELECT a.k FROM graftrl.db.pt a JOIN graftrl.db.pt2 b " +
+          "ON a.k = b.k")))
+      spark.conf.set(keys(0), "true")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // a NULL partition value is its own group
+    spark.sql("INSERT INTO graftrl.db.pt VALUES " +
+      "(CAST(NULL AS BIGINT), 'n', 999)")
+    assert(Hook.manifestFiles(dir, 2L).size == 5)
+    assert(sqlRows("SELECT v FROM graftrl.db.pt WHERE k IS NULL")
+      .map(_.head) == Seq(999L))
+    // dropping one partition is a manifest edit: no data file touched
+    val before = dataFilesOnDisk(dir)
+    spark.sql("DELETE FROM graftrl.db.pt WHERE k = 2")
+    assert(dataFilesOnDisk(dir) == before,
+      "partition-aligned delete must be metadata-only")
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.pt").head.head == 31L)
+    // row-level ops keyed to one partition rewrite only its file(s)
+    val v3 = Hook.manifestFiles(dir, 3L).toSet
+    spark.sql("UPDATE graftrl.db.pt SET v = v + 1 WHERE k = 3")
+    val v4 = Hook.manifestFiles(dir, 4L).toSet
+    assert((v3 -- v4).size == 1,
+      s"UPDATE should have replaced exactly one partition file: " +
+        s"$v3 -> $v4")
+  }
+
   test("catalog hygiene: duplicate create refuses, drop removes, " +
       "unsupported types refused") {
     root
