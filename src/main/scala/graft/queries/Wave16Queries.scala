@@ -1082,7 +1082,7 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
     * `target`. Cached per corpus by the caller ([[graft.FixtureCache]])
     * — q376 and q377 share one staged layout instead of each
     * re-deriving it per run. */
-  private def stageEventSegments(s: SparkSession, dir: String,
+  private[queries] def stageEventSegments(s: SparkSession, dir: String,
       target: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     val ev = Tables(s, dir, "events").select(

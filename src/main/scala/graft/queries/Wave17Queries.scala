@@ -500,5 +500,162 @@ SELECT CAST(e.k AS BIGINT) AS k, e.seg,
 FROM early e JOIN late l ON e.k = l.k ORDER BY k
 """))
 
-  def all: Seq[QuerySpec] = Seq(q386, q387, q388, q389, q390)
+  /** q391 — RESOLUTION-CALIBRATED LSH near-duplicate pairs: the
+    * constructive answer to q67's disclosed 59× scale ratio. q67 pins
+    * its sign-bucket blocking at 6 hyperplanes, so bucket occupancy —
+    * and with it candidate-pair work — grows linearly with the corpus
+    * and pairs quadratically within buckets. Production blocking
+    * instead scales RESOLUTION with the corpus: here the hyperplane
+    * count is the smallest H with `2^H ≥ ceil(N / 32)` (target ~32
+    * vectors per bucket), floored at 6 — computed with INTEGER
+    * arithmetic on both engines (powers of two are exact in doubles,
+    * so the DuckDB mirror `count(p : 2^p < m)` can never flap) and
+    * emitted as the `n_planes` column so the calibration itself is
+    * oracle-checked. At the test SFs (N ≤ 2000) H = 6 and recall
+    * matches q67's fixed grid; at sf10 (N = 200k) H = 13 holds
+    * per-bucket work flat — candidate pairs O(N·C) instead of
+    * O(N²/2^6), the knob a 100 TB near-dup pass turns. */
+  val q391 = QuerySpec("q391_calibrated_lsh_neardup",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count()
+      val m = (n + 31L) / 32L
+      var h = 0
+      while ((1L << h) < m) h += 1
+      val planes = math.max(6, h)
+      val out = Similarity.nearDupPairs(
+        e.withColumn("bucket",
+          Similarity.lshBucket(col("embedding"), 64, planes)),
+        "bucket", threshold = 0.3)
+        .withColumn("n_planes", lit(planes.toLong))
+        .orderBy("a", "b")
+      out
+    },
+    Some(raw"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings
+), hh AS (
+  SELECT GREATEST(6, (
+    SELECT count(*) FROM (SELECT unnest(range(0, 62)) AS p), nn
+    WHERE POW(2, p) < CAST((n + 31) // 32 AS DOUBLE))) AS h
+  FROM nn
+), proj AS (
+  SELECT vec_id, j,
+    list_sum([CAST(embedding[i + 1] AS DOUBLE)
+      * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1001 - 500)
+      FOR i IN range(0, 64)]) AS d
+  FROM embeddings,
+    (SELECT p AS j FROM (SELECT unnest(range(0, 62)) AS p), hh
+     WHERE p < hh.h)
+), bucketed AS (
+  SELECT vec_id,
+    SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j)
+        ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id
+), un AS (
+  SELECT vec_id,
+    [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS u,
+    1.0 / sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+      * CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) AS inv
+  FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+  round(list_sum([x.u[i] * y.u[i] FOR i IN range(1, 65)])
+    * x.inv * y.inv, 6) AS cos,
+  CAST(hh.h AS BIGINT) AS n_planes
+FROM bucketed bx
+JOIN bucketed by_ ON bx.bucket = by_.bucket AND bx.vec_id < by_.vec_id
+JOIN un x ON x.vec_id = bx.vec_id
+JOIN un y ON y.vec_id = by_.vec_id
+CROSS JOIN hh
+WHERE round(list_sum([x.u[i] * y.u[i] FOR i IN range(1, 65)])
+    * x.inv * y.inv, 6) >= 0.3
+ORDER BY a, b
+"""))
+
+  /** q392 — BYTE-BUDGETED replay admission: q376 certified the
+    * file-count limiter; this drains the SAME staged layout under
+    * `maxBytesPerBatch` (the Kafka `maxOffsetsPerTrigger` shape —
+    * production backlogs are rate-limited by BYTES, because segment
+    * sizes vary and "one file per batch" can mean anything). The
+    * budget is sized to the larger adjacent segment pair and the
+    * expected batch count is SIMULATED from the actual segment sizes
+    * with the source's exact greedy rule (pack until the next file
+    * would blow the budget, always at least one — the floor that
+    * keeps an over-budget segment from stalling the stream), so the
+    * assert is deterministic at every SF and must come out strictly
+    * below q376's one-batch-per-file count. The
+    * rollup equals the batch oracle over `events`, certifying that
+    * rebatching preserved exactly-once delivery. */
+  val q392 = QuerySpec("q392_replay_byte_admission",
+    (s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val replayDir = graft.FixtureCache.staged(dir, "events_replay4")(
+          t => Wave16Queries.stageEventSegments(s, dir, t))
+        val segs = Option(replayDir.toFile.listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+        require(segs.length == 4, s"expected 4 staged segments")
+        // budget sized to the larger adjacent pair: the greedy
+        // admission (pack files until the NEXT would blow the budget,
+        // always at least one) then needs strictly fewer batches than
+        // files — the simulation below is the exact expected count
+        val sizes = segs.map(_.length)
+        val budget = math.max(sizes(0) + sizes(1), sizes(2) + sizes(3))
+        val expectedBatches = {
+          var batches = 0; var i = 0
+          while (i < sizes.length) {
+            var bytes = sizes(i) // one-file floor
+            i += 1; batches += 1
+            while (i < sizes.length && bytes < budget &&
+                bytes + sizes(i) <= budget) {
+              bytes += sizes(i); i += 1
+            }
+          }
+          batches
+        }
+        require(expectedBatches < 4,
+          s"budget $budget over $sizes packs nothing — vacuous test")
+        val agg = s.readStream.format("graft-replay")
+          .option("path", replayDir.toString)
+          .option("maxFilesPerBatch", 10)
+          .option("maxBytesPerBatch", budget)
+          .load()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        val name = s"replay_bytes_${System.nanoTime()}"
+        val ckpt = Files.createTempDirectory("graft_q392_ckpt")
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination()
+          val fed = q.recentProgress.count(_.numInputRows > 0)
+          require(fed == expectedBatches,
+            s"byte budget $budget over segments $sizes should drain " +
+              s"in exactly $expectedBatches micro-batches, got $fed")
+          val sunk = s.table(name).orderBy("event_type")
+          s.createDataFrame(sunk.collectAsList(), sunk.schema)
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(name)
+          graft.streaming.StreamingResidue.release(ckpt)
+        }
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      }
+    },
+    Some(raw"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1 ORDER BY event_type
+"""),
+    serial = true)
+
+  def all: Seq[QuerySpec] = Seq(q386, q387, q388, q389, q390, q391, q392)
 }
