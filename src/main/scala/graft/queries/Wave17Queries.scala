@@ -657,5 +657,89 @@ FROM events GROUP BY 1 ORDER BY event_type
 """),
     serial = true)
 
-  def all: Seq[QuerySpec] = Seq(q386, q387, q388, q389, q390, q391, q392)
+  /** q393 — SCHEMA EVOLUTION (`ALTER TABLE … ADD COLUMNS`),
+    * schema-on-read: the balance rollup is seeded, a `delta BIGINT`
+    * column is added WITHOUT rewriting a single data file (the query
+    * REQUIRES the disk file set is untouched), the late era lands
+    * with deltas populated, and the frame unions rows across the
+    * evolution boundary — pre-evolution rows read the column as NULL.
+    * The stats model knows an added column is exactly all-null in
+    * older files, so the metadata-only fast paths keep working across
+    * the boundary: the query REQUIRES `count(delta)` still plans the
+    * one-row `graft-rl-agg` scan, and time travel reads v1 through
+    * the current schema (the Delta convention). At 100 TB this is the
+    * difference between "add a feature column" being a metadata
+    * operation and being a full-corpus rewrite. The oracle replays
+    * both eras relationally with the same NULL discipline. */
+  val q393 = QuerySpec("q393_schema_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q393_cat")
+      val cat = s"graftse${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.ev (k BIGINT, seg STRING, v BIGINT)")
+        val tdir = root.resolve("db").resolve("ev")
+        s.sql(s"INSERT INTO $cat.db.ev " +
+          seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+        def disk: Set[String] = Option(tdir.toFile.listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+          .filter(n => n.startsWith("data-") && n.endsWith(".tsv")).toSet
+        val before = disk
+        s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMNS (delta BIGINT)")
+        require(disk == before,
+          "ADD COLUMNS must not rewrite any data file")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT k, seg, v, v AS delta " +
+          s"FROM (${seedSql(s"ord_$cat",
+            "o_orderdate >= DATE'1996-01-01'")})")
+        // the metadata aggregate path survives the evolution boundary
+        val fast = s.sql(s"SELECT count(*) AS n, count(delta) AS nd " +
+          s"FROM $cat.db.ev")
+        require(fast.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "count over the added column defeated the metadata path")
+        // time travel reads v1 through the CURRENT schema
+        require(s.sql(s"SELECT count(delta) FROM $cat.db.ev " +
+          "VERSION AS OF 1").collect().head.getLong(0) == 0L,
+          "pre-evolution snapshot must read the added column as NULL")
+        val out = s.sql(s"""
+          SELECT k, seg, v, delta FROM $cat.db.ev
+          ORDER BY k, coalesce(delta, -1), v""")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH early AS (
+  SELECT o_custkey % 100 AS k,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), late AS (
+  SELECT o_custkey % 100 AS k,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+), unioned AS (
+  SELECT k, seg, v, CAST(NULL AS BIGINT) AS delta FROM early
+  UNION ALL
+  SELECT k, seg, v, v AS delta FROM late
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v,
+  CAST(delta AS BIGINT) AS delta
+FROM unioned ORDER BY k, coalesce(delta, -1), v
+"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q386, q387, q388, q389, q390, q391, q392, q393)
 }

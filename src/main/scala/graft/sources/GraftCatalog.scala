@@ -194,10 +194,53 @@ class GraftCatalog extends TableCatalog {
       writable = true, partCol = partCol)
   }
 
+  /** SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMNS`, the
+    * schema-on-read half every production table format ships: the new
+    * column appends to the schema, existing group files are NEVER
+    * rewritten (their rows read the column as NULL, and the stats
+    * accessors know the null count exactly — metadata-only COUNT over
+    * an added column stays answerable), and only appending nullable
+    * BIGINT/DOUBLE/STRING columns at the end is allowed — anything
+    * needing a data rewrite or a position shuffle refuses loudly.
+    * Time travel reads historic versions through the CURRENT schema
+    * (added columns null), the Delta-style convention. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE not supported")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val schema = readSchema(dir, ident)
+    val newSchema = changes.foldLeft(schema) { (sch, ch) =>
+      ch match {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames().length == 1,
+            "graft catalog: nested columns not supported")
+          val n = a.fieldNames()(0)
+          require(!sch.fieldNames.contains(n) && n != "_file",
+            s"graft catalog: column '$n' already exists or is reserved")
+          require(a.isNullable,
+            "graft catalog: added columns must be nullable — existing " +
+              "rows read them as NULL")
+          require(a.position() == null,
+            "graft catalog: added columns append at the end (a " +
+              "position shuffle would rewrite every file)")
+          require(a.defaultValue() == null,
+            "graft catalog: DEFAULT values not supported")
+          require(a.dataType() == LongType ||
+            a.dataType() == DoubleType || a.dataType() == StringType,
+            s"graft catalog: unsupported column type " +
+              s"${a.dataType().simpleString}")
+          sch.add(StructField(n, a.dataType(), nullable = true))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other " +
+            "(only ADD COLUMNS)")
+      }
+    }
+    val tmp = dir.resolve(s".schema-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, newSchema.json)
+    Files.move(tmp, dir.resolve("schema.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -274,6 +317,11 @@ private[sources] object GraftRlConcurrencyHook {
 private[sources] object GraftRl {
   final case class GroupFile(name: String, rows: Long, statsToken: String) {
     private lazy val tokens: Array[String] = statsToken.split(",", -1)
+    /** number of columns this file was WRITTEN with (one stats token
+      * per column) — smaller than the current schema after an ALTER
+      * TABLE ADD COLUMNS; the missing trailing columns of every row
+      * read as NULL, which the stats accessors below KNOW exactly */
+    lazy val width: Int = tokens.length
     /** column index → (min, max) over NON-NULL values */
     lazy val longStats: Map[Int, (Long, Long)] =
       tokens.zipWithIndex.collect {
@@ -292,6 +340,14 @@ private[sources] object GraftRl {
             tok.count(_ == ':') == 2 =>
           i -> tok.split(":", 3)(2).toLong
       }.toMap
+    /** Schema-evolution-aware accessors: a column the file predates
+      * is all-NULL by construction, so its range is empty and its
+      * null count equals the row count — exact knowledge, not a
+      * refused proof. */
+    def statsFor(i: Int): Option[(Long, Long)] =
+      if (i >= width) None else longStats.get(i)
+    def nullsFor(i: Int): Option[Long] =
+      if (i >= width) Some(rows) else longNulls.get(i)
     def manifestLine: String = s"$name\t$rows\t$statsToken"
   }
 
@@ -349,7 +405,7 @@ private[sources] object GraftRl {
   def mightMatch(gf: GroupFile, longIdx: Map[String, Int],
       filter: SFilter): Boolean = {
     def rng(attr: String): Option[(Long, Long)] =
-      longIdx.get(attr).flatMap(gf.longStats.get)
+      longIdx.get(attr).flatMap(gf.statsFor)
     def num(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -430,11 +486,11 @@ private[sources] object GraftRl {
     * does not respect the partition layout, so scans degrade to
     * per-file partitions and no key grouping is claimed). */
   def partValueOf(gf: GroupFile, i: Int): Option[Option[Long]] =
-    gf.longStats.get(i) match {
+    gf.statsFor(i) match {
       case Some((lo, hi)) if lo == hi &&
-          gf.longNulls.get(i).contains(0L) => Some(Some(lo))
+          gf.nullsFor(i).contains(0L) => Some(Some(lo))
       case None if gf.rows > 0L &&
-          gf.longNulls.get(i).contains(gf.rows) => Some(None)
+          gf.nullsFor(i).contains(gf.rows) => Some(None)
       case _ => None
     }
 
@@ -476,8 +532,8 @@ private[sources] object GraftRl {
       * non-null domain [lo, hi]; vacuous (true, true) when the file
       * has no non-null values in the column. */
     def cmp(op: String, i: Int, v: Long): Option[(Boolean, Boolean)] =
-      gf.longStats.get(i) match {
-        case None if gf.longNulls.get(i).contains(gf.rows) =>
+      gf.statsFor(i) match {
+        case None if gf.nullsFor(i).contains(gf.rows) =>
           Some((true, true)) // all-null column: no non-null rows exist
         case None => None // legacy/unknown stats: no proof either way
         case Some((lo, hi)) => op match {
@@ -491,7 +547,7 @@ private[sources] object GraftRl {
           case _ => None
         }
       }
-    def nullsKnownZero(i: Int): Boolean = gf.longNulls.get(i).contains(0L)
+    def nullsKnownZero(i: Int): Boolean = gf.nullsFor(i).contains(0L)
     // NULL comparisons are never TRUE (<=> against a non-null literal
     // included): nulls count toward "none", and they break an "all"
     // proof unless the null count is known to be zero
@@ -518,13 +574,13 @@ private[sources] object GraftRl {
         case "ALWAYS_FALSE" => NoRows
         case "IS_NULL" =>
           refCol(pred.children()(0)).flatMap(i =>
-            gf.longNulls.get(i).map(n =>
+            gf.nullsFor(i).map(n =>
               if (n == gf.rows) AllRows
               else if (n == 0L) NoRows else SomeRows))
             .getOrElse(SomeRows)
         case "IS_NOT_NULL" =>
           refCol(pred.children()(0)).flatMap(i =>
-            gf.longNulls.get(i).map(n =>
+            gf.nullsFor(i).map(n =>
               if (n == 0L) AllRows
               else if (n == gf.rows) NoRows else SomeRows))
             .getOrElse(SomeRows)
@@ -666,11 +722,21 @@ private[sources] object GraftRlTable {
     }.mkString("\t")
   }
 
-  def lineToValues(line: String, schema: StructType): Array[Any] = {
+  def lineToValues(line: String, schema: StructType): Array[Any] =
+    lineToValues(line, schema, schema.fields.length)
+
+  /** `width` is the column count the file was written with: rows from
+    * files predating an ADD COLUMN carry fewer fields, and the
+    * missing trailing columns read as NULL (schema-on-read, the
+    * null-fill every production table format does). */
+  def lineToValues(line: String, schema: StructType,
+      width: Int): Array[Any] = {
     val parts = line.split("\t", -1)
-    require(parts.length == schema.fields.length,
-      s"graft catalog: malformed row '$line'")
+    require(parts.length == width && width <= schema.fields.length,
+      s"graft catalog: malformed row '$line' (expected $width fields)")
     schema.fields.indices.map { i =>
+      if (i >= width) null
+      else {
       val p = parts(i)
       if (p == "\\N") null
       else schema.fields(i).dataType match {
@@ -680,6 +746,7 @@ private[sources] object GraftRlTable {
             java.lang.Long.parseUnsignedLong(p, 16)))
         case StringType => UTF8String.fromString(unescape(p))
         case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
       }
     }.toArray
   }
@@ -913,8 +980,8 @@ private[sources] class GraftRlScanBuilder(dir: Path,
     // proof; an all-null column (N: token) legitimately contributes
     // nothing to MIN/MAX
     def statsComplete(i: Int): Boolean = candidates.forall(gf =>
-      gf.rows == 0L || gf.longStats.contains(i) ||
-        gf.longNulls.get(i).contains(gf.rows))
+      gf.rows == 0L || gf.statsFor(i).isDefined ||
+        gf.nullsFor(i).contains(gf.rows))
     val out = aggregation.aggregateExpressions().map {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
@@ -922,22 +989,22 @@ private[sources] class GraftRlScanBuilder(dir: Path,
       case c: Count if !c.isDistinct =>
         // COUNT(col) = rows minus nulls — needs a null count per file
         colOf(c.column()).filter(i => candidates.forall(gf =>
-          gf.rows == 0L || gf.longNulls.contains(i))).map { i =>
+          gf.rows == 0L || gf.nullsFor(i).isDefined)).map { i =>
           val v = candidates.map(gf =>
-            gf.rows - gf.longNulls.getOrElse(i, 0L)).sum
+            gf.rows - gf.nullsFor(i).getOrElse(0L)).sum
           (StructField(s"count_$i", LongType, nullable = false),
             java.lang.Long.valueOf(v))
         }
       case m: Min =>
         colOf(m.column()).filter(statsComplete).map { i =>
-          val vs = candidates.flatMap(_.longStats.get(i)).map(_._1)
+          val vs = candidates.flatMap(_.statsFor(i)).map(_._1)
           (StructField(s"min_$i", LongType, nullable = true),
             if (vs.isEmpty) null
             else java.lang.Long.valueOf(vs.min))
         }
       case m: Max =>
         colOf(m.column()).filter(statsComplete).map { i =>
-          val vs = candidates.flatMap(_.longStats.get(i)).map(_._2)
+          val vs = candidates.flatMap(_.statsFor(i)).map(_._2)
           (StructField(s"max_$i", LongType, nullable = true),
             if (vs.isEmpty) null
             else java.lang.Long.valueOf(vs.max))
@@ -1058,11 +1125,11 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
       case Some(gs) => gs.map { case (isNull, k, fs) =>
         GraftRlKeyedPartition(
           fs.map(f => dir.resolve(f.name).toString).toArray,
-          fs.map(_.name).toArray, isNull, k)
+          fs.map(_.name).toArray, fs.map(_.width).toArray, isNull, k)
       }.toArray[InputPartition]
       case None => kept.map(f =>
         GraftRlPartition(Array(dir.resolve(f.name).toString),
-          Array(f.name))).toArray[InputPartition]
+          Array(f.name), Array(f.width))).toArray[InputPartition]
     }
   }
 
@@ -1099,17 +1166,18 @@ private[sources] class GraftRlRowLevelScan(dir: Path,
 private[sources] sealed trait GraftRlFileSet {
   def paths: Array[String]
   def names: Array[String]
+  def widths: Array[Int]
 }
 
 private[sources] final case class GraftRlPartition(
-    paths: Array[String], names: Array[String])
+    paths: Array[String], names: Array[String], widths: Array[Int])
   extends InputPartition with GraftRlFileSet
 
 /** A partition-value group: several files, one key — the
   * [[org.apache.spark.sql.connector.read.HasPartitionKey]] half of
   * the scan's KeyGroupedPartitioning claim. */
 private[sources] final case class GraftRlKeyedPartition(
-    paths: Array[String], names: Array[String],
+    paths: Array[String], names: Array[String], widths: Array[Int],
     keyIsNull: Boolean, key: Long)
   extends InputPartition with GraftRlFileSet
   with org.apache.spark.sql.connector.read.HasPartitionKey {
@@ -1131,13 +1199,14 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
       private var stream: java.util.stream.Stream[String] = _
       private var lines: java.util.Iterator[String] = _
       private var fileName: UTF8String = _
+      private var width = 0
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (true) {
           if (lines != null && lines.hasNext) {
             val line = lines.next()
             if (line.nonEmpty) {
-              val vals = GraftRlTable.lineToValues(line, tableSchema)
+              val vals = GraftRlTable.lineToValues(line, tableSchema, width)
               current = InternalRow(proj.map(i =>
                 if (i == -1) fileName else vals(i)).toIndexedSeq: _*)
               return true
@@ -1147,6 +1216,7 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
             stream = Files.lines(Paths.get(gp.paths(fileIdx)))
             lines = stream.iterator()
             fileName = UTF8String.fromString(gp.names(fileIdx))
+            width = gp.widths(fileIdx)
             fileIdx += 1
           } else return false
         }

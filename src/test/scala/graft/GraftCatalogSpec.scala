@@ -431,6 +431,53 @@ class GraftCatalogSpec extends SparkSpec {
         s"$v3 -> $v4")
   }
 
+  test("schema evolution: ADD COLUMNS is schema-on-read — old files " +
+      "never rewritten, NULL-filled, stats stay exact") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.se (k BIGINT, v BIGINT)")
+    val dir = root.resolve("db").resolve("se")
+    spark.sql("INSERT INTO graftrl.db.se VALUES (1, 10), (2, 20)")
+    val before = dataFilesOnDisk(dir)
+    spark.sql("ALTER TABLE graftrl.db.se ADD COLUMNS " +
+      "(w BIGINT, tag STRING)")
+    assert(dataFilesOnDisk(dir) == before,
+      "ADD COLUMNS must not rewrite any data file")
+    // old rows read the new columns as NULL
+    assert(sqlRows("SELECT k, v, w, tag FROM graftrl.db.se ORDER BY k") ==
+      Seq(Seq(1L, 10L, null, null), Seq(2L, 20L, null, null)))
+    spark.sql("INSERT INTO graftrl.db.se VALUES (3, 30, 7, 'x')")
+    // metadata-only aggregates stay answerable: an added column is
+    // KNOWN all-null in pre-evolution files
+    val agg = spark.sql("SELECT count(*) AS n, count(w) AS nw, " +
+      "min(w) AS minw FROM graftrl.db.se")
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"), "added column defeated the " +
+        "metadata aggregate:\n" + agg.queryExecution.executedPlan)
+    assert(agg.collect().map(_.toSeq).toSeq == Seq(Seq(3L, 1L, 7L)))
+    // ...and so does metadata-only DELETE: purging the
+    // never-backfilled rows is a pure manifest edit
+    val mid = dataFilesOnDisk(dir)
+    spark.sql("DELETE FROM graftrl.db.se WHERE w IS NULL")
+    assert(dataFilesOnDisk(dir) == mid,
+      "IS NULL delete over evolution boundary should be metadata-only")
+    assert(sqlRows("SELECT k, v, w FROM graftrl.db.se") ==
+      Seq(Seq(3L, 30L, 7L)))
+    // time travel reads history through the CURRENT schema
+    assert(sqlRows(
+      "SELECT k, w FROM graftrl.db.se VERSION AS OF 1 ORDER BY k") ==
+      Seq(Seq(1L, null), Seq(2L, null)))
+    // refusals: non-nullable, positioned, dropped, renamed columns
+    for (bad <- Seq(
+      "ALTER TABLE graftrl.db.se ADD COLUMNS (nn BIGINT NOT NULL)",
+      "ALTER TABLE graftrl.db.se ADD COLUMNS (p BIGINT FIRST)",
+      "ALTER TABLE graftrl.db.se DROP COLUMN v",
+      "ALTER TABLE graftrl.db.se RENAME COLUMN v TO value"))
+      intercept[Exception] { spark.sql(bad) }
+    // the refused ALTERs left the schema intact
+    assert(spark.table("graftrl.db.se").columns.toSeq ==
+      Seq("k", "v", "w", "tag"))
+  }
+
   test("catalog hygiene: duplicate create refuses, drop removes, " +
       "unsupported types refused") {
     root
