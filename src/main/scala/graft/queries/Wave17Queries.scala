@@ -740,6 +740,110 @@ SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v,
 FROM unioned ORDER BY k, coalesce(delta, -1), v
 """))
 
+  /** q394 — STREAMING READS of a catalog table
+    * (`spark.readStream.table`, [[graft.sources.GraftRlChangeStream]]):
+    * the manifest version history doubles as a CHANGE LOG — each
+    * micro-batch serves the rows the next version APPENDED, admission
+    * defaults to one version per batch, and append-only semantics are
+    * VERIFIED (a version that rewrote groups fails the stream loudly
+    * unless `skipChangeCommits` opts in — Delta's contract, same
+    * knob). The warehouse table the DML tier maintains is thereby
+    * also a feed: land rollups by era, and downstream consumers drain
+    * them incrementally with exactly-once checkpoints instead of
+    * re-scanning the table (the 100 TB "notify me of new partitions"
+    * pattern). Three era inserts drain as exactly three
+    * single-version checkpointed micro-batches (REQUIRED on the
+    * committed offset spans); the windowless rollup equals the batch
+    * oracle over the corpus, certifying no row was dropped or doubled
+    * across the version boundaries. */
+  val q394 = QuerySpec("q394_catalog_change_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q394_cat")
+      val cat = s"graftcs${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.feed (k BIGINT, seg STRING, " +
+          "v BIGINT)")
+        // three landing eras → versions 1..3
+        for (era <- Seq(
+          "o_orderdate < DATE'1994-06-01'",
+          "o_orderdate >= DATE'1994-06-01' AND " +
+            "o_orderdate < DATE'1996-01-01'",
+          "o_orderdate >= DATE'1996-01-01'"))
+          s.sql(s"INSERT INTO $cat.db.feed " + seedSql(s"ord_$cat", era))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q394_ck")
+        val name = s"feed_sink_${System.nanoTime()}"
+        val q = s.readStream.table(s"$cat.db.feed")
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_slices"), sum("v").as("total_cents"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          q.awaitTermination()
+          // assert admission on the OFFSETS, not numInputRows (the
+          // first AvailableNow batch of a table-resolved stream
+          // reports 0 input rows even when it served data — the
+          // oracle equality below is what proves no row was lost):
+          // three committed single-version spans, one per landing
+          val ends = q.recentProgress.toSeq
+            .flatMap(_.sources.headOption)
+            .flatMap(s0 => Option(s0.endOffset))
+            .map(_.trim.toLong).distinct.sorted
+          require(ends == Seq(1L, 2L, 3L),
+            s"three landed versions should drain as three " +
+              s"single-version micro-batches, got offset ends $ends")
+          val sunk = s.table(name).orderBy("seg")
+          s.createDataFrame(sunk.collectAsList(), sunk.schema)
+        } finally {
+          q.stop()
+          s.catalog.dropTempView(name)
+          graft.streaming.StreamingResidue.release(ckpt)
+        }
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH eras AS (
+  SELECT o_custkey % 100 AS k,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1994-06-01'
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT o_custkey % 100,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM orders WHERE o_orderdate >= DATE '1994-06-01'
+    AND o_orderdate < DATE '1996-01-01' GROUP BY 1, 2
+  UNION ALL
+  SELECT o_custkey % 100,
+    CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+         WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+         ELSE 'inst' END,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1, 2
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_slices,
+  CAST(sum(v) AS BIGINT) AS total_cents
+FROM eras GROUP BY seg ORDER BY seg
+"""),
+    serial = true)
+
   def all: Seq[QuerySpec] =
-    Seq(q386, q387, q388, q389, q390, q391, q392, q393)
+    Seq(q386, q387, q388, q389, q390, q391, q392, q393, q394)
 }

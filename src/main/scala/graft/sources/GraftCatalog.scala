@@ -826,7 +826,8 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   /** `_file` — the group file a row lives in: file provenance as a
@@ -846,7 +847,7 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRlScanBuilder(dir, tableSchema, files, None,
-      partCol.map(c => (c, tableSchema.fieldIndex(c))))
+      partCol.map(c => (c, tableSchema.fieldIndex(c))), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,
@@ -915,7 +916,8 @@ private[sources] class GraftRlOperation(dir: Path, ident: String,
   * scan whose unread groups are silently kept). */
 private[sources] class GraftRlScanBuilder(dir: Path,
     tableSchema: StructType, files: Seq[GraftRl.GroupFile],
-    op: Option[GraftRlOperation], partInfo: Option[(String, Int)])
+    op: Option[GraftRlOperation], partInfo: Option[(String, Int)],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1023,7 +1025,7 @@ private[sources] class GraftRlScanBuilder(dir: Path,
         new GraftRlRowLevelScan(dir, tableSchema, required, candidates, o)
       case None =>
         new GraftRlScan(dir, tableSchema, required, candidates, None,
-          partInfo)
+          partInfo, options)
     }
   }
 }
@@ -1076,9 +1078,17 @@ private[sources] final case class GraftRlAggPartition(
 private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     required: StructType, initial: Seq[GraftRl.GroupFile],
     op: Option[GraftRlOperation],
-    partInfo: Option[(String, Int)] = None)
+    partInfo: Option[(String, Int)] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STREAMING READS (`spark.readStream.table(...)`): the manifest
+    * version history IS a change log, so the table doubles as a
+    * micro-batch source — see [[GraftRlChangeStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftRlChangeStream(dir, tableSchema, required, options)
 
   @volatile protected var kept: Seq[GraftRl.GroupFile] = initial
 
@@ -1453,4 +1463,105 @@ private[sources] class GraftRlWriterFactory(dir: String,
       }
       override def close(): Unit = ()
     }
+}
+
+/** STREAMING READS of a catalog table — the manifest version history
+  * as a micro-batch CHANGE LOG (the Delta `readStream.table` shape):
+  * offsets are manifest VERSIONS, each micro-batch serves the rows of
+  * the group files a version ADDED relative to its predecessor, and
+  * admission control caps versions per batch (`maxVersionsPerBatch`,
+  * default 1) so a long history drains in bounded, checkpointed
+  * steps. Semantics are APPEND-ONLY, verified not assumed: a version
+  * that also REMOVED files (DELETE/UPDATE/MERGE/OVERWRITE rewrote
+  * groups) fails the stream loudly — streaming a rewritten row twice
+  * or missing its deletion would silently corrupt every downstream
+  * aggregate — unless `skipChangeCommits=true` opts into ignoring
+  * those commits wholesale (Delta's knob, same name). Supports
+  * `startingVersion` (exclusive low-water mark, default 0 = from
+  * creation) and `Trigger.AvailableNow` (end pinned at prepare time).
+  * A version retired by snapshot retention refuses loudly: history
+  * older than retention cannot be replayed. */
+private[sources] class GraftRlChangeStream(dir: Path,
+    tableSchema: StructType, required: StructType,
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private val maxVersions = options.getInt("maxVersionsPerBatch", 1)
+  require(maxVersions > 0,
+    "graft catalog: maxVersionsPerBatch must be positive")
+  private val skipChangeCommits =
+    options.getBoolean("skipChangeCommits", false)
+  private val startingVersion = options.getLong("startingVersion", 0L)
+
+  private case class VOff(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  @volatile private var availableNowEnd: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = GraftRl.currentVersion(dir)
+
+  override def initialOffset(): Offset = VOff(startingVersion)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft catalog stream: latestOffset(Offset, ReadLimit) is the " +
+        "admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VOff].v
+    val hardEnd =
+      if (availableNowEnd >= 0L) availableNowEnd
+      else GraftRl.currentVersion(dir)
+    VOff(math.min(from + maxVersions, math.max(from, hardEnd)))
+  }
+
+  override def reportLatestOffset(): Offset = VOff(
+    if (availableNowEnd >= 0L) availableNowEnd
+    else GraftRl.currentVersion(dir))
+
+  private def manifestAt(v: Long): Seq[GraftRl.GroupFile] =
+    GraftRl.readManifest(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog stream: manifest v$v has been expired by " +
+          "snapshot retention — history older than retention cannot " +
+          "be replayed; restart from a live startingVersion"))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VOff].v
+    val to = end.asInstanceOf[VOff].v
+    (from + 1 to to).flatMap { v =>
+      val prev = manifestAt(v - 1).map(g => g.name -> g).toMap
+      val cur = manifestAt(v)
+      val removed = prev.keySet -- cur.map(_.name).toSet
+      val added = cur.filterNot(g => prev.contains(g.name))
+      if (removed.nonEmpty) {
+        if (!skipChangeCommits)
+          throw new IllegalStateException(
+            s"graft catalog stream: version $v of $dir REWRITES " +
+              s"group(s) ${removed.mkString(",")} (DELETE/UPDATE/" +
+              "MERGE/OVERWRITE) — append-only streaming cannot " +
+              "represent it; set skipChangeCommits=true to ignore " +
+              "change commits wholesale")
+        Nil // Delta semantics: skip the entire change commit
+      } else added.map(g => GraftRlPartition(
+        Array(dir.resolve(g.name).toString), Array(g.name),
+        Array(g.width)))
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRlReaderFactory(tableSchema, required)
+
+  override def deserializeOffset(json: String): Offset =
+    VOff(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
