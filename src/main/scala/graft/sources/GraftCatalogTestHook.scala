@@ -41,6 +41,17 @@ object GraftCatalogTestHook {
     GraftRlConcurrencyHook.beforeAppendPublish = () => ()
   }
 
+  /** Proof-engine seam: evaluate the metadata-delete coverage verdict
+    * for a synthetic group file — [[graft.CodecPropertySpec]] fuzzes
+    * it against brute-force row evaluation (a wrong AllRows verdict
+    * would make a metadata DELETE silently drop live rows). */
+  def deleteCoverage(rows: Long, statsToken: String,
+      longIdx: Map[String, Int],
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : String =
+    GraftRl.deleteCoverage(
+      GraftRl.GroupFile("f", rows, statsToken), longIdx, p).toString
+
   /** Directly publish a manifest version (the "other writer" in
     * concurrency tests): content is the given version's manifest
     * re-published as `asVersion`. Returns whether the publish won. */
