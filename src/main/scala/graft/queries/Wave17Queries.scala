@@ -366,7 +366,7 @@ FROM t
             s"WHERE $slice")
         def disk: Set[String] = Option(tdir.toFile.listFiles())
           .getOrElse(Array.empty).map(_.getName)
-          .filter(n => n.startsWith("data-") && n.endsWith(".tsv")).toSet
+          .filter(n => n.startsWith("data-") && n.endsWith(".parquet")).toSet
         val before = disk
         val g1 = hook.manifestFiles(tdir, 1L).toSet
         s.sql(s"DELETE FROM $cat.db.md WHERE k < 34") // aligned → v4
@@ -685,7 +685,7 @@ FROM events GROUP BY 1 ORDER BY event_type
           seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
         def disk: Set[String] = Option(tdir.toFile.listFiles())
           .getOrElse(Array.empty).map(_.getName)
-          .filter(n => n.startsWith("data-") && n.endsWith(".tsv")).toSet
+          .filter(n => n.startsWith("data-") && n.endsWith(".parquet")).toSet
         val before = disk
         s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMNS (delta BIGINT)")
         require(disk == before,

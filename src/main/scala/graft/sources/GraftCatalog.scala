@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -24,17 +24,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`DELETE FROM` / `UPDATE` / `MERGE INTO`) via
   * [[SupportsRowLevelOperations]] in the COPY-ON-WRITE (group-based)
   * style with FILE-KEYED GROUPS: a table is a set of immutable
-  * `data-*.tsv` group files bound together by a versioned MANIFEST,
-  * Catalyst's RewriteDelete/RewriteUpdate/RewriteMergeIntoTable plans
-  * compute the post-operation content of the groups the operation's
-  * scan READ, and the commit replaces exactly those files in the next
-  * manifest — untouched groups are never rewritten and never even
-  * opened. Two independent pruning layers keep "touched" small:
+  * COLUMNAR `data-*.parquet` group files bound together by a
+  * versioned MANIFEST, Catalyst's RewriteDelete/RewriteUpdate/
+  * RewriteMergeIntoTable plans compute the post-operation content of
+  * the groups the operation's scan READ, and the commit replaces
+  * exactly those files in the next manifest — untouched groups are
+  * never rewritten and never even opened. Two independent pruning
+  * layers keep "touched" small:
   *
-  *   - STATIC: each manifest line carries per-file min/max stats for
-  *     every BIGINT column; the command condition is pushed into the
-  *     row-level scan (Spark's GroupBasedRowLevelOperationScanPlanning
-  *     → `SupportsPushDownFilters`) and files whose stats prove no row
+  *   - STATIC: each manifest line carries TYPED per-file stats for
+  *     EVERY column — BIGINT and DOUBLE min/max (NaN-aware) and
+  *     STRING min/max (Parquet-style truncated bounds past 32 code
+  *     points), each with an exact null count; the command condition
+  *     is pushed into the row-level scan (Spark's
+  *     GroupBasedRowLevelOperationScanPlanning →
+  *     `SupportsPushDownFilters`) and files whose stats prove no row
   *     can match are dropped before any I/O. The pushdown is INEXACT
   *     (all filters are returned as residual), so surviving groups
   *     still stream every row into the rewrite — the COW contract.
@@ -46,33 +50,49 @@ import org.apache.spark.unsafe.types.UTF8String
   *     statically) to the groups that actually contain matches via a
   *     dynamic IN-subquery over `_file`.
   *
-  * Scans plan ONE InputPartition PER GROUP FILE, so reads of a
-  * many-group table are parallel — the geometry that holds at 100 TB,
-  * where a MERGE touching one hot partition must not rewrite (or
-  * serially re-scan) the other thousand.
+  * Scans plan ONE InputPartition PER GROUP FILE, project ONLY the
+  * required columns straight into the Parquet column reader (a
+  * two-column projection of a wide table decodes two columns, not
+  * the row), and a count-style scan that needs no data column at all
+  * serves row counts straight from the manifest without opening the
+  * file. That is the columnar geometry that holds at 100 TB.
   *
-  * CONCURRENCY: commits are optimistic. A writer publishes version
-  * `n+1` by writing a temp manifest and hard-linking it to
-  * `v<n+1>.manifest` — creation is atomic-exclusive on POSIX, so of
-  * two racing commits exactly one wins. INSERT appends REBASE onto
-  * the winner and retry (appends commute); row-level operations and
-  * overwrites ABORT loudly (their result was computed against a
-  * snapshot the winner invalidated) and delete their staged files —
-  * no committed row is ever silently lost to a last-write-wins race.
+  * CONCURRENCY: commits are optimistic. A writer stages group files
+  * under DOT-PREFIXED in-progress names (never vacuum candidates),
+  * renames them to their final immutable names at task commit, and
+  * publishes version `n+1` by writing a temp manifest and
+  * hard-linking it to `v<n+1>.manifest` — creation is
+  * atomic-exclusive on POSIX, so of two racing commits exactly one
+  * wins. INSERT appends REBASE onto the winner and retry (appends
+  * commute); row-level operations and overwrites ABORT loudly (their
+  * result was computed against a snapshot the winner invalidated)
+  * and delete their staged files — no committed row is ever silently
+  * lost to a last-write-wins race. Schema changes publish versioned
+  * `schema-<n>.json` files under the same atomic-exclusive link
+  * discipline, so two concurrent ALTERs cannot silently lose a
+  * column either.
   *
   * TIME TRAVEL (`SELECT … VERSION AS OF n`): version n IS manifest n —
   * data files are immutable, so every historical version stays
   * bit-stable and readable for free until
   * [[GraftCatalog.expireSnapshots]] retires it (retain-last-N; an
   * expired version refuses loudly, live versions are untouched, and
-  * data files referenced by no surviving manifest are vacuumed).
-  * Versioned loads are read-only: DML against a snapshot refuses.
+  * data files referenced by no surviving manifest are vacuumed after
+  * a GRACE WINDOW that protects a concurrent writer's
+  * committed-but-unpublished files — the Delta/Iceberg retention
+  * discipline). Versioned loads are read-only: DML refuses.
   *
-  * Layout: `<root>/<ns…>/<table>/schema.json` (Spark StructType JSON),
-  * `v<NNNNN>.manifest` (one per commit; `file \t rows \t stats` lines),
-  * `data-*.tsv` (tab-separated; `\t \n \r \\` escaped, `\N` is NULL).
-  * Long/Double/String columns (the DML battery's domain); anything
-  * else is refused at CREATE. Same shared-filesystem contract as
+  * MAINTENANCE: [[GraftCatalog.optimizeTable]] bin-packs fragmented
+  * small groups into fewer files (contents bit-stable, published as
+  * an ordinary change-flagged snapshot that time travel, retention,
+  * and the change stream's `skipChangeCommits` contract all see).
+  *
+  * Layout: `<root>/<ns…>/<table>/schema.json` (+ `schema-<n>.json`
+  * evolution versions), `v<NNNNN>.manifest` (one per commit;
+  * `file \t rows \t stats` lines), `data-*.parquet` (Snappy
+  * Parquet, one optional column per table column). Long/Double/
+  * String columns (the DML battery's domain); anything else is
+  * refused at CREATE. Same shared-filesystem contract as
   * [[KeyedShardSource]].
   */
 class GraftCatalog extends TableCatalog {
@@ -103,17 +123,11 @@ class GraftCatalog extends TableCatalog {
       .map(d => Identifier.of(namespace, d.getName))
   }
 
-  private def readSchema(dir: Path, ident: Identifier): StructType = {
-    val schemaFile = dir.resolve("schema.json")
-    if (!Files.exists(schemaFile))
-      throw new NoSuchTableException(ident)
-    DataType.fromJson(Files.readString(schemaFile)).asInstanceOf[StructType]
-  }
+  private def readSchema(dir: Path, ident: Identifier): StructType =
+    GraftRl.currentSchema(dir).getOrElse(throw new NoSuchTableException(ident))
 
-  private def readPartCol(dir: Path): Option[String] = {
-    val p = dir.resolve("partcol")
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
-  }
+  private def readPartCol(dir: Path): Option[String] =
+    GraftRl.readPartCol(dir)
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
@@ -203,10 +217,21 @@ class GraftCatalog extends TableCatalog {
     * BIGINT/DOUBLE/STRING columns at the end is allowed — anything
     * needing a data rewrite or a position shuffle refuses loudly.
     * Time travel reads historic versions through the CURRENT schema
-    * (added columns null), the Delta-style convention. */
+    * (added columns null), the Delta-style convention.
+    *
+    * Schema commits are OPTIMISTIC like data commits: the new schema
+    * publishes as `schema-<n+1>.json` by atomic-exclusive hard link,
+    * so of two racing ALTERs exactly one wins and the loser aborts
+    * loudly instead of silently dropping the winner's column (the
+    * read-modify-write race a bare overwrite of schema.json had).
+    * A reader that loaded an older schema stays correct by
+    * construction — scans request columns BY NAME limited to each
+    * file's recorded width, so a newly committed wider file simply
+    * serves the columns the reader knows. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
+    val baseVersion = GraftRl.currentSchemaVersion(dir)
     val schema = readSchema(dir, ident)
     val newSchema = changes.foldLeft(schema) { (sch, ch) =>
       ch match {
@@ -234,11 +259,13 @@ class GraftCatalog extends TableCatalog {
             "(only ADD COLUMNS)")
       }
     }
-    val tmp = dir.resolve(s".schema-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, newSchema.json)
-    Files.move(tmp, dir.resolve("schema.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    GraftRlConcurrencyHook.beforeSchemaPublish()
+    if (!GraftRl.publishSchema(dir, baseVersion + 1, newSchema.json))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent ALTER TABLE on ${ident.toString} — " +
+          s"this change read schema v$baseVersion but v${baseVersion + 1} " +
+          "was published by another writer; re-run against the current " +
+          "schema")
     loadTable(ident)
   }
 
@@ -269,10 +296,18 @@ object GraftCatalog {
     * manifest versions, then vacuum data files referenced by no
     * surviving manifest. Live versions are untouched (immutable files,
     * bit-stable before/after); an expired `VERSION AS OF` refuses
-    * loudly at load. CAVEAT (shared with every vacuum from Delta to
-    * Iceberg): must not run concurrently with an in-flight writer,
-    * whose staged-but-uncommitted files look unreferenced. */
-  def expireSnapshots(tableDir: Path, retainLast: Int): ExpireResult = {
+    * loudly at load.
+    *
+    * SAFE AGAINST IN-FLIGHT WRITERS, in two layers (the Delta/Iceberg
+    * vacuum discipline): tasks write under dot-prefixed in-progress
+    * names that are never vacuum candidates, and files younger than
+    * `graceMs` (default 10 minutes) are skipped even under their
+    * final `data-*` names — the window between a task's rename and
+    * the driver's manifest publish. A vacuum can therefore never
+    * delete a concurrent commit's staged files out from under it;
+    * pass `graceMs = 0` only when no writer can be in flight. */
+  def expireSnapshots(tableDir: Path, retainLast: Int,
+      graceMs: Long = 10L * 60L * 1000L): ExpireResult = {
     require(retainLast >= 1,
       s"graft catalog: retainLast must be >= 1, got $retainLast")
     val versions = GraftRl.manifestVersions(tableDir)
@@ -284,13 +319,136 @@ object GraftCatalog {
     val live: Set[String] = keep.flatMap(v =>
       GraftRl.readManifest(tableDir, v).getOrElse(Seq.empty))
       .map(_.name).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dead = Option(tableDir.toFile.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
-      .filter(n => n.startsWith("data-") && n.endsWith(".tsv") &&
-        !live.contains(n))
-      .sorted.toSeq
+      .filter(f => {
+        val n = f.getName
+        n.startsWith("data-") && n.endsWith(".parquet") &&
+          !live.contains(n) && f.lastModified() <= cutoff
+      })
+      .map(_.getName).sorted.toSeq
     dead.foreach(n => Files.delete(tableDir.resolve(n)))
     ExpireResult(expire, dead, keep)
+  }
+
+  /** Result of [[optimizeTable]]: which fragmented group files were
+    * compacted away, which packed files replaced them, and the
+    * manifest version the compaction published. */
+  final case class OptimizeResult(removedFiles: Seq[String],
+      addedFiles: Seq[String], version: Long)
+
+  /** OPTIMIZE — small-group compaction (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files): file-keyed copy-on-write plus per-statement
+    * groups FRAGMENT under sustained DML, and a thousand tiny groups
+    * means a thousand tiny tasks and a thousand manifest lines. This
+    * bin-packs groups smaller than `targetRows` (within a partition
+    * value, for partitioned tables — packing across values would
+    * destroy the storage-partitioned layout) into combined files and
+    * publishes the result as an ORDINARY next-version manifest:
+    * contents are bit-stable (same rows, same values — only the
+    * file geometry changes), time travel still addresses every prior
+    * version, retention vacuums the fragments once they age out, and
+    * the change stream sees a change-flagged commit (files removed),
+    * which `skipChangeCommits` consumers skip and strict consumers
+    * refuse — exactly the contract rewrites already have.
+    *
+    * Optimistic like every commit: publishes base+1 by
+    * atomic-exclusive link, deletes its packed files and aborts
+    * loudly on a race. Single-process (driver-side row copy) by
+    * design here: compaction inputs are by definition SMALL files,
+    * and a distributed rewrite would be the same reader/writer pair
+    * fanned out per bin. */
+  def optimizeTable(tableDir: Path, targetRows: Long): OptimizeResult = {
+    require(targetRows >= 1,
+      s"graft catalog: targetRows must be >= 1, got $targetRows")
+    val schema = GraftRl.currentSchema(tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: $tableDir is not a table (no schema.json)"))
+    val partIdx = GraftRl.readPartCol(tableDir).map(schema.fieldIndex)
+    val base = GraftRl.currentVersion(tableDir)
+    val files = GraftRl.readManifest(tableDir, base).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog: manifest v$base unreadable in $tableDir"))
+    // bucket by provable partition value (None bucket = unprovable or
+    // unpartitioned); only provable-value files may pack together
+    def bucket(gf: GraftRl.GroupFile): Option[Option[Long]] =
+      partIdx match {
+        case None => Some(None)
+        case Some(i) => GraftRl.partValueOf(gf, i)
+      }
+    val candidates = files.filter(f => f.rows < targetRows &&
+      bucket(f).isDefined)
+    val bins: Seq[Seq[GraftRl.GroupFile]] = candidates
+      .groupBy(bucket).toSeq.sortBy(_._2.head.name).flatMap {
+        case (_, fs) =>
+          // greedy first-fit over name order: deterministic packing
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[scala.collection.mutable.ArrayBuffer[GraftRl.GroupFile]]
+          var cur = scala.collection.mutable.ArrayBuffer
+            .empty[GraftRl.GroupFile]
+          var rows = 0L
+          fs.sortBy(_.name).foreach { f =>
+            if (cur.nonEmpty && rows + f.rows > targetRows) {
+              out += cur
+              cur = scala.collection.mutable.ArrayBuffer.empty; rows = 0L
+            }
+            cur += f; rows += f.rows
+          }
+          if (cur.nonEmpty) out += cur
+          out.filter(_.size >= 2).map(_.toSeq)
+      }
+    if (bins.isEmpty) return OptimizeResult(Nil, Nil, base)
+    val packed = bins.map { bin =>
+      val name =
+        s"data-opt-${java.util.UUID.randomUUID()}.parquet"
+      val tmp = tableDir.resolve(s".inprogress-$name")
+      val msg = GraftRlCodec.messageType(schema.fields.toSeq)
+      val fac = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msg)
+      val w = GraftRlCodec.openWriter(tmp, msg)
+      val stats = new GraftRlStats(schema)
+      try {
+        bin.foreach { gf =>
+          // read every column the fragment has; absent trailing
+          // columns (pre-evolution files) null-fill — the packed file
+          // is rewritten at the CURRENT schema width
+          val present = schema.fields.take(gf.width)
+          val reader = GraftRlCodec.openReader(
+            tableDir.resolve(gf.name).toString,
+            GraftRlCodec.messageType(present.toSeq))
+          try {
+            var g = reader.read()
+            while (g != null) {
+              val vals = new Array[Any](schema.fields.length)
+              var j = 0
+              while (j < present.length) {
+                vals(j) = GraftRlCodec.groupValue(g, j,
+                  present(j).dataType)
+                j += 1
+              }
+              val row = InternalRow.fromSeq(vals.toIndexedSeq)
+              w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
+              stats.update(row, 0)
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      } finally w.close()
+      Files.move(tmp, tableDir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      (bin.map(_.name).toSet,
+        GraftRl.GroupFile(name, stats.rows, stats.token))
+    }
+    val removed = packed.flatMap(_._1).toSet
+    val next = files.filterNot(f => removed.contains(f.name)) ++
+      packed.map(_._2)
+    if (!GraftRl.publish(tableDir, base + 1, GraftRl.render(next))) {
+      packed.foreach(p => Files.deleteIfExists(tableDir.resolve(p._2.name)))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent commit on $tableDir during " +
+          s"OPTIMIZE — packed files deleted, nothing published; re-run")
+    }
+    OptimizeResult(removed.toSeq.sorted, packed.map(_._2.name), base + 1)
   }
 }
 
@@ -301,53 +459,121 @@ object GraftCatalog {
 private[sources] object GraftRlConcurrencyHook {
   @volatile var beforeReplacePublish: () => Unit = () => ()
   @volatile var beforeAppendPublish: () => Unit = () => ()
+  @volatile var beforeSchemaPublish: () => Unit = () => ()
 }
 
 /** Manifest + group-file model: a table version is the list of
-  * immutable group files named by `v<NNNNN>.manifest`, one line per
-  * group — `<file> \t <rows> \t <stats>` where stats is a
-  * comma-joined per-column token: `lo:hi:nulls` (decimal) for a
-  * BIGINT column with at least one non-null value, `N:nulls` for an
-  * all-null BIGINT column, `-` otherwise (non-BIGINT, or a legacy
-  * `lo:hi` token without a null count). The stats power static group
-  * pruning, metadata-only COUNT/MIN/MAX, and metadata-only DELETE;
-  * they are advisory for pruning (an unknown token just means
-  * "cannot prune") and LOAD-BEARING only where a proof is required —
-  * there an unknown token makes the fast path refuse, never lie. */
+  * immutable Parquet group files named by `v<NNNNN>.manifest`, one
+  * line per group — `<file> \t <rows> \t <stats>` where stats is a
+  * comma-joined per-column token carrying TYPED min/max bounds plus
+  * an exact null count:
+  *
+  *   - `l:<lo>:<hi>:<nulls>` BIGINT range; `l:_:_:<nulls>` all-null
+  *   - `d:<lo>:<hi>:<nulls>` DOUBLE range over the file's NON-NaN
+  *     values; `?` marks an unknown bound (hi=`?` when any NaN is
+  *     present — Spark orders NaN above every double, so the true max
+  *     is NaN and interval proofs must refuse; lo=`?` too when every
+  *     non-null value is NaN); `d:_:_:<nulls>` all-null
+  *   - `s:<lo>:<hi>:<nulls>` STRING range, EXACT bounds, both ≤ 32
+  *     code points, percent-escaped (`% : , \t \n \r`, plus the bare
+  *     `_`/`?` sentinels)
+  *   - `t:<lo>:<hi>:<nulls>` STRING range, TRUNCATED bounds: lo is a
+  *     ≤-the-true-min prefix, hi is a STRICT upper bound (truncated
+  *     prefix of the max with the last code point incremented, the
+  *     Parquet/Iceberg `truncate(n)` trick) or `?` when no increment
+  *     exists — usable for pruning and none-match proofs, never for
+  *     all-match equality
+  *   - `x:<nulls>` null count known, no usable range (e.g. the file's
+  *     min/max bytes are not valid UTF-8, so string bounds would be
+  *     unsound); legacy `-`, `N:<nulls>`, `lo:hi[:nulls]` from the
+  *     pre-typed grammar still parse (as unknown / all-null / BIGINT)
+  *
+  * The stats power static group pruning, metadata-only
+  * COUNT/MIN/MAX, and metadata-only DELETE; they are advisory for
+  * pruning (an unknown token just means "cannot prune") and
+  * LOAD-BEARING only where a proof is required — there an unknown
+  * token makes the fast path refuse, never lie. */
 private[sources] object GraftRl {
+
+  /** Parsed per-column stats. `nulls` is the exact null count when
+    * known. [[AllNullStat]] asserts PROVABLY ZERO non-null values
+    * (empty range — vacuously inside every interval). */
+  sealed trait ColStat { def nulls: Option[Long] }
+  final case class NoStat(nulls: Option[Long]) extends ColStat
+  final case class AllNullStat(nulls: Option[Long]) extends ColStat
+  final case class LongStat(lo: Long, hi: Long,
+      nulls: Option[Long]) extends ColStat
+  /** lo/hi over the file's NON-NaN values; `hi=None` when a NaN is
+    * present (the Spark-order max is then NaN), `lo=None` too when
+    * every non-null value is NaN. */
+  final case class DoubleStat(lo: Option[Double], hi: Option[Double],
+      nulls: Option[Long]) extends ColStat
+  /** `exact=false`: lo is only a lower bound and hi (when present) a
+    * STRICT upper bound — fine for pruning, never for `=` all-match. */
+  final case class StringStat(lo: UTF8String, hi: Option[UTF8String],
+      exact: Boolean, nulls: Option[Long]) extends ColStat
+
+  private def parseToken(tok: String): ColStat = try {
+    if (tok.isEmpty || tok == "-") NoStat(None)
+    else if (tok.startsWith("N:"))
+      AllNullStat(Some(tok.stripPrefix("N:").toLong))
+    else if (tok.startsWith("x:"))
+      NoStat(Some(tok.stripPrefix("x:").toLong))
+    else if (tok.length > 1 && tok.charAt(1) == ':' &&
+        "ldst".indexOf(tok.charAt(0)) >= 0) {
+      val p = tok.split(":", 4)
+      val nl = Some(p(3).toLong)
+      tok.charAt(0) match {
+        case 'l' =>
+          if (p(1) == "_") AllNullStat(nl)
+          else LongStat(p(1).toLong, p(2).toLong, nl)
+        case 'd' =>
+          if (p(1) == "_") AllNullStat(nl)
+          else DoubleStat(
+            if (p(1) == "?") None else Some(p(1).toDouble),
+            if (p(2) == "?") None else Some(p(2).toDouble), nl)
+        case 's' =>
+          if (p(1) == "_") AllNullStat(nl)
+          else StringStat(
+            UTF8String.fromString(GraftRlStats.decodeBound(p(1))),
+            Some(UTF8String.fromString(GraftRlStats.decodeBound(p(2)))),
+            exact = p(2) != "?", nl)
+        case 't' =>
+          StringStat(
+            UTF8String.fromString(GraftRlStats.decodeBound(p(1))),
+            if (p(2) == "?") None
+            else Some(UTF8String.fromString(GraftRlStats.decodeBound(p(2)))),
+            exact = false, nl)
+      }
+    } else { // legacy BIGINT token `lo:hi[:nulls]`
+      val parts = tok.split(":", 3)
+      if (parts.length >= 2)
+        LongStat(parts(0).toLong, parts(1).toLong,
+          if (parts.length == 3) Some(parts(2).toLong) else None)
+      else NoStat(None)
+    }
+  } catch { // malformed stats degrade to "no proof", never to a lie
+    case _: RuntimeException => NoStat(None)
+  }
+
   final case class GroupFile(name: String, rows: Long, statsToken: String) {
     private lazy val tokens: Array[String] = statsToken.split(",", -1)
     /** number of columns this file was WRITTEN with (one stats token
       * per column) — smaller than the current schema after an ALTER
       * TABLE ADD COLUMNS; the missing trailing columns of every row
-      * read as NULL, which the stats accessors below KNOW exactly */
+      * read as NULL, which [[stat]] below KNOWS exactly */
     lazy val width: Int = tokens.length
-    /** column index → (min, max) over NON-NULL values */
-    lazy val longStats: Map[Int, (Long, Long)] =
-      tokens.zipWithIndex.collect {
-        case (tok, i) if tok.nonEmpty && tok != "-" &&
-            !tok.startsWith("N:") =>
-          val parts = tok.split(":", 3)
-          i -> (parts(0).toLong, parts(1).toLong)
-      }.toMap
-    /** column index → null count; absent when unknown (legacy token
-      * or non-BIGINT column) */
-    lazy val longNulls: Map[Int, Long] =
-      tokens.zipWithIndex.collect {
-        case (tok, i) if tok.startsWith("N:") =>
-          i -> tok.stripPrefix("N:").toLong
-        case (tok, i) if tok.nonEmpty && tok != "-" &&
-            tok.count(_ == ':') == 2 =>
-          i -> tok.split(":", 3)(2).toLong
-      }.toMap
-    /** Schema-evolution-aware accessors: a column the file predates
-      * is all-NULL by construction, so its range is empty and its
-      * null count equals the row count — exact knowledge, not a
-      * refused proof. */
-    def statsFor(i: Int): Option[(Long, Long)] =
-      if (i >= width) None else longStats.get(i)
-    def nullsFor(i: Int): Option[Long] =
-      if (i >= width) Some(rows) else longNulls.get(i)
+    private lazy val parsed: Array[ColStat] = tokens.map(parseToken)
+    /** Schema-evolution-aware accessor: a column the file predates is
+      * all-NULL by construction — exact knowledge, not a refusal. */
+    def stat(i: Int): ColStat =
+      if (i >= width) AllNullStat(Some(rows)) else parsed(i)
+    /** BIGINT (min, max) over NON-NULL values, when known. */
+    def statsFor(i: Int): Option[(Long, Long)] = stat(i) match {
+      case LongStat(lo, hi, _) => Some((lo, hi))
+      case _ => None
+    }
+    def nullsFor(i: Int): Option[Long] = stat(i).nulls
     def manifestLine: String = s"$name\t$rows\t$statsToken"
   }
 
@@ -385,74 +611,219 @@ private[sources] object GraftRl {
     * link creation is atomic and fails if the target exists, so of
     * two racing commits to the same version exactly one wins. Returns
     * whether this writer won. */
-  def publish(dir: Path, v: Long, content: String): Boolean = {
-    val target = manifestPath(dir, v)
+  def publish(dir: Path, v: Long, content: String): Boolean =
+    publishExclusive(dir, manifestPath(dir, v), content)
+
+  /** Versioned-schema publish, same discipline: `schema.json` is
+    * version 0 (written once at CREATE), every ALTER publishes
+    * `schema-<n>.json` by atomic-exclusive link. */
+  def schemaPath(dir: Path, v: Long): Path =
+    if (v == 0L) dir.resolve("schema.json")
+    else dir.resolve(f"schema-$v%05d.json")
+
+  def schemaVersions(dir: Path): Seq[Long] =
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect {
+        case n if n.startsWith("schema-") && n.endsWith(".json") =>
+          n.stripPrefix("schema-").stripSuffix(".json").toLong
+      }.sorted.toSeq
+
+  def currentSchemaVersion(dir: Path): Long =
+    (0L +: schemaVersions(dir)).max
+
+  def currentSchema(dir: Path): Option[StructType] = {
+    if (!Files.exists(dir.resolve("schema.json"))) None
+    else Some(DataType.fromJson(Files.readString(
+      schemaPath(dir, currentSchemaVersion(dir))))
+      .asInstanceOf[StructType])
+  }
+
+  def publishSchema(dir: Path, v: Long, json: String): Boolean =
+    publishExclusive(dir, schemaPath(dir, v), json)
+
+  private def publishExclusive(dir: Path, target: Path,
+      content: String): Boolean = {
     if (Files.exists(target)) return false
-    val tmp = dir.resolve(s".manifest-${java.util.UUID.randomUUID()}")
+    val tmp = dir.resolve(s".publish-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, content)
     try { Files.createLink(target, tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
 
+  def readPartCol(dir: Path): Option[String] = {
+    val p = dir.resolve("partcol")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
   def render(files: Seq[GroupFile]): String =
     if (files.isEmpty) "" else files.map(_.manifestLine).mkString("", "\n", "\n")
 
-  /** Conservative may-this-file-contain-a-match test against per-file
-    * BIGINT min/max stats. Returns true ("keep") on anything it cannot
-    * prove — non-long columns, null-sensitive predicates, unknown
-    * filter shapes — so pruning is always sound, never load-bearing. */
-  def mightMatch(gf: GroupFile, longIdx: Map[String, Int],
-      filter: SFilter): Boolean = {
-    def rng(attr: String): Option[(Long, Long)] =
-      longIdx.get(attr).flatMap(gf.statsFor)
-    def num(v: Any): Option[Long] = v match {
+  private def cmpU(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+
+  /** THE shared typed comparison engine: `(allNonNull, noneNonNull)`
+    * of `col <op> v` over the file's NON-NULL value domain — `None`
+    * when no proof is possible. Pruning keeps a file unless
+    * `noneNonNull` (nulls never satisfy a comparison); the delete
+    * proof additionally needs the null count for `allNonNull` to
+    * become an all-rows verdict. Spark's double semantics are honored
+    * exactly: NaN sorts ABOVE every value (so a NaN-bearing file has
+    * an unknown max and satisfies every `> v`), and NaN literals
+    * refuse. Truncated string bounds prove none-match and
+    * inequality-all-match, never `=` all-match. */
+  def cmpStat(st: ColStat, op: String, v: Any): Option[(Boolean, Boolean)] =
+    st match {
+      case AllNullStat(_) => Some((true, true)) // vacuous: empty domain
+      case NoStat(_) => None
+      case LongStat(lo, hi, _) => v match {
+        case x: Long => op match {
+          case "=" | "<=>" => Some((lo == x && hi == x, x < lo || x > hi))
+          case "<" => Some((hi < x, lo >= x))
+          case "<=" => Some((hi <= x, lo > x))
+          case ">" => Some((lo > x, hi <= x))
+          case ">=" => Some((lo >= x, hi < x))
+          case "<>" => Some((x < lo || x > hi, lo == x && hi == x))
+          case _ => None
+        }
+        case _ => None
+      }
+      case DoubleStat(dlo, dhi, _) => v match {
+        case x: Double if !x.isNaN => (dlo, dhi) match {
+          case (Some(lo), Some(hi)) => op match { // NaN-free interval
+            case "=" | "<=>" => Some((lo == x && hi == x, x < lo || x > hi))
+            case "<" => Some((hi < x, lo >= x))
+            case "<=" => Some((hi <= x, lo > x))
+            case ">" => Some((lo > x, hi <= x))
+            case ">=" => Some((lo >= x, hi < x))
+            case "<>" => Some((x < lo || x > hi, lo == x && hi == x))
+            case _ => None
+          }
+          case (Some(lo), None) => op match { // NaN present: max is NaN
+            case "=" | "<=>" => Some((false, x < lo))
+            case "<" => Some((false, lo >= x))
+            case "<=" => Some((false, lo > x))
+            case ">" => Some((lo > x, false)) // NaN > x holds too
+            case ">=" => Some((lo >= x, false))
+            case "<>" => Some((x < lo, false))
+            case _ => None
+          }
+          case (None, _) => op match { // every non-null value is NaN
+            case "=" | "<=>" | "<" | "<=" => Some((false, true))
+            case ">" | ">=" | "<>" => Some((true, false))
+            case _ => None
+          }
+        }
+        case _ => None // NaN literal or foreign type: refuse
+      }
+      case StringStat(lo, hiOpt, exact, _) => v match {
+        case x: UTF8String =>
+          if (exact && hiOpt.isDefined) {
+            val hi = hiOpt.get
+            op match {
+              case "=" | "<=>" => Some((cmpU(lo, x) == 0 && cmpU(hi, x) == 0,
+                cmpU(x, lo) < 0 || cmpU(x, hi) > 0))
+              case "<" => Some((cmpU(hi, x) < 0, cmpU(lo, x) >= 0))
+              case "<=" => Some((cmpU(hi, x) <= 0, cmpU(lo, x) > 0))
+              case ">" => Some((cmpU(lo, x) > 0, cmpU(hi, x) <= 0))
+              case ">=" => Some((cmpU(lo, x) >= 0, cmpU(hi, x) < 0))
+              case "<>" => Some((cmpU(x, lo) < 0 || cmpU(x, hi) > 0,
+                cmpU(lo, x) == 0 && cmpU(hi, x) == 0))
+              case _ => None
+            }
+          } else {
+            // lo ≤ true min; hi (when present) is a STRICT upper bound
+            def hiLe(y: UTF8String): Boolean = // true max < hi ≤ y ⇒ max < y
+              hiOpt.exists(h => cmpU(h, y) <= 0)
+            op match {
+              case "=" | "<=>" =>
+                Some((false, cmpU(x, lo) < 0 || hiOpt.exists(h =>
+                  cmpU(x, h) >= 0)))
+              case "<" => Some((hiLe(x), cmpU(lo, x) >= 0))
+              case "<=" => Some((hiLe(x), cmpU(lo, x) > 0))
+              case ">" => Some((cmpU(lo, x) > 0, hiLe(x)))
+              case ">=" => Some((cmpU(lo, x) >= 0, hiLe(x)))
+              case "<>" => Some((cmpU(x, lo) < 0 || hiOpt.exists(h =>
+                cmpU(x, h) >= 0), false))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }
+
+  /** Normalize a pushed-filter / V2-literal value into the column's
+    * comparison domain: Long for BIGINT, Double for DOUBLE (integer
+    * literals widen), UTF8String for STRING. */
+  def normValue(dt: DataType, v: Any): Option[Any] = dt match {
+    case LongType => v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
       case b: Byte => Some(b.toLong)
+      case l: java.lang.Long => Some(l.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
       case _ => None
     }
+    case DoubleType => v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case d: java.lang.Double => Some(d.doubleValue())
+      case f: java.lang.Float => Some(f.doubleValue())
+      case l: java.lang.Long => Some(l.doubleValue())
+      case i: java.lang.Integer => Some(i.doubleValue())
+      case _ => None
+    }
+    case StringType => v match {
+      case u: UTF8String => Some(u)
+      case s: String => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Conservative may-this-file-contain-a-match test against the
+    * typed per-file stats. Returns true ("keep") on anything it
+    * cannot prove — unknown columns, NaN literals, unknown filter
+    * shapes — so pruning is always sound, never load-bearing. */
+  def mightMatch(gf: GroupFile, schema: StructType,
+      filter: SFilter): Boolean = {
+    def colIdx(attr: String): Option[Int] =
+      schema.fields.indexWhere(_.name == attr) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    // keep unless the stats prove NO non-null row satisfies op v
+    def keep(attr: String, op: String, v: Any): Boolean =
+      colIdx(attr).flatMap { i =>
+        normValue(schema.fields(i).dataType, v)
+          .flatMap(x => cmpStat(gf.stat(i), op, x))
+      } match {
+        case Some((_, none)) => !none
+        case None => true
+      }
     filter match {
-      case sf.EqualTo(a, v) =>
-        (rng(a), num(v)) match {
-          case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
-          case _ => true
-        }
-      case sf.EqualNullSafe(a, v) if v != null =>
-        mightMatch(gf, longIdx, sf.EqualTo(a, v))
-      case sf.GreaterThan(a, v) =>
-        (rng(a), num(v)) match {
-          case (Some((_, hi)), Some(x)) => hi > x
-          case _ => true
-        }
-      case sf.GreaterThanOrEqual(a, v) =>
-        (rng(a), num(v)) match {
-          case (Some((_, hi)), Some(x)) => hi >= x
-          case _ => true
-        }
-      case sf.LessThan(a, v) =>
-        (rng(a), num(v)) match {
-          case (Some((lo, _)), Some(x)) => lo < x
-          case _ => true
-        }
-      case sf.LessThanOrEqual(a, v) =>
-        (rng(a), num(v)) match {
-          case (Some((lo, _)), Some(x)) => lo <= x
-          case _ => true
-        }
-      case sf.In(a, vs) =>
-        rng(a) match {
-          case Some((lo, hi)) => vs.exists(v => num(v) match {
-            case Some(x) => x >= lo && x <= hi
-            case None => true
-          })
-          case None => true
-        }
+      case sf.EqualTo(a, v) => keep(a, "=", v)
+      case sf.EqualNullSafe(a, v) if v != null => keep(a, "=", v)
+      case sf.GreaterThan(a, v) => keep(a, ">", v)
+      case sf.GreaterThanOrEqual(a, v) => keep(a, ">=", v)
+      case sf.LessThan(a, v) => keep(a, "<", v)
+      case sf.LessThanOrEqual(a, v) => keep(a, "<=", v)
+      case sf.In(a, vs) => vs.isEmpty || vs.exists(v =>
+        if (v == null) false else keep(a, "=", v))
+      case sf.IsNull(a) =>
+        !colIdx(a).flatMap(i => gf.nullsFor(i)).contains(0L)
+      case sf.IsNotNull(a) =>
+        !colIdx(a).exists(i => gf.stat(i) match {
+          case AllNullStat(_) => true
+          case s => s.nulls.contains(gf.rows)
+        })
       case sf.And(l, r) =>
-        mightMatch(gf, longIdx, l) && mightMatch(gf, longIdx, r)
+        mightMatch(gf, schema, l) && mightMatch(gf, schema, r)
       case sf.Or(l, r) =>
-        mightMatch(gf, longIdx, l) || mightMatch(gf, longIdx, r)
+        mightMatch(gf, schema, l) || mightMatch(gf, schema, r)
       case _ => true
     }
   }
@@ -489,8 +860,10 @@ private[sources] object GraftRl {
     gf.statsFor(i) match {
       case Some((lo, hi)) if lo == hi &&
           gf.nullsFor(i).contains(0L) => Some(Some(lo))
-      case None if gf.rows > 0L &&
-          gf.nullsFor(i).contains(gf.rows) => Some(None)
+      case None if gf.rows > 0L && (gf.stat(i) match {
+          case AllNullStat(_) => true
+          case s => s.nulls.contains(gf.rows)
+        }) => Some(None)
       case _ => None
     }
 
@@ -502,58 +875,37 @@ private[sources] object GraftRl {
     * caller must fall back to the copy-on-write rewrite). SQL null
     * semantics are honored: a NULL predicate keeps its row, so an
     * all-match proof additionally requires a ZERO null count on every
-    * referenced column — a legacy stats token without null counts can
-    * prove NoRows but never AllRows. Everything unrecognized
-    * degrades to SomeRows: the fast path may refuse, never lie. */
+    * referenced column. Typed: BIGINT, DOUBLE (NaN-aware), and
+    * STRING (exact-bounds) predicates all prove; truncated string
+    * bounds prove none-match and range-all-match but never `=`
+    * all-match. Everything unrecognized degrades to SomeRows: the
+    * fast path may refuse, never lie. */
   sealed trait Coverage
   case object AllRows extends Coverage
   case object NoRows extends Coverage
   case object SomeRows extends Coverage
 
-  def deleteCoverage(gf: GroupFile, longIdx: Map[String, Int],
+  def deleteCoverage(gf: GroupFile, schema: StructType,
       p: Predicate): Coverage = {
     import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
     def refCol(e: VExpr): Option[Int] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
-        longIdx.get(r.fieldNames()(0))
-      case _ => None
-    }
-    def litLong(e: VExpr): Option[Long] = e match {
-      case l: VLit[_] => l.value match {
-        case v: java.lang.Long => Some(v)
-        case v: java.lang.Integer => Some(v.toLong)
-        case v: java.lang.Short => Some(v.toLong)
-        case v: java.lang.Byte => Some(v.toLong)
-        case _ => None
-      }
-      case _ => None
-    }
-    /** (allNonNull, noneNonNull) for `col <op> v` over the file's
-      * non-null domain [lo, hi]; vacuous (true, true) when the file
-      * has no non-null values in the column. */
-    def cmp(op: String, i: Int, v: Long): Option[(Boolean, Boolean)] =
-      gf.statsFor(i) match {
-        case None if gf.nullsFor(i).contains(gf.rows) =>
-          Some((true, true)) // all-null column: no non-null rows exist
-        case None => None // legacy/unknown stats: no proof either way
-        case Some((lo, hi)) => op match {
-          case "=" => Some((lo == v && hi == v, v < lo || v > hi))
-          case "<=>" => Some((lo == v && hi == v, v < lo || v > hi))
-          case "<" => Some((hi < v, lo >= v))
-          case "<=" => Some((hi <= v, lo > v))
-          case ">" => Some((lo > v, hi <= v))
-          case ">=" => Some((lo >= v, hi < v))
-          case "<>" => Some((v < lo || v > hi, lo == v && hi == v))
-          case _ => None
+        schema.fields.indexWhere(_.name == r.fieldNames()(0)) match {
+          case -1 => None
+          case i => Some(i)
         }
-      }
+      case _ => None
+    }
+    def litOf(i: Int, e: VExpr): Option[Any] = e match {
+      case l: VLit[_] => normValue(schema.fields(i).dataType, l.value)
+      case _ => None
+    }
     def nullsKnownZero(i: Int): Boolean = gf.nullsFor(i).contains(0L)
     // NULL comparisons are never TRUE (<=> against a non-null literal
     // included): nulls count toward "none", and they break an "all"
     // proof unless the null count is known to be zero
-    def fromNonNull(i: Int, an: Boolean, nn: Boolean,
-        nullSafe: Boolean): Coverage =
-      if (nn) NoRows
+    def fromNonNull(i: Int, an: Boolean, nn: Boolean): Coverage =
+      if (nn) NoRows // nulls never satisfy a comparison either
       else if (an && nullsKnownZero(i)) AllRows
       else SomeRows
     def eval(pred: Predicate): Coverage = pred match {
@@ -589,20 +941,19 @@ private[sources] object GraftRl {
           if (ch.length != 2) SomeRows
           else {
             val direct = for {
-              i <- refCol(ch(0)); v <- litLong(ch(1))
-              r <- cmp(op, i, v)
+              i <- refCol(ch(0)); v <- litOf(i, ch(1))
+              r <- cmpStat(gf.stat(i), op, v)
             } yield (i, r)
             val flippedOp = op match {
               case "<" => ">" case "<=" => ">="
               case ">" => "<" case ">=" => "<=" case other => other
             }
             val flipped = for {
-              i <- refCol(ch(1)); v <- litLong(ch(0))
-              r <- cmp(flippedOp, i, v)
+              i <- refCol(ch(1)); v <- litOf(i, ch(0))
+              r <- cmpStat(gf.stat(i), flippedOp, v)
             } yield (i, r)
             direct.orElse(flipped) match {
-              case Some((i, (an, nn))) =>
-                fromNonNull(i, an, nn, nullSafe = op == "<=>")
+              case Some((i, (an, nn))) => fromNonNull(i, an, nn)
               case None => SomeRows
             }
           }
@@ -610,14 +961,15 @@ private[sources] object GraftRl {
           val ch = pred.children()
           refCol(ch.head) match {
             case Some(i) =>
-              val vs = ch.tail.flatMap(litLong)
+              val vs = ch.tail.flatMap(litOf(i, _))
               if (vs.length != ch.length - 1) SomeRows
               else {
-                val per = vs.map(v => cmp("=", i, v))
+                val per = vs.map(v => cmpStat(gf.stat(i), "=", v))
                 if (per.exists(_.isEmpty)) SomeRows
                 else {
                   val covs = per.flatten
-                  if (covs.forall(_._2)) NoRows // no value can match
+                  if (covs.forall(_._2)) fromNonNull(i, an = false,
+                    nn = true) // no value can match
                   else if (covs.exists(_._1) && nullsKnownZero(i))
                     AllRows // one value covers the whole file
                   else SomeRows
@@ -661,98 +1013,267 @@ private[sources] object GraftRl {
   }
 }
 
-private[sources] object GraftRlTable {
-  /** TSV escaping: `\t`, `\n`, `\r`, `\\`; NULL is the bare token
-    * `\N`. `\r` matters because `Files.lines` treats a lone carriage
-    * return as a line terminator — unescaped it would split one
-    * stored string into two file lines (silent row duplication for a
-    * single-string-column table). */
-  def escape(s: String): String = {
+/** Bound-string encoding + truncation for the manifest stats grammar. */
+private[sources] object GraftRlStats {
+  /** Truncation threshold for string bounds, in code points — the
+    * Parquet/Iceberg `truncate(n)` discipline that keeps manifests
+    * small under long text columns. */
+  val TruncateAt = 32
+
+  /** Percent-escape the characters the token grammar reserves
+    * (`% : , \t \n \r`), plus the bare `_` / `?` sentinels. */
+  def encodeBound(s: String): String = {
     val b = new StringBuilder(s.length)
     s.foreach {
-      case '\t' => b.append("\\t")
-      case '\n' => b.append("\\n")
-      case '\r' => b.append("\\r")
-      case '\\' => b.append("\\\\")
+      case '%' => b.append("%25")
+      case ':' => b.append("%3A")
+      case ',' => b.append("%2C")
+      case '\t' => b.append("%09")
+      case '\n' => b.append("%0A")
+      case '\r' => b.append("%0D")
       case c => b.append(c)
     }
-    b.result()
+    val r = b.result()
+    if (r == "_") "%5F" else if (r == "?") "%3F" else r
   }
 
-  def unescape(s: String): String = {
+  def decodeBound(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 't' => b.append('\t'); i += 2
-          case 'n' => b.append('\n'); i += 2
-          case 'r' => b.append('\r'); i += 2
-          case '\\' => b.append('\\'); i += 2
-          case other => b.append(other); i += 2
-        }
+      if (c == '%' && i + 2 < s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
       } else { b.append(c); i += 1 }
     }
     b.result()
   }
 
-  /** `off` skips leading non-data fields: Spark 4's group-based
-    * ReplaceData query PREPENDS a literal `__row_operation` marker
-    * column to every row (the analyzed plan is
-    * `Project [6 AS __row_operation, <table cols>]`) even though the
-    * LogicalWriteInfo schema declares only the data columns — the
-    * row-level write path passes off=1 and validates the arity. */
-  def rowToLine(r: InternalRow, schema: StructType, off: Int): String = {
-    require(r.numFields == schema.fields.length + off,
-      s"graft catalog: writer row has ${r.numFields} fields, " +
-        s"expected ${schema.fields.length + off}")
-    schema.fields.indices.map { i =>
-      if (r.isNullAt(i + off)) "\\N"
+  /** Code-point prefix — a valid LOWER bound in UTF-8 byte order
+    * (UTF-8 preserves code-point order, and a byte prefix never
+    * compares above its extension). */
+  def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= TruncateAt) s
+    else s.substring(0, s.offsetByCodePoints(0, TruncateAt))
+
+  /** STRICT upper bound for a truncated max: the ≤32-code-point
+    * prefix with its last incrementable code point bumped (skipping
+    * the surrogate gap). Every string with this prefix — the true max
+    * included — compares strictly below the result. None when no
+    * code point can be incremented (all U+10FFFF; practically never). */
+  def truncUpper(s: String): Option[String] = {
+    val cnt = s.codePointCount(0, s.length)
+    val pre = if (cnt <= TruncateAt) s
+      else s.substring(0, s.offsetByCodePoints(0, TruncateAt))
+    val cps = pre.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val inc = if (cps(i) + 1 >= 0xD800 && cps(i) + 1 <= 0xDFFF) 0xE000
+          else cps(i) + 1
+        return Some(new String(cps, 0, i) +
+          new String(Character.toChars(inc)))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** UTF8Strings whose bytes are not valid UTF-8 round-trip lossily
+    * through java.lang.String — bounds computed from them would be
+    * UNSOUND, so the writer refuses string stats for such files. */
+  def validUtf8(u: UTF8String): Boolean =
+    UTF8String.fromString(u.toString) == u
+}
+
+/** Streaming per-column stats tracker — the manifest stats behind
+  * static pruning, metadata-only aggregates, and metadata-only
+  * deletes. Typed: BIGINT and DOUBLE min/max (doubles NaN-aware —
+  * bounds cover the non-NaN domain and a seen NaN voids the upper
+  * bound, matching Spark's NaN-greatest ordering), STRING min/max in
+  * UTF8String BINARY order (the order Spark compares strings in),
+  * truncated past [[GraftRlStats.TruncateAt]] code points, refused
+  * outright for invalid-UTF-8 values. Null counts always exact. */
+private[sources] final class GraftRlStats(schema: StructType) {
+  private val n = schema.fields.length
+  private val nulls = Array.fill(n)(0L)
+  private val lmin = Array.fill(n)(Long.MaxValue)
+  private val lmax = Array.fill(n)(Long.MinValue)
+  private val lseen = Array.fill(n)(false)
+  private val dmin = Array.fill(n)(Double.MaxValue)
+  private val dmax = Array.fill(n)(Double.MinValue)
+  private val dseen = Array.fill(n)(false) // non-NaN non-null seen
+  private val nanSeen = Array.fill(n)(false)
+  private val smin = new Array[UTF8String](n)
+  private val smax = new Array[UTF8String](n)
+  var rows = 0L
+
+  def update(r: InternalRow, off: Int): Unit = {
+    rows += 1
+    var i = 0
+    while (i < n) {
+      if (r.isNullAt(i + off)) nulls(i) += 1
       else schema.fields(i).dataType match {
-        case LongType => r.getLong(i + off).toString
+        case LongType =>
+          val v = r.getLong(i + off)
+          if (v < lmin(i)) lmin(i) = v
+          if (v > lmax(i)) lmax(i) = v
+          lseen(i) = true
         case DoubleType =>
-          // canonical bit pattern, not a formatted decimal — the
-          // round trip must be exact for every double
-          java.lang.Long.toHexString(
-            java.lang.Double.doubleToLongBits(r.getDouble(i + off)))
-        case StringType => escape(r.getUTF8String(i + off).toString)
+          val v = r.getDouble(i + off)
+          if (v.isNaN) nanSeen(i) = true
+          else {
+            if (v < dmin(i)) dmin(i) = v
+            if (v > dmax(i)) dmax(i) = v
+            dseen(i) = true
+          }
+        case StringType =>
+          val v = r.getUTF8String(i + off)
+          if (smin(i) == null || v.compareTo(smin(i)) < 0)
+            smin(i) = v.copy()
+          if (smax(i) == null || v.compareTo(smax(i)) > 0)
+            smax(i) = v.copy()
         case dt => throw new IllegalStateException(s"unsupported $dt")
       }
-    }.mkString("\t")
+      i += 1
+    }
   }
 
-  def lineToValues(line: String, schema: StructType): Array[Any] =
-    lineToValues(line, schema, schema.fields.length)
+  def token: String = (0 until n).map { i =>
+    val nl = nulls(i)
+    schema.fields(i).dataType match {
+      case LongType =>
+        if (lseen(i)) s"l:${lmin(i)}:${lmax(i)}:$nl" else s"l:_:_:$nl"
+      case DoubleType =>
+        if (!dseen(i) && !nanSeen(i)) s"d:_:_:$nl"
+        else {
+          val lo = if (dseen(i)) dmin(i).toString else "?"
+          val hi = if (nanSeen(i)) "?" else dmax(i).toString
+          s"d:$lo:$hi:$nl"
+        }
+      case StringType =>
+        if (smin(i) == null) s"s:_:_:$nl"
+        else if (!GraftRlStats.validUtf8(smin(i)) ||
+            !GraftRlStats.validUtf8(smax(i))) s"x:$nl"
+        else {
+          val lo = smin(i).toString
+          val hi = smax(i).toString
+          if (lo.codePointCount(0, lo.length) <= GraftRlStats.TruncateAt &&
+              hi.codePointCount(0, hi.length) <= GraftRlStats.TruncateAt)
+            s"s:${GraftRlStats.encodeBound(lo)}:" +
+              s"${GraftRlStats.encodeBound(hi)}:$nl"
+          else {
+            val hiB = GraftRlStats.truncUpper(hi)
+              .map(GraftRlStats.encodeBound).getOrElse("?")
+            s"t:${GraftRlStats.encodeBound(GraftRlStats.truncLower(lo))}:" +
+              s"$hiB:$nl"
+          }
+        }
+      case dt => throw new IllegalStateException(s"unsupported $dt")
+    }
+  }.mkString(",")
+}
 
-  /** `width` is the column count the file was written with: rows from
-    * files predating an ADD COLUMN carry fewer fields, and the
-    * missing trailing columns read as NULL (schema-on-read, the
-    * null-fill every production table format does). */
-  def lineToValues(line: String, schema: StructType,
-      width: Int): Array[Any] = {
-    val parts = line.split("\t", -1)
-    require(parts.length == width && width <= schema.fields.length,
-      s"graft catalog: malformed row '$line' (expected $width fields)")
-    schema.fields.indices.map { i =>
-      if (i >= width) null
-      else {
-      val p = parts(i)
-      if (p == "\\N") null
-      else schema.fields(i).dataType match {
-        case LongType => java.lang.Long.valueOf(p)
-        case DoubleType => java.lang.Double.valueOf(
-          java.lang.Double.longBitsToDouble(
-            java.lang.Long.parseUnsignedLong(p, 16)))
-        case StringType => UTF8String.fromString(unescape(p))
+/** The Parquet group-file codec: one OPTIONAL Parquet column per
+  * table column (INT64 / DOUBLE / UTF8 BINARY), written through
+  * parquet-mr's public example API over [[java.nio.file]] (no
+  * checksum-sidecar filesystem in the write path), read back with a
+  * REQUESTED-SCHEMA projection so a scan decodes exactly the columns
+  * it needs — the columnar contract that makes a two-column read of
+  * a wide 100 TB table cheap. Doubles round-trip bit-exactly (NaN
+  * payloads included); strings round-trip as raw UTF-8 bytes. */
+private[sources] object GraftRlCodec {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+  import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.parquet.schema.Type.Repetition
+
+  /** One shared Hadoop conf for the read path (reads are conf-driven
+    * in parquet-mr; the projection arrives via the ReadSupport
+    * override below, so the conf itself is never mutated). */
+  lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  def parquetField(f: StructField): org.apache.parquet.schema.Type =
+    f.dataType match {
+      case LongType =>
+        PTypes.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
+          .named(f.name)
+      case DoubleType =>
+        PTypes.primitive(PrimitiveTypeName.DOUBLE, Repetition.OPTIONAL)
+          .named(f.name)
+      case StringType =>
+        PTypes.primitive(PrimitiveTypeName.BINARY, Repetition.OPTIONAL)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+      case dt => throw new IllegalStateException(s"unsupported $dt")
+    }
+
+  def messageType(fields: Seq[StructField]): MessageType =
+    new MessageType("graft_group", fields.map(parquetField): _*)
+
+  def openWriter(path: Path, msg: MessageType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(
+        new org.apache.parquet.io.LocalOutputFile(path))
+      .withType(msg)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  /** ReadSupport that pins the requested projection directly (the
+    * conf-key route would need a mutable per-file Configuration). */
+  private final class ProjectedRead(requested: MessageType)
+      extends GroupReadSupport {
+    override def init(conf: org.apache.hadoop.conf.Configuration,
+        kv: java.util.Map[String, String], fileSchema: MessageType)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(requested)
+    override def init(conf: org.apache.parquet.conf.ParquetConfiguration,
+        kv: java.util.Map[String, String], fileSchema: MessageType)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(requested)
+  }
+
+  def openReader(path: String, requested: MessageType)
+      : ParquetReader[Group] =
+    ParquetReader.builder(new ProjectedRead(requested),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(hadoopConf).build()
+
+  /** Value of requested-column `j` of a materialized group, in the
+    * internal-row domain (null when absent). */
+  def groupValue(g: Group, j: Int, dt: DataType): Any =
+    if (g.getFieldRepetitionCount(j) == 0) null
+    else dt match {
+      case LongType => java.lang.Long.valueOf(g.getLong(j, 0))
+      case DoubleType => java.lang.Double.valueOf(g.getDouble(j, 0))
+      case StringType => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+
+  /** InternalRow → Parquet group. `off` skips leading non-data fields
+    * (the row-level write path's `__row_operation` marker). String
+    * bytes are COPIED out of the (reused) row buffer before they
+    * reach Parquet's column buffers. */
+  def appendRow(fac: SimpleGroupFactory, r: InternalRow,
+      schema: StructType, off: Int): Group = {
+    val g = fac.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!r.isNullAt(i + off)) schema.fields(i).dataType match {
+        case LongType => g.add(i, r.getLong(i + off))
+        case DoubleType => g.add(i, r.getDouble(i + off))
+        case StringType => g.add(i, Binary.fromConstantByteArray(
+          r.getUTF8String(i + off).copy().getBytes))
         case dt => throw new IllegalStateException(s"unsupported $dt")
       }
-      }
-    }.toArray
+      i += 1
+    }
+    g
   }
-
-  def lineToRow(line: String, schema: StructType): InternalRow =
-    InternalRow(lineToValues(line, schema).toIndexedSeq: _*)
 }
 
 private[sources] class GraftRlTable(ident: String, dir: Path,
@@ -763,23 +1284,16 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
   with SupportsRowLevelOperations with SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
-  private def partIdx: Option[Int] = partCol.map(tableSchema.fieldIndex)
-
   /** `PARTITIONED BY (identity(col))` — reported back to Spark so
     * SHOW CREATE / catalog introspection see the layout, and the
     * scan's KeyGroupedPartitioning claim has a declared source. */
   override def partitioning(): Array[Transform] =
     partCol.map(c => Expressions.identity(c)).toArray
 
-  private lazy val longIdx: Map[String, Int] =
-    tableSchema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType => f.name -> i
-    }.toMap
-
   private def conjCoverage(gf: GraftRl.GroupFile,
       predicates: Array[Predicate]): GraftRl.Coverage =
     predicates.foldLeft(GraftRl.AllRows: GraftRl.Coverage) { (acc, p) =>
-      (acc, GraftRl.deleteCoverage(gf, longIdx, p)) match {
+      (acc, GraftRl.deleteCoverage(gf, tableSchema, p)) match {
         case (GraftRl.NoRows, _) | (_, GraftRl.NoRows) => GraftRl.NoRows
         case (GraftRl.AllRows, GraftRl.AllRows) => GraftRl.AllRows
         case _ => GraftRl.SomeRows
@@ -790,12 +1304,12 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
     * OptimizeMetadataOnlyDeleteFromTable replaces the copy-on-write
     * rewrite with a pure manifest edit whenever every group file is
     * PROVABLY all-match (drop it) or none-match (keep it) under the
-    * delete predicates — the per-file min/max/null-count stats are
-    * the proof. Deleting an aligned key range from a 100 TB table
-    * then costs zero data I/O: no scan, no rewrite, one manifest.
-    * Any unprovable file makes canDeleteWhere refuse and the
-    * row-level COW path runs instead — the fast path may refuse,
-    * never lie. */
+    * delete predicates — the typed per-file min/max/null-count stats
+    * are the proof, now over BIGINT, DOUBLE, and STRING predicates
+    * alike. Deleting an aligned key range from a 100 TB table then
+    * costs zero data I/O: no scan, no rewrite, one manifest. Any
+    * unprovable file makes canDeleteWhere refuse and the row-level
+    * COW path runs instead — the fast path may refuse, never lie. */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     writable && files.forall(gf =>
       conjCoverage(gf, predicates) != GraftRl.SomeRows)
@@ -908,12 +1422,13 @@ private[sources] class GraftRlOperation(dir: Path, ident: String,
 }
 
 /** Scan builder shared by plain reads and row-level operations:
-  * column pruning (including the `_file` metadata column), and
-  * INEXACT filter pushdown — pushed predicates prune GROUP FILES via
-  * manifest min/max stats but are all returned as residual, so
-  * surviving groups still yield every row (exactly the Parquet
-  * row-group-stats discipline, and the only sound choice for a COW
-  * scan whose unread groups are silently kept). */
+  * column pruning (including the `_file` metadata column) pushed all
+  * the way into the Parquet column reader, and INEXACT filter
+  * pushdown — pushed predicates prune GROUP FILES via the typed
+  * manifest stats but are all returned as residual, so surviving
+  * groups still yield every row (exactly the Parquet row-group-stats
+  * discipline, and the only sound choice for a COW scan whose unread
+  * groups are silently kept). */
 private[sources] class GraftRlScanBuilder(dir: Path,
     tableSchema: StructType, files: Seq[GraftRl.GroupFile],
     op: Option[GraftRlOperation], partInfo: Option[(String, Int)],
@@ -925,33 +1440,31 @@ private[sources] class GraftRlScanBuilder(dir: Path,
   private var required: StructType = tableSchema
   private var candidates: Seq[GraftRl.GroupFile] = files
   private var accepted: Array[SFilter] = Array.empty
-  private var agg: Option[(StructType, Array[java.lang.Long])] = None
-  private val longIdx: Map[String, Int] =
-    tableSchema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType => f.name -> i
-    }.toMap
+  private var agg: Option[(StructType, Array[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
     candidates = candidates.filter(gf =>
-      filters.forall(f => GraftRl.mightMatch(gf, longIdx, f)))
+      filters.forall(f => GraftRl.mightMatch(gf, tableSchema, f)))
     accepted = filters
     filters // ALL residual: stats pruning is inexact by design
   }
   override def pushedFilters(): Array[SFilter] = accepted
 
   /** METADATA-ONLY COUNT/MIN/MAX ([[SupportsPushDownAggregates]],
-    * complete pushdown): an ungrouped COUNT(*) / MIN / MAX over
-    * BIGINT columns is answered straight from the manifest — row
-    * counts summed, per-file mins/maxs folded — so `SELECT count(*)`
-    * on a 100 TB table reads ZERO data files (the Iceberg
-    * metadata-table trick). Refused whenever a proof is impossible:
-    * any filter present (rows would need scanning), a grouping, a
-    * non-BIGINT column, or a file whose stats token predates null
-    * counts. MIN/MAX ignore nulls by SQL semantics, so all-null
-    * files simply contribute nothing. */
+    * complete pushdown): an ungrouped COUNT(*) / COUNT(col) / MIN /
+    * MAX is answered straight from the manifest — row counts summed,
+    * per-file bounds folded — so `SELECT count(*)` on a 100 TB table
+    * reads ZERO data files (the Iceberg metadata-table trick). Typed:
+    * BIGINT and DOUBLE bounds serve MIN/MAX (a NaN-bearing double
+    * file voids MAX — the true max is NaN, so the proof refuses);
+    * STRING MIN/MAX only from EXACT bounds (truncated bounds are not
+    * the value). Refused whenever a proof is impossible: any filter
+    * present, a grouping, or a file whose stats cannot answer.
+    * MIN/MAX ignore nulls by SQL semantics, so all-null files simply
+    * contribute nothing. */
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions
         .aggregate.Aggregation): Boolean =
@@ -966,8 +1479,7 @@ private[sources] class GraftRlScanBuilder(dir: Path,
 
   private def translateAgg(
       aggregation: org.apache.spark.sql.connector.expressions
-        .aggregate.Aggregation)
-      : Option[(StructType, Array[java.lang.Long])] = {
+        .aggregate.Aggregation): Option[(StructType, Array[Any])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (aggregation.groupByExpressions().nonEmpty) return None
@@ -975,46 +1487,80 @@ private[sources] class GraftRlScanBuilder(dir: Path,
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
-        longIdx.get(r.fieldNames()(0))
-      case _ => None
-    }
-    // a file with rows but no usable stats for the column defeats the
-    // proof; an all-null column (N: token) legitimately contributes
-    // nothing to MIN/MAX
-    def statsComplete(i: Int): Boolean = candidates.forall(gf =>
-      gf.rows == 0L || gf.statsFor(i).isDefined ||
-        gf.nullsFor(i).contains(gf.rows))
-    val out = aggregation.aggregateExpressions().map {
-      case _: CountStar =>
-        Some((StructField("count_star", LongType, nullable = false),
-          java.lang.Long.valueOf(candidates.map(_.rows).sum)))
-      case c: Count if !c.isDistinct =>
-        // COUNT(col) = rows minus nulls — needs a null count per file
-        colOf(c.column()).filter(i => candidates.forall(gf =>
-          gf.rows == 0L || gf.nullsFor(i).isDefined)).map { i =>
-          val v = candidates.map(gf =>
-            gf.rows - gf.nullsFor(i).getOrElse(0L)).sum
-          (StructField(s"count_$i", LongType, nullable = false),
-            java.lang.Long.valueOf(v))
-        }
-      case m: Min =>
-        colOf(m.column()).filter(statsComplete).map { i =>
-          val vs = candidates.flatMap(_.statsFor(i)).map(_._1)
-          (StructField(s"min_$i", LongType, nullable = true),
-            if (vs.isEmpty) null
-            else java.lang.Long.valueOf(vs.min))
-        }
-      case m: Max =>
-        colOf(m.column()).filter(statsComplete).map { i =>
-          val vs = candidates.flatMap(_.statsFor(i)).map(_._2)
-          (StructField(s"max_$i", LongType, nullable = true),
-            if (vs.isEmpty) null
-            else java.lang.Long.valueOf(vs.max))
+        tableSchema.fields.indexWhere(_.name == r.fieldNames()(0)) match {
+          case -1 => None
+          case i => Some(i)
         }
       case _ => None
     }
+    // a bound usable for MIN (Some(None) = file contributes nothing)
+    def loOf(gf: GraftRl.GroupFile, i: Int): Option[Option[Any]] =
+      gf.stat(i) match {
+        case _ if gf.rows == 0L => Some(None)
+        case GraftRl.AllNullStat(_) => Some(None)
+        case GraftRl.LongStat(lo, _, _) => Some(Some(lo))
+        case GraftRl.DoubleStat(Some(lo), _, _) => Some(Some(lo))
+        case GraftRl.StringStat(lo, _, true, _) => Some(Some(lo))
+        case _ => None
+      }
+    def hiOf(gf: GraftRl.GroupFile, i: Int): Option[Option[Any]] =
+      gf.stat(i) match {
+        case _ if gf.rows == 0L => Some(None)
+        case GraftRl.AllNullStat(_) => Some(None)
+        case GraftRl.LongStat(_, hi, _) => Some(Some(hi))
+        case GraftRl.DoubleStat(_, Some(hi), _) => Some(Some(hi))
+        case GraftRl.StringStat(_, Some(hi), true, _) => Some(Some(hi))
+        case _ => None
+      }
+    def ordLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: UTF8String, y: UTF8String) => x.compareTo(y) < 0
+      case _ => false
+    }
+    def fold(bounds: Seq[Any], min: Boolean): Any =
+      if (bounds.isEmpty) null
+      else bounds.reduce((a, b) =>
+        if (if (min) ordLt(a, b) else ordLt(b, a)) a else b)
+    def boxed(v: Any): Any = v match {
+      case l: Long => java.lang.Long.valueOf(l)
+      case d: Double => java.lang.Double.valueOf(d)
+      case other => other
+    }
+    val out: Array[Option[(StructField, Any)]] =
+      aggregation.aggregateExpressions().map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            java.lang.Long.valueOf(candidates.map(_.rows).sum): Any))
+        case c: Count if !c.isDistinct =>
+          // COUNT(col) = rows minus nulls — needs a null count per file
+          colOf(c.column()).filter(i => candidates.forall(gf =>
+            gf.rows == 0L || gf.nullsFor(i).isDefined)).map { i =>
+            val v = candidates.map(gf =>
+              gf.rows - gf.nullsFor(i).getOrElse(0L)).sum
+            (StructField(s"count_$i", LongType, nullable = false),
+              java.lang.Long.valueOf(v): Any)
+          }
+        case m: Min =>
+          colOf(m.column()).flatMap { i =>
+            val per = candidates.map(loOf(_, i))
+            if (per.exists(_.isEmpty)) None
+            else Some((StructField(s"min_$i",
+              tableSchema.fields(i).dataType, nullable = true),
+              boxed(fold(per.flatten.flatten, min = true))))
+          }
+        case m: Max =>
+          colOf(m.column()).flatMap { i =>
+            val per = candidates.map(hiOf(_, i))
+            if (per.exists(_.isEmpty)) None
+            else Some((StructField(s"max_$i",
+              tableSchema.fields(i).dataType, nullable = true),
+              boxed(fold(per.flatten.flatten, min = false))))
+          }
+        case _ => None
+      }
     if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.flatten.map(_._1)),
+    else Some((StructType(out.flatten.map(_._1).toIndexedSeq),
       out.flatten.map(_._2).toArray))
   }
 
@@ -1035,7 +1581,7 @@ private[sources] class GraftRlScanBuilder(dir: Path,
   * opened. The description advertises the fast path so plan asserts
   * can pin it. */
 private[sources] class GraftRlAggScan(dir: Path, aggSchema: StructType,
-    values: Array[java.lang.Long]) extends Scan with Batch {
+    values: Array[Any]) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
@@ -1052,22 +1598,20 @@ private[sources] class GraftRlAggScan(dir: Path, aggSchema: StructType,
           private var served = false
           override def next(): Boolean =
             if (served) false else { served = true; true }
-          override def get(): InternalRow = InternalRow(
-            vals.map(v => if (v == null) null
-              else java.lang.Long.valueOf(v.longValue())).toIndexedSeq: _*)
+          override def get(): InternalRow =
+            InternalRow.fromSeq(vals.toIndexedSeq)
           override def close(): Unit = ()
         }
     }
 }
 
 private[sources] final case class GraftRlAggPartition(
-    values: Array[java.lang.Long]) extends InputPartition
+    values: Array[Any]) extends InputPartition
 
 /** One InputPartition per group file — a table with N groups scans
-  * with N-way parallelism (the single-task table scan was this
-  * catalog's round-16 weakness). A PARTITIONED table goes further:
-  * group files are bucketed by their provable partition value and the
-  * scan reports `KeyGroupedPartitioning(identity(partCol))`
+  * with N-way parallelism. A PARTITIONED table goes further: group
+  * files are bucketed by their provable partition value and the scan
+  * reports `KeyGroupedPartitioning(identity(partCol))`
   * ([[SupportsReportPartitioning]]), so joins and aggregates keyed on
   * the partition column run with ZERO exchange under
   * `spark.sql.sources.v2.bucketing.enabled` — storage-partitioned
@@ -1135,11 +1679,13 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
       case Some(gs) => gs.map { case (isNull, k, fs) =>
         GraftRlKeyedPartition(
           fs.map(f => dir.resolve(f.name).toString).toArray,
-          fs.map(_.name).toArray, fs.map(_.width).toArray, isNull, k)
+          fs.map(_.name).toArray, fs.map(_.width).toArray,
+          fs.map(_.rows).toArray, isNull, k)
       }.toArray[InputPartition]
       case None => kept.map(f =>
         GraftRlPartition(Array(dir.resolve(f.name).toString),
-          Array(f.name), Array(f.width))).toArray[InputPartition]
+          Array(f.name), Array(f.width),
+          Array(f.rows))).toArray[InputPartition]
     }
   }
 
@@ -1177,10 +1723,12 @@ private[sources] sealed trait GraftRlFileSet {
   def paths: Array[String]
   def names: Array[String]
   def widths: Array[Int]
+  def rowCounts: Array[Long]
 }
 
 private[sources] final case class GraftRlPartition(
-    paths: Array[String], names: Array[String], widths: Array[Int])
+    paths: Array[String], names: Array[String], widths: Array[Int],
+    rowCounts: Array[Long])
   extends InputPartition with GraftRlFileSet
 
 /** A partition-value group: several files, one key — the
@@ -1188,52 +1736,104 @@ private[sources] final case class GraftRlPartition(
   * the scan's KeyGroupedPartitioning claim. */
 private[sources] final case class GraftRlKeyedPartition(
     paths: Array[String], names: Array[String], widths: Array[Int],
-    keyIsNull: Boolean, key: Long)
+    rowCounts: Array[Long], keyIsNull: Boolean, key: Long)
   extends InputPartition with GraftRlFileSet
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(if (keyIsNull) null else java.lang.Long.valueOf(key))
 }
 
+/** The COLUMNAR read path: each file is opened with a REQUESTED
+  * Parquet projection of exactly the required data columns the file
+  * HAS (columns added after the file was written null-fill —
+  * schema-on-read), the `_file` metadata column materializes from the
+  * partition itself, and a scan that needs NO data column (a
+  * filtered count's residual-free shape) serves its rows straight
+  * from the manifest row counts without opening the file at all. */
 private[sources] class GraftRlReaderFactory(tableSchema: StructType,
     required: StructType) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftRlFileSet]
-    // required-column projection: data columns by table index, the
-    // _file metadata column materialized from the partition itself
-    val proj: Array[Int] = required.fields.map(f =>
+    // required field → table column index, or -1 for `_file`
+    val fieldIdx: Array[Int] = required.fields.map(f =>
       if (f.name == "_file") -1 else tableSchema.fieldIndex(f.name))
     new PartitionReader[InternalRow] {
-      private var fileIdx = 0
-      private var stream: java.util.stream.Stream[String] = _
-      private var lines: java.util.Iterator[String] = _
+      private var fileIdx = -1
+      private var reader: org.apache.parquet.hadoop
+        .ParquetReader[org.apache.parquet.example.data.Group] = _
+      private var synthetic = 0L // rows served without opening the file
       private var fileName: UTF8String = _
-      private var width = 0
+      // required position → requested-projection position (-1 = _file,
+      // -2 = null-fill: the file predates the column)
+      private var slot: Array[Int] = _
+      private var types: Array[DataType] = _
       private var current: InternalRow = _
+
+      private def openNext(): Boolean = {
+        fileIdx += 1
+        if (fileIdx >= gp.paths.length) return false
+        fileName = UTF8String.fromString(gp.names(fileIdx))
+        val width = gp.widths(fileIdx)
+        val present = scala.collection.mutable.ArrayBuffer
+          .empty[StructField]
+        slot = new Array[Int](required.fields.length)
+        var k = 0
+        while (k < required.fields.length) {
+          val ti = fieldIdx(k)
+          slot(k) =
+            if (ti == -1) -1
+            else if (ti < width) { present += tableSchema.fields(ti);
+              present.length - 1 }
+            else -2
+          k += 1
+        }
+        types = present.map(_.dataType).toArray
+        if (present.isEmpty) { // no data column needed: count from stats
+          synthetic = gp.rowCounts(fileIdx)
+          reader = null
+        } else {
+          reader = GraftRlCodec.openReader(gp.paths(fileIdx),
+            GraftRlCodec.messageType(present.toSeq))
+        }
+        true
+      }
+
+      private def toRow(
+          g: org.apache.parquet.example.data.Group): InternalRow = {
+        val vals = new Array[Any](required.fields.length)
+        var k = 0
+        while (k < vals.length) {
+          vals(k) = slot(k) match {
+            case -1 => fileName
+            case -2 => null
+            case j => GraftRlCodec.groupValue(g, j, types(j))
+          }
+          k += 1
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+
       override def next(): Boolean = {
         while (true) {
-          if (lines != null && lines.hasNext) {
-            val line = lines.next()
-            if (line.nonEmpty) {
-              val vals = GraftRlTable.lineToValues(line, tableSchema, width)
-              current = InternalRow(proj.map(i =>
-                if (i == -1) fileName else vals(i)).toIndexedSeq: _*)
-              return true
-            }
-          } else if (fileIdx < gp.paths.length) {
-            if (stream != null) stream.close()
-            stream = Files.lines(Paths.get(gp.paths(fileIdx)))
-            lines = stream.iterator()
-            fileName = UTF8String.fromString(gp.names(fileIdx))
-            width = gp.widths(fileIdx)
-            fileIdx += 1
-          } else return false
+          if (synthetic > 0L) {
+            synthetic -= 1L
+            current = InternalRow.fromSeq(
+              slot.map(s => if (s == -1) fileName
+              else null).toIndexedSeq)
+            return true
+          }
+          if (reader != null) {
+            val g = reader.read()
+            if (g != null) { current = toRow(g); return true }
+            reader.close(); reader = null
+          }
+          if (!openNext()) return false
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = if (stream != null) stream.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }
@@ -1370,15 +1970,18 @@ private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
     }
 }
 
-/** Tasks write group files under their FINAL immutable names — a
-  * file is invisible until a manifest references it, so no rename
-  * dance is needed; abort simply deletes. Tracks per-BIGINT-column
-  * min/max/null-count while writing (the manifest stats behind static
-  * pruning, metadata-only aggregates, and metadata-only deletes).
-  * PARTITIONED tables split each task's output into one file per
-  * partition value (writes are clustered on the partition column, so
-  * a task sees whole values); files are opened lazily on first row,
-  * so empty tasks stage nothing. */
+/** Tasks write Parquet group files under DOT-PREFIXED in-progress
+  * names and rename to their final immutable `data-*.parquet` names
+  * only at task commit — a half-written file is therefore never a
+  * vacuum candidate (it does not match the data-file pattern), and a
+  * committed-but-unpublished one is additionally protected by the
+  * vacuum grace window. Tracks typed per-column
+  * min/max/null-count stats while writing (the manifest stats behind
+  * static pruning, metadata-only aggregates, and metadata-only
+  * deletes). PARTITIONED tables split each task's output into one
+  * file per partition value (writes are clustered on the partition
+  * column, so a task sees whole values); files are opened lazily on
+  * first row, so empty tasks stage nothing. */
 private[sources] class GraftRlWriterFactory(dir: String,
     schema: StructType, rowOffset: Int,
     partIdx: Option[Int] = None) extends DataWriterFactory {
@@ -1386,23 +1989,22 @@ private[sources] class GraftRlWriterFactory(dir: String,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val nCols = schema.fields.length
-      private val isLong: Array[Boolean] =
-        schema.fields.map(_.dataType == LongType)
+      private val msg = GraftRlCodec.messageType(schema.fields.toSeq)
+      private val fac =
+        new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
 
       private final class FileState {
-        val name =
-          f"data-p$partitionId%05d-t$taskId-${java.util.UUID.randomUUID()}.tsv"
+        val name = f"data-p$partitionId%05d-t$taskId-" +
+          s"${java.util.UUID.randomUUID()}.parquet"
+        val tmp = Paths.get(dir).resolve(s".inprogress-$name")
         val path = Paths.get(dir).resolve(name)
-        val out = Files.newBufferedWriter(path)
-        var rows = 0L
-        val mins = Array.fill(nCols)(Long.MaxValue)
-        val maxs = Array.fill(nCols)(Long.MinValue)
-        val seen = Array.fill(nCols)(false)
-        val nulls = Array.fill(nCols)(0L)
-        def statsToken: String = (0 until nCols).map(i =>
-          if (seen(i)) s"${mins(i)}:${maxs(i)}:${nulls(i)}"
-          else if (isLong(i)) s"N:${nulls(i)}"
-          else "-").mkString(",")
+        val writer = GraftRlCodec.openWriter(tmp, msg)
+        val stats = new GraftRlStats(schema)
+        var closed = false
+        def closeQuietly(): Unit = if (!closed) {
+          closed = true
+          try writer.close() catch { case _: Exception => () }
+        }
       }
       // keyed by partition value (null key boxed as the sentinel);
       // unpartitioned writes use a single shared key
@@ -1411,11 +2013,11 @@ private[sources] class GraftRlWriterFactory(dir: String,
 
       /** Row-level rewrites have shipped rows in two shapes across
         * Spark 4 minors: with a leading `__row_operation` marker the
-        * declared schema does not mention (round-16 behavior, before
-        * this table declared metadata attributes) and, once
-        * ReplaceDataProjections are planned, with exactly the data
-        * columns. Resolve the offset from the first row's arity and
-        * hold every later row to it. */
+        * declared schema does not mention (before this table declared
+        * metadata attributes) and, once ReplaceDataProjections are
+        * planned, with exactly the data columns. Resolve the offset
+        * from the first row's arity and hold EVERY later row to it —
+        * a mixed-arity stream must fail loudly, not shift columns. */
       private var off = -1
 
       override def write(r: InternalRow): Unit = {
@@ -1426,39 +2028,35 @@ private[sources] class GraftRlWriterFactory(dir: String,
             s"graft catalog: writer row has ${r.numFields} fields for " +
               s"a ${nCols}-column table (expected offset $rowOffset)")
         }
+        require(r.numFields == nCols + off,
+          s"graft catalog: writer row arity drifted mid-stream — " +
+            s"${r.numFields} fields after resolving offset $off for " +
+            s"a $nCols-column table")
         val key: Any = partIdx match {
           case Some(i) =>
-            if (r.isNullAt(i + off)) " null"
+            if (r.isNullAt(i + off)) " null"
             else java.lang.Long.valueOf(r.getLong(i + off))
           case None => "all"
         }
         val st = states.getOrElseUpdate(key, new FileState)
-        st.out.write(GraftRlTable.rowToLine(r, schema, off))
-        st.out.write("\n")
-        st.rows += 1
-        var i = 0
-        while (i < nCols) {
-          if (isLong(i)) {
-            if (r.isNullAt(i + off)) st.nulls(i) += 1
-            else {
-              val v = r.getLong(i + off)
-              if (v < st.mins(i)) st.mins(i) = v
-              if (v > st.maxs(i)) st.maxs(i) = v
-              st.seen(i) = true
-            }
-          }
-          i += 1
-        }
+        st.writer.write(GraftRlCodec.appendRow(fac, r, schema, off))
+        st.stats.update(r, off)
       }
 
       override def commit(): WriterCommitMessage = {
-        states.values.foreach(_.out.close())
+        states.values.foreach { st =>
+          st.closed = true
+          st.writer.close()
+          Files.move(st.tmp, st.path, StandardCopyOption.ATOMIC_MOVE)
+        }
         GraftRlStaged(states.values.map(st =>
-          GraftRlStagedFile(st.name, st.rows, st.statsToken)).toSeq)
+          GraftRlStagedFile(st.name, st.stats.rows,
+            st.stats.token)).toSeq)
       }
 
       override def abort(): Unit = states.values.foreach { st =>
-        st.out.close()
+        st.closeQuietly()
+        Files.deleteIfExists(st.tmp)
         Files.deleteIfExists(st.path)
       }
       override def close(): Unit = ()
@@ -1472,15 +2070,15 @@ private[sources] class GraftRlWriterFactory(dir: String,
   * admission control caps versions per batch (`maxVersionsPerBatch`,
   * default 1) so a long history drains in bounded, checkpointed
   * steps. Semantics are APPEND-ONLY, verified not assumed: a version
-  * that also REMOVED files (DELETE/UPDATE/MERGE/OVERWRITE rewrote
-  * groups) fails the stream loudly — streaming a rewritten row twice
-  * or missing its deletion would silently corrupt every downstream
-  * aggregate — unless `skipChangeCommits=true` opts into ignoring
-  * those commits wholesale (Delta's knob, same name). Supports
-  * `startingVersion` (exclusive low-water mark, default 0 = from
-  * creation) and `Trigger.AvailableNow` (end pinned at prepare time).
-  * A version retired by snapshot retention refuses loudly: history
-  * older than retention cannot be replayed. */
+  * that also REMOVED files (DELETE/UPDATE/MERGE/OVERWRITE/OPTIMIZE
+  * rewrote groups) fails the stream loudly — streaming a rewritten
+  * row twice or missing its deletion would silently corrupt every
+  * downstream aggregate — unless `skipChangeCommits=true` opts into
+  * ignoring those commits wholesale (Delta's knob, same name).
+  * Supports `startingVersion` (exclusive low-water mark, default 0 =
+  * from creation) and `Trigger.AvailableNow` (end pinned at prepare
+  * time). A version retired by snapshot retention refuses loudly:
+  * history older than retention cannot be replayed. */
 private[sources] class GraftRlChangeStream(dir: Path,
     tableSchema: StructType, required: StructType,
     options: CaseInsensitiveStringMap)
@@ -1546,13 +2144,13 @@ private[sources] class GraftRlChangeStream(dir: Path,
           throw new IllegalStateException(
             s"graft catalog stream: version $v of $dir REWRITES " +
               s"group(s) ${removed.mkString(",")} (DELETE/UPDATE/" +
-              "MERGE/OVERWRITE) — append-only streaming cannot " +
-              "represent it; set skipChangeCommits=true to ignore " +
-              "change commits wholesale")
+              "MERGE/OVERWRITE/OPTIMIZE) — append-only streaming " +
+              "cannot represent it; set skipChangeCommits=true to " +
+              "ignore change commits wholesale")
         Nil // Delta semantics: skip the entire change commit
       } else added.map(g => GraftRlPartition(
         Array(dir.resolve(g.name).toString), Array(g.name),
-        Array(g.width)))
+        Array(g.width), Array(g.rows)))
     }.toArray[InputPartition]
   }
 

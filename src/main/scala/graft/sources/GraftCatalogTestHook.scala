@@ -1,31 +1,110 @@
 package graft.sources
 
+import java.nio.file.Path
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 
-/** Test seam (mirrors [[ReplaySourceTestHook]]): the TSV codec lives
-  * on the `private[sources]` table object; [[graft.CodecPropertySpec]]
-  * property-tests its round-trip identity over hostile inputs. */
+/** Test seam (mirrors [[ReplaySourceTestHook]]): the Parquet group
+  * codec, the typed stats grammar, and the metadata-delete proof
+  * engine live on `private[sources]` objects;
+  * [[graft.CodecPropertySpec]] property-tests them over hostile
+  * inputs through these exports. */
 object GraftCatalogTestHook {
-  def escape(s: String): String = GraftRlTable.escape(s)
-  def unescape(s: String): String = GraftRlTable.unescape(s)
-  def rowToLine(r: InternalRow, schema: StructType): String =
-    GraftRlTable.rowToLine(r, schema, off = 0)
-  def lineToRow(line: String, schema: StructType): InternalRow =
-    GraftRlTable.lineToRow(line, schema)
-  def expireSnapshots(tableDir: java.nio.file.Path,
-      retainLast: Int): GraftCatalog.ExpireResult =
-    GraftCatalog.expireSnapshots(tableDir, retainLast)
+
+  /** Write `rows` as one Parquet group file at `path`, returning the
+    * manifest stats token the writer would record — the exact
+    * write-side codec + stats path production uses. */
+  def writeGroup(path: Path, schema: StructType,
+      rows: Seq[InternalRow]): String = {
+    val msg = GraftRlCodec.messageType(schema.fields.toSeq)
+    val fac =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    val w = GraftRlCodec.openWriter(path, msg)
+    val stats = new GraftRlStats(schema)
+    try rows.foreach { r =>
+      w.write(GraftRlCodec.appendRow(fac, r, schema, 0))
+      stats.update(r, 0)
+    } finally w.close()
+    stats.token
+  }
+
+  /** Read a group file back through the projected production read
+    * path: `required` columns only, columns at index ≥ `width`
+    * null-filled (schema-on-read). */
+  def readGroup(path: Path, schema: StructType, required: StructType,
+      width: Int): Seq[InternalRow] = {
+    val present = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    val slot: Array[Int] = required.fields.map { f =>
+      val ti = schema.fieldIndex(f.name)
+      if (ti < width) { present += schema.fields(ti); present.length - 1 }
+      else -2
+    }
+    val types = present.map(_.dataType).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    if (present.isEmpty) return out.toSeq
+    val reader = GraftRlCodec.openReader(path.toString,
+      GraftRlCodec.messageType(present.toSeq))
+    try {
+      var g = reader.read()
+      while (g != null) {
+        out += InternalRow.fromSeq(slot.map {
+          case -2 => null
+          case j => GraftRlCodec.groupValue(g, j, types(j))
+        }.toIndexedSeq)
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toSeq
+  }
+
+  /** Stats-token bound-string escaping (`% : , \t \n \r` + the bare
+    * `_`/`?` sentinels). */
+  def encodeBound(s: String): String = GraftRlStats.encodeBound(s)
+  def decodeBound(s: String): String = GraftRlStats.decodeBound(s)
+  def truncLower(s: String): String = GraftRlStats.truncLower(s)
+  def truncUpper(s: String): Option[String] = GraftRlStats.truncUpper(s)
+
+  /** Compute the stats token for rows WITHOUT writing a file (stats
+    * grammar fuzzing). */
+  def statsTokenFor(schema: StructType, rows: Seq[InternalRow]): String = {
+    val st = new GraftRlStats(schema)
+    rows.foreach(st.update(_, 0))
+    st.token
+  }
+
+  def expireSnapshots(tableDir: Path, retainLast: Int,
+      graceMs: Long = 0L): GraftCatalog.ExpireResult =
+    GraftCatalog.expireSnapshots(tableDir, retainLast, graceMs)
+
+  def optimizeTable(tableDir: Path,
+      targetRows: Long): GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(tableDir, targetRows)
 
   /** Manifest introspection for group-geometry asserts: which
     * versions exist and which group files a version binds. */
-  def manifestVersions(tableDir: java.nio.file.Path): Seq[Long] =
+  def manifestVersions(tableDir: Path): Seq[Long] =
     GraftRl.manifestVersions(tableDir)
-  def manifestFiles(tableDir: java.nio.file.Path,
-      version: Long): Seq[String] =
+  def manifestFiles(tableDir: Path, version: Long): Seq[String] =
     GraftRl.readManifest(tableDir, version).getOrElse(
       throw new IllegalArgumentException(s"no manifest v$version"))
       .map(_.name)
+  def manifestStatsTokens(tableDir: Path,
+      version: Long): Seq[(String, Long, String)] =
+    GraftRl.readManifest(tableDir, version).getOrElse(
+      throw new IllegalArgumentException(s"no manifest v$version"))
+      .map(g => (g.name, g.rows, g.statsToken))
+
+  /** Current schema version on disk (0 = never altered). */
+  def schemaVersion(tableDir: Path): Long =
+    GraftRl.currentSchemaVersion(tableDir)
+
+  /** Publish a schema version directly (the "other ALTER" in
+    * concurrency tests). Returns whether the publish won. */
+  def publishSchemaAs(tableDir: Path, version: Long,
+      json: String): Boolean =
+    GraftRl.publishSchema(tableDir, version, json)
 
   /** Deterministic concurrent-writer fault injection: the callbacks
     * run on the driver immediately before a commit's first manifest
@@ -36,26 +115,34 @@ object GraftCatalogTestHook {
     GraftRlConcurrencyHook.beforeReplacePublish = f
   def setBeforeAppendPublish(f: () => Unit): Unit =
     GraftRlConcurrencyHook.beforeAppendPublish = f
+  def setBeforeSchemaPublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.beforeSchemaPublish = f
   def clearPublishHooks(): Unit = {
     GraftRlConcurrencyHook.beforeReplacePublish = () => ()
     GraftRlConcurrencyHook.beforeAppendPublish = () => ()
+    GraftRlConcurrencyHook.beforeSchemaPublish = () => ()
   }
 
   /** Proof-engine seam: evaluate the metadata-delete coverage verdict
     * for a synthetic group file — [[graft.CodecPropertySpec]] fuzzes
     * it against brute-force row evaluation (a wrong AllRows verdict
     * would make a metadata DELETE silently drop live rows). */
-  def deleteCoverage(rows: Long, statsToken: String,
-      longIdx: Map[String, Int],
+  def deleteCoverage(rows: Long, statsToken: String, schema: StructType,
       p: org.apache.spark.sql.connector.expressions.filter.Predicate)
       : String =
     GraftRl.deleteCoverage(
-      GraftRl.GroupFile("f", rows, statsToken), longIdx, p).toString
+      GraftRl.GroupFile("f", rows, statsToken), schema, p).toString
+
+  /** Pruning seam: would the typed stats keep this file for the
+    * pushed filter? */
+  def mightMatch(rows: Long, statsToken: String, schema: StructType,
+      f: org.apache.spark.sql.sources.Filter): Boolean =
+    GraftRl.mightMatch(GraftRl.GroupFile("f", rows, statsToken), schema, f)
 
   /** Directly publish a manifest version (the "other writer" in
     * concurrency tests): content is the given version's manifest
     * re-published as `asVersion`. Returns whether the publish won. */
-  def republishAs(tableDir: java.nio.file.Path, fromVersion: Long,
+  def republishAs(tableDir: Path, fromVersion: Long,
       asVersion: Long): Boolean = {
     val files = GraftRl.readManifest(tableDir, fromVersion).getOrElse(
       throw new IllegalArgumentException(s"no manifest v$fromVersion"))

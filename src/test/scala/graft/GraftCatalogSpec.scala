@@ -82,7 +82,8 @@ class GraftCatalogSpec extends SparkSpec {
       val files = root.resolve("db").resolve(t).toFile.listFiles()
         .map(_.getName).sorted
       assert(files.forall(f => f == "schema.json" ||
-        f.matches("data-.*\\.tsv") || f.matches("v\\d+\\.manifest")),
+        f.matches("data-.*\\.parquet") ||
+        f.matches("schema-\\d+\\.json") || f.matches("v\\d+\\.manifest")),
         s"residue in $t: ${files.mkString(",")}")
     }
   }
@@ -118,7 +119,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   private def dataFilesOnDisk(dir: java.nio.file.Path): Set[String] =
     dir.toFile.listFiles().map(_.getName)
-      .filter(n => n.startsWith("data-") && n.endsWith(".tsv")).toSet
+      .filter(n => n.startsWith("data-") && n.endsWith(".parquet")).toSet
 
   test("file-keyed groups: one partition per group, MERGE touching " +
       "1 of 4 groups rewrites exactly 1 file") {
@@ -523,6 +524,207 @@ class GraftCatalogSpec extends SparkSpec {
     // and nothing else lands on top of the 4 already-counted rows
     assert(n2 == 5L, s"expected 4 prior + 1 appended, got $n2")
     graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+  }
+
+  test("typed stats pruning: DOUBLE and STRING predicates prune group " +
+      "files statically, before any data I/O") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.tp (k BIGINT, seg STRING, v DOUBLE)")
+    ins1("graftrl.db.tp", "(1L,'alpha',1.5),(2L,'beta',9.25)")
+    ins1("graftrl.db.tp", "(11L,'kilo',12.0),(12L,'lima',19.5)")
+    ins1("graftrl.db.tp", "(21L,'yankee',25.0),(22L,'zulu',29.75)")
+    def groupsInPlan(sql: String): (Int, Seq[Long]) = {
+      val df = spark.sql(sql)
+      val m = "groups=(\\d+)".r.findFirstMatchIn(
+        df.queryExecution.executedPlan.toString)
+      (m.map(_.group(1).toInt).getOrElse(-1),
+        df.collect().map(_.getLong(0)).sorted.toSeq)
+    }
+    // DOUBLE range predicate: only the third group can match
+    assert(groupsInPlan("SELECT k FROM graftrl.db.tp WHERE v > 20.0")
+      == ((1, Seq(21L, 22L))))
+    // STRING equality and range: manifest string bounds prune
+    assert(groupsInPlan("SELECT k FROM graftrl.db.tp WHERE seg = 'zulu'")
+      == ((1, Seq(22L))))
+    assert(groupsInPlan("SELECT k FROM graftrl.db.tp WHERE seg < 'c'")
+      == ((1, Seq(1L, 2L))))
+    // control: an unselective predicate keeps all three groups
+    assert(groupsInPlan("SELECT k FROM graftrl.db.tp WHERE v > -1.0")._1
+      == 3)
+    // NaN discipline: a NaN voids the file's upper bound, so
+    // `v > huge` can no longer prune that group (NaN sorts above
+    // every double in Spark) — but fully-below groups still prune
+    ins1("graftrl.db.tp",
+      "(31L,'nan',CAST('NaN' AS DOUBLE)),(32L,'nan2',3.0)")
+    val (g, ks) = groupsInPlan(
+      "SELECT k FROM graftrl.db.tp WHERE v > 1e308")
+    assert(g == 1 && ks == Seq(31L),
+      s"NaN group must survive the prune and serve the row: $g $ks")
+  }
+
+  test("metadata-only aggregates cover DOUBLE and STRING columns; " +
+      "NaN voids MAX, truncated string bounds refuse, values stay exact") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.ta (k BIGINT, s STRING, v DOUBLE)")
+    ins1("graftrl.db.ta",
+      "(1L,'mango',2.5),(2L,'apple',CAST(NULL AS DOUBLE))")
+    ins1("graftrl.db.ta", "(3L,'pear',-7.25),(4L,'fig',1e300)")
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    val fast = spark.sql("SELECT count(v) AS nv, min(v) AS minv, " +
+      "max(v) AS maxv, min(s) AS mins, max(s) AS maxs " +
+      "FROM graftrl.db.ta")
+    assert(planOf("SELECT count(v) AS nv, min(v) AS minv, " +
+      "max(v) AS maxv, min(s) AS mins, max(s) AS maxs " +
+      "FROM graftrl.db.ta").contains("graft-rl-agg"),
+      "typed metadata aggregate missing from the plan:\n" +
+        fast.queryExecution.executedPlan)
+    assert(fast.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(3L, -7.25, 1e300, "apple", "pear")))
+    // a NaN row voids MAX(v) (the true max is NaN — the metadata path
+    // must refuse, and the scan fallback must return NaN)
+    // (a NaN-ONLY file would void MIN too — its own min IS NaN; here
+    // the NaN shares a file with 9.0, so the file's lower bound holds)
+    ins1("graftrl.db.ta", "(5L,'kiwi',CAST('NaN' AS DOUBLE)),(6L,'lime',9.0)")
+    val maxq = spark.sql("SELECT max(v) AS maxv FROM graftrl.db.ta")
+    assert(!planOf("SELECT max(v) AS maxv FROM graftrl.db.ta")
+      .contains("graft-rl-agg"),
+      "NaN-bearing MAX must not take the metadata path")
+    assert(maxq.collect().head.getDouble(0).isNaN)
+    // ...while MIN(v) stays metadata-answerable (NaN is never the min)
+    val minq = spark.sql("SELECT min(v) AS minv FROM graftrl.db.ta")
+    assert(planOf("SELECT min(v) AS minv FROM graftrl.db.ta")
+      .contains("graft-rl-agg"))
+    assert(minq.collect().head.getDouble(0) == -7.25)
+    // a >32-code-point string truncates its bounds → MIN/MAX(s)
+    // refuse (a truncated bound is not the value); values stay exact
+    spark.sql("CREATE TABLE graftrl.db.tb (k BIGINT, s STRING, v DOUBLE)")
+    ins1("graftrl.db.tb",
+      s"(1L,'${"long" * 20}tail',1.0),(2L,'aaa',2.0)")
+    assert(!planOf("SELECT max(s) AS maxs FROM graftrl.db.tb")
+      .contains("graft-rl-agg"))
+    assert(spark.sql("SELECT max(s) AS maxs FROM graftrl.db.tb")
+      .collect().head.getString(0) == "long" * 20 + "tail")
+    // COUNT over the string column is still metadata-only
+    assert(planOf("SELECT count(s) AS ns FROM graftrl.db.tb")
+      .contains("graft-rl-agg"))
+  }
+
+  test("vacuum grace window: expireSnapshots never deletes young " +
+      "files (a concurrent writer's committed-but-unpublished stage), " +
+      "and in-progress files are never candidates at all") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.gr (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("gr")
+    ins1("graftrl.db.gr", "(1L,'a',10L)")
+    spark.sql("UPDATE graftrl.db.gr SET v = v + 1") // v1's file now dead
+    // a concurrent writer's staged-but-unpublished file (final name,
+    // fresh mtime) and an in-flight task file (dot-prefixed)
+    val staged = dir.resolve("data-staged-by-racer.parquet")
+    val inflight = dir.resolve(".inprogress-data-racer.parquet")
+    Files.writeString(staged, "not yet referenced")
+    Files.writeString(inflight, "half written")
+    // default-grace expiry: NOTHING young is vacuumed
+    val guarded = Hook.expireSnapshots(dir, retainLast = 1,
+      graceMs = 10L * 60L * 1000L)
+    assert(guarded.deletedDataFiles.isEmpty,
+      s"grace window must protect young files: $guarded")
+    assert(Files.exists(staged) && Files.exists(inflight))
+    // zero-grace expiry (maintenance window, no writers): the dead
+    // v1 file AND the orphaned stage go; the dot-prefixed in-flight
+    // file is STILL not a candidate (wrong name shape)
+    val swept = Hook.expireSnapshots(dir, retainLast = 1, graceMs = 0L)
+    assert(swept.deletedDataFiles.contains("data-staged-by-racer.parquet"))
+    assert(!Files.exists(staged) && Files.exists(inflight))
+    Files.delete(inflight)
+    assert(sqlRows("SELECT v FROM graftrl.db.gr").map(_.head) == Seq(11L))
+  }
+
+  test("concurrent ALTER TABLE: the loser aborts loudly — no column " +
+      "is ever silently dropped by a schema race") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.alt (k BIGINT, v BIGINT)")
+    val dir = root.resolve("db").resolve("alt")
+    // the competing ALTER publishes schema v1 at the racy instant
+    Hook.setBeforeSchemaPublish(() => {
+      Hook.clearPublishHooks()
+      val widened = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("racer",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      assert(Hook.publishSchemaAs(dir, 1L, widened.json),
+        "competing schema publish lost?")
+    })
+    try {
+      val ex = intercept[Exception] {
+        spark.sql("ALTER TABLE graftrl.db.alt ADD COLUMNS (mine BIGINT)")
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(t =>
+        t.isInstanceOf[java.util.ConcurrentModificationException] ||
+          Option(t.getMessage).exists(_.contains("concurrent ALTER"))),
+        s"expected a loud concurrent-ALTER abort, got: $chain")
+    } finally Hook.clearPublishHooks()
+    // the winner's column is intact, the loser applied nothing
+    assert(Hook.schemaVersion(dir) == 1L)
+    assert(spark.table("graftrl.db.alt").columns.toSeq ==
+      Seq("k", "v", "racer"))
+    // a clean retry lands on top of the winner
+    spark.sql("ALTER TABLE graftrl.db.alt ADD COLUMNS (mine BIGINT)")
+    assert(spark.table("graftrl.db.alt").columns.toSeq ==
+      Seq("k", "v", "racer", "mine"))
+  }
+
+  test("OPTIMIZE: bin-packs fragmented groups, contents bit-stable, " +
+      "history addressable, partition layout preserved") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.opt (k BIGINT, seg STRING, v DOUBLE)")
+    val dir = root.resolve("db").resolve("opt")
+    ins1("graftrl.db.opt", "(1L,'a',1.5),(2L,'b',2.5)")
+    ins1("graftrl.db.opt", "(3L,'c',CAST('NaN' AS DOUBLE))")
+    ins1("graftrl.db.opt", "(4L,CAST(NULL AS STRING),4.5)")
+    ins1("graftrl.db.opt", "(5L,'e',-0.0)")
+    val pre = sqlRows("SELECT k, seg, v FROM graftrl.db.opt ORDER BY k")
+    assert(Hook.manifestFiles(dir, 4L).size == 4)
+    val res = Hook.optimizeTable(dir, targetRows = 100L)
+    assert(res.removedFiles.size == 4 && res.addedFiles.size == 1 &&
+      res.version == 5L, s"expected 4→1 packing: $res")
+    assert(Hook.manifestFiles(dir, 5L).size == 1)
+    // bit-stable contents (NaN, NULL, signed zero included)
+    val post = sqlRows("SELECT k, seg, v FROM graftrl.db.opt ORDER BY k")
+    assert(post.map(_.take(2)) == pre.map(_.take(2)))
+    assert(post.zip(pre).forall { case (a, b) =>
+      java.lang.Double.compare(a(2).asInstanceOf[Double],
+        b(2).asInstanceOf[Double]) == 0 })
+    // pre-OPTIMIZE history still addressable
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.opt VERSION AS OF 4")
+      .head.head == 5L)
+    // idempotent: nothing left to pack
+    val again = Hook.optimizeTable(dir, targetRows = 100L)
+    assert(again.removedFiles.isEmpty && again.addedFiles.isEmpty)
+    // partitioned table: packing stays WITHIN a partition value
+    spark.sql("CREATE TABLE graftrl.db.optp (k BIGINT, seg STRING, " +
+      "v DOUBLE) PARTITIONED BY (k)")
+    val pdir = root.resolve("db").resolve("optp")
+    for (_ <- 1 to 2)
+      spark.sql("INSERT INTO graftrl.db.optp SELECT id % 2 AS k, " +
+        "concat('s', id) AS seg, id * 1.5 AS v FROM range(0, 8)")
+    assert(Hook.manifestFiles(pdir, 2L).size == 4) // 2 values × 2 files
+    val pres = Hook.optimizeTable(pdir, targetRows = 100L)
+    assert(pres.addedFiles.size == 2,
+      s"expected one packed file per partition value: $pres")
+    // the packed layout still storage-partitions: per-value groups
+    assert(spark.sql("SELECT * FROM graftrl.db.optp")
+      .rdd.getNumPartitions == 2)
+    assert(sqlRows("SELECT sum(v) FROM graftrl.db.optp").head.head ==
+      2 * (0 until 8).map(_ * 1.5).sum)
   }
 
   test("catalog hygiene: duplicate create refuses, drop removes, " +
