@@ -63,15 +63,92 @@ object Similarity {
     }
   }
 
-  /** Sign-pattern bucket id over `nPlanes` hyperplanes (bit j = sign of
-    * the projection onto plane j). Pure projection, no shuffle. */
-  def lshBucket(emb: Column, dim: Int, nPlanes: Int = 8): Column =
+  /** Sign-pattern bucket id over a FIXED `nPlanes` hyperplanes (bit
+    * j = sign of the projection onto plane j). Pure projection, no
+    * shuffle.
+    *
+    * FIXED RESOLUTION IS A QUADRATIC TRAP for corpus-scaled blocking:
+    * with the plane count pinned, bucket occupancy grows linearly
+    * with the corpus and within-bucket candidate pairs quadratically
+    * (q67 measured 59× work at 100× rows). This entry point exists
+    * for (a) query-time probe paths whose candidate volume is bounded
+    * per query ([[lshTopK]] and friends) and (b) the pinned q67
+    * fixed-resolution control; NEAR-DUP BLOCKING MUST USE
+    * [[lshBucketed]], the resolution-calibrated default — a registry
+    * lint (RegistryLintSpec) flags any other query-side use. */
+  def lshBucketFixed(emb: Column, dim: Int, nPlanes: Int = 8): Column =
     (0 until nPlanes).map { j =>
       val coefs = typedlit(hyperplane(j, dim))
       val proj = aggregate(zip_with(toDoubles(emb), coefs, (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Smallest plane count H with `2^H ≥ ceil(n / targetOccupancy)`,
+    * floored at `minPlanes` — the resolution that holds EXPECTED
+    * BUCKET OCCUPANCY ≈ targetOccupancy as the corpus grows, keeping
+    * within-bucket pair work O(N·occupancy) instead of O(N²/2^H).
+    * Integer arithmetic only (powers of two are exact in doubles), so
+    * an oracle can mirror the calibration without float flap. */
+  def calibratedPlanes(n: Long, targetOccupancy: Int = 32,
+      minPlanes: Int = 6): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 1 && n >= 0)
+    val m = (n + targetOccupancy - 1) / targetOccupancy
+    var h = 0
+    while ((1L << h) < m) h += 1
+    math.max(minPlanes, h)
+  }
+
+  /** Corpus row count from FILE METADATA only — no Spark action: walks
+    * the frame's analyzed plan through cardinality-preserving nodes
+    * (projections, aliases) to the parquet relation and sums the file
+    * footers' row counts driver-side (the same footer stats q355's
+    * aggregate pushdown reads). None when the plan reshapes
+    * cardinality or the source is not a file relation — callers fall
+    * back to an action, but the calibrated-LSH default never needs
+    * one on a plain table scan. */
+  def statsRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def rel(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+      case Project(_, child) => rel(child)
+      case SubqueryAlias(_, child) => rel(child)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation
+            if h.fileFormat.toString.toLowerCase.contains("parquet") =>
+          Some(h)
+        case _ => None
+      }
+      case _ => None
+    }
+    rel(df.queryExecution.analyzed).flatMap { h =>
+      try {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        Some(h.location.inputFiles.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f), conf))
+          try r.getRecordCount finally r.close()
+        }.sum)
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** THE near-dup blocking default: RESOLUTION-CALIBRATED sign-bucket
+    * LSH. The plane count comes from [[calibratedPlanes]] over the
+    * corpus size, and the corpus size comes from parquet FOOTER STATS
+    * at plan time ([[statsRowCount]]) — zero extra corpus action on a
+    * table scan (the fallback `count()` runs only for exotic inputs).
+    * Returns the bucketed frame and the chosen plane count so callers
+    * can emit it as an oracle-checked column. q391 pins this path;
+    * q67 keeps the fixed-resolution control it supersedes. */
+  def lshBucketed(df: DataFrame, embCol: String, dim: Int,
+      targetOccupancy: Int = 32, minPlanes: Int = 6,
+      out: String = "bucket"): (DataFrame, Int) = {
+    val n = statsRowCount(df).getOrElse(df.count())
+    val planes = calibratedPlanes(n, targetOccupancy, minPlanes)
+    (df.withColumn(out, lshBucketFixed(col(embCol), dim, planes)), planes)
+  }
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is only
@@ -152,10 +229,10 @@ object Similarity {
     val c = corpus.repartition(par)
       .select(col(idCol).as("nid"),
         toDoubles(col(embCol)).as("nemb"), invNorm(col(embCol)).as("ni"),
-        lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+        lshBucketFixed(col(embCol), dim, nPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("qid"),
       toDoubles(col(embCol)).as("qemb"), invNorm(col(embCol)).as("qi"),
-      lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+      lshBucketFixed(col(embCol), dim, nPlanes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -205,7 +282,7 @@ object Similarity {
     val c = corpus.repartition(par)
       .select(col(idCol).as("nid"),
         toDoubles(col(embCol)).as("nemb"), invNorm(col(embCol)).as("ni"),
-        lshBucket(col(embCol), dim, nPlanes).as("bucket"))
+        lshBucketFixed(col(embCol), dim, nPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("qid"),
       toDoubles(col(embCol)).as("qemb"), invNorm(col(embCol)).as("qi"),
       explode(lshProbes(col(embCol), dim, nPlanes, nProbe)).as("bucket"))

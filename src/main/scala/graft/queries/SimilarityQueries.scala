@@ -100,7 +100,7 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
     (s, dir) => {
       import graft.operators.Similarity
       val e = Tables(s, dir, "embeddings")
-        .withColumn("bucket", Similarity.lshBucket(col("embedding"), dim, 6))
+        .withColumn("bucket", Similarity.lshBucketFixed(col("embedding"), dim, 6))
       Similarity.nearDupPairs(e, "bucket", threshold = 0.3)
         .orderBy("a", "b")
     },

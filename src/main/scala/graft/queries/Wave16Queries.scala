@@ -1354,8 +1354,16 @@ FROM orders GROUP BY 1 ORDER BY 1
         // while the planted rows guarantee non-empty output at every
         // SF (an empty join lets AQE's empty-result propagation erase
         // the very stages under assert)
+        // ~10³ partition keys (k000..k996), NOT the 5-value priority
+        // domain the r17 fixture used: a 5-key layout caps the
+        // zero-sort merge at 5-way parallelism, so its scale ratio
+        // measured the ceiling, not the merge — 997 keys let the
+        // SMJ fan out with the cluster while keeping per-key dirs
+        // non-trivial at every SF
         val ord = Tables(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority").as("g"),
+          .select(col("o_orderkey"),
+            expr("concat('k', lpad(cast(o_custkey % 997 as string), " +
+              "3, '0'))").as("g"),
             expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
         // era split point: the integer MIDPOINT of the key range
         // (max div 2), not a count median — Spark's approxQuantile
@@ -1367,7 +1375,7 @@ FROM orders GROUP BY 1 ORDER BY 1
           .getAs[Number](0).longValue / 2
         def stage(name: String,
             frame: org.apache.spark.sql.DataFrame): String =
-          graft.FixtureCache.staged(dir, s"ord_era_${name}_csv")(
+          graft.FixtureCache.staged(dir, s"ord_era997_${name}_csv")(
             t => frame.select(col("g"), col("x"))
               .repartition(col("g")).sortWithinPartitions("g", "x")
               .write.mode("overwrite").partitionBy("g").csv(t.toString))
@@ -1433,7 +1441,8 @@ FROM orders GROUP BY 1 ORDER BY 1
     },
     Some(raw"""
 WITH v AS (
-  SELECT o_orderkey, o_orderpriority AS g,
+  SELECT o_orderkey,
+    'k' || lpad(CAST(o_custkey % 997 AS VARCHAR), 3, '0') AS g,
     CAST(round(o_totalprice * 100) AS BIGINT) AS x
   FROM orders
 ), m AS (

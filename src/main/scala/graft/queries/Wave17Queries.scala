@@ -519,18 +519,26 @@ FROM early e JOIN late l ON e.k = l.k ORDER BY k
     (s, dir) => {
       import graft.operators.Similarity
       val e = Tables(s, dir, "embeddings")
-      val n = e.count()
-      val m = (n + 31L) / 32L
-      var h = 0
-      while ((1L << h) < m) h += 1
-      val planes = math.max(6, h)
-      val out = Similarity.nearDupPairs(
-        e.withColumn("bucket",
-          Similarity.lshBucket(col("embedding"), 64, planes)),
-        "bucket", threshold = 0.3)
+      // STATS-FED CALIBRATION (the API default, [[Similarity.lshBucketed]]):
+      // N comes from parquet footer metadata at plan time — REQUIRED
+      // here, so the `count()` fallback (an extra corpus action this
+      // query used to pay) provably never ran
+      val statsN = Similarity.statsRowCount(e)
+      require(statsN.isDefined,
+        "embeddings must calibrate from parquet footer stats, not an action")
+      val (bucketed, planes) = Similarity.lshBucketed(e, "embedding", 64)
+      require(planes == Similarity.calibratedPlanes(statsN.get),
+        s"calibration drifted from the footer row count: $planes")
+      // ...and calibration added ZERO scans: the bucketed projection
+      // reads the corpus exactly once
+      val scans = bucketed.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.size
+      require(scans == 1,
+        s"calibrated bucketing should plan exactly one corpus scan, got $scans")
+      Similarity.nearDupPairs(bucketed, "bucket", threshold = 0.3)
         .withColumn("n_planes", lit(planes.toLong))
         .orderBy("a", "b")
-      out
     },
     Some(raw"""
 WITH nn AS (SELECT count(*) AS n FROM embeddings

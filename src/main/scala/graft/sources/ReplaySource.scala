@@ -271,18 +271,29 @@ private[sources] final case class ReplayOffset(idx: Int,
   override def json(): String = last match {
     case None => idx.toString
     case Some(n) =>
-      val esc = n.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"idx":$idx,"last":"$esc"}"""
+      val node = ReplayOffset.mapper.createObjectNode()
+      node.put("idx", idx)
+      node.put("last", n)
+      ReplayOffset.mapper.writeValueAsString(node)
   }
 }
 
 private[sources] object ReplayOffset {
-  private val Pinned = """\{"idx":(\d+),"last":"(.*)"\}""".r
-  def parse(json: String): ReplayOffset = json.trim match {
-    case Pinned(i, n) =>
-      ReplayOffset(i.toInt,
-        Some(n.replace("\\\"", "\"").replace("\\\\", "\\")))
-    case bare => ReplayOffset(bare.toInt)
+  /** Proper JSON codec (Jackson, which Spark ships) — the previous
+    * hand-rolled regex + sequential unescape was order-ambiguous for
+    * segment names mixing backslashes and quotes, and its greedy
+    * capture assumed no other fields could ever appear. */
+  private[sources] val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  def parse(json: String): ReplayOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = mapper.readTree(t)
+      require(node.hasNonNull("idx"),
+        s"graft-replay: malformed checkpoint offset '$t'")
+      ReplayOffset(node.get("idx").asInt(),
+        Option(node.get("last")).filterNot(_.isNull).map(_.asText()))
+    } else ReplayOffset(t.toInt) // pre-pinning bare-integer format
   }
 }
 

@@ -370,16 +370,33 @@ object NearDupStream {
     }
   }
 
-  /** Rewrite the bucket state to one distinct sorted file-set. Runs
-    * between micro-batches (foreachBatch is serial), so no reader
-    * races the swap; a crash mid-swap loses state in the conservative
-    * direction only (see drain scaladoc). */
-  private def compactState(spark: SparkSession, stateDir: Path): Unit = {
+  /** Rewrite the bucket state to a distinct, RANGE-SHARDED sorted
+    * file-set: shard count scales with the state's on-disk bytes
+    * (`targetShardBytes` per shard, default 64 MB), so compaction
+    * parallelism grows with the state instead of serializing on one
+    * task — state grows with distinct band buckets, and at 100 TB a
+    * single-task rewrite would become the between-batch bottleneck.
+    * Shards are `repartitionByRange(bucket)` + sorted within, so each
+    * file covers a disjoint bucket range (the layout the per-batch
+    * state probe join likes). Runs between micro-batches
+    * (foreachBatch is serial), so no reader races the swap; a crash
+    * mid-swap loses state in the conservative direction only (see
+    * drain scaladoc). */
+  private[graft] def compactState(spark: SparkSession, stateDir: Path,
+      targetShardBytes: Long = 64L << 20): Unit = {
     if (!Files.exists(stateDir) || !hasParquet(stateDir)) return
+    val bytes = scala.util.Using.resource(Files.list(stateDir)) { s =>
+      s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => Files.size(p)).sum
+    }
+    val shards = math.max(1L, math.min(4096L,
+      (bytes + targetShardBytes - 1) / targetShardBytes)).toInt
     val tmp = stateDir.resolveSibling(stateDir.getFileName.toString + ".compact")
     spark.read.parquet(stateDir.toString)
       .distinct()
-      .repartition(1).sortWithinPartitions("bucket")
+      .repartitionByRange(shards, col("bucket"))
+      .sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(tmp.toString)
     StreamingResidue.deleteRecursively(stateDir)
     Files.move(tmp, stateDir)

@@ -284,4 +284,56 @@ class NearDupStreamSpec extends SparkSpec {
       checkpoint = Some(ckpt))
     assert(out() == Seq(1L, 2L, 4L), s"got ${out()}")
   }
+  test("state compaction SHARDS as state grows: range-sharded " +
+      "multi-file output with disjoint bucket ranges, contents " +
+      "(and therefore every dedup decision) identical") {
+    import scala.jdk.CollectionConverters._
+    val stateDir = Files.createTempDirectory("graft_neardup_shard")
+    // synthesize a grown bucket state: two appends, the second a
+    // duplicate re-append (compaction must distinct-merge it away)
+    val rows = (0 until 6000).map(i => (f"b${i % 1500}%06d", (i % 2000).toLong))
+    rows.toDF("bucket", "hash").write.mode("append")
+      .parquet(stateDir.toString)
+    rows.take(3000).toDF("bucket", "hash").write.mode("append")
+      .parquet(stateDir.toString)
+    def stateSet() = spark.read.parquet(stateDir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val pre = stateSet()
+    val bytes = scala.util.Using.resource(Files.list(stateDir)) { s =>
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    }
+    // shard target = a quarter of the state -> ~4 output shards
+    NearDupStream.compactState(spark, stateDir,
+      targetShardBytes = math.max(1L, bytes / 4))
+    val parts = scala.util.Using.resource(Files.list(stateDir)) { s =>
+      s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+    }
+    assert(parts.size >= 2,
+      s"grown state must compact into MULTIPLE shards, got ${parts.size}")
+    // byte-identical decisions: the state SET (the only input any
+    // dedup decision reads) is unchanged, duplicates merged
+    assert(stateSet() == pre)
+    assert(spark.read.parquet(stateDir.toString).count() == pre.size)
+    // each shard covers a disjoint bucket range (repartitionByRange)
+    val ranges = parts.map { f =>
+      val b = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("bucket"),
+        org.apache.spark.sql.functions.max("bucket")).collect().head
+      (b.getString(0), b.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping shard ranges: $ranges")
+      case _ => ()
+    }
+    // small state still compacts to ONE file (no gratuitous sharding)
+    NearDupStream.compactState(spark, stateDir)
+    val one = scala.util.Using.resource(Files.list(stateDir)) { s =>
+      s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    assert(one == 1, s"small state should pack to one shard, got $one")
+    assert(stateSet() == pre)
+  }
 }

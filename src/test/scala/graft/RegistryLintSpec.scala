@@ -227,6 +227,37 @@ class RegistryLintSpec extends SparkSpec {
       topk.queryExecution.analyzed, spark).isEmpty)
   }
 
+  test("no fixed-resolution LSH blocking in query sources: near-dup " +
+      "blocking must use the calibrated default — q67 stays the one " +
+      "pinned fixed-resolution control") {
+    // Fixed-plane sign buckets over a corpus-scaled input are the
+    // quadratic trap q67 measured (59× pair work at 100× rows, vs
+    // 4.7× calibrated): with resolution pinned, occupancy grows
+    // linearly and within-bucket pairs quadratically. The calibrated
+    // default (Similarity.lshBucketed) is the only sanctioned
+    // blocking entry point in query code; the explicit
+    // `lshBucketFixed` escape hatch may appear exactly once — the q67
+    // control — and this lint turns any new use red at build time.
+    def fixedSites(src: String): Seq[Int] =
+      src.linesIterator.zipWithIndex.collect {
+        case (l, i) if l.contains("lshBucketFixed(") => i + 1
+      }.toSeq
+    val qdir = new java.io.File("src/main/scala/graft/queries")
+    val hits = Option(qdir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".scala")).sortBy(_.getName)
+      .flatMap { f =>
+        val src = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        fixedSites(src).map(l => s"${f.getName}:$l")
+      }
+    assert(hits.size == 1 && hits.head.startsWith("SimilarityQueries"),
+      s"fixed-resolution LSH blocking outside the pinned q67 control: " +
+        s"$hits")
+    // red/green: the lint actually sees a planted regression
+    assert(fixedSites(
+      "val b = Similarity.lshBucketFixed(col(\"e\"), 64, 6)") == Seq(1))
+  }
+
   test("broadcast lint catches a deliberately-hinted regression") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$dir/events.parquet")

@@ -95,6 +95,34 @@ def check_bench(bpath: str, expected, quiet_required: bool) -> None:
         if bench["rc"] != 0:
             fail(f"{bpath} records bench exit code {bench['rc']}")
         raw = bench.get("tail", "") or raw
+        # r17 advice: the wrapper shape skipped the coverage gate, so a
+        # truncated registry could close green through it. Parse the
+        # embedded bench line out of the tail and apply the SAME >=95%
+        # check; an unparseable (truncated) tail falls through to the
+        # quiet artifact's gate when one is required, else FAILS.
+        embedded = None
+        for line in raw.splitlines():
+            i = line.find('{"metric"')
+            if i >= 0:
+                try:
+                    embedded = json.loads(line[i:])
+                except json.JSONDecodeError:
+                    continue
+        if embedded is not None and isinstance(
+                embedded.get("queries"), dict):
+            q = embedded["queries"]
+            print(f"{bpath}: embedded bench line covers {len(q)} queries")
+            if expected and len(q) < expected * 0.95:
+                fail(f"{bpath} embedded bench covers {len(q)} queries, "
+                     f"expected ~{expected}")
+        elif expected:
+            msg = (f"{bpath} wrapper tail has no parseable bench line — "
+                   "query coverage unverifiable through this shape")
+            if quiet_required:
+                print(f"ROUNDCHECK WARN: {msg}; relying on the quiet "
+                      "artifact's coverage gate")
+            else:
+                fail(msg)
     else:
         q = bench.get("queries", {})
         print(f"{bpath}: total={bench.get('value')}{bench.get('unit', '')} "
