@@ -14,5 +14,6 @@ object Registry {
       IntervalQueries.all ++ GraphQueries.all ++ EngineQueries.all ++
       AqpQueries.all ++ JourneyQueries.all ++ MlQueries.all ++
       MatchQueries.all ++ PlanningQueries.all ++ VisionQueries.all ++
-      Wave15Queries.all ++ Wave16Queries.all ++ Wave17Queries.all
+      Wave15Queries.all ++ Wave16Queries.all ++ Wave17Queries.all ++
+      Wave18Queries.all
 }

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-18 engine wave: the DML tier's MAINTENANCE and DERIVED-STATE
+  * surfaces. Round 17 gave [[graft.sources.GraftCatalog]] file-keyed
+  * copy-on-write groups; round 18 moved the groups to columnar
+  * Parquet with typed stats — and with sustained DML comes
+  * FRAGMENTATION (every statement stages new small groups), so q395
+  * certifies OPTIMIZE: bin-packed compaction that is bit-stable,
+  * history-preserving, and honestly CHANGE-FLAGGED to streaming
+  * consumers. And with a change stream comes the classic consumer:
+  * q396 maintains a MATERIALIZED VIEW incrementally off the manifest
+  * change log (the q231 CDC-apply shape pointed at the catalog's own
+  * MERGE) and proves it equal to the full recompute — the pattern
+  * that turns a 100 TB nightly rollup rebuild into a per-commit
+  * delta apply. Both keep the registry's no-flap conventions: exact
+  * integer aggregates and oracles that replay the lifecycle
+  * relationally from the base corpus.
+  */
+object Wave18Queries {
+
+  private def seedSql(view: String, where: String): String = s"""
+    SELECT o_custkey % 100 AS k,
+      CASE WHEN (o_custkey % 100) % 3 = 0 THEN 'retail'
+           WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+           ELSE 'inst' END AS seg,
+      sum(cast(round(o_totalprice * 100) as bigint)) AS v
+    FROM $view WHERE $where GROUP BY 1"""
+
+  private val oracleSeg = raw"""CASE WHEN (o_custkey % 100) % 3 = 0
+    THEN 'retail' WHEN (o_custkey % 100) % 3 = 1 THEN 'pro'
+    ELSE 'inst' END"""
+
+  /** q395 — OPTIMIZE (small-group compaction) under the change-stream
+    * contract: five era inserts fragment the balance table into five
+    * group files, [[graft.sources.GraftCatalog.optimizeTable]]
+    * bin-packs them into ONE, and the query REQUIRES the three
+    * properties that make compaction safe to run against live
+    * consumers at 100 TB: (1) BIT-STABLE contents — the packed
+    * snapshot equals the fragmented one row for row (only the file
+    * geometry changed), with every pre-OPTIMIZE version still
+    * addressable by time travel; (2) HONEST CHANGE FLAGGING — the
+    * compaction commit removes files, so a strict append-only stream
+    * REFUSES it loudly (silently re-serving packed rows would double
+    * every downstream count), while `skipChangeCommits` consumers
+    * skip the commit wholesale and still see every APPENDED row
+    * exactly once — the drained total equals the table, proving the
+    * packed file was neither served nor double-counted; (3)
+    * MAINTENANCE CONTINUITY — a post-OPTIMIZE insert lands as an
+    * ordinary append that the same stream then serves. Fragmentation
+    * is not hypothetical: file-keyed COW stages a new group per
+    * statement, and a thousand-commit day means a thousand tiny
+    * files unless compaction folds them back. */
+  val q395 = QuerySpec("q395_catalog_optimize",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q395_cat")
+      val cat = s"graftop${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val hook = graft.sources.GraftCatalogTestHook
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.fr (k BIGINT, seg STRING, v BIGINT)")
+        val tdir = root.resolve("db").resolve("fr")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"src_$cat")
+        for (slice <- Seq("k < 20", "k >= 20 AND k < 40",
+          "k >= 40 AND k < 60", "k >= 60 AND k < 80", "k >= 80"))
+          s.sql(s"INSERT INTO $cat.db.fr " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM src_$cat " +
+            s"WHERE $slice")                                 // v1..v5
+        require(hook.manifestFiles(tdir, 5L).size == 5,
+          "expected five fragmented era groups")
+        val pre = s.sql(s"SELECT k, seg, v FROM $cat.db.fr")
+          .collect().map(_.toSeq).toSet
+        val res = hook.optimizeTable(tdir, targetRows = 1000L) // v6
+        require(res.removedFiles.size == 5 && res.addedFiles.size == 1,
+          s"OPTIMIZE should pack 5 fragments into 1 file: $res")
+        require(hook.manifestFiles(tdir, 6L).size == 1,
+          "packed manifest should bind exactly one group")
+        // (1) bit-stable: same rows, and history still addressable
+        require(s.sql(s"SELECT k, seg, v FROM $cat.db.fr")
+          .collect().map(_.toSeq).toSet == pre,
+          "OPTIMIZE changed table contents")
+        require(s.sql(s"SELECT count(*) FROM $cat.db.fr VERSION AS OF 5")
+          .collect().head.getLong(0) == pre.size,
+          "pre-OPTIMIZE snapshot lost rows")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q395_ck")
+        def drain(skip: Boolean, ck: java.nio.file.Path): (Long, Seq[Long]) = {
+          val name = s"opt_sink_${System.nanoTime()}"
+          val r = s.readStream
+          if (skip) r.option("skipChangeCommits", "true")
+          val q = r.table(s"$cat.db.fr")
+            .groupBy().agg(sum("v").as("total"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck.toString)
+            .trigger(Trigger.AvailableNow()).start()
+          try {
+            q.awaitTermination()
+            val t = s.table(name).collect().head.getLong(0)
+            val ends = q.recentProgress.toSeq
+              .flatMap(_.sources.headOption)
+              .flatMap(p => Option(p.endOffset)).map(_.trim.toLong)
+              .distinct.sorted
+            (t, ends)
+          } finally { q.stop(); s.catalog.dropTempView(name) }
+        }
+        // (2a) strict consumer refuses the compaction commit loudly
+        val strictCk = java.nio.file.Files.createTempDirectory("graft_q395_sk")
+        val refused = try { drain(skip = false, strictCk); None }
+          catch { case e: Exception =>
+            Some(Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Option(t.getMessage)).mkString(" | "))
+          }
+        require(refused.exists(m => m.contains("append-only")),
+          s"strict stream must refuse the OPTIMIZE commit: $refused")
+        graft.streaming.StreamingResidue.deleteRecursively(strictCk)
+        // (2b) skipChangeCommits: every appended row exactly once —
+        // the packed file is neither served nor double-counted
+        val expectedTotal = pre.toSeq.map(_(2).asInstanceOf[Long]).sum
+        val (t1, ends1) = drain(skip = true, ckpt)
+        require(t1 == expectedTotal,
+          s"skip-stream total $t1 != appended total $expectedTotal")
+        require(ends1.max == 6L,
+          s"stream should have committed through the OPTIMIZE version: $ends1")
+        // (3) a post-OPTIMIZE append is served by the same stream
+        s.sql(s"INSERT INTO $cat.db.fr VALUES (100, 'late', 777)") // v7
+        val (t2, _) = drain(skip = true, ckpt)
+        require(t2 == expectedTotal + 777L,
+          s"post-OPTIMIZE append not served incrementally: $t2")
+        graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+        val out = s.sql(s"SELECT k, seg, v FROM $cat.db.fr ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"src_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v FROM seed
+UNION ALL
+SELECT 100, 'late', 777
+ORDER BY k
+"""),
+    serial = true)
+
+  /** q396 — INCREMENTAL MATERIALIZED VIEW off the catalog change
+    * stream: the manifest change log (q394) composed with the
+    * CDC-apply shape (q231), pointed at the DML tier's own MERGE.
+    * Four era rollups land as commits v1..v4; a streaming consumer
+    * drains them as four SINGLE-VERSION micro-batches (REQUIRED on
+    * the committed offset spans) and each batch MERGEs its per-segment
+    * delta into a second catalog table — additive upsert: matched
+    * segments accumulate counts and cents, unmatched insert. The
+    * query REQUIRES the view equals the FULL RECOMPUTE over the feed
+    * after the initial 3-era drain AND after an incremental 1-era
+    * drain (the checkpoint resumes, so era 4 is the only batch fed —
+    * the delta-apply property itself, not just the final value).
+    * This is the 100 TB economics the change stream exists for:
+    * maintaining a rollup costs one MERGE per commit over the
+    * commit's delta, not a nightly corpus re-aggregation. */
+  val q396 = QuerySpec("q396_incremental_mv",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q396_cat")
+      val cat = s"graftmv${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.feed (k BIGINT, seg STRING, v BIGINT)")
+        s.sql(s"CREATE TABLE $cat.db.mv (seg STRING, n_slices BIGINT, " +
+          "total_cents BIGINT)")
+        val eras = Seq(
+          "o_orderdate < DATE'1994-01-01'",
+          "o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1995-01-01'",
+          "o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1996-06-01'",
+          "o_orderdate >= DATE'1996-06-01'")
+        def land(era: String): Unit =
+          s.sql(s"INSERT INTO $cat.db.feed " + seedSql(s"ord_$cat", era))
+        def applyBatches(ck: java.nio.file.Path): Seq[Long] = {
+          val q = s.readStream.table(s"$cat.db.feed")
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                 org.apache.spark.sql.Row], batchId: Long) =>
+                val view = s"mvdelta_${cat}_$batchId"
+                batch.groupBy("seg")
+                  .agg(count(lit(1)).as("n"), sum("v").as("t"))
+                  .createOrReplaceTempView(view)
+                batch.sparkSession.sql(s"""
+                  MERGE INTO $cat.db.mv m USING $view d ON m.seg = d.seg
+                  WHEN MATCHED THEN UPDATE SET
+                    n_slices = m.n_slices + d.n,
+                    total_cents = m.total_cents + d.t
+                  WHEN NOT MATCHED THEN
+                    INSERT (seg, n_slices, total_cents)
+                    VALUES (d.seg, d.n, d.t)
+                """)
+                batch.sparkSession.catalog.dropTempView(view)
+                ()
+            }
+            .option("checkpointLocation", ck.toString)
+            .trigger(Trigger.AvailableNow()).start()
+          try {
+            q.awaitTermination()
+            q.recentProgress.toSeq.flatMap(_.sources.headOption)
+              .flatMap(p => Option(p.endOffset)).map(_.trim.toLong)
+              .distinct.sorted
+          } finally q.stop()
+        }
+        def mvRows(): Set[Seq[Any]] =
+          s.sql(s"SELECT seg, n_slices, total_cents FROM $cat.db.mv")
+            .collect().map(_.toSeq).toSet
+        def recompute(): Set[Seq[Any]] =
+          s.sql(s"SELECT seg, count(*) AS n_slices, sum(v) AS " +
+            s"total_cents FROM $cat.db.feed GROUP BY seg")
+            .collect().map(_.toSeq).toSet
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q396_ck")
+        // initial load: three eras, three single-version batches
+        eras.take(3).foreach(land)
+        val ends1 = applyBatches(ckpt)
+        require(ends1 == Seq(1L, 2L, 3L),
+          s"three landed eras should apply as three single-version " +
+            s"micro-batches, got $ends1")
+        require(mvRows() == recompute(),
+          "incremental view diverged from full recompute after load")
+        // incremental maintenance: ONE new era, ONE new batch
+        land(eras(3))
+        val ends2 = applyBatches(ckpt)
+        require(ends2 == Seq(4L),
+          s"resume should feed only the new commit, got $ends2")
+        require(mvRows() == recompute(),
+          "incremental view diverged after the delta apply")
+        graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+        val out = s.sql(s"SELECT seg, n_slices, total_cents " +
+          s"FROM $cat.db.mv ORDER BY seg")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH eras AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1994-01-01' GROUP BY 1, 2
+  UNION ALL
+  SELECT o_custkey % 100, $oracleSeg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM orders WHERE o_orderdate >= DATE '1994-01-01'
+    AND o_orderdate < DATE '1995-01-01' GROUP BY 1, 2
+  UNION ALL
+  SELECT o_custkey % 100, $oracleSeg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1996-06-01' GROUP BY 1, 2
+  UNION ALL
+  SELECT o_custkey % 100, $oracleSeg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+  FROM orders WHERE o_orderdate >= DATE '1996-06-01' GROUP BY 1, 2
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_slices,
+  CAST(sum(v) AS BIGINT) AS total_cents
+FROM eras GROUP BY seg ORDER BY seg
+"""),
+    serial = true)
+
+  def all: Seq[QuerySpec] = Seq(q395, q396)
+}

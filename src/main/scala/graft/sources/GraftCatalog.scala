@@ -1936,13 +1936,21 @@ private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
       .flatten.filter(_.rows > 0).map(_.toGroupFile).toSeq
     def cleanup(): Unit =
       staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
-    val read = op.scannedGroups.getOrElse(Seq.empty)
-    if (read.isEmpty && staged.nonEmpty) {
-      cleanup()
-      throw new IllegalStateException(
-        s"graft catalog: $ident ${op.command()} produced replacement " +
-          "rows but its scan recorded no groups — refusing a commit " +
-          "that cannot name the files it replaces")
+    // Some(Seq()) is EXACT knowledge — the scan planned and read zero
+    // groups (empty table, or every group pruned statically/at
+    // runtime), so the staged rows are pure NOT-MATCHED inserts and
+    // the commit degenerates to an append. Only None (the scan was
+    // never consulted at all) refuses: a write that cannot name the
+    // files it replaces must not guess.
+    val read = op.scannedGroups match {
+      case Some(names) => names
+      case None if staged.nonEmpty =>
+        cleanup()
+        throw new IllegalStateException(
+          s"graft catalog: $ident ${op.command()} produced replacement " +
+            "rows but its scan never planned — refusing a commit " +
+            "that cannot name the files it replaces")
+      case None => Seq.empty
     }
     val readSet = read.toSet
     val survivors = baseFiles.filterNot(g => readSet.contains(g.name))
