@@ -290,5 +290,93 @@ FROM eras GROUP BY seg ORDER BY seg
 """),
     serial = true)
 
-  def all: Seq[QuerySpec] = Seq(q395, q396)
+  /** q397 — TYPED STATS PRUNING in-query: the round-18 catalog move
+    * to Parquet groups with TYPED manifest stats (BIGINT + DOUBLE +
+    * STRING min/max with null counts) means a DOUBLE range predicate
+    * or a STRING equality prunes group files BEFORE any I/O — the
+    * zone-map economics q212/q355 pin for Parquet footers, here on
+    * the DML tier's own manifests, where the r17 grammar was
+    * BIGINT-only and silently scanned everything for the other two
+    * types. Three range-keyed groups carry disjoint DOUBLE domains
+    * (v = k + cents%100/100) and prefix-tagged STRING segments; the
+    * query REQUIRES from the executed plans that the DOUBLE probe and
+    * the STRING probe each plan a ONE-group scan while the
+    * unselective control keeps all three. Values are exact: the
+    * fractional part is cents/100 (an exact decimal both engines
+    * compute identically), and the oracle replays the probes
+    * relationally. */
+  val q397 = QuerySpec("q397_typed_stats_pruning",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q397_cat")
+      val cat = s"graftts${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.px (k BIGINT, seg STRING, v DOUBLE)")
+        // disjoint typed domains per group: v ∈ [0,34) / [34,67) /
+        // [67,100); seg prefixed a_ / m_ / z_ by the same slices
+        s.sql(s"""
+          SELECT k,
+            CASE WHEN k < 34 THEN concat('a_', seg)
+                 WHEN k <= 66 THEN concat('m_', seg)
+                 ELSE concat('z_', seg) END AS seg,
+            cast(k as double) + cast(v % 100 as double) / 100.0 AS v
+          FROM (${seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'")})
+        """).createOrReplaceTempView(s"pxsrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.px " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM pxsrc_$cat " +
+            s"WHERE $slice")
+        def groupsOf(df: org.apache.spark.sql.DataFrame): Int =
+          "groups=(\\d+)".r.findFirstMatchIn(
+            df.queryExecution.executedPlan.toString)
+            .map(_.group(1).toInt).getOrElse(-1)
+        val doubleProbe = s.sql(s"SELECT 'double' AS probe, k, seg, v " +
+          s"FROM $cat.db.px WHERE v >= 70.5")
+        require(groupsOf(doubleProbe) == 1,
+          s"DOUBLE stats should prune to one group, planned " +
+            s"${groupsOf(doubleProbe)}")
+        val stringProbe = s.sql(s"SELECT 'string' AS probe, k, seg, v " +
+          s"FROM $cat.db.px WHERE seg < 'b'")
+        require(groupsOf(stringProbe) == 1,
+          s"STRING stats should prune to one group, planned " +
+            s"${groupsOf(stringProbe)}")
+        val control = s.sql(s"SELECT k FROM $cat.db.px WHERE v >= 0.0")
+        require(groupsOf(control) == 3,
+          s"unselective control lost its groups: ${groupsOf(control)}")
+        val out = doubleProbe.unionByName(stringProbe)
+          .orderBy("probe", "k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"pxsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg0,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v0
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), px AS (
+  SELECT k,
+    CASE WHEN k < 34 THEN 'a_' || seg0
+         WHEN k <= 66 THEN 'm_' || seg0
+         ELSE 'z_' || seg0 END AS seg,
+    CAST(k AS DOUBLE) + CAST(v0 % 100 AS DOUBLE) / 100.0 AS v
+  FROM seed
+)
+SELECT * FROM (
+  SELECT 'double' AS probe, CAST(k AS BIGINT) AS k, seg, v
+  FROM px WHERE v >= 70.5
+  UNION ALL
+  SELECT 'string', CAST(k AS BIGINT), seg, v FROM px WHERE seg < 'b'
+) ORDER BY probe, k
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q395, q396, q397)
 }
