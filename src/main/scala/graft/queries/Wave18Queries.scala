@@ -378,5 +378,186 @@ SELECT * FROM (
 ) ORDER BY probe, k
 """))
 
-  def all: Seq[QuerySpec] = Seq(q395, q396, q397)
+  /** q398 — SNAPSHOT TAGS + `TIMESTAMP AS OF`: the named-ref half of
+    * time travel (Iceberg tags). A q387-shaped lifecycle lands
+    * v1 (seed) / v2 (MERGE delta) / v3 (purge); version 2 is tagged
+    * `quarterly`, and the query REQUIRES (1) `VERSION AS OF
+    * 'quarterly'` equals `VERSION AS OF 2` equals `TIMESTAMP AS OF
+    * <v2's publish instant>` — names, numbers, and wall-clock all
+    * resolve to the same bit-stable snapshot; (2) tags are IMMUTABLE
+    * (a retag aborts loudly); (3) retention PINS tagged versions —
+    * retain-last-1 retires v0/v1 but not the tagged v2, and the
+    * tagged read is byte-identical across the expiry. This is how a
+    * regulated 100 TB pipeline keeps "the snapshot the Q3 report ran
+    * on" addressable for years while retention reclaims everything
+    * else. The oracle replays the tagged (merged) and live (purged)
+    * states relationally. */
+  val q398 = QuerySpec("q398_snapshot_tags",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q398_cat")
+      val cat = s"grafttg${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val hook = graft.sources.GraftCatalogTestHook
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.bal (k BIGINT, seg STRING, v BIGINT)")
+        val tdir = root.resolve("db").resolve("bal")
+        s.sql(s"INSERT INTO $cat.db.bal " +
+          seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))  // v1
+        Thread.sleep(30) // distinct publish instants for TIMESTAMP AS OF
+        s.sql(seedSql(s"ord_$cat", "o_orderdate >= DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"tdelta_$cat")
+        s.sql(s"""
+          MERGE INTO $cat.db.bal t USING tdelta_$cat d ON t.k = d.k
+          WHEN MATCHED THEN UPDATE SET v = t.v + d.v
+          WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (d.k, d.seg, d.v)
+        """)                                                       // v2
+        Thread.sleep(30)
+        s.sql(s"DELETE FROM $cat.db.bal WHERE v < 50000000")       // v3
+        hook.tagSnapshot(tdir, "quarterly", 2L)
+        def rollup(ref: String, label: String) = s.sql(
+          s"SELECT '$label' AS ref, seg, count(*) AS n_keys, " +
+            s"sum(v) AS total_cents FROM $cat.db.bal $ref GROUP BY seg")
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toSeq.drop(1)).toSet
+        val byTag = rollup("VERSION AS OF 'quarterly'", "tagged")
+        val byNum = rollup("VERSION AS OF 2", "x")
+        require(rows(byTag) == rows(byNum),
+          "tag did not resolve to its pinned version")
+        // wall-clock resolution: the instant v2 published sees v2
+        val i = java.time.Instant.ofEpochMilli(
+          hook.manifestMtimeMillis(tdir, 2L))
+        val lit = "TIMESTAMP '" + java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC).format(i) + "'"
+        require(rows(rollup(s"TIMESTAMP AS OF $lit", "x")) == rows(byTag),
+          "TIMESTAMP AS OF drifted from the publish instant's snapshot")
+        // immutable tags; retention pins the tagged version
+        val retag = try { hook.tagSnapshot(tdir, "quarterly", 3L); false }
+          catch { case _: java.util.ConcurrentModificationException => true }
+        require(retag, "retagging must abort loudly")
+        val pre = rows(byTag)
+        val res = hook.expireSnapshots(tdir, retainLast = 1)
+        require(res.retainedVersions.contains(2L) &&
+          res.expiredVersions == Seq(0L, 1L),
+          s"retention should pin the tagged v2: $res")
+        require(rows(rollup("VERSION AS OF 'quarterly'", "tagged")) == pre,
+          "tagged snapshot not bit-stable across expiry")
+        val out = rollup("VERSION AS OF 'quarterly'", "tagged")
+          .unionByName(rollup("", "live")).orderBy("ref", "seg")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"tdelta_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), delta AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(s.k, d.k) AS k, COALESCE(s.seg, d.seg) AS seg,
+    COALESCE(s.v, 0) + COALESCE(d.v, 0) AS v
+  FROM seed s FULL OUTER JOIN delta d ON s.k = d.k
+), purged AS (SELECT * FROM merged WHERE v >= 50000000)
+SELECT * FROM (
+  SELECT 'live' AS ref, seg, CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(v) AS BIGINT) AS total_cents FROM purged GROUP BY seg
+  UNION ALL
+  SELECT 'tagged', seg, CAST(count(*) AS BIGINT),
+    CAST(sum(v) AS BIGINT) FROM merged GROUP BY seg
+) ORDER BY ref, seg
+"""))
+
+  /** q399 — the FULL tri-direction MERGE: `WHEN NOT MATCHED BY
+    * SOURCE` (Spark 4 SQL) makes one statement the complete
+    * table-sync primitive — matched rows update or die by a delta
+    * predicate, unmatched delta rows insert, and target rows the
+    * delta LOST (not matched by source) are retired or flagged
+    * stale. That last arm is what distinguishes "apply a delta" from
+    * "synchronize to a snapshot": at 100 TB it replaces the
+    * full-outer-join + INSERT OVERWRITE rewrite pipelines otherwise
+    * needed to expire vanished keys. Delta rows with `k % 17 = 0`
+    * carry a NEGATIVE balance (the delete-marked shape); stale
+    * target rows below the purge floor die, the rest are re-tagged.
+    * The oracle replays all five arms relationally. */
+  val q399 = QuerySpec("q399_merge_sync_by_source",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q399_cat")
+      val cat = s"graftsy${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.sync (k BIGINT, seg STRING, v BIGINT)")
+        s.sql(s"INSERT INTO $cat.db.sync " +
+          seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+        s.sql(s"""
+          SELECT k, seg,
+            CASE WHEN k % 17 = 0 THEN -v ELSE v END AS v
+          FROM (${seedSql(s"ord_$cat",
+            "o_orderdate >= DATE'1996-01-01'")})
+          WHERE k >= 30 AND k < 70""")
+          .createOrReplaceTempView(s"sdelta_$cat")
+        s.sql(s"""
+          MERGE INTO $cat.db.sync t USING sdelta_$cat d ON t.k = d.k
+          WHEN MATCHED AND d.v < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = t.v + d.v
+          WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (d.k, d.seg, d.v)
+          WHEN NOT MATCHED BY SOURCE AND t.v < 50000000 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET seg = 'stale'
+        """)
+        val out = s.sql(s"SELECT k, seg, v FROM $cat.db.sync ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"sdelta_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), delta AS (
+  SELECT k, seg, CASE WHEN k % 17 = 0 THEN -v ELSE v END AS v
+  FROM (
+    SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+  ) WHERE k >= 30 AND k < 70
+), matched AS (
+  SELECT s.k, s.seg, s.v + d.v AS v
+  FROM seed s JOIN delta d ON s.k = d.k WHERE d.v >= 0
+), inserted AS (
+  SELECT d.k, d.seg, d.v FROM delta d
+  WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.k = d.k)
+), unmatched AS (
+  SELECT s.k, CASE WHEN s.v >= 50000000 THEN 'stale' END AS seg, s.v
+  FROM seed s
+  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = s.k)
+    AND s.v >= 50000000
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v FROM (
+  SELECT * FROM matched
+  UNION ALL SELECT * FROM inserted
+  UNION ALL SELECT * FROM unmatched
+) ORDER BY k
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q395, q396, q397, q398, q399)
 }

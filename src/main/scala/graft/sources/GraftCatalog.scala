@@ -143,14 +143,21 @@ class GraftCatalog extends TableCatalog {
   /** Version n is manifest n — immutable data files make every
     * retained snapshot bit-stable history. Distinguishes loudly
     * between a version that never existed (> current) and one retired
-    * by [[GraftCatalog.expireSnapshots]]. */
+    * by [[GraftCatalog.expireSnapshots]]. A non-numeric version is a
+    * SNAPSHOT TAG ([[GraftCatalog.tagSnapshot]]): `VERSION AS OF
+    * 'audited-2026q3'` resolves the tag file to its pinned version —
+    * the named-ref half (Iceberg tags) that lets a 100 TB pipeline
+    * pin "the snapshot the quarterly report ran on" instead of
+    * circulating raw version numbers. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     val schema = readSchema(dir, ident)
     val v = try version.trim.toLong
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft catalog: VERSION AS OF expects an integer, got '$version'")
+        GraftRl.readTag(dir, version.trim).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: ${ident.toString} has no snapshot tag " +
+              s"'${version.trim}' (and it is not a version number)"))
       }
     val cur = GraftRl.currentVersion(dir)
     if (v < 0 || v > cur)
@@ -163,6 +170,28 @@ class GraftCatalog extends TableCatalog {
           "by snapshot retention and is no longer addressable"))
     new GraftRlTable(s"${ident.toString}@v$v", dir, schema, v, files,
       writable = false, partCol = readPartCol(dir))
+  }
+
+  /** `TIMESTAMP AS OF <ts>`: resolve to the NEWEST manifest whose
+    * publish time (file mtime — set by the atomic link at commit) is
+    * ≤ the requested instant, i.e. the snapshot a reader at that
+    * wall-clock moment would have seen. Spark hands micros since
+    * epoch. Refuses loudly before the first retained commit —
+    * retention means history older than the horizon is not
+    * addressable, by timestamp or otherwise. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    readSchema(dir, ident) // existence check
+    val tsMillis = Math.floorDiv(timestampMicros, 1000L)
+    val at = GraftRl.manifestVersions(dir)
+      .filter(v => Files.getLastModifiedTime(
+        GraftRl.manifestPath(dir, v)).toMillis <= tsMillis)
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft catalog: ${ident.toString} has no snapshot at or " +
+          s"before timestamp $timestampMicros µs — the earliest " +
+          "retained commit is newer (or retention expired older ones)")
+    loadTable(ident, at.max.toString)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -314,7 +343,12 @@ object GraftCatalog {
     require(versions.nonEmpty,
       s"graft catalog: $tableDir has no manifests (not a table?)")
     val cur = versions.max
-    val (keep, expire) = versions.sorted.partition(_ > cur - retainLast)
+    // TAGGED snapshots are PINNED against retention (the Iceberg tag
+    // contract): a tag exists precisely so "the snapshot the audit ran
+    // on" survives the retain-last-N window
+    val tagged = GraftRl.tagVersions(tableDir)
+    val (keep, expire) = versions.sorted.partition(v =>
+      v > cur - retainLast || tagged.contains(v))
     expire.foreach(v => Files.delete(GraftRl.manifestPath(tableDir, v)))
     val live: Set[String] = keep.flatMap(v =>
       GraftRl.readManifest(tableDir, v).getOrElse(Seq.empty))
@@ -329,6 +363,27 @@ object GraftCatalog {
       .map(_.getName).sorted.toSeq
     dead.foreach(n => Files.delete(tableDir.resolve(n)))
     ExpireResult(expire, dead, keep)
+  }
+
+  /** SNAPSHOT TAG — pin a committed version under a stable name:
+    * `VERSION AS OF '<name>'` resolves it, and [[expireSnapshots]]
+    * will never retire a tagged version (the Iceberg tag contract).
+    * Tags are immutable and publish by the same atomic-exclusive
+    * link as manifests: of two racing `tagSnapshot` calls for one
+    * name exactly one wins, the loser aborts loudly. */
+  def tagSnapshot(tableDir: Path, name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"graft catalog: tag name '$name' must be " +
+        "[A-Za-z0-9][A-Za-z0-9._-]* (it becomes a file name)")
+    require(name.toLongOption.isEmpty,
+      s"graft catalog: tag name '$name' would shadow a version number")
+    require(GraftRl.readManifest(tableDir, version).isDefined,
+      s"graft catalog: cannot tag version $version of $tableDir — " +
+        "no such committed (unexpired) snapshot")
+    if (!GraftRl.publishTag(tableDir, name, version))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: tag '$name' already exists on $tableDir — " +
+          "tags are immutable; pick a new name")
   }
 
   /** Result of [[optimizeTable]]: which fragmented group files were
@@ -651,6 +706,23 @@ private[sources] object GraftRl {
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
+
+  def tagPath(dir: Path, name: String): Path = dir.resolve(s"tag-$name")
+
+  def readTag(dir: Path, name: String): Option[Long] = {
+    val p = tagPath(dir, name)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).trim.toLong)
+  }
+
+  def tagVersions(dir: Path): Set[Long] =
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("tag-"))
+      .flatMap(f => Files.readString(f.toPath).trim.toLongOption)
+      .toSet
+
+  def publishTag(dir: Path, name: String, version: Long): Boolean =
+    publishExclusive(dir, tagPath(dir, name), version.toString)
 
   def readPartCol(dir: Path): Option[String] = {
     val p = dir.resolve("partcol")
@@ -1625,7 +1697,37 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     partInfo: Option[(String, Int)] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** PRUNED-SIZE STATISTICS ([[SupportsReportStatistics]]): row count
+    * and on-disk bytes of exactly the groups that SURVIVED static
+    * stats pruning, scaled by `spark.sql.sources.fileCompressionFactor`
+    * (the same knob file relations honor) — so the planner sees a
+    * post-pushdown size, not the whole table, and a dimension-sized
+    * catalog table gets auto-broadcast without a hint. Without this a
+    * DSv2 relation defaults to `spark.sql.defaultSizeInBytes` (≈8 EB:
+    * "never broadcast"), which at 100 TB turns every catalog-side
+    * dimension join into an avoidable shuffle. Manifest-only: no file
+    * is opened (sizes come from the filesystem metadata of the kept
+    * groups). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = kept.map(_.rows).sum
+    val diskBytes = kept.map { f =>
+      try Files.size(dir.resolve(f.name)) catch { case _: Exception => 0L }
+    }.sum
+    val factor = try
+      org.apache.spark.sql.internal.SQLConf.get.fileCompressionFactor
+    catch { case _: Exception => 1.0 }
+    val size = math.max(rows, (diskBytes * factor).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** STREAMING READS (`spark.readStream.table(...)`): the manifest
     * version history IS a change log, so the table doubles as a

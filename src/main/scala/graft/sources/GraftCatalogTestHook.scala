@@ -82,6 +82,13 @@ object GraftCatalogTestHook {
       targetRows: Long): GraftCatalog.OptimizeResult =
     GraftCatalog.optimizeTable(tableDir, targetRows)
 
+  def tagSnapshot(tableDir: Path, name: String, version: Long): Unit =
+    GraftCatalog.tagSnapshot(tableDir, name, version)
+
+  def manifestMtimeMillis(tableDir: Path, version: Long): Long =
+    java.nio.file.Files.getLastModifiedTime(
+      GraftRl.manifestPath(tableDir, version)).toMillis
+
   /** Manifest introspection for group-geometry asserts: which
     * versions exist and which group files a version binds. */
   def manifestVersions(tableDir: Path): Seq[Long] =

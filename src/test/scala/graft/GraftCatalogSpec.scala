@@ -727,6 +727,117 @@ class GraftCatalogSpec extends SparkSpec {
       2 * (0 until 8).map(_ * 1.5).sum)
   }
 
+  test("snapshot tags pin named versions against retention; " +
+      "TIMESTAMP AS OF resolves commit publish times") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.tg (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("tg")
+    // distinct publish instants so TIMESTAMP AS OF ties cannot flap
+    ins1("graftrl.db.tg", "(1L,'a',10L),(2L,'a',20L)"); Thread.sleep(30)
+    spark.sql("UPDATE graftrl.db.tg SET v = v * 2");     Thread.sleep(30)
+    ins1("graftrl.db.tg", "(3L,'c',30L)")
+    def rowsAt(ref: String): Seq[(Long, Long)] =
+      sqlRows(s"SELECT k, v FROM graftrl.db.tg VERSION AS OF $ref " +
+        "ORDER BY k").map(r =>
+        (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    Hook.tagSnapshot(dir, "audit", 2L)
+    assert(rowsAt("'audit'") == rowsAt("2"))
+    // tags are immutable; unknown tags refuse with their own message
+    intercept[java.util.ConcurrentModificationException] {
+      Hook.tagSnapshot(dir, "audit", 3L)
+    }
+    val unknown = intercept[Exception] { rowsAt("'nope'") }
+    assert(unknown.getMessage.contains("no snapshot tag"))
+    intercept[Exception] { Hook.tagSnapshot(dir, "bad name", 2L) }
+    intercept[Exception] { Hook.tagSnapshot(dir, "7", 2L) }
+    // retention: retain-last-1 would retire v0..v2, but the tag PINS
+    // v2 — only v0/v1 expire, and the tagged read stays bit-stable
+    val pre = rowsAt("'audit'")
+    val res = Hook.expireSnapshots(dir, retainLast = 1)
+    assert(res.retainedVersions.contains(2L) &&
+      res.expiredVersions == Seq(0L, 1L),
+      s"tag should pin v2 against retention: $res")
+    assert(rowsAt("'audit'") == pre)
+    // TIMESTAMP AS OF: the instant of v2's publish sees v2; anything
+    // before the earliest retained commit refuses loudly
+    def tsLit(millis: Long): String = {
+      val i = java.time.Instant.ofEpochMilli(millis)
+      "TIMESTAMP '" + java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i) + "'"
+    }
+    val at2 = Hook.manifestMtimeMillis(dir, 2L)
+    assert(sqlRows("SELECT k, v FROM graftrl.db.tg TIMESTAMP AS OF " +
+      s"${tsLit(at2)} ORDER BY k").map(r =>
+      (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])) == pre)
+    // the live present resolves to the newest version
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.tg TIMESTAMP AS OF " +
+      s"${tsLit(System.currentTimeMillis() + 60000)}").head.head == 3L)
+    val early = intercept[Exception] {
+      sqlRows("SELECT * FROM graftrl.db.tg TIMESTAMP AS OF " +
+        s"${tsLit(at2 - 3600 * 1000L)}")
+    }
+    assert(Iterator.iterate[Throwable](early)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("no snapshot at or before"))),
+      s"got: $early")
+  }
+
+  test("pruned-size statistics: the planner sees post-pushdown " +
+      "rows/bytes and a dimension-sized catalog table auto-broadcasts " +
+      "without a hint") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.dim (k BIGINT, seg STRING, v BIGINT)")
+    ins1("graftrl.db.dim", "(1L,'a',10L),(2L,'b',20L)")
+    ins1("graftrl.db.dim", "(41L,'c',30L),(42L,'d',40L)")
+    ins1("graftrl.db.dim", "(81L,'e',50L),(82L,'f',60L)")
+    def leafStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName.contains("DataSourceV2"))
+        .map(_.stats).getOrElse(
+          fail(s"no V2 leaf in ${df.queryExecution.optimizedPlan}"))
+    val full = leafStats(spark.table("graftrl.db.dim"))
+    // vs the no-stats DSv2 default (spark.sql.defaultSizeInBytes ≈
+    // 8 EB, "never broadcast"): the manifest-fed size is real
+    assert(full.sizeInBytes > 0 && full.sizeInBytes < 10L * 1024 * 1024,
+      s"expected a dimension-sized estimate, got ${full.sizeInBytes}")
+    assert(full.rowCount.isEmpty || full.rowCount.contains(BigInt(6)))
+    // a pushed key predicate prunes groups → the estimate SHRINKS
+    val pruned = leafStats(
+      spark.table("graftrl.db.dim").where("k >= 81"))
+    assert(pruned.sizeInBytes < full.sizeInBytes,
+      s"pushed-filter stats did not shrink: $pruned vs $full")
+    // planner effect: fact ⋈ dim broadcasts the catalog side with NO
+    // hint under the default 10 MB threshold...
+    val fact = spark.range(0, 50000)
+      .selectExpr("(id % 100) + 1 AS k", "id AS w")
+    val joined = fact.join(spark.table("graftrl.db.dim"), "k")
+      .groupBy("seg").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"catalog dimension should auto-broadcast:\n$plan")
+    // ...and the control with broadcast disabled keeps the shuffle
+    // join, so the assert above is not vacuous
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val ctl = fact.join(spark.table("graftrl.db.dim"), "k")
+        .groupBy("seg").count()
+      ctl.collect()
+      assert(!ctl.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("catalog hygiene: duplicate create refuses, drop removes, " +
       "unsupported types refused") {
     root
