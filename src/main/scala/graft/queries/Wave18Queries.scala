@@ -559,5 +559,110 @@ SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v FROM (
 ) ORDER BY k
 """))
 
-  def all: Seq[QuerySpec] = Seq(q395, q396, q397, q398, q399)
+  /** q400 — MERGE-ON-READ DELETE (deletion vectors): the other half
+    * of production row-level operations. `TBLPROPERTIES('delete.mode'
+    * = 'merge-on-read')` routes DELETE through
+    * [[org.apache.spark.sql.connector.write.SupportsDelta]]: matching
+    * rows ship their `(_file, _pos)` row ids, the commit publishes
+    * per-group DELETION VECTOR sidecars, and NOT ONE data file is
+    * rewritten — the query REQUIRES the data-file set is bit-stable
+    * across a misaligned corpus-wide delete while `dv-*.bin` sidecars
+    * appear, that `count(*)` still plans the metadata-only scan
+    * (live-row counts are exact under vectors), and that an ALIGNED
+    * delete still takes the zero-I/O manifest-edit path. At 100 TB
+    * this is the difference between a small scattered delete costing
+    * bytes-proportional-to-rows-killed (DV write) and
+    * bytes-proportional-to-groups-touched (COW rewrite) — Delta DVs /
+    * Iceberg position deletes, re-expressed on the Spark DSv2 delta
+    * write protocol. The append-only change stream REQUIRES the DV
+    * commit is flagged as a change (a vector deletes rows while
+    * keeping file names — serving the file again would resurrect
+    * them). The oracle replays both deletes relationally. */
+  val q400 = QuerySpec("q400_merge_on_read_delete",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = java.nio.file.Files.createTempDirectory("graft_q400_cat")
+      val cat = s"graftdv${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.dv (k BIGINT, seg STRING, v BIGINT)" +
+          " TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+        val tdir = root.resolve("db").resolve("dv")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"dvsrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.dv " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM dvsrc_$cat " +
+            s"WHERE $slice")
+        def files(pre: String, suf: String): Set[String] =
+          Option(tdir.toFile.listFiles()).getOrElse(Array.empty)
+            .map(_.getName)
+            .filter(n => n.startsWith(pre) && n.endsWith(suf)).toSet
+        val dataBefore = files("data-", ".parquet")
+        // misaligned scattered delete: every group holds matches, no
+        // group is provably all/none — the DV path must fire
+        s.sql(s"DELETE FROM $cat.db.dv WHERE k % 10 = 7")         // v4
+        require(files("data-", ".parquet") == dataBefore,
+          "merge-on-read delete must not rewrite or stage data files")
+        require(files("dv-", ".bin").size == 3,
+          s"expected one deletion vector per group: ${files("dv-", ".bin")}")
+        // live-row counts stay exact → metadata-only count(*)
+        val cnt = s.sql(s"SELECT count(*) AS n FROM $cat.db.dv")
+        require(cnt.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "count(*) under deletion vectors lost the metadata path")
+        // aligned delete: still a pure manifest edit, zero data I/O
+        s.sql(s"DELETE FROM $cat.db.dv WHERE k < 34")             // v5
+        require(files("data-", ".parquet") == dataBefore &&
+          files("dv-", ".bin").size == 3,
+          "aligned delete must be metadata-only even under vectors")
+        // the DV commit is a CHANGE commit: strict append-only
+        // streaming must refuse it by name
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q400_ck")
+        val name = s"dv_sink_${System.nanoTime()}"
+        val refused = try {
+          val q = s.readStream.table(s"$cat.db.dv")
+            .groupBy().agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow()).start()
+          try { q.awaitTermination(); None }
+          finally { q.stop(); s.catalog.dropTempView(name) }
+        } catch { case e: Exception =>
+          Some(Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null)
+            .flatMap(t => Option(t.getMessage)).mkString(" | "))
+        } finally graft.streaming.StreamingResidue.deleteRecursively(ckpt)
+        require(refused.exists(m => m.contains("deletion vector") ||
+          m.contains("append-only")),
+          s"strict stream must refuse the DV commit: $refused")
+        val out = s.sql(s"SELECT k, seg, v FROM $cat.db.dv ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"dvsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v
+FROM seed WHERE k % 10 <> 7 AND k >= 34 ORDER BY k
+"""),
+    serial = true)
+
+  def all: Seq[QuerySpec] = Seq(q395, q396, q397, q398, q399, q400)
 }

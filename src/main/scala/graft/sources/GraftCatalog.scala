@@ -137,7 +137,8 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalStateException(
         s"graft catalog: ${ident.toString} current manifest v$cur unreadable"))
     new GraftRlTable(ident.toString, dir, schema, cur, files,
-      writable = true, partCol = readPartCol(dir))
+      writable = true, partCol = readPartCol(dir),
+      morDelete = GraftRl.readMorDelete(dir))
   }
 
   /** Version n is manifest n — immutable data files make every
@@ -222,8 +223,20 @@ class GraftCatalog extends TableCatalog {
       f.dataType == LongType || f.dataType == StringType ||
         f.dataType == DoubleType,
       s"graft catalog: unsupported column type ${f.dataType.simpleString}"))
-    require(!schema.fieldNames.contains("_file"),
-      "graft catalog: column name _file is reserved for file provenance")
+    require(!schema.fieldNames.contains("_file") &&
+      !schema.fieldNames.contains("_pos"),
+      "graft catalog: column names _file/_pos are reserved for row " +
+        "provenance")
+    // `TBLPROPERTIES ('delete.mode' = 'merge-on-read')` switches
+    // DELETE from copy-on-write group rewrites to deletion-vector
+    // sidecars (see GraftRlDeltaOp); default stays copy-on-write
+    val morDelete = Option(properties.get("delete.mode")) match {
+      case None | Some("copy-on-write") => false
+      case Some("merge-on-read") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft catalog: delete.mode must be copy-on-write or " +
+          s"merge-on-read, got '$other'")
+    }
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("schema.json")))
       throw new TableAlreadyExistsException(
@@ -231,10 +244,12 @@ class GraftCatalog extends TableCatalog {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schema.json)
     partCol.foreach(c => Files.writeString(dir.resolve("partcol"), c))
+    if (morDelete)
+      Files.writeString(dir.resolve("props"), "delete.mode=merge-on-read\n")
     require(GraftRl.publish(dir, 0L, ""),
       s"graft catalog: concurrent CREATE of ${ident.toString}")
     new GraftRlTable(ident.toString, dir, schema, 0L, Seq.empty,
-      writable = true, partCol = partCol)
+      writable = true, partCol = partCol, morDelete = morDelete)
   }
 
   /** SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMNS`, the
@@ -268,7 +283,8 @@ class GraftCatalog extends TableCatalog {
           require(a.fieldNames().length == 1,
             "graft catalog: nested columns not supported")
           val n = a.fieldNames()(0)
-          require(!sch.fieldNames.contains(n) && n != "_file",
+          require(!sch.fieldNames.contains(n) && n != "_file" &&
+            n != "_pos",
             s"graft catalog: column '$n' already exists or is reserved")
           require(a.isNullable,
             "graft catalog: added columns must be nullable — existing " +
@@ -352,12 +368,13 @@ object GraftCatalog {
     expire.foreach(v => Files.delete(GraftRl.manifestPath(tableDir, v)))
     val live: Set[String] = keep.flatMap(v =>
       GraftRl.readManifest(tableDir, v).getOrElse(Seq.empty))
-      .map(_.name).toSet
+      .flatMap(g => g.name +: g.dv.map(_._1).toSeq).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val dead = Option(tableDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => {
         val n = f.getName
-        n.startsWith("data-") && n.endsWith(".parquet") &&
+        (n.startsWith("data-") && n.endsWith(".parquet") ||
+          n.startsWith("dv-") && n.endsWith(".bin")) &&
           !live.contains(n) && f.lastModified() <= cutoff
       })
       .map(_.getName).sorted.toSeq
@@ -431,8 +448,11 @@ object GraftCatalog {
         case None => Some(None)
         case Some(i) => GraftRl.partValueOf(gf, i)
       }
-    val candidates = files.filter(f => f.rows < targetRows &&
-      bucket(f).isDefined)
+    // small groups pack; DV-carrying groups of ANY size are candidates
+    // too (folding the vector back into a clean file is maintenance
+    // debt OPTIMIZE exists to pay)
+    val candidates = files.filter(f =>
+      (f.liveRows < targetRows || f.dv.isDefined) && bucket(f).isDefined)
     val bins: Seq[Seq[GraftRl.GroupFile]] = candidates
       .groupBy(bucket).toSeq.sortBy(_._2.head.name).flatMap {
         case (_, fs) =>
@@ -443,14 +463,16 @@ object GraftCatalog {
             .empty[GraftRl.GroupFile]
           var rows = 0L
           fs.sortBy(_.name).foreach { f =>
-            if (cur.nonEmpty && rows + f.rows > targetRows) {
+            if (cur.nonEmpty && rows + f.liveRows > targetRows) {
               out += cur
               cur = scala.collection.mutable.ArrayBuffer.empty; rows = 0L
             }
-            cur += f; rows += f.rows
+            cur += f; rows += f.liveRows
           }
           if (cur.nonEmpty) out += cur
-          out.filter(_.size >= 2).map(_.toSeq)
+          // a 1-file bin is worth rewriting only to fold a DV away
+          out.filter(b => b.size >= 2 || b.exists(_.dv.isDefined))
+            .map(_.toSeq)
       }
     if (bins.isEmpty) return OptimizeResult(Nil, Nil, base)
     val packed = bins.map { bin =>
@@ -466,24 +488,35 @@ object GraftCatalog {
         bin.foreach { gf =>
           // read every column the fragment has; absent trailing
           // columns (pre-evolution files) null-fill — the packed file
-          // is rewritten at the CURRENT schema width
+          // is rewritten at the CURRENT schema width, and any
+          // deletion vector is FOLDED IN (masked rows do not survive
+          // the pack, so the new file is DV-free)
           val present = schema.fields.take(gf.width)
+          val dv = gf.dv.map(d =>
+            GraftRl.readDv(tableDir.resolve(d._1)))
+            .getOrElse(Array.emptyLongArray)
+          var dvIdx = 0
+          var ord = 0L
           val reader = GraftRlCodec.openReader(
             tableDir.resolve(gf.name).toString,
             GraftRlCodec.messageType(present.toSeq))
           try {
             var g = reader.read()
             while (g != null) {
-              val vals = new Array[Any](schema.fields.length)
-              var j = 0
-              while (j < present.length) {
-                vals(j) = GraftRlCodec.groupValue(g, j,
-                  present(j).dataType)
-                j += 1
+              val o = ord; ord += 1
+              while (dvIdx < dv.length && dv(dvIdx) < o) dvIdx += 1
+              if (!(dvIdx < dv.length && dv(dvIdx) == o)) {
+                val vals = new Array[Any](schema.fields.length)
+                var j = 0
+                while (j < present.length) {
+                  vals(j) = GraftRlCodec.groupValue(g, j,
+                    present(j).dataType)
+                  j += 1
+                }
+                val row = InternalRow.fromSeq(vals.toIndexedSeq)
+                w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
+                stats.update(row, 0)
               }
-              val row = InternalRow.fromSeq(vals.toIndexedSeq)
-              w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
-              stats.update(row, 0)
               g = reader.read()
             }
           } finally reader.close()
@@ -611,7 +644,16 @@ private[sources] object GraftRl {
     case _: RuntimeException => NoStat(None)
   }
 
-  final case class GroupFile(name: String, rows: Long, statsToken: String) {
+  /** `dv` — an optional DELETION VECTOR: `(sidecar file, deleted-row
+    * count)`. The sidecar holds the SORTED ORIGINAL ordinals of the
+    * group's deleted rows (merge-on-read DELETE, [[GraftRlDeltaOp]]);
+    * `rows` stays the file's ORIGINAL row count, so the column stats
+    * remain valid UPPER bounds — sound for pruning and none-match /
+    * all-match proofs (deleting rows never widens a range), while
+    * exact-value fast paths (COUNT(col)/MIN/MAX pushdown) refuse when
+    * a DV is present. */
+  final case class GroupFile(name: String, rows: Long, statsToken: String,
+      dv: Option[(String, Long)] = None) {
     private lazy val tokens: Array[String] = statsToken.split(",", -1)
     /** number of columns this file was WRITTEN with (one stats token
       * per column) — smaller than the current schema after an ALTER
@@ -619,6 +661,8 @@ private[sources] object GraftRl {
       * read as NULL, which [[stat]] below KNOWS exactly */
     lazy val width: Int = tokens.length
     private lazy val parsed: Array[ColStat] = tokens.map(parseToken)
+    /** rows that survive the deletion vector — exact. */
+    def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
     /** Schema-evolution-aware accessor: a column the file predates is
       * all-NULL by construction — exact knowledge, not a refusal. */
     def stat(i: Int): ColStat =
@@ -629,7 +673,10 @@ private[sources] object GraftRl {
       case _ => None
     }
     def nullsFor(i: Int): Option[Long] = stat(i).nulls
-    def manifestLine: String = s"$name\t$rows\t$statsToken"
+    def manifestLine: String = dv match {
+      case Some((d, n)) => s"$name\t$rows\t$statsToken\t$d\t$n"
+      case None => s"$name\t$rows\t$statsToken"
+    }
   }
 
   def manifestPath(dir: Path, v: Long): Path =
@@ -655,9 +702,11 @@ private[sources] object GraftRl {
     else Some(Files.readString(p).split("\n", -1).toSeq
       .filter(_.nonEmpty).map { line =>
         val parts = line.split("\t", -1)
-        require(parts.length == 3,
+        require(parts.length == 3 || parts.length == 5,
           s"graft catalog: malformed manifest line '$line' in $p")
-        GroupFile(parts(0), parts(1).toLong, parts(2))
+        GroupFile(parts(0), parts(1).toLong, parts(2),
+          if (parts.length == 5) Some((parts(3), parts(4).toLong))
+          else None)
       })
   }
 
@@ -707,6 +756,20 @@ private[sources] object GraftRl {
     finally Files.deleteIfExists(tmp)
   }
 
+  /** Deletion-vector sidecar codec: big-endian longs, the SORTED
+    * original ordinals of a group's deleted rows. */
+  def writeDv(path: Path, sortedPos: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(Files.newOutputStream(path)))
+    try sortedPos.foreach(out.writeLong) finally out.close()
+  }
+
+  def readDv(path: Path): Array[Long] = {
+    val bytes = Files.readAllBytes(path)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
+  }
+
   def tagPath(dir: Path, name: String): Path = dir.resolve(s"tag-$name")
 
   def readTag(dir: Path, name: String): Option[Long] = {
@@ -727,6 +790,13 @@ private[sources] object GraftRl {
   def readPartCol(dir: Path): Option[String] = {
     val p = dir.resolve("partcol")
     if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def readMorDelete(dir: Path): Boolean = {
+    val p = dir.resolve("props")
+    Files.exists(p) &&
+      Files.readString(p).linesIterator
+        .exists(_.trim == "delete.mode=merge-on-read")
   }
 
   def render(files: Seq[GroupFile]): String =
@@ -1351,7 +1421,7 @@ private[sources] object GraftRlCodec {
 private[sources] class GraftRlTable(ident: String, dir: Path,
     tableSchema: StructType, version: Long,
     files: Seq[GraftRl.GroupFile], writable: Boolean,
-    partCol: Option[String] = None)
+    partCol: Option[String] = None, morDelete: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
@@ -1428,6 +1498,14 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
       override def isNullable: Boolean = false
       override def comment(): String =
         "group file this row was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "original row ordinal within its group file (deletion-vector " +
+          "row id)"
     })
 
   override def newScanBuilder(
@@ -1446,10 +1524,152 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
     require(writable,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new GraftRlOperation(
-        dir, ident, tableSchema, version, files, info.command(), partCol)
+      override def build(): RowLevelOperation =
+        // merge-on-read applies to DELETE only: UPDATE/MERGE keep the
+        // copy-on-write group rewrite (their replacement rows need a
+        // full write anyway; a deletion vector only helps pure kills)
+        if (morDelete && info.command() == RowLevelOperation.Command.DELETE)
+          new GraftRlDeltaOp(dir, ident, tableSchema, version, files)
+        else new GraftRlOperation(
+          dir, ident, tableSchema, version, files, info.command(), partCol)
     }
   }
+}
+
+/** MERGE-ON-READ DELETE ([[org.apache.spark.sql.connector.write.SupportsDelta]]):
+  * instead of the copy-on-write group rewrite, the matching rows'
+  * `(_file, _pos)` row ids flow to a delta writer that accumulates
+  * per-group DELETED ORDINALS, and the commit publishes DELETION
+  * VECTOR sidecars — the next manifest binds the SAME immutable data
+  * files plus a `dv-*.bin` per touched group. A misaligned
+  * small DELETE on a 100 TB table then costs bytes proportional to
+  * the rows KILLED, not the groups touched (Delta DVs / Iceberg
+  * position deletes — the other half of production row-level ops).
+  * Scans mask DV ordinals at read; OPTIMIZE folds DVs back into
+  * clean files; a DV covering a whole file drops the file from the
+  * manifest outright. Commit is optimistic like every other:
+  * base+1 by atomic-exclusive link, lost race → staged sidecars
+  * deleted + loud abort. */
+private[sources] class GraftRlDeltaOp(dir: Path, ident: String,
+    schema: StructType, baseVersion: Long,
+    baseFiles: Seq[GraftRl.GroupFile]) extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.DELETE
+  override def description(): String = s"graft-mor DELETE on $ident"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRlScanBuilder(dir, schema, baseFiles, None, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftRlDvBatchWrite(dir, ident, baseVersion, baseFiles)
+        }
+    }
+}
+
+private[sources] final case class GraftRlDvStaged(
+    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+
+/** Deletion-vector commit: per-task sorted ordinals union with any
+  * EXISTING vector per group (repeated MOR deletes compose), publish
+  * as new immutable sidecars in the next manifest. A vector covering
+  * every original row drops the group from the manifest — reads then
+  * never open it, and retention vacuums it with its history. */
+private[sources] class GraftRlDvBatchWrite(dir: Path, ident: String,
+    baseVersion: Long, baseFiles: Seq[GraftRl.GroupFile])
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+        new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+          private val acc = scala.collection.mutable
+            .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+          override def delete(meta: InternalRow, id: InternalRow): Unit = {
+            require(id.numFields == 2,
+              s"graft catalog: delete row id has ${id.numFields} " +
+                "fields, expected (_file, _pos)")
+            acc.getOrElseUpdate(id.getUTF8String(0).toString,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              id.getLong(1)
+          }
+          override def insert(row: InternalRow): Unit =
+            throw new UnsupportedOperationException(
+              "graft catalog: merge-on-read supports DELETE only")
+          override def update(meta: InternalRow, id: InternalRow,
+              row: InternalRow): Unit =
+            throw new UnsupportedOperationException(
+              "graft catalog: merge-on-read supports DELETE only")
+          override def commit(): WriterCommitMessage =
+            GraftRlDvStaged(acc.map { case (f, ps) =>
+              f -> ps.toArray.sorted }.toMap)
+          override def abort(): Unit = ()
+          override def close(): Unit = ()
+        }
+    }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val merged = scala.collection.mutable
+      .HashMap.empty[String, Array[Long]]
+    messages.foreach {
+      case GraftRlDvStaged(ds) => ds.foreach { case (f, ps) =>
+        merged.update(f, merged.get(f).map(_ ++ ps).getOrElse(ps))
+      }
+      case m => throw new IllegalStateException(
+        s"graft catalog: foreign delta commit message $m")
+    }
+    if (merged.isEmpty) return // DELETE matched nothing: no new version
+    val known = baseFiles.map(_.name).toSet
+    val unknown = merged.keySet.filterNot(known)
+    require(unknown.isEmpty,
+      s"graft catalog: delete named unknown group(s) $unknown — " +
+        "refusing a vector no manifest binds")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val next = baseFiles.flatMap { g =>
+      merged.get(g.name) match {
+        case None => Some(g)
+        case Some(newPos) =>
+          val existing = g.dv.map(d =>
+            GraftRl.readDv(dir.resolve(d._1))).getOrElse(Array.empty[Long])
+          val union = (existing ++ newPos).distinct.sorted
+          require(union.forall(p => p >= 0 && p < g.rows),
+            s"graft catalog: delete ordinal out of range for ${g.name}")
+          if (union.length.toLong == g.rows) None // whole file dead
+          else {
+            val dvName = s"dv-${java.util.UUID.randomUUID()}.bin"
+            GraftRl.writeDv(dir.resolve(dvName), union)
+            staged += dir.resolve(dvName)
+            Some(g.copy(dv = Some((dvName, union.length.toLong))))
+          }
+      }
+    }
+    if (!GraftRl.publish(dir, baseVersion + 1, GraftRl.render(next))) {
+      staged.foreach(Files.deleteIfExists)
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent commit on $ident — this DELETE " +
+          s"read snapshot v$baseVersion but v${baseVersion + 1} was " +
+          "published by another writer; staged deletion vectors " +
+          "removed, re-run the statement")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** One row-level statement = one instance: carries the snapshot it
@@ -1565,6 +1785,10 @@ private[sources] class GraftRlScanBuilder(dir: Path,
         }
       case _ => None
     }
+    // a deletion vector makes per-column values inexact (the deleted
+    // rows' contribution is unknown) — COUNT(col)/MIN/MAX refuse;
+    // COUNT(*) stays exact via liveRows
+    def dvFree: Boolean = candidates.forall(_.dv.isEmpty)
     // a bound usable for MIN (Some(None) = file contributes nothing)
     def loOf(gf: GraftRl.GroupFile, i: Int): Option[Option[Any]] =
       gf.stat(i) match {
@@ -1603,10 +1827,10 @@ private[sources] class GraftRlScanBuilder(dir: Path,
       aggregation.aggregateExpressions().map {
         case _: CountStar =>
           Some((StructField("count_star", LongType, nullable = false),
-            java.lang.Long.valueOf(candidates.map(_.rows).sum): Any))
+            java.lang.Long.valueOf(candidates.map(_.liveRows).sum): Any))
         case c: Count if !c.isDistinct =>
           // COUNT(col) = rows minus nulls — needs a null count per file
-          colOf(c.column()).filter(i => candidates.forall(gf =>
+          colOf(c.column()).filter(i => dvFree && candidates.forall(gf =>
             gf.rows == 0L || gf.nullsFor(i).isDefined)).map { i =>
             val v = candidates.map(gf =>
               gf.rows - gf.nullsFor(i).getOrElse(0L)).sum
@@ -1614,7 +1838,7 @@ private[sources] class GraftRlScanBuilder(dir: Path,
               java.lang.Long.valueOf(v): Any)
           }
         case m: Min =>
-          colOf(m.column()).flatMap { i =>
+          colOf(m.column()).filter(_ => dvFree).flatMap { i =>
             val per = candidates.map(loOf(_, i))
             if (per.exists(_.isEmpty)) None
             else Some((StructField(s"min_$i",
@@ -1622,7 +1846,7 @@ private[sources] class GraftRlScanBuilder(dir: Path,
               boxed(fold(per.flatten.flatten, min = true))))
           }
         case m: Max =>
-          colOf(m.column()).flatMap { i =>
+          colOf(m.column()).filter(_ => dvFree).flatMap { i =>
             val per = candidates.map(hiOf(_, i))
             if (per.exists(_.isEmpty)) None
             else Some((StructField(s"max_$i",
@@ -1713,7 +1937,7 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     * groups). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = kept.map(_.rows).sum
+    val rows = kept.map(_.liveRows).sum
     val diskBytes = kept.map { f =>
       try Files.size(dir.resolve(f.name)) catch { case _: Exception => 0L }
     }.sum
@@ -1777,17 +2001,19 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     // the groups handed to Spark are BY CONTRACT the groups a
     // row-level commit replaces — record them on the operation
     op.foreach(_.recordScanned(kept.map(_.name)))
+    def dvp(f: GraftRl.GroupFile): String =
+      f.dv.map(d => dir.resolve(d._1).toString).getOrElse("")
     keyedGroups match {
       case Some(gs) => gs.map { case (isNull, k, fs) =>
         GraftRlKeyedPartition(
           fs.map(f => dir.resolve(f.name).toString).toArray,
           fs.map(_.name).toArray, fs.map(_.width).toArray,
-          fs.map(_.rows).toArray, isNull, k)
+          fs.map(_.rows).toArray, fs.map(dvp).toArray, isNull, k)
       }.toArray[InputPartition]
       case None => kept.map(f =>
         GraftRlPartition(Array(dir.resolve(f.name).toString),
           Array(f.name), Array(f.width),
-          Array(f.rows))).toArray[InputPartition]
+          Array(f.rows), Array(dvp(f)))).toArray[InputPartition]
     }
   }
 
@@ -1826,11 +2052,13 @@ private[sources] sealed trait GraftRlFileSet {
   def names: Array[String]
   def widths: Array[Int]
   def rowCounts: Array[Long]
+  /** deletion-vector sidecar path per file ("" = none). */
+  def dvPaths: Array[String]
 }
 
 private[sources] final case class GraftRlPartition(
     paths: Array[String], names: Array[String], widths: Array[Int],
-    rowCounts: Array[Long])
+    rowCounts: Array[Long], dvPaths: Array[String])
   extends InputPartition with GraftRlFileSet
 
 /** A partition-value group: several files, one key — the
@@ -1838,7 +2066,8 @@ private[sources] final case class GraftRlPartition(
   * the scan's KeyGroupedPartitioning claim. */
 private[sources] final case class GraftRlKeyedPartition(
     paths: Array[String], names: Array[String], widths: Array[Int],
-    rowCounts: Array[Long], keyIsNull: Boolean, key: Long)
+    rowCounts: Array[Long], dvPaths: Array[String],
+    keyIsNull: Boolean, key: Long)
   extends InputPartition with GraftRlFileSet
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1857,20 +2086,33 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftRlFileSet]
-    // required field → table column index, or -1 for `_file`
+    // required field → table column index, -1 for `_file`, -3 for `_pos`
     val fieldIdx: Array[Int] = required.fields.map(f =>
-      if (f.name == "_file") -1 else tableSchema.fieldIndex(f.name))
+      if (f.name == "_file") -1
+      else if (f.name == "_pos") -3
+      else tableSchema.fieldIndex(f.name))
     new PartitionReader[InternalRow] {
       private var fileIdx = -1
       private var reader: org.apache.parquet.hadoop
         .ParquetReader[org.apache.parquet.example.data.Group] = _
-      private var synthetic = 0L // rows served without opening the file
+      private var syntheticRows = 0L // original rows, served w/o opening
       private var fileName: UTF8String = _
       // required position → requested-projection position (-1 = _file,
-      // -2 = null-fill: the file predates the column)
+      // -2 = null-fill: the file predates the column, -3 = _pos)
       private var slot: Array[Int] = _
       private var types: Array[DataType] = _
       private var current: InternalRow = _
+      // deletion vector of the open file: sorted original ordinals;
+      // `ord` is the NEXT original ordinal, dvIdx the mask pointer —
+      // both advance monotonically, so masking is O(1) amortized
+      private var dv: Array[Long] = Array.emptyLongArray
+      private var dvIdx = 0
+      private var ord = 0L
+
+      private def masked(o: Long): Boolean = {
+        while (dvIdx < dv.length && dv(dvIdx) < o) dvIdx += 1
+        dvIdx < dv.length && dv(dvIdx) == o
+      }
 
       private def openNext(): Boolean = {
         fileIdx += 1
@@ -1884,15 +2126,19 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
         while (k < required.fields.length) {
           val ti = fieldIdx(k)
           slot(k) =
-            if (ti == -1) -1
+            if (ti < 0) ti
             else if (ti < width) { present += tableSchema.fields(ti);
               present.length - 1 }
             else -2
           k += 1
         }
         types = present.map(_.dataType).toArray
-        if (present.isEmpty) { // no data column needed: count from stats
-          synthetic = gp.rowCounts(fileIdx)
+        dv = if (gp.dvPaths(fileIdx).isEmpty) Array.emptyLongArray
+          else GraftRl.readDv(Paths.get(gp.dvPaths(fileIdx)))
+        dvIdx = 0
+        ord = 0L
+        if (present.isEmpty) { // no data column: serve from the manifest
+          syntheticRows = gp.rowCounts(fileIdx)
           reader = null
         } else {
           reader = GraftRlCodec.openReader(gp.paths(fileIdx),
@@ -1901,14 +2147,15 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
         true
       }
 
-      private def toRow(
-          g: org.apache.parquet.example.data.Group): InternalRow = {
+      private def toRow(g: org.apache.parquet.example.data.Group,
+          o: Long): InternalRow = {
         val vals = new Array[Any](required.fields.length)
         var k = 0
         while (k < vals.length) {
           vals(k) = slot(k) match {
             case -1 => fileName
             case -2 => null
+            case -3 => java.lang.Long.valueOf(o)
             case j => GraftRlCodec.groupValue(g, j, types(j))
           }
           k += 1
@@ -1918,19 +2165,28 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
 
       override def next(): Boolean = {
         while (true) {
-          if (synthetic > 0L) {
-            synthetic -= 1L
-            current = InternalRow.fromSeq(
-              slot.map(s => if (s == -1) fileName
-              else null).toIndexedSeq)
-            return true
+          while (ord < syntheticRows) { // manifest-count path
+            val o = ord; ord += 1
+            if (!masked(o)) {
+              current = InternalRow.fromSeq(slot.map {
+                case -1 => fileName
+                case -3 => java.lang.Long.valueOf(o)
+                case _ => null
+              }.toIndexedSeq)
+              return true
+            }
           }
           if (reader != null) {
-            val g = reader.read()
-            if (g != null) { current = toRow(g); return true }
+            var g = reader.read()
+            while (g != null) {
+              val o = ord; ord += 1
+              if (!masked(o)) { current = toRow(g, o); return true }
+              g = reader.read()
+            }
             reader.close(); reader = null
           }
           if (!openNext()) return false
+          syntheticRows = if (reader == null) syntheticRows else 0L
         }
         false
       }
@@ -2247,20 +2503,29 @@ private[sources] class GraftRlChangeStream(dir: Path,
     (from + 1 to to).flatMap { v =>
       val prev = manifestAt(v - 1).map(g => g.name -> g).toMap
       val cur = manifestAt(v)
-      val removed = prev.keySet -- cur.map(_.name).toSet
+      val curByName = cur.map(g => g.name -> g).toMap
+      // a CHANGE commit is any removed group OR one whose manifest
+      // line changed in place — a deletion-vector attach keeps the
+      // name but deletes rows, which append-only cannot represent
+      val changed = prev.collect {
+        case (n, g) if !curByName.get(n).map(_.manifestLine)
+          .contains(g.manifestLine) => n
+      }
       val added = cur.filterNot(g => prev.contains(g.name))
-      if (removed.nonEmpty) {
+      if (changed.nonEmpty) {
         if (!skipChangeCommits)
           throw new IllegalStateException(
             s"graft catalog stream: version $v of $dir REWRITES " +
-              s"group(s) ${removed.mkString(",")} (DELETE/UPDATE/" +
-              "MERGE/OVERWRITE/OPTIMIZE) — append-only streaming " +
-              "cannot represent it; set skipChangeCommits=true to " +
-              "ignore change commits wholesale")
+              s"group(s) ${changed.mkString(",")} (DELETE/UPDATE/" +
+              "MERGE/OVERWRITE/OPTIMIZE or a deletion vector) — " +
+              "append-only streaming cannot represent it; set " +
+              "skipChangeCommits=true to ignore change commits " +
+              "wholesale")
         Nil // Delta semantics: skip the entire change commit
       } else added.map(g => GraftRlPartition(
         Array(dir.resolve(g.name).toString), Array(g.name),
-        Array(g.width), Array(g.rows)))
+        Array(g.width), Array(g.rows),
+        Array(g.dv.map(d => dir.resolve(d._1).toString).getOrElse(""))))
     }.toArray[InputPartition]
   }
 

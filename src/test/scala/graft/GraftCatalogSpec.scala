@@ -727,6 +727,73 @@ class GraftCatalogSpec extends SparkSpec {
       2 * (0 until 8).map(_ * 1.5).sum)
   }
 
+  test("merge-on-read DELETE: misaligned deletes write deletion " +
+      "vectors instead of rewriting groups; scans mask, COW folds, " +
+      "whole-file vectors drop the file") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.mor (k BIGINT, seg STRING, " +
+      "v BIGINT) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val dir = root.resolve("db").resolve("mor")
+    ins1("graftrl.db.mor", "(1L,'a',10L),(2L,'a',20L),(3L,'a',30L)," +
+      "(4L,'a',40L)")                                          // A: v1
+    ins1("graftrl.db.mor", "(11L,'b',50L),(12L,'b',60L)")      // B: v2
+    def dvFiles: Set[String] = dir.toFile.listFiles().map(_.getName)
+      .filter(n => n.startsWith("dv-") && n.endsWith(".bin")).toSet
+    val dataBefore = dataFilesOnDisk(dir)
+    // misaligned delete touching BOTH groups: no group is provably
+    // all/none-match, so the delta path writes two deletion vectors
+    // and not a single data file changes
+    spark.sql("DELETE FROM graftrl.db.mor WHERE k IN (2, 12)")   // v3
+    assert(dataFilesOnDisk(dir) == dataBefore,
+      "merge-on-read delete must not rewrite or stage any data file")
+    assert(dvFiles.size == 2, s"expected two vectors, got $dvFiles")
+    assert(sqlRows("SELECT k FROM graftrl.db.mor ORDER BY k")
+      .map(_.head) == Seq(1L, 3L, 4L, 11L))
+    // COUNT(*) stays metadata-answerable (liveRows is exact)...
+    val cnt = spark.sql("SELECT count(*) AS n FROM graftrl.db.mor")
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"))
+    assert(cnt.collect().head.getLong(0) == 4L)
+    // ...but per-column MIN refuses under a vector, value still right
+    val minq = spark.sql("SELECT min(k) AS mk FROM graftrl.db.mor")
+    assert(!minq.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"))
+    assert(minq.collect().head.getLong(0) == 1L)
+    // repeated MOR deletes COMPOSE: the vectors union
+    spark.sql("DELETE FROM graftrl.db.mor WHERE k = 1")          // v4
+    assert(dataFilesOnDisk(dir) == dataBefore)
+    assert(sqlRows("SELECT k FROM graftrl.db.mor ORDER BY k")
+      .map(_.head) == Seq(3L, 4L, 11L))
+    // _pos is the ORIGINAL ordinal: survivors of group A are rows 2,3
+    assert(sqlRows("SELECT _pos FROM graftrl.db.mor WHERE k IN (3, 4) " +
+      "ORDER BY _pos").map(_.head) == Seq(2L, 3L))
+    // an UPDATE stays copy-on-write and FOLDS the vector: group A is
+    // rewritten from its live rows only, vector gone from the manifest
+    spark.sql("UPDATE graftrl.db.mor SET v = v + 100 WHERE k = 3") // v5
+    assert(sqlRows("SELECT k, v FROM graftrl.db.mor ORDER BY k") ==
+      Seq(Seq(3L, 130L), Seq(4L, 40L), Seq(11L, 50L)))
+    // an ALIGNED delete still takes the metadata-only path, dropping
+    // group B (and its vector) as a pure manifest edit
+    val mid = dataFilesOnDisk(dir)
+    spark.sql("DELETE FROM graftrl.db.mor WHERE k >= 11")        // v6
+    assert(dataFilesOnDisk(dir) == mid,
+      "aligned delete over a vectored table must stay metadata-only")
+    // a vector that covers EVERY original row drops the file outright
+    spark.sql("DELETE FROM graftrl.db.mor WHERE k IN (3, 4)")    // v7
+    assert(Hook.manifestFiles(dir, 7L).isEmpty,
+      "whole-file deletion vector should drop the group from the manifest")
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.mor").head.head == 0L)
+    // history reads THROUGH the historical vectors
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.mor VERSION AS OF 2")
+      .head.head == 6L)
+    assert(sqlRows("SELECT k FROM graftrl.db.mor VERSION AS OF 3 " +
+      "ORDER BY k").map(_.head) == Seq(1L, 3L, 4L, 11L))
+    // retention vacuums unreferenced vectors with everything else
+    Hook.expireSnapshots(dir, retainLast = 1)
+    assert(dvFiles.isEmpty, s"expired vectors must vacuum: $dvFiles")
+  }
+
   test("snapshot tags pin named versions against retention; " +
       "TIMESTAMP AS OF resolves commit publish times") {
     root
