@@ -664,5 +664,87 @@ FROM seed WHERE k % 10 <> 7 AND k >= 34 ORDER BY k
 """),
     serial = true)
 
-  def all: Seq[QuerySpec] = Seq(q395, q396, q397, q398, q399, q400)
+  /** q401 — MERGE-ON-READ UPDATE (`update.mode = 'merge-on-read'`,
+    * represented as delete+insert on the DSv2 delta protocol): a
+    * scattered UPDATE vectors the OLD ordinals and APPENDS the
+    * rewritten rows as a fresh group — the query REQUIRES the
+    * original data files are untouched, exactly one appended group
+    * and one vector sidecar per touched group exist, and `count(*)`
+    * stays metadata-exact. Compared against q400's delete-only
+    * vectors, this is the full MOR write family: at 100 TB a
+    * reprice-one-percent-of-rows UPDATE costs the rewritten rows
+    * plus ordinal sidecars, not a copy of every touched multi-GB
+    * group. OPTIMIZE then folds vectors and append-fragments back
+    * into clean groups and the query REQUIRES the fold is
+    * bit-stable. The oracle replays the update relationally. */
+  val q401 = QuerySpec("q401_merge_on_read_update",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q401_cat")
+      val cat = s"graftmu${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val hook = graft.sources.GraftCatalogTestHook
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.mu (k BIGINT, seg STRING, v BIGINT)" +
+          " TBLPROPERTIES ('update.mode' = 'merge-on-read')")
+        val tdir = root.resolve("db").resolve("mu")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"musrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.mu " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM musrc_$cat " +
+            s"WHERE $slice")
+        def files(pre: String, suf: String): Set[String] =
+          Option(tdir.toFile.listFiles()).getOrElse(Array.empty)
+            .map(_.getName)
+            .filter(n => n.startsWith(pre) && n.endsWith(suf)).toSet
+        val dataBefore = files("data-", ".parquet")
+        // scattered reprice across every group
+        s.sql(s"UPDATE $cat.db.mu SET v = v + 1, seg = 'repriced' " +
+          "WHERE k % 10 = 3")                                    // v4
+        require(files("data-", ".parquet").intersect(dataBefore)
+          == dataBefore,
+          "MOR update must not rewrite existing groups")
+        require(files("dv-", ".bin").size == 3,
+          s"expected a vector per touched group: ${files("dv-", ".bin")}")
+        val appended = (files("data-", ".parquet") -- dataBefore).size
+        require(appended >= 1 && appended <= 3,
+          s"rewritten rows should land as at most one appended group " +
+            s"per scan task (3 groups), got $appended")
+        val cnt = s.sql(s"SELECT count(*) AS n FROM $cat.db.mu")
+        require(cnt.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "count(*) under update vectors lost the metadata path")
+        // OPTIMIZE folds vectors + the append fragment; bit-stable
+        val pre = s.sql(s"SELECT k, seg, v FROM $cat.db.mu")
+          .collect().map(_.toSeq).toSet
+        hook.optimizeTable(tdir, targetRows = 1000L)             // v5
+        require(s.sql(s"SELECT k, seg, v FROM $cat.db.mu")
+          .collect().map(_.toSeq).toSet == pre,
+          "OPTIMIZE fold changed MOR-updated contents")
+        val out = s.sql(s"SELECT k, seg, v FROM $cat.db.mu ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"musrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k,
+  CASE WHEN k % 10 = 3 THEN 'repriced' ELSE seg END AS seg,
+  CAST(CASE WHEN k % 10 = 3 THEN v + 1 ELSE v END AS BIGINT) AS v
+FROM seed ORDER BY k
+"""))
+
+  def all: Seq[QuerySpec] = Seq(q395, q396, q397, q398, q399, q400, q401)
 }

@@ -138,7 +138,8 @@ class GraftCatalog extends TableCatalog {
         s"graft catalog: ${ident.toString} current manifest v$cur unreadable"))
     new GraftRlTable(ident.toString, dir, schema, cur, files,
       writable = true, partCol = readPartCol(dir),
-      morDelete = GraftRl.readMorDelete(dir))
+      morDelete = GraftRl.readMorDelete(dir),
+      morUpdate = GraftRl.readMorUpdate(dir))
   }
 
   /** Version n is manifest n — immutable data files make every
@@ -229,14 +230,19 @@ class GraftCatalog extends TableCatalog {
         "provenance")
     // `TBLPROPERTIES ('delete.mode' = 'merge-on-read')` switches
     // DELETE from copy-on-write group rewrites to deletion-vector
-    // sidecars (see GraftRlDeltaOp); default stays copy-on-write
-    val morDelete = Option(properties.get("delete.mode")) match {
-      case None | Some("copy-on-write") => false
-      case Some("merge-on-read") => true
-      case Some(other) => throw new IllegalArgumentException(
-        s"graft catalog: delete.mode must be copy-on-write or " +
-          s"merge-on-read, got '$other'")
-    }
+    // sidecars (see GraftRlDeltaOp); `update.mode` likewise switches
+    // UPDATE to vector-plus-append (delete the old ordinals, append
+    // the rewritten rows). Defaults stay copy-on-write.
+    def mode(key: String): Boolean =
+      Option(properties.get(key)) match {
+        case None | Some("copy-on-write") => false
+        case Some("merge-on-read") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"graft catalog: $key must be copy-on-write or " +
+            s"merge-on-read, got '$other'")
+      }
+    val morDelete = mode("delete.mode")
+    val morUpdate = mode("update.mode")
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("schema.json")))
       throw new TableAlreadyExistsException(
@@ -244,12 +250,15 @@ class GraftCatalog extends TableCatalog {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schema.json)
     partCol.foreach(c => Files.writeString(dir.resolve("partcol"), c))
-    if (morDelete)
-      Files.writeString(dir.resolve("props"), "delete.mode=merge-on-read\n")
+    if (morDelete || morUpdate)
+      Files.writeString(dir.resolve("props"),
+        (if (morDelete) "delete.mode=merge-on-read\n" else "") +
+          (if (morUpdate) "update.mode=merge-on-read\n" else ""))
     require(GraftRl.publish(dir, 0L, ""),
       s"graft catalog: concurrent CREATE of ${ident.toString}")
     new GraftRlTable(ident.toString, dir, schema, 0L, Seq.empty,
-      writable = true, partCol = partCol, morDelete = morDelete)
+      writable = true, partCol = partCol, morDelete = morDelete,
+      morUpdate = morUpdate)
   }
 
   /** SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMNS`, the
@@ -792,11 +801,14 @@ private[sources] object GraftRl {
     if (Files.exists(p)) Some(Files.readString(p).trim) else None
   }
 
-  def readMorDelete(dir: Path): Boolean = {
+  def readMorDelete(dir: Path): Boolean = readProp(dir, "delete.mode")
+  def readMorUpdate(dir: Path): Boolean = readProp(dir, "update.mode")
+
+  private def readProp(dir: Path, key: String): Boolean = {
     val p = dir.resolve("props")
     Files.exists(p) &&
       Files.readString(p).linesIterator
-        .exists(_.trim == "delete.mode=merge-on-read")
+        .exists(_.trim == s"$key=merge-on-read")
   }
 
   def render(files: Seq[GroupFile]): String =
@@ -1421,7 +1433,8 @@ private[sources] object GraftRlCodec {
 private[sources] class GraftRlTable(ident: String, dir: Path,
     tableSchema: StructType, version: Long,
     files: Seq[GraftRl.GroupFile], writable: Boolean,
-    partCol: Option[String] = None, morDelete: Boolean = false)
+    partCol: Option[String] = None, morDelete: Boolean = false,
+    morUpdate: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
@@ -1525,11 +1538,15 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        // merge-on-read applies to DELETE only: UPDATE/MERGE keep the
-        // copy-on-write group rewrite (their replacement rows need a
-        // full write anyway; a deletion vector only helps pure kills)
-        if (morDelete && info.command() == RowLevelOperation.Command.DELETE)
-          new GraftRlDeltaOp(dir, ident, tableSchema, version, files)
+        // merge-on-read: DELETE = vector only; UPDATE = vector the old
+        // ordinals + append the rewritten rows. MERGE keeps the
+        // copy-on-write rewrite (its source-driven runtime group
+        // filtering already bounds the rewrite to matching groups).
+        if (morDelete && info.command() == RowLevelOperation.Command.DELETE
+            || morUpdate &&
+              info.command() == RowLevelOperation.Command.UPDATE)
+          new GraftRlDeltaOp(dir, ident, tableSchema, version, files,
+            info.command(), partCol.map(tableSchema.fieldIndex))
         else new GraftRlOperation(
           dir, ident, tableSchema, version, files, info.command(), partCol)
     }
@@ -1552,15 +1569,21 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
   * deleted + loud abort. */
 private[sources] class GraftRlDeltaOp(dir: Path, ident: String,
     schema: StructType, baseVersion: Long,
-    baseFiles: Seq[GraftRl.GroupFile]) extends RowLevelOperation
+    baseFiles: Seq[GraftRl.GroupFile],
+    cmd: RowLevelOperation.Command = RowLevelOperation.Command.DELETE,
+    partIdx: Option[Int] = None) extends RowLevelOperation
   with org.apache.spark.sql.connector.write.SupportsDelta {
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.DELETE
-  override def description(): String = s"graft-mor DELETE on $ident"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-mor $cmd on $ident"
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** UPDATE ships as DELETE(old row id) + INSERT(new row): the
+    * deletion vector kills the old ordinal and the rewritten row
+    * appends to a fresh group — no dedicated update channel needed. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
@@ -1576,70 +1599,100 @@ private[sources] class GraftRlDeltaOp(dir: Path, ident: String,
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
-            new GraftRlDvBatchWrite(dir, ident, baseVersion, baseFiles)
+            new GraftRlDvBatchWrite(dir, ident, schema, baseVersion,
+              baseFiles, partIdx)
         }
     }
 }
 
 private[sources] final case class GraftRlDvStaged(
-    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+    deletes: Map[String, Array[Long]],
+    inserts: Seq[GraftRlStagedFile] = Seq.empty)
+  extends WriterCommitMessage
+
+/** Task-side delta writer: deleted `(_file, _pos)` ids accumulate as
+  * per-group ordinal lists; rewritten rows of an UPDATE ride the
+  * ordinary group writer (lazily — a pure DELETE never opens one). */
+private[sources] class GraftRlDvWriterFactory(dir: String,
+    schema: StructType, partIdx: Option[Int])
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val acc = scala.collection.mutable
+        .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private var ins: DataWriter[InternalRow] = _
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        require(id.numFields == 2,
+          s"graft catalog: delete row id has ${id.numFields} " +
+            "fields, expected (_file, _pos)")
+        acc.getOrElseUpdate(id.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          id.getLong(1)
+      }
+      override def insert(row: InternalRow): Unit = {
+        if (ins == null)
+          ins = new GraftRlWriterFactory(dir, schema,
+            rowOffset = 0, partIdx).createWriter(partitionId, taskId)
+        ins.write(row)
+      }
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        throw new UnsupportedOperationException(
+          "graft catalog: updates are represented as delete+insert")
+      override def commit(): WriterCommitMessage = {
+        val files = if (ins == null) Seq.empty
+          else ins.commit().asInstanceOf[GraftRlStaged].files
+        GraftRlDvStaged(acc.map { case (f, ps) =>
+          f -> ps.toArray.sorted }.toMap, files)
+      }
+      override def abort(): Unit = if (ins != null) ins.abort()
+      override def close(): Unit = if (ins != null) ins.close()
+    }
+}
 
 /** Deletion-vector commit: per-task sorted ordinals union with any
   * EXISTING vector per group (repeated MOR deletes compose), publish
   * as new immutable sidecars in the next manifest. A vector covering
   * every original row drops the group from the manifest — reads then
-  * never open it, and retention vacuums it with its history. */
+  * never open it, and retention vacuums it with its history. An
+  * UPDATE additionally APPENDS its rewritten rows as fresh groups
+  * (staged through the ordinary Parquet writer, dot-prefixed then
+  * renamed), so the commit is vectors + appends in one manifest. */
 private[sources] class GraftRlDvBatchWrite(dir: Path, ident: String,
-    baseVersion: Long, baseFiles: Seq[GraftRl.GroupFile])
+    schema: StructType, baseVersion: Long,
+    baseFiles: Seq[GraftRl.GroupFile], partIdx: Option[Int])
   extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long)
-          : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-        new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
-          private val acc = scala.collection.mutable
-            .HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-          override def delete(meta: InternalRow, id: InternalRow): Unit = {
-            require(id.numFields == 2,
-              s"graft catalog: delete row id has ${id.numFields} " +
-                "fields, expected (_file, _pos)")
-            acc.getOrElseUpdate(id.getUTF8String(0).toString,
-              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
-              id.getLong(1)
-          }
-          override def insert(row: InternalRow): Unit =
-            throw new UnsupportedOperationException(
-              "graft catalog: merge-on-read supports DELETE only")
-          override def update(meta: InternalRow, id: InternalRow,
-              row: InternalRow): Unit =
-            throw new UnsupportedOperationException(
-              "graft catalog: merge-on-read supports DELETE only")
-          override def commit(): WriterCommitMessage =
-            GraftRlDvStaged(acc.map { case (f, ps) =>
-              f -> ps.toArray.sorted }.toMap)
-          override def abort(): Unit = ()
-          override def close(): Unit = ()
-        }
-    }
+    new GraftRlDvWriterFactory(dir.toString, schema, partIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable
       .HashMap.empty[String, Array[Long]]
+    val inserted = scala.collection.mutable
+      .ArrayBuffer.empty[GraftRlStagedFile]
     messages.foreach {
-      case GraftRlDvStaged(ds) => ds.foreach { case (f, ps) =>
-        merged.update(f, merged.get(f).map(_ ++ ps).getOrElse(ps))
-      }
+      case GraftRlDvStaged(ds, files) =>
+        ds.foreach { case (f, ps) =>
+          merged.update(f, merged.get(f).map(_ ++ ps).getOrElse(ps))
+        }
+        inserted ++= files.filter(_.rows > 0)
       case m => throw new IllegalStateException(
         s"graft catalog: foreign delta commit message $m")
     }
-    if (merged.isEmpty) return // DELETE matched nothing: no new version
+    def cleanupInserted(): Unit =
+      inserted.foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
+    if (merged.isEmpty && inserted.isEmpty) return // matched nothing
     val known = baseFiles.map(_.name).toSet
     val unknown = merged.keySet.filterNot(known)
-    require(unknown.isEmpty,
-      s"graft catalog: delete named unknown group(s) $unknown — " +
-        "refusing a vector no manifest binds")
+    if (unknown.nonEmpty) {
+      cleanupInserted()
+      throw new IllegalStateException(
+        s"graft catalog: delete named unknown group(s) $unknown — " +
+          "refusing a vector no manifest binds")
+    }
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
     val next = baseFiles.flatMap { g =>
       merged.get(g.name) match {
@@ -1658,18 +1711,24 @@ private[sources] class GraftRlDvBatchWrite(dir: Path, ident: String,
             Some(g.copy(dv = Some((dvName, union.length.toLong))))
           }
       }
-    }
+    } ++ inserted.map(_.toGroupFile)
     if (!GraftRl.publish(dir, baseVersion + 1, GraftRl.render(next))) {
       staged.foreach(Files.deleteIfExists)
+      cleanupInserted()
       throw new java.util.ConcurrentModificationException(
-        s"graft catalog: concurrent commit on $ident — this DELETE " +
-          s"read snapshot v$baseVersion but v${baseVersion + 1} was " +
-          "published by another writer; staged deletion vectors " +
-          "removed, re-run the statement")
+        s"graft catalog: concurrent commit on $ident — this row-level " +
+          s"operation read snapshot v$baseVersion but " +
+          s"v${baseVersion + 1} was published by another writer; " +
+          "staged vectors and appends removed, re-run the statement")
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftRlDvStaged(_, files) =>
+        files.foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
+      case _ => ()
+    }
 }
 
 /** One row-level statement = one instance: carries the snapshot it

@@ -794,6 +794,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dvFiles.isEmpty, s"expired vectors must vacuum: $dvFiles")
   }
 
+  test("merge-on-read UPDATE: vector the old ordinals, append the " +
+      "rewritten rows — untouched groups never open") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.moru (k BIGINT, seg STRING, " +
+      "v BIGINT) TBLPROPERTIES ('delete.mode' = 'merge-on-read', " +
+      "'update.mode' = 'merge-on-read')")
+    val dir = root.resolve("db").resolve("moru")
+    ins1("graftrl.db.moru", "(1L,'a',10L),(2L,'a',20L)")       // A: v1
+    ins1("graftrl.db.moru", "(11L,'b',30L),(12L,'b',40L)")     // B: v2
+    val dataBefore = dataFilesOnDisk(dir)
+    spark.sql("UPDATE graftrl.db.moru SET v = v + 5 WHERE k = 2") // v3
+    // the original groups are untouched; the rewrite is one vector
+    // (A's ordinal 1) plus one appended group with the new row
+    assert(dataFilesOnDisk(dir).intersect(dataBefore) == dataBefore,
+      "MOR update must not rewrite existing groups")
+    assert((dataFilesOnDisk(dir) -- dataBefore).size == 1,
+      "MOR update should append exactly one rewritten-rows group")
+    assert(dir.toFile.listFiles().map(_.getName)
+      .count(n => n.startsWith("dv-") && n.endsWith(".bin")) == 1)
+    assert(sqlRows("SELECT k, v FROM graftrl.db.moru ORDER BY k") ==
+      Seq(Seq(1L, 10L), Seq(2L, 25L), Seq(11L, 30L), Seq(12L, 40L)))
+    // count stays metadata-exact; repeated updates compose
+    val cnt = spark.sql("SELECT count(*) AS n FROM graftrl.db.moru")
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"))
+    assert(cnt.collect().head.getLong(0) == 4L)
+    spark.sql("UPDATE graftrl.db.moru SET seg = 'hot' WHERE v >= 30") // v4
+    assert(sqlRows("SELECT k, seg, v FROM graftrl.db.moru ORDER BY k") ==
+      Seq(Seq(1L, "a", 10L), Seq(2L, "a", 25L), Seq(11L, "hot", 30L),
+        Seq(12L, "hot", 40L)))
+    // history reads through both vector generations
+    assert(sqlRows("SELECT v FROM graftrl.db.moru VERSION AS OF 3 " +
+      "WHERE k = 2").map(_.head) == Seq(25L))
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.moru VERSION AS OF 2")
+      .head.head == 4L)
+    // OPTIMIZE folds vectors + appended fragments into clean groups
+    val res = Hook.optimizeTable(dir, targetRows = 100L)
+    assert(res.addedFiles.size == 1 && Hook.manifestFiles(dir, 5L).size == 1)
+    assert(sqlRows("SELECT k, seg, v FROM graftrl.db.moru ORDER BY k") ==
+      Seq(Seq(1L, "a", 10L), Seq(2L, "a", 25L), Seq(11L, "hot", 30L),
+        Seq(12L, "hot", 40L)))
+  }
+
   test("snapshot tags pin named versions against retention; " +
       "TIMESTAMP AS OF resolves commit publish times") {
     root
