@@ -746,5 +746,112 @@ SELECT CAST(k AS BIGINT) AS k,
 FROM seed ORDER BY k
 """))
 
-  def all: Seq[QuerySpec] = Seq(q395, q396, q397, q398, q399, q400, q401)
+  /** q402 — MERGE-ON-READ MERGE: q399's full tri-direction sync
+    * statement (matched delete/update, insert, not-matched-by-source
+    * retire/flag) on `merge.mode = 'merge-on-read'` storage — SAME
+    * SQL, SAME ORACLE, different physics: the query REQUIRES not one
+    * original group file was rewritten (the whole upsert ships as
+    * deletion-vector sidecars + appended rewritten-row groups via the
+    * delta protocol) and that `count(*)` stays metadata-exact through
+    * vectors-plus-appends. The q399/q402 pair is the COW-vs-MOR
+    * differential every production format documents: COW pays group
+    * rewrites for read-clean files, MOR pays sidecars for
+    * write-cheap commits, and OPTIMIZE converges the two. */
+  val q402 = QuerySpec("q402_merge_on_read_merge",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q402_cat")
+      val cat = s"graftmm${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.sync (k BIGINT, seg STRING, v BIGINT)" +
+          " TBLPROPERTIES ('merge.mode' = 'merge-on-read')")
+        val tdir = root.resolve("db").resolve("sync")
+        s.sql(s"INSERT INTO $cat.db.sync " +
+          seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+        s.sql(s"""
+          SELECT k, seg,
+            CASE WHEN k % 17 = 0 THEN -v ELSE v END AS v
+          FROM (${seedSql(s"ord_$cat",
+            "o_orderdate >= DATE'1996-01-01'")})
+          WHERE k >= 30 AND k < 70""")
+          .createOrReplaceTempView(s"mdelta_$cat")
+        def files(pre: String, suf: String): Set[String] =
+          Option(tdir.toFile.listFiles()).getOrElse(Array.empty)
+            .map(_.getName)
+            .filter(n => n.startsWith(pre) && n.endsWith(suf)).toSet
+        val dataBefore = files("data-", ".parquet")
+        // PARTIAL sync (no catch-all by-source arm): rows the delta
+        // lost survive in place when above the purge floor, so the
+        // original groups must remain LIVE IN THE MANIFEST carrying
+        // partial vectors — the observable that separates MOR from a
+        // COW rewrite (which would replace every touched group)
+        s.sql(s"""
+          MERGE INTO $cat.db.sync t USING mdelta_$cat d ON t.k = d.k
+          WHEN MATCHED AND d.v < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = t.v + d.v
+          WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (d.k, d.seg, d.v)
+          WHEN NOT MATCHED BY SOURCE AND t.v < 50000000 THEN DELETE
+        """)
+        require(files("data-", ".parquet").intersect(dataBefore)
+          == dataBefore,
+          "MOR merge must not rewrite existing groups")
+        require(files("dv-", ".bin").nonEmpty,
+          "expected deletion-vector sidecars from the merge")
+        require((files("data-", ".parquet") -- dataBefore).nonEmpty,
+          "rewritten/inserted rows should land as appended groups")
+        val hook = graft.sources.GraftCatalogTestHook
+        val cur = hook.manifestVersions(tdir).max
+        require(hook.manifestFiles(tdir, cur).toSet
+          .intersect(dataBefore).nonEmpty,
+          "surviving rows should keep their ORIGINAL groups live in " +
+            "the manifest (a COW rewrite would have replaced them)")
+        val cnt = s.sql(s"SELECT count(*) AS n FROM $cat.db.sync")
+        require(cnt.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "count(*) under merge vectors lost the metadata path")
+        val out = s.sql(s"SELECT k, seg, v FROM $cat.db.sync ORDER BY k")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"mdelta_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS (
+  SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderdate < DATE '1996-01-01' GROUP BY 1
+), delta AS (
+  SELECT k, seg, CASE WHEN k % 17 = 0 THEN -v ELSE v END AS v
+  FROM (
+    SELECT o_custkey % 100 AS k, $oracleSeg AS seg,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM orders WHERE o_orderdate >= DATE '1996-01-01' GROUP BY 1
+  ) WHERE k >= 30 AND k < 70
+), matched AS (
+  SELECT s.k, s.seg, s.v + d.v AS v
+  FROM seed s JOIN delta d ON s.k = d.k WHERE d.v >= 0
+), inserted AS (
+  SELECT d.k, d.seg, d.v FROM delta d
+  WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.k = d.k)
+), unmatched AS (
+  SELECT s.k, s.seg, s.v FROM seed s
+  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.k = s.k)
+    AND s.v >= 50000000
+)
+SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v FROM (
+  SELECT * FROM matched
+  UNION ALL SELECT * FROM inserted
+  UNION ALL SELECT * FROM unmatched
+) ORDER BY k
+"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q395, q396, q397, q398, q399, q400, q401, q402)
 }

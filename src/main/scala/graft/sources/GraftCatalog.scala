@@ -139,7 +139,8 @@ class GraftCatalog extends TableCatalog {
     new GraftRlTable(ident.toString, dir, schema, cur, files,
       writable = true, partCol = readPartCol(dir),
       morDelete = GraftRl.readMorDelete(dir),
-      morUpdate = GraftRl.readMorUpdate(dir))
+      morUpdate = GraftRl.readMorUpdate(dir),
+      morMerge = GraftRl.readMorMerge(dir))
   }
 
   /** Version n is manifest n — immutable data files make every
@@ -243,6 +244,7 @@ class GraftCatalog extends TableCatalog {
       }
     val morDelete = mode("delete.mode")
     val morUpdate = mode("update.mode")
+    val morMerge = mode("merge.mode")
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve("schema.json")))
       throw new TableAlreadyExistsException(
@@ -250,15 +252,16 @@ class GraftCatalog extends TableCatalog {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schema.json)
     partCol.foreach(c => Files.writeString(dir.resolve("partcol"), c))
-    if (morDelete || morUpdate)
+    if (morDelete || morUpdate || morMerge)
       Files.writeString(dir.resolve("props"),
         (if (morDelete) "delete.mode=merge-on-read\n" else "") +
-          (if (morUpdate) "update.mode=merge-on-read\n" else ""))
+          (if (morUpdate) "update.mode=merge-on-read\n" else "") +
+          (if (morMerge) "merge.mode=merge-on-read\n" else ""))
     require(GraftRl.publish(dir, 0L, ""),
       s"graft catalog: concurrent CREATE of ${ident.toString}")
     new GraftRlTable(ident.toString, dir, schema, 0L, Seq.empty,
       writable = true, partCol = partCol, morDelete = morDelete,
-      morUpdate = morUpdate)
+      morUpdate = morUpdate, morMerge = morMerge)
   }
 
   /** SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMNS`, the
@@ -803,6 +806,7 @@ private[sources] object GraftRl {
 
   def readMorDelete(dir: Path): Boolean = readProp(dir, "delete.mode")
   def readMorUpdate(dir: Path): Boolean = readProp(dir, "update.mode")
+  def readMorMerge(dir: Path): Boolean = readProp(dir, "merge.mode")
 
   private def readProp(dir: Path, key: String): Boolean = {
     val p = dir.resolve("props")
@@ -1434,7 +1438,7 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
     tableSchema: StructType, version: Long,
     files: Seq[GraftRl.GroupFile], writable: Boolean,
     partCol: Option[String] = None, morDelete: Boolean = false,
-    morUpdate: Boolean = false)
+    morUpdate: Boolean = false, morMerge: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsMetadataColumns
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
@@ -1538,13 +1542,15 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        // merge-on-read: DELETE = vector only; UPDATE = vector the old
-        // ordinals + append the rewritten rows. MERGE keeps the
-        // copy-on-write rewrite (its source-driven runtime group
-        // filtering already bounds the rewrite to matching groups).
+        // merge-on-read: DELETE = vector only; UPDATE/MERGE = vector
+        // the old ordinals + append the rewritten/inserted rows (the
+        // delta protocol ships matched updates as delete+insert, so
+        // one writer serves all three commands).
         if (morDelete && info.command() == RowLevelOperation.Command.DELETE
             || morUpdate &&
-              info.command() == RowLevelOperation.Command.UPDATE)
+              info.command() == RowLevelOperation.Command.UPDATE
+            || morMerge &&
+              info.command() == RowLevelOperation.Command.MERGE)
           new GraftRlDeltaOp(dir, ident, tableSchema, version, files,
             info.command(), partCol.map(tableSchema.fieldIndex))
         else new GraftRlOperation(

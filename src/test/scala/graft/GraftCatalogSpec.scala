@@ -838,6 +838,58 @@ class GraftCatalogSpec extends SparkSpec {
         Seq(12L, "hot", 40L)))
   }
 
+  test("merge-on-read MERGE: the full upsert ships as vectors plus " +
+      "appends — matched updates, matched deletes, inserts, and " +
+      "not-matched-by-source arms, no group rewritten") {
+    root
+    spark.sql("CREATE TABLE graftrl.db.morm (k BIGINT, seg STRING, " +
+      "v BIGINT) TBLPROPERTIES ('merge.mode' = 'merge-on-read')")
+    val dir = root.resolve("db").resolve("morm")
+    ins1("graftrl.db.morm", "(1L,'a',10L),(2L,'a',20L),(3L,'a',30L)")
+    ins1("graftrl.db.morm", "(11L,'b',40L),(12L,'b',50L),(13L,'b',60L)")
+    val dataBefore = dataFilesOnDisk(dir)
+    locally {
+      import spark.implicits._
+      Seq((2L, "a", -1L), (11L, "b", 5L), (21L, "c", 99L))
+        .toDF("k", "seg", "v").createOrReplaceTempView("morm_delta")
+    }
+    spark.sql("""
+      MERGE INTO graftrl.db.morm t USING morm_delta s ON t.k = s.k
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+      WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.v >= 50 THEN DELETE
+    """)
+    // k=2 deleted; k=11 updated (delete+insert); k=21 inserted;
+    // k=12/k=13 retired by the by-source arm; k=1/k=3 untouched —
+    // and not ONE original group was rewritten
+    assert(dataFilesOnDisk(dir).intersect(dataBefore) == dataBefore,
+      "MOR merge must not rewrite existing groups")
+    // group A keeps survivors → one PARTIAL vector; group B lost every
+    // row (11 rewritten, 12/13 retired) → whole-file vector drops it
+    // from the manifest with NO sidecar
+    assert(dir.toFile.listFiles().map(_.getName)
+      .count(n => n.startsWith("dv-") && n.endsWith(".bin")) == 1,
+      "expected one partial vector (the all-dead group drops outright)")
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    assert(Hook.manifestFiles(dir, 3L).intersect(
+      (dataFilesOnDisk(dir) -- dataBefore).toSeq).nonEmpty ||
+      (dataFilesOnDisk(dir) -- dataBefore).nonEmpty,
+      "rewritten/inserted rows should land as appended groups")
+    assert(sqlRows("SELECT k, seg, v FROM graftrl.db.morm ORDER BY k") ==
+      Seq(Seq(1L, "a", 10L), Seq(3L, "a", 30L), Seq(11L, "b", 45L),
+        Seq(21L, "c", 99L)))
+    // live-row accounting stays exact through the vectors + appends
+    val cnt = spark.sql("SELECT count(*) AS n FROM graftrl.db.morm")
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"))
+    assert(cnt.collect().head.getLong(0) == 4L)
+    // pre-merge history intact
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.morm VERSION AS OF 2")
+      .head.head == 6L)
+    spark.catalog.dropTempView("morm_delta")
+  }
+
   test("snapshot tags pin named versions against retention; " +
       "TIMESTAMP AS OF resolves commit publish times") {
     root
