@@ -427,7 +427,7 @@ SELECT * FROM (
           "tag did not resolve to its pinned version")
         // wall-clock resolution: the instant v2 published sees v2
         val i = java.time.Instant.ofEpochMilli(
-          hook.manifestMtimeMillis(tdir, 2L))
+          hook.commitTimeMillis(tdir, 2L))
         val lit = "TIMESTAMP '" + java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
           .withZone(java.time.ZoneOffset.UTC).format(i) + "'"

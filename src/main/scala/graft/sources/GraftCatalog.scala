@@ -186,9 +186,12 @@ class GraftCatalog extends TableCatalog {
     val dir = tableDir(ident)
     readSchema(dir, ident) // existence check
     val tsMillis = Math.floorDiv(timestampMicros, 1000L)
+    // resolves from the #ts commit header each publish records — an
+    // explicit commit time, immune to the mtime hazards (hard-link
+    // inheritance, coarse granularity, copies/backups) a
+    // filesystem-timestamp resolution would carry
     val at = GraftRl.manifestVersions(dir)
-      .filter(v => Files.getLastModifiedTime(
-        GraftRl.manifestPath(dir, v)).toMillis <= tsMillis)
+      .filter(v => GraftRl.commitTimeMillis(dir, v) <= tsMillis)
     if (at.isEmpty)
       throw new IllegalArgumentException(
         s"graft catalog: ${ident.toString} has no snapshot at or " +
@@ -413,6 +416,57 @@ object GraftCatalog {
       throw new java.util.ConcurrentModificationException(
         s"graft catalog: tag '$name' already exists on $tableDir — " +
           "tags are immutable; pick a new name")
+    GraftRlConcurrencyHook.afterTagPublish()
+    // close the tag-vs-retention race: a concurrent expireSnapshots
+    // that listed tagVersions BEFORE this tag published may have
+    // deleted the manifest in the window between the existence check
+    // above and the publish — re-verify after winning, and retract
+    // the tag loudly rather than leave it dangling on an
+    // unaddressable version forever
+    if (GraftRl.readManifest(tableDir, version).isEmpty) {
+      Files.deleteIfExists(GraftRl.tagPath(tableDir, name))
+      throw new IllegalStateException(
+        s"graft catalog: version $version of $tableDir was expired by " +
+          s"a concurrent expireSnapshots while tag '$name' published — " +
+          "tag retracted; re-tag a live version")
+    }
+  }
+
+  /** MERGE SCHEMA EVOLUTION (Delta's `mergeSchema` contract, the
+    * auto-widen half): a MERGE whose source carries columns the
+    * target lacks should WIDEN the target and null-fill history, not
+    * refuse on width. This pre-pass appends every missing source
+    * column to the target schema — nullable, at the end, the only
+    * widening the format allows — through the SAME optimistic
+    * `ALTER TABLE ADD COLUMNS` path interactive evolution uses, so
+    * the publication is atomic (`schema-<n+1>.json` by exclusive
+    * link; of two racing evolutions one wins, the loser aborts
+    * loudly instead of dropping a column). Existing group files are
+    * NEVER rewritten: old rows read the new columns as NULL
+    * (schema-on-read), and the caller's MERGE then binds them in its
+    * INSERT/UPDATE arms. Returns the added column names (empty =
+    * schemas already aligned). Unsupported source column types
+    * refuse before anything publishes. */
+  def widenForMerge(spark: org.apache.spark.sql.SparkSession,
+      table: String, source: StructType): Seq[String] = {
+    val target = spark.table(table).schema
+    val existing = target.fieldNames.map(_.toLowerCase).toSet
+    val added = source.fields.toSeq.filterNot(f =>
+      existing.contains(f.name.toLowerCase))
+    if (added.isEmpty) return Nil
+    val ddl = added.map { f =>
+      val t = f.dataType match {
+        case LongType => "BIGINT"
+        case DoubleType => "DOUBLE"
+        case StringType => "STRING"
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: cannot widen '$table' with column " +
+            s"'${f.name}' of unsupported type ${other.simpleString}")
+      }
+      s"`${f.name}` $t"
+    }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+    added.map(_.name)
   }
 
   /** Result of [[optimizeTable]]: which fragmented group files were
@@ -438,11 +492,53 @@ object GraftCatalog {
     *
     * Optimistic like every commit: publishes base+1 by
     * atomic-exclusive link, deletes its packed files and aborts
-    * loudly on a race. Single-process (driver-side row copy) by
-    * design here: compaction inputs are by definition SMALL files,
-    * and a distributed rewrite would be the same reader/writer pair
-    * fanned out per bin. */
-  def optimizeTable(tableDir: Path, targetRows: Long): OptimizeResult = {
+    * loudly on a race.
+    *
+    * TWO EXECUTION SHAPES over ONE bin planner and ONE rewrite codec
+    * ([[GraftRlOptimize.rewriteBin]]): the no-session overload runs
+    * the bins serially on the calling thread (maintenance shells,
+    * tests — and it CAPS deletion-vector folds at `liveRows ≤
+    * 4×targetRows`, so a multi-GB group that picked up one vector can
+    * never become an unbounded single-threaded rewrite); the
+    * SparkSession overload dispatches ONE TASK PER BIN — bins are
+    * independent by construction (disjoint input files, one output
+    * file each), so a fragmented day compacts with cluster
+    * parallelism while the driver keeps only the manifest publish.
+    * A task that fails after renaming its packed file leaves an
+    * orphan no manifest references; retention's vacuum sweeps it
+    * like any other unreferenced data file. */
+  def optimizeTable(tableDir: Path, targetRows: Long): OptimizeResult =
+    optimizeImpl(tableDir, targetRows,
+      serialDvFoldCap = true,
+      runner = bins => bins.map(GraftRlOptimize.rewriteBin))
+
+  /** Distributed OPTIMIZE: same plan, same codec, one Spark task per
+    * bin. No DV-fold size cap here — an executor rewriting one
+    * oversized group is exactly what the fan-out is for. */
+  def optimizeTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: Path, targetRows: Long): OptimizeResult =
+    optimizeImpl(tableDir, targetRows,
+      serialDvFoldCap = false,
+      runner = bins =>
+        if (bins.isEmpty) Seq.empty
+        else spark.sparkContext
+          .parallelize(bins, bins.size)
+          .map(GraftRlOptimize.rewriteBin)
+          .collect().toSeq)
+
+  /** A DV-carrying group whose live fraction is at or below this is
+    * always a fold candidate regardless of size: paying a rewrite to
+    * stop masking ≥10% dead rows on every scan is the
+    * read-amplification gate every DV design needs (Delta's
+    * deletedRowsRatio trigger). Mostly-live big groups are left
+    * alone — rewriting 100 GB to fold 0.1% dead is maintenance
+    * churn, not maintenance. */
+  val DvFoldDeadFraction = 0.10
+
+  private def optimizeImpl(tableDir: Path, targetRows: Long,
+      serialDvFoldCap: Boolean,
+      runner: Seq[GraftRlOptimize.Bin] =>
+        Seq[(Seq[String], GraftRlStagedFile)]): OptimizeResult = {
     require(targetRows >= 1,
       s"graft catalog: targetRows must be >= 1, got $targetRows")
     val schema = GraftRl.currentSchema(tableDir).getOrElse(
@@ -460,11 +556,23 @@ object GraftCatalog {
         case None => Some(None)
         case Some(i) => GraftRl.partValueOf(gf, i)
       }
-    // small groups pack; DV-carrying groups of ANY size are candidates
-    // too (folding the vector back into a clean file is maintenance
-    // debt OPTIMIZE exists to pay)
-    val candidates = files.filter(f =>
-      (f.liveRows < targetRows || f.dv.isDefined) && bucket(f).isDefined)
+    // small groups pack; DV-carrying groups additionally qualify by
+    // the READ-AMPLIFICATION GATE — small enough to be a fragment
+    // anyway, or dead fraction ≥ DvFoldDeadFraction (a group masking
+    // that much pays full decode for a sliver of live rows on every
+    // scan). The serial path further caps DV folds at 4×targetRows
+    // live rows so a huge group can never serialize the caller —
+    // route those through the distributed overload.
+    val candidates = files.filter { f =>
+      val small = f.liveRows < targetRows
+      val qualifies = f.dv match {
+        case None => small
+        case Some((_, dead)) =>
+          (small || dead.toDouble / f.rows >= DvFoldDeadFraction) &&
+            (!serialDvFoldCap || f.liveRows <= 4L * targetRows)
+      }
+      qualifies && bucket(f).isDefined
+    }
     val bins: Seq[Seq[GraftRl.GroupFile]] = candidates
       .groupBy(bucket).toSeq.sortBy(_._2.head.name).flatMap {
         case (_, fs) =>
@@ -487,68 +595,94 @@ object GraftCatalog {
             .map(_.toSeq)
       }
     if (bins.isEmpty) return OptimizeResult(Nil, Nil, base)
-    val packed = bins.map { bin =>
-      val name =
-        s"data-opt-${java.util.UUID.randomUUID()}.parquet"
-      val tmp = tableDir.resolve(s".inprogress-$name")
-      val msg = GraftRlCodec.messageType(schema.fields.toSeq)
-      val fac = new org.apache.parquet.example.data.simple
-        .SimpleGroupFactory(msg)
-      val w = GraftRlCodec.openWriter(tmp, msg)
-      val stats = new GraftRlStats(schema)
-      try {
-        bin.foreach { gf =>
-          // read every column the fragment has; absent trailing
-          // columns (pre-evolution files) null-fill — the packed file
-          // is rewritten at the CURRENT schema width, and any
-          // deletion vector is FOLDED IN (masked rows do not survive
-          // the pack, so the new file is DV-free)
-          val present = schema.fields.take(gf.width)
-          val dv = gf.dv.map(d =>
-            GraftRl.readDv(tableDir.resolve(d._1)))
-            .getOrElse(Array.emptyLongArray)
-          var dvIdx = 0
-          var ord = 0L
-          val reader = GraftRlCodec.openReader(
-            tableDir.resolve(gf.name).toString,
-            GraftRlCodec.messageType(present.toSeq))
-          try {
-            var g = reader.read()
-            while (g != null) {
-              val o = ord; ord += 1
-              while (dvIdx < dv.length && dv(dvIdx) < o) dvIdx += 1
-              if (!(dvIdx < dv.length && dv(dvIdx) == o)) {
-                val vals = new Array[Any](schema.fields.length)
-                var j = 0
-                while (j < present.length) {
-                  vals(j) = GraftRlCodec.groupValue(g, j,
-                    present(j).dataType)
-                  j += 1
-                }
-                val row = InternalRow.fromSeq(vals.toIndexedSeq)
-                w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
-                stats.update(row, 0)
-              }
-              g = reader.read()
-            }
-          } finally reader.close()
-        }
-      } finally w.close()
-      Files.move(tmp, tableDir.resolve(name),
-        StandardCopyOption.ATOMIC_MOVE)
-      (bin.map(_.name).toSet,
-        GraftRl.GroupFile(name, stats.rows, stats.token))
-    }
+    val packed = runner(bins.map(bin => GraftRlOptimize.Bin(
+      tableDir.toString, schema.json,
+      bin.map(gf => GraftRlOptimize.BinFile(gf.name, gf.statsToken,
+        gf.dv.map(_._1).getOrElse(""))))))
     val removed = packed.flatMap(_._1).toSet
     val next = files.filterNot(f => removed.contains(f.name)) ++
-      packed.map(_._2)
+      packed.map(_._2.toGroupFile)
     if (!GraftRl.publish(tableDir, base + 1, GraftRl.render(next))) {
-      packed.foreach(p => Files.deleteIfExists(tableDir.resolve(p._2.name)))
+      packed.foreach(p =>
+        Files.deleteIfExists(tableDir.resolve(p._2.name)))
       throw new java.util.ConcurrentModificationException(
         s"graft catalog: concurrent commit on $tableDir during " +
           s"OPTIMIZE — packed files deleted, nothing published; re-run")
     }
     OptimizeResult(removed.toSeq.sorted, packed.map(_._2.name), base + 1)
+  }
+}
+
+/** The OPTIMIZE bin rewrite, factored to a TOP-LEVEL object with a
+  * string/case-class-only surface so the distributed overload can ship
+  * it inside a Spark task closure without capturing anything (the
+  * `$outer` serialization trap anonymous helpers fall into). One bin
+  * in, one packed file out — the same parquet-mr reader/writer pair
+  * the serial path always used, now location-transparent. */
+private[sources] object GraftRlOptimize {
+  /** One fragment of a bin: `dvName` empty = no deletion vector.
+    * Width (the column count the file was written with) derives from
+    * the stats token — one token per column. */
+  final case class BinFile(name: String, statsToken: String,
+      dvName: String) {
+    def width: Int = statsToken.split(",", -1).length
+  }
+  final case class Bin(dir: String, schemaJson: String,
+      files: Seq[BinFile])
+
+  /** Rewrite one bin into one packed file: read every column each
+    * fragment HAS (absent trailing columns of pre-evolution files
+    * null-fill — the packed file is written at the CURRENT schema
+    * width), FOLD IN any deletion vector (masked rows do not survive
+    * the pack, so the output is DV-free), stage under a dot-prefixed
+    * in-progress name and atomically rename — identical discipline on
+    * the driver and inside an executor task. */
+  def rewriteBin(bin: Bin): (Seq[String], GraftRlStagedFile) = {
+    val tableDir = Paths.get(bin.dir)
+    val schema = DataType.fromJson(bin.schemaJson).asInstanceOf[StructType]
+    val name = s"data-opt-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = tableDir.resolve(s".inprogress-$name")
+    val msg = GraftRlCodec.messageType(schema.fields.toSeq)
+    val fac = new org.apache.parquet.example.data.simple
+      .SimpleGroupFactory(msg)
+    val w = GraftRlCodec.openWriter(tmp, msg)
+    val stats = new GraftRlStats(schema)
+    try {
+      bin.files.foreach { gf =>
+        val present = schema.fields.take(gf.width)
+        val dv =
+          if (gf.dvName.isEmpty) Array.emptyLongArray
+          else GraftRl.readDv(tableDir.resolve(gf.dvName))
+        var dvIdx = 0
+        var ord = 0L
+        val reader = GraftRlCodec.openReader(
+          tableDir.resolve(gf.name).toString,
+          GraftRlCodec.messageType(present.toSeq))
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val o = ord; ord += 1
+            while (dvIdx < dv.length && dv(dvIdx) < o) dvIdx += 1
+            if (!(dvIdx < dv.length && dv(dvIdx) == o)) {
+              val vals = new Array[Any](schema.fields.length)
+              var j = 0
+              while (j < present.length) {
+                vals(j) = GraftRlCodec.groupValue(g, j,
+                  present(j).dataType)
+                j += 1
+              }
+              val row = InternalRow.fromSeq(vals.toIndexedSeq)
+              w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
+              stats.update(row, 0)
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    } finally w.close()
+    Files.move(tmp, tableDir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE)
+    (bin.files.map(_.name), GraftRlStagedFile(name, stats.rows, stats.token))
   }
 }
 
@@ -560,6 +694,61 @@ private[sources] object GraftRlConcurrencyHook {
   @volatile var beforeReplacePublish: () => Unit = () => ()
   @volatile var beforeAppendPublish: () => Unit = () => ()
   @volatile var beforeSchemaPublish: () => Unit = () => ()
+  @volatile var beforeDeltaPublish: () => Unit = () => ()
+  @volatile var afterTagPublish: () => Unit = () => ()
+}
+
+/** FILE-DISJOINT CONFLICT DETECTION — the rebase half of optimistic
+  * concurrency (Delta/Iceberg semantics): a row-level commit that
+  * loses the version race is NOT automatically wrong — its result is
+  * still valid if the winners' commits touched a DISJOINT set of
+  * group files. The proof is per-file manifest-line identity: if
+  * every file THIS commit read/vectored still appears in the CURRENT
+  * manifest with an UNCHANGED line (same name, rows, stats, deletion
+  * vector), no winner removed it, rewrote it, or attached a vector —
+  * so replaying our file-level edit against the current snapshot
+  * commits exactly what it would have committed without the race.
+  * Any touched file whose line changed (or vanished) means a real
+  * write-write conflict on shared rows → abort loudly, as before.
+  * Appends by winners are always compatible: they land in the rebased
+  * manifest untouched (snapshot-isolation semantics — a concurrent
+  * INSERT's rows are not visible to a statement that began earlier,
+  * exactly Delta's WriteSerializable default). */
+private[sources] object GraftRlRebase {
+  /** Bounded rebase-retry publish of a file-level edit. `touched` are
+    * the base-manifest files this commit read (replace) or vectored
+    * (delta); `edit` maps the CURRENT manifest to the next one, and
+    * is only invoked after the disjointness proof passes. Returns the
+    * published version, or None after a REAL conflict (caller aborts
+    * and cleans up its staged files). */
+  def publishDisjoint(dir: Path, baseVersion: Long,
+      baseFiles: Seq[GraftRl.GroupFile], touched: Set[String],
+      edit: Seq[GraftRl.GroupFile] => Seq[GraftRl.GroupFile],
+      meta: Map[String, String] = Map.empty): Option[Long] = {
+    val baseLine = baseFiles.map(g => g.name -> g.manifestLine).toMap
+    var attempt = 0
+    while (attempt < 16) {
+      val cur = GraftRl.currentVersion(dir)
+      val curFiles =
+        if (cur == baseVersion) baseFiles
+        else GraftRl.readManifest(dir, cur).getOrElse(
+          throw new IllegalStateException(
+            s"graft catalog: manifest v$cur vanished mid-commit in $dir"))
+      if (cur != baseVersion) {
+        val curLine = curFiles.map(g => g.name -> g.manifestLine).toMap
+        val conflicting = touched.filterNot(n =>
+          curLine.get(n).exists(l => baseLine.get(n).contains(l)))
+        if (conflicting.nonEmpty) return None // real overlap: abort
+      }
+      if (GraftRl.publish(dir, cur + 1, GraftRl.render(edit(curFiles)),
+          meta))
+        return Some(cur + 1)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"graft catalog: gave up publishing after $attempt disjoint " +
+        s"rebases in $dir (livelock?)")
+  }
 }
 
 /** Manifest + group-file model: a table version is the list of
@@ -712,7 +901,7 @@ private[sources] object GraftRl {
     val p = manifestPath(dir, v)
     if (!Files.exists(p)) None
     else Some(Files.readString(p).split("\n", -1).toSeq
-      .filter(_.nonEmpty).map { line =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val parts = line.split("\t", -1)
         require(parts.length == 3 || parts.length == 5,
           s"graft catalog: malformed manifest line '$line' in $p")
@@ -722,13 +911,67 @@ private[sources] object GraftRl {
       })
   }
 
+  /** COMMIT METADATA — `#key=value` header lines prepended to every
+    * manifest (data-line parsers skip them). `ts` is the EXPLICIT
+    * commit timestamp every publish records (epoch millis at the
+    * publish instant), the field `TIMESTAMP AS OF` resolves from —
+    * filesystem mtime is only a legacy fallback, because mtime is the
+    * temp file's write time inherited through the hard link and is
+    * perturbed by coarse granularity, backups/copies, and clock skew,
+    * which is why Delta/Iceberg persist commit time in the log, not
+    * the inode. `txn` (`<queryId>:<epochId>`) is the streaming
+    * sink's idempotence marker ([[GraftRlStreamingWrite]]): recording
+    * it INSIDE the manifest makes "epoch committed" and "rows
+    * visible" one atomic publish — a replayed epoch after a crash
+    * between manifest publish and checkpoint commit is detected and
+    * skipped, never double-appended. */
+  def readManifestMeta(dir: Path, v: Long): Map[String, String] = {
+    val p = manifestPath(dir, v)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator
+      .takeWhile(_.startsWith("#"))
+      .flatMap(l => l.drop(1).split("=", 2) match {
+        case Array(k, vv) => Some(k -> vv)
+        case _ => None
+      }).toMap
+  }
+
+  /** The commit instant of version `v`: the recorded `#ts` header,
+    * falling back to manifest mtime only for pre-header manifests. */
+  def commitTimeMillis(dir: Path, v: Long): Long =
+    readManifestMeta(dir, v).get("ts").flatMap(_.toLongOption)
+      .getOrElse(Files.getLastModifiedTime(manifestPath(dir, v)).toMillis)
+
+  /** Highest epoch the streaming query `queryId` has committed into
+    * this table, scanning manifest headers newest-first (epochs only
+    * grow, so the newest marker is the high-water mark). O(versions)
+    * worst case for a query that never committed; bounded by snapshot
+    * retention like every history walk. */
+  def lastTxnEpoch(dir: Path, queryId: String): Option[Long] =
+    manifestVersions(dir).sorted.reverseIterator
+      .flatMap(v => readManifestMeta(dir, v).get("txn"))
+      .collectFirst { case t if t.startsWith(queryId + ":") =>
+        t.stripPrefix(queryId + ":").toLong
+      }
+
   /** Atomic-exclusive manifest publish (the commit's linearization
     * point): write a temp file, HARD-LINK it to the versioned name —
     * link creation is atomic and fails if the target exists, so of
     * two racing commits to the same version exactly one wins. Returns
-    * whether this writer won. */
-  def publish(dir: Path, v: Long, content: String): Boolean =
-    publishExclusive(dir, manifestPath(dir, v), content)
+    * whether this writer won. Every publish stamps the `#ts` commit
+    * header; callers add extra metadata (the streaming `txn` marker)
+    * through `meta`. */
+  def publish(dir: Path, v: Long, content: String,
+      meta: Map[String, String] = Map.empty): Boolean = {
+    meta.foreach { case (k, vv) =>
+      require(k.matches("[a-z][a-z0-9_]*") && !vv.exists("\n\r\t" contains _),
+        s"graft catalog: malformed manifest metadata $k=$vv")
+    }
+    val header = (Map("ts" -> System.currentTimeMillis().toString) ++ meta)
+      .toSeq.sortBy(_._1)
+      .map { case (k, vv) => s"#$k=$vv" }.mkString("", "\n", "\n")
+    publishExclusive(dir, manifestPath(dir, v), header + content)
+  }
 
   /** Versioned-schema publish, same discipline: `schema.json` is
     * version 0 (written once at CREATE), every ALTER publishes
@@ -992,21 +1235,33 @@ private[sources] object GraftRl {
     * rows so each task sees whole partition values, keeping the
     * file-per-value layout tight instead of scattering every value
     * across every task's output file. */
-  def maybeClustered(partCol: Option[String],
-      bw: BatchWrite): Write = partCol match {
-    case Some(c) =>
-      new Write with org.apache.spark.sql.connector.write
-        .RequiresDistributionAndOrdering {
+  def maybeClustered(partCol: Option[String], bw: BatchWrite,
+      sw: Option[org.apache.spark.sql.connector.write.streaming
+        .StreamingWrite] = None): Write = {
+    def streaming = sw.getOrElse(
+      throw new UnsupportedOperationException(
+        "graft catalog: this write does not support streaming"))
+    partCol match {
+      case Some(c) =>
+        new Write with org.apache.spark.sql.connector.write
+          .RequiresDistributionAndOrdering {
+          override def toBatch: BatchWrite = bw
+          override def toStreaming: org.apache.spark.sql.connector
+            .write.streaming.StreamingWrite = streaming
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(Expressions.identity(c)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+        }
+      case None => new Write {
         override def toBatch: BatchWrite = bw
-        override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(Array(Expressions.identity(c)))
-        override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array.empty
+        override def toStreaming: org.apache.spark.sql.connector
+          .write.streaming.StreamingWrite = streaming
       }
-    case None => new Write { override def toBatch: BatchWrite = bw }
+    }
   }
 
   /** The single partition value of a file on column `i`, when
@@ -1476,13 +1731,32 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     require(writable,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
-    val keep = files.filter(gf =>
-      conjCoverage(gf, predicates) != GraftRl.AllRows)
-    if (!GraftRl.publish(dir, version + 1, GraftRl.render(keep)))
-      throw new java.util.ConcurrentModificationException(
-        s"graft catalog: concurrent commit on $ident — metadata " +
-          s"delete read snapshot v$version but v${version + 1} was " +
-          "published by another writer; re-run the statement")
+    // a metadata delete's verdict is a pure function of each file's
+    // stats, so a lost race REBASES by re-proving against the
+    // winner's manifest — only a newly-appeared file the stats cannot
+    // prove forces the loud abort (the statement must then re-run
+    // through the row-level path)
+    var attempt = 0
+    while (true) {
+      val cur = GraftRl.currentVersion(dir)
+      val curFiles = if (cur == version) files
+        else GraftRl.readManifest(dir, cur).getOrElse(
+          throw new IllegalStateException(
+            s"graft catalog: manifest v$cur vanished mid-commit"))
+      if (curFiles.exists(gf =>
+          conjCoverage(gf, predicates) == GraftRl.SomeRows))
+        throw new java.util.ConcurrentModificationException(
+          s"graft catalog: concurrent commit on $ident added a group " +
+            "the metadata-delete proof cannot cover — re-run the " +
+            "statement (it will take the row-level path)")
+      val keep = curFiles.filter(gf =>
+        conjCoverage(gf, predicates) != GraftRl.AllRows)
+      if (GraftRl.publish(dir, cur + 1, GraftRl.render(keep))) return
+      attempt += 1
+      require(attempt < 16,
+        s"graft catalog: gave up metadata delete after $attempt " +
+          s"rebases on $ident (livelock?)")
+    }
   }
 
   override def truncateTable(): Boolean = {
@@ -1500,7 +1774,8 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
     if (writable)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   /** `_file` — the group file a row lives in: file provenance as a
@@ -1533,7 +1808,8 @@ private[sources] class GraftRlTable(ident: String, dir: Path,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable,
       s"graft catalog: $ident is a versioned snapshot and is read-only")
-    new GraftRlWriteBuilder(dir, tableSchema, info.schema(), partCol)
+    new GraftRlWriteBuilder(dir, tableSchema, info.schema(), partCol,
+      info.queryId())
   }
 
   override def newRowLevelOperationBuilder(
@@ -1699,16 +1975,22 @@ private[sources] class GraftRlDvBatchWrite(dir: Path, ident: String,
         s"graft catalog: delete named unknown group(s) $unknown — " +
           "refusing a vector no manifest binds")
     }
+    // stage the replacement vectors ONCE, computed against the base
+    // snapshot: the file-disjoint rebase below only fires when every
+    // vectored group's manifest line is UNCHANGED in the current
+    // manifest, so base-derived unions equal current-derived ones by
+    // construction
     val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val next = baseFiles.flatMap { g =>
-      merged.get(g.name) match {
-        case None => Some(g)
-        case Some(newPos) =>
-          val existing = g.dv.map(d =>
-            GraftRl.readDv(dir.resolve(d._1))).getOrElse(Array.empty[Long])
-          val union = (existing ++ newPos).distinct.sorted
-          require(union.forall(p => p >= 0 && p < g.rows),
-            s"graft catalog: delete ordinal out of range for ${g.name}")
+    val replacement = scala.collection.mutable
+      .HashMap.empty[String, Option[GraftRl.GroupFile]]
+    baseFiles.foreach { g =>
+      merged.get(g.name).foreach { newPos =>
+        val existing = g.dv.map(d =>
+          GraftRl.readDv(dir.resolve(d._1))).getOrElse(Array.empty[Long])
+        val union = (existing ++ newPos).distinct.sorted
+        require(union.forall(p => p >= 0 && p < g.rows),
+          s"graft catalog: delete ordinal out of range for ${g.name}")
+        replacement(g.name) =
           if (union.length.toLong == g.rows) None // whole file dead
           else {
             val dvName = s"dv-${java.util.UUID.randomUUID()}.bin"
@@ -1717,15 +1999,24 @@ private[sources] class GraftRlDvBatchWrite(dir: Path, ident: String,
             Some(g.copy(dv = Some((dvName, union.length.toLong))))
           }
       }
-    } ++ inserted.map(_.toGroupFile)
-    if (!GraftRl.publish(dir, baseVersion + 1, GraftRl.render(next))) {
+    }
+    GraftRlConcurrencyHook.beforeDeltaPublish()
+    // FILE-DISJOINT commit (see GraftRlRebase): winners that touched
+    // only OTHER groups — or just appended — rebase; a changed line
+    // on any group this operation vectored is a real row conflict
+    val published = GraftRlRebase.publishDisjoint(dir, baseVersion,
+      baseFiles, merged.keySet.toSet,
+      cur => cur.flatMap(g => replacement.getOrElse(g.name, Some(g))) ++
+        inserted.map(_.toGroupFile))
+    if (published.isEmpty) {
       staged.foreach(Files.deleteIfExists)
       cleanupInserted()
       throw new java.util.ConcurrentModificationException(
         s"graft catalog: concurrent commit on $ident — this row-level " +
-          s"operation read snapshot v$baseVersion but " +
-          s"v${baseVersion + 1} was published by another writer; " +
-          "staged vectors and appends removed, re-run the statement")
+          s"operation read snapshot v$baseVersion and another writer " +
+          "changed one of the groups it deletes from before it could " +
+          "publish; staged vectors and appends removed, re-run the " +
+          "statement")
     }
   }
 
@@ -2263,7 +2554,7 @@ private[sources] class GraftRlReaderFactory(tableSchema: StructType,
 
 private[sources] class GraftRlWriteBuilder(dir: Path,
     tableSchema: StructType, writeSchema: StructType,
-    partCol: Option[String])
+    partCol: Option[String], queryId: String = "")
   extends WriteBuilder with SupportsTruncate {
   require(writeSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
     tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -2271,9 +2562,16 @@ private[sources] class GraftRlWriteBuilder(dir: Path,
       s"match table schema ${tableSchema.simpleString}")
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = GraftRl.maybeClustered(partCol,
-    new GraftRlBatchWrite(dir, tableSchema, replace,
-      partCol.map(tableSchema.fieldIndex)))
+  override def build(): Write = {
+    val partIdx = partCol.map(tableSchema.fieldIndex)
+    GraftRl.maybeClustered(partCol,
+      new GraftRlBatchWrite(dir, tableSchema, replace, partIdx),
+      // streaming sink = append-per-epoch; a truncating (complete
+      // mode) streaming write is refused by leaving it unbound
+      if (replace) None
+      else Some(new GraftRlStreamingWrite(dir, tableSchema, queryId,
+        partIdx)))
+  }
 }
 
 private[sources] final case class GraftRlStagedFile(name: String,
@@ -2337,6 +2635,91 @@ private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
     }
 }
 
+/** STREAMING WRITES INTO the catalog (`df.writeStream.toTable(...)`)
+  * — the sink half that closes the catalog-to-catalog loop with
+  * [[GraftRlChangeStream]]: each micro-batch epoch appends its staged
+  * group files as one ordinary manifest commit, so every downstream
+  * consumer (time travel, retention, the change stream itself) sees
+  * streaming output exactly like batch inserts.
+  *
+  * EXACTLY-ONCE across restarts, the Delta txn discipline: the commit
+  * stamps `#txn=<queryId>:<epochId>` INTO the manifest header — the
+  * marker and the rows become visible in ONE atomic publish. A
+  * restarted query that replays an epoch (crash after the table
+  * commit but before the checkpoint advanced — the classic
+  * at-least-once window every sink faces) finds its own marker at or
+  * beyond the replayed epoch, deletes the re-staged files, and skips:
+  * no duplicate rows, ever. Epoch commits REBASE past concurrent
+  * batch writers like any append (appends commute). */
+private[sources] class GraftRlStreamingWrite(dir: Path,
+    schema: StructType, queryId: String, partIdx: Option[Int])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new GraftRlStreamingWriterFactory(dir.toString, schema, partIdx)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap {
+      case m: GraftRlStaged => m.files
+      case m => throw new IllegalStateException(
+        s"graft catalog: foreign streaming commit message $m")
+    }.filter(_.rows > 0).map(_.toGroupFile).toSeq
+    require(queryId.nonEmpty,
+      "graft catalog: streaming write without a query id cannot be " +
+        "idempotent")
+    if (GraftRl.lastTxnEpoch(dir, queryId).exists(_ >= epochId)) {
+      // replayed epoch: the manifest already carries these rows
+      staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
+      return
+    }
+    if (staged.isEmpty) return // empty epoch: nothing to make visible
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = GraftRl.currentVersion(dir)
+      val prior = GraftRl.readManifest(dir, cur).getOrElse(
+        throw new IllegalStateException(
+          s"graft catalog: manifest v$cur vanished mid-commit in $dir"))
+      done = GraftRl.publish(dir, cur + 1,
+        GraftRl.render(prior ++ staged),
+        Map("txn" -> s"$queryId:$epochId"))
+      if (!done) {
+        attempt += 1
+        if (attempt >= 64) {
+          staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
+          throw new IllegalStateException(
+            s"graft catalog: gave up streaming epoch $epochId after " +
+              s"$attempt rebases in $dir (livelock?)")
+        }
+      }
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftRlStaged(files) =>
+        files.foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
+      case _ => ()
+    }
+}
+
+/** Top-level (capture-free) streaming writer factory: per-epoch tasks
+  * reuse the ordinary batch group writer — same dot-prefixed staging,
+  * same typed stats. */
+private[sources] class GraftRlStreamingWriterFactory(dir: String,
+    schema: StructType, partIdx: Option[Int])
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftRlWriterFactory(dir, schema, rowOffset = 0, partIdx)
+      .createWriter(partitionId, taskId)
+}
+
 /** Row-level (DELETE/UPDATE/MERGE) commit: replaces EXACTLY the
   * groups the operation's scan read — survivors of static stats
   * pruning and runtime `_file` filtering — with the staged
@@ -2376,18 +2759,25 @@ private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
       case None => Seq.empty
     }
     val readSet = read.toSet
-    val survivors = baseFiles.filterNot(g => readSet.contains(g.name))
-    val content = GraftRl.render(survivors ++ staged)
     GraftRlConcurrencyHook.beforeReplacePublish()
-    if (!GraftRl.publish(dir, baseVersion + 1, content)) {
+    // FILE-DISJOINT commit: losing the version race only aborts when
+    // a winner touched one of the groups this operation READ — a
+    // winner that appended, or rewrote OTHER groups, rebases cleanly
+    // (replace our read files in the CURRENT manifest instead of the
+    // base one; our replacement rows were computed from files the
+    // winners provably left bit-identical)
+    val published = GraftRlRebase.publishDisjoint(dir, baseVersion,
+      baseFiles, readSet,
+      cur => cur.filterNot(g => readSet.contains(g.name)) ++ staged)
+    if (published.isEmpty) {
       cleanup()
       throw new java.util.ConcurrentModificationException(
         s"graft catalog: concurrent commit on $ident — this " +
-          s"${op.command()} read snapshot v$baseVersion but version " +
-          s"v${baseVersion + 1} was published by another writer while " +
-          "it ran; the operation aborts (its staged files are deleted, " +
-          "the other writer's commit is intact) — re-run the statement " +
-          "against the current snapshot")
+          s"${op.command()} read snapshot v$baseVersion and another " +
+          "writer changed one of the groups it read before it could " +
+          "publish; the operation aborts (its staged files are " +
+          "deleted, the other writer's commit is intact) — re-run " +
+          "the statement against the current snapshot")
     }
     // replaced groups stay on disk: still referenced by older
     // manifests (time travel) until expireSnapshots retires them

@@ -82,6 +82,27 @@ object GraftCatalogTestHook {
       targetRows: Long): GraftCatalog.OptimizeResult =
     GraftCatalog.optimizeTable(tableDir, targetRows)
 
+  /** Distributed OPTIMIZE — one Spark task per compaction bin. */
+  def optimizeTableDistributed(spark: org.apache.spark.sql.SparkSession,
+      tableDir: Path, targetRows: Long): GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(spark, tableDir, targetRows)
+
+  /** The explicit `#ts` commit instant of a version (mtime fallback
+    * only for pre-header manifests). */
+  def commitTimeMillis(tableDir: Path, version: Long): Long =
+    GraftRl.commitTimeMillis(tableDir, version)
+
+  /** Manifest header metadata of a version (`ts`, streaming `txn`). */
+  def manifestMeta(tableDir: Path, version: Long): Map[String, String] =
+    GraftRl.readManifestMeta(tableDir, version)
+
+  /** Per-group occupancy of the CURRENT version: (file, rows,
+    * liveRows) — the dead-row ledger behind the DV
+    * read-amplification gate. */
+  def groupOccupancy(tableDir: Path): Seq[(String, Long, Long)] =
+    GraftRl.readManifest(tableDir, GraftRl.currentVersion(tableDir))
+      .getOrElse(Seq.empty).map(g => (g.name, g.rows, g.liveRows))
+
   def tagSnapshot(tableDir: Path, name: String, version: Long): Unit =
     GraftCatalog.tagSnapshot(tableDir, name, version)
 
@@ -124,10 +145,16 @@ object GraftCatalogTestHook {
     GraftRlConcurrencyHook.beforeAppendPublish = f
   def setBeforeSchemaPublish(f: () => Unit): Unit =
     GraftRlConcurrencyHook.beforeSchemaPublish = f
+  def setBeforeDeltaPublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.beforeDeltaPublish = f
+  def setAfterTagPublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.afterTagPublish = f
   def clearPublishHooks(): Unit = {
     GraftRlConcurrencyHook.beforeReplacePublish = () => ()
     GraftRlConcurrencyHook.beforeAppendPublish = () => ()
     GraftRlConcurrencyHook.beforeSchemaPublish = () => ()
+    GraftRlConcurrencyHook.beforeDeltaPublish = () => ()
+    GraftRlConcurrencyHook.afterTagPublish = () => ()
   }
 
   /** Proof-engine seam: evaluate the metadata-delete coverage verdict

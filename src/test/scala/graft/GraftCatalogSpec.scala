@@ -184,11 +184,14 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE graftrl.db.occ (k BIGINT, seg STRING, v BIGINT)")
     val dir = root.resolve("db").resolve("occ")
     ins1("graftrl.db.occ", "(1L,'a',10L),(2L,'a',20L)")
-    // the competing writer publishes v2 at the exact instant this
-    // UPDATE (which read snapshot v1) tries to commit its own v2
+    // the competing writer TRUNCATES (publishes the empty v0 manifest
+    // as v2) at the exact instant this UPDATE — which read snapshot
+    // v1 and touches v1's only group — tries to commit: the group it
+    // read is GONE from the winner's manifest, a real write-write
+    // conflict on shared rows, so the commit must abort loudly
     Hook.setBeforeReplacePublish(() => {
       Hook.clearPublishHooks()
-      assert(Hook.republishAs(dir, 1L, 2L), "competing publish lost?")
+      assert(Hook.republishAs(dir, 0L, 2L), "competing publish lost?")
     })
     try {
       val ex = intercept[Exception] {
@@ -203,16 +206,111 @@ class GraftCatalogSpec extends SparkSpec {
     } finally Hook.clearPublishHooks()
     // the winner's commit is intact and the loser applied NOTHING
     assert(Hook.manifestVersions(dir).max == 2L)
-    assert(sqlRows("SELECT k, v FROM graftrl.db.occ ORDER BY k") ==
-      Seq(Seq(1L, 10L), Seq(2L, 20L)))
+    assert(sqlRows("SELECT count(*) FROM graftrl.db.occ").head.head == 0L)
     // no orphaned staged files: everything on disk is manifest-bound
     val referenced = Hook.manifestVersions(dir)
       .flatMap(v => Hook.manifestFiles(dir, v)).toSet
     assert(dataFilesOnDisk(dir) == referenced)
-    // a clean retry against the current snapshot succeeds
-    spark.sql("UPDATE graftrl.db.occ SET v = v + 1 WHERE k = 1")
-    assert(sqlRows("SELECT v FROM graftrl.db.occ WHERE k = 1") ==
-      Seq(Seq(11L)))
+    // FILE-DISJOINT rebase: a competing writer whose commit leaves
+    // every group this statement read bit-identical (here: a no-op
+    // republication — same lines, new version) is NOT a conflict;
+    // the row-level commit rebases onto the winner and lands
+    ins1("graftrl.db.occ", "(1L,'a',10L),(2L,'a',20L)")       // v3
+    Hook.setBeforeReplacePublish(() => {
+      Hook.clearPublishHooks()
+      assert(Hook.republishAs(dir, 3L, 4L), "competing publish lost?")
+    })
+    try spark.sql("UPDATE graftrl.db.occ SET v = v + 1 WHERE k = 1")
+    finally Hook.clearPublishHooks()
+    assert(Hook.manifestVersions(dir).max == 5L,
+      "disjoint loser should rebase to the next version, not abort")
+    assert(sqlRows("SELECT k, v FROM graftrl.db.occ ORDER BY k") ==
+      Seq(Seq(1L, 11L), Seq(2L, 20L)))
+  }
+
+  test("file-disjoint optimistic concurrency: concurrent row-level " +
+      "commits on disjoint groups both land; overlapping ones still " +
+      "abort") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.fdc (k BIGINT, seg STRING, v BIGINT)")
+    val dir = root.resolve("db").resolve("fdc")
+    ins1("graftrl.db.fdc", "(1L,'a',10L),(2L,'a',20L)")  // group A: v1
+    ins1("graftrl.db.fdc", "(11L,'b',30L),(12L,'b',40L)") // group B: v2
+    // writer 1 (the interleaved "winner") deletes group B's rows —
+    // run REENTRANTLY at the instant writer 2's UPDATE (which read
+    // snapshot v2 and touches only group A) first tries to publish
+    Hook.setBeforeReplacePublish(() => {
+      Hook.clearPublishHooks()
+      spark.sql("DELETE FROM graftrl.db.fdc WHERE k >= 11") // wins v3
+    })
+    try spark.sql("UPDATE graftrl.db.fdc SET v = v + 1 WHERE k = 1")
+    finally Hook.clearPublishHooks()
+    // both commits landed: the delete won v3, the update rebased to v4
+    assert(Hook.manifestVersions(dir).max == 4L,
+      s"expected the disjoint update to rebase: " +
+        s"${Hook.manifestVersions(dir)}")
+    assert(sqlRows("SELECT k, v FROM graftrl.db.fdc ORDER BY k") ==
+      Seq(Seq(1L, 11L), Seq(2L, 20L)),
+      "merged lineage must carry BOTH disjoint commits")
+    // overlap control: a concurrent delete of the SAME group the
+    // update touches is a real conflict and still aborts loudly
+    Hook.setBeforeReplacePublish(() => {
+      Hook.clearPublishHooks()
+      spark.sql("DELETE FROM graftrl.db.fdc WHERE k = 2") // wins v5
+    })
+    val ex = try intercept[Exception] {
+      spark.sql("UPDATE graftrl.db.fdc SET v = v + 100 WHERE k = 1")
+    } finally Hook.clearPublishHooks()
+    assert(Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).exists(t =>
+        t.isInstanceOf[java.util.ConcurrentModificationException] ||
+          Option(t.getMessage).exists(_.contains("concurrent commit"))),
+      s"overlapping commit must abort: $ex")
+    assert(sqlRows("SELECT k, v FROM graftrl.db.fdc ORDER BY k") ==
+      Seq(Seq(1L, 11L)), "winner's delete intact, loser applied nothing")
+  }
+
+  test("file-disjoint MOR concurrency: concurrent deletion-vector " +
+      "commits on disjoint groups both land; a vector attach on a " +
+      "shared group aborts") {
+    root
+    import graft.sources.{GraftCatalogTestHook => Hook}
+    spark.sql("CREATE TABLE graftrl.db.fdv (k BIGINT, seg STRING, " +
+      "v BIGINT) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val dir = root.resolve("db").resolve("fdv")
+    ins1("graftrl.db.fdv", "(1L,'a',10L),(2L,'a',20L),(3L,'a',30L)")
+    ins1("graftrl.db.fdv", "(11L,'b',40L),(12L,'b',50L),(13L,'b',60L)")
+    // winner vectors group B while the loser's DELETE (read at v2,
+    // vectoring only group A) is mid-commit → disjoint → both land
+    Hook.setBeforeDeltaPublish(() => {
+      Hook.clearPublishHooks()
+      spark.sql("DELETE FROM graftrl.db.fdv WHERE k = 12")   // wins v3
+    })
+    try spark.sql("DELETE FROM graftrl.db.fdv WHERE k = 2")
+    finally Hook.clearPublishHooks()
+    assert(Hook.manifestVersions(dir).max == 4L,
+      "disjoint MOR delete should rebase, not abort")
+    assert(sqlRows("SELECT k FROM graftrl.db.fdv ORDER BY k")
+      .map(_.head) == Seq(1L, 3L, 11L, 13L),
+      "both disjoint vector commits must be visible")
+    // overlap control: both statements vector group A → the loser's
+    // union was computed against a stale vector state → abort
+    Hook.setBeforeDeltaPublish(() => {
+      Hook.clearPublishHooks()
+      spark.sql("DELETE FROM graftrl.db.fdv WHERE k = 1")    // wins v5
+    })
+    val ex = try intercept[Exception] {
+      spark.sql("DELETE FROM graftrl.db.fdv WHERE k = 3")
+    } finally Hook.clearPublishHooks()
+    assert(Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).exists(t =>
+        t.isInstanceOf[java.util.ConcurrentModificationException] ||
+          Option(t.getMessage).exists(_.contains("concurrent commit"))),
+      s"vector overlap must abort: $ex")
+    assert(sqlRows("SELECT k FROM graftrl.db.fdv ORDER BY k")
+      .map(_.head) == Seq(3L, 11L, 13L),
+      "winner's vector intact, loser applied nothing")
   }
 
   test("append commits rebase past a racing writer: both inserts land") {
@@ -930,7 +1028,11 @@ class GraftCatalogSpec extends SparkSpec {
         .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
         .withZone(java.time.ZoneOffset.UTC).format(i) + "'"
     }
-    val at2 = Hook.manifestMtimeMillis(dir, 2L)
+    // the RECORDED #ts commit header, not mtime — the resolution
+    // source TIMESTAMP AS OF actually uses
+    val at2 = Hook.commitTimeMillis(dir, 2L)
+    assert(Hook.manifestMeta(dir, 2L).contains("ts"),
+      "publish must stamp an explicit #ts commit header")
     assert(sqlRows("SELECT k, v FROM graftrl.db.tg TIMESTAMP AS OF " +
       s"${tsLit(at2)} ORDER BY k").map(r =>
       (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])) == pre)

@@ -1,0 +1,273 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+import graft.sources.{GraftCatalog, GraftCatalogTestHook => Hook}
+
+/** Round-19 catalog tier: DISTRIBUTED OPTIMIZE (one Spark task per
+  * compaction bin — the last driver-side serial maintenance loop,
+  * fanned out), the DV READ-AMPLIFICATION GATE (dead-fraction
+  * candidate selection plus the serial fold cap), STREAMING WRITES
+  * into the catalog with exactly-once epoch replay, MERGE SCHEMA
+  * EVOLUTION (auto-widen), explicit `#ts` commit headers, and the
+  * tag-vs-retention retraction. */
+class Round19Spec extends SparkSpec {
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft_r19_spec")
+    spark.conf.set("spark.sql.catalog.g19", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g19.root", r.toString)
+    r
+  }
+
+  private def sqlRows(q: String): Seq[Seq[Any]] =
+    spark.sql(q).collect().toSeq.map(_.toSeq)
+
+  private def dir(t: String): Path = root.resolve("db").resolve(t)
+
+  test("distributed OPTIMIZE: >=8 bins rewritten one-task-per-bin, " +
+      "result equivalent to the serial path, DV folded in") {
+    root
+    // one fragmented table, then a byte-identical directory clone:
+    // same file names → same deterministic packing plan, so the
+    // serial and distributed paths must produce equivalent results
+    spark.sql("CREATE TABLE g19.db.opts (k BIGINT, seg STRING, " +
+      "v BIGINT) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    for (i <- 0 until 16)
+      spark.sql(s"INSERT INTO g19.db.opts SELECT id AS k, 'g$i' AS " +
+        s"seg, id * 10 AS v FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)")
+    // one group picks up a deletion vector to fold away
+    spark.sql("DELETE FROM g19.db.opts WHERE k = 3")
+    scala.util.Using.resource(Files.walk(dir("opts"))) { s =>
+      s.forEach { p =>
+        val d = dir("optd").resolve(dir("opts").relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(d)
+        else { Files.createDirectories(d.getParent); Files.copy(p, d) }
+      }
+    }
+    // pairs of 10-row fragments at targetRows=20 → 8 bins
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    }
+    val serial = Hook.optimizeTable(dir("opts"), targetRows = 20L)
+    spark.sparkContext.addSparkListener(listener)
+    val distributed = try {
+      val before = tasks.get()
+      val r = Hook.optimizeTableDistributed(spark, dir("optd"),
+        targetRows = 20L)
+      // listener events are async: wait for the bin tasks to be seen
+      val deadline = System.currentTimeMillis() + 10000
+      while (tasks.get() - before < r.addedFiles.size &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(tasks.get() - before >= r.addedFiles.size,
+        s"expected >= ${r.addedFiles.size} tasks (one per bin), saw " +
+          s"${tasks.get() - before}")
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(serial.removedFiles.size == 16 &&
+      serial.addedFiles.size == 8,
+      s"expected 16 fragments into 8 bins: $serial")
+    assert(distributed.removedFiles == serial.removedFiles,
+      "identical inputs must pack identically")
+    assert(distributed.addedFiles.size == 8,
+      s"one packed file per bin: $distributed")
+    // bit-equivalent packing: per-file (rows, statsToken) multisets
+    // match (names are UUIDs, geometry and contents are the contract)
+    def packSignature(t: String): Seq[(Long, String)] = {
+      val d = dir(t)
+      Hook.manifestStatsTokens(d, Hook.manifestVersions(d).max)
+        .map(x => (x._2, x._3)).sorted
+    }
+    assert(packSignature("opts") == packSignature("optd"),
+      "distributed packing must be bit-equivalent to serial")
+    assert(sqlRows("SELECT k, seg, v FROM g19.db.opts ORDER BY k") ==
+      sqlRows("SELECT k, seg, v FROM g19.db.optd ORDER BY k"))
+    // the deletion vector was folded: no dv sidecar in the new manifest
+    assert(sqlRows("SELECT count(*) FROM g19.db.optd").head.head == 159L)
+  }
+
+  test("DV read-amplification gate: heavy dead fraction folds even " +
+      "in big groups; mostly-live big groups are left alone; the " +
+      "serial path caps fold size, the distributed path does not") {
+    root
+    def mk(t: String, deadPct: Int): Path = {
+      spark.sql(s"CREATE TABLE g19.db.$t (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO g19.db.$t SELECT id, id FROM " +
+        "range(0, 100, 1, 1)")
+      spark.sql(s"DELETE FROM g19.db.$t WHERE k % 100 < $deadPct")
+      dir(t)
+    }
+    // 30% dead, liveRows=70 >= targetRows → selected by dead fraction
+    val hot = mk("dvhot", 30)
+    val hotRes = Hook.optimizeTable(hot, targetRows = 20L)
+    assert(hotRes.removedFiles.size == 1 && hotRes.addedFiles.size == 1,
+      s"30%-dead group must fold: $hotRes")
+    assert(Hook.groupOccupancy(hot).forall { case (_, r, l) => r == l },
+      "fold must leave no masked rows")
+    assert(sqlRows("SELECT count(*) FROM g19.db.dvhot").head.head == 70L)
+    // 5% dead, big and mostly live → rewriting it is churn, not
+    // maintenance; left alone
+    val cold = mk("dvcold", 5)
+    val coldRes = Hook.optimizeTable(cold, targetRows = 20L)
+    assert(coldRes.removedFiles.isEmpty && coldRes.addedFiles.isEmpty,
+      s"5%-dead group must NOT fold: $coldRes")
+    // serial cap: liveRows=70 > 4*targetRows=40 → the serial path
+    // refuses the driver-side rewrite; the distributed path folds it
+    val big = mk("dvbig", 30)
+    val capped = Hook.optimizeTable(big, targetRows = 10L)
+    assert(capped.removedFiles.isEmpty,
+      s"serial path must cap oversized DV folds: $capped")
+    val fanned = Hook.optimizeTableDistributed(spark, big,
+      targetRows = 10L)
+    assert(fanned.removedFiles.size == 1 && fanned.addedFiles.size == 1,
+      s"distributed path must fold the oversized DV group: $fanned")
+    assert(sqlRows("SELECT count(*) FROM g19.db.dvbig").head.head == 70L)
+  }
+
+  test("streaming write INTO the catalog: epochs append atomically, " +
+      "a replayed epoch after a stale-checkpoint restart commits " +
+      "nothing twice") {
+    root
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE g19.db.ssrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE g19.db.ssink (k BIGINT, v BIGINT)")
+    val ck = Files.createTempDirectory("graft_r19_ck")
+    def drain(fromCk: Path): Unit = {
+      val q = spark.readStream.table("g19.db.ssrc")
+        .writeStream.option("checkpointLocation", fromCk.toString)
+        .trigger(Trigger.AvailableNow())
+        .toTable("g19.db.ssink")
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.sql("INSERT INTO g19.db.ssrc SELECT id, id * 2 FROM range(0, 5)")
+    drain(ck)
+    assert(sqlRows("SELECT k, v FROM g19.db.ssink ORDER BY k") ==
+      (0L until 5L).map(i => Seq(i, i * 2)))
+    // the epoch marker rode the SAME manifest publish as the rows
+    val sink = dir("ssink")
+    val v1meta = Hook.manifestMeta(sink, Hook.manifestVersions(sink).max)
+    assert(v1meta.contains("txn") && v1meta.contains("ts"),
+      s"streaming commit must stamp txn+ts headers: $v1meta")
+    // stale-checkpoint replay: copy the checkpoint BEFORE batch 2,
+    // drain batch 2 through the live checkpoint, then restart from
+    // the stale copy — Spark replans the same epoch with the same
+    // data, and the txn marker must swallow the duplicate
+    val ckStale = Files.createTempDirectory("graft_r19_ck_stale")
+    def copyTree(from: Path, to: Path): Unit =
+      scala.util.Using.resource(Files.walk(from)) { s =>
+        s.forEach { p =>
+          val d = to.resolve(from.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(d)
+          else { Files.createDirectories(d.getParent); Files.copy(p, d) }
+        }
+      }
+    copyTree(ck, ckStale)
+    spark.sql("INSERT INTO g19.db.ssrc SELECT id, id * 2 FROM range(5, 8)")
+    drain(ck) // live: commits epoch 1 with rows 5..7
+    assert(sqlRows("SELECT count(*) FROM g19.db.ssink").head.head == 8L)
+    drain(ckStale) // replays epoch 1 → marker present → skipped
+    assert(sqlRows("SELECT count(*) FROM g19.db.ssink").head.head == 8L,
+      "replayed epoch must not double-append")
+    assert(sqlRows("SELECT k, v FROM g19.db.ssink ORDER BY k") ==
+      (0L until 8L).map(i => Seq(i, i * 2)),
+      "sink must equal the one-shot batch content exactly once")
+    // hygiene: the replay's re-staged files were deleted, every
+    // data file on disk is manifest-bound
+    val referenced = Hook.manifestVersions(sink)
+      .flatMap(v => Hook.manifestFiles(sink, v)).toSet
+    val onDisk = Option(sink.toFile.listFiles()).get
+      .map(_.getName).filter(n => n.startsWith("data-")).toSet
+    assert(onDisk == referenced,
+      s"orphaned streaming files: ${onDisk -- referenced}")
+    graft.streaming.StreamingResidue.deleteRecursively(ck)
+    graft.streaming.StreamingResidue.deleteRecursively(ckStale)
+  }
+
+  test("MERGE schema evolution: widenForMerge appends missing source " +
+      "columns atomically, old groups null-fill, the merge binds them") {
+    root
+    spark.sql("CREATE TABLE g19.db.ev (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO g19.db.ev VALUES (1, 10), (2, 20)")
+    val preFiles = Hook.manifestFiles(dir("ev"),
+      Hook.manifestVersions(dir("ev")).max).toSet
+    locally {
+      import spark.implicits._
+      Seq((2L, 25L, "upd"), (3L, 30L, "new"))
+        .toDF("k", "v", "note").createOrReplaceTempView("ev_src")
+    }
+    val added = GraftCatalog.widenForMerge(spark, "g19.db.ev",
+      spark.table("ev_src").schema)
+    assert(added == Seq("note"), s"expected to add note: $added")
+    assert(Hook.schemaVersion(dir("ev")) == 1L,
+      "widen must publish a new schema version")
+    spark.sql("""
+      MERGE INTO g19.db.ev t USING ev_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+      WHEN NOT MATCHED THEN INSERT (k, v, note) VALUES (s.k, s.v, s.note)
+    """)
+    assert(sqlRows("SELECT k, v, note FROM g19.db.ev ORDER BY k") ==
+      Seq(Seq(1L, 10L, null), Seq(2L, 25L, "upd"), Seq(3L, 30L, "new")))
+    // the untouched pre-evolution group was NOT rewritten: old rows
+    // null-fill by schema-on-read, not by rewrite... the merge DID
+    // rewrite the group containing k=2 (COW), but k=1 shares it; so
+    // instead pin: a fresh pre-widening group on another table stays
+    // on disk byte-identical after widening alone
+    spark.sql("CREATE TABLE g19.db.ev2 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO g19.db.ev2 VALUES (1, 10)")
+    val d2 = dir("ev2")
+    val f2 = Hook.manifestFiles(d2, 1L).head
+    val bytesBefore = Files.readAllBytes(d2.resolve(f2)).toSeq
+    GraftCatalog.widenForMerge(spark, "g19.db.ev2",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.DoubleType))))
+    assert(Files.readAllBytes(d2.resolve(f2)).toSeq == bytesBefore,
+      "widening must never rewrite existing groups")
+    assert(sqlRows("SELECT k, v, extra FROM g19.db.ev2") ==
+      Seq(Seq(1L, 10L, null)))
+    // aligned schemas are a no-op; unsupported types refuse loudly
+    assert(GraftCatalog.widenForMerge(spark, "g19.db.ev2",
+      spark.table("g19.db.ev2").schema).isEmpty)
+    val bad = intercept[IllegalArgumentException] {
+      GraftCatalog.widenForMerge(spark, "g19.db.ev2",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.BooleanType))))
+    }
+    assert(bad.getMessage.contains("unsupported type"))
+    assert(preFiles.nonEmpty) // silence unused warning
+  }
+
+  test("tag-vs-retention race: a tag that wins publication but lost " +
+      "its manifest to a concurrent expire is retracted loudly") {
+    root
+    spark.sql("CREATE TABLE g19.db.tr (k BIGINT)")
+    spark.sql("INSERT INTO g19.db.tr VALUES (1)") // v1
+    spark.sql("INSERT INTO g19.db.tr VALUES (2)") // v2
+    val d = dir("tr")
+    // the racing expireSnapshots had ALREADY listed tag versions
+    // (before this tag existed) and deletes v1's manifest in the
+    // window after the tag's publication — simulated by removing the
+    // manifest directly, which is exactly what that expire does
+    Hook.setAfterTagPublish(() => {
+      Hook.clearPublishHooks()
+      Files.delete(d.resolve("v00001.manifest"))
+    })
+    val ex = try intercept[IllegalStateException] {
+      Hook.tagSnapshot(d, "audit", 1L)
+    } finally Hook.clearPublishHooks()
+    assert(ex.getMessage.contains("tag retracted"), ex.getMessage)
+    assert(!Files.exists(d.resolve("tag-audit")),
+      "dangling tag must be retracted, not left pointing at an " +
+        "expired version")
+    // tagging a live version afterwards works normally
+    Hook.tagSnapshot(d, "audit", 2L)
+    assert(sqlRows("SELECT count(*) FROM g19.db.tr " +
+      "VERSION AS OF 'audit'").head.head == 2L)
+  }
+}
