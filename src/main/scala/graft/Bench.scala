@@ -125,8 +125,14 @@ object Bench {
     // round of misleading deltas) is then identifiable per query, not
     // just per session via the start/end pair
     val loadPer = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // queries whose clock included staging a fixture-cache layout
+    // fresh (a cache miss): their time is staging + query, so a
+    // re-fixtured round must not be read as a plan regression
+    // (q379/q390 lesson, round 18)
+    val stagedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (String, Double, Option[String]) = {
+      val stagedBefore = FixtureCache.stagedSoFar
       val t0 = System.nanoTime()
       val err =
         try {
@@ -137,6 +143,7 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       loadPer += ((name, loadAvg()))
+      if (FixtureCache.stagedSoFar > stagedBefore) stagedQueries += name
       // release operator-internal caches before the next query's clock
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
@@ -271,8 +278,11 @@ object Bench {
         s""","io_probe_s":[${r3(ioProbeStart)},${r3(ioProbeEnd)}]""" +
         s""","io_probe_per_query":$ioPerJson""" +
         s""","io_probe_ok_session":$ioProbeOkSession"""
+    // usually empty or tiny: only cache-miss (freshly staged) queries
+    val stagedJson = s""","staged":${stagedQueries
+        .map(jstr(_) + ":true").mkString("{", ",", "}")}"""
     val fullLine =
-      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"loadavg_per_query":$loadPerJson$contendedJson$probeFullJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_fullnames","value":$total,"unit":"sec","queries":$qsFull$calibJson,"loadavg_per_query":$loadPerJson$contendedJson$probeFullJson$stagedJson,"sf":"$sfDir"}"""
     // only a FULL-registry run may write the definitive artifact — a
     // subset dev run (query names as args) silently clobbering the
     // 300+-query record cost round 15 a re-run

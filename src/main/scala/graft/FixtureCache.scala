@@ -31,6 +31,13 @@ object FixtureCache {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Count of layouts STAGED FRESH by this JVM (cache misses). Bench
+    * snapshots it around each query so a re-fixture is labeled
+    * `staged` in the artifact instead of reading as a plan
+    * regression (q379/q390, round 18). */
+  private val stagedFresh = new java.util.concurrent.atomic.AtomicInteger(0)
+  def stagedSoFar: Int = stagedFresh.get()
+
   private def cacheRoot: Path = {
     val root = sys.env.get("SPARK_GRAFT_FIXTURE_CACHE").map(Paths.get(_))
       .getOrElse(Paths.get(sys.props("java.io.tmpdir"),
@@ -62,6 +69,7 @@ object FixtureCache {
     lock.synchronized {
       if (Files.exists(target.resolve(".complete"))) return target
       val tmp = Files.createTempDirectory(cacheRoot, s".stage-$key-")
+      stagedFresh.incrementAndGet()
       try {
         stage(tmp)
         Files.writeString(tmp.resolve(".complete"), "")

@@ -985,11 +985,23 @@ GROUP BY 1 ORDER BY 1
             expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
             col("o_orderpriority").as("prio"),
             expr("date_format(o_orderdate, 'yyyy-MM-dd')").as("d"))
-        base.write.mode("overwrite").parquet(s"$tmp/p")
-        base.write.mode("overwrite").orc(s"$tmp/o")
-        base.write.mode("overwrite").option("header", "true")
-          .csv(s"$tmp/c")
-        base.write.mode("overwrite").json(s"$tmp/j")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the four format writes are INDEPENDENT jobs over the one
+        // cached projection — submit them concurrently and let the
+        // scheduler interleave their tasks (serial writes made this
+        // audit scale with 4× the slowest text encoder at sf10; the
+        // projection itself is computed once, not four times)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq[() => Unit](
+          () => base.write.mode("overwrite").parquet(s"$tmp/p"),
+          () => base.write.mode("overwrite").orc(s"$tmp/o"),
+          () => base.write.mode("overwrite").option("header", "true")
+            .csv(s"$tmp/c"),
+          () => base.write.mode("overwrite").json(s"$tmp/j"))
+        Await.result(Future.sequence(writes.map(w => Future(w()))),
+          scala.concurrent.duration.Duration(20, "min"))
+        base.unpersist()
         val schema = "o_orderkey bigint, cents bigint, prio string, d string"
         val reads = Seq(
           "parquet" -> s.read.parquet(s"$tmp/p"),

@@ -243,6 +243,36 @@ class Round19Spec extends SparkSpec {
     assert(preFiles.nonEmpty) // silence unused warning
   }
 
+  test("metadata-only DELETE rebases past a racing append: both " +
+      "commits land, the proof re-runs on the winner's manifest") {
+    root
+    spark.sql("CREATE TABLE g19.db.md (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO g19.db.md SELECT id, id FROM range(0, 10, 1, 1)")
+    spark.sql(
+      "INSERT INTO g19.db.md SELECT id, id FROM range(100, 110, 1, 1)")
+    // the aligned DELETE (provable all-match on the k<10 group,
+    // none-match elsewhere) races a live INSERT; whichever loses the
+    // manifest publish must rebase — the delete by re-proving its
+    // per-file verdicts against the winner's manifest (the appended
+    // group is provably none-match, so the fast path survives), the
+    // insert by the append-commute rule. Final state is deterministic
+    // in either interleaving.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fDel = pool.submit(new Runnable {
+      override def run(): Unit =
+        spark.sql("DELETE FROM g19.db.md WHERE k < 10")
+    })
+    val fIns = pool.submit(new Runnable {
+      override def run(): Unit = spark.sql(
+        "INSERT INTO g19.db.md SELECT id, id FROM range(300, 303, 1, 1)")
+    })
+    fDel.get(); fIns.get(); pool.shutdown()
+    assert(sqlRows("SELECT count(*) FROM g19.db.md").head.head == 13L)
+    assert(sqlRows("SELECT min(k) FROM g19.db.md").head.head == 100L)
+    assert(sqlRows("SELECT count(*) FROM g19.db.md WHERE k >= 300")
+      .head.head == 3L)
+  }
+
   test("tag-vs-retention race: a tag that wins publication but lost " +
       "its manifest to a concurrent expire is retracted loudly") {
     root

@@ -100,14 +100,24 @@ def check_bench(bpath: str, expected, quiet_required: bool) -> None:
         # embedded bench line out of the tail and apply the SAME >=95%
         # check; an unparseable (truncated) tail falls through to the
         # quiet artifact's gate when one is required, else FAILS.
-        embedded = None
+        # r18 advice: keep only REAL bench lines (metric total_fullnames
+        # / total with a parseable queries dict) and prefer the full-name
+        # line — a trailing foreign metric line or partial re-print must
+        # never be the one the coverage gate judges
+        candidates = []
         for line in raw.splitlines():
             i = line.find('{"metric"')
             if i >= 0:
                 try:
-                    embedded = json.loads(line[i:])
+                    obj = json.loads(line[i:])
                 except json.JSONDecodeError:
                     continue
+                if obj.get("metric") in ("total_fullnames", "total") \
+                        and isinstance(obj.get("queries"), dict):
+                    candidates.append(obj)
+        embedded = next(
+            (c for c in candidates if c["metric"] == "total_fullnames"),
+            candidates[0] if candidates else None)
         if embedded is not None and isinstance(
                 embedded.get("queries"), dict):
             q = embedded["queries"]
