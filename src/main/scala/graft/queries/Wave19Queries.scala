@@ -447,5 +447,153 @@ FROM (
 ) ORDER BY k
 """))
 
-  def all: Seq[QuerySpec] = Seq(q403, q404, q405, q406, q407)
+  /** q408 — DESCRIBE HISTORY: the audit surface every table format
+    * pairs with time travel — one row per retained version with the
+    * commit's SHAPE derived from the manifest diff (create / append /
+    * change), group-file delta counts, and the recorded `#ts` commit
+    * instant (asserted monotone, excluded from the hashed output for
+    * determinism). A deletion-vector attach is a `change` even
+    * though no file name moved — rows were deleted, which is exactly
+    * the verdict the strict change stream enforces; history and
+    * streaming share one diff engine, so they can never disagree
+    * about what a commit did. Manifest-only: zero data I/O however
+    * large the table. The oracle is the scripted lifecycle's known
+    * shape, replayed as literals. */
+  val q408 = QuerySpec("q408_describe_history",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q408_cat")
+      val cat = s"grafth${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.h (k BIGINT, seg STRING, v BIGINT)" +
+          " TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+        val tdir = root.resolve("db").resolve("h")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"hsrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.h " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM hsrc_$cat " +
+            s"WHERE $slice")                                  // v1..v3
+        s.sql(s"DELETE FROM $cat.db.h WHERE k % 10 = 7 AND k < 34") // v4 DV
+        s.sql(s"DELETE FROM $cat.db.h WHERE k >= 67")         // v5 aligned
+        val hook = graft.sources.GraftCatalogTestHook
+        hook.optimizeTable(tdir, targetRows = 1000L)          // v6 pack
+        val h = hook.history(tdir)
+        require(h.map(_.commitTimeMillis) ==
+          h.map(_.commitTimeMillis).sorted,
+          "history commit times must be monotone")
+        require(h.forall(_.txn.isEmpty),
+          "no streaming epochs in this lifecycle")
+        // the DV attach (v4) and the metadata delete (v5) are both
+        // CHANGE commits — same verdict the change stream enforces
+        import s.implicits._
+        val out = h.map(e => (e.version, e.operation,
+          e.filesAdded.toLong, e.filesRemoved.toLong))
+          .toDF("version", "operation", "files_added", "files_removed")
+          .orderBy("version")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"hsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+SELECT CAST(version AS BIGINT) AS version, operation,
+  CAST(files_added AS BIGINT) AS files_added,
+  CAST(files_removed AS BIGINT) AS files_removed
+FROM (VALUES (0, 'create', 0, 0), (1, 'append', 1, 0),
+  (2, 'append', 1, 0), (3, 'append', 1, 0), (4, 'change', 1, 1),
+  (5, 'change', 0, 1), (6, 'change', 1, 2))
+  AS t(version, operation, files_added, files_removed)
+ORDER BY version
+"""))
+
+  /** q409 — CLUSTERED OPTIMIZE (1-D Delta `ZORDER BY`): sustained
+    * ingest SCATTERS key ranges — every commit spans the keyspace, so
+    * after a day of appends a key predicate prunes NOTHING and a
+    * 100 TB scan pays the whole table for a one-key lookup. Clustered
+    * compaction re-cuts the fragments into KEY-RANGE bins (boundaries
+    * from the exact sort keys, one executor task per range, rows
+    * sorted in-file) so the packed files cover tight disjoint ranges
+    * and static stats pruning works again. The query REQUIRES the
+    * before/after pruning differential measured through the REAL scan
+    * (all groups kept before, exactly one after), range-disjoint
+    * manifest stats, bit-stable contents, and incremental idempotence
+    * (a second clustered run emits no bins). Output is the clustered
+    * table's rollup; the oracle replays it relationally. */
+  val q409 = QuerySpec("q409_clustered_optimize",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q409_cat")
+      val cat = s"graftcl${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.cl (k BIGINT, seg STRING, v BIGINT)")
+        val tdir = root.resolve("db").resolve("cl")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"clsrc_$cat")
+        // four era fragments, EACH spanning the whole key domain —
+        // the sustained-ingest shape that defeats pruning
+        for (r <- 0 until 4)
+          s.sql(s"INSERT INTO $cat.db.cl " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM clsrc_$cat " +
+            s"WHERE k % 4 = $r")                              // v1..v4
+        def keptGroups(pred: String): Int =
+          s.sql(s"SELECT k, v FROM $cat.db.cl WHERE $pred")
+            .rdd.getNumPartitions // one InputPartition per kept group
+        require(keptGroups("k < 10") == 4,
+          "interleaved fragments must defeat pruning (the premise)")
+        val pre = s.sql(s"SELECT k, seg, v FROM $cat.db.cl")
+          .collect().map(_.toSeq).toSet
+        val hook = graft.sources.GraftCatalogTestHook
+        val res = hook.optimizeTableDistributed(s, tdir,
+          targetRows = 50L, sortCol = Some("k"))              // v5
+        require(res.removedFiles.size == 4 && res.addedFiles.size == 2,
+          s"4 interleaved fragments should re-cut into 2 ranges: $res")
+        require(s.sql(s"SELECT k, seg, v FROM $cat.db.cl")
+          .collect().map(_.toSeq).toSet == pre,
+          "clustering changed table contents")
+        require(keptGroups("k < 10") == 1,
+          "clustering must restore single-file static pruning")
+        // incremental idempotence: nothing further to re-cut
+        val again = hook.optimizeTableDistributed(s, tdir,
+          targetRows = 50L, sortCol = Some("k"))
+        require(again.removedFiles.isEmpty && again.addedFiles.isEmpty,
+          s"clustered OPTIMIZE must be idempotent: $again")
+        val out = s.sql(s"SELECT seg, count(*) AS n_keys, " +
+          s"sum(v) AS total_cents, min(k) AS min_k, max(k) AS max_k " +
+          s"FROM $cat.db.cl GROUP BY seg ORDER BY seg")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"clsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS ($oracleSeed)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(v) AS BIGINT) AS total_cents,
+  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+FROM seed GROUP BY seg ORDER BY seg
+"""))
+
+  def all: Seq[QuerySpec] =
+    Seq(q403, q404, q405, q406, q407, q408, q409)
 }

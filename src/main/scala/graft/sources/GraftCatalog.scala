@@ -432,6 +432,53 @@ object GraftCatalog {
     }
   }
 
+  /** One DESCRIBE HISTORY row: a committed version, its recorded
+    * commit instant, the commit's shape derived from the manifest
+    * diff (`create` / `append` / `change` — a change commit removed
+    * or rewrote groups, which is also exactly what the strict change
+    * stream refuses), group-file delta counts, and the streaming txn
+    * marker when the commit came from a `writeStream.toTable` epoch. */
+  final case class HistoryEntry(version: Long, commitTimeMillis: Long,
+      operation: String, filesAdded: Int, filesRemoved: Int,
+      txn: Option[String])
+
+  /** DESCRIBE HISTORY — the audit surface every table format pairs
+    * with time travel: one row per RETAINED version, oldest first,
+    * derived entirely from manifests and their `#ts`/`#txn` headers
+    * (zero data I/O). Versions retired by [[expireSnapshots]] are
+    * absent — history older than retention is not addressable, in
+    * listing or in travel. A group whose manifest line changed in
+    * place (a deletion-vector attach) counts as removed+added: rows
+    * were deleted even though the file name survived. */
+  def history(tableDir: Path): Seq[HistoryEntry] = {
+    val versions = GraftRl.manifestVersions(tableDir).sorted
+    require(versions.nonEmpty,
+      s"graft catalog: $tableDir has no manifests (not a table?)")
+    versions.map { v =>
+      val cur = GraftRl.readManifest(tableDir, v).getOrElse(Seq.empty)
+      // retention can leave GAPS (a tag pins a version whose
+      // neighbors expired): a version with no retained predecessor
+      // has an unknowable delta and reports as a baseline
+      val prevOpt =
+        if (v == versions.head) None
+        else GraftRl.readManifest(tableDir, v - 1)
+      val prev = prevOpt.getOrElse(Seq.empty)
+      val curLines = cur.map(g => g.name -> g.manifestLine).toMap
+      val prevLines = prev.map(g => g.name -> g.manifestLine).toMap
+      val added = cur.count(g => !prevLines.get(g.name)
+        .contains(g.manifestLine))
+      val removed = prev.count(g => !curLines.get(g.name)
+        .contains(g.manifestLine))
+      val op =
+        if (v == 0L) "create"
+        else if (prevOpt.isEmpty) "baseline"
+        else if (removed > 0) "change"
+        else "append"
+      HistoryEntry(v, GraftRl.commitTimeMillis(tableDir, v), op,
+        added, removed, GraftRl.readManifestMeta(tableDir, v).get("txn"))
+    }
+  }
+
   /** MERGE SCHEMA EVOLUTION (Delta's `mergeSchema` contract, the
     * auto-widen half): a MERGE whose source carries columns the
     * target lacks should WIDEN the target and null-fill history, not
@@ -508,7 +555,23 @@ object GraftCatalog {
     * orphan no manifest references; retention's vacuum sweeps it
     * like any other unreferenced data file. */
   def optimizeTable(tableDir: Path, targetRows: Long): OptimizeResult =
-    optimizeImpl(tableDir, targetRows,
+    optimizeTable(tableDir, targetRows, None)
+
+  /** CLUSTERED compaction (`sortCol` — Delta `OPTIMIZE ZORDER BY` in
+    * its one-dimension form): candidates are packed in SORT-KEY order
+    * (by their stats lower bound) instead of name order and each
+    * packed file's rows are sorted on the column, so compaction
+    * leaves files covering tight, near-disjoint key ranges — a point
+    * or range predicate then statically prunes to ~one file where
+    * the fragmented interleaved layout kept them all. Fragmentation
+    * under sustained ingest SCATTERS key ranges (every commit spans
+    * the keyspace); clustering on the hot filter column is how a
+    * 100 TB table keeps its pruning power without a full rewrite.
+    * The clustered rewrite buffers one bin in memory (bins are sized
+    * by `targetRows` — pick it to fit the executor). */
+  def optimizeTable(tableDir: Path, targetRows: Long,
+      sortCol: Option[String]): OptimizeResult =
+    optimizeImpl(tableDir, targetRows, sortCol,
       serialDvFoldCap = true,
       runner = bins => bins.map(GraftRlOptimize.rewriteBin))
 
@@ -516,8 +579,9 @@ object GraftCatalog {
     * bin. No DV-fold size cap here — an executor rewriting one
     * oversized group is exactly what the fan-out is for. */
   def optimizeTable(spark: org.apache.spark.sql.SparkSession,
-      tableDir: Path, targetRows: Long): OptimizeResult =
-    optimizeImpl(tableDir, targetRows,
+      tableDir: Path, targetRows: Long,
+      sortCol: Option[String] = None): OptimizeResult =
+    optimizeImpl(tableDir, targetRows, sortCol,
       serialDvFoldCap = false,
       runner = bins =>
         if (bins.isEmpty) Seq.empty
@@ -536,6 +600,7 @@ object GraftCatalog {
   val DvFoldDeadFraction = 0.10
 
   private def optimizeImpl(tableDir: Path, targetRows: Long,
+      sortCol: Option[String],
       serialDvFoldCap: Boolean,
       runner: Seq[GraftRlOptimize.Bin] =>
         Seq[(Seq[String], GraftRlStagedFile)]): OptimizeResult = {
@@ -573,32 +638,48 @@ object GraftCatalog {
       }
       qualifies && bucket(f).isDefined
     }
-    val bins: Seq[Seq[GraftRl.GroupFile]] = candidates
-      .groupBy(bucket).toSeq.sortBy(_._2.head.name).flatMap {
-        case (_, fs) =>
-          // greedy first-fit over name order: deterministic packing
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[scala.collection.mutable.ArrayBuffer[GraftRl.GroupFile]]
-          var cur = scala.collection.mutable.ArrayBuffer
-            .empty[GraftRl.GroupFile]
-          var rows = 0L
-          fs.sortBy(_.name).foreach { f =>
-            if (cur.nonEmpty && rows + f.liveRows > targetRows) {
-              out += cur
-              cur = scala.collection.mutable.ArrayBuffer.empty; rows = 0L
-            }
-            cur += f; rows += f.liveRows
+    val sortIdx = sortCol.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: no such sort column '$c'")
+      schema.fieldIndex(c)
+    }
+    def toBinFile(gf: GraftRl.GroupFile): GraftRlOptimize.BinFile =
+      GraftRlOptimize.BinFile(gf.name, gf.rows, gf.statsToken,
+        gf.dv.map(_._1).getOrElse(""))
+    val byBucket = candidates.groupBy(bucket).toSeq
+      .sortBy(_._2.head.name)
+    val binDefs: Seq[GraftRlOptimize.Bin] = sortIdx match {
+      case Some(i) =>
+        // CLUSTERED: row-range bins planned from the EXACT sort keys
+        // (see GraftRlOptimize.clusterBins) — file-level packing
+        // cannot separate interleaved key ranges
+        byBucket.flatMap { case (_, fs) =>
+          GraftRlOptimize.clusterBins(tableDir, schema, i,
+            fs.map(toBinFile), targetRows)
+        }
+      case None => byBucket.flatMap { case (_, fs) =>
+        // greedy first-fit over name order: deterministic packing
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[GraftRl.GroupFile]]
+        var cur = scala.collection.mutable.ArrayBuffer
+          .empty[GraftRl.GroupFile]
+        var rows = 0L
+        fs.sortBy(_.name).foreach { f =>
+          if (cur.nonEmpty && rows + f.liveRows > targetRows) {
+            out += cur
+            cur = scala.collection.mutable.ArrayBuffer.empty; rows = 0L
           }
-          if (cur.nonEmpty) out += cur
-          // a 1-file bin is worth rewriting only to fold a DV away
-          out.filter(b => b.size >= 2 || b.exists(_.dv.isDefined))
-            .map(_.toSeq)
+          cur += f; rows += f.liveRows
+        }
+        if (cur.nonEmpty) out += cur
+        // a 1-file bin is worth rewriting only to fold a DV away
+        out.filter(b => b.size >= 2 || b.exists(_.dv.isDefined))
+          .map(b => GraftRlOptimize.Bin(tableDir.toString, schema.json,
+            b.toSeq.map(toBinFile)))
       }
-    if (bins.isEmpty) return OptimizeResult(Nil, Nil, base)
-    val packed = runner(bins.map(bin => GraftRlOptimize.Bin(
-      tableDir.toString, schema.json,
-      bin.map(gf => GraftRlOptimize.BinFile(gf.name, gf.statsToken,
-        gf.dv.map(_._1).getOrElse(""))))))
+    }
+    if (binDefs.isEmpty) return OptimizeResult(Nil, Nil, base)
+    val packed = runner(binDefs)
     val removed = packed.flatMap(_._1).toSet
     val next = files.filterNot(f => removed.contains(f.name)) ++
       packed.map(_._2.toGroupFile)
@@ -618,25 +699,154 @@ object GraftCatalog {
   * it inside a Spark task closure without capturing anything (the
   * `$outer` serialization trap anonymous helpers fall into). One bin
   * in, one packed file out — the same parquet-mr reader/writer pair
-  * the serial path always used, now location-transparent. */
+  * the serial path always used, now location-transparent.
+  *
+  * Two bin shapes share the rewriter: PLAIN bins (a list of whole
+  * fragments, streamed through unchanged) and CLUSTERED RANGE bins
+  * (`ranged=true`): each bin owns a KEY RANGE `[lo, hi)` of the sort
+  * column and reads every overlapping fragment, keeping only its
+  * range's rows, sorting them, and writing one range-tight file. The
+  * ranges partition the key space (nulls ride the first range —
+  * Spark's NULLS FIRST), so across bins every live row is written
+  * exactly once. */
 private[sources] object GraftRlOptimize {
   /** One fragment of a bin: `dvName` empty = no deletion vector.
     * Width (the column count the file was written with) derives from
     * the stats token — one token per column. */
-  final case class BinFile(name: String, statsToken: String,
+  final case class BinFile(name: String, rows: Long, statsToken: String,
       dvName: String) {
     def width: Int = statsToken.split(",", -1).length
   }
+  /** `sortIdx >= 0` = sort the packed file's rows on that column
+    * (NULLS FIRST, NaN above every double — Spark's sort order);
+    * `ranged` additionally filters each fragment to `[lo, hi)` (an
+    * absent bound is infinite; `takeNulls` marks the range that owns
+    * the null rows). Bounds are codec-exact: Long/Double via
+    * round-tripping `toString`, String via Base64 of the UTF8 bytes
+    * (a lossy string bound could silently drop or duplicate rows at
+    * a range seam). */
   final case class Bin(dir: String, schemaJson: String,
-      files: Seq[BinFile])
+      files: Seq[BinFile], sortIdx: Int = -1, ranged: Boolean = false,
+      lo: Option[String] = None, hi: Option[String] = None,
+      takeNulls: Boolean = false)
+
+  private def encodeKey(dt: DataType, v: Any): String = dt match {
+    case LongType => v.asInstanceOf[java.lang.Long].toString
+    case DoubleType => v.asInstanceOf[java.lang.Double].toString
+    case _ => java.util.Base64.getEncoder.encodeToString(
+      v.asInstanceOf[UTF8String].getBytes)
+  }
+  private def decodeKey(dt: DataType, s: String): Any = dt match {
+    case LongType => java.lang.Long.valueOf(s)
+    case DoubleType => java.lang.Double.valueOf(s)
+    case _ => UTF8String.fromBytes(
+      java.util.Base64.getDecoder.decode(s))
+  }
+  /** Spark-order comparator (NaN greatest via Double.compare). Used
+    * for BOTH boundary planning and row filtering, so range
+    * assignment is consistent by construction. */
+  private def cmpKey(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType => java.lang.Long.compare(
+      a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])
+    case DoubleType => java.lang.Double.compare(
+      a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])
+    case _ => a.asInstanceOf[UTF8String]
+      .compareTo(b.asInstanceOf[UTF8String])
+  }
+
+  /** Read one fragment's DV-masked sort-key column: `(nonNullKeys,
+    * nullCount)`. A fragment written before the sort column existed
+    * reads it as all-null without opening the file. */
+  private def readKeys(tableDir: Path, schema: StructType, i: Int,
+      f: BinFile): (Seq[Any], Long) = {
+    val dv = if (f.dvName.isEmpty) Array.emptyLongArray
+      else GraftRl.readDv(tableDir.resolve(f.dvName))
+    if (i >= f.width) return (Seq.empty, f.rows - dv.length)
+    val fld = schema.fields(i)
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var nulls = 0L
+    var dvIdx = 0
+    var ord = 0L
+    val reader = GraftRlCodec.openReader(
+      tableDir.resolve(f.name).toString,
+      GraftRlCodec.messageType(Seq(fld)))
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val o = ord; ord += 1
+        while (dvIdx < dv.length && dv(dvIdx) < o) dvIdx += 1
+        if (!(dvIdx < dv.length && dv(dvIdx) == o)) {
+          val v = GraftRlCodec.groupValue(g, 0, fld.dataType)
+          if (v == null) nulls += 1 else keys += v
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    (keys.toSeq, nulls)
+  }
+
+  /** CLUSTERED bin planning for one partition bucket: read the EXACT
+    * sort keys of every candidate (one projected column + DV mask —
+    * cheap columnar I/O), cut the sorted key stream into
+    * `targetRows` chunks, and emit one range bin per chunk listing
+    * only the fragments whose keys intersect it. INCREMENTAL by
+    * construction: a range served by exactly one DV-free fragment
+    * that overlaps no other range is already clustered and emits no
+    * bin — so a freshly-arrived interleaved fragment rewrites only
+    * the ranges it pollutes, not the whole table. (At extreme key
+    * volume the boundary scan would sample instead of reading every
+    * key; candidates here are maintenance-batch fragments.) */
+  def clusterBins(tableDir: Path, schema: StructType, i: Int,
+      files: Seq[BinFile], targetRows: Long): Seq[Bin] = {
+    val dt = schema.fields(i).dataType
+    val perFile = files.map(f => f -> readKeys(tableDir, schema, i, f))
+    val allKeys = perFile.flatMap(_._2._1).sortWith(cmpKey(dt, _, _) < 0)
+    val totalNulls = perFile.map(_._2._2).sum
+    if (allKeys.isEmpty && totalNulls == 0) return Seq.empty
+    val chunk = math.max(1L, math.min(targetRows, Int.MaxValue.toLong)).toInt
+    // strictly-increasing boundaries at chunk starts (duplicate keys
+    // collapse — rows equal to a boundary all belong to its range)
+    val boundaries = allKeys.grouped(chunk).map(_.head).toSeq
+      .drop(1)
+      .foldLeft(Seq.empty[Any])((acc, b) =>
+        if (acc.nonEmpty && cmpKey(dt, acc.last, b) >= 0) acc
+        else if (acc.isEmpty && allKeys.nonEmpty &&
+          cmpKey(dt, allKeys.head, b) >= 0) acc
+        else acc :+ b)
+    val ranges: Seq[(Option[Any], Option[Any])] =
+      (None +: boundaries.map(Some(_))).zip(
+        boundaries.map(Some(_)) :+ None)
+    def inRange(r: (Option[Any], Option[Any]), v: Any): Boolean =
+      r._1.forall(lo => cmpKey(dt, v, lo) >= 0) &&
+        r._2.forall(hi => cmpKey(dt, v, hi) < 0)
+    // which ranges does each fragment's key set touch?
+    val touches: Map[String, Set[Int]] = perFile.map { case (f, (ks, nu)) =>
+      f.name -> ranges.zipWithIndex.collect {
+        case (r, ri) if ks.exists(inRange(r, _)) ||
+          (nu > 0 && ri == 0) => ri
+      }.toSet
+    }.toMap
+    ranges.zipWithIndex.flatMap { case (r, ri) =>
+      val overlapping = files.filter(f => touches(f.name).contains(ri))
+      val alreadyClustered = overlapping.size == 1 &&
+        overlapping.head.dvName.isEmpty &&
+        touches(overlapping.head.name) == Set(ri)
+      if (overlapping.isEmpty || alreadyClustered) None
+      else Some(Bin(tableDir.toString, schema.json, overlapping,
+        sortIdx = i, ranged = true,
+        lo = r._1.map(encodeKey(dt, _)), hi = r._2.map(encodeKey(dt, _)),
+        takeNulls = ri == 0))
+    }
+  }
 
   /** Rewrite one bin into one packed file: read every column each
     * fragment HAS (absent trailing columns of pre-evolution files
     * null-fill — the packed file is written at the CURRENT schema
     * width), FOLD IN any deletion vector (masked rows do not survive
-    * the pack, so the output is DV-free), stage under a dot-prefixed
-    * in-progress name and atomically rename — identical discipline on
-    * the driver and inside an executor task. */
+    * the pack, so the output is DV-free), apply the bin's key-range
+    * filter when clustering, stage under a dot-prefixed in-progress
+    * name and atomically rename — identical discipline on the driver
+    * and inside an executor task. */
   def rewriteBin(bin: Bin): (Seq[String], GraftRlStagedFile) = {
     val tableDir = Paths.get(bin.dir)
     val schema = DataType.fromJson(bin.schemaJson).asInstanceOf[StructType]
@@ -647,6 +857,28 @@ private[sources] object GraftRlOptimize {
       .SimpleGroupFactory(msg)
     val w = GraftRlCodec.openWriter(tmp, msg)
     val stats = new GraftRlStats(schema)
+    val dt = if (bin.sortIdx < 0) null
+      else schema.fields(bin.sortIdx).dataType
+    val loK = bin.lo.map(decodeKey(dt, _))
+    val hiK = bin.hi.map(decodeKey(dt, _))
+    def keep(vals: Array[Any]): Boolean =
+      if (!bin.ranged) true
+      else vals(bin.sortIdx) match {
+        case null => bin.takeNulls
+        case v => loK.forall(lo => cmpKey(dt, v, lo) >= 0) &&
+          hiK.forall(hi => cmpKey(dt, v, hi) < 0)
+      }
+    // clustered rewrite: buffer the bin's live rows, sort, then write
+    // (a bin is one targetRows-sized range — bounded memory)
+    val buffer =
+      if (bin.sortIdx < 0) null
+      else scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    def emit(row: InternalRow): Unit =
+      if (buffer != null) buffer += row
+      else {
+        w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
+        stats.update(row, 0)
+      }
     try {
       bin.files.foreach { gf =>
         val present = schema.fields.take(gf.width)
@@ -671,13 +903,32 @@ private[sources] object GraftRlOptimize {
                   present(j).dataType)
                 j += 1
               }
-              val row = InternalRow.fromSeq(vals.toIndexedSeq)
-              w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
-              stats.update(row, 0)
+              if (keep(vals)) emit(InternalRow.fromSeq(vals.toIndexedSeq))
             }
             g = reader.read()
           }
         } finally reader.close()
+      }
+      if (buffer != null) {
+        val i = bin.sortIdx
+        // Spark sort semantics: NULLS FIRST; NaN above every double
+        val sorted = buffer.sortWith { (a, b) =>
+          (a.isNullAt(i), b.isNullAt(i)) match {
+            case (true, false) => true
+            case (_, true) => false
+            case _ => dt match {
+              case LongType => a.getLong(i) < b.getLong(i)
+              case DoubleType => java.lang.Double.compare(
+                a.getDouble(i), b.getDouble(i)) < 0
+              case _ =>
+                a.getUTF8String(i).compareTo(b.getUTF8String(i)) < 0
+            }
+          }
+        }
+        sorted.foreach { row =>
+          w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
+          stats.update(row, 0)
+        }
       }
     } finally w.close()
     Files.move(tmp, tableDir.resolve(name),

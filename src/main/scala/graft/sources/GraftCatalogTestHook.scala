@@ -82,10 +82,21 @@ object GraftCatalogTestHook {
       targetRows: Long): GraftCatalog.OptimizeResult =
     GraftCatalog.optimizeTable(tableDir, targetRows)
 
-  /** Distributed OPTIMIZE — one Spark task per compaction bin. */
+  /** Distributed OPTIMIZE — one Spark task per compaction bin;
+    * `sortCol` switches on clustered (sorted) packing. */
   def optimizeTableDistributed(spark: org.apache.spark.sql.SparkSession,
-      tableDir: Path, targetRows: Long): GraftCatalog.OptimizeResult =
-    GraftCatalog.optimizeTable(spark, tableDir, targetRows)
+      tableDir: Path, targetRows: Long,
+      sortCol: Option[String] = None): GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(spark, tableDir, targetRows, sortCol)
+
+  /** Clustered (sorted) serial OPTIMIZE. */
+  def optimizeTableClustered(tableDir: Path, targetRows: Long,
+      sortCol: String): GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(tableDir, targetRows, Some(sortCol))
+
+  /** DESCRIBE HISTORY rows for a table. */
+  def history(tableDir: Path): Seq[GraftCatalog.HistoryEntry] =
+    GraftCatalog.history(tableDir)
 
   /** The explicit `#ts` commit instant of a version (mtime fallback
     * only for pre-header manifests). */

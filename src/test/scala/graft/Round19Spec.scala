@@ -273,6 +273,86 @@ class Round19Spec extends SparkSpec {
       .head.head == 3L)
   }
 
+  test("DESCRIBE HISTORY: per-version commit shape, explicit commit " +
+      "times, txn markers — manifest-only, retention-aware") {
+    root
+    spark.sql("CREATE TABLE g19.db.hist (k BIGINT, v BIGINT)")
+    val d = dir("hist")
+    spark.sql(
+      "INSERT INTO g19.db.hist SELECT id, id FROM range(0, 5, 1, 1)")
+    spark.sql(
+      "INSERT INTO g19.db.hist SELECT id, id FROM range(5, 10, 1, 1)")
+    spark.sql("DELETE FROM g19.db.hist WHERE k < 5") // aligned: change
+    val h = Hook.history(d)
+    assert(h.map(e => (e.version, e.operation, e.filesAdded,
+      e.filesRemoved)) == Seq(
+      (0L, "create", 0, 0), (1L, "append", 1, 0), (2L, "append", 1, 0),
+      (3L, "change", 0, 1)), s"history: $h")
+    // commit times are the recorded #ts headers, monotone
+    assert(h.map(_.commitTimeMillis) == h.map(_.commitTimeMillis).sorted)
+    assert(h.forall(_.txn.isEmpty))
+    // retention gap: a pinned version with an expired predecessor
+    // reports as a baseline, not a fabricated delta
+    Hook.tagSnapshot(d, "keep2", 2L)
+    Hook.expireSnapshots(d, retainLast = 1)
+    val h2 = Hook.history(d)
+    assert(h2.map(e => (e.version, e.operation)) ==
+      Seq((2L, "baseline"), (3L, "change")), s"post-expiry: $h2")
+  }
+
+  test("clustered OPTIMIZE: sort-keyed packing + in-file sort turn " +
+      "interleaved fragments into range-disjoint files that prune") {
+    root
+    spark.sql("CREATE TABLE g19.db.cl (k BIGINT, v BIGINT)")
+    val d = dir("cl")
+    // four fragments, each spanning the WHOLE keyspace (the
+    // sustained-ingest shape): a k-filter can prune nothing
+    for (r <- 0 until 4)
+      spark.sql(s"INSERT INTO g19.db.cl SELECT id * 4 + $r AS k, id " +
+        s"AS v FROM range(0, 25, 1, 1)")
+    def keptGroups(pred: String): Int = {
+      val df = spark.sql(s"SELECT k, v FROM g19.db.cl WHERE $pred")
+      df.rdd.getNumPartitions // one InputPartition per kept group
+    }
+    assert(keptGroups("k < 10") == 4,
+      "interleaved fragments must defeat pruning (the fixture premise)")
+    val pre = sqlRows("SELECT k, v FROM g19.db.cl ORDER BY k")
+    // cluster on k: 100 rows into 50-row packed files
+    val res = Hook.optimizeTableClustered(d, targetRows = 50L, "k")
+    assert(res.removedFiles.size == 4 && res.addedFiles.size == 2,
+      s"expected 4 fragments into 2 clustered files: $res")
+    // contents bit-stable
+    assert(sqlRows("SELECT k, v FROM g19.db.cl ORDER BY k") == pre)
+    // the packed files now cover DISJOINT key ranges: stats prove it
+    val toks = Hook.manifestStatsTokens(d, Hook.manifestVersions(d).max)
+    val ranges = toks.map(_._3.split(",")(0)).map { t =>
+      val p = t.split(":"); (p(1).toLong, p(2).toLong)
+    }.sorted
+    assert(ranges == Seq((0L, 49L), (50L, 99L)),
+      s"clustered files must cover consecutive disjoint ranges: $ranges")
+    // and the point query prunes to ONE file
+    assert(keptGroups("k < 10") == 1,
+      "clustering must restore static pruning power")
+    // idempotent: nothing further to pack
+    val again = Hook.optimizeTableClustered(d, targetRows = 50L, "k")
+    assert(again.removedFiles.isEmpty && again.addedFiles.isEmpty)
+    // distributed clustered run produces the same geometry
+    spark.sql("CREATE TABLE g19.db.cld (k BIGINT, v BIGINT)")
+    val dd = dir("cld")
+    for (r <- 0 until 4)
+      spark.sql(s"INSERT INTO g19.db.cld SELECT id * 4 + $r AS k, id " +
+        s"AS v FROM range(0, 25, 1, 1)")
+    val resD = Hook.optimizeTableDistributed(spark, dd,
+      targetRows = 50L, sortCol = Some("k"))
+    assert(resD.addedFiles.size == 2, s"distributed clustered: $resD")
+    val rangesD = Hook.manifestStatsTokens(dd,
+      Hook.manifestVersions(dd).max)
+      .map(_._3.split(",")(0)).map { t =>
+        val p = t.split(":"); (p(1).toLong, p(2).toLong)
+      }.sorted
+    assert(rangesD == Seq((0L, 49L), (50L, 99L)), s"$rangesD")
+  }
+
   test("tag-vs-retention race: a tag that wins publication but lost " +
       "its manifest to a concurrent expire is retracted loudly") {
     root
