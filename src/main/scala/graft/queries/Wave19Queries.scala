@@ -594,6 +594,106 @@ SELECT seg, CAST(count(*) AS BIGINT) AS n_keys,
 FROM seed GROUP BY seg ORDER BY seg
 """))
 
+  /** q410 — DYNAMIC FILE PRUNING: Spark's dynamic partition pruning
+    * extended to ANY clustered column through the typed manifest
+    * stats — the plain catalog scan implements
+    * SupportsRuntimeV2Filtering over every table column, so a join
+    * against a selectively-filtered dimension plans a
+    * dynamic-pruning subquery on the join key and the fact scan
+    * drops, at runtime before any data I/O, every group whose stats
+    * prove no build-side key can live in it (coverage = NoRows; the
+    * same proof engine as metadata DELETE — may refuse, never lie).
+    * Classic DPP needs a partition column; stats-backed groups make
+    * the feature available on whatever clustered OPTIMIZE (q409)
+    * maintains. The query REQUIRES the dynamic-pruning subquery in
+    * the executed plan AND that the fact scan's row count equals one
+    * group's rows, not the table's. The oracle replays the join
+    * relationally. */
+  val q410 = QuerySpec("q410_dynamic_file_pruning",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q410_cat")
+      val cat = s"graftdf${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        Tables(s, dir, "customer").createOrReplaceTempView(s"cust_$cat")
+        s.sql(s"CREATE TABLE $cat.db.df (k BIGINT, seg STRING, v BIGINT)")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"dfsrc_$cat")
+        // four range-clustered fact groups (what clustered OPTIMIZE
+        // maintains): k<25, 25-49, 50-74, 75-99
+        for (slice <- Seq("k < 25", "k >= 25 AND k < 50",
+          "k >= 50 AND k < 75", "k >= 75"))
+          s.sql(s"INSERT INTO $cat.db.df " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM dfsrc_$cat " +
+            s"WHERE $slice")
+        // selective dim: a REAL scan (customer) filtered to keys
+        // living in exactly the first fact group
+        val q = s.sql(s"""
+          SELECT /*+ BROADCAST(d) */ f.seg AS seg,
+            count(*) AS n, sum(f.v) AS total
+          FROM $cat.db.df f
+          JOIN (SELECT DISTINCT c_custkey % 100 AS k FROM cust_$cat
+                WHERE c_mktsegment = 'BUILDING' AND
+                  c_custkey % 100 < 25) d
+            ON f.k = d.k
+          GROUP BY f.seg""")
+        val sunk = q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruningexpression"),
+          "no dynamic-pruning subquery on the catalog fact scan")
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        def scanRows(p: SparkPlan): Seq[Long] = p match {
+          case qs: QueryStageExec => scanRows(qs.plan)
+          case b: BatchScanExec
+              if b.toString.contains("graft-rl-table") =>
+            Seq(b.metrics("numOutputRows").value)
+          case _ => p.children.flatMap(scanRows)
+        }
+        val rows = scanRows(q.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        })
+        val groupOne = s.sql(
+          s"SELECT count(*) FROM dfsrc_$cat WHERE k < 25")
+          .collect().head.getLong(0)
+        val total = s.sql(s"SELECT count(*) FROM dfsrc_$cat")
+          .collect().head.getLong(0)
+        require(rows.sum == groupOne && groupOne < total,
+          s"runtime pruning must read one group ($groupOne of " +
+            s"$total rows), scan read ${rows.sum}")
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(sunk: _*), q.schema).orderBy("seg")
+        val sorted = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"cust_$cat")
+        s.catalog.dropTempView(s"dfsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sorted: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS ($oracleSeed),
+dim AS (
+  SELECT DISTINCT o_custkey % 100 AS k FROM (
+    SELECT c_custkey % 100 AS o_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 100 < 25)
+)
+SELECT f.seg, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(f.v) AS BIGINT) AS total
+FROM seed f JOIN dim d ON f.k = d.k
+GROUP BY f.seg ORDER BY f.seg
+"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q403, q404, q405, q406, q407, q408, q409)
+    Seq(q403, q404, q405, q406, q407, q408, q409, q410)
 }

@@ -2529,7 +2529,34 @@ private[sources] class GraftRlScan(dir: Path, tableSchema: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
+
+  /** DYNAMIC FILE PRUNING ([[SupportsRuntimeV2Filtering]] on the
+    * PLAIN scan): every table column is a runtime-filterable
+    * attribute, so a join against a selectively-filtered build side
+    * plans a dynamic-pruning subquery on the join key and this scan
+    * drops — at RUNTIME, before any data I/O — every group whose
+    * typed stats prove no build-side key can live in it (the same
+    * coverage engine metadata-delete proofs use; `NoRows` = prune).
+    * Spark's DPP classically needs a PARTITION column; stats-backed
+    * group files extend it to ANY clustered column — which is
+    * exactly what clustered OPTIMIZE maintains. A 100 TB fact scan
+    * joined to "this week's keys" then reads the handful of groups
+    * whose ranges intersect, not the table. Unprovable predicates
+    * degrade to keep — runtime pruning may refuse, never lie.
+    * Attributes are limited to the PRUNED read schema: Spark resolves
+    * them against the relation's output, so naming a pruned-away
+    * column is an analysis error, not a wider net. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val data = tableSchema.fieldNames.toSet
+    required.fieldNames.filter(data.contains)
+      .map(Expressions.column)
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    kept = kept.filter(gf => predicates.forall(p =>
+      GraftRl.deleteCoverage(gf, tableSchema, p) != GraftRl.NoRows))
 
   /** PRUNED-SIZE STATISTICS ([[SupportsReportStatistics]]): row count
     * and on-disk bytes of exactly the groups that SURVIVED static

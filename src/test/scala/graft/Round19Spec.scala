@@ -353,6 +353,68 @@ class Round19Spec extends SparkSpec {
     assert(rangesD == Seq((0L, 49L), (50L, 99L)), s"$rangesD")
   }
 
+  test("dynamic file pruning: a selective dim filter prunes fact " +
+      "GROUPS at runtime through the typed stats — DPP without a " +
+      "partition column") {
+    root
+    spark.sql("CREATE TABLE g19.db.dfp (k BIGINT, v BIGINT)")
+    val d = dir("dfp")
+    // four clustered (range-disjoint) fact groups of 2500 keys each
+    for (r <- 0 until 4)
+      spark.sql(s"INSERT INTO g19.db.dfp SELECT id AS k, id AS v " +
+        s"FROM range(${r * 2500}, ${r * 2500 + 2500}, 1, 1)")
+    // the dim must be a REAL scan (a local Seq folds to a
+    // LocalRelation and the selective Filter DPP keys on disappears)
+    val dimDir = Files.createTempDirectory("graft_r19_dfp_dim")
+    locally {
+      import spark.implicits._
+      (0L until 10000L).map(k => (k, if (k < 2500) "hot" else "cold"))
+        .toDF("k", "tag").write.mode("overwrite")
+        .parquet(dimDir.toString)
+    }
+    spark.read.parquet(dimDir.toString)
+      .createOrReplaceTempView("dfp_dim")
+    val saved = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      // the dim is the build side (DPP-via-broadcast-reuse, the
+      // default mode); the fact scan is the probe getting pruned
+      val q = spark.sql("""
+        SELECT /*+ BROADCAST(d) */ count(*) AS n, sum(f.v) AS s
+        FROM g19.db.dfp f JOIN dfp_dim d ON f.k = d.k
+        WHERE d.tag = 'hot'""")
+      val got = q.collect().head
+      assert(got.getLong(0) == 2500L &&
+        got.getLong(1) == (0L until 2500L).sum)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"no runtime pruning subquery in plan:\n$plan")
+      // the scan read ONE group's rows, not four: the other three
+      // groups' k-ranges provably exclude every build-side key
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanRows(p: SparkPlan): Seq[Long] = p match {
+        case qs: QueryStageExec => scanRows(qs.plan)
+        case b: BatchScanExec if b.toString.contains("graft-rl-table") =>
+          Seq(b.metrics("numOutputRows").value)
+        case _ => p.children.flatMap(scanRows)
+      }
+      val rows = scanRows(q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      })
+      assert(rows == Seq(2500L),
+        s"runtime file pruning should leave one 2500-row group: $rows")
+    } finally {
+      saved.foreach(v => spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", v))
+      spark.catalog.dropTempView("dfp_dim")
+    }
+  }
+
   test("tag-vs-retention race: a tag that wins publication but lost " +
       "its manifest to a concurrent expire is retracted loudly") {
     root
