@@ -694,6 +694,85 @@ FROM seed f JOIN dim d ON f.k = d.k
 GROUP BY f.seg ORDER BY f.seg
 """))
 
+  /** q411 — SQL STORED PROCEDURES: the maintenance tier as
+    * first-class SQL through Spark 4's DSv2 ProcedureCatalog —
+    * `CALL cat.system.optimize/expire_snapshots/tag_snapshot/history/
+    * dead_rows`, the Iceberg `system.*` convention. A 100 TB
+    * deployment's maintenance is driven from SQL schedulers, not
+    * Scala jobs, and every call returns its outcome AS ROWS, so the
+    * run's audit trail is a query result. The query scripts a full
+    * lifecycle in pure SQL (seed, scattered MOR delete, dead-row
+    * ledger read, compaction by CALL, ledger re-read, history read)
+    * and emits the ledger-before/ledger-after/history rows; the
+    * oracle replays the arithmetic relationally and the history
+    * shape as literals — deterministic because every step's file
+    * geometry is pinned by REPARTITION(1) era inserts. */
+  val q411 = QuerySpec("q411_sql_procedures",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q411_cat")
+      val cat = s"graftpr${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.pr (k BIGINT, seg STRING, v BIGINT)" +
+          " TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+        s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
+          .createOrReplaceTempView(s"prsrc_$cat")
+        for (slice <- Seq("k < 34", "k >= 34 AND k <= 66", "k >= 67"))
+          s.sql(s"INSERT INTO $cat.db.pr " +
+            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM prsrc_$cat " +
+            s"WHERE $slice")                                  // v1..v3
+        s.sql(s"DELETE FROM $cat.db.pr WHERE k % 10 = 3")     // v4: DVs
+        def ledger(label: String) = {
+          val r = s.sql(s"CALL $cat.system.dead_rows('db.pr')")
+            .agg(sum("rows"), sum("live_rows")).collect().head
+          (label, r.getLong(0), r.getLong(1))
+        }
+        val before = ledger("ledger_before")
+        val opt = s.sql(
+          s"CALL $cat.system.optimize('db.pr', 100000)")      // v5
+          .collect().head
+        require(opt.getLong(0) == 3L && opt.getLong(1) == 1L,
+          s"CALL optimize should fold 3 vectored groups into 1: $opt")
+        val after = ledger("ledger_after")
+        require(after._2 == after._3,
+          s"post-fold ledger must be mask-free: $after")
+        val hist = s.sql(s"CALL $cat.system.history('db.pr')")
+          .collect().map(r => (s"v${r.getLong(0)}",
+            r.getLong(3), r.getLong(4))).toSeq
+        import s.implicits._
+        val out = ((Seq(before, after) ++ hist)
+          .toDF("item", "a", "b")).orderBy("item")
+        val sunk = out.collect()
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"prsrc_$cat")
+        s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+WITH seed AS ($oracleSeed),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+    CAST(count(*) FILTER (WHERE k % 10 <> 3) AS BIGINT) AS live
+  FROM seed
+)
+SELECT item, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (
+  SELECT 'ledger_before' AS item, total AS a, live AS b FROM counts
+  UNION ALL SELECT 'ledger_after', live, live FROM counts
+  UNION ALL SELECT * FROM (VALUES ('v0', 0, 0), ('v1', 1, 0),
+    ('v2', 1, 0), ('v3', 1, 0), ('v4', 3, 3), ('v5', 1, 3))
+    AS h(item, a, b)
+) ORDER BY item
+"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q403, q404, q405, q406, q407, q408, q409, q410)
+    Seq(q403, q404, q405, q406, q407, q408, q409, q410, q411)
 }

@@ -95,9 +95,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * refused at CREATE. Same shared-filesystem contract as
   * [[KeyedShardSource]].
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: Path = _
+
+  /** SQL stored procedures (`CALL <cat>.system.<proc>(...)`) — the
+    * maintenance tier as first-class SQL; see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().toSeq == GraftProcedures.Namespace.toSeq,
+      s"graft catalog: procedures live in the 'system' namespace, " +
+        s"got ${ident.toString}")
+    GraftProcedures.procedure(root, ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"graft catalog: no such procedure ${ident.toString} — " +
+          s"available: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == GraftProcedures.Namespace.toSeq)
+      GraftProcedures.names.map(n =>
+        Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

@@ -415,6 +415,52 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  test("SQL stored procedures: CALL system.optimize / history / " +
+      "tag_snapshot / expire_snapshots / dead_rows, named args, " +
+      "unknown procedure refuses with the catalog's inventory") {
+    root
+    spark.sql("CREATE TABLE g19.db.proc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    for (r <- 0 until 3)
+      spark.sql(s"INSERT INTO g19.db.proc SELECT id, id FROM " +
+        s"range(${r * 10}, ${r * 10 + 10}, 1, 1)")
+    spark.sql("DELETE FROM g19.db.proc WHERE k = 5") // DV on group 1
+    // dead_rows: the ledger shows the masked group
+    val ledger = spark.sql("CALL g19.system.dead_rows('db.proc')")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ledger.map(_._1).sum == 30L && ledger.map(_._2).sum == 29L,
+      s"ledger: ${ledger.toSeq}")
+    // optimize via CALL, clustered via NAMED ARG — folds the DV and
+    // re-cuts the fragments
+    val opt = spark.sql(
+      "CALL g19.system.optimize('db.proc', 100, sort_col => 'k')")
+      .collect().head
+    assert(opt.getLong(0) == 3L && opt.getLong(1) == 1L,
+      s"optimize: $opt")
+    assert(sqlRows("SELECT count(*) FROM g19.db.proc").head.head == 29L)
+    // history via CALL: create, 3 appends, DV change, pack change
+    val ops = spark.sql("CALL g19.system.history('db.proc')")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(ops == Seq((0L, "create"), (1L, "append"), (2L, "append"),
+      (3L, "append"), (4L, "change"), (5L, "change")), s"$ops")
+    // tag + expire via CALL: the tag pins v4 against retention
+    spark.sql("CALL g19.system.tag_snapshot('db.proc', 'preopt', 4)")
+    val exp = spark.sql(
+      "CALL g19.system.expire_snapshots('db.proc', 1, grace_ms => 0)")
+      .collect().head
+    assert(exp.getLong(2) == 2L, s"tagged v4 + live v5 retained: $exp")
+    assert(sqlRows("SELECT count(*) FROM g19.db.proc " +
+      "VERSION AS OF 'preopt'").head.head == 29L)
+    // unknown procedure refuses, naming the inventory
+    val bad = intercept[Exception] {
+      spark.sql("CALL g19.system.compact('db.proc')").collect()
+    }
+    assert(Iterator.iterate[Throwable](bad)(_.getCause)
+      .takeWhile(_ != null).exists(t => Option(t.getMessage)
+        .exists(m => m.contains("no such procedure") ||
+          m.contains("compact"))), s"$bad")
+  }
+
   test("tag-vs-retention race: a tag that wins publication but lost " +
       "its manifest to a concurrent expire is retracted loudly") {
     root
