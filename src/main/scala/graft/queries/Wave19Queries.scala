@@ -773,6 +773,65 @@ SELECT item, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (
 ) ORDER BY item
 """))
 
+  /** q412 — METADATA-ONLY GROUP BY: a grouped
+    * COUNT(*)/COUNT(col)/MIN/MAX whose group column every candidate
+    * file is PROVABLY single-valued on answers straight from the
+    * manifest — per-group file subsets fold their stats lines, zero
+    * data files open. Identity-partitioned tables qualify by
+    * construction; this query additionally proves the layout-derived
+    * case: era inserts each constant on the group key. `SELECT part,
+    * count(*), min(v), max(v) GROUP BY part` on a 100 TB table is
+    * then a manifest read (the Iceberg partitions-metadata-table
+    * trick, generalized to any provably-clustered column). The plan
+    * is REQUIRED to pin the `graft-rl-agg` metadata scan; the oracle
+    * replays the rollup relationally. */
+  val q412 = QuerySpec("q412_metadata_grouped_agg",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q412_cat")
+      val cat = s"graftga${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
+        s.sql(s"CREATE TABLE $cat.db.ga (era BIGINT, k BIGINT, " +
+          "v BIGINT) PARTITIONED BY (era)")
+        s.sql(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS era,
+            o_custkey % 100 AS k,
+            cast(round(o_totalprice * 100) as bigint) AS v
+          FROM ord_$cat""").createOrReplaceTempView(s"gasrc_$cat")
+        s.sql(s"INSERT INTO $cat.db.ga SELECT era, k, v FROM gasrc_$cat")
+        val q = s.sql(s"""
+          SELECT era, count(*) AS n, count(v) AS n_v,
+            min(v) AS lo, max(v) AS hi
+          FROM $cat.db.ga GROUP BY era ORDER BY era""")
+        val sunk = q.collect()
+        require(q.queryExecution.executedPlan.toString
+          .contains("graft-rl-agg"),
+          "grouped rollup must plan the metadata-only scan:\n" +
+            q.queryExecution.executedPlan)
+        val out = s.createDataFrame(
+          java.util.Arrays.asList(sunk: _*), q.schema)
+        s.catalog.dropTempView(s"ord_$cat")
+        s.catalog.dropTempView(s"gasrc_$cat")
+        out
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+        graft.streaming.StreamingResidue.deleteRecursively(root)
+      }
+    },
+    Some(raw"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS era,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_v,
+  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lo,
+  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS hi
+FROM orders GROUP BY 1 ORDER BY era
+"""))
+
   def all: Seq[QuerySpec] =
-    Seq(q403, q404, q405, q406, q407, q408, q409, q410, q411)
+    Seq(q403, q404, q405, q406, q407, q408, q409, q410, q411, q412)
 }

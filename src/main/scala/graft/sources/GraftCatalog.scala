@@ -2361,7 +2361,7 @@ private[sources] class GraftRlScanBuilder(dir: Path,
   private var required: StructType = tableSchema
   private var candidates: Seq[GraftRl.GroupFile] = files
   private var accepted: Array[SFilter] = Array.empty
-  private var agg: Option[(StructType, Array[Any])] = None
+  private var agg: Option[(StructType, Seq[Array[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -2400,10 +2400,9 @@ private[sources] class GraftRlScanBuilder(dir: Path,
 
   private def translateAgg(
       aggregation: org.apache.spark.sql.connector.expressions
-        .aggregate.Aggregation): Option[(StructType, Array[Any])] = {
+        .aggregate.Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (aggregation.groupByExpressions().nonEmpty) return None
     if (accepted.nonEmpty) return None // filtered: values need a scan
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
@@ -2414,10 +2413,49 @@ private[sources] class GraftRlScanBuilder(dir: Path,
         }
       case _ => None
     }
+    // METADATA-ONLY GROUP BY: grouping on a column every candidate
+    // file is PROVABLY single-valued on (identity-partitioned tables
+    // by construction; range-clustered BIGINT layouts whenever each
+    // file's stats pin one value) — each group's aggregates fold over
+    // exactly its files' manifest lines, so `GROUP BY part` on a
+    // 100 TB table reads zero data files. One unprovable file makes
+    // the whole pushdown refuse (never lie).
+    val subsets: Option[Seq[(Seq[Any], Seq[GraftRl.GroupFile])]] =
+      aggregation.groupByExpressions() match {
+        case Array() => Some(Seq((Seq.empty[Any], candidates)))
+        case Array(g) =>
+          (g match {
+            case r: NamedReference if r.fieldNames().length == 1 =>
+              tableSchema.fields.indexWhere(f =>
+                f.name == r.fieldNames()(0) &&
+                  f.dataType == LongType) match {
+                case -1 => None
+                case i => Some(i)
+              }
+            case _ => None
+          }).flatMap { gi =>
+            val vals = candidates.map(gf => GraftRl.partValueOf(gf, gi))
+            if (vals.contains(None)) None
+            else Some(candidates.zip(vals.map(_.get))
+              .groupBy(_._2).toSeq
+              .map { case (k, fs) =>
+                (Seq[Any](k.map(java.lang.Long.valueOf).orNull),
+                  fs.map(_._1))
+              }
+              .sortBy { case (k, _) =>
+                (k.head != null, Option(k.head)
+                  .map(_.asInstanceOf[java.lang.Long].longValue)
+                  .getOrElse(0L))
+              })
+          }
+        case _ => None
+      }
+    if (subsets.isEmpty) return None
     // a deletion vector makes per-column values inexact (the deleted
     // rows' contribution is unknown) — COUNT(col)/MIN/MAX refuse;
     // COUNT(*) stays exact via liveRows
-    def dvFree: Boolean = candidates.forall(_.dv.isEmpty)
+    def dvFree(files: Seq[GraftRl.GroupFile]): Boolean =
+      files.forall(_.dv.isEmpty)
     // a bound usable for MIN (Some(None) = file contributes nothing)
     def loOf(gf: GraftRl.GroupFile, i: Int): Option[Option[Any]] =
       gf.stat(i) match {
@@ -2452,41 +2490,63 @@ private[sources] class GraftRlScanBuilder(dir: Path,
       case d: Double => java.lang.Double.valueOf(d)
       case other => other
     }
-    val out: Array[Option[(StructField, Any)]] =
-      aggregation.aggregateExpressions().map {
-        case _: CountStar =>
-          Some((StructField("count_star", LongType, nullable = false),
-            java.lang.Long.valueOf(candidates.map(_.liveRows).sum): Any))
-        case c: Count if !c.isDistinct =>
-          // COUNT(col) = rows minus nulls — needs a null count per file
-          colOf(c.column()).filter(i => dvFree && candidates.forall(gf =>
-            gf.rows == 0L || gf.nullsFor(i).isDefined)).map { i =>
-            val v = candidates.map(gf =>
-              gf.rows - gf.nullsFor(i).getOrElse(0L)).sum
-            (StructField(s"count_$i", LongType, nullable = false),
-              java.lang.Long.valueOf(v): Any)
-          }
-        case m: Min =>
-          colOf(m.column()).filter(_ => dvFree).flatMap { i =>
-            val per = candidates.map(loOf(_, i))
-            if (per.exists(_.isEmpty)) None
-            else Some((StructField(s"min_$i",
-              tableSchema.fields(i).dataType, nullable = true),
-              boxed(fold(per.flatten.flatten, min = true))))
-          }
-        case m: Max =>
-          colOf(m.column()).filter(_ => dvFree).flatMap { i =>
-            val per = candidates.map(hiOf(_, i))
-            if (per.exists(_.isEmpty)) None
-            else Some((StructField(s"max_$i",
-              tableSchema.fields(i).dataType, nullable = true),
-              boxed(fold(per.flatten.flatten, min = false))))
-          }
-        case _ => None
+    def aggFor(files: Seq[GraftRl.GroupFile])
+        : Option[(Seq[StructField], Seq[Any])] = {
+      val out: Array[Option[(StructField, Any)]] =
+        aggregation.aggregateExpressions().map {
+          case _: CountStar =>
+            Some((StructField("count_star", LongType, nullable = false),
+              java.lang.Long.valueOf(files.map(_.liveRows).sum): Any))
+          case c: Count if !c.isDistinct =>
+            // COUNT(col) = rows minus nulls — needs a null count per file
+            colOf(c.column()).filter(i => dvFree(files) &&
+              files.forall(gf =>
+                gf.rows == 0L || gf.nullsFor(i).isDefined)).map { i =>
+              val v = files.map(gf =>
+                gf.rows - gf.nullsFor(i).getOrElse(0L)).sum
+              (StructField(s"count_$i", LongType, nullable = false),
+                java.lang.Long.valueOf(v): Any)
+            }
+          case m: Min =>
+            colOf(m.column()).filter(_ => dvFree(files)).flatMap { i =>
+              val per = files.map(loOf(_, i))
+              if (per.exists(_.isEmpty)) None
+              else Some((StructField(s"min_$i",
+                tableSchema.fields(i).dataType, nullable = true),
+                boxed(fold(per.flatten.flatten, min = true))))
+            }
+          case m: Max =>
+            colOf(m.column()).filter(_ => dvFree(files)).flatMap { i =>
+              val per = files.map(hiOf(_, i))
+              if (per.exists(_.isEmpty)) None
+              else Some((StructField(s"max_$i",
+                tableSchema.fields(i).dataType, nullable = true),
+                boxed(fold(per.flatten.flatten, min = false))))
+            }
+          case _ => None
+        }
+      if (out.exists(_.isEmpty)) None
+      else Some((out.flatten.map(_._1).toSeq, out.flatten.map(_._2).toSeq))
+    }
+    val perGroup = subsets.get.map { case (key, files) =>
+      aggFor(files).map(fv => (key, fv))
+    }
+    if (perGroup.exists(_.isEmpty)) return None
+    val keyFields: Seq[StructField] =
+      aggregation.groupByExpressions() match {
+        case Array(_) => Seq(StructField("group_key", LongType,
+          nullable = true))
+        case _ => Seq.empty
       }
-    if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.flatten.map(_._1).toIndexedSeq),
-      out.flatten.map(_._2).toArray))
+    val aggFields: Seq[StructField] = perGroup.headOption
+      .flatMap(_.map(_._2._1))
+      .getOrElse(aggFor(Seq.empty).map(_._1).getOrElse(Seq.empty))
+    if (aggFields.isEmpty &&
+      aggregation.aggregateExpressions().nonEmpty) return None
+    val rows: Seq[Array[Any]] = perGroup.flatten.map { case (key, (_, vs)) =>
+      (key ++ vs).toArray
+    }
+    Some((StructType((keyFields ++ aggFields).toIndexedSeq), rows))
   }
 
   override def build(): Scan = agg match {
@@ -2501,16 +2561,16 @@ private[sources] class GraftRlScanBuilder(dir: Path,
   }
 }
 
-/** The manifest-answered aggregate scan: one partition, one row, the
-  * values computed on the driver from stats — no data file is ever
-  * opened. The description advertises the fast path so plan asserts
-  * can pin it. */
+/** The manifest-answered aggregate scan: one partition, one row per
+  * GROUP (one total row when ungrouped), the values computed on the
+  * driver from stats — no data file is ever opened. The description
+  * advertises the fast path so plan asserts can pin it. */
 private[sources] class GraftRlAggScan(dir: Path, aggSchema: StructType,
-    values: Array[Any]) extends Scan with Batch {
+    values: Seq[Array[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-rl-agg $dir metadata-only " +
+    s"graft-rl-agg $dir metadata-only rows=${values.size} " +
       s"[${aggSchema.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftRlAggPartition(values))
@@ -2519,19 +2579,18 @@ private[sources] class GraftRlAggScan(dir: Path, aggSchema: StructType,
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vals = p.asInstanceOf[GraftRlAggPartition].values
-          private var served = false
-          override def next(): Boolean =
-            if (served) false else { served = true; true }
+          private val rows = p.asInstanceOf[GraftRlAggPartition].values
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.size }
           override def get(): InternalRow =
-            InternalRow.fromSeq(vals.toIndexedSeq)
+            InternalRow.fromSeq(rows(i).toIndexedSeq)
           override def close(): Unit = ()
         }
     }
 }
 
 private[sources] final case class GraftRlAggPartition(
-    values: Array[Any]) extends InputPartition
+    values: Seq[Array[Any]]) extends InputPartition
 
 /** One InputPartition per group file — a table with N groups scans
   * with N-way parallelism. A PARTITIONED table goes further: group

@@ -461,6 +461,49 @@ class Round19Spec extends SparkSpec {
           m.contains("compact"))), s"$bad")
   }
 
+  test("metadata-only GROUP BY: grouped COUNT/MIN/MAX on a provably " +
+      "single-valued column answer from the manifest, zero data I/O") {
+    root
+    spark.sql("CREATE TABLE g19.db.ga (p BIGINT, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO g19.db.ga SELECT id % 3 AS p, id AS v " +
+      "FROM range(0, 30)")
+    spark.sql("INSERT INTO g19.db.ga VALUES (CAST(NULL AS BIGINT), 99)")
+    val q = spark.sql("SELECT p, count(*) AS n, min(v) AS lo, " +
+      "max(v) AS hi FROM g19.db.ga GROUP BY p ORDER BY p NULLS FIRST")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"),
+      s"grouped agg lost the metadata path:\n" +
+        q.queryExecution.executedPlan)
+    assert(q.collect().map(r => (if (r.isNullAt(0)) null
+      else r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((null, 1L, 99L, 99L), (0L, 10L, 0L, 27L),
+        (1L, 10L, 1L, 28L), (2L, 10L, 2L, 29L)))
+    // clustered (non-partitioned) layout: each era file is
+    // single-valued on its key → still metadata-only
+    spark.sql("CREATE TABLE g19.db.gb (p BIGINT, v BIGINT)")
+    for (pv <- 0 until 3)
+      spark.sql(s"INSERT INTO g19.db.gb SELECT $pv AS p, id AS v " +
+        s"FROM range(${pv * 10}, ${pv * 10 + 10}, 1, 1)")
+    val q2 = spark.sql(
+      "SELECT p, count(*) AS n FROM g19.db.gb GROUP BY p ORDER BY p")
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"), "clustered group-by lost the path")
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 10L), (1L, 10L), (2L, 10L)))
+    // a file spanning several group values makes the pushdown refuse
+    // (scan path, same answer)
+    spark.sql("INSERT INTO g19.db.gb SELECT id % 3, id FROM " +
+      "range(100, 106, 1, 1)")
+    val q3 = spark.sql(
+      "SELECT p, count(*) AS n FROM g19.db.gb GROUP BY p ORDER BY p")
+    assert(!q3.queryExecution.executedPlan.toString
+      .contains("graft-rl-agg"),
+      "multi-valued file must refuse the metadata group-by")
+    assert(q3.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 12L), (1L, 12L), (2L, 12L)))
+  }
+
   test("tag-vs-retention race: a tag that wins publication but lost " +
       "its manifest to a concurrent expire is retracted loudly") {
     root
