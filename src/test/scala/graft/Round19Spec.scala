@@ -504,6 +504,42 @@ class Round19Spec extends SparkSpec {
       Seq((0L, 12L), (1L, 12L), (2L, 12L)))
   }
 
+  test("SHOW/DESCRIBE PROCEDURES list the system inventory; a " +
+      "PARTITIONED streaming sink keeps the per-value group layout") {
+    root
+    val shown = spark.sql("SHOW PROCEDURES IN g19.system")
+      .collect().map(_.getString(3)).toSet
+    assert(shown == Set("optimize", "expire_snapshots", "tag_snapshot",
+      "history", "dead_rows"), s"$shown")
+    val desc = spark.sql("DESCRIBE PROCEDURE g19.system.optimize")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("optimize") && desc.contains("bin-pack"), desc)
+    // streaming into a PARTITIONED sink: the write's clustering
+    // requirement (RequiresDistributionAndOrdering) applies to epochs
+    // too — the per-value file-per-group layout survives the stream,
+    // so SPJ and metadata group-by work on streamed-in data
+    spark.sql("CREATE TABLE g19.db.pssrc (p BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE g19.db.pssink (p BIGINT, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO g19.db.pssrc SELECT id % 3, id FROM " +
+      "range(0, 30)")
+    val ck = Files.createTempDirectory("graft_r19_psck")
+    val q = spark.readStream.table("g19.db.pssrc")
+      .writeStream.option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("g19.db.pssink")
+    try q.awaitTermination() finally q.stop()
+    assert(sqlRows("SELECT p, count(*) AS n FROM g19.db.pssink " +
+      "GROUP BY p ORDER BY p") ==
+      Seq(Seq(0L, 10L), Seq(1L, 10L), Seq(2L, 10L)))
+    // one group file per partition value → 3 scan partitions, and the
+    // grouped rollup above stays metadata-only on streamed data
+    assert(spark.sql("SELECT * FROM g19.db.pssink")
+      .rdd.getNumPartitions == 3,
+      "streamed partitioned layout must stay one group per value")
+    graft.streaming.StreamingResidue.deleteRecursively(ck)
+  }
+
   test("tag-vs-retention race: a tag that wins publication but lost " +
       "its manifest to a concurrent expire is retracted loudly") {
     root
