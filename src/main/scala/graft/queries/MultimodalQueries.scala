@@ -1167,11 +1167,15 @@ ORDER BY v.a, v.b
     * key has only ~120 values, a pair key ~120²·positions) — then an
     * exact aligned-window verify counts matching windows and the
     * same ≥ 70% integer vote as q133 marks clip near-dups. */
-  val q134 = QuerySpec("q134_audio_perceptual_neardup",
-    (s, dir) => {
+  /** Shared fixture for the audio near-dup family (q134/q413): each
+    * doc pair g = id/2 is a multi-window bin-centered tone clip, even
+    * ids as 16-bit PCM, odd ids as its G.711 μ-law re-encode — bytes
+    * disjoint, spectra matching. */
+  private def audioTwinMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
       import s.implicits._
       val base = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      val media = base.mapPartitions { it =>
+      base.mapPartitions { it =>
         it.map { id =>
           val g = id / 2
           val nw = (4 + (g % 4)).toInt
@@ -1216,6 +1220,12 @@ ORDER BY v.a, v.b
               if (id % 2 == 0) "pcm_s16le" else "g711_ulaw", 1))
         }
       }
+  }
+
+  val q134 = QuerySpec("q134_audio_perceptual_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = audioTwinMedia(s, dir)
       val sigs = graft.CacheRegistry.persistTracked(
         Audio.spectralSignature(media, 256).toDF())
       val wspec = org.apache.spark.sql.expressions.Window
@@ -1265,6 +1275,96 @@ WITH grp AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM keys x JOIN keys y
     ON x.w = y.w AND x.b1 = y.b1 AND x.b2 = y.b2 AND x.doc_id < y.doc_id
+), m AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.w = sa.w
+  WHERE sa.bin = sb.bin
+  GROUP BY c.a, c.b
+), nw AS (
+  SELECT doc_id, CAST(4 + doc_id // 2 % 4 AS BIGINT) AS nw FROM documents
+)
+SELECT m.a, m.b, m.n_match, na.nw AS nw_a, nb.nw AS nw_b,
+  m.n_match * 10 >= least(na.nw, nb.nw) * 7 AS is_dup
+FROM m
+JOIN nw na ON m.a = na.doc_id
+JOIN nw nb ON m.b = nb.doc_id
+ORDER BY m.a, m.b
+"""))
+
+  /** q413 — audio near-dup, CALIBRATED TRIPLET BLOCKING: q134's
+    * Shazam-shaped pairing with consecutive-peak PAIR keys is the
+    * pinned fixed-resolution control — its key space is constant
+    * (≈120² per window position), so bucket density grows linearly
+    * with the corpus and the within-bucket pair join quadratically
+    * (37× at 100× rows, the q67-class trap). The production path
+    * lengthens the key to THREE consecutive peaks (w, b₁, b₂, b₃):
+    * ≈120× more selective, so candidate density stays near-constant
+    * while TRUE twins — which share every window — are still caught
+    * by any key length (clips have ≥4 windows). Same exact
+    * aligned-window verify, same ≥70% vote; the oracle replays the
+    * triplet keys relationally. This is the r17 calibration lesson
+    * (fixed-resolution LSH → corpus-calibrated default) applied to
+    * the audio modality. */
+  val q413 = QuerySpec("q413_audio_neardup_blocked",
+    (s, dir) => {
+      import s.implicits._
+      val media = audioTwinMedia(s, dir)
+      val sigs = graft.CacheRegistry.persistTracked(
+        Audio.spectralSignature(media, 256).toDF())
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("window_idx")
+      val keys = sigs
+        .withColumn("b2", lead(col("dominant_bin"), 1).over(wspec))
+        .withColumn("b3", lead(col("dominant_bin"), 2).over(wspec))
+        .where(col("b3").isNotNull)
+        .select(col("doc_id"), col("window_idx").as("w"),
+          col("dominant_bin").as("b1"), col("b2"), col("b3"))
+      val cand = keys.as("x")
+        .join(keys.as("y"), Seq("w", "b1", "b2", "b3"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val sa = sigs.select(col("doc_id").as("a"),
+        col("window_idx").as("wi"), col("dominant_bin").as("ba"))
+      val sb = sigs.select(col("doc_id").as("b"),
+        col("window_idx").as("wi"), col("dominant_bin").as("bb"))
+      val matched = cand.join(sa, Seq("a")).join(sb, Seq("b", "wi"))
+        .where(col("ba") === col("bb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
+      val nw = sigs.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+      matched
+        .join(nw.select(col("doc_id").as("a"), col("nw").as("nw_a")), Seq("a"))
+        .join(nw.select(col("doc_id").as("b"), col("nw").as("nw_b")), Seq("b"))
+        .select(col("a"), col("b"), col("n_match"), col("nw_a"), col("nw_b"),
+          (col("n_match") * 10 >= least(col("nw_a"), col("nw_b")) * 7)
+            .as("is_dup"))
+        .orderBy("a", "b")
+    },
+    Some(raw"""
+WITH grp AS (
+  SELECT DISTINCT doc_id // 2 AS g FROM documents
+), wins AS (
+  SELECT g, unnest(range(0, 4 + g % 4)) AS w FROM grp
+), bins AS (
+  SELECT g, w,
+    3 + (((g + 1) * (2 * w + 3) + (g // 64) * (w + 5)
+          + (g // 8) * (3 * w + 1)) % 120) AS bin
+  FROM wins
+), sig AS (
+  SELECT d.doc_id, b.w, b.bin
+  FROM documents d JOIN bins b ON d.doc_id // 2 = b.g
+), keys AS (
+  SELECT s1.doc_id, s1.w, s1.bin AS b1, s2.bin AS b2, s3.bin AS b3
+  FROM sig s1
+  JOIN sig s2 ON s1.doc_id = s2.doc_id AND s2.w = s1.w + 1
+  JOIN sig s3 ON s1.doc_id = s3.doc_id AND s3.w = s1.w + 2
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y
+    ON x.w = y.w AND x.b1 = y.b1 AND x.b2 = y.b2 AND x.b3 = y.b3
+      AND x.doc_id < y.doc_id
 ), m AS (
   SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_match
   FROM cand c
@@ -1490,5 +1590,5 @@ FROM documents ORDER BY doc_id
 
   val all: Seq[QuerySpec] =
     Seq(q27, q38, q39, q91, q102, q113, q114, q115, q118, q120, q122, q123, q133,
-      q134, q124, q126, q127, q129, q149, q162, q170, q177)
+      q134, q413, q124, q126, q127, q129, q149, q162, q170, q177)
 }
