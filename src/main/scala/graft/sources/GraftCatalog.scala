@@ -3046,6 +3046,14 @@ private[sources] class GraftRlStreamingWrite(dir: Path,
         GraftRl.render(prior ++ staged),
         Map("txn" -> s"$queryId:$epochId"))
       if (!done) {
+        // the winner may have been a ZOMBIE instance of this very
+        // query committing this very epoch (two drivers racing after
+        // a partial failover) — re-check the marker before rebasing,
+        // or the retry would append the epoch twice
+        if (GraftRl.lastTxnEpoch(dir, queryId).exists(_ >= epochId)) {
+          staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
+          return
+        }
         attempt += 1
         if (attempt >= 64) {
           staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
