@@ -305,6 +305,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
     println(shortLine)
+    // LAST stdout line, by contract: a compact (<200 B) summary that
+    // always fits inside a size-capped log tail — the full-names and
+    // short lines above are 8+ KB at a 400-query registry, so a
+    // driver keeping only the last 2000 bytes of stdout would
+    // otherwise capture no parseable record at all (it did, for three
+    // rounds). Carries the coverage count and the quiet-run flags;
+    // per-query detail stays in the two full lines / bench_full.json.
+    val compactLine =
+      s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},""" +
+        s""""errors":${results.count(_._3.isDefined)},""" +
+        s""""contended_session":$sessionContended,""" +
+        s""""probe_ok_session":$probeOkSession,""" +
+        s""""io_probe_ok_session":$ioProbeOkSession,""" +
+        s""""staged_count":${stagedQueries.size},"sf":"$sfDir"}"""
+    println(compactLine)
     spark.stop()
   }
 }

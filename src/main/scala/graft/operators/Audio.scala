@@ -182,4 +182,91 @@ object Audio {
       }
     }
   }
+
+  /** AUDIO NEAR-DUP over spectral signatures — the Shazam-shaped
+    * pipeline as the library operator: block candidate pairs on runs
+    * of `keyLen` CONSECUTIVE dominant-peak bins at the same window
+    * position, verify each candidate by exact aligned-window peak
+    * agreement, and vote (`n_match / min(windows) ≥ voteNum/voteDen`,
+    * default 70%).
+    *
+    * THE DEFAULT KEY IS CALIBRATED FOR CORPUS SCALE: `keyLen = 3`
+    * (triplet keys, ≈120× more selective than consecutive pairs on a
+    * 120-bin peak alphabet). With pair keys the key space is fixed,
+    * so bucket occupancy grows linearly with the corpus and the
+    * within-bucket self-join quadratically — measured 37× pair work
+    * at 100× rows versus 11.9× with triplets on the same fixture
+    * (the q67/q134 calibration lesson). True twins share EVERY
+    * window, so any key length catches them; longer keys only shed
+    * coincidental collisions. `keyLen` may rise further for bigger
+    * corpora; [[nearDupFixed]] is the pinned fixed-resolution escape
+    * hatch for A/B controls and is lint-limited to exactly one
+    * registry use.
+    *
+    * Input: `(doc_id, window_idx, dominant_bin)` rows (the
+    * [[spectralSignature]] output, persisted by the caller if reused).
+    * Output: `(a, b, n_match, nw_a, nw_b, is_dup)`, a < b.
+    * Scale shape: the key build is one partition-local window over
+    * doc_id; the candidate join shuffles only ~16-byte key rows on
+    * (w, peak run); verify joins are key-equi on (doc, window). */
+  def nearDup(sigs: org.apache.spark.sql.DataFrame, keyLen: Int = 3,
+      voteNum: Int = 7, voteDen: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(keyLen >= 3,
+      s"nearDup keyLen must be >= 3 (calibrated blocking); use " +
+        s"nearDupFixed for the pinned fixed-resolution control, got $keyLen")
+    nearDupImpl(sigs, keyLen, voteNum, voteDen)
+  }
+
+  /** Fixed-resolution control (`keyLen = 2` pair keys): the blocking
+    * shape whose candidate volume grows quadratically with corpus
+    * size. Exists so a pinned control query can measure the
+    * calibration differential; any new use in query code trips the
+    * registry lint (the `lshBucketFixed` precedent). */
+  def nearDupFixed(sigs: org.apache.spark.sql.DataFrame,
+      keyLen: Int = 2, voteNum: Int = 7, voteDen: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    nearDupImpl(sigs, keyLen, voteNum, voteDen)
+  }
+
+  private def nearDupImpl(sigs: org.apache.spark.sql.DataFrame,
+      keyLen: Int, voteNum: Int, voteDen: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(voteNum >= 1 && voteDen >= voteNum,
+      s"vote threshold must be a fraction <= 1: $voteNum/$voteDen")
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("w")
+    val withRun = (2 to keyLen).foldLeft(
+      sigs.select(col("doc_id"), col("window_idx").as("w"),
+        col("dominant_bin").as("b1"))) { (df, j) =>
+      df.withColumn(s"b$j", lead(col("b1"), j - 1).over(wspec))
+    }
+    val keyCols = (1 to keyLen).map(j => s"b$j")
+    val keys = withRun.where(col(s"b$keyLen").isNotNull)
+    val cand = keys.as("x")
+      .join(keys.as("y"), Seq("w") ++ keyCols)
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("a"),
+      col("window_idx").as("wi"), col("dominant_bin").as("ba"))
+    val sb = sigs.select(col("doc_id").as("b"),
+      col("window_idx").as("wi"), col("dominant_bin").as("bb"))
+    val matched = cand.join(sa, Seq("a")).join(sb, Seq("b", "wi"))
+      .where(col("ba") === col("bb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
+    val nw = sigs.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    matched
+      .join(nw.select(col("doc_id").as("a"), col("nw").as("nw_a")),
+        Seq("a"))
+      .join(nw.select(col("doc_id").as("b"), col("nw").as("nw_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_match"), col("nw_a"),
+        col("nw_b"),
+        (col("n_match") * voteDen >=
+          least(col("nw_a"), col("nw_b")) * voteNum).as("is_dup"))
+      .orderBy("a", "b")
+  }
 }

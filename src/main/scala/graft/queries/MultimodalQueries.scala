@@ -1228,32 +1228,10 @@ ORDER BY v.a, v.b
       val media = audioTwinMedia(s, dir)
       val sigs = graft.CacheRegistry.persistTracked(
         Audio.spectralSignature(media, 256).toDF())
-      val wspec = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("window_idx")
-      val keys = sigs
-        .withColumn("b2", lead(col("dominant_bin"), 1).over(wspec))
-        .where(col("b2").isNotNull)
-        .select(col("doc_id"), col("window_idx").as("w"),
-          col("dominant_bin").as("b1"), col("b2"))
-      val cand = keys.as("x").join(keys.as("y"), Seq("w", "b1", "b2"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val sa = sigs.select(col("doc_id").as("a"),
-        col("window_idx").as("wi"), col("dominant_bin").as("ba"))
-      val sb = sigs.select(col("doc_id").as("b"),
-        col("window_idx").as("wi"), col("dominant_bin").as("bb"))
-      val matched = cand.join(sa, Seq("a")).join(sb, Seq("b", "wi"))
-        .where(col("ba") === col("bb"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
-      val nw = sigs.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-      matched
-        .join(nw.select(col("doc_id").as("a"), col("nw").as("nw_a")), Seq("a"))
-        .join(nw.select(col("doc_id").as("b"), col("nw").as("nw_b")), Seq("b"))
-        .select(col("a"), col("b"), col("n_match"), col("nw_a"), col("nw_b"),
-          (col("n_match") * 10 >= least(col("nw_a"), col("nw_b")) * 7)
-            .as("is_dup"))
-        .orderBy("a", "b")
+      // the PINNED fixed-resolution control: pair keys through the
+      // lint-limited escape hatch, so q413's calibrated default has a
+      // measured differential to beat (see Audio.nearDup)
+      Audio.nearDupFixed(sigs)
     },
     Some(raw"""
 WITH grp AS (
@@ -1313,34 +1291,10 @@ ORDER BY m.a, m.b
       val media = audioTwinMedia(s, dir)
       val sigs = graft.CacheRegistry.persistTracked(
         Audio.spectralSignature(media, 256).toDF())
-      val wspec = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("window_idx")
-      val keys = sigs
-        .withColumn("b2", lead(col("dominant_bin"), 1).over(wspec))
-        .withColumn("b3", lead(col("dominant_bin"), 2).over(wspec))
-        .where(col("b3").isNotNull)
-        .select(col("doc_id"), col("window_idx").as("w"),
-          col("dominant_bin").as("b1"), col("b2"), col("b3"))
-      val cand = keys.as("x")
-        .join(keys.as("y"), Seq("w", "b1", "b2", "b3"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val sa = sigs.select(col("doc_id").as("a"),
-        col("window_idx").as("wi"), col("dominant_bin").as("ba"))
-      val sb = sigs.select(col("doc_id").as("b"),
-        col("window_idx").as("wi"), col("dominant_bin").as("bb"))
-      val matched = cand.join(sa, Seq("a")).join(sb, Seq("b", "wi"))
-        .where(col("ba") === col("bb"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_match"))
-      val nw = sigs.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-      matched
-        .join(nw.select(col("doc_id").as("a"), col("nw").as("nw_a")), Seq("a"))
-        .join(nw.select(col("doc_id").as("b"), col("nw").as("nw_b")), Seq("b"))
-        .select(col("a"), col("b"), col("n_match"), col("nw_a"), col("nw_b"),
-          (col("n_match") * 10 >= least(col("nw_a"), col("nw_b")) * 7)
-            .as("is_dup"))
-        .orderBy("a", "b")
+      // the LIBRARY DEFAULT: Audio.nearDup's calibrated triplet keys
+      // (a user reaching for the operator gets the scale-safe path
+      // without knowing the q67/q134 calibration history)
+      Audio.nearDup(sigs)
     },
     Some(raw"""
 WITH grp AS (
@@ -1405,7 +1359,7 @@ ORDER BY m.a, m.b
         val px = Array.tabulate(w * h)(i => (((id + 1) * (i * 7 + 3)) % 256).toByte)
         val base = Multimodal.pngEncode(w, h, 1, px)
         val meta =
-          Seq("tEXt" -> ("Author user" + id).getBytes("ISO-8859-1")) ++
+          Seq("tEXt" -> ("Author\u0000user" + id).getBytes("ISO-8859-1")) ++
             (if (id % 2 == 0) Seq("tIME" -> Array.fill[Byte](7)(1)) else Nil) ++
             (if (id % 3 == 0)
               Seq("eXIf" -> Array.fill[Byte]((id % 5 + 4).toInt)(2))

@@ -402,6 +402,21 @@ object GraftCatalog {
     val tagged = GraftRl.tagVersions(tableDir)
     val (keep, expire) = versions.sorted.partition(v =>
       v > cur - retainLast || tagged.contains(v))
+    // EXACTLY-ONCE SURVIVES RETENTION: fold the streaming txn markers
+    // of the manifests about to be retired into the sidecar BEFORE
+    // deleting them — otherwise expiring a stopped stream's last
+    // epoch commit erases its high-water mark and a checkpoint replay
+    // after restart double-appends that epoch. Written first so a
+    // crash mid-expire loses the expire, never a marker.
+    val expiringMarks = expire
+      .flatMap(v => GraftRl.readManifestMeta(tableDir, v).get("txn"))
+      .flatMap { t =>
+        val i = t.lastIndexOf(':')
+        if (i > 0) Some(t.substring(0, i) -> t.substring(i + 1).toLong)
+        else None
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+    GraftRl.mergeTxnSidecar(tableDir, expiringMarks)
     expire.foreach(v => Files.delete(GraftRl.manifestPath(tableDir, v)))
     val live: Set[String] = keep.flatMap(v =>
       GraftRl.readManifest(tableDir, v).getOrElse(Seq.empty))
@@ -593,17 +608,32 @@ object GraftCatalog {
     * by `targetRows` — pick it to fit the executor). */
   def optimizeTable(tableDir: Path, targetRows: Long,
       sortCol: Option[String]): OptimizeResult =
-    optimizeImpl(tableDir, targetRows, sortCol,
+    optimizeTable(tableDir, targetRows, sortCol, Nil,
+      GraftRlOptimize.DefaultMaxBinBytes)
+
+  /** Serial overload with the full clustering surface (`sortCol` =
+    * 1-D, `zorderCols` = N-D Morton). */
+  def optimizeTable(tableDir: Path, targetRows: Long,
+      sortCol: Option[String], zorderCols: Seq[String],
+      maxBinBytes: Long): OptimizeResult =
+    optimizeImpl(tableDir, targetRows, sortCol, zorderCols, maxBinBytes,
       serialDvFoldCap = true,
       runner = bins => bins.map(GraftRlOptimize.rewriteBin))
 
   /** Distributed OPTIMIZE: same plan, same codec, one Spark task per
     * bin. No DV-fold size cap here — an executor rewriting one
-    * oversized group is exactly what the fan-out is for. */
+    * oversized group is exactly what the fan-out is for.
+    * `zorderCols` switches on MULTI-COLUMN Z-ORDER clustering
+    * (Morton-interleaved rank buckets — Delta `OPTIMIZE ZORDER BY
+    * (a, b)`), so point predicates on EACH clustered dimension keep
+    * pruning power; `sortCol` remains the 1-D fast path. */
   def optimizeTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: Path, targetRows: Long,
-      sortCol: Option[String] = None): OptimizeResult =
-    optimizeImpl(tableDir, targetRows, sortCol,
+      sortCol: Option[String] = None,
+      zorderCols: Seq[String] = Nil,
+      maxBinBytes: Long = GraftRlOptimize.DefaultMaxBinBytes)
+      : OptimizeResult =
+    optimizeImpl(tableDir, targetRows, sortCol, zorderCols, maxBinBytes,
       serialDvFoldCap = false,
       runner = bins =>
         if (bins.isEmpty) Seq.empty
@@ -622,12 +652,17 @@ object GraftCatalog {
   val DvFoldDeadFraction = 0.10
 
   private def optimizeImpl(tableDir: Path, targetRows: Long,
-      sortCol: Option[String],
+      sortCol: Option[String], zorderCols: Seq[String],
+      maxBinBytes: Long,
       serialDvFoldCap: Boolean,
       runner: Seq[GraftRlOptimize.Bin] =>
         Seq[(Seq[String], GraftRlStagedFile)]): OptimizeResult = {
     require(targetRows >= 1,
       s"graft catalog: targetRows must be >= 1, got $targetRows")
+    require(sortCol.isEmpty || zorderCols.isEmpty,
+      "graft catalog: sortCol and zorderCols are mutually exclusive")
+    require(maxBinBytes >= 1,
+      s"graft catalog: maxBinBytes must be >= 1, got $maxBinBytes")
     val schema = GraftRl.currentSchema(tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"graft catalog: $tableDir is not a table (no schema.json)"))
@@ -668,16 +703,29 @@ object GraftCatalog {
     def toBinFile(gf: GraftRl.GroupFile): GraftRlOptimize.BinFile =
       GraftRlOptimize.BinFile(gf.name, gf.rows, gf.statsToken,
         gf.dv.map(_._1).getOrElse(""))
+    val zIdxs = zorderCols.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: no such Z-order column '$c'")
+      schema.fieldIndex(c)
+    }
     val byBucket = candidates.groupBy(bucket).toSeq
       .sortBy(_._2.head.name)
-    val binDefs: Seq[GraftRlOptimize.Bin] = sortIdx match {
+    val binDefs: Seq[GraftRlOptimize.Bin] =
+      if (zIdxs.nonEmpty)
+        // MULTI-COLUMN Z-ORDER: Morton-rank range bins (see
+        // GraftRlOptimize.clusterBinsZ)
+        byBucket.flatMap { case (_, fs) =>
+          GraftRlOptimize.clusterBinsZ(tableDir, schema, zIdxs,
+            fs.map(toBinFile), targetRows, maxBinBytes)
+        }
+      else sortIdx match {
       case Some(i) =>
         // CLUSTERED: row-range bins planned from the EXACT sort keys
         // (see GraftRlOptimize.clusterBins) — file-level packing
         // cannot separate interleaved key ranges
         byBucket.flatMap { case (_, fs) =>
           GraftRlOptimize.clusterBins(tableDir, schema, i,
-            fs.map(toBinFile), targetRows)
+            fs.map(toBinFile), targetRows, maxBinBytes)
         }
       case None => byBucket.flatMap { case (_, fs) =>
         // greedy first-fit over name order: deterministic packing
@@ -703,16 +751,29 @@ object GraftCatalog {
     if (binDefs.isEmpty) return OptimizeResult(Nil, Nil, base)
     val packed = runner(binDefs)
     val removed = packed.flatMap(_._1).toSet
-    val next = files.filterNot(f => removed.contains(f.name)) ++
-      packed.map(_._2.toGroupFile)
-    if (!GraftRl.publish(tableDir, base + 1, GraftRl.render(next))) {
-      packed.foreach(p =>
-        Files.deleteIfExists(tableDir.resolve(p._2.name)))
-      throw new java.util.ConcurrentModificationException(
-        s"graft catalog: concurrent commit on $tableDir during " +
-          s"OPTIMIZE — packed files deleted, nothing published; re-run")
+    // commit through the file-disjoint rebase: compaction touches
+    // exactly its input files, and anything that commutes with it —
+    // an append, a DELETE on other groups, another OPTIMIZE over a
+    // different bucket — lands in the rebased manifest untouched. A
+    // long multi-task compaction must not discard all its packed
+    // work because one unrelated append won the version race; only a
+    // commit that REWROTE or re-vectored a compacted input (the
+    // compaction would silently lose that delete/update) is a real
+    // conflict and aborts.
+    GraftRlConcurrencyHook.beforeOptimizePublish()
+    GraftRlRebase.publishDisjoint(tableDir, base, files, removed,
+      cur => cur.filterNot(f => removed.contains(f.name)) ++
+        packed.map(_._2.toGroupFile)) match {
+      case Some(v) =>
+        OptimizeResult(removed.toSeq.sorted, packed.map(_._2.name), v)
+      case None =>
+        packed.foreach(p =>
+          Files.deleteIfExists(tableDir.resolve(p._2.name)))
+        throw new java.util.ConcurrentModificationException(
+          s"graft catalog: a concurrent commit changed a group this " +
+            s"OPTIMIZE was compacting in $tableDir — packed files " +
+            "deleted, nothing published; re-run")
     }
-    OptimizeResult(removed.toSeq.sorted, packed.map(_._2.name), base + 1)
   }
 }
 
@@ -750,7 +811,13 @@ private[sources] object GraftRlOptimize {
   final case class Bin(dir: String, schemaJson: String,
       files: Seq[BinFile], sortIdx: Int = -1, ranged: Boolean = false,
       lo: Option[String] = None, hi: Option[String] = None,
-      takeNulls: Boolean = false)
+      takeNulls: Boolean = false,
+      /** Z-ORDER bins: the clustered column indices, the per-column
+        * encoded rank-bucket boundaries (shipped so planning and
+        * rewriting compute the IDENTICAL Morton code on driver or
+        * executor alike), and `lo`/`hi` reinterpreted as a Z-value
+        * range. */
+      zIdx: Seq[Int] = Nil, zBounds: Seq[Seq[String]] = Nil)
 
   private def encodeKey(dt: DataType, v: Any): String = dt match {
     case LongType => v.asInstanceOf[java.lang.Long].toString
@@ -819,7 +886,8 @@ private[sources] object GraftRlOptimize {
     * volume the boundary scan would sample instead of reading every
     * key; candidates here are maintenance-batch fragments.) */
   def clusterBins(tableDir: Path, schema: StructType, i: Int,
-      files: Seq[BinFile], targetRows: Long): Seq[Bin] = {
+      files: Seq[BinFile], targetRows: Long,
+      maxBinBytes: Long = DefaultMaxBinBytes): Seq[Bin] = {
     val dt = schema.fields(i).dataType
     val perFile = files.map(f => f -> readKeys(tableDir, schema, i, f))
     val allKeys = perFile.flatMap(_._2._1).sortWith(cmpKey(dt, _, _) < 0)
@@ -841,24 +909,235 @@ private[sources] object GraftRlOptimize {
     def inRange(r: (Option[Any], Option[Any]), v: Any): Boolean =
       r._1.forall(lo => cmpKey(dt, v, lo) >= 0) &&
         r._2.forall(hi => cmpKey(dt, v, hi) < 0)
-    // which ranges does each fragment's key set touch?
-    val touches: Map[String, Set[Int]] = perFile.map { case (f, (ks, nu)) =>
-      f.name -> ranges.zipWithIndex.collect {
-        case (r, ri) if ks.exists(inRange(r, _)) ||
-          (nu > 0 && ri == 0) => ri
-      }.toSet
-    }.toMap
-    ranges.zipWithIndex.flatMap { case (r, ri) =>
-      val overlapping = files.filter(f => touches(f.name).contains(ri))
+    // how many live rows of each fragment land in each range (nulls
+    // ride range 0) — drives both overlap detection and the cap split
+    val perFileRange: Map[String, Map[Int, Long]] =
+      perFile.map { case (f, (ks, nu)) =>
+        val counts = scala.collection.mutable.Map.empty[Int, Long]
+        if (nu > 0) counts(0) = nu
+        ks.foreach { v =>
+          val ri = ranges.indexWhere(inRange(_, v))
+          counts(ri) = counts.getOrElse(ri, 0L) + 1L
+        }
+        f.name -> counts.toMap
+      }.toMap
+    emitRangeBins(tableDir, files, perFileRange, ranges.size,
+      capRowsFor(tableDir, files, maxBinBytes),
+      (part, ri) => Bin(tableDir.toString, schema.json, part,
+        sortIdx = i, ranged = true,
+        lo = ranges(ri)._1.map(encodeKey(dt, _)),
+        hi = ranges(ri)._2.map(encodeKey(dt, _)),
+        takeNulls = ri == 0))
+  }
+
+  /** Default hard cap on one clustered bin's estimated bytes: the
+    * ranged rewrite SORTS a bin in memory, so the bin size must be an
+    * engine-enforced bound, not caller trust — a caller passing a
+    * huge `targetRows` (or a key whose duplicates collapse the range
+    * boundaries) would otherwise hand one task an unbounded sort. */
+  val DefaultMaxBinBytes: Long = 256L << 20
+
+  /** Estimated rows that fit `maxBinBytes`, from the candidates' real
+    * on-disk bytes-per-row (stats-free fragments estimate high —
+    * splitting too eagerly is safe, trusting too long is not). */
+  private def capRowsFor(tableDir: Path, files: Seq[BinFile],
+      maxBinBytes: Long): Long = {
+    val totalBytes = files.map(f =>
+      try Files.size(tableDir.resolve(f.name)) catch {
+        case _: java.io.IOException => 0L
+      }).sum
+    val totalRows = math.max(1L, files.map(_.rows).sum)
+    val bytesPerRow = math.max(1L, totalBytes / totalRows)
+    math.max(1L, maxBinBytes / bytesPerRow)
+  }
+
+  /** Shared range→bin emission for the 1-D and Z-order planners:
+    * skip a range already served by exactly one clean in-range file
+    * (incremental no-op), and SPLIT an oversized range across
+    * fragment subsets — rows of one fragment live in exactly one
+    * subset, so each subset rewrites independently into its own
+    * range-tight file and the in-memory sort stays under the cap.
+    * (A single fragment exceeding the cap on its own is emitted
+    * as-is: file granularity is the floor of input splitting.) */
+  private def emitRangeBins(tableDir: Path, files: Seq[BinFile],
+      perFileRange: Map[String, Map[Int, Long]], nRanges: Int,
+      capRows: Long,
+      mkBin: (Seq[BinFile], Int) => Bin): Seq[Bin] =
+    (0 until nRanges).flatMap { ri =>
+      val overlapping = files.filter(f =>
+        perFileRange(f.name).getOrElse(ri, 0L) > 0L)
       val alreadyClustered = overlapping.size == 1 &&
         overlapping.head.dvName.isEmpty &&
-        touches(overlapping.head.name) == Set(ri)
-      if (overlapping.isEmpty || alreadyClustered) None
-      else Some(Bin(tableDir.toString, schema.json, overlapping,
-        sortIdx = i, ranged = true,
-        lo = r._1.map(encodeKey(dt, _)), hi = r._2.map(encodeKey(dt, _)),
-        takeNulls = ri == 0))
+        perFileRange(overlapping.head.name).keySet == Set(ri)
+      if (overlapping.isEmpty || alreadyClustered) Seq.empty
+      else {
+        val parts = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[BinFile]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[BinFile]
+        var rows = 0L
+        overlapping.foreach { f =>
+          val r = perFileRange(f.name)(ri)
+          if (cur.nonEmpty && rows + r > capRows) {
+            parts += cur
+            cur = scala.collection.mutable.ArrayBuffer.empty[BinFile]
+            rows = 0L
+          }
+          cur += f; rows += r
+        }
+        if (cur.nonEmpty) parts += cur
+        parts.map(p => mkBin(p.toSeq, ri)).toSeq
+      }
     }
+
+  /** Bits per dimension of the Morton code: enough for fine rank
+    * buckets, capped so N dimensions still interleave into one
+    * non-negative Long. */
+  def zBitsFor(n: Int): Int = math.min(12, 62 / math.max(1, n))
+
+  /** Morton interleave of per-column bucket ids, column 0 owning the
+    * most significant bit at each level — the bit arithmetic both
+    * engines of the q233 layout audit agree on. */
+  def interleave(buckets: Seq[Int], bits: Int): Long = {
+    var z = 0L
+    var bit = bits - 1
+    while (bit >= 0) {
+      var c = 0
+      while (c < buckets.length) {
+        z = (z << 1) | ((buckets(c) >> bit) & 1L)
+        c += 1
+      }
+      bit -= 1
+    }
+    z
+  }
+
+  /** Equi-depth rank bucket of `v`: the count of boundaries ≤ v.
+    * Nulls take bucket 0 (Spark's NULLS FIRST). Rank buckets — not
+    * raw value bits — keep the Z-curve uniform under any value
+    * distribution, the same reason Delta Z-orders over
+    * range-partition ids rather than raw values. */
+  private def zBucket(dt: DataType, bounds: Seq[Any], v: Any): Int =
+    if (v == null) 0
+    else bounds.count(b => cmpKey(dt, b, v) <= 0)
+
+  /** Read one fragment's DV-masked key TUPLES for the Z-order
+    * columns, row-aligned (a column the file predates reads as
+    * null). */
+  private def readKeyTuples(tableDir: Path, schema: StructType,
+      idxs: Seq[Int], f: BinFile): Seq[Array[Any]] = {
+    val dv = if (f.dvName.isEmpty) Array.emptyLongArray
+      else GraftRl.readDv(tableDir.resolve(f.dvName))
+    val present = idxs.zipWithIndex.collect {
+      case (i, c) if i < f.width => (schema.fields(i), c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    if (present.isEmpty) {
+      var n = f.rows - dv.length
+      while (n > 0) { out += new Array[Any](idxs.length); n -= 1 }
+      return out.toSeq
+    }
+    var dvIdx = 0
+    var ord = 0L
+    val reader = GraftRlCodec.openReader(
+      tableDir.resolve(f.name).toString,
+      GraftRlCodec.messageType(present.map(_._1)))
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val o = ord; ord += 1
+        while (dvIdx < dv.length && dv(dvIdx) < o) dvIdx += 1
+        if (!(dvIdx < dv.length && dv(dvIdx) == o)) {
+          val t = new Array[Any](idxs.length)
+          var j = 0
+          while (j < present.length) {
+            t(present(j)._2) =
+              GraftRlCodec.groupValue(g, j, present(j)._1.dataType)
+            j += 1
+          }
+          out += t
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toSeq
+  }
+
+  /** MULTI-COLUMN Z-ORDER bin planning (Delta `OPTIMIZE ZORDER BY
+    * (a, b, …)`): per column, equi-depth rank-bucket boundaries from
+    * the candidates' exact keys; per row, the Morton interleave of
+    * its bucket ids; then the SAME row-range machinery as the 1-D
+    * planner, over the Z-value stream — boundaries every
+    * `targetRows`, one bin per Z-range, incremental skip, cap split.
+    * Because a Z-range at any cut depth is a sub-rectangle union
+    * with BOUNDED extent in every dimension, each packed file's
+    * per-column min/max stats stay narrow on ALL clustered columns —
+    * a point predicate on either dimension of a 2-D clustered
+    * 100 TB table prunes to ~√F of F files instead of all of them,
+    * which is the whole point of Morton over lexicographic sort. */
+  def clusterBinsZ(tableDir: Path, schema: StructType, idxs: Seq[Int],
+      files: Seq[BinFile], targetRows: Long,
+      maxBinBytes: Long = DefaultMaxBinBytes): Seq[Bin] = {
+    require(idxs.size >= 2,
+      s"graft catalog: Z-order needs >= 2 columns, got ${idxs.size}")
+    val dts = idxs.map(schema.fields(_).dataType)
+    val bits = zBitsFor(idxs.size)
+    val buckets = 1 << bits
+    val perFile: Seq[(BinFile, Seq[Array[Any]])] =
+      files.map(f => f -> readKeyTuples(tableDir, schema, idxs, f))
+    if (perFile.forall(_._2.isEmpty)) return Seq.empty
+    // per-column equi-depth boundaries (strictly increasing;
+    // duplicates collapse like 1-D chunk boundaries)
+    val bounds: Seq[Seq[Any]] = idxs.indices.map { c =>
+      val vs = perFile.flatMap(_._2.iterator.map(_(c)))
+        .filter(_ != null).sortWith(cmpKey(dts(c), _, _) < 0)
+      if (vs.isEmpty) Seq.empty
+      else (1 until buckets)
+        .map(j => vs(((j.toLong * vs.size) / buckets).toInt))
+        .foldLeft(Seq.empty[Any])((acc, b) =>
+          if (acc.nonEmpty && cmpKey(dts(c), acc.last, b) >= 0) acc
+          else acc :+ b)
+    }
+    def z(t: Array[Any]): Long = interleave(
+      idxs.indices.map(c => zBucket(dts(c), bounds(c), t(c))), bits)
+    val perFileZ: Seq[(BinFile, Seq[Long])] =
+      perFile.map { case (f, ts) => f -> ts.map(z) }
+    val allZ = perFileZ.flatMap(_._2).sorted
+    val chunk = math.max(1L, math.min(targetRows, Int.MaxValue.toLong)).toInt
+    val boundaries = allZ.grouped(chunk).map(_.head).toSeq.drop(1)
+      .foldLeft(Seq.empty[Long])((acc, b) =>
+        if (acc.nonEmpty && acc.last >= b) acc
+        else if (acc.isEmpty && allZ.head >= b) acc
+        else acc :+ b)
+    val ranges: Seq[(Option[Long], Option[Long])] =
+      (None +: boundaries.map(Some(_))).zip(
+        boundaries.map(Some(_)) :+ None)
+    def rangeOf(v: Long): Int = {
+      var ri = boundaries.length
+      var j = 0
+      while (j < boundaries.length) {
+        if (v < boundaries(j)) { ri = j; j = boundaries.length }
+        else j += 1
+      }
+      ri
+    }
+    val perFileRange: Map[String, Map[Int, Long]] =
+      perFileZ.map { case (f, zs) =>
+        val counts = scala.collection.mutable.Map.empty[Int, Long]
+        zs.foreach { v =>
+          val ri = rangeOf(v)
+          counts(ri) = counts.getOrElse(ri, 0L) + 1L
+        }
+        f.name -> counts.toMap
+      }.toMap
+    val encBounds: Seq[Seq[String]] = idxs.indices.map(c =>
+      bounds(c).map(encodeKey(dts(c), _)))
+    emitRangeBins(tableDir, files, perFileRange, ranges.size,
+      capRowsFor(tableDir, files, maxBinBytes),
+      (part, ri) => Bin(tableDir.toString, schema.json, part,
+        ranged = true,
+        lo = ranges(ri)._1.map(_.toString),
+        hi = ranges(ri)._2.map(_.toString),
+        zIdx = idxs, zBounds = encBounds))
   }
 
   /** Rewrite one bin into one packed file: read every column each
@@ -881,22 +1160,39 @@ private[sources] object GraftRlOptimize {
     val stats = new GraftRlStats(schema)
     val dt = if (bin.sortIdx < 0) null
       else schema.fields(bin.sortIdx).dataType
-    val loK = bin.lo.map(decodeKey(dt, _))
-    val hiK = bin.hi.map(decodeKey(dt, _))
+    val loK = if (bin.zIdx.nonEmpty) None else bin.lo.map(decodeKey(dt, _))
+    val hiK = if (bin.zIdx.nonEmpty) None else bin.hi.map(decodeKey(dt, _))
+    // Z mode: recompute each row's Morton code from the SHIPPED
+    // bucket boundaries — planning and rewriting agree bit-for-bit,
+    // driver-side or inside an executor task
+    val zDts = bin.zIdx.map(schema.fields(_).dataType)
+    val zBoundsDec: Seq[Seq[Any]] =
+      bin.zBounds.zip(zDts).map { case (bs, d) => bs.map(decodeKey(d, _)) }
+    val zBits = zBitsFor(bin.zIdx.size)
+    def zOf(vals: Array[Any]): Long = interleave(
+      bin.zIdx.indices.map(c =>
+        zBucket(zDts(c), zBoundsDec(c), vals(bin.zIdx(c)))), zBits)
+    val zLo = if (bin.zIdx.isEmpty) None else bin.lo.map(_.toLong)
+    val zHi = if (bin.zIdx.isEmpty) None else bin.hi.map(_.toLong)
     def keep(vals: Array[Any]): Boolean =
       if (!bin.ranged) true
-      else vals(bin.sortIdx) match {
+      else if (bin.zIdx.nonEmpty) {
+        val zv = zOf(vals)
+        zLo.forall(zv >= _) && zHi.forall(zv < _)
+      } else vals(bin.sortIdx) match {
         case null => bin.takeNulls
         case v => loK.forall(lo => cmpKey(dt, v, lo) >= 0) &&
           hiK.forall(hi => cmpKey(dt, v, hi) < 0)
       }
     // clustered rewrite: buffer the bin's live rows, sort, then write
-    // (a bin is one targetRows-sized range — bounded memory)
+    // (a bin is one cap-bounded range slice — bounded memory; see
+    // emitRangeBins' capRows split)
     val buffer =
-      if (bin.sortIdx < 0) null
-      else scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    def emit(row: InternalRow): Unit =
-      if (buffer != null) buffer += row
+      if (bin.sortIdx < 0 && bin.zIdx.isEmpty) null
+      else scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+    def emit(vals: Array[Any], row: InternalRow): Unit =
+      if (buffer != null)
+        buffer += ((if (bin.zIdx.nonEmpty) zOf(vals) else 0L, row))
       else {
         w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
         stats.update(row, 0)
@@ -925,7 +1221,8 @@ private[sources] object GraftRlOptimize {
                   present(j).dataType)
                 j += 1
               }
-              if (keep(vals)) emit(InternalRow.fromSeq(vals.toIndexedSeq))
+              if (keep(vals))
+                emit(vals, InternalRow.fromSeq(vals.toIndexedSeq))
             }
             g = reader.read()
           }
@@ -933,21 +1230,26 @@ private[sources] object GraftRlOptimize {
       }
       if (buffer != null) {
         val i = bin.sortIdx
-        // Spark sort semantics: NULLS FIRST; NaN above every double
-        val sorted = buffer.sortWith { (a, b) =>
-          (a.isNullAt(i), b.isNullAt(i)) match {
-            case (true, false) => true
-            case (_, true) => false
-            case _ => dt match {
-              case LongType => a.getLong(i) < b.getLong(i)
-              case DoubleType => java.lang.Double.compare(
-                a.getDouble(i), b.getDouble(i)) < 0
-              case _ =>
-                a.getUTF8String(i).compareTo(b.getUTF8String(i)) < 0
+        val sorted =
+          if (bin.zIdx.nonEmpty)
+            // Z mode: in-file order is Morton order (stable sort, so
+            // equal-Z rows keep deterministic fragment-read order)
+            buffer.sortBy(_._1)
+          else buffer.sortWith { case ((_, a), (_, b)) =>
+            // Spark sort semantics: NULLS FIRST; NaN above every double
+            (a.isNullAt(i), b.isNullAt(i)) match {
+              case (true, false) => true
+              case (_, true) => false
+              case _ => dt match {
+                case LongType => a.getLong(i) < b.getLong(i)
+                case DoubleType => java.lang.Double.compare(
+                  a.getDouble(i), b.getDouble(i)) < 0
+                case _ =>
+                  a.getUTF8String(i).compareTo(b.getUTF8String(i)) < 0
+              }
             }
           }
-        }
-        sorted.foreach { row =>
+        sorted.foreach { case (_, row) =>
           w.write(GraftRlCodec.appendRow(fac, row, schema, 0))
           stats.update(row, 0)
         }
@@ -969,6 +1271,14 @@ private[sources] object GraftRlConcurrencyHook {
   @volatile var beforeSchemaPublish: () => Unit = () => ()
   @volatile var beforeDeltaPublish: () => Unit = () => ()
   @volatile var afterTagPublish: () => Unit = () => ()
+  /** Fires once, before OPTIMIZE's first publishDisjoint attempt
+    * (after the bins were rewritten) — the racy instant for
+    * compaction-vs-append tests. */
+  @volatile var beforeOptimizePublish: () => Unit = () => ()
+  /** Fires before each streaming-epoch publish attempt, AFTER the
+    * in-loop zombie-marker re-check — a test can commit the same
+    * epoch here to prove the window is closed. */
+  @volatile var beforeEpochPublish: () => Unit = () => ()
 }
 
 /** FILE-DISJOINT CONFLICT DETECTION — the rebase half of optimistic
@@ -1216,16 +1526,55 @@ private[sources] object GraftRl {
       .getOrElse(Files.getLastModifiedTime(manifestPath(dir, v)).toMillis)
 
   /** Highest epoch the streaming query `queryId` has committed into
-    * this table, scanning manifest headers newest-first (epochs only
-    * grow, so the newest marker is the high-water mark). O(versions)
-    * worst case for a query that never committed; bounded by snapshot
-    * retention like every history walk. */
-  def lastTxnEpoch(dir: Path, queryId: String): Option[Long] =
-    manifestVersions(dir).sorted.reverseIterator
+    * this table: the max over (a) manifest headers scanned
+    * newest-first (epochs only grow, so the newest marker is the
+    * high-water mark) and (b) the retention sidecar — snapshot
+    * expiration folds the markers of the manifests it retires into
+    * `txns.list` so exactly-once survives log cleanup (Delta persists
+    * setTransaction appIds in the snapshot for the same reason; a
+    * marker bounded by retention would let an expire + checkpoint
+    * replay double-append an epoch). O(versions) worst case for a
+    * query that never committed. */
+  def lastTxnEpoch(dir: Path, queryId: String): Option[Long] = {
+    val fromManifests = manifestVersions(dir).sorted.reverseIterator
       .flatMap(v => readManifestMeta(dir, v).get("txn"))
       .collectFirst { case t if t.startsWith(queryId + ":") =>
         t.stripPrefix(queryId + ":").toLong
       }
+    (fromManifests.toSeq ++ readTxnSidecar(dir).get(queryId)).maxOption
+  }
+
+  /** The retention sidecar: per-queryId epoch high-water marks whose
+    * carrying manifests have been expired. Plain `<queryId>:<epoch>`
+    * lines; the name is neither a `data-*` nor `dv-*` pattern, so
+    * vacuum can never collect it. */
+  def txnSidecarPath(dir: Path): Path = dir.resolve("txns.list")
+
+  def readTxnSidecar(dir: Path): Map[String, Long] = {
+    val p = txnSidecarPath(dir)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(':')
+      require(i > 0, s"graft catalog: malformed txn sidecar line '$l'")
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+  }
+
+  /** Fold `marks` into the sidecar (max per queryId) and replace it
+    * atomically — called by snapshot expiration BEFORE the carrying
+    * manifests are deleted, so a crash mid-expire can lose the
+    * expire, never a marker. */
+  def mergeTxnSidecar(dir: Path, marks: Map[String, Long]): Unit = {
+    if (marks.isEmpty) return
+    val merged = (readTxnSidecar(dir).toSeq ++ marks.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    val tmp = Files.createTempFile(dir, ".txns", ".tmp")
+    Files.writeString(tmp, merged.toSeq.sorted
+      .map { case (q, e) => s"$q:$e" }.mkString("", "\n", "\n"))
+    Files.move(tmp, txnSidecarPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Atomic-exclusive manifest publish (the commit's linearization
     * point): write a temp file, HARD-LINK it to the versioned name —
@@ -3029,31 +3378,32 @@ private[sources] class GraftRlStreamingWrite(dir: Path,
     require(queryId.nonEmpty,
       "graft catalog: streaming write without a query id cannot be " +
         "idempotent")
-    if (GraftRl.lastTxnEpoch(dir, queryId).exists(_ >= epochId)) {
-      // replayed epoch: the manifest already carries these rows
-      staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
-      return
-    }
     if (staged.isEmpty) return // empty epoch: nothing to make visible
     var attempt = 0
     var done = false
     while (!done) {
+      // pin the base version FIRST, then scan for our own marker: a
+      // competing commit of this epoch (a ZOMBIE twin of this query
+      // racing after a partial failover) is either <= cur — the scan
+      // below sees it and we skip — or newer than cur, in which case
+      // our publish at cur+1 loses the link race and we re-loop into
+      // the same check. Publish is atomic, so no interleaving lets a
+      // replayed epoch append twice (checking before reading cur
+      // would leave exactly that window open).
       val cur = GraftRl.currentVersion(dir)
+      if (GraftRl.lastTxnEpoch(dir, queryId).exists(_ >= epochId)) {
+        // replayed epoch: the manifest already carries these rows
+        staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
+        return
+      }
       val prior = GraftRl.readManifest(dir, cur).getOrElse(
         throw new IllegalStateException(
           s"graft catalog: manifest v$cur vanished mid-commit in $dir"))
+      GraftRlConcurrencyHook.beforeEpochPublish()
       done = GraftRl.publish(dir, cur + 1,
         GraftRl.render(prior ++ staged),
         Map("txn" -> s"$queryId:$epochId"))
       if (!done) {
-        // the winner may have been a ZOMBIE instance of this very
-        // query committing this very epoch (two drivers racing after
-        // a partial failover) — re-check the marker before rebasing,
-        // or the retry would append the epoch twice
-        if (GraftRl.lastTxnEpoch(dir, queryId).exists(_ >= epochId)) {
-          staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))
-          return
-        }
         attempt += 1
         if (attempt >= 64) {
           staged.foreach(g => Files.deleteIfExists(dir.resolve(g.name)))

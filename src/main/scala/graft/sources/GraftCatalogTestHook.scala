@@ -94,6 +94,30 @@ object GraftCatalogTestHook {
       sortCol: String): GraftCatalog.OptimizeResult =
     GraftCatalog.optimizeTable(tableDir, targetRows, Some(sortCol))
 
+  /** Multi-column Z-order OPTIMIZE (serial; `maxBinBytes` caps one
+    * bin's in-memory sort — the spec seam for the split path). */
+  def optimizeTableZordered(tableDir: Path, targetRows: Long,
+      zorderCols: Seq[String],
+      maxBinBytes: Long = GraftRlOptimize.DefaultMaxBinBytes)
+      : GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(tableDir, targetRows, None, zorderCols,
+      maxBinBytes)
+
+  /** Distributed Z-order OPTIMIZE. */
+  def optimizeTableZorderedDistributed(
+      spark: org.apache.spark.sql.SparkSession, tableDir: Path,
+      targetRows: Long, zorderCols: Seq[String])
+      : GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(spark, tableDir, targetRows, None,
+      zorderCols)
+
+  /** 1-D clustered OPTIMIZE with an explicit bin-byte cap (spec seam
+    * for the oversized-range split). */
+  def optimizeTableClusteredCapped(tableDir: Path, targetRows: Long,
+      sortCol: String, maxBinBytes: Long): GraftCatalog.OptimizeResult =
+    GraftCatalog.optimizeTable(tableDir, targetRows, Some(sortCol), Nil,
+      maxBinBytes)
+
   /** DESCRIBE HISTORY rows for a table. */
   def history(tableDir: Path): Seq[GraftCatalog.HistoryEntry] =
     GraftCatalog.history(tableDir)
@@ -160,12 +184,34 @@ object GraftCatalogTestHook {
     GraftRlConcurrencyHook.beforeDeltaPublish = f
   def setAfterTagPublish(f: () => Unit): Unit =
     GraftRlConcurrencyHook.afterTagPublish = f
+  def setBeforeOptimizePublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.beforeOptimizePublish = f
+  def setBeforeEpochPublish(f: () => Unit): Unit =
+    GraftRlConcurrencyHook.beforeEpochPublish = f
   def clearPublishHooks(): Unit = {
     GraftRlConcurrencyHook.beforeReplacePublish = () => ()
     GraftRlConcurrencyHook.beforeAppendPublish = () => ()
     GraftRlConcurrencyHook.beforeSchemaPublish = () => ()
     GraftRlConcurrencyHook.beforeDeltaPublish = () => ()
     GraftRlConcurrencyHook.afterTagPublish = () => ()
+    GraftRlConcurrencyHook.beforeOptimizePublish = () => ()
+    GraftRlConcurrencyHook.beforeEpochPublish = () => ()
+  }
+
+  /** Streaming-txn high-water mark (manifest scan + retention
+    * sidecar) and the raw sidecar contents. */
+  def lastTxnEpoch(tableDir: Path, queryId: String): Option[Long] =
+    GraftRl.lastTxnEpoch(tableDir, queryId)
+  def readTxnSidecar(tableDir: Path): Map[String, Long] =
+    GraftRl.readTxnSidecar(tableDir)
+
+  /** Publish a manifest version with explicit header metadata (the
+    * "zombie twin" in streaming-concurrency tests). */
+  def republishWithMeta(tableDir: Path, fromVersion: Long,
+      asVersion: Long, meta: Map[String, String]): Boolean = {
+    val files = GraftRl.readManifest(tableDir, fromVersion).getOrElse(
+      throw new IllegalArgumentException(s"no manifest v$fromVersion"))
+    GraftRl.publish(tableDir, asVersion, GraftRl.render(files), meta)
   }
 
   /** Proof-engine seam: evaluate the metadata-delete coverage verdict

@@ -47,9 +47,22 @@ private[sources] object GraftProcedures {
 
   private def utf(s: String): UTF8String = UTF8String.fromString(s)
 
-  /** `'db.t'` (or `'t'`) relative to this catalog's root. */
+  /** `'db.t'` (or `'t'`) relative to this catalog's root. Segments
+    * are validated before touching the filesystem: empty, `.`, `..`,
+    * and separator-bearing segments are refused, and the resolved
+    * path is re-checked to sit under the catalog root — a
+    * `CALL cat.system.optimize('../other/t', …)` must not run
+    * maintenance outside the catalog it was addressed to. */
   private def tableDir(root: Path, table: String): Path = {
-    val dir = table.split('.').foldLeft(root)(_.resolve(_))
+    val segs = table.split('.')
+    require(segs.nonEmpty && segs.forall(s =>
+        s.nonEmpty && s != "." && s != ".." &&
+          !s.contains('/') && !s.contains('\\')),
+      s"graft catalog: malformed table name '$table' — segments must " +
+        "be non-empty and free of '.', '..', and path separators")
+    val dir = segs.foldLeft(root)(_.resolve(_)).normalize()
+    require(dir.startsWith(root.normalize()),
+      s"graft catalog: table '$table' escapes the catalog root $root")
     require(java.nio.file.Files.exists(dir.resolve("schema.json")),
       s"graft catalog: no such table '$table' under $root")
     dir

@@ -258,6 +258,33 @@ class RegistryLintSpec extends SparkSpec {
       "val b = Similarity.lshBucketFixed(col(\"e\"), 64, 6)") == Seq(1))
   }
 
+  test("no fixed-resolution audio blocking in query sources: " +
+      "Audio.nearDup (calibrated triplet keys) is the sanctioned " +
+      "entry point — q134 stays the one pinned pair-key control") {
+    // Pair keys over a 120-bin peak alphabet are the audio form of
+    // the fixed-resolution trap (37× pair work at 100× rows vs 11.9×
+    // calibrated, measured by q134-vs-q413). The `nearDupFixed`
+    // escape hatch may appear exactly once — the q134 control.
+    def fixedSites(src: String): Seq[Int] =
+      src.linesIterator.zipWithIndex.collect {
+        case (l, i) if l.contains("nearDupFixed(") => i + 1
+      }.toSeq
+    val qdir = new java.io.File("src/main/scala/graft/queries")
+    val hits = Option(qdir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".scala")).sortBy(_.getName)
+      .flatMap { f =>
+        val src = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        fixedSites(src).map(l => s"${f.getName}:$l")
+      }
+    assert(hits.size == 1 && hits.head.startsWith("MultimodalQueries"),
+      s"fixed-resolution audio blocking outside the pinned q134 " +
+        s"control: $hits")
+    // red/green: the lint actually sees a planted regression
+    assert(fixedSites(
+      "val d = Audio.nearDupFixed(sigs)") == Seq(1))
+  }
+
   test("broadcast lint catches a deliberately-hinted regression") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$dir/events.parquet")
