@@ -15,5 +15,5 @@ object Registry {
       AqpQueries.all ++ JourneyQueries.all ++ MlQueries.all ++
       MatchQueries.all ++ PlanningQueries.all ++ VisionQueries.all ++
       Wave15Queries.all ++ Wave16Queries.all ++ Wave17Queries.all ++
-      Wave18Queries.all ++ Wave19Queries.all
+      Wave18Queries.all ++ Wave19Queries.all ++ Wave20Queries.all
 }

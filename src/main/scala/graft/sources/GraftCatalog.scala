@@ -152,6 +152,40 @@ class GraftCatalog extends TableCatalog
     GraftRl.readPartCol(dir)
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$changes` — the derived CHANGE DATA FEED table (the Iceberg
+    // changes-table naming): same namespace, widened schema, served
+    // by [[GraftRlChangesTable]] batch and streaming
+    if (ident.name().endsWith("$changes")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$changes"))
+      val baseDir = tableDir(base)
+      return new GraftRlChangesTable(ident.toString, baseDir,
+        readSchema(baseDir, base))
+    }
+    // `t$branch$<name>` — a WRITABLE branch head (write-audit-publish,
+    // [[GraftCatalog.createBranch]]): the same table machinery rooted
+    // at the branch subdirectory, full read + DML
+    val bSep = ident.name().indexOf("$branch$")
+    if (bSep > 0) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().substring(0, bSep))
+      val bName = ident.name().substring(bSep + "$branch$".length)
+      val baseDir = tableDir(base)
+      val schema = readSchema(baseDir, base)
+      val bdir = GraftCatalog.branchDir(baseDir, bName)
+      if (!java.nio.file.Files.exists(bdir))
+        throw new NoSuchTableException(
+          ident.namespace().toSeq :+ ident.name())
+      val bCur = GraftRl.currentVersion(bdir)
+      val bFiles = GraftRl.readManifest(bdir, bCur).getOrElse(
+        throw new IllegalStateException(
+          s"graft catalog: branch '$bName' manifest v$bCur unreadable"))
+      return new GraftRlTable(ident.toString, bdir, schema, bCur,
+        bFiles, writable = true, partCol = readPartCol(baseDir),
+        morDelete = GraftRl.readMorDelete(baseDir),
+        morUpdate = GraftRl.readMorUpdate(baseDir),
+        morMerge = GraftRl.readMorMerge(baseDir))
+    }
     val dir = tableDir(ident)
     val schema = readSchema(dir, ident)
     val cur = GraftRl.currentVersion(dir)
@@ -373,6 +407,41 @@ object GraftCatalog {
   final case class ExpireResult(expiredVersions: Seq[Long],
       deletedDataFiles: Seq[String], retainedVersions: Seq[Long])
 
+  /** EXACTLY-ONCE EPOCH for `foreachBatch` upserts — the glue that
+    * lands a CDC stream keep-latest in a catalog table (Delta's
+    * `txnAppId`/`txnVersion` discipline, reachable from SQL MERGE
+    * where writer options are not): if the table's txn high-water
+    * mark for `queryId` already covers `epochId` (a stale-checkpoint
+    * replay after a crash between table commit and checkpoint
+    * advance), `body` is SKIPPED and this returns false; otherwise
+    * `body` runs with every commit it makes on this thread stamping
+    * `#txn=queryId:epochId` INTO its manifest header — marker and
+    * rows become visible in one atomic publish, so there is no state
+    * in which the epoch's effect is applied but unrecorded.
+    *
+    *   stream.writeStream.foreachBatch { (batch, epoch) =>
+    *     batch.createOrReplaceTempView("cdc")
+    *     GraftCatalog.exactlyOnceEpoch(dir, qId, epoch) {
+    *       spark.sql("MERGE INTO cat.db.t USING cdc ...")
+    *     }
+    *   }
+    *
+    * An epoch whose body commits nothing records no marker and will
+    * re-run on replay — harmless for MERGE (replaying an empty batch
+    * merges nothing). A LIVE zombie twin racing the same epoch
+    * concurrently is out of scope here: the marker closes the replay
+    * window; concurrent-twin safety additionally needs the body to be
+    * idempotent (keep-latest MERGE is). */
+  def exactlyOnceEpoch(tableDir: Path, queryId: String,
+      epochId: Long)(body: => Unit): Boolean = {
+    require(queryId.nonEmpty,
+      "graft catalog: exactlyOnceEpoch needs a stable query id")
+    if (GraftRl.lastTxnEpoch(tableDir, queryId).exists(_ >= epochId))
+      return false
+    GraftRlTxnContext.set(s"$queryId:$epochId")
+    try { body; true } finally GraftRlTxnContext.clear()
+  }
+
   /** SNAPSHOT RETENTION — the maintenance half every table format
     * pairs with time travel: retire all but the newest `retainLast`
     * manifest versions, then vacuum data files referenced by no
@@ -432,6 +501,124 @@ object GraftCatalog {
       .map(_.getName).sorted.toSeq
     dead.foreach(n => Files.delete(tableDir.resolve(n)))
     ExpireResult(expire, dead, keep)
+  }
+
+  /** BRANCH / WRITE-AUDIT-PUBLISH — the Iceberg branch model in its
+    * fast-forward form: a branch is a WRITABLE fork of the table
+    * (tags stay immutable labels) whose commit chain lives in its own
+    * `_branch_<name>/` subdirectory — its seed manifest references
+    * the fork version's files through `../` names, branch commits
+    * stage new data/DV files branch-locally, and the MAIN manifest
+    * log is untouched until publish, so main readers NEVER see an
+    * intermediate state. A maintenance job or backfill writes to the
+    * branch, audit queries read the branch, and [[publishBranch]]
+    * advances main to the branch's state in ONE atomic manifest
+    * publish — refusing (not rebasing) if main moved since the fork,
+    * because the audit certified exactly the branch's base. Branch
+    * tables are addressed as `db.`t$branch$<name>`` (read AND write,
+    * full DML). Returns the fork version. */
+  def createBranch(tableDir: Path, name: String): Long = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"graft catalog: branch name '$name' must be " +
+        "[A-Za-z0-9][A-Za-z0-9._-]* (it becomes a directory name)")
+    val fork = GraftRl.currentVersion(tableDir)
+    val files = GraftRl.readManifest(tableDir, fork).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog: manifest v$fork unreadable in $tableDir"))
+    val bdir = branchDir(tableDir, name)
+    if (Files.exists(bdir))
+      throw new IllegalArgumentException(
+        s"graft catalog: branch '$name' already exists on $tableDir")
+    Files.createDirectories(bdir)
+    // seed = the fork snapshot, re-rooted: every main file reachable
+    // from the branch dir through a `../` name
+    val seeded = files.map(g => g.copy(name = s"../${g.name}",
+      dv = g.dv.map { case (d, n) => (s"../$d", n) }))
+    require(GraftRl.publish(bdir, fork, GraftRl.render(seeded),
+        Map("fork" -> fork.toString)),
+      s"graft catalog: concurrent branch creation '$name' on $tableDir")
+    fork
+  }
+
+  private[sources] def branchDir(tableDir: Path, name: String): Path =
+    tableDir.resolve(s"_branch_$name")
+
+  /** Fast-forward main to the branch head in one atomic publish. The
+    * WAP contract: publish succeeds only if main is STILL at the
+    * branch's fork version — an audit certifies the branch's exact
+    * state, and silently rebasing it over unseen main commits would
+    * publish something nobody audited. Branch-local files stay in the
+    * branch directory; the published manifest references them by
+    * their `_branch_<name>/…` names (group-file resolution is
+    * path-relative, so scans read them in place). Returns the new
+    * main version. */
+  def publishBranch(tableDir: Path, name: String): Long = {
+    val bdir = branchDir(tableDir, name)
+    require(Files.exists(bdir),
+      s"graft catalog: no branch '$name' on $tableDir")
+    val bCur = GraftRl.currentVersion(bdir)
+    val bFiles = GraftRl.readManifest(bdir, bCur).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog: branch '$name' manifest v$bCur unreadable"))
+    val fork = GraftRl.readManifestMeta(bdir,
+      GraftRl.manifestVersions(bdir).min).get("fork")
+      .flatMap(_.toLongOption).getOrElse(
+        throw new IllegalStateException(
+          s"graft catalog: branch '$name' has no fork marker"))
+    val mainCur = GraftRl.currentVersion(tableDir)
+    if (mainCur != fork)
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: main of $tableDir moved (v$fork → v$mainCur) " +
+          s"since branch '$name' forked — the branch's audit does not " +
+          "cover those commits; re-fork, re-apply, re-audit")
+    // re-root: `../x` was a main file (publish as `x`); a branch-local
+    // file stays in place, addressed through the subdirectory
+    def reroot(n: String): String =
+      if (n.startsWith("../")) n.stripPrefix("../")
+      else s"_branch_$name/$n"
+    val published = bFiles.map(g => g.copy(name = reroot(g.name),
+      dv = g.dv.map { case (d, nn) => (reroot(d), nn) }))
+    if (!GraftRl.publish(tableDir, mainCur + 1,
+        GraftRl.render(published)))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: main of $tableDir advanced during branch " +
+          s"publish — re-fork, re-apply, re-audit")
+    mainCur + 1
+  }
+
+  /** PARTITION EVOLUTION — change the table's partition column (or
+    * drop partitioning, `col = None`) WITHOUT rewriting a byte: the
+    * new spec is published as the next `partspec-<n>` era
+    * (atomic-exclusive link — two racing evolutions, one winner) and
+    * applies to WRITES FROM NOW ON; existing group files keep the
+    * layout of the era that wrote them. Reads stay correct across
+    * mixed eras by construction — pruning and metadata-only DML run
+    * off per-file typed stats (era-agnostic), and the key-grouped
+    * scan/write claims consult per-file provability, standing down
+    * where an old-era file is not single-valued in the new column. A
+    * clustered OPTIMIZE on the new column is the optional backfill
+    * that re-cuts old-era files into new-spec layout. Returns the new
+    * era number. */
+  def evolvePartition(tableDir: Path, col: Option[String]): Long = {
+    val schema = GraftRl.currentSchema(tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: $tableDir is not a table (no schema.json)"))
+    col.foreach { c =>
+      require(schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.LongType),
+        s"graft catalog: partition column '$c' must be an existing " +
+          "BIGINT column")
+    }
+    require(GraftRl.readPartCol(tableDir) != col,
+      s"graft catalog: table is already partitioned by " +
+        s"${col.getOrElse("(nothing)")}")
+    val era = GraftRl.partSpecHistory(tableDir).lastOption
+      .map(_._1 + 1L).getOrElse(1L)
+    if (!GraftRl.publishPartSpec(tableDir, era,
+        GraftRl.currentVersion(tableDir), col))
+      throw new java.util.ConcurrentModificationException(
+        s"graft catalog: concurrent partition evolution on $tableDir")
+    era
   }
 
   /** SNAPSHOT TAG — pin a committed version under a stable name:
@@ -894,15 +1081,15 @@ private[sources] object GraftRlOptimize {
     val totalNulls = perFile.map(_._2._2).sum
     if (allKeys.isEmpty && totalNulls == 0) return Seq.empty
     val chunk = math.max(1L, math.min(targetRows, Int.MaxValue.toLong)).toInt
-    // strictly-increasing boundaries at chunk starts (duplicate keys
-    // collapse — rows equal to a boundary all belong to its range)
-    val boundaries = allKeys.grouped(chunk).map(_.head).toSeq
-      .drop(1)
-      .foldLeft(Seq.empty[Any])((acc, b) =>
-        if (acc.nonEmpty && cmpKey(dt, acc.last, b) >= 0) acc
-        else if (acc.isEmpty && allKeys.nonEmpty &&
-          cmpKey(dt, allKeys.head, b) >= 0) acc
-        else acc :+ b)
+    // boundary at the FIRST key change after >= chunk rows since the
+    // last cut: every full range then holds >= targetRows rows, so
+    // its packed file structurally leaves the liveRows < targetRows
+    // candidacy and repeated clustered runs converge to a no-op.
+    // (Cutting at fixed chunk offsets and collapsing duplicate-key
+    // boundaries instead lets dup runs DRIFT the later cuts, leaving
+    // sub-target files that every maintenance run re-packs forever.)
+    val boundaries = cutBoundaries[Any](allKeys.toIndexedSeq, chunk,
+      (a, b) => cmpKey(dt, a, b) == 0)
     val ranges: Seq[(Option[Any], Option[Any])] =
       (None +: boundaries.map(Some(_))).zip(
         boundaries.map(Some(_)) :+ None)
@@ -989,6 +1176,27 @@ private[sources] object GraftRlOptimize {
       }
     }
 
+  /** Range boundaries over a sorted stream: cut at the first element
+    * that DIFFERS from its predecessor once >= chunk rows accumulated
+    * since the last cut. Guarantees every full range >= chunk rows
+    * (ties never split), so range-packed files leave compaction
+    * candidacy and clustering converges. */
+  private def cutBoundaries[T](sorted: IndexedSeq[T], chunk: Int,
+      same: (T, T) => Boolean): Seq[T] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[T]
+    var sinceCut = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (sinceCut >= chunk && !same(sorted(i - 1), sorted(i))) {
+        out += sorted(i)
+        sinceCut = 0
+      }
+      sinceCut += 1
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Bits per dimension of the Morton code: enough for fine rank
     * buckets, capped so N dimensions still interleave into one
     * non-negative Long. */
@@ -1019,6 +1227,18 @@ private[sources] object GraftRlOptimize {
   private def zBucket(dt: DataType, bounds: Seq[Any], v: Any): Int =
     if (v == null) 0
     else bounds.count(b => cmpKey(dt, b, v) <= 0)
+
+  /** The Morton LANE value of `v`: its rank bucket SCALED to the full
+    * `bits` width. A low-cardinality column (fewer distinct values
+    * than buckets) would otherwise occupy only the lane's low bits —
+    * all-zero MSBs — and the interleave would degenerate to the
+    * high-cardinality dimensions, silently losing that column's
+    * pruning power. */
+  private def zLane(dt: DataType, bounds: Seq[Any], v: Any,
+      bits: Int): Int = {
+    val n = bounds.size + 1 // bucket ids live in [0, n)
+    ((zBucket(dt, bounds, v).toLong << bits) / n).toInt
+  }
 
   /** Read one fragment's DV-masked key TUPLES for the Z-order
     * columns, row-aligned (a column the file predates reads as
@@ -1098,16 +1318,15 @@ private[sources] object GraftRlOptimize {
           else acc :+ b)
     }
     def z(t: Array[Any]): Long = interleave(
-      idxs.indices.map(c => zBucket(dts(c), bounds(c), t(c))), bits)
+      idxs.indices.map(c => zLane(dts(c), bounds(c), t(c), bits)), bits)
     val perFileZ: Seq[(BinFile, Seq[Long])] =
       perFile.map { case (f, ts) => f -> ts.map(z) }
     val allZ = perFileZ.flatMap(_._2).sorted
     val chunk = math.max(1L, math.min(targetRows, Int.MaxValue.toLong)).toInt
-    val boundaries = allZ.grouped(chunk).map(_.head).toSeq.drop(1)
-      .foldLeft(Seq.empty[Long])((acc, b) =>
-        if (acc.nonEmpty && acc.last >= b) acc
-        else if (acc.isEmpty && allZ.head >= b) acc
-        else acc :+ b)
+    // same convergence discipline as the 1-D planner: full Z-ranges
+    // hold >= targetRows rows, so their packed files leave candidacy
+    val boundaries = cutBoundaries[Long](allZ.toIndexedSeq, chunk,
+      _ == _)
     val ranges: Seq[(Option[Long], Option[Long])] =
       (None +: boundaries.map(Some(_))).zip(
         boundaries.map(Some(_)) :+ None)
@@ -1171,7 +1390,7 @@ private[sources] object GraftRlOptimize {
     val zBits = zBitsFor(bin.zIdx.size)
     def zOf(vals: Array[Any]): Long = interleave(
       bin.zIdx.indices.map(c =>
-        zBucket(zDts(c), zBoundsDec(c), vals(bin.zIdx(c)))), zBits)
+        zLane(zDts(c), zBoundsDec(c), vals(bin.zIdx(c)), zBits)), zBits)
     val zLo = if (bin.zIdx.isEmpty) None else bin.lo.map(_.toLong)
     val zHi = if (bin.zIdx.isEmpty) None else bin.hi.map(_.toLong)
     def keep(vals: Array[Any]): Boolean =
@@ -1265,6 +1484,22 @@ private[sources] object GraftRlOptimize {
   * immediately before a commit's first publish attempt so a test can
   * interleave a competing writer at exactly the racy instant.
   * No-ops in production. */
+/** Per-thread streaming-transaction context for BATCH commits issued
+  * inside a `foreachBatch` body (the Delta `txnAppId`/`txnVersion`
+  * shape, reachable from SQL MERGE where writer options are not):
+  * while set, every manifest publish on this thread stamps the
+  * `#txn=<queryId>:<epochId>` header, making "epoch applied" and
+  * "rows visible" one atomic publish — exactly the discipline the
+  * native streaming sink uses. Thread-local because verification
+  * harnesses run independent queries on sibling threads. */
+private[sources] object GraftRlTxnContext {
+  private val ctx = new ThreadLocal[String]
+  def set(marker: String): Unit = ctx.set(marker)
+  def clear(): Unit = ctx.remove()
+  def meta: Map[String, String] =
+    Option(ctx.get()).map(m => Map("txn" -> m)).getOrElse(Map.empty)
+}
+
 private[sources] object GraftRlConcurrencyHook {
   @volatile var beforeReplacePublish: () => Unit = () => ()
   @volatile var beforeAppendPublish: () => Unit = () => ()
@@ -1664,10 +1899,48 @@ private[sources] object GraftRl {
   def publishTag(dir: Path, name: String, version: Long): Boolean =
     publishExclusive(dir, tagPath(dir, name), version.toString)
 
-  def readPartCol(dir: Path): Option[String] = {
-    val p = dir.resolve("partcol")
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  /** PARTITION-SPEC ERAS (Iceberg's partition evolution model, in its
+    * single identity-column form): `partspec-<n>` files published by
+    * the same atomic-exclusive link as manifests, each recording
+    * `<manifestVersionAtPublish>:<col or '-'>`. The CURRENT spec is
+    * the highest era; group files written under OLD eras are never
+    * rewritten — per-file typed stats prune them correctly under any
+    * predicate, and the key-grouped scan claim already stands down
+    * when any kept file is not provably single-valued in the current
+    * column. Legacy single-file `partcol` is era 0. */
+  def partSpecPath(dir: Path, n: Long): Path =
+    dir.resolve(f"partspec-$n%05d")
+
+  def partSpecVersions(dir: Path): Seq[Long] =
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("partspec-") =>
+        n.stripPrefix("partspec-").toLong
+      }.toSeq.sorted
+
+  def publishPartSpec(dir: Path, n: Long, atVersion: Long,
+      col: Option[String]): Boolean =
+    publishExclusive(dir, partSpecPath(dir, n),
+      s"$atVersion:${col.getOrElse("-")}")
+
+  /** The spec era history: (era, manifestVersionAtPublish, col). */
+  def partSpecHistory(dir: Path): Seq[(Long, Long, Option[String])] = {
+    val legacy = {
+      val p = dir.resolve("partcol")
+      if (Files.exists(p))
+        Seq((0L, 0L, Some(Files.readString(p).trim)))
+      else Seq.empty
+    }
+    legacy ++ partSpecVersions(dir).map { n =>
+      val parts = Files.readString(partSpecPath(dir, n)).trim
+        .split(":", 2)
+      (n, parts(0).toLong,
+        if (parts(1) == "-") None else Some(parts(1)))
+    }
   }
+
+  def readPartCol(dir: Path): Option[String] =
+    partSpecHistory(dir).lastOption.flatMap(_._3)
 
   def readMorDelete(dir: Path): Boolean = readProp(dir, "delete.mode")
   def readMorUpdate(dir: Path): Boolean = readProp(dir, "update.mode")
@@ -2629,7 +2902,8 @@ private[sources] class GraftRlDvBatchWrite(dir: Path, ident: String,
     val published = GraftRlRebase.publishDisjoint(dir, baseVersion,
       baseFiles, merged.keySet.toSet,
       cur => cur.flatMap(g => replacement.getOrElse(g.name, Some(g))) ++
-        inserted.map(_.toGroupFile))
+        inserted.map(_.toGroupFile),
+      meta = GraftRlTxnContext.meta)
     if (published.isEmpty) {
       staged.foreach(Files.deleteIfExists)
       cleanupInserted()
@@ -3321,7 +3595,8 @@ private[sources] class GraftRlBatchWrite(dir: Path, schema: StructType,
         else GraftRl.readManifest(dir, cur).getOrElse(
           throw new IllegalStateException(
             s"graft catalog: manifest v$cur vanished mid-commit in $dir"))
-      done = GraftRl.publish(dir, cur + 1, GraftRl.render(prior ++ staged))
+      done = GraftRl.publish(dir, cur + 1, GraftRl.render(prior ++ staged),
+        GraftRlTxnContext.meta)
       if (!done) {
         attempt += 1
         if (attempt >= 64) {
@@ -3485,7 +3760,8 @@ private[sources] class GraftRlReplaceWrite(dir: Path, ident: String,
     // winners provably left bit-identical)
     val published = GraftRlRebase.publishDisjoint(dir, baseVersion,
       baseFiles, readSet,
-      cur => cur.filterNot(g => readSet.contains(g.name)) ++ staged)
+      cur => cur.filterNot(g => readSet.contains(g.name)) ++ staged,
+      meta = GraftRlTxnContext.meta)
     if (published.isEmpty) {
       cleanup()
       throw new java.util.ConcurrentModificationException(

@@ -80,12 +80,14 @@ private[sources] object GraftProcedures {
   def procedure(root: Path, name: String): Option[UnboundProcedure] =
     name match {
       case "optimize" => Some(new GraftProcedure("optimize",
-        "bin-pack (or range-cluster, with sort_col) small group " +
-          "files; distributed — one Spark task per bin") {
+        "bin-pack (or range-cluster with sort_col, or Morton-cluster " +
+          "with comma-separated zorder_cols) small group files; " +
+          "distributed — one Spark task per bin") {
         override def parameters(): Array[ProcedureParameter] = Array(
           param("table", StringType),
           param("target_rows", LongType),
-          paramDefault("sort_col", StringType, "NULL"))
+          paramDefault("sort_col", StringType, "NULL"),
+          paramDefault("zorder_cols", StringType, "NULL"))
         private val schema = StructType(Seq(
           StructField("removed_files", LongType, nullable = false),
           StructField("added_files", LongType, nullable = false),
@@ -95,9 +97,13 @@ private[sources] object GraftProcedures {
           val dir = tableDir(root, str(input, 0))
           val sortCol =
             if (input.isNullAt(2)) None else Some(str(input, 2))
+          val zorderCols =
+            if (input.isNullAt(3)) Nil
+            else str(input, 3).split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq
           val res = GraftCatalog.optimizeTable(
             org.apache.spark.sql.SparkSession.active, dir,
-            input.getLong(1), sortCol)
+            input.getLong(1), sortCol, zorderCols)
           result(schema, Seq(InternalRow(
             res.removedFiles.size.toLong, res.addedFiles.size.toLong,
             res.version)))
@@ -125,6 +131,61 @@ private[sources] object GraftProcedures {
             res.expiredVersions.size.toLong,
             res.deletedDataFiles.size.toLong,
             res.retainedVersions.size.toLong)))
+        }
+      })
+      case "evolve_partition" => Some(new GraftProcedure(
+        "evolve_partition",
+        "change the partition column (NULL drops partitioning) for " +
+          "writes from now on; existing files keep their era's " +
+          "layout — no rewrite") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          param("table", StringType),
+          paramDefault("col", StringType, "NULL"))
+        private val schema = StructType(Seq(
+          StructField("era", LongType, nullable = false),
+          StructField("col", StringType, nullable = true)))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val col = if (input.isNullAt(1)) None else Some(str(input, 1))
+          val era = GraftCatalog.evolvePartition(
+            tableDir(root, str(input, 0)), col)
+          result(schema, Seq(InternalRow(era,
+            col.map(utf).orNull)))
+        }
+      })
+      case "create_branch" => Some(new GraftProcedure("create_branch",
+        "fork a WRITABLE branch at the current version (write-audit-" +
+          "publish); address it as db.`t$branch$<name>`") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          param("table", StringType),
+          param("branch", StringType))
+        private val schema = StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("fork_version", LongType, nullable = false)))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val b = str(input, 1)
+          val fork = GraftCatalog.createBranch(
+            tableDir(root, str(input, 0)), b)
+          result(schema, Seq(InternalRow(utf(b), fork)))
+        }
+      })
+      case "publish_branch" => Some(new GraftProcedure("publish_branch",
+        "fast-forward main to the branch head in one atomic publish; " +
+          "refuses if main moved since the fork (the audit would be " +
+          "stale)") {
+        override def parameters(): Array[ProcedureParameter] = Array(
+          param("table", StringType),
+          param("branch", StringType))
+        private val schema = StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("version", LongType, nullable = false)))
+        override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+          val b = str(input, 1)
+          val v = GraftCatalog.publishBranch(
+            tableDir(root, str(input, 0)), b)
+          result(schema, Seq(InternalRow(utf(b), v)))
         }
       })
       case "tag_snapshot" => Some(new GraftProcedure("tag_snapshot",
@@ -186,5 +247,6 @@ private[sources] object GraftProcedures {
     }
 
   val names: Seq[String] = Seq("optimize", "expire_snapshots",
+    "evolve_partition", "create_branch", "publish_branch",
     "tag_snapshot", "history", "dead_rows")
 }

@@ -509,8 +509,9 @@ class Round19Spec extends SparkSpec {
     root
     val shown = spark.sql("SHOW PROCEDURES IN g19.system")
       .collect().map(_.getString(3)).toSet
-    assert(shown == Set("optimize", "expire_snapshots", "tag_snapshot",
-      "history", "dead_rows"), s"$shown")
+    assert(shown == Set("optimize", "expire_snapshots",
+      "evolve_partition", "create_branch", "publish_branch",
+      "tag_snapshot", "history", "dead_rows"), s"$shown")
     val desc = spark.sql("DESCRIBE PROCEDURE g19.system.optimize")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("optimize") && desc.contains("bin-pack"), desc)

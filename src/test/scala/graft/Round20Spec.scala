@@ -276,6 +276,173 @@ class Round20Spec extends SparkSpec {
     assert(sqlRows("SELECT k, v FROM g20.db.cap").toSet == pre)
   }
 
+  test("change data feed: a MOR DELETE+UPDATE+MERGE lifecycle drains " +
+      "as typed change rows with pre/post images, batch and " +
+      "streaming agree, rewrite commits refuse unless skipped") {
+    root
+    spark.sql("CREATE TABLE g20.db.cdc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read'," +
+      "'update.mode'='merge-on-read','merge.mode'='merge-on-read')")
+    spark.sql(
+      "INSERT INTO g20.db.cdc SELECT id, id * 10 FROM range(0, 5, 1, 1)")
+    spark.sql(
+      "INSERT INTO g20.db.cdc SELECT id, id * 10 FROM range(5, 8, 1, 1)")
+    spark.sql("DELETE FROM g20.db.cdc WHERE k = 3")              // v3
+    spark.sql("UPDATE g20.db.cdc SET v = 999 WHERE k = 6")       // v4
+    spark.sql("MERGE INTO g20.db.cdc t USING (SELECT 7 AS k, " +
+      "70007 AS v UNION ALL SELECT 100, 1000) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")   // v5
+    val expected = Seq(
+      (0L, 0L, "insert", 1L), (1L, 10L, "insert", 1L),
+      (2L, 20L, "insert", 1L), (3L, 30L, "insert", 1L),
+      (4L, 40L, "insert", 1L),
+      (5L, 50L, "insert", 2L), (6L, 60L, "insert", 2L),
+      (7L, 70L, "insert", 2L),
+      (3L, 30L, "delete", 3L),
+      (6L, 60L, "update_preimage", 4L),
+      (6L, 999L, "update_postimage", 4L),
+      (7L, 70L, "update_preimage", 5L),
+      (7L, 70007L, "update_postimage", 5L),
+      (100L, 1000L, "update_postimage", 5L))
+    def asTuples(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(t => (t._4, t._3, t._1))
+    def norm(ts: Seq[(Long, Long, String, Long)]) =
+      ts.sortBy(t => (t._4, t._3, t._1))
+    val batch = spark.sql("SELECT k, v, _change_type, " +
+      "_commit_version FROM g20.db.`cdc$changes`").collect().toSeq
+    assert(asTuples(batch) == norm(expected))
+    // startingVersion bounds the replay (incremental backfill shape)
+    val fromV3 = spark.read.option("startingVersion", "3")
+      .table("g20.db.`cdc$changes`")
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().toSeq
+    assert(asTuples(fromV3) == norm(expected.filter(_._4 >= 3L)))
+    // streaming: the SAME slice planner serves micro-batches; a
+    // drained AvailableNow run equals the batch feed exactly
+    import org.apache.spark.sql.streaming.Trigger
+    val ck = Files.createTempDirectory("graft_r20_cdcck")
+    val q = spark.readStream.option("maxVersionsPerBatch", "2")
+      .table("g20.db.`cdc$changes`")
+      .writeStream.option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow()).format("memory")
+      .queryName("cdc_feed_r20").start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.sql("SELECT k, v, _change_type, " +
+      "_commit_version FROM cdc_feed_r20").collect().toSeq
+    assert(asTuples(streamed) == norm(expected),
+      "streaming feed must equal the batch feed")
+    // a rewrite commit (OPTIMIZE folds the DVs) is not representable
+    // from a manifest diff: refuse loudly, or skip wholesale on
+    // explicit opt-in — and OPTIMIZE is content-preserving, so the
+    // skipped feed is still the exact change history
+    val res = Hook.optimizeTable(dir("cdc"), targetRows = 1000L)
+    assert(res.removedFiles.nonEmpty, s"expected a rewrite: $res")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM g20.db.`cdc$changes`").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("REWRITES group")),
+      s"rewrite commit must refuse: ${msgs(ex)}")
+    val skipped = spark.read.option("skipRewrites", "true")
+      .table("g20.db.`cdc$changes`")
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().toSeq
+    assert(asTuples(skipped) == norm(expected),
+      "skipRewrites must serve the pre-rewrite history unchanged")
+    graft.streaming.StreamingResidue.deleteRecursively(ck)
+  }
+
+  test("branch/WAP: write to a branch, audit on the branch, publish " +
+      "fast-forwards main atomically; main readers never see " +
+      "intermediate states and a moved main refuses the publish") {
+    root
+    spark.sql("CREATE TABLE g20.db.wap (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql(
+      "INSERT INTO g20.db.wap SELECT id, id * 10 FROM range(0, 8, 1, 1)")
+    val t = dir("wap")
+    val fork = graft.sources.GraftCatalog.createBranch(t, "audit")
+    assert(fork == 1L)
+    // the backfill lands ON THE BRANCH: an insert and a MOR delete
+    // (the delete attaches a DV to a MAIN data file through the
+    // branch's ../ reference — nothing in main's log moves)
+    spark.sql("INSERT INTO g20.db.`wap$branch$audit` " +
+      "SELECT id, id * 10 FROM range(100, 103, 1, 1)")
+    spark.sql("DELETE FROM g20.db.`wap$branch$audit` WHERE k = 3")
+    // audit query reads the branch; main readers see NOTHING of it
+    assert(sqlRows("SELECT count(*) FROM g20.db.`wap$branch$audit`")
+      .head.head == 10L)
+    assert(sqlRows("SELECT k FROM g20.db.wap ORDER BY k").flatten ==
+      (0L until 8L), "main must not see unpublished branch work")
+    assert(Hook.manifestVersions(t).max == 1L,
+      "branch commits must not advance the main manifest log")
+    // publish = ONE atomic main advance to the audited state
+    val v = graft.sources.GraftCatalog.publishBranch(t, "audit")
+    assert(v == 2L)
+    assert(sqlRows("SELECT k FROM g20.db.wap ORDER BY k").flatten ==
+      ((0L until 8L).filterNot(_ == 3L) ++ Seq(100L, 101L, 102L)))
+    // time travel still serves the pre-publish state
+    assert(spark.sql("SELECT count(*) FROM g20.db.wap VERSION AS OF 1")
+      .collect().head.getLong(0) == 8L)
+    // WAP refusal: main moved since the fork → the audit is stale
+    graft.sources.GraftCatalog.createBranch(t, "stale")
+    spark.sql("INSERT INTO g20.db.wap VALUES (999, 999)")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      graft.sources.GraftCatalog.publishBranch(t, "stale")
+    }
+    assert(ex.getMessage.contains("moved"))
+  }
+
+  test("partition evolution: a new spec era applies to new writes " +
+      "only, old files keep their layout, pruning works across " +
+      "mixed eras, and the key-grouped claim stands down safely") {
+    root
+    spark.sql("CREATE TABLE g20.db.pev (p1 BIGINT, p2 BIGINT, " +
+      "v BIGINT) PARTITIONED BY (p1)")
+    // era 0: three p1 partitions, p2 scattered within each
+    spark.sql("INSERT INTO g20.db.pev SELECT id % 3, id % 5, id " +
+      "FROM range(0, 30, 1, 1)")
+    val t = dir("pev")
+    val eraFiles = Hook.manifestFiles(t, Hook.manifestVersions(t).max)
+    assert(eraFiles.size == 3, s"3 p1 partitions expected: $eraFiles")
+    // evolve: writes from now on cluster by p2 (SQL surface)
+    val era = spark.sql(
+      "CALL g20.system.evolve_partition('db.pev', 'p2')").collect()
+    assert(era.head.getLong(0) == 1L && era.head.getString(1) == "p2")
+    spark.sql("INSERT INTO g20.db.pev SELECT id % 3, id % 5, id " +
+      "FROM range(30, 60, 1, 1)")
+    val allFiles = Hook.manifestFiles(t, Hook.manifestVersions(t).max)
+    val newFiles = allFiles.filterNot(eraFiles.contains)
+    assert(newFiles.size == 5,
+      s"new era must cluster by p2 (5 values): ${newFiles.size}")
+    def keptGroups(pred: String): Int =
+      spark.sql(s"SELECT p1, p2, v FROM g20.db.pev WHERE $pred")
+        .rdd.getNumPartitions
+    // mixed-era pruning: a p1 point keeps 1 old file + all 5 new;
+    // a p2 point keeps 1 new file + all 3 old — each era prunes by
+    // its own layout through the per-file stats
+    assert(keptGroups("p1 = 1") == 1 + 5, s"p1 pruning across eras")
+    assert(keptGroups("p2 = 2") == 3 + 1, s"p2 pruning across eras")
+    // contents correct across eras
+    assert(sqlRows("SELECT sum(v), count(*) FROM g20.db.pev").head ==
+      Seq((0L until 60L).sum, 60L))
+    // evolution is spec-validated and era-monotonic
+    val ex = intercept[Exception] {
+      spark.sql("CALL g20.system.evolve_partition('db.pev', 'nope')")
+        .collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    assert(msgs(ex).exists(_.contains("must be an existing")))
+    // dropping partitioning is era 2
+    val dropped = spark.sql(
+      "CALL g20.system.evolve_partition('db.pev', NULL)").collect()
+    assert(dropped.head.getLong(0) == 2L && dropped.head.isNullAt(1))
+  }
+
   test("SQL procedures refuse path-traversal table names: '..', " +
       "empty segments, and separator-bearing segments never touch " +
       "the filesystem outside the catalog root") {
