@@ -16,4 +16,18 @@ object QueryUtil {
       if (f.dataType == DoubleType) round(col(f.name), scale).as(f.name)
       else col(f.name)
     }.toIndexedSeq: _*)
+
+  /** Input balancing before per-row-heavy stages (decode, md5-gram,
+    * fixture encode): a small parquet table is a single row group and
+    * scans as ONE partition, so everything narrow above it runs on one
+    * core while the other cores idle (guide §2.6 idle capacity; the
+    * minhashPairs precedent). A round-robin repartition of the NARROW
+    * projection to the session's default parallelism spreads the
+    * per-row work; at production scale the scan is already parallel
+    * and this is a cheap metadata-sized shuffle, never a payload one.
+    * Derived from the session (cores/env), not a constant — the same
+    * binary balances at 7 or 32 cores.
+    */
+  def balanced[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
 }

@@ -181,7 +181,10 @@ object HtmlExtract {
     * mangling, wrong density arithmetic) breaks the compare. */
   def encodePages(documents: DataFrame): Dataset[Page] = {
     import documents.sparkSession.implicits._
-    documents.select("doc_id", "text").as[(Long, String)].map {
+    // balance the 1-row-group dev scan: HTML synth here and the parse
+    // in extractMainText inherit the partitioning (guide §2.6)
+    graft.QueryUtil.balanced(documents.select("doc_id", "text"))
+      .as[(Long, String)].map {
       case (id, text) =>
         val paras = text.split(' ').grouped(15)
           .map(ws => s"<p>${ws.mkString(" ")}</p>").mkString("\n")

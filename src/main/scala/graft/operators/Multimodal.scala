@@ -51,7 +51,9 @@ object Multimodal {
   def ingest(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(
+    // balance the 1-row-group dev scan so every decode/feature worker
+    // downstream (mapPartitions preserves partitioning) is parallel
+    graft.QueryUtil.balanced(documents).select(
       col("doc_id"),
       when(col("doc_id") % 3 === 0, lit("video")).otherwise(lit("image"))
         .as("media_type"),
@@ -2306,7 +2308,9 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     val W = 18; val H = 16
-    documents.select("doc_id").as[Long].map { id =>
+    // balance the 1-row-group dev scan so the per-id encode (and the
+    // decode stages that inherit this partitioning) use every core
+    graft.QueryUtil.balanced(documents.select("doc_id")).as[Long].map { id =>
       val g = id / 3
       val px = new Array[Byte](W * H)
       var r = 0
@@ -2405,7 +2409,9 @@ object Multimodal {
   def encodeVideoPerceptualFixture(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select("doc_id").as[Long].map { id =>
+    // balance the 1-row-group dev scan: MP4 encode + per-frame JPEG
+    // decode + DCT all inherit this partitioning (guide §2.6)
+    graft.QueryUtil.balanced(documents.select("doc_id")).as[Long].map { id =>
       val g = id / 2
       val nf = (g % 3).toInt + 1
       val scale = (id % 2).toInt + 1 // 1 → 64×64, 2 → 128×128

@@ -1560,9 +1560,17 @@ ORDER BY e.win_start, e.event_type
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       s.conf.set("spark.sql.scripting.enabled", "true")
       try {
-        Tables(s, dir, "orders")
-          .select(expr("cast(round(o_totalprice * 100) as bigint)")
-            .as("cents"))
+        // materialize the 1-column probe frame once (tracked cache,
+        // released with the query): the scripted WHILE loop issues
+        // ~log2(maxPrice) sequential filtered counts, and without
+        // this every probe re-runs the parquet scan + projection —
+        // with it each probe is an in-memory columnar scan (guide
+        // §5 caching: reused many times, expensive to recompute
+        // relative to its size). Same rows, same loop, same result.
+        graft.CacheRegistry.persistTracked(
+          Tables(s, dir, "orders")
+            .select(expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("cents")))
           .createOrReplaceTempView("q344_ord_v")
         s.sql("""BEGIN
           |  DECLARE t BIGINT = 1;

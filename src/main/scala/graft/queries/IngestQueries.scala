@@ -527,7 +527,7 @@ FROM k ORDER BY doc_id
       import s.implicits._
       val docs = Tables(s, dir, "documents")
       val staged: org.apache.spark.sql.Dataset[Array[Byte]] =
-        docs.select("doc_id").as[Long].map { id =>
+        graft.QueryUtil.balanced(docs.select("doc_id")).as[Long].map { id =>
           val v = (id % 5).toInt
           val phrase = v match {
             case 0 => "data ⋯ stream €"

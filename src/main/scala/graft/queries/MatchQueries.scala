@@ -48,24 +48,33 @@ object MatchQueries {
     * q31 banded-candidates shape. */
   val q296 = QuerySpec("q296_winnow_fingerprints",
     (s, dir) => {
-      val norm = Tables(s, dir, "documents")
+      // balanced: normalize + gram explode + md5 above a 1-row-group
+      // dev scan otherwise run on one core (guide §2.6 idle capacity)
+      val norm = graft.QueryUtil.balanced(
+          Tables(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), T.normalizeText(col("text")).as("t"))
         .where(length(col("t")) >= wK + wW - 1)
-      // hash positions inside ONE per-doc array projection, then
-      // explode bare (i, h) pairs — exploding positions first and
+      // slice positions inside ONE per-doc array projection, then
+      // explode bare (i, gram) pairs — exploding positions first and
       // hashing after makes every generated row carry the full text
       // string (measured: GCLocker 256 MB-allocation stalls at sf10;
-      // 145M rows x 300-byte strings of transient UnsafeRow copies)
+      // 145M rows x 300-byte strings of transient UnsafeRow copies).
+      // The md5 itself runs AFTER the explode as a top-level
+      // whole-stage-codegen expression: higher-order-function lambdas
+      // are interpreted per element (the bandBuckets lesson, ~10×),
+      // so the lambda only slices the 12-char gram and the hash runs
+      // compiled over the exploded narrow rows (guide §1.2 per-task
+      // work / §4 prefer codegen built-ins).
       val grams = norm
         .select(col("doc_id"),
           (length(col("t")) - lit(wK - 1)).as("maxi"),
           explode(expr(
             s"transform(sequence(1, length(t) - ${wK - 1}), i -> " +
-              s"named_struct('i', i, 'h', cast(conv(substring(" +
-              s"md5(substring(t, i, $wK)), 1, 8), 16, 10) as bigint)))"))
+              s"named_struct('i', i, 's', substring(t, i, $wK)))"))
             .as("g"))
         .select(col("doc_id"), col("g.i").as("i"), col("maxi"),
-          col("g.h").as("h"))
+          expr("cast(conv(substring(md5(g.s), 1, 8), 16, 10) as bigint)")
+            .as("h"))
       val w = Window.partitionBy("doc_id").orderBy("i")
         .rowsBetween(Window.currentRow, wW - 1)
       // persist: fps feeds both the df aggregate and the pair join,

@@ -188,7 +188,7 @@ FROM documents ORDER BY doc_id
           (col("doc_id") % 16 + 6).cast("int").as("h"),
           when(col("doc_id") % 2 === 0, 1).otherwise(3).cast("int").as("ch"))
         .as[(Long, Int, Int, Int)]
-      val media = dims.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(dims).mapPartitions { it =>
         it.map { case (id, w, h, ch) =>
           val px = Array.tabulate(w * h * ch)(i =>
             ((id * 31 + i.toLong * 7) % 256).toByte)
@@ -247,7 +247,7 @@ FROM px GROUP BY doc_id, width, height, channels ORDER BY doc_id
           ((col("doc_id") % 3 + 2) * 8).cast("int").as("w"),
           ((col("doc_id") % 2 + 2) * 8).cast("int").as("h"))
         .as[(Long, Int, Int)]
-      val media = dims.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(dims).mapPartitions { it =>
         it.map { case (id, w, h) =>
           val bpr = w / 8
           val px = Array.tabulate(w * h) { i =>
@@ -304,7 +304,7 @@ FROM px GROUP BY doc_id, width, height ORDER BY doc_id
       val docs = Tables(s, dir, "documents")
       val base = docs.select(col("doc_id"),
         (col("doc_id") % 3 + 1).cast("int").as("nf")).as[(Long, Int)]
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, nf) =>
           val (w, h) = (16, 16)
           val bpr = w / 8
@@ -368,7 +368,7 @@ FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
         (col("doc_id") % 2 + 1).cast("int").as("ch"),
         ((col("doc_id") % 3 + 1) * 8000).cast("int").as("rate"))
         .as[(Long, Int, Int, Int)]
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, n, ch, rate) =>
           val payload = new Array[Byte](2 * n)
           var i = 0
@@ -438,7 +438,7 @@ GROUP BY doc_id, channels, sample_rate ORDER BY doc_id
         (lit(3) + col("doc_id") % 120).cast("int").as("k"),
         (lit(1) + col("n_chars") % 4).cast("int").as("nwin"))
         .as[(Long, Int, Int)]
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, k, nWin) =>
           val n = nWin * 256
           val payload = new Array[Byte](2 * n)
@@ -486,7 +486,7 @@ FROM documents ORDER BY doc_id
         (lit(4) + col("n_chars") % 10).cast("int").as("h"),
         (lit(4) * pow(lit(2), col("doc_id") % 3)).cast("int").as("c"))
         .as[(Long, Int, Int, Int)]
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, w, h, c) =>
           val palette = Array.tabulate(c) { j =>
             (((j * 37) % 256) << 16) | (((j * 59 + 7) % 256) << 8) |
@@ -554,7 +554,7 @@ FROM v GROUP BY doc_id, w, h, c ORDER BY doc_id
         (((j * 41 + 3) % 256) << 16) | (((j * 67 + 11) % 256) << 8) |
           ((j * 89 + 17) % 256)
       }
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, w, h, nf) =>
           val frames = (0 until nf).map { f =>
             val sz = if (f % 2 == 1) 4 else 8
@@ -622,7 +622,7 @@ FROM c GROUP BY doc_id, f, w, h ORDER BY doc_id, frame_idx
         (lit(17) + col("doc_id") % 24).cast("int").as("w"),
         (lit(12) + col("n_chars") % 21).cast("int").as("h"))
         .as[(Long, Int, Int)]
-      val out = base.mapPartitions { it =>
+      val out = graft.QueryUtil.balanced(base).mapPartitions { it =>
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("jpg").next()
         val params = writer.getDefaultWriteParam
@@ -706,7 +706,7 @@ FROM documents ORDER BY doc_id
       val base = docs.select(col("doc_id"),
         (lit(30) + col("doc_id") % 40).cast("int").as("n"))
         .as[(Long, Int)]
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, n) =>
           val payload = new Array[Byte](n)
           var i = 0
@@ -772,7 +772,7 @@ FROM v GROUP BY doc_id, ul ORDER BY doc_id
         (lit(5) + col("doc_id") % 9).cast("int").as("w"),
         (lit(4) + col("n_chars") % 8).cast("int").as("h"))
         .as[(Long, Int, Int)]
-      val media = base.mapPartitions { it =>
+      val media = graft.QueryUtil.balanced(base).mapPartitions { it =>
         it.map { case (id, w, h) =>
           val rgb = new Array[Byte](w * h * 3)
           var y = 0
@@ -1174,7 +1174,8 @@ ORDER BY v.a, v.b
   private def audioTwinMedia(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
       import s.implicits._
-      val base = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      val base = graft.QueryUtil.balanced(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long]
       base.mapPartitions { it =>
         it.map { id =>
           val g = id / 2
@@ -1354,7 +1355,7 @@ ORDER BY m.a, m.b
     (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      docs.select("doc_id").as[Long].map { id =>
+      graft.QueryUtil.balanced(docs.select("doc_id")).as[Long].map { id =>
         val w = 8; val h = 8
         val px = Array.tabulate(w * h)(i => (((id + 1) * (i * 7 + 3)) % 256).toByte)
         val base = Multimodal.pngEncode(w, h, 1, px)
@@ -1406,7 +1407,7 @@ FROM documents ORDER BY doc_id
     (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      docs.select("doc_id").as[Long].map { id =>
+      graft.QueryUtil.balanced(docs.select("doc_id")).as[Long].map { id =>
         val px = Array.tabulate(64)(i => (((id + 1) * (i * 7 + 3)) % 256).toByte)
         val base = Multimodal.jpegEncode(8, 8, 1, px)
         val seg = Exif.exifSegment("Cam" + (id % 7), "M" + (id % 5),
@@ -1453,7 +1454,7 @@ FROM documents ORDER BY doc_id
     (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      docs.select("doc_id").as[Long].map { id =>
+      graft.QueryUtil.balanced(docs.select("doc_id")).as[Long].map { id =>
         val srIdx = (id % 3).toInt
         val n = (3 + id % 5).toInt
         val spec = Seq.tabulate(n) { f =>
@@ -1509,7 +1510,7 @@ FROM per GROUP BY doc_id ORDER BY doc_id
     (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      docs.select("doc_id").as[Long].map { id =>
+      graft.QueryUtil.balanced(docs.select("doc_id")).as[Long].map { id =>
         val w = (16 + id % 300).toInt; val h = (16 + (id * 7) % 200).toInt
         val webp = (id % 3) match {
           case 0 => Webp.encodeLossy(w, h)

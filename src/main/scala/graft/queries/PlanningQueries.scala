@@ -119,11 +119,16 @@ FROM a GROUP BY 1 ORDER BY part
     * else. */
   val q303 = QuerySpec("q303_poisson_bootstrap",
     (s, dir) => {
-      val o = Tables(s, dir, "orders")
+      // balanced: the 32× md5 fan-out above a 1-row-group dev scan
+      // otherwise runs on one core (guide §2.6 idle capacity)
+      val o = graft.QueryUtil.balanced(Tables(s, dir, "orders")
         .select(col("o_orderkey").as("ok"),
-          expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
-      val bs = s.range(0, 32).select(col("id").as("b"))
-      o.crossJoin(broadcast(bs))
+          expr("cast(floor(o_totalprice * 100) as bigint)").as("cents")))
+      // 32× replicate fan-out as a codegen Generate (explode of a
+      // literal sequence) instead of crossJoin(broadcast(range(32))):
+      // same rows, but no BroadcastExchange/BroadcastNestedLoopJoin —
+      // one WholeStageCodegen span from scan to partial aggregate
+      o.withColumn("b", explode(expr("sequence(0L, 31L)")))
         .withColumn("u", expr(
           "cast(conv(substring(md5(concat(cast(ok as string), '_', " +
             "cast(b as string))), 1, 8), 16, 10) as bigint) % 1000000"))

@@ -34,7 +34,7 @@ object QoiQueries {
           (col("doc_id") % 24 + 8).cast("int").as("w"),
           (col("doc_id") % 16 + 6).cast("int").as("h"))
         .as[(Long, Int, Int)]
-      dims.mapPartitions { it =>
+      graft.QueryUtil.balanced(dims).mapPartitions { it =>
         it.map { case (id, w, h) =>
           val n = w * h
           val third = n / 3

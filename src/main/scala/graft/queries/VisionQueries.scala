@@ -44,7 +44,7 @@ object VisionQueries {
       import s.implicits._
       val ids = Tables(s, dir, "documents").select(col("doc_id"))
         .as[Long]
-      ids.mapPartitions { it =>
+      graft.QueryUtil.balanced(ids).mapPartitions { it =>
         it.flatMap { id =>
           val off = Array((id % 64).toInt, ((id + 17) % 64).toInt,
             ((id + 34) % 64).toInt)
@@ -122,7 +122,7 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
       import s.implicits._
       val ids = Tables(s, dir, "documents").select(col("doc_id"))
         .as[Long]
-      ids.mapPartitions { it =>
+      graft.QueryUtil.balanced(ids).mapPartitions { it =>
         it.flatMap { id =>
           val off = Array((id % 64).toInt, ((id + 17) % 64).toInt,
             ((id + 34) % 64).toInt)
