@@ -39,8 +39,8 @@ object Bm25 {
     // token arrays once; both the stats aggregate and the scoring
     // pass read it. Tracked for the caller's releaseAll.
     val toks = graft.CacheRegistry.persistTracked(
-      df.select(col(idCol).as("id"),
-        T.tokens(T.normalizeText(col(textCol))).as("toks")))
+      graft.QueryUtil.balanced(df.select(col(idCol).as("id"),
+        T.tokens(T.normalizeText(col(textCol))).as("toks"))))
       .withColumn("dl", size(col("toks")))
     // one tiny corpus aggregate: N, avgdl, df per query term
     val dfCols = terms.zipWithIndex.map { case (t, i) =>

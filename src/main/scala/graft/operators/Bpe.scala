@@ -108,8 +108,9 @@ object Bpe {
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(T.tokens(T.normalizeText(col(textCol)))).as(Seq("pos", "w")))
+    val toks = graft.QueryUtil.balanced(df)
+      .select(col(idCol).as("id"),
+        posexplode(T.tokens(T.normalizeText(col(textCol)))).as(Seq("pos", "w")))
     val pieces = toks
       .join(broadcast(vocab), Seq("w"), "left")
       // OOV fallback: regex pre-tokenizer (lossless over non-space chars)

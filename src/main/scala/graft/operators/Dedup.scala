@@ -378,7 +378,7 @@ object Dedup {
     // shingleSet is array_distinct → post-explode rows are unique per
     // (id, gram): a plain count is the distinct-overlap count, with no
     // countDistinct (which would plant an Expand — see PLANS.md q62)
-    def grams(df: DataFrame) = df
+    def grams(df: DataFrame) = graft.QueryUtil.balanced(df)
       .select(col(idCol).as("id"),
         explode(shingleSet(col(textCol), shingleN)).as("g"))
       .select(col("id"), md5(col("g")).as("h"))

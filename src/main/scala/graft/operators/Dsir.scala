@@ -45,7 +45,7 @@ object Dsir {
     val spark = df.sparkSession
     // materialized: the count aggregate AND the scoring pass read it
     val base = graft.CacheRegistry.persistTracked(
-      df.select(col(idCol).as("id"), targetFilter.as("is_target"),
+      graft.QueryUtil.balanced(df).select(col(idCol).as("id"), targetFilter.as("is_target"),
         QualityClassifier.tokenBuckets(col(textCol), dim).as("bs"),
         size(T.tokens(T.normalizeText(col(textCol)))).as("n")))
     val counts = base

@@ -61,7 +61,7 @@ object LangId {
     * ≤ L rows) — safe to collect at any corpus size. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       trainFilter: Column, n: Int = 3, dim: Int = 4096): Model = {
-    val train = docs.filter(trainFilter)
+    val train = graft.QueryUtil.balanced(docs.filter(trainFilter))
       .select(col(labelCol).as("lang"),
         charGramBuckets(col(textCol), n, dim).as("bs"))
     // gram counts per (class, bucket): output ≤ L·dim rows by construction
@@ -94,8 +94,9 @@ object LangId {
     // Materialize the bucket array ONCE per row — the five per-class
     // WeightSum columns read the same array, so the md5 fold isn't
     // recomputed per class.
-    val withBs = docs.select(col(idCol), col(labelCol),
-      charGramBuckets(col(textCol), n, model.dim).as("__bs"))
+    val withBs = graft.QueryUtil.balanced(docs)
+      .select(col(idCol), col(labelCol),
+        charGramBuckets(col(textCol), n, model.dim).as("__bs"))
     val scores = classes.map { l =>
       val ref = new WeightsRef(spark.sparkContext.broadcast(model.weights(l)))
       l -> (lit(model.priors(l)) +

@@ -63,7 +63,8 @@ object QualityClassifier {
       weights: Array[Double], bias: Double = 0.0,
       threshold: Double = 0.5): DataFrame = {
     val nToks = size(T.tokens(T.normalizeText(col(textCol))))
-    df.select(col(idCol), nToks.cast("long").as("n_tokens"),
+    graft.QueryUtil.balanced(df)
+      .select(col(idCol), nToks.cast("long").as("n_tokens"),
         probCol(df.sparkSession, col(textCol), weights, bias).as("prob"))
       .withColumn("keep", col("prob") >= threshold)
   }

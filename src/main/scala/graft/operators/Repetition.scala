@@ -49,7 +49,8 @@ object Repetition {
     // normalization (incl. the case fold) runs COLUMN-SIDE so it is the
     // same code path every other text operator and the oracle see;
     // the Scala side below only splits on single spaces
-    df.select(col(idCol), graft.functions.Text.normalizeText(col(textCol)))
+    graft.QueryUtil.balanced(
+      df.select(col(idCol), graft.functions.Text.normalizeText(col(textCol))))
       .as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val toks = tokenize(text)

@@ -98,7 +98,10 @@ object E2eQueries {
         }
       val tmp = Files.createTempDirectory("graft_q132_warc")
       val tmpStr = tmp.toString
-      staged.repartition(8).foreachPartition {
+      // one gzip member per partition and gz members are unsplittable:
+      // the shard count IS the ingest parallelism (Sources warns at
+      // 4 files / 32 cores) — derive it from the session, don't pin 8
+      staged.repartition(s.sparkContext.defaultParallelism).foreachPartition {
         (it: Iterator[Array[Byte]]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val out = new java.util.zip.GZIPOutputStream(
@@ -203,7 +206,7 @@ object E2eQueries {
         .join(scored.select(col("doc_id"), col("extracted").as("text")), "doc_id")
         .select("doc_id", "text")
       graft.sources.Sources.writeJsonl(outDocs, shardTmp.toString,
-        shards = 4, compression = "zstd")
+        shards = s.sparkContext.defaultParallelism, compression = "zstd")
       val back = graft.sources.Sources.readJsonl(s, shardTmp.toString,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",

@@ -169,7 +169,13 @@ ORDER BY doc_id
       import s.implicits._
       import graft.operators.Multimodal
       val docs = graft.Tables(s, dir, "documents")
-      val recs = Multimodal.encodePerceptualFixture(docs).toDF()
+      // persist: BOTH stage() calls filter this frame — without the
+      // cache the (now parallel) container encode runs twice, and the
+      // single-file coalesce(1) write would collapse the whole encode
+      // chain into its one task (guide §5 caching; the q34 persist
+      // lesson). With it, each stage is a cheap cached-block merge.
+      val recs = graft.CacheRegistry.persistTracked(
+        Multimodal.encodePerceptualFixture(docs).toDF())
       val inDir = Files.createTempDirectory("graft_q135_in")
       val stateDir = Files.createTempDirectory("graft_q135_state")
       val outDir = Files.createTempDirectory("graft_q135_out")

@@ -69,11 +69,20 @@ object Wave18Queries {
         val tdir = root.resolve("db").resolve("fr")
         s.sql(seedSql(s"ord_$cat", "o_orderdate < DATE'1996-01-01'"))
           .createOrReplaceTempView(s"src_$cat")
-        for (slice <- Seq("k < 20", "k >= 20 AND k < 40",
-          "k >= 40 AND k < 60", "k >= 60 AND k < 80", "k >= 80"))
-          s.sql(s"INSERT INTO $cat.db.fr " +
-            s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM src_$cat " +
-            s"WHERE $slice")                                 // v1..v5
+        // independent single-file era appends — submit concurrently
+        // (guide §2.6, the q352 precedent); the catalog's lost-race
+        // append rebase serializes commits, and every assert below
+        // depends only on version COUNT (v1..v5) and contents
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(Seq("k < 20", "k >= 20 AND k < 40",
+            "k >= 40 AND k < 60", "k >= 60 AND k < 80", "k >= 80").map {
+              slice => Future(s.sql(s"INSERT INTO $cat.db.fr " +
+                s"SELECT /*+ REPARTITION(1) */ k, seg, v FROM src_$cat " +
+                s"WHERE $slice"))                            // v1..v5
+          }), scala.concurrent.duration.Duration(20, "min"))
+        }
         require(hook.manifestFiles(tdir, 5L).size == 5,
           "expected five fragmented era groups")
         val pre = s.sql(s"SELECT k, seg, v FROM $cat.db.fr")

@@ -62,10 +62,18 @@ object Wave20Queries {
           FROM ord_$cat""").persist()
         src.createOrReplaceTempView(s"zfsrc_$cat")
         try {
-          for (r <- 1 to 16)
-            s.sql(s"INSERT INTO $cat.db.zf " +
+          // the 16 era INSERTs are independent single-file appends over
+          // the one cached projection: submit concurrently (guide §2.6
+          // overlap independent jobs — the q352 precedent) and let the
+          // catalog's lost-race append rebase serialize the commits;
+          // contents and version COUNT (v1..v16) are order-independent
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence((1 to 16).map { r =>
+            Future(s.sql(s"INSERT INTO $cat.db.zf " +
               s"SELECT /*+ REPARTITION(1) */ id, x, y, v " +
-              s"FROM zfsrc_$cat WHERE frag = $r")             // v1..v16
+              s"FROM zfsrc_$cat WHERE frag = $r"))            // v1..v16
+          }), scala.concurrent.duration.Duration(20, "min"))
         } finally src.unpersist()
         val total = s.sql(s"SELECT count(*) FROM ord_$cat")
           .collect().head.getLong(0)
