@@ -348,7 +348,9 @@ FROM ex CROSS JOIN n WHERE cnt * 64 > n_total ORDER BY item
         struct(col("o_orderpriority").as("pri"),
           col("o_orderstatus").as("st")).as("meta"),
         array(col("o_custkey"), col("o_orderkey") % 7).as("arr")))
-      Tables(s, dir, "orders")
+      // balanced: to_json + parse_json + four variant_get extractions
+      // are per-row heavy and sat on the one-row-group scan
+      graft.QueryUtil.balanced(Tables(s, dir, "orders"))
         .select(col("o_orderkey"), parse_json(j).as("v"))
         .select(col("o_orderkey"),
           expr("variant_get(v, '$.id', 'bigint')").as("vid"),
