@@ -1943,8 +1943,17 @@ GROUP BY 1 ORDER BY 1
       import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
       val Thresh = "spark.sql.autoBroadcastJoinThreshold"
       val Aqe = "spark.sql.adaptive.enabled"
+      // DemoteBroadcastHashJoin skips the SMJ→BHJ rewrite when the
+      // build side's non-empty post-shuffle partition ratio is under
+      // 0.2 — at sf0.001 the 997-filter leaves 2 rows in 32 shuffle
+      // partitions (ratio 0.06) and the switch this query EXISTS to
+      // exercise silently never fires (reproduced: 8 partitions
+      // convert, 32 don't). Zero the guard inside the query so the
+      // assert is scale- and core-count-robust; results unchanged.
+      val Ratio = "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin"
       val prevT = s.conf.getOption(Thresh)
       val prevA = s.conf.getOption(Aqe)
+      val prevR = s.conf.getOption(Ratio)
       // the threshold must sit BETWEEN the static estimate (the file
       // size scaled by column pruning's width ratio — the filter is
       // non-pushable, so planning sees every row) and the runtime
@@ -1957,6 +1966,7 @@ GROUP BY 1 ORDER BY 1
         else Option(f.listFiles).getOrElse(Array.empty).map(sizeOf).sum
       val dimBytes = sizeOf(new java.io.File(s"$dir/orders.parquet"))
       s.conf.set(Thresh, math.max(4096L, dimBytes / 16).toString)
+      s.conf.set(Ratio, "0.0")
       try {
         def q(): org.apache.spark.sql.DataFrame = {
           val li = Tables(s, dir, "lineitem")
@@ -1998,7 +2008,7 @@ GROUP BY 1 ORDER BY 1
         s.conf.set(Aqe, "true")
         out
       } finally {
-        Seq((Thresh, prevT), (Aqe, prevA)).foreach {
+        Seq((Thresh, prevT), (Aqe, prevA), (Ratio, prevR)).foreach {
           case (k, Some(v)) => s.conf.set(k, v)
           case (k, None) => s.conf.unset(k)
         }

@@ -1959,7 +1959,12 @@ FROM w ORDER BY seq, span_start, doc_id
             count(lit(1)).as("n_occ"))
           .select("phrase", "n_docs", "n_occ")
       }
-      perPhrase.reduce(_.unionByName(_)).orderBy("phrase")
+      // a phrase with ZERO corpus occurrences has no result row — the
+      // oracle's inner joins drop it, but a global agg emits a 0-count
+      // row; at sf0.001 one probe phrase is genuinely absent and the
+      // two sides diverged (inherited red, found+fixed this round)
+      perPhrase.reduce(_.unionByName(_))
+        .where(col("n_occ") > 0).orderBy("phrase")
     },
     Some(raw"""
 WITH toks AS (
