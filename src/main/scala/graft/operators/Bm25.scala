@@ -38,9 +38,12 @@ object Bm25 {
     // lesson; sf10 measured 41.8 s → see PLANS.md). The cache is the
     // token arrays once; both the stats aggregate and the scoring
     // pass read it. Tracked for the caller's releaseAll.
+    // balanced on the raw (id, text) projection so the exchange moves
+    // text, not the (wider) token arrays, and the tokenization fold
+    // runs AFTER the exchange on every core (guide §2.3)
     val toks = graft.CacheRegistry.persistTracked(
-      graft.QueryUtil.balanced(df.select(col(idCol).as("id"),
-        T.tokens(T.normalizeText(col(textCol))).as("toks"))))
+      graft.QueryUtil.balanced(df.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"), T.tokens(T.normalizeText(col(textCol))).as("toks")))
       .withColumn("dl", size(col("toks")))
     // one tiny corpus aggregate: N, avgdl, df per query term
     val dfCols = terms.zipWithIndex.map { case (t, i) =>

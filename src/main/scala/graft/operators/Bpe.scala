@@ -108,9 +108,13 @@ object Bpe {
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val toks = graft.QueryUtil.balanced(df)
-      .select(col(idCol).as("id"),
-        posexplode(T.tokens(T.normalizeText(col(textCol)))).as(Seq("pos", "w")))
+    // balanced on the (id, text) projection only (guide §2.3); the
+    // tokenization itself runs AFTER the exchange so it is what gets
+    // parallelized, not what feeds the shuffle
+    val toks = graft.QueryUtil.balanced(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        posexplode(T.tokens(T.normalizeText(col("__t")))).as(Seq("pos", "w")))
     val pieces = toks
       .join(broadcast(vocab), Seq("w"), "left")
       // OOV fallback: regex pre-tokenizer (lossless over non-space chars)

@@ -378,9 +378,13 @@ object Dedup {
     // shingleSet is array_distinct → post-explode rows are unique per
     // (id, gram): a plain count is the distinct-overlap count, with no
     // countDistinct (which would plant an Expand — see PLANS.md q62)
-    def grams(df: DataFrame) = graft.QueryUtil.balanced(df)
-      .select(col(idCol).as("id"),
-        explode(shingleSet(col(textCol), shingleN)).as("g"))
+    // balanced on the (id, text) projection only — the exchange never
+    // carries columns the gram pass doesn't read (guide §2.3 project
+    // before the exchange); the guard in `balanced` makes it a no-op
+    // on an already-parallel corpus scan
+    def grams(df: DataFrame) = graft.QueryUtil.balanced(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), explode(shingleSet(col("__t"), shingleN)).as("g"))
       .select(col("id"), md5(col("g")).as("h"))
     val benchGrams = grams(benchmark).select("h").distinct()
     val hits = grams(corpus)

@@ -44,10 +44,16 @@ object Dsir {
     require(dim > 0, s"hash dimension $dim must be positive")
     val spark = df.sparkSession
     // materialized: the count aggregate AND the scoring pass read it
+    // balanced on the (id, is_target, text) projection only — the
+    // target predicate (a cheap boolean over arbitrary caller columns)
+    // is evaluated BEFORE the exchange so only three columns cross it;
+    // the heavy token-bucket fold runs after, on every core
     val base = graft.CacheRegistry.persistTracked(
-      graft.QueryUtil.balanced(df).select(col(idCol).as("id"), targetFilter.as("is_target"),
-        QualityClassifier.tokenBuckets(col(textCol), dim).as("bs"),
-        size(T.tokens(T.normalizeText(col(textCol)))).as("n")))
+      graft.QueryUtil.balanced(df.select(col(idCol).as("id"),
+          targetFilter.as("is_target"), col(textCol).as("__t")))
+        .select(col("id"), col("is_target"),
+          QualityClassifier.tokenBuckets(col("__t"), dim).as("bs"),
+          size(T.tokens(T.normalizeText(col("__t")))).as("n")))
     val counts = base
       .select(col("is_target"), explode(col("bs")).as("b"))
       .groupBy("b")

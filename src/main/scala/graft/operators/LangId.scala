@@ -61,7 +61,10 @@ object LangId {
     * ≤ L rows) — safe to collect at any corpus size. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       trainFilter: Column, n: Int = 3, dim: Int = 4096): Model = {
-    val train = graft.QueryUtil.balanced(docs.filter(trainFilter))
+    // balanced on the (label, text) projection only (guide §2.3); the
+    // md5 gram fold runs after the exchange, on every core
+    val train = graft.QueryUtil.balanced(
+        docs.filter(trainFilter).select(col(labelCol), col(textCol)))
       .select(col(labelCol).as("lang"),
         charGramBuckets(col(textCol), n, dim).as("bs"))
     // gram counts per (class, bucket): output ≤ L·dim rows by construction
@@ -94,7 +97,8 @@ object LangId {
     // Materialize the bucket array ONCE per row — the five per-class
     // WeightSum columns read the same array, so the md5 fold isn't
     // recomputed per class.
-    val withBs = graft.QueryUtil.balanced(docs)
+    val withBs = graft.QueryUtil.balanced(
+        docs.select(col(idCol), col(labelCol), col(textCol)))
       .select(col(idCol), col(labelCol),
         charGramBuckets(col(textCol), n, model.dim).as("__bs"))
     val scores = classes.map { l =>

@@ -52,8 +52,11 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     // balance the 1-row-group dev scan so every decode/feature worker
-    // downstream (mapPartitions preserves partitioning) is parallel
-    graft.QueryUtil.balanced(documents).select(
+    // downstream (mapPartitions preserves partitioning) is parallel;
+    // project FIRST so the exchange moves only the three columns the
+    // fixture reads, never the full document row (guide §2.3 project
+    // before the exchange)
+    graft.QueryUtil.balanced(documents.select("doc_id", "text", "n_chars")).select(
       col("doc_id"),
       when(col("doc_id") % 3 === 0, lit("video")).otherwise(lit("image"))
         .as("media_type"),

@@ -63,7 +63,8 @@ object QualityClassifier {
       weights: Array[Double], bias: Double = 0.0,
       threshold: Double = 0.5): DataFrame = {
     val nToks = size(T.tokens(T.normalizeText(col(textCol))))
-    graft.QueryUtil.balanced(df)
+    // balanced on the (id, text) projection only (guide §2.3)
+    graft.QueryUtil.balanced(df.select(col(idCol), col(textCol)))
       .select(col(idCol), nToks.cast("long").as("n_tokens"),
         probCol(df.sparkSession, col(textCol), weights, bias).as("prob"))
       .withColumn("keep", col("prob") >= threshold)

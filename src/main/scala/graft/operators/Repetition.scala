@@ -49,8 +49,10 @@ object Repetition {
     // normalization (incl. the case fold) runs COLUMN-SIDE so it is the
     // same code path every other text operator and the oracle see;
     // the Scala side below only splits on single spaces
-    graft.QueryUtil.balanced(
-      df.select(col(idCol), graft.functions.Text.normalizeText(col(textCol))))
+    // balanced on the raw (id, text) projection; the normalization
+    // regex fold runs AFTER the exchange so it parallelizes too
+    graft.QueryUtil.balanced(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), graft.functions.Text.normalizeText(col(textCol)))
       .as[(Long, String)].mapPartitions { it =>
       it.map { case (id, text) =>
         val toks = tokenize(text)
