@@ -96,7 +96,7 @@ object E2eQueries {
             s"\r\nContent-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII")
           warcHead ++ http ++ "\r\n".getBytes("US-ASCII")
         }
-      val tmp = Files.createTempDirectory("graft_q132_warc")
+      val tmp = graft.Scratch.dir("graft_q132_warc")
       val tmpStr = tmp.toString
       // one gzip member per partition and gz members are unsplittable:
       // the shard count IS the ingest parallelism (Sources warns at
@@ -201,7 +201,7 @@ object E2eQueries {
         .select(col("doc_id"), expr("(cum - n_tokens) div 512").as("seq")))
 
       // ---- stage 11: sharded .zst JSONL write + read-back
-      val shardTmp = Files.createTempDirectory("graft_q132_shards")
+      val shardTmp = graft.Scratch.dir("graft_q132_shards")
       val outDocs = s9
         .join(scored.select(col("doc_id"), col("extracted").as("text")), "doc_id")
         .select("doc_id", "text")

@@ -477,7 +477,7 @@ ORDER BY o_orderpriority
   val q282 = QuerySpec("q282_agg_pushdown",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q282_shards")
+      val tmp = graft.Scratch.dir("graft_q282_shards")
       try {
         Tables(s, dir, "lineitem")
           .select(concat(col("l_returnflag"), col("l_linestatus")).as("g"),
@@ -734,7 +734,7 @@ GROUP BY 1, 2 ORDER BY win_start, event_type
     (s, dir) => {
       import java.nio.file.Files
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      val tmp = Files.createTempDirectory("graft_q313_summary")
+      val tmp = graft.Scratch.dir("graft_q313_summary")
       try {
         val s2 = s.newSession()
         s2.conf.set("spark.sql.shuffle.partitions",
@@ -853,7 +853,7 @@ GROUP BY 1 ORDER BY 1
   val q321 = QuerySpec("q321_limit_topn_pushdown",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q321_shards")
+      val tmp = graft.Scratch.dir("graft_q321_shards")
       try {
         Tables(s, dir, "orders")
           .select(col("o_orderpriority").as("g"),
@@ -968,7 +968,7 @@ ORDER BY o_orderkey
   val q328 = QuerySpec("q328_filter_prune_pushdown",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q328_shards")
+      val tmp = graft.Scratch.dir("graft_q328_shards")
       try {
         Tables(s, dir, "orders")
           .select(col("o_orderpriority").as("g"),
@@ -1032,8 +1032,8 @@ ORDER BY part, g
   val q332 = QuerySpec("q332_runtime_filtering",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q332_shards")
-      val dimTmp = Files.createTempDirectory("graft_q332_dim")
+      val tmp = graft.Scratch.dir("graft_q332_shards")
+      val dimTmp = graft.Scratch.dir("graft_q332_dim")
       try {
         val orders = Tables(s, dir, "orders")
         orders.select(col("o_orderpriority").as("g"),
@@ -1636,7 +1636,7 @@ FROM cnts CROSS JOIN tot WHERE cnt * 2 >= n ORDER BY t LIMIT 1
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      val tmp = Files.createTempDirectory("graft_q345_keyed")
+      val tmp = graft.Scratch.dir("graft_q345_keyed")
       val ConfKey = "spark.sql.sources.v2.bucketing.enabled"
       val prev = s.conf.getOption(ConfKey)
       s.conf.set(ConfKey, "true")
@@ -1727,7 +1727,7 @@ FROM orders GROUP BY 1 ORDER BY g
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      val tmp = Files.createTempDirectory("graft_q346_spj")
+      val tmp = graft.Scratch.dir("graft_q346_spj")
       val BucketKey = "spark.sql.sources.v2.bucketing.enabled"
       val BcastKey = "spark.sql.autoBroadcastJoinThreshold"
       val prevB = s.conf.getOption(BucketKey)
@@ -1881,7 +1881,7 @@ FROM events GROUP BY 1 ORDER BY 1
   val q348 = QuerySpec("q348_orc_roundtrip",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q348_orc")
+      val tmp = graft.Scratch.dir("graft_q348_orc")
       try {
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),

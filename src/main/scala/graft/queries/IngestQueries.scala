@@ -41,7 +41,7 @@ object IngestQueries {
         when(col("doc_id") % 97 === 0, concat(lit("{corrupt "), plain))
           .when(col("doc_id") % 5 === 0, quotedN)
           .otherwise(plain).as("value"))
-      val tmp = Files.createTempDirectory("graft_q46_jsonl")
+      val tmp = graft.Scratch.dir("graft_q46_jsonl")
       lines.write.mode("overwrite").option("compression", "gzip")
         .text(tmp.toString)
       // tracked persist: (a) both consumers below (dedup + corrupt
@@ -116,7 +116,7 @@ FROM d WHERE rn = 1 ORDER BY doc_id
       val warcinfo = s.range(1).select(lit(-1L).as("ord"),
         lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 25\r\n" +
           "\r\nsoftware: graft-wet-stage\r\n").as("value"))
-      val tmp = Files.createTempDirectory("graft_q22_wet")
+      val tmp = graft.Scratch.dir("graft_q22_wet")
       // multi-shard staging: records are self-contained, so any
       // row→file assignment yields valid shards — and the source's
       // per-FILE parallelism (the real WET layout: thousands of
@@ -226,7 +226,7 @@ FROM f GROUP BY host, tld ORDER BY host, tld
         when(col("doc_id") % 89 === 0, concat(lit("{corrupt "), plain))
           .when(col("doc_id") % 3 === 0, quotedN)
           .otherwise(plain).as("value"))
-      val tmp = Files.createTempDirectory("graft_q101_zst")
+      val tmp = graft.Scratch.dir("graft_q101_zst")
       lines.repartition(4).write.mode("overwrite")
         .option("compression", graft.sources.Zstd.codecName)
         .text(tmp.toString)
@@ -281,7 +281,7 @@ GROUP BY source ORDER BY source
           .when(col("doc_id") % 11 === 0, to_json(m11))
           .when(col("doc_id") % 23 === 0, to_json(m23))
           .otherwise(to_json(base)).as("value"))
-      val tmp = Files.createTempDirectory("graft_q110_drift")
+      val tmp = graft.Scratch.dir("graft_q110_drift")
       lines.repartition(2).write.mode("overwrite")
         .option("compression", "gzip").text(tmp.toString)
       val out = s.read.text(tmp.toString)
@@ -455,7 +455,7 @@ GROUP BY rd ORDER BY rd
             s"\r\nContent-Length: $httpLen\r\n\r\n" + http + "\r\n"
           (p.doc_id, rec)
         }.toDF("ord", "value")
-      val tmp = Files.createTempDirectory("graft_q125_warc")
+      val tmp = graft.Scratch.dir("graft_q125_warc")
       staged.repartition(8).select("value")
         .write.mode("overwrite").option("compression", "gzip")
         .text(tmp.toString)
@@ -565,7 +565,7 @@ FROM k ORDER BY doc_id
             s"\r\nContent-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII")
           warcHead ++ http ++ "\r\n".getBytes("US-ASCII")
         }
-      val tmp = Files.createTempDirectory("graft_q128_warc")
+      val tmp = graft.Scratch.dir("graft_q128_warc")
       // capture the path as a String: java.nio.file.Path is not
       // Serializable and would poison the foreachPartition closure
       val tmpStr = tmp.toString
@@ -640,7 +640,7 @@ ORDER BY doc_id
       val withShard = docs.select(col("doc_id"), col("text"),
         (graft.operators.Sampling.hashBucket(col("doc_id"), "shard")
           % nShards).cast("int").as("shard"))
-      val outDir = Files.createTempDirectory("graft_q138_shards")
+      val outDir = graft.Scratch.dir("graft_q138_shards")
       graft.sources.Sources.writeJsonl(withShard, outDir.toString,
         shards = nShards, compression = "zstd")
       val back = graft.sources.Sources.readJsonl(s, outDir.toString,
@@ -891,7 +891,7 @@ FROM m ORDER BY shard
   val q286 = QuerySpec("q286_xml_ingest",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q286_xml")
+      val tmp = graft.Scratch.dir("graft_q286_xml")
       try {
         // each partition becomes one well-formed XML file: a <docs>
         // root wrapping the to_xml rows (the xml source requires a
@@ -978,7 +978,7 @@ GROUP BY 1 ORDER BY 1
   val q352 = QuerySpec("q352_format_matrix_audit",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q352_fmt")
+      val tmp = graft.Scratch.dir("graft_q352_fmt")
       try {
         val base = Tables(s, dir, "orders")
           .select(col("o_orderkey"),

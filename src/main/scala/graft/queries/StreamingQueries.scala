@@ -24,8 +24,8 @@ object StreamingQueries {
       df: org.apache.spark.sql.DataFrame, n: Int,
       sortCols: org.apache.spark.sql.Column*): java.nio.file.Path = {
     import java.nio.file.Files
-    val inDir = Files.createTempDirectory("graft_stream_in")
-    val tmp = Files.createTempDirectory("graft_stream_stage")
+    val inDir = graft.Scratch.dir("graft_stream_in")
+    val tmp = graft.Scratch.dir("graft_stream_stage")
     df.repartitionByRange(n, sortCols: _*)
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = scala.util.Using.resource(Files.list(tmp)) { st =>
@@ -92,11 +92,11 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         (col("doc_id") + shift).as("doc_id"),
         when(col("doc_id") % 2 === 1, concat(col("text"), lit(" novelmark")))
           .otherwise(col("text")).as("text"))
-      val inDir = Files.createTempDirectory("graft_q45_in")
+      val inDir = graft.Scratch.dir("graft_q45_in")
       def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
         val part = df.select(col("doc_id"),
           (col("doc_id") + 1000000L).as("ts_us"), col("text"))
-        val tmp = Files.createTempDirectory("graft_q45_stage")
+        val tmp = graft.Scratch.dir("graft_q45_stage")
         part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = scala.util.Using.resource(Files.list(tmp)) { st =>
           st.filter(_.toString.endsWith(".parquet")).findFirst().get()
@@ -176,11 +176,11 @@ ORDER BY doc_id
       // lesson). With it, each stage is a cheap cached-block merge.
       val recs = graft.CacheRegistry.persistTracked(
         Multimodal.encodePerceptualFixture(docs).toDF())
-      val inDir = Files.createTempDirectory("graft_q135_in")
-      val stateDir = Files.createTempDirectory("graft_q135_state")
-      val outDir = Files.createTempDirectory("graft_q135_out")
+      val inDir = graft.Scratch.dir("graft_q135_in")
+      val stateDir = graft.Scratch.dir("graft_q135_state")
+      val outDir = graft.Scratch.dir("graft_q135_out")
       def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
-        val tmp = Files.createTempDirectory("graft_q135_stage")
+        val tmp = graft.Scratch.dir("graft_q135_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = scala.util.Using.resource(Files.list(tmp)) { st =>
           st.filter(_.toString.endsWith(".parquet")).findFirst().get()
@@ -347,9 +347,9 @@ ORDER BY doc_id
       val nSources = docs.select("source").distinct().count()
       val quota = (nDocs / nSources * 3 / 5).toInt
       val keyed = docs.select(col("doc_id"), col("source").as("key"))
-      val inDir = Files.createTempDirectory("graft_q137_in")
+      val inDir = graft.Scratch.dir("graft_q137_in")
       def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
-        val tmp = Files.createTempDirectory("graft_q137_stage")
+        val tmp = graft.Scratch.dir("graft_q137_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = scala.util.Using.resource(Files.list(tmp)) { st =>
           st.filter(_.toString.endsWith(".parquet")).findFirst().get()
@@ -402,11 +402,11 @@ SELECT doc_id, source FROM r, q WHERE rn <= q.quota ORDER BY doc_id
       import graft.streaming.DriftStream
       val docs = graft.Tables(s, dir, "documents")
       val keyed = docs.select(col("doc_id"), col("lang").as("key"))
-      val inDir = Files.createTempDirectory("graft_q156_in")
-      val stateDir = Files.createTempDirectory("graft_q156_state")
-      val outDir = Files.createTempDirectory("graft_q156_out")
+      val inDir = graft.Scratch.dir("graft_q156_in")
+      val stateDir = graft.Scratch.dir("graft_q156_state")
+      val outDir = graft.Scratch.dir("graft_q156_out")
       def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
-        val tmp = Files.createTempDirectory("graft_q156_stage")
+        val tmp = graft.Scratch.dir("graft_q156_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = scala.util.Using.resource(Files.list(tmp)) { st =>
           st.filter(_.toString.endsWith(".parquet")).findFirst().get()
@@ -486,10 +486,10 @@ ORDER BY n.batch_id
         .unionByName(docs.where(col("doc_id") % 13 === 0)
           .select((col("doc_id") + 500000L).as("doc_id"),
             lit(2L).as("version"), col("text")))
-      val inDir = Files.createTempDirectory("graft_q171_in")
-      val tableDir = Files.createTempDirectory("graft_q171_table")
+      val inDir = graft.Scratch.dir("graft_q171_in")
+      val tableDir = graft.Scratch.dir("graft_q171_table")
       def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
-        val tmp = Files.createTempDirectory("graft_q171_stage")
+        val tmp = graft.Scratch.dir("graft_q171_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = scala.util.Using.resource(Files.list(tmp)) { st =>
           st.filter(_.toString.endsWith(".parquet")).findFirst().get()
@@ -739,7 +739,7 @@ FROM g GROUP BY 1 ORDER BY event_type
         stream(vDir), stream(pDir), "user_id", "1 HOUR", "2 hours")
       val partials =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q291_ckpt")
+      val ckpt = graft.Scratch.dir("graft_q291_ckpt")
       try {
         val q = joined.writeStream
           .foreachBatch { (df: org.apache.spark.sql.Dataset[

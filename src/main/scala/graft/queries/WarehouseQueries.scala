@@ -709,7 +709,7 @@ ORDER BY snap
   val q287 = QuerySpec("q287_bucketed_join",
     (s, dir) => {
       import java.nio.file.Files
-      val wh = Files.createTempDirectory("graft_q287_wh")
+      val wh = graft.Scratch.dir("graft_q287_wh")
       val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         Tables(s, dir, "orders")
@@ -765,7 +765,7 @@ GROUP BY 1 ORDER BY 1
   val q288 = QuerySpec("q288_partition_pruning",
     (s, dir) => {
       import java.nio.file.Files
-      val tmp = Files.createTempDirectory("graft_q288_part")
+      val tmp = graft.Scratch.dir("graft_q288_part")
       try {
         Tables(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("value"),

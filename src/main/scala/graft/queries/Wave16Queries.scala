@@ -80,7 +80,7 @@ FROM events GROUP BY 1 ORDER BY event_type
   val q360 = QuerySpec("q360_state_store_read",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q360_ckpt")
+      val ckpt = graft.Scratch.dir("graft_q360_ckpt")
       try {
         val ev = graft.streaming.StreamingOps.eventsStream(s,
           s"$dir/{events.parquet}",
@@ -128,7 +128,7 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
     * way. */
   val q361 = QuerySpec("q361_dynamic_partition_pruning",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q361")
+      val tmp = graft.Scratch.dir("graft_q361")
       try {
         Tables(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("value"),
@@ -185,7 +185,7 @@ GROUP BY 1 ORDER BY et
     * finally. */
   val q362 = QuerySpec("q362_cbo_join_reorder",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q362")
+      val tmp = graft.Scratch.dir("graft_q362")
       val tag = s"graft_cbo_${System.nanoTime()}"
       val conf = Seq("spark.sql.cbo.enabled",
         "spark.sql.cbo.joinReorder.enabled")
@@ -373,7 +373,7 @@ FROM events GROUP BY 1 ORDER BY n DESC, event_type
     * the oracle certifies both against the original table. */
   val q366 = QuerySpec("q366_dsv2_write_roundtrip",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q366")
+      val tmp = graft.Scratch.dir("graft_q366")
       try {
         Tables(s, dir, "lineitem")
           .select(col("l_returnflag").as("g"),
@@ -413,7 +413,7 @@ FROM lineitem GROUP BY 1 ORDER BY g
     * O(page), not O(corpus). Plan-asserted on PushedOffset. */
   val q367 = QuerySpec("q367_offset_pushdown",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q367")
+      val tmp = graft.Scratch.dir("graft_q367")
       try {
         Tables(s, dir, "orders")
           .select(col("o_orderpriority").as("g"),
@@ -449,7 +449,7 @@ FROM orders ORDER BY x LIMIT 50 OFFSET 100
   val q368 = QuerySpec("q368_state_metadata",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q368_ckpt")
+      val ckpt = graft.Scratch.dir("graft_q368_ckpt")
       try {
         val s2 = s.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", "4")
@@ -576,7 +576,7 @@ GROUP BY 1 ORDER BY 1
     * can't split. Plan-asserted on the final adaptive plan. */
   val q371 = QuerySpec("q371_aqe_skew_join",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q371")
+      val tmp = graft.Scratch.dir("graft_q371")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // AQE's RUNTIME broadcast conversion must be off too, or the
@@ -1092,7 +1092,7 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
     val Array(lo, hi) = ev.agg(min("ts_us"), max("ts_us"))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val span = math.max(1L, (hi - lo) / 4 + 1)
-    val work = Files.createTempDirectory("graft_replay_stage")
+    val work = graft.Scratch.dir("graft_replay_stage")
     try {
       for (i <- 0 until 4) {
         val stage = work.resolve(s"stage$i")
@@ -1124,7 +1124,7 @@ FROM r WHERE rn = CAST(ceil(n * 0.9) AS BIGINT) ORDER BY g
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         val name = s"replay_agg_${System.nanoTime()}"
-        val ckpt = Files.createTempDirectory("graft_q376_ckpt")
+        val ckpt = graft.Scratch.dir("graft_q376_ckpt")
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .option("checkpointLocation", ckpt.toString)
@@ -1183,14 +1183,14 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
     (s, dir) => {
       import java.nio.file.Files
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = Files.createTempDirectory("graft_q377_relay")
+      val tmp = graft.Scratch.dir("graft_q377_relay")
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val replayDir = graft.FixtureCache.staged(dir, "events_replay4")(
           t => stageEventSegments(s, dir, t))
         val outDir = tmp.resolve("landed")
-        val ckpt = Files.createTempDirectory("graft_q377_ckpt")
+        val ckpt = graft.Scratch.dir("graft_q377_ckpt")
         val q = s.readStream.format("graft-replay")
           .option("path", replayDir.toString)
           .option("maxFilesPerBatch", 1).load()
@@ -1809,7 +1809,7 @@ FROM w GROUP BY lang ORDER BY lang
     * balances, whale reclassification, dust purge. */
   val q384 = QuerySpec("q384_sql_dml_battery",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q384_cat")
+      val root = graft.Scratch.dir("graft_q384_cat")
       // per-run catalog name: a catalog instance pins its root conf at
       // first use and is cached by name for the session's lifetime
       val cat = s"graftrl${System.nanoTime()}"
@@ -1901,7 +1901,7 @@ FROM updated WHERE v >= 50000000 ORDER BY k
     * every snapshot through the sum/count/distinct-seg algebra. */
   val q385 = QuerySpec("q385_time_travel_audit",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q385_cat")
+      val root = graft.Scratch.dir("graft_q385_cat")
       val cat = s"graftv${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

@@ -49,7 +49,7 @@ object Wave17Queries {
     * at sf0.001), so the geometry asserts never run vacuously. */
   val q386 = QuerySpec("q386_multigroup_dml",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q386_cat")
+      val root = graft.Scratch.dir("graft_q386_cat")
       val cat = s"graftmg${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -159,7 +159,7 @@ FROM deleted ORDER BY k
     * every version's files live until retention retires them. */
   val q387 = QuerySpec("q387_snapshot_retention_audit",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q387_cat")
+      val root = graft.Scratch.dir("graft_q387_cat")
       val cat = s"graftrt${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -274,7 +274,7 @@ SELECT * FROM (
     * relationally from the corpus. */
   val q388 = QuerySpec("q388_metadata_only_agg",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q388_cat")
+      val root = graft.Scratch.dir("graft_q388_cat")
       val cat = s"graftma${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -349,7 +349,7 @@ FROM t
     * every pre-delete version addressable. */
   val q389 = QuerySpec("q389_metadata_only_delete",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q389_cat")
+      val root = graft.Scratch.dir("graft_q389_cat")
       val cat = s"graftmd${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -422,7 +422,7 @@ FROM seed WHERE k >= 50 ORDER BY k
     * strategy under test. The oracle replays the join relationally. */
   val q390 = QuerySpec("q390_partitioned_catalog_spj",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q390_cat")
+      val root = graft.Scratch.dir("graft_q390_cat")
       val cat = s"graftpj${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -636,7 +636,7 @@ ORDER BY a, b
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         val name = s"replay_bytes_${System.nanoTime()}"
-        val ckpt = Files.createTempDirectory("graft_q392_ckpt")
+        val ckpt = graft.Scratch.dir("graft_q392_ckpt")
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .option("checkpointLocation", ckpt.toString)
@@ -681,7 +681,7 @@ FROM events GROUP BY 1 ORDER BY event_type
     * both eras relationally with the same NULL discipline. */
   val q393 = QuerySpec("q393_schema_evolution",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q393_cat")
+      val root = graft.Scratch.dir("graft_q393_cat")
       val cat = s"graftse${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -767,7 +767,7 @@ FROM unioned ORDER BY k, coalesce(delta, -1), v
   val q394 = QuerySpec("q394_catalog_change_stream",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft_q394_cat")
+      val root = graft.Scratch.dir("graft_q394_cat")
       val cat = s"graftcs${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -784,7 +784,7 @@ FROM unioned ORDER BY k, coalesce(delta, -1), v
             "o_orderdate < DATE'1996-01-01'",
           "o_orderdate >= DATE'1996-01-01'"))
           s.sql(s"INSERT INTO $cat.db.feed " + seedSql(s"ord_$cat", era))
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q394_ck")
+        val ckpt = graft.Scratch.dir("graft_q394_ck")
         val name = s"feed_sink_${System.nanoTime()}"
         val q = s.readStream.table(s"$cat.db.feed")
           .groupBy("seg")

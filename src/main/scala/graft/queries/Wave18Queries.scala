@@ -56,7 +56,7 @@ object Wave18Queries {
   val q395 = QuerySpec("q395_catalog_optimize",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft_q395_cat")
+      val root = graft.Scratch.dir("graft_q395_cat")
       val cat = s"graftop${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -99,7 +99,7 @@ object Wave18Queries {
         require(s.sql(s"SELECT count(*) FROM $cat.db.fr VERSION AS OF 5")
           .collect().head.getLong(0) == pre.size,
           "pre-OPTIMIZE snapshot lost rows")
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q395_ck")
+        val ckpt = graft.Scratch.dir("graft_q395_ck")
         def drain(skip: Boolean, ck: java.nio.file.Path): (Long, Seq[Long]) = {
           val name = s"opt_sink_${System.nanoTime()}"
           val r = s.readStream
@@ -121,7 +121,7 @@ object Wave18Queries {
           } finally { q.stop(); s.catalog.dropTempView(name) }
         }
         // (2a) strict consumer refuses the compaction commit loudly
-        val strictCk = java.nio.file.Files.createTempDirectory("graft_q395_sk")
+        val strictCk = graft.Scratch.dir("graft_q395_sk")
         val refused = try { drain(skip = false, strictCk); None }
           catch { case e: Exception =>
             Some(Iterator.iterate[Throwable](e)(_.getCause)
@@ -188,7 +188,7 @@ ORDER BY k
   val q396 = QuerySpec("q396_incremental_mv",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft_q396_cat")
+      val root = graft.Scratch.dir("graft_q396_cat")
       val cat = s"graftmv${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -244,7 +244,7 @@ ORDER BY k
           s.sql(s"SELECT seg, count(*) AS n_slices, sum(v) AS " +
             s"total_cents FROM $cat.db.feed GROUP BY seg")
             .collect().map(_.toSeq).toSet
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q396_ck")
+        val ckpt = graft.Scratch.dir("graft_q396_ck")
         // initial load: three eras, three single-version batches
         eras.take(3).foreach(land)
         val ends1 = applyBatches(ckpt)
@@ -316,7 +316,7 @@ FROM eras GROUP BY seg ORDER BY seg
     * relationally. */
   val q397 = QuerySpec("q397_typed_stats_pruning",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q397_cat")
+      val root = graft.Scratch.dir("graft_q397_cat")
       val cat = s"graftts${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -403,7 +403,7 @@ SELECT * FROM (
     * states relationally. */
   val q398 = QuerySpec("q398_snapshot_tags",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q398_cat")
+      val root = graft.Scratch.dir("graft_q398_cat")
       val cat = s"grafttg${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -502,7 +502,7 @@ SELECT * FROM (
     * The oracle replays all five arms relationally. */
   val q399 = QuerySpec("q399_merge_sync_by_source",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q399_cat")
+      val root = graft.Scratch.dir("graft_q399_cat")
       val cat = s"graftsy${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -590,7 +590,7 @@ SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v FROM (
   val q400 = QuerySpec("q400_merge_on_read_delete",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft_q400_cat")
+      val root = graft.Scratch.dir("graft_q400_cat")
       val cat = s"graftdv${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -631,7 +631,7 @@ SELECT CAST(k AS BIGINT) AS k, seg, CAST(v AS BIGINT) AS v FROM (
           "aligned delete must be metadata-only even under vectors")
         // the DV commit is a CHANGE commit: strict append-only
         // streaming must refuse it by name
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_q400_ck")
+        val ckpt = graft.Scratch.dir("graft_q400_ck")
         val name = s"dv_sink_${System.nanoTime()}"
         val refused = try {
           val q = s.readStream.table(s"$cat.db.dv")
@@ -688,7 +688,7 @@ FROM seed WHERE k % 10 <> 7 AND k >= 34 ORDER BY k
     * bit-stable. The oracle replays the update relationally. */
   val q401 = QuerySpec("q401_merge_on_read_update",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q401_cat")
+      val root = graft.Scratch.dir("graft_q401_cat")
       val cat = s"graftmu${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -768,7 +768,7 @@ FROM seed ORDER BY k
     * write-cheap commits, and OPTIMIZE converges the two. */
   val q402 = QuerySpec("q402_merge_on_read_merge",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q402_cat")
+      val root = graft.Scratch.dir("graft_q402_cat")
       val cat = s"graftmm${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

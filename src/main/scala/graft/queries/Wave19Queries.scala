@@ -55,7 +55,7 @@ object Wave19Queries {
     * commits compose. */
   val q403 = QuerySpec("q403_disjoint_concurrent_dml",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q403_cat")
+      val root = graft.Scratch.dir("graft_q403_cat")
       val cat = s"graftfd${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -139,8 +139,8 @@ ORDER BY k
   val q404 = QuerySpec("q404_streaming_catalog_sink",
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val root = java.nio.file.Files.createTempDirectory("graft_q404_cat")
-      val ck = java.nio.file.Files.createTempDirectory("graft_q404_ck")
+      val root = graft.Scratch.dir("graft_q404_cat")
+      val ck = graft.Scratch.dir("graft_q404_ck")
       val cat = s"graftsw${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -227,7 +227,7 @@ ORDER BY k
     * the result at corpus scale. */
   val q405 = QuerySpec("q405_distributed_optimize",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q405_cat")
+      val root = graft.Scratch.dir("graft_q405_cat")
       val cat = s"graftdo${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -299,7 +299,7 @@ WHERE k <> 30 ORDER BY k
     * arithmetic relationally. */
   val q406 = QuerySpec("q406_dead_row_ledger",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q406_cat")
+      val root = graft.Scratch.dir("graft_q406_cat")
       val cat = s"graftdl${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -366,7 +366,7 @@ FROM seed
     * schema version advanced exactly once. */
   val q407 = QuerySpec("q407_merge_schema_evolution",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q407_cat")
+      val root = graft.Scratch.dir("graft_q407_cat")
       val cat = s"graftse${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -461,7 +461,7 @@ FROM (
     * shape, replayed as literals. */
   val q408 = QuerySpec("q408_describe_history",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q408_cat")
+      val root = graft.Scratch.dir("graft_q408_cat")
       val cat = s"grafth${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -532,7 +532,7 @@ ORDER BY version
     * table's rollup; the oracle replays it relationally. */
   val q409 = QuerySpec("q409_clustered_optimize",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q409_cat")
+      val root = graft.Scratch.dir("graft_q409_cat")
       val cat = s"graftcl${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -611,7 +611,7 @@ FROM seed GROUP BY seg ORDER BY seg
     * relationally. */
   val q410 = QuerySpec("q410_dynamic_file_pruning",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q410_cat")
+      val root = graft.Scratch.dir("graft_q410_cat")
       val cat = s"graftdf${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -709,7 +709,7 @@ GROUP BY f.seg ORDER BY f.seg
     * geometry is pinned by REPARTITION(1) era inserts. */
   val q411 = QuerySpec("q411_sql_procedures",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q411_cat")
+      val root = graft.Scratch.dir("graft_q411_cat")
       val cat = s"graftpr${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -787,7 +787,7 @@ SELECT item, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (
     * replays the rollup relationally. */
   val q412 = QuerySpec("q412_metadata_grouped_agg",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q412_cat")
+      val root = graft.Scratch.dir("graft_q412_cat")
       val cat = s"graftga${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

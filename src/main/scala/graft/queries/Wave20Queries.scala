@@ -37,7 +37,7 @@ object Wave20Queries {
     * rollup; the oracle replays it relationally. */
   val q414 = QuerySpec("q414_zorder_optimize",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q414_cat")
+      val root = graft.Scratch.dir("graft_q414_cat")
       val cat = s"graftzo${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -154,13 +154,13 @@ FROM seed GROUP BY x // 16, y // 16 ORDER BY xb, yb
     * change rows relationally from the base corpus. */
   val q415 = QuerySpec("q415_change_data_feed",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q415_cat")
+      val root = graft.Scratch.dir("graft_q415_cat")
       val cat = s"graftcdf${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val ck = java.nio.file.Files.createTempDirectory("graft_q415_ck")
+      val ck = graft.Scratch.dir("graft_q415_ck")
       try {
         Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
         s.sql(s"CREATE TABLE $cat.db.cdf (k BIGINT, v BIGINT) " +
@@ -260,14 +260,14 @@ FROM changes ORDER BY "_commit_version", "_change_type", k, v
     * computes. */
   val q416 = QuerySpec("q416_streaming_upsert",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q416_cat")
+      val root = graft.Scratch.dir("graft_q416_cat")
       val cat = s"graftsu${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val ck = java.nio.file.Files.createTempDirectory("graft_q416_ck")
-      val ckStale = java.nio.file.Files.createTempDirectory("graft_q416_cks")
+      val ck = graft.Scratch.dir("graft_q416_ck")
+      val ckStale = graft.Scratch.dir("graft_q416_cks")
       try {
         Tables(s, dir, "orders").createOrReplaceTempView(s"ord_$cat")
         s.sql(s"CREATE TABLE $cat.db.cdcsrc (k BIGINT, v BIGINT)")
@@ -377,7 +377,7 @@ FROM orders GROUP BY 1 ORDER BY k
     * relationally. */
   val q417 = QuerySpec("q417_partition_evolution",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q417_cat")
+      val root = graft.Scratch.dir("graft_q417_cat")
       val cat = s"graftpe${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
@@ -455,7 +455,7 @@ FROM orders GROUP BY 1, 2 ORDER BY p1, p2
     * relationally. */
   val q418 = QuerySpec("q418_branch_wap",
     (s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q418_cat")
+      val root = graft.Scratch.dir("graft_q418_cat")
       val cat = s"graftbw${System.nanoTime()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)

@@ -33,7 +33,7 @@ object DriftStream {
       threshold: Double = 0.05,
       checkpoint: Option[Path] = None): Unit = {
     val ckpt = checkpoint.getOrElse(
-      Files.createTempDirectory("graft_ckpt_drift"))
+      graft.Scratch.dir("graft_ckpt_drift"))
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[KeyedDoc], batchId: Long) =>
         processBatch(batch.toDF(), batchId, stateDir, outDir, threshold)

@@ -121,7 +121,7 @@ object NearDupStream {
       onNonConvergence: NonConvergence = Fail,
       compactEvery: Int = 16): Unit = {
     val ckpt = checkpoint.getOrElse(
-      Files.createTempDirectory("graft_ckpt_neardup"))
+      graft.Scratch.dir("graft_ckpt_neardup"))
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[DedupStream.Doc], batchId: Long) =>
         processBatch(batch.toDF(), batchId, stateDir, outDir, k, bands,
@@ -280,7 +280,7 @@ object NearDupStream {
       onNonConvergence: NonConvergence = Fail,
       compactEvery: Int = 16): Unit = {
     val ckpt = checkpoint.getOrElse(
-      Files.createTempDirectory("graft_ckpt_neardup_media"))
+      graft.Scratch.dir("graft_ckpt_neardup_media"))
     val q = media.writeStream
       .foreachBatch {
         (batch: Dataset[graft.operators.Multimodal.MediaRecord],

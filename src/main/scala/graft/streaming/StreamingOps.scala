@@ -209,7 +209,7 @@ object StreamingOps {
   def drainToBatch(spark: SparkSession, agg: DataFrame,
       tag: String, outputMode: String = "complete"): DataFrame = {
     val name = s"${tag}_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    val ckpt = graft.Scratch.dir(s"graft_ckpt_$name")
     val q = agg.writeStream
       .format("memory")
       .queryName(name)

@@ -41,7 +41,7 @@ object UpsertSink {
     * final snapshot as a DataFrame. Rows: (doc_id, version, text). */
   def drainUpsert(spark: SparkSession, stream: DataFrame,
       tableDir: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt")
+    val ckpt = graft.Scratch.dir("graft_upsert_ckpt")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(spark, batch, batchId, tableDir)
