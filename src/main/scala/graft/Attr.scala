@@ -22,12 +22,12 @@ object Attr {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors))
-    val spark = SparkSession.builder()
+    val spark = Scratch.tuneCheckpoints(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
@@ -58,6 +58,12 @@ object Attr {
           // executorRunTime is in ms already
           r.taskMs += s.stageInfo.taskMetrics.executorRunTime
         }
+        val m = s.stageInfo.taskMetrics
+        println(f"ATTR-STAGE job=$jid%4d stage=${s.stageInfo.stageId}%4d " +
+          f"tasks=${s.stageInfo.numTasks}%4d runMs=${m.executorRunTime}%7d " +
+          f"cpuMs=${m.executorCpuTime / 1000000}%7d " +
+          f"deserMs=${m.executorDeserializeTime}%6d " +
+          f"gcMs=${m.jvmGCTime}%5d  ${s.stageInfo.name.take(60)}")
       }
     }
     spark.sparkContext.addSparkListener(listener)

@@ -27,14 +27,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors))
-    val spark = SparkSession.builder()
+    val spark = Scratch.tuneCheckpoints(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same extension surface as Verify: q228 exercises the
       // conf-gated RangeJoinRewrite rule through a child session
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: query names to run (default: all) — dev profiling

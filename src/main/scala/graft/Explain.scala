@@ -10,14 +10,14 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors))
-    val spark = SparkSession.builder()
+    val spark = Scratch.tuneCheckpoints(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same extension surface as Verify/Bench/Prof — conf-gated rule
       // queries (q228, q339, q374…) fail their plan asserts otherwise
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = args.toSet

@@ -41,7 +41,7 @@ object Prof {
     val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val n = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val builder = SparkSession.builder()
+    val builder = Scratch.tuneCheckpoints(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -49,7 +49,7 @@ object Prof {
       // same extension surface as Verify/Bench — conf-gated optimizer
       // rules (q228, q339, q374…) must fire here too or their plan
       // asserts fail under profiling
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new GraftExtensions))
     // dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for conf experiments
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
       _.split(';').filter(_.contains('=')).foreach { kv =>

@@ -43,4 +43,40 @@ object Scratch {
 
   /** Drop-in replacement for `Files.createTempDirectory(prefix)`. */
   def dir(prefix: String): Path = Files.createTempDirectory(base, prefix)
+
+  /** Ephemeral-checkpoint I/O settings for a session builder, applied
+    * by every harness main (Bench/Verify/Prof/...). Two measured costs
+    * of the default checkpoint stack on per-query scratch checkpoints
+    * (thread-dump evidence, r21):
+    *
+    *  - the default FileContext-based checkpoint manager's
+    *    `renameTempFile` walks Hadoop's
+    *    `RawLocalFileSystem.deprecatedGetFileLinkStatusInternal`,
+    *    which FORKS a shell (`readlink`) per state-store file commit —
+    *    32 join tasks × 4 state stores × N batches of subprocess forks
+    *    dominated q291's micro-batches (72 s task time, <1 s CPU). The
+    *    FileSystem-based manager renames through `File.renameTo`, no
+    *    fork: q291 12.6 → 5.5 s warm.
+    *  - Spark 4.1's checkpoint file CHECKSUMS (on by default) write a
+    *    companion checksum file per checkpoint file through a
+    *    thread-pool await; integrity verification buys nothing for
+    *    same-process scratch checkpoints deleted seconds later:
+    *    q291 5.5 → 4.8 s warm.
+    *
+    * Both are env-overridable for deployments with durable multi-node
+    * checkpoints (HDFS/object store), where the FileContext manager's
+    * atomic-rename semantics and file checksums are the right trade:
+    * `SPARK_GRAFT_CKPT_MANAGER=default` keeps Spark's resolution,
+    * `SPARK_GRAFT_CKPT_CHECKSUM=true` re-enables checksums.
+    */
+  def tuneCheckpoints(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder = {
+    val mgr = sys.env.getOrElse("SPARK_GRAFT_CKPT_MANAGER",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager")
+    if (mgr.nonEmpty && mgr != "default")
+      b.config("spark.sql.streaming.checkpointFileManagerClass", mgr)
+    b.config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+  }
 }

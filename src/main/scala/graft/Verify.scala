@@ -37,7 +37,7 @@ object Verify {
       if (args.length > 2) Some(args.drop(2).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors))
-    val spark = SparkSession.builder()
+    val spark = Scratch.tuneCheckpoints(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,7 +45,7 @@ object Verify {
       // extension surface installed exactly as a production deployment
       // would (spark.sql.extensions): SQL-function registry + the
       // conf-gated RangeJoinRewrite rule (off unless a query opts in)
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

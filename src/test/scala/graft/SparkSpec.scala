@@ -9,13 +9,13 @@ import org.scalatest.BeforeAndAfterAll
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = Scratch.tuneCheckpoints(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
