@@ -240,6 +240,13 @@ object Dedup {
     // micro-batch — a tracked handle per batch would accumulate).
     val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize p0 EAGERLY: its four references below land in ONE
+    // union stage, and concurrent tasks of different union branches
+    // hitting the same not-yet-cached partition each recompute the
+    // upstream pair join — a cache stampede measured as ~4x the
+    // pairwise-cosine work on q112's pair graph (r21 attribution).
+    // One cheap count materializes every partition exactly once.
+    p0.count()
     val sym = p0.union(p0.select(col("v").as("u"), col("u").as("v")))
     val edges = sym.union(sym.select(col("u"), col("u").as("v"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
