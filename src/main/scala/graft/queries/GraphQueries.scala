@@ -71,8 +71,13 @@ object GraphQueries {
             .join(labels.select("part"), Seq("part"), "left_anti")
             .withColumn("hop", lit(k.toLong))
             .localCheckpoint(true))
-        labels = graft.CacheRegistry.trackCheckpoint(
-          labels.unionByName(fresh).localCheckpoint(true))
+        // the visited set stays a LAZY union of the checkpointed level
+        // frames: each level is already a materialized leaf, so the
+        // union plan is 4 leaves deep at most — the per-round EAGER
+        // union checkpoint this replaces paid one extra job per round
+        // for no lineage benefit (r21; the exponential-nesting hazard
+        // only exists when rounds nest un-materialized plans)
+        labels = labels.unionByName(fresh)
         frontier = fresh.select("part")
       }
       val hist = labels.groupBy("hop").agg(count(lit(1)).as("n_parts"))
@@ -177,18 +182,34 @@ SELECT CAST($r AS BIGINT) AS round,
         .select("a", "b")
       val edges = graft.CacheRegistry.persistTracked(
         e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))))
-      var alive = edges.select(col("a").as("v")).distinct()
-        .localCheckpoint(true)
-      var aliveN = alive.count()
+      // per-round survivor COUNT observed during the eager checkpoint
+      // itself (CollectMetricsExec accumulator — the CC idiom): one
+      // job per round instead of checkpoint + count, halving the
+      // round-loop's job count (r21; guide §1.2 remove passes).
+      // Checkpoint blocks are tracked so the caller's releaseAll frees
+      // them — the returned frame is driver-side stats and references
+      // none of them.
+      def observedCheckpoint(df: org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, Long) = {
+        val obs = new org.apache.spark.sql.Observation()
+        val ck = graft.CacheRegistry.trackCheckpoint(
+          df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true))
+        val n = obs.get("n") match {
+          case l: java.lang.Long => l.longValue
+          case _ => 0L
+        }
+        (ck, n)
+      }
+      var (alive, aliveN) =
+        observedCheckpoint(edges.select(col("a").as("v")).distinct())
       val stats = Seq.newBuilder[(Long, Long, Long)]
       for (r <- 1 to kcoreRounds) {
         val deg = edges
           .join(alive.select(col("v").as("a")), "a")
           .join(alive.select(col("v").as("b")), "b")
           .groupBy("a").agg(count(lit(1)).as("d"))
-        val next = deg.where(col("d") >= kcoreK.toLong)
-          .select(col("a").as("v")).localCheckpoint(true)
-        val nextN = next.count()
+        val (next, nextN) = observedCheckpoint(
+          deg.where(col("d") >= kcoreK.toLong).select(col("a").as("v")))
         stats += ((r.toLong, aliveN - nextN, nextN))
         alive = next
         aliveN = nextN
