@@ -41,9 +41,12 @@ object Prof {
     val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val n = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_CPUS honored like Bench so low-core-count behaviour
+    // (the driver benches at 8 cores too) is reproducible under Prof
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = Scratch.tuneCheckpoints(SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // same extension surface as Verify/Bench — conf-gated optimizer

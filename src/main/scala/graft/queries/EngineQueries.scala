@@ -1561,6 +1561,16 @@ ORDER BY e.win_start, e.event_type
     (s, dir) => {
       val prev = s.conf.getOption("spark.sql.scripting.enabled")
       s.conf.set("spark.sql.scripting.enabled", "true")
+      // AQE off for the scripted loop only (saved/restored): every
+      // probe is a global count over the cached 1-column frame — one
+      // trivial partial-count exchange AQE can neither coalesce nor
+      // re-plan usefully at any scale — and AQE's stage-as-a-job
+      // materialization multiplied the loop's driver latency (~41
+      // statements x 4 jobs -> x1; measured 161 jobs -> ~45,
+      // warm solo 6.7 -> 5.8 s at 32 cores). Scale-safe: a count's
+      // reduce side is #partitions rows regardless of corpus size.
+      val prevAqe = s.conf.getOption("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         // materialize the 1-column probe frame once (tracked cache,
         // released with the query): the scripted WHILE loop issues
@@ -1594,6 +1604,10 @@ ORDER BY e.win_start, e.event_type
         prev match {
           case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
           case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+        prevAqe match {
+          case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+          case None => s.conf.unset("spark.sql.adaptive.enabled")
         }
       }
     },
