@@ -84,11 +84,16 @@ object Prof {
         snap = mem.spillMem.get + mem.spillDisk.get +
           mem.peakExecMem.get + mem.shuffleWrite.get
       }
+      // cumulative janino work so far in this JVM (codahale counters —
+      // deltas between runs attribute a query's own codegen cost)
+      val cg = org.apache.spark.metrics.source.CodegenMetrics
       println(f"PROF $name run$i $sec%.3f s " +
         s"spillMemMB=${mb(mem.spillMem.get)} " +
         s"spillDiskMB=${mb(mem.spillDisk.get)} " +
         s"peakTaskExecMemMB=${mb(mem.peakExecMem.get)} " +
-        s"shuffleWriteMB=${mb(mem.shuffleWrite.get)}")
+        s"shuffleWriteMB=${mb(mem.shuffleWrite.get)} " +
+        s"codegenUnits=${cg.METRIC_COMPILATION_TIME.getCount} " +
+        s"codegenMsInWindow=${cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum}")
     }
     spark.stop()
   }

@@ -449,26 +449,35 @@ FROM seed WHERE k >= 50 ORDER BY k
         import org.apache.spark.sql.execution.SparkPlan
         import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
         import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-        def hasExchange(df: org.apache.spark.sql.DataFrame): Boolean = {
-          df.collect()
+        // collectAndCheck returns BOTH the fired-plan exchange verdict
+        // and the rows of the same execution, so the assert and the
+        // result share one run of the join (this query used to execute
+        // the 100-partition SPJ three times: assert, control, result —
+        // r21 guide §1.2 don't compute things twice)
+        def collectAndCheck(df: org.apache.spark.sql.DataFrame)
+            : (Boolean, Array[org.apache.spark.sql.Row]) = {
+          val rows = df.collect()
           def walk(p: SparkPlan): Boolean = p match {
             case qs: QueryStageExec => walk(qs.plan)
             case _ => p.isInstanceOf[ShuffleExchangeLike] ||
               p.children.exists(walk)
           }
-          walk(df.queryExecution.executedPlan match {
+          (walk(df.queryExecution.executedPlan match {
             case a: AdaptiveSparkPlanExec => a.executedPlan
             case p => p
-          })
+          }), rows)
         }
         val out = reconcile
-        require(!hasExchange(out),
+        val (exchanged, rows) = collectAndCheck(out)
+        require(!exchanged,
           "storage-partitioned catalog join should plan zero exchanges")
         s.conf.set(keys(0), "false")
-        require(hasExchange(reconcile),
+        require(collectAndCheck(reconcile)._1,
           "bucketing-off control lost its exchange — assert is vacuous")
         s.conf.set(keys(0), "true")
-        val sunk = out.orderBy("k").collect()
+        // k is unique (both sides GROUP BY k), so the driver-side sort
+        // of the collected rows IS orderBy("k") — no third execution
+        val sunk = rows.sortBy(_.getLong(0))
         s.catalog.dropTempView(s"ord_$cat")
         s.createDataFrame(java.util.Arrays.asList(sunk: _*), out.schema)
       } finally {
